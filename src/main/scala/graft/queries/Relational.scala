@@ -1,0 +1,400 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Relational operator inventory (SURVEY.md §2.2-§2.6) expressed
+  * Spark-first over the driver's TPC-H-ish tables, each entry paired with
+  * an ANSI-SQL DuckDB oracle.
+  *
+  * Numeric-determinism rules (so the oracle hash-compare is exact and
+  * independent of how the harness normalizes types):
+  *   - monetary/value aggregations run in integer cents (`round(x*100)`
+  *     cast to BIGINT) — exact, order-independent, and int64 on both
+  *     engines (DuckDB SUM(BIGINT) is re-cast from HUGEINT);
+  *   - doubles are only emitted when passed through untouched (same
+  *     parquet bits on both sides), never as accumulation results;
+  *   - dates/timestamps are emitted as formatted strings;
+  *   - every query ends in a total ORDER BY.
+  *
+  * The reference operators each query mirrors are cited as
+  * `reference-file:line` (see /root/reference).
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** x (2-decimal double) → exact integer cents as long. */
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+  private def sumCents(c: Column): Column = sum(cents(c))
+
+  /** q1: scan → filter → hash aggregate with exact integer-cents sums.
+    * Projection/filter/aggregate shape of the search-index query
+    * (dags/search_engine/sql_search_full_rebuild_dag.py:26-44).
+    */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= to_timestamp_ntz(lit("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumCents(col("l_quantity")).as("sum_qty_c100"),
+        sumCents(col("l_extendedprice")).as("sum_base_price_c100"),
+        // disc price in 1e-4 units: cents(price) * (100 - cents(discount))
+        sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("sum_disc_price_e4"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q2: sliding date-range filter + month bucketing
+    * (P4, sql_search_full_rebuild_dag.py:43). */
+  def q2MonthlyShipped(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp_ntz(lit("1995-01-01 00:00:00")) &&
+              col("l_shipdate") <  to_timestamp_ntz(lit("1997-01-01 00:00:00")))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_items"),
+           sumCents(col("l_quantity")).as("sum_qty_c100"))
+      .orderBy("ship_month")
+
+  /** q3: IN-list predicate (P6, sql_search_full_rebuild_dag.py:48-63). */
+  def q3InList(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_size").isin(1, 5, 9, 14, 23, 36, 45))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+           sumCents(col("p_retailprice")).as("sum_retail_c100"))
+      .orderBy("p_brand")
+
+  /** q4: point lookup (P5, fetch_deposit_by_id.py:26). */
+  def q4PointLookup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") === 42)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              col("o_totalprice"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+
+  /** q5: EAV-style pivot aggregate — MAX(CASE WHEN type THEN value END)
+    * per entity, the heart of the search-index query
+    * (A1, sql_search_full_rebuild_dag.py:45-68). */
+  def q5EavPivot(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def cnt(t: String) = sum(when(col("event_type") === t, 1).otherwise(0)).as(s"n_$t")
+    def mx(t: String) = max(when(col("event_type") === t, col("value"))).as(s"max_$t")
+    def sm(t: String) =
+      sum(when(col("event_type") === t, cents(col("value")))).as(s"sum_${t}_c100")
+    ev.groupBy("user_id")
+      .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"),
+           mx("purchase"), mx("click"), sm("purchase"), sm("view"))
+      .orderBy("user_id")
+  }
+
+  /** q6: min/max-per-group (A2 — MIN(RoleId) GROUP BY UserId,
+    * sql_search_full_rebuild_dag.py:69-75). */
+  def q6MinPerGroup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(min(col("o_totalprice")).as("min_price"),
+           max(col("o_totalprice")).as("max_price"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
+  /** q7: dimension left-join chain with broadcast dims
+    * (J2-J4, sql_search_full_rebuild_dag.py:100-105). */
+  def q7DimJoins(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           sumCents(col("c_acctbal")).as("sum_acctbal_c100"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** q8: left join against an aggregated subquery
+    * (J5, sql_search_full_rebuild_dag.py:106-107). */
+  def q8JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val liAgg = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sumCents(col("l_quantity")).as("sum_qty_c100"),
+           count(lit(1)).as("n_lines"))
+    o.join(liAgg, o("o_orderkey") === liAgg("l_orderkey"), "left")
+      .select(col("o_orderkey"),
+              col("o_totalprice"),
+              coalesce(col("sum_qty_c100"), lit(0L)).as("sum_qty_c100"),
+              coalesce(col("n_lines"), lit(0L)).as("n_lines"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q9: global sort + top-k with deterministic tie-break
+    * (O1/O3, sql_search_full_rebuild_dag.py:109; utils_of_backup.py:155-164). */
+  def q9TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** q10: union + distinct (set ops, SURVEY §2.6). */
+  def q10UnionDistinct(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val b = c.filter(col("c_acctbal") > 9000).select("c_custkey")
+    a.union(b).distinct().orderBy("c_custkey")
+  }
+
+  /** q11: anti join — customers with no orders
+    * (J7/J8 Bloom/DB existence check, redis_utils.py:17-32). */
+  def q11AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** q12: semi join — customers with at least one order (J8). */
+  def q12SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q13: distinct scan (A5, map_divar_data_to_delta.py:59). */
+  def q13Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+  /** q14: per-group counts + global-share ratios in 1e-6 units
+    * (A3, crawler_dag_factory.py:41-53). */
+  def q14EventRatios(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("share_e6",
+        round(col("cnt") * 1000000.0 / sum(col("cnt")).over(Window.partitionBy()))
+          .cast(LongType))
+      .orderBy("event_type")
+  }
+
+  /** q15: CASE WHEN status derivation
+    * (F27, sql_search_incremental_dag.py:190). */
+  def q15CaseStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("status",
+        when(col("o_orderstatus") === "F", "finished")
+          .when(col("o_orderstatus") === "O", "open")
+          .otherwise("pending"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), sumCents(col("o_totalprice")).as("sum_price_c100"))
+      .orderBy("status")
+
+  /** q16: null-handling — nullif/coalesce/truthiness defaults
+    * (F24/F26, sql_search_full_rebuild_dag.py:139-158). */
+  def q16NullDefaults(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("missing"))
+          .as("segment_or_default"),
+        when(col("c_acctbal").isNull || col("c_acctbal") === 0, lit(13))
+          .otherwise(lit(0)).as("truthy_default"),
+        coalesce(nullif(col("c_acctbal"), lit(0.0)), lit(-1.0))
+          .as("acctbal_or_sentinel"))
+      .orderBy("c_custkey")
+
+  /** q17: ranking window — top-3 per group with tie-break (window surface;
+    * retention top-k utils_of_backup.py:155-164 generalized). */
+  def q17WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn"), col("c_custkey"), col("c_acctbal"))
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  /** q18: event-time day bucketing over the nanos stream table
+    * (ST6 groundwork; ts handled as epoch-nanos long — exact). */
+  def q18DateBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_format(col("ts_utc"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+           sumCents(col("value")).as("sum_value_c100"))
+      .orderBy("day")
+
+  /** q19: hour-of-day histogram (F21-family date parts). */
+  def q19HourlyHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(hour(col("ts_utc")).as("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("hour_of_day")
+
+  /** q20: sessionization via lag window — gap > 30 min starts a session.
+    * Stream-shaped analytics on exact epoch-nanos arithmetic. */
+  def q20Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             col("ts") - col("prev_ts") > 1800000000000L, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(sum(col("new_session")).as("n_sessions"),
+           count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q2_monthly_shipped" -> (q2MonthlyShipped _),
+    "q3_in_list" -> (q3InList _),
+    "q4_point_lookup" -> (q4PointLookup _),
+    "q5_eav_pivot" -> (q5EavPivot _),
+    "q6_min_per_group" -> (q6MinPerGroup _),
+    "q7_dim_joins" -> (q7DimJoins _),
+    "q8_join_agg" -> (q8JoinAgg _),
+    "q9_topk" -> (q9TopK _),
+    "q10_union_distinct" -> (q10UnionDistinct _),
+    "q11_anti_join" -> (q11AntiJoin _),
+    "q12_semi_join" -> (q12SemiJoin _),
+    "q13_distinct" -> (q13Distinct _),
+    "q14_event_ratios" -> (q14EventRatios _),
+    "q15_case_status" -> (q15CaseStatus _),
+    "q16_null_defaults" -> (q16NullDefaults _),
+    "q17_window_rank" -> (q17WindowRank _),
+    "q18_date_buckets" -> (q18DateBuckets _),
+    "q19_hourly_histogram" -> (q19HourlyHistogram _),
+    "q20_sessionize" -> (q20Sessionize _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | cast(sum(cast(round(l_quantity*100) as bigint)) as bigint) AS sum_qty_c100,
+        | cast(sum(cast(round(l_extendedprice*100) as bigint)) as bigint) AS sum_base_price_c100,
+        | cast(sum(cast(round(l_extendedprice*100) as bigint) * (100 - cast(round(l_discount*100) as bigint))) as bigint) AS sum_disc_price_e4,
+        | cast(count(*) as bigint) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_monthly_shipped" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        | cast(count(*) as bigint) AS n_items,
+        | cast(sum(cast(round(l_quantity*100) as bigint)) as bigint) AS sum_qty_c100
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q3_in_list" ->
+      """SELECT p_brand, cast(count(*) as bigint) AS n_parts,
+        | cast(sum(cast(round(p_retailprice*100) as bigint)) as bigint) AS sum_retail_c100
+        |FROM part WHERE p_size IN (1,5,9,14,23,36,45)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q4_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders WHERE o_orderkey = 42""".stripMargin,
+    "q5_eav_pivot" ->
+      """SELECT user_id,
+        | cast(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) as bigint) AS n_click,
+        | cast(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) as bigint) AS n_view,
+        | cast(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) as bigint) AS n_purchase,
+        | cast(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) as bigint) AS n_signup,
+        | cast(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) as bigint) AS n_error,
+        | max(CASE WHEN event_type='purchase' THEN value END) AS max_purchase,
+        | max(CASE WHEN event_type='click' THEN value END) AS max_click,
+        | cast(sum(CASE WHEN event_type='purchase' THEN cast(round(value*100) as bigint) END) as bigint) AS sum_purchase_c100,
+        | cast(sum(CASE WHEN event_type='view' THEN cast(round(value*100) as bigint) END) as bigint) AS sum_view_c100
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q6_min_per_group" ->
+      """SELECT o_custkey, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        | cast(count(*) as bigint) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q7_dim_joins" ->
+      """SELECT r_name, n_name, cast(count(*) as bigint) AS n_customers,
+        | cast(sum(cast(round(c_acctbal*100) as bigint)) as bigint) AS sum_acctbal_c100
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        | LEFT JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q8_join_agg" ->
+      """SELECT o_orderkey, o_totalprice,
+        | coalesce(agg.sum_qty_c100, 0) AS sum_qty_c100,
+        | coalesce(agg.n_lines, 0) AS n_lines
+        |FROM orders LEFT JOIN (
+        |  SELECT l_orderkey,
+        |   cast(sum(cast(round(l_quantity*100) as bigint)) as bigint) AS sum_qty_c100,
+        |   cast(count(*) as bigint) AS n_lines
+        |  FROM lineitem GROUP BY l_orderkey) agg
+        |ON o_orderkey = agg.l_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q9_topk" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q10_union_distinct" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        |ORDER BY c_custkey""".stripMargin,
+    "q11_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q12_semi_join" ->
+      """SELECT c_mktsegment, cast(count(*) as bigint) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q13_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "q14_event_ratios" ->
+      """SELECT event_type, cast(count(*) as bigint) AS cnt,
+        | cast(round(count(*) * 1000000.0 / (SELECT count(*) FROM events)) as bigint) AS share_e6
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q15_case_status" ->
+      """SELECT CASE WHEN o_orderstatus='F' THEN 'finished'
+        |            WHEN o_orderstatus='O' THEN 'open'
+        |            ELSE 'pending' END AS status,
+        | cast(count(*) as bigint) AS n,
+        | cast(sum(cast(round(o_totalprice*100) as bigint)) as bigint) AS sum_price_c100
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_null_defaults" ->
+      """SELECT c_custkey,
+        | coalesce(nullif(c_mktsegment, 'BUILDING'), 'missing') AS segment_or_default,
+        | CASE WHEN c_acctbal IS NULL OR c_acctbal = 0 THEN 13 ELSE 0 END AS truthy_default,
+        | coalesce(nullif(c_acctbal, 0.0), -1.0) AS acctbal_or_sentinel
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q17_window_rank" ->
+      """SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |   row_number() OVER (PARTITION BY c_mktsegment
+        |                      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q18_date_buckets" ->
+      """SELECT strftime(cast(ts as date), '%Y-%m-%d') AS day,
+        | cast(count(*) as bigint) AS n_events,
+        | cast(sum(cast(round(value*100) as bigint)) as bigint) AS sum_value_c100
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_hourly_histogram" ->
+      """SELECT cast(extract(hour FROM ts) as int) AS hour_of_day,
+        | cast(count(*) as bigint) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_sessionize" ->
+      """SELECT user_id,
+        | cast(sum(new_session) as bigint) AS n_sessions,
+        | cast(count(*) as bigint) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |   CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |         OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+        |        THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

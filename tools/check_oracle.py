@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Dev-only harness that mimics the driver's correctness gate:
+run graft.Verify output parquet vs DuckDB oracle_sql.json on the same
+tables, compare values after sorting columns by name.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+NOT part of the shipped Scala library (driver-side python is allowed for
+dev verification only).
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+from decimal import Decimal
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+
+    def canon(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return "NULL"
+        if isinstance(v, Decimal):
+            return f"{v:f}"
+        if isinstance(v, float):
+            return f"{v:.17g}"
+        if pd.isna(v) if not isinstance(v, (list, tuple, set, dict)) else False:
+            return "NULL"
+        return str(v)
+
+    for c in df.columns:
+        df[c] = df[c].map(canon)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        pq_dir = f"{outdir}/{name}"
+        files = glob.glob(f"{pq_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output at {pq_dir}")
+            n_fail += 1
+            continue
+        try:
+            got = norm(pd.read_parquet(pq_dir))
+            want = norm(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns spark={list(got.columns)} duckdb={list(want.columns)}")
+            n_fail += 1
+        elif len(got) != len(want):
+            print(f"FAIL {name}: rows spark={len(got)} duckdb={len(want)}")
+            n_fail += 1
+        elif not got.equals(want):
+            diff = (got != want).any(axis=1)
+            print(f"FAIL {name}: {int(diff.sum())}/{len(got)} rows differ; first diffs:")
+            idx = diff[diff].index[:3]
+            for i in idx:
+                print(f"  spark : {got.loc[i].to_dict()}")
+                print(f"  duckdb: {want.loc[i].to_dict()}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
