@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline surface (BASELINE.json north star) built on
+  * the same column-expression style as the reference's row-wise text
+  * normalizers (dags/web_scraping/transformers, ~1,700 LoC of scalar
+  * logic — SURVEY.md §2.7).
+  *
+  * Scale notes (100 TB): everything here is a per-row expression, a
+  * hash-partitioned groupBy, or an equi-join on a derived key (shingle /
+  * fingerprint / MinHash band) — no driver-side loops, no cross joins.
+  * Pairwise operators restrict candidate generation to equi-join buckets
+  * exactly as a production LSH dedup would.
+  *
+  * Determinism: token math in integers, ratios as floor(x * 10^k) longs,
+  * hashes via md5 (identical hex in Spark and DuckDB).
+  */
+object TextDedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopwords = Seq("the", "a")
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Distinct 3-gram word shingles, empty when fewer than 3 tokens.
+    * (Spark sequence(1,0) is descending, so the size guard is required.) */
+  private def shingles(w: Column): Column =
+    when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** t21: token counting + length stats (reference: token-ish splits at
+    * divar_transformer.py:79, sheypoor_transformer.py:142-149). */
+  def t21TokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+              size(toks).as("n_tokens"),
+              length(col("text")).as("n_chars_calc"))
+      .withColumn("avg_token_len_e2",
+        floor((col("n_chars_calc") - (col("n_tokens") - 1)) * 100.0 / col("n_tokens"))
+          .cast(LongType))
+      .orderBy("doc_id")
+
+  /** t22: quality scoring — stopword ratio per document (quality-score
+    * family; reference analog: field-validity checks in transformers). */
+  def t22StopwordQuality(s: SparkSession, dir: String): DataFrame = {
+    val w = toks
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+              size(w).as("n_tokens"),
+              size(filter(w, t => t.isin(stopwords.map(lit(_)): _*))).as("n_stop"))
+      .withColumn("stop_ratio_e6",
+        floor(col("n_stop") * 1000000.0 / col("n_tokens")).cast(LongType))
+      .withColumn("is_english_like",
+        when(col("n_stop") > 0, 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
+  /** t23: per-language corpus profile (language-ID aggregate surface). */
+  def t23LangProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"),
+           sum(size(toks)).as("sum_tokens"),
+           countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
+  /** t24: document fingerprinting — md5 over text, duplicate groups
+    * (exact-dedup building block; sink dedup S11, mongodb_utils.py:21-37). */
+  def t24FingerprintDups(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
+      .filter(col("n") > 1)
+      .orderBy("fp")
+
+  /** t25: exact dedup accounting per source — total vs distinct texts
+    * (ST2 exactly-once dedup, crawler_dag_factory.py:37-49). */
+  def t25DedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("text")).as("n_distinct_texts"))
+      .withColumn("n_dups", col("n_docs") - col("n_distinct_texts"))
+      .orderBy("source")
+
+  /** t26: n-gram Jaccard near-dup pairs via shingle equi-join (candidate
+    * generation is a join on the shingle key — the scale path; bounded
+    * here to doc_id < 100 so the oracle stays cheap). */
+  def t26NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), shingles(toks).as("s"))
+    val ns = d.select(col("doc_id"), size(col("s")).as("n"))
+    val ex = d.select(col("doc_id"), explode(col("s")).as("sh"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(ns.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(ns.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        floor(col("inter") * 1000000.0 /
+              (col("na.n") + col("nb.n") - col("inter"))).cast(LongType)
+          .as("jac_e6"))
+      .filter(col("jac_e6") >= 20000)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** t27: MinHash signatures — 8 permutations simulated as
+    * min(md5(seed || shingle)); md5 makes the "permutation" reproducible
+    * across engines (the classic MinHash trick with a keyed hash). */
+  def t27MinhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingles(toks)).as("sh"))
+    val aggs = (0 until 8).map(i =>
+      min(md5(concat(lit(s"s$i:"), col("sh")))).as(s"h$i"))
+    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
+  }
+
+  /** t28: MinHash-LSH candidate pairs — band the 8-hash signature into
+    * two bands of 4 and equi-join on band value (the 100 TB-scale dedup
+    * plan: candidates come from a shuffle on band keys, never O(n²)). */
+  def t28MinhashBandPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = t27MinhashSigs(s, dir)
+      .select(col("doc_id"),
+              concat(col("h0"), col("h1"), col("h2"), col("h3")).as("band1"),
+              concat(col("h4"), col("h5"), col("h6"), col("h7")).as("band2"))
+    def pairsOn(b: String) = sig.as("a").join(sig.as("b"),
+        col(s"a.$b") === col(s"b.$b") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    pairsOn("band1").union(pairsOn("band2")).distinct().orderBy("doc_a", "doc_b")
+  }
+
+  /** t29: JSON path extraction from the event props payload
+    * (F35 deep-path navigation, mrestate_transformer.py:31-186). */
+  def t29JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  /** t30: melt / unpivot (F38 EAV melt, map_divar_data_to_delta.py:242-277)
+    * via `stack`. */
+  def t30UnpivotPart(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        expr("stack(2, 'retail_c100', cast(round(p_retailprice*100) as bigint), " +
+             "'size', cast(p_size as bigint)) as (attr, val)"))
+      .orderBy("p_partkey", "attr")
+
+  /** t31: multimodal column plumbing — opaque bytes + typed metadata
+    * (binary length + content fingerprint; the decode stage itself is the
+    * mapPartitions pipeline in graft.sources.MultiModal). */
+  def t31MultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+              octet_length(col("text").cast(BinaryType)).as("n_bytes"),
+              md5(col("text")).as("fp"),
+              col("source"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "t21_token_stats" -> (t21TokenStats _),
+    "t22_stopword_quality" -> (t22StopwordQuality _),
+    "t23_lang_profile" -> (t23LangProfile _),
+    "t24_fingerprint_dups" -> (t24FingerprintDups _),
+    "t25_dedup_exact" -> (t25DedupExact _),
+    "t26_ngram_jaccard" -> (t26NgramJaccard _),
+    "t27_minhash_sigs" -> (t27MinhashSigs _),
+    "t28_minhash_band_pairs" -> (t28MinhashBandPairs _),
+    "t29_json_extract" -> (t29JsonExtract _),
+    "t30_unpivot_part" -> (t30UnpivotPart _),
+    "t31_multimodal_meta" -> (t31MultimodalMeta _),
+  )
+
+  private val shingleSqlCte =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+      |         generate_series(1, len(w)-2),
+      |         i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+      |       ELSE CAST([] AS VARCHAR[]) END s
+      | FROM d)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "t21_token_stats" ->
+      """SELECT doc_id, cast(len(string_split(text,' ')) as int) AS n_tokens,
+        | cast(length(text) as int) AS n_chars_calc,
+        | cast(floor((length(text) - (len(string_split(text,' ')) - 1)) * 100.0
+        |            / len(string_split(text,' '))) as bigint) AS avg_token_len_e2
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t22_stopword_quality" ->
+      """SELECT doc_id, n_tokens, n_stop,
+        | cast(floor(n_stop * 1000000.0 / n_tokens) as bigint) AS stop_ratio_e6,
+        | CASE WHEN n_stop > 0 THEN 1 ELSE 0 END AS is_english_like
+        |FROM (SELECT doc_id,
+        |  cast(len(string_split(text,' ')) as int) AS n_tokens,
+        |  cast(len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) as int) AS n_stop
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "t23_lang_profile" ->
+      """SELECT lang, cast(count(*) as bigint) AS n_docs,
+        | cast(sum(n_chars) as bigint) AS sum_chars,
+        | cast(sum(len(string_split(text,' '))) as bigint) AS sum_tokens,
+        | cast(count(DISTINCT source) as bigint) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "t24_fingerprint_dups" ->
+      """SELECT md5(text) AS fp, cast(count(*) as bigint) AS n,
+        | min(doc_id) AS min_doc
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+    "t25_dedup_exact" ->
+      """SELECT source, cast(count(*) as bigint) AS n_docs,
+        | cast(count(DISTINCT text) as bigint) AS n_distinct_texts,
+        | cast(count(*) - count(DISTINCT text) as bigint) AS n_dups
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "t26_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents WHERE doc_id < 100),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+        |         generate_series(1, len(w)-2),
+        |         i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+        |       ELSE CAST([] AS VARCHAR[]) END s
+        | FROM d),
+        |ns AS (SELECT doc_id, len(s) n FROM sh),
+        |ex AS (SELECT doc_id, unnest(s) sh FROM sh),
+        |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, cast(count(*) as bigint) inter
+        |          FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter,
+        | cast(floor(inter * 1000000.0 / (na.n + nb.n - inter)) as bigint) AS jac_e6
+        |FROM inter JOIN ns na ON na.doc_id = doc_a JOIN ns nb ON nb.doc_id = doc_b
+        |WHERE floor(inter * 1000000.0 / (na.n + nb.n - inter)) >= 20000
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "t27_minhash_sigs" ->
+      (shingleSqlCte +
+      """,
+        |ex AS (SELECT doc_id, unnest(s) sh FROM sh)
+        |SELECT doc_id,
+        | min(md5('s0:' || sh)) AS h0, min(md5('s1:' || sh)) AS h1,
+        | min(md5('s2:' || sh)) AS h2, min(md5('s3:' || sh)) AS h3,
+        | min(md5('s4:' || sh)) AS h4, min(md5('s5:' || sh)) AS h5,
+        | min(md5('s6:' || sh)) AS h6, min(md5('s7:' || sh)) AS h7
+        |FROM ex GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "t28_minhash_band_pairs" ->
+      (shingleSqlCte +
+      """,
+        |ex AS (SELECT doc_id, unnest(s) sh FROM sh),
+        |sig AS (SELECT doc_id,
+        |  min(md5('s0:' || sh)) || min(md5('s1:' || sh)) || min(md5('s2:' || sh)) || min(md5('s3:' || sh)) AS band1,
+        |  min(md5('s4:' || sh)) || min(md5('s5:' || sh)) || min(md5('s6:' || sh)) || min(md5('s7:' || sh)) AS band2
+        | FROM ex GROUP BY doc_id)
+        |SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |FROM sig a JOIN sig b ON (a.band1 = b.band1 OR a.band2 = b.band2)
+        |                     AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "t29_json_extract" ->
+      """SELECT cast(json_extract_string(props, '$.k') as int) AS k,
+        | cast(count(*) as bigint) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t30_unpivot_part" ->
+      """SELECT p_partkey, attr, val FROM (
+        | SELECT p_partkey, 'retail_c100' AS attr,
+        |        cast(round(p_retailprice*100) as bigint) AS val FROM part
+        | UNION ALL
+        | SELECT p_partkey, 'size', cast(p_size as bigint) FROM part)
+        |ORDER BY p_partkey, attr""".stripMargin,
+    "t31_multimodal_meta" ->
+      """SELECT doc_id, cast(octet_length(encode(text)) as int) AS n_bytes,
+        | md5(text) AS fp, source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (vec_id,
+  * embedding: array<float> x64, label) — the ANN surface of the
+  * training-data pipeline (BASELINE.json north star).
+  *
+  * All arithmetic runs in the integer domain: each float is quantized to
+  * round(x * 1e6) as BIGINT, so dot products and norms are exact 64-bit
+  * sums — bit-identical in Spark and DuckDB regardless of accumulation
+  * order (a float dot product would not be). Cosine then divides exact
+  * integers in double precision (deterministic IEEE ops).
+  *
+  * Scale path: brute-force top-k is the correctness baseline (bounded
+  * query set × broadcastable corpus); the LSH variant (v34/v35) buckets
+  * by sign bits so candidate generation is an equi-join shuffle, never
+  * O(n²) — that is the shape that survives 100 TB.
+  */
+object Vectors {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Quantize array<float> → array<bigint> of round(x*1e6) (exact). */
+  private def quant(c: Column): Column =
+    transform(c, x => round(x.cast(DoubleType) * 1000000.0).cast(LongType))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def qEmb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+      quant(col("embedding")).as("v"))
+
+  /** v31: brute-force top-5 nearest neighbors by dot product for query
+    * vectors vec_id < 100 (baseline ANN; corpus side broadcast). */
+  def v31KnnBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val e = qEmb(s, dir)
+    val q = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("v").as("vq"))
+    val dots = q.join(broadcast(e.select(col("vec_id").as("neighbor_id"), col("v"))),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("vq"), col("v")).as("dot"))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
+    dots.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** v32: per-vector exact squared norm (quality/scale diagnostics). */
+  def v32VectorNorms(s: SparkSession, dir: String): DataFrame =
+    qEmb(s, dir)
+      .select(col("vec_id"), col("label"), dot(col("v"), col("v")).as("norm2_e12"))
+      .orderBy("vec_id")
+
+  /** v33: per-label centroid component sums (first 4 dims, exact). */
+  def v33LabelCentroids(s: SparkSession, dir: String): DataFrame =
+    qEmb(s, dir)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+           sum(element_at(col("v"), 1)).as("s0"),
+           sum(element_at(col("v"), 2)).as("s1"),
+           sum(element_at(col("v"), 3)).as("s2"),
+           sum(element_at(col("v"), 4)).as("s3"))
+      .orderBy("label")
+
+  /** Sign-bit LSH bucket over the first 8 dimensions — deterministic
+    * axis-aligned hyperplanes (bucket = Σ 2^i · [x_i ≥ 0]). */
+  private def signBucket(emb: Column): Column =
+    (0 until 8).map(i =>
+      when(element_at(emb, i + 1) >= 0f, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** v34: LSH bucket histogram (state of the ANN index). */
+  def v34LshBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(signBucket(col("embedding")).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("bucket")
+
+  /** v35: LSH-bucketed ANN — candidates only within the same sign bucket
+    * (equi-join on bucket key = the 100 TB plan), top-3 by exact dot. */
+  def v35LshAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), signBucket(col("embedding")).as("bucket"),
+              quant(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("bucket"), col("v").as("vq"))
+    val cands = q.join(e.select(col("vec_id").as("neighbor_id"), col("bucket"), col("v")),
+        Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("vq"), col("v")).as("dot"))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** v36: cosine near-duplicate pairs above 0.8 among vec_id < 100
+    * (embedding-cosine near-dup; cosine from exact integer dot/norms). */
+  def v36CosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val e = qEmb(s, dir).filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("v"), dot(col("v"), col("v")).as("n2"))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        dot(col("a.v"), col("b.v")).as("d"),
+        col("a.n2").as("na"), col("b.n2").as("nb"))
+    pairs
+      .withColumn("cos_e6",
+        round(col("d") * 1000000.0 /
+              (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+          .cast(LongType))
+      .filter(col("cos_e6") >= 300000)
+      .select(col("vec_a"), col("vec_b"), col("cos_e6"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "v31_knn_bruteforce" -> (v31KnnBruteforce _),
+    "v32_vector_norms" -> (v32VectorNorms _),
+    "v33_label_centroids" -> (v33LabelCentroids _),
+    "v34_lsh_buckets" -> (v34LshBuckets _),
+    "v35_lsh_ann" -> (v35LshAnn _),
+    "v36_cosine_pairs" -> (v36CosinePairs _),
+  )
+
+  private val quantCte =
+    """WITH q AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) v
+      | FROM embeddings)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "v31_knn_bruteforce" ->
+      (quantCte +
+      """,
+        |pairs AS (SELECT a.vec_id query_id, b.vec_id neighbor_id, a.v va, b.v vb
+        |          FROM q a, q b WHERE a.vec_id < 100 AND a.vec_id <> b.vec_id),
+        |dots AS (SELECT query_id, neighbor_id, cast(sum(x*y) as bigint) dot
+        |         FROM (SELECT query_id, neighbor_id, unnest(va) x, unnest(vb) y FROM pairs)
+        |         GROUP BY query_id, neighbor_id),
+        |rk AS (SELECT query_id, neighbor_id, dot,
+        |        cast(row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY dot DESC, neighbor_id ASC) as int) rank
+        |       FROM dots)
+        |SELECT query_id, rank, neighbor_id, dot FROM rk
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "v32_vector_norms" ->
+      (quantCte +
+      """
+        |SELECT vec_id, label, cast(sum(x*x) as bigint) AS norm2_e12
+        |FROM (SELECT vec_id, label, unnest(v) x FROM q)
+        |GROUP BY vec_id, label ORDER BY vec_id""".stripMargin),
+    "v33_label_centroids" ->
+      (quantCte +
+      """
+        |SELECT label, cast(count(*) as bigint) AS n,
+        | cast(sum(v[1]) as bigint) AS s0, cast(sum(v[2]) as bigint) AS s1,
+        | cast(sum(v[3]) as bigint) AS s2, cast(sum(v[4]) as bigint) AS s3
+        |FROM q GROUP BY label ORDER BY label""".stripMargin),
+    "v34_lsh_buckets" ->
+      """SELECT (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        |      + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+        |      + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+        |      + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+        |      + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+        |      + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+        |      + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket,
+        | cast(count(*) as bigint) AS n_vecs
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+    "v35_lsh_ann" ->
+      """WITH e AS (SELECT vec_id,
+        |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        | + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        | + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+        | + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+        | + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+        | + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+        | + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+        | + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) bucket,
+        |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) v
+        | FROM embeddings),
+        |pairs AS (SELECT a.vec_id query_id, b.vec_id neighbor_id, a.v va, b.v vb
+        |          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        |          WHERE a.vec_id < 100),
+        |dots AS (SELECT query_id, neighbor_id, cast(sum(x*y) as bigint) dot
+        |         FROM (SELECT query_id, neighbor_id, unnest(va) x, unnest(vb) y FROM pairs)
+        |         GROUP BY query_id, neighbor_id),
+        |rk AS (SELECT query_id, neighbor_id, dot,
+        |        cast(row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY dot DESC, neighbor_id ASC) as int) rank
+        |       FROM dots)
+        |SELECT query_id, rank, neighbor_id, dot FROM rk
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "v36_cosine_pairs" ->
+      (quantCte +
+      """,
+        |f AS (SELECT vec_id, v FROM q WHERE vec_id < 100),
+        |n AS (SELECT vec_id, cast(sum(x*x) as bigint) n2
+        |      FROM (SELECT vec_id, unnest(v) x FROM f) GROUP BY vec_id),
+        |pairs AS (SELECT a.vec_id vec_a, b.vec_id vec_b, a.v va, b.v vb
+        |          FROM f a JOIN f b ON a.vec_id < b.vec_id),
+        |dots AS (SELECT vec_a, vec_b, cast(sum(x*y) as bigint) d
+        |         FROM (SELECT vec_a, vec_b, unnest(va) x, unnest(vb) y FROM pairs)
+        |         GROUP BY vec_a, vec_b)
+        |SELECT vec_a, vec_b,
+        | cast(round(d * 1000000.0 / (sqrt(cast(na.n2 as double)) * sqrt(cast(nb.n2 as double)))) as bigint) AS cos_e6
+        |FROM dots JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b
+        |WHERE round(d * 1000000.0 / (sqrt(cast(na.n2 as double)) * sqrt(cast(nb.n2 as double)))) >= 300000
+        |ORDER BY vec_a, vec_b""".stripMargin),
+  )
+}
