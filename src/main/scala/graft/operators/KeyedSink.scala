@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Idempotent keyed ingestion — the Spark-native replacement for the
+  * reference's two-tier dedup: RedisBloom approximate pre-filter at the
+  * crawler (redis_utils.py:17-32, divar_crawler.py:143-150) + exact
+  * unique-index insert-if-absent at the Mongo sink
+  * (mongodb_utils.py:5-44).
+  *
+  * At 100 TB the pattern is: (1) broadcast a Bloom sketch of seen keys to
+  * cheaply drop the bulk of duplicates without a shuffle, (2) finish with
+  * an exact left-anti join (shuffle only the surviving minority), (3)
+  * append. Applying the sink twice is a no-op (S11 idempotence).
+  */
+object KeyedSink {
+
+  /** Rows of `incoming` whose key is absent from `existing` — exact
+    * dedup, skipping null keys exactly like the reference sink
+    * (mongodb_utils.py:24-26). Within-batch duplicates keep one row. */
+  def newRowsOnly(existing: DataFrame, incoming: DataFrame, key: String): DataFrame =
+    incoming
+      .filter(col(key).isNotNull)
+      .dropDuplicates(key)
+      .join(existing.select(key), Seq(key), "left_anti")
+
+  /** Insert-if-absent: existing ∪ (new rows only). Idempotent. */
+  def upsertAbsent(existing: DataFrame, incoming: DataFrame, key: String): DataFrame =
+    existing.unionByName(newRowsOnly(existing, incoming, key))
+
+  /** ST3: build the Bloom sketch of seen keys (the reference's daily
+    * Mongo→RedisBloom rebuild, mongo_to_bf_dag.py:38-106; same defaults:
+    * 1e6 capacity, 5% FPR). */
+  def buildBloom(existing: DataFrame, key: String,
+                 expectedItems: Long = 1000000L, fpp: Double = 0.05): BloomFilter =
+    existing.filter(col(key).isNotNull)
+      .stat.bloomFilter(key, expectedItems, fpp)
+
+  /** Approximate pre-filter: drop rows whose key the sketch has
+    * definitely not seen ... keep "mightContain" rows for the exact
+    * check. Returns (definitelyNew, needExactCheck) — the reference's
+    * new/duplicate partition split (redis_utils.py:27-28) in one pass.
+    */
+  def bloomSplit(incoming: DataFrame, key: String, bloom: BloomFilter)
+      : (DataFrame, DataFrame) = {
+    val spark = incoming.sparkSession
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: String) => k != null && bc.value.mightContainString(k))
+    val flagged = incoming.withColumn("__seen", mightContain(col(key).cast("string")))
+    (flagged.filter(!col("__seen")).drop("__seen"),
+     flagged.filter(col("__seen")).drop("__seen"))
+  }
+
+  /** Full two-tier pipeline: Bloom pre-filter + exact anti-join on the
+    * survivors only (the minority), then union — the scale-correct
+    * version of crawler-check + sink-check. */
+  def dedupTwoTier(existing: DataFrame, incoming: DataFrame, key: String,
+                   bloom: BloomFilter): DataFrame = {
+    val pruned = incoming.filter(col(key).isNotNull).dropDuplicates(key)
+    val (fresh, suspect) = bloomSplit(pruned, key, bloom)
+    // Bloom false positives make `suspect` over-approximate; the exact
+    // anti-join keeps correctness. `fresh` needs no shuffle at all.
+    fresh.unionByName(suspect.join(existing.select(key), Seq(key), "left_anti"))
+  }
+
+  /** P10: delete-by-predicate as a filtered overwrite
+    * (del_unuse_record_in_mrestate.py:17-19). */
+  def deleteWhere(table: DataFrame, predicate: org.apache.spark.sql.Column): DataFrame =
+    table.filter(!coalesce(predicate, lit(false)))
+}

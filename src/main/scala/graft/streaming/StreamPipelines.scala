@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.operators.KeyedSink
+
+/** Structured-Streaming equivalents of the reference's queue-driven
+  * ingestion (SURVEY.md §2.8): the RabbitMQ micro-batch sensor becomes a
+  * rate-limited streaming source, Bloom+unique-index dedup becomes
+  * stateful dropDuplicates + an idempotent foreachBatch merge, and the
+  * −1 h watermark overlap becomes withWatermark + MERGE re-emit.
+  */
+object StreamPipelines {
+
+  /** ST2: exactly-once-ish keyed dedup — stateful dropDuplicates on the
+    * key within the watermark horizon
+    * (crawler_dag_factory.py:37-49 + mongodb_utils.py:21-37). */
+  def dedupStream(stream: DataFrame, key: String, tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    stream
+      .filter(col(key).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(key)
+
+  /** ST1/ST5: micro-batch writer with the reference's drain cadence
+    * (≤ batch-size per trigger ≙ fetcher_dag_factory.py:77-79). The sink
+    * function receives (batchDf, batchId) and must be idempotent — the
+    * at-least-once contract of the durable queue. */
+  def microBatchWriter(deduped: DataFrame,
+                       sink: (DataFrame, Long) => Unit,
+                       triggerMs: Long = 1000L): DataStreamWriter[Row] =
+    deduped.writeStream
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (df: DataFrame, id: Long) => sink(df, id) }
+
+  /** ST4: idempotent keyed merge for foreachBatch — late/overlapping
+    * re-emits (the incremental query refetches a 1 h overlap,
+    * sql_search_incremental_dag.py:118-140) collapse into no-ops.
+    * `stateGet`/`statePut` abstract the target table so tests can use an
+    * in-memory map and production can use a transactional table format.
+    */
+  def idempotentMerge(stateGet: () => DataFrame, statePut: DataFrame => Unit,
+                      key: String)(batch: DataFrame, batchId: Long): Unit = {
+    val merged = KeyedSink.upsertAbsent(stateGet(), batch, key)
+    statePut(merged)
+  }
+}

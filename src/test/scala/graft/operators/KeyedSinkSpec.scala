@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Idempotent keyed sink semantics (S11/J7/J8): null keys skipped,
+  * within-batch dups collapsed, applying twice = applying once, and the
+  * Bloom two-tier path equals the exact path. */
+class KeyedSinkSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val existing = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+  private lazy val incoming =
+    Seq(("b", 20), ("c", 30), (null.asInstanceOf[String], 40), ("c", 31))
+      .toDF("k", "v")
+
+  test("newRowsOnly: skips nulls, drops seen keys, collapses batch dups") {
+    val fresh = KeyedSink.newRowsOnly(existing, incoming, "k")
+    assert(fresh.select("k").as[String].collect().toSeq === Seq("c"))
+  }
+
+  test("upsertAbsent is idempotent (sink applied twice = once)") {
+    val once = KeyedSink.upsertAbsent(existing, incoming, "k")
+    val twice = KeyedSink.upsertAbsent(once, incoming, "k")
+    assert(once.count() === 3)
+    assert(twice.count() === 3)
+    assert(twice.select("k").as[String].collect().sorted.toSeq === Seq("a", "b", "c"))
+  }
+
+  test("two-tier Bloom pre-filter + exact check equals exact dedup") {
+    val bloom = KeyedSink.buildBloom(existing, "k", expectedItems = 100, fpp = 0.01)
+    val viaBloom = KeyedSink.dedupTwoTier(existing, incoming, "k", bloom)
+      .select("k").as[String].collect().sorted.toSeq
+    assert(viaBloom === Seq("c"))
+    // definitely-new side never consults the exact set
+    val (fresh, suspect) = KeyedSink.bloomSplit(
+      incoming.filter(col("k").isNotNull).dropDuplicates("k"), "k", bloom)
+    assert(suspect.select("k").as[String].collect().toSet.contains("b"))
+    assert((fresh.count() + suspect.count()) === 2)
+  }
+
+  test("deleteWhere: predicate delete incl. null-safe semantics (P10)") {
+    val tbl = Seq(("x", Some(1)), ("y", None), ("z", Some(3))).toDF("k", "v")
+    val kept = KeyedSink.deleteWhere(tbl, col("v") > 2)
+    // null predicate rows are kept (delete only where predicate is TRUE)
+    assert(kept.select("k").as[String].collect().sorted.toSeq === Seq("x", "y"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** ST2/ST4/ST5: streaming dedup state + idempotent merge, driven by
+  * MemoryStream micro-batches (SURVEY.md §5 strategy #5). */
+class StreamPipelinesSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dedupStream drops re-sent keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val deduped = StreamPipelines.dedupStream(
+      mem.toDF().toDF("content_url", "ts"), "content_url", "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(("u1", ts("2025-01-01 10:00:00")), ("u2", ts("2025-01-01 10:00:10")))
+      q.processAllAvailable()
+      // u1 re-sent in a later batch within the watermark → dropped
+      mem.addData(("u1", ts("2025-01-01 10:01:00")), ("u3", ts("2025-01-01 10:01:30")))
+      q.processAllAvailable()
+      val urls = spark.table("dedup_out").select("content_url")
+        .as[String].collect().sorted.toSeq
+      assert(urls === Seq("u1", "u2", "u3"))
+    } finally q.stop()
+  }
+
+  test("idempotentMerge: overlapping re-emits collapse into no-ops (ST4)") {
+    var state: DataFrame = Seq(("u1", "v1")).toDF("content_url", "payload")
+    val merge = StreamPipelines.idempotentMerge(
+      () => state, s => state = s, "content_url") _
+    val batch1 = Seq(("u2", "v2"), ("u1", "v1-dup")).toDF("content_url", "payload")
+    merge(batch1, 0L)
+    merge(batch1, 1L) // at-least-once redelivery of the same batch
+    assert(state.count() === 2)
+    assert(state.orderBy("content_url").as[(String, String)].collect().toSeq ===
+      Seq(("u1", "v1"), ("u2", "v2"))) // first write wins, like DuplicateKeyError→skip
+  }
+
+  test("microBatchWriter drains through the sink with batch ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    var seen = Vector.empty[(Long, Long)] // (batchId, rowCount)
+    val deduped = StreamPipelines.dedupStream(
+      mem.toDF().toDF("content_url", "ts"), "content_url", "ts")
+    val q = StreamPipelines.microBatchWriter(deduped,
+      (df, id) => seen = seen :+ (id, df.count()), triggerMs = 0L)
+      .queryName("mb_out").start()
+    try {
+      mem.addData(("a", ts("2025-01-01 00:00:00")), ("b", ts("2025-01-01 00:00:01")))
+      q.processAllAvailable()
+      assert(seen.map(_._2).sum === 2)
+    } finally q.stop()
+  }
+}
