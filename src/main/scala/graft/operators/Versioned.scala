@@ -1,0 +1,138 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned dataset storage + ops parity (SURVEY.md §2.1 S13/S14, §2.5
+  * O3, §5 inline guards) — the Spark-side equivalent of the reference's
+  * MinIO last-data/old-data swap (price_prediction_data_pipeline.py:
+  * 140-177,228-263) and mongodump backup/restore/validate/retention
+  * (utils_of_backup.py:43-164), expressed as immutable versioned parquet
+  * directories: a write creates `v=<n>`, "current" is the max n, rollback
+  * is a version pin, retention drops the oldest. On a transactional table
+  * format the same API maps onto time travel/RESTORE.
+  */
+object Versioned {
+
+  private def versionDirs(root: String): Seq[(Long, Path)] = {
+    val p = Paths.get(root)
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val it = Files.list(p).iterator()
+      var acc = List.empty[(Long, Path)]
+      while (it.hasNext) {
+        val d = it.next()
+        val n = d.getFileName.toString
+        if (n.startsWith("v=")) acc ::= (n.drop(2).toLong, d)
+      }
+      acc.sortBy(_._1)
+    }
+  }
+
+  def latestVersion(root: String): Option[Long] = versionDirs(root).lastOption.map(_._1)
+
+  /** S13 load: write the next version (old data stays addressable — the
+    * copy-to-old-data step becomes a no-op). */
+  def writeNext(df: DataFrame, root: String): Long = {
+    val next = latestVersion(root).map(_ + 1).getOrElse(0L)
+    df.write.mode("overwrite").parquet(s"$root/v=$next")
+    next
+  }
+
+  /** Read the current (or a pinned) version. */
+  def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(root))
+      .getOrElse(throw new IllegalStateException(s"no versions under $root"))
+    spark.read.parquet(s"$root/v=$v")
+  }
+
+  /** S13 rollback: drop the newest version so the previous one is current
+    * again (the old-data→last-data restore path). */
+  def rollback(root: String): Option[Long] = {
+    val dirs = versionDirs(root)
+    dirs.lastOption.foreach { case (_, p) => deleteRecursively(p) }
+    versionDirs(root).lastOption.map(_._1)
+  }
+
+  /** O3/S14 retention: keep the newest `keep` versions
+    * (utils_of_backup.py:155-164 keeps 3 dated backups). */
+  def applyRetention(root: String, keep: Int = 3): Seq[Long] = {
+    val dirs = versionDirs(root)
+    dirs.dropRight(keep).foreach { case (_, p) => deleteRecursively(p) }
+    versionDirs(root).map(_._1)
+  }
+
+  /** S14 validation: restored/current data is structurally equal to the
+    * source — same columns, non-empty, same row count
+    * (utils_of_backup.py:105-141's collection-set + nonemptiness check). */
+  def validateAgainst(current: DataFrame, source: DataFrame): Seq[String] = {
+    val problems = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = current.columns.toSet
+    val src = source.columns.toSet
+    if (cur != src)
+      problems += s"column sets differ: missing=${src -- cur}, extra=${cur -- src}"
+    val n = current.count()
+    if (n == 0) problems += "current version is empty"
+    else {
+      val m = source.count()
+      if (n != m) problems += s"row counts differ: current=$n source=$m"
+    }
+    problems.toSeq
+  }
+
+  /** §5 guard: per-column NaN/null audit before write
+    * (map_divar_data_to_delta.py:157-176's pre-write NaN raise). */
+  def nullAudit(df: DataFrame, cols: Seq[String]): Map[String, Long] = {
+    val aggs = cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.map(c => c -> row.getAs[Long](c)).filter(_._2 > 0).toMap
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+}
+
+/** The price-prediction data feed (SURVEY.md §3.3;
+  * price_prediction_data_pipeline.py:46-138): schema-driven column
+  * exclusion, category filter, sentinel patch, versioned load with
+  * empty-result guard.
+  */
+object PricePredictionFeed {
+
+  /** Reference exclusion list (price_prediction_data_pipeline.py:57-64). */
+  val defaultExcluded: Seq[String] =
+    Seq("_id", "created_at", "post_token", "content_url", "images")
+
+  /** extract+transform: drop excluded → filter cat3 → patch
+    * construction_year −1370→1369 (P8/P11/F28). */
+  def prepare(listings: DataFrame,
+              excluded: Seq[String] = defaultExcluded,
+              cat3: String = "apartment-sell"): DataFrame = {
+    val present = excluded.filter(listings.columns.contains)
+    listings
+      .drop(present: _*)
+      .filter(col("cat3_slug") === cat3)
+      .withColumn("construction_year",
+        when(col("construction_year") === -1370, 1369)
+          .otherwise(col("construction_year")))
+  }
+
+  /** load with the reference's guards: fail on empty transform output
+    * (price_prediction_data_pipeline.py:135-138), validate after write
+    * (:179-195). */
+  def loadVersioned(prepared: DataFrame, root: String): Long = {
+    if (prepared.isEmpty)
+      throw new IllegalStateException("no rows after transform — aborting load")
+    val v = Versioned.writeNext(prepared, root)
+    val written = Versioned.read(prepared.sparkSession, root, Some(v))
+    if (written.isEmpty) {
+      Versioned.rollback(root)
+      throw new IllegalStateException("written version is empty — rolled back")
+    }
+    v
+  }
+}

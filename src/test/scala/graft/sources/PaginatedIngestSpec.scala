@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** O22 early-stop pagination policy (driver-side by design). */
+class PaginatedIngestSpec extends AnyFunSuite {
+  import PaginatedIngest._
+
+  private def pages(p: Map[Int, Seq[String]]): Int => Seq[String] =
+    i => p.getOrElse(i, Seq.empty)
+
+  test("stops when duplicate ratio crosses the threshold (divar ≥ 0.5)") {
+    val fetch = pages(Map(
+      1 -> Seq("a", "b", "c", "d"),        // all fresh
+      2 -> Seq("a", "b", "e", "f"),        // 0.5 dup → stop AFTER collecting
+      3 -> Seq("x", "y")))                 // never fetched
+    // nothing externally seen → all 3 pages crawled; page-2 repeats of
+    // a/b are within-run dups (dropped from output, not counted in ratio)
+    val (urls, stats) = crawl(fetch, Set("z"), Config(maxPages = 50, dupRatioStop = 0.5))
+    assert(urls === Seq("a", "b", "c", "d", "e", "f", "x", "y"))
+    // seen {a,b}: page 1 is 50% dup → stop after it, keeping its fresh URLs
+    val (urls2, stats2) = crawl(fetch, Set("a", "b"), Config(maxPages = 50, dupRatioStop = 0.5))
+    assert(urls2 === Seq("c", "d"))
+    assert(stats2.stoppedEarly)
+    assert(stats2.pagesFetched === 1)
+  }
+
+  test("respects the page cap (max_pages)") {
+    val fetch = (i: Int) => Seq(s"u$i")
+    val (urls, stats) = crawl(fetch, _ => false, Config(maxPages = 10, dupRatioStop = 0.9))
+    assert(urls.size === 10)
+    assert(!stats.stoppedEarly)
+  }
+
+  test("empty page terminates the scan") {
+    val fetch = pages(Map(1 -> Seq("a"), 2 -> Seq.empty))
+    val (urls, stats) = crawl(fetch, _ => false)
+    assert(urls === Seq("a"))
+    assert(stats.pagesFetched === 2 && !stats.stoppedEarly)
+  }
+
+  test("Bloom-backed seen probe composes (J7 plumbing)") {
+    val spark = graft.SparkTestSession.get
+    import spark.implicits._
+    val existing = Seq("a", "b").toDF("k")
+    val bloom = graft.operators.KeyedSink.buildBloom(existing, "k", 100, 0.01)
+    val fetch = pages(Map(1 -> Seq("a", "b", "c")))
+    val (urls, stats) = crawl(fetch, u => bloom.mightContainString(u),
+      Config(maxPages = 5, dupRatioStop = 0.5))
+    assert(urls === Seq("c"))
+    assert(stats.stoppedEarly) // 2/3 dup ≥ 0.5
+  }
+}
