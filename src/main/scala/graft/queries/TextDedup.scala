@@ -151,20 +151,33 @@ object TextDedup {
   /** t28: MinHash-LSH candidate pairs — band the 8-hash signature into
     * two bands of 4 and equi-join on band value (the 100 TB-scale dedup
     * plan: candidates come from a shuffle on band keys, never O(n²)). */
+  /** All ordered pairs from a bucket's sorted member list. */
+  private val bucketPairsUdf = udf((ds: Seq[Long]) => {
+    val out = Seq.newBuilder[(Long, Long)]
+    var i = 0
+    while (i < ds.length - 1) {
+      var j = i + 1
+      while (j < ds.length) { out += ((ds(i), ds(j))); j += 1 }
+      i += 1
+    }
+    out.result()
+  })
+
   def t28MinhashBandPairs(s: SparkSession, dir: String): DataFrame = {
-    // melt the signature into (band_idx, band_val) rows and equi-join on
-    // both — one join instead of one-per-band, and the signature subtree
-    // appears twice (join sides) instead of 2×bands; Spark's exchange
-    // reuse collapses identical sides at runtime.
+    // melt the signature into (band_idx, band_val) rows, then generate
+    // candidate pairs inside each band bucket — one pass over the
+    // signatures (no self-join recomputing the subtree), one shuffle on
+    // the band key. Candidate cardinality is identical to a band
+    // self-join; hot buckets are an LSH-parameter concern either way.
     val bands = t27MinhashSigs(s, dir)
       .select(col("doc_id"), expr(
         "stack(2, 1, concat(h0, h1, h2, h3), 2, concat(h4, h5, h6, h7)) " +
         "as (band_idx, band_val)"))
-    bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_val") === col("b.band_val") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    bands.groupBy("band_idx", "band_val")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(bucketPairsUdf(col("ds"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
       .distinct().orderBy("doc_a", "doc_b")
   }
 

@@ -25,12 +25,14 @@ import graft.Tables
 object Vectors {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Quantize array<float> → array<bigint> of round(x*1e6) (exact). */
-  private def quant(c: Column): Column =
-    transform(c, x => round(x.cast(DoubleType) * 1000000.0).cast(LongType))
+  /** Quantize array<float> → array<bigint> of round(x*1e6) (exact) —
+    * native codegen'd expression (graft.plans.VectorExpressions); the
+    * transform/zip_with/aggregate HOF formulation is semantically
+    * identical but runs interpreted and dominated ANN query time. */
+  private def quant(c: Column): Column = graft.plans.VectorExpressions.quantize_e6(c)
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.plans.VectorExpressions.dot_long(a, b)
 
   private def qEmb(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
