@@ -40,7 +40,17 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
 
   test("bucketed layout joins without an exchange on the bucket key") {
     // default warehouse dir (./spark-warehouse, gitignored) — the
-    // warehouse location is a static conf and cannot move at runtime
+    // warehouse location is a static conf and cannot move at runtime.
+    // Clear leftovers from previous JVMs (the in-memory catalog forgets
+    // them but their directories survive).
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     val dir = "/root/testdata/sf0.001"
     Scale.writeBucketed(Tables.orders(spark, dir), "b_orders", "o_orderkey", 4)
     Scale.writeBucketed(
