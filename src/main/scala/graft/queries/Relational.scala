@@ -252,7 +252,20 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q43: batch equivalent of the ST6 tumbling event-time window — 5-min
+    * windows computed in exact epoch-nanos arithmetic (window_start =
+    * ts − ts mod 300e9), the same bucketing StreamPipelines.windowedCounts
+    * produces on a stream. */
+  def q43EventWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy((col("ts") - col("ts") % 300000000000L).as("window_start_ns"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"), sumCents(col("value")).as("sum_value_c100"))
+      .filter(col("n") > 1)
+      .orderBy("window_start_ns", "event_type")
+
   val queries: Map[String, Q] = Map(
+    "q43_event_windows" -> (q43EventWindows _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_monthly_shipped" -> (q2MonthlyShipped _),
     "q3_in_list" -> (q3InList _),
@@ -276,6 +289,12 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q43_event_windows" ->
+      """SELECT epoch_ns(ts) - epoch_ns(ts) % 300000000000 AS window_start_ns,
+        | event_type, cast(count(*) as bigint) AS n,
+        | cast(sum(cast(round(value*100) as bigint)) as bigint) AS sum_value_c100
+        |FROM events GROUP BY 1, 2 HAVING count(*) > 1
+        |ORDER BY 1, 2""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | cast(sum(cast(round(l_quantity*100) as bigint)) as bigint) AS sum_qty_c100,
