@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Coercions, PersianText, RelativeDates}
+import graft.operators.{KeyedSink, SearchIndex}
+
+/** Property-style totality and round-trip checks (SURVEY §5.4):
+  * generated inputs are batched into one DataFrame per property so each
+  * property is a single Spark job, not one per sample.
+  */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int = 300): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val garbageString: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr,
+    Gen.listOf(Gen.oneOf("۰۱۲۳۴۵۶۷۸۹ روز پیش ماه هفته توافقی میلیارد .+-".toSeq))
+      .map(_.mkString),
+    Gen.const(""), Gen.const("   "),
+    Gen.numStr, Gen.const("12.7"), Gen.const("+-12"), Gen.const("1e308"))
+
+  test("coercions are total: never throw, typed results on arbitrary strings") {
+    val in = samples(garbageString).toDF("s")
+    val out = in.select(
+      Coercions.safeInt(col("s")).as("si"),
+      PersianText.toDoubleOrNull(col("s")).as("d"),
+      PersianText.toLongOrNull(col("s")).as("l"),
+      PersianText.parseTomanAmount(col("s")).as("toman"),
+      PersianText.normalizePropertyType(col("s")).as("pt"),
+      PersianText.toSlug(col("s")).as("slug")).collect()
+    assert(out.length === samples(garbageString).length)
+    assert(out.forall(!_.isNullAt(0))) // safeInt always defaults
+  }
+
+  test("relative dates are total and never in the future of ref") {
+    val refStr = "2025-10-21 12:00:00"
+    val in = samples(garbageString).toDF("s")
+    val out = in.select(
+      RelativeDates.textToDateDivar(col("s"), to_timestamp(lit(refStr))).as("d"),
+      RelativeDates.textToDateSheypoor(col("s"), to_timestamp(lit(refStr))).as("sh"))
+      .collect()
+    val ref = java.sql.Timestamp.valueOf(refStr)
+    out.foreach { r =>
+      assert(!r.isNullAt(0))
+      assert(!r.getTimestamp(0).after(ref)) // relative dates only look back
+      assert(!r.getTimestamp(1).after(ref))
+    }
+  }
+
+  test("pivot ∘ melt is the identity on non-null wide rows") {
+    val gen = for {
+      id <- Gen.choose(1L, 1000000L)
+      meter <- Gen.choose(1, 999)
+      rooms <- Gen.choose(0, 9)
+    } yield (id, meter.toString, rooms.toString)
+    val wide = samples(gen, 200).distinctBy(_._1).toDF("DepositId", "meter", "rooms")
+    val melted = SearchIndex.eavMelt(wide, "DepositId",
+      Seq("meter" -> 1224, "rooms" -> 1143))
+    val repivoted = SearchIndex.pivotCustomFields(
+      melted, Seq((0, "")).toDF("Id", "Value"))
+      .select(col("DepositId"), col("meter"), col("rooms"))
+    val want = wide.orderBy("DepositId").collect().map(_.toSeq).toSeq
+    val got = repivoted.orderBy("DepositId").collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
+  test("keyed sink is idempotent under random duplicate-heavy batches") {
+    val gen = for {
+      k <- Gen.oneOf((1 to 40).map(i => s"k$i") :+ null)
+      v <- Gen.choose(0, 1000)
+    } yield (k, v)
+    val batch = samples(gen, 400).toDF("k", "v")
+    val existing = batch.limit(50).filter(col("k").isNotNull).dropDuplicates("k")
+    val once = KeyedSink.upsertAbsent(existing, batch, "k")
+    val twice = KeyedSink.upsertAbsent(once, batch, "k")
+    assert(once.count() === twice.count())
+    // every key appears exactly once and no null keys survive
+    val keyCounts = twice.groupBy("k").count().collect()
+    assert(keyCounts.forall(r => r.getLong(1) == 1L && !r.isNullAt(0)))
+  }
+
+  test("two-tier Bloom dedup equals exact dedup for random data") {
+    val gen = Gen.oneOf((1 to 60).map(i => s"u$i"))
+    val existing = samples(gen, 80).distinct.toDF("k")
+    val incoming = samples(gen, 200).toDF("k")
+    val bloom = KeyedSink.buildBloom(existing, "k", 1000, 0.01)
+    val exact = KeyedSink.newRowsOnly(existing, incoming, "k")
+      .as[String].collect().sorted.toSeq
+    val tiered = KeyedSink.dedupTwoTier(existing, incoming, "k", bloom)
+      .as[String].collect().sorted.toSeq
+    assert(tiered === exact)
+  }
+}
