@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TemporalJoin
+
+/** As-of join under the oracle gate: every purchase event picks up the
+  * user's latest signup state at-or-before the purchase time. The
+  * DuckDB oracle uses its native ASOF JOIN; the Spark side runs the
+  * union+window implementation — a pass certifies the semantics match
+  * the reference operator definition exactly (inclusive >=, per-key,
+  * nulls when no prior state).
+  */
+object Temporal {
+  type Q = (SparkSession, String) => DataFrame
+
+  def q44AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("snap_ts"),
+        col("value").as("snap_value"))
+    TemporalJoin.asOfJoin(purchases, signups, Seq("user_id"), "ts", "snap_ts")
+      // DuckDB's TIMESTAMP is µs — emit µs so raw times are comparable
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"),
+        expr("snap_ts_matched div 1000").as("snap_ts_us"),
+        col("snap_value"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Q] = Map("q44_asof_join" -> (q44AsofJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q44_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) ts, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |snap AS (SELECT user_id, epoch_ns(ts) snap_ts, value snap_value
+        |         FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id,
+        |       p.ts // 1000 AS ts_us,
+        |       s.snap_ts // 1000 AS snap_ts_us, s.snap_value
+        |FROM p ASOF LEFT JOIN snap s
+        |  ON p.user_id = s.user_id AND p.ts >= s.snap_ts
+        |ORDER BY p.event_id""".stripMargin)
+}

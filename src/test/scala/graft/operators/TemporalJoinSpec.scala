@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** As-of join semantics: inclusive match, per-key isolation, no-prior
+  * nulls, tolerance window, and ties at equal timestamps. */
+class TemporalJoinSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val left = Seq(
+    ("k1", 10L, "L10"), ("k1", 20L, "L20"), ("k2", 5L, "L5"), ("k3", 7L, "L7"))
+    .toDF("k", "t", "payload")
+  private lazy val right = Seq(
+    ("k1", 8L, "R8"), ("k1", 15L, "R15"), ("k1", 20L, "R20"), ("k4", 1L, "R1"))
+    .toDF("k", "rt", "state")
+
+  private lazy val out = TemporalJoin.asOfJoin(left, right, Seq("k"), "t", "rt")
+    .orderBy("k", "t").collect()
+
+  test("latest at-or-before match per key, inclusive at equal time") {
+    assert(out.map(r => (r.getAs[String]("k"), r.getAs[Long]("t"),
+      r.getAs[String]("state"))).toSeq === Seq(
+      ("k1", 10L, "R8"),
+      ("k1", 20L, "R20"),   // equal timestamp matches (inclusive >=)
+      ("k2", 5L, null),     // key with no right rows
+      ("k3", 7L, null)))
+  }
+
+  test("matched right time surfaces; left payload preserved") {
+    val r0 = out(0)
+    assert(r0.getAs[Long]("rt_matched") === 8L)
+    assert(r0.getAs[String]("payload") === "L10")
+  }
+
+  test("tolerance nulls out stale matches") {
+    val tight = TemporalJoin.asOfJoin(left, right, Seq("k"), "t", "rt",
+      toleranceNs = Some(1L)).orderBy("k", "t").collect()
+    // k1@10 matched R8 at distance 2 > 1 → nulled; k1@20 matched R20 at 0 → kept
+    assert(tight(0).isNullAt(tight(0).fieldIndex("state")))
+    assert(tight(1).getAs[String]("state") === "R20")
+  }
+
+  test("right-only keys never appear (left join shape)") {
+    assert(!out.exists(_.getAs[String]("k") == "k4"))
+    assert(out.length === 4)
+  }
+}
