@@ -145,8 +145,8 @@ object KilidTransform {
     val deed = doc.selectOne("div", "inline-flex", "items-center", "bg-gray-50")
       .flatMap(n => normalizeDeed(n.text)).orNull
 
-    // feature chips
-    val features = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // feature chips (reference: raw_features dict; insertion-ordered)
+    val chipFeatures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var parking: Option[Boolean] = None
     var parkingSeen = false
     doc.select("div", "group", "flex", "items-center", "justify-center").foreach { d =>
@@ -163,19 +163,22 @@ object KilidTransform {
           val key = cleanText(keySpan.text)
           val value = toEnDigits(cleanText(d.text.replaceFirst(
             java.util.regex.Pattern.quote(key), "").trim))
-          features(key) = value
+          chipFeatures(key) = value
         }
       }
     }
-    // additional-details grid
+    // additional-details grid (reference: raw_additional dict — a SEPARATE
+    // dict iterated after raw_features, so its writes win)
+    val addlFeatures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     doc.select("div", "grid", "grid-cols-2").foreach { container =>
       container.select("div", "flex", "justify-start", "gap-2").foreach { d =>
         for {
           k <- d.selectOne("span", "text-gray-600")
           v <- d.selectOne("span", "font-semiBold")
-        } features(cleanText(k.text.replace(":", ""))) = toEnDigits(cleanText(v.text))
+        } addlFeatures(cleanText(k.text.replace(":", ""))) = toEnDigits(cleanText(v.text))
       }
     }
+    val features = chipFeatures ++ addlFeatures
 
     val description = doc.select("div", "transition-all", "duration-300")
       .headOption.map(n => cleanText(n.text)).orNull
@@ -242,8 +245,17 @@ object KilidTransform {
       price_total = priceTotal,
       credit_value = creditValue,
       rent_value = rentValue,
-      deed_type = features.get("سند").orElse(features.get("نوع سند"))
-        .map(v => normalizeDeed(v).orNull).getOrElse(deed),
+      // map_feature stores the RAW cleaned digit-translated chip value
+      // un-normalized (kilid_transformer.py:176-177 overwrites the
+      // normalized doc_div default), last-writer-wins in dict-iteration
+      // order: last deed key of raw_additional, else last of raw_features,
+      // else the normalized doc_div fallback. E.g. chip 'قولنامه' stays
+      // 'قولنامه' — only the doc_div path yields 'قولنامه ای'.
+      deed_type = Seq(chipFeatures, addlFeatures)
+        .flatMap(_.iterator.collect {
+          case (k, v) if k == "سند" || k == "نوع سند" => v
+        })
+        .lastOption.getOrElse(deed),
       description = description,
       user_type = userType,
       building_size = buildingSize,

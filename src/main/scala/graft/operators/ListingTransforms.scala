@@ -258,10 +258,13 @@ object ListingTransforms {
 
     // fallback branch (no RENT_SLIDER): cleaned "ودیعه"/"اجارهٔ ماهانه"
     // rows then webengage; reference cleans RLM + Persian comma + " تومان"
-    // and requires digits-and-dots.
+    // then gates on `cleaned.replace(".","").isdigit()` before float()
+    // (divar_transformer.py:232-239). Python's isdigit()/float() accept
+    // Persian digits, so translate them first.
     def cleanedMoney(c: Column): Column = {
-      val cleaned = trim(regexp_replace(regexp_replace(c, "[‏،]", ""), " تومان", ""))
-      when(cleaned.rlike("^\\d[\\d.]*$"), cleaned.try_cast(DoubleType))
+      val en = PersianText.persianToEnglishDigits(c)
+      val cleaned = trim(regexp_replace(regexp_replace(en, "[‏،]", ""), " تومان", ""))
+      when(regexp_replace(cleaned, "\\.", "").rlike("^\\d+$"), cleaned.try_cast(DoubleType))
     }
     val fbCredit = coalesce(
       when(creditRow.isNotNull, cleanedMoney(creditRow)),
@@ -675,8 +678,11 @@ object ListingTransforms {
     val firstWord = trim(get(split(name, " "), lit(0)))
     val cat2 = when(firstWord.isin("خرید", "اجاره"), firstWord)
     val rest = trim(name.substr(length(firstWord) + 1, length(name)))
-    // startswith against the candidate list, reference order (longer
-    // "آپارتمان اداری" checked before "آپارتمان" to keep prefix semantics)
+    // startswith against the candidate list in reference order: plain
+    // "آپارتمان" is listed BEFORE "آپارتمان اداری", so the shorter prefix
+    // intentionally wins — exactly like the reference's first-
+    // startswith-match loop (mrestate_transformer.py:39-43). Do not
+    // "fix" by sorting longest-first; that would break parity.
     val cat3 = coalesce(mrestateCat3.map(c => when(rest.startsWith(c), lit(c))): _*)
 
     val userType =

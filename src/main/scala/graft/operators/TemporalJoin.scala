@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of (point-in-time) left join — the temporal operator a
   * training-data pipeline needs for leak-free feature joins (each fact
@@ -13,7 +14,7 @@ import org.apache.spark.sql.functions._
   * Implementation is the scale-correct union+window pattern (SURVEY
   * custom-operator ladder step (a): composed from built-ins): tag both
   * sides, union, ONE shuffle on the key, per-partition sort by (time,
-  * side), carry the latest right-side values forward with
+  * side), carry the latest right-side row forward with
   * last(ignoreNulls). O(n log n) per key group, no range join, no
   * per-row probes — this survives 100 TB where a theta-join would not.
   */
@@ -25,6 +26,12 @@ object TemporalJoin {
     * older than `toleranceNs`, if set). `rightTime` is emitted as
     * `<rightTimeCol>_matched`.
     *
+    * The matched right row is carried as ONE struct with a single
+    * last(ignoreNulls=true): null right-side VALUES inside the matched
+    * row are preserved (a null in one value column must not resurrect a
+    * stale non-null from an older right row — true as-of semantics,
+    * matching DuckDB ASOF JOIN).
+    *
     * Time columns must be mutually comparable and totally ordered
     * (epoch numbers or timestamps).
     */
@@ -34,21 +41,23 @@ object TemporalJoin {
     val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftTime)
     val rightCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
 
+    // the whole right row (match time + values) travels as one struct
+    val rFields = rightTime +: rightCols
+    val rStructType = StructType(rFields.map(c => StructField(c, right.schema(c).dataType)))
+
     val taggedLeft = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-      .withColumn(s"__rt", lit(null).cast(right.schema(rightTime).dataType))
-      .select(keys.map(col) ++ Seq(col("__t"), col("__side"), col("__rt")) ++
-        leftCols.map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+      .withColumn("__r", lit(null).cast(rStructType))
+      .select(keys.map(col) ++ Seq(col("__t"), col("__side"), col("__r")) ++
+        leftCols.map(col): _*)
 
     val taggedRight = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
-      .withColumn("__rt", col(rightTime))
-      .select(keys.map(col) ++ Seq(col("__t"), col("__side"), col("__rt")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+      .withColumn("__r", struct(rFields.map(col): _*))
+      .select(keys.map(col) ++ Seq(col("__t"), col("__side"), col("__r")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     // at equal times the right row sorts first (side 0) so the left row
     // sees it — inclusive `>=` as-of semantics, matching ASOF JOIN
@@ -57,23 +66,21 @@ object TemporalJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = taggedLeft.unionByName(taggedRight)
-      .withColumn("__m_rt", last(col("__rt"), ignoreNulls = true).over(w))
-    val withVals = rightCols.foldLeft(carried) { (df, c) =>
-      df.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    val matchedRt = col("__m")(rightTime)
 
     val inTolerance = toleranceNs match {
       case Some(tol) =>
-        col("__m_rt").isNotNull &&
-          (col("__t").cast("long") - col("__m_rt").cast("long")) <= tol
-      case None => col("__m_rt").isNotNull
+        matchedRt.isNotNull &&
+          (col("__t").cast("long") - matchedRt.cast("long")) <= tol
+      case None => matchedRt.isNotNull
     }
 
-    withVals.filter(col("__side") === 1)
+    carried.filter(col("__side") === 1)
       .select(keys.map(col) ++
         Seq(col("__t").as(leftTime)) ++
         leftCols.map(col) ++
-        Seq(when(inTolerance, col("__m_rt")).as(s"${rightTime}_matched")) ++
-        rightCols.map(c => when(inTolerance, col(s"__m_$c")).as(c)): _*)
+        Seq(when(inTolerance, matchedRt).as(s"${rightTime}_matched")) ++
+        rightCols.map(c => when(inTolerance, col("__m")(c)).as(c)): _*)
   }
 }

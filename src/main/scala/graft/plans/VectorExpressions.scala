@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -24,22 +25,51 @@ object VectorExpressions {
 
   /** round(x * 1e6) per element, float/double array → long array.
     * Equivalent to transform(a, x -> cast(round(cast(x as double)*1e6)
-    * as long)) but codegen'd. */
+    * as long)) but codegen'd. Accepts array<float> and array<double>
+    * (it's SQL-registered as quantize_e6, so the element type is
+    * user-controlled); anything else is an analysis-time error, not
+    * garbage reads. Null elements pass through as null elements, like
+    * the transform() formulation. */
   case class QuantizeE6(child: Expression)
       extends UnaryExpression {
 
-    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private lazy val (elemIsDouble: Boolean, elemNullable: Boolean) =
+      child.dataType match {
+        case ArrayType(DoubleType, n) => (true, n)
+        case ArrayType(_, n)          => (false, n)
+        case _                        => (false, false)
+      }
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"quantize_e6 requires array<float> or array<double> input, got ${other.sql}")
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = elemNullable)
 
     override protected def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
-      val out = new Array[Long](n)
-      var i = 0
-      while (i < n) {
-        out(i) = Math.round(arr.getFloat(i).toDouble * 1000000.0)
-        i += 1
+      def elem(i: Int): Double =
+        if (elemIsDouble) arr.getDouble(i) else arr.getFloat(i).toDouble
+      if (!elemNullable) {
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          out(i) = Math.round(elem(i) * 1000000.0)
+          i += 1
+        }
+        new GenericArrayData(out)
+      } else {
+        val out = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          if (!arr.isNullAt(i)) out(i) = Math.round(elem(i) * 1000000.0)
+          i += 1
+        }
+        new GenericArrayData(out)
       }
-      new GenericArrayData(out)
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -47,27 +77,57 @@ object VectorExpressions {
         val n = ctx.freshName("n")
         val i = ctx.freshName("i")
         val out = ctx.freshName("out")
-        s"""
-           |final int $n = $c.numElements();
-           |final long[] $out = new long[$n];
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $out[$i] = Math.round((double) $c.getFloat($i) * 1000000.0);
-           |}
-           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-         """.stripMargin
+        val get = if (elemIsDouble) s"$c.getDouble" else s"(double) $c.getFloat"
+        if (!elemNullable)
+          s"""
+             |final int $n = $c.numElements();
+             |final long[] $out = new long[$n];
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $out[$i] = Math.round($get($i) * 1000000.0);
+             |}
+             |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           """.stripMargin
+        else
+          s"""
+             |final int $n = $c.numElements();
+             |final Object[] $out = new Object[$n];
+             |for (int $i = 0; $i < $n; $i++) {
+             |  if (!$c.isNullAt($i)) {
+             |    $out[$i] = Math.round($get($i) * 1000000.0);
+             |  }
+             |}
+             |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           """.stripMargin
       })
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
 
-  /** Exact integer dot product of two long arrays (null if lengths
-    * differ — matches zip_with's null-padding turning into a null sum). */
+  /** Exact integer dot product of two long arrays. Null if lengths
+    * differ (matches zip_with's null-padding turning into a null sum)
+    * or if any element is null (matches `null * x` / `null + x`
+    * propagation in the HOF formulation). Only array<bigint> inputs
+    * pass analysis — it's SQL-registered as dot_long, so arbitrary
+    * element types are reachable and must not be read as garbage. */
   case class DotLong(left: Expression, right: Expression)
       extends BinaryExpression {
 
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
+
+    private lazy val anyElemNullable: Boolean = (left.dataType, right.dataType) match {
+      case (ArrayType(_, l), ArrayType(_, r)) => l || r
+      case _                                  => false
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"dot_long requires two array<bigint> inputs, got ${l.sql} and ${r.sql}")
+      }
 
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
@@ -77,7 +137,14 @@ object VectorExpressions {
         var acc = 0L
         var i = 0
         val n = a.numElements()
-        while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+        if (anyElemNullable) {
+          while (i < n) {
+            if (a.isNullAt(i) || b.isNullAt(i)) return null
+            acc += a.getLong(i) * b.getLong(i); i += 1
+          }
+        } else {
+          while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+        }
         acc
       }
     }
@@ -87,16 +154,26 @@ object VectorExpressions {
         val n = ctx.freshName("n")
         val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
+        val nullGuard =
+          if (anyElemNullable)
+            s"""
+               |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+               |      ${ev.isNull} = true; break;
+               |    }
+             """.stripMargin
+          else ""
         s"""
            |if ($a.numElements() != $b.numElements()) {
            |  ${ev.isNull} = true;
            |} else {
            |  final int $n = $a.numElements();
            |  long $acc = 0L;
-           |  for (int $i = 0; $i < $n; $i++) {
+           |  for (int $i = 0; $i < $n; $i++) {$nullGuard
            |    $acc += $a.getLong($i) * $b.getLong($i);
            |  }
-           |  ${ev.value} = $acc;
+           |  if (!${ev.isNull}) {
+           |    ${ev.value} = $acc;
+           |  }
            |}
          """.stripMargin
       })

@@ -92,6 +92,41 @@ class KilidTransformSpec extends AnyFunSuite with SparkSpec {
     assert(out.getAs[String]("cat3_slug") === "RESIDENTIAL")
   }
 
+  test("deed chip stays RAW (map_feature overwrites the normalized doc_div)") {
+    // kilid_transformer.py:176-177: map_feature stores the cleaned chip
+    // value UN-normalized over the doc_div default — chip 'قولنامه' must
+    // stay 'قولنامه', not normalize to 'قولنامه ای'.
+    val chipped = html.replace(
+      "<div class=\"transition-all duration-300\">",
+      "<div class=\"group flex items-center justify-center\">" +
+        "<span class=\"text-nowrap\">سند</span> قولنامه</div>\n" +
+        "<div class=\"transition-all duration-300\">")
+    val env = Seq(("u4", "RENT", "RES", "APT", chipped))
+      .toDF("content_url", "cat1_slug", "cat2_slug", "cat3_slug", "html_content")
+    val row = KilidTransform.kilidTransform(env,
+      to_timestamp(lit("2025-10-21 12:00:00"))).collect()(0)
+    assert(row.getAs[String]("deed_type") === "قولنامه")
+  }
+
+  test("additional-details deed overrides the chip (raw_additional wins)") {
+    val chipped = html
+      .replace(
+        "<div class=\"transition-all duration-300\">",
+        "<div class=\"group flex items-center justify-center\">" +
+          "<span class=\"text-nowrap\">سند</span> قولنامه</div>\n" +
+          "<div class=\"transition-all duration-300\">")
+      .replace(
+        "<div class=\"flex justify-start gap-2\"><span class=\"text-gray-600\">طبقه:</span>",
+        "<div class=\"flex justify-start gap-2\"><span class=\"text-gray-600\">نوع سند:</span>" +
+          "<span class=\"font-semiBold\">شش دانگ</span></div>\n" +
+          "<div class=\"flex justify-start gap-2\"><span class=\"text-gray-600\">طبقه:</span>")
+    val env = Seq(("u5", "RENT", "RES", "APT", chipped))
+      .toDF("content_url", "cat1_slug", "cat2_slug", "cat3_slug", "html_content")
+    val row = KilidTransform.kilidTransform(env,
+      to_timestamp(lit("2025-10-21 12:00:00"))).collect()(0)
+    assert(row.getAs[String]("deed_type") === "شش دانگ")
+  }
+
   test("null html survives; BUY branch nulls the rent block") {
     val env = Seq(
       ("u2", "BUY", "RES", "APT", null.asInstanceOf[String]),

@@ -69,6 +69,49 @@ class ListingTransformsSpec extends AnyFunSuite with SparkSpec {
       .startsWith("2025-10-19 12:00:00"))
   }
 
+  test("divar: fallback money rows parse Persian digits (no slider)") {
+    // the common real divar payload: "ودیعه"/"اجارهٔ ماهانه" amounts in
+    // Persian digits. Python's isdigit()/float() parse them
+    // (divar_transformer.py:232-239), so they must NOT fall through to
+    // the webengage fallback (credit=999 here would betray that).
+    val rentJson =
+      """{
+        | "analytics": {"cat2": "residential-rent", "cat3": "apartment-rent", "city": "tehran"},
+        | "webengage": {"district": "vanak", "business_type": "personal",
+        |   "credit": 999, "rent": 888},
+        | "share": {"title": "اجاره"},
+        | "sections": [
+        |  {"section_name": "LIST_DATA", "widgets": [
+        |    {"widget_type": "UNEXPANDABLE_ROW", "data": {"title": "ودیعه", "value": "‏۵۰۰۰۰۰ تومان"}},
+        |    {"widget_type": "UNEXPANDABLE_ROW", "data": {"title": "اجارهٔ ماهانه", "value": "۲۵۰۰۰ تومان"}}]}
+        | ]}""".stripMargin
+    val row = ListingTransforms.divarTransform(
+      Seq(("https://divar.ir/v/rent", rentJson)).toDF("url", "raw"),
+      "raw", "url", ref).collect()(0)
+    assert(row.getAs[Double]("credit_value") === 500000.0)
+    assert(row.getAs[Double]("rent_value") === 25000.0)
+    assert(row.getAs[String]("rent_type") === "rent_credit")
+    assert(row.getAs[String]("credit_mode") === "مقطوع")
+  }
+
+  test("divar: non-numeric fallback money row falls through to webengage") {
+    val rentJson =
+      """{
+        | "analytics": {"cat2": "residential-rent", "cat3": "apartment-rent", "city": "tehran"},
+        | "webengage": {"district": "vanak", "business_type": "personal",
+        |   "credit": 7000, "rent": 0},
+        | "share": {"title": "اجاره"},
+        | "sections": [
+        |  {"section_name": "LIST_DATA", "widgets": [
+        |    {"widget_type": "UNEXPANDABLE_ROW", "data": {"title": "ودیعه", "value": "توافقی"}}]}
+        | ]}""".stripMargin
+    val row = ListingTransforms.divarTransform(
+      Seq(("https://divar.ir/v/rent2", rentJson)).toDF("url", "raw"),
+      "raw", "url", ref).collect()(0)
+    assert(row.getAs[Double]("credit_value") === 7000.0)
+    assert(row.isNullAt(row.fieldIndex("rent_value")))
+  }
+
   test("divar: price block (no slider → fallback branch)") {
     assert(divarOut.getAs[String]("price_mode") === "مقطوع")
     assert(divarOut.getAs[Long]("price_value") === 123000L)

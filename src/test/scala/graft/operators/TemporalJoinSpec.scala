@@ -47,4 +47,20 @@ class TemporalJoinSpec extends AnyFunSuite with SparkSpec {
     assert(!out.exists(_.getAs[String]("k") == "k4"))
     assert(out.length === 4)
   }
+
+  test("null value in the matched right row stays null (no stale leak)") {
+    // the matched (latest at-or-before) row has state=null but score=200;
+    // the OLDER row has state="R8". True as-of semantics (DuckDB ASOF
+    // JOIN) take the matched row wholesale — state must be null, not a
+    // resurrected "R8" from the older row.
+    val l = Seq(("k1", 20L)).toDF("k", "t")
+    val r = Seq(
+      ("k1", 8L, Option("R8"), Option(100L)),
+      ("k1", 15L, Option.empty[String], Option(200L)))
+      .toDF("k", "rt", "state", "score")
+    val row = TemporalJoin.asOfJoin(l, r, Seq("k"), "t", "rt").collect().head
+    assert(row.getAs[Long]("rt_matched") === 15L)
+    assert(row.isNullAt(row.fieldIndex("state")))
+    assert(row.getAs[Long]("score") === 200L)
+  }
 }
