@@ -1,0 +1,444 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.operators.{KilidTransform, ListingTransforms}
+
+/** Oracle gates for the remaining production site transformers — the
+  * same certification pattern as ListingGate's q51 (divar): a raw site
+  * payload is synthesized deterministically from each `documents` row,
+  * the Spark side runs the PRODUCTION transform (sheypoor / mrestate
+  * JSON navigation, kilid HTML mini-DOM extraction), and the DuckDB
+  * oracle derives the expected canonical fields directly from the source
+  * columns — an independent derivation, so a hash match certifies slug
+  * rules, relative-date parsing, price/rent/credit branch logic, digit
+  * translation, tri-state features, and breadcrumb assembly.
+  *
+  * Payloads are built with to_json(struct(...)) so quoting/escaping is
+  * structurally correct and null fields vanish (reference: absent JSON
+  * keys), exercising the transforms' null-safe deep navigation.
+  *
+  * Scale note: each gate is one narrow parquet scan + per-row expression
+  * work (from_json / one compiled-UDF DOM parse) with no shuffle until
+  * the final presentation sort — the same shape the production
+  * transforms run at (SURVEY §3.2), so it scales linearly with input
+  * splits.
+  */
+object SiteGates {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val RefTs = "2025-10-21 12:00:00"
+  private def refTime: Column = to_timestamp(lit(RefTs))
+  private def fmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  private def kv(k: String, v: Column): Column =
+    struct(lit(k).as("key"), v.as("value"))
+
+  // ------------------------------------------------------------ sheypoor
+
+  /** q52: the production sheypoor transform (F3 slugs, F15-sheypoor
+    * relative dates, price-row label branching, attribute lookups —
+    * sheypoor_transformer.py:103-231) under the DuckDB gate. */
+  def q52SheypoorTransform(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val even = pmod(col("doc_id"), lit(2)) === 0
+    val m3 = pmod(col("doc_id"), lit(3))
+
+    val label = when(m3 === 0, "رهن").when(m3 === 1, "اجاره")
+      .otherwise(lit("قیمت فروش"))
+    val amount = when(m3 === 0, format_string("%d,000 تومان", col("n_chars")))
+      .when(m3 === 1, format_string("%d00", col("n_chars")))
+      .otherwise(format_string("%d000 تومان", col("n_chars")))
+    val tp = when(even, lit("دقایقی پیش"))
+      .otherwise(format_string("%d روز پیش", pmod(col("doc_id"), lit(5)) + 1))
+    val c1 = when(even, "خرید").otherwise(lit("اجاره"))
+
+    val payload = to_json(struct(
+      struct(
+        substring(col("text"), 1, 15).as("title"),
+        format_string("%s، %s شهر", col("source"), col("lang")).as("location"),
+        tp.as("timePassedLabel"),
+        array(struct(c1.as("name")),
+              struct(lit("دفتر کار").as("name"))).as("categories"),
+        array(struct(label.as("label"), amount.as("amount"))).as("price"),
+        struct(struct(
+          format_string("https://img.sheypoor.com/%d.jpg", col("doc_id"))
+            .as("round")).as("thumbnails")).as("images")).as("attributes"),
+      array(
+        kv("متراژ", format_string("%d", col("n_chars"))),
+        kv("تعداد اتاق", format_string("%d", pmod(col("doc_id"), lit(5)))),
+        kv("آسانسور", when(even, "دارد").otherwise(lit("ندارد"))),
+        kv("نوع سند", when(even, "تجاری").otherwise(lit("شش دانگ"))),
+        kv("قابلیت تبدیل مبلغ رهن و اجاره",
+           when(even, "true").otherwise(lit("false")))).as("fullAttributes"),
+      struct((col("doc_id") + lit(0.5)).as("lat"), lit(51.5).as("lon")).as("geo"),
+      substring(col("text"), 16, 20).as("description")))
+
+    val raw = docs.select(col("doc_id").cast(StringType).as("url"),
+      payload.as("raw"))
+    ListingTransforms.sheypoorTransform(raw, "raw", "url", refTime)
+      .select(col("content_url"), col("cat2_slug"), col("cat3_slug"),
+        col("city_slug"), col("neighborhood_slug"),
+        fmt(col("created_at_month")).as("created_at_month"),
+        col("title"), col("rent_type"),
+        col("price_mode"), col("price_value"),
+        col("credit_mode"), col("credit_value"),
+        col("rent_mode"), col("rent_value"),
+        col("building_size"), col("rooms_count"),
+        col("has_elevator"), col("deed_type"), col("has_business_deed"),
+        col("rent_credit_transform"),
+        col("location_latitude"),
+        array_join(col("images"), "|").as("images_str"),
+        col("bread_crumb"))
+      .orderBy("content_url")
+  }
+
+  // ------------------------------------------------------------ mrestate
+
+  /** q53: the production mrestate transform (F35 deep next.js paths,
+    * first-startswith cat3 — incl. the 'آپارتمان اداری' prefix-parity
+    * quirk — user-type precedence, image URL prefixing, breadcrumb
+    * join — mrestate_transformer.py:28-213) under the DuckDB gate. */
+  def q53MrestateTransform(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val m3 = pmod(col("doc_id"), lit(3))
+    val m4 = pmod(col("doc_id"), lit(4))
+    val m8 = pmod(col("doc_id"), lit(8))
+
+    val bcName = when(m4 === 0, "خرید آپارتمان در تهران")
+      .when(m4 === 1, "اجاره ویلا در کرج")
+      .when(m4 === 2, "خرید آپارتمان اداری در تهران")
+      .otherwise(lit("اجاره سوله در قم"))
+
+    val nullD = lit(null).cast(DoubleType)
+    val priceSell = when(m4 === 0, (col("n_chars") * 1000000L).cast(DoubleType))
+      .otherwise(nullD)
+    val priceMortgage = when(m4 === 1, (col("n_chars") * 1000L).cast(DoubleType))
+      .otherwise(nullD)
+    val priceRent = when(m4 === 1,
+      when(m8 === 1, lit(0.0)).otherwise((col("n_chars") * 10L).cast(DoubleType)))
+      .otherwise(nullD)
+
+    val faDigits: Column => Column =
+      c => translate(c, "0123456789", "۰۱۲۳۴۵۶۷۸۹")
+
+    val payload = to_json(struct(struct(struct(
+      array(struct(lit("صفحه اصلی").as("name")),
+            struct(bcName.as("name"))).as("breadcrumb"),
+      struct(
+        col("source").as("city"),
+        col("lang").as("neighbourhood"),
+        format_string("2025-09-%02d 08:30:00", pmod(col("doc_id"), lit(28)) + 1)
+          .as("date_publish"),
+        struct(
+          when(m3 === 1, "آژانس ایکس").otherwise(lit(null).cast(StringType))
+            .as("real_estate"),
+          when(m3 === 2, "مشاور یک").otherwise(lit(null).cast(StringType))
+            .as("consultant")).as("creator_properties"),
+        (m3 === 0).as("is_owner"),
+        substring(col("text"), 16, 25).as("more_description"),
+        substring(col("text"), 1, 15).as("title"),
+        priceRent.as("price_rent"),
+        priceSell.as("price_sell"),
+        priceMortgage.as("price_mortgage"),
+        col("n_chars").cast(DoubleType).as("area"),
+        pmod(col("doc_id"), lit(5)).cast(DoubleType).as("num_bedrooms"),
+        faDigits(format_string("13%d5", pmod(col("doc_id"), lit(10))))
+          .as("year_constructed"),
+        (col("doc_id") + lit(0.5)).as("latitude"),
+        lit(51.5).as("longitude"),
+        array(
+          struct(format_string("/media/%d.jpg", col("doc_id")).as("url")),
+          struct(lit("https://cdn.mrestate.ir/x.jpg").as("url"))).as("list_image"),
+        struct(
+          faDigits(format_string("%d", pmod(col("doc_id"), lit(20)))).as("floor"),
+          (pmod(col("doc_id"), lit(2)) === 0).as("balcony"),
+          (pmod(col("n_chars"), lit(2)) === 0).as("elevator"),
+          (pmod(col("doc_id"), lit(5)) < 3).as("storeHouse"),
+          pmod(col("doc_id"), lit(3)).cast(DoubleType).as("parking"),
+          (pmod(col("n_chars"), lit(3)) === 0).as("security"),
+          (pmod(col("doc_id"), lit(7)) === 0).as("pool"),
+          (pmod(col("n_chars"), lit(5)) === 0).as("jacuzzi"),
+          (pmod(col("doc_id"), lit(2)) === 1).as("sauna")).as("more_details"))
+        .as("data")).as("data")).as("pageProps")))
+
+    val raw = docs.select(col("doc_id").cast(StringType).as("url"),
+      payload.as("raw"))
+    ListingTransforms.mrestateTransform(raw, "raw", "url", refTime)
+      .select(col("content_url"), col("cat2_slug"), col("cat3_slug"),
+        col("city_slug"), col("neighborhood_slug"),
+        fmt(col("created_at_month")).as("created_at_month"),
+        col("user_type"), col("title"), col("description"),
+        col("rent_mode"), col("rent_value"), col("rent_type"),
+        col("price_mode"), col("price_value"),
+        col("credit_mode"), col("credit_value"),
+        col("building_size"), col("rooms_count"), col("floor"),
+        col("construction_year"),
+        col("has_balcony"), col("has_elevator"), col("has_warehouse"),
+        col("has_parking"), col("has_security_guard"), col("has_pool"),
+        col("has_jacuzzi"), col("has_sauna"),
+        col("location_latitude"), col("location_longitude"),
+        array_join(col("images"), "|").as("images_str"),
+        col("bread_crumb"))
+      .orderBy("content_url")
+  }
+
+  // --------------------------------------------------------------- kilid
+
+  /** q54: the kilid fetch-envelope + HTML mini-DOM extraction end-to-end
+    * (kilid_fetcher.py:25-33 envelope; kilid_transformer.py:66-534 CSS
+    * selectors, parse_toman units, tri-state chips, deed precedence,
+    * labelled rent/credit rows) under the DuckDB gate. The HTML page is
+    * synthesized per documents row with the same markup shapes the
+    * reference's BeautifulSoup selectors target. */
+  def q54KilidTransform(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val even = pmod(col("doc_id"), lit(2)) === 0 // RENT rows; odd = BUY
+    val m3 = pmod(col("doc_id"), lit(3))
+    val m4 = pmod(col("doc_id"), lit(4))
+    val m8 = pmod(col("doc_id"), lit(8))
+
+    val mMillions = pmod(col("n_chars"), lit(9)) + 1 // credit, میلیون units
+    val sz = pmod(col("n_chars"), lit(200)) + 20
+    val yr = pmod(col("doc_id"), lit(30)) + 1370
+    val days = pmod(col("doc_id"), lit(5)) + 1
+
+    def div(cls: String, inner: Column): Column =
+      concat(lit(s"""<div class="$cls">"""), inner, lit("</div>"))
+    def chip(key: String, value: Column): Column =
+      div("group flex items-center justify-center",
+        concat(lit(s"""<span class="text-nowrap">$key</span> """), value))
+    def rowBlock(label: Column, value: Column): Column =
+      div("flex w-full flex-row items-center justify-between",
+        concat(lit("""<span class="text-sm font-semibold">"""), label,
+          lit("""</span><span class="text-lg font-bold">"""), value,
+          lit("</span>")))
+    def rcBlock(value: Column): Column =
+      div("flex flex-col items-end justify-center",
+        concat(lit("""<span class="text-lg font-bold">"""), value,
+          lit("</span>")))
+
+    val cat1fa = when(even, "اجاره").otherwise(lit("خرید"))
+    val nav = concat(
+      lit("""<nav aria-label="breadcrumb"><a href="/">کیلید</a><a>"""),
+      cat1fa, lit("</a><a>"), col("source"),
+      lit("</a><a>منطقه</a><a>"), col("lang"), lit("</a></nav>"))
+
+    val images = format_string(
+      """<div class="relative"><img src="https://cdn.kilid.com/%d.jpg"/>""" +
+        """<img src="https://other.com/z.jpg"/></div>""", col("doc_id"))
+
+    val publish = div("flex items-center justify-center gap-1",
+      format_string(
+        """انتشار <span class="font-semiBold">%d روز پیش</span>""", days))
+
+    val title = concat(lit("""<h1 class="text-lg font-semibold">"""),
+      substring(col("text"), 1, 15), lit("</h1>"))
+
+    // RENT: two flex-col blocks (credit, rent); rent shows "رهن کامل" on
+    // the full-credit variant. BUY: none.
+    val rcBlocks = when(even, concat(
+      rcBlock(format_string("%d میلیون", mMillions)),
+      when(m4 === 0, rcBlock(lit("رهن کامل")))
+        .otherwise(rcBlock(format_string("%d هزار", col("n_chars"))))))
+      .otherwise(lit(""))
+
+    val deedDiv = div("inline-flex items-center bg-gray-50",
+      lit("نوع سند: تک برگ شش دانگ"))
+    val deedChip = when(m3 === 1, chip("سند", lit("قولنامه"))).otherwise(lit(""))
+
+    val chips = concat(
+      deedChip,
+      chip("تعداد اتاق", format_string("%d", pmod(col("doc_id"), lit(5)))),
+      when(m3 === 0, chip("آسانسور", lit("ندارد")))
+        .when(m3 === 2, chip("آسانسور", lit("آسانسور شیک")))
+        .otherwise(lit("")),
+      chip("انباری", when(pmod(col("n_chars"), lit(2)) === 0, "ندارد")
+        .otherwise(lit("انباری بزرگ"))),
+      chip("پارکینگ", format_string("%d عدد", pmod(col("doc_id"), lit(3)))))
+
+    // size & construction year chips: the value lives in the key span
+    // (matches the real page, kilid spec fixture) — re-emit them raw
+    val sizeChip = div("group flex items-center justify-center",
+      format_string("""<span class="text-nowrap">%d متر</span>""", sz))
+    val yearChip = div("group flex items-center justify-center",
+      format_string("""<span class="text-nowrap">ساخت %d</span>""", yr))
+
+    val grid = div("grid w-full grid-cols-2 gap-x-6", concat(
+      div("flex justify-start gap-2", format_string(
+        """<span class="text-gray-600">طبقه:</span>""" +
+          """<span class="font-semiBold">%d</span>""",
+        pmod(col("doc_id"), lit(20)))),
+      when(m3 === 2, div("flex justify-start gap-2", lit(
+        """<span class="text-gray-600">نوع سند:</span>""" +
+          """<span class="font-semiBold">شش دانگ</span>"""))).otherwise(lit(""))))
+
+    val desc = div("transition-all duration-300", substring(col("text"), 17, 12))
+    val owner = when(even, """<span>آژانس املاک</span>""")
+      .otherwise(lit("<span>مالک</span>"))
+
+    // labelled rows: negotiable / full-credit markers + the money rows
+    val rows = concat(
+      when(even && m8 === 2, rowBlock(lit("رهن و اجاره"), lit("توافقی")))
+        .otherwise(lit("")),
+      when(even && m4 === 0, rowBlock(lit("نوع پرداخت"), lit("رهن کامل")))
+        .otherwise(lit("")),
+      when(even, rowBlock(lit("رهن (تومان)"),
+          format_string("%d میلیون", mMillions)))
+        .otherwise(rowBlock(lit("قیمت (تومان)"),
+          when(m4 === 3, lit("توافقی"))
+            .otherwise(format_string("%d هزار", col("n_chars"))))))
+
+    val html = concat(lit("<html><body>"), nav, images, publish, title,
+      rcBlocks, deedDiv, sizeChip, yearChip, chips, grid, desc, owner,
+      rows, lit("</body></html>"))
+
+    // fetch envelope JSON → kilidEnvelope → kilidTransform (end-to-end)
+    val envelopeJson = to_json(struct(
+      col("doc_id").cast(StringType).as("content_url"),
+      html.as("html_content"),
+      lit(200).as("status_code"),
+      lit("2025-10-21T10:00:00").as("fetched_at"),
+      when(even, "RENT").otherwise(lit("BUY")).as("listingType"),
+      lit("RESIDENTIAL").as("propertyType"),
+      lit("APARTMENT").as("landuseType")))
+    val envelope = ListingTransforms.kilidEnvelope(
+      docs.select(envelopeJson.as("raw")), "raw")
+
+    KilidTransform.kilidTransform(envelope, refTime)
+      .select(col("content_url"), col("breadcrumbs"), col("cat1_slug"),
+        col("cat2_slug"), col("cat3_slug"),
+        col("city_slug"), col("neighborhood_slug"),
+        fmt(col("created_at_month")).as("created_at_month"),
+        col("user_type"), col("title"), col("description"),
+        col("rent_mode"), col("rent_value"), col("rent_type"),
+        col("price_mode"), col("price_value"), col("credit_value"),
+        col("deed_type"), col("floor"), col("rooms_count"),
+        col("has_elevator"), col("has_warehouse"), col("has_parking"),
+        col("building_size"), col("construction_year"), col("is_rebuilt"),
+        array_join(col("images"), "|").as("images_str"))
+      .orderBy("content_url")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q52_sheypoor_transform" -> (q52SheypoorTransform _),
+    "q53_mrestate_transform" -> (q53MrestateTransform _),
+    "q54_kilid_transform" -> (q54KilidTransform _))
+
+  private val ts = s"timestamp '$RefTs'"
+
+  val oracles: Map[String, String] = Map(
+    "q52_sheypoor_transform" ->
+      s"""SELECT cast(doc_id as varchar) AS content_url,
+        | CASE WHEN doc_id%2=0 THEN 'خرید' ELSE 'اجاره' END AS cat2_slug,
+        | 'دفتر-کار' AS cat3_slug,
+        | source AS city_slug,
+        | lang || '-شهر' AS neighborhood_slug,
+        | strftime($ts - to_seconds(CASE WHEN doc_id%2=0 THEN 300
+        |                                ELSE (doc_id%5+1)*86400 END),
+        |          '%Y-%m-%d %H:%M:%S') AS created_at_month,
+        | substr(text, 1, 15) AS title,
+        | CASE WHEN doc_id%3=0 THEN 'full_credit' END AS rent_type,
+        | CASE WHEN doc_id%3=2 THEN 'مقطوع' END AS price_mode,
+        | CASE WHEN doc_id%3=2 THEN cast(n_chars*1000 as bigint) END AS price_value,
+        | CASE WHEN doc_id%3=0 THEN 'مقطوع' END AS credit_mode,
+        | CASE WHEN doc_id%3=0 THEN cast(n_chars*1000 as double) END AS credit_value,
+        | CASE WHEN doc_id%3=1 THEN 'مقطوع' END AS rent_mode,
+        | CASE WHEN doc_id%3=1 THEN cast(n_chars*100 as double) END AS rent_value,
+        | cast(n_chars as double) AS building_size,
+        | cast(doc_id%5 as int) AS rooms_count,
+        | CASE WHEN doc_id%2=0 THEN true END AS has_elevator,
+        | CASE WHEN doc_id%2=0 THEN 'تجاری' ELSE 'شش دانگ' END AS deed_type,
+        | CASE WHEN doc_id%2=0 THEN true END AS has_business_deed,
+        | CASE WHEN doc_id%2=0 THEN true END AS rent_credit_transform,
+        | cast(doc_id + 0.5 as double) AS location_latitude,
+        | 'https://img.sheypoor.com/' || doc_id || '.jpg' AS images_str,
+        | (CASE WHEN doc_id%2=0 THEN 'خرید' ELSE 'اجاره' END) || '/دفتر کار'
+        |   AS bread_crumb
+        |FROM documents ORDER BY content_url""".stripMargin,
+    "q53_mrestate_transform" ->
+      s"""SELECT cast(doc_id as varchar) AS content_url,
+        | CASE WHEN doc_id%4 IN (0,2) THEN 'خرید' ELSE 'اجاره' END AS cat2_slug,
+        | CASE doc_id%4 WHEN 0 THEN 'آپارتمان' WHEN 1 THEN 'ویلا'
+        |               WHEN 2 THEN 'آپارتمان' ELSE 'سوله' END AS cat3_slug,
+        | source AS city_slug,
+        | lang AS neighborhood_slug,
+        | printf('2025-09-%02d 08:30:00', doc_id%28+1) AS created_at_month,
+        | CASE doc_id%3 WHEN 0 THEN 'شخصی' WHEN 1 THEN 'مشاور املاک'
+        |               ELSE 'مشاور مستقل' END AS user_type,
+        | substr(text, 1, 15) AS title,
+        | substr(text, 16, 25) AS description,
+        | CASE WHEN doc_id%4=3 THEN 'توافقی' END AS rent_mode,
+        | CASE WHEN doc_id%4=1 THEN
+        |   CASE WHEN doc_id%8=1 THEN 0.0 ELSE cast(n_chars*10 as double) END
+        | END AS rent_value,
+        | CASE WHEN doc_id%4=1 THEN
+        |   CASE WHEN doc_id%8=1 THEN 'full_credit' ELSE 'rent_credit' END
+        | END AS rent_type,
+        | CASE WHEN doc_id%4=2 THEN 'توافقی' END AS price_mode,
+        | CASE WHEN doc_id%4=0 THEN cast(n_chars*1000000 as bigint) END AS price_value,
+        | CASE WHEN doc_id%4=3 THEN 'توافقی' END AS credit_mode,
+        | CASE WHEN doc_id%4=1 THEN cast(n_chars*1000 as double) END AS credit_value,
+        | cast(n_chars as double) AS building_size,
+        | cast(doc_id%5 as int) AS rooms_count,
+        | cast(doc_id%20 as int) AS floor,
+        | cast(1305 + (doc_id%10)*10 as int) AS construction_year,
+        | doc_id%2=0 AS has_balcony,
+        | n_chars%2=0 AS has_elevator,
+        | doc_id%5<3 AS has_warehouse,
+        | doc_id%3>0 AS has_parking,
+        | n_chars%3=0 AS has_security_guard,
+        | doc_id%7=0 AS has_pool,
+        | n_chars%5=0 AS has_jacuzzi,
+        | doc_id%2=1 AS has_sauna,
+        | cast(doc_id + 0.5 as double) AS location_latitude,
+        | cast(51.5 as double) AS location_longitude,
+        | 'https://mrestate.ir/media/' || doc_id ||
+        |   '.jpg|https://cdn.mrestate.ir/x.jpg' AS images_str,
+        | 'صفحه اصلی' || chr(10) || '/' || chr(10) ||
+        |   (CASE doc_id%4 WHEN 0 THEN 'خرید آپارتمان در تهران'
+        |                  WHEN 1 THEN 'اجاره ویلا در کرج'
+        |                  WHEN 2 THEN 'خرید آپارتمان اداری در تهران'
+        |                  ELSE 'اجاره سوله در قم' END) || chr(10) || '/'
+        |   AS bread_crumb
+        |FROM documents ORDER BY content_url""".stripMargin,
+    "q54_kilid_transform" ->
+      s"""SELECT cast(doc_id as varchar) AS content_url,
+        | 'کیلید/' || (CASE WHEN doc_id%2=0 THEN 'اجاره' ELSE 'خرید' END)
+        |   || '/' || source || '/منطقه/' || lang AS breadcrumbs,
+        | CASE WHEN doc_id%2=0 THEN 'RENT' ELSE 'BUY' END AS cat1_slug,
+        | 'APARTMENT' AS cat2_slug,
+        | 'RESIDENTIAL' AS cat3_slug,
+        | source AS city_slug,
+        | lang AS neighborhood_slug,
+        | strftime($ts - to_seconds((doc_id%5+1)*86400),
+        |          '%Y-%m-%d %H:%M:%S') AS created_at_month,
+        | CASE WHEN doc_id%2=0 THEN 'مشاور املاک' ELSE 'شخصی' END AS user_type,
+        | trim(substr(text, 1, 15)) AS title,
+        | trim(substr(text, 17, 12)) AS description,
+        | CASE WHEN doc_id%8=2 THEN 'توافقی' END AS rent_mode,
+        | CASE WHEN doc_id%2=0 THEN
+        |   CASE WHEN doc_id%4=0 THEN 0 ELSE cast(n_chars*1000 as bigint) END
+        | END AS rent_value,
+        | CASE WHEN doc_id%4=0 THEN 'full_credit'
+        |      WHEN doc_id%4=2 THEN 'rent_credit' END AS rent_type,
+        | CASE WHEN doc_id%4=3 THEN 'توافقی' END AS price_mode,
+        | CASE WHEN doc_id%4=1 THEN cast(n_chars*1000 as bigint) END AS price_value,
+        | CASE WHEN doc_id%2=0 THEN cast((n_chars%9+1)*1000000 as bigint) END
+        |   AS credit_value,
+        | CASE doc_id%3 WHEN 0 THEN 'تک برگ' WHEN 1 THEN 'قولنامه'
+        |               ELSE 'شش دانگ' END AS deed_type,
+        | cast(doc_id%20 as int) AS floor,
+        | cast(doc_id%5 as int) AS rooms_count,
+        | CASE doc_id%3 WHEN 0 THEN false WHEN 2 THEN true END AS has_elevator,
+        | CASE WHEN n_chars%2=0 THEN false ELSE true END AS has_warehouse,
+        | CASE WHEN doc_id%3=0 THEN false ELSE true END AS has_parking,
+        | cast(n_chars%200+20 as int) AS building_size,
+        | cast(doc_id%30+1370 as int) AS construction_year,
+        | false AS is_rebuilt,
+        | 'https://cdn.kilid.com/' || doc_id || '.jpg' AS images_str
+        |FROM documents ORDER BY content_url""".stripMargin)
+}
