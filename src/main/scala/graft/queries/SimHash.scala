@@ -22,28 +22,42 @@ object SimHash {
 
   private val Bits = 32
 
-  /** token → 32-bit hash as long: first 8 hex chars of md5. */
-  private def tokenHash(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+  /** Per-document SimHash in ONE compiled pass: token → 32-bit hash
+    * (first 8 hex chars of its md5), per-bit ±1 vote, sign → bit. The
+    * per-bit sums need no cross-row state, so the explode + 32
+    * sum-aggregates formulation spends a shuffle stage on work a
+    * projection can do — this is scan-parallel (zero shuffles) and the
+    * integer math is bit-identical to the DuckDB oracle. */
+  private val simhashUdf = udf((words: Seq[String]) =>
+    if (words == null) None
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sums = new Array[Int](Bits)
+      words.foreach { w =>
+        val dig = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.reset()
+        // first 8 hex chars = first 4 digest bytes, big-endian unsigned
+        val h = ((dig(0) & 0xFFL) << 24) | ((dig(1) & 0xFFL) << 16) |
+          ((dig(2) & 0xFFL) << 8) | (dig(3) & 0xFFL)
+        var b = 0
+        while (b < Bits) {
+          sums(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < Bits) { if (sums(b) > 0) sig |= (1L << b); b += 1 }
+      Some(sig)
+    })
 
-  private def simhashAgg: Seq[Column] =
-    (0 until Bits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"s$b")
-    }
-
-  private def simhashFromSums: Column =
-    (0 until Bits).map(b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-
-  def signatures(s: SparkSession, dir: String): DataFrame = {
-    val ex = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), tokenHash(col("tok")).as("h"))
-    ex.groupBy("doc_id")
-      .agg(simhashAgg.head, simhashAgg.tail: _*)
-      .select(col("doc_id"), simhashFromSums.as("simhash"))
-  }
+  def signatures(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      // cheap equivalent of isNotNull(udf(...)): the udf is null iff the
+      // text is (a post-projection null filter would be pushed below the
+      // projection and evaluate the udf twice per row)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), simhashUdf(split(col("text"), " ")).as("simhash"))
 
   /** t32: per-document SimHash signature. */
   def t32SimhashSigs(s: SparkSession, dir: String): DataFrame =
