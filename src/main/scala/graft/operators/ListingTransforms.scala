@@ -179,7 +179,19 @@ object ListingTransforms {
     "غربی" -> "west", "نامشخص" -> "unselect"))
 
   /** divar raw JSON (string col) → canonical listing columns
-    * (divar_transformer.py:89-638). `refTime` replaces datetime.now(). */
+    * (divar_transformer.py:89-638). `refTime` replaces datetime.now().
+    *
+    * Structured as STAGED projections: the shared navigation roots
+    * (LIST_DATA widgets, group-info items, modal widget list, the money
+    * fallbacks) are materialized as intermediate columns, so the ~50
+    * output expressions reference attributes instead of each inlining
+    * its own copy of the section-filter subtrees. With everything
+    * inlined the analyzed tree carried hundreds of duplicated
+    * higher-order-function subtrees and Catalyst planning alone cost
+    * ~0.7s per query (flat across data scales); staging cuts the tree
+    * ~10× while producing the identical result. CollapseProject keeps
+    * the stages because the shared expressions are non-cheap and
+    * multiply referenced. */
   def divarTransform(raw: DataFrame, jsonCol: String, urlCol: String,
                      refTime: Column): DataFrame = {
     val parsed = raw.withColumn("__d", from_json(col(jsonCol), divarSchema))
@@ -189,39 +201,70 @@ object ListingTransforms {
     def sectionByName(name: String): Column =
       firstWhere(sections, s => s("section_name") === name)
 
-    val listWidgets = sectionByName("LIST_DATA")("widgets")
+    // ---- stage 1: per-section navigation roots (one filter each)
+    val s1 = parsed.select(
+      col(urlCol), col("__d"),
+      sectionByName("LIST_DATA")("widgets").as("__widgets"),
+      coalesce(
+        firstWhere(sectionByName("BREADCRUMB")("widgets"),
+          w => w("widget_type") === "BREADCRUMB")("data")("current_page_title"),
+        lit("")).as("__bc"),
+      coalesce(
+        firstWhere(sectionByName("DESCRIPTION")("widgets"),
+          w => w("widget_type") === "DESCRIPTION_ROW")("data")("text"),
+        lit("")).as("__desc"),
+      firstWhere(sectionByName("TITLE")("widgets"),
+        w => w("widget_type") === "LEGEND_TITLE_ROW")("data")("subtitle")
+        .as("__subtitle"),
+      flatten(transform(
+        filter(sectionByName("IMAGE")("widgets"),
+          w => w("widget_type") === "IMAGE_CAROUSEL" && w("data")("items").isNotNull),
+        w => transform(w("data")("items"), it => it("image")("url"))))
+        .as("__carousel"),
+      firstWhere(sectionByName("MAP")("widgets"),
+        w => w("data")("location").isNotNull).as("__mapw"))
 
+    val W = col("__widgets")
     def unexpandable(title: String): Column =
-      firstWhere(listWidgets, w =>
+      firstWhere(W, w =>
         w("widget_type") === "UNEXPANDABLE_ROW" && w("data")("title") === title)
+    def rowValue(title: String): Column =
+      lastWhere(W, w =>
+        w("widget_type") === "UNEXPANDABLE_ROW" && w("data")("title") === title
+      )("data")("value")
+    val groupFeatureRow = firstWhere(W, w => w("widget_type") === "GROUP_FEATURE_ROW")
 
-    // GROUP_INFO_ROW items across widgets, in order (first match wins).
-    val groupInfoItems = flatten(transform(
-      filter(listWidgets, w =>
-        w("widget_type") === "GROUP_INFO_ROW" && w("data")("items").isNotNull),
-      w => w("data")("items")))
+    // ---- stage 2: widget-level roots (reference __widgets by attribute)
+    val s2 = s1.select(col("*"),
+      flatten(transform(
+        filter(W, w =>
+          w("widget_type") === "GROUP_INFO_ROW" && w("data")("items").isNotNull),
+        w => w("data")("items"))).as("__ginfo"),
+      groupFeatureRow("data")("items").as("__gfi"),
+      groupFeatureRow("data")("action")("payload")("modal_page")("widget_list")
+        .as("__modal"),
+      firstWhere(W, w => w("widget_type") === "RENT_SLIDER").as("__slider"),
+      unexpandable("قیمت کل")("data")("value").as("__priceRow"),
+      rowValue("ودیعه").as("__creditRow"),
+      rowValue("اجارهٔ ماهانه").as("__rentRow"),
+      unexpandable("سند").as("__deedW"),
+      unexpandable("طبقه")("data")("value").as("__floorRaw"),
+      unexpandable("متراژ زمین")("data")("value").as("__landRaw"),
+      unexpandable("نوع ملک").as("__propW"))
+
+    val groupInfoItems = col("__ginfo")
+    val groupFeatureItems = col("__gfi")
+    val modalFeatures = col("__modal")
+    val breadcrumbTitle = col("__bc")
+    val descriptionText = col("__desc")
+    val subtitle = col("__subtitle")
+    val rentSlider = col("__slider")
+    val creditRow = col("__creditRow")
+    val rentRow = col("__rentRow")
 
     def groupInfoValue(titleContains: String): Column =
       firstWhere(groupInfoItems, it => it("title").contains(titleContains))("value")
 
-    val groupFeatureRow = firstWhere(listWidgets, w => w("widget_type") === "GROUP_FEATURE_ROW")
-    val groupFeatureItems = groupFeatureRow("data")("items")
-    val modalFeatures =
-      groupFeatureRow("data")("action")("payload")("modal_page")("widget_list")
-
-    val breadcrumbTitle = coalesce(
-      firstWhere(sectionByName("BREADCRUMB")("widgets"),
-        w => w("widget_type") === "BREADCRUMB")("data")("current_page_title"),
-      lit(""))
-
-    val descriptionText = coalesce(
-      firstWhere(sectionByName("DESCRIPTION")("widgets"),
-        w => w("widget_type") === "DESCRIPTION_ROW")("data")("text"),
-      lit(""))
-
-    // created_at_month: TITLE → LEGEND_TITLE_ROW → subtitle before " در "
-    val subtitle = firstWhere(sectionByName("TITLE")("widgets"),
-      w => w("widget_type") === "LEGEND_TITLE_ROW")("data")("subtitle")
     val createdAtMonth = when(subtitle.isNotNull,
       RelativeDates.textToDateDivar(trim(get(split(subtitle, " در "), lit(0))), refTime))
 
@@ -231,21 +274,10 @@ object ListingTransforms {
         .when(breadcrumbTitle.contains("توافقی"), "توافقی")
         .when(breadcrumbTitle.contains("مقطوع"), "مقطوع")
 
-    val priceRowValue = unexpandable("قیمت کل")("data")("value")
-    val priceValueStr = when(priceRowValue.isNotNull,
-      regexp_replace(priceRowValue, " تومان", ""))
+    val priceValueStr = when(col("__priceRow").isNotNull,
+      regexp_replace(col("__priceRow"), " تومان", ""))
 
-    val rentSlider = firstWhere(listWidgets, w => w("widget_type") === "RENT_SLIDER")
     val sliderPresent = rentSlider.isNotNull
-
-    def rowValue(title: String): Column =
-      lastWhere(listWidgets, w =>
-        w("widget_type") === "UNEXPANDABLE_ROW" && w("data")("title") === title
-      )("data")("value")
-
-    val creditRow = rowValue("ودیعه")
-    val rentRow = rowValue("اجارهٔ ماهانه")
-    val rentCreditRow = rowValue("ودیعه و اجاره")
 
     val webCredit = d("webengage")("credit")
     val webRent = d("webengage")("rent")
@@ -266,13 +298,18 @@ object ListingTransforms {
       val cleaned = trim(regexp_replace(regexp_replace(en, "[‏،]", ""), " تومان", ""))
       when(regexp_replace(cleaned, "\\.", "").rlike("^\\d+$"), cleaned.try_cast(DoubleType))
     }
-    val fbCredit = coalesce(
-      when(creditRow.isNotNull, cleanedMoney(creditRow)),
-      when(truthyNum(webCredit), webCredit))
-    val fbRent = coalesce(
-      when(rentRow.isNotNull && rentRow.contains("رایگان"), lit(0.0))
-        .when(rentRow.isNotNull, cleanedMoney(rentRow)),
-      when(truthyNum(webRent), webRent))
+    // ---- stage 3: money fallbacks (each referenced by several outputs)
+    val s3 = s2.select(col("*"),
+      coalesce(
+        when(creditRow.isNotNull, cleanedMoney(creditRow)),
+        when(truthyNum(webCredit), webCredit)).as("__fbCredit"),
+      coalesce(
+        when(rentRow.isNotNull && rentRow.contains("رایگان"), lit(0.0))
+          .when(rentRow.isNotNull, cleanedMoney(rentRow)),
+        when(truthyNum(webRent), webRent)).as("__fbRent"))
+
+    val fbCredit = col("__fbCredit")
+    val fbRent = col("__fbRent")
     val fbHasCredit = fbCredit.isNotNull && fbCredit > 0
     val fbHasRent = fbRent.isNotNull && fbRent > 0
 
@@ -298,17 +335,17 @@ object ListingTransforms {
     val creditMode = when(!sliderPresent && fbHasCredit, "مقطوع")
 
     // ------------- physical fields
-    val landSize = unexpandable("متراژ زمین")("data")("value")
+    val landSize = col("__landRaw")
     val buildingSize = groupInfoValue("متراژ")
 
-    val deedWidget = unexpandable("سند")
+    val deedWidget = col("__deedW")
     val modalValue: String => Column = title =>
       firstWhere(modalFeatures, m => m("data")("title") === title)("data")("value")
     val rawDeed = when(deedWidget.isNotNull, deedWidget("data")("value"))
       .otherwise(modalValue("سند"))
     val deedType = element_at(deedTypeMap, rawDeed)
 
-    val rawFloor = unexpandable("طبقه")("data")("value")
+    val rawFloor = col("__floorRaw")
     // Python's re.\d matches Persian digits — translate first for parity.
     val rawFloorEn = PersianText.persianToEnglishDigits(rawFloor)
     val floorStr =
@@ -391,24 +428,20 @@ object ListingTransforms {
         PersianText.persianToEnglishDigits(constructionRaw).contains("قبل"), "-1370")
       .otherwise(constructionRaw)
 
-    val propTypeWidget = unexpandable("نوع ملک")
+    val propTypeWidget = col("__propW")
     val propertyType = when(propTypeWidget.isNotNull,
       coalesce(element_at(propertyTypeMap, propTypeWidget("data")("value")), lit("other")))
 
     // ------------- images (order-preserving distinct)
     val seoImages = d("seo")("post_seo_schema")("image")
-    val carouselImages = flatten(transform(
-      filter(sectionByName("IMAGE")("widgets"),
-        w => w("widget_type") === "IMAGE_CAROUSEL" && w("data")("items").isNotNull),
-      w => transform(w("data")("items"), it => it("image")("url"))))
+    val carouselImages = col("__carousel")
     val images = array_distinct(filter(
       concat(coalesce(seoImages, emptyStrArray), coalesce(carouselImages, emptyStrArray)),
       i => i.isNotNull))
 
     // ------------- geo (seo first, then MAP fuzzy/exact)
     val seoGeo = d("seo")("post_seo_schema")("geo")
-    val mapWidget = firstWhere(sectionByName("MAP")("widgets"),
-      w => w("data")("location").isNotNull)
+    val mapWidget = col("__mapw")
     val fuzzy = mapWidget("data")("location")("fuzzy_data")
     val exact = mapWidget("data")("location")("exact_data")
     val fuzzyPoint = coalesce(fuzzy("point"), fuzzy("center"))
@@ -421,7 +454,7 @@ object ListingTransforms {
     val radius = when(fuzzy.isNotNull, fuzzy("radius"))
 
     import PersianText.{toDoubleOrNull, toLongOrNull}
-    parsed.select(
+    s3.select(
       col(urlCol).as("content_url"),
       refTime.as("created_at"),
       coalesce(d("analytics")("cat2")).as("cat2_slug"),
