@@ -124,6 +124,21 @@ object Vectors {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** v37: the full IVF ANN pipeline (graft.operators.Ann) under the
+    * oracle — deterministic seeded centroids, one Lloyd refinement,
+    * cell assignment, 2-probe search, exact top-5 rank. Certifies the
+    * index build AND query path end-to-end (the coarse-quantizer scale
+    * path named alongside LSH in the training-data-pipeline surface). */
+  def v37IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = graft.operators.Ann.buildCentroids(emb, "vec_id", "embedding", k = 8)
+    val index = graft.operators.Ann.buildIndex(emb, "vec_id", "embedding", k = 8)
+    val queries = emb.filter(col("vec_id") < 50)
+    graft.operators.Ann.ivfSearch(index, centroids, queries, "vec_id", "embedding",
+        nProbe = 2, topK = 5)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "v31_knn_bruteforce" -> (v31KnnBruteforce _),
     "v32_vector_norms" -> (v32VectorNorms _),
@@ -131,6 +146,7 @@ object Vectors {
     "v34_lsh_buckets" -> (v34LshBuckets _),
     "v35_lsh_ann" -> (v35LshAnn _),
     "v36_cosine_pairs" -> (v36CosinePairs _),
+    "v37_ivf_ann" -> (v37IvfAnn _),
   )
 
   private val quantCte =
@@ -217,5 +233,58 @@ object Vectors {
         |FROM dots JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b
         |WHERE round(d * 1000000.0 / (sqrt(cast(na.n2 as double)) * sqrt(cast(nb.n2 as double)))) >= 300000
         |ORDER BY vec_a, vec_b""".stripMargin),
+    "v37_ivf_ann" ->
+      // independent IVF derivation: seeds = lowest-8 ids; assignment by
+      // max exact dot (ties → lowest cell); one Lloyd step with
+      // trunc-toward-zero means (Spark's cast(double as long)); 2-probe
+      // search; exact top-5. Dots via DuckDB's zipping parallel unnest.
+      (quantCte +
+      """,
+        |seeds AS (SELECT cast(row_number() OVER (ORDER BY vid) as int) - 1 centroid_id, v cvec
+        |          FROM (SELECT vec_id vid, v FROM q ORDER BY vec_id LIMIT 8)),
+        |qq AS (SELECT vec_id vid, v FROM q),
+        |a0d AS (SELECT vid, centroid_id, cast(sum(x*y) as bigint) d
+        |        FROM (SELECT qq.vid, s.centroid_id, unnest(qq.v) x, unnest(s.cvec) y
+        |              FROM qq, seeds s)
+        |        GROUP BY vid, centroid_id),
+        |a0 AS (SELECT vid, centroid_id FROM (
+        |         SELECT vid, centroid_id,
+        |           row_number() OVER (PARTITION BY vid ORDER BY d DESC, centroid_id ASC) rn
+        |         FROM a0d) WHERE rn = 1),
+        |cmeans AS (SELECT centroid_id, pos, cast(trunc(sum(x) * 1.0 / count(x)) as bigint) cx
+        |           FROM (SELECT a0.centroid_id, unnest(qq.v) x, unnest(range(len(qq.v))) pos
+        |                 FROM a0 JOIN qq USING (vid))
+        |           GROUP BY centroid_id, pos),
+        |cent AS (SELECT centroid_id, list(cx ORDER BY pos) cvec FROM cmeans GROUP BY centroid_id),
+        |idxd AS (SELECT vid, centroid_id, cast(sum(x*y) as bigint) d
+        |         FROM (SELECT qq.vid, c.centroid_id, unnest(qq.v) x, unnest(c.cvec) y
+        |               FROM qq, cent c)
+        |         GROUP BY vid, centroid_id),
+        |idx AS (SELECT vid, centroid_id FROM (
+        |          SELECT vid, centroid_id,
+        |            row_number() OVER (PARTITION BY vid ORDER BY d DESC, centroid_id ASC) rn
+        |          FROM idxd) WHERE rn = 1),
+        |qv AS (SELECT vid query_id, v FROM qq WHERE vid < 50),
+        |celld AS (SELECT query_id, centroid_id, cast(sum(x*y) as bigint) cd
+        |          FROM (SELECT qv.query_id, c.centroid_id, unnest(qv.v) x, unnest(c.cvec) y
+        |                FROM qv, cent c)
+        |          GROUP BY query_id, centroid_id),
+        |probed AS (SELECT query_id, centroid_id FROM (
+        |             SELECT query_id, centroid_id,
+        |               row_number() OVER (PARTITION BY query_id ORDER BY cd DESC, centroid_id ASC) rn
+        |             FROM celld) WHERE rn <= 2),
+        |cands AS (SELECT query_id, neighbor_id, cast(sum(x*y) as bigint) dot
+        |          FROM (SELECT p.query_id, i.vid neighbor_id, unnest(qs.v) x, unnest(q2.v) y
+        |                FROM probed p JOIN idx i USING (centroid_id)
+        |                JOIN qv qs ON qs.query_id = p.query_id
+        |                JOIN qq q2 ON q2.vid = i.vid
+        |                WHERE i.vid <> p.query_id)
+        |          GROUP BY query_id, neighbor_id),
+        |rk AS (SELECT query_id, neighbor_id, dot,
+        |         cast(row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY dot DESC, neighbor_id ASC) as int) rank
+        |       FROM cands)
+        |SELECT query_id, rank, neighbor_id, dot FROM rk
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
   )
 }
