@@ -44,20 +44,31 @@ object Ann {
   }
 
   /** Assign each vector to its nearest centroid (exact integer dot on
-    * normalized-ish data ≙ cosine ranking). Centroids broadcast. */
+    * normalized-ish data ≙ cosine ranking; ties → lowest cell id).
+    * Centroids broadcast; the argmax is a hash aggregate
+    * (min of struct(-dot, cell)) rather than a window row_number — no
+    * per-partition sort, one map-side-combinable shuffle, which is the
+    * shape that survives a 100 TB corpus. */
   private def assign(q: DataFrame, centroids: DataFrame): DataFrame = {
     val scored = q.crossJoin(broadcast(centroids))
       .select(col("vid"), col("centroid_id"), dot_long(col("v"), col("cvec")).as("d"))
-    val w = Window.partitionBy("vid").orderBy(col("d").desc, col("centroid_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vid"), col("centroid_id"))
+    scored.groupBy("vid")
+      .agg(min(struct((-col("d")).as("nd"), col("centroid_id").as("cid"))).as("m"))
+      .select(col("vid"), col("m.cid").as("centroid_id"))
   }
 
   /** The IVF index: every corpus vector tagged with its cell. */
   def buildIndex(embeddings: DataFrame, idCol: String, vecCol: String,
-                 k: Int): DataFrame = {
+                 k: Int): DataFrame =
+    buildIndex(embeddings, idCol, vecCol,
+      buildCentroids(embeddings, idCol, vecCol, k))
+
+  /** Index build against precomputed centroids — use this when the
+    * caller also needs the centroid frame (e.g. for ivfSearch), so the
+    * whole centroid pipeline isn't embedded twice in the plan. */
+  def buildIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+                 centroids: DataFrame): DataFrame = {
     val q = embeddings.select(col(idCol).as("vid"), quantize_e6(col(vecCol)).as("v"))
-    val centroids = buildCentroids(embeddings, idCol, vecCol, k)
     assign(q, centroids).join(q, Seq("vid"))
       .select(col("vid"), col("centroid_id"), col("v"))
   }

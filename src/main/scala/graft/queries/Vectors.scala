@@ -132,7 +132,7 @@ object Vectors {
   def v37IvfAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val centroids = graft.operators.Ann.buildCentroids(emb, "vec_id", "embedding", k = 8)
-    val index = graft.operators.Ann.buildIndex(emb, "vec_id", "embedding", k = 8)
+    val index = graft.operators.Ann.buildIndex(emb, "vec_id", "embedding", centroids)
     val queries = emb.filter(col("vec_id") < 50)
     graft.operators.Ann.ivfSearch(index, centroids, queries, "vec_id", "embedding",
         nProbe = 2, topK = 5)
