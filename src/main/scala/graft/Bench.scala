@@ -14,7 +14,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build()
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = SparkEntry.queries
+      .filterNot { case (name, _) => SparkEntry.streamingQueries(name) }
+      .toSeq.sortBy(_._1)
 
     // warmup: execute everything once, untimed
     queries.foreach { case (_, fn) =>

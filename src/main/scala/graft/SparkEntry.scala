@@ -35,10 +35,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextDedup.queries ++ Vectors.queries ++ Feed.queries ++ SimHash.queries ++ SearchIndexGate.queries ++ Temporal.queries ++ ListingGate.queries ++ SiteGates.queries
+    Relational.queries ++ TextDedup.queries ++ Vectors.queries ++ Feed.queries ++ SimHash.queries ++ SearchIndexGate.queries ++ Temporal.queries ++ ListingGate.queries ++ SiteGates.queries ++ StreamGate.queries
+
+  /** Queries that run a Structured Streaming job to completion inside
+    * the query function. They are correctness gates (Verify/oracle);
+    * Bench excludes them because their wall time measures stream
+    * bring-up/teardown, not batch engine throughput. */
+  val streamingQueries: Set[String] = StreamGate.queries.keySet
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextDedup.oracles ++ Vectors.oracles ++ Feed.oracles ++ SimHash.oracles ++ SearchIndexGate.oracles ++ Temporal.oracles ++ ListingGate.oracles ++ SiteGates.oracles
+    Relational.oracles ++ TextDedup.oracles ++ Vectors.oracles ++ Feed.oracles ++ SimHash.oracles ++ SearchIndexGate.oracles ++ Temporal.oracles ++ ListingGate.oracles ++ SiteGates.oracles ++ StreamGate.oracles
 }
