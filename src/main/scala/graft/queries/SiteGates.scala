@@ -323,10 +323,37 @@ object SiteGates {
       .orderBy("content_url")
   }
 
+  // --------------------------------------------------------- kilid XML
+
+  /** q55: the kilid XML fallback parse (S8, kilid_crawler.py:13-33) under
+    * the DuckDB gate — native from_xml over a synthesized listing-page
+    * payload; entries without an id are dropped like the reference. */
+  def q55XmlFallback(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val lt1 = when(pmod(col("doc_id"), lit(2)) === 0, "RENT").otherwise(lit("BUY"))
+    val lt2 = when(pmod(col("n_chars"), lit(2)) === 0, "BUY").otherwise(lit("RENT"))
+    val noId = when(pmod(col("doc_id"), lit(3)) === 0,
+      "<result><listingType>SKIP</listingType></result>").otherwise(lit(""))
+    val xml = format_string(
+      "<response><data>" +
+        "<result><id>K-%d</id><listingType>%s</listingType>" +
+        "<propertyType>RESIDENTIAL</propertyType>" +
+        "<landuseType>APARTMENT</landuseType></result>" +
+        "%s" +
+        "<result><id>K-%d-b</id><listingType>%s</listingType>" +
+        "<propertyType>OFFICE</propertyType>" +
+        "<landuseType>COMMERCIAL</landuseType></result>" +
+        "</data></response>",
+      col("doc_id"), lt1, noId, col("doc_id"), lt2)
+    graft.sources.XmlFallback.parseListingXml(docs.select(xml.as("payload")), "payload")
+      .orderBy("id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q52_sheypoor_transform" -> (q52SheypoorTransform _),
     "q53_mrestate_transform" -> (q53MrestateTransform _),
-    "q54_kilid_transform" -> (q54KilidTransform _))
+    "q54_kilid_transform" -> (q54KilidTransform _),
+    "q55_xml_fallback" -> (q55XmlFallback _))
 
   private val ts = s"timestamp '$RefTs'"
 
@@ -440,5 +467,19 @@ object SiteGates {
         | cast(doc_id%30+1370 as int) AS construction_year,
         | false AS is_rebuilt,
         | 'https://cdn.kilid.com/' || doc_id || '.jpg' AS images_str
-        |FROM documents ORDER BY content_url""".stripMargin)
+        |FROM documents ORDER BY content_url""".stripMargin,
+    "q55_xml_fallback" ->
+      // two id-carrying results per document (the no-id entry on every
+      // third document must be dropped)
+      """SELECT id, listingType, propertyType, landuseType FROM (
+        | SELECT 'K-' || doc_id AS id,
+        |  CASE WHEN doc_id%2=0 THEN 'RENT' ELSE 'BUY' END AS listingType,
+        |  'RESIDENTIAL' AS propertyType, 'APARTMENT' AS landuseType
+        | FROM documents
+        | UNION ALL
+        | SELECT 'K-' || doc_id || '-b',
+        |  CASE WHEN n_chars%2=0 THEN 'BUY' ELSE 'RENT' END,
+        |  'OFFICE', 'COMMERCIAL'
+        | FROM documents)
+        |ORDER BY id""".stripMargin)
 }
