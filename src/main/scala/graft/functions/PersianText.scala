@@ -34,9 +34,16 @@ object PersianText {
   def stripDirectionalMarks(c: Column): Column =
     regexp_replace(c, "[‍‎‏]", "")
 
-  /** F3: slug — lower-case, pre-comma segment, whitespace runs → '-'. */
+  /** F3: slug (sheypoor_transformer.py:92-95, exact port): falsy text →
+    * null; else strip the WHOLE string, lower, Persian comma → ',',
+    * take the pre-comma segment, whitespace runs → '-'. The reference
+    * does NOT re-strip the segment, so a trailing-space run before the
+    * comma becomes a trailing '-' — ported faithfully. */
   def toSlug(c: Column): Column =
-    regexp_replace(trim(lower(element_at(split(c, ","), 1))), "\\s+", "-")
+    when(c.isNull || c === "", lit(null).cast(StringType))
+      .otherwise(regexp_replace(
+        element_at(split(regexp_replace(lower(trim(c)), "،", ","), ","), 1),
+        "\\s+", "-"))
 
   /** F4 step 1: Persian digits → English, then keep only [0-9 . + -]. */
   def numericGarbageStripped(c: Column): Column =

@@ -50,9 +50,14 @@ object ListingTransforms {
       .otherwise(cleaned.try_cast(DoubleType))
   }
 
-  /** `int(x)` only when x.isdigit() (ASCII digits), else null. */
-  private def intIfDigits(c: Column): Column =
-    when(c.rlike("^\\d+$"), c.try_cast(IntegerType)).otherwise(lit(null).cast(IntegerType))
+  /** `int(x) if x.isdigit()` else null — Python's isdigit()/int() both
+    * accept Persian digits (sheypoor_transformer.py:193-210), so
+    * translate them before the all-digits gate (the repo's determinism
+    * rule: digits before regexes). */
+  private def intIfDigits(c: Column): Column = {
+    val en = PersianText.persianToEnglishDigits(c)
+    when(en.rlike("^\\d+$"), en.try_cast(IntegerType)).otherwise(lit(null).cast(IntegerType))
+  }
 
   private def typedMap(m: Seq[(String, String)]): Column =
     map(m.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
@@ -552,8 +557,8 @@ object ListingTransforms {
     def getAttr(key: String): Column =
       firstWhere(d("fullAttributes"), a => a("key") === key)("value")
 
-    def slug(c: Column): Column =
-      when(c.isNotNull, PersianText.toSlug(regexp_replace(c, "،", ",")))
+    // to_slug handles falsy → null and the Persian comma itself
+    def slug(c: Column): Column = PersianText.toSlug(c)
 
     val b1 = get(attrs("categories"), lit(0))("name")
     val b2 = get(attrs("categories"), lit(1))("name")

@@ -37,6 +37,11 @@ object SiteGates {
   private def kv(k: String, v: Column): Column =
     struct(lit(k).as("key"), v.as("value"))
 
+  /** ASCII digits → Persian digits (fixture side: real payloads carry
+    * Persian digits; the transforms must translate them back). */
+  private def fa(c: Column): Column =
+    translate(c, "0123456789", "۰۱۲۳۴۵۶۷۸۹")
+
   // ------------------------------------------------------------ sheypoor
 
   /** q52: the production sheypoor transform (F3 slugs, F15-sheypoor
@@ -49,7 +54,7 @@ object SiteGates {
 
     val label = when(m3 === 0, "رهن").when(m3 === 1, "اجاره")
       .otherwise(lit("قیمت فروش"))
-    val amount = when(m3 === 0, format_string("%d,000 تومان", col("n_chars")))
+    val amount = when(m3 === 0, fa(format_string("%d,000 تومان", col("n_chars"))))
       .when(m3 === 1, format_string("%d00", col("n_chars")))
       .otherwise(format_string("%d000 تومان", col("n_chars")))
     val tp = when(even, lit("دقایقی پیش"))
@@ -68,8 +73,14 @@ object SiteGates {
           format_string("https://img.sheypoor.com/%d.jpg", col("doc_id"))
             .as("round")).as("thumbnails")).as("images")).as("attributes"),
       array(
-        kv("متراژ", format_string("%d", col("n_chars"))),
-        kv("تعداد اتاق", format_string("%d", pmod(col("doc_id"), lit(5)))),
+        // Persian-digit attribute values: the reference's isdigit()/int()
+        // /float() parse them (sheypoor_transformer.py:101,193-210) — the
+        // common real payload, pinned here at the oracle level
+        kv("متراژ", fa(format_string("%d", col("n_chars")))),
+        kv("تعداد اتاق", fa(format_string("%d", pmod(col("doc_id"), lit(5))))),
+        kv("طبقه ملک", fa(format_string("%d", pmod(col("doc_id"), lit(15))))),
+        kv("سال ساخت بنا",
+           fa(format_string("%d", pmod(col("doc_id"), lit(30)) + 1370))),
         kv("آسانسور", when(even, "دارد").otherwise(lit("ندارد"))),
         kv("نوع سند", when(even, "تجاری").otherwise(lit("شش دانگ"))),
         kv("قابلیت تبدیل مبلغ رهن و اجاره",
@@ -88,6 +99,7 @@ object SiteGates {
         col("credit_mode"), col("credit_value"),
         col("rent_mode"), col("rent_value"),
         col("building_size"), col("rooms_count"),
+        col("floor"), col("construction_year"),
         col("has_elevator"), col("deed_type"), col("has_business_deed"),
         col("rent_credit_transform"),
         col("location_latitude"),
@@ -377,6 +389,8 @@ object SiteGates {
         | CASE WHEN doc_id%3=1 THEN cast(n_chars*100 as double) END AS rent_value,
         | cast(n_chars as double) AS building_size,
         | cast(doc_id%5 as int) AS rooms_count,
+        | cast(doc_id%15 as int) AS floor,
+        | cast(doc_id%30 + 1370 as int) AS construction_year,
         | CASE WHEN doc_id%2=0 THEN true END AS has_elevator,
         | CASE WHEN doc_id%2=0 THEN 'تجاری' ELSE 'شش دانگ' END AS deed_type,
         | CASE WHEN doc_id%2=0 THEN true END AS has_business_deed,

@@ -71,6 +71,12 @@ class PersianTextSpec extends AnyFunSuite with SparkSpec {
   test("toSlug (sheypoor_transformer.py:92-95)") {
     assert(onOne[String]("Apartment, Tehran", toSlug) === "apartment")
     assert(onOne[String]("Some  Nice Place", toSlug) === "some-nice-place")
+    // the reference never re-strips the pre-comma segment, so a space
+    // run before the comma becomes a trailing '-' — ported faithfully
+    assert(onOne[String]("Nice Area , Tehran", toSlug) === "nice-area-")
+    // Persian comma handled inside to_slug; falsy text → null
+    assert(onOne[String]("تهران، ونک", toSlug) === "تهران")
+    assert(onOne[String]("", toSlug) === null)
   }
 
   test("cleanText replaces ZWNJ with space and trims") {

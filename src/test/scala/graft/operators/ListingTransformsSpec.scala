@@ -200,6 +200,21 @@ class ListingTransformsSpec extends AnyFunSuite with SparkSpec {
       Seq("http://img/t.jpg"))
   }
 
+  test("sheypoor: Persian-digit attrs parse like Python isdigit()/int()") {
+    // sheypoor_transformer.py:193-210 gates with isdigit() then int() —
+    // both accept Persian digits, so "۳" must become 3, not null.
+    val json = sheypoorJson
+      .replace("\"value\": \"3\"", "\"value\": \"۳\"")
+      .replace("\"value\": \"2\"", "\"value\": \"۲\"")
+      .replace("\"value\": \"1395\"", "\"value\": \"۱۳۹۵\"")
+    val row = ListingTransforms.sheypoorTransform(
+      Seq(("https://sheypoor.com/v/fa", json)).toDF("url", "raw"),
+      "raw", "url", ref).collect()(0)
+    assert(row.getAs[Int]("floor") === 3)
+    assert(row.getAs[Int]("rooms_count") === 2)
+    assert(row.getAs[Int]("construction_year") === 1395)
+  }
+
   private val mrestateJson =
     """{"pageProps": {"data": {
       | "breadcrumb": [{"name": "خانه"}, {"name": "خرید آپارتمان در تهران"}, {"name": "ونک"}],
