@@ -739,13 +739,17 @@ object ListingTransforms {
         .when(priceMortgage.isNotNull && priceMortgage =!= 0 &&
               priceRent.isNotNull && priceRent =!= 0, "rent_credit")
 
+    // `if url:` / `if b.get("name")` in the reference are Python
+    // truthiness — empty strings are skipped too, not just nulls
+    // (mrestate_transformer.py:216-227)
+    def truthyStr(c: Column): Column = c.isNotNull && c =!= ""
     val images = when(size(filter(transform(dd("list_image"), i => i("url")),
-        u => u.isNotNull)) > 0,
-      transform(filter(dd("list_image"), i => i("url").isNotNull),
+        u => truthyStr(u))) > 0,
+      transform(filter(dd("list_image"), i => truthyStr(i("url"))),
         i => when(i("url").startsWith("/media"),
           concat(lit("https://mrestate.ir"), i("url"))).otherwise(i("url"))))
 
-    val crumbNames = filter(transform(breadcrumb, b => b("name")), n => n.isNotNull)
+    val crumbNames = filter(transform(breadcrumb, b => b("name")), n => truthyStr(n))
     val breadCrumbStr = when(breadcrumb.isNotNull && size(breadcrumb) > 0,
       concat(array_join(crumbNames, "\n/\n"), lit("\n/")))
 
@@ -780,6 +784,12 @@ object ListingTransforms {
       dd("area").as("building_size"),
       lit(null).cast(StringType).as("deed_type"),
       lit(null).cast(BooleanType).as("has_business_deed"),
+      // DELIBERATE canonicalization: the reference leaves floor as the
+      // raw string (it is absent from its numeric_fields pass,
+      // mrestate_transformer.py:136,231-243) and rooms_count as a float —
+      // the engine's unified listing schema types them int like the
+      // other three sites, applying the same digits-then-int parse the
+      // numeric pass uses.
       PersianText.toLongOrNull(md("floor")).cast(IntegerType).as("floor"),
       dd("num_bedrooms").cast(IntegerType).as("rooms_count"),
       lit(null).cast(IntegerType).as("total_floors_count"),

@@ -261,6 +261,24 @@ class ListingTransformsSpec extends AnyFunSuite with SparkSpec {
       "خانه\n/\nخرید آپارتمان در تهران\n/\nونک\n/")
   }
 
+  test("mrestate: empty-string names/urls are skipped like Python truthiness") {
+    // `if b.get("name")` / `if url:` skip "" as well as null
+    // (mrestate_transformer.py:216-227)
+    val json = mrestateJson
+      .replace("""[{"name": "خانه"}""", """[{"name": ""}, {"name": "خانه"}""")
+      .replace("""{"url": "/media/a.jpg"}""", """{"url": ""}, {"url": "/media/a.jpg"}""")
+    val row = ListingTransforms.mrestateTransform(
+      Seq(("https://mrestate.ir/p/2", json)).toDF("url", "raw"),
+      "raw", "url", ref).collect()(0)
+    // the empty-name crumb is dropped from the join but NOT from the
+    // positional [1] lookup — cat2 comes from breadcrumb[1] = "خانه" now
+    assert(row.isNullAt(row.fieldIndex("cat2_slug")))
+    assert(row.getAs[String]("bread_crumb") ===
+      "خانه\n/\nخرید آپارتمان در تهران\n/\nونک\n/")
+    assert(row.getSeq[String](row.fieldIndex("images")).toSeq ===
+      Seq("https://mrestate.ir/media/a.jpg", "http://x/b.jpg"))
+  }
+
   test("kilid envelope: typed fields + HTML passthrough") {
     val json =
       """{"content_url": "https://kilid.com/1", "html_content": "<html>x</html>",
