@@ -322,8 +322,15 @@ object ListingTransforms {
     val rentValue = when(sliderPresent, when(truthyNum(sRent), sRent)).otherwise(fbRent)
     val transformedCredit = when(sliderPresent, when(truthyNum(sTransCredit), sTransCredit))
     val transformedRent = when(sliderPresent, when(truthyNum(sTransRent), sTransRent))
-    val transformableCredit = when(sliderPresent, truthyNum(sTransCredit))
-    val transformableRent = when(sliderPresent, truthyNum(sTransRent))
+    // Reference quirk, ported faithfully: transformable_credit/rent are
+    // bool(trans_x) (divar_transformer.py:199-200) but the final numeric
+    // pass (py:612-637) runs them through float(re.sub(...)) — str(True)
+    // strips to "" and float("") raises → None, while False is excluded
+    // by the `val not in [None, "", False]` gate and survives. The
+    // observable output is therefore NULL when the transformed value is
+    // truthy and false otherwise — never true.
+    val transformableCredit = when(sliderPresent, when(!truthyNum(sTransCredit), lit(false)))
+    val transformableRent = when(sliderPresent, when(!truthyNum(sTransRent), lit(false)))
     val rentCreditTransform =
       when(sliderPresent, truthyNum(sTransCredit) && truthyNum(sTransRent))
     val transformablePrice = rentCreditTransform
@@ -440,9 +447,11 @@ object ListingTransforms {
     // ------------- images (order-preserving distinct)
     val seoImages = d("seo")("post_seo_schema")("image")
     val carouselImages = col("__carousel")
+    // `[i for i in schema_images if i]` / `if img:` — Python truthiness
+    // skips empty strings too (divar_transformer.py:597-608)
     val images = array_distinct(filter(
       concat(coalesce(seoImages, emptyStrArray), coalesce(carouselImages, emptyStrArray)),
-      i => i.isNotNull))
+      i => i.isNotNull && i =!= ""))
 
     // ------------- geo (seo first, then MAP fuzzy/exact)
     val seoGeo = d("seo")("post_seo_schema")("geo")

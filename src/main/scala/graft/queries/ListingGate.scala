@@ -20,20 +20,42 @@ object ListingGate {
 
   def q51DivarTransform(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    val even = pmod(col("doc_id"), lit(2)) === 0
+    val m4 = pmod(col("doc_id"), lit(4))
+    // even rows: RENT_SLIDER branch — %4==0 with truthy transformed
+    // values (exercising the bool→float→None reference quirk on
+    // transformable_*), %4==2 with transformed_value=0 (falsy). odd
+    // rows: the no-slider fallback with a قیمت کل price row.
+    val sliderWidget = format_string(
+      """{"widget_type":"RENT_SLIDER","data":{""" +
+        """"credit":{"value":%d,"transformed_value":%s},""" +
+        """"rent":{"value":%d,"transformed_value":%s}}}""",
+      col("n_chars") * 1000L,
+      when(m4 === 0, format_string("%d", col("n_chars") * 100L)).otherwise(lit("0")),
+      col("n_chars") * 10L,
+      when(m4 === 0, format_string("%d", col("n_chars") * 2L)).otherwise(lit("0")))
+    val priceWidget = format_string(
+      """{"widget_type":"UNEXPANDABLE_ROW","data":{"title":"قیمت کل","value":"%d تومان"}}""",
+      col("n_chars"))
     val raw = docs.select(
       col("doc_id").cast(StringType).as("url"),
-      format_string(
-        """{"share":{"title":"%s"},""" +
-          """"analytics":{"cat2":"%s","cat3":"%s-sell","city":"%s"},""" +
-          """"sections":[{"section_name":"LIST_DATA","widgets":[""" +
-          """{"widget_type":"UNEXPANDABLE_ROW","data":{"title":"قیمت کل","value":"%d تومان"}}]}]}""",
-        substring(col("text"), 1, 15), col("lang"), col("lang"),
-        col("source"), col("n_chars")).as("raw"))
+      concat(
+        format_string(
+          """{"share":{"title":"%s"},""" +
+            """"analytics":{"cat2":"%s","cat3":"%s-sell","city":"%s"},""" +
+            """"sections":[{"section_name":"LIST_DATA","widgets":[""",
+          substring(col("text"), 1, 15), col("lang"), col("lang"), col("source")),
+        when(even, sliderWidget).otherwise(priceWidget),
+        lit("]}]}")).as("raw"))
     ListingTransforms.divarTransform(raw, "raw", "url",
         to_timestamp(lit("2025-10-21 12:00:00")))
       .select(col("content_url"), col("cat2_slug"), col("cat3_slug"),
         col("city_slug"), col("title"), col("price_value"),
-        col("rent_type"), col("price_mode"), col("building_size"))
+        col("rent_type"), col("price_mode"), col("building_size"),
+        col("rent_mode"), col("credit_value"), col("rent_value"),
+        col("transformed_credit"), col("transformed_rent"),
+        col("transformable_credit"), col("transformable_rent"),
+        col("rent_credit_transform"), col("transformable_price"))
       .orderBy("content_url")
   }
 
@@ -41,19 +63,33 @@ object ListingGate {
 
   val oracles: Map[String, String] = Map(
     "q51_divar_transform" ->
-      // independently derived expectations: the transform must read the
-      // title out of share.title, slugs out of analytics, the price out
-      // of the UNEXPANDABLE_ROW (stripping " تومان"), fall through the
-      // no-slider rent branch to rent_type='rent_credit' (no credit, no
-      // rent), and leave absent fields null.
+      // independently derived expectations. Odd rows (no slider): price
+      // from the UNEXPANDABLE_ROW (stripping " تومان"), else-branch
+      // rent_type='rent_credit'. Even rows (RENT_SLIDER): slider money
+      // fields, rent_mode always 'مجانی' (the reference hard-codes
+      // has_credit/has_rent False there), and the transformable_* quirk:
+      // bool(True) dies in the reference's numeric pass (float('') →
+      // None) while False survives — so truthy → NULL, falsy → false.
       """SELECT cast(doc_id as varchar) AS content_url,
         | lang AS cat2_slug,
         | lang || '-sell' AS cat3_slug,
         | source AS city_slug,
         | substr(text, 1, 15) AS title,
-        | cast(n_chars as bigint) AS price_value,
-        | 'rent_credit' AS rent_type,
+        | CASE WHEN doc_id%2=1 THEN cast(n_chars as bigint) END AS price_value,
+        | CASE WHEN doc_id%2=1 THEN 'rent_credit'
+        |      WHEN doc_id%4=0 THEN 'rent_credit' END AS rent_type,
         | cast(NULL as varchar) AS price_mode,
-        | cast(NULL as double) AS building_size
+        | cast(NULL as double) AS building_size,
+        | CASE WHEN doc_id%2=0 THEN 'مجانی' END AS rent_mode,
+        | CASE WHEN doc_id%2=0 THEN cast(n_chars*1000 as double) END AS credit_value,
+        | CASE WHEN doc_id%2=0 THEN cast(n_chars*10 as double) END AS rent_value,
+        | CASE WHEN doc_id%4=0 THEN cast(n_chars*100 as double) END AS transformed_credit,
+        | CASE WHEN doc_id%4=0 THEN cast(n_chars*2 as double) END AS transformed_rent,
+        | CASE WHEN doc_id%4=2 THEN false END AS transformable_credit,
+        | CASE WHEN doc_id%4=2 THEN false END AS transformable_rent,
+        | CASE WHEN doc_id%4=0 THEN true WHEN doc_id%4=2 THEN false END
+        |   AS rent_credit_transform,
+        | CASE WHEN doc_id%4=0 THEN true WHEN doc_id%4=2 THEN false END
+        |   AS transformable_price
         |FROM documents ORDER BY content_url""".stripMargin)
 }

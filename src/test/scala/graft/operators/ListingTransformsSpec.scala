@@ -112,6 +112,36 @@ class ListingTransformsSpec extends AnyFunSuite with SparkSpec {
     assert(row.isNullAt(row.fieldIndex("rent_value")))
   }
 
+  test("divar: slider branch — money fields, مجانی mode, transformable quirk") {
+    def sliderJson(tc: Long, tr: Long) =
+      s"""{
+         | "analytics": {"cat2": "residential-rent", "cat3": "apartment-rent", "city": "tehran"},
+         | "webengage": {"district": "vanak", "business_type": "personal", "credit": 0, "rent": 0},
+         | "share": {"title": "اجاره"},
+         | "sections": [
+         |  {"section_name": "LIST_DATA", "widgets": [
+         |    {"widget_type": "RENT_SLIDER", "data": {
+         |      "credit": {"value": 500000, "transformed_value": $tc},
+         |      "rent": {"value": 25000, "transformed_value": $tr}}}]}
+         | ]}""".stripMargin
+    val rows = ListingTransforms.divarTransform(
+      Seq(("u-t", sliderJson(600000L, 26000L)), ("u-f", sliderJson(0L, 0L)))
+        .toDF("url", "raw"), "raw", "url", ref).orderBy("content_url").collect()
+    val t = rows(1); val f = rows(0) // u-t sorts after u-f
+    assert(t.getAs[Double]("credit_value") === 500000.0)
+    assert(t.getAs[Double]("rent_value") === 25000.0)
+    assert(t.getAs[Double]("transformed_credit") === 600000.0)
+    assert(t.getAs[String]("rent_mode") === "مجانی") // has_* hard-coded False
+    assert(t.getAs[String]("rent_type") === "rent_credit")
+    assert(t.getAs[Boolean]("rent_credit_transform") === true)
+    // reference quirk: bool(True) → float('') → None in the numeric
+    // pass, bool(False) survives — truthy transformed → NULL
+    assert(t.isNullAt(t.fieldIndex("transformable_credit")))
+    assert(f.getAs[Boolean]("transformable_credit") === false)
+    assert(f.isNullAt(f.fieldIndex("rent_type"))) // no transform → None
+    assert(f.getAs[Boolean]("rent_credit_transform") === false)
+  }
+
   test("divar: price block (no slider → fallback branch)") {
     assert(divarOut.getAs[String]("price_mode") === "مقطوع")
     assert(divarOut.getAs[Long]("price_value") === 123000L)
