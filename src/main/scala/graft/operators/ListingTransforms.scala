@@ -81,7 +81,8 @@ object ListingTransforms {
     StructField("latitude", StringType),
     StructField("lat", StringType),
     StructField("longitude", StringType),
-    StructField("lng", StringType)))
+    StructField("lng", StringType),
+    StructField("long", StringType))) // seo geo also tries "long" (py:567)
 
   private val widgetDataSchema = StructType(Seq(
     StructField("title", StringType),
@@ -104,8 +105,10 @@ object ListingTransforms {
       StructField("fuzzy_data", StructType(Seq(
         StructField("point", geoPointSchema),
         StructField("center", geoPointSchema),
-        StructField("radius", StringType)))),
-      StructField("exact_data", geoPointSchema))))))
+        StructField("radius", StringType),
+        StructField("r", StringType)))), // radius fallback key (py:585)
+      StructField("exact_data", geoPointSchema),
+      StructField("radius", StringType)))))) // no-fuzzy/no-exact fallback (py:591)
 
   private val widgetSchema = StructType(Seq(
     StructField("widget_type", StringType),
@@ -255,7 +258,11 @@ object ListingTransforms {
       unexpandable("سند").as("__deedW"),
       unexpandable("طبقه")("data")("value").as("__floorRaw"),
       unexpandable("متراژ زمین")("data")("value").as("__landRaw"),
-      unexpandable("نوع ملک").as("__propW"))
+      // the reference's نوع ملک loop has no break — LAST match wins
+      // (divar_transformer.py:550-556)
+      lastWhere(W, w =>
+        w("widget_type") === "UNEXPANDABLE_ROW" &&
+          w("data")("title") === "نوع ملک").as("__propW"))
 
     val groupInfoItems = col("__ginfo")
     val groupFeatureItems = col("__gfi")
@@ -387,55 +394,67 @@ object ListingTransforms {
       .otherwise(unitRaw)
 
     // ------------- feature fold (group items pass, then modal override)
+    // `mdata.get("title","") or mdata.get("text","") or ""` — Python
+    // truthiness: an EMPTY title falls through to text, not just a null
+    // one (divar_transformer.py:513-514)
+    def modalTitle(mw: Column): Column = {
+      val t = mw("data")("title")
+      val x = mw("data")("text")
+      when(t.isNotNull && t =!= "", t)
+        .otherwise(when(x.isNotNull && x =!= "", x).otherwise(lit("")))
+    }
+
     def featureBool(keyword: String): Column = {
       val g = lastWhere(groupFeatureItems, it => it("title").contains(keyword))
       val gVal = when(g.isNotNull,
         when(g("title").contains("ندارد"), false)
           .when(g("available").isNotNull, g("available"))
           .otherwise(true))
-      val m = lastWhere(modalFeatures, mw =>
-        coalesce(mw("data")("title"), mw("data")("text"), lit("")).contains(keyword))
+      val m = lastWhere(modalFeatures, mw => modalTitle(mw).contains(keyword))
       val mVal = when(m.isNotNull,
-        when(coalesce(m("data")("title"), m("data")("text"), lit(""))
-          .contains("ندارد"), false).otherwise(true))
+        when(modalTitle(m).contains("ندارد"), false).otherwise(true))
       coalesce(mVal, gVal)
     }
 
     def modalEnum(keyword: String, mapping: Column): Column = {
-      val m = lastWhere(modalFeatures, mw =>
-        coalesce(mw("data")("title"), mw("data")("text"), lit("")).contains(keyword))
+      val m = lastWhere(modalFeatures, mw => modalTitle(mw).contains(keyword))
       when(m.isNotNull,
-        coalesce(element_at(mapping,
-          coalesce(m("data")("title"), m("data")("text"))), lit("unselect")))
+        coalesce(element_at(mapping, modalTitle(m)), lit("unselect")))
     }
 
     // enum-string columns can also receive the boolean feature pass
-    // (features_map keys like "سرمایش داکت اسپلیت") — string-typed, with
-    // the enum override taking precedence like the reference's loop order.
+    // (features_map keys like "سرمایش داکت اسپلیت") — string-typed.
+    // DELIBERATE simplification vs the reference's single pass over the
+    // modal list (enum and bool writes interleave per item, last write
+    // wins): here the enum match takes precedence over the keyword-bool
+    // regardless of item order. Identical whenever a system appears in
+    // at most one modal item — the real page shape.
     def enumOrBool(keyword: String, mapping: Column, boolKeyword: String): Column =
       coalesce(modalEnum(keyword, mapping), featureBool(boolKeyword).cast(StringType))
 
     val isRebuilt = {
       val m = lastWhere(modalFeatures, mw =>
-        mw("widget_type") === "UNEXPANDABLE_ROW" && mw("data")("title") === "وضعیت واحد")
+        mw("widget_type") === "UNEXPANDABLE_ROW" && modalTitle(mw) === "وضعیت واحد")
       when(m.isNotNull, m("data")("value") === "بازسازی شده")
     }
     val buildingDirection = {
       val m = lastWhere(modalFeatures, mw =>
-        mw("widget_type") === "UNEXPANDABLE_ROW" && mw("data")("title") === "جهت ساختمان")
+        mw("widget_type") === "UNEXPANDABLE_ROW" && modalTitle(mw) === "جهت ساختمان")
       when(m.isNotNull,
         coalesce(element_at(buildingDirectionMap, m("data")("value")), lit("unselect")))
     }
     val heatingEnum = {
       val m = lastWhere(modalFeatures, mw =>
-        mw("widget_type") === "FEATURE_ROW" &&
-        coalesce(mw("data")("title"), mw("data")("text"), lit("")).contains("گرمایش"))
+        mw("widget_type") === "FEATURE_ROW" && modalTitle(mw).contains("گرمایش"))
       when(m.isNotNull,
-        coalesce(element_at(heatingMap,
-          coalesce(m("data")("title"), m("data")("text"))), lit("unselect")))
+        coalesce(element_at(heatingMap, modalTitle(m)), lit("unselect")))
     }
 
-    val constructionRaw = groupInfoValue("ساخت")
+    // construction year: EXACT title match and no break → last item wins
+    // (divar_transformer.py:542-548), unlike متراژ/اتاق which use
+    // substring-contains with break (first wins)
+    val constructionRaw =
+      lastWhere(groupInfoItems, it => it("title") === "ساخت")("value")
     val constructionYear = when(
         PersianText.persianToEnglishDigits(constructionRaw).contains("قبل"), "-1370")
       .otherwise(constructionRaw)
@@ -454,18 +473,40 @@ object ListingTransforms {
       i => i.isNotNull && i =!= ""))
 
     // ------------- geo (seo first, then MAP fuzzy/exact)
+    // All the reference's geo chains are `a or b or ...` — Python
+    // truthiness, so empty strings fall through like nulls; the MAP
+    // branch (including radius!) is consulted only when the seo lat or
+    // lon is missing, and inside it the seo value survives as the
+    // per-coordinate fallback (divar_transformer.py:563-595).
+    def truthyOr(cs: Column*): Column =
+      coalesce(cs.map(c => when(c.isNotNull && c =!= "", c)): _*)
     val seoGeo = d("seo")("post_seo_schema")("geo")
+    val seoLat = truthyOr(seoGeo("latitude"), seoGeo("lat"))
+    val seoLon = truthyOr(seoGeo("longitude"), seoGeo("lng"), seoGeo("long"))
     val mapWidget = col("__mapw")
-    val fuzzy = mapWidget("data")("location")("fuzzy_data")
-    val exact = mapWidget("data")("location")("exact_data")
+    val mapNeeded = (seoLat.isNull || seoLon.isNull) && mapWidget.isNotNull
+    val loc = mapWidget("data")("location")
+    val fuzzy = loc("fuzzy_data")
+    val exact = loc("exact_data")
     val fuzzyPoint = coalesce(fuzzy("point"), fuzzy("center"))
-    val lat = coalesce(seoGeo("latitude"), seoGeo("lat"),
-      when(fuzzy.isNotNull, coalesce(fuzzyPoint("latitude"), fuzzyPoint("lat")))
-        .otherwise(coalesce(exact("latitude"), exact("lat"))))
-    val lon = coalesce(seoGeo("longitude"), seoGeo("lng"),
-      when(fuzzy.isNotNull, coalesce(fuzzyPoint("longitude"), fuzzyPoint("lng")))
-        .otherwise(coalesce(exact("longitude"), exact("lng"))))
-    val radius = when(fuzzy.isNotNull, fuzzy("radius"))
+    val lat = when(mapNeeded,
+      when(fuzzy.isNotNull,
+        coalesce(truthyOr(fuzzyPoint("latitude"), fuzzyPoint("lat")), seoLat))
+        .when(exact.isNotNull,
+          coalesce(truthyOr(exact("latitude"), exact("lat")), seoLat))
+        .otherwise(seoLat))
+      .otherwise(seoLat)
+    val lon = when(mapNeeded,
+      when(fuzzy.isNotNull,
+        coalesce(truthyOr(fuzzyPoint("longitude"), fuzzyPoint("lng")), seoLon))
+        .when(exact.isNotNull,
+          coalesce(truthyOr(exact("longitude"), exact("lng")), seoLon))
+        .otherwise(seoLon))
+      .otherwise(seoLon)
+    val radius = when(mapNeeded,
+      when(fuzzy.isNotNull, truthyOr(fuzzy("radius"), fuzzy("r")))
+        .when(exact.isNotNull, lit(null).cast(StringType))
+        .otherwise(loc("radius")))
 
     import PersianText.{toDoubleOrNull, toLongOrNull}
     s3.select(

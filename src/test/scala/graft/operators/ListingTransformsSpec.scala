@@ -142,6 +142,35 @@ class ListingTransformsSpec extends AnyFunSuite with SparkSpec {
     assert(f.getAs[Boolean]("rent_credit_transform") === false)
   }
 
+  test("divar: MAP geo (incl. radius) only consulted when seo geo is incomplete") {
+    def geoJson(seoGeo: String) =
+      s"""{
+         | "analytics": {"cat2": "c", "cat3": "c", "city": "tehran"},
+         | "webengage": {"district": "d", "business_type": "personal", "credit": 0, "rent": 0},
+         | "share": {"title": "t"},
+         | "seo": {"post_seo_schema": {"description": "x", "geo": $seoGeo}},
+         | "sections": [
+         |  {"section_name": "MAP", "widgets": [
+         |    {"widget_type": "MAP_ROW", "data": {"location": {
+         |      "fuzzy_data": {"point": {"latitude": "35.10", "longitude": "51.10"},
+         |                     "radius": "500"}}}}]}
+         | ]}""".stripMargin
+    val rows = ListingTransforms.divarTransform(
+      Seq(("u-full", geoJson("""{"latitude": "35.75", "longitude": "51.41"}""")),
+          ("u-miss", geoJson("""{"latitude": "35.75", "longitude": ""}""")))
+        .toDF("url", "raw"), "raw", "url", ref).orderBy("content_url").collect()
+    val full = rows(0); val miss = rows(1)
+    // complete seo geo → map branch never entered → radius stays null
+    assert(full.getAs[Double]("location_latitude") === 35.75)
+    assert(full.isNullAt(full.fieldIndex("location_radius")))
+    // empty-string lon is FALSY (Python `not lon`) → map consulted: the
+    // fuzzy point overwrites BOTH coordinates (seo survives only when
+    // the map value is itself falsy), and radius is set
+    assert(miss.getAs[Double]("location_latitude") === 35.10)
+    assert(miss.getAs[Double]("location_longitude") === 51.10)
+    assert(miss.getAs[Double]("location_radius") === 500.0)
+  }
+
   test("divar: price block (no slider → fallback branch)") {
     assert(divarOut.getAs[String]("price_mode") === "مقطوع")
     assert(divarOut.getAs[Long]("price_value") === 123000L)
