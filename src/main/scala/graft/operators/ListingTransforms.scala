@@ -206,6 +206,11 @@ object ListingTransforms {
     val d = col("__d")
     val sections = d("sections")
 
+    // Python `a or b or None` — truthiness: empty strings fall through
+    // like nulls, and a lone falsy value becomes null
+    def truthyOr(cs: Column*): Column =
+      coalesce(cs.map(c => when(c.isNotNull && c =!= "", c)): _*)
+
     def sectionByName(name: String): Column =
       firstWhere(sections, s => s("section_name") === name)
 
@@ -277,7 +282,9 @@ object ListingTransforms {
     def groupInfoValue(titleContains: String): Column =
       firstWhere(groupInfoItems, it => it("title").contains(titleContains))("value")
 
-    val createdAtMonth = when(subtitle.isNotNull,
+    // `if subtitle:` — an EMPTY subtitle yields no publish time (null),
+    // it must not fall into text_to_date's refTime default
+    val createdAtMonth = when(subtitle.isNotNull && subtitle =!= "",
       RelativeDates.textToDateDivar(trim(get(split(subtitle, " در "), lit(0))), refTime))
 
     // ------------- price block
@@ -478,8 +485,6 @@ object ListingTransforms {
     // branch (including radius!) is consulted only when the seo lat or
     // lon is missing, and inside it the seo value survives as the
     // per-coordinate fallback (divar_transformer.py:563-595).
-    def truthyOr(cs: Column*): Column =
-      coalesce(cs.map(c => when(c.isNotNull && c =!= "", c)): _*)
     val seoGeo = d("seo")("post_seo_schema")("geo")
     val seoLat = truthyOr(seoGeo("latitude"), seoGeo("lat"))
     val seoLon = truthyOr(seoGeo("longitude"), seoGeo("lng"), seoGeo("long"))
@@ -512,15 +517,15 @@ object ListingTransforms {
     s3.select(
       col(urlCol).as("content_url"),
       refTime.as("created_at"),
-      coalesce(d("analytics")("cat2")).as("cat2_slug"),
-      coalesce(d("analytics")("cat3")).as("cat3_slug"),
-      coalesce(d("analytics")("city"), d("city")("second_slug")).as("city_slug"),
-      d("webengage")("district").as("neighborhood_slug"),
+      truthyOr(d("analytics")("cat2")).as("cat2_slug"),
+      truthyOr(d("analytics")("cat3")).as("cat3_slug"),
+      truthyOr(d("analytics")("city"), d("city")("second_slug")).as("city_slug"),
+      truthyOr(d("webengage")("district")).as("neighborhood_slug"),
       createdAtMonth.as("created_at_month"),
       element_at(typedMap(Seq("personal" -> "شخصی", "premium-panel" -> "مشاور املاک")),
         d("webengage")("business_type")).as("user_type"),
-      d("seo")("post_seo_schema")("description").as("description"),
-      d("share")("title").as("title"),
+      truthyOr(d("seo")("post_seo_schema")("description")).as("description"),
+      truthyOr(d("share")("title")).as("title"),
       rentMode.as("rent_mode"),
       rentValue.as("rent_value"),
       lit(null).cast(StringType).as("rent_to_single"),
