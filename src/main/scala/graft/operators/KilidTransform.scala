@@ -113,9 +113,11 @@ object KilidTransform {
     val breadcrumbs = doc.selectByAttr("nav", "aria-label", "breadcrumb")
       .headOption.map(_.select("a").map(_.text)).getOrElse(Seq.empty)
 
+    // the reference keeps duplicates — no dict.fromkeys here, unlike
+    // divar (kilid_transformer.py:194-200)
     val images = doc.select("div", "relative").flatMap(_.select("img"))
       .flatMap(_.attrs.get("src"))
-      .filter(_.startsWith("https://cdn.kilid.com")).distinct
+      .filter(_.startsWith("https://cdn.kilid.com"))
 
     var publishedRaw: String = null
     doc.select("div", "flex", "items-center", "justify-center", "gap-1").foreach { d =>
@@ -168,9 +170,11 @@ object KilidTransform {
       }
     }
     // additional-details grid (reference: raw_additional dict — a SEPARATE
-    // dict iterated after raw_features, so its writes win)
+    // dict iterated after raw_features, so its writes win). The reference
+    // uses select_one on the grid container — FIRST container only
+    // (kilid_transformer.py:280-290).
     val addlFeatures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    doc.select("div", "grid", "grid-cols-2").foreach { container =>
+    doc.select("div", "grid", "grid-cols-2").headOption.foreach { container =>
       container.select("div", "flex", "justify-start", "gap-2").foreach { d =>
         for {
           k <- d.selectOne("span", "text-gray-600")
@@ -274,7 +278,14 @@ object KilidTransform {
     if (html == null) null else extract(html, Option(cat1).getOrElse("")))
 
   /** Envelope frame (ListingTransforms.kilidEnvelope output) → canonical
-    * listing columns. */
+    * listing columns.
+    *
+    * DELIBERATE canonicalization: the reference's rewritten map_feature
+    * stringifies everything it stores (has_parking becomes the strings
+    * "True"/"False"/"None", floor/rooms stay digit strings —
+    * kilid_transformer.py:154-177); the engine's unified listing schema
+    * types them boolean/int like the other three sites, preserving the
+    * same tri-state semantics. */
   def kilidTransform(envelope: DataFrame, refTime: Column): DataFrame = {
     import graft.functions.PersianText.toLongOrNull
     val e = envelope.withColumn("__x",
