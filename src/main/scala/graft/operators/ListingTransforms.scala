@@ -615,10 +615,15 @@ object ListingTransforms {
     // to_slug handles falsy → null and the Persian comma itself
     def slug(c: Column): Column = PersianText.toSlug(c)
 
+    // Python truthiness throughout (`if b1:` / `x or None`): empty
+    // strings behave like nulls
+    def truthy(c: Column): Column = c.isNotNull && c =!= ""
+    def orNone(c: Column): Column = when(truthy(c), c)
+
     val b1 = get(attrs("categories"), lit(0))("name")
     val b2 = get(attrs("categories"), lit(1))("name")
-    val breadCrumb = when(b1.isNotNull,
-      concat_ws("/", array_compact(array(b1, b2))))
+    val breadCrumb = when(truthy(b1),
+      when(truthy(b2), concat(b1, lit("/"), b2)).otherwise(b1))
 
     val locParts = split(attrs("location"), "،")
     val p0 = trim(get(locParts, lit(0)))
@@ -653,8 +658,8 @@ object ListingTransforms {
       slug(p1).as("neighborhood_slug"),
       coalesce(publishTime, refTime).as("created_at_month"),
       lit(null).cast(StringType).as("user_type"),
-      d("description").as("description"),
-      attrs("title").as("title"),
+      orNone(d("description")).as("description"),
+      orNone(attrs("title")).as("title"),
       when(isRent, "مقطوع").as("rent_mode"),
       rentValue.as("rent_value"),
       lit(null).cast(StringType).as("rent_to_single"),
@@ -698,7 +703,7 @@ object ListingTransforms {
       lit(null).cast(BooleanType).as("has_jacuzzi"),
       lit(null).cast(BooleanType).as("has_sauna"),
       lit(null).cast(StringType).as("floor_material"),
-      getAttr("نوع ملک").as("property_type"),
+      orNone(getAttr("نوع ملک")).as("property_type"),
       lit(null).cast(IntegerType).as("regular_person_capacity"),
       lit(null).cast(IntegerType).as("extra_person_capacity"),
       lit(null).cast(LongType).as("cost_per_extra_person"),
