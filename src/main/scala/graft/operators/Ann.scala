@@ -24,23 +24,29 @@ object Ann {
   /** Deterministic coarse centroids: the k seed vectors are the lowest
     * ids; one Lloyd refinement step averages their assigned vectors.
     * (A production index would run a few more iterations — the plumbing
-    * is identical.) Returns (centroid_id, cvec: array<long>). */
+    * is identical.) Returns (centroid_id, cvec: array<long>).
+    *
+    * The refinement is `dims` primitive sum-aggregates over the array
+    * elements rather than posexplode + a (cell, position) shuffle — no
+    * row explosion, fully map-side combinable, one k-row result. At a
+    * 100 TB corpus the explode variant shuffles dims× the input; this
+    * shuffles k×dims longs. */
   def buildCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
-                     k: Int): DataFrame = {
+                     k: Int, dims: Int = 64): DataFrame = {
     val q = embeddings.select(col(idCol).as("vid"), quantize_e6(col(vecCol)).as("v"))
     val seeds = q.orderBy("vid").limit(k)
       .withColumn("centroid_id", row_number().over(Window.orderBy("vid")) - 1)
       .select(col("centroid_id"), col("v").as("cvec"))
     val assigned = assign(q, seeds)
-    // one refinement: element-wise mean of assigned vectors per cell
+    // one refinement: element-wise mean (trunc toward zero, exact
+    // integer sums) of assigned vectors per cell
+    val sums = (1 to dims).map(i => sum(element_at(col("v"), i)).as(s"s$i"))
     assigned.join(q, Seq("vid"))
-      .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("centroid_id", "pos")
-      .agg((sum("x") / count("x")).cast(LongType).as("cx"))
       .groupBy("centroid_id")
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .agg(count(lit(1)).as("n"), sums: _*)
       .select(col("centroid_id"),
-        expr("transform(pairs, p -> p.cx)").as("cvec"))
+        array((1 to dims).map(i =>
+          (col(s"s$i") / col("n")).cast(LongType)): _*).as("cvec"))
   }
 
   /** Assign each vector to its nearest centroid (exact integer dot on
