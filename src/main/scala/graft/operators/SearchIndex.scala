@@ -81,9 +81,16 @@ object SearchIndex {
     * dimension joins are broadcast (small dims), the pivot/user
     * aggregates shuffle on their keys.
     */
-  def relationalCore(t: Tables, watermark: Column): DataFrame = {
+  /** `statusFilter` mirrors the two DAGs' WHERE clauses: the nightly
+    * full rebuild keeps only active rows (StatusId = 1247,
+    * sql_search_full_rebuild_dag.py:42) while the hourly incremental
+    * keeps everything not deleted (StatusId <> 1254,
+    * sql_search_incremental_dag.py:46) and derives active/inactive
+    * downstream. */
+  def relationalCore(t: Tables, watermark: Column,
+                     statusFilter: Column = col("StatusId") === 1247): DataFrame = {
     val d = t.deposits
-      .filter(col("StatusId") === 1247 && col("ModifiedDate") > watermark)
+      .filter(statusFilter && col("ModifiedDate") > watermark)
     val p = pivotCustomFields(t.customFieldValues, t.customFieldOptions)
     val ur = minUserRole(t.userRoles)
     d.join(broadcast(t.depositCategories.select(col("Id").as("dc_Id"), col("Link"))),
@@ -154,12 +161,13 @@ object SearchIndex {
   def fullRebuild(t: Tables, watermark: Column, refYear: Column): DataFrame =
     buildPayload(relationalCore(t, watermark), refYear, Some("active"))
 
-  /** Hourly incremental: tighter watermark, status derived from StatusId
+  /** Hourly incremental: tighter watermark, not-deleted filter (NOT
+    * active-only — non-deleted inactive rows are kept and emitted with
+    * status 'inactive'), status derived from StatusId
     * (sql_search_incremental_dag.py:46-47,190). */
   def incremental(t: Tables, watermark: Column, refYear: Column): DataFrame =
     buildPayload(
-      relationalCore(t.copy(deposits = t.deposits.filter(col("StatusId") =!= 1254)),
-        watermark),
+      relationalCore(t, watermark, statusFilter = col("StatusId") =!= 1254),
       refYear, None)
 
   /** F38: EAV melt — the exact inverse of the pivot

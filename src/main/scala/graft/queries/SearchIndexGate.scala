@@ -30,16 +30,18 @@ object SearchIndexGate {
 
   private val Watermark = "1995-06-01 00:00:00"
 
-  def q50SearchIndex(s: SparkSession, dir: String): DataFrame = {
+  /** The deterministic star derivation shared by q50/q56; `statusId`
+    * lets each gate pick its status domain. */
+  private def starTables(s: SparkSession, dir: String,
+                         statusId: org.apache.spark.sql.Column): SearchIndex.Tables = {
     import s.implicits._
-    val o = Tables.orders(s, dir)
-    val deposits = o.select(
+    val deposits = Tables.orders(s, dir).select(
       col("o_orderkey").as("Id"),
       col("o_orderpriority").as("Title"),
       col("o_orderstatus").as("Description"),
       (col("o_custkey") % 3).cast(IntegerType).as("DepositCategoryId"),
       (lit(100) + col("o_orderkey") % 3).cast(IntegerType).as("PropertyTypeId"),
-      when(col("o_orderstatus") === "P", 1254).otherwise(1247).as("StatusId"),
+      statusId.as("StatusId"),
       col("o_custkey").as("UserId"),
       (col("o_custkey") % 50).cast(IntegerType).as("CityId"),
       (col("o_custkey") % 5).cast(IntegerType).as("RegionId"),
@@ -55,7 +57,7 @@ object SearchIndexGate {
         (col("l_linenumber") % 8).cast(IntegerType) + 1).as("CustomFieldId"),
       lit(null).cast(IntegerType).as("CustomFieldOptionId"),
       round(col("l_quantity")).cast(LongType).cast(StringType).as("Value"))
-    val t = SearchIndex.Tables(
+    SearchIndex.Tables(
       deposits = deposits,
       customFieldValues = cfv,
       customFieldOptions = Tables.part(s, dir)
@@ -70,14 +72,116 @@ object SearchIndexGate {
       userRoles = Tables.customer(s, dir)
         .filter(col("c_custkey") % 7 =!= 0)
         .select(col("c_custkey").as("UserId"), col("c_nationkey").as("RoleId")))
+  }
+
+  def q50SearchIndex(s: SparkSession, dir: String): DataFrame = {
+    val t = starTables(s, dir,
+      when(col("o_orderstatus") === "P", 1254).otherwise(1247))
     SearchIndex.fullRebuild(t,
         watermark = to_timestamp(lit(Watermark)), refYear = lit(2025))
       .orderBy(col("id").desc)
   }
 
-  val queries: Map[String, Q] = Map("q50_search_index" -> (q50SearchIndex _))
+  /** q56: the hourly INCREMENTAL path (SURVEY §3.1) — three statuses so
+    * the not-deleted filter and the active/inactive derivation are both
+    * observable: deleted rows ('P'→1254) vanish, non-active rows
+    * ('O'→1300) survive flagged inactive. */
+  def q56SearchIncremental(s: SparkSession, dir: String): DataFrame = {
+    val t = starTables(s, dir,
+      when(col("o_orderstatus") === "P", 1254)
+        .when(col("o_orderstatus") === "F", 1247).otherwise(1300))
+    SearchIndex.incremental(t,
+        watermark = to_timestamp(lit(Watermark)), refYear = lit(2025))
+      .orderBy(col("id").desc)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q50_search_index" -> (q50SearchIndex _),
+    "q56_search_incremental" -> (q56SearchIncremental _))
+
+  private def starSql(statusCase: String, coreWhere: String,
+                      statusExpr: String): String =
+    s"""WITH deposits AS (
+       |  SELECT o_orderkey Id, o_orderpriority Title, o_orderstatus Description,
+       |   cast(o_custkey % 3 as int) DepositCategoryId,
+       |   cast(100 + o_orderkey % 3 as int) PropertyTypeId,
+       |   $statusCase StatusId,
+       |   o_custkey UserId, cast(o_custkey % 50 as int) CityId,
+       |   cast(o_custkey % 5 as int) RegionId,
+       |   o_orderdate CreatedTime, o_orderdate ModifiedDate,
+       |   cast(round(o_totalprice) as bigint) Price
+       |  FROM orders),
+       |cfv AS (
+       |  SELECT l_orderkey DepositId,
+       |   CASE cast(l_linenumber % 8 as int)
+       |     WHEN 0 THEN 1224 WHEN 1 THEN 1189 WHEN 2 THEN 1143 WHEN 3 THEN 1136
+       |     WHEN 4 THEN 1185 WHEN 5 THEN 1193 WHEN 6 THEN 1123 ELSE 1148 END cfid,
+       |   cast(cast(round(l_quantity) as bigint) as varchar) v
+       |  FROM lineitem),
+       |pvt AS (
+       |  SELECT DepositId,
+       |   max(CASE WHEN cfid = 1224 THEN v END) meter,
+       |   max(CASE WHEN cfid = 1189 THEN v END) floor,
+       |   max(CASE WHEN cfid = 1143 THEN v END) rooms,
+       |   max(CASE WHEN cfid = 1136 THEN v END) age,
+       |   max(CASE WHEN cfid = 1185 THEN v END) parking,
+       |   max(CASE WHEN cfid = 1193 THEN v END) warehouse,
+       |   max(CASE WHEN cfid = 1123 THEN v END) elevator,
+       |   max(CASE WHEN cfid = 1148 THEN v END) loan
+       |  FROM cfv GROUP BY DepositId),
+       |minrole AS (
+       |  SELECT c_custkey UserId, min(c_nationkey) RoleId
+       |  FROM customer WHERE c_custkey % 7 <> 0 GROUP BY 1),
+       |core AS (
+       |  SELECT d.*, r.r_name dc_link, n.n_name region_name, ur.RoleId,
+       |   CASE d.PropertyTypeId WHEN 100 THEN 'آپارتمان مسکونی'
+       |     WHEN 101 THEN 'مشارکت در ساخت' ELSE 'زمین کشاورزی' END bi_title,
+       |   p.meter, p.floor, p.rooms, p.age, p.parking, p.warehouse, p.elevator, p.loan
+       |  FROM deposits d
+       |  LEFT JOIN region r ON d.DepositCategoryId = r.r_regionkey
+       |  LEFT JOIN nation n ON d.RegionId = n.n_nationkey
+       |  LEFT JOIN pvt p ON d.Id = p.DepositId
+       |  LEFT JOIN minrole ur ON d.UserId = ur.UserId
+       |  WHERE $coreWhere AND d.ModifiedDate > TIMESTAMP '$Watermark'),
+       |payload AS (
+       |  SELECT Id id,
+       |   CASE WHEN bi_title LIKE '%مشارکت%' THEN NULL
+       |        WHEN bi_title LIKE '%زمین%' OR bi_title LIKE '%صنعتی%'
+       |          THEN 'باغ باغچه و زمین'
+       |        ELSE trim(bi_title) END property_type,
+       |   coalesce(dc_link, '') deposit_category,
+       |   cast(CASE WHEN RoleId IS NULL OR RoleId = 0 THEN 13 ELSE RoleId END as bigint) user_role_id,
+       |   cast(CASE WHEN CityId IS NULL OR CityId = 0 THEN 0 ELSE CityId END as bigint) city_id,
+       |   coalesce(Title, '') title,
+       |   strftime(timezone('Asia/Tehran', CreatedTime) AT TIME ZONE 'UTC',
+       |            '%Y-%m-%dT%H:%M:%S') || '+00:00' created_time,
+       |   strftime(timezone('Asia/Tehran', ModifiedDate) AT TIME ZONE 'UTC',
+       |            '%Y-%m-%dT%H:%M:%S') || '+00:00' modified_time,
+       |   coalesce(region_name, '') region,
+       |   cast(CASE WHEN Price IS NULL OR Price = 0 THEN 0 ELSE Price END as bigint) price,
+       |   cast(0 as bigint) rental_price,
+       |   cast(coalesce(floor(try_cast(meter as double)), 0) as bigint) meter,
+       |   coalesce(floor, '') floor,
+       |   coalesce(rooms, '') rooms,
+       |   cast(CASE WHEN coalesce(floor(try_cast(age as double)), 0) > 30 THEN 1373
+       |             WHEN coalesce(floor(try_cast(age as double)), 0) > 20 THEN 1383
+       |             ELSE 1404 END as int) age,
+       |   (parking IS NOT NULL AND parking <> '') parking,
+       |   (warehouse IS NOT NULL AND warehouse <> '') warehouse,
+       |   (elevator IS NOT NULL AND elevator <> '') elevator,
+       |   (loan IS NOT NULL AND loan <> '') loan,
+       |   coalesce(Description, '') description,
+       |   $statusExpr status
+       |  FROM core)
+       |SELECT * FROM payload WHERE property_type IS NOT NULL
+       |ORDER BY id DESC""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q56_search_incremental" -> starSql(
+      statusCase =
+        "CASE WHEN o_orderstatus='P' THEN 1254 WHEN o_orderstatus='F' THEN 1247 ELSE 1300 END",
+      coreWhere = "d.StatusId <> 1254",
+      statusExpr = "CASE WHEN StatusId = 1247 THEN 'active' ELSE 'inactive' END"),
     "q50_search_index" ->
       s"""WITH deposits AS (
          |  SELECT o_orderkey Id, o_orderpriority Title, o_orderstatus Description,

@@ -26,6 +26,9 @@ class SearchIndexSpec extends AnyFunSuite with SparkSpec {
       (3L, "Deleted", "filtered", 6, 100, 1254, "u1", 5, Some(50), ts("2025-06-01 12:00:00"), ts("2025-10-15 08:00:00"), "st", 0L, 0L),
       (4L, "Stale", "filtered", 6, 100, 1247, "u1", 5, Some(50), ts("2025-06-01 12:00:00"), ts("2025-01-01 08:00:00"), "st", 0L, 0L),
       (5L, "Bare", null, 99, 100, 1247, "u9", 0, None, null, ts("2025-10-16 09:00:00"), null, 0L, 7L),
+      // neither active (1247) nor deleted (1254): excluded from the full
+      // rebuild, KEPT by the incremental as status 'inactive'
+      (6L, "Paused", "kept by incremental", 6, 100, 1300, "u1", 5, Some(50), ts("2025-06-01 12:00:00"), ts("2025-10-15 08:00:00"), "st", 0L, 0L),
     ).toDF("Id", "Title", "Description", "DepositCategoryId", "PropertyTypeId",
       "StatusId", "UserId", "CityId", "RegionId", "CreatedTime", "ModifiedDate",
       "MainStreet", "Price", "RentalPrice"),
@@ -82,11 +85,17 @@ class SearchIndexSpec extends AnyFunSuite with SparkSpec {
     assert(r1.getAs[String]("status") === "active")
   }
 
-  test("incremental derives status from StatusId") {
+  test("incremental keeps non-deleted inactive rows and derives status") {
+    // the incremental WHERE is StatusId <> 1254 (NOT active-only,
+    // sql_search_incremental_dag.py:46): row 6 (status 1300) must
+    // appear, flagged inactive; the deleted row 3 must not
     val inc = SearchIndex.incremental(t,
       watermark = to_timestamp(lit("2025-09-21 00:00:00")),
       refYear = lit(2025)).collect()
-    assert(inc.forall(_.getAs[String]("status") == "active"))
+    assert(inc.map(_.getAs[Long]("id")).toSeq === Seq(6L, 5L, 1L))
+    val byId = inc.map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    assert(byId(6L) === "inactive")
+    assert(byId(1L) === "active")
   }
 
   test("eavMelt inverts the pivot on the 8 wide fields") {
