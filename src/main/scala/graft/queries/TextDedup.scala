@@ -214,6 +214,15 @@ object TextDedup {
     // signatures (no self-join recomputing the subtree), one shuffle on
     // the band key. Candidate cardinality is identical to a band
     // self-join; hot buckets are an LSH-parameter concern either way.
+    //
+    // Scale note (measured on 16×-replicated documents): signatures stay
+    // scan-linear, but PAIR COUNT grows quadratically inside duplicate
+    // clusters (a bucket of m near-identical docs emits m(m−1)/2 pairs)
+    // — that is the semantics of pairwise near-dup output, not a shuffle
+    // flaw. A duplicate-heavy 100 TB corpus would cap bucket size or
+    // emit per-bucket connected components / cluster representatives
+    // instead of exhaustive pairs; the oracle gate keeps exhaustive
+    // pairs because that is what it certifies.
     val bands = minhashSignatures(s, dir)
       .select(col("doc_id"), expr(
         "stack(2, 1, concat(h0, h1, h2, h3), 2, concat(h4, h5, h6, h7)) " +
