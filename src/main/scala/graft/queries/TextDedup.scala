@@ -235,6 +235,26 @@ object TextDedup {
       .distinct().orderBy("doc_a", "doc_b")
   }
 
+  /** t34: the LSH dedup DECISION at linear cost — drop any document
+    * that is not the smallest id in one of its band buckets (the
+    * greedy keep-first rule a production dedup applies). Unlike the
+    * pairwise t28 output this never materializes candidate pairs, so a
+    * bucket of m duplicates costs m rows, not m(m−1)/2 — the shape that
+    * survives a duplicate-heavy 100 TB corpus: one shuffle on the band
+    * key, a min aggregate, a distinct on the drop list. */
+  def t34MinhashDedupDrops(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashSignatures(s, dir)
+      .select(col("doc_id"), expr(
+        "stack(2, 1, concat(h0, h1, h2, h3), 2, concat(h4, h5, h6, h7)) " +
+        "as (band_idx, band_val)"))
+    val reps = bands.groupBy("band_idx", "band_val")
+      .agg(min(col("doc_id")).as("rep"))
+    bands.join(reps, Seq("band_idx", "band_val"))
+      .filter(col("doc_id") > col("rep"))
+      .select(col("doc_id")).distinct()
+      .orderBy("doc_id")
+  }
+
   /** t29: JSON path extraction from the event props payload
     * (F35 deep-path navigation, mrestate_transformer.py:31-186). */
   def t29JsonExtract(s: SparkSession, dir: String): DataFrame =
@@ -273,6 +293,7 @@ object TextDedup {
     "t26_ngram_jaccard" -> (t26NgramJaccard _),
     "t27_minhash_sigs" -> (t27MinhashSigs _),
     "t28_minhash_band_pairs" -> (t28MinhashBandPairs _),
+    "t34_minhash_dedup_drops" -> (t34MinhashDedupDrops _),
     "t29_json_extract" -> (t29JsonExtract _),
     "t30_unpivot_part" -> (t30UnpivotPart _),
     "t31_multimodal_meta" -> (t31MultimodalMeta _),
@@ -367,6 +388,28 @@ object TextDedup {
         |FROM sig a JOIN sig b ON (a.band1 = b.band1 OR a.band2 = b.band2)
         |                     AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin),
+    "t34_minhash_dedup_drops" ->
+      (shingleSqlCte +
+      """,
+        |ex AS (SELECT doc_id, md5(unnest(s)) m FROM sh),
+        |sig AS (SELECT doc_id,
+        |  min(m) || min(substr(m,5,28) || substr(m,1,4))
+        |         || min(substr(m,9,24) || substr(m,1,8))
+        |         || min(substr(m,13,20) || substr(m,1,12)) AS band1,
+        |  min(substr(m,17,16) || substr(m,1,16))
+        |         || min(substr(m,21,12) || substr(m,1,20))
+        |         || min(substr(m,25,8) || substr(m,1,24))
+        |         || min(substr(m,29,4) || substr(m,1,28)) AS band2
+        | FROM ex GROUP BY doc_id),
+        |bands AS (SELECT doc_id, 1 band_idx, band1 band_val FROM sig
+        |          UNION ALL
+        |          SELECT doc_id, 2, band2 FROM sig),
+        |reps AS (SELECT band_idx, band_val, min(doc_id) rep
+        |         FROM bands GROUP BY 1, 2)
+        |SELECT DISTINCT b.doc_id FROM bands b
+        |JOIN reps r ON b.band_idx = r.band_idx AND b.band_val = r.band_val
+        |WHERE b.doc_id > r.rep
+        |ORDER BY doc_id""".stripMargin),
     "t29_json_extract" ->
       """SELECT cast(json_extract_string(props, '$.k') as int) AS k,
         | cast(count(*) as bigint) AS n
