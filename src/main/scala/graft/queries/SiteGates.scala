@@ -361,11 +361,54 @@ object SiteGates {
       .orderBy("id")
   }
 
+  // ------------------------------------------------- collection cleanup
+
+  /** q57: the F40 per-document collection cleanup
+    * (format_divar_collection.py:19-103) under the DuckDB gate —
+    * "null" literals, "بدون/بیشتر از" normalizations, قبل…۱۳۷۰ → −1370,
+    * Persian thousands-separator numeric parse, glued-datetime repair,
+    * and the future-date clamp. */
+  def q57CollectionCleanup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val m2 = pmod(col("doc_id"), lit(2))
+    val m3 = pmod(col("doc_id"), lit(3))
+    val m4 = pmod(col("doc_id"), lit(4))
+    val m5 = pmod(col("doc_id"), lit(5))
+    val raw = docs.select(
+      col("doc_id").cast(StringType).as("content_url"),
+      when(m5 === 0, "null").otherwise(substring(col("text"), 1, 10)).as("title"),
+      when(m3 === 0, lit("بدون اتاق"))
+        .when(m3 === 1, fa(format_string("بیشتر از %d", m5)))
+        .otherwise(fa(format_string("%d", pmod(col("doc_id"), lit(7)))))
+        .as("rooms_count"),
+      when(m2 === 0, fa(format_string("بیشتر از %d", pmod(col("n_chars"), lit(4)))))
+        .otherwise(fa(format_string(" %d ", pmod(col("n_chars"), lit(4)))))
+        .as("unit_per_floor"),
+      when(m4 === 0, lit("قبل از ۱۳۷۰"))
+        .otherwise(fa(format_string("13%d5", pmod(col("doc_id"), lit(10)))))
+        .as("construction_year"),
+      fa(format_string("%d٬000 ", col("n_chars"))).as("price_value"),
+      format_string("2025-09-%02d10:30:00", pmod(col("doc_id"), lit(28)) + 1)
+        .as("record_timestamp"),
+      lit(null).cast(StringType).as("created_at"),
+      when(m2 === 0, "2025-12-0110:00:00")
+        .otherwise(format_string("2025-09-%02d 08:00:00",
+          pmod(col("doc_id"), lit(28)) + 1))
+        .as("created_at_month"))
+    graft.operators.CollectionCleanup.cleanDivarCollection(raw)
+      .select(col("content_url"), col("title"), col("rooms_count"),
+        col("unit_per_floor"), col("construction_year"), col("price_value"),
+        fmt(col("created_at")).as("created_at"),
+        fmt(col("created_at_month")).as("created_at_month"))
+      .orderBy("content_url")
+  }
+
   val queries: Map[String, Q] = Map(
     "q52_sheypoor_transform" -> (q52SheypoorTransform _),
     "q53_mrestate_transform" -> (q53MrestateTransform _),
     "q54_kilid_transform" -> (q54KilidTransform _),
-    "q55_xml_fallback" -> (q55XmlFallback _))
+    "q55_xml_fallback" -> (q55XmlFallback _),
+    "q57_collection_cleanup" -> (q57CollectionCleanup _))
 
   private val ts = s"timestamp '$RefTs'"
 
@@ -495,5 +538,21 @@ object SiteGates {
         |  CASE WHEN n_chars%2=0 THEN 'BUY' ELSE 'RENT' END,
         |  'OFFICE', 'COMMERCIAL'
         | FROM documents)
-        |ORDER BY id""".stripMargin)
+        |ORDER BY id""".stripMargin,
+    "q57_collection_cleanup" ->
+      s"""SELECT cast(doc_id as varchar) AS content_url,
+        | CASE WHEN doc_id%5=0 THEN NULL ELSE substr(text, 1, 10) END AS title,
+        | CASE doc_id%3 WHEN 0 THEN '0'
+        |               WHEN 1 THEN (doc_id%5) || '+'
+        |               ELSE cast(doc_id%7 as varchar) END AS rooms_count,
+        | CASE WHEN doc_id%2=0 THEN (n_chars%4) || '+'
+        |      ELSE cast(n_chars%4 as varchar) END AS unit_per_floor,
+        | CASE WHEN doc_id%4=0 THEN -1370
+        |      ELSE 1305 + (doc_id%10)*10 END AS construction_year,
+        | cast(n_chars*1000 as bigint) AS price_value,
+        | printf('2025-09-%02d 10:30:00', doc_id%28+1) AS created_at,
+        | CASE WHEN doc_id%2=0 THEN '2025-10-21 00:00:00'
+        |      ELSE printf('2025-09-%02d 08:00:00', doc_id%28+1) END
+        |   AS created_at_month
+        |FROM documents ORDER BY content_url""".stripMargin)
 }
