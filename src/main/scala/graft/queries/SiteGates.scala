@@ -403,12 +403,47 @@ object SiteGates {
       .orderBy("content_url")
   }
 
+  // ------------------------------------------------- divar→delta load
+
+  /** q58: the F31/F32 star-load code maps + F38 melt
+    * (map_divar_data_to_delta.py:69-277) under the DuckDB gate —
+    * surrogate ids, the floor/rooms chip option ids, the irregular
+    * Jalali-age option table (2214/2224/2234/4883/4884, 1372→1126),
+    * binary feature ids, category 6/7, and the Meter-as-Value vs
+    * chip-as-OptionId melt split. */
+  def q58DivarToDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val m23 = pmod(col("doc_id"), lit(23))
+    val m33 = pmod(col("doc_id"), lit(33))
+    val m6 = pmod(col("doc_id"), lit(6))
+    val wide = docs.select(
+      col("doc_id"),
+      col("n_chars").cast(StringType).as("meter"),
+      when(m23 === 0, "زیرهمکف").when(m23 === 1, "همکف")
+        .when(m23 === 22, "بالا تر از 20")
+        .otherwise((m23 - 1).cast(StringType)).as("floorRaw"),
+      when(m6 === 0, "بدون اتاق").otherwise(m6.cast(StringType)).as("roomsRaw"),
+      m33.cast(IntegerType).as("ageYears"),
+      pmod(col("doc_id"), lit(2)).cast(IntegerType).as("elevator"),
+      pmod(col("n_chars"), lit(2)).cast(IntegerType).as("loan"),
+      when(pmod(col("doc_id"), lit(3)) > 0, 1).otherwise(0).as("parking"),
+      when(pmod(col("n_chars"), lit(3)) > 0, 1).otherwise(0).as("warehouse"),
+      when(pmod(col("doc_id"), lit(2)) === 0, "فروش مسکونی")
+        .otherwise(lit("اجارهٔ مسکونی")).as("category"))
+    val mapped = graft.operators.DivarToDelta.mapDeposits(wide, "doc_id")
+    graft.operators.DivarToDelta.toCustomFieldValues(mapped)
+      .join(mapped.select(col("id").as("DepositId"), col("DepositCategoryId")),
+        Seq("DepositId"))
+      .orderBy("DepositId", "CustomFieldId")
+  }
+
   val queries: Map[String, Q] = Map(
     "q52_sheypoor_transform" -> (q52SheypoorTransform _),
     "q53_mrestate_transform" -> (q53MrestateTransform _),
     "q54_kilid_transform" -> (q54KilidTransform _),
     "q55_xml_fallback" -> (q55XmlFallback _),
-    "q57_collection_cleanup" -> (q57CollectionCleanup _))
+    "q57_collection_cleanup" -> (q57CollectionCleanup _),
+    "q58_divar_to_delta" -> (q58DivarToDelta _))
 
   private val ts = s"timestamp '$RefTs'"
 
@@ -554,5 +589,44 @@ object SiteGates {
         | CASE WHEN doc_id%2=0 THEN '2025-10-21 00:00:00'
         |      ELSE printf('2025-09-%02d 08:00:00', doc_id%28+1) END
         |   AS created_at_month
-        |FROM documents ORDER BY content_url""".stripMargin)
+        |FROM documents ORDER BY content_url""".stripMargin,
+    "q58_divar_to_delta" ->
+      // independent re-derivation of the option-id tables, including the
+      // irregular age ids, straight from the reference's mapping dicts
+      """WITH base AS (
+        | SELECT doc_id, n_chars,
+        |  cast(row_number() OVER (ORDER BY doc_id) + 90000 as int) id,
+        |  CASE WHEN doc_id%23 = 0 THEN 1129 WHEN doc_id%23 = 1 THEN 1130
+        |       WHEN doc_id%23 = 22 THEN 1151
+        |       ELSE 1129 + cast(doc_id%23 as int) END floor_opt,
+        |  CASE WHEN doc_id%6 = 0 THEN 1152
+        |       ELSE 1152 + cast(doc_id%6 as int) END rooms_opt,
+        |  CASE WHEN 1404-(doc_id%33) = 1404 THEN 2214
+        |       WHEN 1404-(doc_id%33) = 1393 THEN 2224
+        |       WHEN 1404-(doc_id%33) = 1378 THEN 2234
+        |       WHEN 1404-(doc_id%33) = 1377 THEN 4883
+        |       WHEN 1404-(doc_id%33) = 1373 THEN 4884
+        |       WHEN 1404-(doc_id%33) = 1372 THEN 1126
+        |       WHEN 1404-(doc_id%33) >= 1394 THEN cast(1098 + (1403 - (1404-(doc_id%33))) as int)
+        |       WHEN 1404-(doc_id%33) >= 1379 THEN cast(1108 + (1392 - (1404-(doc_id%33))) as int)
+        |       ELSE cast(1122 + (1376 - (1404-(doc_id%33))) as int) END age_opt,
+        |  CASE WHEN doc_id%2 = 1 THEN 1090 ELSE 1091 END elev_opt,
+        |  CASE WHEN n_chars%2 = 1 THEN 1096 ELSE 1097 END loan_opt,
+        |  CASE WHEN doc_id%3 > 0 THEN 1094 ELSE 1095 END parking_opt,
+        |  CASE WHEN n_chars%3 > 0 THEN 1092 ELSE 1093 END wh_opt,
+        |  CASE WHEN doc_id%2 = 0 THEN 6 ELSE 7 END cat
+        | FROM documents)
+        |SELECT id AS DepositId, cfid AS CustomFieldId,
+        |  cast(opt as int) AS CustomFieldOptionId, val AS Value,
+        |  cast(cat as int) AS DepositCategoryId
+        |FROM (
+        | SELECT id, 1117 cfid, NULL opt, cast(n_chars as varchar) val, cat FROM base
+        | UNION ALL SELECT id, 1118, floor_opt, NULL, cat FROM base
+        | UNION ALL SELECT id, 1119, rooms_opt, NULL, cat FROM base
+        | UNION ALL SELECT id, 1120, age_opt, NULL, cat FROM base
+        | UNION ALL SELECT id, 1121, parking_opt, NULL, cat FROM base
+        | UNION ALL SELECT id, 1122, wh_opt, NULL, cat FROM base
+        | UNION ALL SELECT id, 1123, elev_opt, NULL, cat FROM base
+        | UNION ALL SELECT id, 1124, loan_opt, NULL, cat FROM base)
+        |ORDER BY DepositId, CustomFieldId""".stripMargin)
 }
