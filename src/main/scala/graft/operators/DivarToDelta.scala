@@ -81,6 +81,39 @@ object DivarToDelta {
       elevatorOption(col("elevator")).as("Elevator"),
       loanOption(col("loan")).as("Loan"))
 
+  // ---- the script's row-fixing helpers (py:7-46)
+
+  /** F22 days-ago extraction (date_and_street_extractor, py:26-41):
+    * second whitespace token selects the unit (روز/ماه/هفته, else 0
+    * days), first token is the translated count. */
+  def daysAgo(c: Column): Column = {
+    val n = graft.functions.PersianText
+      .persianToEnglishDigits(element_at(split(c, "\\s+"), 1))
+      .try_cast(LongType)
+    val unit = element_at(split(c, "\\s+"), 2)
+    when(unit === "روز", n)
+      .when(unit === "ماه", n * 30)
+      .when(unit === "هفته", n * 7)
+      .otherwise(lit(0L))
+  }
+
+  /** F22: CreatedTime = now − days-ago (refTime injected). */
+  def createdTimeFrom(c: Column, refTime: Column): Column =
+    (refTime.cast(LongType) - daysAgo(c) * 86400L).cast(TimestampType)
+
+  /** F22 street extraction: the text after "، " when present, else a
+    * single SPACE (the reference's literal default, py:37-40). */
+  def mainStreet(c: Column): Column =
+    when(c.contains("،"), element_at(split(c, "، "), 2)).otherwise(lit(" "))
+
+  /** fix_floor (py:17-23): non-numeric floors — همکف anywhere wins,
+    * then "N از M" keeps the pre-از part UN-trimmed. */
+  def fixFloor(c: Column): Column = {
+    val hamkaf = when(c.contains("همکف"), "همکف").otherwise(c)
+    when(hamkaf.contains("از"), element_at(split(hamkaf, "از"), 1))
+      .otherwise(hamkaf)
+  }
+
   /** The full load: map + melt into CustomFieldValues rows
     * (py:226-277) — Meter carries Value, everything else the option id. */
   def toCustomFieldValues(mapped: DataFrame): DataFrame =

@@ -437,13 +437,45 @@ object SiteGates {
       .orderBy("DepositId", "CustomFieldId")
   }
 
+  /** q59: the star-load row fixers (F22 date+street extraction,
+    * fix_floor, fix_url — map_divar_data_to_delta.py:7-46) under the
+    * DuckDB gate, including the quirky defaults (single-space street,
+    * untrimmed pre-از floor part). */
+  def q59DivarFeedFields(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val m3 = pmod(col("doc_id"), lit(3))
+    val m4 = pmod(col("doc_id"), lit(4))
+    val created = when(m4 === 0,
+        fa(format_string("%d روز پیش در تهران، خیابان %d",
+          pmod(col("doc_id"), lit(9)) + 1, pmod(col("doc_id"), lit(100)))))
+      .when(m4 === 1, fa(format_string("%d هفته پیش", pmod(col("doc_id"), lit(4)) + 1)))
+      .when(m4 === 2, fa(format_string("%d ماه پیش در شیراز، کوچه %d",
+          pmod(col("doc_id"), lit(3)) + 1, col("doc_id"))))
+      .otherwise(lit("لحظاتی پیش"))
+    val floorRaw = when(m3 === 0,
+        fa(format_string("%d از %d", pmod(col("doc_id"), lit(9)),
+          pmod(col("doc_id"), lit(9)) + 5)))
+      .when(m3 === 1, lit("همکف زیبا"))
+      .otherwise(format_string("%d", pmod(col("doc_id"), lit(9))))
+    val url = format_string("https://divar.ir/v/%08d", col("doc_id"))
+    import graft.operators.DivarToDelta
+    docs.select(
+      col("doc_id"),
+      fmt(DivarToDelta.createdTimeFrom(created, refTime)).as("created_time"),
+      DivarToDelta.mainStreet(created).as("main_street"),
+      DivarToDelta.fixFloor(floorRaw).as("floor_fixed"),
+      graft.functions.PersianText.suffixToken(url).as("url_token"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q52_sheypoor_transform" -> (q52SheypoorTransform _),
     "q53_mrestate_transform" -> (q53MrestateTransform _),
     "q54_kilid_transform" -> (q54KilidTransform _),
     "q55_xml_fallback" -> (q55XmlFallback _),
     "q57_collection_cleanup" -> (q57CollectionCleanup _),
-    "q58_divar_to_delta" -> (q58DivarToDelta _))
+    "q58_divar_to_delta" -> (q58DivarToDelta _),
+    "q59_divar_feed_fields" -> (q59DivarFeedFields _))
 
   private val ts = s"timestamp '$RefTs'"
 
@@ -628,5 +660,26 @@ object SiteGates {
         | UNION ALL SELECT id, 1122, wh_opt, NULL, cat FROM base
         | UNION ALL SELECT id, 1123, elev_opt, NULL, cat FROM base
         | UNION ALL SELECT id, 1124, loan_opt, NULL, cat FROM base)
-        |ORDER BY DepositId, CustomFieldId""".stripMargin)
+        |ORDER BY DepositId, CustomFieldId""".stripMargin,
+    "q59_divar_feed_fields" ->
+      s"""SELECT doc_id,
+        | strftime($ts - to_seconds(86400 *
+        |   CASE doc_id%4 WHEN 0 THEN doc_id%9 + 1
+        |                 WHEN 1 THEN (doc_id%4 + 1) * 7
+        |                 WHEN 2 THEN (doc_id%3 + 1) * 30
+        |                 ELSE 0 END),
+        |   '%Y-%m-%d %H:%M:%S') AS created_time,
+        | CASE doc_id%4
+        |   WHEN 0 THEN 'خیابان ' ||
+        |     translate(cast(doc_id%100 as varchar), '0123456789', '۰۱۲۳۴۵۶۷۸۹')
+        |   WHEN 2 THEN 'کوچه ' ||
+        |     translate(cast(doc_id as varchar), '0123456789', '۰۱۲۳۴۵۶۷۸۹')
+        |   ELSE ' ' END AS main_street,
+        | CASE doc_id%3
+        |   WHEN 0 THEN translate(cast(doc_id%9 as varchar),
+        |                         '0123456789', '۰۱۲۳۴۵۶۷۸۹') || ' '
+        |   WHEN 1 THEN 'همکف'
+        |   ELSE cast(doc_id%9 as varchar) END AS floor_fixed,
+        | printf('%08d', doc_id) AS url_token
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }
