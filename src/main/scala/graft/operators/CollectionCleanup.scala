@@ -29,9 +29,11 @@ object CollectionCleanup {
     regexp_replace(PersianText.persianToEnglishDigits(c),
       "[‎‏,\\s٬،]", "")
 
-  /** Numeric parse after the junk strip; null when not numeric. */
+  /** Numeric parse after the junk strip; null when not numeric or out
+    * of long range (a plain cast would THROW on 1e308-style input under
+    * ANSI — caught by the totality property test). */
   def tryParseLong(c: Column): Column =
-    stripNumericJunk(c).try_cast(DoubleType).cast(LongType)
+    stripNumericJunk(c).try_cast(DoubleType).try_cast(LongType)
 
   /** normalize_more_than_value (py:50-59): translate digits, strip
     * marks/whitespace, "بیشتراز"/"بیشتر" + digits → "N+", else the

@@ -87,10 +87,12 @@ object DivarToDelta {
     * second whitespace token selects the unit (روز/ماه/هفته, else 0
     * days), first token is the translated count. */
   def daysAgo(c: Column): Column = {
+    // try_element_at: a one-token input has no unit (the reference would
+    // raise IndexError and abort the job; the engine degrades to 0 days)
     val n = graft.functions.PersianText
-      .persianToEnglishDigits(element_at(split(c, "\\s+"), 1))
+      .persianToEnglishDigits(try_element_at(split(c, "\\s+"), lit(1)))
       .try_cast(LongType)
-    val unit = element_at(split(c, "\\s+"), 2)
+    val unit = try_element_at(split(c, "\\s+"), lit(2))
     when(unit === "روز", n)
       .when(unit === "ماه", n * 30)
       .when(unit === "هفته", n * 7)
@@ -104,7 +106,8 @@ object DivarToDelta {
   /** F22 street extraction: the text after "، " when present, else a
     * single SPACE (the reference's literal default, py:37-40). */
   def mainStreet(c: Column): Column =
-    when(c.contains("،"), element_at(split(c, "، "), 2)).otherwise(lit(" "))
+    when(c.contains("،"), try_element_at(split(c, "، "), lit(2)))
+      .otherwise(lit(" "))
 
   /** fix_floor (py:17-23): non-numeric floors — همکف anywhere wins,
     * then "N از M" keeps the pre-از part UN-trimmed. */

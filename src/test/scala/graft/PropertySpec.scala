@@ -85,6 +85,28 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(keyCounts.forall(r => r.getLong(1) == 1L && !r.isNullAt(0)))
   }
 
+  test("cleanup and star-load helpers are total on arbitrary strings") {
+    import graft.operators.{CollectionCleanup, DivarToDelta}
+    val in = samples(garbageString).toDF("s")
+    val out = in.select(
+      CollectionCleanup.normalizeMoreThan(col("s")).as("mt"),
+      CollectionCleanup.roomsCount(col("s")).as("rc"),
+      CollectionCleanup.constructionYear(col("s")).as("cy"),
+      CollectionCleanup.tryParseLong(col("s")).as("pl"),
+      DivarToDelta.daysAgo(col("s")).as("da"),
+      DivarToDelta.mainStreet(col("s")).as("ms"),
+      DivarToDelta.fixFloor(col("s")).as("ff"),
+      DivarToDelta.floorOption(col("s")).as("fo")).collect()
+    assert(out.length === samples(garbageString).length)
+    // daysAgo defaults to 0 rather than failing; mainStreet defaults to
+    // the reference's single space
+    out.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("da")))
+      assert(r.getAs[Long]("da") >= 0L ||
+        r.getAs[Long]("da") < 0L) // value exists, sign unconstrained
+    }
+  }
+
   test("two-tier Bloom dedup equals exact dedup for random data") {
     val gen = Gen.oneOf((1 to 60).map(i => s"u$i"))
     val existing = samples(gen, 80).distinct.toDF("k")
