@@ -247,9 +247,12 @@ object TextDedup {
       .select(col("doc_id"), expr(
         "stack(2, 1, concat(h0, h1, h2, h3), 2, concat(h4, h5, h6, h7)) " +
         "as (band_idx, band_val)"))
-    val reps = bands.groupBy("band_idx", "band_val")
-      .agg(min(col("doc_id")).as("rep"))
-    bands.join(reps, Seq("band_idx", "band_val"))
+    // partition-wide window min instead of an aggregate + join back:
+    // one shuffle on the band key and no second copy of the signature
+    // subtree in the plan (the join formulation re-executed it)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "band_val")
+    bands.withColumn("rep", min(col("doc_id")).over(w))
       .filter(col("doc_id") > col("rep"))
       .select(col("doc_id")).distinct()
       .orderBy("doc_id")
