@@ -59,13 +59,40 @@ object StreamGate {
     s.table(name).orderBy("w_start", "event_type")
   }
 
+  /** q61: streaming stateful dedup (ST2 — the crawler/sink
+    * exactly-once-ish guarantee) executed for real: readStream →
+    * dropDuplicates on the key → append-mode memory sink → the set of
+    * first-seen keys. Only the KEY is projected, so the result is
+    * deterministic regardless of which duplicate row wins the race into
+    * state (the surviving key set equals relational DISTINCT). */
+  def q61StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
+    val deduped = stream
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val name = s"q61_stream_${runId.incrementAndGet()}"
+    val query = deduped.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(name).orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
-    "q60_stream_windowed_agg" -> (q60StreamWindowedAgg _))
+    "q60_stream_windowed_agg" -> (q60StreamWindowedAgg _),
+    "q61_stream_dedup" -> (q61StreamDedup _))
 
   val oracles: Map[String, String] = Map(
     "q60_stream_windowed_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         | event_type, cast(count(*) as bigint) AS n,
         | cast(sum(cast(round(value*100) as bigint)) as bigint) AS sum_value_c100
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q61_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type
+        |FROM events ORDER BY user_id, event_type""".stripMargin)
 }
