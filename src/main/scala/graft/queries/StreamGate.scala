@@ -82,9 +82,40 @@ object StreamGate {
     s.table(name).orderBy("user_id", "event_type")
   }
 
+  /** q62: CUSTOM-state sessionization (flatMapGroupsWithState) executed
+    * on a real stream — closed sessions emit in append mode, each
+    * user's still-open final session stays in the state store and is
+    * deliberately absent from the output. The oracle derives the same
+    * sessions relationally (lag + cumulative session ids) and excludes
+    * each user's last session. */
+  def q62StreamSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
+    val evts = stream
+      .select(col("user_id"), col("ts").as("ts_ns"), col("event_id"))
+      .as[graft.streaming.StreamPipelines.SessionEvent]
+    val sessions = graft.streaming.StreamPipelines.sessionize(evts)
+    val name = s"q62_stream_${runId.incrementAndGet()}"
+    val query = sessions.toDF().writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    // emit µs — DuckDB reads the parquet nanos truncated to µs, so raw
+    // ns in oracle outputs can never match (graft determinism rule)
+    s.table(name).select(col("user_id"),
+        expr("session_start_ns div 1000").as("session_start_us"),
+        expr("session_end_ns div 1000").as("session_end_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+  }
+
   val queries: Map[String, Q] = Map(
     "q60_stream_windowed_agg" -> (q60StreamWindowedAgg _),
-    "q61_stream_dedup" -> (q61StreamDedup _))
+    "q61_stream_dedup" -> (q61StreamDedup _),
+    "q62_stream_sessions" -> (q62StreamSessions _))
 
   val oracles: Map[String, String] = Map(
     "q60_stream_windowed_agg" ->
@@ -94,5 +125,30 @@ object StreamGate {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q61_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type
-        |FROM events ORDER BY user_id, event_type""".stripMargin)
+        |FROM events ORDER BY user_id, event_type""".stripMargin,
+    "q62_stream_sessions" ->
+      // lag + cumulative-sum session ids; each user's LAST session is
+      // excluded — it is still open in the streaming state store
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) tns, event_id,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_ns(ts), event_id) prev
+        |  FROM events),
+        |sids AS (
+        |  SELECT user_id, tns,
+        |    sum(CASE WHEN prev IS NULL OR tns - prev > 1800000000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |            ROWS UNBOUNDED PRECEDING) sid
+        |  FROM e),
+        |agg AS (
+        |  SELECT user_id, sid, min(tns) // 1000 session_start_us,
+        |    max(tns) // 1000 session_end_us, cast(count(*) as bigint) n_events
+        |  FROM sids GROUP BY 1, 2),
+        |last AS (SELECT user_id, max(sid) maxsid FROM agg GROUP BY 1)
+        |SELECT a.user_id, cast(a.session_start_us as bigint) session_start_us,
+        |  cast(a.session_end_us as bigint) session_end_us, a.n_events
+        |FROM agg a JOIN last l
+        |  ON a.user_id = l.user_id AND a.sid < l.maxsid
+        |ORDER BY a.user_id, a.session_start_us""".stripMargin)
 }

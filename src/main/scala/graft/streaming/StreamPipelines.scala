@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.Row
 
 import graft.operators.KeyedSink
@@ -59,5 +59,47 @@ object StreamPipelines {
                       key: String)(batch: DataFrame, batchId: Long): Unit = {
     val merged = KeyedSink.upsertAbsent(stateGet(), batch, key)
     statePut(merged)
+  }
+
+  // -------- custom state: gap sessionization via flatMapGroupsWithState
+
+  final case class SessionEvent(user_id: Long, ts_ns: Long, event_id: Long)
+  final case class OpenSession(startNs: Long, lastNs: Long, n: Long)
+  final case class ClosedSession(user_id: Long, session_start_ns: Long,
+                                 session_end_ns: Long, n_events: Long)
+
+  /** Gap sessionization with CUSTOM state (flatMapGroupsWithState): a
+    * session closes when the next event for the user is more than
+    * `gapNs` after the previous one. Closed sessions are emitted
+    * (append mode); the still-open session per user lives in the state
+    * store and survives micro-batch boundaries — the semantics a
+    * time-window aggregation cannot express (session length is
+    * data-driven, not clock-driven). Events inside one batch are sorted
+    * by (ts, event_id) before folding, so batch slicing never reorders
+    * a user's history as long as batches arrive in time order. */
+  def sessionize(events: Dataset[SessionEvent],
+                 gapNs: Long = 1800000000000L): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          val sorted = it.toVector.sortBy(e => (e.ts_ns, e.event_id))
+          val out = Vector.newBuilder[ClosedSession]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts_ns - s.lastNs <= gapNs =>
+                cur = Some(s.copy(lastNs = e.ts_ns, n = s.n + 1))
+              case Some(s) =>
+                out += ClosedSession(uid, s.startNs, s.lastNs, s.n)
+                cur = Some(OpenSession(e.ts_ns, e.ts_ns, 1))
+              case None =>
+                cur = Some(OpenSession(e.ts_ns, e.ts_ns, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
   }
 }

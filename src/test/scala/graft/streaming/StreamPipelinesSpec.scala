@@ -36,6 +36,29 @@ class StreamPipelinesSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: custom state carries the open session across batches") {
+    import StreamPipelines.{ClosedSession, SessionEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val minNs = 60L * 1000000000L
+    val sessions = StreamPipelines.sessionize(mem.toDS(), gapNs = 30 * minNs)
+    val q = sessions.toDF().writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: two events 10 min apart — one open session, nothing emitted
+      mem.addData(SessionEvent(1L, 0L, 1L), SessionEvent(1L, 10 * minNs, 2L))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() === 0)
+      // batch 2: 70 min later — closes the first session (2 events),
+      // opens a new one that stays in state
+      mem.addData(SessionEvent(1L, 80 * minNs, 3L))
+      q.processAllAvailable()
+      val out = spark.table("sess_out")
+        .as[ClosedSession].collect().toSeq
+      assert(out === Seq(ClosedSession(1L, 0L, 10 * minNs, 2L)))
+    } finally q.stop()
+  }
+
   test("idempotentMerge: overlapping re-emits collapse into no-ops (ST4)") {
     var state: DataFrame = Seq(("u1", "v1")).toDF("content_url", "payload")
     val merge = StreamPipelines.idempotentMerge(
