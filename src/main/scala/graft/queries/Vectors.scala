@@ -124,6 +124,33 @@ object Vectors {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** v38: embedding-cosine near-dup at SCALE — candidates only within
+    * the same sign bucket (equi-join, never O(n²) over the corpus, the
+    * production shape of v36's bounded all-pairs oracle baseline),
+    * exact integer dots, cosine above the near-dup threshold (0.3 —
+    * the synthetic embeddings are random, so realistic 0.9-style
+    * thresholds would gate on an empty result). Runs over the WHOLE
+    * corpus. */
+  def v38LshCosineDups(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), signBucket(col("embedding")).as("bucket"),
+        quant(col("embedding")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        dot(col("a.v"), col("b.v")).as("d"),
+        col("a.n2").as("na"), col("b.n2").as("nb"))
+    pairs
+      .withColumn("cos_e6",
+        round(col("d") * 1000000.0 /
+              (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+          .cast(LongType))
+      .filter(col("cos_e6") >= 300000)
+      .select(col("vec_a"), col("vec_b"), col("cos_e6"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** v37: the full IVF ANN pipeline (graft.operators.Ann) under the
     * oracle — deterministic seeded centroids, one Lloyd refinement,
     * cell assignment, 2-probe search, exact top-5 rank. Certifies the
@@ -147,6 +174,7 @@ object Vectors {
     "v35_lsh_ann" -> (v35LshAnn _),
     "v36_cosine_pairs" -> (v36CosinePairs _),
     "v37_ivf_ann" -> (v37IvfAnn _),
+    "v38_lsh_cosine_dups" -> (v38LshCosineDups _),
   )
 
   private val quantCte =
@@ -233,6 +261,30 @@ object Vectors {
         |FROM dots JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b
         |WHERE round(d * 1000000.0 / (sqrt(cast(na.n2 as double)) * sqrt(cast(nb.n2 as double)))) >= 300000
         |ORDER BY vec_a, vec_b""".stripMargin),
+    "v38_lsh_cosine_dups" ->
+      """WITH e AS (SELECT vec_id,
+        |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        | + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        | + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+        | + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+        | + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+        | + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+        | + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+        | + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) bucket,
+        |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) v
+        | FROM embeddings),
+        |n AS (SELECT vec_id, cast(sum(x*x) as bigint) n2
+        |      FROM (SELECT vec_id, unnest(v) x FROM e) GROUP BY vec_id),
+        |pairs AS (SELECT a.vec_id vec_a, b.vec_id vec_b, a.v va, b.v vb
+        |          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |dots AS (SELECT vec_a, vec_b, cast(sum(x*y) as bigint) d
+        |         FROM (SELECT vec_a, vec_b, unnest(va) x, unnest(vb) y FROM pairs)
+        |         GROUP BY vec_a, vec_b)
+        |SELECT vec_a, vec_b,
+        | cast(round(d * 1000000.0 / (sqrt(cast(na.n2 as double)) * sqrt(cast(nb.n2 as double)))) as bigint) AS cos_e6
+        |FROM dots JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b
+        |WHERE round(d * 1000000.0 / (sqrt(cast(na.n2 as double)) * sqrt(cast(nb.n2 as double)))) >= 300000
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "v37_ivf_ann" ->
       // independent IVF derivation: seeds = lowest-8 ids; assignment by
       // max exact dot (ties → lowest cell); one Lloyd step with
