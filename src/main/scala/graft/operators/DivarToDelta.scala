@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -57,18 +56,37 @@ object DivarToDelta {
   def warehouseOption(c: Column): Column = when(c === 1, 1092).otherwise(1093)
   val categoryMap: Column = intMap(Seq("فروش مسکونی" -> 6, "اجارهٔ مسکونی" -> 7))
 
-  /** Surrogate id: input-order index + 90001 (py:185, F32); the order
-    * column makes the pandas row index explicit and deterministic. */
-  def surrogateId(orderCol: Column): Column =
-    row_number().over(Window.orderBy(orderCol)) + 90000
+  /** Surrogate ids: input-order index + 90001 (py:185, F32; the pandas
+    * row index made explicit via a unique order column).
+    *
+    * NOT a `row_number().over(Window.orderBy(..))` — that plan funnels
+    * the whole feed through one partition (WindowExec with no partition
+    * spec). Instead: range-partition + sort on the order column, then
+    * assign ids from per-partition offsets (`zipWithIndex` = one light
+    * count job for partition sizes + one zip pass). Every partition
+    * works independently, so the plan survives a 100× scale-up while
+    * producing ids identical to the global-window formulation whenever
+    * the order column is unique.
+    */
+  def withSurrogateId(df: DataFrame, orderCol: String, idCol: String = "id",
+                      base: Int = 90001): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(col(orderCol)).sortWithinPartitions(orderCol)
+    val schema = StructType(
+      StructField(idCol, IntegerType, nullable = false) +: sorted.schema.fields)
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq((base + i).toInt +: r.toSeq)
+    }
+    spark.createDataFrame(rows, schema)
+  }
 
   /** Canonical listing frame → the mapped wide star row ready for the
     * F38 melt (SearchIndex.eavMelt): id + constants + option-coded
     * chips. Input columns: orderCol, meter (string), floorRaw, roomsRaw,
     * ageYears (int), elevator/loan/parking/warehouse (0/1), category. */
   def mapDeposits(df: DataFrame, orderCol: String): DataFrame =
-    df.select(
-      surrogateId(col(orderCol)).as("id"),
+    withSurrogateId(df, orderCol).select(
+      col("id"),
       lit(1247).as("StatusId"),
       lit(1257).as("PropertyTypeId"),
       element_at(categoryMap, col("category")).as("DepositCategoryId"),

@@ -45,4 +45,9 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // two HashAggregate nodes around the exchange = partial + final
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg in:\n$plan")
   }
+
+  test("q58 surrogate ids use no single-partition global window") {
+    val plan = planOf(queries.SiteGates.q58DivarToDelta(spark, dir))
+    assert(!plan.contains("Window"), s"global WindowExec crept back into:\n$plan")
+  }
 }
