@@ -83,11 +83,14 @@ object StreamGate {
   }
 
   /** q62: CUSTOM-state sessionization (flatMapGroupsWithState) executed
-    * on a real stream — closed sessions emit in append mode, each
-    * user's still-open final session stays in the state store and is
-    * deliberately absent from the output. The oracle derives the same
-    * sessions relationally (lag + cumulative session ids) and excludes
-    * each user's last session. */
+    * on a real stream — closed sessions emit in append mode; a user's
+    * final session also emits IF its event-time timeout fired (state is
+    * bounded: `lastMs + gapMs < finalWatermarkMs`, where the final
+    * watermark is `max(ts)` truncated to ms minus the 10-minute delay).
+    * Only sessions still inside the watermark horizon stay in the state
+    * store and are absent from the output. The oracle derives the same
+    * sessions relationally (lag + cumulative session ids) and applies
+    * the identical timeout inequality to each user's last session. */
   def q62StreamSessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -128,7 +131,9 @@ object StreamGate {
         |FROM events ORDER BY user_id, event_type""".stripMargin,
     "q62_stream_sessions" ->
       // lag + cumulative-sum session ids; each user's LAST session is
-      // excluded — it is still open in the streaming state store
+      // included only when its event-time timeout fired: Spark evicts
+      // state when timeoutMs < watermarkMs (strict), with timeoutMs =
+      // lastNs//1e6 + 30 min and watermarkMs = max(ts)//1e6 − 10 min
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) tns, event_id,
         |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id
@@ -143,12 +148,16 @@ object StreamGate {
         |  FROM e),
         |agg AS (
         |  SELECT user_id, sid, min(tns) // 1000 session_start_us,
-        |    max(tns) // 1000 session_end_us, cast(count(*) as bigint) n_events
+        |    max(tns) // 1000 session_end_us, max(tns) end_tns,
+        |    cast(count(*) as bigint) n_events
         |  FROM sids GROUP BY 1, 2),
-        |last AS (SELECT user_id, max(sid) maxsid FROM agg GROUP BY 1)
+        |last AS (SELECT user_id, max(sid) maxsid FROM agg GROUP BY 1),
+        |wm AS (SELECT max(epoch_ns(ts)) // 1000000 - 600000 wm_ms FROM events)
         |SELECT a.user_id, cast(a.session_start_us as bigint) session_start_us,
         |  cast(a.session_end_us as bigint) session_end_us, a.n_events
         |FROM agg a JOIN last l
-        |  ON a.user_id = l.user_id AND a.sid < l.maxsid
+        |  ON a.user_id = l.user_id, wm
+        |WHERE a.sid < l.maxsid
+        |   OR a.end_tns // 1000000 + 1800000 < wm.wm_ms
         |ORDER BY a.user_id, a.session_start_us""".stripMargin)
 }

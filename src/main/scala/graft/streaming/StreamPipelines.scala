@@ -64,6 +64,10 @@ object StreamPipelines {
   // -------- custom state: gap sessionization via flatMapGroupsWithState
 
   final case class SessionEvent(user_id: Long, ts_ns: Long, event_id: Long)
+  /** [[SessionEvent]] plus the event-time column the watermark rides on
+    * (µs truncation of ts_ns — the same clock the oracle sees). */
+  final case class SessionEventT(user_id: Long, ts_ns: Long, event_id: Long,
+                                 ts_utc: java.sql.Timestamp)
   final case class OpenSession(startNs: Long, lastNs: Long, n: Long)
   final case class ClosedSession(user_id: Long, session_start_ns: Long,
                                  session_end_ns: Long, n_events: Long)
@@ -76,30 +80,61 @@ object StreamPipelines {
     * time-window aggregation cannot express (session length is
     * data-driven, not clock-driven). Events inside one batch are sorted
     * by (ts, event_id) before folding, so batch slicing never reorders
-    * a user's history as long as batches arrive in time order. */
+    * a user's history as long as batches arrive in time order.
+    *
+    * State is BOUNDED by an event-time timeout: every open session arms
+    * a timeout at `lastMs + gapMs`, and when the watermark passes it the
+    * session closes and emits without a follow-up event (Spark fires a
+    * timeout when `timeoutTimestamp < watermark`, strictly). Without
+    * this, the open session of every user ever seen would live in the
+    * state store forever — a leak on a long-running stream. A late
+    * event arriving after its user's session timed out simply starts a
+    * new session (the standard watermark contract). */
   def sessionize(events: Dataset[SessionEvent],
-                 gapNs: Long = 1800000000000L): Dataset[ClosedSession] = {
+                 gapNs: Long = 1800000000000L,
+                 watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    val gapMs = gapNs / 1000000L
+    events
+      .withColumn("ts_utc", expr("timestamp_micros(ts_ns div 1000)"))
+      .as[SessionEventT]
+      .withWatermark("ts_utc", watermarkDelay)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, ClosedSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
-          val sorted = it.toVector.sortBy(e => (e.ts_ns, e.event_id))
-          val out = Vector.newBuilder[ClosedSession]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            cur match {
-              case Some(s) if e.ts_ns - s.lastNs <= gapNs =>
-                cur = Some(s.copy(lastNs = e.ts_ns, n = s.n + 1))
-              case Some(s) =>
-                out += ClosedSession(uid, s.startNs, s.lastNs, s.n)
-                cur = Some(OpenSession(e.ts_ns, e.ts_ns, 1))
-              case None =>
-                cur = Some(OpenSession(e.ts_ns, e.ts_ns, 1))
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessionEventT], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.startNs, s.lastNs, s.n))
+          } else {
+            val sorted = it.toVector.sortBy(e => (e.ts_ns, e.event_id))
+            val out = Vector.newBuilder[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_ns - s.lastNs <= gapNs =>
+                  cur = Some(s.copy(lastNs = e.ts_ns, n = s.n + 1))
+                case Some(s) =>
+                  out += ClosedSession(uid, s.startNs, s.lastNs, s.n)
+                  cur = Some(OpenSession(e.ts_ns, e.ts_ns, 1))
+                case None =>
+                  cur = Some(OpenSession(e.ts_ns, e.ts_ns, 1))
+              }
             }
+            cur.foreach { s =>
+              val timeoutMs = s.lastNs / 1000000L + gapMs
+              if (timeoutMs > state.getCurrentWatermarkMs()) {
+                state.update(s)
+                state.setTimeoutTimestamp(timeoutMs)
+              } else {
+                // the gap already elapsed in event time — close now
+                if (state.exists) state.remove()
+                out += ClosedSession(uid, s.startNs, s.lastNs, s.n)
+              }
+            }
+            out.result().iterator
           }
-          cur.foreach(state.update)
-          out.result().iterator
       }
   }
 }

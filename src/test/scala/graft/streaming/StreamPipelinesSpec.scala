@@ -41,21 +41,55 @@ class StreamPipelinesSpec extends AnyFunSuite with SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
     val minNs = 60L * 1000000000L
+    // nonzero base: an event at epoch 0 ties the INITIAL watermark (0)
+    // and the stateful operator's late-data filter drops it (<=)
+    val base = 1440 * minNs
     val sessions = StreamPipelines.sessionize(mem.toDS(), gapNs = 30 * minNs)
     val q = sessions.toDF().writeStream.format("memory").queryName("sess_out")
       .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
     try {
       // batch 1: two events 10 min apart — one open session, nothing emitted
-      mem.addData(SessionEvent(1L, 0L, 1L), SessionEvent(1L, 10 * minNs, 2L))
+      mem.addData(SessionEvent(1L, base, 1L), SessionEvent(1L, base + 10 * minNs, 2L))
       q.processAllAvailable()
       assert(spark.table("sess_out").count() === 0)
       // batch 2: 70 min later — closes the first session (2 events),
       // opens a new one that stays in state
-      mem.addData(SessionEvent(1L, 80 * minNs, 3L))
+      mem.addData(SessionEvent(1L, base + 80 * minNs, 3L))
       q.processAllAvailable()
       val out = spark.table("sess_out")
         .as[ClosedSession].collect().toSeq
-      assert(out === Seq(ClosedSession(1L, 0L, 10 * minNs, 2L)))
+      assert(out === Seq(ClosedSession(1L, base, base + 10 * minNs, 2L)))
+    } finally q.stop()
+  }
+
+  test("sessionize: idle user's session closes via event-time timeout (bounded state)") {
+    import StreamPipelines.{ClosedSession, SessionEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val minNs = 60L * 1000000000L
+    val base = 1440 * minNs
+    val sessions = StreamPipelines.sessionize(mem.toDS(), gapNs = 30 * minNs)
+    val q = sessions.toDF().writeStream.format("memory").queryName("sess_to_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: a single event for user 1 — an open session, state armed
+      // with timeout at base+30min
+      mem.addData(SessionEvent(1L, base, 1L))
+      q.processAllAvailable()
+      assert(spark.table("sess_to_out").count() === 0)
+      // batch 2: a DIFFERENT user far in the future advances the
+      // watermark to base+90 min — user 1's session must close via
+      // timeout, with no follow-up user-1 event ever arriving
+      mem.addData(SessionEvent(2L, base + 100 * minNs, 2L))
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      var out = Seq.empty[ClosedSession]
+      while (out.isEmpty && System.nanoTime() < deadline) {
+        q.processAllAvailable() // let the no-data batch run the eviction
+        out = spark.table("sess_to_out").as[ClosedSession].collect().toSeq
+        if (out.isEmpty) Thread.sleep(100)
+      }
+      assert(out === Seq(ClosedSession(1L, base, base, 1L)))
     } finally q.stop()
   }
 
