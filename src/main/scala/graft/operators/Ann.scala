@@ -30,22 +30,32 @@ object Ann {
     * elements rather than posexplode + a (cell, position) shuffle — no
     * row explosion, fully map-side combinable, one k-row result. At a
     * 100 TB corpus the explode variant shuffles dims× the input; this
-    * shuffles k×dims longs. */
+    * shuffles k×dims longs.
+    *
+    * `dims` defaults to the first row's vector length (one tiny lookup
+    * job); rows whose length differs fail loudly via `assert_true`
+    * rather than silently producing truncated/null centroids. */
   def buildCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
-                     k: Int, dims: Int = 64): DataFrame = {
-    val q = embeddings.select(col(idCol).as("vid"), quantize_e6(col(vecCol)).as("v"))
+                     k: Int, dims: Int = -1): DataFrame = {
+    val d =
+      if (dims > 0) dims
+      else embeddings.select(size(col(vecCol))).head().getInt(0)
+    val q = embeddings.select(col(idCol).as("vid"),
+      when(assert_true(size(col(vecCol)) === d,
+          lit(s"buildCentroids: expected $d-dim vectors")).isNull,
+        quantize_e6(col(vecCol))).as("v"))
     val seeds = q.orderBy("vid").limit(k)
       .withColumn("centroid_id", row_number().over(Window.orderBy("vid")) - 1)
       .select(col("centroid_id"), col("v").as("cvec"))
     val assigned = assign(q, seeds)
     // one refinement: element-wise mean (trunc toward zero, exact
     // integer sums) of assigned vectors per cell
-    val sums = (1 to dims).map(i => sum(element_at(col("v"), i)).as(s"s$i"))
+    val sums = (1 to d).map(i => sum(element_at(col("v"), i)).as(s"s$i"))
     assigned.join(q, Seq("vid"))
       .groupBy("centroid_id")
       .agg(count(lit(1)).as("n"), sums: _*)
       .select(col("centroid_id"),
-        array((1 to dims).map(i =>
+        array((1 to d).map(i =>
           (col(s"s$i") / col("n")).cast(LongType)): _*).as("cvec"))
   }
 

@@ -106,15 +106,19 @@ object DivarToDelta {
     * days), first token is the translated count. */
   def daysAgo(c: Column): Column = {
     // try_element_at: a one-token input has no unit (the reference would
-    // raise IndexError and abort the job; the engine degrades to 0 days)
+    // raise IndexError and abort the job; the engine degrades to 0 days).
+    // The outer coalesce makes the 0-day default TOTAL: a recognized
+    // unit with an unparseable count (n = null) also yields 0, not null.
     val n = graft.functions.PersianText
       .persianToEnglishDigits(try_element_at(split(c, "\\s+"), lit(1)))
       .try_cast(LongType)
     val unit = try_element_at(split(c, "\\s+"), lit(2))
-    when(unit === "روز", n)
-      .when(unit === "ماه", n * 30)
-      .when(unit === "هفته", n * 7)
-      .otherwise(lit(0L))
+    coalesce(
+      when(unit === "روز", n)
+        .when(unit === "ماه", n * 30)
+        .when(unit === "هفته", n * 7)
+        .otherwise(lit(0L)),
+      lit(0L))
   }
 
   /** F22: CreatedTime = now − days-ago (refTime injected). */

@@ -98,13 +98,13 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       DivarToDelta.fixFloor(col("s")).as("ff"),
       DivarToDelta.floorOption(col("s")).as("fo")).collect()
     assert(out.length === samples(garbageString).length)
-    // daysAgo defaults to 0 rather than failing; mainStreet defaults to
-    // the reference's single space
-    out.foreach { r =>
-      assert(!r.isNullAt(r.fieldIndex("da")))
-      assert(r.getAs[Long]("da") >= 0L ||
-        r.getAs[Long]("da") < 0L) // value exists, sign unconstrained
-    }
+    // daysAgo defaults to 0 rather than failing (total, never null)
+    out.foreach(r => assert(!r.isNullAt(r.fieldIndex("da"))))
+    // a recognized unit with an unparseable count hits the 0-day
+    // default (the coalesce), not null
+    val malformed = Seq("xyz روز پیش", "روز", "").toDF("s")
+      .select(DivarToDelta.daysAgo(col("s")).as("da")).collect()
+    assert(malformed.forall(r => !r.isNullAt(0) && r.getLong(0) == 0L))
   }
 
   test("two-tier Bloom dedup equals exact dedup for random data") {
