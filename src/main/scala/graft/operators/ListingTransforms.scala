@@ -429,15 +429,35 @@ object ListingTransforms {
         coalesce(element_at(mapping, modalTitle(m)), lit("unselect")))
     }
 
-    // enum-string columns can also receive the boolean feature pass
-    // (features_map keys like "سرمایش داکت اسپلیت") — string-typed.
-    // DELIBERATE simplification vs the reference's single pass over the
-    // modal list (enum and bool writes interleave per item, last write
-    // wins): here the enum match takes precedence over the keyword-bool
-    // regardless of item order. Identical whenever a system appears in
-    // at most one modal item — the real page shape.
-    def enumOrBool(keyword: String, mapping: Column, boolKeyword: String): Column =
-      coalesce(modalEnum(keyword, mapping), featureBool(boolKeyword).cast(StringType))
+    // enum-string columns also receive the boolean feature pass
+    // (features_map keys like "سرمایش داکت اسپلیت"). The reference makes
+    // BOTH kinds of write in ONE pass over the modal list
+    // (divar_transformer.py:509-536): per item the features_map bool
+    // write runs first, then the enum write — so within one item the
+    // enum wins, and ACROSS items the last matching item wins no matter
+    // which kind of write it makes. Reproduced exactly: find the last
+    // item matching either predicate, then decide enum-vs-bool for that
+    // single item. Group-pass bools survive only when no modal item
+    // matches at all.
+    def modalInterleaved(enumTrigger: String, mapping: Column, boolKeyword: String,
+                         enumWidget: Option[String] = None): Column = {
+      def isEnum(mw: Column): Column = {
+        val t = modalTitle(mw).contains(enumTrigger)
+        enumWidget.map(w => mw("widget_type") === w && t).getOrElse(t)
+      }
+      val m = lastWhere(modalFeatures,
+        mw => isEnum(mw) || modalTitle(mw).contains(boolKeyword))
+      val g = lastWhere(groupFeatureItems, it => it("title").contains(boolKeyword))
+      val gVal = when(g.isNotNull,
+        when(g("title").contains("ندارد"), false)
+          .when(g("available").isNotNull, g("available"))
+          .otherwise(true)).cast(StringType)
+      val mVal = when(isEnum(m),
+          coalesce(element_at(mapping, modalTitle(m)), lit("unselect")))
+        .otherwise(when(modalTitle(m).contains("ندارد"), lit(false))
+          .otherwise(lit(true)).cast(StringType))
+      when(m.isNotNull, mVal).otherwise(gVal)
+    }
 
     val isRebuilt = {
       val m = lastWhere(modalFeatures, mw =>
@@ -450,13 +470,6 @@ object ListingTransforms {
       when(m.isNotNull,
         coalesce(element_at(buildingDirectionMap, m("data")("value")), lit("unselect")))
     }
-    val heatingEnum = {
-      val m = lastWhere(modalFeatures, mw =>
-        mw("widget_type") === "FEATURE_ROW" && modalTitle(mw).contains("گرمایش"))
-      when(m.isNotNull,
-        coalesce(element_at(heatingMap, modalTitle(m)), lit("unselect")))
-    }
-
     // construction year: EXACT title match and no break → last item wins
     // (divar_transformer.py:542-548), unlike متراژ/اتاق which use
     // substring-contains with break (first wins)
@@ -555,13 +568,14 @@ object ListingTransforms {
       toDoubleOrNull(constructionYear).cast(IntegerType).as("construction_year"),
       isRebuilt.as("is_rebuilt"),
       featureBool("آب").as("has_water"),
-      enumOrBool("تأمین‌کننده آب گرم", warmWaterMap, "تأمین‌کننده آب گرم پکیج")
+      modalInterleaved("تأمین‌کننده آب گرم", warmWaterMap, "تأمین‌کننده آب گرم پکیج")
         .as("has_warm_water_provider"),
       featureBool("برق").as("has_electricity"),
       featureBool("گاز").as("has_gas"),
-      coalesce(heatingEnum, featureBool("گرمایش داکت اسپلیت").cast(StringType))
-        .as("has_heating_system"),
-      enumOrBool("سرمایش", coolingMap, "سرمایش داکت اسپلیت").as("has_cooling_system"),
+      modalInterleaved("گرمایش", heatingMap, "گرمایش داکت اسپلیت",
+        enumWidget = Some("FEATURE_ROW")).as("has_heating_system"),
+      modalInterleaved("سرمایش", coolingMap, "سرمایش داکت اسپلیت")
+        .as("has_cooling_system"),
       modalEnum("سرویس بهداشتی", restroomMap).as("has_restroom"),
       featureBool("نگهبان").as("has_security_guard"),
       featureBool("باربیکیو").as("has_barbecue"),

@@ -37,6 +37,29 @@ object ListingGate {
     val priceWidget = format_string(
       """{"widget_type":"UNEXPANDABLE_ROW","data":{"title":"قیمت کل","value":"%d تومان"}}""",
       col("n_chars"))
+    // modal feature list exercising the reference's single interleaved
+    // pass (divar_transformer.py:509-536): the SAME system (heating)
+    // appears in TWO modal items, once as an enum FEATURE_ROW and once
+    // as a features_map bool title — whichever comes LAST must win.
+    val m3 = pmod(col("doc_id"), lit(3))
+    val coolingItem =
+      """{"widget_type":"UNEXPANDABLE_ROW","data":{"title":"سرمایش کولر آبی"}}"""
+    val heatNo =
+      """{"widget_type":"UNEXPANDABLE_ROW","data":{"title":"گرمایش داکت اسپلیت ندارد"}}"""
+    val heatShofaj = """{"widget_type":"FEATURE_ROW","data":{"title":"گرمایش شوفاژ"}}"""
+    val heatBokhari = """{"widget_type":"FEATURE_ROW","data":{"title":"گرمایش بخاری"}}"""
+    val modalList = when(m3 === 0, lit(s"$heatShofaj,$heatNo,$coolingItem"))
+      .when(m3 === 1, lit(s"$heatNo,$heatBokhari,$coolingItem"))
+      .otherwise(lit(coolingItem))
+    val groupItems = when(m3 === 2,
+        lit("""{"title":"آسانسور","available":true},""" +
+          """{"title":"گرمایش داکت اسپلیت","available":false}"""))
+      .otherwise(lit("""{"title":"آسانسور","available":true}"""))
+    val groupFeatureWidget = concat(
+      lit("""{"widget_type":"GROUP_FEATURE_ROW","data":{"items":["""),
+      groupItems,
+      lit("""],"action":{"payload":{"modal_page":{"widget_list":[""")
+      , modalList, lit("]}}}}}"))
     val raw = docs.select(
       col("doc_id").cast(StringType).as("url"),
       concat(
@@ -46,6 +69,7 @@ object ListingGate {
             """"sections":[{"section_name":"LIST_DATA","widgets":[""",
           substring(col("text"), 1, 15), col("lang"), col("lang"), col("source")),
         when(even, sliderWidget).otherwise(priceWidget),
+        lit(","), groupFeatureWidget,
         lit("]}]}")).as("raw"))
     ListingTransforms.divarTransform(raw, "raw", "url",
         to_timestamp(lit("2025-10-21 12:00:00")))
@@ -55,7 +79,9 @@ object ListingGate {
         col("rent_mode"), col("credit_value"), col("rent_value"),
         col("transformed_credit"), col("transformed_rent"),
         col("transformable_credit"), col("transformable_rent"),
-        col("rent_credit_transform"), col("transformable_price"))
+        col("rent_credit_transform"), col("transformable_price"),
+        col("has_heating_system"), col("has_cooling_system"),
+        col("has_water"), col("has_elevator"))
       .orderBy("content_url")
   }
 
@@ -90,6 +116,11 @@ object ListingGate {
         | CASE WHEN doc_id%4=0 THEN true WHEN doc_id%4=2 THEN false END
         |   AS rent_credit_transform,
         | CASE WHEN doc_id%4=0 THEN true WHEN doc_id%4=2 THEN false END
-        |   AS transformable_price
+        |   AS transformable_price,
+        | CASE WHEN doc_id%3=1 THEN 'heater' ELSE 'false' END
+        |   AS has_heating_system,
+        | 'water_cooler' AS has_cooling_system,
+        | true AS has_water,
+        | true AS has_elevator
         |FROM documents ORDER BY content_url""".stripMargin)
 }
