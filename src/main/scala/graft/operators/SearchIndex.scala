@@ -170,6 +170,40 @@ object SearchIndex {
       relationalCore(t, watermark, statusFilter = col("StatusId") =!= 1254),
       refYear, None)
 
+  /** Point lookup: the fetch-deposit-by-id variant of the search query
+    * (fetch_deposit_by_id.py:9-73) — the same EAV pivot + dimension
+    * joins, filtered to ONE deposit (`d.Id = %s AND d.StatusId = 1247`,
+    * no watermark, no user-role join; the reference aliases the
+    * dimension LABELS back onto the *Id column names, reproduced here).
+    *
+    * Spark-first difference from the reference SQL, which pivots the
+    * ENTIRE CustomFieldValues table and then left-joins one row: the id
+    * predicate is applied to the EAV side BEFORE the pivot, so the scan
+    * reads one deposit's rows (PushedFilters on DepositId) — the
+    * difference between a point lookup and a full-table aggregate at
+    * 100 TB. */
+  def depositById(t: Tables, depositId: Int): DataFrame = {
+    val d = t.deposits.filter(col("Id") === depositId && col("StatusId") === 1247)
+    val p = pivotCustomFields(
+      t.customFieldValues.filter(col("DepositId") === depositId),
+      t.customFieldOptions)
+    d.join(broadcast(t.depositCategories.select(col("Id").as("dc_Id"), col("Link"))),
+        col("DepositCategoryId") === col("dc_Id"), "left")
+      .join(broadcast(t.baseInfos.select(col("Id").as("bi_Id"), col("Title").as("bi_Title"))),
+        col("PropertyTypeId") === col("bi_Id"), "left")
+      .join(broadcast(t.regions.select(col("Id").as("r_Id"), col("Name").as("r_Name"))),
+        col("RegionId") === col("r_Id"), "left")
+      .join(p, d("Id") === p("DepositId"), "left")
+      .select(
+        d("Id"), d("Title"),
+        col("Link").as("DepositCategoryId"),
+        col("bi_Title").as("PropertyTypeId"),
+        d("CityId"), col("r_Name").as("RegionId"),
+        d("Price"), d("RentalPrice"),
+        col("meter"), col("floor"), col("rooms"), col("age"),
+        col("parking"), col("warehouse"), col("elevator"), col("loan"))
+  }
+
   /** F38: EAV melt — the exact inverse of the pivot
     * (map_divar_data_to_delta.py:242-277): one output row per non-null
     * wide field, Value carried on the value side, CustomFieldOptionId on

@@ -95,9 +95,20 @@ object SearchIndexGate {
       .orderBy(col("id").desc)
   }
 
+  /** q65: the deposit point-lookup variant (fetch_deposit_by_id.py:9-73)
+    * on the same star fixtures — the pivot runs over ONE deposit's EAV
+    * rows (id predicate pushed below the aggregate; PlanSpec asserts the
+    * pushed filter reaches the lineitem scan). */
+  def q65DepositById(s: SparkSession, dir: String): DataFrame = {
+    val t = starTables(s, dir,
+      when(col("o_orderstatus") === "P", 1254).otherwise(1247))
+    SearchIndex.depositById(t, 7)
+  }
+
   val queries: Map[String, Q] = Map(
     "q50_search_index" -> (q50SearchIndex _),
-    "q56_search_incremental" -> (q56SearchIncremental _))
+    "q56_search_incremental" -> (q56SearchIncremental _),
+    "q65_deposit_by_id" -> (q65DepositById _))
 
   private def starSql(statusCase: String, coreWhere: String,
                       statusExpr: String): String =
@@ -177,6 +188,46 @@ object SearchIndexGate {
        |ORDER BY id DESC""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q65_deposit_by_id" ->
+      """WITH deposits AS (
+        |  SELECT o_orderkey Id, o_orderpriority Title,
+        |   cast(o_custkey % 3 as int) DepositCategoryId,
+        |   cast(100 + o_orderkey % 3 as int) PropertyTypeId,
+        |   CASE WHEN o_orderstatus='P' THEN 1254 ELSE 1247 END StatusId,
+        |   cast(o_custkey % 50 as int) CityId,
+        |   cast(o_custkey % 5 as int) RegionId,
+        |   cast(round(o_totalprice) as bigint) Price,
+        |   cast(0 as bigint) RentalPrice
+        |  FROM orders),
+        |cfv AS (
+        |  SELECT l_orderkey DepositId,
+        |   CASE cast(l_linenumber % 8 as int)
+        |     WHEN 0 THEN 1224 WHEN 1 THEN 1189 WHEN 2 THEN 1143 WHEN 3 THEN 1136
+        |     WHEN 4 THEN 1185 WHEN 5 THEN 1193 WHEN 6 THEN 1123 ELSE 1148 END cfid,
+        |   cast(cast(round(l_quantity) as bigint) as varchar) v
+        |  FROM lineitem WHERE l_orderkey = 7),
+        |pvt AS (
+        |  SELECT DepositId,
+        |   max(CASE WHEN cfid = 1224 THEN v END) meter,
+        |   max(CASE WHEN cfid = 1189 THEN v END) floor,
+        |   max(CASE WHEN cfid = 1143 THEN v END) rooms,
+        |   max(CASE WHEN cfid = 1136 THEN v END) age,
+        |   max(CASE WHEN cfid = 1185 THEN v END) parking,
+        |   max(CASE WHEN cfid = 1193 THEN v END) warehouse,
+        |   max(CASE WHEN cfid = 1123 THEN v END) elevator,
+        |   max(CASE WHEN cfid = 1148 THEN v END) loan
+        |  FROM cfv GROUP BY DepositId)
+        |SELECT d.Id, d.Title, r.r_name DepositCategoryId,
+        |  CASE d.PropertyTypeId WHEN 100 THEN 'آپارتمان مسکونی'
+        |    WHEN 101 THEN 'مشارکت در ساخت' ELSE 'زمین کشاورزی' END PropertyTypeId,
+        |  d.CityId, n.n_name RegionId, d.Price, d.RentalPrice,
+        |  p.meter, p.floor, p.rooms, p.age,
+        |  p.parking, p.warehouse, p.elevator, p.loan
+        |FROM deposits d
+        |LEFT JOIN region r ON d.DepositCategoryId = r.r_regionkey
+        |LEFT JOIN nation n ON d.RegionId = n.n_nationkey
+        |LEFT JOIN pvt p ON d.Id = p.DepositId
+        |WHERE d.Id = 7 AND d.StatusId = 1247""".stripMargin,
     "q56_search_incremental" -> starSql(
       statusCase =
         "CASE WHEN o_orderstatus='P' THEN 1254 WHEN o_orderstatus='F' THEN 1247 ELSE 1300 END",

@@ -46,6 +46,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg in:\n$plan")
   }
 
+  test("q65 deposit point lookup pushes the id below the EAV pivot") {
+    val plan = planOf(queries.SearchIndexGate.q65DepositById(spark, dir))
+    // the EAV (lineitem-derived) scan must carry the deposit-id filter —
+    // the pivot aggregates ONE deposit's rows, not the whole table
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,7)]"),
+      s"id filter did not reach the EAV scan in:\n$plan")
+  }
+
   test("q58 surrogate ids use no single-partition global window") {
     val plan = planOf(queries.SiteGates.q58DivarToDelta(spark, dir))
     assert(!plan.contains("Window"), s"global WindowExec crept back into:\n$plan")
