@@ -287,7 +287,59 @@ object TextDedup {
               col("source"))
       .orderBy("doc_id")
 
+  // ---- t35 fixture synthesis: REAL container bytes (valid PNG
+  // signature+IHDR / JPEG SOI+APP0+SOF0 framing), dimensions derived
+  // from doc_id so the DuckDB oracle can derive them independently —
+  // a hash match proves the header parser inverted the binary layout.
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 25 + 12)
+    bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+    bb.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.putInt(0) // CRC (unchecked by header readers)
+    bb.putInt(0).put("IEND".getBytes("US-ASCII")).putInt(0)
+    bb.array()
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(2 + 18 + 19 + 2)
+    bb.put(0xff.toByte).put(0xd8.toByte) // SOI
+    bb.put(0xff.toByte).put(0xe0.toByte).putShort(16) // APP0 "JFIF"
+    bb.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    bb.putShort(0x0102).put(0.toByte).putShort(1).putShort(1)
+    bb.put(0.toByte).put(0.toByte)
+    bb.put(0xff.toByte).put(0xc0.toByte).putShort(17) // SOF0, 3 components
+    bb.put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+    bb.put(Array(1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1).map(_.toByte))
+    bb.put(0xff.toByte).put(0xd9.toByte) // EOI
+    bb.array()
+  }
+
+  /** t35: REAL image metadata decode — the synthesized binary column
+    * carries genuine PNG/JPEG container framing and
+    * MultiModal.withImageMeta recovers format + dimensions by parsing
+    * the bytes (pure JVM, partition-parallel). */
+  def t35ImageHeaderMeta(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf { (id: Long) =>
+      val w = (16 + id % 1000).toInt
+      val h = (9 + id % 500).toInt
+      if (id % 2 == 0) pngBytes(w, h) else jpegBytes(w, h)
+    }
+    val assets = Tables.documents(s, dir).select(
+      col("doc_id").cast(LongType).as("asset_id"),
+      lit("image").as("media_type"),
+      mk(col("doc_id")).as("content"),
+      lit(null).cast(IntegerType).as("width"),
+      lit(null).cast(IntegerType).as("height"),
+      lit(null).cast(LongType).as("duration_ms"))
+    graft.sources.MultiModal.withImageMeta(assets)
+      .select(col("asset_id"), col("img_format"),
+        col("img_width"), col("img_height"))
+      .orderBy("asset_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t35_image_header_meta" -> (t35ImageHeaderMeta _),
     "t21_token_stats" -> (t21TokenStats _),
     "t22_stopword_quality" -> (t22StopwordQuality _),
     "t23_lang_profile" -> (t23LangProfile _),
@@ -312,6 +364,14 @@ object TextDedup {
       | FROM d)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t35_image_header_meta" ->
+      // independent re-derivation of the synthesized dimensions — the
+      // Spark side must recover these by PARSING the binary headers
+      """SELECT doc_id AS asset_id,
+        | CASE WHEN doc_id%2=0 THEN 'png' ELSE 'jpeg' END AS img_format,
+        | cast(16 + doc_id%1000 as int) AS img_width,
+        | cast(9 + doc_id%500 as int) AS img_height
+        |FROM documents ORDER BY asset_id""".stripMargin,
     "t21_token_stats" ->
       """SELECT doc_id, cast(len(string_split(text,' ')) as int) AS n_tokens,
         | cast(length(text) as int) AS n_chars_calc,

@@ -10,13 +10,64 @@ import org.apache.spark.sql.types._
   * mapPartitions (the Scala analog of a pandas-batched UDF: one
   * decode-library initialization per partition, not per row).
   *
-  * The actual codec is STUBBED (this container ships no image/audio
-  * libraries) behind `Decoder`; the Spark-side plumbing — schema,
-  * partition-parallel batch shape, null/corrupt handling, feature
-  * columns — is real and tested. Swap `StubDecoder` for a JNI/JavaCV
-  * decoder in production without touching the pipeline.
+  * Metadata extraction is REAL: [[ImageHeaders]] parses PNG/JPEG/GIF
+  * container headers (dimensions + format) in pure JVM with no codec
+  * library. Only the pixel-level feature decode is stubbed behind
+  * `Decoder` (this container ships no image/audio libraries); the
+  * Spark-side plumbing — schema, partition-parallel batch shape,
+  * null/corrupt handling, feature columns — is real and tested. Swap
+  * `StubDecoder` for a JNI/JavaCV decoder in production without
+  * touching the pipeline.
   */
 object MultiModal {
+
+  /** Pure-JVM image container-header parsing → (format, width, height).
+    * Handles the three dominant web formats:
+    *  - PNG: 8-byte signature then the IHDR chunk (big-endian dims)
+    *  - GIF 87a/89a: logical screen descriptor (little-endian dims)
+    *  - JPEG: segment walk to the first SOFn frame header, skipping
+    *    APPn/COM/DQT/... by their lengths and tolerating fill bytes
+    * Returns None (never throws) on anything unparseable — corrupt
+    * media must never kill a 100 TB job. */
+  object ImageHeaders extends Serializable {
+    private val Ihdr = Array[Byte]('I', 'H', 'D', 'R')
+
+    def parse(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+      if (bytes == null || bytes.length < 10) return None
+      def u8(i: Int) = bytes(i) & 0xff
+      def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+      def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      if (bytes.length >= 24 &&
+          u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
+          u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
+          bytes.slice(12, 16).sameElements(Ihdr))
+        return Some(("png", be32(16), be32(20)))
+      if (u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8')
+        return Some(("gif", le16(6), le16(8)))
+      if (u8(0) == 0xff && u8(1) == 0xd8) { // JPEG SOI, then segment walk
+        var i = 2
+        while (i + 3 < bytes.length) {
+          if (u8(i) != 0xff) return None // lost sync
+          var j = i
+          while (j + 1 < bytes.length && u8(j + 1) == 0xff) j += 1 // fill bytes
+          val marker = u8(j + 1)
+          if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i = j + 2
+          else if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS, no SOF seen
+          else {
+            val isSof = (marker >= 0xc0 && marker <= 0xcf) &&
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc // not DHT/JPG/DAC
+            if (isSof)
+              return if (j + 8 < bytes.length) Some(("jpeg", be16(j + 7), be16(j + 5)))
+                     else None
+            if (j + 3 >= bytes.length) return None
+            i = j + 2 + be16(j + 2)
+          }
+        }
+      }
+      None
+    }
+  }
 
   /** Canonical media-asset schema: key + opaque payload + metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -72,6 +123,32 @@ object MultiModal {
         val hash: Any = if (bytes == null) null
                         else java.util.Arrays.hashCode(bytes).toLong
         Row.fromSeq(r.toSeq ++ Seq(nBytes, hash, feat.isDefined, feat.orNull))
+      }
+    }(enc)
+  }
+
+  /** Image-metadata columns appended by [[withImageMeta]]. */
+  val imageMetaSchema: StructType = StructType(Seq(
+    StructField("img_format", StringType, nullable = true),
+    StructField("img_width", IntegerType, nullable = true),
+    StructField("img_height", IntegerType, nullable = true)))
+
+  /** REAL metadata decode: parse image dimensions + format out of the
+    * binary payload (PNG IHDR / JPEG SOFn / GIF descriptor) inside the
+    * same partition-parallel mapPartitions shape as [[withFeatures]].
+    * Non-image or unparseable payloads get null metadata, not errors. */
+  def withImageMeta(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(assets.schema.fields ++ imageMetaSchema.fields)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val contentIdx = assets.schema.fieldIndex("content")
+    assets.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(contentIdx)) null else r.getAs[Array[Byte]](contentIdx)
+        val m = ImageHeaders.parse(bytes)
+        Row.fromSeq(r.toSeq ++ Seq(
+          m.map(_._1).orNull,
+          m.map(x => Int.box(x._2)).orNull,
+          m.map(x => Int.box(x._3)).orNull))
       }
     }(enc)
   }

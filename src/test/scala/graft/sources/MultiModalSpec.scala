@@ -48,4 +48,54 @@ class MultiModalSpec extends AnyFunSuite with SparkSpec {
     assert(frames.select("asset_id").distinct().as[Long].collect().toSeq === Seq(2L))
     assert(frames.select("frame_ms").as[Long].collect().sorted.toSeq === Seq(0L, 500L, 1000L))
   }
+
+  test("ImageHeaders parses PNG, JPEG, and GIF dimensions; rejects garbage") {
+    import java.nio.ByteBuffer
+    // PNG 640x480
+    val png = {
+      val bb = ByteBuffer.allocate(33)
+      bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      bb.putInt(13).put("IHDR".getBytes).putInt(640).putInt(480)
+      bb.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      bb.array()
+    }
+    assert(MultiModal.ImageHeaders.parse(png) === Some(("png", 640, 480)))
+    // JPEG 320x200 behind an APP0 segment (walk must skip by length)
+    val jpg = {
+      val bb = ByteBuffer.allocate(2 + 18 + 19)
+      bb.put(0xff.toByte).put(0xd8.toByte)
+      bb.put(0xff.toByte).put(0xe0.toByte).putShort(16)
+      bb.put("JFIF".getBytes).put(0.toByte)
+      bb.putShort(0x0102).put(0.toByte).putShort(1).putShort(1)
+      bb.put(0.toByte).put(0.toByte)
+      bb.put(0xff.toByte).put(0xc0.toByte).putShort(17)
+      bb.put(8.toByte).putShort(200.toShort).putShort(320.toShort).put(3.toByte)
+      bb.put(Array(1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1).map(_.toByte))
+      bb.array()
+    }
+    assert(MultiModal.ImageHeaders.parse(jpg) === Some(("jpeg", 320, 200)))
+    // GIF 12x34 (little-endian)
+    val gif = "GIF89a".getBytes ++ Array[Byte](12, 0, 34, 0, 0, 0, 0)
+    assert(MultiModal.ImageHeaders.parse(gif) === Some(("gif", 12, 34)))
+    // garbage / truncated / null never throw
+    assert(MultiModal.ImageHeaders.parse("not an image at all".getBytes) === None)
+    assert(MultiModal.ImageHeaders.parse(Array[Byte](0xff.toByte, 0xd8.toByte)) === None)
+    assert(MultiModal.ImageHeaders.parse(null) === None)
+  }
+
+  test("withImageMeta appends parsed metadata and nulls for non-images") {
+    import java.nio.ByteBuffer
+    val png = {
+      val bb = ByteBuffer.allocate(33)
+      bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      bb.putInt(13).put("IHDR".getBytes).putInt(7).putInt(5)
+      bb.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      bb.array()
+    }
+    val df = Seq((1L, png), (2L, "plain text".getBytes)).toDF("asset_id", "content")
+    val out = MultiModal.withImageMeta(df).orderBy("asset_id")
+      .select("img_format", "img_width", "img_height")
+      .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(out === Seq(("png", Some(7), Some(5)), (null, None, None)))
+  }
 }

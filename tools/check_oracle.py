@@ -49,6 +49,8 @@ def main(sfdir, outdir):
         pq_dir = f"{outdir}/{name}"
         files = glob.glob(f"{pq_dir}/*.parquet")
         if not files:
+            if os.environ.get("SPARK_GRAFT_ONLY"):
+                continue  # subset run (Verify's SPARK_GRAFT_ONLY filter)
             print(f"FAIL {name}: no spark output at {pq_dir}")
             n_fail += 1
             continue
