@@ -15,7 +15,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build()
     val queries = SparkEntry.queries
-      .filterNot { case (name, _) => SparkEntry.streamingQueries(name) }
+      .filterNot { case (name, _) =>
+        SparkEntry.streamingQueries(name) || SparkEntry.sinkBoundQueries(name) }
       .toSeq.sortBy(_._1)
 
     // warmup: execute everything once, untimed

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.operators.{PricePredictionFeed, Versioned}
+
+/** Puts the versioned-load lifecycle (S13/S14/O3 — the reference's
+  * MinIO last-data/old-data swap + backup retention,
+  * price_prediction_data_pipeline.py:140-177,228-263 and
+  * utils_of_backup.py:155-164) under the DuckDB oracle gate.
+  *
+  * q63 executes the REAL operators against a scratch version root:
+  * prepare (schema exclusion + cat3 filter + −1370 sentinel patch) →
+  * loadVersioned v0 → two more loads v1/v2 → a bad load v3 rolled
+  * back → retention keep=2. The query's OUTPUT is what actually
+  * survived on disk (partition-discovered `v` column over the
+  * surviving version dirs); the oracle independently derives what
+  * SHOULD have survived from the documents table — so a hash match
+  * certifies write/rollback/retention semantics end-to-end, not just
+  * the transform.
+  */
+object VersionedGate {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Root = "/tmp/graft_versioned_q63"
+
+  def q63VersionedLoad(s: SparkSession, dir: String): DataFrame = {
+    // idempotent re-runs: clear the scratch root first
+    val rootPath = java.nio.file.Paths.get(Root)
+    if (java.nio.file.Files.exists(rootPath))
+      java.nio.file.Files.walk(rootPath)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+
+    val listings = Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat(lit("https://x/"), col("doc_id")).as("content_url"), // excluded
+      when(pmod(col("doc_id"), lit(4)) === 0, "apartment-sell")
+        .otherwise(lit("villa-rent")).as("cat3_slug"),
+      when(pmod(col("doc_id"), lit(5)) === 0, -1370)
+        .otherwise(lit(1350) + pmod(col("doc_id"), lit(60)).cast(IntegerType))
+        .cast(IntegerType).as("construction_year"),
+      (col("n_chars") * 1000L).cast(LongType).as("price"))
+
+    val prepared = PricePredictionFeed.prepare(listings)
+    PricePredictionFeed.loadVersioned(prepared, Root)               // v=0
+    Versioned.writeNext(prepared.withColumn("price", col("price") + 1L), Root) // v=1
+    Versioned.writeNext(prepared.withColumn("price", col("price") + 2L), Root) // v=2
+    Versioned.writeNext(prepared.withColumn("price", col("price") + 99L), Root) // v=3: bad load
+    Versioned.rollback(Root)            // drop v=3 — v=2 is current again
+    Versioned.applyRetention(Root, keep = 2) // drop v=0 — v=1,v=2 survive
+
+    s.read.option("basePath", Root).parquet(s"$Root/v=*")
+      .select(col("v").cast(IntegerType).as("v"), col("doc_id"),
+        col("cat3_slug"), col("construction_year"), col("price"))
+      .orderBy("v", "doc_id")
+  }
+
+  val queries: Map[String, Q] = Map("q63_versioned_load" -> (q63VersionedLoad _))
+
+  val oracles: Map[String, String] = Map(
+    "q63_versioned_load" ->
+      // what SHOULD survive: versions 1 and 2 only (v3 rolled back,
+      // v0 aged out by keep=2), holding the prepared+patched rows
+      """WITH prep AS (
+        |  SELECT doc_id, 'apartment-sell' cat3_slug,
+        |    cast(CASE WHEN doc_id%5=0 THEN 1369
+        |              ELSE 1350 + doc_id%60 END as int) construction_year,
+        |    cast(n_chars*1000 as bigint) price
+        |  FROM documents WHERE doc_id%4=0)
+        |SELECT cast(1 as int) v, doc_id, cat3_slug, construction_year,
+        |  price + 1 AS price FROM prep
+        |UNION ALL
+        |SELECT cast(2 as int), doc_id, cat3_slug, construction_year,
+        |  price + 2 FROM prep
+        |ORDER BY v, doc_id""".stripMargin)
+}
