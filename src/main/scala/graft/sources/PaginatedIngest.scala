@@ -56,4 +56,39 @@ object PaginatedIngest {
     }
     loop(1, Vector.empty, Set.empty, 0, stopped = false)
   }
+
+  // ---------------------------------------- multi-seed fan-out (kilid)
+
+  final case class Seed(listingType: String, city: String)
+
+  final case class SeedResult(seed: Seed, urls: Seq[String], stats: Stats)
+
+  /** The kilid seed list: 2 listing modes × 9 cities, crawled in
+    * (mode, city) order (kilid_crawler.py:67-79,109-112). */
+  val kilidSeeds: Seq[Seed] = for {
+    mode <- Seq("BUY", "RENT")
+    city <- Seq("tehran", "karaj", "isfahan", "shiraz", "mashhad",
+      "rasht", "sari", "tabriz", "qom")
+  } yield Seed(mode, city)
+
+  /** S7 composition: crawl every seed SEQUENTIALLY, each as its own
+    * paginated sequence with independent early-stop state, sharing one
+    * `seen` probe (the single Bloom across the whole run). As in the
+    * reference, in-run urls do NOT enter the shared probe, so a url
+    * discovered under BUY can reappear under RENT in another seed's
+    * output — the merged list applies the downstream exact-sink pass
+    * (first occurrence wins), which is where the reference actually
+    * dedups (mongodb_utils.py:21-37). Returns per-seed results (urls +
+    * early-stop stats) and the merged deduplicated url list. */
+  def crawlSeeds(seeds: Seq[Seed],
+                 fetchPage: (Seed, Int) => Seq[String],
+                 seen: String => Boolean,
+                 config: Config = Config()): (Seq[SeedResult], Seq[String]) = {
+    val results = seeds.map { s =>
+      val (urls, stats) = crawl(p => fetchPage(s, p), seen, config)
+      SeedResult(s, urls, stats)
+    }
+    val merged = results.flatMap(_.urls).distinct
+    (results, merged)
+  }
 }

@@ -50,4 +50,35 @@ class PaginatedIngestSpec extends AnyFunSuite {
     assert(urls === Seq("c"))
     assert(stats.stoppedEarly) // 2/3 dup ≥ 0.5
   }
+
+  test("multi-seed fan-out: per-seed early stop, merged dedup'd output (kilid)") {
+    import PaginatedIngest.{Seed, crawlSeeds}
+    val seeds = Seq(Seed("BUY", "tehran"), Seed("BUY", "karaj"), Seed("RENT", "tehran"))
+    // tehran/BUY: page 2 is 100% already-seen → early stop after it.
+    // karaj/BUY: two clean pages then empty → normal termination.
+    // tehran/RENT: re-surfaces a BUY url (u1) — kilid's shared Bloom
+    // does NOT contain in-run urls, so it must survive per-seed output
+    // and collapse only in the merged sink pass.
+    val fetch: (Seed, Int) => Seq[String] = {
+      case (Seed("BUY", "tehran"), 1) => Seq("u1", "u2")
+      case (Seed("BUY", "tehran"), 2) => Seq("old1", "old2")
+      case (Seed("BUY", "tehran"), _) => Seq("never")
+      case (Seed("BUY", "karaj"), 1) => Seq("u3")
+      case (Seed("BUY", "karaj"), 2) => Seq("u4")
+      case (Seed("BUY", "karaj"), _) => Seq.empty
+      case (Seed("RENT", "tehran"), 1) => Seq("u1", "u5")
+      case (Seed("RENT", "tehran"), _) => Seq.empty
+      case _ => Seq.empty
+    }
+    val seen = Set("old1", "old2")
+    val (results, merged) = crawlSeeds(seeds, fetch, seen,
+      PaginatedIngest.Config(maxPages = 10, dupRatioStop = 0.3))
+    val byseed = results.map(r => (r.seed, r.urls, r.stats.stoppedEarly)).toList
+    assert(byseed(0) === ((Seed("BUY", "tehran"), Seq("u1", "u2"), true)))
+    assert(byseed(1) === ((Seed("BUY", "karaj"), Seq("u3", "u4"), false)))
+    assert(byseed(2) === ((Seed("RENT", "tehran"), Seq("u1", "u5"), false)))
+    assert(merged === Seq("u1", "u2", "u3", "u4", "u5")) // first occurrence wins
+    assert(PaginatedIngest.kilidSeeds.size === 18) // 2 modes × 9 cities
+    assert(PaginatedIngest.kilidSeeds.take(9).forall(_.listingType == "BUY"))
+  }
 }
