@@ -58,4 +58,33 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val plan = planOf(queries.SiteGates.q58DivarToDelta(spark, dir))
     assert(!plan.contains("Window"), s"global WindowExec crept back into:\n$plan")
   }
+
+  // shuffle-shape pins for the three most structurally complex plans:
+  // a silent regression (a dim falling out of broadcast, a new global
+  // sort, an extra aggregation round) shows up here before it shows up
+  // as a 100× slowdown at scale. Counts are ceilings, not equalities.
+  private def shuffles(plan: String): Int =
+    "Exchange".r.findAllIn(plan).size - "BroadcastExchange".r.findAllIn(plan).size
+
+  test("q56 incremental: dims broadcast, at most 3 data shuffles") {
+    val plan = planOf(queries.SearchIndexGate.q56SearchIncremental(spark, dir))
+    assert(!plan.contains("SortMergeJoin"), s"a dim fell out of broadcast:\n$plan")
+    assert(shuffles(plan) <= 3, // pivot agg + minrole agg + final sort
+      s"shuffle count grew past 3 in:\n$plan")
+  }
+
+  test("q58 star load: at most 3 data shuffles, none single-partition") {
+    val plan = planOf(queries.SiteGates.q58DivarToDelta(spark, dir))
+    assert(shuffles(plan) <= 3, // 2× range-partition for ids + final sort
+      s"shuffle count grew past 3 in:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"single-partition exchange in:\n$plan")
+  }
+
+  test("v37 IVF: centroids broadcast, bounded shuffle rounds") {
+    val plan = planOf(queries.Vectors.v37IvfAnn(spark, dir))
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
+      s"centroid broadcasts missing in:\n$plan")
+    assert(shuffles(plan) <= 10, // seed + assign/refine aggs + probe join + rank
+      s"shuffle count grew past 10 in:\n$plan")
+  }
 }

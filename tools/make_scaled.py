@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Dev tool: build a K×-replicated copy of the documents/embeddings
+tables (the LLM-pipeline workload) for scaling-slope measurement.
+
+Replicas get distinct ids (doc_id + k*stride) and lightly perturbed
+content — a replica marker token in text, a replica-scaled first
+embedding dimension — so dedup/ANN workloads keep their SHAPE (cluster
+sizes, bucket occupancy) instead of degenerating into k-way exact
+duplicates whose pairwise outputs would grow quadratically by
+construction. TPC-H tables are hard-linked unchanged: the slope is
+measured on the document/vector queries.
+
+Usage: make_scaled.py <src_sf_dir> <dst_dir> <k>
+"""
+import sys, os, shutil, glob
+import duckdb
+
+src, dst, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
+os.makedirs(dst, exist_ok=True)
+con = duckdb.connect()
+
+doc_stride = con.execute(
+    f"SELECT max(doc_id)+1 FROM '{src}/documents.parquet'").fetchone()[0]
+vec_stride = con.execute(
+    f"SELECT max(vec_id)+1 FROM '{src}/embeddings.parquet'").fetchone()[0]
+
+con.execute(f"""
+COPY (
+  SELECT doc_id + r.k*{doc_stride} AS doc_id,
+         CASE WHEN r.k = 0 THEN text ELSE text || ' r' || r.k END AS text,
+         lang, source,
+         CASE WHEN r.k = 0 THEN n_chars
+              ELSE n_chars + 2 + len(cast(r.k as varchar)) END AS n_chars
+  FROM '{src}/documents.parquet', (SELECT unnest(range({k})) k) r
+  ORDER BY doc_id
+) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+
+con.execute(f"""
+COPY (
+  SELECT vec_id + r.k*{vec_stride} AS vec_id,
+         CASE WHEN r.k = 0 THEN embedding
+              ELSE list_transform(embedding,
+                     x -> cast(x + r.k*0.001 as float)) END AS embedding,
+         label
+  FROM '{src}/embeddings.parquet', (SELECT unnest(range({k})) k) r
+  ORDER BY vec_id
+) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
+
+for p in glob.glob(f"{src}/*.parquet"):
+    name = os.path.basename(p)
+    if name in ("documents.parquet", "embeddings.parquet"):
+        continue
+    q = os.path.join(dst, name)
+    if not os.path.exists(q):
+        try:
+            os.link(p, q)
+        except OSError:
+            shutil.copyfile(p, q)
+
+print(f"wrote {dst}: documents x{k} (stride {doc_stride}), "
+      f"embeddings x{k} (stride {vec_stride})")
