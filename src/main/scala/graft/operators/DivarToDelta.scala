@@ -140,12 +140,17 @@ object DivarToDelta {
   }
 
   /** The full load: map + melt into CustomFieldValues rows
-    * (py:226-277) — Meter carries Value, everything else the option id. */
-  def toCustomFieldValues(mapped: DataFrame): DataFrame =
+    * (py:226-277) — Meter carries Value, everything else the option id.
+    * `carry` columns (e.g. DepositCategoryId) ride through the melt so
+    * consumers don't re-join `mapped` — which would re-run the
+    * id-assignment pass. */
+  def toCustomFieldValues(mapped: DataFrame,
+                          carry: Seq[String] = Seq.empty): DataFrame =
     SearchIndex.eavMelt(mapped, "id",
       Seq("Meter" -> 1117, "Floor" -> 1118, "Rooms" -> 1119, "Age" -> 1120,
         "Parking" -> 1121, "WareHouse" -> 1122, "Elevator" -> 1123,
         "Loan" -> 1124),
       optionCoded = Set("Floor", "Rooms", "Age", "Parking", "WareHouse",
-        "Elevator", "Loan"))
+        "Elevator", "Loan"),
+      carry = carry)
 }

@@ -209,9 +209,13 @@ object SearchIndex {
     * wide field, Value carried on the value side, CustomFieldOptionId on
     * the option side for option-coded fields.
     */
+  /** `carry` columns ride along unchanged (e.g. DepositCategoryId on the
+    * star load) so callers don't have to re-join the wide frame — at
+    * scale that re-join would recompute the id-assignment pass. */
   def eavMelt(wide: DataFrame, idCol: String,
               fieldToCustomFieldId: Seq[(String, Int)],
-              optionCoded: Set[String] = Set.empty): DataFrame = {
+              optionCoded: Set[String] = Set.empty,
+              carry: Seq[String] = Seq.empty): DataFrame = {
     val entries = fieldToCustomFieldId.map { case (f, cfid) =>
       struct(
         lit(cfid).as("CustomFieldId"),
@@ -220,9 +224,11 @@ object SearchIndex {
         (if (optionCoded(f)) lit(null).cast(StringType)
          else col(f).cast(StringType)).as("Value"))
     }
-    wide.select(col(idCol).as("DepositId"), explode(array(entries: _*)).as("e"))
-      .select(col("DepositId"), col("e.CustomFieldId"),
-        col("e.CustomFieldOptionId"), col("e.Value"))
+    val carried = carry.map(col)
+    wide.select(col(idCol).as("DepositId") +: explode(array(entries: _*)).as("e")
+        +: carried: _*)
+      .select(Seq(col("DepositId"), col("e.CustomFieldId"),
+        col("e.CustomFieldOptionId"), col("e.Value")) ++ carried: _*)
       .filter(col("Value").isNotNull || col("CustomFieldOptionId").isNotNull)
   }
 }

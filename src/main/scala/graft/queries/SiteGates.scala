@@ -431,9 +431,12 @@ object SiteGates {
       when(pmod(col("doc_id"), lit(2)) === 0, "فروش مسکونی")
         .otherwise(lit("اجارهٔ مسکونی")).as("category"))
     val mapped = graft.operators.DivarToDelta.mapDeposits(wide, "doc_id")
-    graft.operators.DivarToDelta.toCustomFieldValues(mapped)
-      .join(mapped.select(col("id").as("DepositId"), col("DepositCategoryId")),
-        Seq("DepositId"))
+    // DepositCategoryId rides through the melt — re-joining `mapped`
+    // would run the surrogate-id assignment twice
+    graft.operators.DivarToDelta
+      .toCustomFieldValues(mapped, carry = Seq("DepositCategoryId"))
+      .select(col("DepositId"), col("CustomFieldId"),
+        col("CustomFieldOptionId"), col("Value"), col("DepositCategoryId"))
       .orderBy("DepositId", "CustomFieldId")
   }
 

@@ -75,8 +75,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
 
   test("q58 star load: at most 3 data shuffles, none single-partition") {
     val plan = planOf(queries.SiteGates.q58DivarToDelta(spark, dir))
-    assert(shuffles(plan) <= 3, // 2× range-partition for ids + final sort
-      s"shuffle count grew past 3 in:\n$plan")
+    assert(shuffles(plan) <= 2, // range-partition for ids + final sort
+      s"shuffle count grew past 2 in:\n$plan")
     assert(!plan.contains("SinglePartition"), s"single-partition exchange in:\n$plan")
   }
 
