@@ -338,7 +338,32 @@ object TextDedup {
       .orderBy("asset_id")
   }
 
+  /** t36: deterministic stratified sampling — per-language keep rates
+    * decided by a key hash, not rand(). The gate injects a portable
+    * multiplicative hash as the decision variable so DuckDB reproduces
+    * the exact sample; production uses xxhash64 (Sampling.uniformPct). */
+  def t36StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pct = pmod(col("doc_id") * 2654435761L, lit(100L))
+    graft.operators.Sampling.stratifiedSample(docs, "lang",
+        rates = Map("en" -> 0.5, "fa" -> 0.25, "zh" -> 0.1),
+        defaultRate = 1.0, pct = pct)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** t37: corpus vocabulary stats — per-language top-10 terms by
+    * document frequency (integer-exact; lexicographic tie-break). */
+  def t37TopTerms(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.topTermsByDocFreq(
+        Tables.documents(s, dir), "lang", "text", k = 10)
+      .select(col("stratum"), col("term"), col("doc_freq"),
+        col("rank").cast(IntegerType).as("rank"))
+      .orderBy("stratum", "rank")
+
   val queries: Map[String, Q] = Map(
+    "t36_stratified_sample" -> (t36StratifiedSample _),
+    "t37_top_terms" -> (t37TopTerms _),
     "t35_image_header_meta" -> (t35ImageHeaderMeta _),
     "t21_token_stats" -> (t21TokenStats _),
     "t22_stopword_quality" -> (t22StopwordQuality _),
@@ -364,6 +389,24 @@ object TextDedup {
       | FROM d)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t36_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 100 <
+        |  CASE lang WHEN 'en' THEN 50.0 WHEN 'fa' THEN 25.0
+        |            WHEN 'zh' THEN 10.0 ELSE 100.0 END
+        |ORDER BY doc_id""".stripMargin,
+    "t37_top_terms" ->
+      """SELECT lang AS stratum, term, doc_freq, cast(rank as int) rank
+        |FROM (
+        |  SELECT lang, term, count(*) doc_freq,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY count(*) DESC, term) rank
+        |  FROM (SELECT lang,
+        |          unnest(list_distinct(string_split(text, ' '))) term
+        |        FROM documents)
+        |  WHERE term <> ''
+        |  GROUP BY lang, term)
+        |WHERE rank <= 10 ORDER BY stratum, rank""".stripMargin,
     "t35_image_header_meta" ->
       // independent re-derivation of the synthesized dimensions — the
       // Spark side must recover these by PARSING the binary headers

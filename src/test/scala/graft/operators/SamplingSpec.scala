@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Training-data corpus shaping: hash-decided sampling (reproducible,
+  * partitioning-independent) and bounded vocabulary stats. */
+class SamplingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (0L until 1000L).map(i =>
+    (i, if (i % 2 == 0) "en" else "fa", s"w${i % 7} w${i % 3} common"))
+    .toDF("id", "lang", "text")
+
+  test("stratified sample is deterministic and respects 0/1 rates exactly") {
+    val pct = Sampling.uniformPct(col("id"))
+    def run() = Sampling.stratifiedSample(docs, "lang",
+      Map("en" -> 1.0, "fa" -> 0.0), defaultRate = 0.5, pct)
+      .select("id").as[Long].collect().sorted.toSeq
+    val a = run(); val b = run()
+    assert(a === b) // hash-decided: identical across runs
+    assert(a === (0L until 1000L by 2)) // en kept fully, fa dropped fully
+    // repartitioning must not change the sample (no rand() dependence)
+    val c = Sampling.stratifiedSample(docs.repartition(7), "lang",
+      Map("en" -> 1.0, "fa" -> 0.0), defaultRate = 0.5, pct)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(c === a)
+  }
+
+  test("fractional rate lands near the target and subsets are stable") {
+    val pct = Sampling.uniformPct(col("id"))
+    val kept = Sampling.stratifiedSample(docs, "lang",
+      Map("en" -> 0.3), defaultRate = 1.0, pct)
+    val en = kept.filter(col("lang") === "en").count().toDouble
+    assert(en > 500 * 0.2 && en < 500 * 0.4, s"en kept $en of 500 at rate 0.3")
+    assert(kept.filter(col("lang") === "fa").count() === 500) // default 1.0
+  }
+
+  test("topTermsByDocFreq bounds output per stratum with stable tie-break") {
+    val top = Sampling.topTermsByDocFreq(docs, "lang", "text", k = 3)
+    val rows = top.collect()
+    assert(rows.length === 6) // 2 strata × k
+    // 'common' appears in every doc → rank 1 in both strata
+    assert(top.filter(col("rank") === 1).select("term")
+      .as[String].collect().toSet === Set("common"))
+  }
+}
