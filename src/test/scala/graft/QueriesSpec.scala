@@ -13,6 +13,11 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("every query is oracle-gated") {
+    val ungated = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(ungated.isEmpty, s"queries without oracles: $ungated")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
