@@ -60,17 +60,20 @@ object StreamGate {
   }
 
   /** q61: streaming stateful dedup (ST2 — the crawler/sink
-    * exactly-once-ish guarantee) executed for real: readStream →
-    * dropDuplicates on the key → append-mode memory sink → the set of
-    * first-seen keys. Only the KEY is projected, so the result is
-    * deterministic regardless of which duplicate row wins the race into
-    * state (the surviving key set equals relational DISTINCT). */
+    * exactly-once-ish guarantee) executed for real through the
+    * PRODUCTION operator: readStream → dedupStreamKeys (watermarked
+    * dropDuplicatesWithinWatermark — state bounded by event time, the
+    * long-running-stream contract) → append-mode memory sink → the set
+    * of first-seen keys. The horizon spans the whole fixture, so the
+    * surviving key set equals relational DISTINCT exactly; only the KEY
+    * is projected, so the result is deterministic regardless of which
+    * duplicate row wins the race into state. */
   def q61StreamDedup(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
-    val deduped = stream
-      .select(col("user_id"), col("event_type"))
-      .dropDuplicates("user_id", "event_type")
+    val deduped = graft.streaming.StreamPipelines.dedupStreamKeys(
+        stream.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)")),
+        Seq("user_id", "event_type"), "ts_utc", watermark = "3650 days")
       .select(col("user_id"), col("event_type"))
     val name = s"q61_stream_${runId.incrementAndGet()}"
     val query = deduped.writeStream

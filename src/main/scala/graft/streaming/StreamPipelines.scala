@@ -16,14 +16,20 @@ import graft.operators.KeyedSink
 object StreamPipelines {
 
   /** ST2: exactly-once-ish keyed dedup — stateful dropDuplicates on the
-    * key within the watermark horizon
+    * key(s) within the watermark horizon, so dedup state is BOUNDED by
+    * event time instead of growing with every key ever seen
     * (crawler_dag_factory.py:37-49 + mongodb_utils.py:21-37). */
   def dedupStream(stream: DataFrame, key: String, tsCol: String,
                   watermark: String = "1 hour"): DataFrame =
+    dedupStreamKeys(stream, Seq(key), tsCol, watermark)
+
+  /** Composite-key variant of [[dedupStream]]. */
+  def dedupStreamKeys(stream: DataFrame, keys: Seq[String], tsCol: String,
+                      watermark: String = "1 hour"): DataFrame =
     stream
-      .filter(col(key).isNotNull)
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark(key)
+      .dropDuplicatesWithinWatermark(keys)
 
   /** ST1/ST5: micro-batch writer with the reference's drain cadence
     * (≤ batch-size per trigger ≙ fetcher_dag_factory.py:77-79). The sink
