@@ -264,7 +264,23 @@ object Relational {
       .filter(col("n") > 1)
       .orderBy("window_start_ns", "event_type")
 
+  /** q66: skew-salted join result parity — events (event_type is a
+    * 5-value heavily skewed key by construction) joined to a small
+    * per-type dim through Scale.saltedJoin must equal the plain join
+    * bit-for-bit; the salting only changes WHERE rows shuffle, never
+    * what joins. Output re-aggregated per type so the gate is compact. */
+  def q66SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val dim = ev.groupBy("event_type").agg(count(lit(1)).as("type_total"))
+    graft.operators.Scale
+      .saltedJoin(ev, dim, "event_type", identityCol = "event_id", saltFactor = 8)
+      .groupBy("event_type", "type_total")
+      .agg(count(lit(1)).as("n"), sumCents(col("value")).as("sum_value_c100"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q66_salted_join" -> (q66SaltedJoin _),
     "q43_event_windows" -> (q43EventWindows _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_monthly_shipped" -> (q2MonthlyShipped _),
@@ -289,6 +305,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q66_salted_join" ->
+      // the plain (unsalted) join answer the salted plan must equal
+      """WITH dim AS (
+        |  SELECT event_type, cast(count(*) as bigint) type_total
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, d.type_total,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(round(e.value*100) as bigint)) as bigint) AS sum_value_c100
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q43_event_windows" ->
       """SELECT epoch_ns(ts) - epoch_ns(ts) % 300000000000 AS window_start_ns,
         | event_type, cast(count(*) as bigint) AS n,
