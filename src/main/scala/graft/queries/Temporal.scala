@@ -32,7 +32,24 @@ object Temporal {
       .orderBy("event_id")
   }
 
-  val queries: Map[String, Q] = Map("q44_asof_join" -> (q44AsofJoin _))
+  /** q68: the S3/F17 watermark adjustment — UTC instant → Tehran wall
+    * clock minus the 1-hour safety lag (sql_search_incremental_dag.py:
+    * 130-133) — certified against DuckDB's independent zone conversion
+    * (Tehran is UTC+03:30, so any offset-arithmetic shortcut would
+    * hash-mismatch). Sampled to every 50th event for a compact gate. */
+  def q68WatermarkLag(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(pmod(col("event_id"), lit(50)) === 0)
+      .select(col("event_id"),
+        date_format(
+          graft.functions.RelativeDates.utcToTehranMinusLag(
+            expr("timestamp_micros(ts div 1000)")),
+          "yyyy-MM-dd HH:mm:ss").as("tehran_lagged"))
+      .orderBy("event_id")
+
+  val queries: Map[String, Q] = Map(
+    "q44_asof_join" -> (q44AsofJoin _),
+    "q68_watermark_lag" -> (q68WatermarkLag _))
 
   val oracles: Map[String, String] = Map(
     "q44_asof_join" ->
@@ -45,5 +62,15 @@ object Temporal {
         |       s.snap_ts // 1000 AS snap_ts_us, s.snap_value
         |FROM p ASOF LEFT JOIN snap s
         |  ON p.user_id = s.user_id AND p.ts >= s.snap_ts
-        |ORDER BY p.event_id""".stripMargin)
+        |ORDER BY p.event_id""".stripMargin,
+    "q68_watermark_lag" ->
+      // independent zone conversion: naive µs-truncated ts interpreted
+      // as UTC, rendered as Tehran wall clock, minus the 1 h lag
+      """SELECT event_id,
+        | strftime(timezone('Asia/Tehran',
+        |            make_timestamp(epoch_ns(ts) // 1000) AT TIME ZONE 'UTC')
+        |          - INTERVAL 1 HOUR,
+        |          '%Y-%m-%d %H:%M:%S') AS tehran_lagged
+        |FROM events WHERE event_id % 50 = 0
+        |ORDER BY event_id""".stripMargin)
 }

@@ -59,7 +59,34 @@ object VersionedGate {
       .orderBy("v", "doc_id")
   }
 
-  val queries: Map[String, Q] = Map("q63_versioned_load" -> (q63VersionedLoad _))
+  private val CsvRoot = "/tmp/graft_csv_q67"
+
+  /** q67: the atomic CSV swap (S6/S15 — the reference's chunked
+    * read_csv + tmp-file rename, price_prediction_data_pipeline.py /
+    * utils_of_backup.py) as Spark's job-commit CSV write + schema'd
+    * read-back. The `tricky` column carries embedded quotes and commas
+    * so the quoting/escape path is actually exercised; the oracle
+    * derives the expected rows straight from documents, so a hash match
+    * proves the CSV roundtrip is lossless. */
+  def q67CsvSwap(s: SparkSession, dir: String): DataFrame = {
+    val rootPath = java.nio.file.Paths.get(CsvRoot)
+    if (java.nio.file.Files.exists(rootPath))
+      java.nio.file.Files.walk(rootPath)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    val src = Tables.documents(s, dir).select(
+      col("doc_id"), col("text"), col("lang"), col("n_chars"),
+      concat(lit("\""), col("lang"), lit("\",:,"), col("source")).as("tricky"))
+    src.write.option("header", true).csv(CsvRoot)
+    s.read.option("header", true)
+      .schema("doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT, tricky STRING")
+      .csv(CsvRoot)
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q63_versioned_load" -> (q63VersionedLoad _),
+    "q67_csv_swap" -> (q67CsvSwap _))
 
   val oracles: Map[String, String] = Map(
     "q63_versioned_load" ->
@@ -76,5 +103,9 @@ object VersionedGate {
         |UNION ALL
         |SELECT cast(2 as int), doc_id, cat3_slug, construction_year,
         |  price + 2 FROM prep
-        |ORDER BY v, doc_id""".stripMargin)
+        |ORDER BY v, doc_id""".stripMargin,
+    "q67_csv_swap" ->
+      """SELECT doc_id, text, lang, n_chars,
+        |  '"' || lang || '",:,' || source AS tricky
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }
