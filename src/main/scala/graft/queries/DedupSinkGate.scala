@@ -33,7 +33,22 @@ object DedupSinkGate {
     KeyedSink.dedupTwoTier(existing, incoming, "k", bloom).orderBy("k")
   }
 
-  val queries: Map[String, Q] = Map("q64_bloom_dedup" -> (q64BloomDedup _))
+  /** q69: P10 delete-by-predicate as a filtered overwrite
+    * (del_unuse_record_in_mrestate.py:17-19) — null predicate results
+    * must KEEP the row (SQL delete semantics: only predicate-true rows
+    * go), which the null-producing try_cast branch exercises. */
+  def q69DeleteWhere(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val unusable = col("lang") === "zh" ||
+      substring(col("text"), 1, 3).try_cast(IntegerType) > 100 // null for non-numeric
+    KeyedSink.deleteWhere(docs, unusable)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q64_bloom_dedup" -> (q64BloomDedup _),
+    "q69_delete_where" -> (q69DeleteWhere _))
 
   val oracles: Map[String, String] = Map(
     "q64_bloom_dedup" ->
@@ -47,5 +62,12 @@ object DedupSinkGate {
         |  FROM documents)
         |SELECT DISTINCT k FROM incoming
         |WHERE k IS NOT NULL AND k NOT IN (SELECT k FROM existing)
-        |ORDER BY k""".stripMargin)
+        |ORDER BY k""".stripMargin,
+    "q69_delete_where" ->
+      // delete-where keeps rows where the predicate is FALSE OR NULL
+      """SELECT doc_id, lang FROM documents
+        |WHERE NOT coalesce(
+        |  lang = 'zh' OR try_cast(substr(text, 1, 3) AS INTEGER) > 100,
+        |  false)
+        |ORDER BY doc_id""".stripMargin)
 }
