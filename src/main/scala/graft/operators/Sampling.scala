@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Training-data corpus shaping (beyond the reference, SURVEY.md §2
   * training-data family): deterministic stratified sampling and
@@ -31,6 +32,50 @@ object Sampling {
       case (acc, (k, v)) => when(col(strataCol) === k, lit(v * 100.0)).otherwise(acc)
     }
     df.filter(pct < rateCol)
+  }
+
+  /** Sequence packing: assign documents (in a stable order) to
+    * fixed-token-budget bins — the batch-construction step of an LLM
+    * training pipeline. Greedy sequential packing is exactly cumulative
+    * arithmetic, so it parallelizes EXACTLY via a distributed prefix
+    * sum: range-partition + sort on the order column, aggregate one
+    * total per partition (a numPartitions-row driver collect), then a
+    * single mapPartitions pass adds each partition's offset to its
+    * local running sum. No global window, no single-partition stage —
+    * the same shape as the surrogate-id assignment, and bins that span
+    * partition boundaries are still exact because the offsets are.
+    *
+    * A row's bin is `floor(exclusive_prefix / budget)`: bins fill past
+    * the budget by at most one document, the standard greedy-packing
+    * contract (an over-budget document still lands in one bin).
+    */
+  def packByBudget(df: DataFrame, orderCol: String, weightCol: String,
+                   budget: Long, binCol: String = "bin_id"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(col(orderCol)).sortWithinPartitions(orderCol)
+    val wIdx = sorted.schema.fieldIndex(weightCol)
+    def weightOf(r: Row): Long =
+      if (r.isNullAt(wIdx)) 0L else r.get(wIdx) match {
+        case n: Number => n.longValue()
+        case other => other.toString.toLong
+      }
+    val totals = sorted.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var t = 0L; it.foreach(t += weightOf(_)); Iterator.single((i, t))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _) // exclusive per-partition offsets
+    val schema = StructType(sorted.schema.fields :+
+      StructField(binCol, LongType, nullable = false))
+    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = offsets(i)
+      it.map { r =>
+        val bin = cum / budget // exclusive prefix of this row
+        cum += weightOf(r)
+        Row.fromSeq(r.toSeq :+ bin)
+      }
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   /** Per-stratum top-k terms by DOCUMENT frequency (each term counted

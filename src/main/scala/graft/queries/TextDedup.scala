@@ -361,7 +361,23 @@ object TextDedup {
         col("rank").cast(IntegerType).as("rank"))
       .orderBy("stratum", "rank")
 
+  /** t38: sequence packing — token-budget bin assignment via the
+    * distributed prefix sum (no global window). The oracle is the
+    * definitionally-sequential cumulative-sum formulation; the hash
+    * match proves the partition-offset parallelization is EXACT,
+    * including bins that span partition boundaries. */
+  def t38SequencePacking(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.packByBudget(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2048L)
+      .select(col("doc_id"), col("n_tokens").cast(LongType).as("n_tokens"),
+        col("bin_id"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "t38_sequence_packing" -> (t38SequencePacking _),
     "t36_stratified_sample" -> (t36StratifiedSample _),
     "t37_top_terms" -> (t37TopTerms _),
     "t35_image_header_meta" -> (t35ImageHeaderMeta _),
@@ -389,6 +405,15 @@ object TextDedup {
       | FROM d)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t38_sequence_packing" ->
+      // the sequential definition: bin = floor(exclusive running sum /
+      // budget) in doc_id order
+      """SELECT doc_id, cast(n as bigint) n_tokens,
+        |  cast((sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |        - n) // 2048 as bigint) AS bin_id
+        |FROM (SELECT doc_id, len(string_split_regex(text, '\s+')) n
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "t36_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (doc_id * 2654435761) % 100 <

@@ -38,6 +38,28 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(kept.filter(col("lang") === "fa").count() === 500) // default 1.0
   }
 
+  test("packByBudget equals the sequential cumulative definition, any partitioning") {
+    val docs2 = (0L until 100L).map(i => (i, 10L + i % 7)).toDF("id", "w")
+    def seqBins(rows: Seq[(Long, Long)], budget: Long): Map[Long, Long] = {
+      var cum = 0L
+      rows.sortBy(_._1).map { case (id, w) =>
+        val b = cum / budget; cum += w; id -> b
+      }.toMap
+    }
+    val expected = seqBins((0L until 100L).map(i => (i, 10L + i % 7)), 64L)
+    for (parts <- Seq(1, 3, 13)) {
+      val got = Sampling.packByBudget(docs2.repartition(parts), "id", "w", 64L)
+        .select("id", "bin_id").as[(Long, Long)].collect().toMap
+      assert(got === expected, s"parts=$parts")
+    }
+    // every non-final bin's total is within one max-weight document of
+    // the budget on both sides (the greedy-packing contract)
+    val sizes = Sampling.packByBudget(docs2, "id", "w", 64L)
+      .groupBy("bin_id").agg(sum("w").as("tot"))
+      .orderBy("bin_id").select("tot").as[Long].collect()
+    assert(sizes.dropRight(1).forall(t => t > 64L - 17L && t < 64L + 17L))
+  }
+
   test("topTermsByDocFreq bounds output per stratum with stable tie-break") {
     val top = Sampling.topTermsByDocFreq(docs, "lang", "text", k = 3)
     val rows = top.collect()
