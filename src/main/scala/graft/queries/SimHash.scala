@@ -75,9 +75,26 @@ object SimHash {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** t39: near-dup CLUSTER formation — the t33 hamming pair graph fed
+    * through iterative min-label connected components; every doc_id<100
+    * vertex gets its component's min id as cluster_rep (isolated docs
+    * are singleton clusters). The oracle recomputes components with a
+    * recursive CTE — a completely different algorithm — so the hash
+    * match certifies the label-propagation loop converges to the true
+    * components. */
+  def t39DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val verts = Tables.documents(s, dir)
+      .filter(col("doc_id") < 100).select(col("doc_id"))
+    val edges = t33SimhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    graft.operators.DupClusters.connectedComponents(verts, edges)
+      .select(col("v").as("doc_id"), col("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t32_simhash_sigs" -> (t32SimhashSigs _),
-    "t33_simhash_pairs" -> (t33SimhashPairs _))
+    "t33_simhash_pairs" -> (t33SimhashPairs _),
+    "t39_dup_clusters" -> (t39DupClusters _))
 
   private val sigSql =
     {
@@ -103,5 +120,21 @@ object SimHash {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE a.doc_id < 100 AND b.doc_id < 100
          |  AND bit_count(xor(a.simhash, b.simhash)) <= 10
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "t39_dup_clusters" ->
+      // components via recursive reachability closure + min label — an
+      // independent algorithm from the engine's label propagation
+      s"""WITH RECURSIVE $sigSql,
+         |e0 AS (
+         | SELECT a.doc_id a, b.doc_id b
+         | FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         | WHERE a.doc_id < 100 AND b.doc_id < 100
+         |   AND bit_count(xor(a.simhash, b.simhash)) <= 10),
+         |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+         |r(v, l) AS (
+         | SELECT doc_id, doc_id FROM documents WHERE doc_id < 100
+         | UNION
+         | SELECT e.b, r.l FROM r JOIN edges e ON e.a = r.v)
+         |SELECT v AS doc_id, min(l) AS cluster_rep
+         |FROM r GROUP BY v ORDER BY doc_id""".stripMargin)
 }
