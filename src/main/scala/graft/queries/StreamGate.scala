@@ -118,10 +118,43 @@ object StreamGate {
       .orderBy("user_id", "session_start_us")
   }
 
+  /** q70: STREAM-STREAM interval join executed for real — purchases
+    * joined to same-user signups that happened in the 24 h before the
+    * purchase. Both sides carry watermarks (they bound join state on a
+    * long-running stream: a signup can be dropped once no purchase
+    * within the interval can still arrive); with AvailableNow over
+    * complete data every matching pair is emitted, so the result equals
+    * the batch interval join the oracle computes. */
+  def q70StreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
+      .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("ts_utc").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = stream.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("s_id"),
+        col("ts_utc").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val joined = purchases.join(signups,
+      expr("p_user = s_user AND p_ts >= s_ts AND p_ts <= s_ts + interval 24 hours"))
+    val name = s"q70_stream_${runId.incrementAndGet()}"
+    val query = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(name).select(col("p_id"), col("s_id"), col("p_user").as("user_id"))
+      .orderBy("p_id", "s_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q60_stream_windowed_agg" -> (q60StreamWindowedAgg _),
     "q61_stream_dedup" -> (q61StreamDedup _),
-    "q62_stream_sessions" -> (q62StreamSessions _))
+    "q62_stream_sessions" -> (q62StreamSessions _),
+    "q70_stream_interval_join" -> (q70StreamIntervalJoin _))
 
   val oracles: Map[String, String] = Map(
     "q60_stream_windowed_agg" ->
@@ -162,5 +195,15 @@ object StreamGate {
         |  ON a.user_id = l.user_id, wm
         |WHERE a.sid < l.maxsid
         |   OR a.end_tns // 1000000 + 1800000 < wm.wm_ms
-        |ORDER BY a.user_id, a.session_start_us""".stripMargin)
+        |ORDER BY a.user_id, a.session_start_us""".stripMargin,
+    "q70_stream_interval_join" ->
+      // batch interval join over µs-truncated event times
+      """WITH p AS (SELECT user_id, event_id p_id, epoch_ns(ts)//1000 p_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, event_id s_id, epoch_ns(ts)//1000 s_us
+        |      FROM events WHERE event_type = 'signup')
+        |SELECT p.p_id, s.s_id, p.user_id
+        |FROM p JOIN s ON p.user_id = s.user_id
+        | AND p.p_us >= s.s_us AND p.p_us <= s.s_us + 86400000000
+        |ORDER BY p.p_id, s.s_id""".stripMargin)
 }
