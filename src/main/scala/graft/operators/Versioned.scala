@@ -107,6 +107,22 @@ object PricePredictionFeed {
   val defaultExcluded: Seq[String] =
     Seq("_id", "created_at", "post_token", "content_url", "images")
 
+  /** The Mongo-export variant's (much larger) exclusion list
+    * (extract_mongo_filtered_data.py:20-32) — the other schema-sampling
+    * export in the reference; pass to [[prepare]]'s `excluded`. */
+  val mongoExportExcluded: Seq[String] = Seq(
+    "_id", "created_at", "content_url", "images",
+    "location_radius", "credit_value", "has_security_guard", "has_barbecue",
+    "has_pool", "has_jacuzzi", "has_business_deed", "has_sauna",
+    "transformed_rent", "transformable_rent",
+    "transformable_credit", "transformable_price", "rent_credit_transform",
+    "transformed_credit", "credit_mode", "rent_mode",
+    "rent_price_at_weekends", "rent_price_on_special_days",
+    "cost_per_extra_person", "extra_person_capacity",
+    "regular_person_capacity", "rent_price_on_regular_days", "rent_value",
+    "rent_to_single", "property_type", "has_electricity", "price_mode",
+    "has_gas", "cat2_slug", "description")
+
   /** extract+transform: drop excluded → filter cat3 → patch
     * construction_year −1370→1369 (P8/P11/F28). */
   def prepare(listings: DataFrame,
