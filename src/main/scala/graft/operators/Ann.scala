@@ -114,3 +114,97 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
   }
 }
+
+/** Product quantization (the MIPS flavor, matching this engine's
+  * inner-product ranking convention): each vector splits into `m`
+  * subspaces; every subspace learns `ksub` codewords with the SAME
+  * deterministic recipe as the IVF coarse quantizer (lowest-id seeds,
+  * max-dot assignment with ties to the lowest cell, one Lloyd step with
+  * trunc-toward-zero integer means); a vector's code is its m codeword
+  * ids (m small ints instead of dims floats — the memory path that
+  * makes billion-vector indexes fit). Queries run ADC (asymmetric
+  * distance computation): the query's EXACT per-subspace dots against
+  * every codeword form a tiny lookup table, and a document's
+  * approximate dot is the sum of its codes' entries.
+  *
+  * Scale shape: codebook learning and encoding run for ALL subspaces in
+  * ONE plan (subspace id is an exploded column, not a driver loop) —
+  * one scan, aggregations shuffled on (subspace, cell). The LUT is
+  * queries × m × ksub rows (broadcast); candidate scoring is an
+  * equi-join on (subspace, codeword) plus one sum-aggregate — never a
+  * vectors × queries × dims blow-up.
+  */
+object Pq {
+
+  /** (vid, sub, sv): every vector exploded into its quantized
+    * subvectors. */
+  private def subvectors(df: DataFrame, idCol: String, vecCol: String,
+                         m: Int, dsub: Int): DataFrame =
+    df.select(col(idCol).as("vid"), quantize_e6(col(vecCol)).as("v"))
+      .select(col("vid"), explode(array((0 until m).map { s =>
+        struct(lit(s).as("sub"), slice(col("v"), s * dsub + 1, dsub).as("sv"))
+      }: _*)).as("e"))
+      .select(col("vid"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+
+  private def argmaxCell(scored: DataFrame): DataFrame =
+    scored.groupBy("vid", "sub")
+      .agg(min(struct((-col("d")).as("nd"), col("centroid_id").as("cid"))).as("mm"))
+      .select(col("vid"), col("sub"), col("mm.cid").as("centroid_id"))
+
+  /** Per-subspace codebooks: (sub, centroid_id, cvec). */
+  def codebooks(embeddings: DataFrame, idCol: String, vecCol: String,
+                m: Int, ksub: Int, dims: Int): DataFrame = {
+    val dsub = dims / m
+    val qsub = subvectors(embeddings, idCol, vecCol, m, dsub)
+    val ws = Window.partitionBy("sub").orderBy("vid")
+    val seeds = qsub.withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= ksub)
+      .select(col("sub"), (col("rn") - 1).cast(IntegerType).as("centroid_id"),
+        col("sv").as("cvec"))
+    val assigned = argmaxCell(
+      qsub.join(broadcast(seeds), Seq("sub"))
+        .select(col("vid"), col("sub"), col("centroid_id"),
+          dot_long(col("sv"), col("cvec")).as("d")))
+    val sums = (1 to dsub).map(i => sum(element_at(col("sv"), i)).as(s"s$i"))
+    assigned.join(qsub, Seq("vid", "sub"))
+      .groupBy("sub", "centroid_id")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("sub"), col("centroid_id"),
+        array((1 to dsub).map(i =>
+          (col(s"s$i") / col("n")).cast(LongType)): _*).as("cvec"))
+  }
+
+  /** Encode every vector: (vid, sub, code). */
+  def encode(embeddings: DataFrame, idCol: String, vecCol: String,
+             books: DataFrame, m: Int, dims: Int): DataFrame = {
+    val dsub = dims / m
+    val qsub = subvectors(embeddings, idCol, vecCol, m, dsub)
+    argmaxCell(
+      qsub.join(broadcast(books), Seq("sub"))
+        .select(col("vid"), col("sub"), col("centroid_id"),
+          dot_long(col("sv"), col("cvec")).as("d")))
+      .withColumnRenamed("centroid_id", "code")
+  }
+
+  /** ADC top-k: approximate dot = Σ_sub LUT[query, sub, code]. */
+  def adcSearch(codes: DataFrame, books: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, m: Int, dims: Int,
+                topK: Int): DataFrame = {
+    val dsub = dims / m
+    val qsub = subvectors(queries, idCol, vecCol, m, dsub)
+      .withColumnRenamed("vid", "query_id")
+    val lut = qsub.join(broadcast(books), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("centroid_id"),
+        dot_long(col("sv"), col("cvec")).as("pd"))
+    val approx = codes.join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("centroid_id"))
+      .groupBy(col("query_id"), codes("vid").as("neighbor_id"))
+      .agg(sum("pd").as("adot"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adot").desc, col("neighbor_id").asc)
+    approx.withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adot"))
+  }
+}

@@ -38,21 +38,25 @@ object Vectors {
     Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
       quant(col("embedding")).as("v"))
 
-  /** v31: brute-force top-5 nearest neighbors by dot product for query
-    * vectors vec_id < 100 (baseline ANN; corpus side broadcast). */
-  def v31KnnBruteforce(s: SparkSession, dir: String): DataFrame = {
+  /** Exact top-k by dot for query ids < `nQueries` — the correctness
+    * baseline (v31) and the recall reference for the ANN specs. */
+  def bruteForceTopK(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
     val e = qEmb(s, dir)
-    val q = e.filter(col("vec_id") < 100)
+    val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("vq"))
     val dots = q.join(broadcast(e.select(col("vec_id").as("neighbor_id"), col("v"))),
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), dot(col("vq"), col("v")).as("dot"))
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
     dots.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
-      .orderBy("query_id", "rank")
   }
+
+  /** v31: brute-force top-5 nearest neighbors by dot product for query
+    * vectors vec_id < 100 (baseline ANN; corpus side broadcast). */
+  def v31KnnBruteforce(s: SparkSession, dir: String): DataFrame =
+    bruteForceTopK(s, dir, nQueries = 100, k = 5).orderBy("query_id", "rank")
 
   /** v32: per-vector exact squared norm (quality/scale diagnostics). */
   def v32VectorNorms(s: SparkSession, dir: String): DataFrame =
@@ -166,7 +170,27 @@ object Vectors {
       .orderBy("query_id", "rank")
   }
 
+  /** v39: product quantization + ADC search (operators/Ann.Pq) under
+    * the oracle — per-subspace codebooks with the IVF conventions
+    * (lowest-id seeds, max-dot ties-lowest, trunc-mean Lloyd step),
+    * m-code encoding, LUT-summed approximate dots, exact top-5. The
+    * oracle re-derives every stage relationally (list slices + zipped
+    * unnest dots + window argmins), so the hash match certifies the
+    * whole compressed-index path. */
+  def v39PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val books = graft.operators.Pq.codebooks(emb, "vec_id", "embedding",
+      m = 4, ksub = 4, dims = 64)
+    val codes = graft.operators.Pq.encode(emb, "vec_id", "embedding",
+      books, m = 4, dims = 64)
+    graft.operators.Pq.adcSearch(codes, books,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        m = 4, dims = 64, topK = 5)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v39_pq_adc" -> (v39PqAdc _),
     "v31_knn_bruteforce" -> (v31KnnBruteforce _),
     "v32_vector_norms" -> (v32VectorNorms _),
     "v33_label_centroids" -> (v33LabelCentroids _),
@@ -183,6 +207,64 @@ object Vectors {
       | FROM embeddings)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "v39_pq_adc" ->
+      // independent PQ derivation: 4 subspaces × 16 dims, 4 codewords
+      // each; same seed/assignment/mean conventions as the v37 oracle
+      (quantCte +
+      """,
+        |qs AS (SELECT vec_id vid, r.sub,
+        |         v[r.sub*16+1 : r.sub*16+16] sv
+        |       FROM q, (SELECT unnest(range(4)) sub) r),
+        |seeds AS (SELECT sub, cast(rn-1 as int) centroid_id, sv cvec FROM (
+        |           SELECT sub, sv,
+        |             row_number() OVER (PARTITION BY sub ORDER BY vid) rn
+        |           FROM qs) WHERE rn <= 4),
+        |a0d AS (SELECT vid, sub, centroid_id, cast(sum(x*y) as bigint) d
+        |        FROM (SELECT qs.vid, qs.sub, s.centroid_id,
+        |                unnest(qs.sv) x, unnest(s.cvec) y
+        |              FROM qs JOIN seeds s ON qs.sub = s.sub)
+        |        GROUP BY vid, sub, centroid_id),
+        |a0 AS (SELECT vid, sub, centroid_id FROM (
+        |         SELECT vid, sub, centroid_id,
+        |           row_number() OVER (PARTITION BY vid, sub
+        |                              ORDER BY d DESC, centroid_id ASC) rn
+        |         FROM a0d) WHERE rn = 1),
+        |cmeans AS (SELECT sub, centroid_id, pos,
+        |             cast(trunc(sum(x) * 1.0 / count(x)) as bigint) cx
+        |           FROM (SELECT a0.sub, a0.centroid_id,
+        |                   unnest(qs.sv) x, unnest(range(len(qs.sv))) pos
+        |                 FROM a0 JOIN qs ON a0.vid = qs.vid AND a0.sub = qs.sub)
+        |           GROUP BY sub, centroid_id, pos),
+        |cent AS (SELECT sub, centroid_id, list(cx ORDER BY pos) cvec
+        |         FROM cmeans GROUP BY sub, centroid_id),
+        |encd AS (SELECT vid, sub, centroid_id, cast(sum(x*y) as bigint) d
+        |         FROM (SELECT qs.vid, qs.sub, c.centroid_id,
+        |                 unnest(qs.sv) x, unnest(c.cvec) y
+        |               FROM qs JOIN cent c ON qs.sub = c.sub)
+        |         GROUP BY vid, sub, centroid_id),
+        |enc AS (SELECT vid, sub, centroid_id code FROM (
+        |          SELECT vid, sub, centroid_id,
+        |            row_number() OVER (PARTITION BY vid, sub
+        |                               ORDER BY d DESC, centroid_id ASC) rn
+        |          FROM encd) WHERE rn = 1),
+        |lut AS (SELECT query_id, sub, centroid_id, cast(sum(x*y) as bigint) pd
+        |        FROM (SELECT qs.vid query_id, qs.sub, c.centroid_id,
+        |                unnest(qs.sv) x, unnest(c.cvec) y
+        |              FROM qs JOIN cent c ON qs.sub = c.sub
+        |              WHERE qs.vid < 20)
+        |        GROUP BY query_id, sub, centroid_id),
+        |approx AS (SELECT l.query_id, e.vid neighbor_id,
+        |             cast(sum(l.pd) as bigint) adot
+        |           FROM enc e JOIN lut l
+        |             ON e.sub = l.sub AND e.code = l.centroid_id
+        |           WHERE e.vid <> l.query_id
+        |           GROUP BY l.query_id, e.vid),
+        |rk AS (SELECT query_id, neighbor_id, adot,
+        |         cast(row_number() OVER (PARTITION BY query_id
+        |                ORDER BY adot DESC, neighbor_id ASC) as int) rank
+        |       FROM approx)
+        |SELECT query_id, rank, neighbor_id, adot FROM rk
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "v31_knn_bruteforce" ->
       (quantCte +
       """,

@@ -45,4 +45,29 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(byQuery.length === 20)
     assert(byQuery.forall(r => r.getAs[Long]("n") == r.getAs[Int]("mx").toLong))
   }
+
+  test("PQ encode is total and ADC recall beats random against brute force") {
+    val books = Pq.codebooks(emb, "vec_id", "embedding", m = 8, ksub = 16, dims = 64)
+    // empty cells drop out of the Lloyd refinement, so a subspace may
+    // carry slightly fewer than ksub codewords — but never degenerate
+    val perSub = books.groupBy("sub").count().select("count").as[Long].collect()
+    assert(perSub.length === 8 && perSub.forall(c => c >= 8 && c <= 16))
+    val codes = Pq.encode(emb, "vec_id", "embedding", books, m = 8, dims = 64)
+    assert(codes.count() === 500 * 8) // every vector coded in every subspace
+    val queries = emb.filter(col("vec_id") < 20)
+    val adc = Pq.adcSearch(codes, books, queries, "vec_id", "embedding",
+        m = 8, dims = 64, topK = 10)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val exact = graft.queries.Vectors.bruteForceTopK(spark, dir, nQueries = 20, k = 10)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = exact.map { case (q, truth) =>
+      adc.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size }
+    val mean = recalls.sum / recalls.size
+    // 8x compression (64 floats -> 8 codes) is lossy on near-random
+    // synthetic embeddings; recall@10 must still be far above the
+    // random baseline (10/500 = 2%)
+    assert(mean > 0.2, s"mean ADC recall@10 = $mean")
+  }
 }
