@@ -40,16 +40,14 @@ object DupClusters {
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels, sym("b") === labels("v"))
         .groupBy(col("a").as("nv")).agg(min("label").as("nlabel"))
+      // carry the previous label through the update join so convergence
+      // is a filter on the checkpointed frame, not a second join
       val updated = labels.join(nbrMin, labels("v") === nbrMin("nv"), "left")
-        .select(col("v"),
+        .select(col("v"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint()
-      val changed = updated.as("u")
-        .join(labels.as("l"), "v")
-        .filter(col("u.label") =!= col("l.label"))
-        .limit(1).count()
-      converged = changed == 0
-      labels = updated
+      converged = updated.filter(col("prev") =!= col("label")).limit(1).count() == 0
+      labels = updated.select("v", "label")
       i += 1
     }
     labels.select(col("v"), col("label").as("cluster_rep"))
