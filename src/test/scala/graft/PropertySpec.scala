@@ -107,6 +107,27 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(malformed.forall(r => !r.isNullAt(0) && r.getLong(0) == 0L))
   }
 
+  test("image header parser is total on arbitrary byte soup") {
+    import graft.sources.MultiModal.ImageHeaders
+    val magic: Gen[Array[Byte]] = Gen.oneOf(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      Array[Byte](0xff.toByte, 0xd8.toByte),
+      "GIF89a".getBytes, "GIF87a".getBytes, Array.emptyByteArray)
+    val soup: Gen[Array[Byte]] = for {
+      m <- magic
+      body <- Gen.listOfN(40, Gen.chooseNum(-128, 127).map(_.toByte))
+      cut <- Gen.chooseNum(0, 40)
+    } yield m ++ body.take(cut)
+    // truncated signatures, random segment walks, empty arrays: the
+    // parser must return None or a parse, never throw or loop
+    samples(soup, 400).foreach { bytes =>
+      val r = ImageHeaders.parse(bytes)
+      r.foreach { case (fmt, w, h) =>
+        assert(Set("png", "jpeg", "gif")(fmt) && w >= 0 && h >= 0)
+      }
+    }
+  }
+
   test("two-tier Bloom dedup equals exact dedup for random data") {
     val gen = Gen.oneOf((1 to 60).map(i => s"u$i"))
     val existing = samples(gen, 80).distinct.toDF("k")
