@@ -76,4 +76,19 @@ object TextAnalysis {
   /** Content fingerprint (md5 of normalized text) — the exact-dedup key. */
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Unicode NFC via the JVM normalizer (no Catalyst builtin exists) —
+    * scan-side, null-safe. Composes combining sequences so visually
+    * identical strings hash identically downstream. */
+  private val nfcUdf = udf((s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+
+  /** Corpus-prep text normalization: NFC-compose, turn C0/DEL control
+    * characters into spaces, collapse whitespace runs, trim — the
+    * canonical form a training corpus is deduped and tokenized in. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfcUdf(c), "[\\x00-\\x1f\\x7f]", " "),
+      "\\s+", " "))
 }

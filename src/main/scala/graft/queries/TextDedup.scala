@@ -376,7 +376,20 @@ object TextDedup {
         col("bin_id"))
       .orderBy("doc_id")
 
+  /** t40: corpus-prep text normalization — NFC composition (the
+    * combining-acute fixture composes to a single é), control→space,
+    * whitespace collapse — against DuckDB's independent nfc_normalize +
+    * regex pipeline. */
+  def t40TextNormalize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.normalizeText(
+          concat(col("text"), lit("\u0009caf" + "e\u0301" + "\u000bx  y "))
+        ).as("normalized"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "t40_text_normalize" -> (t40TextNormalize _),
     "t38_sequence_packing" -> (t38SequencePacking _),
     "t36_stratified_sample" -> (t36StratifiedSample _),
     "t37_top_terms" -> (t37TopTerms _),
@@ -405,6 +418,15 @@ object TextDedup {
       | FROM d)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t40_text_normalize" ->
+      // chr(769) = U+0301 combining acute; nfc_normalize must compose
+      // 'e'+U+0301 into é exactly as the JVM normalizer does
+      """SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(
+        |   nfc_normalize(text || chr(9) || 'caf' || 'e' || chr(769)
+        |                 || chr(11) || 'x  y '),
+        |   '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS normalized
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t38_sequence_packing" ->
       // the sequential definition: bin = floor(exclusive running sum /
       // budget) in doc_id order
