@@ -388,7 +388,54 @@ object TextDedup {
         ).as("normalized"))
       .orderBy("doc_id")
 
+  /** Word bigrams in order (compiled; HOF lambdas run interpreted). */
+  private val bigramUdf = udf((words: Seq[String]) =>
+    if (words == null || words.length < 2) Seq.empty[String]
+    else words.iterator.sliding(2).map(p => p.head + " " + p(1)).toSeq)
+
+  /** t41: repetition-based quality score (the Gopher-style within-doc
+    * repetition filter): fraction of word bigrams that are duplicates
+    * of an earlier bigram in the same document. */
+  def t41RepetitionQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), bigramUdf(toks).as("bg"))
+      .select(col("doc_id"),
+        size(col("bg")).as("n_bigrams"),
+        size(array_distinct(col("bg"))).as("n_distinct"))
+      .withColumn("dup_frac_e6",
+        when(col("n_bigrams") > 0,
+          floor((col("n_bigrams") - col("n_distinct")) * 1000000.0 /
+            col("n_bigrams")).cast(LongType))
+          .otherwise(0L))
+      .orderBy("doc_id")
+
+  /** t42: benchmark decontamination — flag corpus documents whose
+    * 3-gram shingles overlap a benchmark set (every 97th doc plays the
+    * eval set) beyond a threshold. Candidate generation is a broadcast
+    * semi-join on the shingle key: the corpus side streams, only the
+    * benchmark vocabulary is materialized — the shape that holds when
+    * the corpus is 100 TB and the benchmark is megabytes. */
+  def t42Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val benchShingles = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(explode(shingles(toks)).as("sh")).distinct()
+    val corpus = docs.select(col("doc_id"), shingles(toks).as("s"))
+    val ns = corpus.select(col("doc_id"), size(col("s")).as("n_shingles"))
+    val hits = corpus.select(col("doc_id"), explode(col("s")).as("sh"))
+      .join(broadcast(benchShingles), Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    ns.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("flagged",
+        col("n_shingles") > 0 &&
+          col("n_contaminated") * 5 >= col("n_shingles")) // ≥ 20% overlap
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t41_repetition_quality" -> (t41RepetitionQuality _),
+    "t42_decontaminate" -> (t42Decontaminate _),
     "t40_text_normalize" -> (t40TextNormalize _),
     "t38_sequence_packing" -> (t38SequencePacking _),
     "t36_stratified_sample" -> (t36StratifiedSample _),
@@ -418,6 +465,34 @@ object TextDedup {
       | FROM d)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t41_repetition_quality" ->
+      """SELECT doc_id, cast(n as int) n_bigrams, cast(nd as int) n_distinct,
+        | CASE WHEN n > 0
+        |      THEN cast(floor((n - nd) * 1000000.0 / n) as bigint)
+        |      ELSE 0 END dup_frac_e6
+        |FROM (
+        | SELECT doc_id, len(bg) n, len(list_distinct(bg)) nd
+        | FROM (SELECT doc_id,
+        |         CASE WHEN len(w) >= 2 THEN list_transform(
+        |                generate_series(1, len(w)-1),
+        |                i -> w[i] || ' ' || w[i+1])
+        |              ELSE CAST([] AS VARCHAR[]) END bg
+        |       FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)))
+        |ORDER BY doc_id""".stripMargin,
+    "t42_decontaminate" ->
+      (shingleSqlCte + """,
+        |bench AS (SELECT DISTINCT unnest(s) sh FROM sh WHERE doc_id % 97 = 0),
+        |ns AS (SELECT doc_id, len(s) n_shingles FROM sh),
+        |hits AS (SELECT doc_id, cast(count(*) as bigint) n_contaminated
+        |         FROM (SELECT doc_id, unnest(s) sh FROM sh) e
+        |         WHERE e.sh IN (SELECT sh FROM bench)
+        |         GROUP BY doc_id)
+        |SELECT ns.doc_id, cast(ns.n_shingles as int) n_shingles,
+        |  coalesce(h.n_contaminated, 0) n_contaminated,
+        |  (ns.n_shingles > 0 AND
+        |   coalesce(h.n_contaminated, 0) * 5 >= ns.n_shingles) flagged
+        |FROM ns LEFT JOIN hits h ON ns.doc_id = h.doc_id
+        |ORDER BY ns.doc_id""".stripMargin),
     "t40_text_normalize" ->
       // chr(769) = U+0301 combining acute; nfc_normalize must compose
       // 'e'+U+0301 into é exactly as the JVM normalizer does
