@@ -80,6 +80,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("SinglePartition"), s"single-partition exchange in:\n$plan")
   }
 
+  test("t42 decontamination: benchmark vocabulary broadcast, semi-join") {
+    val plan = planOf(queries.TextDedup.t42Decontaminate(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"benchmark side not a broadcast semi-join in:\n$plan")
+  }
+
   test("v37 IVF: centroids broadcast, bounded shuffle rounds") {
     val plan = planOf(queries.Vectors.v37IvfAnn(spark, dir))
     assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
