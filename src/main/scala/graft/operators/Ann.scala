@@ -39,7 +39,14 @@ object Ann {
                      k: Int, dims: Int = -1): DataFrame = {
     val d =
       if (dims > 0) dims
-      else embeddings.select(size(col(vecCol))).head().getInt(0)
+      else embeddings.select(size(col(vecCol))).take(1) match {
+        case Array(r) => r.getInt(0)
+        case _ => // empty corpus → empty centroid frame, not a crash
+          return embeddings.sparkSession.createDataFrame(
+            embeddings.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("centroid_id", IntegerType),
+              StructField("cvec", ArrayType(LongType)))))
+      }
     val q = embeddings.select(col(idCol).as("vid"),
       when(assert_true(size(col(vecCol)) === d,
           lit(s"buildCentroids: expected $d-dim vectors")).isNull,
@@ -136,6 +143,14 @@ object Ann {
   */
 object Pq {
 
+  /** `dims` must split evenly into `m` subspaces — silently truncating
+    * trailing dimensions would degrade recall with no error. */
+  private def subDim(dims: Int, m: Int): Int = {
+    require(m > 0 && dims > 0 && dims % m == 0,
+      s"dims=$dims must be a positive multiple of m=$m")
+    dims / m
+  }
+
   /** (vid, sub, sv): every vector exploded into its quantized
     * subvectors. */
   private def subvectors(df: DataFrame, idCol: String, vecCol: String,
@@ -154,7 +169,7 @@ object Pq {
   /** Per-subspace codebooks: (sub, centroid_id, cvec). */
   def codebooks(embeddings: DataFrame, idCol: String, vecCol: String,
                 m: Int, ksub: Int, dims: Int): DataFrame = {
-    val dsub = dims / m
+    val dsub = subDim(dims, m)
     val qsub = subvectors(embeddings, idCol, vecCol, m, dsub)
     val ws = Window.partitionBy("sub").orderBy("vid")
     val seeds = qsub.withColumn("rn", row_number().over(ws))
@@ -177,7 +192,7 @@ object Pq {
   /** Encode every vector: (vid, sub, code). */
   def encode(embeddings: DataFrame, idCol: String, vecCol: String,
              books: DataFrame, m: Int, dims: Int): DataFrame = {
-    val dsub = dims / m
+    val dsub = subDim(dims, m)
     val qsub = subvectors(embeddings, idCol, vecCol, m, dsub)
     argmaxCell(
       qsub.join(broadcast(books), Seq("sub"))
@@ -190,7 +205,7 @@ object Pq {
   def adcSearch(codes: DataFrame, books: DataFrame, queries: DataFrame,
                 idCol: String, vecCol: String, m: Int, dims: Int,
                 topK: Int): DataFrame = {
-    val dsub = dims / m
+    val dsub = subDim(dims, m)
     val qsub = subvectors(queries, idCol, vecCol, m, dsub)
       .withColumnRenamed("vid", "query_id")
     val lut = qsub.join(broadcast(books), Seq("sub"))

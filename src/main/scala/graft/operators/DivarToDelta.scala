@@ -75,7 +75,9 @@ object DivarToDelta {
     val schema = StructType(
       StructField(idCol, IntegerType, nullable = false) +: sorted.schema.fields)
     val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq((base + i).toInt +: r.toSeq)
+      // toIntExact: past ~2.1e9 rows the int surrogate domain is
+      // exhausted — fail loudly instead of wrapping negative
+      Row.fromSeq(Math.toIntExact(base + i) +: r.toSeq)
     }
     spark.createDataFrame(rows, schema)
   }

@@ -31,8 +31,11 @@ object DupClusters {
                           maxIter: Int = 25): DataFrame = {
     val v = vertices.columns.head
     val Seq(s, d) = edges.columns.take(2).toSeq
+    // checkpoint the symmetrized edges too: their lineage contains the
+    // whole pair-generation pipeline, which must run once, not per round
     val sym = edges.select(col(s).as("a"), col(d).as("b"))
       .union(edges.select(col(d).as("a"), col(s).as("b")))
+      .localCheckpoint()
     var labels = vertices.select(col(v).as("v"))
       .withColumn("label", col("v")).localCheckpoint()
     var converged = false
@@ -50,6 +53,13 @@ object DupClusters {
       labels = updated.select("v", "label")
       i += 1
     }
+    // a silent non-converged exit would return INTERMEDIATE labels —
+    // under-merged clusters with no signal. Components wider than
+    // maxIter hops must fail loudly so the caller raises the bound.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "a component is wider than maxIter hops; raise maxIter")
     labels.select(col("v"), col("label").as("cluster_rep"))
   }
 

@@ -91,7 +91,8 @@ object Versioned {
     cols.map(c => c -> row.getAs[Long](c)).filter(_._2 > 0).toMap
   }
 
-  private def deleteRecursively(p: Path): Unit =
+  /** Shared by the gate queries that reset scratch roots. */
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
 }

@@ -163,8 +163,13 @@ object StreamGate {
         | cast(sum(cast(round(value*100) as bigint)) as bigint) AS sum_value_c100
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q61_stream_dedup" ->
+      // dedupStreamKeys skips null keys (the sink contract) — the
+      // oracle says so explicitly rather than relying on the fixture
+      // having none
       """SELECT DISTINCT user_id, event_type
-        |FROM events ORDER BY user_id, event_type""".stripMargin,
+        |FROM events
+        |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |ORDER BY user_id, event_type""".stripMargin,
     "q62_stream_sessions" ->
       // lag + cumulative-sum session ids; each user's LAST session is
       // included only when its event-time timeout fired: Spark evicts

@@ -508,7 +508,9 @@ object TextDedup {
       """SELECT doc_id, cast(n as bigint) n_tokens,
         |  cast((sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
         |        - n) // 2048 as bigint) AS bin_id
-        |FROM (SELECT doc_id, len(string_split_regex(text, '\s+')) n
+        |FROM (SELECT doc_id,
+        |        CASE WHEN text IS NULL OR text = '' THEN 0
+        |             ELSE len(string_split_regex(text, '\s+')) END n
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "t36_stratified_sample" ->

@@ -29,11 +29,7 @@ object VersionedGate {
 
   def q63VersionedLoad(s: SparkSession, dir: String): DataFrame = {
     // idempotent re-runs: clear the scratch root first
-    val rootPath = java.nio.file.Paths.get(Root)
-    if (java.nio.file.Files.exists(rootPath))
-      java.nio.file.Files.walk(rootPath)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.delete(f))
+    Versioned.deleteRecursively(java.nio.file.Paths.get(Root))
 
     val listings = Tables.documents(s, dir).select(
       col("doc_id"),
@@ -69,16 +65,20 @@ object VersionedGate {
     * derives the expected rows straight from documents, so a hash match
     * proves the CSV roundtrip is lossless. */
   def q67CsvSwap(s: SparkSession, dir: String): DataFrame = {
-    val rootPath = java.nio.file.Paths.get(CsvRoot)
-    if (java.nio.file.Files.exists(rootPath))
-      java.nio.file.Files.walk(rootPath)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.delete(f))
+    Versioned.deleteRecursively(java.nio.file.Paths.get(CsvRoot))
     val src = Tables.documents(s, dir).select(
       col("doc_id"), col("text"), col("lang"), col("n_chars"),
       concat(lit("\""), col("lang"), lit("\",:,"), col("source")).as("tricky"))
-    src.write.option("header", true).csv(CsvRoot)
+    // symmetric whitespace/empty handling: Spark's CSV defaults TRIM
+    // edge whitespace and read empty back as null — either would make
+    // the roundtrip lossy for legal string values
+    src.write.option("header", true)
+      .option("ignoreLeadingWhiteSpace", false)
+      .option("ignoreTrailingWhiteSpace", false)
+      .csv(CsvRoot)
     s.read.option("header", true)
+      .option("ignoreLeadingWhiteSpace", false)
+      .option("ignoreTrailingWhiteSpace", false)
       .schema("doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT, tricky STRING")
       .csv(CsvRoot)
       .orderBy("doc_id")

@@ -3,8 +3,9 @@
 tables (the LLM-pipeline workload) for scaling-slope measurement.
 
 Replicas get distinct ids (doc_id + k*stride) and lightly perturbed
-content — a replica marker token in text, a replica-scaled first
-embedding dimension — so dedup/ANN workloads keep their SHAPE (cluster
+content — a replica marker token in text, a small uniform per-replica
+shift on every embedding dimension — so dedup/ANN workloads keep their
+SHAPE (cluster
 sizes, bucket occupancy) instead of degenerating into k-way exact
 duplicates whose pairwise outputs would grow quadratically by
 construction. TPC-H tables are hard-linked unchanged: the slope is
