@@ -150,13 +150,89 @@ object StreamGate {
       .orderBy("p_id", "s_id")
   }
 
+  /** q71: the SAME sessionization as q62 on Spark 4's
+    * transformWithState (StatefulProcessor + explicit event-time
+    * timers) — both state APIs must emit the identical session set,
+    * certified by sharing q62's oracle derivation. */
+  def q71StreamSessionsTws(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
+    val evts = stream
+      .select(col("user_id"), col("ts").as("ts_ns"), col("event_id"))
+      .as[graft.streaming.StreamPipelines.SessionEvent]
+    val sessions = graft.streaming.StreamPipelines.sessionizeTws(evts)
+    val name = s"q71_stream_${runId.incrementAndGet()}"
+    // transformWithState needs multiple state column families → RocksDB
+    // provider (scoped to this query; restored after the drain)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val query = sessions.toDF().writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+    }
+    s.table(name).select(col("user_id"),
+        expr("session_start_ns div 1000").as("session_start_us"),
+        expr("session_end_ns div 1000").as("session_end_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+  }
+
   val queries: Map[String, Q] = Map(
     "q60_stream_windowed_agg" -> (q60StreamWindowedAgg _),
     "q61_stream_dedup" -> (q61StreamDedup _),
     "q62_stream_sessions" -> (q62StreamSessions _),
-    "q70_stream_interval_join" -> (q70StreamIntervalJoin _))
+    "q70_stream_interval_join" -> (q70StreamIntervalJoin _),
+    "q71_stream_sessions_tws" -> (q71StreamSessionsTws _))
+
+  // lag + cumulative-sum session ids; each user's LAST session is
+  // included only when its event-time timeout fired: Spark evicts
+  // state when timeoutMs < watermarkMs (strict), with timeoutMs =
+  // lastNs//1e6 + 30 min and watermarkMs = max(ts)//1e6 − 10 min.
+  // Shared by q62 (flatMapGroupsWithState) and q71 (transformWithState):
+  // both state APIs must emit the identical session set.
+  private val sessionOracle =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) tns, event_id,
+      |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+      |                            ORDER BY epoch_ns(ts), event_id) prev
+      |  FROM events),
+      |sids AS (
+      |  SELECT user_id, tns,
+      |    sum(CASE WHEN prev IS NULL OR tns - prev > 1800000000000
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY tns, event_id
+      |            ROWS UNBOUNDED PRECEDING) sid
+      |  FROM e),
+      |agg AS (
+      |  SELECT user_id, sid, min(tns) // 1000 session_start_us,
+      |    max(tns) // 1000 session_end_us, max(tns) end_tns,
+      |    cast(count(*) as bigint) n_events
+      |  FROM sids GROUP BY 1, 2),
+      |last AS (SELECT user_id, max(sid) maxsid FROM agg GROUP BY 1),
+      |wm AS (SELECT max(epoch_ns(ts)) // 1000000 - 600000 wm_ms FROM events)
+      |SELECT a.user_id, cast(a.session_start_us as bigint) session_start_us,
+      |  cast(a.session_end_us as bigint) session_end_us, a.n_events
+      |FROM agg a JOIN last l
+      |  ON a.user_id = l.user_id, wm
+      |WHERE a.sid < l.maxsid
+      |   OR a.end_tns // 1000000 + 1800000 < wm.wm_ms
+      |ORDER BY a.user_id, a.session_start_us""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q62_stream_sessions" -> sessionOracle,
+    "q71_stream_sessions_tws" -> sessionOracle,
     "q60_stream_windowed_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         | event_type, cast(count(*) as bigint) AS n,
@@ -170,37 +246,6 @@ object StreamGate {
         |FROM events
         |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
         |ORDER BY user_id, event_type""".stripMargin,
-    "q62_stream_sessions" ->
-      // lag + cumulative-sum session ids; each user's LAST session is
-      // included only when its event-time timeout fired: Spark evicts
-      // state when timeoutMs < watermarkMs (strict), with timeoutMs =
-      // lastNs//1e6 + 30 min and watermarkMs = max(ts)//1e6 − 10 min
-      """WITH e AS (
-        |  SELECT user_id, epoch_ns(ts) tns, event_id,
-        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id
-        |                            ORDER BY epoch_ns(ts), event_id) prev
-        |  FROM events),
-        |sids AS (
-        |  SELECT user_id, tns,
-        |    sum(CASE WHEN prev IS NULL OR tns - prev > 1800000000000
-        |             THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY tns, event_id
-        |            ROWS UNBOUNDED PRECEDING) sid
-        |  FROM e),
-        |agg AS (
-        |  SELECT user_id, sid, min(tns) // 1000 session_start_us,
-        |    max(tns) // 1000 session_end_us, max(tns) end_tns,
-        |    cast(count(*) as bigint) n_events
-        |  FROM sids GROUP BY 1, 2),
-        |last AS (SELECT user_id, max(sid) maxsid FROM agg GROUP BY 1),
-        |wm AS (SELECT max(epoch_ns(ts)) // 1000000 - 600000 wm_ms FROM events)
-        |SELECT a.user_id, cast(a.session_start_us as bigint) session_start_us,
-        |  cast(a.session_end_us as bigint) session_end_us, a.n_events
-        |FROM agg a JOIN last l
-        |  ON a.user_id = l.user_id, wm
-        |WHERE a.sid < l.maxsid
-        |   OR a.end_tns // 1000000 + 1800000 < wm.wm_ms
-        |ORDER BY a.user_id, a.session_start_us""".stripMargin,
     "q70_stream_interval_join" ->
       // batch interval join over µs-truncated event times
       """WITH p AS (SELECT user_id, event_id p_id, epoch_ns(ts)//1000 p_us

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger}
 import org.apache.spark.sql.Row
 
 import graft.operators.KeyedSink
@@ -142,5 +142,84 @@ object StreamPipelines {
             out.result().iterator
           }
       }
+  }
+
+  // -------- the same sessionization on Spark 4's transformWithState
+
+  /** [[sessionize]] re-expressed on the arbitrary-state v2 API
+    * (`transformWithState` + StatefulProcessor): the open session lives
+    * in a ValueState, and instead of a per-group timeout the processor
+    * manages an explicit event-time TIMER per user, re-armed (delete +
+    * register) as the session extends. Same semantics, same emission
+    * set; the processor model adds composable state variables and
+    * multiple timers per key — the API a new pipeline should target. */
+  private class SessionProcessor(gapNs: Long)
+      extends StatefulProcessor[Long, SessionEventT, ClosedSession] {
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+    @transient private var armed: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getValueState[OpenSession]("open",
+        Encoders.product[OpenSession], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armedTimer",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[SessionEventT],
+                                 timers: TimerValues): Iterator[ClosedSession] = {
+      val gapMs = gapNs / 1000000L
+      val sorted = rows.toVector.sortBy(e => (e.ts_ns, e.event_id))
+      val out = Vector.newBuilder[ClosedSession]
+      var cur = if (open.exists()) Some(open.get()) else None
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts_ns - s.lastNs <= gapNs =>
+            cur = Some(s.copy(lastNs = e.ts_ns, n = s.n + 1))
+          case Some(s) =>
+            out += ClosedSession(uid, s.startNs, s.lastNs, s.n)
+            cur = Some(OpenSession(e.ts_ns, e.ts_ns, 1))
+          case None =>
+            cur = Some(OpenSession(e.ts_ns, e.ts_ns, 1))
+        }
+      }
+      cur.foreach { s =>
+        val timeoutMs = s.lastNs / 1000000L + gapMs
+        if (timeoutMs > timers.getCurrentWatermarkInMs()) {
+          open.update(s)
+          if (armed.exists()) getHandle.deleteTimer(armed.get())
+          getHandle.registerTimer(timeoutMs)
+          armed.update(timeoutMs)
+        } else {
+          open.clear()
+          if (armed.exists()) getHandle.deleteTimer(armed.get())
+          armed.clear()
+          out += ClosedSession(uid, s.startNs, s.lastNs, s.n)
+        }
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val s = if (open.exists()) Some(open.get()) else None
+      open.clear(); armed.clear()
+      s.map(v => ClosedSession(uid, v.startNs, v.lastNs, v.n)).iterator
+    }
+  }
+
+  /** Gap sessionization on `transformWithState` — see [[sessionize]]
+    * for the semantics; this is the v2-state-API formulation. */
+  def sessionizeTws(events: Dataset[SessionEvent],
+                    gapNs: Long = 1800000000000L,
+                    watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts_utc", expr("timestamp_micros(ts_ns div 1000)"))
+      .as[SessionEventT]
+      .withWatermark("ts_utc", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapNs),
+        TimeMode.EventTime(), OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[ClosedSession]])
   }
 }
