@@ -86,6 +86,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"benchmark side not a broadcast semi-join in:\n$plan")
   }
 
+  test("v39 PQ-ADC: codebooks and LUT broadcast, no cartesian product") {
+    val plan = planOf(queries.Vectors.v39PqAdc(spark, dir))
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
+      s"codebook/LUT broadcasts missing in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate scoring degenerated to a cartesian product in:\n$plan")
+  }
+
   test("v37 IVF: centroids broadcast, bounded shuffle rounds") {
     val plan = planOf(queries.Vectors.v37IvfAnn(spark, dir))
     assert("BroadcastExchange".r.findAllIn(plan).size >= 2,

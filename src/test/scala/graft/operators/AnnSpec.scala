@@ -46,6 +46,24 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(byQuery.forall(r => r.getAs[Long]("n") == r.getAs[Int]("mx").toLong))
   }
 
+  test("PQ rejects dims that do not split evenly into m subspaces") {
+    intercept[IllegalArgumentException] {
+      Pq.codebooks(emb, "vec_id", "embedding", m = 4, ksub = 4, dims = 62)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.encode(emb, "vec_id", "embedding",
+        Pq.codebooks(emb, "vec_id", "embedding", m = 4, ksub = 4, dims = 64),
+        m = 3, dims = 64)
+    }
+  }
+
+  test("buildCentroids on an empty corpus yields an empty centroid frame") {
+    val empty = emb.filter(col("vec_id") < 0)
+    val c = Ann.buildCentroids(empty, "vec_id", "embedding", k = 8)
+    assert(c.columns.toSeq === Seq("centroid_id", "cvec"))
+    assert(c.count() === 0)
+  }
+
   test("PQ encode is total and ADC recall beats random against brute force") {
     val books = Pq.codebooks(emb, "vec_id", "embedding", m = 8, ksub = 16, dims = 64)
     // empty cells drop out of the Lloyd refinement, so a subspace may
