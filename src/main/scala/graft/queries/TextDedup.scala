@@ -433,7 +433,27 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** t43: URL canonicalization — four messy-url shapes (tracking
+    * params, mixed-case scheme/host, default ports, fragments,
+    * unsorted queries) synthesized per doc; the oracle emits the
+    * EXPECTED canonical literal per shape from doc_id arithmetic, a
+    * fully independent derivation. */
+  def t43UrlCanonicalize(s: SparkSession, dir: String): DataFrame = {
+    val m4 = pmod(col("doc_id"), lit(4))
+    val raw = when(m4 === 0,
+        format_string("HTTP://Example.COM:80/p%d?utm_source=x&b=2&a=1#frag", col("doc_id")))
+      .when(m4 === 1,
+        format_string("https://EXAMPLE.com:443/q/%d?gclid=1&utm_x=2", col("doc_id")))
+      .when(m4 === 2, lit("HtTpS://a.b.C/r?z=9&y=8&x=7"))
+      .otherwise(format_string("http://Host.net/s%d", col("doc_id")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), raw.as("raw_url"),
+        graft.functions.Urls.canonicalize(raw).as("canonical_url"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t43_url_canonicalize" -> (t43UrlCanonicalize _),
     "t41_repetition_quality" -> (t41RepetitionQuality _),
     "t42_decontaminate" -> (t42Decontaminate _),
     "t40_text_normalize" -> (t40TextNormalize _),
@@ -465,6 +485,19 @@ object TextDedup {
       | FROM d)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t43_url_canonicalize" ->
+      """SELECT doc_id,
+        | CASE doc_id%4
+        |  WHEN 0 THEN 'HTTP://Example.COM:80/p' || doc_id || '?utm_source=x&b=2&a=1#frag'
+        |  WHEN 1 THEN 'https://EXAMPLE.com:443/q/' || doc_id || '?gclid=1&utm_x=2'
+        |  WHEN 2 THEN 'HtTpS://a.b.C/r?z=9&y=8&x=7'
+        |  ELSE 'http://Host.net/s' || doc_id END AS raw_url,
+        | CASE doc_id%4
+        |  WHEN 0 THEN 'http://example.com/p' || doc_id || '?a=1&b=2'
+        |  WHEN 1 THEN 'https://example.com/q/' || doc_id
+        |  WHEN 2 THEN 'https://a.b.c/r?x=7&y=8&z=9'
+        |  ELSE 'http://host.net/s' || doc_id END AS canonical_url
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t41_repetition_quality" ->
       """SELECT doc_id, cast(n as int) n_bigrams, cast(nd as int) n_distinct,
         | CASE WHEN n > 0
