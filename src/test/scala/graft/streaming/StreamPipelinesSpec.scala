@@ -93,6 +93,38 @@ class StreamPipelinesSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed dedup resumes with state intact: no reprocess, no re-emit") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[(String, Timestamp)]
+    @volatile var batches = Vector.empty[(Long, Seq[String])]
+    def start() = StreamPipelines.dedupStream(
+        mem.toDF().toDF("content_url", "ts"), "content_url", "ts", "1 hour")
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches = batches :+ (id, df.select("content_url")
+          .collect().map(_.getString(0)).sorted.toSeq)
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val q1 = start()
+    try {
+      mem.addData(("a", ts("2025-01-01 10:00:00")), ("b", ts("2025-01-01 10:00:10")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterRun1 = batches.flatMap(_._2)
+    assert(afterRun1.sorted === Seq("a", "b"))
+    // restart from the SAME checkpoint: "a" re-sent within the
+    // watermark must STILL dedup (state restored, not rebuilt empty),
+    // committed batches must not replay, and "c" flows through
+    mem.addData(("a", ts("2025-01-01 10:01:00")), ("c", ts("2025-01-01 10:01:30")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val all = batches.flatMap(_._2)
+    assert(all.sorted === Seq("a", "b", "c"), s"got $batches")
+    assert(batches.map(_._1) === batches.map(_._1).distinct) // no batch replayed
+  }
+
   test("idempotentMerge: overlapping re-emits collapse into no-ops (ST4)") {
     var state: DataFrame = Seq(("u1", "v1")).toDF("content_url", "payload")
     val merge = StreamPipelines.idempotentMerge(
