@@ -36,8 +36,14 @@ class PipelineIntegrationSpec extends AnyFunSuite with SparkSpec {
       PaginatedIngest.Config(maxPages = 50, dupRatioStop = 0.5))
     assert(urls.size === 30 && !stats.stoppedEarly)
 
-    // 2. work queue → fetch (lookup join against the stub site)
-    val queue = urls.toDF("content_url")
+    // 2. canonicalize crawl urls (tracking params + fragments from the
+    //    listing pages collapse onto the same identity key), then the
+    //    work queue → fetch (lookup join against the stub site)
+    val messy = urls.zipWithIndex.map { case (u, i) =>
+      if (i % 3 == 0) s"$u?utm_source=crawl#card" else u
+    }
+    val queue = messy.toDF("raw_url")
+      .select(graft.functions.Urls.canonicalize(col("raw_url")).as("content_url"))
     val fetched = queue.join(site.toSeq.toDF("content_url", "raw"), Seq("content_url"))
 
     // 3. the real transform
