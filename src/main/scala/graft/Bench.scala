@@ -35,10 +35,27 @@ object Bench {
     val results = queries.map { case (name, fn) =>
       name -> math.min(timeOnce(fn), timeOnce(fn))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+
+    // The harness keeps only the last ~2000 chars of stdout; the full
+    // per-query line outgrew that window (BENCH_r03 `parsed: null`). So:
+    // full detail goes to a file AND an early stdout line, and the FINAL
+    // stdout line is a compact summary guaranteed to fit the tail window
+    // — top slowest queries inline, pointer to the full file. Nothing
+    // may print after it (spark.stop() runs first).
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), fullJson + "\n")
+    println(fullJson)
     spark.stop()
+    val top = results.sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$top,"queries_truncated":true,"queries_full":"bench_full.json"}""")
+    System.out.flush()
   }
 }

@@ -122,9 +122,12 @@ object StreamGate {
     * joined to same-user signups that happened in the 24 h before the
     * purchase. Both sides carry watermarks (they bound join state on a
     * long-running stream: a signup can be dropped once no purchase
-    * within the interval can still arrive); with AvailableNow over
-    * complete data every matching pair is emitted, so the result equals
-    * the batch interval join the oracle computes. */
+    * within the interval can still arrive). The gate watermark spans the
+    * whole fixture ("3650 days", like q61's): AvailableNow may split the
+    * input across micro-batches (maxFilesPerTrigger), and a tight
+    * watermark would drop late-batch rows pre-join, losing pairs vs the
+    * batch oracle. State BOUNDEDNESS under a tight watermark is a
+    * separate property, certified by StreamPipelinesSpec. */
   def q70StreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
@@ -132,11 +135,11 @@ object StreamGate {
     val purchases = stream.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
         col("ts_utc").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
+      .withWatermark("p_ts", "3650 days")
     val signups = stream.filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("event_id").as("s_id"),
         col("ts_utc").as("s_ts"))
-      .withWatermark("s_ts", "1 hour")
+      .withWatermark("s_ts", "3650 days")
     val joined = purchases.join(signups,
       expr("p_user = s_user AND p_ts >= s_ts AND p_ts <= s_ts + interval 24 hours"))
     val name = s"q70_stream_${runId.incrementAndGet()}"

@@ -341,10 +341,14 @@ object TextDedup {
   /** t36: deterministic stratified sampling — per-language keep rates
     * decided by a key hash, not rand(). The gate injects a portable
     * multiplicative hash as the decision variable so DuckDB reproduces
-    * the exact sample; production uses xxhash64 (Sampling.uniformPct). */
+    * the exact sample; production uses xxhash64 (Sampling.uniformPct).
+    * doc_id is reduced mod a prime BEFORE the multiply: the raw product
+    * wraps silently in Spark Long arithmetic but raises BIGINT-overflow
+    * in DuckDB once doc_id exceeds ~3.47e9, so the reduced form is the
+    * only one both engines evaluate identically at any scale. */
   def t36StratifiedSample(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pct = pmod(col("doc_id") * 2654435761L, lit(100L))
+    val pct = pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(100L))
     graft.operators.Sampling.stratifiedSample(docs, "lang",
         rates = Map("en" -> 0.5, "fa" -> 0.25, "zh" -> 0.1),
         defaultRate = 1.0, pct = pct)
@@ -548,7 +552,7 @@ object TextDedup {
         |ORDER BY doc_id""".stripMargin,
     "t36_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE (doc_id * 2654435761) % 100 <
+        |WHERE ((doc_id % 1000003) * 2654435761) % 100 <
         |  CASE lang WHEN 'en' THEN 50.0 WHEN 'fa' THEN 25.0
         |            WHEN 'zh' THEN 10.0 ELSE 100.0 END
         |ORDER BY doc_id""".stripMargin,

@@ -25,7 +25,14 @@ import graft.operators.{PricePredictionFeed, Versioned}
 object VersionedGate {
   type Q = (SparkSession, String) => DataFrame
 
-  private val Root = "/tmp/graft_versioned_q63"
+  // Per-process scratch roots: a fixed path races when two Verify runs
+  // share a box (both delete-then-write the same dir); a fresh temp dir
+  // per JVM keeps concurrent runs isolated while staying idempotent
+  // within a run.
+  private lazy val scratchBase: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_versioned_gate_")
+
+  private lazy val Root = scratchBase.resolve("q63").toString
 
   def q63VersionedLoad(s: SparkSession, dir: String): DataFrame = {
     // idempotent re-runs: clear the scratch root first
@@ -55,7 +62,7 @@ object VersionedGate {
       .orderBy("v", "doc_id")
   }
 
-  private val CsvRoot = "/tmp/graft_csv_q67"
+  private lazy val CsvRoot = scratchBase.resolve("q67").toString
 
   /** q67: the atomic CSV swap (S6/S15 — the reference's chunked
     * read_csv + tmp-file rename, price_prediction_data_pipeline.py /

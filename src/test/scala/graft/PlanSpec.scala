@@ -73,7 +73,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"shuffle count grew past 3 in:\n$plan")
   }
 
-  test("q58 star load: at most 3 data shuffles, none single-partition") {
+  test("q58 star load: at most 2 data shuffles, none single-partition") {
     val plan = planOf(queries.SiteGates.q58DivarToDelta(spark, dir))
     assert(shuffles(plan) <= 2, // range-partition for ids + final sort
       s"shuffle count grew past 2 in:\n$plan")

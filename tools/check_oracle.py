@@ -43,14 +43,20 @@ def main(sfdir, outdir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # Subset runs: only skip queries NOT named in SPARK_GRAFT_ONLY — a
+    # requested query with no output (failed dump, typo'd name) must
+    # still FAIL, else a subset run can report success having checked
+    # nothing.
+    only = {n.strip() for n in os.environ.get("SPARK_GRAFT_ONLY", "").split(",")
+            if n.strip()}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
         pq_dir = f"{outdir}/{name}"
         files = glob.glob(f"{pq_dir}/*.parquet")
         if not files:
-            if os.environ.get("SPARK_GRAFT_ONLY"):
-                continue  # subset run (Verify's SPARK_GRAFT_ONLY filter)
+            if only and name not in only:
+                continue  # not part of this subset run
             print(f"FAIL {name}: no spark output at {pq_dir}")
             n_fail += 1
             continue
