@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.sources.{MultiModal, PngCodec}
+
+/** Pixel-level image gates — the real pure-JVM PNG decode
+  * ([[graft.sources.PngCodec]]: zlib inflate + all-five-filter scanline
+  * unfilter) and the perceptual dHash near-dup family built on it.
+  *
+  * Fixture discipline (same as t35): the binary column carries REAL
+  * encoded PNGs — deflated IDAT, genuine CRC32s, filter types cycling
+  * through None/Sub/Up/Average/Paeth by scanline — whose raw pixel
+  * values follow a closed-form function of (doc_id, x, y). The DuckDB
+  * oracle recomputes the expected stats straight from that arithmetic,
+  * never touching the bytes, so a hash match proves decode genuinely
+  * inverted compression + filtering.
+  *
+  * 100 TB shape: decode and signatures are scan-side one-pass work (a
+  * partition-parallel decoder, no shuffle); near-dup candidates come
+  * from a band equi-join exactly like MinHash-LSH (t28) and SimHash —
+  * never an all-pairs product.
+  */
+object ImagePixels {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- deterministic pixel law shared by fixture synthesis (Scala)
+  // and the oracle (SQL): channel c(x,y) is an affine function of the
+  // group key (doc_id % 97), the coordinates, and a +128 perturbation
+  // column for doc_id % 5 == 0 — so near-identical images exist across
+  // docs (same group) at small hamming distances (perturbed vs not).
+  private def channelVals(d: Long, x: Int, y: Int): (Int, Int, Int) = {
+    val g = (d % 97).toInt
+    val pert = if (d % 5 == 0 && x == 4) 128 else 0
+    ((g * 7 + x * 13 + y * 29 + pert) % 256,
+     (g * 11 + x * 17 + y * 23 + pert) % 256,
+     (g * 13 + x * 19 + y * 31 + pert) % 256)
+  }
+
+  private def synthPng(d: Long, w: Int, h: Int, colorType: Int): Array[Byte] = {
+    val ch = PngCodec.channelsOf(colorType)
+    val samples = new Array[Byte](w * h * ch)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, gg, b) = channelVals(d, x, y)
+        val base = (y * w + x) * ch
+        colorType match {
+          case 0 => samples(base) = r.toByte
+          case 2 =>
+            samples(base) = r.toByte; samples(base + 1) = gg.toByte
+            samples(base + 2) = b.toByte
+          case 6 =>
+            samples(base) = r.toByte; samples(base + 1) = gg.toByte
+            samples(base + 2) = b.toByte
+            samples(base + 3) = ((x + y) % 256).toByte // alpha: ignored by features
+        }
+        x += 1
+      }
+      y += 1
+    }
+    PngCodec.encode(w, h, colorType, samples, y => ((d + y) % 5).toInt)
+  }
+
+  // sizes/color types vary per doc so decode is exercised across
+  // grayscale (0), truecolor (2) and truecolor+alpha (6) at several
+  // geometries; filter type cycles with a per-doc phase
+  private val synth44Udf = udf { (d: Long) =>
+    val w = (8 + d % 5).toInt
+    val h = (6 + d % 3).toInt
+    val ct = if (d % 7 == 0) 0 else if (d % 11 == 0) 6 else 2
+    synthPng(d, w, h, ct)
+  }
+
+  /** t44: REAL pixel decode through the production media pipeline
+    * ([[MultiModal.withFeatures]] + the default [[MultiModal.MediaDecoder]]):
+    * per-image channel/luma sums recovered from compressed, filtered
+    * IDAT bytes. Integer sums (not means) so the gate is
+    * representation-proof. */
+  def t44PngPixelStats(s: SparkSession, dir: String): DataFrame = {
+    val assets = Tables.documents(s, dir).select(
+      col("doc_id").cast(LongType).as("asset_id"),
+      lit("image").as("media_type"),
+      synth44Udf(col("doc_id")).as("content"),
+      lit(null).cast(IntegerType).as("width"),
+      lit(null).cast(IntegerType).as("height"),
+      lit(null).cast(LongType).as("duration_ms"))
+    val feats = MultiModal.withFeatures(assets, new MultiModal.MediaDecoder)
+    // a decode failure drops its row (or nulls the stats) → row-count /
+    // hash mismatch vs the oracle: failures are loud, never masked
+    feats.filter(col("decode_ok"))
+      .select(col("asset_id"),
+        element_at(col("feature"), 3).cast(IntegerType).as("color_type"),
+        element_at(col("feature"), 1).cast(IntegerType).as("img_w"),
+        element_at(col("feature"), 2).cast(IntegerType).as("img_h"),
+        element_at(col("feature"), 4).cast(LongType).as("r_sum"),
+        element_at(col("feature"), 5).cast(LongType).as("g_sum"),
+        element_at(col("feature"), 6).cast(LongType).as("b_sum"),
+        element_at(col("feature"), 7).cast(LongType).as("luma_sum"))
+      .orderBy("asset_id")
+  }
+
+  // t45 fixture is fixed 9×8 truecolor: the dHash luma grid is 9×8, so
+  // at this geometry the average-pool resample is the identity and the
+  // oracle can state the exact expected bits (the resample path itself
+  // is covered by PngCodecSpec at 18×16 → 9×8).
+  private val synth45Udf = udf { (d: Long) => synthPng(d, 9, 8, 2) }
+
+  private val bandsUdf = udf { (png: Array[Byte]) =>
+    PngCodec.decode(png).map(img => PngCodec.dhashBands(img).toSeq)
+  }
+
+  /** dHash signatures (4×16-bit bands) for the synthesized corpus —
+    * scan-side one-pass work, the input to the banded candidate join. */
+  private def dhashSigs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), bandsUdf(synth45Udf(col("doc_id"))).as("bands"))
+
+  /** t45: perceptual image near-dup pairs — decoded-pixel dHash,
+    * hamming ≤ 3 — found via the LSH band equi-join (any pair within
+    * hamming 3 of a 64-bit hash split into 4 bands shares at least one
+    * band by pigeonhole, so the candidate set provably covers the
+    * answer; the oracle checks ALL pairs). One shuffle on the band key,
+    * never an all-pairs product — the 100 TB image-dedup shape. */
+  def t45DhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = dhashSigs(s, dir)
+    val ex = sigs.select(col("doc_id"), col("bands"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val hamming = (1 to 4).map(i =>
+        bit_count(element_at(col("a.bands"), i)
+          .bitwiseXOR(element_at(col("b.bands"), i))))
+      .reduce(_ + _)
+    ex.as("a").join(ex.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming.cast(IntegerType).as("hamming"))
+      .distinct() // a pair can match on several bands
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "t44_png_pixel_stats" -> (t44PngPixelStats _),
+    "t45_image_dhash_pairs" -> (t45DhashPairs _))
+
+  // the shared pixel law as SQL: one CASE-perturbation term per channel
+  private def pixelBase(wMax: Int, hMax: Int): String =
+    s"""xs AS (SELECT unnest(range(0, $wMax)) AS x),
+       |ys AS (SELECT unnest(range(0, $hMax)) AS y)""".stripMargin
+
+  private val pertSql =
+    "CASE WHEN d.doc_id%5=0 AND xs.x=4 THEN 128 ELSE 0 END"
+
+  val oracles: Map[String, String] = Map(
+    "t44_png_pixel_stats" ->
+      s"""WITH ${pixelBase(12, 8)},
+         |dims AS (
+         |  SELECT doc_id, 8 + doc_id%5 AS w, 6 + doc_id%3 AS h,
+         |    CASE WHEN doc_id%7=0 THEN 0 WHEN doc_id%11=0 THEN 6 ELSE 2 END AS ct
+         |  FROM documents),
+         |base AS (
+         |  SELECT d.doc_id, d.w, d.h, d.ct, xs.x, ys.y,
+         |    ((d.doc_id%97)*7  + xs.x*13 + ys.y*29 + $pertSql) % 256 AS r0,
+         |    ((d.doc_id%97)*11 + xs.x*17 + ys.y*23 + $pertSql) % 256 AS g0,
+         |    ((d.doc_id%97)*13 + xs.x*19 + ys.y*31 + $pertSql) % 256 AS b0
+         |  FROM dims d, xs, ys WHERE xs.x < d.w AND ys.y < d.h),
+         |ch AS (
+         |  SELECT doc_id, w, h, ct, r0 AS r,
+         |    CASE WHEN ct=0 THEN r0 ELSE g0 END AS g,
+         |    CASE WHEN ct=0 THEN r0 ELSE b0 END AS b
+         |  FROM base)
+         |SELECT doc_id AS asset_id, cast(ct AS int) AS color_type,
+         |  cast(w AS int) AS img_w, cast(h AS int) AS img_h,
+         |  cast(sum(r) AS bigint) AS r_sum, cast(sum(g) AS bigint) AS g_sum,
+         |  cast(sum(b) AS bigint) AS b_sum,
+         |  cast(sum((299*r + 587*g + 114*b) // 1000) AS bigint) AS luma_sum
+         |FROM ch GROUP BY 1, 2, 3, 4 ORDER BY asset_id""".stripMargin,
+    "t45_image_dhash_pairs" ->
+      s"""WITH ${pixelBase(9, 8)},
+         |base AS (
+         |  SELECT d.doc_id, xs.x, ys.y,
+         |    ((d.doc_id%97)*7  + xs.x*13 + ys.y*29 + $pertSql) % 256 AS r,
+         |    ((d.doc_id%97)*11 + xs.x*17 + ys.y*23 + $pertSql) % 256 AS g,
+         |    ((d.doc_id%97)*13 + xs.x*19 + ys.y*31 + $pertSql) % 256 AS b
+         |  FROM documents d, xs, ys),
+         |px AS (SELECT doc_id, x, y,
+         |  (299*r + 587*g + 114*b) // 1000 AS luma FROM base),
+         |bits AS (
+         |  SELECT a.doc_id, a.y*8 + a.x AS idx,
+         |    CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+         |  FROM px a JOIN px b
+         |    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+         |  WHERE a.x < 8),
+         |bands AS (
+         |  SELECT doc_id, idx // 16 AS band_idx,
+         |    cast(sum(bit * (1 << (idx % 16))) AS bigint) AS band_val
+         |  FROM bits GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN band_idx=0 THEN band_val END) AS b0,
+         |    max(CASE WHEN band_idx=1 THEN band_val END) AS b1,
+         |    max(CASE WHEN band_idx=2 THEN band_val END) AS b2,
+         |    max(CASE WHEN band_idx=3 THEN band_val END) AS b3
+         |  FROM bands GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  cast(bit_count(xor(a.b0,b.b0)) + bit_count(xor(a.b1,b.b1)) +
+         |       bit_count(xor(a.b2,b.b2)) + bit_count(xor(a.b3,b.b3)) AS int)
+         |    AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.b0,b.b0)) + bit_count(xor(a.b1,b.b1)) +
+         |      bit_count(xor(a.b2,b.b2)) + bit_count(xor(a.b3,b.b3)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin)
+}

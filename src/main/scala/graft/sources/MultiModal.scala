@@ -91,9 +91,10 @@ object MultiModal {
     def decode(mediaType: String, bytes: Array[Byte]): Option[Array[Float]]
   }
 
-  /** Deterministic fake standing in for the real codec: "features" are a
-    * fixed-dim byte histogram (so tests can assert exact values). A real
-    * implementation would JPEG-decode / resample here. */
+  /** Deterministic fake standing in for codecs this container cannot
+    * ship (JPEG/audio/video): "features" are a fixed-dim byte histogram
+    * (so tests can assert exact values). PNG does NOT go through this —
+    * [[PngFeatureDecoder]] is a real pixel decode. */
   final class StubDecoder(dim: Int = 8) extends Decoder {
     override def decode(mediaType: String, bytes: Array[Byte]): Option[Array[Float]] =
       if (bytes == null) None
@@ -103,6 +104,42 @@ object MultiModal {
         while (i < bytes.length) { hist((bytes(i) & 0xff) % dim) += 1f; i += 1 }
         Some(hist)
       }
+  }
+
+  /** REAL pixel-level image decode, pure JVM ([[PngCodec]]: zlib inflate
+    * + scanline unfilter). Feature layout (all values integer-exact in
+    * Float for oracle-gated images; production-size channel sums may
+    * round above 2^24 — the gate documents means as the scale-out form):
+    * [w, h, colorType, rSum, gSum, bSum, lumaSum] ++ 8×8 average-pooled
+    * luma grid. Non-PNG / corrupt payloads → None (decode_ok=false). */
+  final class PngFeatureDecoder extends Decoder {
+    override def decode(mediaType: String, bytes: Array[Byte]): Option[Array[Float]] =
+      PngCodec.decode(bytes).map { img =>
+        var rs = 0L; var gs = 0L; var bs = 0L; var ls = 0L
+        var y = 0
+        while (y < img.height) {
+          var x = 0
+          while (x < img.width) {
+            rs += img.r(x, y); gs += img.g(x, y); bs += img.b(x, y)
+            ls += img.luma(x, y)
+            x += 1
+          }
+          y += 1
+        }
+        val head = Array[Float](img.width.toFloat, img.height.toFloat,
+          img.colorType.toFloat, rs.toFloat, gs.toFloat, bs.toFloat, ls.toFloat)
+        head ++ PngCodec.lumaGrid(img, 8, 8).map(_.toFloat)
+      }
+  }
+
+  /** Default production decoder: dispatch on payload sniffing — real
+    * pixel decode for PNG, deterministic byte-histogram fallback for
+    * formats whose codecs aren't shippable in this environment. */
+  final class MediaDecoder extends Decoder {
+    private val png = new PngFeatureDecoder
+    private val stub = new StubDecoder()
+    override def decode(mediaType: String, bytes: Array[Byte]): Option[Array[Float]] =
+      png.decode(mediaType, bytes).orElse(stub.decode(mediaType, bytes))
   }
 
   /** Decode / feature-extract stage: partition-parallel, one decoder per
