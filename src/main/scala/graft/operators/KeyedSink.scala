@@ -38,6 +38,28 @@ object KeyedSink {
     existing.filter(col(key).isNotNull)
       .stat.bloomFilter(key, expectedItems, fpp)
 
+  /** Persist the Bloom sketch across runs — the reference keeps its
+    * sketch resident in Redis between crawler runs
+    * (divar_crawler.py:20-22, mongo_to_bf_dag.py:38-106); here the
+    * sketch serializes to a checkpoint file (write-then-atomic-rename so
+    * a crashed writer never leaves a torn sketch for the next run). */
+  def saveBloom(bloom: BloomFilter, path: java.nio.file.Path): Unit = {
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    java.nio.file.Files.createDirectories(path.toAbsolutePath.getParent)
+    val out = java.nio.file.Files.newOutputStream(tmp)
+    try bloom.writeTo(out) finally out.close()
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Load a sketch persisted by [[saveBloom]] — the cross-run half of
+    * the reference's Redis-resident Bloom lifecycle. */
+  def loadBloom(path: java.nio.file.Path): BloomFilter = {
+    val in = java.nio.file.Files.newInputStream(path)
+    try BloomFilter.readFrom(in) finally in.close()
+  }
+
   /** Approximate pre-filter: drop rows whose key the sketch has
     * definitely not seen ... keep "mightContain" rows for the exact
     * check. Returns (definitelyNew, needExactCheck) — the reference's

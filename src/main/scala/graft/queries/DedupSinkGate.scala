@@ -20,7 +20,11 @@ object DedupSinkGate {
   /** q64: crawl-shaped keys with overlap, in-batch duplicates (paired
     * ids share a key), and nulls (the sink skips them). The REAL
     * operator runs: Bloom sketch of existing keys → split → exact
-    * anti-join on the suspect side only. */
+    * anti-join on the suspect side only. The sketch additionally
+    * round-trips through its checkpoint file (save → load) before use —
+    * the reference's cross-RUN Redis-resident Bloom lifecycle
+    * (mongo_to_bf_dag.py:38-106), so the gate certifies the persisted
+    * form, not just the in-memory one. */
   def q64BloomDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val existing = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
@@ -29,7 +33,10 @@ object DedupSinkGate {
       when(pmod(col("doc_id"), lit(17)) === 0, lit(null).cast(StringType))
         .otherwise(concat(lit("u"), col("doc_id") - pmod(col("doc_id"), lit(2))))
         .as("k"))
-    val bloom = KeyedSink.buildBloom(existing, "k")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bloom_q64_")
+      .resolve("seen_keys.bloom")
+    KeyedSink.saveBloom(KeyedSink.buildBloom(existing, "k"), ckpt)
+    val bloom = KeyedSink.loadBloom(ckpt) // a "next run" starts here
     KeyedSink.dedupTwoTier(existing, incoming, "k", bloom).orderBy("k")
   }
 

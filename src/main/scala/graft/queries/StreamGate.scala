@@ -192,12 +192,58 @@ object StreamGate {
       .orderBy("user_id", "session_start_us")
   }
 
+  /** q72: the ST4 idempotent merge driven END TO END with the
+    * reference's −1 h-overlap refetch cadence
+    * (sql_search_incremental_dag.py:118-140): the events table is
+    * sliced into 3-day micro-batches, each fetched with a 1-hour lag
+    * overlap into the previous window, pre-aggregated one-row-per-key
+    * (deterministic batch payloads), and the WHOLE batch sequence is
+    * replayed twice — at-least-once delivery. Every overlap row and
+    * every replayed batch must collapse into a no-op inside
+    * [[graft.streaming.StreamPipelines.idempotentMerge]]; the oracle
+    * computes the one-shot batch answer (each key's aggregate over its
+    * first batch's fetch window), so a hash match certifies idempotence
+    * AND first-write-wins merge semantics. State lineage is truncated
+    * per merge (localCheckpoint) exactly as a long-running foreachBatch
+    * loop must, or the plan grows without bound. */
+  def q72IdempotentMerge(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val step = 259200000000L // 3 days in µs
+    val lag = 3600000000L    // the reference's 1-hour overlap
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+    val bounds = ev.agg(min("ts_us"), max("ts_us")).head()
+    val t0 = bounds.getLong(0); val tMax = bounds.getLong(1)
+    val nBatches = ((tMax - t0) / step + 1).toInt
+
+    def fetch(k: Int): DataFrame = {
+      val lo = t0 + k.toLong * step - (if (k > 0) lag else 0L)
+      val hi = t0 + (k + 1).toLong * step
+      ev.filter(col("ts_us") >= lo && col("ts_us") < hi)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min("event_id").as("first_event_id"))
+        .withColumn("k", concat_ws(":", col("user_id"), col("event_type")))
+    }
+
+    var state = fetch(0).filter(lit(false)).localCheckpoint()
+    val stateGet = () => state
+    val statePut = (df: DataFrame) => { state = df.localCheckpoint(); () }
+    for (_ <- 0 until 2; k <- 0 until nBatches)
+      graft.streaming.StreamPipelines.idempotentMerge(stateGet, statePut, "k")(
+        fetch(k), k.toLong)
+    state.select(col("user_id"), col("event_type"), col("first_event_id"))
+      .orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q60_stream_windowed_agg" -> (q60StreamWindowedAgg _),
     "q61_stream_dedup" -> (q61StreamDedup _),
     "q62_stream_sessions" -> (q62StreamSessions _),
     "q70_stream_interval_join" -> (q70StreamIntervalJoin _),
-    "q71_stream_sessions_tws" -> (q71StreamSessionsTws _))
+    "q71_stream_sessions_tws" -> (q71StreamSessionsTws _),
+    "q72_idempotent_merge" -> (q72IdempotentMerge _))
 
   // lag + cumulative-sum session ids; each user's LAST session is
   // included only when its event-time timeout fired: Spark evicts
@@ -249,6 +295,26 @@ object StreamGate {
         |FROM events
         |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
         |ORDER BY user_id, event_type""".stripMargin,
+    "q72_idempotent_merge" ->
+      // one-shot answer: each key keeps the aggregate computed over its
+      // FIRST batch's fetch window [t0 + k*step − 1 h, t0 + (k+1)*step)
+      // where k = (min ts − t0) // step; no earlier fetch can contain
+      // the key (the overlap only reaches back INTO k−1's main window)
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_ns(ts)//1000 AS ts_us
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |t0 AS (SELECT min(ts_us) AS t0 FROM e),
+        |firstb AS (
+        |  SELECT user_id, event_type,
+        |    (min(ts_us) - (SELECT t0 FROM t0)) // 259200000000 AS kk
+        |  FROM e GROUP BY 1, 2)
+        |SELECT e.user_id, e.event_type,
+        |  cast(min(e.event_id) AS bigint) AS first_event_id
+        |FROM e JOIN firstb f
+        |  ON e.user_id = f.user_id AND e.event_type = f.event_type
+        |WHERE e.ts_us < (SELECT t0 FROM t0) + (f.kk + 1) * 259200000000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q70_stream_interval_join" ->
       // batch interval join over µs-truncated event times
       """WITH p AS (SELECT user_id, event_id p_id, epoch_ns(ts)//1000 p_us

@@ -41,6 +41,27 @@ class KeyedSinkSpec extends AnyFunSuite with SparkSpec {
     assert((fresh.count() + suspect.count()) === 2)
   }
 
+  test("bloom sketch survives its checkpoint file byte-for-byte") {
+    val bloom = KeyedSink.buildBloom(existing, "k", expectedItems = 100, fpp = 0.01)
+    val path = java.nio.file.Files.createTempDirectory("bloom_spec_")
+      .resolve("nested").resolve("seen.bloom")
+    KeyedSink.saveBloom(bloom, path)
+    val reloaded = KeyedSink.loadBloom(path)
+    // identical membership judgments — the reloaded sketch IS the sketch
+    val keys = ('a' to 'z').map(_.toString) ++ Seq("u0", "u1", "u999")
+    keys.foreach { k =>
+      assert(reloaded.mightContainString(k) === bloom.mightContainString(k), k)
+    }
+    // overwrite is atomic-rename: saving again over the same path works
+    KeyedSink.saveBloom(bloom, path)
+    assert(KeyedSink.loadBloom(path).mightContainString("a") ===
+      bloom.mightContainString("a"))
+    // and the two-tier sink run off the reloaded sketch is still exact
+    val out = KeyedSink.dedupTwoTier(existing, incoming, "k", reloaded)
+      .select("k").as[String].collect().sorted.toSeq
+    assert(out === Seq("c"))
+  }
+
   test("deleteWhere: predicate delete incl. null-safe semantics (P10)") {
     val tbl = Seq(("x", Some(1)), ("y", None), ("z", Some(3))).toDF("k", "v")
     val kept = KeyedSink.deleteWhere(tbl, col("v") > 2)
