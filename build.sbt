@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line as JSON. By default sbt
+// (a) prefixes forked-process output with "[info] " and (b) appends a
+// "[success] Total time: ..." trailer — both of which broke the parse
+// every round (BENCH parsed:null). Pass child stdout through verbatim
+// and drop the success trailer so graft.Bench's metric line is the
+// final, unprefixed line the driver sees.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // used by commands, not tasks
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -5,18 +5,21 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.sources.{MultiModal, PngCodec}
+import graft.sources.{GifCodec, MultiModal, PngCodec}
 
 /** Pixel-level image gates — the real pure-JVM PNG decode
   * ([[graft.sources.PngCodec]]: zlib inflate + all-five-filter scanline
   * unfilter) and the perceptual dHash near-dup family built on it.
   *
   * Fixture discipline (same as t35): the binary column carries REAL
-  * encoded PNGs — deflated IDAT, genuine CRC32s, filter types cycling
-  * through None/Sub/Up/Average/Paeth by scanline — whose raw pixel
-  * values follow a closed-form function of (doc_id, x, y). The DuckDB
-  * oracle recomputes the expected stats straight from that arithmetic,
-  * never touching the bytes, so a hash match proves decode genuinely
+  * encoded images — PNGs with deflated IDAT, genuine CRC32s, and
+  * filter types cycling through None/Sub/Up/Average/Paeth by scanline
+  * (t44/t45); LZW-compressed GIF87a written by
+  * [[graft.sources.GifCodec]] and decoded by the JDK's independent
+  * `javax.imageio` reader (t46) — whose raw pixel values follow a
+  * closed-form function of (doc_id, x, y). The DuckDB oracle
+  * recomputes the expected stats straight from that arithmetic, never
+  * touching the bytes, so a hash match proves decode genuinely
   * inverted compression + filtering.
   *
   * 100 TB shape: decode and signatures are scan-side one-pass work (a
@@ -104,11 +107,16 @@ object ImagePixels {
       .orderBy("asset_id")
   }
 
-  // t45 fixture is fixed 9×8 truecolor: the dHash luma grid is 9×8, so
-  // at this geometry the average-pool resample is the identity and the
-  // oracle can state the exact expected bits (the resample path itself
-  // is covered by PngCodecSpec at 18×16 → 9×8).
-  private val synth45Udf = udf { (d: Long) => synthPng(d, 9, 8, 2) }
+  // t45 fixture mixes geometries — 9×8 (pool = identity), 18×8, 9×16,
+  // 18×16 (real 2×1 / 1×2 / 2×2 floor-division average pooling) — so
+  // the dHash RESAMPLE path is oracle-covered, not just the bit
+  // layout. Identical doc groups still exist within each geometry
+  // class, so hamming-0 pairs keep the result set non-trivial.
+  private val synth45Udf = udf { (d: Long) =>
+    val w = if (d % 2 == 0) 9 else 18
+    val h = if (d % 3 == 0) 8 else 16
+    synthPng(d, w, h, 2)
+  }
 
   private val bandsUdf = udf { (png: Array[Byte]) =>
     PngCodec.decode(png).map(img => PngCodec.dhashBands(img).toSeq)
@@ -145,9 +153,61 @@ object ImagePixels {
       .orderBy("doc_a", "doc_b")
   }
 
+  // t46 palette: entry i → (i, (i*11+3)%256, (i*13+5)%256) — closed
+  // form so the oracle recovers RGB straight from the index law
+  // without ever seeing the color table bytes
+  private val gifPalette: Array[Int] =
+    Array.tabulate(256)(i => (i << 16) | (((i * 11 + 3) % 256) << 8) | ((i * 13 + 5) % 256))
+
+  // index value reuses the first channel of the shared pixel law
+  private val synth46Udf = udf { (d: Long) =>
+    val w = (8 + d % 5).toInt
+    val h = (6 + d % 3).toInt
+    val idx = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        idx(y * w + x) = channelVals(d, x, y)._1.toByte
+        x += 1
+      }
+      y += 1
+    }
+    GifCodec.encode(w, h, gifPalette, idx)
+  }
+
+  /** t46: REAL GIF pixel decode through the production media pipeline —
+    * fixtures are genuine LZW-compressed GIF87a written by
+    * [[graft.sources.GifCodec]] (our encoder), decoded by the JDK's
+    * `javax.imageio` reader inside [[MultiModal.MediaDecoder]]; the two
+    * share no code, so the hash match proves real LZW was inverted.
+    * `feature_kind` is part of the gated output: GIF features must be
+    * labeled `pixel`, never the histogram fallback. */
+  def t46GifPixelStats(s: SparkSession, dir: String): DataFrame = {
+    val assets = Tables.documents(s, dir).select(
+      col("doc_id").cast(LongType).as("asset_id"),
+      lit("image").as("media_type"),
+      synth46Udf(col("doc_id")).as("content"),
+      lit(null).cast(IntegerType).as("width"),
+      lit(null).cast(IntegerType).as("height"),
+      lit(null).cast(LongType).as("duration_ms"))
+    val feats = MultiModal.withFeatures(assets, new MultiModal.MediaDecoder)
+    feats.filter(col("decode_ok"))
+      .select(col("asset_id"), col("feature_kind"),
+        element_at(col("feature"), 3).cast(IntegerType).as("format_code"),
+        element_at(col("feature"), 1).cast(IntegerType).as("img_w"),
+        element_at(col("feature"), 2).cast(IntegerType).as("img_h"),
+        element_at(col("feature"), 4).cast(LongType).as("r_sum"),
+        element_at(col("feature"), 5).cast(LongType).as("g_sum"),
+        element_at(col("feature"), 6).cast(LongType).as("b_sum"),
+        element_at(col("feature"), 7).cast(LongType).as("luma_sum"))
+      .orderBy("asset_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t44_png_pixel_stats" -> (t44PngPixelStats _),
-    "t45_image_dhash_pairs" -> (t45DhashPairs _))
+    "t45_image_dhash_pairs" -> (t45DhashPairs _),
+    "t46_gif_pixel_stats" -> (t46GifPixelStats _))
 
   // the shared pixel law as SQL: one CASE-perturbation term per channel
   private def pixelBase(wMax: Int, hMax: Int): String =
@@ -182,21 +242,32 @@ object ImagePixels {
          |  cast(sum((299*r + 587*g + 114*b) // 1000) AS bigint) AS luma_sum
          |FROM ch GROUP BY 1, 2, 3, 4 ORDER BY asset_id""".stripMargin,
     "t45_image_dhash_pairs" ->
-      s"""WITH ${pixelBase(9, 8)},
+      s"""WITH ${pixelBase(18, 16)},
+         |dims AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id%2=0 THEN 9 ELSE 18 END AS w,
+         |    CASE WHEN doc_id%3=0 THEN 8 ELSE 16 END AS h
+         |  FROM documents),
          |base AS (
-         |  SELECT d.doc_id, xs.x, ys.y,
+         |  SELECT d.doc_id, d.w, d.h, xs.x, ys.y,
          |    ((d.doc_id%97)*7  + xs.x*13 + ys.y*29 + $pertSql) % 256 AS r,
          |    ((d.doc_id%97)*11 + xs.x*17 + ys.y*23 + $pertSql) % 256 AS g,
          |    ((d.doc_id%97)*13 + xs.x*19 + ys.y*31 + $pertSql) % 256 AS b
-         |  FROM documents d, xs, ys),
-         |px AS (SELECT doc_id, x, y,
+         |  FROM dims d, xs, ys WHERE xs.x < d.w AND ys.y < d.h),
+         |lum AS (SELECT doc_id, w, h, x, y,
          |  (299*r + 587*g + 114*b) // 1000 AS luma FROM base),
+         |px AS (
+         |  -- floor-division average pool to the fixed 9x8 dHash grid:
+         |  -- cell (gx, gy) averages the (w//9)x(h//8) source block
+         |  SELECT doc_id, x // (w // 9) AS gx, y // (h // 8) AS gy,
+         |    sum(luma) // ((w // 9) * (h // 8)) AS luma
+         |  FROM lum GROUP BY doc_id, w, h, x // (w // 9), y // (h // 8)),
          |bits AS (
-         |  SELECT a.doc_id, a.y*8 + a.x AS idx,
+         |  SELECT a.doc_id, a.gy*8 + a.gx AS idx,
          |    CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
          |  FROM px a JOIN px b
-         |    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
-         |  WHERE a.x < 8),
+         |    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+         |  WHERE a.gx < 8),
          |bands AS (
          |  SELECT doc_id, idx // 16 AS band_idx,
          |    cast(sum(bit * (1 << (idx % 16))) AS bigint) AS band_val
@@ -215,5 +286,25 @@ object ImagePixels {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.b0,b.b0)) + bit_count(xor(a.b1,b.b1)) +
          |      bit_count(xor(a.b2,b.b2)) + bit_count(xor(a.b3,b.b3)) <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "t46_gif_pixel_stats" ->
+      s"""WITH ${pixelBase(12, 8)},
+         |dims AS (
+         |  SELECT doc_id, 8 + doc_id%5 AS w, 6 + doc_id%3 AS h
+         |  FROM documents),
+         |base AS (
+         |  SELECT d.doc_id, d.w, d.h,
+         |    ((d.doc_id%97)*7 + xs.x*13 + ys.y*29 + $pertSql) % 256 AS v
+         |  FROM dims d, xs, ys WHERE xs.x < d.w AND ys.y < d.h),
+         |ch AS (
+         |  SELECT doc_id, w, h, v AS r,
+         |    (v*11 + 3) % 256 AS g, (v*13 + 5) % 256 AS b
+         |  FROM base)
+         |SELECT doc_id AS asset_id, 'pixel' AS feature_kind,
+         |  cast(20 AS int) AS format_code,
+         |  cast(w AS int) AS img_w, cast(h AS int) AS img_h,
+         |  cast(sum(r) AS bigint) AS r_sum, cast(sum(g) AS bigint) AS g_sum,
+         |  cast(sum(b) AS bigint) AS b_sum,
+         |  cast(sum((299*r + 587*g + 114*b) // 1000) AS bigint) AS luma_sum
+         |FROM ch GROUP BY 1, 2, 3, 4, 5 ORDER BY asset_id""".stripMargin)
 }

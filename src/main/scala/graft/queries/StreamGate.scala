@@ -237,7 +237,39 @@ object StreamGate {
       .orderBy("user_id", "event_type")
   }
 
+  /** t47: STREAMING benchmark decontamination — t42's eval-shingle
+    * broadcast semi-join applied to a streaming corpus through
+    * `foreachBatch`, the shape a continuously-ingesting training
+    * pipeline runs: the eval vocabulary is static (computed once,
+    * broadcast into every micro-batch), each micro-batch of documents
+    * is scored with the SAME production core as batch t42
+    * ([[TextDedup.decontaminateCore]]), and batch outputs append to a
+    * parquet sink. Per-doc work only — a doc's score depends on
+    * nothing outside its own row — so any AvailableNow micro-batch
+    * slicing must reproduce the batch answer exactly; the gate shares
+    * t42's oracle. */
+  def t47StreamDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val batchDocs = graft.Tables.documents(s, dir)
+    // static side: computed once on the driver, broadcast per batch —
+    // never recomputed inside the stream
+    val bench = TextDedup.benchShingles(batchDocs).localCheckpoint()
+    val out = java.nio.file.Files.createTempDirectory("graft_t47_").toString
+    val stream = s.readStream.schema(batchDocs.schema)
+      .parquet(s"$dir/documents.parq*")
+    val query = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        TextDedup.decontaminateCore(batch, bench)
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t47_stream_decontaminate" -> (t47StreamDecontaminate _),
     "q60_stream_windowed_agg" -> (q60StreamWindowedAgg _),
     "q61_stream_dedup" -> (q61StreamDedup _),
     "q62_stream_sessions" -> (q62StreamSessions _),
@@ -279,7 +311,14 @@ object StreamGate {
       |   OR a.end_tns // 1000000 + 1800000 < wm.wm_ms
       |ORDER BY a.user_id, a.session_start_us""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // lazy: the t47 entry pulls in TextDedup, whose object init builds
+  // UDFs (ScalaReflection) — fine in a normal JVM, but the driver's
+  // sbt-console entry smoke runs under a REPL classloader where that
+  // reflection breaks. SparkEntry's init only needs `queries`;
+  // deferring the oracle map keeps TextDedup out of the smoke path.
+  lazy val oracles: Map[String, String] = Map(
+    // identical answer contract as batch t42 — same oracle derivation
+    "t47_stream_decontaminate" -> TextDedup.oracles("t42_decontaminate"),
     "q62_stream_sessions" -> sessionOracle,
     "q71_stream_sessions_tws" -> sessionOracle,
     "q60_stream_windowed_agg" ->

@@ -419,14 +419,25 @@ object TextDedup {
     * semi-join on the shingle key: the corpus side streams, only the
     * benchmark vocabulary is materialized — the shape that holds when
     * the corpus is 100 TB and the benchmark is megabytes. */
-  def t42Decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val benchShingles = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+  /** The benchmark/eval shingle vocabulary t42 and t47 decontaminate
+    * against (every doc_id ≡ 0 mod 97 plays the eval set). */
+  private[queries] def benchShingles(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(97)) === 0)
       .select(explode(shingles(toks)).as("sh")).distinct()
+
+  /** Decontamination CORE shared by batch t42 and streaming t47: per-doc
+    * shingle counts + contaminated-shingle counts vs a broadcast eval
+    * vocabulary (LEFT SEMI — the right shape for a small eval set vs a
+    * 100 TB corpus), flagged at ≥ 20% overlap. Pure per-doc work: every
+    * output row depends only on its own document + the static
+    * vocabulary, which is what makes the micro-batch slicing of t47
+    * semantically invisible. */
+  private[queries] def decontaminateCore(docs: DataFrame,
+                                         bench: DataFrame): DataFrame = {
     val corpus = docs.select(col("doc_id"), shingles(toks).as("s"))
     val ns = corpus.select(col("doc_id"), size(col("s")).as("n_shingles"))
     val hits = corpus.select(col("doc_id"), explode(col("s")).as("sh"))
-      .join(broadcast(benchShingles), Seq("sh"), "left_semi")
+      .join(broadcast(bench), Seq("sh"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
     ns.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
@@ -434,7 +445,11 @@ object TextDedup {
       .withColumn("flagged",
         col("n_shingles") > 0 &&
           col("n_contaminated") * 5 >= col("n_shingles")) // ≥ 20% overlap
-      .orderBy("doc_id")
+  }
+
+  def t42Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    decontaminateCore(docs, benchShingles(docs)).orderBy("doc_id")
   }
 
   /** t43: URL canonicalization — four messy-url shapes (tracking

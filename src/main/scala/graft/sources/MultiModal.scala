@@ -12,12 +12,13 @@ import org.apache.spark.sql.types._
   *
   * Metadata extraction is REAL: [[ImageHeaders]] parses PNG/JPEG/GIF
   * container headers (dimensions + format) in pure JVM with no codec
-  * library. Only the pixel-level feature decode is stubbed behind
-  * `Decoder` (this container ships no image/audio libraries); the
-  * Spark-side plumbing — schema, partition-parallel batch shape,
-  * null/corrupt handling, feature columns — is real and tested. Swap
-  * `StubDecoder` for a JNI/JavaCV decoder in production without
-  * touching the pipeline.
+  * library. Pixel-level feature decode is REAL for images: the
+  * pure-JVM [[PngCodec]] for PNG and the JDK's `javax.imageio`
+  * (GIF/JPEG/BMP/TIFF) via [[ImageIoFeatureDecoder]]. Only formats
+  * with no shippable codec here (audio/video) fall back to the
+  * deterministic byte-histogram [[StubDecoder]] — and every feature
+  * row carries a `feature_kind` label (`pixel` vs `histogram`) so the
+  * fallback can never masquerade as real pixels.
   */
 object MultiModal {
 
@@ -78,31 +79,45 @@ object MultiModal {
     StructField("height", IntegerType, nullable = true),
     StructField("duration_ms", LongType, nullable = true)))
 
-  /** Decoded per-asset features appended by the decode stage. */
+  /** Decoded per-asset features appended by the decode stage.
+    * `feature_kind` labels the provenance of `feature` — `pixel` for
+    * real decoded-pixel features, `histogram` for the deterministic
+    * byte-histogram fallback — so fabricated features can never
+    * silently pass as real in a downstream training pipeline. */
   val featureSchema: StructType = StructType(Seq(
     StructField("n_bytes", IntegerType, nullable = true),
     StructField("content_hash", LongType, nullable = true),
     StructField("decode_ok", BooleanType, nullable = false),
+    StructField("feature_kind", StringType, nullable = true),
     StructField("feature", ArrayType(FloatType), nullable = true)))
 
-  /** A batch decoder: bytes → (ok, feature vector). Implementations must
-    * be deterministic for a given payload. */
+  val KindPixel = "pixel"
+  val KindHistogram = "histogram"
+
+  /** Feature vector + its provenance label (one of [[KindPixel]] /
+    * [[KindHistogram]]). */
+  final case class Features(kind: String, values: Array[Float])
+
+  /** A batch decoder: bytes → labeled feature vector. Implementations
+    * must be deterministic for a given payload. */
   trait Decoder extends Serializable {
-    def decode(mediaType: String, bytes: Array[Byte]): Option[Array[Float]]
+    def decode(mediaType: String, bytes: Array[Byte]): Option[Features]
   }
 
-  /** Deterministic fake standing in for codecs this container cannot
-    * ship (JPEG/audio/video): "features" are a fixed-dim byte histogram
-    * (so tests can assert exact values). PNG does NOT go through this —
-    * [[PngFeatureDecoder]] is a real pixel decode. */
+  /** Deterministic fallback for formats with no decodable codec
+    * (audio/video/unknown): "features" are a fixed-dim byte histogram
+    * (so tests can assert exact values), labeled `histogram` so they
+    * are always distinguishable from real pixels. Images do NOT go
+    * through this — [[PngFeatureDecoder]] and [[ImageIoFeatureDecoder]]
+    * are real pixel decodes. */
   final class StubDecoder(dim: Int = 8) extends Decoder {
-    override def decode(mediaType: String, bytes: Array[Byte]): Option[Array[Float]] =
+    override def decode(mediaType: String, bytes: Array[Byte]): Option[Features] =
       if (bytes == null) None
       else {
         val hist = new Array[Float](dim)
         var i = 0
         while (i < bytes.length) { hist((bytes(i) & 0xff) % dim) += 1f; i += 1 }
-        Some(hist)
+        Some(Features(KindHistogram, hist))
       }
   }
 
@@ -113,7 +128,7 @@ object MultiModal {
     * [w, h, colorType, rSum, gSum, bSum, lumaSum] ++ 8×8 average-pooled
     * luma grid. Non-PNG / corrupt payloads → None (decode_ok=false). */
   final class PngFeatureDecoder extends Decoder {
-    override def decode(mediaType: String, bytes: Array[Byte]): Option[Array[Float]] =
+    override def decode(mediaType: String, bytes: Array[Byte]): Option[Features] =
       PngCodec.decode(bytes).map { img =>
         var rs = 0L; var gs = 0L; var bs = 0L; var ls = 0L
         var y = 0
@@ -128,18 +143,24 @@ object MultiModal {
         }
         val head = Array[Float](img.width.toFloat, img.height.toFloat,
           img.colorType.toFloat, rs.toFloat, gs.toFloat, bs.toFloat, ls.toFloat)
-        head ++ PngCodec.lumaGrid(img, 8, 8).map(_.toFloat)
+        Features(KindPixel, head ++ PngCodec.lumaGrid(img, 8, 8).map(_.toFloat))
       }
   }
 
-  /** Default production decoder: dispatch on payload sniffing — real
-    * pixel decode for PNG, deterministic byte-histogram fallback for
-    * formats whose codecs aren't shippable in this environment. */
+  /** Default production decoder: dispatch on payload sniffing — the
+    * pure-JVM PNG codec first (oracle-proven exact), then
+    * [[ImageIoFeatureDecoder]] (JDK `javax.imageio`: GIF/JPEG/BMP/TIFF
+    * — real pixels, labeled `pixel`), then the byte-histogram fallback
+    * for payloads no image reader claims (audio/video/unknown), labeled
+    * `histogram`. */
   final class MediaDecoder extends Decoder {
     private val png = new PngFeatureDecoder
+    private val imageio = new ImageIoFeatureDecoder
     private val stub = new StubDecoder()
-    override def decode(mediaType: String, bytes: Array[Byte]): Option[Array[Float]] =
-      png.decode(mediaType, bytes).orElse(stub.decode(mediaType, bytes))
+    override def decode(mediaType: String, bytes: Array[Byte]): Option[Features] =
+      png.decode(mediaType, bytes)
+        .orElse(imageio.decode(mediaType, bytes))
+        .orElse(stub.decode(mediaType, bytes))
   }
 
   /** Decode / feature-extract stage: partition-parallel, one decoder per
@@ -159,7 +180,8 @@ object MultiModal {
         val nBytes: Any = if (bytes == null) null else bytes.length
         val hash: Any = if (bytes == null) null
                         else java.util.Arrays.hashCode(bytes).toLong
-        Row.fromSeq(r.toSeq ++ Seq(nBytes, hash, feat.isDefined, feat.orNull))
+        Row.fromSeq(r.toSeq ++ Seq(nBytes, hash, feat.isDefined,
+          feat.map(_.kind).orNull, feat.map(_.values).orNull))
       }
     }(enc)
   }

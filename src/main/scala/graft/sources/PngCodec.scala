@@ -204,21 +204,29 @@ object PngCodec {
     * [i*w/gw, (i+1)*w/gw) × [j*h/gh, (j+1)*h/gh); images smaller than
     * the grid reuse source pixels (ceil-guarded bounds) so the grid is
     * total for any size. */
-  def lumaGrid(img: Decoded, gw: Int, gh: Int): Array[Int] = {
+  def lumaGrid(img: Decoded, gw: Int, gh: Int): Array[Int] =
+    lumaGridOf(img.width, img.height, img.luma, gw, gh)
+
+  /** Source-agnostic form of [[lumaGrid]]: pool any `luma(x, y)`
+    * accessor (PNG samples, an ImageIO `BufferedImage`, …) with the
+    * same exact integer region law, so every decode path shares one
+    * oracle-reproducible resample. */
+  def lumaGridOf(width: Int, height: Int, luma: (Int, Int) => Int,
+                 gw: Int, gh: Int): Array[Int] = {
     val grid = new Array[Int](gw * gh)
     var j = 0
     while (j < gh) {
-      val y0 = j * img.height / gh
-      val y1 = math.max(y0 + 1, (j + 1) * img.height / gh)
+      val y0 = j * height / gh
+      val y1 = math.max(y0 + 1, (j + 1) * height / gh)
       var i = 0
       while (i < gw) {
-        val x0 = i * img.width / gw
-        val x1 = math.max(x0 + 1, (i + 1) * img.width / gw)
+        val x0 = i * width / gw
+        val x1 = math.max(x0 + 1, (i + 1) * width / gw)
         var sum = 0; var n = 0
         var y = y0
-        while (y < math.min(y1, img.height)) {
+        while (y < math.min(y1, height)) {
           var x = x0
-          while (x < math.min(x1, img.width)) { sum += img.luma(x, y); n += 1; x += 1 }
+          while (x < math.min(x1, width)) { sum += luma(x, y); n += 1; x += 1 }
           y += 1
         }
         grid(j * gw + i) = if (n == 0) 0 else sum / n

@@ -94,6 +94,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"candidate scoring degenerated to a cartesian product in:\n$plan")
   }
 
+  test("q51 divar transform: no shuffle before the presentation sort") {
+    val plan = planOf(queries.ListingGate.q51DivarTransform(spark, dir))
+    // narrow per-row JSON projection → the ONLY exchange allowed is the
+    // range partitioning for the final orderBy; a hash shuffle creeping
+    // in means a join/agg was introduced into a map-only pipeline
+    assert(shuffles(plan) <= 1, s"shuffle before presentation sort in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"join/window crept into the map-only transform:\n$plan")
+  }
+
+  test("t39 CC round: join + hash aggregate, no window, no cartesian") {
+    import spark.implicits._
+    val labels = (1L to 50L).toDF("v").withColumn("label", org.apache.spark.sql.functions.col("v"))
+    val sym = (1L to 49L).map(i => (i, i + 1)).toDF("a", "b")
+    val plan = planOf(graft.operators.DupClusters.roundUpdate(sym, labels))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, // partial + final neighbor-min
+      s"neighbor-min lost its partial aggregate in:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      s"window/cartesian crept into the CC round:\n$plan")
+  }
+
   test("v37 IVF: centroids broadcast, bounded shuffle rounds") {
     val plan = planOf(queries.Vectors.v37IvfAnn(spark, dir))
     assert("BroadcastExchange".r.findAllIn(plan).size >= 2,

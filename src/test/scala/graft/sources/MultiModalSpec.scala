@@ -23,6 +23,9 @@ class MultiModalSpec extends AnyFunSuite with SparkSpec {
   test("withFeatures: deterministic stub decode, exact byte accounting") {
     val out = MultiModal.withFeatures(assets).orderBy("asset_id").collect()
     assert(out.forall(_.getAs[Boolean]("decode_ok")))
+    // text payloads are no decodable image → every feature is labeled
+    // as the histogram fallback, never as real pixels
+    assert(out.forall(_.getAs[String]("feature_kind") === MultiModal.KindHistogram))
     assert(out.map(_.getAs[Int]("n_bytes")).toSeq === Seq(5, 3, 4))
     // histogram feature sums to byte count
     val hist = out(0).getSeq[Float](out(0).fieldIndex("feature"))
@@ -39,6 +42,7 @@ class MultiModalSpec extends AnyFunSuite with SparkSpec {
     val out = MultiModal.withFeatures(withNull).orderBy("asset_id").collect()
     assert(out(1).getAs[Boolean]("decode_ok") === false)
     assert(out(1).isNullAt(out(1).fieldIndex("n_bytes")))
+    assert(out(1).isNullAt(out(1).fieldIndex("feature_kind")))
     assert(out(0).getAs[Boolean]("decode_ok") === true)
   }
 

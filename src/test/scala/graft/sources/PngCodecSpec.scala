@@ -98,7 +98,9 @@ class PngCodecSpec extends AnyFunSuite {
   test("PngFeatureDecoder emits exact sums and dispatch falls back for non-PNG") {
     val px = Array.tabulate(9 * 8 * 3)(i => ((i * 31) % 256).toByte)
     val png = PngCodec.encode(9, 8, 2, px, _ % 5)
-    val feat = new MultiModal.PngFeatureDecoder().decode("image", png).get
+    val decoded = new MultiModal.PngFeatureDecoder().decode("image", png).get
+    assert(decoded.kind === MultiModal.KindPixel)
+    val feat = decoded.values
     val img = PngCodec.decode(png).get
     var rs = 0L
     for (y <- 0 until 8; x <- 0 until 9) rs += img.r(x, y)
@@ -106,7 +108,9 @@ class PngCodecSpec extends AnyFunSuite {
     assert(feat(3) === rs.toFloat)
     assert(feat.length === 7 + 64)
     val media = new MultiModal.MediaDecoder
-    assert(media.decode("image", png).get.length === 71)       // real pixel path
-    assert(media.decode("image", "ab".getBytes).get.length === 8) // histogram fallback
+    val pix = media.decode("image", png).get // real pixel path
+    assert(pix.kind === MultiModal.KindPixel && pix.values.length === 71)
+    val hist = media.decode("image", "ab".getBytes).get // histogram fallback
+    assert(hist.kind === MultiModal.KindHistogram && hist.values.length === 8)
   }
 }
