@@ -135,7 +135,10 @@ object ImagePixels {
     * answer; the oracle checks ALL pairs). One shuffle on the band key,
     * never an all-pairs product — the 100 TB image-dedup shape. */
   def t45DhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sigs = dhashSigs(s, dir)
+    // cache the signatures: both sides of the self-join reference this
+    // subtree, and without it Spark re-runs the decode+dHash UDF pass
+    // twice (measured ~2× the scan cost at 10× scale)
+    val sigs = dhashSigs(s, dir).cache()
     val ex = sigs.select(col("doc_id"), col("bands"),
       posexplode(col("bands")).as(Seq("band_idx", "band_val")))
     val hamming = (1 to 4).map(i =>
@@ -151,6 +154,24 @@ object ImagePixels {
       .distinct() // a pair can match on several bands
       .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** t48: linear-cost image dedup DECISION — the t34 shape applied to
+    * images: a document is dropped iff ANY of its dHash band buckets
+    * contains a smaller doc_id. Window min per band bucket, one shuffle
+    * on the band key, and the pair list is never materialized — the
+    * 100 TB image-dedup path the t45 scaling addendum points to (pair
+    * output grows quadratically in duplicate-heavy corpora; the drop
+    * DECISION stays linear in the corpus). */
+  def t48ImageDedupDrops(s: SparkSession, dir: String): DataFrame = {
+    val ex = dhashSigs(s, dir).select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "band_val")
+    ex.withColumn("rep", min(col("doc_id")).over(w))
+      .filter(col("doc_id") > col("rep"))
+      .select(col("doc_id")).distinct()
+      .orderBy("doc_id")
   }
 
   // t46 palette: entry i → (i, (i*11+3)%256, (i*13+5)%256) — closed
@@ -207,7 +228,8 @@ object ImagePixels {
   val queries: Map[String, Q] = Map(
     "t44_png_pixel_stats" -> (t44PngPixelStats _),
     "t45_image_dhash_pairs" -> (t45DhashPairs _),
-    "t46_gif_pixel_stats" -> (t46GifPixelStats _))
+    "t46_gif_pixel_stats" -> (t46GifPixelStats _),
+    "t48_image_dedup_drops" -> (t48ImageDedupDrops _))
 
   // the shared pixel law as SQL: one CASE-perturbation term per channel
   private def pixelBase(wMax: Int, hMax: Int): String =
@@ -216,6 +238,40 @@ object ImagePixels {
 
   private val pertSql =
     "CASE WHEN d.doc_id%5=0 AND xs.x=4 THEN 128 ELSE 0 END"
+
+  // shared t45/t48 derivation: pixel law → luma → floor-division
+  // average pool to the 9×8 dHash grid → per-doc 4×16-bit bands
+  private lazy val dhashBandsCte =
+    s"""${pixelBase(18, 16)},
+       |dims AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id%2=0 THEN 9 ELSE 18 END AS w,
+       |    CASE WHEN doc_id%3=0 THEN 8 ELSE 16 END AS h
+       |  FROM documents),
+       |base AS (
+       |  SELECT d.doc_id, d.w, d.h, xs.x, ys.y,
+       |    ((d.doc_id%97)*7  + xs.x*13 + ys.y*29 + $pertSql) % 256 AS r,
+       |    ((d.doc_id%97)*11 + xs.x*17 + ys.y*23 + $pertSql) % 256 AS g,
+       |    ((d.doc_id%97)*13 + xs.x*19 + ys.y*31 + $pertSql) % 256 AS b
+       |  FROM dims d, xs, ys WHERE xs.x < d.w AND ys.y < d.h),
+       |lum AS (SELECT doc_id, w, h, x, y,
+       |  (299*r + 587*g + 114*b) // 1000 AS luma FROM base),
+       |px AS (
+       |  -- floor-division average pool to the fixed 9x8 dHash grid:
+       |  -- cell (gx, gy) averages the (w//9)x(h//8) source block
+       |  SELECT doc_id, x // (w // 9) AS gx, y // (h // 8) AS gy,
+       |    sum(luma) // ((w // 9) * (h // 8)) AS luma
+       |  FROM lum GROUP BY doc_id, w, h, x // (w // 9), y // (h // 8)),
+       |bits AS (
+       |  SELECT a.doc_id, a.gy*8 + a.gx AS idx,
+       |    CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+       |  FROM px a JOIN px b
+       |    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+       |  WHERE a.gx < 8),
+       |bands AS (
+       |  SELECT doc_id, idx // 16 AS band_idx,
+       |    cast(sum(bit * (1 << (idx % 16))) AS bigint) AS band_val
+       |  FROM bits GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "t44_png_pixel_stats" ->
@@ -242,36 +298,7 @@ object ImagePixels {
          |  cast(sum((299*r + 587*g + 114*b) // 1000) AS bigint) AS luma_sum
          |FROM ch GROUP BY 1, 2, 3, 4 ORDER BY asset_id""".stripMargin,
     "t45_image_dhash_pairs" ->
-      s"""WITH ${pixelBase(18, 16)},
-         |dims AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id%2=0 THEN 9 ELSE 18 END AS w,
-         |    CASE WHEN doc_id%3=0 THEN 8 ELSE 16 END AS h
-         |  FROM documents),
-         |base AS (
-         |  SELECT d.doc_id, d.w, d.h, xs.x, ys.y,
-         |    ((d.doc_id%97)*7  + xs.x*13 + ys.y*29 + $pertSql) % 256 AS r,
-         |    ((d.doc_id%97)*11 + xs.x*17 + ys.y*23 + $pertSql) % 256 AS g,
-         |    ((d.doc_id%97)*13 + xs.x*19 + ys.y*31 + $pertSql) % 256 AS b
-         |  FROM dims d, xs, ys WHERE xs.x < d.w AND ys.y < d.h),
-         |lum AS (SELECT doc_id, w, h, x, y,
-         |  (299*r + 587*g + 114*b) // 1000 AS luma FROM base),
-         |px AS (
-         |  -- floor-division average pool to the fixed 9x8 dHash grid:
-         |  -- cell (gx, gy) averages the (w//9)x(h//8) source block
-         |  SELECT doc_id, x // (w // 9) AS gx, y // (h // 8) AS gy,
-         |    sum(luma) // ((w // 9) * (h // 8)) AS luma
-         |  FROM lum GROUP BY doc_id, w, h, x // (w // 9), y // (h // 8)),
-         |bits AS (
-         |  SELECT a.doc_id, a.gy*8 + a.gx AS idx,
-         |    CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
-         |  FROM px a JOIN px b
-         |    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
-         |  WHERE a.gx < 8),
-         |bands AS (
-         |  SELECT doc_id, idx // 16 AS band_idx,
-         |    cast(sum(bit * (1 << (idx % 16))) AS bigint) AS band_val
-         |  FROM bits GROUP BY 1, 2),
+      s"""WITH $dhashBandsCte,
          |sig AS (
          |  SELECT doc_id,
          |    max(CASE WHEN band_idx=0 THEN band_val END) AS b0,
@@ -306,5 +333,14 @@ object ImagePixels {
          |  cast(sum(r) AS bigint) AS r_sum, cast(sum(g) AS bigint) AS g_sum,
          |  cast(sum(b) AS bigint) AS b_sum,
          |  cast(sum((299*r + 587*g + 114*b) // 1000) AS bigint) AS luma_sum
-         |FROM ch GROUP BY 1, 2, 3, 4, 5 ORDER BY asset_id""".stripMargin)
+         |FROM ch GROUP BY 1, 2, 3, 4, 5 ORDER BY asset_id""".stripMargin,
+    "t48_image_dedup_drops" ->
+      s"""WITH $dhashBandsCte,
+         |reps AS (
+         |  SELECT band_idx, band_val, min(doc_id) AS rep
+         |  FROM bands GROUP BY 1, 2)
+         |SELECT DISTINCT b.doc_id FROM bands b
+         |JOIN reps r ON b.band_idx = r.band_idx AND b.band_val = r.band_val
+         |WHERE b.doc_id > r.rep
+         |ORDER BY doc_id""".stripMargin)
 }
