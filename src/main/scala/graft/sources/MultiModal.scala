@@ -12,13 +12,14 @@ import org.apache.spark.sql.types._
   *
   * Metadata extraction is REAL: [[ImageHeaders]] parses PNG/JPEG/GIF
   * container headers (dimensions + format) in pure JVM with no codec
-  * library. Pixel-level feature decode is REAL for images: the
-  * pure-JVM [[PngCodec]] for PNG and the JDK's `javax.imageio`
-  * (GIF/JPEG/BMP/TIFF) via [[ImageIoFeatureDecoder]]. Only formats
-  * with no shippable codec here (audio/video) fall back to the
+  * library. Feature decode is REAL for images AND audio: the pure-JVM
+  * [[PngCodec]] for PNG, the JDK's `javax.imageio` (GIF/JPEG/BMP/TIFF)
+  * via [[ImageIoFeatureDecoder]], and the pure-JVM [[WavCodec]] for
+  * RIFF/WAV PCM via [[WavFeatureDecoder]]. Only formats with no
+  * shippable codec here (video, compressed audio) fall back to the
   * deterministic byte-histogram [[StubDecoder]] — and every feature
-  * row carries a `feature_kind` label (`pixel` vs `histogram`) so the
-  * fallback can never masquerade as real pixels.
+  * row carries a `feature_kind` label (`pixel` / `pcm` / `histogram`)
+  * so the fallback can never masquerade as real decode output.
   */
 object MultiModal {
 
@@ -92,6 +93,7 @@ object MultiModal {
     StructField("feature", ArrayType(FloatType), nullable = true)))
 
   val KindPixel = "pixel"
+  val KindPcm = "pcm"
   val KindHistogram = "histogram"
 
   /** Feature vector + its provenance label (one of [[KindPixel]] /
@@ -150,16 +152,19 @@ object MultiModal {
   /** Default production decoder: dispatch on payload sniffing — the
     * pure-JVM PNG codec first (oracle-proven exact), then
     * [[ImageIoFeatureDecoder]] (JDK `javax.imageio`: GIF/JPEG/BMP/TIFF
-    * — real pixels, labeled `pixel`), then the byte-histogram fallback
-    * for payloads no image reader claims (audio/video/unknown), labeled
-    * `histogram`. */
+    * — real pixels, labeled `pixel`), then [[WavFeatureDecoder]]
+    * (RIFF/WAV PCM — real samples, labeled `pcm`), then the
+    * byte-histogram fallback for payloads nothing claims
+    * (video/unknown), labeled `histogram`. */
   final class MediaDecoder extends Decoder {
     private val png = new PngFeatureDecoder
     private val imageio = new ImageIoFeatureDecoder
+    private val wav = new WavFeatureDecoder
     private val stub = new StubDecoder()
     override def decode(mediaType: String, bytes: Array[Byte]): Option[Features] =
       png.decode(mediaType, bytes)
         .orElse(imageio.decode(mediaType, bytes))
+        .orElse(wav.decode(mediaType, bytes))
         .orElse(stub.decode(mediaType, bytes))
   }
 
