@@ -271,12 +271,51 @@ object ImagePixels {
       .orderBy("asset_id")
   }
 
+  // t50 fixture: sample count divisible by 33 so the envelope window
+  // boundaries collapse to plain integer division on both sides
+  private val synth50Udf = udf { (d: Long) =>
+    val n = (825 + d % 5 * 33).toInt
+    val rate = (8000 + d % 3 * 4000).toInt
+    val s = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      s(i) = ((((d % 97) * 31 + i * 17) % 201) - 100).toShort
+      i += 1
+    }
+    graft.sources.WavCodec.encode(rate, 1, s)
+  }
+
+  private val envBandsUdf = udf { (wav: Array[Byte]) =>
+    graft.sources.WavCodec.decode(wav)
+      .map(p => graft.sources.WavCodec.envelopeBands(p).toSeq)
+  }
+
+  /** t50: linear-cost AUDIO dedup decision — the t48/t34 drop-list
+    * shape on the energy-envelope fingerprint: a clip is dropped iff
+    * any of its 8-bit envelope bands shares a bucket with a smaller
+    * doc_id. Completes the modality × dedup matrix (text MinHash,
+    * image dHash, embedding LSH, audio envelope) in the
+    * no-pair-materialization form that survives 100 TB. */
+  def t50AudioDedupDrops(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(envBandsUdf(synth50Udf(col("doc_id"))))
+          .as(Seq("band_idx", "band_val")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "band_val")
+    ex.withColumn("rep", min(col("doc_id")).over(w))
+      .filter(col("doc_id") > col("rep"))
+      .select(col("doc_id")).distinct()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t44_png_pixel_stats" -> (t44PngPixelStats _),
     "t45_image_dhash_pairs" -> (t45DhashPairs _),
     "t46_gif_pixel_stats" -> (t46GifPixelStats _),
     "t48_image_dedup_drops" -> (t48ImageDedupDrops _),
-    "t49_wav_audio_stats" -> (t49WavAudioStats _))
+    "t49_wav_audio_stats" -> (t49WavAudioStats _),
+    "t50_audio_dedup_drops" -> (t50AudioDedupDrops _))
 
   // the shared pixel law as SQL: one CASE-perturbation term per channel
   private def pixelBase(wMax: Int, hMax: Int): String =
@@ -410,5 +449,32 @@ object ImagePixels {
         |  cast(sum(CASE WHEN prev IS NOT NULL AND
         |                 ((prev < 0 AND s >= 0) OR (prev >= 0 AND s < 0))
         |            THEN 1 ELSE 0 END) AS bigint) AS zero_crossings
-        |FROM smp GROUP BY 1, 2, 3, 4 ORDER BY asset_id""".stripMargin)
+        |FROM smp GROUP BY 1, 2, 3, 4 ORDER BY asset_id""".stripMargin,
+    "t50_audio_dedup_drops" ->
+      """WITH si AS (SELECT unnest(range(0, 957)) AS i),
+        |dims AS (
+        |  SELECT doc_id, 825 + (doc_id%5)*33 AS n FROM documents),
+        |smp AS (
+        |  SELECT d.doc_id, d.n, si.i,
+        |    abs(((d.doc_id%97)*31 + si.i*17) % 201 - 100) AS a
+        |  FROM dims d, si WHERE si.i < d.n),
+        |env AS (
+        |  SELECT doc_id, i // (n // 33) AS w, sum(a) AS e
+        |  FROM smp GROUP BY doc_id, n, i // (n // 33)),
+        |bits AS (
+        |  SELECT a.doc_id, a.w AS j,
+        |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+        |  FROM env a JOIN env b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        |  WHERE a.w < 32),
+        |bands AS (
+        |  SELECT doc_id, j // 8 AS band_idx,
+        |    cast(sum(bit * (1 << (j % 8))) AS bigint) AS band_val
+        |  FROM bits GROUP BY 1, 2),
+        |reps AS (
+        |  SELECT band_idx, band_val, min(doc_id) AS rep
+        |  FROM bands GROUP BY 1, 2)
+        |SELECT DISTINCT b.doc_id FROM bands b
+        |JOIN reps r ON b.band_idx = r.band_idx AND b.band_val = r.band_val
+        |WHERE b.doc_id > r.rep
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -72,6 +72,33 @@ object WavCodec {
     Some(Pcm(sampleRate, channels, samples))
   }
 
+  /** 32-bit energy-envelope fingerprint as FOUR 8-bit band values (the
+    * LSH join keys — the audio analog of [[PngCodec.dhashBands]]):
+    * split the stream into 33 windows by the same exact floor-division
+    * region law as the luma grid, bit j set iff window j+1 has more
+    * total |amplitude| than window j. Loudness-trend shape, robust to
+    * uniform gain, exact integer math for oracle parity. */
+  def envelopeBands(pcm: Pcm, windows: Int = 33): Array[Int] = {
+    val n = pcm.samples.length
+    val env = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      val i0 = w * n / windows
+      val i1 = math.max(i0 + 1, (w + 1) * n / windows)
+      var s = 0L; var i = i0
+      while (i < math.min(i1, n)) { s += math.abs(pcm.samples(i).toLong); i += 1 }
+      env(w) = s
+      w += 1
+    }
+    val bands = new Array[Int](4)
+    var j = 0
+    while (j < 32) {
+      if (env(j + 1) > env(j)) bands(j / 8) |= 1 << (j % 8)
+      j += 1
+    }
+    bands
+  }
+
   /** Encode 16-bit PCM as a canonical 44-byte-header WAV. */
   def encode(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
     require(channels == 1 || channels == 2, "mono/stereo only")

@@ -115,6 +115,26 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"window/cartesian crept into the CC round:\n$plan")
   }
 
+  test("media decode gates stay scan-side: one shuffle (the final sort) only") {
+    for (q <- Seq(queries.ImagePixels.t44PngPixelStats _,
+                  queries.ImagePixels.t46GifPixelStats _,
+                  queries.ImagePixels.t49WavAudioStats _)) {
+      val plan = planOf(q(spark, dir))
+      assert(shuffles(plan) <= 1, s"decode gate grew a data shuffle:\n$plan")
+    }
+  }
+
+  test("t48/t50 dedup decisions: bounded shuffles, no pair join") {
+    for (q <- Seq(queries.ImagePixels.t48ImageDedupDrops _,
+                  queries.ImagePixels.t50AudioDedupDrops _)) {
+      val plan = planOf(q(spark, dir))
+      assert(shuffles(plan) <= 3, // band window + distinct + final sort
+        s"drop-decision shuffle count grew past 3 in:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+        s"a pairwise join crept into the linear drop decision:\n$plan")
+    }
+  }
+
   test("v37 IVF: centroids broadcast, bounded shuffle rounds") {
     val plan = planOf(queries.Vectors.v37IvfAnn(spark, dir))
     assert("BroadcastExchange".r.findAllIn(plan).size >= 2,

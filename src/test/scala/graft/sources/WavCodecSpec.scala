@@ -67,6 +67,21 @@ class WavCodecSpec extends AnyFunSuite {
     assert(out.values.toSeq === Seq(5f, 8000f, 1f, 7f, 19f, 135f, 4f))
   }
 
+  test("envelopeBands: monotone loudness ramp sets every bit; silence none") {
+    // strictly growing |amplitude| per window → every env(j+1) > env(j)
+    val ramp = Array.tabulate(330)(i => (i / 10 + 1).toShort)
+    val up = WavCodec.decode(WavCodec.encode(8000, 1, ramp)).get
+    assert(WavCodec.envelopeBands(up).toSeq === Seq(0xff, 0xff, 0xff, 0xff))
+    val flat = WavCodec.decode(WavCodec.encode(8000, 1,
+      Array.fill[Short](330)(7))).get
+    assert(WavCodec.envelopeBands(flat).toSeq === Seq(0, 0, 0, 0))
+    // uniform gain does not change the fingerprint (trend-only bits)
+    val doubled = WavCodec.decode(WavCodec.encode(8000, 1,
+      ramp.map(v => (v * 2).toShort))).get
+    assert(WavCodec.envelopeBands(doubled).toSeq ===
+      WavCodec.envelopeBands(up).toSeq)
+  }
+
   test("MediaDecoder dispatch: WAV → pcm, ahead of the histogram fallback") {
     val media = new MultiModal.MediaDecoder
     val wav = WavCodec.encode(8000, 1, tone(64, 2))
