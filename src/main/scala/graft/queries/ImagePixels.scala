@@ -309,13 +309,46 @@ object ImagePixels {
       .orderBy("doc_id")
   }
 
+  // t51 metadata law: everything integer so durationMs is an exact
+  // floor division on both sides
+  private val synth51Udf = udf { (d: Long) =>
+    graft.sources.Mp4Boxes.encode(
+      timescale = (500 * (1 + d % 4)).toInt,
+      duration = d % 9000 + 1000,
+      width = (320 + d % 5 * 160).toInt,
+      height = (240 + d % 3 * 120).toInt,
+      nTracks = (1 + d % 3).toInt)
+  }
+
+  /** t51: REAL video-container metadata through the production
+    * [[MultiModal.withVideoMeta]] stage — fixtures are genuine ISO BMFF
+    * framing (ftyp + moov/mvhd + trak/tkhd) written by
+    * [[graft.sources.Mp4Boxes.encode]]; the oracle recomputes
+    * duration/dimensions/track-count straight from the integer law,
+    * including the duration×1000/timescale floor division. */
+  def t51Mp4VideoMeta(s: SparkSession, dir: String): DataFrame = {
+    val assets = Tables.documents(s, dir).select(
+      col("doc_id").cast(LongType).as("asset_id"),
+      lit("video").as("media_type"),
+      synth51Udf(col("doc_id")).as("content"),
+      lit(null).cast(IntegerType).as("width"),
+      lit(null).cast(IntegerType).as("height"),
+      lit(null).cast(LongType).as("duration_ms"))
+    MultiModal.withVideoMeta(assets)
+      .filter(col("video_duration_ms").isNotNull) // parse failure → row loss → loud
+      .select(col("asset_id"), col("video_duration_ms"),
+        col("video_width"), col("video_height"), col("video_tracks"))
+      .orderBy("asset_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t44_png_pixel_stats" -> (t44PngPixelStats _),
     "t45_image_dhash_pairs" -> (t45DhashPairs _),
     "t46_gif_pixel_stats" -> (t46GifPixelStats _),
     "t48_image_dedup_drops" -> (t48ImageDedupDrops _),
     "t49_wav_audio_stats" -> (t49WavAudioStats _),
-    "t50_audio_dedup_drops" -> (t50AudioDedupDrops _))
+    "t50_audio_dedup_drops" -> (t50AudioDedupDrops _),
+    "t51_mp4_video_meta" -> (t51Mp4VideoMeta _))
 
   // the shared pixel law as SQL: one CASE-perturbation term per channel
   private def pixelBase(wMax: Int, hMax: Int): String =
@@ -476,5 +509,13 @@ object ImagePixels {
         |SELECT DISTINCT b.doc_id FROM bands b
         |JOIN reps r ON b.band_idx = r.band_idx AND b.band_val = r.band_val
         |WHERE b.doc_id > r.rep
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "t51_mp4_video_meta" ->
+      """SELECT doc_id AS asset_id,
+        |  cast(((doc_id%9000 + 1000) * 1000) // (500 * (1 + doc_id%4))
+        |       AS bigint) AS video_duration_ms,
+        |  cast(320 + (doc_id%5)*160 AS int) AS video_width,
+        |  cast(240 + (doc_id%3)*120 AS int) AS video_height,
+        |  cast(1 + doc_id%3 AS int) AS video_tracks
+        |FROM documents ORDER BY asset_id""".stripMargin)
 }

@@ -217,6 +217,34 @@ object MultiModal {
     }(enc)
   }
 
+  /** Video-metadata columns appended by [[withVideoMeta]]. */
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("video_duration_ms", LongType, nullable = true),
+    StructField("video_width", IntegerType, nullable = true),
+    StructField("video_height", IntegerType, nullable = true),
+    StructField("video_tracks", IntegerType, nullable = true)))
+
+  /** REAL video-container metadata: ISO BMFF (MP4/MOV) box walk via
+    * [[Mp4Boxes]] in the same partition-parallel mapPartitions shape as
+    * [[withImageMeta]]. Non-MP4 or unparseable payloads get null
+    * metadata, not errors. */
+  def withVideoMeta(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(assets.schema.fields ++ videoMetaSchema.fields)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val contentIdx = assets.schema.fieldIndex("content")
+    assets.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(contentIdx)) null else r.getAs[Array[Byte]](contentIdx)
+        val m = Mp4Boxes.parse(bytes)
+        Row.fromSeq(r.toSeq ++ Seq(
+          m.map(x => Long.box(x.durationMs)).orNull,
+          m.map(x => Int.box(x.width)).orNull,
+          m.map(x => Int.box(x.height)).orNull,
+          m.map(x => Int.box(x.nTracks)).orNull))
+      }
+    }(enc)
+  }
+
   /** Frame-sampling shape for video: emit one row per sampled offset
     * (explode of a generated offset array — partition-parallel, no
     * driver involvement). */

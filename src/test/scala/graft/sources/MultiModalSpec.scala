@@ -87,6 +87,16 @@ class MultiModalSpec extends AnyFunSuite with SparkSpec {
     assert(MultiModal.ImageHeaders.parse(null) === None)
   }
 
+  test("withVideoMeta appends MP4 metadata and nulls for non-video") {
+    val mp4 = Mp4Boxes.encode(1000, 5000L, 640, 480, 2)
+    val df = Seq((1L, mp4), (2L, "plain text".getBytes)).toDF("asset_id", "content")
+    val out = MultiModal.withVideoMeta(df).orderBy("asset_id").collect()
+    assert(out(0).getAs[Long]("video_duration_ms") === 5000L)
+    assert(out(0).getAs[Int]("video_width") === 640)
+    assert(out(0).getAs[Int]("video_tracks") === 2)
+    assert(out(1).isNullAt(out(1).fieldIndex("video_duration_ms")))
+  }
+
   test("withImageMeta appends parsed metadata and nulls for non-images") {
     import java.nio.ByteBuffer
     val png = {
