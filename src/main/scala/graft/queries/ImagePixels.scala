@@ -341,6 +341,27 @@ object ImagePixels {
       .orderBy("asset_id")
   }
 
+  /** t52: video frame-sampling driven by REAL parsed durations — the
+    * composition a video pipeline runs: ISO BMFF metadata parse
+    * ([[MultiModal.withVideoMeta]]) feeds the per-asset frame-offset
+    * explode ([[MultiModal.sampleFrames]], one row per 500 ms,
+    * endpoint-inclusive). Partition-parallel end to end: parse and
+    * explode are both scan-side; no driver involvement. */
+  def t52Mp4FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val assets = Tables.documents(s, dir).select(
+      col("doc_id").cast(LongType).as("asset_id"),
+      lit("video").as("media_type"),
+      synth51Udf(col("doc_id")).as("content"),
+      lit(null).cast(IntegerType).as("width"),
+      lit(null).cast(IntegerType).as("height"),
+      lit(null).cast(LongType).as("duration_ms"))
+    val withMeta = MultiModal.withVideoMeta(assets)
+      .withColumn("duration_ms", col("video_duration_ms"))
+    MultiModal.sampleFrames(withMeta, everyMs = 500L)
+      .select(col("asset_id"), col("frame_ms"))
+      .orderBy("asset_id", "frame_ms")
+  }
+
   val queries: Map[String, Q] = Map(
     "t44_png_pixel_stats" -> (t44PngPixelStats _),
     "t45_image_dhash_pairs" -> (t45DhashPairs _),
@@ -348,7 +369,8 @@ object ImagePixels {
     "t48_image_dedup_drops" -> (t48ImageDedupDrops _),
     "t49_wav_audio_stats" -> (t49WavAudioStats _),
     "t50_audio_dedup_drops" -> (t50AudioDedupDrops _),
-    "t51_mp4_video_meta" -> (t51Mp4VideoMeta _))
+    "t51_mp4_video_meta" -> (t51Mp4VideoMeta _),
+    "t52_mp4_frame_sample" -> (t52Mp4FrameSample _))
 
   // the shared pixel law as SQL: one CASE-perturbation term per channel
   private def pixelBase(wMax: Int, hMax: Int): String =
@@ -517,5 +539,16 @@ object ImagePixels {
         |  cast(320 + (doc_id%5)*160 AS int) AS video_width,
         |  cast(240 + (doc_id%3)*120 AS int) AS video_height,
         |  cast(1 + doc_id%3 AS int) AS video_tracks
-        |FROM documents ORDER BY asset_id""".stripMargin)
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    "t52_mp4_frame_sample" ->
+      // endpoint-inclusive series on both sides (Spark sequence() and
+      // DuckDB generate_series both include the stop when it lands on
+      // a step boundary)
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    ((doc_id%9000 + 1000) * 1000) // (500 * (1 + doc_id%4)) AS dur
+        |  FROM documents)
+        |SELECT doc_id AS asset_id,
+        |  cast(unnest(generate_series(0, dur, 500)) AS bigint) AS frame_ms
+        |FROM d ORDER BY asset_id, frame_ms""".stripMargin)
 }
