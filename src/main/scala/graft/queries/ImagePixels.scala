@@ -362,7 +362,57 @@ object ImagePixels {
       .orderBy("asset_id", "frame_ms")
   }
 
+  // t53 fixture: a real JPEG produced by the JDK encoder inside the
+  // UDF. Pixel VALUES are lossy (IDCT is implementation-defined, so
+  // they cannot be hash-gated — PngCodecSpec/ImageIoSpec cover them
+  // with tolerance asserts); the gated columns are the exactly
+  // decodable ones: dimensions, format code, pixel label.
+  private val synth53Udf = udf { (d: Long) =>
+    val w = (16 + d % 5 * 8).toInt
+    val h = (16 + d % 3 * 8).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { // smooth gradient: JPEG-friendly, irrelevant to the gate
+        img.setRGB(x, y, ((x * 8 % 256) << 16) | ((y * 8 % 256) << 8) |
+          (d % 97).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    bos.toByteArray
+  }
+
+  /** t53: JPEG through the PRODUCTION decode path — real JDK-encoded
+    * JPEGs decoded by [[MultiModal.MediaDecoder]]'s `javax.imageio`
+    * stage. JPEG pixel values are lossy/implementation-defined, so the
+    * gate pins exactly what IS deterministic: decode succeeded, the
+    * features are REAL pixels (`feature_kind='pixel'`, format code 21,
+    * never the histogram fallback), and the decoded dimensions match
+    * the synthesis law bit-for-bit. */
+  def t53JpegMeta(s: SparkSession, dir: String): DataFrame = {
+    val assets = Tables.documents(s, dir).select(
+      col("doc_id").cast(LongType).as("asset_id"),
+      lit("image").as("media_type"),
+      synth53Udf(col("doc_id")).as("content"),
+      lit(null).cast(IntegerType).as("width"),
+      lit(null).cast(IntegerType).as("height"),
+      lit(null).cast(LongType).as("duration_ms"))
+    val feats = MultiModal.withFeatures(assets, new MultiModal.MediaDecoder)
+    feats.filter(col("decode_ok"))
+      .select(col("asset_id"), col("feature_kind"),
+        element_at(col("feature"), 3).cast(IntegerType).as("format_code"),
+        element_at(col("feature"), 1).cast(IntegerType).as("img_w"),
+        element_at(col("feature"), 2).cast(IntegerType).as("img_h"))
+      .orderBy("asset_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t53_jpeg_meta" -> (t53JpegMeta _),
     "t44_png_pixel_stats" -> (t44PngPixelStats _),
     "t45_image_dhash_pairs" -> (t45DhashPairs _),
     "t46_gif_pixel_stats" -> (t46GifPixelStats _),
@@ -415,6 +465,12 @@ object ImagePixels {
        |  FROM bits GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t53_jpeg_meta" ->
+      """SELECT doc_id AS asset_id, 'pixel' AS feature_kind,
+        |  cast(21 AS int) AS format_code,
+        |  cast(16 + (doc_id%5)*8 AS int) AS img_w,
+        |  cast(16 + (doc_id%3)*8 AS int) AS img_h
+        |FROM documents ORDER BY asset_id""".stripMargin,
     "t44_png_pixel_stats" ->
       s"""WITH ${pixelBase(12, 8)},
          |dims AS (
