@@ -85,8 +85,11 @@ object ImagePixels {
     * per-image channel/luma sums recovered from compressed, filtered
     * IDAT bytes. Integer sums (not means) so the gate is
     * representation-proof. */
-  def t44PngPixelStats(s: SparkSession, dir: String): DataFrame = {
-    val assets = Tables.documents(s, dir).select(
+  /** t44's fixture + stats pipeline over any documents frame — shared
+    * with the streaming variant t54, which must produce the identical
+    * answer per micro-batch slice. */
+  private[queries] def pngPixelStatsOf(docs: DataFrame): DataFrame = {
+    val assets = docs.select(
       col("doc_id").cast(LongType).as("asset_id"),
       lit("image").as("media_type"),
       synth44Udf(col("doc_id")).as("content"),
@@ -105,8 +108,10 @@ object ImagePixels {
         element_at(col("feature"), 5).cast(LongType).as("g_sum"),
         element_at(col("feature"), 6).cast(LongType).as("b_sum"),
         element_at(col("feature"), 7).cast(LongType).as("luma_sum"))
-      .orderBy("asset_id")
   }
+
+  def t44PngPixelStats(s: SparkSession, dir: String): DataFrame =
+    pngPixelStatsOf(Tables.documents(s, dir)).orderBy("asset_id")
 
   // t45 fixture mixes geometries — 9×8 (pool = identity), 18×8, 9×16,
   // 18×16 (real 2×1 / 1×2 / 2×2 floor-division average pooling) — so

@@ -268,7 +268,33 @@ object StreamGate {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** t54: STREAMING media decode — the continuously-ingesting
+    * multimodal-corpus shape: each micro-batch of documents runs the
+    * SAME production pipeline as batch t44 (fixture synthesis →
+    * [[graft.sources.MultiModal.withFeatures]] with the full
+    * [[graft.sources.MultiModal.MediaDecoder]] chain → pixel stats),
+    * appending to a parquet sink via `foreachBatch`. Decode is pure
+    * per-row work, so micro-batch slicing must be semantically
+    * invisible; the gate shares t44's closed-form pixel-law oracle. */
+  def t54StreamMediaDecode(s: SparkSession, dir: String): DataFrame = {
+    val batchDocs = graft.Tables.documents(s, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft_t54_").toString
+    val stream = s.readStream.schema(batchDocs.schema)
+      .parquet(s"$dir/documents.parq*")
+    val query = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ImagePixels.pngPixelStatsOf(batch)
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out).orderBy("asset_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t54_stream_media_decode" -> (t54StreamMediaDecode _),
     "t47_stream_decontaminate" -> (t47StreamDecontaminate _),
     "q60_stream_windowed_agg" -> (q60StreamWindowedAgg _),
     "q61_stream_dedup" -> (q61StreamDedup _),
@@ -319,6 +345,8 @@ object StreamGate {
   lazy val oracles: Map[String, String] = Map(
     // identical answer contract as batch t42 — same oracle derivation
     "t47_stream_decontaminate" -> TextDedup.oracles("t42_decontaminate"),
+    // identical answer contract as batch t44 — same pixel-law oracle
+    "t54_stream_media_decode" -> ImagePixels.oracles("t44_png_pixel_stats"),
     "q62_stream_sessions" -> sessionOracle,
     "q71_stream_sessions_tws" -> sessionOracle,
     "q60_stream_windowed_agg" ->
