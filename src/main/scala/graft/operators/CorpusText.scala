@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * needs beyond per-document scoring: cross-document boilerplate
+  * removal (the MassiveText / CCNet "drop lines repeated across many
+  * documents" pass, adapted to fixed token segments because the
+  * synthetic corpus has no newlines), sliding-window chunking (context
+  * windows with stride for sequence-model training), and PII
+  * redaction. Reference analog: the row-wise text normalizers in
+  * dags/web_scraping/transformers (SURVEY.md §2.7) — these are the
+  * corpus-level complements.
+  *
+  * Scale notes (100 TB):
+  *  - `segments` is a linear explode (no shuffle).
+  *  - `removeBoilerplate` shuffles once to count distinct docs per
+  *    segment; the boilerplate set (count ≥ minDocs) is tiny BY
+  *    CONSTRUCTION — only segments repeated across documents survive
+  *    the filter — so the mark-and-drop join broadcasts it and the
+  *    rebuild is the only other shuffle (hash by doc_id).
+  *  - `chunkWindows` is per-row (explode + slice), no shuffle at all.
+  *  - PII redaction is a scan-side regexp chain (codegen'd).
+  */
+object CorpusText {
+
+  /** Fixed-width token segmentation: one row per `(doc_id, seg_idx)`
+    * covering tokens [seg_idx*segTokens, ...) — the unit of
+    * cross-document boilerplate detection. Whitespace tokens, last
+    * segment may be short. Linear, shuffle-free. */
+  def segments(docs: DataFrame, segTokens: Int): DataFrame = {
+    val w = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0),
+          ceil(size(col("w")) / lit(segTokens.toDouble)).cast(IntegerType) - 1))
+          .as("seg_idx"))
+      .select(col("doc_id"), col("seg_idx"),
+        concat_ws(" ",
+          slice(col("w"), col("seg_idx") * segTokens + 1, lit(segTokens)))
+          .as("seg"))
+  }
+
+  /** Cross-document boilerplate removal: a segment that appears in at
+    * least `minDocs` DISTINCT documents is boilerplate; rebuild each
+    * document from its surviving segments (original order). Returns
+    * (doc_id, n_segs, n_dropped, clean_text).
+    *
+    * Shape: count-distinct per segment (one shuffle with map-side
+    * combine), broadcast the (small) boilerplate set back over the
+    * segment stream, re-assemble per doc (second shuffle). Never
+    * materializes doc×doc pairs. */
+  def removeBoilerplate(docs: DataFrame, segTokens: Int, minDocs: Int): DataFrame = {
+    val segs = segments(docs, segTokens)
+    val boiler = segs.select("doc_id", "seg").distinct()
+      .groupBy("seg").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("seg"), lit(true).as("is_boiler"))
+    segs
+      .join(broadcast(boiler), Seq("seg"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        count(col("is_boiler")).as("n_dropped"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("is_boiler").isNull,
+                struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg"))).as("clean_text"))
+  }
+
+  /** Sliding token windows with stride — the context-window chunker
+    * for sequence-model training samples. Chunk i covers tokens
+    * [i*stride, i*stride + window); a document shorter than `window`
+    * yields exactly one (short) chunk, and the last chunk may be
+    * short. Returns (doc_id, chunk_idx, n_chunk_tokens, chunk_text).
+    * Pure per-row explode + slice: shuffle-free, linear in corpus
+    * size × (window/stride) overlap factor. */
+  def chunkWindows(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"chunkWindows: need 0 < stride <= window, got window=$window stride=$stride")
+    val w = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0),
+          when(size(col("w")) <= window, lit(0))
+            .otherwise(ceil((size(col("w")) - window) / lit(stride.toDouble))
+              .cast(IntegerType))))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("w"), col("chunk_idx") * stride + 1, lit(window)).as("cw"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("cw")).as("n_chunk_tokens"),
+        concat_ws(" ", col("cw")).as("chunk_text"))
+  }
+
+  // PII patterns — kept to the RE2 ∩ java.util.regex common subset so
+  // the engine (Java regex) and the DuckDB oracle (RE2) match the same
+  // spans. Replacement is global on both sides (Spark regexp_replace
+  // is global; DuckDB needs the 'g' flag — see the oracle SQL).
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Redact emails, then phone numbers, then IPv4 addresses (fixed
+    * order, so a pattern can never match inside an earlier
+    * placeholder). Scan-side, codegen'd. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Count matches of `re` in `text` (exact, not capped). */
+  def countMatches(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast(LongType)
+}

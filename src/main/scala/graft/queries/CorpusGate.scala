@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.operators.CorpusText
+
+/** Oracle gates for the corpus-preparation operators
+  * ([[graft.operators.CorpusText]]): cross-document boilerplate
+  * removal, PII redaction, and sliding-window chunking — the
+  * training-data-pipeline surface beyond per-document scoring.
+  *
+  * Determinism: counts as BIGINT, chunk payloads as md5 hex, rebuilt
+  * text as plain strings (token joins are exact); the PII fixture is
+  * synthesized from doc_id with printf-identical laws on both sides.
+  */
+object CorpusGate {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** t55: MassiveText/CCNet-style boilerplate removal — drop every
+    * 8-token segment that appears in ≥ 2 distinct documents, rebuild
+    * each document from the survivors. At sf0.01 this marks 153 of
+    * 3,434 segments across 93 documents — the oracle recomputes the
+    * whole mark-and-rebuild independently. */
+  def t55BoilerplateSegments(s: SparkSession, dir: String): DataFrame =
+    CorpusText.removeBoilerplate(Tables.documents(s, dir), segTokens = 8, minDocs = 2)
+      .orderBy("doc_id")
+
+  /** PII-bearing fixture: append a deterministic doc_id-law suffix
+    * (email / phone / IPv4 / clean, round-robin by doc_id % 4) to the
+    * corpus text, so redaction has real spans to hit and the oracle
+    * can synthesize the identical input. */
+  private def withPii(docs: DataFrame): DataFrame = {
+    val m = pmod(col("doc_id"), lit(4))
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        when(m === 0, format_string(" reach me at user%d@example.com today", col("doc_id")))
+          .when(m === 1, format_string(" call +1-555-%04d now", pmod(col("doc_id"), lit(10000))))
+          .when(m === 2, format_string(" server at 10.%d.%d.%d up",
+            pmod(col("doc_id"), lit(200)), pmod(col("doc_id"), lit(250)),
+            pmod(col("doc_id"), lit(100))))
+          .otherwise(format_string(" nothing sensitive in row %d", col("doc_id"))))
+        .as("text"))
+  }
+
+  /** t56: PII redaction — count and replace emails, phone numbers and
+    * IPv4 addresses with typed placeholders (scan-side regexp chain,
+    * global replace on both engines). */
+  def t56PiiRedact(s: SparkSession, dir: String): DataFrame =
+    withPii(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        CorpusText.countMatches(col("text"), CorpusText.EmailRe).as("n_emails"),
+        CorpusText.countMatches(col("text"), CorpusText.PhoneRe).as("n_phones"),
+        CorpusText.countMatches(col("text"), CorpusText.Ipv4Re).as("n_ips"),
+        CorpusText.redactPii(col("text")).as("redacted"))
+      .orderBy("doc_id")
+
+  /** t57: sliding context windows — 32-token chunks at stride 24 (the
+    * training-sample chunker; short docs yield one short chunk). */
+  def t57ChunkWindows(s: SparkSession, dir: String): DataFrame =
+    CorpusText.chunkWindows(Tables.documents(s, dir), window = 32, stride = 24)
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val queries: Map[String, Q] = Map(
+    "t55_boilerplate_segments" -> (t55BoilerplateSegments _),
+    "t56_pii_redact" -> (t56PiiRedact _),
+    "t57_chunk_windows" -> (t57ChunkWindows _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t55_boilerplate_segments" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |segs AS (SELECT doc_id, CAST(t.i AS INT) seg_idx,
+        |           array_to_string(w[(t.i*8+1):(t.i*8+8)], ' ') seg
+        |         FROM toks, UNNEST(range(CAST(ceil(len(w)/8.0) AS BIGINT))) AS t(i)),
+        |boiler AS (SELECT seg FROM (
+        |             SELECT seg, count(DISTINCT doc_id) c FROM segs GROUP BY seg)
+        |           WHERE c >= 2)
+        |SELECT s.doc_id,
+        |  count(*) AS n_segs,
+        |  count(*) FILTER (WHERE b.seg IS NOT NULL) AS n_dropped,
+        |  coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_idx)
+        |             FILTER (WHERE b.seg IS NULL), '') AS clean_text
+        |FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "t56_pii_redact" ->
+      // identical fixture law (doc_id % 4 round-robin), RE2/Java-common
+      // regex subset, 'g' flag so DuckDB replaces globally like Spark
+      """WITH pii AS (SELECT doc_id, text ||
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN printf(' reach me at user%d@example.com today', doc_id)
+        |    WHEN 1 THEN printf(' call +1-555-%04d now', doc_id % 10000)
+        |    WHEN 2 THEN printf(' server at 10.%d.%d.%d up',
+        |                       doc_id % 200, doc_id % 250, doc_id % 100)
+        |    ELSE printf(' nothing sensitive in row %d', doc_id) END AS text
+        | FROM documents)
+        |SELECT doc_id,
+        |  cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as bigint) AS n_emails,
+        |  cast(len(regexp_extract_all(text, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) as bigint) AS n_phones,
+        |  cast(len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) as bigint) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM pii ORDER BY doc_id""".stripMargin,
+    "t57_chunk_windows" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |chunks AS (SELECT doc_id, CAST(t.i AS INT) chunk_idx,
+        |             w[(t.i*24+1):(t.i*24+32)] cw
+        |           FROM toks, UNNEST(range(
+        |             CASE WHEN len(w) <= 32 THEN 1
+        |                  ELSE CAST(ceil((len(w)-32)/24.0) AS BIGINT) + 1 END)) AS t(i))
+        |SELECT doc_id, chunk_idx, cast(len(cw) as int) AS n_chunk_tokens,
+        |  md5(array_to_string(cw, ' ')) AS chunk_md5
+        |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+  )
+}

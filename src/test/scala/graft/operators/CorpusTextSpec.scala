@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Corpus preparation: cross-document boilerplate removal, sliding
+  * context windows, PII redaction. */
+class CorpusTextSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("removeBoilerplate drops repeated segments, keeps order, handles all-dropped docs") {
+    // 2-token segments; "x y" appears in docs 1, 2, 3 → boilerplate at
+    // minDocs=2; doc 3 is ONLY boilerplate → empty clean_text (not null)
+    val docs = Seq(
+      (1L, "x y a b"),
+      (2L, "c d x y"),
+      (3L, "x y"),
+      (4L, "p q r")).toDF("doc_id", "text")
+    val out = CorpusText.removeBoilerplate(docs, segTokens = 2, minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out.toSeq === Seq(
+      Row(1L, 2L, 1L, "a b"),
+      Row(2L, 2L, 1L, "c d"),
+      Row(3L, 1L, 1L, ""),
+      Row(4L, 2L, 0L, "p q r")))
+  }
+
+  test("removeBoilerplate counts DISTINCT documents, not occurrences") {
+    // "x y" twice in ONE doc is not boilerplate at minDocs=2
+    val docs = Seq((1L, "x y x y"), (2L, "a b")).toDF("doc_id", "text")
+    val out = CorpusText.removeBoilerplate(docs, segTokens = 2, minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out.toSeq === Seq(Row(1L, 2L, 0L, "x y x y"), Row(2L, 1L, 0L, "a b")))
+  }
+
+  test("chunkWindows: stride overlap, short-doc single chunk, short tail") {
+    val docs = Seq(
+      (1L, (1 to 10).map("t" + _).mkString(" ")), // 10 tokens, w=4 s=3
+      (2L, "a b")) // shorter than window → one short chunk
+      .toDF("doc_id", "text")
+    val out = CorpusText.chunkWindows(docs, window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text").collect()
+    assert(out.toSeq === Seq(
+      Row(1L, 0, 4, "t1 t2 t3 t4"),
+      Row(1L, 1, 4, "t4 t5 t6 t7"),
+      Row(1L, 2, 4, "t7 t8 t9 t10"),
+      Row(2L, 0, 2, "a b")))
+    // every token is covered by at least one chunk
+    val covered = CorpusText.chunkWindows(docs, window = 4, stride = 3)
+      .select(explode(split(col("chunk_text"), " ")).as("t"))
+      .distinct().count()
+    assert(covered === 12)
+  }
+
+  test("chunkWindows rejects invalid stride") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      CorpusText.chunkWindows(docs, window = 4, stride = 5)
+    }
+  }
+
+  test("redactPii replaces every occurrence and counts match") {
+    val df = Seq((1L,
+      "mail a@b.com and c.d@e.org then call +1-555-1234 from 10.0.0.1 or 192.168.1.255"))
+      .toDF("doc_id", "text")
+      .select(
+        CorpusText.countMatches(col("text"), CorpusText.EmailRe).as("ne"),
+        CorpusText.countMatches(col("text"), CorpusText.PhoneRe).as("np"),
+        CorpusText.countMatches(col("text"), CorpusText.Ipv4Re).as("ni"),
+        CorpusText.redactPii(col("text")).as("r"))
+    val Row(ne: Long, np: Long, ni: Long, r: String) = df.collect()(0)
+    assert((ne, np, ni) === (2L, 1L, 2L))
+    assert(r === "mail <EMAIL> and <EMAIL> then call <PHONE> from <IP> or <IP>")
+  }
+}
