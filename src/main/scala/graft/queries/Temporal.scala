@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.TemporalJoin
+import graft.operators.{RangeJoin, TemporalJoin}
 
 /** As-of join under the oracle gate: every purchase event picks up the
   * user's latest signup state at-or-before the purchase time. The
@@ -47,9 +47,28 @@ object Temporal {
           "yyyy-MM-dd HH:mm:ss").as("tehran_lagged"))
       .orderBy("event_id")
 
+  /** q73: range (interval) join via [[graft.operators.RangeJoin]] —
+    * event values (cents) against supplier-derived `[lo, hi]` bands,
+    * aggregated per interval. The oracle states the semantics as the
+    * naive `BETWEEN` theta-join; the engine runs the bucketized
+    * equi-join (one shuffle, no nested loop) — a pass certifies the
+    * rewrite is exact. Integer domain throughout (cents as BIGINT). */
+  def q73RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(s, dir)
+      .select(round(col("value") * 100).cast("long").as("pv"))
+    val iv = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), (col("s_suppkey") * 997 % 48000).as("lo"))
+      .withColumn("hi", col("lo") + 200 + col("s_suppkey") % 800 * 2)
+    RangeJoin.bucketed(p, "pv", iv, "lo", "hi", width = 512)
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_points"), sum(col("pv")).as("sum_pv"))
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q44_asof_join" -> (q44AsofJoin _),
-    "q68_watermark_lag" -> (q68WatermarkLag _))
+    "q68_watermark_lag" -> (q68WatermarkLag _),
+    "q73_range_join" -> (q73RangeJoin _))
 
   val oracles: Map[String, String] = Map(
     "q44_asof_join" ->
@@ -72,5 +91,18 @@ object Temporal {
         |          - INTERVAL 1 HOUR,
         |          '%Y-%m-%d %H:%M:%S') AS tehran_lagged
         |FROM events WHERE event_id % 50 = 0
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "q73_range_join" ->
+      // the semantics the bucketized engine plan must reproduce:
+      // a plain inclusive-BETWEEN theta-join
+      """WITH p AS (SELECT CAST(round(value * 100) AS BIGINT) pv FROM events),
+        |iv AS (SELECT s_suppkey,
+        |         (s_suppkey * 997) % 48000 AS lo,
+        |         (s_suppkey * 997) % 48000 + 200 + (s_suppkey % 800) * 2 AS hi
+        |       FROM supplier)
+        |SELECT iv.s_suppkey,
+        |  CAST(count(*) AS BIGINT) AS n_points,
+        |  CAST(sum(p.pv) AS BIGINT) AS sum_pv
+        |FROM iv JOIN p ON p.pv BETWEEN iv.lo AND iv.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -135,6 +135,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q73 range join: bucketized equi-join, no nested loop or cartesian") {
+    val plan = planOf(queries.Temporal.q73RangeJoin(spark, dir))
+    // the whole point of RangeJoin.bucketed: the BETWEEN predicate must
+    // ride an equi-join on the bucket key, never a nested-loop scan
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop in:\n$plan")
+    assert(plan.contains("Join"), s"no join in:\n$plan")
+  }
+
   test("v37 IVF: centroids broadcast, bounded shuffle rounds") {
     val plan = planOf(queries.Vectors.v37IvfAnn(spark, dir))
     assert("BroadcastExchange".r.findAllIn(plan).size >= 2,

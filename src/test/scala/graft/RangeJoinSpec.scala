@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RangeJoin
+
+/** Semantics of the bucketized range join vs the naive theta-join it
+  * replaces: inclusive bounds, intervals spanning many buckets,
+  * negative values (floor vs truncate division), and no duplicate
+  * pairs when a point's bucket is covered by several interval buckets.
+  */
+class RangeJoinSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val points =
+    Seq(-1000L, -513L, -512L, -1L, 0L, 1L, 511L, 512L, 767L, 5000L).toDF("pv")
+  private val intervals = Seq(
+    (1L, -600L, -500L),   // straddles a negative bucket edge
+    (2L, 0L, 511L),       // exactly one bucket
+    (3L, 0L, 0L),         // degenerate single point
+    (4L, -2000L, 6000L),  // spans every bucket in play
+    (5L, 600L, 650L)      // covers no point
+  ).toDF("iid", "lo", "hi")
+
+  private def naive = points.join(intervals,
+    $"pv" >= $"lo" && $"pv" <= $"hi").select("pv", "iid")
+
+  test("bucketized join equals the naive theta-join, for several widths") {
+    val expect = naive.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    for (w <- Seq(1L, 7L, 512L, 100000L)) {
+      val got = RangeJoin.bucketed(points, "pv", intervals, "lo", "hi", w)
+        .select("pv", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == expect.toSeq, s"width=$w diverged")
+    }
+  }
+
+  test("pairs are unique: a spanning interval emits each point once") {
+    val got = RangeJoin.bucketed(points, "pv", intervals.filter($"iid" === 4),
+      "lo", "hi", 512L)
+    assert(got.count() == got.distinct().count())
+    assert(got.count() == points.count()) // interval 4 covers all points
+  }
+
+  test("inclusive bounds on both ends") {
+    val got = RangeJoin.bucketed(points, "pv",
+        intervals.filter($"iid" === 2), "lo", "hi", 512L)
+      .select("pv").as[Long].collect().sorted
+    assert(got.toSeq == Seq(0L, 1L, 511L)) // 512 excluded, 0 included
+  }
+}
