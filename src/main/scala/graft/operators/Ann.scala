@@ -51,17 +51,52 @@ object Ann {
       when(assert_true(size(col(vecCol)) === d,
           lit(s"buildCentroids: expected $d-dim vectors")).isNull,
         quantize_e6(col(vecCol))).as("v"))
+    lloydFrom(q, k, iters = 1, d).select(col("centroid_id"), col("cvec"))
+  }
+
+  /** Full Lloyd's k-means over the integer-quantized vectors: lowest-id
+    * seeds, `iters` assign→trunc-mean rounds. Returns the final
+    * centroids with the size of the assignment that produced them:
+    * (centroid_id, n, cvec). A cell that loses all members drops out of
+    * the frame (and stays out) — deterministic on both engines.
+    *
+    * Scale shape per round: one broadcast of k centroids, one hash
+    * aggregate for the argmax assignment, one `dims`-column sum
+    * aggregate for the means — two map-side-combinable shuffles per
+    * round, never a row explosion. The unrolled plan grows linearly
+    * with `iters`; for long runs callers should checkpoint between
+    * rounds (see DupClusters for the convergence-loop pattern). */
+  def lloyd(embeddings: DataFrame, idCol: String, vecCol: String,
+            k: Int, iters: Int): DataFrame = {
+    val d = embeddings.select(size(col(vecCol))).take(1) match {
+      case Array(r) => r.getInt(0)
+      case _ => return embeddings.sparkSession.emptyDataFrame
+    }
+    val q = embeddings.select(col(idCol).as("vid"), quantize_e6(col(vecCol)).as("v"))
+    lloydFrom(q, k, iters, d)
+  }
+
+  /** `iters` Lloyd rounds from lowest-id seeds over pre-quantized
+    * (vid, v) rows → (centroid_id, n, cvec). */
+  private def lloydFrom(q: DataFrame, k: Int, iters: Int, d: Int): DataFrame = {
+    require(iters >= 1, s"lloyd needs at least one round, got $iters")
     val seeds = q.orderBy("vid").limit(k)
       .withColumn("centroid_id", row_number().over(Window.orderBy("vid")) - 1)
-      .select(col("centroid_id"), col("v").as("cvec"))
-    val assigned = assign(q, seeds)
-    // one refinement: element-wise mean (trunc toward zero, exact
-    // integer sums) of assigned vectors per cell
+      .select(col("centroid_id"), lit(0L).as("n"), col("v").as("cvec"))
+    (1 to iters).foldLeft(seeds) { (cent, _) =>
+      truncMeans(assign(q, cent), q, d)
+    }
+  }
+
+  /** Element-wise mean (trunc toward zero, exact integer sums) of each
+    * cell's assigned vectors — `d` primitive sum-aggregates, no row
+    * explosion (see buildCentroids doc). */
+  private def truncMeans(assigned: DataFrame, q: DataFrame, d: Int): DataFrame = {
     val sums = (1 to d).map(i => sum(element_at(col("v"), i)).as(s"s$i"))
     assigned.join(q, Seq("vid"))
       .groupBy("centroid_id")
       .agg(count(lit(1)).as("n"), sums: _*)
-      .select(col("centroid_id"),
+      .select(col("centroid_id"), col("n"),
         array((1 to d).map(i =>
           (col(s"s$i") / col("n")).cast(LongType)): _*).as("cvec"))
   }

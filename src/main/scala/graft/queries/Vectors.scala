@@ -189,8 +189,33 @@ object Vectors {
       .orderBy("query_id", "rank")
   }
 
+  /** v40: full Lloyd's k-means (graft.operators.Ann.lloyd) — two
+    * assign→trunc-mean rounds from deterministic lowest-id seeds.
+    * Output: per-cluster size of the final assignment plus the first
+    * four centroid components (exact integer domain). The oracle
+    * re-derives both rounds relationally, so a pass certifies the
+    * iterative clustering loop itself, not just one refinement. */
+  def v40KmeansClusters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ann.lloyd(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2)
+      .select(col("centroid_id"), col("n"),
+        element_at(col("cvec"), 1).as("c1"), element_at(col("cvec"), 2).as("c2"),
+        element_at(col("cvec"), 3).as("c3"), element_at(col("cvec"), 4).as("c4"))
+      .orderBy("centroid_id")
+
+  /** v41: SemDeDup (graft.operators.SemDedup) — cluster-scoped semantic
+    * near-dup removal: IVF cells bound the pairwise comparisons, the
+    * higher id of every ≥0.30-cosine pair is dropped. Output: every
+    * vector with its cell and keep/drop verdict. */
+  def v41Semdedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SemDedup.dedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, cosE6 = 300000L)
+      .orderBy("vec_id")
+
   val queries: Map[String, Q] = Map(
     "v39_pq_adc" -> (v39PqAdc _),
+    "v40_kmeans_clusters" -> (v40KmeansClusters _),
+    "v41_semdedup" -> (v41Semdedup _),
     "v31_knn_bruteforce" -> (v31KnnBruteforce _),
     "v32_vector_norms" -> (v32VectorNorms _),
     "v33_label_centroids" -> (v33LabelCentroids _),
@@ -206,7 +231,75 @@ object Vectors {
       |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) v
       | FROM embeddings)""".stripMargin
 
+  /** Shared IVF-index derivation (v37/v40/v41): lowest-8-id seeds, one
+    * assign→trunc-mean Lloyd round (`cent`), final cell assignment
+    * (`idx`) — the oracle mirror of Ann.buildCentroids + buildIndex. */
+  private val ivfIndexCte = quantCte +
+    """,
+      |seeds AS (SELECT cast(row_number() OVER (ORDER BY vid) as int) - 1 centroid_id, v cvec
+      |          FROM (SELECT vec_id vid, v FROM q ORDER BY vec_id LIMIT 8)),
+      |qq AS (SELECT vec_id vid, v FROM q),
+      |a0d AS (SELECT vid, centroid_id, cast(sum(x*y) as bigint) d
+      |        FROM (SELECT qq.vid, s.centroid_id, unnest(qq.v) x, unnest(s.cvec) y
+      |              FROM qq, seeds s)
+      |        GROUP BY vid, centroid_id),
+      |a0 AS (SELECT vid, centroid_id FROM (
+      |         SELECT vid, centroid_id,
+      |           row_number() OVER (PARTITION BY vid ORDER BY d DESC, centroid_id ASC) rn
+      |         FROM a0d) WHERE rn = 1),
+      |cmeans AS (SELECT centroid_id, pos, cast(trunc(sum(x) * 1.0 / count(x)) as bigint) cx
+      |           FROM (SELECT a0.centroid_id, unnest(qq.v) x, unnest(range(len(qq.v))) pos
+      |                 FROM a0 JOIN qq USING (vid))
+      |           GROUP BY centroid_id, pos),
+      |cent AS (SELECT centroid_id, list(cx ORDER BY pos) cvec FROM cmeans GROUP BY centroid_id),
+      |idxd AS (SELECT vid, centroid_id, cast(sum(x*y) as bigint) d
+      |         FROM (SELECT qq.vid, c.centroid_id, unnest(qq.v) x, unnest(c.cvec) y
+      |               FROM qq, cent c)
+      |         GROUP BY vid, centroid_id),
+      |idx AS (SELECT vid, centroid_id FROM (
+      |          SELECT vid, centroid_id,
+      |            row_number() OVER (PARTITION BY vid ORDER BY d DESC, centroid_id ASC) rn
+      |          FROM idxd) WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "v40_kmeans_clusters" ->
+      // second Lloyd round on top of the shared IVF CTE: idx IS the
+      // round-2 assignment; m2/cent2 are its trunc-toward-zero means
+      (ivfIndexCte +
+      """,
+        |m2 AS (SELECT centroid_id, pos, cast(trunc(sum(x) * 1.0 / count(x)) as bigint) cx
+        |       FROM (SELECT idx.centroid_id, unnest(qq.v) x, unnest(range(len(qq.v))) pos
+        |             FROM idx JOIN qq USING (vid))
+        |       GROUP BY centroid_id, pos),
+        |cent2 AS (SELECT centroid_id, list(cx ORDER BY pos) cvec FROM m2 GROUP BY centroid_id),
+        |sizes AS (SELECT centroid_id, cast(count(*) as bigint) n FROM idx GROUP BY centroid_id)
+        |SELECT c.centroid_id, s.n,
+        |  c.cvec[1] AS c1, c.cvec[2] AS c2, c.cvec[3] AS c3, c.cvec[4] AS c4
+        |FROM cent2 c JOIN sizes s USING (centroid_id)
+        |ORDER BY c.centroid_id""".stripMargin),
+    "v41_semdedup" ->
+      // within-cluster pairwise cosine on the shared assignment; the
+      // higher vid of every pair over the threshold is dropped
+      (ivfIndexCte +
+      """,
+        |nn AS (SELECT vid, cast(sum(x*x) as bigint) n2
+        |       FROM (SELECT vid, unnest(v) x FROM qq) GROUP BY vid),
+        |iv AS (SELECT idx.vid, idx.centroid_id, qq.v FROM idx JOIN qq USING (vid)),
+        |pairs AS (SELECT a.vid va, b.vid vb, a.v pa, b.v pb
+        |          FROM iv a JOIN iv b
+        |            ON a.centroid_id = b.centroid_id AND a.vid < b.vid),
+        |dots AS (SELECT va, vb, cast(sum(x*y) as bigint) d
+        |         FROM (SELECT va, vb, unnest(pa) x, unnest(pb) y FROM pairs)
+        |         GROUP BY va, vb),
+        |dropped AS (SELECT DISTINCT vb AS vid
+        |            FROM dots JOIN nn na ON na.vid = dots.va
+        |                      JOIN nn nb ON nb.vid = dots.vb
+        |            WHERE round(d * 1000000.0 /
+        |                    (sqrt(cast(na.n2 as double)) * sqrt(cast(nb.n2 as double)))) >= 300000)
+        |SELECT idx.vid AS vec_id, idx.centroid_id,
+        |  (dropped.vid IS NULL) AS kept
+        |FROM idx LEFT JOIN dropped ON idx.vid = dropped.vid
+        |ORDER BY vec_id""".stripMargin),
     "v39_pq_adc" ->
       // independent PQ derivation: 4 subspaces × 16 dims, 4 codewords
       // each; same seed/assignment/mean conventions as the v37 oracle
@@ -372,32 +465,8 @@ object Vectors {
       // max exact dot (ties → lowest cell); one Lloyd step with
       // trunc-toward-zero means (Spark's cast(double as long)); 2-probe
       // search; exact top-5. Dots via DuckDB's zipping parallel unnest.
-      (quantCte +
+      (ivfIndexCte +
       """,
-        |seeds AS (SELECT cast(row_number() OVER (ORDER BY vid) as int) - 1 centroid_id, v cvec
-        |          FROM (SELECT vec_id vid, v FROM q ORDER BY vec_id LIMIT 8)),
-        |qq AS (SELECT vec_id vid, v FROM q),
-        |a0d AS (SELECT vid, centroid_id, cast(sum(x*y) as bigint) d
-        |        FROM (SELECT qq.vid, s.centroid_id, unnest(qq.v) x, unnest(s.cvec) y
-        |              FROM qq, seeds s)
-        |        GROUP BY vid, centroid_id),
-        |a0 AS (SELECT vid, centroid_id FROM (
-        |         SELECT vid, centroid_id,
-        |           row_number() OVER (PARTITION BY vid ORDER BY d DESC, centroid_id ASC) rn
-        |         FROM a0d) WHERE rn = 1),
-        |cmeans AS (SELECT centroid_id, pos, cast(trunc(sum(x) * 1.0 / count(x)) as bigint) cx
-        |           FROM (SELECT a0.centroid_id, unnest(qq.v) x, unnest(range(len(qq.v))) pos
-        |                 FROM a0 JOIN qq USING (vid))
-        |           GROUP BY centroid_id, pos),
-        |cent AS (SELECT centroid_id, list(cx ORDER BY pos) cvec FROM cmeans GROUP BY centroid_id),
-        |idxd AS (SELECT vid, centroid_id, cast(sum(x*y) as bigint) d
-        |         FROM (SELECT qq.vid, c.centroid_id, unnest(qq.v) x, unnest(c.cvec) y
-        |               FROM qq, cent c)
-        |         GROUP BY vid, centroid_id),
-        |idx AS (SELECT vid, centroid_id FROM (
-        |          SELECT vid, centroid_id,
-        |            row_number() OVER (PARTITION BY vid ORDER BY d DESC, centroid_id ASC) rn
-        |          FROM idxd) WHERE rn = 1),
         |qv AS (SELECT vid query_id, v FROM qq WHERE vid < 50),
         |celld AS (SELECT query_id, centroid_id, cast(sum(x*y) as bigint) cd
         |          FROM (SELECT qv.query_id, c.centroid_id, unnest(qv.v) x, unnest(c.cvec) y

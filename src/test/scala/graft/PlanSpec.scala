@@ -144,6 +144,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("Join"), s"no join in:\n$plan")
   }
 
+  test("v41 semdedup: cluster equi-join pairs, centroids broadcast, no cartesian") {
+    val plan = planOf(queries.Vectors.v41Semdedup(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"pairwise stage degenerated to a cartesian product in:\n$plan")
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
+      s"centroid broadcasts missing in:\n$plan")
+  }
+
   test("v37 IVF: centroids broadcast, bounded shuffle rounds") {
     val plan = planOf(queries.Vectors.v37IvfAnn(spark, dir))
     assert("BroadcastExchange".r.findAllIn(plan).size >= 2,

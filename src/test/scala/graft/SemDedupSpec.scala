@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the k-means loop and the SemDeDup decision that the
+  * oracle's hash match doesn't state directly.
+  */
+class SemDedupSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = Tables.embeddings(spark, dir)
+
+  test("lloyd: every vector is assigned — cluster sizes sum to the corpus") {
+    val cent = operators.Ann.lloyd(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val rows = cent.collect()
+    assert(rows.length <= 8)
+    assert(rows.map(_.getAs[Long]("n")).sum == emb.count())
+    assert(rows.forall(_.getAs[Seq[Long]]("cvec").length == 64))
+  }
+
+  test("lloyd iters=1 equals buildCentroids (the v37 index contract)") {
+    val one = operators.Ann.lloyd(emb, "vec_id", "embedding", k = 8, iters = 1)
+      .select("centroid_id", "cvec").collect().map(_.toString).sorted
+    val legacy = operators.Ann.buildCentroids(emb, "vec_id", "embedding", k = 8)
+      .collect().map(_.toString).sorted
+    assert(one.toSeq == legacy.toSeq)
+  }
+
+  test("semdedup: one verdict per vector; a drop implies a kept lower id in-cluster") {
+    val verdicts = operators.SemDedup.dedup(emb, "vec_id", "embedding",
+      k = 8, cosE6 = 300000L)
+    assert(verdicts.count() == emb.count())
+    assert(verdicts.select("vec_id").distinct().count() == emb.count())
+    // every dropped vector coexists with at least one kept lower id in
+    // its cluster (the representative it duplicates, transitively)
+    val bad = verdicts.as("d").filter(!col("d.kept"))
+      .join(verdicts.as("k"),
+        col("k.centroid_id") === col("d.centroid_id") &&
+          col("k.kept") && col("k.vec_id") < col("d.vec_id"),
+        "left_anti")
+    assert(bad.count() == 0, "a dropped vector has no kept lower-id cluster-mate")
+  }
+
+  test("semdedup threshold 1e6+1 keeps everything") {
+    val verdicts = operators.SemDedup.dedup(emb, "vec_id", "embedding",
+      k = 8, cosE6 = 1000001L)
+    assert(verdicts.filter(!col("kept")).count() == 0)
+  }
+}
