@@ -44,4 +44,19 @@ object Urls {
       .otherwise(concat(scheme, lit("://"), host, path,
         when(queryOut === "", "").otherwise(concat(lit("?"), queryOut))))
   }
+
+  /** Lowercased host of a `scheme://host...` url, any port stripped. */
+  def host(u: Column): Column = {
+    val afterScheme = regexp_replace(u, "^[^:/?#]+://", "")
+    val hostPort = regexp_extract(afterScheme, "^([^/?#]*)", 1)
+    lower(regexp_replace(hostPort, ":\\d+$", ""))
+  }
+
+  /** Registered domain = the last two dot-labels of a host (the
+    * grouping key for per-domain corpus statistics). Single-label
+    * hosts (e.g. `localhost`) pass through unchanged. */
+  def registeredDomain(h: Column): Column = {
+    val d = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
+    when(d === "", h).otherwise(d)
+  }
 }

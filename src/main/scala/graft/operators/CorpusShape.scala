@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus shaping for training-data pipelines: per-document term
+  * salience (the relevance-scoring surface), deterministic global
+  * shuffling into fixed-size shards (epoch construction), and
+  * token-budget mixture sampling (source weighting).
+  *
+  * Everything is integer-exact and hash-ordered — no `rand()`, no
+  * floating accumulation — so results reproduce across runs, cluster
+  * sizes, and engines.
+  */
+object CorpusShape {
+
+  /** Per-document top-k salient terms, TF-IDF-shaped but integer-exact:
+    * `score_q = tf * 1e6 div df` (document-frequency-normalized term
+    * frequency — a linear-idf salience; a log idf would rank identically
+    * per document for equal tf). Ties break lexicographically.
+    *
+    * Scale shape: tokenize is scan-side; `tf` is one (doc, term)
+    * aggregate; `df` is one term aggregate over the already-distinct
+    * (doc, term) pairs (never re-reads the corpus); the re-join on term
+    * is an equi-join; the top-k window is per-document. No global
+    * stage, no collect.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_q").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score_q", expr("tf * 1000000 div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"),
+        col("tf"), col("df"), col("score_q"))
+  }
+
+  /** Deterministic global shuffle + sharding: order rows by
+    * `md5(id:seed)` (id tie-break), number them 0..n-1, and cut into
+    * `shardSize`-row shards — the epoch-shuffle + output-sizing step
+    * before training. Returns the input columns plus (pos, shard).
+    *
+    * The row numbering is a distributed prefix count (range-partition +
+    * per-partition counts + one bounded numPartitions-row collect), the
+    * same exact-prefix-sum shape as [[Sampling.packByBudget]] — never a
+    * single-partition global window.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, seed: Long,
+                    shardSize: Long): DataFrame = {
+    require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    val spark = df.sparkSession
+    val keyed = df.withColumn("__k",
+      md5(concat(col(idCol).cast(StringType), lit(":" + seed))))
+    val sorted = keyed.repartitionByRange(col("__k"), col(idCol))
+      .sortWithinPartitions("__k", idCol)
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex { (i, it) => Iterator.single((i, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val schema = StructType(sorted.schema.fields :+
+      StructField("pos", LongType, nullable = false))
+    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var p = offsets(i)
+      it.map { r => val out = Row.fromSeq(r.toSeq :+ p); p += 1; out }
+    }
+    spark.createDataFrame(rows, schema)
+      .withColumn("shard", expr(s"pos div $shardSize"))
+      .drop("__k")
+  }
+
+  /** Token-budget mixture sampling: within each source, take documents
+    * in deterministic hash order until the source's token budget is
+    * reached (inclusive running sum ≤ budget). `budget` and `tokens`
+    * are expressions over the input row, so weights can come from a
+    * config map, a column, or a law. Per-source windows distribute on
+    * the source key — no global stage.
+    */
+  def mixtureSample(df: DataFrame, sourceCol: String, idCol: String,
+                    tokens: Column, budget: Column): DataFrame = {
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(md5(concat(col(idCol).cast(StringType), lit(":mix"))), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokens)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Urls
+import graft.operators.CorpusShape
+
+/** Oracle gates for the corpus-shaping operators
+  * ([[graft.operators.CorpusShape]]): per-document term salience,
+  * per-domain corpus statistics, deterministic epoch shuffle +
+  * sharding, and token-budget mixture sampling.
+  *
+  * Determinism: all scores are integer (tf·1e6 div df), all ordering
+  * keys are md5 hex with id tie-breaks, token counts are exact
+  * space-split counts — no floats anywhere.
+  */
+object ShapeGate {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tokenCount(c: org.apache.spark.sql.Column) =
+    size(filter(split(c, " "), t => t =!= "")).cast("long")
+
+  /** t58: per-document top-3 salient terms (TF-IDF-shaped, integer
+    * score). The oracle recomputes tf, df, and the windowed top-k
+    * independently. */
+  def t58TfidfTopTerms(s: SparkSession, dir: String): DataFrame =
+    CorpusShape.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
+  /** URL fixture for the domain rollup: seven hosts across three
+    * registered domains, mixed case and schemes, synthesized from
+    * doc_id so the oracle can state the canonical host in closed form. */
+  private def rawUrl(doc: org.apache.spark.sql.Column) = {
+    val m7 = pmod(doc, lit(7))
+    val scheme = when(m7.isin(2, 4, 5), lit("https://")).otherwise(lit("http://"))
+    val host = when(m7 === 0, lit("www.Example.COM"))
+      .when(m7 === 1, lit("blog.example.com"))
+      .when(m7 === 2, lit("cdn.example.COM"))
+      .when(m7 === 3, lit("News.Site.ORG"))
+      .when(m7 === 4, lit("site.org"))
+      .when(m7 === 5, lit("Api.Service.NET"))
+      .otherwise(lit("service.net"))
+    concat(scheme, host, format_string("/d%d", doc))
+  }
+
+  /** t59: per-domain corpus statistics — canonicalize the url, extract
+    * the host, roll up to the registered domain: doc count, distinct
+    * hosts, total tokens, distinct languages. The oracle derives the
+    * canonical hosts independently (lowercased closed-form literals),
+    * so a pass certifies canonicalize → host → registeredDomain. */
+  def t59DomainStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        Urls.host(Urls.canonicalize(rawUrl(col("doc_id")))).as("host"),
+        tokenCount(col("text")).as("n_tokens"))
+      .withColumn("domain", Urls.registeredDomain(col("host")))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("domain")
+
+  /** t60: deterministic epoch shuffle — md5-ordered global positions
+    * cut into 64-row shards. The oracle states the same semantics as
+    * one global window; the engine runs the distributed prefix count. */
+  def t60ShuffleShards(s: SparkSession, dir: String): DataFrame =
+    CorpusShape.shuffleShards(
+        Tables.documents(s, dir).select("doc_id"), "doc_id",
+        seed = 42L, shardSize = 64L)
+      .select(col("doc_id"), col("pos"), col("shard"))
+      .orderBy("pos")
+
+  /** t61: token-budget mixture sampling — each source keeps documents
+    * in hash order until its budget (a law over the source name) is
+    * filled. */
+  def t61MixtureSample(s: SparkSession, dir: String): DataFrame =
+    CorpusShape.mixtureSample(Tables.documents(s, dir),
+        "source", "doc_id", tokenCount(col("text")),
+        lit(500) + substring(col("source"), 4, 10).cast("int") % 3 * 1500)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("source", "cum_tokens")
+
+  val queries: Map[String, Q] = Map(
+    "t58_tfidf_top_terms" -> (t58TfidfTopTerms _),
+    "t59_domain_stats" -> (t59DomainStats _),
+    "t60_shuffle_shards" -> (t60ShuffleShards _),
+    "t61_mixture_sample" -> (t61MixtureSample _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t58_tfidf_top_terms" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, cast(count(*) as bigint) tf
+        |       FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, cast(count(*) as bigint) df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id, tf.term, tf, df,
+        |         cast((tf * 1000000) // df as bigint) score_q
+        |       FROM tf JOIN dfq USING (term)),
+        |rk AS (SELECT *, cast(row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY score_q DESC, term) as int) rank FROM sc)
+        |SELECT doc_id, rank, term, tf, df, score_q
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "t59_domain_stats" ->
+      // the canonical hosts, stated independently in closed form
+      """WITH u AS (SELECT doc_id, lang,
+        |  CASE doc_id % 7
+        |    WHEN 0 THEN 'www.example.com' WHEN 1 THEN 'blog.example.com'
+        |    WHEN 2 THEN 'cdn.example.com' WHEN 3 THEN 'news.site.org'
+        |    WHEN 4 THEN 'site.org'        WHEN 5 THEN 'api.service.net'
+        |    ELSE 'service.net' END host,
+        |  cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) n_tokens
+        | FROM documents),
+        |d AS (SELECT *, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain FROM u)
+        |SELECT domain, cast(count(*) as bigint) n_docs,
+        |  cast(count(DISTINCT host) as bigint) n_hosts,
+        |  cast(sum(n_tokens) as bigint) total_tokens,
+        |  cast(count(DISTINCT lang) as bigint) n_langs
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t60_shuffle_shards" ->
+      // same semantics as ONE global window — the engine must reproduce
+      // it with its distributed prefix count
+      """WITH r AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY md5(doc_id || ':42'), doc_id) - 1 AS pos
+        |  FROM documents)
+        |SELECT doc_id, cast(pos as bigint) pos, cast(pos // 64 as bigint) shard
+        |FROM r ORDER BY pos""".stripMargin,
+    "t61_mixture_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) n_tokens,
+        |    md5(doc_id || ':mix') kk,
+        |    500 + (CAST(substr(source, 4) AS INT) % 3) * 1500 budget
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens, budget,
+        |        cast(sum(n_tokens) OVER (PARTITION BY source ORDER BY kk, doc_id
+        |          ROWS UNBOUNDED PRECEDING) as bigint) cum_tokens
+        |      FROM d)
+        |SELECT doc_id, source, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= budget
+        |ORDER BY source, cum_tokens""".stripMargin,
+  )
+}

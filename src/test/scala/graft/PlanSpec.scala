@@ -144,6 +144,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("Join"), s"no join in:\n$plan")
   }
 
+  test("t60 shuffle shards: distributed prefix count, no single-partition window") {
+    val plan = planOf(queries.ShapeGate.t60ShuffleShards(spark, dir))
+    assert(!plan.contains("Window"), s"global WindowExec crept into:\n$plan")
+  }
+
+  test("t58 tfidf: bounded shuffles, no cartesian") {
+    val plan = planOf(queries.ShapeGate.t58TfidfTopTerms(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"tf-df join degenerated in:\n$plan")
+    assert(shuffles(plan) <= 5, // tf agg + df agg + join + window + sort
+      s"shuffle count grew past 5 in:\n$plan")
+  }
+
   test("v41 semdedup: cluster equi-join pairs, centroids broadcast, no cartesian") {
     val plan = planOf(queries.Vectors.v41Semdedup(spark, dir))
     assert(!plan.contains("CartesianProduct"),
