@@ -77,6 +77,32 @@ object CorpusShape {
       .drop("__k")
   }
 
+  /** Exact positional quantiles of a value per group — the corpus
+    * length-distribution report (p50/p90/p99 token counts per source).
+    * `approx_percentile` sketches are not engine-portable; the exact
+    * definition — the value at 1-based position `ceil(q·n)` of the
+    * group's sorted values — is, and for grouped data it distributes as
+    * one per-group window + one conditional aggregate (windows shuffle
+    * on the group key; no global stage). For an UNGROUPED quantile at
+    * 100 TB the same definition runs via repartitionByRange + the
+    * prefix-count trick (see shuffleShards); the grouped form is the
+    * pipeline-common case.
+    */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     qs: Seq[(String, Int, Int)]): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col("__v").asc)
+    val ranked = df.select(col(groupCol), col(valueCol).cast(LongType).as("__v"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val picks = qs.map { case (name, num, den) =>
+      // 1-based position ceil(num·n / den), in exact integer arithmetic
+      max(when(col("__rn") === expr(s"($num * __n + $den - 1) div $den"), col("__v")))
+        .as(name)
+    }
+    ranked.groupBy(groupCol)
+      .agg(count(lit(1)).cast(LongType).as("n"), picks: _*)
+  }
+
   /** Token-budget mixture sampling: within each source, take documents
     * in deterministic hash order until the source's token budget is
     * reached (inclusive running sum ≤ budget). `budget` and `tokens`

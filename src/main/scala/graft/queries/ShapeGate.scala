@@ -83,7 +83,19 @@ object ShapeGate {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
       .orderBy("source", "cum_tokens")
 
+  /** t62: exact per-source token-length quantiles (p50/p90/p99) — the
+    * corpus length-distribution report, positional (never a sketch) so
+    * both engines agree bit-for-bit. */
+  def t62TokenQuantiles(s: SparkSession, dir: String): DataFrame =
+    CorpusShape.groupQuantiles(
+        Tables.documents(s, dir)
+          .select(col("source"), tokenCount(col("text")).as("n_tokens")),
+        "source", "n_tokens",
+        Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+      .orderBy("source")
+
   val queries: Map[String, Q] = Map(
+    "t62_token_quantiles" -> (t62TokenQuantiles _),
     "t58_tfidf_top_terms" -> (t58TfidfTopTerms _),
     "t59_domain_stats" -> (t59DomainStats _),
     "t60_shuffle_shards" -> (t60ShuffleShards _),
@@ -91,6 +103,21 @@ object ShapeGate {
   )
 
   val oracles: Map[String, String] = Map(
+    "t62_token_quantiles" ->
+      // positional quantile: the value at 1-based row ceil(num·n/den)
+      // of each source's sorted token counts, in integer arithmetic
+      """WITH d AS (SELECT source,
+        |    cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) v
+        |  FROM documents),
+        |r AS (SELECT source, v,
+        |        row_number() OVER (PARTITION BY source ORDER BY v) rn,
+        |        count(*) OVER (PARTITION BY source) n
+        |      FROM d)
+        |SELECT source, cast(max(n) as bigint) n,
+        |  cast(max(CASE WHEN rn = (1 * n + 1) // 2 THEN v END) as bigint) p50,
+        |  cast(max(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) as bigint) p90,
+        |  cast(max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) as bigint) p99
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "t58_tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) term

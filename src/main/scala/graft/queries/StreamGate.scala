@@ -293,7 +293,45 @@ object StreamGate {
     s.read.parquet(out).orderBy("asset_id")
   }
 
+  /** q74: STREAMING as-of join — purchases arrive as a stream and each
+    * micro-batch picks up the user's latest signup state at-or-before
+    * the purchase time from a STATIC snapshot (the enrichment shape of
+    * a feature-hydration pipeline: static side computed once on the
+    * driver, joined into every batch with the SAME production operator
+    * as batch q44, [[graft.operators.TemporalJoin.asOfJoin]]). A
+    * purchase row's answer depends only on itself and the static
+    * snapshot, so AvailableNow micro-batch slicing must be
+    * semantically invisible; the gate shares q44's native-ASOF oracle. */
+  def q74StreamAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val signups = graft.Tables.events(s, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("snap_ts"),
+        col("value").as("snap_value"))
+      .localCheckpoint()
+    val out = java.nio.file.Files.createTempDirectory("graft_q74_").toString
+    val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
+    val query = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val purchases = batch.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        graft.operators.TemporalJoin.asOfJoin(
+            purchases, signups, Seq("user_id"), "ts", "snap_ts")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("ts_us"),
+            expr("snap_ts_matched div 1000").as("snap_ts_us"),
+            col("snap_value"))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out).orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q74_stream_asof_join" -> (q74StreamAsofJoin _),
     "t54_stream_media_decode" -> (t54StreamMediaDecode _),
     "t47_stream_decontaminate" -> (t47StreamDecontaminate _),
     "q60_stream_windowed_agg" -> (q60StreamWindowedAgg _),
@@ -347,6 +385,8 @@ object StreamGate {
     "t47_stream_decontaminate" -> TextDedup.oracles("t42_decontaminate"),
     // identical answer contract as batch t44 — same pixel-law oracle
     "t54_stream_media_decode" -> ImagePixels.oracles("t44_png_pixel_stats"),
+    // identical answer contract as batch q44 — same native-ASOF oracle
+    "q74_stream_asof_join" -> Temporal.oracles("q44_asof_join"),
     "q62_stream_sessions" -> sessionOracle,
     "q71_stream_sessions_tws" -> sessionOracle,
     "q60_stream_windowed_agg" ->

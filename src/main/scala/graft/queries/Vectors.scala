@@ -212,10 +212,21 @@ object Vectors {
         k = 8, cosE6 = 300000L)
       .orderBy("vec_id")
 
+  /** v42: int8 scalar quantization (graft.operators.VectorCompress) —
+    * per-dimension global-range codes with an exact reconstruction
+    * audit. The oracle re-derives stats, encode, decode, and error
+    * per dimension via unnest; a pass certifies the whole compression
+    * round trip bit-for-bit. */
+  def v42Int8Quant(s: SparkSession, dir: String): DataFrame =
+    graft.operators.VectorCompress.int8Audit(
+        Tables.embeddings(s, dir), "vec_id", "embedding", dims = 64)
+      .orderBy("vec_id")
+
   val queries: Map[String, Q] = Map(
     "v39_pq_adc" -> (v39PqAdc _),
     "v40_kmeans_clusters" -> (v40KmeansClusters _),
     "v41_semdedup" -> (v41Semdedup _),
+    "v42_int8_quant" -> (v42Int8Quant _),
     "v31_knn_bruteforce" -> (v31KnnBruteforce _),
     "v32_vector_norms" -> (v32VectorNorms _),
     "v33_label_centroids" -> (v33LabelCentroids _),
@@ -262,6 +273,24 @@ object Vectors {
       |          FROM idxd) WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "v42_int8_quant" ->
+      // independent per-dimension derivation: global [mn, mx] per pos,
+      // floor-division encode/decode (inputs non-negative after x-mn,
+      // so DuckDB's floor-// equals Spark's floor(double))
+      (quantCte +
+      """,
+        |e AS (SELECT vec_id, unnest(v) x, unnest(range(len(v))) pos FROM q),
+        |st AS (SELECT pos, min(x) mn, max(x) mx FROM e GROUP BY pos),
+        |c AS (SELECT vec_id, x, mn, mx,
+        |        CASE WHEN mx > mn THEN ((x - mn) * 255) // (mx - mn) ELSE 0 END code
+        |      FROM e JOIN st USING (pos)),
+        |r AS (SELECT vec_id, x, code,
+        |        mn + CASE WHEN mx > mn THEN (code * (mx - mn)) // 255 ELSE 0 END recon
+        |      FROM c)
+        |SELECT vec_id, cast(sum(code) as bigint) sum_code,
+        |  cast(max(abs(x - recon)) as bigint) max_err,
+        |  cast(sum(abs(x - recon)) as bigint) sum_err
+        |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin),
     "v40_kmeans_clusters" ->
       // second Lloyd round on top of the shared IVF CTE: idx IS the
       // round-2 assignment; m2/cent2 are its trunc-toward-zero means
