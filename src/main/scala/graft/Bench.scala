@@ -14,9 +14,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build()
+    // SPARK_GRAFT_ONLY=a,b,c → time just those queries (scaling-slope
+    // runs isolate families; mirrors graft.Verify's subset contract)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries
       .filterNot { case (name, _) =>
         SparkEntry.streamingQueries(name) || SparkEntry.sinkBoundQueries(name) }
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .toSeq.sortBy(_._1)
 
     // warmup: execute everything once, untimed
