@@ -94,8 +94,23 @@ object ShapeGate {
         Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
       .orderBy("source")
 
+  /** t63: Zipf shape of the vocabulary — document-frequency histogram
+    * in power-of-two buckets. The log2 bucket is exact integer
+    * arithmetic on BOTH engines (`length(bin(df)) - 1`), never a float
+    * log that could straddle a rounding boundary at exact powers. */
+  def t63ZipfHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .select((length(bin(col("df"))) - 1).cast("int").as("bucket"), col("df"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_terms"), sum("df").as("total_df"))
+      .orderBy("bucket")
+
   val queries: Map[String, Q] = Map(
     "t62_token_quantiles" -> (t62TokenQuantiles _),
+    "t63_zipf_histogram" -> (t63ZipfHistogram _),
     "t58_tfidf_top_terms" -> (t58TfidfTopTerms _),
     "t59_domain_stats" -> (t59DomainStats _),
     "t60_shuffle_shards" -> (t60ShuffleShards _),
@@ -103,6 +118,15 @@ object ShapeGate {
   )
 
   val oracles: Map[String, String] = Map(
+    "t63_zipf_histogram" ->
+      """WITH terms AS (SELECT
+        |    unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) term
+        |  FROM documents),
+        |tf AS (SELECT term, cast(count(*) as bigint) df FROM terms GROUP BY 1)
+        |SELECT cast(length(bin(df)) - 1 as int) bucket,
+        |  cast(count(*) as bigint) n_terms,
+        |  cast(sum(df) as bigint) total_df
+        |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin,
     "t62_token_quantiles" ->
       // positional quantile: the value at 1-based row ceil(num·n/den)
       // of each source's sorted token counts, in integer arithmetic

@@ -222,9 +222,40 @@ object Vectors {
         Tables.embeddings(s, dir), "vec_id", "embedding", dims = 64)
       .orderBy("vec_id")
 
+  /** v43: Matryoshka truncation recall — how much of the exact top-5
+    * neighbor set survives when ranking uses only the first 16 of 64
+    * dimensions (the evaluation that decides whether truncated
+    * embeddings are safe for coarse retrieval). Output: overlap count
+    * per query, exact integer end to end. */
+  def v43MatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = qEmb(s, dir)
+    def topk(proj: Column => Column): DataFrame = {
+      val base = e.select(col("vec_id"), proj(col("v")).as("vv"))
+      val q = base.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("vv").as("vq"))
+      val dots = q.join(
+          broadcast(base.select(col("vec_id").as("neighbor_id"), col("vv"))),
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          dot(col("vq"), col("vv")).as("dot"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("dot").desc, col("neighbor_id").asc)
+      dots.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    }
+    val full = topk(identity)
+    val trunc = topk(v => slice(v, 1, 16)).withColumn("hit", lit(1L))
+    full.join(trunc, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "v39_pq_adc" -> (v39PqAdc _),
     "v40_kmeans_clusters" -> (v40KmeansClusters _),
+    "v43_matryoshka_recall" -> (v43MatryoshkaRecall _),
     "v41_semdedup" -> (v41Semdedup _),
     "v42_int8_quant" -> (v42Int8Quant _),
     "v31_knn_bruteforce" -> (v31KnnBruteforce _),
@@ -273,6 +304,34 @@ object Vectors {
       |          FROM idxd) WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "v43_matryoshka_recall" ->
+      (quantCte +
+      """,
+        |qv AS (SELECT vec_id query_id, v FROM q WHERE vec_id < 50),
+        |fdots AS (SELECT query_id, neighbor_id, cast(sum(x*y) as bigint) dot
+        |          FROM (SELECT qv.query_id, f.vec_id neighbor_id,
+        |                  unnest(qv.v) x, unnest(f.v) y
+        |                FROM qv, q f WHERE f.vec_id <> qv.query_id)
+        |          GROUP BY 1, 2),
+        |frk AS (SELECT query_id, neighbor_id FROM (
+        |          SELECT query_id, neighbor_id,
+        |            row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY dot DESC, neighbor_id) rn
+        |          FROM fdots) WHERE rn <= 5),
+        |tdots AS (SELECT query_id, neighbor_id, cast(sum(x*y) as bigint) dot
+        |          FROM (SELECT qv.query_id, f.vec_id neighbor_id,
+        |                  unnest(qv.v[1:16]) x, unnest(f.v[1:16]) y
+        |                FROM qv, q f WHERE f.vec_id <> qv.query_id)
+        |          GROUP BY 1, 2),
+        |trk AS (SELECT query_id, neighbor_id FROM (
+        |          SELECT query_id, neighbor_id,
+        |            row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY dot DESC, neighbor_id) rn
+        |          FROM tdots) WHERE rn <= 5)
+        |SELECT f.query_id, cast(count(t.neighbor_id) as bigint) n_overlap
+        |FROM frk f LEFT JOIN trk t
+        |  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     "v42_int8_quant" ->
       // independent per-dimension derivation: global [mn, mx] per pos,
       // floor-division encode/decode (inputs non-negative after x-mn,

@@ -42,6 +42,30 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(got.count() == points.count()) // interval 4 covers all points
   }
 
+  test("property: random interval sets equal the naive join at random widths") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val pGen = Gen.chooseNum(-5000L, 5000L)
+    val ivGen = for {
+      lo <- Gen.chooseNum(-5000L, 5000L)
+      len <- Gen.chooseNum(0L, 800L)
+    } yield (lo, lo + len)
+    for (round <- 1 to 3) {
+      val ps = (0 until 120).map(i => sample(pGen, round * 1000L + i)).toDF("pv")
+      val ivs = (0 until 40).map { i =>
+        val (lo, hi) = sample(ivGen, round * 7000L + i); (i.toLong, lo, hi)
+      }.toDF("iid", "lo", "hi")
+      val expect = ps.join(ivs, $"pv" >= $"lo" && $"pv" <= $"hi")
+        .select("pv", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val width = sample(Gen.chooseNum(1L, 2000L), round * 31L)
+      val got = RangeJoin.bucketed(ps, "pv", ivs, "lo", "hi", width)
+        .select("pv", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == expect.toSeq, s"round=$round width=$width diverged")
+    }
+  }
+
   test("inclusive bounds on both ends") {
     val got = RangeJoin.bucketed(points, "pv",
         intervals.filter($"iid" === 2), "lo", "hi", 512L)
