@@ -49,4 +49,27 @@ object RangeJoin {
       .where(col(pv) >= col(lo) && col(pv) <= col(hi))
       .drop("__bucket")
   }
+
+  /** Two-tier range join for mixed interval lengths (the recipe from
+    * the class doc): intervals shorter than `splitLen` join at the
+    * fine `width`, the long tail at `coarseWidth` — bounding per-
+    * interval replication at `ceil(splitLen/width)+1` for the bulk and
+    * keeping the long tail's bucket fan-out proportional to
+    * `len/coarseWidth` instead of `len/width`. The two joins share the
+    * point scan and union; the tiers partition the interval set, so
+    * the union is disjoint and needs no dedup.
+    */
+  def bucketedTwoTier(points: DataFrame, pv: String,
+                      intervals: DataFrame, lo: String, hi: String,
+                      width: Long, splitLen: Long,
+                      coarseWidth: Long): DataFrame = {
+    require(coarseWidth >= width,
+      s"coarse width $coarseWidth must be >= fine width $width")
+    val len = col(hi) - col(lo)
+    val fine = bucketed(points, pv, intervals.where(len < splitLen),
+      lo, hi, width)
+    val coarse = bucketed(points, pv, intervals.where(len >= splitLen),
+      lo, hi, coarseWidth)
+    fine.unionByName(coarse)
+  }
 }

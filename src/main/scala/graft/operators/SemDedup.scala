@@ -26,12 +26,21 @@ object SemDedup {
 
   /** Tag every vector with its cluster and a `kept` verdict:
     * (vec_id, centroid_id, kept). `cosE6` is the near-dup threshold in
-    * millionths (e.g. 300000 = cosine 0.30). */
+    * millionths (e.g. 300000 = cosine 0.30).
+    *
+    * The assignment frame feeds three consumers (both self-join sides
+    * and the final verdict join), so it is materialized once with
+    * `localCheckpoint` — the t45 lesson: without it the whole
+    * centroid+assign subtree re-executes per consumer (measured 3×
+    * plan inlining). Fine for a one-shot dedup; a long-lived pipeline
+    * on a real cluster would persist the index to storage instead
+    * (same durability note as DupClusters' reliable mode). */
   def dedup(embeddings: DataFrame, idCol: String, vecCol: String,
             k: Int, cosE6: Long): DataFrame = {
     val centroids = Ann.buildCentroids(embeddings, idCol, vecCol, k)
     val index = Ann.buildIndex(embeddings, idCol, vecCol, centroids)
       .withColumn("n2", dot_long(col("v"), col("v")))
+      .localCheckpoint()
     val pairs = index.as("a").join(index.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&
           col("a.vid") < col("b.vid"))

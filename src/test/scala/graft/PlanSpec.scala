@@ -157,12 +157,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"shuffle count grew past 5 in:\n$plan")
   }
 
-  test("v41 semdedup: cluster equi-join pairs, centroids broadcast, no cartesian") {
+  test("v41 semdedup: cluster equi-join pairs, no cartesian, bounded shuffles") {
+    // the index is localCheckpoint-materialized (one execution for its
+    // three consumers), so the visible plan is pairs+verdict only
     val plan = planOf(queries.Vectors.v41Semdedup(spark, dir))
-    assert(!plan.contains("CartesianProduct"),
-      s"pairwise stage degenerated to a cartesian product in:\n$plan")
-    assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
-      s"centroid broadcasts missing in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pairwise stage degenerated to a nested loop in:\n$plan")
+    assert(shuffles(plan) <= 8, // pair join + distinct + verdict join + sort
+      s"shuffle count grew past 8 in:\n$plan")
   }
 
   test("v37 IVF: centroids broadcast, bounded shuffle rounds") {

@@ -66,6 +66,19 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("two-tier join equals single-tier on a mixed-length interval set") {
+    val mixed = Seq(
+      (10L, 0L, 10L), (11L, 100L, 120L), (12L, -50L, -40L),  // short
+      (13L, -2000L, 6000L), (14L, 0L, 4000L)                 // long tail
+    ).toDF("iid", "lo", "hi")
+    val single = RangeJoin.bucketed(points, "pv", mixed, "lo", "hi", 64L)
+      .select("pv", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val two = RangeJoin.bucketedTwoTier(points, "pv", mixed, "lo", "hi",
+        width = 64L, splitLen = 500L, coarseWidth = 2048L)
+      .select("pv", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(two.toSeq == single.toSeq)
+  }
+
   test("inclusive bounds on both ends") {
     val got = RangeJoin.bucketed(points, "pv",
         intervals.filter($"iid" === 2), "lo", "hi", 512L)
