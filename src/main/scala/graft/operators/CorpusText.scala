@@ -45,6 +45,56 @@ object CorpusText {
           .as("seg"))
   }
 
+  /** Sliding duplicated-span detection (the exact-substring dedup
+    * shape of Lee et al. 2022, token-granular): every `window`-token
+    * span at every offset, hashed, counted across documents; spans in
+    * ≥ `minDocs` DISTINCT documents are duplicated. Returns per-doc
+    * (doc_id, n_windows, n_dup_windows). Unlike [[removeBoilerplate]]'s
+    * grid, the stride-1 windows catch duplicated passages at ANY
+    * alignment.
+    *
+    * Shape: the span stream is a scan-side explode (≈ tokens-per-doc
+    * rows each, hashed to fixed-width md5 — never the span text
+    * shuffled); dup detection is one count-distinct aggregate; the
+    * verdict is an equi-join back on the span hash. Linear in corpus
+    * tokens, the theoretical floor for substring dedup. */
+  def slidingDupSpans(docs: DataFrame, window: Int, minDocs: Int): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, greatest(size(w) - $window, 0)),
+           |  i -> md5(concat_ws(' ', slice(w, i + 1, $window))))""".stripMargin))
+        .as("k"))
+    val dup = spans.select("doc_id", "k").distinct()
+      .groupBy("k").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("k"), lit(true).as("__dup"))
+    spans.join(dup, Seq("k"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("__dup")).as("n_dup_windows"))
+  }
+
+  /** Hash-feature linear quality scorer (the fastText-classifier
+    * SHAPE with deterministic weights): each token hashes to a weight
+    * in [−1000, 1000] via its md5 prefix, a document's score is the
+    * sum over all tokens (with multiplicity), and the keep verdict is
+    * `score ≥ 0`. The weights are pseudo-random but engine-portable —
+    * a real deployment swaps in trained weights via a broadcast map;
+    * the pipeline shape (scan-side hash → one per-doc sum aggregate)
+    * is identical. */
+  def hashQualityScore(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("doc_id"),
+        (conv(substring(md5(col("term")), 1, 6), 16, 10).cast(LongType)
+          % 2001 - 1000).as("wgt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wgt")).as("score"))
+      .withColumn("keep", col("score") >= 0)
+
   /** Cross-document boilerplate removal: a segment that appears in at
     * least `minDocs` DISTINCT documents is boilerplate; rebuild each
     * document from its surviving segments (original order). Returns

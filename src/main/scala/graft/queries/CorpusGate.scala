@@ -65,13 +65,55 @@ object CorpusGate {
         md5(col("chunk_text")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** t64: hash-feature linear quality scoring — the fastText-shaped
+    * keep/drop classifier (deterministic md5-prefix weights; a trained
+    * model swaps the weight source, not the pipeline shape). */
+  def t64QualityScore(s: SparkSession, dir: String): DataFrame =
+    CorpusText.hashQualityScore(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
+  /** t65: sliding duplicated-span detection — stride-1 12-token spans
+    * appearing in ≥ 2 distinct documents (exact-substring dedup at any
+    * alignment, vs t55's grid segments). */
+  def t65DupSpans(s: SparkSession, dir: String): DataFrame =
+    CorpusText.slidingDupSpans(Tables.documents(s, dir), window = 12, minDocs = 2)
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "t55_boilerplate_segments" -> (t55BoilerplateSegments _),
     "t56_pii_redact" -> (t56PiiRedact _),
     "t57_chunk_windows" -> (t57ChunkWindows _),
+    "t64_quality_score" -> (t64QualityScore _),
+    "t65_dup_spans" -> (t65DupSpans _),
   )
 
   val oracles: Map[String, String] = Map(
+    "t64_quality_score" ->
+      // identical weight law: first 6 md5 hex chars as an integer,
+      // mod 2001, recentred to [-1000, 1000]
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        |  FROM documents),
+        |wt AS (SELECT doc_id,
+        |         ('0x' || substr(md5(term), 1, 6))::BIGINT % 2001 - 1000 wgt
+        |       FROM toks)
+        |SELECT doc_id, cast(count(*) as bigint) n_tokens,
+        |  cast(sum(wgt) as bigint) score, (sum(wgt) >= 0) AS keep
+        |FROM wt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t65_dup_spans" ->
+      // stride-1 spans: positions 0..max(n-12, 0); w[(i+1):(i+12)]
+      // clamps at the end exactly like Spark's slice
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sp AS (SELECT doc_id,
+        |         md5(array_to_string(w[(t.i+1):(t.i+12)], ' ')) k
+        |       FROM d, UNNEST(range(GREATEST(len(w) - 12, 0) + 1)) t(i)),
+        |dup AS (SELECT k FROM (
+        |          SELECT k, count(DISTINCT doc_id) c FROM sp GROUP BY k)
+        |        WHERE c >= 2)
+        |SELECT sp.doc_id, cast(count(*) as bigint) n_windows,
+        |  cast(count(dup.k) as bigint) n_dup_windows
+        |FROM sp LEFT JOIN dup ON sp.k = dup.k
+        |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin,
     "t55_boilerplate_segments" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |segs AS (SELECT doc_id, CAST(t.i AS INT) seg_idx,
