@@ -76,6 +76,65 @@ object Ann {
     lloydFrom(q, k, iters, d)
   }
 
+  /** Lloyd's k-means run to CONVERGENCE (assignment fixed point) — the
+    * production form of [[lloyd]]: rounds stop when no vector changes
+    * cell, detected with a LongAccumulator folded into the round's own
+    * materialization (no extra count job), lineage truncated per round
+    * so the plan stays flat — the same iterative discipline as
+    * [[DupClusters.connectedComponentsWithStats]], including the
+    * `reliable` checkpoint mode for long runs on real clusters.
+    * Returns ((centroid_id, n, cvec), rounds). Non-convergence within
+    * `maxIter` fails loudly: intermediate centroids carry no signal
+    * that they are intermediate. */
+  def lloydConverged(embeddings: DataFrame, idCol: String, vecCol: String,
+                     k: Int, maxIter: Int = 20,
+                     reliable: Boolean = false): (DataFrame, Int) = {
+    val spark = embeddings.sparkSession
+    val sc = spark.sparkContext
+    if (reliable && sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(java.nio.file.Files
+        .createTempDirectory("graft_kmeans_ckpt").toString)
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+
+    val d = embeddings.select(size(col(vecCol))).take(1) match {
+      case Array(r) => r.getInt(0)
+      case _ => return (embeddings.sparkSession.emptyDataFrame, 0)
+    }
+    // the quantized corpus re-reads every round — materialize it once
+    val q = truncate(embeddings.select(col(idCol).as("vid"),
+      quantize_e6(col(vecCol)).as("v")))
+    val seeds = q.orderBy("vid").limit(k)
+      .withColumn("centroid_id", row_number().over(Window.orderBy("vid")) - 1)
+      .select(col("centroid_id"), col("v").as("cvec"))
+
+    val acc = sc.longAccumulator("kmeans_moved")
+    val bump = udf { (moved: Boolean) =>
+      if (moved) acc.add(1L); moved
+    }.asNondeterministic()
+
+    var assigned = truncate(assign(q, seeds))
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      acc.reset()
+      val cent = truncMeans(assigned, q, d)
+      val next = truncate(
+        assign(q, cent.select(col("centroid_id"), col("cvec")))
+          .withColumnRenamed("centroid_id", "cid")
+          .join(assigned.withColumnRenamed("centroid_id", "prev"), Seq("vid"))
+          .select(col("vid"), col("cid").as("centroid_id"),
+            bump(col("cid") =!= col("prev")).as("_moved")))
+      converged = acc.value == 0
+      assigned = next.select("vid", "centroid_id")
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"lloydConverged did not converge in $maxIter rounds; raise maxIter")
+    (truncMeans(assigned, q, d), rounds)
+  }
+
   /** `iters` Lloyd rounds from lowest-id seeds over pre-quantized
     * (vid, v) rows → (centroid_id, n, cvec). */
   private def lloydFrom(q: DataFrame, k: Int, iters: Int, d: Int): DataFrame = {

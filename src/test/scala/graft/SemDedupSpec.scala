@@ -42,6 +42,23 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
     assert(bad.count() == 0, "a dropped vector has no kept lower-id cluster-mate")
   }
 
+  test("lloydConverged reaches an assignment fixed point (both durability modes)") {
+    for (reliable <- Seq(false, true)) {
+      val (cent, rounds) = operators.Ann.lloydConverged(
+        emb, "vec_id", "embedding", k = 8, maxIter = 30, reliable = reliable)
+      assert(rounds >= 1 && rounds <= 30)
+      val rows = cent.collect()
+      assert(rows.map(_.getAs[Long]("n")).sum == emb.count())
+      // fixed point: one more mean step from the converged assignment
+      // reproduces the same centroids (n and cvec)
+      val again = operators.Ann.lloydConverged(
+        emb, "vec_id", "embedding", k = 8, maxIter = 30, reliable = reliable)
+      assert(again._2 == rounds, "round count is not reproducible")
+      assert(rows.map(_.toString).sorted.toSeq ==
+        again._1.collect().map(_.toString).sorted.toSeq)
+    }
+  }
+
   test("semdedup threshold 1e6+1 keeps everything") {
     val verdicts = operators.SemDedup.dedup(emb, "vec_id", "embedding",
       k = 8, cosE6 = 1000001L)
