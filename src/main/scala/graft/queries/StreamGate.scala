@@ -330,7 +330,40 @@ object StreamGate {
     s.read.parquet(out).orderBy("event_id")
   }
 
+  /** q75: STREAMING range join — event values stream in, each
+    * micro-batch joins against the static interval set with the SAME
+    * bucketized operator as batch q73 ([[graft.operators.RangeJoin]]).
+    * Pair rows append per batch (a point's matches depend only on its
+    * own row, so slicing is invisible); the per-interval aggregate runs
+    * once at drain. Shares q73's naive-BETWEEN oracle. */
+  def q75StreamRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val iv = graft.Tables.supplier(s, dir)
+      .select(col("s_suppkey"), (col("s_suppkey") * 997 % 48000).as("lo"))
+      .withColumn("hi", col("lo") + 200 + col("s_suppkey") % 800 * 2)
+      .localCheckpoint()
+    val out = java.nio.file.Files.createTempDirectory("graft_q75_").toString
+    val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
+    val query = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val points = batch.select(
+          round(col("value") * 100).cast("long").as("pv"))
+        graft.operators.RangeJoin.bucketed(points, "pv", iv, "lo", "hi", width = 512)
+          .select(col("pv"), col("s_suppkey"))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out)
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_points"), sum(col("pv")).as("sum_pv"))
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q75_stream_range_join" -> (q75StreamRangeJoin _),
     "q74_stream_asof_join" -> (q74StreamAsofJoin _),
     "t54_stream_media_decode" -> (t54StreamMediaDecode _),
     "t47_stream_decontaminate" -> (t47StreamDecontaminate _),
@@ -387,6 +420,8 @@ object StreamGate {
     "t54_stream_media_decode" -> ImagePixels.oracles("t44_png_pixel_stats"),
     // identical answer contract as batch q44 — same native-ASOF oracle
     "q74_stream_asof_join" -> Temporal.oracles("q44_asof_join"),
+    // identical answer contract as batch q73 — same BETWEEN oracle
+    "q75_stream_range_join" -> Temporal.oracles("q73_range_join"),
     "q62_stream_sessions" -> sessionOracle,
     "q71_stream_sessions_tws" -> sessionOracle,
     "q60_stream_windowed_agg" ->
