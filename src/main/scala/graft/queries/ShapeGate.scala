@@ -108,9 +108,45 @@ object ShapeGate {
       .agg(count(lit(1)).as("n_terms"), sum("df").as("total_df"))
       .orderBy("bucket")
 
+  /** t66: PageRank over a synthetic doc-id link graph (every doc links
+    * to (2·id+1) mod N and (3·id+7) mod N), 3 rounds, exact integer
+    * ranks ([[graft.operators.Graph.pageRank]]). The oracle unrolls
+    * the identical three rounds relationally. */
+  def t66Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val v = docs.select(col("doc_id").as("v"))
+    val edges = v.select(col("v").as("src"), ((col("v") * 2 + 1) % n).as("dst"))
+      .union(v.select(col("v").as("src"), ((col("v") * 3 + 7) % n).as("dst")))
+    graft.operators.Graph.pageRank(v, edges, iters = 3)
+      .select(col("v").as("doc_id"), col("rank_e6"))
+      .orderBy("doc_id")
+  }
+
+  /** t67: one BPE statistics step — adjacent character-pair counts over
+    * all corpus words, global top-20 (the argmax candidates of a BPE
+    * merge round; the aggregated pair table is alphabet²-bounded, so
+    * the final top-k window is on a tiny frame). */
+  def t67BpePairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+    pairs.groupBy("pair").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("n").desc, col("pair").asc)))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("pair"), col("n"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "t62_token_quantiles" -> (t62TokenQuantiles _),
     "t63_zipf_histogram" -> (t63ZipfHistogram _),
+    "t66_pagerank" -> (t66Pagerank _),
+    "t67_bpe_pairs" -> (t67BpePairs _),
     "t58_tfidf_top_terms" -> (t58TfidfTopTerms _),
     "t59_domain_stats" -> (t59DomainStats _),
     "t60_shuffle_shards" -> (t60ShuffleShards _),
@@ -118,6 +154,38 @@ object ShapeGate {
   )
 
   val oracles: Map[String, String] = Map(
+    "t66_pagerank" ->
+      // the same three integer rounds, unrolled; // floors match div
+      // on the non-negative rank domain
+      """WITH v AS (SELECT doc_id AS vid FROM documents),
+        |nn AS (SELECT count(*) c FROM documents),
+        |e AS (SELECT vid src, (vid * 2 + 1) % (SELECT c FROM nn) dst FROM v
+        |      UNION ALL
+        |      SELECT vid, (vid * 3 + 7) % (SELECT c FROM nn) FROM v),
+        |deg AS (SELECT src, cast(count(*) as bigint) deg FROM e GROUP BY 1),
+        |r0 AS (SELECT vid, cast(1000000 as bigint) r FROM v),
+        |s1 AS (SELECT e.dst, sum(r0.r // d.deg) s FROM e
+        |       JOIN r0 ON e.src = r0.vid JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r1 AS (SELECT v.vid, 150000 + (850 * coalesce(s1.s, 0)) // 1000 r
+        |       FROM v LEFT JOIN s1 ON v.vid = s1.dst),
+        |s2 AS (SELECT e.dst, sum(r1.r // d.deg) s FROM e
+        |       JOIN r1 ON e.src = r1.vid JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r2 AS (SELECT v.vid, 150000 + (850 * coalesce(s2.s, 0)) // 1000 r
+        |       FROM v LEFT JOIN s2 ON v.vid = s2.dst),
+        |s3 AS (SELECT e.dst, sum(r2.r // d.deg) s FROM e
+        |       JOIN r2 ON e.src = r2.vid JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r3 AS (SELECT v.vid, 150000 + (850 * coalesce(s3.s, 0)) // 1000 r
+        |       FROM v LEFT JOIN s3 ON v.vid = s3.dst)
+        |SELECT vid AS doc_id, cast(r as bigint) rank_e6
+        |FROM r3 ORDER BY doc_id""".stripMargin,
+    "t67_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) w FROM documents),
+        |w2 AS (SELECT w FROM w WHERE length(w) >= 2),
+        |p AS (SELECT substr(w, CAST(t.i AS INT), 2) pair
+        |      FROM w2, UNNEST(range(1, length(w))) t(i)),
+        |c AS (SELECT pair, cast(count(*) as bigint) n FROM p GROUP BY 1)
+        |SELECT cast(row_number() OVER (ORDER BY n DESC, pair) as int) rank, pair, n
+        |FROM c ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "t63_zipf_histogram" ->
       """WITH terms AS (SELECT
         |    unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) term
