@@ -167,6 +167,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"shuffle count grew past 8 in:\n$plan")
   }
 
+  test("t66 pagerank: per-round join+agg with partial aggregation, no cartesian") {
+    val plan = planOf(queries.ShapeGate.t66Pagerank(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"rank propagation degenerated in:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, // partial + final dst sums
+      s"dst sum lost its partial aggregate in:\n$plan")
+  }
+
   test("v37 IVF: centroids broadcast, bounded shuffle rounds") {
     val plan = planOf(queries.Vectors.v37IvfAnn(spark, dir))
     assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
