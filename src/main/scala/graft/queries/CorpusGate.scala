@@ -79,7 +79,30 @@ object CorpusGate {
     CorpusText.slidingDupSpans(Tables.documents(s, dir), window = 12, minDocs = 2)
       .orderBy("doc_id")
 
+  /** t68: quality-aware dedup — one representative per canonical key
+    * (here: the first-2-token prefix fingerprint, the title/URL-style
+    * identity under which the corpus has real multi-member groups —
+    * 357 keys over 500 docs at sf0.01), chosen by HIGHEST quality
+    * score (t64's scorer) with the id tie-break, via a hash aggregate
+    * (min of struct(−score, id)), never a per-group window sort. The
+    * "keep best", not "keep first", dedup policy of a production
+    * corpus. */
+  def t68DedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scores = CorpusText.hashQualityScore(docs).select("doc_id", "score")
+    docs.select(col("doc_id"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 2))).as("fp"))
+      .join(scores, Seq("doc_id"))
+      .groupBy("fp")
+      .agg(min(struct((-col("score")).as("ns"), col("doc_id").as("id"))).as("m"),
+        count(lit(1)).as("n_dups"))
+      .select(col("m.id").as("doc_id"), col("fp"),
+        (-col("m.ns")).as("score"), col("n_dups"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t68_dedup_keep_best" -> (t68DedupKeepBest _),
     "t55_boilerplate_segments" -> (t55BoilerplateSegments _),
     "t56_pii_redact" -> (t56PiiRedact _),
     "t57_chunk_windows" -> (t57ChunkWindows _),
@@ -88,6 +111,24 @@ object CorpusGate {
   )
 
   val oracles: Map[String, String] = Map(
+    "t68_dedup_keep_best" ->
+      // t64's weight law feeding a per-fingerprint argmax
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |         sum(('0x' || substr(md5(term), 1, 6))::BIGINT % 2001 - 1000) score
+        |       FROM toks GROUP BY doc_id),
+        |f AS (SELECT d.doc_id,
+        |        md5(array_to_string(string_split(d.text, ' ')[1:2], ' ')) fp,
+        |        sc.score
+        |      FROM documents d JOIN sc USING (doc_id)),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY fp ORDER BY score DESC, doc_id) rn,
+        |        count(*) OVER (PARTITION BY fp) n
+        |      FROM f)
+        |SELECT doc_id, fp, cast(score as bigint) score, cast(n as bigint) n_dups
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "t64_quality_score" ->
       // identical weight law: first 6 md5 hex chars as an integer,
       // mod 2001, recentred to [-1000, 1000]

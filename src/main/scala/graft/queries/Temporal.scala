@@ -65,10 +65,33 @@ object Temporal {
       .orderBy("s_suppkey")
   }
 
+  /** q76: attribution join — every purchase attributed to the user's
+    * last CLICK within one hour ([[TemporalJoin.asOfJoin]] with
+    * `toleranceNs`; matches older than the window come back null).
+    * This puts the tolerance path of the as-of operator under the
+    * oracle, expressed independently in DuckDB as ASOF + a window
+    * predicate. */
+  def q76AttributionJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    TemporalJoin.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts",
+        toleranceNs = Some(3600000000000L))
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"),
+        expr("click_ts_matched div 1000").as("click_ts_us"),
+        col("click_value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q44_asof_join" -> (q44AsofJoin _),
     "q68_watermark_lag" -> (q68WatermarkLag _),
-    "q73_range_join" -> (q73RangeJoin _))
+    "q73_range_join" -> (q73RangeJoin _),
+    "q76_attribution_join" -> (q76AttributionJoin _))
 
   val oracles: Map[String, String] = Map(
     "q44_asof_join" ->
@@ -104,5 +127,20 @@ object Temporal {
         |  CAST(count(*) AS BIGINT) AS n_points,
         |  CAST(sum(p.pv) AS BIGINT) AS sum_pv
         |FROM iv JOIN p ON p.pv BETWEEN iv.lo AND iv.hi
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q76_attribution_join" ->
+      // ASOF match, then the 1-hour attribution window nulls out stale
+      // matches — both the time and the carried value, atomically
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ns(ts) click_ts, value click_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts // 1000 AS ts_us,
+        |  CASE WHEN s.click_ts >= p.ts - 3600000000000
+        |       THEN s.click_ts // 1000 END AS click_ts_us,
+        |  CASE WHEN s.click_ts >= p.ts - 3600000000000
+        |       THEN s.click_value END AS click_value
+        |FROM p ASOF LEFT JOIN c s
+        |  ON p.user_id = s.user_id AND p.ts >= s.click_ts
+        |ORDER BY p.event_id""".stripMargin)
 }
