@@ -101,7 +101,25 @@ object CorpusGate {
       .orderBy("doc_id")
   }
 
+  /** t69: cross-source overlap matrix — how many canonical keys each
+    * source pair shares (the provenance/contamination report run
+    * before mixing corpora). One distinct projection + one equi-join
+    * on the fingerprint + one pair aggregate; the join key is the
+    * fingerprint, so co-occurrence never scans source×source. */
+  def t69SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val f = Tables.documents(s, dir)
+      .select(col("source"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 2))).as("fp"))
+      .distinct()
+    f.as("a").join(f.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t69_source_overlap" -> (t69SourceOverlap _),
     "t68_dedup_keep_best" -> (t68DedupKeepBest _),
     "t55_boilerplate_segments" -> (t55BoilerplateSegments _),
     "t56_pii_redact" -> (t56PiiRedact _),
@@ -111,6 +129,14 @@ object CorpusGate {
   )
 
   val oracles: Map[String, String] = Map(
+    "t69_source_overlap" ->
+      """WITH f AS (SELECT DISTINCT source,
+        |    md5(array_to_string(string_split(text, ' ')[1:2], ' ')) fp
+        |  FROM documents)
+        |SELECT a.source source_a, b.source source_b,
+        |  cast(count(*) as bigint) n_shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t68_dedup_keep_best" ->
       // t64's weight law feeding a per-fingerprint argmax
       """WITH toks AS (SELECT doc_id,
