@@ -279,8 +279,23 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q78: ROLLUP grouping sets — per-(flag, status) money totals plus
+    * the per-flag and grand-total super-aggregate rows in ONE pass
+    * (Spark expands the sets before the aggregate; no re-scan per
+    * level). `lvl` is the grouping_id bitmask, identical on both
+    * engines; totals in integer cents. */
+  def q78Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_extendedprice")).as("cents"))
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("int").as("lvl"),
+        count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   val queries: Map[String, Q] = Map(
     "q66_salted_join" -> (q66SaltedJoin _),
+    "q78_rollup" -> (q78Rollup _),
     "q43_event_windows" -> (q43EventWindows _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_monthly_shipped" -> (q2MonthlyShipped _),
@@ -305,6 +320,14 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q78_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) lvl,
+        |  CAST(count(*) AS BIGINT) n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) sum_cents
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q66_salted_join" ->
       // the plain (unsalted) join answer the salted plan must equal
       """WITH dim AS (

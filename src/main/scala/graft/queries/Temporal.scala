@@ -87,11 +87,31 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** q77: moving-frame aggregate — per-user rolling sum/min over the
+    * last 3 purchases (ROWS frame, deterministic event_id tie-break,
+    * integer cents). The windowed-feature shape of a behavioral
+    * feature pipeline; per-user windows distribute on the key. */
+  def q77MovingWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-2, Window.currentRow)
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"), col("ts"))
+      .withColumn("mov3_sum", sum(col("cents")).over(w))
+      .withColumn("mov3_min", min(col("cents")).over(w))
+      .select("event_id", "user_id", "cents", "mov3_sum", "mov3_min")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q44_asof_join" -> (q44AsofJoin _),
     "q68_watermark_lag" -> (q68WatermarkLag _),
     "q73_range_join" -> (q73RangeJoin _),
-    "q76_attribution_join" -> (q76AttributionJoin _))
+    "q76_attribution_join" -> (q76AttributionJoin _),
+    "q77_moving_window" -> (q77MovingWindow _))
 
   val oracles: Map[String, String] = Map(
     "q44_asof_join" ->
@@ -142,5 +162,14 @@ object Temporal {
         |       THEN s.click_value END AS click_value
         |FROM p ASOF LEFT JOIN c s
         |  ON p.user_id = s.user_id AND p.ts >= s.click_ts
-        |ORDER BY p.event_id""".stripMargin)
+        |ORDER BY p.event_id""".stripMargin,
+    "q77_moving_window" ->
+      """SELECT event_id, user_id,
+        |  CAST(round(value * 100) AS BIGINT) cents,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) mov3_sum,
+        |  CAST(min(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) mov3_min
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
 }
