@@ -25,11 +25,22 @@ import graft.plans.VectorExpressions.quantize_e6
   */
 object VectorCompress {
 
+  /** The corpus with each vector replaced by its int8-code
+    * RECONSTRUCTION (id, recon: array<long> in the e6 domain) — the
+    * compressed-domain frame a two-stage retrieval scores in its first
+    * pass (memory-bound at 100 TB: 1 byte/dim resident instead of 4). */
+  def reconVectors(embeddings: DataFrame, idCol: String, vecCol: String,
+                   dims: Int): DataFrame =
+    encoded(embeddings, idCol, vecCol, dims)
+      .select(col("vid").as(idCol), col("recon"))
+
   /** Per-vector int8 encode + reconstruction audit:
     * (id, sum_code, max_err, sum_err). `dims` must match the vector
     * width. */
-  def int8Audit(embeddings: DataFrame, idCol: String, vecCol: String,
-                dims: Int): DataFrame = {
+  /** (vid, v, codes, recon): the corpus quantized, encoded against the
+    * broadcast per-dimension stats row, and decoded back. */
+  private def encoded(embeddings: DataFrame, idCol: String, vecCol: String,
+                      dims: Int): DataFrame = {
     val q = embeddings.select(col(idCol).as("vid"),
       quantize_e6(col(vecCol)).as("v"))
     val statAggs =
@@ -53,6 +64,11 @@ object VectorCompress {
           |                THEN CAST(floor(CAST(c * (mxs[i] - mns[i]) AS DOUBLE)
           |                                / 255) AS BIGINT)
           |                ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+  }
+
+  def int8Audit(embeddings: DataFrame, idCol: String, vecCol: String,
+                dims: Int): DataFrame = {
+    encoded(embeddings, idCol, vecCol, dims)
       .withColumn("errs", expr("zip_with(v, recon, (x, r) -> abs(x - r))"))
       .select(col("vid").as(idCol),
         expr("aggregate(codes, CAST(0 AS BIGINT), (a, c) -> a + c)").as("sum_code"),

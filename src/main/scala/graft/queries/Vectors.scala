@@ -252,10 +252,42 @@ object Vectors {
       .orderBy("query_id")
   }
 
+  /** v44: two-stage retrieval over the compressed corpus — stage 1
+    * scores the full-precision query against int8-RECONSTRUCTED
+    * vectors (the memory-bound first pass of a production stack:
+    * 1 byte/dim resident), keeps top-20; stage 2 re-ranks those
+    * candidates with exact dots, keeps top-5. Exact integer end to
+    * end; the oracle re-derives stats → codes → reconstruction →
+    * both ranking stages. */
+  def v44Int8Rerank(s: SparkSession, dir: String): DataFrame = {
+    val e = qEmb(s, dir)
+    val recon = graft.operators.VectorCompress
+      .reconVectors(Tables.embeddings(s, dir), "vec_id", "embedding", dims = 64)
+      .select(col("vec_id").as("neighbor_id"), col("recon"))
+    val q = e.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("query_id"), col("v").as("vq"))
+    val coarse = q.join(broadcast(recon), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("vq"), col("recon")).as("adot"))
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("adot").desc, col("neighbor_id").asc)
+    val cands = coarse.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= 20).select("query_id", "neighbor_id")
+    val full = e.select(col("vec_id").as("neighbor_id"), col("v"))
+    val exact = cands.join(q, Seq("query_id")).join(full, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("vq"), col("v")).as("dot"))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w2)).filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "v39_pq_adc" -> (v39PqAdc _),
     "v40_kmeans_clusters" -> (v40KmeansClusters _),
     "v43_matryoshka_recall" -> (v43MatryoshkaRecall _),
+    "v44_int8_rerank" -> (v44Int8Rerank _),
     "v41_semdedup" -> (v41Semdedup _),
     "v42_int8_quant" -> (v42Int8Quant _),
     "v31_knn_bruteforce" -> (v31KnnBruteforce _),
@@ -304,6 +336,44 @@ object Vectors {
       |          FROM idxd) WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "v44_int8_rerank" ->
+      // stats → codes → reconstruction (v42's law) → coarse top-20 on
+      // reconstructed dots → exact top-5 re-rank
+      (quantCte +
+      """,
+        |e2 AS (SELECT vec_id, unnest(v) x, unnest(range(len(v))) pos FROM q),
+        |st AS (SELECT pos, min(x) mn, max(x) mx FROM e2 GROUP BY pos),
+        |rc AS (SELECT vec_id, pos, mn +
+        |         CASE WHEN mx > mn
+        |              THEN ((CASE WHEN mx > mn
+        |                          THEN ((x - mn) * 255) // (mx - mn)
+        |                          ELSE 0 END) * (mx - mn)) // 255
+        |              ELSE 0 END r
+        |       FROM (SELECT vec_id, pos, x, mn, mx FROM e2 JOIN st USING (pos))),
+        |recon AS (SELECT vec_id, list(r ORDER BY pos) rv FROM rc GROUP BY vec_id),
+        |qv AS (SELECT vec_id query_id, v FROM q WHERE vec_id < 30),
+        |coarsed AS (SELECT query_id, neighbor_id, cast(sum(x*y) as bigint) adot
+        |            FROM (SELECT qv.query_id, r.vec_id neighbor_id,
+        |                    unnest(qv.v) x, unnest(r.rv) y
+        |                  FROM qv, recon r WHERE r.vec_id <> qv.query_id)
+        |            GROUP BY 1, 2),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |           SELECT query_id, neighbor_id,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY adot DESC, neighbor_id) rn
+        |           FROM coarsed) WHERE rn <= 20),
+        |exact AS (SELECT query_id, neighbor_id, cast(sum(x*y) as bigint) dot
+        |          FROM (SELECT cd.query_id, cd.neighbor_id,
+        |                  unnest(qv.v) x, unnest(f.v) y
+        |                FROM cand cd JOIN qv ON qv.query_id = cd.query_id
+        |                             JOIN q f ON f.vec_id = cd.neighbor_id)
+        |          GROUP BY 1, 2),
+        |rk AS (SELECT query_id, neighbor_id, dot,
+        |         cast(row_number() OVER (PARTITION BY query_id
+        |                ORDER BY dot DESC, neighbor_id) as int) rank
+        |       FROM exact)
+        |SELECT query_id, rank, neighbor_id, dot FROM rk
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "v43_matryoshka_recall" ->
       (quantCte +
       """,
