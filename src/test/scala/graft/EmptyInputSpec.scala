@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Every round-5 operator must survive an EMPTY input frame — the
+  * state a real pipeline hits on the first watermark window, an
+  * all-filtered partition, or a new source with no documents yet.
+  * "Survive" = return an empty (or seed-only) result, never throw.
+  */
+class EmptyInputSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def noDocs = Seq.empty[(Long, String, String)]
+    .toDF("doc_id", "text", "source")
+  private def noVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+
+  test("corpus-shaping operators on an empty corpus") {
+    assert(CorpusShape.tfidfTopTerms(noDocs, "doc_id", "text", 3).count() == 0)
+    assert(CorpusShape.shuffleShards(noDocs.select("doc_id"), "doc_id", 1L, 8L)
+      .count() == 0)
+    val tokens = size(split(col("text"), " ")).cast("long")
+    assert(CorpusShape.mixtureSample(noDocs, "source", "doc_id",
+      tokens, lit(100L)).count() == 0)
+    assert(CorpusShape.groupQuantiles(noDocs, "source", "doc_id",
+      Seq(("p50", 1, 2))).count() == 0)
+    assert(CorpusText.slidingDupSpans(noDocs, 12, 2).count() == 0)
+    assert(CorpusText.hashQualityScore(noDocs).count() == 0)
+  }
+
+  test("graph and range operators on empty inputs") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val verts = (0L to 3L).toDF("v")
+    // empty edge set: everyone sits at the teleport floor
+    val r = Graph.pageRank(verts, noEdges, iters = 2)
+    assert(r.count() == 4 &&
+      r.agg(max("rank_e6")).collect()(0).getLong(0) == 150000L)
+    assert(Graph.pageRank(noEdges.select(col("src").as("v")).limit(0),
+      noEdges, iters = 1).count() == 0)
+    val noPoints = Seq.empty[Long].toDF("pv")
+    val iv = Seq((1L, 0L, 10L)).toDF("iid", "lo", "hi")
+    assert(RangeJoin.bucketed(noPoints, "pv", iv, "lo", "hi", 8L).count() == 0)
+    assert(RangeJoin.bucketed(Seq(5L).toDF("pv"), "pv",
+      iv.limit(0), "lo", "hi", 8L).count() == 0)
+  }
+
+  test("vector operators on an empty corpus") {
+    assert(SemDedup.dedup(noVecs, "vec_id", "embedding", 4, 300000L).count() == 0)
+    val (cent, rounds) = Ann.lloydConverged(noVecs, "vec_id", "embedding", 4)
+    assert(cent.count() == 0 && rounds == 0)
+    assert(VectorCompress.int8Audit(noVecs, "vec_id", "embedding", 4).count() == 0)
+  }
+}
