@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_e6"),
       new ExpressionInfo(classOf[VectorExpressions.DotLong].getName, "dot_e6"),
       (children: Seq[Expression]) => GraftExtensions.buildDot(children)))
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }
 }
 
@@ -40,6 +41,18 @@ object GraftExtensions {
       s"dot_e6 expects 2 arguments, got ${children.length}")
     VectorExpressions.DotLong(children(0), children(1))
   }
+
+  /** Attach [[RangeJoinRewrite]] to an already-running session via
+    * `experimental.extraOptimizations` (the builder-time extensions
+    * path only applies to new sessions). Idempotent. */
+  def enableRangeJoinRewrite(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinRewrite
+
+  def disableRangeJoinRewrite(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == RangeJoinRewrite)
 
   /** Register the same functions on an already-running session (the
     * builder-time extensions path only applies to new sessions). */

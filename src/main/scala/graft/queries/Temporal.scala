@@ -106,14 +106,38 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** q79: the OPTIMIZER-REWRITE path of the range join — the query is
+    * written as the naive BETWEEN theta-join a user would write;
+    * [[graft.plans.RangeJoinRewrite]] turns it into the bucketized
+    * equi-join during optimization (RangeJoinRuleSpec pins the plan
+    * shape; this gate certifies the rewritten plan's ANSWER against
+    * the same oracle as the hand-bucketized q73). The checkpoint
+    * forces execution while the rule is attached. */
+  def q79RangeRewrite(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(s, dir)
+      .select(round(col("value") * 100).cast("long").as("pv"))
+    val iv = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), (col("s_suppkey") * 997 % 48000).as("lo"))
+      .withColumn("hi", col("lo") + 200 + col("s_suppkey") % 800 * 2)
+    graft.plans.GraftExtensions.enableRangeJoinRewrite(s)
+    val joined =
+      try p.join(iv, col("pv") >= col("lo") && col("pv") <= col("hi"))
+        .select("pv", "s_suppkey").localCheckpoint()
+      finally graft.plans.GraftExtensions.disableRangeJoinRewrite(s)
+    joined.groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_points"), sum(col("pv")).as("sum_pv"))
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q44_asof_join" -> (q44AsofJoin _),
     "q68_watermark_lag" -> (q68WatermarkLag _),
     "q73_range_join" -> (q73RangeJoin _),
     "q76_attribution_join" -> (q76AttributionJoin _),
-    "q77_moving_window" -> (q77MovingWindow _))
+    "q77_moving_window" -> (q77MovingWindow _),
+    "q79_range_rewrite" -> (q79RangeRewrite _))
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "q44_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) ts, value
         |           FROM events WHERE event_type = 'purchase'),
@@ -172,4 +196,9 @@ object Temporal {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin)
+
+  // q79 shares q73's oracle verbatim: same fixture, same BETWEEN
+  // semantics — only the plan that produces the answer differs
+  val oracles: Map[String, String] =
+    oraclesBase + ("q79_range_rewrite" -> oraclesBase("q73_range_join"))
 }
