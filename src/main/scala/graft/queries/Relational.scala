@@ -293,9 +293,23 @@ object Relational {
         count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** q80: CUBE — all four grouping sets of (flag, status) in one pass
+    * (adds the per-status slice ROLLUP can't produce). Same lvl
+    * bitmask / NULLS FIRST discipline as q78. */
+  def q80Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_extendedprice")).as("cents"))
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("int").as("lvl"),
+        count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"),
+        col("lvl"))
+
   val queries: Map[String, Q] = Map(
     "q66_salted_join" -> (q66SaltedJoin _),
     "q78_rollup" -> (q78Rollup _),
+    "q80_cube" -> (q80Cube _),
     "q43_event_windows" -> (q43EventWindows _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_monthly_shipped" -> (q2MonthlyShipped _),
@@ -328,6 +342,14 @@ object Relational {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q80_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) lvl,
+        |  CAST(count(*) AS BIGINT) n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) sum_cents
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, lvl""".stripMargin,
     "q66_salted_join" ->
       // the plain (unsalted) join answer the salted plan must equal
       """WITH dim AS (

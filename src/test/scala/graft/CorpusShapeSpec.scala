@@ -47,6 +47,29 @@ class CorpusShapeSpec extends AnyFunSuite with SparkSpec {
       CorpusShape.mixtureSample(docs, "source", "doc_id", tokens, budget).count())
   }
 
+  test("property: groupQuantiles equals the sorted-array definition on random groups") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val rows = (0 until 400).map { i =>
+      (s"g${sample(Gen.chooseNum(0, 6), i * 3L)}",
+        sample(Gen.chooseNum(0L, 1000L), i * 7L + 1))
+    }
+    val df = rows.toDF("grp", "v")
+    val got = operators.CorpusShape.groupQuantiles(df, "grp", "v",
+        Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val sorted = grp.map(_._2).sorted
+      val n = sorted.length.toLong
+      def pick(num: Long, den: Long) = sorted(((num * n + den - 1) / den - 1).toInt)
+      assert(got(g) == ((n, pick(1, 2), pick(9, 10), pick(99, 100))),
+        s"group $g diverged from the sorted-array definition")
+    }
+  }
+
   test("tfidfTopTerms: at most k rows per doc, scores non-increasing in rank") {
     val out = CorpusShape.tfidfTopTerms(docs, "doc_id", "text", k = 3).cache()
     assert(out.groupBy("doc_id").count().filter(col("count") > 3).count() == 0)

@@ -28,6 +28,35 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       "unlinked leaves must sit at the teleport floor")
   }
 
+  test("property: pageRank equals an in-memory reference on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    for (round <- 1 to 3) {
+      val n = 30
+      val edges = (0 until 80).map { i =>
+        (sample(Gen.chooseNum(0L, n - 1L), round * 100L + i),
+          sample(Gen.chooseNum(0L, n - 1L), round * 900L + i))
+      }.distinct
+      val iters = 3
+      // in-memory reference: identical integer recurrence
+      var ref = Array.fill(n)(1000000L)
+      val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(n)(0L)
+        edges.foreach { case (s, d) => sums(d.toInt) += ref(s.toInt) / out(s) }
+        ref = sums.map(s => 150000L + 850L * s / 1000L)
+      }
+      val got = operators.Graph.pageRank(
+          (0L until n.toLong).toDF("v"), edges.toDF("src", "dst"), iters)
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      (0 until n).foreach { v =>
+        assert(got(v) == ref(v), s"round=$round vertex=$v diverged")
+      }
+    }
+  }
+
   test("rank mass stays bounded (floor division only leaks downward)") {
     val n = 100L
     val v = (0L until n).toDF("v")
