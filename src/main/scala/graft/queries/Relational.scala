@@ -306,10 +306,25 @@ object Relational {
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"),
         col("lvl"))
 
+  /** q81: INTERSECT / EXCEPT — the two §2.6 set operations not yet
+    * gated in SQL-set form (q10-q12 cover union/anti/semi): event
+    * types seen in BOTH user halves vs only the younger half, tagged
+    * and unioned into one deterministic result. */
+  def q81SetOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val a = ev.filter(col("user_id") < 25).select("event_type")
+    val b = ev.filter(col("user_id") >= 25).select("event_type")
+    a.intersect(b).withColumn("tag", lit("both"))
+      .unionByName(a.except(b).withColumn("tag", lit("only_young")))
+      .select("tag", "event_type")
+      .orderBy("tag", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q66_salted_join" -> (q66SaltedJoin _),
     "q78_rollup" -> (q78Rollup _),
     "q80_cube" -> (q80Cube _),
+    "q81_set_ops" -> (q81SetOps _),
     "q43_event_windows" -> (q43EventWindows _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_monthly_shipped" -> (q2MonthlyShipped _),
@@ -350,6 +365,13 @@ object Relational {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, lvl""".stripMargin,
+    "q81_set_ops" ->
+      """WITH a AS (SELECT event_type FROM events WHERE user_id < 25),
+        |b AS (SELECT event_type FROM events WHERE user_id >= 25)
+        |SELECT 'both' tag, event_type FROM (SELECT event_type FROM a INTERSECT SELECT event_type FROM b)
+        |UNION ALL
+        |SELECT 'only_young' tag, event_type FROM (SELECT event_type FROM a EXCEPT SELECT event_type FROM b)
+        |ORDER BY tag, event_type""".stripMargin,
     "q66_salted_join" ->
       // the plain (unsalted) join answer the salted plan must equal
       """WITH dim AS (

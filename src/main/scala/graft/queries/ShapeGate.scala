@@ -142,11 +142,35 @@ object ShapeGate {
       .orderBy("rank")
   }
 
+  /** t70: unigram-surprisal quality signal — the statistical LM
+    * filter: each token's surprisal ≈ log2(corpusTokens / termFreq),
+    * computed as a bit-length difference so it stays in exact integer
+    * arithmetic; a document's score is its mean surprisal ×100
+    * (low = boilerplate-ish, high = rare-token soup — both tails get
+    * filtered in a real pipeline). Complements t64's hash-weight
+    * scorer with a corpus-statistics-driven one. */
+  def t70UnigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("nn"))
+    toks.join(tf, Seq("term"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (length(bin(col("nn"))) - length(bin(col("tf")))).cast("long").as("surprisal"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("sum(surprisal) * 100 div count(1)").as("avg_surprisal_c"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t62_token_quantiles" -> (t62TokenQuantiles _),
     "t63_zipf_histogram" -> (t63ZipfHistogram _),
     "t66_pagerank" -> (t66Pagerank _),
     "t67_bpe_pairs" -> (t67BpePairs _),
+    "t70_unigram_surprisal" -> (t70UnigramSurprisal _),
     "t58_tfidf_top_terms" -> (t58TfidfTopTerms _),
     "t59_domain_stats" -> (t59DomainStats _),
     "t60_shuffle_shards" -> (t60ShuffleShards _),
@@ -154,6 +178,19 @@ object ShapeGate {
   )
 
   val oracles: Map[String, String] = Map(
+    "t70_unigram_surprisal" ->
+      // surprisal as bit-length difference (exact integer log2 gap)
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        |  FROM documents),
+        |tf AS (SELECT term, cast(count(*) as bigint) tf FROM toks GROUP BY 1),
+        |nn AS (SELECT cast(sum(tf) as bigint) nn FROM tf),
+        |sc AS (SELECT doc_id,
+        |         length(bin(nn.nn)) - length(bin(tf.tf)) surprisal
+        |       FROM toks JOIN tf USING (term), nn)
+        |SELECT doc_id, cast(count(*) as bigint) n_tokens,
+        |  cast((sum(surprisal) * 100) // count(*) as bigint) avg_surprisal_c
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "t66_pagerank" ->
       // the same three integer rounds, unrolled; // floors match div
       // on the non-negative rank domain
