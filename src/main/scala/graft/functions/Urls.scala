@@ -52,11 +52,29 @@ object Urls {
     lower(regexp_replace(hostPort, ":\\d+$", ""))
   }
 
-  /** Registered domain = the last two dot-labels of a host (the
-    * grouping key for per-domain corpus statistics). Single-label
-    * hosts (e.g. `localhost`) pass through unchanged. */
+  /** Two-part public suffixes under which the registered domain is
+    * three labels, not two (`bbc.co.uk` → `bbc.co.uk`, never `co.uk`).
+    * A compact subset of the Public Suffix List covering the common
+    * ccTLD second-level registries; extend for full PSL fidelity. */
+  private val twoPartSuffixes = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk",
+    "com.au", "net.au", "org.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "co.in", "co.kr", "co.nz", "co.za", "co.il", "co.id", "co.th",
+    "com.br", "com.cn", "com.tr", "com.mx", "com.ar", "com.sg",
+    "com.hk", "com.tw", "com.my", "com.ph", "com.vn", "com.pk")
+
+  /** Registered domain of a host: the last two dot-labels, or the last
+    * THREE when the final two are a known two-part public suffix
+    * (`co.uk`, `com.au`, … — see [[twoPartSuffixes]]; hosts under
+    * suffixes outside that list fall back to last-two and may merge
+    * unrelated sites). Single-label hosts (e.g. `localhost`) pass
+    * through unchanged. The grouping key for per-domain corpus
+    * statistics. */
   def registeredDomain(h: Column): Column = {
-    val d = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
-    when(d === "", h).otherwise(d)
+    val suffixAlt = twoPartSuffixes.map(_.replace(".", "\\.")).mkString("|")
+    val three = regexp_extract(h, s"([^.]+\\.(?:$suffixAlt))$$", 1)
+    val two = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
+    when(three =!= "", three).when(two =!= "", two).otherwise(h)
   }
 }

@@ -91,9 +91,17 @@ object Ann {
                      reliable: Boolean = false): (DataFrame, Int) = {
     val spark = embeddings.sparkSession
     val sc = spark.sparkContext
-    if (reliable && sc.getCheckpointDir.isEmpty)
+    if (reliable && sc.getCheckpointDir.isEmpty) {
+      // a driver-local temp dir is only a valid reliable-checkpoint
+      // target when the executors share the driver's filesystem; on a
+      // real cluster the caller must point at shared storage (HDFS/S3)
+      require(sc.isLocal,
+        "lloydConverged(reliable=true) on a non-local master needs " +
+          "sc.setCheckpointDir on shared storage; a driver-local temp " +
+          "dir is not visible to executors")
       sc.setCheckpointDir(java.nio.file.Files
         .createTempDirectory("graft_kmeans_ckpt").toString)
+    }
     def truncate(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
 

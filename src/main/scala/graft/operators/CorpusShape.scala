@@ -62,13 +62,19 @@ object CorpusShape {
       md5(concat(col(idCol).cast(StringType), lit(":" + seed))))
     val sorted = keyed.repartitionByRange(col("__k"), col(idCol))
       .sortWithinPartitions("__k", idCol)
-    val counts = sorted.rdd
+    // the counts job and the position job must see IDENTICAL partition
+    // contents; persist pins them so a nondeterministic upstream source
+    // cannot disagree between the two passes (the cache lives with the
+    // returned DataFrame's lineage — MEMORY_AND_DISK, LRU-evicted)
+    val sortedRdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sortedRdd
       .mapPartitionsWithIndex { (i, it) => Iterator.single((i, it.size.toLong)) }
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val schema = StructType(sorted.schema.fields :+
       StructField("pos", LongType, nullable = false))
-    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+    val rows = sortedRdd.mapPartitionsWithIndex { (i, it) =>
       var p = offsets(i)
       it.map { r => val out = Row.fromSeq(r.toSeq :+ p); p += 1; out }
     }

@@ -1,10 +1,12 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import scala.util.Try
+
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
 
 /** Optimizer rule: rewrite a naive range (interval) theta-join into the
@@ -14,35 +16,72 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   * (or SQL `BETWEEN`) gets the one-shuffle plan instead of Spark's
   * BroadcastNestedLoopJoin, without changing their query.
   *
-  * Matches an INNER join whose condition is exactly the two range
-  * conjuncts — `pv ≥ lo ∧ pv ≤ hi` in any orientation — with `pv` an
-  * integral expression over one side and `lo`/`hi` integral
-  * expressions over the other. Rewrites to:
+  * Matches an INNER join whose condition CONTAINS the two range
+  * conjuncts — `pv ≥ lo ∧ pv ≤ hi` in any orientation, anywhere in a
+  * larger conjunction — with `pv` an integral expression over one side
+  * and `lo`/`hi` integral expressions over the other. Extra conjuncts
+  * (the common `category = category ∧ pv BETWEEN lo AND hi` query) ride
+  * along in the residual condition, where Catalyst's equi-join
+  * extraction still turns equalities into hash-join keys alongside the
+  * bucket. Rewrites to:
   *
   * {{{
-  * Project(originalOutput,
-  *   Join(point ∪ {__graft_pb = floor(pv/w)},
-  *        Generate(explode(sequence(floor(lo/w), floor(hi/w))),
-  *                 Filter(NOT lo > hi, intervals)),
-  *        Inner, __graft_pb = __graft_ib ∧ originalCondition))
+  * Union(
+  *   Project(originalOutput,                          // fast path
+  *     Join(point ∪ {__graft_pb = floor(pv/w)},
+  *          Generate(explode(sequence(floor(lo/w), floor(hi/w))),
+  *                   Filter(lo ≤ hi ∧ fanout ≤ maxFanout, intervals)),
+  *          Inner, __graft_pb = __graft_ib ∧ originalCondition)),
+  *   Project(originalOutput,                          // guard path
+  *     Join(point, Filter(fanout > maxFanout, intervals),
+  *          Inner, originalCondition)))
   * }}}
   *
-  * The bucket equality makes the join plannable as a hash join; the
-  * original condition rides along as the residual filter. Intervals
-  * with null or inverted bounds are filtered before `sequence` (they
-  * cannot match the theta-join either, so inner-join semantics are
-  * preserved — and `sequence(start > stop)` would otherwise throw).
-  * The rewritten condition contains an equality conjunct, which the
-  * matcher rejects, so the rule never re-fires on its own output.
+  * The bucket equality makes the fast-path join plannable as a hash
+  * join; the original condition rides along as the residual filter.
+  * Intervals with null or inverted bounds are filtered before
+  * `sequence` (they cannot match the theta-join either, so inner-join
+  * semantics are preserved — and `sequence(start > stop)` would
+  * otherwise throw).
+  *
+  * '''Fan-out guard.''' `explode(sequence(lo/w, hi/w))` materializes
+  * `(hi-lo)/w + 1` rows per interval; an interval spanning a wide value
+  * domain at a small width (timestamps in micros at the default 512)
+  * would generate billions of elements per row — `sequence` throws past
+  * 2³¹ and memory dies long before. Intervals whose bucket fan-out
+  * exceeds `spark.graft.rangejoin.maxFanout` (default 4096) therefore
+  * keep the original nested-loop plan in the guard branch: slow but
+  * bounded, exactly what the query did before the rule — the rewrite
+  * can no longer convert a working query into a crashing one. When no
+  * pathological interval exists at runtime (the usual case) the guard
+  * branch's build side is empty and AQE's empty-relation propagation
+  * collapses it, so the point side is NOT scanned twice.
+  *
+  * Both emitted joins carry a [[TreeNodeTag]] so the rule never
+  * re-fires on its own output (the range conjuncts survive in the
+  * residual condition and would otherwise match again).
   *
   * Width comes from `spark.graft.rangejoin.width` (session conf,
-  * default 512). Enable per session via
+  * default 512; malformed values fall back to the default rather than
+  * failing every plan on the session). Pick it against the interval
+  * domain: width ≈ typical interval length keeps replication at a few
+  * buckets per interval. Enable per session via
   * [[GraftExtensions.enableRangeJoinRewrite]] or for new sessions via
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
-object RangeJoinRewrite extends Rule[LogicalPlan] {
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private val WidthKey = "spark.graft.rangejoin.width"
+  private val FanoutKey = "spark.graft.rangejoin.maxFanout"
+
+  /** Marks joins this rule emitted, so it never rewrites its own output. */
+  private[graft] val SkipTag = TreeNodeTag[Unit]("graft.rangejoin.skip")
+
+  private def confLong(key: String, default: Long): Long =
+    Try(conf.getConfString(key, default.toString).toLong).getOrElse {
+      logWarning(s"ignoring malformed $key; using $default")
+      default
+    }
 
   private def fdiv(e: Expression, w: Long): Expression =
     Cast(Floor(Divide(Cast(e, DoubleType), Literal(w.toDouble))), LongType)
@@ -52,62 +91,68 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** Normalize a conjunct to (pv, bound) if it is a lower/upper range
-    * comparison. Returns (pv, bound, isLower). */
-  private def asBound(e: Expression): Option[(Expression, Expression, Boolean)] = e match {
-    case GreaterThanOrEqual(a, b) => Some((a, b, true))  // a >= b: a ≥ lo
-    case LessThanOrEqual(a, b) => Some((a, b, false))    // a <= b: a ≤ hi
-    case _ => None
-  }
+  /** Normalize a conjunct to (pv, bound, isLower) in both orientations
+    * (`lo ≤ pv` is `pv ≥ lo`; `hi ≥ pv` is `pv ≤ hi`). */
+  private def orientedBounds(e: Expression): Seq[(Expression, Expression, Boolean)] =
+    e match {
+      case GreaterThanOrEqual(a, b) => Seq((a, b, true), (b, a, false))
+      case LessThanOrEqual(a, b) => Seq((a, b, false), (b, a, true))
+      case _ => Nil
+    }
 
   def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = conf.getConfString(WidthKey, "512").toLong
-    if (width <= 0) return plan
+    val width = confLong(WidthKey, 512L)
+    val maxFanout = confLong(FanoutKey, 4096L)
+    if (width <= 0 || maxFanout <= 0) return plan
     plan.transform {
-      case j @ Join(left, right, Inner, Some(And(c1, c2)), hint) =>
-        rewrite(j, left, right, c1, c2, hint, width).getOrElse(j)
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if j.getTagValue(SkipTag).isEmpty =>
+        rewrite(j, left, right, cond, hint, width, maxFanout).getOrElse(j)
     }
+  }
+
+  /** pv over one child, both bounds over the other → (point, interval). */
+  private def sideOf(pv: Expression, lo: Expression, hi: Expression,
+                     left: LogicalPlan, right: LogicalPlan): Option[(LogicalPlan, LogicalPlan)] = {
+    val boundRefs = lo.references ++ hi.references
+    if (pv.references.isEmpty || boundRefs.isEmpty) None
+    else if (pv.references.subsetOf(left.outputSet) && boundRefs.subsetOf(right.outputSet))
+      Some((left, right))
+    else if (pv.references.subsetOf(right.outputSet) && boundRefs.subsetOf(left.outputSet))
+      Some((right, left))
+    else None
   }
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
-                      c1: Expression, c2: Expression,
-                      hint: JoinHint, width: Long): Option[LogicalPlan] = {
-    // each conjunct must be a range comparison; orient them so we have
-    // one lower bound and one upper bound on the SAME pv expression
-    val (b1, b2) = (asBound(c1), asBound(c2)) match {
-      case (Some(x), Some(y)) => (x, y)
-      case _ => return None
-    }
-    // four orientations: (pv ≥ lo, pv ≤ hi), (pv ≥ lo, hi ≥ pv), ...
-    // normalize both to "pv cmp bound" by flipping when pv sits on the
-    // bound side (lo ≤ pv is pv ≥ lo; hi ≥ pv is pv ≤ hi)
-    def orientations(b: (Expression, Expression, Boolean)) = Seq(
-      (b._1, b._2, b._3),          // as written
-      (b._2, b._1, !b._3))         // flipped
+                      cond: Expression, hint: JoinHint,
+                      width: Long, maxFanout: Long): Option[LogicalPlan] = {
+    // belt to the SkipTag's suspenders: never touch a join that already
+    // carries graft bucket columns, even if a later rule dropped the tag
+    if ((left.output ++ right.output).exists(_.name.startsWith("__graft_")))
+      return None
+    // peel the conjunction; any lower-bound + upper-bound pair over the
+    // semantically same integral pv (with pv and the bounds on opposite
+    // sides) makes the join bucketizable — remaining conjuncts ride
+    // along in the residual condition
+    val oriented = splitConjunctivePredicates(cond).flatMap(orientedBounds)
     val candidates = for {
-      (pv1, lo, low1) <- orientations(b1) if low1
-      (pv2, hi, low2) <- orientations(b2) if !low2
+      (pv1, lo, isLow) <- oriented if isLow
+      (pv2, hi, isLow2) <- oriented if !isLow2
       if pv1.semanticEquals(pv2)
-    } yield (pv1, lo, hi)
-    val (pv, lo, hi) = candidates.headOption.getOrElse(return None)
-    if (!integral(pv) || !integral(lo) || !integral(hi)) return None
+      if integral(pv1) && integral(lo) && integral(hi)
+      sides <- sideOf(pv1, lo, hi, left, right)
+    } yield (pv1, lo, hi, sides)
+    val (pv, lo, hi, (pointPlan, intervalPlan)) =
+      candidates.headOption.getOrElse(return None)
 
-    // pv over one child, bounds over the other (both bounds same side)
-    val (pointPlan, intervalPlan) =
-      if (pv.references.subsetOf(left.outputSet) &&
-          (lo.references ++ hi.references).subsetOf(right.outputSet) &&
-          pv.references.nonEmpty && (lo.references ++ hi.references).nonEmpty)
-        (left, right)
-      else if (pv.references.subsetOf(right.outputSet) &&
-               (lo.references ++ hi.references).subsetOf(left.outputSet) &&
-               pv.references.nonEmpty && (lo.references ++ hi.references).nonEmpty)
-        (right, left)
-      else return None
+    val fanout = Subtract(fdiv(hi, width), fdiv(lo, width))
 
+    // fast path: bucketize intervals within the fan-out bound.
+    // inverted/null bounds cannot match and would break sequence()
     val pb = Alias(fdiv(pv, width), "__graft_pb")()
     val pointProj = Project(pointPlan.output :+ pb, pointPlan)
-    // inverted/null bounds cannot match and would break sequence()
-    val safeIntervals = Filter(Not(GreaterThan(lo, hi)), intervalPlan)
+    val narrow = Filter(And(Not(GreaterThan(lo, hi)),
+      LessThanOrEqual(fanout, Literal(maxFanout))), intervalPlan)
     // Sequence is TimeZoneAware: without an explicit zone the new node
     // is unresolved and fails the optimizer's plan validation
     val gen = Explode(Sequence(fdiv(lo, width), fdiv(hi, width),
@@ -117,9 +162,22 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       case None => return None
     }
     val genPlan = Generate(gen, unrequiredChildIndex = Nil, outer = false,
-      qualifier = None, generatorOutput = Seq(ibAttr), child = safeIntervals)
-    val newJoin = Join(pointProj, genPlan, Inner,
-      Some(And(EqualTo(pb.toAttribute, ibAttr), j.condition.get)), hint)
-    Some(Project(j.output, newJoin))
+      qualifier = None, generatorOutput = Seq(ibAttr), child = narrow)
+    val bucketJoin = Join(pointProj, genPlan, Inner,
+      Some(And(EqualTo(pb.toAttribute, ibAttr), cond)), hint)
+    bucketJoin.setTagValue(SkipTag, ())
+    val fast = Project(j.output, bucketJoin)
+
+    // guard path: intervals too wide to bucketize keep the original
+    // nested-loop plan (empty at runtime in the non-pathological case,
+    // where AQE's empty-relation propagation collapses the branch)
+    val wide = Filter(GreaterThan(fanout, Literal(maxFanout)), intervalPlan)
+    val (slowLeft, slowRight) =
+      if (pointPlan eq left) (left, wide) else (wide, right)
+    val slowJoin = Join(slowLeft, slowRight, Inner, Some(cond), hint)
+    slowJoin.setTagValue(SkipTag, ())
+    val slow = Project(j.output, slowJoin)
+
+    Some(Union(Seq(fast, slow)))
   }
 }

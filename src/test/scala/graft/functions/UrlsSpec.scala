@@ -25,4 +25,17 @@ class UrlsSpec extends AnyFunSuite with SparkSpec {
     assert(canon("  not a url  ") === Seq("not a url"))
     assert(canon("mailto:x@y.z") === Seq("mailto:x@y.z"))
   }
+
+  test("registeredDomain: two-part public suffixes keep three labels") {
+    def dom(hs: String*): Seq[String] =
+      hs.toDF("h").select(Urls.registeredDomain(col("h")).as("d"))
+        .collect().map(_.getString(0)).toSeq
+    assert(dom("www.example.com", "blog.example.com") ===
+      Seq("example.com", "example.com"))
+    // multi-part public suffixes must NOT collapse to the suffix itself
+    assert(dom("www.bbc.co.uk", "news.bbc.co.uk", "site.com.au") ===
+      Seq("bbc.co.uk", "bbc.co.uk", "site.com.au"))
+    // host exactly a suffix, and single-label hosts, pass through
+    assert(dom("co.uk", "localhost") === Seq("co.uk", "localhost"))
+  }
 }
