@@ -2,57 +2,71 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.plans.VectorExpressions.dot_long
 
 /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
   * the embedding space with the deterministic coarse quantizer
-  * ([[Ann.buildCentroids]]), then compare pairs ONLY within a cluster
-  * and drop the higher-id member of every pair whose cosine clears the
+  * ([[Ann.buildCentroids]]), compare ONLY within a cluster, and drop
+  * every member that has a lower-id cell-mate with cosine over the
   * threshold. Keeps exactly one representative (the lowest id) per
   * near-duplicate neighborhood that a cluster contains.
   *
   * This is the embedding analogue of the MinHash-band (t34) and
-  * dHash-band (t48) dedup decisions: candidate generation is an
-  * equi-join on the cluster id, so total pair cost is Σ|cell|² instead
-  * of |corpus|² — at 100 TB, k scales with the corpus to keep cells
-  * bounded (SemDeDup's own recipe), and a monoculture cell is ordinary
-  * join skew (AQE-splittable). Cosine runs on exact integer dots/norms
-  * (bit-identical across engines); ties and drop choices are
-  * deterministic by id.
+  * dHash-band (t48) dedup decisions: candidate generation is scoped by
+  * the cluster id, so pair work is bounded by Σ|cell|² instead of
+  * |corpus|² — and, unlike a pair self-join, NO pair rows are ever
+  * materialized or exchanged. The verdict runs per cell inside one
+  * `flatMapGroups` pass: members sorted by id, each member scans its
+  * lower-id cell-mates and stops at the FIRST one over the threshold.
+  * The early exit is what survives a monoculture corpus: in a cell of
+  * near-identical vectors every member's first probe clears the
+  * threshold, so the cell costs O(|cell|) comparisons, not |cell|²/2 —
+  * the shape a pair join cannot have. At 100 TB, k scales with the
+  * corpus to keep cells bounded (SemDeDup's own recipe); a cell is one
+  * group in a single hash-partition shuffle on centroid_id.
+  *
+  * Cosine runs on exact integer dots/norms (bit-identical across
+  * engines); ties and drop choices are deterministic by id.
   */
 object SemDedup {
 
   /** Tag every vector with its cluster and a `kept` verdict:
     * (vec_id, centroid_id, kept). `cosE6` is the near-dup threshold in
-    * millionths (e.g. 300000 = cosine 0.30).
-    *
-    * The assignment frame feeds three consumers (both self-join sides
-    * and the final verdict join), so it is materialized once with
-    * `localCheckpoint` — the t45 lesson: without it the whole
-    * centroid+assign subtree re-executes per consumer (measured 3×
-    * plan inlining). Fine for a one-shot dedup; a long-lived pipeline
-    * on a real cluster would persist the index to storage instead
-    * (same durability note as DupClusters' reliable mode). */
+    * millionths (e.g. 300000 = cosine 0.30); must be positive. */
   def dedup(embeddings: DataFrame, idCol: String, vecCol: String,
             k: Int, cosE6: Long): DataFrame = {
-    val centroids = Ann.buildCentroids(embeddings, idCol, vecCol, k)
-    val index = Ann.buildIndex(embeddings, idCol, vecCol, centroids)
+    require(cosE6 > 0, s"cosE6 threshold must be positive, got $cosE6")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val index = Ann.buildIndex(embeddings, idCol, vecCol,
+        Ann.buildCentroids(embeddings, idCol, vecCol, k))
       .withColumn("n2", dot_long(col("v"), col("v")))
-      .localCheckpoint()
-    val pairs = index.as("a").join(index.as("b"),
-        col("a.centroid_id") === col("b.centroid_id") &&
-          col("a.vid") < col("b.vid"))
-      .select(col("b.vid").as("vid"),
-        round(dot_long(col("a.v"), col("b.v")) * 1000000.0 /
-              (sqrt(col("a.n2").cast(DoubleType)) *
-               sqrt(col("b.n2").cast(DoubleType))))
-          .cast(LongType).as("cos_e6"))
-    val dropped = pairs.filter(col("cos_e6") >= cosE6)
-      .select(col("vid")).distinct().withColumn("__dropped", lit(true))
-    index.join(dropped, Seq("vid"), "left")
-      .select(col("vid").as(idCol), col("centroid_id"),
-        col("__dropped").isNull.as("kept"))
+    index.select(col("centroid_id"), col("vid"), col("v"), col("n2"))
+      .as[(Long, Long, Array[Long], Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val members = it.map { case (_, vid, v, n2) => (vid, v, n2) }
+          .toArray.sortBy(_._1)
+        val norms = members.map(m => math.sqrt(m._3.toDouble))
+        Iterator.tabulate(members.length) { bi =>
+          val (vid, vb, _) = members(bi)
+          var dropped = false
+          var ai = 0
+          while (!dropped && ai < bi) {
+            val va = members(ai)._2
+            var dot = 0L
+            var i = 0
+            while (i < vb.length) { dot += va(i) * vb(i); i += 1 }
+            // same arithmetic as the column form: exact integer dot,
+            // then one double divide and a half-up round to millionths
+            if (math.round(dot * 1000000.0 / (norms(ai) * norms(bi))) >= cosE6)
+              dropped = true
+            ai += 1
+          }
+          (vid, cell, !dropped)
+        }
+      }
+      .toDF(idCol, "centroid_id", "kept")
   }
 }

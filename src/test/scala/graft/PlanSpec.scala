@@ -157,14 +157,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"shuffle count grew past 5 in:\n$plan")
   }
 
-  test("v41 semdedup: cluster equi-join pairs, no cartesian, bounded shuffles") {
-    // the index is localCheckpoint-materialized (one execution for its
-    // three consumers), so the visible plan is pairs+verdict only
+  test("v41 semdedup: per-cell verdict pass, no pair-output exchange") {
     val plan = planOf(queries.Vectors.v41Semdedup(spark, dir))
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      s"pairwise stage degenerated to a nested loop in:\n$plan")
-    assert(shuffles(plan) <= 8, // pair join + distinct + verdict join + sort
-      s"shuffle count grew past 8 in:\n$plan")
+    // the verdict comes from ONE flatMapGroups pass over cells — the
+    // pair self-join (its `a.vid < b.vid` condition) must be gone, so
+    // no plan operator ever materializes or exchanges pair rows
+    assert(plan.contains("MapGroups"),
+      s"per-cell verdict operator missing from:\n$plan")
+    assert("vid#\\d+L? < vid#\\d+".r.findFirstIn(plan).isEmpty,
+      s"pair self-join (vid < vid) reappeared in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // remaining joins are the index build's: k-row centroid broadcasts
+    // and the vid equi-join — bounded shuffles end to end
+    assert(shuffles(plan) <= 10, s"shuffle count grew past 10 in:\n$plan")
   }
 
   test("t66 pagerank: per-round join+agg with partial aggregation, no cartesian") {

@@ -59,6 +59,20 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("semdedup monoculture: identical vectors keep exactly the lowest id") {
+    // the shape the per-cell early-exit pass exists for: every member's
+    // first lower-id probe clears the threshold, verdicts stay exact
+    import spark.implicits._
+    val mono = (0L until 200L).map(i => (i, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val verdicts = operators.SemDedup.dedup(mono, "vec_id", "embedding",
+      k = 4, cosE6 = 999000L)
+    assert(verdicts.filter(col("kept")).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(0L),
+      "monoculture must keep exactly vec_id 0")
+    assert(verdicts.count() == 200)
+  }
+
   test("semdedup threshold 1e6+1 keeps everything") {
     val verdicts = operators.SemDedup.dedup(emb, "vec_id", "embedding",
       k = 8, cosE6 = 1000001L)
