@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
   * the vertex key, the degree frame broadcasts when small), one
   * map-side-combinable sum aggregate on dst, one left join back to the
   * vertex set for dangling/in-degree-0 vertices. The plan grows
-  * linearly with `iters` — for long runs truncate lineage per round
-  * exactly as [[Ann.lloydConverged]]/[[DupClusters]] do; the bounded
-  * unrolled form keeps the whole computation declarative for the
-  * oracle gate.
+  * linearly with `iters`; the bounded unrolled form keeps the whole
+  * computation declarative for the oracle gate, and
+  * [[pageRankConverged]] is the lineage-truncated fixpoint form for
+  * long runs.
   */
 object Graph {
 
@@ -38,15 +38,89 @@ object Graph {
     val verts = vertices.select(col(v).as("v"))
     val init = verts.select(col("v"), lit(1000000L).as("rank_e6"))
     (1 to iters).foldLeft(init) { (ranks, _) =>
-      val contrib = e
-        .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
-        .select(col("dst"), expr("rank_e6 div deg").as("c"))
-        .groupBy("dst").agg(sum("c").as("sum_c"))
-      verts.join(contrib.withColumnRenamed("dst", "v"), Seq("v"), "left")
-        .select(col("v"),
-          expr("150000 + (850 * coalesce(sum_c, CAST(0 AS BIGINT))) div 1000")
-            .as("rank_e6"))
+      round(e, outdeg, verts, ranks)
     }
+  }
+
+  /** One propagation round: `r'(v) = 150000 + (850·Σ contribs) div 1000`
+    * over (v, rank_e6) frames — shared by the unrolled and converged
+    * forms so they are the same recurrence by construction. */
+  private def round(e: DataFrame, outdeg: DataFrame, verts: DataFrame,
+                    ranks: DataFrame): DataFrame = {
+    val contrib = e
+      .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+      .join(outdeg, Seq("src"))
+      .select(col("dst"), expr("rank_e6 div deg").as("c"))
+      .groupBy("dst").agg(sum("c").as("sum_c"))
+    verts.join(contrib.withColumnRenamed("dst", "v"), Seq("v"), "left")
+      .select(col("v"),
+        expr("150000 + (850 * coalesce(sum_c, CAST(0 AS BIGINT))) div 1000")
+          .as("rank_e6"))
+  }
+
+  /** PageRank run to the exact integer FIXPOINT — the production form
+    * of [[pageRank]] for long runs, where the unrolled plan's analysis
+    * time would dominate past a few dozen rounds. Same recurrence
+    * (shared [[round]]), but lineage truncates per round and rounds
+    * stop when NO vertex's rank changed, detected with a
+    * LongAccumulator folded into the round's own materialization (no
+    * extra count job) — the [[Ann.lloydConverged]] /
+    * [[DupClusters.connectedComponentsWithStats]] contract, including
+    * the `reliable` checkpoint mode for real clusters and the loud
+    * failure on non-convergence (intermediate ranks carry no signal
+    * that they are intermediate).
+    *
+    * The 850/1000 damping contracts rank deltas geometrically, so the
+    * e6-scaled integer recurrence reaches delta = 0 in
+    * ~ln(1e6)/ln(1000/850) ≈ 85 rounds worst case — hence the default
+    * budget of 100. Returns ((v, rank_e6), rounds). */
+  def pageRankConverged(vertices: DataFrame, edges: DataFrame,
+                        maxIter: Int = 100,
+                        reliable: Boolean = false): (DataFrame, Int) = {
+    val spark = vertices.sparkSession
+    val sc = spark.sparkContext
+    if (reliable && sc.getCheckpointDir.isEmpty) {
+      // a driver-local temp dir is only a valid reliable-checkpoint
+      // target when the executors share the driver's filesystem
+      require(sc.isLocal,
+        "pageRankConverged(reliable=true) on a non-local master needs " +
+          "sc.setCheckpointDir on shared storage; a driver-local temp " +
+          "dir is not visible to executors")
+      sc.setCheckpointDir(java.nio.file.Files
+        .createTempDirectory("graft_pr_ckpt").toString)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+
+    val v = vertices.columns.head
+    val Seq(s, d) = edges.columns.take(2).toSeq
+    // edges/degrees/vertices re-read every round — materialize once
+    val e = truncate(edges.select(col(s).as("src"), col(d).as("dst")))
+    val outdeg = truncate(e.groupBy("src").agg(count(lit(1)).as("deg")))
+    val verts = truncate(vertices.select(col(v).as("v")))
+
+    val acc = sc.longAccumulator("pagerank_moved")
+    val bump = udf { (moved: Boolean) =>
+      if (moved) acc.add(1L); moved
+    }.asNondeterministic()
+
+    var ranks = truncate(verts.select(col("v"), lit(1000000L).as("rank_e6")))
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      acc.reset()
+      val next = truncate(
+        round(e, outdeg, verts, ranks)
+          .join(ranks.withColumnRenamed("rank_e6", "prev_e6"), Seq("v"))
+          .select(col("v"), col("rank_e6"),
+            bump(col("rank_e6") =!= col("prev_e6")).as("_moved")))
+      converged = acc.value == 0
+      ranks = next.select("v", "rank_e6")
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"pageRankConverged did not converge in $maxIter rounds; raise maxIter")
+    (ranks, rounds)
   }
 }

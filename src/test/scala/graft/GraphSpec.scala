@@ -57,6 +57,47 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("pageRankConverged equals the unrolled form at its fixpoint (both modes)") {
+    // a 3-level DAG reaches the EXACT integer fixpoint in ~depth+1
+    // rounds (no cycles for mass to keep circulating through), so the
+    // unrolled cross-check stays cheap to plan; cyclic graphs converge
+    // too, just in ~ln(1e6)/ln(1000/850) rounds (see the scaladoc)
+    val v = (0L until 30L).toDF("v")
+    val e = ((0L until 10L).map(i => (i, 10L + i)) ++
+      (10L until 20L).map(i => (i, 10L + i)))
+      .toDF("src", "dst")
+    for (reliable <- Seq(false, true)) {
+      val (ranks, rounds) = Graph.pageRankConverged(v, e, maxIter = 100,
+        reliable = reliable)
+      assert(rounds >= 1 && rounds <= 100)
+      val converged = ranks.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the unrolled recurrence, run the same number of rounds, must
+      // land on the identical integer ranks — and one MORE unrolled
+      // round must not move them (it really is a fixpoint)
+      val unrolled = Graph.pageRank(v, e, iters = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(converged == unrolled, s"reliable=$reliable: converged != unrolled")
+      val onceMore = Graph.pageRank(v, e, iters = rounds + 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(onceMore == converged, s"reliable=$reliable: not a fixpoint")
+      // reproducible round count
+      assert(Graph.pageRankConverged(v, e, maxIter = 100, reliable = reliable)._2
+        == rounds, s"reliable=$reliable: round count is not reproducible")
+    }
+  }
+
+  test("pageRankConverged fails loudly when the budget is too small") {
+    // star graph: ranks move for several rounds (a ring would converge
+    // in one — the uniform start is already its fixpoint)
+    val v = (0L to 9L).toDF("v")
+    val e = ((1L to 9L).map(i => (i, 0L)) :+ (0L, 1L)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      Graph.pageRankConverged(v, e, maxIter = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("rank mass stays bounded (floor division only leaks downward)") {
     val n = 100L
     val v = (0L until n).toDF("v")
