@@ -142,6 +142,76 @@ object ShapeGate {
       .orderBy("rank")
   }
 
+  /** t71: the full BPE merge LOOP ([[graft.operators.Bpe.trainMerges]])
+    * — t67's pair statistics iterated to a merge budget: top pair by
+    * corpus-weighted count (lexicographic tie-break), leftmost-greedy
+    * re-segmentation, repeat. The oracle unrolls the identical greedy
+    * recurrence step by step in SQL (generated from one step template,
+    * the t66 discipline), so a hash match certifies every merge choice
+    * AND every re-segmentation — including the equal-symbol run-parity
+    * rule — across all 8 rounds. */
+  def t71BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    graft.operators.Bpe.trainMerges(words, "w", "freq", budget = 8)
+      .orderBy("step")
+  }
+
+  /** One unrolled BPE step for the t71 oracle: pair counts over the
+    * current segmentation, top-1 with the (n desc, lhs, rhs) tie-break,
+    * then leftmost-greedy re-segmentation — merge starts where the pair
+    * matches and, for equal-symbol pairs, the offset within the run of
+    * equal symbols is even; positions consumed by the merge to their
+    * left drop out. */
+  private def bpeStepCtes(k: Int): Seq[String] = Seq(
+    s"""pc$k AS (
+       |  SELECT sym lhs, nxt rhs, cast(sum(freq) as bigint) n FROM (
+       |    SELECT sym, lead(sym) OVER (PARTITION BY w ORDER BY pos) nxt, freq
+       |    FROM seg$k)
+       |  WHERE nxt IS NOT NULL GROUP BY 1, 2)""".stripMargin,
+    s"""top$k AS (SELECT lhs, rhs, n FROM pc$k ORDER BY n DESC, lhs, rhs LIMIT 1)""",
+    s"""ms$k AS (
+       |  SELECT *, coalesce(sym = tl AND nxt = tr AND (tl <> tr OR po % 2 = 0),
+       |                     false) mstart
+       |  FROM (
+       |    SELECT s.w, s.freq, s.pos, s.sym,
+       |      lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) nxt,
+       |      row_number() OVER (PARTITION BY s.w, s.isl ORDER BY s.pos) - 1 po,
+       |      t.lhs tl, t.rhs tr
+       |    FROM (
+       |      SELECT *, sum(nb) OVER (PARTITION BY w ORDER BY pos
+       |                              ROWS UNBOUNDED PRECEDING) isl
+       |      FROM (
+       |        SELECT *, CASE WHEN sym = lag(sym) OVER (PARTITION BY w ORDER BY pos)
+       |                       THEN 0 ELSE 1 END nb
+       |        FROM seg$k)) s, top$k t))""".stripMargin,
+    s"""seg${k + 1} AS (
+       |  SELECT w, freq, CAST(row_number() OVER (PARTITION BY w ORDER BY pos) AS INT) pos,
+       |    CASE WHEN mstart THEN sym || nxt ELSE sym END sym
+       |  FROM (SELECT *, lag(mstart) OVER (PARTITION BY w ORDER BY pos) pms FROM ms$k)
+       |  WHERE NOT coalesce(pms, false))""".stripMargin)
+
+  private def bpeOracleSql(budget: Int): String = {
+    val base = Seq(
+      """wf AS (
+        |  SELECT w, cast(count(*) as bigint) freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) w FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w)""".stripMargin,
+      """seg1 AS (
+        |  SELECT w, freq, CAST(t.i AS INT) pos, substr(w, CAST(t.i AS INT), 1) sym
+        |  FROM wf, UNNEST(range(1, length(w) + 1)) t(i))""".stripMargin)
+    val ctes = base ++ (1 to budget).flatMap(bpeStepCtes)
+    val finals = (1 to budget)
+      .map(k => s"SELECT CAST($k AS INT) step, lhs, rhs, n FROM top$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT * FROM (
+       |  $finals
+       |) ORDER BY step""".stripMargin
+  }
+
   /** t70: unigram-surprisal quality signal — the statistical LM
     * filter: each token's surprisal ≈ log2(corpusTokens / termFreq),
     * computed as a bit-length difference so it stays in exact integer
@@ -170,6 +240,7 @@ object ShapeGate {
     "t63_zipf_histogram" -> (t63ZipfHistogram _),
     "t66_pagerank" -> (t66Pagerank _),
     "t67_bpe_pairs" -> (t67BpePairs _),
+    "t71_bpe_merges" -> (t71BpeMerges _),
     "t70_unigram_surprisal" -> (t70UnigramSurprisal _),
     "t58_tfidf_top_terms" -> (t58TfidfTopTerms _),
     "t59_domain_stats" -> (t59DomainStats _),
@@ -178,6 +249,7 @@ object ShapeGate {
   )
 
   val oracles: Map[String, String] = Map(
+    "t71_bpe_merges" -> bpeOracleSql(8),
     "t70_unigram_surprisal" ->
       // surprisal as bit-length difference (exact integer log2 gap)
       """WITH toks AS (SELECT doc_id,
