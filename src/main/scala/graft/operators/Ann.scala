@@ -303,6 +303,68 @@ object Pq {
       .withColumnRenamed("centroid_id", "code")
   }
 
+  /** The fused production retrieval pipeline over a compressed index —
+    * IVF cell probing ([[Ann.ivfSearch]]'s stage 1) to bound the
+    * candidate set, ADC scoring ([[adcSearch]]'s LUT sum) over only the
+    * residents of the probed cells, then an exact re-rank of the ADC
+    * shortlist: probe `nProbe` cells → ADC-score residents → top
+    * `shortlist` by approximate dot → exact top `topK`. This is the
+    * billion-vector memory shape: full vectors are touched only for
+    * `shortlist` candidates per query; everything resident is m codes +
+    * a cell id per vector.
+    *
+    * Scale shape: centroids, codebooks, and the per-query LUT
+    * broadcast; candidates arrive via the equi-join on probed cell ids;
+    * ADC is one map-side-combinable sum per (query, neighbor); both
+    * top-k stages are per-query windows over bounded frames. */
+  def ivfAdcRerank(index: DataFrame, centroids: DataFrame,
+                   codes: DataFrame, books: DataFrame,
+                   embeddings: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, m: Int, dims: Int,
+                   nProbe: Int, shortlist: Int, topK: Int): DataFrame = {
+    val dsub = subDim(dims, m)
+    val q = queries.select(col(idCol).as("query_id"), quantize_e6(col(vecCol)).as("qv"))
+    // stage 0: probe the nProbe nearest cells (broadcast centroids)
+    val cellScores = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("centroid_id"),
+        dot_long(col("qv"), col("cvec")).as("cd"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("cd").desc, col("centroid_id").asc)
+    val probed = cellScores.withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= nProbe).select("query_id", "centroid_id")
+    // stage 1: candidate residents of the probed cells
+    val resid = probed.join(index.select("vid", "centroid_id"), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vid"))
+      .select(col("query_id"), col("vid").as("neighbor_id"))
+    // stage 2: ADC scores — LUT of exact per-subspace query·codeword
+    // dots (broadcast), summed over each candidate's codes
+    val qsub = subvectors(queries, idCol, vecCol, m, dsub)
+      .withColumnRenamed("vid", "query_id")
+    val lut = qsub.join(broadcast(books), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("centroid_id").as("code"),
+        dot_long(col("sv"), col("cvec")).as("pd"))
+    val adc = resid
+      .join(codes, resid("neighbor_id") === codes("vid"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("pd").as("adot"))
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("adot").desc, col("neighbor_id").asc)
+    val short = adc.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= shortlist).select("query_id", "neighbor_id")
+    // stage 3: exact re-rank of the shortlist only
+    val full = embeddings.select(col(idCol).as("neighbor_id"),
+      quantize_e6(col(vecCol)).as("v"))
+    val exact = short.join(q, Seq("query_id")).join(full, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot_long(col("qv"), col("v")).as("dot"))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w2).cast(IntegerType))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
+  }
+
   /** ADC top-k: approximate dot = Σ_sub LUT[query, sub, code]. */
   def adcSearch(codes: DataFrame, books: DataFrame, queries: DataFrame,
                 idCol: String, vecCol: String, m: Int, dims: Int,

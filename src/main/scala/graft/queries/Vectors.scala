@@ -283,7 +283,29 @@ object Vectors {
       .orderBy("query_id", "rank")
   }
 
+  /** v45: the FUSED compressed-retrieval pipeline
+    * ([[graft.operators.Pq.ivfAdcRerank]]) — v37's cell probing bounds
+    * the candidates, v39's ADC LUT scores only those residents, v44's
+    * exact re-rank finishes the shortlist: probe 2 cells → ADC top-20
+    * → exact top-5. The production billion-vector path; the oracle
+    * re-derives every stage (IVF index, PQ codebooks/codes, probing,
+    * LUT sums, both rankings) relationally. */
+  def v45IvfAdcRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = graft.operators.Ann.buildCentroids(emb, "vec_id", "embedding", k = 8)
+    val index = graft.operators.Ann.buildIndex(emb, "vec_id", "embedding", centroids)
+    val books = graft.operators.Pq.codebooks(emb, "vec_id", "embedding",
+      m = 4, ksub = 4, dims = 64)
+    val codes = graft.operators.Pq.encode(emb, "vec_id", "embedding",
+      books, m = 4, dims = 64)
+    graft.operators.Pq.ivfAdcRerank(index, centroids, codes, books, emb,
+        emb.filter(col("vec_id") < 30), "vec_id", "embedding",
+        m = 4, dims = 64, nProbe = 2, shortlist = 20, topK = 5)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v45_ivf_adc_rerank" -> (v45IvfAdcRerank _),
     "v39_pq_adc" -> (v39PqAdc _),
     "v40_kmeans_clusters" -> (v40KmeansClusters _),
     "v43_matryoshka_recall" -> (v43MatryoshkaRecall _),
@@ -335,7 +357,98 @@ object Vectors {
       |            row_number() OVER (PARTITION BY vid ORDER BY d DESC, centroid_id ASC) rn
       |          FROM idxd) WHERE rn = 1)""".stripMargin
 
+  /** PQ codebook/encode derivation with p-prefixed names so it can
+    * compose with [[ivfIndexCte]] (whose seeds/cent names it would
+    * otherwise collide with) — the v39 recipe verbatim: 4 subspaces ×
+    * 16 dims, lowest-id seeds, max-dot ties-lowest, one trunc-mean
+    * Lloyd step, codes by the same argmax. */
+  private val pqCtes =
+    """,
+      |qs AS (SELECT vec_id vid, r.sub,
+      |         v[r.sub*16+1 : r.sub*16+16] sv
+      |       FROM q, (SELECT unnest(range(4)) sub) r),
+      |ps AS (SELECT sub, cast(rn-1 as int) centroid_id, sv cvec FROM (
+      |         SELECT sub, sv,
+      |           row_number() OVER (PARTITION BY sub ORDER BY vid) rn
+      |         FROM qs) WHERE rn <= 4),
+      |pa0d AS (SELECT vid, sub, centroid_id, cast(sum(x*y) as bigint) d
+      |         FROM (SELECT qs.vid, qs.sub, s.centroid_id,
+      |                 unnest(qs.sv) x, unnest(s.cvec) y
+      |               FROM qs JOIN ps s ON qs.sub = s.sub)
+      |         GROUP BY vid, sub, centroid_id),
+      |pa0 AS (SELECT vid, sub, centroid_id FROM (
+      |          SELECT vid, sub, centroid_id,
+      |            row_number() OVER (PARTITION BY vid, sub
+      |                               ORDER BY d DESC, centroid_id ASC) rn
+      |          FROM pa0d) WHERE rn = 1),
+      |pcm AS (SELECT sub, centroid_id, pos,
+      |          cast(trunc(sum(x) * 1.0 / count(x)) as bigint) cx
+      |        FROM (SELECT pa0.sub, pa0.centroid_id,
+      |                unnest(qs.sv) x, unnest(range(len(qs.sv))) pos
+      |              FROM pa0 JOIN qs ON pa0.vid = qs.vid AND pa0.sub = qs.sub)
+      |        GROUP BY sub, centroid_id, pos),
+      |pcent AS (SELECT sub, centroid_id, list(cx ORDER BY pos) cvec
+      |          FROM pcm GROUP BY sub, centroid_id),
+      |encd AS (SELECT vid, sub, centroid_id, cast(sum(x*y) as bigint) d
+      |         FROM (SELECT qs.vid, qs.sub, c.centroid_id,
+      |                 unnest(qs.sv) x, unnest(c.cvec) y
+      |               FROM qs JOIN pcent c ON qs.sub = c.sub)
+      |         GROUP BY vid, sub, centroid_id),
+      |enc AS (SELECT vid, sub, centroid_id code FROM (
+      |          SELECT vid, sub, centroid_id,
+      |            row_number() OVER (PARTITION BY vid, sub
+      |                               ORDER BY d DESC, centroid_id ASC) rn
+      |          FROM encd) WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "v45_ivf_adc_rerank" ->
+      // the fused pipeline: shared IVF index (cent/idx) + PQ codebooks
+      // and codes (p-prefixed CTEs) + 2-probe cell selection + LUT-sum
+      // ADC over probed residents + top-20 shortlist + exact top-5
+      (ivfIndexCte + pqCtes +
+      """,
+        |qv AS (SELECT vid query_id, v FROM qq WHERE vid < 30),
+        |celld AS (SELECT query_id, centroid_id, cast(sum(x*y) as bigint) cd
+        |          FROM (SELECT qv.query_id, c.centroid_id,
+        |                  unnest(qv.v) x, unnest(c.cvec) y
+        |                FROM qv, cent c)
+        |          GROUP BY query_id, centroid_id),
+        |probed AS (SELECT query_id, centroid_id FROM (
+        |             SELECT query_id, centroid_id,
+        |               row_number() OVER (PARTITION BY query_id
+        |                                  ORDER BY cd DESC, centroid_id ASC) rn
+        |             FROM celld) WHERE rn <= 2),
+        |resid AS (SELECT p.query_id, i.vid neighbor_id
+        |          FROM probed p JOIN idx i USING (centroid_id)
+        |          WHERE i.vid <> p.query_id),
+        |lut AS (SELECT query_id, sub, centroid_id, cast(sum(x*y) as bigint) pd
+        |        FROM (SELECT qs.vid query_id, qs.sub, c.centroid_id,
+        |                unnest(qs.sv) x, unnest(c.cvec) y
+        |              FROM qs JOIN pcent c ON qs.sub = c.sub
+        |              WHERE qs.vid < 30)
+        |        GROUP BY query_id, sub, centroid_id),
+        |adc AS (SELECT r.query_id, r.neighbor_id, cast(sum(l.pd) as bigint) adot
+        |        FROM resid r JOIN enc e ON e.vid = r.neighbor_id
+        |        JOIN lut l ON l.query_id = r.query_id AND l.sub = e.sub
+        |                  AND l.centroid_id = e.code
+        |        GROUP BY r.query_id, r.neighbor_id),
+        |shl AS (SELECT query_id, neighbor_id FROM (
+        |          SELECT query_id, neighbor_id,
+        |            row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY adot DESC, neighbor_id ASC) rn
+        |          FROM adc) WHERE rn <= 20),
+        |exact AS (SELECT query_id, neighbor_id, cast(sum(x*y) as bigint) dot
+        |          FROM (SELECT sh.query_id, sh.neighbor_id,
+        |                  unnest(qv.v) x, unnest(f.v) y
+        |                FROM shl sh JOIN qv ON qv.query_id = sh.query_id
+        |                JOIN qq f ON f.vid = sh.neighbor_id)
+        |          GROUP BY query_id, neighbor_id),
+        |rk AS (SELECT query_id, neighbor_id, dot,
+        |         cast(row_number() OVER (PARTITION BY query_id
+        |                ORDER BY dot DESC, neighbor_id ASC) as int) rank
+        |       FROM exact)
+        |SELECT query_id, rank, neighbor_id, dot FROM rk
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "v44_int8_rerank" ->
       // stats → codes → reconstruction (v42's law) → coarse top-20 on
       // reconstructed dots → exact top-5 re-rank

@@ -187,4 +187,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles(plan) <= 10, // seed + assign/refine aggs + probe join + rank
       s"shuffle count grew past 10 in:\n$plan")
   }
+
+  test("v45 fused retrieval: small frames broadcast, no cartesian over the corpus") {
+    val plan = planOf(queries.Vectors.v45IvfAdcRerank(spark, dir))
+    // centroids (x2: probe + index build), codebooks (x2: encode + LUT)
+    // and the per-query LUT must all ride broadcasts; the only
+    // corpus-width joins are equi-joins on probed cells / vid
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 4,
+      s"centroid/codebook/LUT broadcasts missing in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in the fused pipeline:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, // partial+final ADC sums
+      s"ADC sum lost its partial aggregate in:\n$plan")
+  }
 }
