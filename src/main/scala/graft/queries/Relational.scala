@@ -306,6 +306,29 @@ object Relational {
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"),
         col("lvl"))
 
+  /** q82: arbitrary GROUPING SETS — the general form behind q78's
+    * ROLLUP and q80's CUBE: an explicit mixed set list
+    * ((flag, linenumber), (flag), (linestatus), ()) that no rollup/cube
+    * shorthand expresses, with `grouping_id()` disambiguating levels
+    * (bit order: first grouping column = most significant, the
+    * convention q78/q80 already pinned against DuckDB's GROUPING()).
+    * One pass over the scan — Spark expands the sets in a single
+    * Expand + aggregate, not one job per set. */
+  def q82GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_linenumber"),
+        cents(col("l_extendedprice")).as("cents"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linenumber")),
+          Seq(col("l_returnflag")),
+          Seq(col("l_linestatus")),
+          Seq.empty),
+        col("l_returnflag"), col("l_linestatus"), col("l_linenumber"))
+      .agg(grouping_id().cast("int").as("lvl"),
+        count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"),
+        asc_nulls_first("l_linenumber"), col("lvl"))
+
   /** q81: INTERSECT / EXCEPT — the two §2.6 set operations not yet
     * gated in SQL-set form (q10-q12 cover union/anti/semi): event
     * types seen in BOTH user halves vs only the younger half, tagged
@@ -324,6 +347,7 @@ object Relational {
     "q66_salted_join" -> (q66SaltedJoin _),
     "q78_rollup" -> (q78Rollup _),
     "q80_cube" -> (q80Cube _),
+    "q82_grouping_sets" -> (q82GroupingSets _),
     "q81_set_ops" -> (q81SetOps _),
     "q43_event_windows" -> (q43EventWindows _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -365,6 +389,16 @@ object Relational {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, lvl""".stripMargin,
+    "q82_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, l_linenumber,
+        |  CAST(GROUPING(l_returnflag, l_linestatus, l_linenumber) AS INT) lvl,
+        |  CAST(count(*) AS BIGINT) n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) sum_cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linenumber), (l_returnflag),
+        |                        (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+        |  l_linenumber NULLS FIRST, lvl""".stripMargin,
     "q81_set_ops" ->
       """WITH a AS (SELECT event_type FROM events WHERE user_id < 25),
         |b AS (SELECT event_type FROM events WHERE user_id >= 25)
