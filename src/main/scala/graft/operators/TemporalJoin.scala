@@ -20,24 +20,34 @@ import org.apache.spark.sql.types.{StructField, StructType}
   */
 object TemporalJoin {
 
-  /** Left as-of join: for every left row, the right row with the largest
-    * `rightTime` ≤ `leftTime` within the same `keys`. Right value
-    * columns come back null when no such row exists (or when it is
-    * older than `toleranceNs`, if set). `rightTime` is emitted as
-    * `<rightTimeCol>_matched`.
+  /** Left as-of join. Backward (the default): for every left row, the
+    * right row with the LARGEST `rightTime` ≤ `leftTime` within the
+    * same `keys`. Forward (`direction = "forward"`): the SMALLEST
+    * `rightTime` ≥ `leftTime` — the "next state" lookup (next signup,
+    * next price tick). Right value columns come back null when no such
+    * row exists (or when it is further than `toleranceNs` from the
+    * left time, if set — the bounded `within`). `rightTime` is emitted
+    * as `<rightTimeCol>_matched`.
     *
     * The matched right row is carried as ONE struct with a single
-    * last(ignoreNulls=true): null right-side VALUES inside the matched
-    * row are preserved (a null in one value column must not resurrect a
-    * stale non-null from an older right row — true as-of semantics,
-    * matching DuckDB ASOF JOIN).
+    * last/first(ignoreNulls=true): null right-side VALUES inside the
+    * matched row are preserved (a null in one value column must not
+    * resurrect a stale non-null from another right row — true as-of
+    * semantics, matching DuckDB ASOF JOIN in both directions).
     *
     * Time columns must be mutually comparable and totally ordered
     * (epoch numbers or timestamps).
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
-               toleranceNs: Option[Long] = None): DataFrame = {
+               toleranceNs: Option[Long] = None,
+               direction: String = "backward"): DataFrame = {
+    val backward = direction match {
+      case "backward" => true
+      case "forward" => false
+      case other => throw new IllegalArgumentException(
+        s"""direction must be "backward" or "forward", got "$other"""")
+    }
     val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftTime)
     val rightCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
 
@@ -45,38 +55,48 @@ object TemporalJoin {
     val rFields = rightTime +: rightCols
     val rStructType = StructType(rFields.map(c => StructField(c, right.schema(c).dataType)))
 
+    // at equal times the right row must fall INSIDE the left row's
+    // frame — inclusive as-of semantics, matching ASOF JOIN: backward
+    // frames end at the current row, so rights sort first (side 0 vs
+    // 1); forward frames start at it, so rights sort last (1 vs 0)
+    val (leftSide, rightSide) = if (backward) (1, 0) else (0, 1)
+
     val taggedLeft = left
       .withColumn("__t", col(leftTime))
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(leftSide))
       .withColumn("__r", lit(null).cast(rStructType))
       .select(keys.map(col) ++ Seq(col("__t"), col("__side"), col("__r")) ++
         leftCols.map(col): _*)
 
     val taggedRight = right
       .withColumn("__t", col(rightTime))
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(rightSide))
       .withColumn("__r", struct(rFields.map(col): _*))
       .select(keys.map(col) ++ Seq(col("__t"), col("__side"), col("__r")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
-    // at equal times the right row sorts first (side 0) so the left row
-    // sees it — inclusive `>=` as-of semantics, matching ASOF JOIN
-    val w = Window.partitionBy(keys.map(col): _*)
+    val base = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w =
+      if (backward) base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carry =
+      if (backward) last(col("__r"), ignoreNulls = true)
+      else first(col("__r"), ignoreNulls = true)
 
     val carried = taggedLeft.unionByName(taggedRight)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__m", carry.over(w))
     val matchedRt = col("__m")(rightTime)
 
+    val gap =
+      if (backward) col("__t").cast("long") - matchedRt.cast("long")
+      else matchedRt.cast("long") - col("__t").cast("long")
     val inTolerance = toleranceNs match {
-      case Some(tol) =>
-        matchedRt.isNotNull &&
-          (col("__t").cast("long") - matchedRt.cast("long")) <= tol
+      case Some(tol) => matchedRt.isNotNull && gap <= tol
       case None => matchedRt.isNotNull
     }
 
-    carried.filter(col("__side") === 1)
+    carried.filter(col("__side") === leftSide)
       .select(keys.map(col) ++
         Seq(col("__t").as(leftTime)) ++
         leftCols.map(col) ++

@@ -87,6 +87,49 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** q83: FORWARD as-of join — every purchase picks up the user's NEXT
+    * signup at-or-after the purchase time (the "next state" lookup:
+    * next price tick, next snapshot). Same union+window machinery as
+    * q44's backward form, frame flipped to currentRow→following with
+    * first(ignoreNulls); the oracle is DuckDB's native forward ASOF
+    * (`p.ts <= s.ts`). */
+  def q83AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("snap_ts"),
+        col("value").as("snap_value"))
+    TemporalJoin.asOfJoin(purchases, signups, Seq("user_id"), "ts", "snap_ts",
+        direction = "forward")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"),
+        expr("snap_ts_matched div 1000").as("snap_ts_us"),
+        col("snap_value"))
+      .orderBy("event_id")
+  }
+
+  /** q84: forward as-of with a bounded tolerance — the next click
+    * within 7 DAYS of the purchase (matches further out come back
+    * null, time and value atomically). The `within`-bound shape in the
+    * forward direction, completing the 2×2 of (direction × bounded)
+    * with q44/q76/q83. */
+  def q84AsofForwardTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    TemporalJoin.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts",
+        toleranceNs = Some(7L * 24 * 3600 * 1000000000L), direction = "forward")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"),
+        expr("click_ts_matched div 1000").as("click_ts_us"),
+        col("click_value"))
+      .orderBy("event_id")
+  }
+
   /** q77: moving-frame aggregate — per-user rolling sum/min over the
     * last 3 purchases (ROWS frame, deterministic event_id tie-break,
     * integer cents). The windowed-feature shape of a behavioral
@@ -135,6 +178,8 @@ object Temporal {
     "q73_range_join" -> (q73RangeJoin _),
     "q76_attribution_join" -> (q76AttributionJoin _),
     "q77_moving_window" -> (q77MovingWindow _),
+    "q83_asof_forward" -> (q83AsofForward _),
+    "q84_asof_forward_tol" -> (q84AsofForwardTolerance _),
     "q79_range_rewrite" -> (q79RangeRewrite _))
 
   private val oraclesBase: Map[String, String] = Map(
@@ -186,6 +231,32 @@ object Temporal {
         |       THEN s.click_value END AS click_value
         |FROM p ASOF LEFT JOIN c s
         |  ON p.user_id = s.user_id AND p.ts >= s.click_ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q83_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) ts, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |snap AS (SELECT user_id, epoch_ns(ts) snap_ts, value snap_value
+        |         FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id,
+        |       p.ts // 1000 AS ts_us,
+        |       s.snap_ts // 1000 AS snap_ts_us, s.snap_value
+        |FROM p ASOF LEFT JOIN snap s
+        |  ON p.user_id = s.user_id AND p.ts <= s.snap_ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q84_asof_forward_tol" ->
+      // forward ASOF match, then the 7-day window nulls out far
+      // matches — both the time and the carried value, atomically
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ns(ts) click_ts, value click_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts // 1000 AS ts_us,
+        |  CASE WHEN s.click_ts <= p.ts + 604800000000000
+        |       THEN s.click_ts // 1000 END AS click_ts_us,
+        |  CASE WHEN s.click_ts <= p.ts + 604800000000000
+        |       THEN s.click_value END AS click_value
+        |FROM p ASOF LEFT JOIN c s
+        |  ON p.user_id = s.user_id AND p.ts <= s.click_ts
         |ORDER BY p.event_id""".stripMargin,
     "q77_moving_window" ->
       """SELECT event_id, user_id,

@@ -48,6 +48,34 @@ class TemporalJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out.length === 4)
   }
 
+  test("forward direction: earliest at-or-after match, inclusive at equal time") {
+    val fwd = TemporalJoin.asOfJoin(left, right, Seq("k"), "t", "rt",
+      direction = "forward").orderBy("k", "t").collect()
+    assert(fwd.map(r => (r.getAs[String]("k"), r.getAs[Long]("t"),
+      r.getAs[String]("state"))).toSeq === Seq(
+      ("k1", 10L, "R15"),   // next right row after t=10
+      ("k1", 20L, "R20"),   // equal timestamp matches (inclusive <=)
+      ("k2", 5L, null),
+      ("k3", 7L, null)))
+    assert(fwd(0).getAs[Long]("rt_matched") === 15L)
+  }
+
+  test("forward tolerance nulls out far-future matches") {
+    val tight = TemporalJoin.asOfJoin(left, right, Seq("k"), "t", "rt",
+      toleranceNs = Some(2L), direction = "forward").orderBy("k", "t").collect()
+    // k1@10 matched R15 at distance 5 > 2 → nulled; k1@20 matched R20 at 0 → kept
+    assert(tight(0).isNullAt(tight(0).fieldIndex("state")))
+    assert(tight(1).getAs[String]("state") === "R20")
+  }
+
+  test("unknown direction fails loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      TemporalJoin.asOfJoin(left, right, Seq("k"), "t", "rt",
+        direction = "sideways")
+    }
+    assert(ex.getMessage.contains("backward"))
+  }
+
   test("null value in the matched right row stays null (no stale leak)") {
     // the matched (latest at-or-before) row has state=null but score=200;
     // the OLDER row has state="R8". True as-of semantics (DuckDB ASOF
