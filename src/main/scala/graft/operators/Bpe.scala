@@ -54,6 +54,23 @@ object Bpe {
       },
       acc => acc.getField("out"))
 
+  /** Segment `wCol` into BPE symbols by replaying a trained merge list
+    * IN ORDER (each step leftmost-greedy, exactly as training was) —
+    * the apply side of the tokenizer: train once with [[trainMerges]],
+    * segment any corpus with the resulting table. Returns the input
+    * plus `syms` (array<string>). Pure column expressions end to end;
+    * callers tokenizing a corpus should segment the DISTINCT word
+    * frame and join back (the same heavy-hitters reduction training
+    * uses). */
+  def segment(words: DataFrame, wCol: String,
+              merges: Seq[(String, String)]): DataFrame = {
+    val init = words.withColumn("syms",
+      expr(s"transform(sequence(1, length($wCol)), i -> substring($wCol, i, 1))"))
+    merges.foldLeft(init) { case (df, (l, r)) =>
+      df.withColumn("syms", mergeOnce(col("syms"), l, r))
+    }
+  }
+
   /** Train `budget` merges over `words` (a (word, frequency) table;
     * rows must be distinct words). Returns the merge table
     * (step, lhs, rhs, n) in merge order — step 1-based, `n` the

@@ -159,6 +159,33 @@ object ShapeGate {
       .orderBy("step")
   }
 
+  /** t72: BPE APPLY — train 8 merges (t71's loop), then tokenize the
+    * whole corpus with the learned table ([[graft.operators.Bpe
+    * .segment]] over the distinct-word frame, joined back to the
+    * corpus): per-document word count and post-merge BPE token count —
+    * the number a sequence-packing/budgeting pipeline actually needs.
+    * The oracle replays the same 8 unrolled steps and counts seg9
+    * rows per word (words too short to train fall back to their own
+    * length-1 segmentation). */
+  def t72BpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = words.filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val merges = graft.operators.Bpe.trainMerges(vocab, "w", "freq", budget = 8)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val segged = graft.operators.Bpe.segment(words.distinct(), "w", merges)
+      .select(col("w"), size(col("syms")).cast("long").as("n_syms"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(segged, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** One unrolled BPE step for the t71 oracle: pair counts over the
     * current segmentation, top-1 with the (n desc, lhs, rhs) tie-break,
     * then leftmost-greedy re-segmentation — merge starts where the pair
@@ -212,6 +239,32 @@ object ShapeGate {
        |) ORDER BY step""".stripMargin
   }
 
+  /** t72 oracle: the t71 step chain, then seg(budget+1) rows per word
+    * = post-merge symbol counts, rolled up per document (length-1
+    * words never trained: 1 symbol each). */
+  private def bpeTokenizeOracleSql(budget: Int): String = {
+    val base = Seq(
+      """wf AS (
+        |  SELECT w, cast(count(*) as bigint) freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) w FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w)""".stripMargin,
+      """seg1 AS (
+        |  SELECT w, freq, CAST(t.i AS INT) pos, substr(w, CAST(t.i AS INT), 1) sym
+        |  FROM wf, UNNEST(range(1, length(w) + 1)) t(i))""".stripMargin)
+    val ctes = base ++ (1 to budget).flatMap(bpeStepCtes) ++ Seq(
+      s"""wsym AS (SELECT w, cast(count(*) as bigint) n_syms
+         |         FROM seg${budget + 1} GROUP BY w)""".stripMargin,
+      """allw AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) w
+        |  FROM documents)""".stripMargin,
+      """j AS (SELECT doc_id, coalesce(s.n_syms, 1) n_syms
+        |      FROM allw LEFT JOIN wsym s USING (w))""".stripMargin)
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT doc_id, cast(count(*) as bigint) n_words,
+       |  cast(sum(n_syms) as bigint) n_bpe_tokens
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** t70: unigram-surprisal quality signal — the statistical LM
     * filter: each token's surprisal ≈ log2(corpusTokens / termFreq),
     * computed as a bit-length difference so it stays in exact integer
@@ -241,6 +294,7 @@ object ShapeGate {
     "t66_pagerank" -> (t66Pagerank _),
     "t67_bpe_pairs" -> (t67BpePairs _),
     "t71_bpe_merges" -> (t71BpeMerges _),
+    "t72_bpe_tokenize" -> (t72BpeTokenize _),
     "t70_unigram_surprisal" -> (t70UnigramSurprisal _),
     "t58_tfidf_top_terms" -> (t58TfidfTopTerms _),
     "t59_domain_stats" -> (t59DomainStats _),
@@ -250,6 +304,7 @@ object ShapeGate {
 
   val oracles: Map[String, String] = Map(
     "t71_bpe_merges" -> bpeOracleSql(8),
+    "t72_bpe_tokenize" -> bpeTokenizeOracleSql(8),
     "t70_unigram_surprisal" ->
       // surprisal as bit-length difference (exact integer log2 gap)
       """WITH toks AS (SELECT doc_id,

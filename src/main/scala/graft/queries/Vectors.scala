@@ -304,8 +304,23 @@ object Vectors {
       .orderBy("query_id", "rank")
   }
 
+  /** v46: recall evaluation of the fused compressed path — per query,
+    * how many of v45's final top-5 are in the EXACT brute-force top-5
+    * (the v43 shape applied to the production pipeline: the number
+    * that decides whether nProbe=2/shortlist=20 are safe). */
+  def v46FusedRecall(s: SparkSession, dir: String): DataFrame = {
+    val fused = v45IvfAdcRerank(s, dir).select("query_id", "neighbor_id")
+    val exact = bruteForceTopK(s, dir, nQueries = 30, k = 5)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    fused.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "v45_ivf_adc_rerank" -> (v45IvfAdcRerank _),
+    "v46_fused_recall" -> (v46FusedRecall _),
     "v39_pq_adc" -> (v39PqAdc _),
     "v40_kmeans_clusters" -> (v40KmeansClusters _),
     "v43_matryoshka_recall" -> (v43MatryoshkaRecall _),
@@ -400,12 +415,13 @@ object Vectors {
       |                               ORDER BY d DESC, centroid_id ASC) rn
       |          FROM encd) WHERE rn = 1)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "v45_ivf_adc_rerank" ->
-      // the fused pipeline: shared IVF index (cent/idx) + PQ codebooks
-      // and codes (p-prefixed CTEs) + 2-probe cell selection + LUT-sum
-      // ADC over probed residents + top-20 shortlist + exact top-5
-      (ivfIndexCte + pqCtes +
+  /** The fused pipeline's full CTE chain (shared by v45 and the v46
+    * recall evaluation): shared IVF index (cent/idx) + PQ codebooks
+    * and codes (p-prefixed CTEs) + 2-probe cell selection + LUT-sum
+    * ADC over probed residents + top-20 shortlist + exact top-5 in
+    * `rk`. */
+  private val fusedCtes =
+    (ivfIndexCte + pqCtes +
       """,
         |qv AS (SELECT vid query_id, v FROM qq WHERE vid < 30),
         |celld AS (SELECT query_id, centroid_id, cast(sum(x*y) as bigint) cd
@@ -446,9 +462,34 @@ object Vectors {
         |rk AS (SELECT query_id, neighbor_id, dot,
         |         cast(row_number() OVER (PARTITION BY query_id
         |                ORDER BY dot DESC, neighbor_id ASC) as int) rank
-        |       FROM exact)
+        |       FROM exact)""".stripMargin)
+
+  val oracles: Map[String, String] = Map(
+    "v45_ivf_adc_rerank" ->
+      (fusedCtes +
+      """
         |SELECT query_id, rank, neighbor_id, dot FROM rk
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "v46_fused_recall" ->
+      // recall of the compressed path against the exact brute-force
+      // top-5 — the evaluation that tunes nProbe/shortlist
+      (fusedCtes +
+      """,
+        |fused AS (SELECT query_id, neighbor_id FROM rk WHERE rank <= 5),
+        |bfd AS (SELECT query_id, neighbor_id, cast(sum(x*y) as bigint) dot
+        |        FROM (SELECT qv.query_id, f.vid neighbor_id,
+        |                unnest(qv.v) x, unnest(f.v) y
+        |              FROM qv, qq f WHERE f.vid <> qv.query_id)
+        |        GROUP BY 1, 2),
+        |bfr AS (SELECT query_id, neighbor_id FROM (
+        |          SELECT query_id, neighbor_id,
+        |            row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY dot DESC, neighbor_id) rn
+        |          FROM bfd) WHERE rn <= 5)
+        |SELECT f.query_id, cast(count(b.neighbor_id) as bigint) n_overlap
+        |FROM fused f LEFT JOIN bfr b
+        |  ON f.query_id = b.query_id AND f.neighbor_id = b.neighbor_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     "v44_int8_rerank" ->
       // stats → codes → reconstruction (v42's law) → coarse top-20 on
       // reconstructed dots → exact top-5 re-rank

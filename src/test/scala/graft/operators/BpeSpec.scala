@@ -84,6 +84,21 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("segment replays the trained merges (apply == training's re-segmentation)") {
+    val words = Seq(("abab", 4L), ("aabb", 2L), ("ba", 1L), ("c", 1L))
+    val merges = run(words, 3).map(m => (m._2, m._3))
+    val got = Bpe.segment(words.map(_._1).toDF("w"), "w", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val ref = words.map { case (w, _) =>
+      w -> merges.foldLeft(w.map(_.toString).toVector) {
+        case (s, (l, r)) => mergeWord(s, l, r)
+      }.toList
+    }.toMap
+    assert(got == ref, s"segment diverged from the reference fold: $got vs $ref")
+    // length-1 words segment to themselves untouched
+    assert(got("c") == List("c"))
+  }
+
   test("budget past exhaustion stops early; reliable mode agrees") {
     val words = Seq(("ab", 3L), ("ba", 1L))
     // pairs: ab(3), ba(1) -> merge 1 ab, then word 'ab' is one symbol;
