@@ -71,6 +71,51 @@ object Bpe {
     }
   }
 
+  /** [[segment]] for PRODUCTION-SIZED merge tables: the fold form adds
+    * one plan node per merge — fine for a gate's 8 merges, unusable at
+    * a real tokenizer's ~30k. This form broadcasts the merge RANKING
+    * into one UDF that repeatedly applies the lowest-ranked applicable
+    * pair per word — O(len²·lookup) per word, independent of vocab
+    * size. Output is identical to the fold (BpeSpec pins it): applying
+    * a merge can never make a LOWER-ranked pair newly applicable,
+    * because the merged symbol was created at its own rank and only
+    * feeds higher-ranked merges — so rank-priority order and training
+    * order coincide. A UDF is warranted here (the per-word loop count
+    * is data-dependent; no Catalyst expression can express it). */
+  def segmentWithVocab(words: DataFrame, wCol: String,
+                       merges: Seq[(String, String)]): DataFrame = {
+    val mergeArr = merges.toArray
+    val rank: Map[(String, String), Int] = mergeArr.zipWithIndex.toMap
+    val seg = udf { (w: String) =>
+      var syms = w.map(_.toString).toArray
+      var done = syms.length < 2
+      while (!done) {
+        var best = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+          if (r < best) best = r
+          i += 1
+        }
+        if (best == Int.MaxValue) done = true
+        else {
+          val (l, r) = mergeArr(best)
+          val out = Array.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+              out += (l + r); j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          syms = out.result()
+          done = syms.length < 2
+        }
+      }
+      syms.toSeq
+    }
+    words.withColumn("syms", seg(col(wCol)))
+  }
+
   /** Train `budget` merges over `words` (a (word, frequency) table;
     * rows must be distinct words). Returns the merge table
     * (step, lhs, rhs, n) in merge order — step 1-based, `n` the

@@ -109,6 +109,47 @@ object CorpusShape {
       .agg(count(lit(1)).cast(LongType).as("n"), picks: _*)
   }
 
+  /** Exact UNGROUPED positional quantiles at corpus scale — the path
+    * [[groupQuantiles]]' doc promises for global distributions: sort
+    * by value via range partitioning, locate the 1-based positions
+    * `ceil(num·n / den)` with the distributed prefix count (the
+    * [[shuffleShards]] trick — per-partition counts, one bounded
+    * numPartitions-row collect, NEVER a single-partition global
+    * window), then pull exactly the |qs| rows at those positions.
+    * Returns ONE row: (n, <one column per quantile>); all-null
+    * quantiles when the input is empty. */
+  def globalQuantiles(df: DataFrame, valueCol: String,
+                      qs: Seq[(String, Int, Int)]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.select(col(valueCol).cast(LongType).as("__v"))
+      .repartitionByRange(col("__v")).sortWithinPartitions("__v")
+    // pin partition contents across the two passes (same rationale as
+    // shuffleShards)
+    val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = rdd
+      .mapPartitionsWithIndex { (i, it) => Iterator.single((i, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val n = offsets.last
+    val positions = qs.map { case (_, num, den) => (num * n + den - 1) / den }
+    val posSet = positions.toSet
+    val picked: Map[Long, Long] =
+      if (n == 0) Map.empty
+      else rdd.mapPartitionsWithIndex { (i, it) =>
+        var p = offsets(i)
+        it.flatMap { r =>
+          p += 1
+          if (posSet.contains(p)) Iterator((p, r.getLong(0))) else Iterator.empty
+        }
+      }.collect().toMap // bounded: at most |qs| rows
+    val schema = StructType(StructField("n", LongType, nullable = false) +:
+      qs.map { case (name, _, _) => StructField(name, LongType, nullable = true) })
+    val row = Row.fromSeq(n +: positions.map(p =>
+      picked.get(p).map(java.lang.Long.valueOf).orNull))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), numSlices = 1), schema)
+  }
+
   /** Token-budget mixture sampling: within each source, take documents
     * in deterministic hash order until the source's token budget is
     * reached (inclusive running sum ≤ budget). `budget` and `tokens`

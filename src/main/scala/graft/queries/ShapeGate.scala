@@ -94,6 +94,18 @@ object ShapeGate {
         Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
       .orderBy("source")
 
+  /** t73: exact GLOBAL token-length quantiles — the ungrouped
+    * counterpart of t62 ([[CorpusShape.globalQuantiles]]): one
+    * (n, p50, p90, p99) row over the whole corpus via range partition
+    * + distributed prefix count, never a single-partition window. The
+    * oracle states the same positional definition with one global
+    * window (DuckDB's planner can afford it; the engine must not). */
+  def t73GlobalQuantiles(s: SparkSession, dir: String): DataFrame =
+    CorpusShape.globalQuantiles(
+      Tables.documents(s, dir).select(tokenCount(col("text")).as("n_tokens")),
+      "n_tokens",
+      Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+
   /** t63: Zipf shape of the vocabulary — document-frequency histogram
     * in power-of-two buckets. The log2 bucket is exact integer
     * arithmetic on BOTH engines (`length(bin(df)) - 1`), never a float
@@ -295,6 +307,7 @@ object ShapeGate {
     "t67_bpe_pairs" -> (t67BpePairs _),
     "t71_bpe_merges" -> (t71BpeMerges _),
     "t72_bpe_tokenize" -> (t72BpeTokenize _),
+    "t73_global_quantiles" -> (t73GlobalQuantiles _),
     "t70_unigram_surprisal" -> (t70UnigramSurprisal _),
     "t58_tfidf_top_terms" -> (t58TfidfTopTerms _),
     "t59_domain_stats" -> (t59DomainStats _),
@@ -305,6 +318,17 @@ object ShapeGate {
   val oracles: Map[String, String] = Map(
     "t71_bpe_merges" -> bpeOracleSql(8),
     "t72_bpe_tokenize" -> bpeTokenizeOracleSql(8),
+    "t73_global_quantiles" ->
+      // the same 1-based positional definition as t62, one global row
+      """WITH d AS (SELECT
+        |    cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) v
+        |  FROM documents),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) rn, count(*) OVER () n FROM d)
+        |SELECT cast(max(n) as bigint) n,
+        |  cast(max(CASE WHEN rn = (1 * n + 1) // 2 THEN v END) as bigint) p50,
+        |  cast(max(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) as bigint) p90,
+        |  cast(max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) as bigint) p99
+        |FROM r""".stripMargin,
     "t70_unigram_surprisal" ->
       // surprisal as bit-length difference (exact integer log2 gap)
       """WITH toks AS (SELECT doc_id,

@@ -70,6 +70,28 @@ class CorpusShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("property: globalQuantiles equals the sorted-array definition") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val vals = (0 until 300).map(i => sample(Gen.chooseNum(0L, 1000L), i * 11L + 5))
+    val row = operators.CorpusShape.globalQuantiles(vals.toDF("v"), "v",
+      Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))).collect().head
+    val sorted = vals.sorted
+    val n = sorted.length.toLong
+    def pick(num: Long, den: Long) = sorted(((num * n + den - 1) / den - 1).toInt)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((n, pick(1, 2), pick(9, 10), pick(99, 100))),
+      "global quantiles diverged from the sorted-array definition")
+  }
+
+  test("globalQuantiles on empty input: n = 0, null quantiles") {
+    val row = operators.CorpusShape.globalQuantiles(
+      Seq.empty[Long].toDF("v"), "v", Seq(("p50", 1, 2))).collect().head
+    assert(row.getLong(0) == 0L && row.isNullAt(1))
+  }
+
   test("tfidfTopTerms: at most k rows per doc, scores non-increasing in rank") {
     val out = CorpusShape.tfidfTopTerms(docs, "doc_id", "text", k = 3).cache()
     assert(out.groupBy("doc_id").count().filter(col("count") > 3).count() == 0)

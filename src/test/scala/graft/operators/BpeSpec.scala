@@ -99,6 +99,25 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(got("c") == List("c"))
   }
 
+  test("segmentWithVocab (priority UDF) equals segment (fold) on random words") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val words = (0 until 80).map { i =>
+      val len = sample(Gen.chooseNum(1, 12), 5000L + i)
+      ((0 until len).map(j => sample(Gen.oneOf('a', 'b', 'c'), 9000L + i * 37L + j))
+        .mkString, 1L + i % 4)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val merges = run(words, 10).map(m => (m._2, m._3))
+    val wdf = words.map(_._1).toDF("w")
+    def seq(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(seq(Bpe.segmentWithVocab(wdf, "w", merges)) ==
+      seq(Bpe.segment(wdf, "w", merges)),
+      "the production priority-loop apply diverged from the fold")
+  }
+
   test("budget past exhaustion stops early; reliable mode agrees") {
     val words = Seq(("ab", 3L), ("ba", 1L))
     // pairs: ab(3), ba(1) -> merge 1 ab, then word 'ab' is one symbol;
