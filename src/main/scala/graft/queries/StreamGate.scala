@@ -293,6 +293,49 @@ object StreamGate {
     s.read.parquet(out).orderBy("asset_id")
   }
 
+  /** t74: STREAMING BPE tokenize — the continuously-ingesting corpus
+    * tokenization shape: the merge table and the distinct-word
+    * segmentation are trained ONCE on the static corpus (the vocab
+    * artifact a production pipeline ships), then every micro-batch of
+    * documents joins its words against that static segmentation and
+    * rolls up per document exactly as batch t72. Uses
+    * [[graft.operators.Bpe.segmentWithVocab]] — so the PRODUCTION
+    * priority-loop apply is itself oracle-gated here, against the same
+    * unrolled replay t72's fold form passes. Per-doc work +
+    * stream-static equi-join only, so AvailableNow micro-batch slicing
+    * must be semantically invisible. */
+  def t74StreamBpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val batchDocs = graft.Tables.documents(s, dir)
+    val words = batchDocs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = words.filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val merges = graft.operators.Bpe.trainMerges(vocab, "w", "freq", budget = 8)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // static side: segmented once, materialized, joined into every batch
+    val segged = graft.operators.Bpe.segmentWithVocab(words.distinct(), "w", merges)
+      .select(col("w"), size(col("syms")).cast("long").as("n_syms"))
+      .localCheckpoint()
+    val out = java.nio.file.Files.createTempDirectory("graft_t74_").toString
+    val stream = s.readStream.schema(batchDocs.schema)
+      .parquet(s"$dir/documents.parq*")
+    val query = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .join(segged, Seq("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe_tokens"))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
   /** q74: STREAMING as-of join — purchases arrive as a stream and each
     * micro-batch picks up the user's latest signup state at-or-before
     * the purchase time from a STATIC snapshot (the enrichment shape of
@@ -367,6 +410,7 @@ object StreamGate {
     "q74_stream_asof_join" -> (q74StreamAsofJoin _),
     "t54_stream_media_decode" -> (t54StreamMediaDecode _),
     "t47_stream_decontaminate" -> (t47StreamDecontaminate _),
+    "t74_stream_bpe_tokenize" -> (t74StreamBpeTokenize _),
     "q60_stream_windowed_agg" -> (q60StreamWindowedAgg _),
     "q61_stream_dedup" -> (q61StreamDedup _),
     "q62_stream_sessions" -> (q62StreamSessions _),
@@ -416,6 +460,8 @@ object StreamGate {
   lazy val oracles: Map[String, String] = Map(
     // identical answer contract as batch t42 — same oracle derivation
     "t47_stream_decontaminate" -> TextDedup.oracles("t42_decontaminate"),
+    // micro-batch slicing must be invisible: same oracle as batch t72
+    "t74_stream_bpe_tokenize" -> ShapeGate.oracles("t72_bpe_tokenize"),
     // identical answer contract as batch t44 — same pixel-law oracle
     "t54_stream_media_decode" -> ImagePixels.oracles("t44_png_pixel_stats"),
     // identical answer contract as batch q44 — same native-ASOF oracle
