@@ -306,6 +306,29 @@ object Relational {
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"),
         col("lvl"))
 
+  /** q85: the analytic-window family beyond q17's row_number — rank,
+    * dense_rank, ntile, lead/lag (with defaults), first_value — in one
+    * pass over one window spec (ties broken by key so every function
+    * is deterministic; integer cents for the offsets). The remaining
+    * SQL-window surface a warehouse user expects. */
+  def q85WindowFamily(s: SparkSession, dir: String): DataFrame = {
+    // order by the same exact-integer expression the oracle orders by
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("cents").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("cents"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("next_cents", lead(col("cents"), 1, 0L).over(w))
+      .withColumn("prev_cents", lag(col("cents"), 1, -1L).over(w))
+      .withColumn("top_cents", first(col("cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
   /** q82: arbitrary GROUPING SETS — the general form behind q78's
     * ROLLUP and q80's CUBE: an explicit mixed set list
     * ((flag, linenumber), (flag), (linestatus), ()) that no rollup/cube
@@ -348,6 +371,7 @@ object Relational {
     "q78_rollup" -> (q78Rollup _),
     "q80_cube" -> (q80Cube _),
     "q82_grouping_sets" -> (q82GroupingSets _),
+    "q85_window_family" -> (q85WindowFamily _),
     "q81_set_ops" -> (q81SetOps _),
     "q43_event_windows" -> (q43EventWindows _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -389,6 +413,22 @@ object Relational {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, lvl""".stripMargin,
+    "q85_window_family" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) cents
+        |  FROM orders WHERE o_custkey < 50)
+        |SELECT o_custkey, o_orderkey, cents,
+        |  CAST(rank() OVER w AS INT) rnk,
+        |  CAST(dense_rank() OVER w AS INT) drnk,
+        |  CAST(ntile(4) OVER w AS INT) quartile,
+        |  CAST(coalesce(lead(cents, 1) OVER w, 0) AS BIGINT) next_cents,
+        |  CAST(coalesce(lag(cents, 1) OVER w, -1) AS BIGINT) prev_cents,
+        |  CAST(first_value(cents) OVER (PARTITION BY o_custkey
+        |    ORDER BY cents DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) top_cents
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey)
+        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
     "q82_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, l_linenumber,
         |  CAST(GROUPING(l_returnflag, l_linestatus, l_linenumber) AS INT) lvl,

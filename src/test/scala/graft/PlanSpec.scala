@@ -149,6 +149,11 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Window"), s"global WindowExec crept into:\n$plan")
   }
 
+  test("t73 global quantiles: distributed prefix count, no single-partition window") {
+    val plan = planOf(queries.ShapeGate.t73GlobalQuantiles(spark, dir))
+    assert(!plan.contains("Window"), s"global WindowExec crept into:\n$plan")
+  }
+
   test("t58 tfidf: bounded shuffles, no cartesian") {
     val plan = planOf(queries.ShapeGate.t58TfidfTopTerms(spark, dir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
