@@ -235,6 +235,53 @@ object TextDedup {
       .distinct().orderBy("doc_a", "doc_b")
   }
 
+  /** t75: MinHash QUALITY evaluation — for every LSH candidate pair
+    * (t28's banding over the whole corpus), the estimated Jaccard
+    * (matching signature components / 8, the MinHash estimator) next
+    * to the EXACT distinct-shingle Jaccard (t26's definition) — the
+    * evaluation that decides whether 8 permutations / 2 bands are safe
+    * for a corpus, the v43/v46 shape applied to text dedup. Exact
+    * Jaccard is computed ONLY for candidate pairs (the tiny frame
+    * joins into the corpus-wide shingle explode; never an all-pairs
+    * shingle self-join). Signatures feed three consumers, so they
+    * materialize once. */
+  def t75MinhashQuality(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(s, dir).localCheckpoint()
+    val bands = sigs.select(col("doc_id"), expr(
+      "stack(2, 1, concat(h0, h1, h2, h3), 2, concat(h4, h5, h6, h7)) " +
+      "as (band_idx, band_val)"))
+    val cand = bands.groupBy("band_idx", "band_val")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(bucketPairsUdf(col("ds"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+      .distinct()
+    val est = cand
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (0 until 8).map(i =>
+          when(col(s"sa.h$i") === col(s"sb.h$i"), 1L).otherwise(0L)).reduce(_ + _)
+          .as("est_matches"))
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), shingles(toks).as("s")).localCheckpoint()
+    val ns = d.select(col("doc_id"), size(col("s")).cast(LongType).as("n"))
+    val shx = d.select(col("doc_id"), explode(col("s")).as("sh"))
+    val inter = cand
+      .join(shx.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(shx.as("b"), col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    est.join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(ns.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(ns.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("est_matches"),
+        expr("est_matches * 1000000 div 8").as("est_jac_e6"),
+        floor(coalesce(col("inter"), lit(0L)) * 1000000.0 /
+          (col("na.n") + col("nb.n") - coalesce(col("inter"), lit(0L))))
+          .cast(LongType).as("jac_e6"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** t34: the LSH dedup DECISION at linear cost — drop any document
     * that is not the smallest id in one of its band buckets (the
     * greedy keep-first rule a production dedup applies). Unlike the
@@ -489,6 +536,7 @@ object TextDedup {
     "t27_minhash_sigs" -> (t27MinhashSigs _),
     "t28_minhash_band_pairs" -> (t28MinhashBandPairs _),
     "t34_minhash_dedup_drops" -> (t34MinhashDedupDrops _),
+    "t75_minhash_quality" -> (t75MinhashQuality _),
     "t29_json_extract" -> (t29JsonExtract _),
     "t30_unpivot_part" -> (t30UnpivotPart _),
     "t31_multimodal_meta" -> (t31MultimodalMeta _),
@@ -639,6 +687,52 @@ object TextDedup {
         |FROM inter JOIN ns na ON na.doc_id = doc_a JOIN ns nb ON nb.doc_id = doc_b
         |WHERE floor(inter * 1000000.0 / (na.n + nb.n - inter)) >= 20000
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "t75_minhash_quality" ->
+      // t28's candidates; estimator = matching rotations / 8; exact
+      // Jaccard (t26's definition) only on the candidate pairs
+      (shingleSqlCte +
+      """,
+        |ex AS (SELECT doc_id, md5(unnest(s)) m FROM sh),
+        |hs AS (SELECT doc_id,
+        |  min(m) AS h0,
+        |  min(substr(m,5,28)  || substr(m,1,4))  AS h1,
+        |  min(substr(m,9,24)  || substr(m,1,8))  AS h2,
+        |  min(substr(m,13,20) || substr(m,1,12)) AS h3,
+        |  min(substr(m,17,16) || substr(m,1,16)) AS h4,
+        |  min(substr(m,21,12) || substr(m,1,20)) AS h5,
+        |  min(substr(m,25,8)  || substr(m,1,24)) AS h6,
+        |  min(substr(m,29,4)  || substr(m,1,28)) AS h7
+        | FROM ex GROUP BY doc_id),
+        |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |         FROM hs a JOIN hs b
+        |           ON (a.h0 || a.h1 || a.h2 || a.h3 = b.h0 || b.h1 || b.h2 || b.h3
+        |               OR a.h4 || a.h5 || a.h6 || a.h7 = b.h4 || b.h5 || b.h6 || b.h7)
+        |          AND a.doc_id < b.doc_id),
+        |est AS (SELECT c.doc_a, c.doc_b,
+        |          (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END
+        |         + CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END
+        |         + CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END
+        |         + CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END
+        |         + CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END
+        |         + CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END
+        |         + CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END
+        |         + CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) est_matches
+        |        FROM cand c JOIN hs sa ON sa.doc_id = c.doc_a
+        |                    JOIN hs sb ON sb.doc_id = c.doc_b),
+        |ns AS (SELECT doc_id, cast(len(s) as bigint) n FROM sh),
+        |shx AS (SELECT doc_id, unnest(s) shv FROM sh),
+        |inter AS (SELECT c.doc_a, c.doc_b, cast(count(*) as bigint) i
+        |          FROM cand c JOIN shx a ON a.doc_id = c.doc_a
+        |                      JOIN shx b ON b.doc_id = c.doc_b AND a.shv = b.shv
+        |          GROUP BY 1, 2)
+        |SELECT e.doc_a, e.doc_b, cast(e.est_matches as bigint) est_matches,
+        |  cast((e.est_matches * 1000000) // 8 as bigint) est_jac_e6,
+        |  cast(floor(coalesce(i.i, 0) * 1000000.0 /
+        |         (na.n + nb.n - coalesce(i.i, 0))) as bigint) jac_e6
+        |FROM est e LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+        |JOIN ns na ON na.doc_id = e.doc_a
+        |JOIN ns nb ON nb.doc_id = e.doc_b
+        |ORDER BY e.doc_a, e.doc_b""".stripMargin),
     "t27_minhash_sigs" ->
       (shingleSqlCte +
       """,
