@@ -300,6 +300,52 @@ object ShapeGate {
       .orderBy("doc_id")
   }
 
+  /** t76: bigram-surprisal quality signal — the conditional next-token
+    * statistic t70's unigram filter can't see: surprisal(w1→w2) ≈
+    * log2(count(w1·)/count(w1,w2)) as an exact bit-length difference
+    * (c1 ≥ c2, so the gap is non-negative integer arithmetic on both
+    * engines); a document's score is its mean bigram surprisal ×100.
+    * Low = formulaic/boilerplate transitions, high = incoherent token
+    * soup — the second axis of the statistical-LM filter family. */
+  def t76BigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val docToks = Tables.documents(s, dir)
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+      .filter(size(col("w")) >= 2)
+    val bigrams = docToks
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] as w1, w[i+1] as w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val uni = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    bigrams.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .select(col("doc_id"),
+        (length(bin(col("c1"))) - length(bin(col("c2")))).cast("long").as("sur"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(sur) * 100 div count(1)").as("avg_bigram_surprisal_c"))
+      .orderBy("doc_id")
+  }
+
+  /** t77: deterministic hash split — train/val/test membership from the
+    * document id's md5, the assignment that must never move a document
+    * between splits across runs, engines, or cluster sizes. The first
+    * two hex chars give a uniform 0..255 bucket (hex-char arithmetic —
+    * `conv` exists only on one engine); thresholds 204/230 ≈ 80/10/10. */
+  def t77SplitAssign(s: SparkSession, dir: String): DataFrame = {
+    def hexVal(c: org.apache.spark.sql.Column) =
+      when(c.between("0", "9"), ascii(c) - 48).otherwise(ascii(c) - 87)
+    val k = md5(concat(col("doc_id").cast("string"), lit(":split")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (hexVal(substring(k, 1, 1)) * 16 + hexVal(substring(k, 2, 1)))
+          .cast("int").as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 204, "train")
+          .when(col("bucket") < 230, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t62_token_quantiles" -> (t62TokenQuantiles _),
     "t63_zipf_histogram" -> (t63ZipfHistogram _),
@@ -308,6 +354,8 @@ object ShapeGate {
     "t71_bpe_merges" -> (t71BpeMerges _),
     "t72_bpe_tokenize" -> (t72BpeTokenize _),
     "t73_global_quantiles" -> (t73GlobalQuantiles _),
+    "t76_bigram_surprisal" -> (t76BigramSurprisal _),
+    "t77_split_assign" -> (t77SplitAssign _),
     "t70_unigram_surprisal" -> (t70UnigramSurprisal _),
     "t58_tfidf_top_terms" -> (t58TfidfTopTerms _),
     "t59_domain_stats" -> (t59DomainStats _),
@@ -318,6 +366,32 @@ object ShapeGate {
   val oracles: Map[String, String] = Map(
     "t71_bpe_merges" -> bpeOracleSql(8),
     "t72_bpe_tokenize" -> bpeTokenizeOracleSql(8),
+    "t76_bigram_surprisal" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') w
+        |  FROM documents),
+        |bg AS (SELECT doc_id, w[CAST(t.i AS INT)] w1, w[CAST(t.i AS INT) + 1] w2
+        |       FROM d, UNNEST(range(1, len(w))) t(i) WHERE len(w) >= 2),
+        |uni AS (SELECT w1, cast(count(*) as bigint) c1 FROM bg GROUP BY 1),
+        |bi AS (SELECT w1, w2, cast(count(*) as bigint) c2 FROM bg GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, length(bin(c1)) - length(bin(c2)) sur
+        |       FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1))
+        |SELECT doc_id, cast(count(*) as bigint) n_bigrams,
+        |  cast((sum(sur) * 100) // count(*) as bigint) avg_bigram_surprisal_c
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t77_split_assign" ->
+      """WITH k AS (SELECT doc_id, md5(doc_id || ':split') h FROM documents),
+        |b AS (SELECT doc_id,
+        |  CAST((CASE WHEN substr(h,1,1) BETWEEN '0' AND '9'
+        |             THEN ascii(substr(h,1,1)) - 48 ELSE ascii(substr(h,1,1)) - 87 END) * 16
+        |     + (CASE WHEN substr(h,2,1) BETWEEN '0' AND '9'
+        |             THEN ascii(substr(h,2,1)) - 48 ELSE ascii(substr(h,2,1)) - 87 END)
+        |    AS INT) bucket
+        |  FROM k)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 204 THEN 'train'
+        |       WHEN bucket < 230 THEN 'val' ELSE 'test' END split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "t73_global_quantiles" ->
       // the same 1-based positional definition as t62, one global row
       """WITH d AS (SELECT
