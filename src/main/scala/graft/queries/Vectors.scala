@@ -318,9 +318,33 @@ object Vectors {
       .orderBy("query_id")
   }
 
+  /** v47: embedding-space OUTLIER detection — the cleaning pass that
+    * drops mis-embedded/corrupted vectors before dedup or retrieval:
+    * squared distance to the assigned IVF centroid, flagged when it
+    * exceeds 1.5× the cell's mean (the comparison is an integer
+    * cross-multiply `d2·n·10 > Σd2·15`, so no division ever happens —
+    * exact on both engines). One broadcast join for the distance, one
+    * per-cell aggregate, one join back: nothing pairwise. */
+  def v47EmbeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = graft.operators.Ann.buildCentroids(emb, "vec_id", "embedding", k = 8)
+    val index = graft.operators.Ann.buildIndex(emb, "vec_id", "embedding", centroids)
+    val d2 = index.join(broadcast(centroids), Seq("centroid_id"))
+      .select(col("vid"), col("centroid_id"),
+        expr("aggregate(zip_with(v, cvec, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)").as("d2"))
+    val stats = d2.groupBy("centroid_id")
+      .agg(sum("d2").as("sum_d2"), count(lit(1)).as("n"))
+    d2.join(stats, Seq("centroid_id"))
+      .select(col("vid").as("vec_id"), col("centroid_id"), col("d2"),
+        (col("d2") * col("n") * 10 > col("sum_d2") * 15).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "v45_ivf_adc_rerank" -> (v45IvfAdcRerank _),
     "v46_fused_recall" -> (v46FusedRecall _),
+    "v47_embedding_outliers" -> (v47EmbeddingOutliers _),
     "v39_pq_adc" -> (v39PqAdc _),
     "v40_kmeans_clusters" -> (v40KmeansClusters _),
     "v43_matryoshka_recall" -> (v43MatryoshkaRecall _),
@@ -490,6 +514,22 @@ object Vectors {
         |FROM fused f LEFT JOIN bfr b
         |  ON f.query_id = b.query_id AND f.neighbor_id = b.neighbor_id
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "v47_embedding_outliers" ->
+      // distance to the assigned centroid on the shared IVF CTE; the
+      // 1.5x-mean flag as an integer cross-multiply
+      (ivfIndexCte +
+      """,
+        |dd AS (SELECT vid, centroid_id, cast(sum((x - y) * (x - y)) as bigint) d2
+        |       FROM (SELECT i.vid, i.centroid_id, unnest(q2.v) x, unnest(c.cvec) y
+        |             FROM idx i JOIN qq q2 USING (vid)
+        |             JOIN cent c USING (centroid_id))
+        |       GROUP BY vid, centroid_id),
+        |st AS (SELECT centroid_id, cast(sum(d2) as bigint) sum_d2,
+        |         cast(count(*) as bigint) n
+        |       FROM dd GROUP BY 1)
+        |SELECT dd.vid vec_id, dd.centroid_id, dd.d2,
+        |  (dd.d2 * st.n * 10 > st.sum_d2 * 15) is_outlier
+        |FROM dd JOIN st USING (centroid_id) ORDER BY vec_id""".stripMargin),
     "v44_int8_rerank" ->
       // stats → codes → reconstruction (v42's law) → coarse top-20 on
       // reconstructed dots → exact top-5 re-rank
