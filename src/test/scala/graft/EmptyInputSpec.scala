@@ -52,4 +52,25 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     assert(cent.count() == 0 && rounds == 0)
     assert(VectorCompress.int8Audit(noVecs, "vec_id", "embedding", 4).count() == 0)
   }
+
+  test("round-6 operators on empty inputs") {
+    // BPE: no words -> empty merge table; segmenting nothing is nothing
+    val noWords = Seq.empty[(String, Long)].toDF("w", "freq")
+    assert(Bpe.trainMerges(noWords, "w", "freq", budget = 3).count() == 0)
+    assert(Bpe.segment(noWords.select("w"), "w",
+      Seq(("a", "b"))).count() == 0)
+    assert(Bpe.segmentWithVocab(noWords.select("w"), "w",
+      Seq(("a", "b"))).count() == 0)
+    // converged PageRank: empty vertex set -> empty ranks, 1 fixpoint round
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val (pr, _) = Graph.pageRankConverged(
+      noEdges.select(col("src").as("v")).limit(0), noEdges, maxIter = 3)
+    assert(pr.count() == 0)
+    // globalQuantiles: handled one-row empty contract (CorpusShapeSpec
+    // pins n = 0 + null quantiles); forward as-of on empty left
+    val noLeft = Seq.empty[(String, Long)].toDF("k", "t")
+    val right = Seq(("k1", 5L, "R")).toDF("k", "rt", "state")
+    assert(TemporalJoin.asOfJoin(noLeft, right, Seq("k"), "t", "rt",
+      direction = "forward").count() == 0)
+  }
 }
