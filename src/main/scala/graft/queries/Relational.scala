@@ -306,6 +306,48 @@ object Relational {
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"),
         col("lvl"))
 
+  /** q86: the TPC-H Q3 shipping-priority shape — segment-filtered
+    * customers × date-filtered orders × date-filtered lineitems,
+    * revenue aggregate in exact 1e-4 units (q1's integer-cents
+    * discipline), top-10 with a deterministic tie-break. The classic
+    * selective star join: both filters reach the scans, the dim side
+    * broadcasts, revenue is one partial-aggregated shuffle. */
+  def q86ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < to_timestamp_ntz(lit("1995-03-15 00:00:00")))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > to_timestamp_ntz(lit("1995-03-15 00:00:00")))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        .as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("l_orderkey").asc)
+      .limit(10)
+      .select("l_orderkey", "order_date", "revenue_e4")
+  }
+
+  /** q87: correlated scalar subqueries — orders priced above their own
+    * customer's average, written exactly as a SQL user would (two
+    * correlated aggregates over the outer row's key) and left to
+    * Catalyst's decorrelation to turn into aggregate+join. The
+    * comparison is the integer cross-multiply `cents·n > Σcents`, so
+    * no average is ever divided. */
+  def q87CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("g_orders")
+    s.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) cents
+        |FROM g_orders o
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) *
+        |    (SELECT COUNT(*) FROM g_orders i WHERE i.o_custkey = o.o_custkey)
+        |  > (SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+        |     FROM g_orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
   /** q85: the analytic-window family beyond q17's row_number — rank,
     * dense_rank, ntile, lead/lag (with defaults), first_value — in one
     * pass over one window spec (ties broken by key so every function
@@ -372,6 +414,8 @@ object Relational {
     "q80_cube" -> (q80Cube _),
     "q82_grouping_sets" -> (q82GroupingSets _),
     "q85_window_family" -> (q85WindowFamily _),
+    "q86_shipping_priority" -> (q86ShippingPriority _),
+    "q87_correlated_subquery" -> (q87CorrelatedSubquery _),
     "q81_set_ops" -> (q81SetOps _),
     "q43_event_windows" -> (q43EventWindows _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -413,6 +457,27 @@ object Relational {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, lvl""".stripMargin,
+    "q86_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') order_date,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) revenue_e4
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY 1, 2
+        |ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q87_correlated_subquery" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) cents
+        |FROM orders o
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) *
+        |    (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |  > (SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+        |     FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q85_window_family" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,
         |    CAST(round(o_totalprice * 100) AS BIGINT) cents

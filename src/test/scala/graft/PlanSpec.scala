@@ -149,6 +149,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Window"), s"global WindowExec crept into:\n$plan")
   }
 
+  test("q86 shipping priority: filters pushed, dim broadcast, partial agg") {
+    val plan = planOf(queries.Relational.q86ShippingPriority(spark, dir))
+    assert(plan.contains("PushedFilters"), s"scan filters not pushed in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"dim join not broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("q87 correlated subqueries decorrelate to aggregate+join") {
+    val plan = planOf(queries.Relational.q87CorrelatedSubquery(spark, dir))
+    assert(!plan.contains("scalar-subquery"),
+      s"correlated scalar subquery survived to execution in:\n$plan")
+    assert(plan.contains("Join") && plan.contains("HashAggregate"),
+      s"decorrelated aggregate+join missing from:\n$plan")
+  }
+
   test("t73 global quantiles: distributed prefix count, no single-partition window") {
     val plan = planOf(queries.ShapeGate.t73GlobalQuantiles(spark, dir))
     assert(!plan.contains("Window"), s"global WindowExec crept into:\n$plan")
