@@ -120,10 +120,24 @@ object Bpe {
     * rows must be distinct words). Returns the merge table
     * (step, lhs, rhs, n) in merge order — step 1-based, `n` the
     * corpus-weighted count of the pair when it was chosen. Stops early
-    * (fewer than `budget` rows) if the corpus runs out of pairs. */
+    * (fewer than `budget` rows) if the corpus runs out of pairs.
+    *
+    * `batch` > 1 enables BATCHED merge rounds — the production form: a
+    * real tokenizer budget is ~30k merges, and one Spark job per merge
+    * dies on the merge-count axis long before data size matters. Per
+    * round we collect the top-K pair list ONCE, accept a prefix of it
+    * driver-side under rules that make the batch provably identical to
+    * replaying the sequential greedy recurrence (see
+    * [[selectBatch]]), and apply all accepted merges in ONE pass
+    * (chained [[mergeOnce]] — the exact per-word semantics of the
+    * sequential path, just fused into one job). Job count drops from
+    * 2·budget to 2·rounds. `batch = 1` IS the sequential recurrence;
+    * BpeSpec proves batch=16 reproduces it exactly at budget 64. */
   def trainMerges(words: DataFrame, wCol: String, freqCol: String,
-                  budget: Int, reliable: Boolean = false): DataFrame = {
+                  budget: Int, reliable: Boolean = false,
+                  batch: Int = 16): DataFrame = {
     require(budget >= 1, s"merge budget must be positive, got $budget")
+    require(batch >= 1, s"merge batch must be positive, got $batch")
     val spark = words.sparkSession
     val sc = spark.sparkContext
     if (reliable && sc.getCheckpointDir.isEmpty) {
@@ -148,23 +162,202 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     while (merges.length < budget && !exhausted) {
+      val cap = math.min(batch, budget - merges.length)
+      val k = math.max(4 * cap, 16)
       val top = seg
         .select(col("freq"), explode(expr(
           "transform(sequence(0, size(syms) - 2), " +
             "i -> struct(syms[i] as lhs, syms[i+1] as rhs))")).as("p"))
         .groupBy("p.lhs", "p.rhs").agg(sum("freq").as("n"))
         .orderBy(col("n").desc, col("lhs").asc, col("rhs").asc)
-        .limit(1).collect()
+        .limit(k).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((merges.length + 1, l, r, n))
+        val accepted = selectBatch(top, complete = top.length < k, cap,
+          priorOutputs = merges.iterator.map(m => m._2 + m._3).toSet)
+        accepted.foreach { case (l, r, n) =>
+          merges += ((merges.length + 1, l, r, n))
+        }
         seg = truncate(
-          seg.withColumn("syms", mergeOnce(col("syms"), l, r))
-            .filter(size(col("syms")) >= 2))
+          accepted.foldLeft(seg) { case (df, (l, r, _)) =>
+            df.withColumn("syms", mergeOnce(col("syms"), l, r))
+          }.filter(size(col("syms")) >= 2))
       }
     }
     import spark.implicits._
     merges.toSeq.toDF("step", "lhs", "rhs", "n")
+  }
+
+  /** Train `budget` merges with DELTA-MAINTAINED pair counts — the
+    * production merge loop. The only corpus-scale pass is the word
+    * COUNT that produced `words` (the classic heavy-hitters reduction:
+    * even at 100 TB the distinct-word frame is vocabulary-bounded);
+    * this trainer collects that bounded frame ONCE (guarded by
+    * `maxVocab` — loud failure, never a silent truncation, because a
+    * truncated vocabulary changes merge counts) and then runs the
+    * exact greedy recurrence in memory: a lazy priority queue over
+    * (count desc, lhs asc, rhs asc) and, per merge, a re-count of only
+    * the words CONTAINING the merged pair (tracked by an inverted
+    * pair→words index). 30k merges cost milliseconds of driver time
+    * after ONE Spark job, where the per-merge-job loop pays ~60k
+    * driver round trips.
+    *
+    * Why not distribute the loop itself? [[trainMerges]]' batched
+    * rounds are provably sequential-exact but on a Zipfian corpus the
+    * top pairs share symbols (th/he/er...), so exact batches stay
+    * small and the job count stays ∝ budget. Every published
+    * large-corpus tokenizer recipe ends exactly here: distribute the
+    * counting, train the merge table on the weighted vocabulary.
+    * Identical output to [[trainMerges]] (BpeSpec pins it at
+    * budget 64); same early stop when the corpus runs out of pairs. */
+  def trainMergesDelta(words: DataFrame, wCol: String, freqCol: String,
+                       budget: Int, maxVocab: Int = 50000000): DataFrame = {
+    require(budget >= 1, s"merge budget must be positive, got $budget")
+    val spark = words.sparkSession
+    val rows = words.select(col(wCol).cast("string"), col(freqCol).cast("long"))
+      .filter(length(col(wCol)) >= 2)
+      .limit(maxVocab + 1)
+      .collect()
+    require(rows.length <= maxVocab,
+      s"vocabulary exceeds maxVocab=$maxVocab; raise the cap (driver " +
+        "memory permitting) or use trainMerges' distributed loop — a " +
+        "truncated vocabulary would silently change merge counts")
+    val segs = rows.map(r => r.getString(0).map(_.toString).toArray)
+    val freqs = rows.map(_.getLong(1))
+
+    def pairsOf(syms: Array[String]): Iterator[(String, String)] =
+      if (syms.length < 2) Iterator.empty
+      else (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
+
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    val index = scala.collection.mutable.Map
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    segs.indices.foreach { wi =>
+      pairsOf(segs(wi)).foreach { p =>
+        counts(p) = counts.getOrElse(p, 0L) + freqs(wi)
+        index.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wi
+      }
+    }
+    // lazy PQ: stale entries are skipped when their count disagrees
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long, Ordering.String.reverse, Ordering.String.reverse)
+    val pq = scala.collection.mutable.PriorityQueue
+      .empty[(Long, String, String)]
+    counts.foreach { case ((l, r), n) => pq.enqueue((n, l, r)) }
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    while (merges.length < budget && !done) {
+      var head: Option[(String, String, Long)] = None
+      while (head.isEmpty && pq.nonEmpty) {
+        val (n, l, r) = pq.dequeue()
+        if (counts.get((l, r)).contains(n) && n > 0) head = Some((l, r, n))
+      }
+      head match {
+        case None => done = true
+        case Some((l, r, n)) =>
+          merges += ((merges.length + 1, l, r, n))
+          val affected = index.getOrElse((l, r), scala.collection.mutable.Set.empty[Int])
+          val changed = scala.collection.mutable.Set.empty[(String, String)]
+          affected.toArray.foreach { wi =>
+            val before = segs(wi)
+            // exact per-word delta: remove old pair multiset, re-merge
+            // (leftmost-greedy, run parity included), add the new one
+            pairsOf(before).foreach { p =>
+              val c = counts(p) - freqs(wi)
+              if (c == 0L) counts.remove(p) else counts(p) = c
+              index.get(p).foreach(_ -= wi)
+              changed += p
+            }
+            val out = Array.newBuilder[String]
+            var i = 0
+            while (i < before.length) {
+              if (i + 1 < before.length && before(i) == l && before(i + 1) == r) {
+                out += (l + r); i += 2
+              } else { out += before(i); i += 1 }
+            }
+            val after = out.result()
+            segs(wi) = after
+            pairsOf(after).foreach { p =>
+              counts(p) = counts.getOrElse(p, 0L) + freqs(wi)
+              index.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wi
+              changed += p
+            }
+          }
+          // one fresh PQ entry per changed pair — entries at any other
+          // count are stale and skipped on dequeue (lazy deletion);
+          // this covers decrease-only pairs surviving in unaffected
+          // words, whose old entries are all stale-high
+          changed.foreach { p =>
+            counts.get(p).foreach(c => pq.enqueue((c, p._1, p._2)))
+          }
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "lhs", "rhs", "n")
+  }
+
+  /** Driver-side batch selection over one round's sorted pair list
+    * (count desc, lhs asc, rhs asc — the greedy tie-break order).
+    * Accepts a PREFIX of the list such that replaying the accepted
+    * merges one at a time lands on exactly these pairs with exactly
+    * these counts — i.e. batched == sequential greedy, provably:
+    *
+    *  - Stop at the first pair sharing any symbol — lhs, rhs, or the
+    *    concatenated output — with an accepted pair. Accepted pairs are
+    *    then mutually disjoint even w.r.t. created symbols, so each
+    *    accepted pair's count is UNCHANGED by the others' merges, and
+    *    no two accepted merges feed the same new symbol.
+    *  - Stop (without accepting) at any pair whose concat equals an
+    *    EARLIER round's output: merging it would alias an existing
+    *    symbol, whose surrounding pair counts could then increase —
+    *    such a pair opens its own round instead (a single merge is
+    *    always sequential-exact).
+    *  - Trim trailing acceptances whose count does not STRICTLY exceed
+    *    the stopping pair's count. Every excluded old pair sits at or
+    *    after the stop in sorted order (count ≤ stop), old pairs never
+    *    gain count from disjoint merges, and a new pair (x, lr) has
+    *    count ≤ the pre-count of (x, l), which conflicts and therefore
+    *    also sits at or after the stop — so with the strict bound no
+    *    excluded or created pair can tie or beat a later batch member
+    *    at its sequential turn. The head pair needs no bound (it is the
+    *    global argmax under the exact tie-break).
+    *
+    * `complete` marks that the list holds ALL pairs (no trim bound
+    * needed when the scan exhausts it); otherwise the last collected
+    * count bounds everything uncollected. */
+  private[operators] def selectBatch(
+      top: Array[(String, String, Long)], complete: Boolean, cap: Int,
+      priorOutputs: Set[String]): Seq[(String, String, Long)] = {
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val taken = scala.collection.mutable.Set.empty[String]
+    var bound: Option[Long] = None
+    var i = 0
+    var open = true
+    while (open && i < top.length && accepted.length < cap) {
+      val (l, r, n) = top(i)
+      val aliases = priorOutputs.contains(l + r)
+      if (accepted.isEmpty) {
+        accepted += top(i); taken ++= Seq(l, r, l + r)
+        // an alias-creating head can perturb counts of pairs around the
+        // aliased symbol by MORE than the stop bound — close at size 1
+        if (aliases) open = false
+      } else if (taken(l) || taken(r) || taken(l + r) || aliases) {
+        bound = Some(n); open = false
+      } else {
+        accepted += top(i); taken ++= Seq(l, r, l + r)
+      }
+      i += 1
+    }
+    if (open && accepted.length == cap && i < top.length)
+      bound = Some(top(i)._3)
+    else if (open && !complete && i == top.length && top.nonEmpty)
+      bound = Some(top(top.length - 1)._3)
+    bound.foreach { b =>
+      while (accepted.length > 1 && accepted.last._3 <= b)
+        accepted.remove(accepted.length - 1)
+    }
+    accepted.toSeq
   }
 }

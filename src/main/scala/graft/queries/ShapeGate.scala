@@ -171,6 +171,23 @@ object ShapeGate {
       .orderBy("step")
   }
 
+  /** t78: t71's merge table trained by the PRODUCTION trainer
+    * ([[graft.operators.Bpe.trainMergesDelta]]): one Spark job for the
+    * word-frequency reduction, then the exact greedy loop with
+    * delta-maintained pair counts driver-side over the
+    * vocabulary-bounded frame. Shares t71's oracle verbatim — both
+    * trainers implement the same recurrence, so the unrolled DuckDB
+    * replay certifies the delta bookkeeping (including run-parity
+    * re-merges and count decrements) step by step. */
+  def t78BpeMergesDelta(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    graft.operators.Bpe.trainMergesDelta(words, "w", "freq", budget = 8)
+      .orderBy("step")
+  }
+
   /** t72: BPE APPLY — train 8 merges (t71's loop), then tokenize the
     * whole corpus with the learned table ([[graft.operators.Bpe
     * .segment]] over the distinct-word frame, joined back to the
@@ -353,6 +370,7 @@ object ShapeGate {
     "t67_bpe_pairs" -> (t67BpePairs _),
     "t71_bpe_merges" -> (t71BpeMerges _),
     "t72_bpe_tokenize" -> (t72BpeTokenize _),
+    "t78_bpe_merges_delta" -> (t78BpeMergesDelta _),
     "t73_global_quantiles" -> (t73GlobalQuantiles _),
     "t76_bigram_surprisal" -> (t76BigramSurprisal _),
     "t77_split_assign" -> (t77SplitAssign _),
@@ -366,6 +384,7 @@ object ShapeGate {
   val oracles: Map[String, String] = Map(
     "t71_bpe_merges" -> bpeOracleSql(8),
     "t72_bpe_tokenize" -> bpeTokenizeOracleSql(8),
+    "t78_bpe_merges_delta" -> bpeOracleSql(8),
     "t76_bigram_surprisal" ->
       """WITH d AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') w

@@ -49,8 +49,9 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
   }
 
   private def run(words: Seq[(String, Long)], budget: Int,
-                  reliable: Boolean = false): Seq[(Int, String, String, Long)] =
-    Bpe.trainMerges(words.toDF("w", "freq"), "w", "freq", budget, reliable)
+                  reliable: Boolean = false,
+                  batch: Int = 16): Seq[(Int, String, String, Long)] =
+    Bpe.trainMerges(words.toDF("w", "freq"), "w", "freq", budget, reliable, batch)
       .orderBy("step").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
 
@@ -116,6 +117,72 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(seq(Bpe.segmentWithVocab(wdf, "w", merges)) ==
       seq(Bpe.segment(wdf, "w", merges)),
       "the production priority-loop apply diverged from the fold")
+  }
+
+  test("batched selection stops at the first conflicting pair (prefix rule)") {
+    // pair counts: (a,b)=100, (b,c)=90, (d,e)=80 — disjoint-only
+    // batching would take {(a,b),(d,e)} and record (d,e) before (b,c);
+    // sequential greedy merges (a,b) first, after which (b,c) still
+    // counts 90 (no shared context) and must come second. The prefix
+    // rule closes the batch at (b,c)'s conflict, reproducing exactly
+    // the sequential order.
+    val words = Seq(("ab", 100L), ("bc", 90L), ("de", 80L))
+    val got = run(words, 3)
+    assert(got == refBpe(words, 3), s"prefix rule diverged: $got")
+    assert(got.map(m => (m._2, m._3)) == Seq("a" -> "b", "b" -> "c", "d" -> "e"))
+  }
+
+  test("batched path reproduces the sequential greedy merge table at budget 64") {
+    // conflict- and tie-heavy corpus: 4-letter alphabet, 300 words of
+    // length 4-8 from a deterministic multiplicative-hash expansion
+    val letters = "abcd"
+    val words = (0 until 300).map { i =>
+      val h = (i * 2654435761L) & 0x3fffffffL
+      val len = 4 + (h % 5).toInt
+      val w = (0 until len).map(j => letters(((h >> (2 * j)) & 3).toInt)).mkString
+      (w, 1L + i % 7)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val ref = refBpe(words, 64)
+    assert(ref.length == 64, s"fixture too small: only ${ref.length} merges")
+    val got = run(words, 64, batch = 16)
+    assert(got == ref,
+      got.zip(ref).collectFirst { case (g, r) if g != r =>
+        s"first divergence at step ${r._1}: got $g, ref $r" }.getOrElse("length mismatch"))
+  }
+
+  test("delta-maintained trainer equals the sequential reference at budget 64") {
+    val letters = "abcd"
+    val words = (0 until 300).map { i =>
+      val h = (i * 2654435761L) & 0x3fffffffL
+      val len = 4 + (h % 5).toInt
+      val w = (0 until len).map(j => letters(((h >> (2 * j)) & 3).toInt)).mkString
+      (w, 1L + i % 7)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val got = Bpe.trainMergesDelta(words.toDF("w", "freq"), "w", "freq", 64)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val ref = refBpe(words, 64)
+    assert(got == ref,
+      got.zip(ref).collectFirst { case (g, r) if g != r =>
+        s"first divergence at step ${r._1}: got $g, ref $r" }.getOrElse("length mismatch"))
+  }
+
+  test("delta trainer: exhaustion, tiny maxVocab fails loudly, empty input") {
+    val words = Seq(("ab", 3L), ("ba", 1L))
+    val got = Bpe.trainMergesDelta(words.toDF("w", "freq"), "w", "freq", 10)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == refBpe(words, 10))
+    assertThrows[IllegalArgumentException] {
+      Bpe.trainMergesDelta(words.toDF("w", "freq"), "w", "freq", 2, maxVocab = 1)
+    }
+    assert(Bpe.trainMergesDelta(
+      Seq.empty[(String, Long)].toDF("w", "freq"), "w", "freq", 3).count() == 0)
+  }
+
+  test("batch=1 equals the default batched path (sequential special case)") {
+    val words = Seq(("abab", 9L), ("aabb", 5L), ("bba", 4L), ("cabc", 2L))
+    assert(run(words, 8, batch = 1) == run(words, 8, batch = 16))
   }
 
   test("budget past exhaustion stops early; reliable mode agrees") {
