@@ -348,6 +348,81 @@ object Relational {
         |ORDER BY o_custkey, o_orderkey""".stripMargin)
   }
 
+  /** q88: correlated EXISTS — the existential half of q87's
+    * decorrelation surface, the TPC-H Q4 shape re-expressed on this
+    * schema (no commit/receipt dates): orders in a 3-month window that
+    * have at least one LATE lineitem (shipped >60 days after the order
+    * date), counted by priority. Written exactly as a SQL user would;
+    * Catalyst decorrelates the correlated EXISTS into a left-semi hash
+    * join (PlanSpec pins no nested loop survives). */
+  def q88ExistsLateLineitem(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("g_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("g_lineitem")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) order_count
+        |FROM g_orders o
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM g_lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** q89: correlated NOT EXISTS — the TPC-H Q22 shape: above-average-
+    * balance customers with NO recent order, rolled up by nation. The
+    * average comparison is the exact integer cross-multiply
+    * (`cents·n > Σcents`, q87's discipline — no division), the
+    * NOT EXISTS decorrelates to a left-anti hash join with the date
+    * predicate pushed below it. */
+  def q89NotExistsRecentOrder(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("g_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("g_orders")
+    s.sql(
+      """SELECT c_nationkey, COUNT(*) n_cust,
+        |  SUM(CAST(round(c_acctbal * 100) AS BIGINT)) sum_acctbal_cents
+        |FROM g_customer c
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) *
+        |    (SELECT COUNT(*) FROM g_customer)
+        |  > (SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) FROM g_customer)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM g_orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
+  }
+
+  /** q90: the rest of the analytic-window family past q85 —
+    * percent_rank / cume_dist (reported in exact millionths: both
+    * engines compute the identical IEEE double through the identical
+    * rational, so ×1e6-and-round is bit-stable), nth_value with an
+    * explicit ROWS frame, and a VALUE-based RANGE frame (sum of all
+    * orders within 1000.00 below the current price — peers included
+    * regardless of tie order, which is what RANGE means). Window order
+    * is made unique by the key so every row-addressed function is
+    * deterministic. */
+  def q90WindowFrames(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("cents").desc, col("o_orderkey").asc)
+    val wRange = Window.partitionBy("o_custkey")
+      .orderBy(col("cents").asc).rangeBetween(-100000L, 0L)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("cents"))
+      .withColumn("pct_rank_e6",
+        round(percent_rank().over(w) * 1e6).cast("long"))
+      .withColumn("cume_e6",
+        round(cume_dist().over(w) * 1e6).cast("long"))
+      .withColumn("third_cents", nth_value(col("cents"), 3).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("near_sum_cents", sum(col("cents")).over(wRange))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** q85: the analytic-window family beyond q17's row_number — rank,
     * dense_rank, ntile, lead/lag (with defaults), first_value — in one
     * pass over one window spec (ties broken by key so every function
@@ -416,6 +491,9 @@ object Relational {
     "q85_window_family" -> (q85WindowFamily _),
     "q86_shipping_priority" -> (q86ShippingPriority _),
     "q87_correlated_subquery" -> (q87CorrelatedSubquery _),
+    "q88_exists_late_lineitem" -> (q88ExistsLateLineitem _),
+    "q89_not_exists_recent_order" -> (q89NotExistsRecentOrder _),
+    "q90_window_frames" -> (q90WindowFrames _),
     "q81_set_ops" -> (q81SetOps _),
     "q43_event_windows" -> (q43EventWindows _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -477,6 +555,45 @@ object Relational {
         |    (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
         |  > (SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT))
         |     FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q88_exists_late_lineitem" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q89_not_exists_recent_order" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) n_cust,
+        |  CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) sum_acctbal_cents
+        |FROM customer c
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) *
+        |    (SELECT COUNT(*) FROM customer)
+        |  > (SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) FROM customer)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+    "q90_window_frames" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) cents
+        |  FROM orders WHERE o_custkey < 50)
+        |SELECT o_custkey, o_orderkey, cents,
+        |  CAST(round(percent_rank() OVER w * 1e6) AS BIGINT) pct_rank_e6,
+        |  CAST(round(cume_dist() OVER w * 1e6) AS BIGINT) cume_e6,
+        |  CAST(nth_value(cents, 3) OVER (PARTITION BY o_custkey
+        |    ORDER BY cents DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) third_cents,
+        |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY cents
+        |    RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW) AS BIGINT) near_sum_cents
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q85_window_family" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,

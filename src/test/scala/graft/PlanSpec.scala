@@ -164,6 +164,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"decorrelated aggregate+join missing from:\n$plan")
   }
 
+  test("q88 correlated EXISTS decorrelates to a semi hash join, no nested loop") {
+    val plan = planOf(queries.Relational.q88ExistsLateLineitem(spark, dir))
+    assert(plan.contains("LeftSemi"), s"EXISTS did not become a semi join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"EXISTS decorrelation left a nested loop in:\n$plan")
+    assert(plan.contains("PushedFilters"), s"date filter not pushed in:\n$plan")
+  }
+
+  test("q89 correlated NOT EXISTS decorrelates to an anti hash join, no nested loop") {
+    val plan = planOf(queries.Relational.q89NotExistsRecentOrder(spark, dir))
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS did not become an anti join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"NOT EXISTS decorrelation left a nested loop in:\n$plan")
+  }
+
   test("t73 global quantiles: distributed prefix count, no single-partition window") {
     val plan = planOf(queries.ShapeGate.t73GlobalQuantiles(spark, dir))
     assert(!plan.contains("Window"), s"global WindowExec crept into:\n$plan")
