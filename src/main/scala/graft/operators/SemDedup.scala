@@ -33,21 +33,47 @@ object SemDedup {
 
   /** Tag every vector with its cluster and a `kept` verdict:
     * (vec_id, centroid_id, kept). `cosE6` is the near-dup threshold in
-    * millionths (e.g. 300000 = cosine 0.30); must be positive. */
+    * millionths (e.g. 300000 = cosine 0.30); must be positive.
+    *
+    * `maxCell` enforces the bounded-cell assumption the per-cell pass
+    * rests on: one cell's members must fit one executor (the array a
+    * monoculture corpus concentrates into a single cell). Exceeding it
+    * fails LOUDLY inside the task — never a silent spill or truncation
+    * — with the SemDeDup recipe in the message: k must scale with the
+    * corpus so that corpus/k stays cell-sized. The check costs no
+    * extra job; it rides the iterator that builds the member array.
+    * `idCol` must be an integral column (the verdict orders and
+    * tie-breaks by exact id); anything else fails analysis here with a
+    * clear error rather than deep inside the encoder. */
   def dedup(embeddings: DataFrame, idCol: String, vecCol: String,
-            k: Int, cosE6: Long): DataFrame = {
+            k: Int, cosE6: Long, maxCell: Int = 1 << 20): DataFrame = {
     require(cosE6 > 0, s"cosE6 threshold must be positive, got $cosE6")
+    require(maxCell > 0, s"maxCell must be positive, got $maxCell")
+    val idType = embeddings.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"SemDedup.dedup needs an integral id column; '$idCol' is " +
+        s"${idType.typeName} — cast it to bigint first (verdicts order " +
+        "and tie-break by exact id)")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val index = Ann.buildIndex(embeddings, idCol, vecCol,
-        Ann.buildCentroids(embeddings, idCol, vecCol, k))
+    val withLongId = embeddings.withColumn(idCol, col(idCol).cast("long"))
+    val index = Ann.buildIndex(withLongId, idCol, vecCol,
+        Ann.buildCentroids(withLongId, idCol, vecCol, k))
       .withColumn("n2", dot_long(col("v"), col("v")))
     index.select(col("centroid_id"), col("vid"), col("v"), col("n2"))
       .as[(Long, Long, Array[Long], Long)]
       .groupByKey(_._1)
       .flatMapGroups { (cell, it) =>
-        val members = it.map { case (_, vid, v, n2) => (vid, v, n2) }
-          .toArray.sortBy(_._1)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Long)]
+        it.foreach { case (_, vid, v, n2) =>
+          if (buf.length >= maxCell)
+            throw new IllegalStateException(
+              s"SemDedup cell $cell exceeds maxCell=$maxCell members: " +
+                "raise k so corpus/k stays cell-sized (SemDeDup's own " +
+                "recipe) or raise maxCell if executor memory allows")
+          buf += ((vid, v, n2))
+        }
+        val members = buf.toArray.sortBy(_._1)
         val norms = members.map(m => math.sqrt(m._3.toDouble))
         Iterator.tabulate(members.length) { bi =>
           val (vid, vb, _) = members(bi)

@@ -42,6 +42,44 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
     assert(bad.count() == 0, "a dropped vector has no kept lower-id cluster-mate")
   }
 
+  test("semdedup: monoculture cell past maxCell fails loudly; within bound it passes") {
+    // monoculture: 40 near-identical vectors -> k=1 puts them all in
+    // one cell, which is exactly the shape the bounded-cell contract
+    // guards; id 0..39, v = base + tiny per-id wiggle
+    import spark.implicits._
+    val mono = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => 1.0f + (if (d == (i % 8).toInt) 1e-4f * i else 0f)))
+    }.toDF("vec_id", "embedding")
+    val ex = intercept[org.apache.spark.SparkException] {
+      operators.SemDedup.dedup(mono, "vec_id", "embedding",
+        k = 1, cosE6 = 300000L, maxCell = 10).count()
+    }
+    assert(ex.getMessage.contains("maxCell") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxCell")),
+      s"guard failure does not explain itself: ${ex.getMessage}")
+    // same corpus under the bound: one kept representative, 39 drops
+    val ok = operators.SemDedup.dedup(mono, "vec_id", "embedding",
+      k = 1, cosE6 = 300000L, maxCell = 40)
+    assert(ok.filter(col("kept")).count() == 1)
+    assert(ok.count() == 40)
+  }
+
+  test("semdedup: integer ids cast cleanly; non-integral ids fail with a clear error") {
+    import spark.implicits._
+    val intIds = (0 until 20).map(i =>
+      (i, Array.tabulate(8)(d => if (d == i % 8) 1.0f else 0.1f)))
+      .toDF("vec_id", "embedding")
+    val verdicts = operators.SemDedup.dedup(intIds, "vec_id", "embedding",
+      k = 2, cosE6 = 990000L)
+    assert(verdicts.count() == 20)
+    val strIds = (0 until 4).map(i =>
+      (s"id$i", Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      operators.SemDedup.dedup(strIds, "vec_id", "embedding", k = 1, cosE6 = 1L)
+    }
+    assert(err.getMessage.contains("integral id column"))
+  }
+
   test("lloydConverged reaches an assignment fixed point (both durability modes)") {
     for (reliable <- Seq(false, true)) {
       val (cent, rounds) = operators.Ann.lloydConverged(
