@@ -64,8 +64,12 @@ object CorpusShape {
       .sortWithinPartitions("__k", idCol)
     // the counts job and the position job must see IDENTICAL partition
     // contents; persist pins them so a nondeterministic upstream source
-    // cannot disagree between the two passes (the cache lives with the
-    // returned DataFrame's lineage — MEMORY_AND_DISK, LRU-evicted)
+    // cannot disagree between the two passes. LIFETIME: the returned
+    // DataFrame reads the pinned blocks, so they cannot be released
+    // here — they live until the caller drops the frame, at which point
+    // the ContextCleaner unpersists the GC'd RDD. Callers looping over
+    // many shard builds should write each result out and drop the
+    // reference (or checkpoint) rather than hold all frames live.
     val sortedRdd = sorted.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sortedRdd
@@ -142,6 +146,11 @@ object CorpusShape {
           if (posSet.contains(p)) Iterator((p, r.getLong(0))) else Iterator.empty
         }
       }.collect().toMap // bounded: at most |qs| rows
+    // both passes are complete — release the pinned blocks eagerly
+    // (repeated profiling calls must not stack cached sorts until LRU
+    // eviction, whose recompute-from-nondeterministic-source would
+    // reopen the two-pass disagreement the persist pins down)
+    rdd.unpersist(blocking = false)
     val schema = StructType(StructField("n", LongType, nullable = false) +:
       qs.map { case (name, _, _) => StructField(name, LongType, nullable = true) })
     val row = Row.fromSeq(n +: positions.map(p =>

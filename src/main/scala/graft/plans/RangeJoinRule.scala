@@ -55,7 +55,13 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   * can no longer convert a working query into a crashing one. When no
   * pathological interval exists at runtime (the usual case) the guard
   * branch's build side is empty and AQE's empty-relation propagation
-  * collapses it, so the point side is NOT scanned twice.
+  * collapses it, so the point side is NOT scanned twice. That
+  * collapse IS an AQE behavior: with `spark.sql.adaptive.enabled=false`
+  * the guard branch executes even when empty — one extra point-side
+  * scan and an empty-build nested-loop per query. Still almost always
+  * far cheaper than the pre-rewrite plan (a nested loop over ALL
+  * intervals, not just the wide ones), but not free; keep AQE on
+  * (Spark's default) where the rewrite is enabled.
   *
   * Both emitted joins carry a [[TreeNodeTag]] so the rule never
   * re-fires on its own output (the range conjuncts survive in the
@@ -123,6 +129,26 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     else None
   }
 
+  /** Structural belt for the GUARD branch (the fast path has
+    * `__graft_` columns; the guard join does not): its interval child
+    * is a Filter whose condition compares the rule's own fan-out
+    * expression — `floor(hi/w) - floor(lo/w)` — against a literal. No
+    * user writes that shape; if any Filter in the subtree carries it,
+    * this join is rule output whose [[SkipTag]] a tag-dropping
+    * case-class copy() lost, and re-firing would nest Unions each
+    * fixed-point iteration (semantics survive — wide ∩ narrow = ∅ —
+    * but the plan bloats until the batch hits max iterations). */
+  private def hasFanoutGuard(plan: LogicalPlan, lo: Expression,
+                             hi: Expression, width: Long): Boolean = {
+    val fanout = Subtract(fdiv(hi, width), fdiv(lo, width))
+    def guarded(c: Expression): Boolean = splitConjunctivePredicates(c).exists {
+      case GreaterThan(f, _: Literal) => f.semanticEquals(fanout)
+      case LessThanOrEqual(f, _: Literal) => f.semanticEquals(fanout)
+      case _ => false
+    }
+    plan.exists { case Filter(c, _) => guarded(c); case _ => false }
+  }
+
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
                       cond: Expression, hint: JoinHint,
                       width: Long, maxFanout: Long): Option[LogicalPlan] = {
@@ -144,6 +170,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     } yield (pv1, lo, hi, sides)
     val (pv, lo, hi, (pointPlan, intervalPlan)) =
       candidates.headOption.getOrElse(return None)
+    if (hasFanoutGuard(intervalPlan, lo, hi, width)) return None
 
     val fanout = Subtract(fdiv(hi, width), fdiv(lo, width))
 

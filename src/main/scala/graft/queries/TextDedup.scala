@@ -197,6 +197,12 @@ object TextDedup {
     * two bands of 4 and equi-join on band value (the 100 TB-scale dedup
     * plan: candidates come from a shuffle on band keys, never O(n²)). */
   /** All ordered pairs from a bucket's sorted member list. */
+  /** EVAL-ONLY pair expansion: `collect_list` materializes one band
+    * bucket's ids in one row, so a degenerate bucket (every signature
+    * colliding) concentrates the corpus into a single array. Fine for
+    * the bounded evaluation gates (t35/t75) it serves; the PRODUCTION
+    * drop decision is t34's window-min shape, which never materializes
+    * pairs — do not promote this helper into a data path. */
   private val bucketPairsUdf = udf((ds: Seq[Long]) => {
     val out = Seq.newBuilder[(Long, Long)]
     var i = 0

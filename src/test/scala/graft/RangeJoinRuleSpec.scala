@@ -101,6 +101,22 @@ class RangeJoinRuleSpec extends AnyFunSuite with SparkSpec {
     } finally GraftExtensions.disableRangeJoinRewrite(spark)
   }
 
+  test("structural belt: a tag-stripped guard join is not rewritten again") {
+    // simulate the optimizer rebuilding the rule's output joins via
+    // case-class copy() (which drops TreeNodeTags): apply the rule to
+    // the analyzed plan, strip EVERY tag by copying each Join, re-run
+    // the rule, and assert the plan is a fixed point — no nested Union
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Union}
+    val analyzed = naive.queryExecution.analyzed
+    val once = graft.plans.RangeJoinRewrite(analyzed)
+    def unions(p: LogicalPlan): Int = p.collect { case u: Union => u }.length
+    assert(unions(once) == 1, s"expected the hybrid Union after one firing:\n$once")
+    val stripped = once.transform { case j: Join => j.copy() }
+    val again = graft.plans.RangeJoinRewrite(stripped)
+    assert(unions(again) == 1,
+      s"rule re-fired on its tag-stripped output (nested Unions):\n$again")
+  }
+
   test("malformed width conf falls back to the default instead of failing plans") {
     GraftExtensions.enableRangeJoinRewrite(spark)
     spark.conf.set("spark.graft.rangejoin.width", "not-a-number")
