@@ -175,4 +175,41 @@ object CorpusShape {
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Sketch-tier corpus profile — the 100 TB companion to
+    * [[globalQuantiles]] and an exact vocabulary count. The exact
+    * paths are correct but SORT-the-corpus ([[globalQuantiles]]'s
+    * range partition) or SHUFFLE-the-vocabulary (count(distinct term))
+    * shapes; a profiling pass over 100 TB wants one map-side-combinable
+    * aggregate and bytes-sized state. This emits, in TWO single-stage
+    * aggregate jobs and zero sorts:
+    *
+    *   - `n`           exact row count
+    *   - `d_approx`    HyperLogLog++ distinct count of the exploded
+    *                   `termsCol` (state = one 2^p-register sketch per
+    *                   partial; `rsd` picks p)
+    *   - one approx percentile per entry of `qs` (Greenwald-Khanna
+    *                   summaries, `accuracy` bounds the rank error at
+    *                   n/accuracy)
+    *
+    * Both sketches are deterministic for a given dataset (hash-based
+    * registers / rank summaries with commutative merges), but their
+    * VALUES are engine-specific — correctness gates must compare exact
+    * values and assert the sketch lands within its error bound (see
+    * ShapeGate.t79), never hash-compare sketch output across engines.
+    */
+  def approxProfile(df: DataFrame, termsCol: String, valueCol: String,
+                    qs: Seq[(String, Double)], rsd: Double = 0.01,
+                    accuracy: Int = 10000): DataFrame = {
+    val quants = df.agg(
+      count(lit(1)).cast(LongType).as("n"),
+      qs.map { case (name, q) =>
+        percentile_approx(col(valueCol).cast(LongType), lit(q), lit(accuracy))
+          .cast(LongType).as(name)
+      }: _*)
+    val distinctTerms = df
+      .select(explode(col(termsCol)).as("__t")).filter(col("__t") =!= "")
+      .agg(approx_count_distinct(col("__t"), rsd).as("d_approx"))
+    quants.crossJoin(distinctTerms) // both sides are single-row aggregates
+  }
 }

@@ -106,6 +106,39 @@ object ShapeGate {
       "n_tokens",
       Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
 
+  /** t79: the APPROXIMATE statistics tier ([[CorpusShape.approxProfile]]
+    * — HLL++ distinct count + Greenwald-Khanna percentiles, one
+    * map-side-combinable aggregate, zero sorts) certified against the
+    * exact tier (t73's positional quantiles, an exact distinct count).
+    * Sketch values are engine-specific, so the gate emits the EXACT
+    * values (which DuckDB reproduces) plus integer within-ε flags the
+    * sketches must satisfy: HLL within 5% relative (rsd = 1% → 5σ),
+    * each percentile within max(2, 5%) of the exact value. The oracle
+    * states the flags as literal 1 — a sketch drifting out of bound
+    * fails the hash compare loudly. */
+  def t79ApproxProfile(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("terms"),
+        tokenCount(col("text")).as("n_tokens"))
+    val approx = CorpusShape.approxProfile(docs, "terms", "n_tokens",
+      Seq(("p50_a", 0.5), ("p90_a", 0.9), ("p99_a", 0.99)))
+    val exactQ = CorpusShape.globalQuantiles(docs.select(col("n_tokens")),
+      "n_tokens", Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+      .select("p50", "p90", "p99")
+    val exactD = docs.select(explode(col("terms")).as("t"))
+      .filter(col("t") =!= "")
+      .agg(countDistinct(col("t")).cast("long").as("d_exact"))
+    def within(a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+      when(abs(a - e) <= greatest(lit(2L), e.divide(20).cast("long")), 1).otherwise(0)
+    approx.crossJoin(exactQ).crossJoin(exactD) // three single-row frames
+      .select(col("n"), col("d_exact"), col("p50"), col("p90"), col("p99"),
+        when(abs(col("d_approx") - col("d_exact")) * 20 <= col("d_exact"), 1)
+          .otherwise(0).as("hll_ok"),
+        within(col("p50_a"), col("p50")).as("p50_ok"),
+        within(col("p90_a"), col("p90")).as("p90_ok"),
+        within(col("p99_a"), col("p99")).as("p99_ok"))
+  }
+
   /** t63: Zipf shape of the vocabulary — document-frequency histogram
     * in power-of-two buckets. The log2 bucket is exact integer
     * arithmetic on BOTH engines (`length(bin(df)) - 1`), never a float
@@ -372,6 +405,7 @@ object ShapeGate {
     "t72_bpe_tokenize" -> (t72BpeTokenize _),
     "t78_bpe_merges_delta" -> (t78BpeMergesDelta _),
     "t73_global_quantiles" -> (t73GlobalQuantiles _),
+    "t79_approx_profile" -> (t79ApproxProfile _),
     "t76_bigram_surprisal" -> (t76BigramSurprisal _),
     "t77_split_assign" -> (t77SplitAssign _),
     "t70_unigram_surprisal" -> (t70UnigramSurprisal _),
@@ -422,6 +456,25 @@ object ShapeGate {
         |  cast(max(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) as bigint) p90,
         |  cast(max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) as bigint) p99
         |FROM r""".stripMargin,
+    "t79_approx_profile" ->
+      // exact tier only — the sketch side is engine-specific, so the
+      // oracle pins the exact values and asserts the within-ε flags
+      // are all 1 (the Spark side computes them from its sketches)
+      """WITH d AS (SELECT
+        |    cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) v
+        |  FROM documents),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) rn, count(*) OVER () n FROM d),
+        |q AS (SELECT cast(max(n) as bigint) n,
+        |  cast(max(CASE WHEN rn = (1 * n + 1) // 2 THEN v END) as bigint) p50,
+        |  cast(max(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) as bigint) p90,
+        |  cast(max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) as bigint) p99
+        | FROM r),
+        |t AS (SELECT cast(count(DISTINCT term) as bigint) d_exact FROM
+        |  (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        |   FROM documents))
+        |SELECT n, d_exact, p50, p90, p99,
+        |  1 hll_ok, 1 p50_ok, 1 p90_ok, 1 p99_ok
+        |FROM q, t""".stripMargin,
     "t70_unigram_surprisal" ->
       // surprisal as bit-length difference (exact integer log2 gap)
       """WITH toks AS (SELECT doc_id,

@@ -93,6 +93,39 @@ class StreamPipelinesSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup state is BOUNDED: a beyond-watermark late duplicate re-emits") {
+    // The contract dropDuplicatesWithinWatermark trades on: duplicate
+    // keys are dropped only while the original's state lives (its event
+    // time + delay is ahead of the watermark). Once the watermark passes
+    // that horizon the state is EVICTED — so a very-late duplicate
+    // re-emits. That re-emission is the positive proof the state store
+    // is bounded by event time instead of keeping every key forever
+    // (raw dropDuplicates would dedup here and grow without bound).
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val deduped = StreamPipelines.dedupStream(
+      mem.toDF().toDF("content_url", "ts"), "content_url", "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_evict_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: k1's state will expire at 10:00 + 10 min = 10:10
+      mem.addData(("k1", ts("2025-01-01 10:00:00")))
+      q.processAllAvailable()
+      // batch 2: advances the watermark to 11:30 − 10 min = 11:20 > 10:10
+      // (evicts k1) and seeds k4, whose state expires at 11:38 > 11:20
+      mem.addData(("adv", ts("2025-01-01 11:30:00")), ("k4", ts("2025-01-01 11:28:00")))
+      q.processAllAvailable()
+      // batch 3: k4 re-sent within its live state → dropped;
+      // k1 re-sent after eviction → re-emitted (bounded-state proof)
+      mem.addData(("k1", ts("2025-01-01 11:25:00")), ("k4", ts("2025-01-01 11:29:00")))
+      q.processAllAvailable()
+      val keys = spark.table("dedup_evict_out").select("content_url")
+        .as[String].collect().sorted.toSeq
+      assert(keys === Seq("adv", "k1", "k1", "k4"),
+        "expected k1 twice (state evicted) and k4 once (state live)")
+    } finally q.stop()
+  }
+
   test("checkpointed dedup resumes with state intact: no reprocess, no re-emit") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
