@@ -153,6 +153,46 @@ object StreamGate {
       .orderBy("p_id", "s_id")
   }
 
+  /** q91: stream-stream LEFT-OUTER interval join — q70's attribution
+    * shape with the misses preserved (purchases that had NO signup in
+    * the prior 24 h emit with a null signup id). Outer rows cannot emit
+    * while the purchase might still match a late signup; Spark emits
+    * them only when the watermark passes the purchase's last possible
+    * match time and the state row is EVICTED. The gate therefore uses a
+    * TIGHT watermark (3 days — unlike q70's fixture-spanning one): the
+    * single-file source drains in one micro-batch (no late-drop risk;
+    * all matches emit there), then the final no-data batch advances the
+    * watermark to min(max p_ts, max s_ts) − 3 d and flushes the
+    * unmatched purchases older than it. Purchases inside the final
+    * 3-day horizon stay in state — still joinable on a live stream —
+    * and are absent from the output; the oracle applies the identical
+    * inequality to its batch left join. */
+  def q91StreamOuterIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
+      .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("ts_utc").as("p_ts"))
+      .withWatermark("p_ts", "3 days")
+    val signups = stream.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("s_id"),
+        col("ts_utc").as("s_ts"))
+      .withWatermark("s_ts", "3 days")
+    val joined = purchases.join(signups,
+      expr("p_user = s_user AND p_ts >= s_ts AND p_ts <= s_ts + interval 24 hours"),
+      "left_outer")
+    val name = s"q91_stream_${runId.incrementAndGet()}"
+    val query = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(name).select(col("p_id"), col("s_id"), col("p_user").as("user_id"))
+      .orderBy("p_id", "s_id")
+  }
+
   /** q71: the SAME sessionization as q62 on Spark 4's
     * transformWithState (StatefulProcessor + explicit event-time
     * timers) — both state APIs must emit the identical session set,
@@ -415,6 +455,7 @@ object StreamGate {
     "q61_stream_dedup" -> (q61StreamDedup _),
     "q62_stream_sessions" -> (q62StreamSessions _),
     "q70_stream_interval_join" -> (q70StreamIntervalJoin _),
+    "q91_stream_outer_interval_join" -> (q91StreamOuterIntervalJoin _),
     "q71_stream_sessions_tws" -> (q71StreamSessionsTws _),
     "q72_idempotent_merge" -> (q72IdempotentMerge _))
 
@@ -512,5 +553,19 @@ object StreamGate {
         |SELECT p.p_id, s.s_id, p.user_id
         |FROM p JOIN s ON p.user_id = s.user_id
         | AND p.p_us >= s.s_us AND p.p_us <= s.s_us + 86400000000
+        |ORDER BY p.p_id, s.s_id""".stripMargin,
+    "q91_stream_outer_interval_join" ->
+      // batch left join; unmatched purchases only emit once EVICTED —
+      // p_ts strictly below the final watermark min(max p, max s) − 3 d
+      """WITH p AS (SELECT user_id, event_id p_id, epoch_ns(ts)//1000 p_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, event_id s_id, epoch_ns(ts)//1000 s_us
+        |      FROM events WHERE event_type = 'signup'),
+        |wm AS (SELECT least((SELECT max(p_us) FROM p),
+        |                    (SELECT max(s_us) FROM s)) - 259200000000 w)
+        |SELECT p.p_id, s.s_id, p.user_id
+        |FROM p LEFT JOIN s ON p.user_id = s.user_id
+        | AND p.p_us >= s.s_us AND p.p_us <= s.s_us + 86400000000
+        |WHERE s.s_id IS NOT NULL OR p.p_us < (SELECT w FROM wm)
         |ORDER BY p.p_id, s.s_id""".stripMargin)
 }
