@@ -172,6 +172,45 @@ object Temporal {
       .orderBy("s_suppkey")
   }
 
+  /** q92: BATCH gap sessionization via Spark's native `session_window`
+    * aggregate — the batch twin of the streaming q62/q71 (custom-state)
+    * sessionizers, exercising the engine-provided operator instead.
+    * Sessions are half-open `[first, last + gap)`: an event exactly
+    * `gap` after the previous one starts a NEW session (its window no
+    * longer overlaps), which the oracle states as a `diff >= gap` break
+    * in the classic lag→cumsum derivation. Session aggregation merges
+    * per key — distributes on user_id, no global stage. */
+  def q92SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("ts_utc"))
+      .groupBy(col("user_id"), session_window(col("ts_utc"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+
+  /** q96: time-series gap-fill ([[graft.operators.Resample.gapFill]]) —
+    * sparse per-user purchase observations regularized onto a daily
+    * grid with the last observation carried forward. The daily grain
+    * pick is deterministic (the day's last event by (ts, event_id));
+    * the oracle rebuilds the grid with generate_series and fills via
+    * DuckDB's native ASOF join — two independent statements of the
+    * same semantics. */
+  def q96GapFill(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase" && pmod(col("user_id"), lit(10)) === 0)
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("day", expr("us div 86400000000"))
+      .groupBy("user_id", "day")
+      .agg(max(struct(col("us"), col("event_id"), col("cents"))).as("__m"))
+      .select(col("user_id"), col("day"), col("__m.cents").as("cents"))
+    graft.operators.Resample.gapFill(obs, "user_id", "day", Seq("cents"))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, Q] = Map(
     "q44_asof_join" -> (q44AsofJoin _),
     "q68_watermark_lag" -> (q68WatermarkLag _),
@@ -180,6 +219,8 @@ object Temporal {
     "q77_moving_window" -> (q77MovingWindow _),
     "q83_asof_forward" -> (q83AsofForward _),
     "q84_asof_forward_tol" -> (q84AsofForwardTolerance _),
+    "q92_session_window" -> (q92SessionWindow _),
+    "q96_gap_fill" -> (q96GapFill _),
     "q79_range_rewrite" -> (q79RangeRewrite _))
 
   private val oraclesBase: Map[String, String] = Map(
@@ -266,7 +307,45 @@ object Temporal {
         |FROM events WHERE event_type = 'purchase'
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "q92_session_window" ->
+      // lag→break→cumsum sessionization (split across CTE levels —
+      // DuckDB windows cannot nest); break at diff >= gap matches the
+      // half-open [first, last + gap) session-window semantics
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 us FROM events),
+        |l AS (SELECT user_id, us,
+        |        lag(us) OVER (PARTITION BY user_id ORDER BY us) prev
+        |      FROM e),
+        |b AS (SELECT user_id, us,
+        |        CASE WHEN prev IS NULL OR us - prev >= 1800000000
+        |             THEN 1 ELSE 0 END brk
+        |      FROM l),
+        |g AS (SELECT user_id, us,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                       ROWS UNBOUNDED PRECEDING) sid
+        |      FROM b)
+        |SELECT user_id, cast(min(us) AS BIGINT) start_us,
+        |       cast(max(us) + 1800000000 AS BIGINT) end_us,
+        |       cast(count(*) AS BIGINT) n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+    "q96_gap_fill" ->
+      // grid via generate_series, forward fill via native ASOF join —
+      // an independent statement of Resample.gapFill's semantics
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 us, event_id,
+        |        CAST(round(value * 100) AS BIGINT) cents
+        |      FROM events
+        |      WHERE event_type = 'purchase' AND user_id % 10 = 0),
+        |r AS (SELECT user_id, us // 86400000000 dy, cents,
+        |        row_number() OVER (PARTITION BY user_id, us // 86400000000
+        |                           ORDER BY us DESC, event_id DESC) rn
+        |      FROM e),
+        |d AS (SELECT user_id, dy, cents FROM r WHERE rn = 1),
+        |bo AS (SELECT user_id, min(dy) d0, max(dy) d1 FROM d GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(d0, d1)) dy FROM bo)
+        |SELECT g.user_id, g.dy AS "day", d.cents
+        |FROM g ASOF JOIN d ON g.user_id = d.user_id AND g.dy >= d.dy
+        |ORDER BY g.user_id, g.dy""".stripMargin)
 
   // q79 shares q73's oracle verbatim: same fixture, same BETWEEN
   // semantics — only the plan that produces the answer differs
