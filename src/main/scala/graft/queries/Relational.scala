@@ -483,7 +483,54 @@ object Relational {
       .orderBy("tag", "event_type")
   }
 
+  /** q93: the MULTISET set operations — q81's family completed with
+    * INTERSECT ALL / EXCEPT ALL, whose per-row multiplicity arithmetic
+    * (min of counts / truncating subtraction) DISTINCT set ops erase.
+    * Both engines state them natively; the per-key count aggregate
+    * makes a multiplicity drift hash-visible. Spark plans these as
+    * count-compare aggregates on the join key — one shuffle, no
+    * pairwise anything. */
+  def q93MultisetOps(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val a = li.filter(col("l_quantity") <= 25).select("l_suppkey")
+    val b = li.filter(col("l_discount") >= 0.05).select("l_suppkey")
+    a.intersectAll(b).withColumn("tag", lit("min_mult"))
+      .unionByName(a.exceptAll(b).withColumn("tag", lit("a_minus_b")))
+      .groupBy("tag", "l_suppkey").agg(count(lit(1)).as("n"))
+      .orderBy("tag", "l_suppkey")
+  }
+
+  /** q94: the engine-native PIVOT surface (`RelationalGroupedDataset
+    * .pivot` with an explicit value list — never the values-discovery
+    * form, which costs an extra distinct pass at scale). Same answer
+    * shape as q5's hand-written MAX-over-CASE EAV pivot, but this gate
+    * pins the dedicated API: one aggregate over (user, type), zero
+    * shuffles beyond it. */
+  def q94Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("user_id") < 200)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** q95: the engine-native UNPIVOT (melt) surface — `Dataset.unpivot`
+    * folds q94's wide per-type counts back to (user, type, n) rows,
+    * zeros preserved (the wide frame is dense after `na.fill`).
+    * Scan-side row explosion, no shuffle at all. */
+  def q95Unpivot(s: SparkSession, dir: String): DataFrame =
+    q94Pivot(s, dir).unpivot(
+        Array(col("user_id")),
+        Array(col("click"), col("error"), col("purchase"),
+          col("signup"), col("view")),
+        "event_type", "n")
+      .orderBy("user_id", "event_type")
+
   val queries: Map[String, Q] = Map(
+    "q93_multiset_ops" -> (q93MultisetOps _),
+    "q94_pivot" -> (q94Pivot _),
+    "q95_unpivot" -> (q95Unpivot _),
     "q66_salted_join" -> (q66SaltedJoin _),
     "q78_rollup" -> (q78Rollup _),
     "q80_cube" -> (q80Cube _),
@@ -628,6 +675,37 @@ object Relational {
         |UNION ALL
         |SELECT 'only_young' tag, event_type FROM (SELECT event_type FROM a EXCEPT SELECT event_type FROM b)
         |ORDER BY tag, event_type""".stripMargin,
+    "q93_multiset_ops" ->
+      """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity <= 25),
+        |b AS (SELECT l_suppkey FROM lineitem WHERE l_discount >= 0.05)
+        |SELECT 'min_mult' tag, l_suppkey, cast(count(*) AS BIGINT) n
+        |FROM (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b)
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT 'a_minus_b' tag, l_suppkey, cast(count(*) AS BIGINT) n
+        |FROM (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b)
+        |GROUP BY 2
+        |ORDER BY tag, l_suppkey""".stripMargin,
+    "q94_pivot" ->
+      """SELECT user_id,
+        |  cast(count(*) FILTER (event_type = 'click') AS BIGINT) click,
+        |  cast(count(*) FILTER (event_type = 'error') AS BIGINT) error,
+        |  cast(count(*) FILTER (event_type = 'purchase') AS BIGINT) purchase,
+        |  cast(count(*) FILTER (event_type = 'signup') AS BIGINT) signup,
+        |  cast(count(*) FILTER (event_type = 'view') AS BIGINT) "view"
+        |FROM events WHERE user_id < 200
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q95_unpivot" ->
+      // the melt of q94's dense wide frame: one row per (user, type),
+      // zero counts preserved
+      """WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 200),
+        |t AS (SELECT unnest(['click','error','purchase','signup','view']) event_type),
+        |c AS (SELECT user_id, event_type, cast(count(*) AS BIGINT) n
+        |      FROM events WHERE user_id < 200 GROUP BY 1, 2)
+        |SELECT u.user_id, t.event_type, coalesce(c.n, 0) n
+        |FROM u CROSS JOIN t
+        |LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+        |ORDER BY u.user_id, t.event_type""".stripMargin,
     "q66_salted_join" ->
       // the plain (unsalted) join answer the salted plan must equal
       """WITH dim AS (

@@ -139,6 +139,24 @@ object ShapeGate {
         within(col("p99_a"), col("p99")).as("p99_ok"))
   }
 
+  /** t80: per-source distribution moments in EXACT integer arithmetic —
+    * the drift-profile aggregate (is this source's length distribution
+    * shifting between snapshots?). One map-side-combinable pass
+    * collects (n, Σv, Σv²); the variance NUMERATOR `n·Σv² − (Σv)²`
+    * (= n²·σ²) is derived exactly, never the shift-sensitive float
+    * `avg(v²) − avg(v)²` whose catastrophic cancellation poisons
+    * single-pass variance at scale. Magnitudes: token counts ≤ ~10³,
+    * so Σv² ≤ 10⁶·n and n·Σv² stays far inside BIGINT at any SF. */
+  def t80MomentProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), tokenCount(col("text")).as("v"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+      .select(col("source"), col("n"), col("s1"), col("s2"),
+        (col("n") * col("s2") - col("s1") * col("s1")).as("var_num"))
+      .orderBy("source")
+
   /** t63: Zipf shape of the vocabulary — document-frequency histogram
     * in power-of-two buckets. The log2 bucket is exact integer
     * arithmetic on BOTH engines (`length(bin(df)) - 1`), never a float
@@ -406,6 +424,7 @@ object ShapeGate {
     "t78_bpe_merges_delta" -> (t78BpeMergesDelta _),
     "t73_global_quantiles" -> (t73GlobalQuantiles _),
     "t79_approx_profile" -> (t79ApproxProfile _),
+    "t80_moment_profile" -> (t80MomentProfile _),
     "t76_bigram_surprisal" -> (t76BigramSurprisal _),
     "t77_split_assign" -> (t77SplitAssign _),
     "t70_unigram_surprisal" -> (t70UnigramSurprisal _),
@@ -475,6 +494,15 @@ object ShapeGate {
         |SELECT n, d_exact, p50, p90, p99,
         |  1 hll_ok, 1 p50_ok, 1 p90_ok, 1 p99_ok
         |FROM q, t""".stripMargin,
+    "t80_moment_profile" ->
+      """WITH d AS (SELECT source,
+        |    cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) v
+        |  FROM documents),
+        |m AS (SELECT source, cast(count(*) as bigint) n,
+        |        cast(sum(v) as bigint) s1, cast(sum(v * v) as bigint) s2
+        |      FROM d GROUP BY 1)
+        |SELECT source, n, s1, s2, n * s2 - s1 * s1 AS var_num
+        |FROM m ORDER BY source""".stripMargin,
     "t70_unigram_surprisal" ->
       // surprisal as bit-length difference (exact integer log2 gap)
       """WITH toks AS (SELECT doc_id,
