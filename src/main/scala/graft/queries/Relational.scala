@@ -527,8 +527,25 @@ object Relational {
         "event_type", "n")
       .orderBy("user_id", "event_type")
 
+  /** q97: ordered string aggregation (the LISTAGG / string_agg shape —
+    * report-building's last mile). `collect_list` order is
+    * partition-dependent, so the sort happens INSIDE the row
+    * (`array_sort` before the join) — deterministic under any
+    * parallelism, which is the entire trick of distributed LISTAGG.
+    * Dim join rides a broadcast. */
+  def q97StringAgg(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+    val nat = Tables.nation(s, dir)
+    sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        array_join(array_sort(collect_list(col("s_name"))), "|").as("names"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, Q] = Map(
     "q93_multiset_ops" -> (q93MultisetOps _),
+    "q97_string_agg" -> (q97StringAgg _),
     "q94_pivot" -> (q94Pivot _),
     "q95_unpivot" -> (q95Unpivot _),
     "q66_salted_join" -> (q66SaltedJoin _),
@@ -675,6 +692,11 @@ object Relational {
         |UNION ALL
         |SELECT 'only_young' tag, event_type FROM (SELECT event_type FROM a EXCEPT SELECT event_type FROM b)
         |ORDER BY tag, event_type""".stripMargin,
+    "q97_string_agg" ->
+      """SELECT n.n_name, cast(count(*) AS BIGINT) n_suppliers,
+        |  string_agg(s.s_name, '|' ORDER BY s.s_name) AS names
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q93_multiset_ops" ->
       """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity <= 25),
         |b AS (SELECT l_suppkey FROM lineitem WHERE l_discount >= 0.05)

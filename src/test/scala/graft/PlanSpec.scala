@@ -235,4 +235,52 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, // partial+final ADC sums
       s"ADC sum lost its partial aggregate in:\n$plan")
   }
+
+  test("q92 session window: one keyed shuffle into the session merge, partial aggs") {
+    val plan = planOf(queries.Temporal.q92SessionWindow(spark, dir))
+    assert(plan.contains("MergingSessions"),
+      s"native session-merge operator missing from:\n$plan")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      s"session agg should shuffle exactly once on the key in:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"session counts lost map-side combine in:\n$plan")
+  }
+
+  test("q96 gap fill: keyed window (no global stage), equi-join grid, pushed filters") {
+    val plan = planOf(queries.Temporal.q96GapFill(spark, dir))
+    assert(plan.contains("windowspecdefinition(user_id"),
+      s"forward-fill window lost its partition key in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"grid join degenerated in:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), IsNotNull(user_id), EqualTo(event_type,purchase)]"),
+      s"purchase filter not pushed in:\n$plan")
+  }
+
+  test("q93 multiset ops: count-compare aggregates + replicate, never pairwise") {
+    val plan = planOf(queries.Relational.q93MultisetOps(spark, dir))
+    assert(plan.contains("replicaterows"),
+      s"INTERSECT/EXCEPT ALL lost the count-replicate plan in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"multiset ops degenerated to a join in:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      s"branch filters not pushed in:\n$plan")
+  }
+
+  test("q94 pivot: explicit-values pivotfirst with map-side partials, no discovery pass") {
+    val plan = planOf(queries.Relational.q94Pivot(spark, dir))
+    assert(plan.contains("partial_pivotfirst"),
+      s"pivot lost its partial aggregate in:\n$plan")
+    assert(shuffles(plan) <= 3, // (user,type) agg + pivot agg + sort
+      s"pivot shuffle count grew past 3 in:\n$plan")
+  }
+
+  test("t80 moment profile: one aggregate pass with partials, pruned scan") {
+    val plan = planOf(queries.ShapeGate.t80MomentProfile(spark, dir))
+    assert(plan.contains("partial_count") && plan.contains("partial_sum"),
+      s"moment sums lost map-side combine in:\n$plan")
+    assert(shuffles(plan) <= 2, // keyed agg + final sort
+      s"moment profile shuffle count grew past 2 in:\n$plan")
+    assert(plan.contains("ReadSchema: struct<text:string,source:string>"),
+      s"scan did not prune to (text, source) in:\n$plan")
+  }
 }
