@@ -73,4 +73,18 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     assert(TemporalJoin.asOfJoin(noLeft, right, Seq("k"), "t", "rt",
       direction = "forward").count() == 0)
   }
+
+  test("round-7 operators on empty inputs") {
+    // gap fill: no observations -> no grid at all
+    val noObs = Seq.empty[(Long, Long, Long)].toDF("k", "t", "v")
+    assert(Resample.gapFill(noObs, "k", "t", Seq("v")).count() == 0)
+    // approx profile: empty corpus -> one row, n = 0, zero distinct,
+    // null percentiles (the same one-row contract as globalQuantiles)
+    val noTerms = Seq.empty[(Seq[String], Long)].toDF("terms", "n_tokens")
+    val row = CorpusShape.approxProfile(noTerms, "terms", "n_tokens",
+      Seq(("p50_a", 0.5))).collect()(0)
+    assert(row.getAs[Long]("n") == 0L)
+    assert(row.getAs[Long]("d_approx") == 0L)
+    assert(row.isNullAt(row.fieldIndex("p50_a")))
+  }
 }
