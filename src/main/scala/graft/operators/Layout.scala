@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout clustering for scan pruning — the write-side half of the
+  * 100 TB story. Range-partitioning by a single column gives perfect
+  * min/max pruning on that column and none on any other; interleaving
+  * the bits of TWO filter columns (a Morton / Z-order code) and
+  * range-partitioning by the code keeps every partition's bounding box
+  * small in BOTH dimensions, so a reader filtering on either column
+  * (or both) can skip most files on footer min/max stats alone. This
+  * is the standard lakehouse OPTIMIZE ZORDER BY technique, built here
+  * from plain Catalyst expressions (shifts and masks — codegen'd, no
+  * UDF, scan-side).
+  */
+object Layout {
+
+  /** Bit-interleaved Morton code of two non-negative ints: bit `i` of
+    * `a` lands at position `2i+1`, bit `i` of `b` at `2i` — an
+    * expression tree of `2·bits` shift/mask terms, whole-stage
+    * codegen'd. Both inputs must already be quantized to `[0, 2^bits)`
+    * (callers map real domains onto the grid; rank-based quantization
+    * is the robust choice for skewed domains). */
+  def mortonCode(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i + 1) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i)
+    }.reduce(_ + _).cast("long")
+  }
+
+  /** Z-order the frame for writing: compute the Morton code of the two
+    * (pre-quantized) cluster columns and range-partition + sort by it.
+    * Each output partition then covers a compact Z-curve segment —
+    * a small min/max box in both dimensions — which is exactly what
+    * parquet footer stats need for file skipping. The code column is
+    * dropped; layout is a physical property, not data. */
+  def zorderBy(df: DataFrame, a: String, b: String, bits: Int,
+               numPartitions: Int): DataFrame = {
+    val coded = df.withColumn("__z", mortonCode(col(a), col(b), bits))
+    coded.repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+}

@@ -543,9 +543,29 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** q98: Z-order (Morton) clustering code
+    * ([[graft.operators.Layout.mortonCode]]) — the write-side layout
+    * primitive for two-dimensional scan pruning. The gate certifies
+    * the bit-interleave itself (pure shift/mask expression tree,
+    * codegen'd) against DuckDB's independent per-bit sum; the
+    * partition-locality property it buys is pinned in `LayoutSpec`
+    * (Z-ordered partitions have small min/max boxes in BOTH columns,
+    * the parquet-footer file-skipping contract). */
+  def q98ZorderCode(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(pmod(col("event_id"), lit(20)) === 0)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(1024)).as("a"),
+        pmod(round(col("value") * 100).cast("long"), lit(1024)).as("b"))
+      .select(col("event_id"),
+        graft.operators.Layout.mortonCode(col("a"), col("b"), bits = 10)
+          .as("zcode"))
+      .orderBy("event_id")
+
   val queries: Map[String, Q] = Map(
     "q93_multiset_ops" -> (q93MultisetOps _),
     "q97_string_agg" -> (q97StringAgg _),
+    "q98_zorder_code" -> (q98ZorderCode _),
     "q94_pivot" -> (q94Pivot _),
     "q95_unpivot" -> (q95Unpivot _),
     "q66_salted_join" -> (q66SaltedJoin _),
@@ -692,6 +712,19 @@ object Relational {
         |UNION ALL
         |SELECT 'only_young' tag, event_type FROM (SELECT event_type FROM a EXCEPT SELECT event_type FROM b)
         |ORDER BY tag, event_type""".stripMargin,
+    "q98_zorder_code" ->
+      // independent per-bit statement of the interleave: bit i of a at
+      // position 2i+1, bit i of b at position 2i
+      """WITH e AS (SELECT event_id,
+        |    user_id % 1024 AS a,
+        |    (CAST(round(value * 100) AS BIGINT) % 1024 + 1024) % 1024 AS b
+        |  FROM events WHERE event_id % 20 = 0),
+        |bits AS (SELECT unnest(generate_series(0, 9)) i)
+        |SELECT e.event_id,
+        |  cast(sum((((e.a >> bits.i) & 1) << (2 * bits.i + 1))
+        |         + (((e.b >> bits.i) & 1) << (2 * bits.i))) AS BIGINT) zcode
+        |FROM e CROSS JOIN bits
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
     "q97_string_agg" ->
       """SELECT n.n_name, cast(count(*) AS BIGINT) n_suppliers,
         |  string_agg(s.s_name, '|' ORDER BY s.s_name) AS names

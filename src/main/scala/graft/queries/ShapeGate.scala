@@ -157,6 +157,27 @@ object ShapeGate {
         (col("n") * col("s2") - col("s1") * col("s1")).as("var_num"))
       .orderBy("source")
 
+  /** t81: support-threshold heavy hitters — the frequent-terms scan
+    * every corpus audit starts with (stopword discovery, boilerplate
+    * tokens, contamination markers). A THRESHOLD (df·50 ≥ n_docs, i.e.
+    * support ≥ 2%) rather than a top-k: thresholds are deterministic
+    * under ties and distribute as one map-side-combinable aggregate +
+    * a broadcast of the single count row; top-k under ties needs a
+    * global tie-break pass. Exact integer arithmetic — no float
+    * support ratio. */
+  def t81HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n)) // one row
+      .filter(col("df") * 50 >= col("n_docs"))
+      .select(col("term"), col("df"))
+      .orderBy(col("df").desc, col("term"))
+  }
+
   /** t63: Zipf shape of the vocabulary — document-frequency histogram
     * in power-of-two buckets. The log2 bucket is exact integer
     * arithmetic on BOTH engines (`length(bin(df)) - 1`), never a float
@@ -425,6 +446,7 @@ object ShapeGate {
     "t73_global_quantiles" -> (t73GlobalQuantiles _),
     "t79_approx_profile" -> (t79ApproxProfile _),
     "t80_moment_profile" -> (t80MomentProfile _),
+    "t81_heavy_hitters" -> (t81HeavyHitters _),
     "t76_bigram_surprisal" -> (t76BigramSurprisal _),
     "t77_split_assign" -> (t77SplitAssign _),
     "t70_unigram_surprisal" -> (t70UnigramSurprisal _),
@@ -494,6 +516,14 @@ object ShapeGate {
         |SELECT n, d_exact, p50, p90, p99,
         |  1 hll_ok, 1 p50_ok, 1 p90_ok, 1 p99_ok
         |FROM q, t""".stripMargin,
+    "t81_heavy_hitters" ->
+      """WITH t AS (SELECT doc_id, unnest(list_distinct(
+        |      list_filter(string_split(text, ' '), x -> x <> ''))) term
+        |    FROM documents),
+        |df AS (SELECT term, cast(count(*) as bigint) df FROM t GROUP BY 1),
+        |n AS (SELECT cast(count(*) as bigint) n_docs FROM documents)
+        |SELECT term, df FROM df, n WHERE df * 50 >= n_docs
+        |ORDER BY df DESC, term""".stripMargin,
     "t80_moment_profile" ->
       """WITH d AS (SELECT source,
         |    cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) v
