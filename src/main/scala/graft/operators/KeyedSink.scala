@@ -91,4 +91,38 @@ object KeyedSink {
     * (del_unuse_record_in_mrestate.py:17-19). */
   def deleteWhere(table: DataFrame, predicate: org.apache.spark.sql.Column): DataFrame =
     table.filter(!coalesce(predicate, lit(false)))
+
+  /** The full MERGE INTO shape — update-matched / insert-unmatched /
+    * delete-flagged in ONE pass, the lakehouse CDC-apply contract that
+    * generalizes [[upsertAbsent]] (insert-only) and [[deleteWhere]]
+    * (delete-only). `changes` carries the key, an `op` column
+    * (`"upsert"` or `"delete"`) and the replacement payload columns
+    * (same names as in `state`). Exactly one change row per key —
+    * enforced loudly, because MERGE on an ambiguous source is
+    * nondeterministic by definition (the same rule Delta/Iceberg
+    * enforce at runtime).
+    *
+    * Scale shape: one full-outer equi-join on the key (both sides
+    * shuffle-partitioned on it; AQE broadcasts a small change set),
+    * then a row-local CASE — no window, no second pass. The duplicate
+    * guard is a count-filter on the already-shuffled changes, not an
+    * extra stage.
+    */
+  def mergeInto(state: DataFrame, changes: DataFrame, key: String,
+                opCol: String, payloadCols: Seq[String]): DataFrame = {
+    val dupes = changes.groupBy(key).count().filter(col("count") > 1)
+    require(dupes.isEmpty,
+      s"mergeInto: multiple change rows share a $key — MERGE semantics " +
+        "require one source row per key (got " +
+        dupes.select(key).limit(5).collect().mkString(", ") + ", ...)")
+    val s = state.select((key +: payloadCols).map(col): _*)
+    val c = changes.select((Seq(key, opCol) ++ payloadCols.map(n => s"__c_$n"))
+      .zip(Seq(col(key), col(opCol)) ++ payloadCols.map(col))
+      .map { case (n, e) => e.as(n) }: _*)
+    s.join(c, Seq(key), "full_outer")
+      .filter(coalesce(col(opCol) =!= "delete", lit(true))) // keep non-change rows
+      .select(col(key) +: payloadCols.map { n =>
+        when(col(opCol) === "upsert", col(s"__c_$n")).otherwise(col(n)).as(n)
+      }: _*)
+  }
 }

@@ -53,9 +53,35 @@ object DedupSinkGate {
       .orderBy("doc_id")
   }
 
+  /** q99: full MERGE INTO ([[KeyedSink.mergeInto]]) — update-matched /
+    * insert-unmatched / delete-flagged applied in one full-outer pass.
+    * The change set is CDC-shaped from orders: per-customer totals as
+    * upserts, every 10th customer flagged delete, every 5th-mod-1
+    * re-keyed past the customer domain to exercise the insert branch.
+    * The oracle restates the merge as a FULL JOIN + CASE. */
+  def q99MergeInto(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cust = graft.Tables.customer(s, dir)
+      .select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"))
+    val agg = graft.Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val base = agg.select(col("k"),
+      when(pmod(col("k"), lit(10)) === 0, "delete").otherwise("upsert").as("op"),
+      col("cents").as("bal"))
+    val ins = agg.filter(pmod(col("k"), lit(5)) === 1)
+      .select((col("k") + 1000000L).as("k"), lit("upsert").as("op"),
+        col("n").as("bal"))
+    KeyedSink.mergeInto(cust, base.unionByName(ins), "k", "op", Seq("bal"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, Q] = Map(
     "q64_bloom_dedup" -> (q64BloomDedup _),
-    "q69_delete_where" -> (q69DeleteWhere _))
+    "q69_delete_where" -> (q69DeleteWhere _),
+    "q99_merge_into" -> (q99MergeInto _))
 
   val oracles: Map[String, String] = Map(
     "q64_bloom_dedup" ->
@@ -70,6 +96,24 @@ object DedupSinkGate {
         |SELECT DISTINCT k FROM incoming
         |WHERE k IS NOT NULL AND k NOT IN (SELECT k FROM existing)
         |ORDER BY k""".stripMargin,
+    "q99_merge_into" ->
+      // the same merge as a FULL JOIN + CASE: delete drops, upsert
+      // replaces-or-inserts, untouched state rows pass through
+      """WITH st AS (SELECT c_custkey k,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) bal FROM customer),
+        |agg AS (SELECT o_custkey k, cast(count(*) as bigint) n,
+        |    cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) cents
+        |  FROM orders GROUP BY 1),
+        |ch AS (SELECT k,
+        |    CASE WHEN k % 10 = 0 THEN 'delete' ELSE 'upsert' END op,
+        |    cents bal FROM agg
+        |  UNION ALL
+        |  SELECT k + 1000000, 'upsert', n FROM agg WHERE k % 5 = 1)
+        |SELECT coalesce(st.k, ch.k) k,
+        |  CASE WHEN ch.op = 'upsert' THEN ch.bal ELSE st.bal END bal
+        |FROM st FULL JOIN ch ON st.k = ch.k
+        |WHERE ch.op IS NULL OR ch.op <> 'delete'
+        |ORDER BY 1""".stripMargin,
     "q69_delete_where" ->
       // delete-where keeps rows where the predicate is FALSE OR NULL
       """SELECT doc_id, lang FROM documents

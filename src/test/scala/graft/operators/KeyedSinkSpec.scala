@@ -68,4 +68,27 @@ class KeyedSinkSpec extends AnyFunSuite with SparkSpec {
     // null predicate rows are kept (delete only where predicate is TRUE)
     assert(kept.select("k").as[String].collect().sorted.toSeq === Seq("x", "y"))
   }
+
+  test("mergeInto: update, insert, delete, and passthrough in one pass") {
+    val state = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "bal")
+    val changes = Seq(
+      (2L, "upsert", 99L),  // update matched
+      (4L, "upsert", 40L),  // insert unmatched
+      (3L, "delete", 0L),   // delete matched
+      (5L, "delete", 0L))   // delete of an ABSENT key is a no-op
+      .toDF("k", "op", "bal")
+    val out = KeyedSink.mergeInto(state, changes, "k", "op", Seq("bal"))
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 10L), (2L, 99L), (4L, 40L)))
+  }
+
+  test("mergeInto: an ambiguous change set (two rows, one key) fails loudly") {
+    val state = Seq((1L, 10L)).toDF("k", "bal")
+    val dup = Seq((1L, "upsert", 5L), (1L, "upsert", 6L)).toDF("k", "op", "bal")
+    val ex = intercept[IllegalArgumentException] {
+      KeyedSink.mergeInto(state, dup, "k", "op", Seq("bal"))
+    }
+    assert(ex.getMessage.contains("one source row per key"),
+      s"guard failure does not explain itself: ${ex.getMessage}")
+  }
 }
