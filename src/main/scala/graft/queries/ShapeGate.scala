@@ -178,6 +178,29 @@ object ShapeGate {
       .orderBy(col("df").desc, col("term"))
   }
 
+  /** t82: in-flight quality counters ([[graft.operators.Metrics
+    * .observed]]) — the metrics ride the SAME job as the pipeline
+    * output (observe = accumulator semantics, zero extra scans), and
+    * the gate certifies their VALUES against DuckDB computing the
+    * identical aggregates from the table. The driving action is a
+    * filtered count the metrics must NOT be scoped to — they observe
+    * the pre-filter plan point. */
+  def t82ObserveMetrics(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (observed, obs) = graft.operators.Metrics.observed(docs, "quality",
+      count(lit(1)).as("n_rows"),
+      sum(when(col("lang").isNull || col("lang") === "", 1L).otherwise(0L))
+        .as("n_bad_lang"),
+      sum(length(col("text")).cast("long")).as("total_chars"),
+      max(col("doc_id")).as("max_doc_id"))
+    observed.filter(col("lang") === "fa").count() // the ONE driving action
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long], m("n_bad_lang").asInstanceOf[Long],
+      m("total_chars").asInstanceOf[Long], m("max_doc_id").asInstanceOf[Long]))
+      .toDF("n_rows", "n_bad_lang", "total_chars", "max_doc_id")
+  }
+
   /** t63: Zipf shape of the vocabulary — document-frequency histogram
     * in power-of-two buckets. The log2 bucket is exact integer
     * arithmetic on BOTH engines (`length(bin(df)) - 1`), never a float
@@ -447,6 +470,7 @@ object ShapeGate {
     "t79_approx_profile" -> (t79ApproxProfile _),
     "t80_moment_profile" -> (t80MomentProfile _),
     "t81_heavy_hitters" -> (t81HeavyHitters _),
+    "t82_observe_metrics" -> (t82ObserveMetrics _),
     "t76_bigram_surprisal" -> (t76BigramSurprisal _),
     "t77_split_assign" -> (t77SplitAssign _),
     "t70_unigram_surprisal" -> (t70UnigramSurprisal _),
@@ -524,6 +548,14 @@ object ShapeGate {
         |n AS (SELECT cast(count(*) as bigint) n_docs FROM documents)
         |SELECT term, df FROM df, n WHERE df * 50 >= n_docs
         |ORDER BY df DESC, term""".stripMargin,
+    "t82_observe_metrics" ->
+      // the identical aggregates, computed from the table directly —
+      // the in-flight counters must equal a dedicated scan's answer
+      """SELECT cast(count(*) as bigint) n_rows,
+        |  cast(sum(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END) as bigint) n_bad_lang,
+        |  cast(sum(length(text)) as bigint) total_chars,
+        |  cast(max(doc_id) as bigint) max_doc_id
+        |FROM documents""".stripMargin,
     "t80_moment_profile" ->
       """WITH d AS (SELECT source,
         |    cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) v
