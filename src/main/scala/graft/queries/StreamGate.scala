@@ -193,6 +193,39 @@ object StreamGate {
       .orderBy("p_id", "s_id")
   }
 
+  /** q100: native `session_window` aggregation ON A STREAM — the
+    * third sessionizer (q62 flatMapGroupsWithState, q71
+    * transformWithState, q92 batch session_window), this time the
+    * engine-provided streaming operator. Append mode emits a session
+    * only once the watermark passes its end (no later event can merge
+    * into it); like q91 the gate runs a TIGHT 3-day watermark — the
+    * single-file source drains in one micro-batch, the final no-data
+    * batch advances the watermark to max(ts) − 3 d and flushes every
+    * session that closed before it. Sessions still inside the horizon
+    * stay in state; the oracle applies the identical inequality to
+    * q92's relational session derivation. */
+  def q100StreamSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
+      .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+    val sessions = stream
+      .withWatermark("ts_utc", "3 days")
+      .groupBy(col("user_id"), session_window(col("ts_utc"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+    val name = s"q100_stream_${runId.incrementAndGet()}"
+    val query = sessions.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(name).orderBy("user_id", "start_us")
+  }
+
   /** q71: the SAME sessionization as q62 on Spark 4's
     * transformWithState (StatefulProcessor + explicit event-time
     * timers) — both state APIs must emit the identical session set,
@@ -456,6 +489,7 @@ object StreamGate {
     "q62_stream_sessions" -> (q62StreamSessions _),
     "q70_stream_interval_join" -> (q70StreamIntervalJoin _),
     "q91_stream_outer_interval_join" -> (q91StreamOuterIntervalJoin _),
+    "q100_stream_session_window" -> (q100StreamSessionWindow _),
     "q71_stream_sessions_tws" -> (q71StreamSessionsTws _),
     "q72_idempotent_merge" -> (q72IdempotentMerge _))
 
@@ -567,5 +601,28 @@ object StreamGate {
         |FROM p LEFT JOIN s ON p.user_id = s.user_id
         | AND p.p_us >= s.s_us AND p.p_us <= s.s_us + 86400000000
         |WHERE s.s_id IS NOT NULL OR p.p_us < (SELECT w FROM wm)
-        |ORDER BY p.p_id, s.s_id""".stripMargin)
+        |ORDER BY p.p_id, s.s_id""".stripMargin,
+    "q100_stream_session_window" ->
+      // q92's relational session derivation + the append-mode eviction
+      // inequality: only sessions whose end cleared the final watermark
+      // (max ts − 3 d) have emitted; later sessions are still in state
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 us FROM events),
+        |wm AS (SELECT max(us) - 259200000000 w FROM e),
+        |l AS (SELECT user_id, us,
+        |        lag(us) OVER (PARTITION BY user_id ORDER BY us) prev
+        |      FROM e),
+        |b AS (SELECT user_id, us,
+        |        CASE WHEN prev IS NULL OR us - prev >= 1800000000
+        |             THEN 1 ELSE 0 END brk
+        |      FROM l),
+        |g AS (SELECT user_id, us,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                       ROWS UNBOUNDED PRECEDING) sid
+        |      FROM b)
+        |SELECT user_id, cast(min(us) AS BIGINT) start_us,
+        |       cast(max(us) + 1800000000 AS BIGINT) end_us,
+        |       cast(count(*) AS BIGINT) n_events
+        |FROM g GROUP BY user_id, sid
+        |HAVING max(us) + 1800000000 < (SELECT w FROM wm)
+        |ORDER BY user_id, start_us""".stripMargin)
 }
