@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.operators.Cdc
+
+/** Warehouse table-maintenance gates over [[graft.operators.Cdc]]:
+  * SCD Type-2 history (q101), changelog compaction (q102), and keyed
+  * snapshot diff (q103). The reference's serving tables are maintained
+  * by insert-if-absent upserts and blind full-rebuild swaps
+  * (dags/search_engine/utils_of_searchengine.py:147-170); this family
+  * adds the history/audit forms a warehouse user reaches for next.
+  *
+  * Determinism: orders are sequenced by (o_orderdate, o_orderkey) and
+  * events by the exact epoch-nanos `ts` with `event_id` tiebreak, so
+  * both engines agree on every lead()/last-writer choice; money runs in
+  * integer cents.
+  */
+object ChangeGate {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  /** q101: SCD Type-2 dimension history from orders-as-change-stream —
+    * per customer, each order versions the (priority, price) payload;
+    * effective_to = next change's date, open row flagged current. */
+  def q101Scd2History(s: SparkSession, dir: String): DataFrame = {
+    val ch = Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      col("o_orderpriority"), cents(col("o_totalprice")).as("price_c100"))
+    Cdc.scd2(ch, Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("effective_from"), "yyyy-MM-dd").as("eff_from"),
+        date_format(col("effective_to"), "yyyy-MM-dd").as("eff_to"),
+        col("is_current"), col("o_orderpriority"), col("price_c100"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q102: changelog compaction — events replayed as a keyed changelog
+    * (every 10th event id a delete), last writer wins per user, keys
+    * whose final change is a delete disappear. The map-side-combinable
+    * max(struct) shape, not a window ([[Cdc.compactChangelog]]). */
+  def q102ChangelogCompact(s: SparkSession, dir: String): DataFrame = {
+    // seq at µs (ts div 1000): DuckDB reads the nanos parquet column at
+    // µs precision, so the writer order must be µs on both engines;
+    // event_id breaks the (rare) same-µs ties identically.
+    val ch = Tables.events(s, dir).select(
+      col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"),
+      when(col("event_id") % 10 === 0, "D").otherwise("U").as("op"),
+      col("event_type"), cents(col("value")).as("value_c100"))
+    Cdc.compactChangelog(ch, Seq("user_id"), Seq("ts_us", "event_id"), "op")
+      .select(col("user_id"), col("ts_us").as("last_ts_us"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("value_c100").as("last_value_c100"))
+      .orderBy("user_id")
+  }
+
+  /** q103: audited snapshot diff — two deterministic projections of
+    * orders (droppings and a price bump) reconciled into
+    * added/removed/changed rows via one full-outer join
+    * ([[Cdc.snapshotDiff]]). */
+  def q103SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_orderstatus"), cents(col("o_totalprice")).as("price_c100"))
+    val before = o.filter(col("o_orderkey") % 7 =!= 0)
+    val after = o.filter(col("o_orderkey") % 5 =!= 0)
+      .withColumn("price_c100", col("price_c100") +
+        when(col("o_orderkey") % 3 === 0, 100L).otherwise(0L))
+    Cdc.snapshotDiff(before, after, Seq("o_orderkey"),
+        Seq("o_orderstatus", "price_c100"))
+      .select(col("o_orderkey"), col("change_type"),
+        col("old_price_c100"), col("new_price_c100"),
+        col("old_o_orderstatus"), col("new_o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q101_scd2_history" -> (q101Scd2History _),
+    "q102_changelog_compact" -> (q102ChangelogCompact _),
+    "q103_snapshot_diff" -> (q103SnapshotDiff _))
+
+  val oracles: Map[String, String] = Map(
+    "q101_scd2_history" ->
+      """WITH ch AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    o_orderpriority,
+        |    cast(round(o_totalprice * 100) as bigint) price_c100
+        |  FROM orders),
+        |h AS (SELECT *, lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey) eff_to_ts
+        |      FROM ch)
+        |SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') eff_from,
+        |  strftime(eff_to_ts, '%Y-%m-%d') eff_to,
+        |  CASE WHEN eff_to_ts IS NULL THEN 1 ELSE 0 END is_current,
+        |  o_orderpriority, price_c100
+        |FROM h ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q102_changelog_compact" ->
+      """WITH ch AS (SELECT user_id, epoch_us(ts) ts_us, event_id,
+        |    CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END op,
+        |    event_type, cast(round(value * 100) as bigint) value_c100
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts_us DESC, event_id DESC) rn
+        |      FROM ch)
+        |SELECT user_id, ts_us last_ts_us, event_id last_event_id,
+        |  event_type last_event_type, value_c100 last_value_c100
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
+    "q103_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |    cast(round(o_totalprice * 100) as bigint) price_c100
+        |  FROM orders),
+        |b AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),
+        |a AS (SELECT o_orderkey, o_orderstatus, price_c100 +
+        |        CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END price_c100
+        |      FROM o WHERE o_orderkey % 5 <> 0),
+        |j AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) o_orderkey,
+        |        b.o_orderstatus old_o_orderstatus,
+        |        a.o_orderstatus new_o_orderstatus,
+        |        b.price_c100 old_price_c100, a.price_c100 new_price_c100,
+        |        b.o_orderkey bk, a.o_orderkey ak
+        |      FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+        |SELECT o_orderkey,
+        |  CASE WHEN bk IS NULL THEN 'added'
+        |       WHEN ak IS NULL THEN 'removed'
+        |       ELSE 'changed' END change_type,
+        |  old_price_c100, new_price_c100,
+        |  old_o_orderstatus, new_o_orderstatus
+        |FROM j
+        |WHERE bk IS NULL OR ak IS NULL
+        |   OR old_price_c100 IS DISTINCT FROM new_price_c100
+        |   OR old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+        |ORDER BY o_orderkey""".stripMargin)
+}
