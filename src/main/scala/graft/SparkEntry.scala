@@ -35,7 +35,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextDedup.queries ++ Vectors.queries ++ Feed.queries ++ SimHash.queries ++ SearchIndexGate.queries ++ Temporal.queries ++ ListingGate.queries ++ SiteGates.queries ++ StreamGate.queries ++ VersionedGate.queries ++ DedupSinkGate.queries ++ ImagePixels.queries ++ CorpusGate.queries ++ ShapeGate.queries ++ ChangeGate.queries ++ BehaviorGate.queries
+    Relational.queries ++ TextDedup.queries ++ Vectors.queries ++ Feed.queries ++ SimHash.queries ++ SearchIndexGate.queries ++ Temporal.queries ++ ListingGate.queries ++ SiteGates.queries ++ StreamGate.queries ++ VersionedGate.queries ++ DedupSinkGate.queries ++ ImagePixels.queries ++ CorpusGate.queries ++ ShapeGate.queries ++ ChangeGate.queries ++ BehaviorGate.queries ++ MatchGate.queries
 
   /** Queries that run a Structured Streaming job to completion inside
     * the query function. They are correctness gates (Verify/oracle);
@@ -52,5 +52,5 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextDedup.oracles ++ Vectors.oracles ++ Feed.oracles ++ SimHash.oracles ++ SearchIndexGate.oracles ++ Temporal.oracles ++ ListingGate.oracles ++ SiteGates.oracles ++ StreamGate.oracles ++ VersionedGate.oracles ++ DedupSinkGate.oracles ++ ImagePixels.oracles ++ CorpusGate.oracles ++ ShapeGate.oracles ++ ChangeGate.oracles ++ BehaviorGate.oracles
+    Relational.oracles ++ TextDedup.oracles ++ Vectors.oracles ++ Feed.oracles ++ SimHash.oracles ++ SearchIndexGate.oracles ++ Temporal.oracles ++ ListingGate.oracles ++ SiteGates.oracles ++ StreamGate.oracles ++ VersionedGate.oracles ++ DedupSinkGate.oracles ++ ImagePixels.oracles ++ CorpusGate.oracles ++ ShapeGate.oracles ++ ChangeGate.oracles ++ BehaviorGate.oracles ++ MatchGate.oracles
 }

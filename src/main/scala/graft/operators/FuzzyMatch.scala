@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded edit-distance similarity join via symmetric-delete blocking
+  * (the SymSpell recipe): two strings at Levenshtein distance ≤ k share
+  * at least one member of their ≤k-deletion neighborhoods, so
+  * candidates come from an equi-join on deletion variants and only
+  * candidates pay the DP distance — never an all-pairs scan. The
+  * deletion join over-generates (sharing a depth-2 variant only bounds
+  * the distance by 4), so the exact `levenshtein` filter on candidates
+  * is part of the contract, not an optimization.
+  *
+  * Scale shape: variants per string are O(len²) rows shuffled by
+  * variant (a string a few bytes long); bucket sizes are the number of
+  * strings sharing a variant — vocabulary-shaped, not corpus-shaped.
+  * The distance DP runs only on candidate pairs. The oracle gate
+  * (t83) brute-forces all pairs on the DuckDB side, so a hash match
+  * certifies the blocking lost no pair.
+  */
+object FuzzyMatch {
+
+  /** All distinct unordered pairs (a < b) of `wordCol` values at
+    * Levenshtein distance ≤ `maxDist` (1 or 2), with the exact
+    * distance. `df` should already be distinct on `wordCol`. */
+  def editDistancePairs(df: DataFrame, wordCol: String, maxDist: Int): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"symmetric-delete blocking implemented for maxDist 1 or 2, got $maxDist")
+    val words = df.select(col(wordCol).as("w")).distinct()
+    // depth-1 deletions; empty-safe (sequence(1,0) counts DOWN in ANSI
+    // Spark, so guard zero-length inputs before sequence())
+    val d1 = "filter(transform(" +
+      "case when length(w) >= 1 then sequence(1, length(w)) else array() end," +
+      " i -> concat(substring(w, 1, i - 1), substring(w, i + 1, length(w)))), v -> true)"
+    val d2 =
+      s"""flatten(transform($d1, v ->
+         |  transform(case when length(v) >= 1 then sequence(1, length(v)) else array() end,
+         |            i -> concat(substring(v, 1, i - 1), substring(v, i + 1, length(v))))))""".stripMargin
+    val variantsExpr =
+      if (maxDist == 1) s"array_distinct(concat(array(w), $d1))"
+      else s"array_distinct(concat(array(w), $d1, $d2))"
+    val variants = words.select(col("w"), explode(expr(variantsExpr)).as("v"))
+    variants.as("l").join(variants.as("r"),
+        col("l.v") === col("r.v") && col("l.w") < col("r.w"))
+      .select(col("l.w").as("a"), col("r.w").as("b")).distinct()
+      .withColumn("dist", levenshtein(col("a"), col("b")))
+      .filter(col("dist") <= maxDist)
+  }
+}

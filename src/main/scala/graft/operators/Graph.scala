@@ -123,4 +123,44 @@ object Graph {
         s"pageRankConverged did not converge in $maxIter rounds; raise maxIter")
     (ranks, rounds)
   }
+
+  /** Per-vertex triangle counts via degree orientation (the
+    * compact-forward / MapReduce-triangles algorithm). Edges are
+    * canonicalized undirected (self-loops dropped, duplicates merged),
+    * then oriented from the lower to the higher (degree, id) rank;
+    * wedges form only at a vertex's oriented OUT-neighbors, whose count
+    * is O(√m) per vertex under this orientation regardless of raw
+    * degree — the property that keeps the wedge self-join linear-ish in
+    * edge count at 100 TB graph scale instead of Σ deg² on hubs. Each
+    * triangle materializes exactly once (its vertices appear in rank
+    * order), then explodes to the three members for per-vertex counts.
+    *
+    * `ids` must be non-negative and < 10^12 so the packed
+    * `deg·10^12 + id` orientation rank is collision-free in a long.
+    * Returns (v, n_triangles) for vertices on ≥ 1 triangle.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val Seq(s, d) = edges.columns.take(2).toSeq
+    val und = edges
+      .select(least(col(s), col(d)).as("a"), greatest(col(s), col(d)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val rk = deg.select(col("v"),
+      (col("deg") * lit(1000000000000L) + col("v")).as("rnk"))
+    val oriented = und
+      .join(rk.select(col("v").as("a"), col("rnk").as("rka")), Seq("a"))
+      .join(rk.select(col("v").as("b"), col("rnk").as("rkb")), Seq("b"))
+      .select(
+        when(col("rka") < col("rkb"), col("a")).otherwise(col("b")).as("src"),
+        when(col("rka") < col("rkb"), col("b")).otherwise(col("a")).as("dst"),
+        greatest(col("rka"), col("rkb")).as("dst_rnk"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst_rnk") < col("e2.dst_rnk"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("x"), col("e2.dst").as("y"))
+    val tris = wedges.join(oriented.select(col("src").as("x"), col("dst").as("y")),
+      Seq("x", "y"), "left_semi")
+    tris.select(explode(array(col("u"), col("x"), col("y"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+  }
 }

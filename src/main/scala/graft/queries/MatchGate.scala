@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{FuzzyMatch, Graph}
+
+/** Matching / indexing gates: bounded edit-distance similarity join
+  * (t83), inverted-index build (t84), per-vertex triangle counts
+  * (t85), and top-term co-occurrence (t86) — the fuzzy-matching and
+  * corpus-indexing layer of a training-data pipeline (typo-variant
+  * collapse, posting lists, graph cohesion features, term-pair
+  * statistics).
+  *
+  * t83's oracle brute-forces ALL word pairs in DuckDB while the Spark
+  * side only scores symmetric-delete candidates
+  * ([[graft.operators.FuzzyMatch]]) — the hash match certifies the
+  * blocking is lossless, not just that the DP agrees.
+  */
+object MatchGate {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct part-name tokens — the vocabulary for t83. */
+  private def partWords(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(explode(split(col("p_name"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+
+  /** (doc_id, term) pairs, distinct within a document. */
+  private def docTerms(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .filter(col("term") =!= "")
+
+  /** t83: edit-distance ≤ 2 similarity join over part-name vocabulary;
+    * deletion-neighborhood blocking + exact DP on candidates only. */
+  def t83EditDistanceJoin(s: SparkSession, dir: String): DataFrame =
+    FuzzyMatch.editDistancePairs(partWords(s, dir), "w", maxDist = 2)
+      .orderBy("a", "b")
+
+  /** t84: inverted index — term → document frequency + the first 50
+    * postings (sorted doc ids, comma-joined). The posting cap keeps
+    * the row bounded for stopword-grade terms; df stays exact. */
+  def t84InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    docTerms(s, dir)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 50), ",")
+          .as("postings_head"))
+      .orderBy("term")
+
+  /** t85: per-vertex triangle counts on the t66 synthetic link graph
+    * (every doc links to (2·id+1) mod N and (3·id+7) mod N),
+    * degree-oriented wedge join ([[Graph.triangleCounts]]). */
+  def t85TriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val v = docs.select(col("doc_id").as("v"))
+    val edges = v.select(col("v").as("src"), ((col("v") * 2 + 1) % n).as("dst"))
+      .union(v.select(col("v").as("src"), ((col("v") * 3 + 7) % n).as("dst")))
+    Graph.triangleCounts(edges)
+      .select(col("v").as("doc_id"), col("n_triangles"))
+      .orderBy("doc_id")
+  }
+
+  /** t86: co-occurrence counts over the top-10 terms by df
+    * (deterministic df-desc/term-asc cut): within-document pairs via a
+    * doc-keyed self-join of the top-term postings — fan-out bounded by
+    * the broadcast vocabulary size, never corpus². */
+  def t86TermCooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val dt = docTerms(s, dir)
+    val top = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc).limit(10)
+    val ft = dt.join(broadcast(top.select("term")), "term")
+    ft.as("l").join(ft.as("r"),
+        col("l.doc_id") === col("r.doc_id") && col("l.term") < col("r.term"))
+      .groupBy(col("l.term").as("t1"), col("r.term").as("t2"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("t1", "t2")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "t83_edit_distance_join" -> (t83EditDistanceJoin _),
+    "t84_inverted_index" -> (t84InvertedIndex _),
+    "t85_triangle_count" -> (t85TriangleCount _),
+    "t86_term_cooccurrence" -> (t86TermCooccurrence _))
+
+  val oracles: Map[String, String] = Map(
+    "t83_edit_distance_join" ->
+      // brute force on purpose: proves the Spark-side blocking lossless
+      """WITH w AS (SELECT DISTINCT t w FROM (SELECT unnest(string_split(p_name, ' ')) t
+        |    FROM part) WHERE t <> '')
+        |SELECT a.w a, b.w b, levenshtein(a.w, b.w) dist
+        |FROM w a JOIN w b ON a.w < b.w
+        |WHERE levenshtein(a.w, b.w) <= 2
+        |ORDER BY a, b""".stripMargin,
+    "t84_inverted_index" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, t term FROM (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) t FROM documents) WHERE t <> '')
+        |SELECT term, cast(count(*) as bigint) df,
+        |  array_to_string((list(doc_id ORDER BY doc_id))[1:50], ',') postings_head
+        |FROM dt GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t85_triangle_count" ->
+      """WITH v AS (SELECT doc_id vid FROM documents),
+        |nn AS (SELECT count(*) c FROM documents),
+        |raw AS (SELECT vid s, (vid * 2 + 1) % (SELECT c FROM nn) d FROM v
+        |        UNION ALL
+        |        SELECT vid, (vid * 3 + 7) % (SELECT c FROM nn) FROM v),
+        |und AS (SELECT DISTINCT least(s, d) a, greatest(s, d) b FROM raw
+        |        WHERE s <> d),
+        |deg AS (SELECT x v, cast(count(*) as bigint) deg FROM
+        |        (SELECT a x FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |rk AS (SELECT v, deg * 1000000000000 + v rnk FROM deg),
+        |ore AS (SELECT CASE WHEN ra.rnk < rb.rnk THEN a ELSE b END s,
+        |               CASE WHEN ra.rnk < rb.rnk THEN b ELSE a END d,
+        |               greatest(ra.rnk, rb.rnk) drnk
+        |        FROM und JOIN rk ra ON und.a = ra.v JOIN rk rb ON und.b = rb.v),
+        |tri AS (SELECT e1.s u, e1.d x, e2.d y
+        |        FROM ore e1 JOIN ore e2 ON e1.s = e2.s AND e1.drnk < e2.drnk
+        |        WHERE EXISTS (SELECT 1 FROM ore o WHERE o.s = e1.d AND o.d = e2.d))
+        |SELECT vtx doc_id, cast(count(*) as bigint) n_triangles FROM
+        |  (SELECT u vtx FROM tri UNION ALL SELECT x FROM tri
+        |   UNION ALL SELECT y FROM tri)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t86_term_cooccurrence" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, t term FROM (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) t FROM documents) WHERE t <> ''),
+        |top AS (SELECT term FROM (SELECT term, count(*) df FROM dt GROUP BY 1)
+        |        ORDER BY df DESC, term LIMIT 10),
+        |ft AS (SELECT doc_id, term FROM dt WHERE term IN (SELECT term FROM top))
+        |SELECT l.term t1, r.term t2, cast(count(*) as bigint) n_docs
+        |FROM ft l JOIN ft r ON l.doc_id = r.doc_id AND l.term < r.term
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

@@ -108,4 +108,24 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(total <= n * 1000000L, "rank mass grew")
     assert(total >= n * 150000L, "rank mass fell below the teleport floor")
   }
+
+  test("triangleCounts: K4 has 4 triangles, 3 per vertex") {
+    val e = Seq((0L,1L),(0L,2L),(0L,3L),(1L,2L),(1L,3L),(2L,3L)).toDF("src","dst")
+    val t = Graph.triangleCounts(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("triangleCounts: duplicate/reversed/self-loop edges do not inflate counts") {
+    val e = Seq((0L,1L),(1L,0L),(1L,2L),(2L,0L),(0L,0L),(2L,1L),(3L,4L))
+      .toDF("src","dst")
+    val t = Graph.triangleCounts(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t === Map(0L -> 1L, 1L -> 1L, 2L -> 1L)) // one triangle, path edge ignored
+  }
+
+  test("triangleCounts: triangle-free graph returns an empty frame") {
+    val e = Seq((0L,1L),(1L,2L),(2L,3L)).toDF("src","dst")
+    assert(Graph.triangleCounts(e).count() === 0L)
+  }
 }
