@@ -35,7 +35,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextDedup.queries ++ Vectors.queries ++ Feed.queries ++ SimHash.queries ++ SearchIndexGate.queries ++ Temporal.queries ++ ListingGate.queries ++ SiteGates.queries ++ StreamGate.queries ++ VersionedGate.queries ++ DedupSinkGate.queries ++ ImagePixels.queries ++ CorpusGate.queries ++ ShapeGate.queries ++ ChangeGate.queries ++ BehaviorGate.queries ++ MatchGate.queries
+    Relational.queries ++ TextDedup.queries ++ Vectors.queries ++ Feed.queries ++ SimHash.queries ++ SearchIndexGate.queries ++ Temporal.queries ++ ListingGate.queries ++ SiteGates.queries ++ StreamGate.queries ++ VersionedGate.queries ++ DedupSinkGate.queries ++ ImagePixels.queries ++ CorpusGate.queries ++ ShapeGate.queries ++ ChangeGate.queries ++ BehaviorGate.queries ++ MatchGate.queries ++ LayoutGate.queries
 
   /** Queries that run a Structured Streaming job to completion inside
     * the query function. They are correctness gates (Verify/oracle);
@@ -45,12 +45,14 @@ object SparkEntry {
 
   /** Queries whose wall time is dominated by sink-side file I/O (the
     * versioned-load lifecycle writes four parquet versions and deletes
-    * two). They are correctness gates; Bench excludes them because they
+    * two; the bucketed-join gate writes two bucketed catalog tables).
+    * They are correctness gates; Bench excludes them because they
     * measure the local filesystem, not engine throughput. */
-  val sinkBoundQueries: Set[String] = VersionedGate.queries.keySet
+  val sinkBoundQueries: Set[String] =
+    VersionedGate.queries.keySet + "q107_bucketed_join"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextDedup.oracles ++ Vectors.oracles ++ Feed.oracles ++ SimHash.oracles ++ SearchIndexGate.oracles ++ Temporal.oracles ++ ListingGate.oracles ++ SiteGates.oracles ++ StreamGate.oracles ++ VersionedGate.oracles ++ DedupSinkGate.oracles ++ ImagePixels.oracles ++ CorpusGate.oracles ++ ShapeGate.oracles ++ ChangeGate.oracles ++ BehaviorGate.oracles ++ MatchGate.oracles
+    Relational.oracles ++ TextDedup.oracles ++ Vectors.oracles ++ Feed.oracles ++ SimHash.oracles ++ SearchIndexGate.oracles ++ Temporal.oracles ++ ListingGate.oracles ++ SiteGates.oracles ++ StreamGate.oracles ++ VersionedGate.oracles ++ DedupSinkGate.oracles ++ ImagePixels.oracles ++ CorpusGate.oracles ++ ShapeGate.oracles ++ ChangeGate.oracles ++ BehaviorGate.oracles ++ MatchGate.oracles ++ LayoutGate.oracles
 }

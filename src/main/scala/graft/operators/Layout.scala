@@ -43,4 +43,30 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** Write `df` as a bucketed + bucket-sorted catalog table (dropping
+    * any previous incarnation). Bucketing is the other write-side
+    * layout lever: two tables hash-bucketed the same way on their join
+    * key co-locate, so joins and aggregations on that key read the
+    * buckets directly — NO Exchange in the plan, which at 100 TB means
+    * the single largest shuffle of a star-join pipeline disappears
+    * entirely. The bucket count is a layout property: pick it for the
+    * TARGET scale (buckets ≈ data size / healthy partition size), not
+    * the test scale — small files at test scale are the accepted cost
+    * of a fixed bucket count.
+    */
+  def bucketedWrite(df: DataFrame, table: String, keyCol: String,
+                    nBuckets: Int): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    // the in-memory catalog forgets tables across sessions but leaves
+    // their files; a stale location blocks CREATE, so clear it too
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.format("parquet")
+      .bucketBy(nBuckets, keyCol).sortBy(keyCol)
+      .mode("overwrite").saveAsTable(table)
+  }
 }

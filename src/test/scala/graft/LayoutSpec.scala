@@ -64,4 +64,30 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       s"z-order touched a=$za b=$zb; single-column a=$sa b=$sb — no locality win")
     assert(zb * 2 < sb, s"z-order did not bound the second dimension: $zb vs $sb")
   }
+
+  test("q107 bucketed agg+join plan has ZERO exchanges (the co-location contract)") {
+    // force the sort-merge path so the pin proves bucket co-location,
+    // not a broadcast that would hide a missing one
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.queries.LayoutGate.q107BucketedJoin(
+        spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      // the ONLY exchange allowed is the final presentation orderBy
+      // (rangepartitioning); the aggregation and the join must both be
+      // satisfied by the bucketed layout — no hash shuffle anywhere
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed layout failed to satisfy a required distribution:\n$plan")
+      assert("Exchange".r.findAllIn(plan).size == 1,
+        s"expected only the presentation-sort exchange in:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ over buckets in:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed in:\n$plan")
+      assert(df.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
 }
