@@ -87,4 +87,25 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Long]("d_approx") == 0L)
     assert(row.isNullAt(row.fieldIndex("p50_a")))
   }
+
+  test("late round-7 operators (CDC, intervals, fuzzy match, triangles) on empty inputs") {
+    val noCh = Seq.empty[(Long, Long, String, String)].toDF("k", "seq", "op", "p")
+    assert(Cdc.scd2(noCh, Seq("k"), Seq("seq")).count() == 0)
+    assert(Cdc.compactChangelog(noCh, Seq("k"), Seq("seq"), "op").count() == 0)
+    val some = Seq((1L, 1L, "U", "x")).toDF("k", "seq", "op", "p")
+    // empty before -> everything added; empty after -> everything removed
+    val added = Cdc.snapshotDiff(noCh.drop("op"), some.drop("op"), Seq("k"), Seq("p"))
+    assert(added.collect().map(_.getAs[String]("change_type")).toSeq === Seq("added"))
+    val removed = Cdc.snapshotDiff(some.drop("op"), noCh.drop("op"), Seq("k"), Seq("p"))
+    assert(removed.collect().map(_.getAs[String]("change_type")).toSeq === Seq("removed"))
+
+    val noIv = Seq.empty[(Long, Long, Long, Long)].toDF("k", "id", "s", "e")
+    assert(Intervals.islands(noIv, Seq("k"), "s", "e", Seq("id")).count() == 0)
+    assert(Intervals.coverage(noIv, Seq("k"), "s", "e", Seq("id")).count() == 0)
+
+    assert(FuzzyMatch.editDistancePairs(
+      Seq.empty[String].toDF("w"), "w", 2).count() == 0)
+    assert(Graph.triangleCounts(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+  }
 }

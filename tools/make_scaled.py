@@ -47,6 +47,33 @@ COPY (
   ORDER BY vec_id
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
 
+ord_stride = con.execute(
+    f"SELECT max(o_orderkey)+1 FROM '{src}/orders.parquet'").fetchone()[0]
+con.execute(f"""
+COPY (
+  SELECT o_orderkey + r.k*{ord_stride} AS o_orderkey,
+         o_custkey, o_orderstatus, o_totalprice,
+         CAST(o_orderdate + r.k * INTERVAL 1 SECOND AS TIMESTAMP_MS)
+           AS o_orderdate,
+         o_orderpriority
+  FROM '{src}/orders.parquet', (SELECT unnest(range({k})) k) r
+  ORDER BY o_orderkey
+) TO '{dst}/orders.parquet' (FORMAT PARQUET)""")
+
+ev_stride = con.execute(
+    f"SELECT max(event_id)+1 FROM '{src}/events.parquet'").fetchone()[0]
+con.execute(f"""
+COPY (
+  SELECT event_id + r.k*{ev_stride} AS event_id,
+         -- Spark reads the original TIMESTAMP(NANOS) column as an
+         -- epoch-ns long (nanosAsLong); DuckDB's COPY would narrow a
+         -- shifted timestamp to µs, so emit the epoch-ns long directly
+         epoch_ns(ts) + r.k * 1000 AS ts,
+         user_id, event_type, value, props
+  FROM '{src}/events.parquet', (SELECT unnest(range({k})) k) r
+  ORDER BY event_id
+) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+
 for p in glob.glob(f"{src}/*.parquet"):
     name = os.path.basename(p)
     if name in ("documents.parquet", "embeddings.parquet"):
