@@ -55,15 +55,20 @@ object Cdc {
     * (seqCols, payload); seq uniqueness means payload never decides.
     */
   def compactChangelog(changes: DataFrame, keyCols: Seq[String],
-                       seqCols: Seq[String], opCol: String): DataFrame = {
+                       seqCols: Seq[String], opCol: String,
+                       keepTombstones: Boolean = false): DataFrame = {
     require(seqCols.nonEmpty, "compactChangelog needs a writer order")
     val payload = changes.columns.filterNot(c =>
       keyCols.contains(c) || seqCols.contains(c)).toSeq
     val packed = struct((seqCols ++ payload).map(col): _*)
     val last = changes.groupBy(keyCols.map(col): _*).agg(max(packed).as("__last"))
-    (seqCols ++ payload).foldLeft(last) { (df, c) =>
+    val unpacked = (seqCols ++ payload).foldLeft(last) { (df, c) =>
       df.withColumn(c, col(s"__last.$c"))
-    }.drop("__last").filter(col(opCol) =!= "D")
+    }.drop("__last")
+    // incremental/out-of-order consumers must RETAIN winning deletes as
+    // tombstones (a later micro-batch may deliver an EARLIER change for
+    // the key, which must stay dead); only a final read drops them
+    if (keepTombstones) unpacked else unpacked.filter(col(opCol) =!= "D")
   }
 
   /** Keyed diff of two snapshots: rows only in `after` → 'added', only

@@ -78,10 +78,43 @@ object ChangeGate {
       .orderBy("o_orderkey")
   }
 
+  /** q110: SCD2 point-in-time lookup — the standard consumer of a
+    * q101-style history table: each fact row (an order, observing the
+    * world 10 days after its own date) joins the ONE dimension version
+    * effective at its observation instant via the half-open interval
+    * predicate `eff_from <= t < eff_to` (open row: eff_to null). The
+    * equi key (customer) drives the shuffle; the interval conjuncts
+    * ride along as join residents evaluated per key partition — the
+    * temporal-dimension join shape of every Kimball warehouse. All
+    * comparisons in epoch seconds (integer). */
+  def q110Scd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    val ch = Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      col("o_orderpriority"), cents(col("o_totalprice")).as("price_c100"))
+    val dim = Cdc.scd2(ch, Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"))
+      .select(col("o_custkey").as("d_custkey"),
+        col("o_orderkey").as("version_orderkey"),
+        col("o_orderpriority").as("version_priority"),
+        col("price_c100").as("version_price_c100"),
+        col("effective_from").cast("timestamp").cast("long").as("eff_from_s"),
+        col("effective_to").cast("timestamp").cast("long").as("eff_to_s"))
+    val facts = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_custkey"),
+      (col("o_orderdate").cast("timestamp").cast("long") + 10L * 86400L).as("at_s"))
+    facts.join(dim,
+        facts("o_custkey") === dim("d_custkey") &&
+          dim("eff_from_s") <= facts("at_s") &&
+          (dim("eff_to_s").isNull || facts("at_s") < dim("eff_to_s")))
+      .select(col("o_orderkey"), col("at_s"), col("version_orderkey"),
+        col("version_priority"), col("version_price_c100"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q101_scd2_history" -> (q101Scd2History _),
     "q102_changelog_compact" -> (q102ChangelogCompact _),
-    "q103_snapshot_diff" -> (q103SnapshotDiff _))
+    "q103_snapshot_diff" -> (q103SnapshotDiff _),
+    "q110_scd2_lookup" -> (q110Scd2Lookup _))
 
   val oracles: Map[String, String] = Map(
     "q101_scd2_history" ->
@@ -133,5 +166,25 @@ object ChangeGate {
         |WHERE bk IS NULL OR ak IS NULL
         |   OR old_price_c100 IS DISTINCT FROM new_price_c100
         |   OR old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q110_scd2_lookup" ->
+      """WITH ch AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    o_orderpriority,
+        |    cast(round(o_totalprice * 100) as bigint) price_c100
+        |  FROM orders),
+        |dim AS (SELECT o_custkey d_custkey, o_orderkey version_orderkey,
+        |    o_orderpriority version_priority, price_c100 version_price_c100,
+        |    cast(epoch(o_orderdate) as bigint) eff_from_s,
+        |    cast(epoch(lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey)) as bigint) eff_to_s
+        |  FROM ch),
+        |f AS (SELECT o_orderkey, o_custkey,
+        |    cast(epoch(o_orderdate) as bigint) + 10 * 86400 at_s
+        |  FROM orders)
+        |SELECT f.o_orderkey, f.at_s, version_orderkey,
+        |  version_priority, version_price_c100
+        |FROM f JOIN dim ON f.o_custkey = dim.d_custkey
+        |  AND dim.eff_from_s <= f.at_s
+        |  AND (dim.eff_to_s IS NULL OR f.at_s < dim.eff_to_s)
+        |ORDER BY f.o_orderkey""".stripMargin)
 }

@@ -478,7 +478,42 @@ object StreamGate {
       .orderBy("s_suppkey")
   }
 
+  /** q109: STREAMING changelog compaction — q102's last-writer-wins
+    * serving table maintained incrementally through foreachBatch-style
+    * merges ([[graft.streaming.StreamPipelines.compactMerge]]). The
+    * changelog is sliced by event_id mod 5, so every micro-batch spans
+    * the WHOLE time range: changes for a key arrive wildly out of
+    * order across batches, which is exactly why the incremental merge
+    * must keep winning deletes as tombstones — a later batch may
+    * deliver an EARLIER change for a dead key, and the key must stay
+    * dead. The whole batch sequence then replays twice (at-least-once
+    * delivery); max(struct) merging makes replays no-ops. Shares
+    * q102's one-shot oracle, so a hash match certifies
+    * order-independence, tombstone retention, and replay idempotence
+    * at once. */
+  def q109StreamChangelogCompact(s: SparkSession, dir: String): DataFrame = {
+    val ch = graft.Tables.events(s, dir).select(
+      col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"),
+      when(col("event_id") % 10 === 0, "D").otherwise("U").as("op"),
+      col("event_type"),
+      round(col("value") * 100).cast("long").as("value_c100"))
+    var state = ch.filter(lit(false)).localCheckpoint()
+    val get = () => state
+    val put = (df: DataFrame) => { state = df.localCheckpoint(); () }
+    for (_ <- 0 until 2; k <- 0 until 5)
+      graft.streaming.StreamPipelines.compactMerge(get, put,
+        Seq("user_id"), Seq("ts_us", "event_id"), "op")(
+        ch.filter(col("event_id") % 5 === k), k.toLong)
+    state.filter(col("op") =!= "D")
+      .select(col("user_id"), col("ts_us").as("last_ts_us"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("value_c100").as("last_value_c100"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q109_stream_changelog_compact" -> (q109StreamChangelogCompact _),
     "q75_stream_range_join" -> (q75StreamRangeJoin _),
     "q74_stream_asof_join" -> (q74StreamAsofJoin _),
     "t54_stream_media_decode" -> (t54StreamMediaDecode _),
@@ -533,6 +568,8 @@ object StreamGate {
   // reflection breaks. SparkEntry's init only needs `queries`;
   // deferring the oracle map keeps TextDedup out of the smoke path.
   lazy val oracles: Map[String, String] = Map(
+    // identical answer contract as batch q102 — same one-shot oracle
+    "q109_stream_changelog_compact" -> ChangeGate.oracles("q102_changelog_compact"),
     // identical answer contract as batch t42 — same oracle derivation
     "t47_stream_decontaminate" -> TextDedup.oracles("t42_decontaminate"),
     // micro-batch slicing must be invisible: same oracle as batch t72

@@ -67,6 +67,25 @@ object StreamPipelines {
     statePut(merged)
   }
 
+  /** Incremental changelog compaction for a foreachBatch loop: fold a
+    * micro-batch of change rows into the keyed serving state with
+    * last-writer-wins over `seqCols`, RETAINING winning deletes as
+    * tombstones ([[graft.operators.Cdc.compactChangelog]] with
+    * keepTombstones) — batches may arrive in ANY order, so a dead key
+    * must stay dead until the final read drops tombstones. The state
+    * the caller holds must be lineage-truncated in `statePut`
+    * (localCheckpoint) exactly like the other foreachBatch merges here,
+    * or the plan grows per batch. Replays are no-ops by construction:
+    * max(struct) over a superset with the same winners is unchanged. */
+  def compactMerge(stateGet: () => DataFrame, statePut: DataFrame => Unit,
+                   keyCols: Seq[String], seqCols: Seq[String], opCol: String)(
+                   batch: DataFrame, batchId: Long): Unit = {
+    val merged = graft.operators.Cdc.compactChangelog(
+      stateGet().unionByName(batch), keyCols, seqCols, opCol,
+      keepTombstones = true)
+    statePut(merged)
+  }
+
   // -------- custom state: gap sessionization via flatMapGroupsWithState
 
   final case class SessionEvent(user_id: Long, ts_ns: Long, event_id: Long)

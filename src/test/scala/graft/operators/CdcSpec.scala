@@ -47,6 +47,22 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq === Seq(Row(1L, "v2"), Row(3L, "z1")))
   }
 
+  test("keepTombstones retains winning deletes so out-of-order merges stay dead") {
+    val ch = Seq((1L, 5L, "D", ""), (2L, 1L, "U", "ok"))
+      .toDF("k", "seq", "op", "payload")
+    val state = Cdc.compactChangelog(ch, Seq("k"), Seq("seq"), "op",
+      keepTombstones = true)
+    assert(state.count() === 2) // the delete survives as a tombstone
+    // a LATER batch delivers an EARLIER change for the dead key: the
+    // tombstone must win the re-compaction
+    val late = Seq((1L, 3L, "U", "stale")).toDF("k", "seq", "op", "payload")
+    val merged = Cdc.compactChangelog(state.unionByName(late),
+      Seq("k"), Seq("seq"), "op", keepTombstones = true)
+    assert(merged.filter($"k" === 1L).select("op").head().getString(0) === "D")
+    // the final read drops tombstones
+    assert(merged.filter($"op" =!= "D").count() === 1)
+  }
+
   test("snapshotDiff classifies added/removed/changed and drops unchanged") {
     val before = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
       .toDF("k", "s", "p")
