@@ -59,6 +59,40 @@ object StreamGate {
     s.table(name).orderBy("w_start", "event_type")
   }
 
+  /** q111: STREAM-STATIC enrichment join — the most common production
+    * streaming shape: a micro-batched fact stream joined to a
+    * broadcast dimension INSIDE the streaming query (not foreachBatch
+    * — Catalyst plans the stream-static join per micro-batch, the
+    * static side broadcast once), then a watermarked daily window
+    * aggregate per enriching attribute. At 100 TB/day the static side
+    * is the only table small enough to sit on every executor; the
+    * stream never shuffles for the join, only for the windowed agg.
+    * Oracle: the batch equivalent of the same join + bucketing. */
+  def q111StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dim = graft.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
+    val agg = stream
+      .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("v_c100", round(col("value") * 100).cast(LongType))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .withWatermark("ts_utc", "1 hour")
+      .groupBy(window(col("ts_utc"), "1 day"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("v_c100")).as("sum_value_c100"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("c_nationkey"), col("n"), col("sum_value_c100"))
+    val name = s"q111_stream_${runId.incrementAndGet()}"
+    val query = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(name).orderBy("day", "c_nationkey")
+  }
+
   /** q61: streaming stateful dedup (ST2 — the crawler/sink
     * exactly-once-ish guarantee) executed for real through the
     * PRODUCTION operator: readStream → dedupStreamKeys (watermarked
@@ -514,6 +548,7 @@ object StreamGate {
 
   val queries: Map[String, Q] = Map(
     "q109_stream_changelog_compact" -> (q109StreamChangelogCompact _),
+    "q111_stream_static_join" -> (q111StreamStaticJoin _),
     "q75_stream_range_join" -> (q75StreamRangeJoin _),
     "q74_stream_asof_join" -> (q74StreamAsofJoin _),
     "t54_stream_media_decode" -> (t54StreamMediaDecode _),
@@ -570,6 +605,15 @@ object StreamGate {
   lazy val oracles: Map[String, String] = Map(
     // identical answer contract as batch q102 — same one-shot oracle
     "q109_stream_changelog_compact" -> ChangeGate.oracles("q102_changelog_compact"),
+    // the batch form of the stream-static join + daily window
+    "q111_stream_static_join" ->
+      """SELECT strftime(CAST(to_timestamp(epoch_us(ts) // 86400000000
+        |    * 86400) AS TIMESTAMP), '%Y-%m-%d') "day",
+        |  c_nationkey, cast(count(*) as bigint) n,
+        |  cast(sum(cast(round(value * 100) as bigint)) as bigint)
+        |    sum_value_c100
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // identical answer contract as batch t42 — same oracle derivation
     "t47_stream_decontaminate" -> TextDedup.oracles("t42_decontaminate"),
     // micro-batch slicing must be invisible: same oracle as batch t72
