@@ -283,4 +283,33 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("ReadSchema: struct<text:string,source:string>"),
       s"scan did not prune to (text, source) in:\n$plan")
   }
+
+  test("q110 SCD2 lookup: equi key drives the join, interval conjuncts ride as residents") {
+    val plan = planOf(queries.ChangeGate.q110Scd2Lookup(spark, dir))
+    // the customer key must be the join key (hash or sort-merge); the
+    // eff_from/eff_to interval predicate must NOT demote the join to a
+    // nested loop / cartesian — the per-key version scan is the shape
+    // that survives 10^9 facts
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+        || plan.contains("BroadcastHashJoin"),
+      s"temporal lookup lost its equi join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+        && !plan.contains("CartesianProduct"),
+      s"interval predicate demoted the join to a nested loop in:\n$plan")
+  }
+
+  test("q103 snapshot diff: single full-outer equi join, filters pushed to both scans") {
+    val plan = planOf(queries.ChangeGate.q103SnapshotDiff(spark, dir))
+    assert(plan.contains("FullOuter"), s"diff lost its full-outer join in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"diff degenerated to a non-equi join in:\n$plan")
+  }
+
+  test("q102 changelog compaction: map-side-combinable max(struct), no window") {
+    val plan = planOf(queries.ChangeGate.q102ChangelogCompact(spark, dir))
+    assert(plan.contains("partial_max"),
+      s"compaction lost its map-side partial max in:\n$plan")
+    assert(!plan.contains("Window"),
+      s"compaction regressed to a window (shuffles the whole changelog) in:\n$plan")
+  }
 }
