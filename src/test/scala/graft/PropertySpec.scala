@@ -139,4 +139,54 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       .as[String].collect().sorted.toSeq
     assert(tiered === exact)
   }
+
+  test("interval coverage equals a brute-force sweep on random intervals") {
+    val gen = for {
+      k <- Gen.choose(1L, 5L)
+      s <- Gen.choose(0L, 200L)
+      len <- Gen.choose(0L, 40L)
+    } yield (k, s, s + len)
+    val ivs = samples(gen, 400).zipWithIndex
+      .map { case ((k, s, e), i) => (k, i.toLong, s, e) }
+    val got = graft.operators.Intervals
+      .coverage(ivs.toDF("k", "id", "s", "e"), Seq("k"), "s", "e", Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // brute force: per key, mark every covered unit point on a line
+    val want = ivs.groupBy(_._1).map { case (k, rows) =>
+      val pts = collection.mutable.BitSet()
+      rows.foreach { case (_, _, s, e) => (s until e).foreach(p => pts += p.toInt) }
+      k -> pts.size.toLong
+    }
+    assert(got === want)
+  }
+
+  test("changelog compaction is order- and slicing-independent on random changelogs") {
+    val gen = for {
+      k <- Gen.choose(1L, 20L)
+      op <- Gen.frequency(4 -> Gen.const("U"), 1 -> Gen.const("D"))
+      v <- Gen.choose(0L, 1000L)
+    } yield (k, op, v)
+    val ch = samples(gen, 500).zipWithIndex
+      .map { case ((k, op, v), i) => (k, i.toLong, op, v) }
+    val df = ch.toDF("k", "seq", "op", "v")
+    val oneShot = graft.operators.Cdc
+      .compactChangelog(df, Seq("k"), Seq("seq"), "op")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // sliced by seq mod 3 (each slice spans the whole key space, out of
+    // order), merged incrementally with tombstones, replayed twice
+    var state = df.filter(lit(false)).localCheckpoint()
+    for (_ <- 0 until 2; m <- Seq(2, 0, 1))
+      state = graft.operators.Cdc.compactChangelog(
+        state.unionByName(df.filter($"seq" % 3 === m)),
+        Seq("k"), Seq("seq"), "op", keepTombstones = true).localCheckpoint()
+    val sliced = state.filter($"op" =!= "D")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(sliced === oneShot)
+    // in-memory truth
+    val want = ch.groupBy(_._1).flatMap { case (k, rows) =>
+      val (_, seq, op, v) = rows.maxBy(_._2)
+      if (op == "D") None else Some((k, seq, v))
+    }.toSet
+    assert(oneShot === want)
+  }
 }
