@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -85,10 +85,104 @@ object BehaviorGate {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** q112: deadline funnel — q105's strict ordering with a conversion
+    * window: the click must land within 7 days of the first view, the
+    * purchase within 7 days of that click. Same three map-side-
+    * combinable min-aggregates; the deadline is one more conjunct. */
+  def q112FunnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val week = 7L * 86400L * 1000000L
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      col("event_type"), expr("ts div 1000").as("ts_us"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t1_us"))
+    val t2 = ev.filter(col("event_type") === "click").join(t1, "user_id")
+      .filter(col("ts_us") > col("t1_us") && col("ts_us") <= col("t1_us") + week)
+      .groupBy("user_id").agg(min("ts_us").as("t2_us"))
+    val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+      .filter(col("ts_us") > col("t2_us") && col("ts_us") <= col("t2_us") + week)
+      .groupBy("user_id").agg(min("ts_us").as("t3_us"))
+    ev.select("user_id").distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .withColumn("stage_reached",
+        when(col("t3_us").isNotNull, 3)
+          .when(col("t2_us").isNotNull, 2)
+          .when(col("t1_us").isNotNull, 1).otherwise(0))
+      .select("user_id", "t1_us", "t2_us", "t3_us", "stage_reached")
+      .orderBy("user_id")
+  }
+
+  /** q113: event-type transition matrix — per-user consecutive event
+    * pairs via one keyed lead() window, counted per (from, to) with the
+    * from-state total alongside (the integer-exact Markov estimate's
+    * numerator and denominator). */
+  def q113TransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"), col("event_id"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val counts = pairs.groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum("n").as("n_from"))
+    counts.join(totals, "from_type")
+      .select("from_type", "to_type", "n", "n_from")
+      .orderBy("from_type", "to_type")
+  }
+
+  /** q114: RFM segmentation — per-user recency/frequency/monetary
+    * scored into quartiles. The quartile THRESHOLDS come from
+    * [[graft.operators.CorpusShape.globalQuantiles]] (range partition +
+    * distributed prefix count) and broadcast back as one row — never an
+    * ntile()/percent_rank() over an unpartitioned window, which is the
+    * single-partition trap at a production user count. Integer
+    * positional quantiles (`ceil(q·n)`), so both engines pick the same
+    * boundary user. */
+  def q114RfmSegmentation(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusShape
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      expr("ts div 1000").as("ts_us"),
+      round(col("value") * 100).cast("long").as("v_c100"))
+    val refUs = ev.agg(max("ts_us")).head().getLong(0)
+    val u = ev.groupBy("user_id").agg(
+        max("ts_us").as("last_us"),
+        count(lit(1)).as("f_n"), sum("v_c100").as("m_c100"))
+      .select(col("user_id"),
+        expr(s"($refUs - last_us) div 86400000000").as("r_days"),
+        col("f_n"), col("m_c100"))
+    val qs = Seq(("p25", 1, 4), ("p50", 2, 4), ("p75", 3, 4))
+    def th(col0: String, pre: String) =
+      CorpusShape.globalQuantiles(u, col0, qs)
+        .select(col("p25").as(s"${pre}25"), col("p50").as(s"${pre}50"),
+          col("p75").as(s"${pre}75"))
+    val thresholds = th("r_days", "r").crossJoin(th("f_n", "f"))
+      .crossJoin(th("m_c100", "m"))
+    def score(v: Column, p25: Column, p50: Column, p75: Column): Column =
+      lit(1) + when(v > p25, 1).otherwise(0) +
+        when(v > p50, 1).otherwise(0) + when(v > p75, 1).otherwise(0)
+    u.crossJoin(broadcast(thresholds))
+      .withColumn("r_score", lit(5) - score(col("r_days"),
+        col("r25"), col("r50"), col("r75"))) // recent = high score
+      .withColumn("f_score", score(col("f_n"), col("f25"), col("f50"), col("f75")))
+      .withColumn("m_score", score(col("m_c100"), col("m25"), col("m50"), col("m75")))
+      .withColumn("segment",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .select("user_id", "r_days", "f_n", "m_c100",
+        "r_score", "f_score", "m_score", "segment")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q104_interval_coverage" -> (q104IntervalCoverage _),
     "q105_funnel" -> (q105Funnel _),
-    "q106_cohort_retention" -> (q106CohortRetention _))
+    "q106_cohort_retention" -> (q106CohortRetention _),
+    "q112_funnel_windowed" -> (q112FunnelWindowed _),
+    "q113_transition_matrix" -> (q113TransitionMatrix _),
+    "q114_rfm_segmentation" -> (q114RfmSegmentation _))
 
   val oracles: Map[String, String] = Map(
     "q104_interval_coverage" ->
@@ -140,5 +234,77 @@ object BehaviorGate {
         |SELECT cohort_week, wk - cohort_week week_offset,
         |  cast(count(DISTINCT ev.user_id) as bigint) n_users
         |FROM ev JOIN c ON ev.user_id = c.user_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q112_funnel_windowed" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) ts_us
+        |  FROM events),
+        |t1 AS (SELECT user_id, min(ts_us) t1_us FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT ev.user_id, min(ts_us) t2_us FROM ev
+        |       JOIN t1 ON ev.user_id = t1.user_id
+        |       WHERE event_type = 'click' AND ts_us > t1_us
+        |         AND ts_us <= t1_us + 604800000000 GROUP BY 1),
+        |t3 AS (SELECT ev.user_id, min(ts_us) t3_us FROM ev
+        |       JOIN t2 ON ev.user_id = t2.user_id
+        |       WHERE event_type = 'purchase' AND ts_us > t2_us
+        |         AND ts_us <= t2_us + 604800000000 GROUP BY 1)
+        |SELECT u.user_id, t1_us, t2_us, t3_us,
+        |  CASE WHEN t3_us IS NOT NULL THEN 3
+        |       WHEN t2_us IS NOT NULL THEN 2
+        |       WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END stage_reached
+        |FROM (SELECT DISTINCT user_id FROM ev) u
+        |LEFT JOIN t1 ON u.user_id = t1.user_id
+        |LEFT JOIN t2 ON u.user_id = t2.user_id
+        |LEFT JOIN t3 ON u.user_id = t3.user_id
+        |ORDER BY u.user_id""".stripMargin,
+    "q113_transition_matrix" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) next_type
+        |  FROM events),
+        |c AS (SELECT event_type from_type, next_type to_type,
+        |    cast(count(*) as bigint) n
+        |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, cast(sum(n) as bigint) n_from
+        |      FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, t.n_from
+        |FROM c JOIN t ON c.from_type = t.from_type
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
+    "q114_rfm_segmentation" ->
+      // quartile thresholds by the SAME integer positional rule as
+      // CorpusShape.globalQuantiles: value at rank (num·n+den−1)//den
+      """WITH ev AS (SELECT user_id, epoch_us(ts) ts_us,
+        |    cast(round(value * 100) as bigint) v_c100 FROM events),
+        |ref AS (SELECT max(ts_us) r FROM ev),
+        |u AS (SELECT user_id,
+        |    ((SELECT r FROM ref) - max(ts_us)) // 86400000000 r_days,
+        |    cast(count(*) as bigint) f_n, cast(sum(v_c100) as bigint) m_c100
+        |  FROM ev GROUP BY 1),
+        |nn AS (SELECT count(*) n FROM u),
+        |rt AS (SELECT max(CASE WHEN rn = (1*n+3)//4 THEN v END) rp25,
+        |       max(CASE WHEN rn = (2*n+3)//4 THEN v END) rp50,
+        |       max(CASE WHEN rn = (3*n+3)//4 THEN v END) rp75
+        |  FROM (SELECT r_days v, row_number() OVER (ORDER BY r_days) rn
+        |        FROM u), nn),
+        |ft AS (SELECT max(CASE WHEN rn = (1*n+3)//4 THEN v END) fp25,
+        |       max(CASE WHEN rn = (2*n+3)//4 THEN v END) fp50,
+        |       max(CASE WHEN rn = (3*n+3)//4 THEN v END) fp75
+        |  FROM (SELECT f_n v, row_number() OVER (ORDER BY f_n) rn FROM u), nn),
+        |mt AS (SELECT max(CASE WHEN rn = (1*n+3)//4 THEN v END) mp25,
+        |       max(CASE WHEN rn = (2*n+3)//4 THEN v END) mp50,
+        |       max(CASE WHEN rn = (3*n+3)//4 THEN v END) mp75
+        |  FROM (SELECT m_c100 v, row_number() OVER (ORDER BY m_c100) rn
+        |        FROM u), nn)
+        |SELECT user_id, r_days, f_n, m_c100,
+        |  5 - (1 + (r_days > rp25)::int + (r_days > rp50)::int
+        |         + (r_days > rp75)::int) r_score,
+        |  1 + (f_n > fp25)::int + (f_n > fp50)::int + (f_n > fp75)::int f_score,
+        |  1 + (m_c100 > mp25)::int + (m_c100 > mp50)::int
+        |    + (m_c100 > mp75)::int m_score,
+        |  (5 - (1 + (r_days > rp25)::int + (r_days > rp50)::int
+        |          + (r_days > rp75)::int)) * 100
+        |  + (1 + (f_n > fp25)::int + (f_n > fp50)::int + (f_n > fp75)::int) * 10
+        |  + 1 + (m_c100 > mp25)::int + (m_c100 > mp50)::int
+        |    + (m_c100 > mp75)::int segment
+        |FROM u, rt, ft, mt ORDER BY user_id""".stripMargin)
 }
