@@ -110,11 +110,36 @@ object ChangeGate {
       .orderBy("o_orderkey")
   }
 
+  /** q115: incremental aggregate maintenance — the standing per-user
+    * (count, Σcents) aggregate over 3/4 of the events is updated with a
+    * signed delta (the remaining quarter as insertions, every
+    * id≡1 (mod 8) base row retracted) through
+    * [[graft.operators.Ivm.applyAggDelta]]; the oracle recomputes the
+    * final set from scratch, so a hash match certifies
+    * increment ≡ recompute — the IVM contract that lets a 100 TB
+    * aggregate absorb a CDC feed without re-scanning history. */
+  def q115IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      cents(col("value")).as("v_c100"))
+    val base = ev.filter(col("event_id") % 4 =!= 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("v_c100").as("sum_c100"))
+    val inserts = ev.filter(col("event_id") % 4 === 0)
+      .select(col("user_id"), lit(1L).as("sign"), col("v_c100"))
+    val retracts = ev.filter(col("event_id") % 8 === 1)
+      .select(col("user_id"), lit(-1L).as("sign"), col("v_c100"))
+    graft.operators.Ivm.applyAggDelta(base,
+        inserts.unionByName(retracts), Seq("user_id"),
+        "n", "sum_c100", "sign", "v_c100")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q101_scd2_history" -> (q101Scd2History _),
     "q102_changelog_compact" -> (q102ChangelogCompact _),
     "q103_snapshot_diff" -> (q103SnapshotDiff _),
-    "q110_scd2_lookup" -> (q110Scd2Lookup _))
+    "q110_scd2_lookup" -> (q110Scd2Lookup _),
+    "q115_incremental_agg" -> (q115IncrementalAgg _))
 
   val oracles: Map[String, String] = Map(
     "q101_scd2_history" ->
@@ -186,5 +211,14 @@ object ChangeGate {
         |FROM f JOIN dim ON f.o_custkey = dim.d_custkey
         |  AND dim.eff_from_s <= f.at_s
         |  AND (dim.eff_to_s IS NULL OR f.at_s < dim.eff_to_s)
-        |ORDER BY f.o_orderkey""".stripMargin)
+        |ORDER BY f.o_orderkey""".stripMargin,
+    "q115_incremental_agg" ->
+      // recompute-from-scratch over the post-delta set: base (id%4<>0)
+      // minus retractions (id%8=1) plus insertions (id%4=0)
+      """SELECT user_id, cast(count(*) as bigint) n,
+        |  cast(sum(cast(round(value * 100) as bigint)) as bigint) sum_c100
+        |FROM events
+        |WHERE event_id % 4 = 0
+        |   OR (event_id % 4 <> 0 AND event_id % 8 <> 1)
+        |GROUP BY 1 HAVING count(*) > 0 ORDER BY 1""".stripMargin)
 }

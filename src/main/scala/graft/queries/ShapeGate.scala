@@ -139,6 +139,39 @@ object ShapeGate {
         within(col("p99_a"), col("p99")).as("p99_ok"))
   }
 
+  /** t87: MERGEABLE sketch profiling — the property that makes
+    * approximate statistics work at 100 TB: each source builds its own
+    * HLL sketch (DataSketches, map-side combinable), the per-source
+    * sketches are then hll_union_agg'd into a corpus estimate WITHOUT
+    * revisiting any row — the two-level aggregation a 1000-executor
+    * profiling job runs (partition sketches → executor merges → driver
+    * union). Output: one row per source plus the merged __ALL__ row,
+    * each carrying the exact distinct count (oracle-computable) and a
+    * within-5% flag on the sketch estimate (t79's certification
+    * pattern; HLL lgK=14 gives ~0.8% standard error, so 5% is a
+    * deterministic-by-construction bound at these cardinalities). */
+  def t87SketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .filter(col("term") =!= "")
+    val perSrc = terms.groupBy("source")
+      .agg(expr("hll_sketch_agg(term, 14)").as("sk"),
+        countDistinct("term").cast("long").as("d_exact"))
+    val srcRows = perSrc.select(col("source"),
+      col("d_exact"), expr("hll_sketch_estimate(sk)").as("est"))
+    val allExact = terms.agg(countDistinct("term").cast("long").as("d_exact"))
+    val allRow = perSrc.agg(expr("hll_union_agg(sk, true)").as("sk"))
+      .crossJoin(allExact)
+      .select(lit("__ALL__").as("source"), col("d_exact"),
+        expr("hll_sketch_estimate(sk)").as("est"))
+    srcRows.unionByName(allRow)
+      .select(col("source"), col("d_exact"),
+        when(abs(col("est") - col("d_exact")) * 20 <= col("d_exact"), 1)
+          .otherwise(0).as("hll_ok"))
+      .orderBy("source")
+  }
+
   /** t80: per-source distribution moments in EXACT integer arithmetic —
     * the drift-profile aggregate (is this source's length distribution
     * shifting between snapshots?). One map-side-combinable pass
@@ -468,6 +501,7 @@ object ShapeGate {
     "t78_bpe_merges_delta" -> (t78BpeMergesDelta _),
     "t73_global_quantiles" -> (t73GlobalQuantiles _),
     "t79_approx_profile" -> (t79ApproxProfile _),
+    "t87_sketch_merge" -> (t87SketchMerge _),
     "t80_moment_profile" -> (t80MomentProfile _),
     "t81_heavy_hitters" -> (t81HeavyHitters _),
     "t82_observe_metrics" -> (t82ObserveMetrics _),
@@ -540,6 +574,19 @@ object ShapeGate {
         |SELECT n, d_exact, p50, p90, p99,
         |  1 hll_ok, 1 p50_ok, 1 p90_ok, 1 p99_ok
         |FROM q, t""".stripMargin,
+    "t87_sketch_merge" ->
+      // exact tier + pinned flags (t79's pattern): the sketch side is
+      // engine-specific, the oracle asserts the within-ε flags are 1
+      """WITH t AS (SELECT source, unnest(list_distinct(
+        |      list_filter(string_split(text, ' '), x -> x <> ''))) term
+        |    FROM documents),
+        |s AS (SELECT source, cast(count(DISTINCT term) as bigint) d_exact
+        |      FROM t GROUP BY 1),
+        |a AS (SELECT '__ALL__' source,
+        |        cast(count(DISTINCT term) as bigint) d_exact FROM t)
+        |SELECT source, d_exact, 1 hll_ok FROM s
+        |UNION ALL SELECT source, d_exact, 1 FROM a
+        |ORDER BY source""".stripMargin,
     "t81_heavy_hitters" ->
       """WITH t AS (SELECT doc_id, unnest(list_distinct(
         |      list_filter(string_split(text, ' '), x -> x <> ''))) term
