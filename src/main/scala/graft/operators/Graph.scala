@@ -124,6 +124,28 @@ object Graph {
     (ranks, rounds)
   }
 
+  /** Bounded-depth BFS levels from a single source: after `rounds`
+    * relaxations, (v, lvl) holds the shortest hop count for every
+    * vertex within `rounds` hops (unreached vertices are absent).
+    * Each round is one equi-join of the current level frame to the
+    * edge list plus a min-aggregate — the iterative-relaxation shape
+    * whose converged form would follow the [[pageRankConverged]]
+    * contract; the bounded unroll keeps the whole computation
+    * declarative for the oracle gate (which answers with a recursive
+    * CTE — the SQL the engine must match). */
+  def bfsLevels(edges: DataFrame, source: Long, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"bfsLevels needs at least one round, got $rounds")
+    val Seq(s, d) = edges.columns.take(2).toSeq
+    val e = edges.select(col(s).as("src"), col(d).as("dst"))
+    val init = e.sparkSession.range(1)
+      .select(lit(source).as("v"), lit(0L).as("lvl"))
+    (1 to rounds).foldLeft(init) { (levels, _) =>
+      val next = levels.join(e, levels("v") === e("src"))
+        .select(col("dst").as("v"), (col("lvl") + 1).as("lvl"))
+      levels.unionByName(next).groupBy("v").agg(min("lvl").as("lvl"))
+    }
+  }
+
   /** Per-vertex triangle counts via degree orientation (the
     * compact-forward / MapReduce-triangles algorithm). Edges are
     * canonicalized undirected (self-loops dropped, duplicates merged),

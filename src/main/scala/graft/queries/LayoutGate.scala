@@ -61,9 +61,40 @@ object LayoutGate {
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
       .orderBy("bucket")
 
+  /** q116: declarative data-quality report over a deterministically
+    * corrupted view of orders — three row-local rules folded into ONE
+    * scan ([[graft.operators.Quality.scanChecks]]), a key-uniqueness
+    * groupBy, and a referential anti-join; the report is 5 rows, the
+    * publish gate every warehouse load should run where the reference
+    * relies on unique-index insert errors. */
+  def q116DataQuality(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quality
+    val o = Tables.orders(s, dir)
+    val c = o.select(
+      when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")).as("price"),
+      when(col("o_orderkey") % 89 === 0, lit("X"))
+        .otherwise(col("o_orderstatus")).as("status"),
+      when(col("o_orderkey") % 83 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderpriority")).as("priority"),
+      when(col("o_orderkey") % 79 === 0, col("o_custkey") + 1000000L)
+        .otherwise(col("o_custkey")).as("custkey"),
+      when(col("o_orderkey") % 101 === 0, lit(1L))
+        .otherwise(col("o_orderkey")).as("okey"))
+    Quality.report(
+      Quality.scanChecks(c, Seq(
+        "price_positive" -> (col("price") <= 0),
+        "status_domain" -> !col("status").isin("O", "F", "P"),
+        "priority_nonnull" -> col("priority").isNull)),
+      Quality.uniqueCheck(c, "orderkey_unique", Seq("okey")),
+      Quality.fkCheck(c, "custkey_fk", "custkey",
+        Tables.customer(s, dir), "c_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q107_bucketed_join" -> (q107BucketedJoin _),
-    "q108_table_fingerprint" -> (q108TableFingerprint _))
+    "q108_table_fingerprint" -> (q108TableFingerprint _),
+    "q116_data_quality" -> (q116DataQuality _))
 
   val oracles: Map[String, String] = Map(
     "q107_bucketed_join" ->
@@ -82,5 +113,33 @@ object LayoutGate {
         |  cast(sum((o_orderkey * 1000003 + o_custkey * 101 + price_c100)
         |    % 2147483647) as bigint) checksum,
         |  min(o_orderkey) min_key, max(o_orderkey) max_key
-        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q116_data_quality" ->
+      """WITH c AS (SELECT
+        |    CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+        |         ELSE o_totalprice END price,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN 'X'
+        |         ELSE o_orderstatus END status,
+        |    CASE WHEN o_orderkey % 83 = 0 THEN NULL
+        |         ELSE o_orderpriority END priority,
+        |    CASE WHEN o_orderkey % 79 = 0 THEN o_custkey + 1000000
+        |         ELSE o_custkey END custkey,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN 1
+        |         ELSE o_orderkey END okey
+        |  FROM orders),
+        |u AS (SELECT cast(coalesce(sum(c2), 0) as bigint) nv FROM
+        |      (SELECT count(*) c2 FROM c GROUP BY okey HAVING count(*) > 1)),
+        |fk AS (SELECT cast(count(*) as bigint) nv FROM c
+        |       LEFT JOIN customer ON custkey = c_custkey
+        |       WHERE c_custkey IS NULL)
+        |SELECT 'custkey_fk' "rule", nv n_violations FROM fk
+        |UNION ALL SELECT 'orderkey_unique', nv FROM u
+        |UNION ALL SELECT 'price_positive',
+        |  cast(sum(CASE WHEN price <= 0 THEN 1 ELSE 0 END) as bigint) FROM c
+        |UNION ALL SELECT 'priority_nonnull',
+        |  cast(sum(CASE WHEN priority IS NULL THEN 1 ELSE 0 END) as bigint) FROM c
+        |UNION ALL SELECT 'status_domain',
+        |  cast(sum(CASE WHEN status NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+        |    as bigint) FROM c
+        |ORDER BY "rule"""".stripMargin)
 }

@@ -81,11 +81,28 @@ object MatchGate {
       .orderBy("t1", "t2")
   }
 
+  /** t88: bounded-depth BFS reachability levels from doc 0 over the
+    * t66 link graph ([[Graph.bfsLevels]], 4 relaxation rounds) — the
+    * crawl-frontier / link-distance primitive. The oracle answers with
+    * a RECURSIVE CTE, so the gate proves the engine's iterative
+    * join+min relaxation equals the SQL fixpoint semantics. */
+  def t88BfsLevels(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val v = docs.select(col("doc_id").as("v"))
+    val edges = v.select(col("v").as("src"), ((col("v") * 2 + 1) % n).as("dst"))
+      .union(v.select(col("v").as("src"), ((col("v") * 3 + 7) % n).as("dst")))
+    Graph.bfsLevels(edges, source = 0L, rounds = 4)
+      .select(col("v").as("doc_id"), col("lvl"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t83_edit_distance_join" -> (t83EditDistanceJoin _),
     "t84_inverted_index" -> (t84InvertedIndex _),
     "t85_triangle_count" -> (t85TriangleCount _),
-    "t86_term_cooccurrence" -> (t86TermCooccurrence _))
+    "t86_term_cooccurrence" -> (t86TermCooccurrence _),
+    "t88_bfs_levels" -> (t88BfsLevels _))
 
   val oracles: Map[String, String] = Map(
     "t83_edit_distance_join" ->
@@ -132,5 +149,19 @@ object MatchGate {
         |ft AS (SELECT doc_id, term FROM dt WHERE term IN (SELECT term FROM top))
         |SELECT l.term t1, r.term t2, cast(count(*) as bigint) n_docs
         |FROM ft l JOIN ft r ON l.doc_id = r.doc_id AND l.term < r.term
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t88_bfs_levels" ->
+      // the SQL fixpoint form the engine's iterative relaxation must match
+      """WITH RECURSIVE nn AS (SELECT count(*) c FROM documents),
+        |e AS (SELECT doc_id s, (doc_id * 2 + 1) % (SELECT c FROM nn) d
+        |      FROM documents
+        |      UNION ALL
+        |      SELECT doc_id, (doc_id * 3 + 7) % (SELECT c FROM nn)
+        |      FROM documents),
+        |r(v, lvl) AS (
+        |  SELECT cast(0 as bigint), cast(0 as bigint)
+        |  UNION ALL
+        |  SELECT e.d, r.lvl + 1 FROM r JOIN e ON e.s = r.v WHERE r.lvl < 4)
+        |SELECT v doc_id, cast(min(lvl) as bigint) lvl
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
 }

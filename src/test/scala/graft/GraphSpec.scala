@@ -128,4 +128,16 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val e = Seq((0L,1L),(1L,2L),(2L,3L)).toDF("src","dst")
     assert(Graph.triangleCounts(e).count() === 0L)
   }
+
+  test("bfsLevels: shortest hop counts, bounded depth, cycles safe") {
+    // 0→1→2→3→0 cycle plus shortcut 0→2; depth 2 reaches {0,1,2,3}
+    val e = Seq((0L,1L),(1L,2L),(2L,3L),(3L,0L),(0L,2L)).toDF("src","dst")
+    val lv = Graph.bfsLevels(e, source = 0L, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lv === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+    // one round: only direct successors
+    val lv1 = Graph.bfsLevels(e, 0L, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lv1 === Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
+  }
 }
