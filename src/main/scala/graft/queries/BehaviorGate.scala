@@ -176,7 +176,39 @@ object BehaviorGate {
       .orderBy("user_id")
   }
 
+  /** q118: multi-touch attribution — every purchase credits the clicks
+    * of the same user in the trailing 24 h: first-touch and last-touch
+    * click ids plus the touch count (the linear model's denominator).
+    * One user-keyed join with a range conjunct (fan-out bounded by a
+    * user's 24 h click volume), then one aggregate per purchase. The
+    * min/max over a zero-padded (ts, id) key string makes the
+    * first/last pick total-order deterministic on both engines without
+    * struct-min support. */
+  def q118MultiTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val day = 86400000000L
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      col("event_type"), expr("ts div 1000").as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts_us").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("ts_us").as("c_ts"))
+    val key = concat(lpad(col("c_ts").cast("string"), 20, "0"),
+      lpad(col("c_id").cast("string"), 10, "0"))
+    val touches = purchases.join(clicks,
+      Seq("user_id")).filter(col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - day)
+    val agg = touches.groupBy("p_id").agg(
+      count(lit(1)).as("n_touches"),
+      min(key).as("__fk"), max(key).as("__lk"))
+    purchases.join(agg, Seq("p_id"), "left")
+      .select(col("p_id"), coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+        substring(col("__fk"), 21, 10).cast("long").as("first_click_id"),
+        substring(col("__lk"), 21, 10).cast("long").as("last_click_id"))
+      .orderBy("p_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q118_multi_touch_attribution" -> (q118MultiTouchAttribution _),
     "q104_interval_coverage" -> (q104IntervalCoverage _),
     "q105_funnel" -> (q105Funnel _),
     "q106_cohort_retention" -> (q106CohortRetention _),
@@ -185,6 +217,26 @@ object BehaviorGate {
     "q114_rfm_segmentation" -> (q114RfmSegmentation _))
 
   val oracles: Map[String, String] = Map(
+    "q118_multi_touch_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) ts_us
+        |  FROM events),
+        |p AS (SELECT user_id, event_id p_id, ts_us p_ts FROM ev
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id c_id, ts_us c_ts FROM ev
+        |      WHERE event_type = 'click'),
+        |t AS (SELECT p.p_id,
+        |        lpad(cast(c_ts as varchar), 20, '0')
+        |          || lpad(cast(c_id as varchar), 10, '0') k
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |      WHERE c_ts <= p_ts AND c_ts > p_ts - 86400000000),
+        |a AS (SELECT p_id, cast(count(*) as bigint) n_touches,
+        |        min(k) fk, max(k) lk
+        |      FROM t GROUP BY 1)
+        |SELECT p.p_id, coalesce(n_touches, 0) n_touches,
+        |  cast(substring(fk, 21, 10) as bigint) first_click_id,
+        |  cast(substring(lk, 21, 10) as bigint) last_click_id
+        |FROM p LEFT JOIN a ON p.p_id = a.p_id
+        |ORDER BY p.p_id""".stripMargin,
     "q104_interval_coverage" ->
       // two CTE levels: DuckDB windows cannot nest (prev-max, then the
       // running island sum)

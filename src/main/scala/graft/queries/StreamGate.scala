@@ -546,9 +546,36 @@ object StreamGate {
       .orderBy("user_id")
   }
 
+  /** q117: CONTINUOUS data-quality monitoring — q116's one-scan rule
+    * aggregate run per micro-batch over a sliced event stream, the
+    * per-batch violation counts summed into the standing report (rule
+    * counts are distributive, so monitor totals ≡ the one-shot audit —
+    * which is exactly what the shared-oracle hash certifies). The
+    * production shape: a stream carries its quality telemetry without
+    * a second pass over the data. */
+  def q117StreamQuality(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quality
+    val ev = graft.Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"))
+    def rules(df: DataFrame) = Quality.scanChecks(df, Seq(
+      "value_nonneg" -> (col("value") < 0),
+      "type_domain" -> !col("event_type").isin(
+        "view", "click", "purchase", "signup", "error"),
+      "user_nonnull" -> col("user_id").isNull))
+    var report = rules(ev.filter(lit(false))).localCheckpoint()
+    for (k <- 0 until 5) {
+      val batchReport = rules(ev.filter(col("event_id") % 5 === k))
+      report = report.unionByName(batchReport)
+        .groupBy("rule").agg(sum("n_violations").as("n_violations"))
+        .localCheckpoint()
+    }
+    report.orderBy("rule")
+  }
+
   val queries: Map[String, Q] = Map(
     "q109_stream_changelog_compact" -> (q109StreamChangelogCompact _),
     "q111_stream_static_join" -> (q111StreamStaticJoin _),
+    "q117_stream_quality" -> (q117StreamQuality _),
     "q75_stream_range_join" -> (q75StreamRangeJoin _),
     "q74_stream_asof_join" -> (q74StreamAsofJoin _),
     "t54_stream_media_decode" -> (t54StreamMediaDecode _),
@@ -605,6 +632,16 @@ object StreamGate {
   lazy val oracles: Map[String, String] = Map(
     // identical answer contract as batch q102 — same one-shot oracle
     "q109_stream_changelog_compact" -> ChangeGate.oracles("q102_changelog_compact"),
+    // the one-shot audit the accumulated monitor must equal
+    "q117_stream_quality" ->
+      """SELECT 'type_domain' "rule", cast(sum(CASE WHEN event_type NOT IN
+        |    ('view', 'click', 'purchase', 'signup', 'error')
+        |    THEN 1 ELSE 0 END) as bigint) n_violations FROM events
+        |UNION ALL SELECT 'user_nonnull', cast(sum(CASE WHEN user_id IS NULL
+        |    THEN 1 ELSE 0 END) as bigint) FROM events
+        |UNION ALL SELECT 'value_nonneg', cast(sum(CASE WHEN value < 0
+        |    THEN 1 ELSE 0 END) as bigint) FROM events
+        |ORDER BY "rule"""".stripMargin,
     // the batch form of the stream-static join + daily window
     "q111_stream_static_join" ->
       """SELECT strftime(CAST(to_timestamp(epoch_us(ts) // 86400000000
