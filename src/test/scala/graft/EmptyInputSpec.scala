@@ -107,5 +107,9 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
       Seq.empty[String].toDF("w"), "w", 2).count() == 0)
     assert(Graph.triangleCounts(
       Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+    // BFS with no edges: the source alone at level 0
+    val bfs = Graph.bfsLevels(Seq.empty[(Long, Long)].toDF("src", "dst"),
+      source = 7L, rounds = 2).collect()
+    assert(bfs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((7L, 0L)))
   }
 }
