@@ -284,6 +284,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"scan did not prune to (text, source) in:\n$plan")
   }
 
+  test("q104 islands: one keyed shuffle feeds both window passes, no interval self-join") {
+    val plan = planOf(queries.BehaviorGate.q104IntervalCoverage(spark, dir))
+    // the gaps-and-islands rewrite must never express overlap via a
+    // self-join of intervals (the quadratic trap) — only windows over
+    // the user partition plus hash aggregates
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+      s"islands degenerated to an interval join in:\n$plan")
+    assert("Window".r.findAllIn(plan).size >= 1, s"expected window passes in:\n$plan")
+    assert(plan.contains("[user_id"),
+      s"window lost its user_id partition spec (single-partition trap) in:\n$plan")
+  }
+
+  test("q118 attribution: user-keyed join with the day-window as a residual, no nested loop") {
+    val plan = planOf(queries.BehaviorGate.q118MultiTouchAttribution(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"attribution window predicate demoted the join in:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_min"),
+      s"attribution aggregate lost map-side combine in:\n$plan")
+  }
+
   test("q110 SCD2 lookup: equi key drives the join, interval conjuncts ride as residents") {
     val plan = planOf(queries.ChangeGate.q110Scd2Lookup(spark, dir))
     // the customer key must be the join key (hash or sort-merge); the
