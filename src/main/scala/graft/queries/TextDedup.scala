@@ -214,6 +214,45 @@ object TextDedup {
     out.result()
   })
 
+  /** t89: FUZZY benchmark decontamination — t42's exact 8-gram screen
+    * generalized to NEAR-duplicate contamination, the production form
+    * (a paraphrased eval answer still contaminates): corpus docs
+    * (id%5≠0) are screened against the eval set (id%5=0) through the
+    * t28 MinHash-LSH bands — candidates come from a band equi-join
+    * between the two sides, never a corpus×eval product — and a
+    * candidate is contaminated when ≥ 4 of the 8 signature hashes
+    * agree (estimated Jaccard ≥ 0.5). Per corpus doc: eval-candidate
+    * count, strongest match, the verdict flag. */
+  def t89FuzzyDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(s, dir)
+    val corpus = sigs.filter(col("doc_id") % 5 =!= 0)
+    val evalSet = sigs.filter(col("doc_id") % 5 === 0)
+    def bands(df: DataFrame, idCol: String) = df.select(
+      col("doc_id").as(idCol), expr(
+        "stack(2, 1, concat(h0, h1, h2, h3), 2, concat(h4, h5, h6, h7)) " +
+          "as (band_idx, band_val)"))
+    val cand = bands(corpus, "c_id")
+      .join(bands(evalSet, "e_id"), Seq("band_idx", "band_val"))
+      .select("c_id", "e_id").distinct()
+    val ca = sigs.select(col("doc_id").as("c_id") +:
+      (0 until 8).map(i => col(s"h$i").as(s"ca$i")): _*)
+    val ea = sigs.select(col("doc_id").as("e_id") +:
+      (0 until 8).map(i => col(s"h$i").as(s"ea$i")): _*)
+    val matches = cand.join(ca, Seq("c_id")).join(ea, Seq("e_id"))
+      .withColumn("m", (0 until 8).map(i =>
+        when(col(s"ca$i") === col(s"ea$i"), 1).otherwise(0)).reduce(_ + _))
+      .groupBy("c_id")
+      .agg(count(lit(1)).as("n_eval_candidates"), max("m").as("best"))
+    corpus.select(col("doc_id"))
+      .join(matches.withColumnRenamed("c_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_candidates"), lit(0L)).as("n_eval_candidates"),
+        coalesce(col("best"), lit(0)).as("best_matches"),
+        when(coalesce(col("best"), lit(0)) >= 4, 1).otherwise(0)
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   def t28MinhashBandPairs(s: SparkSession, dir: String): DataFrame = {
     // melt the signature into (band_idx, band_val) rows, then generate
     // candidate pairs inside each band bucket — one pass over the
@@ -541,6 +580,7 @@ object TextDedup {
     "t26_ngram_jaccard" -> (t26NgramJaccard _),
     "t27_minhash_sigs" -> (t27MinhashSigs _),
     "t28_minhash_band_pairs" -> (t28MinhashBandPairs _),
+    "t89_fuzzy_decontaminate" -> (t89FuzzyDecontaminate _),
     "t34_minhash_dedup_drops" -> (t34MinhashDedupDrops _),
     "t75_minhash_quality" -> (t75MinhashQuality _),
     "t29_json_extract" -> (t29JsonExtract _),
@@ -770,6 +810,44 @@ object TextDedup {
         |FROM sig a JOIN sig b ON (a.band1 = b.band1 OR a.band2 = b.band2)
         |                     AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin),
+    "t89_fuzzy_decontaminate" ->
+      (shingleSqlCte +
+      """,
+        |ex AS (SELECT doc_id, md5(unnest(s)) m FROM sh),
+        |hs AS (SELECT doc_id,
+        |  min(m) AS h0,
+        |  min(substr(m,5,28)  || substr(m,1,4))  AS h1,
+        |  min(substr(m,9,24)  || substr(m,1,8))  AS h2,
+        |  min(substr(m,13,20) || substr(m,1,12)) AS h3,
+        |  min(substr(m,17,16) || substr(m,1,16)) AS h4,
+        |  min(substr(m,21,12) || substr(m,1,20)) AS h5,
+        |  min(substr(m,25,8)  || substr(m,1,24)) AS h6,
+        |  min(substr(m,29,4)  || substr(m,1,28)) AS h7
+        | FROM ex GROUP BY doc_id),
+        |cand AS (SELECT DISTINCT a.doc_id c_id, b.doc_id e_id
+        |  FROM hs a JOIN hs b
+        |    ON (a.h0 || a.h1 || a.h2 || a.h3 = b.h0 || b.h1 || b.h2 || b.h3
+        |        OR a.h4 || a.h5 || a.h6 || a.h7 = b.h4 || b.h5 || b.h6 || b.h7)
+        |  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0),
+        |mm AS (SELECT c.c_id, cast(count(*) as bigint) n_eval_candidates,
+        |        max(CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END
+        |          + CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END
+        |          + CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END
+        |          + CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END
+        |          + CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END
+        |          + CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END
+        |          + CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END
+        |          + CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) best
+        |      FROM cand c JOIN hs sa ON sa.doc_id = c.c_id
+        |                  JOIN hs sb ON sb.doc_id = c.e_id
+        |      GROUP BY 1)
+        |SELECT a.doc_id,
+        |  coalesce(n_eval_candidates, 0) n_eval_candidates,
+        |  cast(coalesce(best, 0) as int) best_matches,
+        |  CASE WHEN coalesce(best, 0) >= 4 THEN 1 ELSE 0 END contaminated
+        |FROM (SELECT doc_id FROM hs WHERE doc_id % 5 <> 0) a
+        |LEFT JOIN mm ON a.doc_id = mm.c_id
+        |ORDER BY a.doc_id""".stripMargin),
     "t34_minhash_dedup_drops" ->
       (shingleSqlCte +
       """,
