@@ -49,7 +49,7 @@ object SparkEntry {
     * They are correctness gates; Bench excludes them because they
     * measure the local filesystem, not engine throughput. */
   val sinkBoundQueries: Set[String] =
-    VersionedGate.queries.keySet + "q107_bucketed_join"
+    VersionedGate.queries.keySet + "q107_bucketed_join" + "q119_partition_pruning"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -44,6 +44,19 @@ object Layout {
       .drop("__z")
   }
 
+  /** Hive-style partitioned write: one directory per distinct value of
+    * `partCol`. The third write-side layout lever (with [[zorderBy]]
+    * range clustering and [[bucketedWrite]] co-location): a reader
+    * filtering on the partition column prunes whole directories at
+    * PLANNING time (`PartitionFilters` in the scan, before any file is
+    * opened) — at 100 TB with daily partitions, a one-day query reads
+    * 1/365th of the files no matter how wide the table grows. Keep
+    * partition columns low-cardinality (days, sources, regions); a
+    * high-cardinality partition column is the small-files anti-pattern.
+    */
+  def partitionedWrite(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
   /** Write `df` as a bucketed + bucket-sorted catalog table (dropping
     * any previous incarnation). Bucketing is the other write-side
     * layout lever: two tables hash-bucketed the same way on their join

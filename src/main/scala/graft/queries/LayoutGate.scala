@@ -91,10 +91,32 @@ object LayoutGate {
         Tables.customer(s, dir), "c_custkey"))
   }
 
+  /** q119: partition-pruned scan — events written Hive-partitioned by
+    * event_type ([[Layout.partitionedWrite]]), then a one-type daily
+    * rollup reads back through the partition filter: the scan's
+    * `PartitionFilters` prunes four of five directories at planning
+    * time (PlanSpec-pinned). Result equals the oracle's plain filter
+    * over the unpartitioned table. */
+  def q119PartitionPruning(s: SparkSession, dir: String): DataFrame = {
+    val out = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"), "graft_q119_events_p").toString
+    Layout.partitionedWrite(
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts div 1000").as("ts_us"),
+        round(col("value") * 100).cast(LongType).as("v_c100")),
+      out, "event_type")
+    s.read.parquet(out)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("ts_us div 86400000000").as("day_no"))
+      .agg(count(lit(1)).as("n"), sum("v_c100").as("sum_c100"))
+      .orderBy("day_no")
+  }
+
   val queries: Map[String, Q] = Map(
     "q107_bucketed_join" -> (q107BucketedJoin _),
     "q108_table_fingerprint" -> (q108TableFingerprint _),
-    "q116_data_quality" -> (q116DataQuality _))
+    "q116_data_quality" -> (q116DataQuality _),
+    "q119_partition_pruning" -> (q119PartitionPruning _))
 
   val oracles: Map[String, String] = Map(
     "q107_bucketed_join" ->
@@ -141,5 +163,11 @@ object LayoutGate {
         |UNION ALL SELECT 'status_domain',
         |  cast(sum(CASE WHEN status NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
         |    as bigint) FROM c
-        |ORDER BY "rule"""".stripMargin)
+        |ORDER BY "rule"""".stripMargin,
+    "q119_partition_pruning" ->
+      """SELECT epoch_us(ts) // 86400000000 day_no,
+        |  cast(count(*) as bigint) n,
+        |  cast(sum(cast(round(value * 100) as bigint)) as bigint) sum_c100
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -65,6 +65,19 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(zb * 2 < sb, s"z-order did not bound the second dimension: $zb vs $sb")
   }
 
+  test("q119 partitioned layout prunes directories at planning time") {
+    val df = graft.queries.LayoutGate.q119PartitionPruning(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"partition filter did not reach the scan in:\n$plan")
+    // the value predicate must be a PARTITION filter (directory prune),
+    // not a data filter evaluated per row after reading
+    assert(plan.contains("(event_type#") && plan.contains("= purchase)"),
+      s"event_type=purchase not in PartitionFilters in:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("q107 bucketed agg+join plan has ZERO exchanges (the co-location contract)") {
     // force the sort-merge path so the pin proves bucket co-location,
     // not a broadcast that would hide a missing one
