@@ -91,11 +91,62 @@ object VersionedGate {
       .orderBy("doc_id")
   }
 
+  private lazy val FeedRoot = scratchBase.resolve("q120").toString
+
+  /** q120: CHANGE FEED between store versions — the lifecycle
+    * completion of the versioned store: two loads land as v=0 / v=1
+    * ([[Versioned.writeNext]]), then
+    * [[graft.operators.Cdc.snapshotDiff]] reads both versions back and
+    * emits the added/removed/changed rows a downstream consumer
+    * (search index, cache, replica) applies INCREMENTALLY instead of
+    * re-ingesting the full snapshot — the audited alternative to the
+    * reference's blind full-rebuild swap. The oracle derives both
+    * versions from the documents table, so a hash match certifies
+    * write → version addressing → diff end-to-end. */
+  def q120VersionChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    Versioned.deleteRecursively(java.nio.file.Paths.get(FeedRoot))
+    val base = Tables.documents(s, dir).select(col("doc_id"),
+      (col("n_chars") * 1000L).cast(LongType).as("price"))
+    val v0 = base.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val v1 = base.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      .withColumn("price", col("price") +
+        when(pmod(col("doc_id"), lit(3)) === 0, 7L).otherwise(0L))
+    Versioned.writeNext(v0, FeedRoot) // v=0
+    Versioned.writeNext(v1, FeedRoot) // v=1
+    graft.operators.Cdc.snapshotDiff(
+        Versioned.read(s, FeedRoot, Some(0L)),
+        Versioned.read(s, FeedRoot, Some(1L)),
+        Seq("doc_id"), Seq("price"))
+      .select(col("doc_id"), col("change_type"),
+        col("old_price"), col("new_price"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q63_versioned_load" -> (q63VersionedLoad _),
-    "q67_csv_swap" -> (q67CsvSwap _))
+    "q67_csv_swap" -> (q67CsvSwap _),
+    "q120_version_change_feed" -> (q120VersionChangeFeed _))
 
   val oracles: Map[String, String] = Map(
+    "q120_version_change_feed" ->
+      """WITH b AS (SELECT doc_id, n_chars * 1000 price FROM documents),
+        |v0 AS (SELECT * FROM b WHERE doc_id % 5 <> 0),
+        |v1 AS (SELECT doc_id, price +
+        |         CASE WHEN doc_id % 3 = 0 THEN 7 ELSE 0 END price
+        |       FROM b WHERE doc_id % 4 <> 0),
+        |j AS (SELECT coalesce(v0.doc_id, v1.doc_id) doc_id,
+        |        v0.price old_price, v1.price new_price,
+        |        v0.doc_id k0, v1.doc_id k1
+        |      FROM v0 FULL OUTER JOIN v1 ON v0.doc_id = v1.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN k0 IS NULL THEN 'added'
+        |       WHEN k1 IS NULL THEN 'removed'
+        |       ELSE 'changed' END change_type,
+        |  old_price, new_price
+        |FROM j
+        |WHERE k0 IS NULL OR k1 IS NULL
+        |   OR old_price IS DISTINCT FROM new_price
+        |ORDER BY doc_id""".stripMargin,
     "q63_versioned_load" ->
       // what SHOULD survive: versions 1 and 2 only (v3 rolled back,
       // v0 aged out by keep=2), holding the prepared+patched rows
