@@ -562,10 +562,36 @@ object Relational {
           .as("zcode"))
       .orderBy("event_id")
 
+  /** q121: the pure-SQL surface — the engine driven entirely through
+    * `spark.sql` text over registered temp views, with a NAMED
+    * PARAMETER (Spark 4's parameterized SQL, the injection-safe form)
+    * instead of string splicing: a CTE + window + broadcast-dim join
+    * query a SQL-only user would submit verbatim. Same Catalyst plan
+    * machinery as the DataFrame gates — this pins the API claim, not
+    * new semantics. */
+  def q121SqlSurface(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    s.sql(
+      """WITH big AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         cast(round(o_totalprice * 100) as bigint) price_c100,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) rk
+        |  FROM orders_v
+        |  WHERE o_orderpriority = :prio)
+        |SELECT b.o_custkey, c.c_name, b.o_orderkey, b.price_c100
+        |FROM big b JOIN customer_v c ON b.o_custkey = c.c_custkey
+        |WHERE b.rk = 1
+        |ORDER BY b.o_custkey""".stripMargin,
+      Map("prio" -> "1-URGENT"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q93_multiset_ops" -> (q93MultisetOps _),
     "q97_string_agg" -> (q97StringAgg _),
     "q98_zorder_code" -> (q98ZorderCode _),
+    "q121_sql_surface" -> (q121SqlSurface _),
     "q94_pivot" -> (q94Pivot _),
     "q95_unpivot" -> (q95Unpivot _),
     "q66_salted_join" -> (q66SaltedJoin _),
@@ -712,6 +738,19 @@ object Relational {
         |UNION ALL
         |SELECT 'only_young' tag, event_type FROM (SELECT event_type FROM a EXCEPT SELECT event_type FROM b)
         |ORDER BY tag, event_type""".stripMargin,
+    "q121_sql_surface" ->
+      // the same top-order-per-urgent-customer query, DuckDB-native
+      """WITH big AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         cast(round(o_totalprice * 100) as bigint) price_c100,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) rk
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
+        |SELECT b.o_custkey, c.c_name, b.o_orderkey, b.price_c100
+        |FROM big b JOIN customer c ON b.o_custkey = c.c_custkey
+        |WHERE b.rk = 1
+        |ORDER BY b.o_custkey""".stripMargin,
     "q98_zorder_code" ->
       // independent per-bit statement of the interleave: bit i of a at
       // position 2i+1, bit i of b at position 2i
