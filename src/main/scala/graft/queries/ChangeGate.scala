@@ -134,7 +134,32 @@ object ChangeGate {
       .orderBy("user_id")
   }
 
+  /** q122: schema-evolution union — two loads of the same logical
+    * table written under DIFFERENT schema versions (v1 lacks the later
+    * `priority` column; v2 added it and dropped the legacy `status`)
+    * merged with `unionByName(allowMissingColumns)`: absent columns
+    * null-fill per side, column ORDER is reconciled by name. The
+    * schema-drift-across-loads shape every long-lived pipeline hits;
+    * the reference hard-codes column lists and would break silently. */
+  def q122UnionEvolve(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val v1 = o.filter(col("o_orderkey") % 2 === 0).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus").as("status"),
+      cents(col("o_totalprice")).as("price_c100"))
+    val v2 = o.filter(col("o_orderkey") % 2 === 1).select(
+      col("o_orderkey"),
+      col("o_orderpriority").as("priority"), // new column, order differs
+      col("o_custkey"), cents(col("o_totalprice")).as("price_c100"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .withColumn("schema_v", when(col("o_orderkey") % 2 === 0, 1).otherwise(2))
+      .select("o_orderkey", "o_custkey", "status", "priority",
+        "price_c100", "schema_v")
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q122_union_evolve" -> (q122UnionEvolve _),
     "q101_scd2_history" -> (q101Scd2History _),
     "q102_changelog_compact" -> (q102ChangelogCompact _),
     "q103_snapshot_diff" -> (q103SnapshotDiff _),
@@ -142,6 +167,17 @@ object ChangeGate {
     "q115_incremental_agg" -> (q115IncrementalAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q122_union_evolve" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus status,
+        |  CAST(NULL AS VARCHAR) priority,
+        |  cast(round(o_totalprice * 100) as bigint) price_c100, 1 schema_v
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, CAST(NULL AS VARCHAR),
+        |  o_orderpriority,
+        |  cast(round(o_totalprice * 100) as bigint), 2
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
     "q101_scd2_history" ->
       """WITH ch AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |    o_orderpriority,
