@@ -587,11 +587,32 @@ object Relational {
       Map("prio" -> "1-URGENT"))
   }
 
+  /** q123: aggregate FILTER clauses + HAVING — the selective-aggregate
+    * SQL surface (one pass computing differently-filtered aggregates,
+    * the idiom that replaces N self-joins): per customer, urgent vs
+    * non-urgent order counts and spend, keeping only customers with at
+    * least one of each. Pure `spark.sql` text like q121. */
+  def q123FilteredAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_custkey,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') n_urgent,
+        |  count(*) FILTER (WHERE o_orderpriority <> '1-URGENT') n_other,
+        |  sum(cast(round(o_totalprice * 100) as bigint))
+        |    FILTER (WHERE o_orderpriority = '1-URGENT') urgent_c100
+        |FROM orders_v
+        |GROUP BY o_custkey
+        |HAVING count(*) FILTER (WHERE o_orderpriority = '1-URGENT') > 0
+        |   AND count(*) FILTER (WHERE o_orderpriority <> '1-URGENT') > 0
+        |ORDER BY o_custkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q93_multiset_ops" -> (q93MultisetOps _),
     "q97_string_agg" -> (q97StringAgg _),
     "q98_zorder_code" -> (q98ZorderCode _),
     "q121_sql_surface" -> (q121SqlSurface _),
+    "q123_filtered_agg" -> (q123FilteredAgg _),
     "q94_pivot" -> (q94Pivot _),
     "q95_unpivot" -> (q95Unpivot _),
     "q66_salted_join" -> (q66SaltedJoin _),
@@ -738,6 +759,17 @@ object Relational {
         |UNION ALL
         |SELECT 'only_young' tag, event_type FROM (SELECT event_type FROM a EXCEPT SELECT event_type FROM b)
         |ORDER BY tag, event_type""".stripMargin,
+    "q123_filtered_agg" ->
+      """SELECT o_custkey,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') n_urgent,
+        |  count(*) FILTER (WHERE o_orderpriority <> '1-URGENT') n_other,
+        |  cast(sum(cast(round(o_totalprice * 100) as bigint))
+        |    FILTER (WHERE o_orderpriority = '1-URGENT') as bigint) urgent_c100
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) FILTER (WHERE o_orderpriority = '1-URGENT') > 0
+        |   AND count(*) FILTER (WHERE o_orderpriority <> '1-URGENT') > 0
+        |ORDER BY o_custkey""".stripMargin,
     "q121_sql_surface" ->
       // the same top-order-per-urgent-customer query, DuckDB-native
       """WITH big AS (
