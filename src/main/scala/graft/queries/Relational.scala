@@ -607,12 +607,42 @@ object Relational {
         |ORDER BY o_custkey""".stripMargin)
   }
 
+  /** q124: cached (materialized) intermediate — a shared per-customer
+    * aggregate is `.cache()`d and consumed by TWO downstream branches
+    * (a priority rollup and a top-spender filter) unioned into one
+    * report; the second consumer reads the InMemoryRelation instead of
+    * re-scanning orders (`PlanSpec` pins the InMemoryTableScan). The
+    * materialized-CTE pattern every dashboard pipeline uses; at scale
+    * the cache is the difference between one shuffle and N. The tiny
+    * frame is unpersisted by Verify's JVM exit; callers owning a
+    * session should unpersist explicitly. */
+  def q124CachedView(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sumCents(col("o_totalprice")).as("spend_c100"))
+      .cache()
+    val byCount = perCust.groupBy("n_orders")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("spend_c100").as("tier_spend_c100"))
+      .select(lit("by_count").as("section"),
+        col("n_orders").cast(LongType).as("k"),
+        col("n_customers"), col("tier_spend_c100"))
+    val top = perCust.filter(col("spend_c100") > 100000000L)
+      .groupBy(lit(1))
+      .agg(count(lit(1)).as("n_customers"), sum("spend_c100").as("tier_spend_c100"))
+      .select(lit("big_spenders").as("section"), lit(0L).as("k"),
+        col("n_customers"), col("tier_spend_c100"))
+    byCount.unionByName(top).orderBy("section", "k")
+  }
+
   val queries: Map[String, Q] = Map(
     "q93_multiset_ops" -> (q93MultisetOps _),
     "q97_string_agg" -> (q97StringAgg _),
     "q98_zorder_code" -> (q98ZorderCode _),
     "q121_sql_surface" -> (q121SqlSurface _),
     "q123_filtered_agg" -> (q123FilteredAgg _),
+    "q124_cached_view" -> (q124CachedView _),
     "q94_pivot" -> (q94Pivot _),
     "q95_unpivot" -> (q95Unpivot _),
     "q66_salted_join" -> (q66SaltedJoin _),
@@ -759,6 +789,20 @@ object Relational {
         |UNION ALL
         |SELECT 'only_young' tag, event_type FROM (SELECT event_type FROM a EXCEPT SELECT event_type FROM b)
         |ORDER BY tag, event_type""".stripMargin,
+    "q124_cached_view" ->
+      """WITH pc AS (SELECT o_custkey, cast(count(*) as bigint) n_orders,
+        |    cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+        |      spend_c100
+        |  FROM orders GROUP BY 1)
+        |SELECT 'by_count' section, n_orders k,
+        |  cast(count(*) as bigint) n_customers,
+        |  cast(sum(spend_c100) as bigint) tier_spend_c100
+        |FROM pc GROUP BY 2
+        |UNION ALL
+        |SELECT 'big_spenders', 0, cast(count(*) as bigint),
+        |  cast(sum(spend_c100) as bigint)
+        |FROM pc WHERE spend_c100 > 100000000
+        |ORDER BY section, k""".stripMargin,
     "q123_filtered_agg" ->
       """SELECT o_custkey,
         |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') n_urgent,

@@ -305,6 +305,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"attribution aggregate lost map-side combine in:\n$plan")
   }
 
+  test("q124 cached view: the second consumer reads the InMemoryRelation, not the table") {
+    val df = queries.Relational.q124CachedView(spark, dir)
+    df.count() // materialize (fills the cache on first use)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"cached intermediate not read from memory in:\n$plan")
+  }
+
   test("q110 SCD2 lookup: equi key drives the join, interval conjuncts ride as residents") {
     val plan = planOf(queries.ChangeGate.q110Scd2Lookup(spark, dir))
     // the customer key must be the join key (hash or sort-merge); the
