@@ -97,12 +97,46 @@ object MatchGate {
       .orderBy("doc_id")
   }
 
+  /** t90: hierarchical rollup WITHOUT iteration — docs arranged as a
+    * heap-numbered ternary tree (parent(v) = (v−1) div 3), each node's
+    * subtree character count and size computed by exploding every
+    * node's ANCESTOR PATH scan-side (a fixed expression chain of
+    * ⌈log₃ N⌉ parent steps — the materialized-path technique) and one
+    * hash aggregate on the ancestor key. The account-hierarchy /
+    * BOM-rollup shape: at 100 TB this is a scan plus one shuffle,
+    * where the naive form is depth× iterated self-joins. The oracle
+    * descends the same tree with a RECURSIVE CTE. */
+  /** Ancestor chain of a heap-numbered ternary-tree node, self
+    * included, root-terminated. A compiled UDF (the shingleUdf
+    * precedent): nesting the recurrence as column expressions
+    * duplicates each level into the next's condition AND value — a
+    * 2^depth Catalyst tree; the loop is O(depth) per row. */
+  private val ancestorsUdf = udf { (v: Long) =>
+    val out = Seq.newBuilder[Long]
+    var a = v
+    out += a
+    while (a > 0) { a = (a - 1) / 3; out += a }
+    out.result()
+  }
+
+  def t90HierarchyRollup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val pairs = docs
+      .withColumn("anc", explode(ancestorsUdf(col("doc_id"))))
+      .select(col("anc"), col("n_chars"))
+    pairs.groupBy(col("anc").as("doc_id"))
+      .agg(count(lit(1)).as("subtree_size"),
+        sum("n_chars").as("subtree_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t83_edit_distance_join" -> (t83EditDistanceJoin _),
     "t84_inverted_index" -> (t84InvertedIndex _),
     "t85_triangle_count" -> (t85TriangleCount _),
     "t86_term_cooccurrence" -> (t86TermCooccurrence _),
-    "t88_bfs_levels" -> (t88BfsLevels _))
+    "t88_bfs_levels" -> (t88BfsLevels _),
+    "t90_hierarchy_rollup" -> (t90HierarchyRollup _))
 
   val oracles: Map[String, String] = Map(
     "t83_edit_distance_join" ->
@@ -163,5 +197,18 @@ object MatchGate {
         |  UNION ALL
         |  SELECT e.d, r.lvl + 1 FROM r JOIN e ON e.s = r.v WHERE r.lvl < 4)
         |SELECT v doc_id, cast(min(lvl) as bigint) lvl
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t90_hierarchy_rollup" ->
+      // descend the same ternary tree with a recursive CTE: (anc, node)
+      // closure seeded with self-pairs, extended child-ward
+      """WITH RECURSIVE nodes AS (SELECT doc_id v, n_chars FROM documents),
+        |e AS (SELECT (v - 1) // 3 parent, v child FROM nodes WHERE v > 0),
+        |pairs(anc, node) AS (
+        |  SELECT v, v FROM nodes
+        |  UNION ALL
+        |  SELECT p.anc, e.child FROM pairs p JOIN e ON e.parent = p.node)
+        |SELECT p.anc doc_id, cast(count(*) as bigint) subtree_size,
+        |  cast(sum(n.n_chars) as bigint) subtree_chars
+        |FROM pairs p JOIN nodes n ON n.v = p.node
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

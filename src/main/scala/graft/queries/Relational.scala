@@ -636,6 +636,22 @@ object Relational {
     byCount.unionByName(top).orderBy("section", "k")
   }
 
+  /** q125: share-of-total (ratio_to_report) — each order's share of
+    * its customer's spend in integer ppm via an unordered keyed window
+    * (one shuffle on the customer key; whole-partition frame, no sort
+    * requirement). The percent-of-parent column every BI layer
+    * derives; floor division in ppm keeps both engines bit-identical. */
+  def q125ShareOfTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_c100"))
+      .withColumn("cust_total_c100", sum("price_c100").over(w))
+      .withColumn("share_ppm",
+        expr("price_c100 * 1000000 div cust_total_c100"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q93_multiset_ops" -> (q93MultisetOps _),
     "q97_string_agg" -> (q97StringAgg _),
@@ -643,6 +659,7 @@ object Relational {
     "q121_sql_surface" -> (q121SqlSurface _),
     "q123_filtered_agg" -> (q123FilteredAgg _),
     "q124_cached_view" -> (q124CachedView _),
+    "q125_share_of_total" -> (q125ShareOfTotal _),
     "q94_pivot" -> (q94Pivot _),
     "q95_unpivot" -> (q95Unpivot _),
     "q66_salted_join" -> (q66SaltedJoin _),
@@ -789,6 +806,15 @@ object Relational {
         |UNION ALL
         |SELECT 'only_young' tag, event_type FROM (SELECT event_type FROM a EXCEPT SELECT event_type FROM b)
         |ORDER BY tag, event_type""".stripMargin,
+    "q125_share_of_total" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    cast(round(o_totalprice * 100) as bigint) price_c100
+        |  FROM orders),
+        |w AS (SELECT *, cast(sum(price_c100) OVER (PARTITION BY o_custkey)
+        |        as bigint) cust_total_c100 FROM o)
+        |SELECT o_custkey, o_orderkey, price_c100, cust_total_c100,
+        |  price_c100 * 1000000 // cust_total_c100 share_ppm
+        |FROM w ORDER BY o_orderkey""".stripMargin,
     "q124_cached_view" ->
       """WITH pc AS (SELECT o_custkey, cast(count(*) as bigint) n_orders,
         |    cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
