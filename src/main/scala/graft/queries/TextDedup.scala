@@ -327,6 +327,45 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** t91: shingle CONTAINMENT on the LSH candidates — the asymmetric
+    * companion to t75's Jaccard: C(A→B) = |A∩B|/|A| finds a document
+    * mostly CONTAINED in a larger one (quotation, partial copy,
+    * boilerplate wrapping), exactly the size-skewed pairs a symmetric
+    * Jaccard threshold misses (|A∩B|/|A∪B| collapses when |B| ≫ |A|).
+    * Candidates are t28's band pairs; containment runs both directions
+    * in integer ppm, with the Jaccard alongside so the gate exhibits
+    * the divergence. */
+  def t91ContainmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(s, dir).localCheckpoint()
+    val bands = sigs.select(col("doc_id"), expr(
+      "stack(2, 1, concat(h0, h1, h2, h3), 2, concat(h4, h5, h6, h7)) " +
+      "as (band_idx, band_val)"))
+    val cand = bands.groupBy("band_idx", "band_val")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(bucketPairsUdf(col("ds"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+      .distinct()
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), shingles(toks).as("s")).localCheckpoint()
+    val ns = d.select(col("doc_id"), size(col("s")).cast(LongType).as("n"))
+    val shx = d.select(col("doc_id"), explode(col("s")).as("sh"))
+    val inter = cand
+      .join(shx.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(shx.as("b"), col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(ns.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(ns.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("i", coalesce(col("inter"), lit(0L)))
+      .select(col("doc_a"), col("doc_b"), col("i").as("inter"),
+        expr("i * 1000000 div n_a").as("contain_a_ppm"),
+        expr("i * 1000000 div n_b").as("contain_b_ppm"),
+        floor(col("i") * 1000000.0 / (col("n_a") + col("n_b") - col("i")))
+          .cast(LongType).as("jac_e6"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** t34: the LSH dedup DECISION at linear cost — drop any document
     * that is not the smallest id in one of its band buckets (the
     * greedy keep-first rule a production dedup applies). Unlike the
@@ -583,6 +622,7 @@ object TextDedup {
     "t89_fuzzy_decontaminate" -> (t89FuzzyDecontaminate _),
     "t34_minhash_dedup_drops" -> (t34MinhashDedupDrops _),
     "t75_minhash_quality" -> (t75MinhashQuality _),
+    "t91_containment_pairs" -> (t91ContainmentPairs _),
     "t29_json_extract" -> (t29JsonExtract _),
     "t30_unpivot_part" -> (t30UnpivotPart _),
     "t31_multimodal_meta" -> (t31MultimodalMeta _),
@@ -848,6 +888,40 @@ object TextDedup {
         |FROM (SELECT doc_id FROM hs WHERE doc_id % 5 <> 0) a
         |LEFT JOIN mm ON a.doc_id = mm.c_id
         |ORDER BY a.doc_id""".stripMargin),
+    "t91_containment_pairs" ->
+      // t28's candidates; exact intersection only on candidates
+      // (t75's discipline); containment in integer ppm both directions
+      (shingleSqlCte +
+      """,
+        |ex AS (SELECT doc_id, md5(unnest(s)) m FROM sh),
+        |sig AS (SELECT doc_id,
+        |  min(m) || min(substr(m,5,28) || substr(m,1,4))
+        |         || min(substr(m,9,24) || substr(m,1,8))
+        |         || min(substr(m,13,20) || substr(m,1,12)) AS band1,
+        |  min(substr(m,17,16) || substr(m,1,16))
+        |         || min(substr(m,21,12) || substr(m,1,20))
+        |         || min(substr(m,25,8) || substr(m,1,24))
+        |         || min(substr(m,29,4) || substr(m,1,28)) AS band2
+        | FROM ex GROUP BY doc_id),
+        |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |         FROM sig a JOIN sig b ON (a.band1 = b.band1 OR a.band2 = b.band2)
+        |                             AND a.doc_id < b.doc_id),
+        |ns AS (SELECT doc_id, cast(len(s) as bigint) n FROM sh),
+        |shx AS (SELECT doc_id, unnest(s) shv FROM sh),
+        |inter AS (SELECT c.doc_a, c.doc_b, cast(count(*) as bigint) i
+        |          FROM cand c JOIN shx a ON a.doc_id = c.doc_a
+        |                      JOIN shx b ON b.doc_id = c.doc_b AND a.shv = b.shv
+        |          GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b, coalesce(i.i, 0) inter,
+        |  coalesce(i.i, 0) * 1000000 // na.n contain_a_ppm,
+        |  coalesce(i.i, 0) * 1000000 // nb.n contain_b_ppm,
+        |  cast(floor(coalesce(i.i, 0) * 1000000.0 /
+        |    (na.n + nb.n - coalesce(i.i, 0))) as bigint) jac_e6
+        |FROM cand c
+        |LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        |JOIN ns na ON na.doc_id = c.doc_a
+        |JOIN ns nb ON nb.doc_id = c.doc_b
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin),
     "t34_minhash_dedup_drops" ->
       (shingleSqlCte +
       """,
