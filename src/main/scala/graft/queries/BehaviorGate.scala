@@ -207,7 +207,29 @@ object BehaviorGate {
       .orderBy("p_id")
   }
 
+  /** q126: burst dedup — collapse retries/repeats: within a
+    * (user, event_type) key, events closer than 1 h to their
+    * predecessor belong to the same burst and only the burst's FIRST
+    * event survives; after an hour of quiet the key re-admits. The
+    * retry-collapse / notification-throttle shape — unlike q61's
+    * forever-dedup, suppression here is time-scoped. One keyed lag()
+    * window, no state beyond the partition sort. */
+  def q126BurstDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hour = 3600L * 1000000L
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts_us", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .filter(col("prev_us").isNull || col("ts_us") - col("prev_us") > hour)
+      .select("user_id", "event_type", "event_id", "ts_us")
+      .orderBy("user_id", "event_type", "ts_us", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q126_burst_dedup" -> (q126BurstDedup _),
     "q118_multi_touch_attribution" -> (q118MultiTouchAttribution _),
     "q104_interval_coverage" -> (q104IntervalCoverage _),
     "q105_funnel" -> (q105Funnel _),
@@ -217,6 +239,14 @@ object BehaviorGate {
     "q114_rfm_segmentation" -> (q114RfmSegmentation _))
 
   val oracles: Map[String, String] = Map(
+    "q126_burst_dedup" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) ts_us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) prev_us
+        |  FROM events)
+        |SELECT user_id, event_type, event_id, ts_us
+        |FROM e WHERE prev_us IS NULL OR ts_us - prev_us > 3600000000
+        |ORDER BY user_id, event_type, ts_us, event_id""".stripMargin,
     "q118_multi_touch_attribution" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) ts_us
         |  FROM events),
