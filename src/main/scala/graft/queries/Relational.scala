@@ -636,6 +636,24 @@ object Relational {
     byCount.unionByName(top).orderBy("section", "k")
   }
 
+  /** q127: SQL join-strategy hints — `/*+ BROADCAST(n) */` forces the
+    * dimension broadcast regardless of the planner's size estimate
+    * (PlanSpec pins BroadcastHashJoin with autoBroadcast disabled).
+    * The escape hatch when statistics mislead the optimizer on a
+    * 100 TB fact table whose dimension the planner mis-sizes; results
+    * are plan-invariant, which is exactly what the oracle certifies. */
+  def q127SqlHints(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+    s.sql(
+      """SELECT /*+ BROADCAST(n) */ n.n_name,
+        |  cast(count(*) as bigint) n_customers,
+        |  cast(sum(cast(round(c_acctbal * 100) as bigint)) as bigint)
+        |    sum_acctbal_c100
+        |FROM customer_v c JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+  }
+
   /** q125: share-of-total (ratio_to_report) — each order's share of
     * its customer's spend in integer ppm via an unordered keyed window
     * (one shuffle on the customer key; whole-partition frame, no sort
@@ -660,6 +678,7 @@ object Relational {
     "q123_filtered_agg" -> (q123FilteredAgg _),
     "q124_cached_view" -> (q124CachedView _),
     "q125_share_of_total" -> (q125ShareOfTotal _),
+    "q127_sql_hints" -> (q127SqlHints _),
     "q94_pivot" -> (q94Pivot _),
     "q95_unpivot" -> (q95Unpivot _),
     "q66_salted_join" -> (q66SaltedJoin _),
@@ -806,6 +825,12 @@ object Relational {
         |UNION ALL
         |SELECT 'only_young' tag, event_type FROM (SELECT event_type FROM a EXCEPT SELECT event_type FROM b)
         |ORDER BY tag, event_type""".stripMargin,
+    "q127_sql_hints" ->
+      """SELECT n_name, cast(count(*) as bigint) n_customers,
+        |  cast(sum(cast(round(c_acctbal * 100) as bigint)) as bigint)
+        |    sum_acctbal_c100
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q125_share_of_total" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,
         |    cast(round(o_totalprice * 100) as bigint) price_c100

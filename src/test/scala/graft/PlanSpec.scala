@@ -305,6 +305,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"attribution aggregate lost map-side combine in:\n$plan")
   }
 
+  test("q127 SQL hint forces the broadcast even with auto-broadcast disabled") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf(queries.Relational.q127SqlHints(spark, dir))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"BROADCAST hint ignored (no broadcast join) in:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"hint lost to SMJ in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q124 cached view: the second consumer reads the InMemoryRelation, not the table") {
     val df = queries.Relational.q124CachedView(spark, dir)
     df.count() // materialize (fills the cache on first use)
