@@ -636,6 +636,26 @@ object Relational {
     byCount.unionByName(top).orderBy("section", "k")
   }
 
+  /** q128: NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — two
+    * order projections with a deliberately null-ized grouping key
+    * (priority hidden for every 11th order) joined so that NULL keys
+    * MATCH EACH OTHER, the dimension-conformance shape plain `=` joins
+    * silently drop rows from. Catalyst plans EqualNullSafe as a
+    * regular hash-join key, so the null bucket co-locates like any
+    * other value — no fallback to a nested loop. */
+  def q128NullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      when(col("o_orderkey") % 11 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderpriority")).as("prio_k"),
+      cents(col("o_totalprice")).as("price_c100"))
+    val dim = o.groupBy("prio_k")
+      .agg(count(lit(1)).as("n_orders"), sum("price_c100").as("group_c100"))
+      .withColumnRenamed("prio_k", "dim_k")
+    o.join(dim, col("prio_k") <=> col("dim_k"))
+      .select(col("o_orderkey"), col("prio_k"), col("n_orders"), col("group_c100"))
+      .orderBy("o_orderkey")
+  }
+
   /** q127: SQL join-strategy hints — `/*+ BROADCAST(n) */` forces the
     * dimension broadcast regardless of the planner's size estimate
     * (PlanSpec pins BroadcastHashJoin with autoBroadcast disabled).
@@ -679,6 +699,7 @@ object Relational {
     "q124_cached_view" -> (q124CachedView _),
     "q125_share_of_total" -> (q125ShareOfTotal _),
     "q127_sql_hints" -> (q127SqlHints _),
+    "q128_null_safe_join" -> (q128NullSafeJoin _),
     "q94_pivot" -> (q94Pivot _),
     "q95_unpivot" -> (q95Unpivot _),
     "q66_salted_join" -> (q66SaltedJoin _),
@@ -825,6 +846,18 @@ object Relational {
         |UNION ALL
         |SELECT 'only_young' tag, event_type FROM (SELECT event_type FROM a EXCEPT SELECT event_type FROM b)
         |ORDER BY tag, event_type""".stripMargin,
+    "q128_null_safe_join" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |         ELSE o_orderpriority END prio_k,
+        |    cast(round(o_totalprice * 100) as bigint) price_c100
+        |  FROM orders),
+        |dim AS (SELECT prio_k, cast(count(*) as bigint) n_orders,
+        |    cast(sum(price_c100) as bigint) group_c100
+        |  FROM o GROUP BY 1)
+        |SELECT o.o_orderkey, o.prio_k, n_orders, group_c100
+        |FROM o JOIN dim ON o.prio_k IS NOT DISTINCT FROM dim.prio_k
+        |ORDER BY o.o_orderkey""".stripMargin,
     "q127_sql_hints" ->
       """SELECT n_name, cast(count(*) as bigint) n_customers,
         |  cast(sum(cast(round(c_acctbal * 100) as bigint)) as bigint)
