@@ -172,6 +172,29 @@ object ShapeGate {
       .orderBy("source")
   }
 
+  /** t92: source×language independence-deviation profile — the
+    * contingency-table drift check behind a χ² test, kept in exact
+    * integers: per cell, observed count and the RELATIVE deviation
+    * from independence `obs·N / (n_source·n_lang) − 1` in e6 units
+    * (the cross-multiplied form — no expected-count division, no
+    * squares of large products, so the arithmetic stays inside BIGINT
+    * far past this corpus size). A cell far from 0 means that source's
+    * language mix diverges from the corpus — the mixture-drift signal
+    * a training-data pipeline alerts on. One scan, three aggregates,
+    * broadcast margins. */
+  def t92IndependenceProfile(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("source", "lang")
+    val cells = d.groupBy("source", "lang").agg(count(lit(1)).as("obs"))
+    val bySrc = d.groupBy("source").agg(count(lit(1)).as("n_source"))
+    val byLang = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val n = d.count()
+    cells.join(broadcast(bySrc), "source").join(broadcast(byLang), "lang")
+      .select(col("source"), col("lang"), col("obs"),
+        expr(s"obs * ${n}L * 1000000 div (n_source * n_lang) - 1000000")
+          .as("dev_e6"))
+      .orderBy("source", "lang")
+  }
+
   /** t80: per-source distribution moments in EXACT integer arithmetic —
     * the drift-profile aggregate (is this source's length distribution
     * shifting between snapshots?). One map-side-combinable pass
@@ -502,6 +525,7 @@ object ShapeGate {
     "t73_global_quantiles" -> (t73GlobalQuantiles _),
     "t79_approx_profile" -> (t79ApproxProfile _),
     "t87_sketch_merge" -> (t87SketchMerge _),
+    "t92_independence_profile" -> (t92IndependenceProfile _),
     "t80_moment_profile" -> (t80MomentProfile _),
     "t81_heavy_hitters" -> (t81HeavyHitters _),
     "t82_observe_metrics" -> (t82ObserveMetrics _),
@@ -574,6 +598,20 @@ object ShapeGate {
         |SELECT n, d_exact, p50, p90, p99,
         |  1 hll_ok, 1 p50_ok, 1 p90_ok, 1 p99_ok
         |FROM q, t""".stripMargin,
+    "t92_independence_profile" ->
+      """WITH d AS (SELECT source, lang FROM documents),
+        |c AS (SELECT source, lang, cast(count(*) as bigint) obs
+        |      FROM d GROUP BY 1, 2),
+        |sm AS (SELECT source, cast(count(*) as bigint) n_source
+        |       FROM d GROUP BY 1),
+        |lm AS (SELECT lang, cast(count(*) as bigint) n_lang
+        |       FROM d GROUP BY 1),
+        |nn AS (SELECT cast(count(*) as bigint) n FROM d)
+        |SELECT c.source, c.lang, c.obs,
+        |  obs * nn.n * 1000000 // (n_source * n_lang) - 1000000 dev_e6
+        |FROM c JOIN sm ON c.source = sm.source
+        |       JOIN lm ON c.lang = lm.lang, nn
+        |ORDER BY c.source, c.lang""".stripMargin,
     "t87_sketch_merge" ->
       // exact tier + pinned flags (t79's pattern): the sketch side is
       // engine-specific, the oracle asserts the within-ε flags are 1
