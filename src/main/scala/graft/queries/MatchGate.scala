@@ -130,13 +130,28 @@ object MatchGate {
       .orderBy("doc_id")
   }
 
+  /** t93: spatial neighbor join — customers dispersed onto an integer
+    * plane by multiplicative hashing, all pairs within L∞ ≤ 50 found
+    * through [[graft.operators.GridJoin.neighborPairs]]' 3×3 grid-cell
+    * blocking. The oracle brute-forces every point pair in DuckDB, so
+    * the hash match certifies the grid blocking lost no pair — the
+    * same lossless-blocking proof discipline as t83. */
+  def t93GridNeighborPairs(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+      expr("(c_custkey * 2654435761) % 10007").as("x"),
+      expr("(c_custkey * 40503) % 10007").as("y"))
+    graft.operators.GridJoin.neighborPairs(pts, "id", "x", "y", r = 50L)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "t83_edit_distance_join" -> (t83EditDistanceJoin _),
     "t84_inverted_index" -> (t84InvertedIndex _),
     "t85_triangle_count" -> (t85TriangleCount _),
     "t86_term_cooccurrence" -> (t86TermCooccurrence _),
     "t88_bfs_levels" -> (t88BfsLevels _),
-    "t90_hierarchy_rollup" -> (t90HierarchyRollup _))
+    "t90_hierarchy_rollup" -> (t90HierarchyRollup _),
+    "t93_grid_neighbor_pairs" -> (t93GridNeighborPairs _))
 
   val oracles: Map[String, String] = Map(
     "t83_edit_distance_join" ->
@@ -210,5 +225,16 @@ object MatchGate {
         |SELECT p.anc doc_id, cast(count(*) as bigint) subtree_size,
         |  cast(sum(n.n_chars) as bigint) subtree_chars
         |FROM pairs p JOIN nodes n ON n.v = p.node
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t93_grid_neighbor_pairs" ->
+      // brute force on purpose: certifies the grid blocking lossless
+      """WITH p AS (SELECT c_custkey id,
+        |    (c_custkey * 2654435761) % 10007 x,
+        |    (c_custkey * 40503) % 10007 y
+        |  FROM customer)
+        |SELECT a.id id_a, b.id id_b, a.x - b.x dx, a.y - b.y dy,
+        |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) d2
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE abs(a.x - b.x) <= 50 AND abs(a.y - b.y) <= 50
+        |ORDER BY id_a, id_b""".stripMargin)
 }
