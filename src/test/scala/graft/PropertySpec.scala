@@ -140,6 +140,79 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(tiered === exact)
   }
 
+  test("edit-distance blocking is lossless on random short strings") {
+    val gen = for {
+      len <- Gen.choose(0, 6)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val vocab = samples(gen, 200).distinct
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for (a <- vocab; b <- vocab if a < b; d = lev(a, b) if d <= 2)
+      yield (a, b, d)).toSet
+    val got = graft.operators.FuzzyMatch
+      .editDistancePairs(vocab.toDF("w"), "w", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === want)
+  }
+
+  test("scd2 intervals partition each key's timeline on random changelogs") {
+    val gen = for {
+      k <- Gen.choose(1L, 10L)
+      t <- Gen.choose(0L, 1000L)
+    } yield (k, t)
+    val ch = samples(gen, 300).zipWithIndex
+      .map { case ((k, t), i) => (k, t, i.toLong) }
+    val h = graft.operators.Cdc.scd2(
+        ch.toDF("k", "t", "id"), Seq("k"), Seq("t", "id"))
+      .select("k", "t", "id", "effective_from", "effective_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getInt(5)))
+    h.groupBy(_._1).foreach { case (_, rows) =>
+      // order by (from, to): zero-length intervals from equal-timestamp
+      // versions sort before the interval that continues past them
+      val sorted = rows.sortBy(r => (r._2, r._3.getOrElse(Long.MaxValue)))
+      // exactly one open row per key, and it is the last
+      assert(sorted.count(_._3.isEmpty) == 1 && sorted.last._3.isEmpty)
+      assert(sorted.count(_._4 == 1) == 1 && sorted.last._4 == 1)
+      // each row's effective_to is the next row's effective_from
+      sorted.sliding(2).foreach { pair =>
+        if (pair.length == 2) {
+          val (_, _, to, _) = pair(0)
+          val (_, from, _, _) = pair(1)
+          assert(to.contains(from))
+        }
+      }
+    }
+  }
+
+  test("grid neighbor join equals brute force on random points") {
+    val gen = for {
+      x <- Gen.choose(0L, 300L)
+      y <- Gen.choose(0L, 300L)
+    } yield (x, y)
+    val pts = samples(gen, 250).zipWithIndex
+      .map { case ((x, y), i) => (i.toLong, x, y) }
+    val r = 25L
+    val want = (for {
+      (ia, xa, ya) <- pts; (ib, xb, yb) <- pts
+      if ia < ib && math.abs(xa - xb) <= r && math.abs(ya - yb) <= r
+    } yield (ia, ib)).toSet
+    val got = graft.operators.GridJoin
+      .neighborPairs(pts.toDF("id", "x", "y"), "id", "x", "y", r)
+      .select("id_a", "id_b")
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(got === want)
+  }
+
   test("interval coverage equals a brute-force sweep on random intervals") {
     val gen = for {
       k <- Gen.choose(1L, 5L)
