@@ -157,8 +157,10 @@ object Graph {
     * triangle materializes exactly once (its vertices appear in rank
     * order), then explodes to the three members for per-vertex counts.
     *
-    * `ids` must be non-negative and < 10^12 so the packed
-    * `deg·10^12 + id` orientation rank is collision-free in a long.
+    * The orientation rank is the two-column struct `(deg, id)` compared
+    * lexicographically — total and collision-free for ANY id domain
+    * (no packed-long arithmetic, so no silent overflow on high-degree
+    * hubs; a 10^7-degree hub at 100 TB graph scale ranks correctly).
     * Returns (v, n_triangles) for vertices on ≥ 1 triangle.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
@@ -168,15 +170,15 @@ object Graph {
       .filter(col("a") =!= col("b")).distinct()
     val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
-    val rk = deg.select(col("v"),
-      (col("deg") * lit(1000000000000L) + col("v")).as("rnk"))
+    val rk = deg.select(col("v"), struct(col("deg"), col("v")).as("rnk"))
     val oriented = und
       .join(rk.select(col("v").as("a"), col("rnk").as("rka")), Seq("a"))
       .join(rk.select(col("v").as("b"), col("rnk").as("rkb")), Seq("b"))
       .select(
         when(col("rka") < col("rkb"), col("a")).otherwise(col("b")).as("src"),
         when(col("rka") < col("rkb"), col("b")).otherwise(col("a")).as("dst"),
-        greatest(col("rka"), col("rkb")).as("dst_rnk"))
+        when(col("rka") < col("rkb"), col("rkb")).otherwise(col("rka"))
+          .as("dst_rnk"))
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst_rnk") < col("e2.dst_rnk"))
       .select(col("e1.src").as("u"), col("e1.dst").as("x"), col("e2.dst").as("y"))

@@ -104,20 +104,25 @@ object KeyedSink {
     *
     * Scale shape: one full-outer equi-join on the key (both sides
     * shuffle-partitioned on it; AQE broadcasts a small change set),
-    * then a row-local CASE — no window, no second pass. The duplicate
-    * guard is a count-filter on the already-shuffled changes, not an
-    * extra stage.
+    * then a row-local CASE. The duplicate guard is a per-key window
+    * count on the change side feeding a `raise_error` guard expression:
+    * the window's required hash-partitioning on the key is exactly the
+    * join's, so the guard rides the SAME exchange — no separate
+    * pre-scan job, and the error (raised at action time, as all
+    * distributed validation must be) names the offending key.
     */
   def mergeInto(state: DataFrame, changes: DataFrame, key: String,
                 opCol: String, payloadCols: Seq[String]): DataFrame = {
-    val dupes = changes.groupBy(key).count().filter(col("count") > 1)
-    require(dupes.isEmpty,
-      s"mergeInto: multiple change rows share a $key — MERGE semantics " +
-        "require one source row per key (got " +
-        dupes.select(key).limit(5).collect().mkString(", ") + ", ...)")
+    import org.apache.spark.sql.expressions.Window
+    val nk = count(lit(1)).over(Window.partitionBy(key))
+    val guardedOp = when(nk > lit(1L), raise_error(concat(
+        lit(s"mergeInto: multiple change rows share a $key — MERGE " +
+          s"semantics require one source row per key ($key="),
+        col(key).cast("string"), lit(")"))).cast("string"))
+      .otherwise(col(opCol))
     val s = state.select((key +: payloadCols).map(col): _*)
     val c = changes.select((Seq(key, opCol) ++ payloadCols.map(n => s"__c_$n"))
-      .zip(Seq(col(key), col(opCol)) ++ payloadCols.map(col))
+      .zip(Seq(col(key), guardedOp) ++ payloadCols.map(col))
       .map { case (n, e) => e.as(n) }: _*)
     s.join(c, Seq(key), "full_outer")
       .filter(coalesce(col(opCol) =!= "delete", lit(true))) // keep non-change rows

@@ -24,10 +24,14 @@ object Layout {
     * is the robust choice for skewed domains). */
   def mortonCode(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    // widen to long BEFORE shifting: with int inputs and bits > 15 the
+    // interleaved position 2i+1 exceeds 31 and Java's shift-mod-32 int
+    // semantics would silently corrupt the code
+    val (al, bl) = (a.cast("long"), b.cast("long"))
     (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i + 1) +
-        shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i)
-    }.reduce(_ + _).cast("long")
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
   }
 
   /** Z-order the frame for writing: compute the Morton code of the two

@@ -19,17 +19,21 @@ object Quality {
 
   /** One scan, many row-local rules: `rules` maps rule name → a
     * violation predicate (true = row violates). Returns one row per
-    * rule in input order via an UNPIVOT of the single aggregate row. */
+    * rule by exploding the single aggregate row through a typed
+    * name→count map — rule names travel as DATA literals, never as
+    * spliced SQL text, so any name (quotes, backticks, unicode) is
+    * safe. */
   def scanChecks(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
-    val aggs = rules.map { case (name, bad) =>
-      sum(when(bad, 1L).otherwise(0L)).as(name)
+    require(rules.map(_._1).distinct.size == rules.size,
+      "scanChecks: rule names must be unique")
+    val aggs = rules.zipWithIndex.map { case ((_, bad), i) =>
+      sum(when(bad, 1L).otherwise(0L)).as(s"__r$i")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = rules.map { case (name, _) => s"'$name', `$name`" }
-      .mkString(", ")
-    one.selectExpr(
-      s"stack(${rules.size}, $stackArgs) as (rule, n_violations)")
-      .select(col("rule"), coalesce(col("n_violations"), lit(0L)).as("n_violations"))
+    one.select(explode(map_from_arrays(
+        array(rules.map { case (name, _) => lit(name) }: _*),
+        array(rules.indices.map(i => coalesce(col(s"__r$i"), lit(0L))): _*)))
+      .as(Seq("rule", "n_violations")))
   }
 
   /** Key-uniqueness rule: counts the rows involved in duplicated keys

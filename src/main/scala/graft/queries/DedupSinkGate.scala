@@ -71,8 +71,13 @@ object DedupSinkGate {
     val base = agg.select(col("k"),
       when(pmod(col("k"), lit(10)) === 0, "delete").otherwise("upsert").as("op"),
       col("cents").as("bal"))
+    // insert keys must be provably absent from BOTH the state and the
+    // base change domain: derive the shift from the data (max customer
+    // key + 1, a 1-row bounded agg) rather than a constant a scaled
+    // fixture could outgrow and collide with
+    val stride = cust.agg(max(col("k"))).head().getLong(0) + 1L
     val ins = agg.filter(pmod(col("k"), lit(5)) === 1)
-      .select((col("k") + 1000000L).as("k"), lit("upsert").as("op"),
+      .select((col("k") + stride).as("k"), lit("upsert").as("op"),
         col("n").as("bal"))
     KeyedSink.mergeInto(cust, base.unionByName(ins), "k", "op", Seq("bal"))
       .orderBy("k")
@@ -108,7 +113,8 @@ object DedupSinkGate {
         |    CASE WHEN k % 10 = 0 THEN 'delete' ELSE 'upsert' END op,
         |    cents bal FROM agg
         |  UNION ALL
-        |  SELECT k + 1000000, 'upsert', n FROM agg WHERE k % 5 = 1)
+        |  SELECT k + (SELECT max(c_custkey) + 1 FROM customer),
+        |    'upsert', n FROM agg WHERE k % 5 = 1)
         |SELECT coalesce(st.k, ch.k) k,
         |  CASE WHEN ch.op = 'upsert' THEN ch.bal ELSE st.bal END bal
         |FROM st FULL JOIN ch ON st.k = ch.k

@@ -85,10 +85,14 @@ class KeyedSinkSpec extends AnyFunSuite with SparkSpec {
   test("mergeInto: an ambiguous change set (two rows, one key) fails loudly") {
     val state = Seq((1L, 10L)).toDF("k", "bal")
     val dup = Seq((1L, "upsert", 5L), (1L, "upsert", 6L)).toDF("k", "op", "bal")
-    val ex = intercept[IllegalArgumentException] {
-      KeyedSink.mergeInto(state, dup, "k", "op", Seq("bal"))
+    // the guard is a raise_error expression riding the merge join's own
+    // exchange (no separate validation job), so it fires at action time
+    val ex = intercept[Exception] {
+      KeyedSink.mergeInto(state, dup, "k", "op", Seq("bal")).collect()
     }
-    assert(ex.getMessage.contains("one source row per key"),
-      s"guard failure does not explain itself: ${ex.getMessage}")
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("one source row per key") && msg.contains("k=1"),
+      s"guard failure does not explain itself: $msg")
   }
 }
