@@ -49,7 +49,8 @@ object SparkEntry {
     * They are correctness gates; Bench excludes them because they
     * measure the local filesystem, not engine throughput. */
   val sinkBoundQueries: Set[String] =
-    VersionedGate.queries.keySet + "q107_bucketed_join" + "q119_partition_pruning"
+    VersionedGate.queries.keySet + "q107_bucketed_join" +
+      "q119_partition_pruning" + "q129_dynamic_pruning"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

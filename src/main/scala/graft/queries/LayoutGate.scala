@@ -112,11 +112,108 @@ object LayoutGate {
       .orderBy("day_no")
   }
 
+  /** q129: join-driven DYNAMIC partition pruning — the runtime half of
+    * the scan-pruning story (q119 pins the static, planning-time half).
+    * Events are Hive-partitioned by event_type; the query filters a
+    * tiny funnel dimension (stage = 'conversion') and joins it to the
+    * fact on the partition column. Catalyst turns the broadcast dim's
+    * surviving keys into a `dynamicpruningexpression` inside the fact
+    * scan's PartitionFilters, so only the 2 matching directories of 5
+    * are ever opened — decided at RUNTIME from the dim filter, which is
+    * the scan-cost lever a 100 TB star join lives on (the dim predicate
+    * is rarely on the partition column itself). It is also the
+    * engine-native form of the reference's manual existence pre-check
+    * before expensive work (divar_crawler.py:143-150, redis_utils.py:
+    * 17-32). PlanSpec pins the dynamicpruning filter and the 2-of-5
+    * partition read count; the oracle restates the query as a plain
+    * filter+join over the unpartitioned table. */
+  def q129DynamicPruning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"), "graft_q129_events_p").toString
+    Layout.partitionedWrite(
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"),
+        round(col("value") * 100).cast(LongType).as("v_c100")),
+      out, "event_type")
+    // the dim must be a real source with a real Filter node: a literal
+    // Seq constant-folds to a pre-filtered LocalRelation, leaving the
+    // pruning rule no selective predicate to derive the DPP subquery
+    // from — exactly how a warehouse dim behaves, so write it out
+    val dimPath = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"), "graft_q129_stage_dim").toString
+    Seq(
+      ("view", "traffic"), ("click", "traffic"), ("error", "ops"),
+      ("signup", "conversion"), ("purchase", "conversion"))
+      .toDF("event_type", "stage")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = s.read.parquet(dimPath)
+    s.read.parquet(out)
+      .join(broadcast(dim.filter(col("stage") === "conversion")),
+        Seq("event_type"))
+      .groupBy("event_type", "stage")
+      .agg(count(lit(1)).as("n"), sum("v_c100").as("sum_c100"))
+      .orderBy("event_type")
+  }
+
+  /** The q136 join program, conf-independent: lineitem joined to the
+    * urgent slice of orders on the (unpartitioned) order key, rolled up
+    * per priority. Shared by the gate (which runs it under runtime
+    * Bloom-filter confs) and PlanSpec (which pins the injected filter).
+    */
+  private[graft] def bloomJoinProgram(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_c100"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), sum("price_c100").as("sum_c100"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q136: RUNTIME Bloom-filter join pruning on an UNPARTITIONED key —
+    * the companion to q129 for the keys layout can't help with. The
+    * selective dim filter (urgent orders, ~1/5) feeds a shuffle join
+    * against lineitem; with `spark.sql.optimizer.runtime.bloomFilter`
+    * on, Catalyst builds a Bloom filter over the surviving order keys
+    * and injects `bloom_filter_might_contain(l_orderkey)` into the fact
+    * side BELOW the shuffle, so most fact rows die before ever being
+    * exchanged — at 100 TB that is the difference between shuffling the
+    * whole fact and shuffling the matching fifth. The application-side
+    * size threshold is shrunk for the sandbox (the conf default gates
+    * on 10 GB scans; the MECHANISM, not the trigger heuristic, is what
+    * this gate certifies) and auto-broadcast is disabled so the join
+    * actually shuffles. Confs are restored after the result — a ≤5-row
+    * priority rollup — is materialized under them (bounded collect, not
+    * a per-row path); the oracle runs the plain join. */
+  def q136BloomPrunedJoin(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set(keys(0), "true")
+      s.conf.set(keys(1), "0")
+      s.conf.set(keys(2), "-1")
+      val rows = bloomJoinProgram(s, dir).collect()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
+        bloomJoinProgram(s, dir).schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q107_bucketed_join" -> (q107BucketedJoin _),
     "q108_table_fingerprint" -> (q108TableFingerprint _),
     "q116_data_quality" -> (q116DataQuality _),
-    "q119_partition_pruning" -> (q119PartitionPruning _))
+    "q119_partition_pruning" -> (q119PartitionPruning _),
+    "q129_dynamic_pruning" -> (q129DynamicPruning _),
+    "q136_bloom_pruned_join" -> (q136BloomPrunedJoin _))
 
   val oracles: Map[String, String] = Map(
     "q107_bucketed_join" ->
@@ -169,5 +266,21 @@ object LayoutGate {
         |  cast(count(*) as bigint) n,
         |  cast(sum(cast(round(value * 100) as bigint)) as bigint) sum_c100
         |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q129_dynamic_pruning" ->
+      """WITH dim(event_type, stage) AS (VALUES
+        |    ('view', 'traffic'), ('click', 'traffic'), ('error', 'ops'),
+        |    ('signup', 'conversion'), ('purchase', 'conversion'))
+        |SELECT e.event_type, stage, cast(count(*) as bigint) n,
+        |  cast(sum(cast(round(value * 100) as bigint)) as bigint) sum_c100
+        |FROM events e JOIN dim USING (event_type)
+        |WHERE stage = 'conversion'
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q136_bloom_pruned_join" ->
+      """SELECT o_orderpriority, cast(count(*) as bigint) n_items,
+        |  cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint)
+        |    sum_c100
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -352,4 +352,50 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Window"),
       s"compaction regressed to a window (shuffles the whole changelog) in:\n$plan")
   }
+
+  test("q129 DPP: dim keys become a dynamicpruning PartitionFilter; 2 of 5 partitions read") {
+    val df = queries.LayoutGate.q129DynamicPruning(spark, dir)
+    df.collect() // DPP resolves at runtime; metrics exist only after execution
+    val plan = planOf(df)
+    assert(plan.contains("dynamicpruningexpression"),
+      s"fact scan carries no runtime partition-pruning filter in:\n$plan")
+    // the scan's driver-side metric counts the directories actually
+    // read; AQE hides it inside query stages, so descend explicitly
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match {
+        case s: FileSourceScanExec    => Seq(s)
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: QueryStageExec        => allScans(q.plan)
+        case _                        => Seq.empty
+      }
+      here ++ p.children.flatMap(allScans) ++ p.subqueries.flatMap(allScans)
+    }
+    val scans = allScans(df.queryExecution.executedPlan)
+      .filter(_.partitionFilters.nonEmpty)
+    assert(scans.nonEmpty, s"no partitioned fact scan found in:\n$plan")
+    val read = scans.head.metrics("numPartitions").value
+    assert(read === 2, s"expected the conversion stages' 2 partitions, read $read")
+  }
+
+  test("q136 runtime bloom filter: might_contain injected below the fact shuffle") {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = queries.LayoutGate.bloomJoinProgram(spark, dir)
+      val plan = planOf(df)
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter on the fact side in:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"join did not shuffle — bloom pruning untested in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
