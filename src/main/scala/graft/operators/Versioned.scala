@@ -35,11 +35,91 @@ object Versioned {
   def latestVersion(root: String): Option[Long] = versionDirs(root).lastOption.map(_._1)
 
   /** S13 load: write the next version (old data stays addressable — the
-    * copy-to-old-data step becomes a no-op). */
-  def writeNext(df: DataFrame, root: String): Long = {
+    * copy-to-old-data step becomes a no-op). Pass `commitTs` to stamp
+    * the version with a commit timestamp in a per-version manifest
+    * (`_graft_commit`, underscore-prefixed so Spark's file index skips
+    * it) — the deterministic anchor for [[readAsOf]] time travel;
+    * directory mtimes would drift across copies/restores. */
+  def writeNext(df: DataFrame, root: String, commitTs: Option[Long] = None): Long = {
     val next = latestVersion(root).map(_ + 1).getOrElse(0L)
     df.write.mode("overwrite").parquet(s"$root/v=$next")
+    commitTs.foreach { ts =>
+      Files.write(Paths.get(root, s"v=$next", CommitManifest),
+        ts.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     next
+  }
+
+  private val CommitManifest = "_graft_commit"
+
+  /** The commit stamp written by [[writeNext]], if the version has one. */
+  def commitStamp(root: String, version: Long): Option[Long] = {
+    val f = Paths.get(root, s"v=$version", CommitManifest)
+    if (Files.exists(f))
+      Some(new String(Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    else None
+  }
+
+  /** Timestamp-based time travel (`TIMESTAMP AS OF`): resolve the
+    * LATEST version whose commit stamp is ≤ `asOf` and read it. Every
+    * version must carry a manifest stamp — an unstamped version fails
+    * loudly rather than silently falling back to filesystem mtimes,
+    * which are not stable across backup/restore copies (the reference's
+    * own restore path, utils_of_backup.py:75-103, would reset them). */
+  def readAsOf(spark: SparkSession, root: String, asOf: Long): DataFrame = {
+    val dirs = versionDirs(root)
+    if (dirs.isEmpty) throw new IllegalStateException(s"no versions under $root")
+    val stamped = dirs.map { case (v, _) =>
+      v -> commitStamp(root, v).getOrElse(throw new IllegalStateException(
+        s"version v=$v under $root has no commit stamp — write versions with " +
+          "writeNext(df, root, commitTs = Some(ts)) to enable time travel"))
+    }
+    val eligible = stamped.filter(_._2 <= asOf)
+    if (eligible.isEmpty)
+      throw new IllegalStateException(
+        s"no version committed at or before $asOf under $root " +
+          s"(earliest commit is ${stamped.map(_._2).min})")
+    // tie-break on version: a compaction rewrite carries its source's
+    // stamp forward, and the newer (compacted) layout must win
+    read(spark, root, Some(eligible.maxBy(e => (e._2, e._1))._1))
+  }
+
+  /** OPTIMIZE-style small-file compaction: rewrite the CURRENT version's
+    * many small parquet files into size-targeted files, committed as a
+    * NEW version — history is preserved, so [[rollback]] still restores
+    * the pre-compaction layout and readers pinned to the old version are
+    * unaffected (the reference's copy-then-replace discipline,
+    * price_prediction_data_pipeline.py:140-177, applied to file layout).
+    * Reducing file count uses `coalesce`, which merges partitions on
+    * read with NO shuffle — compaction is a read+write, never an
+    * exchange. At 100 TB the same call runs per partition directory
+    * (compact the partitions a streaming writer fragmented), so the
+    * single-version shape here is the per-partition unit of that job.
+    * Returns the new version number. */
+  def compact(spark: SparkSession, root: String,
+              targetFileBytes: Long = 128L << 20): Long = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no versions under $root"))
+    val vdir = Paths.get(root, s"v=$v")
+    val bytes = dataFiles(vdir).map(Files.size).sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(vdir.toString)
+    val compacted =
+      if (nFiles < df.rdd.getNumPartitions) df.coalesce(nFiles) else df
+    writeNext(compacted, root, commitStamp(root, v))
+  }
+
+  /** Parquet data files of one version dir (skips _SUCCESS/manifests). */
+  private[graft] def dataFiles(vdir: Path): Seq[Path] = {
+    if (!Files.exists(vdir)) return Seq.empty
+    val it = Files.list(vdir).iterator()
+    var acc = List.empty[Path]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getFileName.toString.endsWith(".parquet")) acc ::= f
+    }
+    acc
   }
 
   /** Read the current (or a pinned) version. */

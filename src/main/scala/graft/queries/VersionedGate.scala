@@ -122,10 +122,66 @@ object VersionedGate {
       .orderBy("doc_id")
   }
 
+  private lazy val CompactRoot = scratchBase.resolve("q130").toString
+
+  /** q130: OPTIMIZE-style small-file compaction
+    * ([[Versioned.compact]]) — v=0 is deliberately written as 32 small
+    * files (the shape a micro-batching writer leaves behind,
+    * Layout.scala:55's small-files anti-pattern), then compacted into
+    * size-targeted files as v=1. The gate's output is the COMPACTED
+    * version's content; the oracle derives the pre-compaction content
+    * from documents, so a hash match certifies compaction is purely a
+    * layout rewrite. The file-count drop itself is require()d here and
+    * asserted again in VersionedSpec; history stays intact (v=0
+    * remains addressable — also require()d). */
+  def q130CompactVersions(s: SparkSession, dir: String): DataFrame = {
+    Versioned.deleteRecursively(java.nio.file.Paths.get(CompactRoot))
+    val src = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      (col("n_chars") * 1000L).cast(LongType).as("price"))
+    Versioned.writeNext(src.repartition(32), CompactRoot) // v=0: 32 files
+    val before =
+      Versioned.dataFiles(java.nio.file.Paths.get(CompactRoot, "v=0")).size
+    val cv = Versioned.compact(s, CompactRoot) // v=1: size-targeted
+    val after =
+      Versioned.dataFiles(java.nio.file.Paths.get(CompactRoot, s"v=$cv")).size
+    require(after < before,
+      s"compaction did not reduce file count ($before -> $after)")
+    require(Versioned.read(s, CompactRoot, Some(0L)).count() ==
+      Versioned.read(s, CompactRoot, Some(cv)).count(),
+      "pre-compaction version no longer addressable or row count drifted")
+    Versioned.read(s, CompactRoot, Some(cv)).orderBy("doc_id")
+  }
+
+  private lazy val TravelRoot = scratchBase.resolve("q131").toString
+
+  /** q131: timestamp-based time travel ([[Versioned.readAsOf]]) —
+    * three versions land with INJECTED commit stamps (1000/2000/3000,
+    * written to each version's `_graft_commit` manifest; deterministic,
+    * unlike dir mtimes), then the query reads AS OF 2500 and must
+    * resolve the middle version. The oracle derives exactly the v=1
+    * content from documents, so a hash match certifies stamp
+    * resolution end-to-end; the boundary/error cases (asOf == stamp,
+    * asOf before first commit, unstamped version) are spec'd in
+    * VersionedSpec. */
+  def q131TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    Versioned.deleteRecursively(java.nio.file.Paths.get(TravelRoot))
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"), (col("n_chars") * 1000L).cast(LongType).as("price"))
+    Versioned.writeNext(base, TravelRoot, Some(1000L))                          // v=0
+    Versioned.writeNext(base.withColumn("price", col("price") + 10L),
+      TravelRoot, Some(2000L))                                                  // v=1
+    Versioned.writeNext(base.withColumn("price", col("price") + 20L),
+      TravelRoot, Some(3000L))                                                  // v=2
+    Versioned.readAsOf(s, TravelRoot, asOf = 2500L).orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q63_versioned_load" -> (q63VersionedLoad _),
     "q67_csv_swap" -> (q67CsvSwap _),
-    "q120_version_change_feed" -> (q120VersionChangeFeed _))
+    "q120_version_change_feed" -> (q120VersionChangeFeed _),
+    "q130_compact_versions" -> (q130CompactVersions _),
+    "q131_time_travel" -> (q131TimeTravel _))
 
   val oracles: Map[String, String] = Map(
     "q120_version_change_feed" ->
@@ -165,5 +221,13 @@ object VersionedGate {
     "q67_csv_swap" ->
       """SELECT doc_id, text, lang, n_chars,
         |  '"' || lang || '",:,' || source AS tricky
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q130_compact_versions" ->
+      """SELECT doc_id, lang, n_chars,
+        |  cast(n_chars * 1000 as bigint) price
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q131_time_travel" ->
+      // as-of 2500 resolves the stamp-2000 version: price + 10
+      """SELECT doc_id, cast(n_chars * 1000 + 10 as bigint) price
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

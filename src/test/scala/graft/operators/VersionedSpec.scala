@@ -66,6 +66,58 @@ class VersionedSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("no rows"))
   }
 
+  test("compact: fewer files, same content, history preserved (q130)") {
+    val root = tmpRoot()
+    val df = spark.range(0, 1000).select(col("id"), (col("id") * 3).as("x"))
+    Versioned.writeNext(df.repartition(16), root) // v=0: 16 small files
+    val before = Versioned.dataFiles(java.nio.file.Paths.get(root, "v=0")).size
+    assert(before === 16)
+    val cv = Versioned.compact(spark, root)
+    assert(cv === 1L)
+    val after = Versioned.dataFiles(java.nio.file.Paths.get(root, s"v=$cv")).size
+    assert(after < before)
+    // content identical, both versions still addressable
+    val old = Versioned.read(spark, root, Some(0L)).orderBy("id").collect()
+    val neu = Versioned.read(spark, root, Some(1L)).orderBy("id").collect()
+    assert(old.toSeq === neu.toSeq)
+    // rollback restores the pre-compaction layout as current
+    assert(Versioned.rollback(root) === Some(0L))
+    assert(Versioned.dataFiles(java.nio.file.Paths.get(root, "v=0")).size === 16)
+  }
+
+  test("readAsOf: stamp resolution, exact boundary, error cases (q131)") {
+    val root = tmpRoot()
+    Versioned.writeNext(Seq((1, "v0")).toDF("id", "tag"), root, Some(1000L))
+    Versioned.writeNext(Seq((1, "v1")).toDF("id", "tag"), root, Some(2000L))
+    Versioned.writeNext(Seq((1, "v2")).toDF("id", "tag"), root, Some(3000L))
+    def tagAt(ts: Long): String =
+      Versioned.readAsOf(spark, root, ts).select("tag").as[String].head()
+    assert(tagAt(2500L) === "v1") // between commits → latest ≤ asOf
+    assert(tagAt(2000L) === "v1") // exact boundary is inclusive
+    assert(tagAt(9999L) === "v2") // after last commit → current
+    val early = intercept[IllegalStateException](tagAt(999L))
+    assert(early.getMessage.contains("no version committed at or before"))
+    // an unstamped version fails loudly rather than guessing from mtimes
+    val root2 = tmpRoot()
+    Versioned.writeNext(Seq(1).toDF("x"), root2)
+    val unstamped = intercept[IllegalStateException] {
+      Versioned.readAsOf(spark, root2, 5000L)
+    }
+    assert(unstamped.getMessage.contains("no commit stamp"))
+  }
+
+  test("compact carries its source's stamp; newer layout wins at that stamp") {
+    val root = tmpRoot()
+    Versioned.writeNext(spark.range(0, 100).toDF("id").repartition(8),
+      root, Some(1000L))
+    val cv = Versioned.compact(spark, root)
+    assert(Versioned.commitStamp(root, cv) === Some(1000L))
+    // time travel at the shared stamp resolves the compacted version
+    val resolved = Versioned.readAsOf(spark, root, 1000L)
+    assert(resolved.inputFiles.toSeq.forall(_.contains(s"v=$cv")))
+    assert(resolved.count() === 100L)
+  }
+
   test("CSV roundtrip replaces the chunked pandas path (S6/S15)") {
     val root = tmpRoot() + "/csv"
     val df = Seq((1, "a,b"), (2, "c\nd")).toDF("id", "txt")
