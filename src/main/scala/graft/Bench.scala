@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): times every SparkEntry query at
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
@@ -9,8 +9,38 @@ import org.apache.spark.sql.SparkSession
   * steady-state execution (JIT, codegen cache, file-footer caches)
   * rather than JVM startup — the 100 TB-relevant number is per-query
   * execution, not session bring-up.
+  *
+  * Fail-loudly contract (round-8 lesson: 32 queries threw a fast
+  * AnalysisException and their ~0.06 s exception-throwing time was
+  * counted into the total as if they ran): a query that throws in
+  * EITHER timed pass is excluded from `queries`/`total`/`n_queries`
+  * and reported in an explicit `errors` map instead — a benchmark
+  * number must never measure exception throwing.
   */
 object Bench {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Two timed passes, min per query (single-run numbers swing ±25%
+    * with background load on shared hardware; the min is the stable
+    * steady-state estimate). Returns (name → seconds) for queries that
+    * completed BOTH passes and (name → error) for the rest. */
+  private[graft] def measure(spark: SparkSession, sfDir: String,
+                             queries: Seq[(String, Q)])
+      : (Seq[(String, Double)], Map[String, String]) = {
+    def timeOnce(fn: Q): Either[String, Double] = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+      }
+    }
+    val results = queries.map { case (name, fn) =>
+      name -> (for (a <- timeOnce(fn); b <- timeOnce(fn)) yield math.min(a, b))
+    }
+    (results.collect { case (n, Right(v)) => n -> v },
+     results.collect { case (n, Left(e)) => n -> e }.toMap)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build()
@@ -24,28 +54,20 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .toSeq.sortBy(_._1)
 
-    // warmup: execute everything once, untimed
+    // warmup: execute everything once, untimed (failures re-surface —
+    // loudly — in the timed passes)
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
-    // two timed passes, min per query: single-run numbers swing ±25%
-    // with background load on shared hardware; the min is the stable
-    // steady-state estimate of what the engine actually costs
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
-    }
-    val results = queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
-    }
+    val (results, errors) = measure(spark, sfDir, queries)
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val errJson = Verify.toJson(errors)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
 
     // The harness keeps only the last ~2000 chars of stdout; the full
     // per-query line outgrew that window (BENCH_r03 `parsed: null`). So:
@@ -60,7 +82,9 @@ object Bench {
     val top = results.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$top,"queries_truncated":true,"queries_full":"bench_full.json"}""")
+    val errNames = errors.keys.toSeq.sorted.take(12)
+      .map(Verify.q).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"error_names":$errNames,"queries":$top,"queries_truncated":true,"queries_full":"bench_full.json"}""")
     System.out.flush()
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Canonical loaders for the driver-provided parquet tables
   * (see TESTDATA.md). All engine queries read through here so that
@@ -15,11 +16,56 @@ object Tables {
 
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot represent;
-      // read it as epoch-nanos long (exact — matches DuckDB epoch_ns(ts)).
+      // When the producer writes ts as parquet TIMESTAMP(NANOS) — which
+      // Spark cannot represent — read it as epoch-nanos long (exact,
+      // matches DuckDB epoch_ns(ts)). Harmless for micros/millis files.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
     s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Canonicalize an events frame so `ts` is ALWAYS epoch-nanos long, no
+    * matter which physical parquet encoding the producer chose:
+    *   - TIMESTAMP(NANOS)            → already a long via nanosAsLong
+    *   - TIMESTAMP(MICROS/MILLIS)    → loaded as Timestamp/TimestampNTZ;
+    *     rescaled back to epoch-nanos (exact: µs·1000 cannot overflow
+    *     before year 2262)
+    * NTZ wall-clock values are interpreted as UTC instants via pure
+    * datetime arithmetic (`timestampdiff` against the NTZ epoch), so the
+    * result does not depend on `spark.sql.session.timeZone`. This mirrors
+    * the DuckDB oracle, whose `epoch_us(ts)` also treats NTZ as UTC.
+    * Any other physical type fails LOUDLY — a scan layer that guesses
+    * would corrupt every event-time result downstream.
+    */
+  private def canonicalEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df // TIMESTAMP(NANOS) read as epoch-nanos
+      case TimestampNTZType =>
+        df.withColumn("ts", expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * CAST(1000 AS BIGINT)"))
+      case TimestampType =>
+        df.withColumn("ts", expr("unix_micros(ts) * CAST(1000 AS BIGINT)"))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other; expected epoch-nanos long " +
+          "(parquet TIMESTAMP(NANOS) via nanosAsLong) or Timestamp/TimestampNTZ")
+    }
+
+  /** Streaming file source over events with the SAME canonical shape as
+    * [[events]] (`ts` = epoch-nanos long). The source schema is derived
+    * from a one-time batch footer read — never hard-coded — so a producer
+    * switching TIMESTAMP(NANOS) → TIMESTAMP(MICROS) changes nothing
+    * downstream. (A hard-coded LongType schema would silently read micros
+    * values as longs and compress the event timeline 1000×: wrong answers
+    * with no error — the worst failure mode a 100 TB streaming reader can
+    * have.) Glob (not an exact file path) so the source resolves the
+    * parent directory as basePath and lists the events file(s).
+    */
+  def eventsStream(s: SparkSession, dir: String,
+                   options: Map[String, String] = Map.empty): DataFrame = {
+    val footerSchema = table(s, dir, "events").schema
+    canonicalEventTs(
+      s.readStream.options(options).schema(footerSchema)
+        .parquet(s"$dir/events.parq*"))
   }
 
   def region(s: SparkSession, dir: String): DataFrame = table(s, dir, "region")
@@ -32,11 +78,13 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
 
-  /** events with `ts` as epoch-nanos long plus a derived µs timestamp
-    * column `ts_utc` (truncation is exact for bucketing/ordering).
+  /** events with `ts` as epoch-nanos long — regardless of the file's
+    * physical timestamp encoding, see [[canonicalEventTs]] — plus a
+    * derived µs timestamp column `ts_utc` (truncation is exact for
+    * bucketing/ordering).
     */
   def events(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "events")
+    canonicalEventTs(table(s, dir, "events"))
       .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
 }
 

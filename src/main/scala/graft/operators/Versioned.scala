@@ -21,14 +21,18 @@ object Versioned {
     val p = Paths.get(root)
     if (!Files.exists(p)) Seq.empty
     else {
-      val it = Files.list(p).iterator()
-      var acc = List.empty[(Long, Path)]
-      while (it.hasNext) {
-        val d = it.next()
-        val n = d.getFileName.toString
-        if (n.startsWith("v=")) acc ::= (n.drop(2).toLong, d)
-      }
-      acc.sortBy(_._1)
+      // Files.list holds a directory fd until closed — loan it
+      val stream = Files.list(p)
+      try {
+        val it = stream.iterator()
+        var acc = List.empty[(Long, Path)]
+        while (it.hasNext) {
+          val d = it.next()
+          val n = d.getFileName.toString
+          if (n.startsWith("v=")) acc ::= (n.drop(2).toLong, d)
+        }
+        acc.sortBy(_._1)
+      } finally stream.close()
     }
   }
 
@@ -62,19 +66,25 @@ object Versioned {
   }
 
   /** Timestamp-based time travel (`TIMESTAMP AS OF`): resolve the
-    * LATEST version whose commit stamp is ≤ `asOf` and read it. Every
-    * version must carry a manifest stamp — an unstamped version fails
-    * loudly rather than silently falling back to filesystem mtimes,
-    * which are not stable across backup/restore copies (the reference's
-    * own restore path, utils_of_backup.py:75-103, would reset them). */
+    * LATEST version whose commit stamp is ≤ `asOf` and read it.
+    * Resolution never falls back to filesystem mtimes, which are not
+    * stable across backup/restore copies (the reference's own restore
+    * path, utils_of_backup.py:75-103, would reset them).
+    *
+    * Unstamped versions are SKIPPED, not fatal: an unstamped version is
+    * what a writer crash between the parquet write and the manifest
+    * write leaves behind (writeNext commits them in that order), and a
+    * single torn write must not poison time travel for every timestamp
+    * on the root — older stamped versions stay resolvable. Only when NO
+    * stamped version exists does readAsOf fail loudly. */
   def readAsOf(spark: SparkSession, root: String, asOf: Long): DataFrame = {
     val dirs = versionDirs(root)
     if (dirs.isEmpty) throw new IllegalStateException(s"no versions under $root")
-    val stamped = dirs.map { case (v, _) =>
-      v -> commitStamp(root, v).getOrElse(throw new IllegalStateException(
-        s"version v=$v under $root has no commit stamp — write versions with " +
-          "writeNext(df, root, commitTs = Some(ts)) to enable time travel"))
-    }
+    val stamped = dirs.flatMap { case (v, _) => commitStamp(root, v).map(v -> _) }
+    if (stamped.isEmpty)
+      throw new IllegalStateException(
+        s"no version under $root has a commit stamp — write versions with " +
+          "writeNext(df, root, commitTs = Some(ts)) to enable time travel")
     val eligible = stamped.filter(_._2 <= asOf)
     if (eligible.isEmpty)
       throw new IllegalStateException(
@@ -102,24 +112,38 @@ object Versioned {
     val v = latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no versions under $root"))
     val vdir = Paths.get(root, s"v=$v")
+    val stamp = commitStamp(root, v)
+    // On a time-travel-enabled root (any stamped version present), a
+    // stampless current version would make compact emit ANOTHER
+    // unstamped version and silently shrink the readAsOf horizon —
+    // refuse instead of quietly degrading (cf. readAsOf's skip rule).
+    if (stamp.isEmpty && versionDirs(root).exists { case (ver, _) =>
+        commitStamp(root, ver).isDefined })
+      throw new IllegalStateException(
+        s"current version v=$v under $root has no commit stamp but the root " +
+          "is time-travel-enabled — re-stamp or roll back the torn version " +
+          "before compacting")
     val bytes = dataFiles(vdir).map(Files.size).sum
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = spark.read.parquet(vdir.toString)
     val compacted =
       if (nFiles < df.rdd.getNumPartitions) df.coalesce(nFiles) else df
-    writeNext(compacted, root, commitStamp(root, v))
+    writeNext(compacted, root, stamp)
   }
 
   /** Parquet data files of one version dir (skips _SUCCESS/manifests). */
   private[graft] def dataFiles(vdir: Path): Seq[Path] = {
     if (!Files.exists(vdir)) return Seq.empty
-    val it = Files.list(vdir).iterator()
-    var acc = List.empty[Path]
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getFileName.toString.endsWith(".parquet")) acc ::= f
-    }
-    acc
+    val stream = Files.list(vdir)
+    try {
+      val it = stream.iterator()
+      var acc = List.empty[Path]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getFileName.toString.endsWith(".parquet")) acc ::= f
+      }
+      acc
+    } finally stream.close()
   }
 
   /** Read the current (or a pinned) version. */

@@ -228,7 +228,36 @@ object BehaviorGate {
       .orderBy("user_id", "event_type", "ts_us", "event_id")
   }
 
+  /** q133: exact top-3 users per event type via the typed
+    * [[graft.functions.TopK.TopKByCount]] Aggregator — the custom
+    * typed-aggregation extension point (Aggregator[IN, BUF, OUT] with
+    * partial-aggregate merge), exercised through its SQL registration:
+    * the scalable first level (hash groupBy count with map-side
+    * combine) feeds the k-bounded UDAF inside a spark.sql query, and
+    * posexplode turns the k-array into ranked rows. The oracle derives
+    * the same top-3 with a DuckDB window rank — certifying that the
+    * aggregator's (cnt desc, value asc) merge order equals SQL's
+    * ROW_NUMBER ordering exactly, ties included. */
+  def q133TopkAggregator(s: SparkSession, dir: String): DataFrame = {
+    val fn = graft.functions.TopK.register(s, 3)
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .createOrReplaceTempView("g_q133_counts")
+    s.sql(
+      s"""SELECT event_type, cast(pos + 1 as bigint) AS rank,
+         |  e.value AS user_id, e.cnt AS n
+         |FROM (
+         |  SELECT event_type,
+         |    $fn(named_struct('value', user_id, 'cnt', cnt)) AS tk
+         |  FROM g_q133_counts GROUP BY event_type) t
+         |LATERAL VIEW posexplode(t.tk.entries) pe AS pos, e
+         |ORDER BY event_type, rank""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q133_topk_aggregator" -> (q133TopkAggregator _),
     "q126_burst_dedup" -> (q126BurstDedup _),
     "q118_multi_touch_attribution" -> (q118MultiTouchAttribution _),
     "q104_interval_coverage" -> (q104IntervalCoverage _),
@@ -239,6 +268,18 @@ object BehaviorGate {
     "q114_rfm_segmentation" -> (q114RfmSegmentation _))
 
   val oracles: Map[String, String] = Map(
+    "q133_topk_aggregator" ->
+      // window-ranked top-3 with the identical (cnt desc, user asc)
+      // tie order the Aggregator's merge enforces
+      """WITH c AS (SELECT event_type, user_id,
+        |    cast(count(*) as bigint) cnt
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, cnt,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY cnt DESC, user_id) rnk
+        |  FROM c)
+        |SELECT event_type, cast(rnk as bigint) "rank", user_id, cnt n
+        |FROM r WHERE rnk <= 3 ORDER BY event_type, "rank"""".stripMargin,
     "q126_burst_dedup" ->
       """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) ts_us,
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type

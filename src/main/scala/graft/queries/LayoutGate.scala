@@ -207,7 +207,69 @@ object LayoutGate {
     }
   }
 
+  /** The q134 join program, conf-independent: q66's skewed join shape —
+    * events (event_type is a 5-value heavily skewed key by construction)
+    * joined to a small per-type dim — as a PLAIN shuffle join with the
+    * identical per-type rollup. Shared by the gate (which runs it under
+    * AQE skew-join confs) and PlanSpec (which pins the skew split). */
+  private[graft] def skewJoinProgram(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast(LongType).as("v_c100"))
+    val dim = Tables.events(s, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("type_total"))
+    ev.join(dim, Seq("event_type"))
+      .groupBy("event_type", "type_total")
+      .agg(count(lit(1)).as("n"), sum("v_c100").as("sum_value_c100"))
+      .orderBy("event_type")
+  }
+
+  /** Conf scope for q134: AQE skew-join ON with sandbox-shrunk
+    * detection thresholds (the conf defaults gate on 256 MB partitions;
+    * the MECHANISM — Spark splitting an oversized join partition into
+    * advisory-sized slices at runtime — is what the gate certifies, same
+    * rationale as q136's shrunk Bloom threshold) and auto-broadcast off
+    * so the join actually sort-merge-shuffles. forceOptimize because the
+    * downstream rollup could otherwise veto the split to reuse the join
+    * partitioning. */
+  private[graft] def withSkewJoinConfs[A](s: SparkSession)(body: => A): A = {
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "256",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      body
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** q134: AQE skew-join — Spark's OWN runtime answer to the skewed
+    * shuffle key, the 100 TB first line of defense BEFORE manual
+    * salting (q66 proves the salted fallback; this gate proves the
+    * engine-native path). Under `skewJoin.enabled`, AQE inspects the
+    * materialized shuffle stats, finds the oversized event_type
+    * partitions, and splits each into advisory-sized slices joined
+    * against a replicated dim side — the same rows, re-planned at
+    * runtime, so the result must equal q66's plain-join oracle
+    * bit-for-bit. Confs restored after the ≤5-row rollup materializes
+    * (bounded collect — conf scoping, not a data path). */
+  def q134AqeSkewJoin(s: SparkSession, dir: String): DataFrame =
+    withSkewJoinConfs(s) {
+      val rows = skewJoinProgram(s, dir).collect()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
+        skewJoinProgram(s, dir).schema)
+    }
+
   val queries: Map[String, Q] = Map(
+    "q134_aqe_skew_join" -> (q134AqeSkewJoin _),
     "q107_bucketed_join" -> (q107BucketedJoin _),
     "q108_table_fingerprint" -> (q108TableFingerprint _),
     "q116_data_quality" -> (q116DataQuality _),
@@ -216,6 +278,17 @@ object LayoutGate {
     "q136_bloom_pruned_join" -> (q136BloomPrunedJoin _))
 
   val oracles: Map[String, String] = Map(
+    // the plain-join answer the AQE-split plan must equal (q66's shape)
+    "q134_aqe_skew_join" ->
+      """WITH dim AS (
+        |  SELECT event_type, cast(count(*) as bigint) type_total
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, d.type_total,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(round(e.value*100) as bigint)) as bigint)
+        |    AS sum_value_c100
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q107_bucketed_join" ->
       """WITH o AS (SELECT o_custkey, cast(count(*) as bigint) n_orders,
         |    cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)

@@ -144,7 +144,34 @@ object MatchGate {
       .orderBy("id_a", "id_b")
   }
 
+  /** q132: the SAME reachability computation as t88, but DECLARATIVE —
+    * Spark 4's native `WITH RECURSIVE` fixpoint, the form a migrating
+    * SQL user writes, sharing t88's oracle so the recursive-CTE
+    * execution and [[Graph.bfsLevels]]' iterative join+min relaxation
+    * are certified equal. The recursion is depth-bounded (lvl < 4) with
+    * out-degree 2, so the working frontier is ≤ 2⁴ path rows per
+    * source — at 100 TB the same form runs with Spark's recursion row
+    * limits as the guard rail while the iterative twin (t88) remains
+    * the unbounded-depth workhorse. */
+  def q132RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("g_q132_documents")
+    s.sql(
+      """WITH RECURSIVE nn AS (SELECT count(*) c FROM g_q132_documents),
+        |e AS (SELECT doc_id s, (doc_id * 2 + 1) % (SELECT c FROM nn) d
+        |      FROM g_q132_documents
+        |      UNION ALL
+        |      SELECT doc_id, (doc_id * 3 + 7) % (SELECT c FROM nn)
+        |      FROM g_q132_documents),
+        |r(v, lvl) AS (
+        |  SELECT cast(0 as bigint), cast(0 as bigint)
+        |  UNION ALL
+        |  SELECT e.d, r.lvl + 1 FROM r JOIN e ON e.s = r.v WHERE r.lvl < 4)
+        |SELECT v AS doc_id, cast(min(lvl) as bigint) AS lvl
+        |FROM r GROUP BY v ORDER BY doc_id""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q132_recursive_cte" -> (q132RecursiveCte _),
     "t83_edit_distance_join" -> (t83EditDistanceJoin _),
     "t84_inverted_index" -> (t84InvertedIndex _),
     "t85_triangle_count" -> (t85TriangleCount _),
@@ -154,6 +181,21 @@ object MatchGate {
     "t93_grid_neighbor_pairs" -> (t93GridNeighborPairs _))
 
   val oracles: Map[String, String] = Map(
+    // q132 shares t88's fixpoint oracle — the declarative and iterative
+    // engines must agree with the SAME reference answer
+    "q132_recursive_cte" ->
+      """WITH RECURSIVE nn AS (SELECT count(*) c FROM documents),
+        |e AS (SELECT doc_id s, (doc_id * 2 + 1) % (SELECT c FROM nn) d
+        |      FROM documents
+        |      UNION ALL
+        |      SELECT doc_id, (doc_id * 3 + 7) % (SELECT c FROM nn)
+        |      FROM documents),
+        |r(v, lvl) AS (
+        |  SELECT cast(0 as bigint), cast(0 as bigint)
+        |  UNION ALL
+        |  SELECT e.d, r.lvl + 1 FROM r JOIN e ON e.s = r.v WHERE r.lvl < 4)
+        |SELECT v doc_id, cast(min(lvl) as bigint) lvl
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "t83_edit_distance_join" ->
       // brute force on purpose: proves the Spark-side blocking lossless
       """WITH w AS (SELECT DISTINCT t w FROM (SELECT unnest(string_split(p_name, ' ')) t

@@ -27,19 +27,14 @@ object StreamGate {
 
   private val runId = new AtomicInteger(0)
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as epoch-nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  // Streaming events reads go through graft.Tables.eventsStream — the
+  // source schema is derived from a batch footer read, never hard-coded,
+  // so the engine tolerates any physical ts encoding the producer picks.
 
   def q60StreamWindowedAgg(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // glob (not an exact file path) so the source resolves the parent
     // directory as basePath and lists the single events file
-    val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
+    val stream = graft.Tables.eventsStream(s, dir)
     val agg = stream
       .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
       .withColumn("v_c100", round(col("value") * 100).cast(LongType))
@@ -69,10 +64,9 @@ object StreamGate {
     * stream never shuffles for the join, only for the windowed agg.
     * Oracle: the batch equivalent of the same join + bucketing. */
   def q111StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dim = graft.Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_nationkey"))
-    val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
+    val stream = graft.Tables.eventsStream(s, dir)
     val agg = stream
       .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
       .withColumn("v_c100", round(col("value") * 100).cast(LongType))
@@ -99,16 +93,22 @@ object StreamGate {
     * dropDuplicatesWithinWatermark — state bounded by event time, the
     * long-running-stream contract) → append-mode memory sink → the set
     * of first-seen keys. The horizon spans the whole fixture, so the
-    * surviving key set equals relational DISTINCT exactly; only the KEY
-    * is projected, so the result is deterministic regardless of which
-    * duplicate row wins the race into state. */
+    * surviving key set equals relational DISTINCT exactly. The dedup key
+    * INCLUDES the µs event time (the canonical event-dedup shape: the
+    * same logical event re-delivered carries the same timestamp), so the
+    * output is deterministic regardless of which duplicate wins the race
+    * into state AND the gate actually certifies event-time ingestion — a
+    * reader that mis-scales `ts` (e.g. micros read as nanos) shifts
+    * every ts_us value and hash-mismatches the oracle, instead of
+    * passing by projecting keys only (the round-8 blind spot). */
   def q61StreamDedup(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
+    val stream = graft.Tables.eventsStream(s, dir)
     val deduped = graft.streaming.StreamPipelines.dedupStreamKeys(
-        stream.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)")),
-        Seq("user_id", "event_type"), "ts_utc", watermark = "3650 days")
-      .select(col("user_id"), col("event_type"))
+        stream.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("ts_us", expr("ts div 1000")),
+        Seq("user_id", "event_type", "ts_us"), "ts_utc",
+        watermark = "3650 days")
+      .select(col("user_id"), col("event_type"), col("ts_us"))
     val name = s"q61_stream_${runId.incrementAndGet()}"
     val query = deduped.writeStream
       .format("memory").queryName(name)
@@ -116,7 +116,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    s.table(name).orderBy("user_id", "event_type")
+    s.table(name).orderBy("user_id", "event_type", "ts_us")
   }
 
   /** q62: CUSTOM-state sessionization (flatMapGroupsWithState) executed
@@ -130,8 +130,7 @@ object StreamGate {
     * the identical timeout inequality to each user's last session. */
   def q62StreamSessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
+    val stream = graft.Tables.eventsStream(s, dir)
     val evts = stream
       .select(col("user_id"), col("ts").as("ts_ns"), col("event_id"))
       .as[graft.streaming.StreamPipelines.SessionEvent]
@@ -152,6 +151,57 @@ object StreamGate {
       .orderBy("user_id", "session_start_us")
   }
 
+  /** q135: chunked-backfill equivalence — q62's sessionization run over
+    * a DIFFERENTLY-CHUNKED registration of the same source. The events
+    * table is re-written as 4 time-range-ordered parquet chunks and the
+    * stream drains with `maxFilesPerTrigger=1`, so Trigger.AvailableNow
+    * replays it as 4 micro-batches with REAL intermediate watermark
+    * advancement between them (q62's single-file drain is one batch +
+    * the final no-data batch). This is the day-by-day historical
+    * backfill shape: sessions spanning chunk boundaries must carry
+    * state across batches, and intermediate watermarks may close
+    * sessions EARLIER but must never change the final session set —
+    * certified by sharing q62's oracle. Chunk mtimes are stamped
+    * strictly increasing in event-time order (FileStreamSource orders
+    * its listing by timestamp), so the advancing watermark never drops
+    * a later chunk as late data — exactly the invariant a production
+    * backfill must arrange (replay oldest first). */
+  def q135ChunkedBackfill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunkRoot = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"), "graft_q135_chunks").toString
+    graft.Tables.events(s, dir).drop("ts_utc")
+      .repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(s"$chunkRoot/events.parquet")
+    // part-file name order == ts range order; stamp mtimes to match
+    val pdir = java.nio.file.Paths.get(chunkRoot, "events.parquet")
+    val parts = graft.operators.Versioned.dataFiles(pdir)
+      .sortBy(_.getFileName.toString)
+    val base = System.currentTimeMillis() - parts.length * 2000L
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+    }
+    val stream = graft.Tables.eventsStream(s, chunkRoot,
+      Map("maxFilesPerTrigger" -> "1"))
+    val evts = stream
+      .select(col("user_id"), col("ts").as("ts_ns"), col("event_id"))
+      .as[graft.streaming.StreamPipelines.SessionEvent]
+    val sessions = graft.streaming.StreamPipelines.sessionize(evts)
+    val name = s"q135_stream_${runId.incrementAndGet()}"
+    val query = sessions.toDF().writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(name).select(col("user_id"),
+        expr("session_start_ns div 1000").as("session_start_us"),
+        expr("session_end_ns div 1000").as("session_end_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+  }
+
   /** q70: STREAM-STREAM interval join executed for real — purchases
     * joined to same-user signups that happened in the 24 h before the
     * purchase. Both sides carry watermarks (they bound join state on a
@@ -163,8 +213,7 @@ object StreamGate {
     * batch oracle. State BOUNDEDNESS under a tight watermark is a
     * separate property, certified by StreamPipelinesSpec. */
   def q70StreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
+    val stream = graft.Tables.eventsStream(s, dir)
       .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
     val purchases = stream.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
@@ -202,8 +251,7 @@ object StreamGate {
     * and are absent from the output; the oracle applies the identical
     * inequality to its batch left join. */
   def q91StreamOuterIntervalJoin(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
+    val stream = graft.Tables.eventsStream(s, dir)
       .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
     val purchases = stream.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
@@ -239,8 +287,7 @@ object StreamGate {
     * stay in state; the oracle applies the identical inequality to
     * q92's relational session derivation. */
   def q100StreamSessionWindow(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
+    val stream = graft.Tables.eventsStream(s, dir)
       .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
     val sessions = stream
       .withWatermark("ts_utc", "3 days")
@@ -266,8 +313,7 @@ object StreamGate {
     * certified by sharing q62's oracle derivation. */
   def q71StreamSessionsTws(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
+    val stream = graft.Tables.eventsStream(s, dir)
     val evts = stream
       .select(col("user_id"), col("ts").as("ts_ns"), col("event_id"))
       .as[graft.streaming.StreamPipelines.SessionEvent]
@@ -314,10 +360,9 @@ object StreamGate {
     * per merge (localCheckpoint) exactly as a long-running foreachBatch
     * loop must, or the plan grows without bound. */
   def q72IdempotentMerge(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val step = 259200000000L // 3 days in µs
     val lag = 3600000000L    // the reference's 1-hour overlap
-    val ev = s.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), col("event_id"),
         expr("ts div 1000").as("ts_us"))
       .filter(col("user_id").isNotNull && col("event_type").isNotNull)
@@ -453,14 +498,13 @@ object StreamGate {
     * snapshot, so AvailableNow micro-batch slicing must be
     * semantically invisible; the gate shares q44's native-ASOF oracle. */
   def q74StreamAsofJoin(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val signups = graft.Tables.events(s, dir)
       .filter(col("event_type") === "signup")
       .select(col("user_id"), col("ts").as("snap_ts"),
         col("value").as("snap_value"))
       .localCheckpoint()
     val out = java.nio.file.Files.createTempDirectory("graft_q74_").toString
-    val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
+    val stream = graft.Tables.eventsStream(s, dir)
     val query = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val purchases = batch.filter(col("event_type") === "purchase")
@@ -487,13 +531,12 @@ object StreamGate {
     * own row, so slicing is invisible); the per-interval aggregate runs
     * once at drain. Shares q73's naive-BETWEEN oracle. */
   def q75StreamRangeJoin(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val iv = graft.Tables.supplier(s, dir)
       .select(col("s_suppkey"), (col("s_suppkey") * 997 % 48000).as("lo"))
       .withColumn("hi", col("lo") + 200 + col("s_suppkey") % 800 * 2)
       .localCheckpoint()
     val out = java.nio.file.Files.createTempDirectory("graft_q75_").toString
-    val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
+    val stream = graft.Tables.eventsStream(s, dir)
     val query = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val points = batch.select(
@@ -584,6 +627,7 @@ object StreamGate {
     "q60_stream_windowed_agg" -> (q60StreamWindowedAgg _),
     "q61_stream_dedup" -> (q61StreamDedup _),
     "q62_stream_sessions" -> (q62StreamSessions _),
+    "q135_chunked_backfill" -> (q135ChunkedBackfill _),
     "q70_stream_interval_join" -> (q70StreamIntervalJoin _),
     "q91_stream_outer_interval_join" -> (q91StreamOuterIntervalJoin _),
     "q100_stream_session_window" -> (q100StreamSessionWindow _),
@@ -663,6 +707,8 @@ object StreamGate {
     "q75_stream_range_join" -> Temporal.oracles("q73_range_join"),
     "q62_stream_sessions" -> sessionOracle,
     "q71_stream_sessions_tws" -> sessionOracle,
+    // chunked replay must emit the identical session set
+    "q135_chunked_backfill" -> sessionOracle,
     "q60_stream_windowed_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         | event_type, cast(count(*) as bigint) AS n,
@@ -671,11 +717,12 @@ object StreamGate {
     "q61_stream_dedup" ->
       // dedupStreamKeys skips null keys (the sink contract) — the
       // oracle says so explicitly rather than relying on the fixture
-      // having none
-      """SELECT DISTINCT user_id, event_type
+      // having none. ts_us is part of the dedup key AND the output, so
+      // the gate is red under any mis-scaled timestamp ingestion.
+      """SELECT DISTINCT user_id, event_type, epoch_ns(ts)//1000 AS ts_us
         |FROM events
         |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-        |ORDER BY user_id, event_type""".stripMargin,
+        |ORDER BY user_id, event_type, ts_us""".stripMargin,
     "q72_idempotent_merge" ->
       // one-shot answer: each key keeps the aggregate computed over its
       // FIRST batch's fetch window [t0 + k*step − 1 h, t0 + (k+1)*step)

@@ -97,13 +97,37 @@ class VersionedSpec extends AnyFunSuite with SparkSpec {
     assert(tagAt(9999L) === "v2") // after last commit → current
     val early = intercept[IllegalStateException](tagAt(999L))
     assert(early.getMessage.contains("no version committed at or before"))
-    // an unstamped version fails loudly rather than guessing from mtimes
+    // a root with NO stamps fails loudly rather than guessing from mtimes
     val root2 = tmpRoot()
     Versioned.writeNext(Seq(1).toDF("x"), root2)
     val unstamped = intercept[IllegalStateException] {
       Versioned.readAsOf(spark, root2, 5000L)
     }
-    assert(unstamped.getMessage.contains("no commit stamp"))
+    assert(unstamped.getMessage.contains("commit stamp"))
+  }
+
+  test("readAsOf skips a torn (unstamped) newest version instead of poisoning the root") {
+    val root = tmpRoot()
+    Versioned.writeNext(Seq((1, "v0")).toDF("id", "tag"), root, Some(1000L))
+    Versioned.writeNext(Seq((1, "v1")).toDF("id", "tag"), root, Some(2000L))
+    // simulate a writer crash between parquet write and manifest write
+    Versioned.writeNext(Seq((1, "torn")).toDF("id", "tag"), root)
+    def tagAt(ts: Long): String =
+      Versioned.readAsOf(spark, root, ts).select("tag").as[String].head()
+    assert(tagAt(1500L) === "v0") // older stamped versions still resolvable
+    assert(tagAt(9999L) === "v1") // torn version is never selected
+  }
+
+  test("compact refuses a stampless current version on a time-travel root") {
+    val root = tmpRoot()
+    Versioned.writeNext(spark.range(0, 10).toDF("id"), root, Some(1000L))
+    Versioned.writeNext(spark.range(0, 10).toDF("id"), root) // torn write
+    val err = intercept[IllegalStateException](Versioned.compact(spark, root))
+    assert(err.getMessage.contains("time-travel-enabled"))
+    // on a never-stamped root compaction stays legal (time travel unused)
+    val plain = tmpRoot()
+    Versioned.writeNext(spark.range(0, 10).toDF("id").repartition(4), plain)
+    assert(Versioned.compact(spark, plain) === 1L)
   }
 
   test("compact carries its source's stamp; newer layout wins at that stamp") {
