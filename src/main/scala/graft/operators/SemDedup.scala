@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.plans.VectorExpressions.dot_long
@@ -35,20 +36,27 @@ object SemDedup {
     * (vec_id, centroid_id, kept). `cosE6` is the near-dup threshold in
     * millionths (e.g. 300000 = cosine 0.30); must be positive.
     *
-    * `maxCell` enforces the bounded-cell assumption the per-cell pass
-    * rests on: one cell's members must fit one executor (the array a
-    * monoculture corpus concentrates into a single cell). Exceeding it
-    * fails LOUDLY inside the task — never a silent spill or truncation
-    * — with the SemDeDup recipe in the message: k must scale with the
-    * corpus so that corpus/k stays cell-sized. The check costs no
-    * extra job; it rides the iterator that builds the member array.
-    * `idCol` must be an integral column (the verdict orders and
-    * tie-breaks by exact id); anything else fails analysis here with a
-    * clear error rather than deep inside the encoder. */
+    * `maxCell` bounds PER-TASK MEMORY, not correctness: cells within
+    * the bound run the early-exit in-memory pass above; a cell PAST the
+    * bound is auto-decomposed into id-ordered blocks of `maxCell`/2 and
+    * evaluated block-pair-wise (every (lower, upper) block pair is one
+    * group holding ≤ maxCell members), then per-id verdicts OR-fold.
+    * The verdict predicate — "∃ lower id in-cell with cos ≥ τ" — is
+    * pairwise, so the decomposition is EXACT: keep/drop is identical at
+    * every maxCell setting (SemDedupSpec pins this on a monoculture).
+    * A vector-space secondary split could not guarantee that — a true
+    * monoculture never separates under a finer quantizer, and any
+    * separation it did achieve would change verdicts. The trade is
+    * memory for compute: an s×-oversized cell costs O(s²) block pairs
+    * — SemDeDup's own k-scaling recipe remains the first-line answer;
+    * the split is the graceful-degradation path that replaces round 8's
+    * loud stop. `idCol` must be an integral column (the verdict orders
+    * and tie-breaks by exact id); anything else fails analysis here
+    * with a clear error rather than deep inside the encoder. */
   def dedup(embeddings: DataFrame, idCol: String, vecCol: String,
             k: Int, cosE6: Long, maxCell: Int = 1 << 20): DataFrame = {
     require(cosE6 > 0, s"cosE6 threshold must be positive, got $cosE6")
-    require(maxCell > 0, s"maxCell must be positive, got $maxCell")
+    require(maxCell > 1, s"maxCell must be at least 2, got $maxCell")
     val idType = embeddings.schema(idCol).dataType
     require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
       s"SemDedup.dedup needs an integral id column; '$idCol' is " +
@@ -60,33 +68,23 @@ object SemDedup {
     val index = Ann.buildIndex(withLongId, idCol, vecCol,
         Ann.buildCentroids(withLongId, idCol, vecCol, k))
       .withColumn("n2", dot_long(col("v"), col("v")))
-    index.select(col("centroid_id"), col("vid"), col("v"), col("n2"))
+      .select(col("centroid_id"), col("vid"), col("v"), col("n2"))
+
+    // fast path: the whole cell fits one task — early-exit scan
+    def fastVerdicts(cells: DataFrame): DataFrame = cells
+      .select(col("centroid_id"), col("vid"), col("v"), col("n2"))
       .as[(Long, Long, Array[Long], Long)]
       .groupByKey(_._1)
       .flatMapGroups { (cell, it) =>
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Long)]
-        it.foreach { case (_, vid, v, n2) =>
-          if (buf.length >= maxCell)
-            throw new IllegalStateException(
-              s"SemDedup cell $cell exceeds maxCell=$maxCell members: " +
-                "raise k so corpus/k stays cell-sized (SemDeDup's own " +
-                "recipe) or raise maxCell if executor memory allows")
-          buf += ((vid, v, n2))
-        }
-        val members = buf.toArray.sortBy(_._1)
+        val members = it.map { case (_, vid, v, n2) => (vid, v, n2) }
+          .toArray.sortBy(_._1)
         val norms = members.map(m => math.sqrt(m._3.toDouble))
         Iterator.tabulate(members.length) { bi =>
           val (vid, vb, _) = members(bi)
           var dropped = false
           var ai = 0
           while (!dropped && ai < bi) {
-            val va = members(ai)._2
-            var dot = 0L
-            var i = 0
-            while (i < vb.length) { dot += va(i) * vb(i); i += 1 }
-            // same arithmetic as the column form: exact integer dot,
-            // then one double divide and a half-up round to millionths
-            if (math.round(dot * 1000000.0 / (norms(ai) * norms(bi))) >= cosE6)
+            if (cosHit(members(ai)._2, vb, norms(ai), norms(bi), cosE6))
               dropped = true
             ai += 1
           }
@@ -94,5 +92,79 @@ object SemDedup {
         }
       }
       .toDF(idCol, "centroid_id", "kept")
+
+    // k cell sizes — a bounded k-row aggregate that PICKS THE PLAN: the
+    // common case (every cell within maxCell) keeps the one-shuffle
+    // fast-path plan with no size join and no split machinery; only an
+    // actually-oversized run pays for the block decomposition below
+    val sizes = index.groupBy("centroid_id").agg(count(lit(1)).as("cell_n"))
+    val maxObserved = Option(sizes.agg(max("cell_n")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (maxObserved <= maxCell) return fastVerdicts(index)
+
+    val tagged = index.join(broadcast(sizes), "centroid_id")
+    val small = fastVerdicts(tagged.filter(col("cell_n") <= maxCell))
+
+    // split path: id-ordered blocks of maxCell/2; a member's verdict is
+    // the OR over its (lower-block, own-block) pair groups
+    val blockSize = maxCell / 2
+    val w = Window.partitionBy("centroid_id").orderBy("vid")
+    val blocked = tagged.filter(col("cell_n") > maxCell)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("blk", expr(s"CAST((rn - 1) div $blockSize AS BIGINT)"))
+      .withColumn("nblk",
+        expr(s"CAST((cell_n + $blockSize - 1) div $blockSize AS BIGINT)"))
+    // each block serves as the LOWER side for pairs (blk, blk..nblk-1)
+    // and as the UPPER side for pairs (0..blk, blk)
+    val lowers = blocked
+      .withColumn("j", explode(expr("sequence(blk, nblk - 1)")))
+      .select(col("centroid_id"), col("blk").as("i"), col("j"),
+        lit(true).as("isLower"), col("vid"), col("v"), col("n2"))
+    val uppers = blocked
+      .withColumn("i", explode(expr("sequence(CAST(0 AS BIGINT), blk)")))
+      .select(col("centroid_id"), col("i"), col("blk").as("j"),
+        lit(false).as("isLower"), col("vid"), col("v"), col("n2"))
+    val big = lowers.unionByName(uppers)
+      .as[(Long, Long, Long, Boolean, Long, Array[Long], Long)]
+      .groupByKey(t => (t._1, t._2, t._3))
+      .flatMapGroups { (key: (Long, Long, Long),
+                        it: Iterator[(Long, Long, Long, Boolean, Long, Array[Long], Long)]) =>
+        val cell = key._1
+        val lows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Long)]
+        val ups = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Long)]
+        it.foreach { case (_, _, _, isLower, vid, v, n2) =>
+          (if (isLower) lows else ups) += ((vid, v, n2))
+        }
+        val lowArr = lows.toArray.sortBy(_._1)
+        val lowNorms = lowArr.map(m => math.sqrt(m._3.toDouble))
+        ups.iterator.map { case (vid, vb, n2) =>
+          val nb = math.sqrt(n2.toDouble)
+          var dropped = false
+          var ai = 0
+          // lowArr ascending by vid: stop once ids reach ours
+          while (!dropped && ai < lowArr.length && lowArr(ai)._1 < vid) {
+            if (cosHit(lowArr(ai)._2, vb, lowNorms(ai), nb, cosE6))
+              dropped = true
+            ai += 1
+          }
+          (vid, cell, dropped)
+        }
+      }
+      .toDF(idCol, "centroid_id", "pair_dropped")
+      .groupBy(idCol, "centroid_id")
+      .agg(max("pair_dropped").as("dropped"))
+      .select(col(idCol), col("centroid_id"), (!col("dropped")).as("kept"))
+
+    small.unionByName(big)
+  }
+
+  /** Same arithmetic as the column form: exact integer dot, then one
+    * double divide and a half-up round to millionths. */
+  private def cosHit(va: Array[Long], vb: Array[Long],
+                     na: Double, nb: Double, cosE6: Long): Boolean = {
+    var dot = 0L
+    var i = 0
+    while (i < vb.length) { dot += va(i) * vb(i); i += 1 }
+    math.round(dot * 1000000.0 / (na * nb)) >= cosE6
   }
 }

@@ -250,7 +250,7 @@ object BehaviorGate {
          |  e.value AS user_id, e.cnt AS n
          |FROM (
          |  SELECT event_type,
-         |    $fn(named_struct('value', user_id, 'cnt', cnt)) AS tk
+         |    $fn(user_id, cnt) AS tk
          |  FROM g_q133_counts GROUP BY event_type) t
          |LATERAL VIEW posexplode(t.tk.entries) pe AS pos, e
          |ORDER BY event_type, rank""".stripMargin)

@@ -207,21 +207,52 @@ object LayoutGate {
     }
   }
 
-  /** The q134 join program, conf-independent: q66's skewed join shape —
-    * events (event_type is a 5-value heavily skewed key by construction)
-    * joined to a small per-type dim — as a PLAIN shuffle join with the
-    * identical per-type rollup. Shared by the gate (which runs it under
-    * AQE skew-join confs) and PlanSpec (which pins the skew split). */
-  private[graft] def skewJoinProgram(s: SparkSession, dir: String): DataFrame = {
+  /** The q134 join program, conf-independent: a fact-to-dim shuffle
+    * join on a HEAVILY skewed derived key — 4 of 5 rows land on key 0,
+    * the rest spread over ~96 tail keys (the hot-entity shape: one
+    * celebrity user / one dominant SKU). Shared by the gate (which runs
+    * it under AQE skew-join confs) and PlanSpec (which pins the skew
+    * split). The skew is derived (not the uniform-by-construction
+    * event_type) so the oversized partition is real at every SF. */
+  private def skewInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sk = expr(
+      "CASE WHEN event_id % 5 > 0 THEN CAST(0 AS BIGINT) " +
+        "ELSE coalesce(user_id, -1) % 97 END")
     val ev = Tables.events(s, dir)
-      .select(col("event_type"),
-        round(col("value") * 100).cast(LongType).as("v_c100"))
-    val dim = Tables.events(s, dir)
-      .groupBy("event_type").agg(count(lit(1)).as("type_total"))
-    ev.join(dim, Seq("event_type"))
-      .groupBy("event_type", "type_total")
+      .select(sk.as("sk"), round(col("value") * 100).cast(LongType).as("v_c100"),
+        col("event_id"))
+    // the dim must be a REAL table (like q129's): an aggregate fused
+    // into the dim leg sits between the shuffle stage and the join and
+    // breaks OptimizeSkewedJoin's SMJ(Sort(Shuffle), Sort(Shuffle))
+    // pattern — exactly how a warehouse dim behaves anyway
+    val dimPath = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"), "graft_q134_dim").toString
+    ev.groupBy("sk").agg(count(lit(1)).as("sk_total"))
+      .write.mode("overwrite").parquet(dimPath)
+    // AQE splits a skewed reduce partition along its MAP-output blocks;
+    // the sandbox fixture is one small file (one mapper), which would
+    // make the hot partition a single indivisible block. Spread the
+    // fact over multiple mappers first — at 100 TB thousands of
+    // mappers exist naturally and this repartition disappears.
+    (ev.repartition(16), s.read.parquet(dimPath))
+  }
+
+  private def skewRollup(joined: DataFrame): DataFrame =
+    joined.groupBy("sk", "sk_total")
       .agg(count(lit(1)).as("n"), sum("v_c100").as("sum_value_c100"))
-      .orderBy("event_type")
+      .orderBy("sk")
+
+  private[graft] def skewJoinProgram(s: SparkSession, dir: String): DataFrame = {
+    val (ev, dim) = skewInputs(s, dir)
+    skewRollup(ev.join(dim, Seq("sk")))
+  }
+
+  /** The manually-salted twin (q66's technique on q134's key) — PlanSpec
+    * asserts the AQE split and the salt produce identical rollups. */
+  private[graft] def skewJoinSalted(s: SparkSession, dir: String): DataFrame = {
+    val (ev, dim) = skewInputs(s, dir)
+    skewRollup(graft.operators.Scale.saltedJoin(
+      ev, dim, "sk", identityCol = "event_id", saltFactor = 8))
   }
 
   /** Conf scope for q134: AQE skew-join ON with sandbox-shrunk
@@ -278,16 +309,18 @@ object LayoutGate {
     "q136_bloom_pruned_join" -> (q136BloomPrunedJoin _))
 
   val oracles: Map[String, String] = Map(
-    // the plain-join answer the AQE-split plan must equal (q66's shape)
+    // the plain-join answer the AQE-split plan must equal
     "q134_aqe_skew_join" ->
-      """WITH dim AS (
-        |  SELECT event_type, cast(count(*) as bigint) type_total
-        |  FROM events GROUP BY 1)
-        |SELECT e.event_type, d.type_total,
-        |  cast(count(*) as bigint) AS n,
+      """WITH e AS (
+        |  SELECT CASE WHEN event_id % 5 > 0 THEN 0
+        |              ELSE coalesce(user_id, -1) % 97 END sk, value
+        |  FROM events),
+        |dim AS (SELECT sk, cast(count(*) as bigint) sk_total
+        |        FROM e GROUP BY 1)
+        |SELECT e.sk, d.sk_total, cast(count(*) as bigint) AS n,
         |  cast(sum(cast(round(e.value*100) as bigint)) as bigint)
         |    AS sum_value_c100
-        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |FROM e JOIN dim d ON e.sk = d.sk
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q107_bucketed_join" ->
       """WITH o AS (SELECT o_custkey, cast(count(*) as bigint) n_orders,

@@ -398,4 +398,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("q134 AQE skew join: a runtime skew split occurred and equals the salted variant") {
+    queries.LayoutGate.withSkewJoinConfs(spark) {
+      val df = queries.LayoutGate.skewJoinProgram(spark, dir)
+      df.collect() // AQE decides from materialized shuffle stats
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed join partitions in:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"join broadcast instead of shuffling — skew path untested in:\n$plan")
+    }
+    // engine-native skew handling and manual salting (q66's technique)
+    // must produce the identical rollup
+    val aqe = queries.LayoutGate.q134AqeSkewJoin(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val salted = queries.LayoutGate.skewJoinSalted(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(aqe === salted, "AQE skew join diverged from the salted join")
+  }
 }

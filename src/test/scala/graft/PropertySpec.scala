@@ -262,4 +262,36 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }.toSet
     assert(oneShot === want)
   }
+
+  test("TopK aggregator: any merge tree equals the sort-take reference (q133)") {
+    import graft.functions.TopK
+    val agg = new TopK.TopKByCount(5)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 50) {
+      // full per-value counts (the input contract): unique values
+      val n = 1 + rnd.nextInt(30)
+      val es = rnd.shuffle((0 until 60).toList).take(n)
+        .map(v => TopK.Entry(v.toLong, 1L + rnd.nextInt(8).toLong))
+      val reference = es.sortBy(e => (-e.cnt, e.value)).take(5)
+      // random partition split + random merge tree
+      val chunks = es.grouped(1 + rnd.nextInt(es.length)).toVector
+      val bufs = rnd.shuffle(chunks.map(_.foldLeft(agg.zero)(agg.reduce)))
+      val merged = bufs.reduceLeft((a, b) =>
+        if (rnd.nextBoolean()) agg.merge(a, b) else agg.merge(b, a))
+      assert(agg.finish(merged).entries === reference,
+        s"trial $trial: merge tree diverged from reference")
+    }
+    // end-to-end: the registered UDAF is partitioning-independent
+    val fn = TopK.register(spark, 3)
+    val rows = (0 until 200).map(i => ((i % 7).toLong, (i % 23).toLong))
+    def topkOf(parts: Int): Seq[String] = {
+      rows.toDF("g", "v").repartition(parts)
+        .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+        .createOrReplaceTempView("prop_topk_counts")
+      spark.sql(
+        s"SELECT g, $fn(v, cnt) tk FROM prop_topk_counts GROUP BY g ORDER BY g")
+        .collect().map(_.toString).toSeq
+    }
+    assert(topkOf(1) === topkOf(13))
+  }
 }

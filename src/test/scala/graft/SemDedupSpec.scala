@@ -42,26 +42,47 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
     assert(bad.count() == 0, "a dropped vector has no kept lower-id cluster-mate")
   }
 
-  test("semdedup: monoculture cell past maxCell fails loudly; within bound it passes") {
+  test("semdedup: oversized monoculture cell auto-splits with identical keep/drop") {
     // monoculture: 40 near-identical vectors -> k=1 puts them all in
-    // one cell, which is exactly the shape the bounded-cell contract
-    // guards; id 0..39, v = base + tiny per-id wiggle
+    // one cell — the shape that defeats any vector-space secondary
+    // quantizer (it never separates) and used to stop loudly. maxCell
+    // = 10 forces the id-block pair decomposition (block size 5, 8
+    // blocks); maxCell = 40 runs the in-memory fast path. The pairwise
+    // verdict predicate makes the decomposition exact, so keep/drop
+    // must be IDENTICAL at both settings.
     import spark.implicits._
     val mono = (0L until 40L).map { i =>
       (i, Array.tabulate(8)(d => 1.0f + (if (d == (i % 8).toInt) 1e-4f * i else 0f)))
     }.toDF("vec_id", "embedding")
-    val ex = intercept[org.apache.spark.SparkException] {
+    def verdicts(maxCell: Int): Seq[(Long, Boolean)] =
       operators.SemDedup.dedup(mono, "vec_id", "embedding",
-        k = 1, cosE6 = 300000L, maxCell = 10).count()
-    }
-    assert(ex.getMessage.contains("maxCell") ||
-      Option(ex.getCause).exists(_.getMessage.contains("maxCell")),
-      s"guard failure does not explain itself: ${ex.getMessage}")
-    // same corpus under the bound: one kept representative, 39 drops
-    val ok = operators.SemDedup.dedup(mono, "vec_id", "embedding",
-      k = 1, cosE6 = 300000L, maxCell = 40)
-    assert(ok.filter(col("kept")).count() == 1)
-    assert(ok.count() == 40)
+          k = 1, cosE6 = 300000L, maxCell = maxCell)
+        .select("vec_id", "kept").as[(Long, Boolean)]
+        .collect().sortBy(_._1).toSeq
+    val split = verdicts(10)
+    val whole = verdicts(40)
+    assert(split === whole, "split path changed keep/drop verdicts")
+    assert(split.count(_._2) == 1 && split.find(_._2).map(_._1) === Some(0L),
+      "monoculture must keep exactly vec_id 0")
+    assert(split.size == 40)
+  }
+
+  test("semdedup: split path is exact on a mixed (non-monoculture) oversized cell") {
+    // one cell with two distinct near-dup families + an outlier, forced
+    // through the block path: verdicts must equal the fast path's
+    import spark.implicits._
+    val rows = (0L until 30L).map { i =>
+      val fam = (i % 3).toInt // families 0,1 near-dup; 2 = spread-out
+      val base = Array.tabulate(8)(d =>
+        if (d == fam) 1.0f else if (fam == 2 && d == (i % 8).toInt) 3.0f + i else 0.05f)
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    def run(maxCell: Int) =
+      operators.SemDedup.dedup(rows, "vec_id", "embedding",
+          k = 1, cosE6 = 900000L, maxCell = maxCell)
+        .select("vec_id", "kept").as[(Long, Boolean)]
+        .collect().sortBy(_._1).toSeq
+    assert(run(8) === run(64), "block decomposition diverged from fast path")
   }
 
   test("semdedup: integer ids cast cleanly; non-integral ids fail with a clear error") {

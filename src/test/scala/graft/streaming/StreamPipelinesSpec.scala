@@ -205,4 +205,14 @@ class StreamPipelinesSpec extends AnyFunSuite with SparkSpec {
         ("2025-01-01 10:05:00.0", "view", 1L)))
     } finally q.stop()
   }
+
+  test("q135: chunked AvailableNow backfill emits exactly q62's single-drain session set") {
+    val dir = "/root/testdata/sf0.001"
+    def sessions(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val single = sessions(graft.queries.StreamGate.q62StreamSessions(spark, dir))
+    val chunked = sessions(graft.queries.StreamGate.q135ChunkedBackfill(spark, dir))
+    assert(chunked === single,
+      "4-chunk replay with intermediate watermarks changed the session set")
+  }
 }
