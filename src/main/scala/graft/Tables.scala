@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DateType, DoubleType, FloatType,
+  LongType, TimestampNTZType, TimestampType}
 
 /** Canonical loaders for the driver-provided parquet tables
   * (see TESTDATA.md). All engine queries read through here so that
@@ -21,7 +22,57 @@ object Tables {
       // matches DuckDB epoch_ns(ts)). Harmless for micros/millis files.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
-    s.read.parquet(s"$dir/$name.parquet")
+    conform(name, s.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** Columns the ENGINE imposes a canonical logical type on — every
+    * place the query programs' types are fixed independently of what
+    * the producer wrote. The round-8 events incident generalized: a
+    * fixture regeneration that flips a physical encoding must either
+    * canonicalize silently-and-exactly or fail loudly at the scan with
+    * the column named — never throw a deep DATATYPE_MISMATCH from an
+    * arbitrary query, and never mis-scale silently. (`ts` has its own
+    * richer dispatch in [[canonicalEventTs]].) */
+  private val ntzContract: Map[String, Seq[String]] = Map(
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"))
+
+  /** TS→NTZ preserving the UTC instant's wall clock, via pure datetime
+    * arithmetic — independent of `spark.sql.session.timeZone`. */
+  private def utcWallClock(c: String): Column =
+    expr(s"timestampadd(MICROSECOND, unix_micros($c), " +
+      "TIMESTAMP_NTZ '1970-01-01 00:00:00')")
+
+  private def conform(name: String, df: DataFrame): DataFrame = {
+    var out = df
+    // date-ish columns: queries are written against TIMESTAMP_NTZ
+    ntzContract.getOrElse(name, Nil).foreach { c =>
+      require(out.columns.contains(c),
+        s"$name.parquet is missing required column '$c' (found: " +
+          s"${out.columns.mkString(", ")})")
+      out.schema(c).dataType match {
+        case TimestampNTZType => ()
+        case TimestampType => out = out.withColumn(c, utcWallClock(c))
+        case DateType => out = out.withColumn(c, col(c).cast(TimestampNTZType))
+        case other => throw new IllegalStateException(
+          s"$name.$c has unsupported type $other; expected a timestamp/date")
+      }
+    }
+    // embeddings: the vector tier's canonical element type is float32
+    if (name == "embeddings") {
+      require(out.columns.contains("embedding"),
+        s"embeddings.parquet is missing required column 'embedding' " +
+          s"(found: ${out.columns.mkString(", ")})")
+      out.schema("embedding").dataType match {
+        case ArrayType(FloatType, _) => ()
+        case ArrayType(DoubleType, _) =>
+          out = out.withColumn("embedding", col("embedding").cast("array<float>"))
+        case other => throw new IllegalStateException(
+          s"embeddings.embedding has unsupported type $other; expected " +
+            "array<float> (or array<double>, canonicalized to float32)")
+      }
+    }
+    out
   }
 
   /** Canonicalize an events frame so `ts` is ALWAYS epoch-nanos long, no

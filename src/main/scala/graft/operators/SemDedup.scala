@@ -65,52 +65,30 @@ object SemDedup {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val withLongId = embeddings.withColumn(idCol, col(idCol).cast("long"))
-    val index = Ann.buildIndex(withLongId, idCol, vecCol,
-        Ann.buildCentroids(withLongId, idCol, vecCol, k))
-      .withColumn("n2", dot_long(col("v"), col("v")))
-      .select(col("centroid_id"), col("vid"), col("v"), col("n2"))
+    val index = indexOf(withLongId, idCol, vecCol, k)
 
-    // fast path: the whole cell fits one task — early-exit scan
-    def fastVerdicts(cells: DataFrame): DataFrame = cells
-      .select(col("centroid_id"), col("vid"), col("v"), col("n2"))
-      .as[(Long, Long, Array[Long], Long)]
-      .groupByKey(_._1)
-      .flatMapGroups { (cell, it) =>
-        val members = it.map { case (_, vid, v, n2) => (vid, v, n2) }
-          .toArray.sortBy(_._1)
-        val norms = members.map(m => math.sqrt(m._3.toDouble))
-        Iterator.tabulate(members.length) { bi =>
-          val (vid, vb, _) = members(bi)
-          var dropped = false
-          var ai = 0
-          while (!dropped && ai < bi) {
-            if (cosHit(members(ai)._2, vb, norms(ai), norms(bi), cosE6))
-              dropped = true
-            ai += 1
-          }
-          (vid, cell, !dropped)
-        }
-      }
-      .toDF(idCol, "centroid_id", "kept")
+    // The tiny (id, cell, kept, overflow) pass-1 output is
+    // localCheckpoint'd so the common case costs exactly ONE assignment
+    // scan — no separate cell-size job — and the ≤k overflowing cells
+    // are re-read only on the rare degraded run.
+    val first = verdictPass(index, idCol, cosE6, maxCell).localCheckpoint()
 
-    // k cell sizes — a bounded k-row aggregate that PICKS THE PLAN: the
-    // common case (every cell within maxCell) keeps the one-shuffle
-    // fast-path plan with no size join and no split machinery; only an
-    // actually-oversized run pays for the block decomposition below
-    val sizes = index.groupBy("centroid_id").agg(count(lit(1)).as("cell_n"))
-    val maxObserved = Option(sizes.agg(max("cell_n")).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    if (maxObserved <= maxCell) return fastVerdicts(index)
+    // ≤ k cell ids — bounded collect off the checkpoint, no rescan
+    val bigCells = first.filter(col("overflow"))
+      .select("centroid_id").distinct().collect().map(_.getLong(0))
+    if (bigCells.isEmpty) return first.drop("overflow")
 
-    val tagged = index.join(broadcast(sizes), "centroid_id")
-    val small = fastVerdicts(tagged.filter(col("cell_n") <= maxCell))
+    val small = first.filter(!col("overflow")).drop("overflow")
 
     // split path: id-ordered blocks of maxCell/2; a member's verdict is
     // the OR over its (lower-block, own-block) pair groups
     val blockSize = maxCell / 2
     val w = Window.partitionBy("centroid_id").orderBy("vid")
-    val blocked = tagged.filter(col("cell_n") > maxCell)
+    val blocked = index
+      .filter(col("centroid_id").isin(bigCells.map(Long.box): _*))
       .withColumn("rn", row_number().over(w))
+      .withColumn("cell_n",
+        max("rn").over(Window.partitionBy("centroid_id")))
       .withColumn("blk", expr(s"CAST((rn - 1) div $blockSize AS BIGINT)"))
       .withColumn("nblk",
         expr(s"CAST((cell_n + $blockSize - 1) div $blockSize AS BIGINT)"))
@@ -156,6 +134,58 @@ object SemDedup {
       .select(col(idCol), col("centroid_id"), (!col("dropped")).as("kept"))
 
     small.unionByName(big)
+  }
+
+  /** The quantized per-cell index (centroid_id, vid, v, n2) the verdict
+    * passes run over. */
+  private[graft] def indexOf(withLongId: DataFrame, idCol: String,
+                             vecCol: String, k: Int): DataFrame =
+    Ann.buildIndex(withLongId, idCol, vecCol,
+        Ann.buildCentroids(withLongId, idCol, vecCol, k))
+      .withColumn("n2", dot_long(col("v"), col("v")))
+      .select(col("centroid_id"), col("vid"), col("v"), col("n2"))
+
+  /** OPTIMISTIC single pass — the plan-choice probe IS the verdict
+    * pass: cells within maxCell emit final verdicts; an oversized cell
+    * stops buffering at the bound and flags every member `overflow`
+    * instead (per-task memory stays ≤ maxCell+1 members). Lazy — the
+    * caller checkpoints; PlanSpec pins this plan's shape (one
+    * MapGroups, no pair self-join, bounded shuffles). */
+  private[graft] def verdictPass(index: DataFrame, idCol: String,
+                                 cosE6: Long, maxCell: Int): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    index
+      .as[(Long, Long, Array[Long], Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Long)]
+        var overflowed = false
+        while (it.hasNext && !overflowed) {
+          buf += { val (_, vid, v, n2) = it.next(); (vid, v, n2) }
+          if (buf.length > maxCell) overflowed = true
+        }
+        if (overflowed) {
+          // drain: every member of this cell defers to the block path
+          (buf.iterator.map(_._1) ++ it.map(_._2))
+            .map(vid => (vid, cell, false, true))
+        } else {
+          val members = buf.toArray.sortBy(_._1)
+          val norms = members.map(m => math.sqrt(m._3.toDouble))
+          Iterator.tabulate(members.length) { bi =>
+            val (vid, vb, _) = members(bi)
+            var dropped = false
+            var ai = 0
+            while (!dropped && ai < bi) {
+              if (cosHit(members(ai)._2, vb, norms(ai), norms(bi), cosE6))
+                dropped = true
+              ai += 1
+            }
+            (vid, cell, !dropped, false)
+          }
+        }
+      }
+      .toDF(idCol, "centroid_id", "kept", "overflow")
   }
 
   /** Same arithmetic as the column form: exact integer dot, then one

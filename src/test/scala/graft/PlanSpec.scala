@@ -193,18 +193,30 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("v41 semdedup: per-cell verdict pass, no pair-output exchange") {
-    val plan = planOf(queries.Vectors.v41Semdedup(spark, dir))
-    // the verdict comes from ONE flatMapGroups pass over cells — the
-    // pair self-join (its `a.vid < b.vid` condition) must be gone, so
-    // no plan operator ever materializes or exchanges pair rows
+    // the verdict comes from ONE flatMapGroups pass over cells — pin
+    // the LAZY pass-1 plan (dedup() localCheckpoints it, which would
+    // hide the shape behind a Scan ExistingRDD)
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("vec_id", org.apache.spark.sql.functions.col("vec_id").cast("long"))
+    val plan = planOf(operators.SemDedup.verdictPass(
+      operators.SemDedup.indexOf(emb, "vec_id", "embedding", 8),
+      "vec_id", 300000L, 1 << 20))
     assert(plan.contains("MapGroups"),
       s"per-cell verdict operator missing from:\n$plan")
+    // the pair self-join (its `a.vid < b.vid` condition) must be gone —
+    // no plan operator ever materializes or exchanges pair rows
     assert("vid#\\d+L? < vid#\\d+".r.findFirstIn(plan).isEmpty,
       s"pair self-join (vid < vid) reappeared in:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
     // remaining joins are the index build's: k-row centroid broadcasts
     // and the vid equi-join — bounded shuffles end to end
     assert(shuffles(plan) <= 10, s"shuffle count grew past 10 in:\n$plan")
+    // and the operator's returned frame is the materialized pass —
+    // consumers never recompute the assignment scan
+    val returned = planOf(queries.Vectors.v41Semdedup(spark, dir))
+    assert(returned.contains("ExistingRDD"),
+      s"dedup() result is not checkpoint-backed:\n$returned")
+    assert(shuffles(returned) <= 1, s"post-checkpoint shuffles grew:\n$returned")
   }
 
   test("t66 pagerank: per-round join+agg with partial aggregation, no cartesian") {
