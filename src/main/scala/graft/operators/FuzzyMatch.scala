@@ -47,4 +47,23 @@ object FuzzyMatch {
       .withColumn("dist", levenshtein(col("a"), col("b")))
       .filter(col("dist") <= maxDist)
   }
+
+  /** The dedup DECISION at linear output cost — the production twin of
+    * [[editDistancePairs]]: `(word, kept)` where a word is kept iff no
+    * lexicographically-smaller word sits within `maxDist` (the greedy
+    * keep-first rule, deterministic by the total lex order). Candidate
+    * pairs still form inside the plan — bounded by the deletion
+    * blocking, never all-pairs — but they aggregate straight into a
+    * per-word verdict: the OUTPUT is one row per vocabulary word, the
+    * shape that survives a typo-dense 100 TB vocabulary where the pair
+    * SET (t83's certified-lossless eval output) grows with every typo
+    * cluster squared. */
+  def editDistanceDedup(df: DataFrame, wordCol: String, maxDist: Int): DataFrame = {
+    val words = df.select(col(wordCol).as("word")).distinct()
+    val dropped = editDistancePairs(df, wordCol, maxDist)
+      .select(col("b").as("word")).distinct()
+      .withColumn("drop", lit(true))
+    words.join(dropped, Seq("word"), "left")
+      .select(col("word"), col("drop").isNull.as("kept"))
+  }
 }

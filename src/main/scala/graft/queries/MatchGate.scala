@@ -170,8 +170,30 @@ object MatchGate {
         |FROM r GROUP BY v ORDER BY doc_id""".stripMargin)
   }
 
+  /** t94: the linear-decision twin of t83 — per-word keep/drop under
+    * the greedy keep-first rule instead of the pair set. Same deletion
+    * blocking, same exact-distance contract; output linear in the
+    * vocabulary. */
+  def t94EditDistanceDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyMatch
+      .editDistanceDedup(partWords(s, dir), "w", maxDist = 2)
+      .orderBy("word")
+
+  /** t96: the linear-decision twin of t93 — per-point keep/drop under
+    * the greedy keep-first rule instead of the neighbor pair set. Same
+    * 3×3 grid blocking; output linear in the point set. */
+  def t96GridDedup(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+      expr("(c_custkey * 2654435761) % 10007").as("x"),
+      expr("(c_custkey * 40503) % 10007").as("y"))
+    graft.operators.GridJoin.neighborDedup(pts, "id", "x", "y", r = 50L)
+      .orderBy("id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q132_recursive_cte" -> (q132RecursiveCte _),
+    "t94_edit_distance_dedup" -> (t94EditDistanceDedup _),
+    "t96_grid_dedup" -> (t96GridDedup _),
     "t83_edit_distance_join" -> (t83EditDistanceJoin _),
     "t84_inverted_index" -> (t84InvertedIndex _),
     "t85_triangle_count" -> (t85TriangleCount _),
@@ -204,6 +226,26 @@ object MatchGate {
         |FROM w a JOIN w b ON a.w < b.w
         |WHERE levenshtein(a.w, b.w) <= 2
         |ORDER BY a, b""".stripMargin,
+    "t94_edit_distance_dedup" ->
+      // the brute-force DECISION the linear blocking must reproduce
+      """WITH w AS (SELECT DISTINCT t w FROM (SELECT unnest(string_split(p_name, ' ')) t
+        |    FROM part) WHERE t <> ''),
+        |d AS (SELECT DISTINCT b.w w FROM w a JOIN w b ON a.w < b.w
+        |      WHERE levenshtein(a.w, b.w) <= 2)
+        |SELECT w.w word, (d.w IS NULL) kept
+        |FROM w LEFT JOIN d ON w.w = d.w
+        |ORDER BY word""".stripMargin,
+    "t96_grid_dedup" ->
+      // brute-force keep-first over the r-box neighborhood
+      """WITH p AS (SELECT c_custkey id,
+        |    (c_custkey * 2654435761) % 10007 x,
+        |    (c_custkey * 40503) % 10007 y
+        |  FROM customer),
+        |d AS (SELECT DISTINCT b.id id FROM p a JOIN p b ON a.id < b.id
+        |      WHERE abs(a.x - b.x) <= 50 AND abs(a.y - b.y) <= 50)
+        |SELECT p.id AS id, (d.id IS NULL) kept
+        |FROM p LEFT JOIN d ON p.id = d.id
+        |ORDER BY p.id""".stripMargin,
     "t84_inverted_index" ->
       """WITH dt AS (SELECT DISTINCT doc_id, t term FROM (SELECT doc_id,
         |    unnest(string_split(text, ' ')) t FROM documents) WHERE t <> '')

@@ -366,6 +366,29 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** t95: the CONTAINMENT dedup DECISION at linear output cost — the
+    * production twin of t91's eval-only pair expander: a document is
+    * dropped when it is mostly contained (≥ 60% of its shingles) in a
+    * LARGER band-candidate partner; on equal sizes the higher id drops
+    * (deterministic keep-the-bigger, tie-to-lower-id rule — the
+    * quote/boilerplate-wrapper cleanup a corpus pipeline actually
+    * applies). Size comparison derives from the two containment ppms
+    * (i/n_a > i/n_b ⇔ n_b > n_a on the same intersection), so the
+    * decision reads ONLY t91's per-candidate columns and aggregates
+    * straight into a distinct drop list — output linear in the corpus
+    * while the pair set stays an internal, blocking-bounded step. */
+  def t95ContainmentDedupDrops(s: SparkSession, dir: String): DataFrame = {
+    val tau = 600000L
+    val p = t91ContainmentPairs(s, dir)
+    val dropA = p.filter(col("contain_a_ppm") >= tau &&
+        col("contain_a_ppm") > col("contain_b_ppm"))
+      .select(col("doc_a").as("doc_id"))
+    val dropB = p.filter(col("contain_b_ppm") >= tau &&
+        col("contain_b_ppm") >= col("contain_a_ppm"))
+      .select(col("doc_b").as("doc_id"))
+    dropA.union(dropB).distinct().orderBy("doc_id")
+  }
+
   /** t34: the LSH dedup DECISION at linear cost — drop any document
     * that is not the smallest id in one of its band buckets (the
     * greedy keep-first rule a production dedup applies). Unlike the
@@ -623,6 +646,7 @@ object TextDedup {
     "t34_minhash_dedup_drops" -> (t34MinhashDedupDrops _),
     "t75_minhash_quality" -> (t75MinhashQuality _),
     "t91_containment_pairs" -> (t91ContainmentPairs _),
+    "t95_containment_dedup_drops" -> (t95ContainmentDedupDrops _),
     "t29_json_extract" -> (t29JsonExtract _),
     "t30_unpivot_part" -> (t30UnpivotPart _),
     "t31_multimodal_meta" -> (t31MultimodalMeta _),
@@ -636,6 +660,30 @@ object TextDedup {
       |         i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
       |       ELSE CAST([] AS VARCHAR[]) END s
       | FROM d)""".stripMargin
+
+  /** t28's band candidates + exact shingle intersection — the shared
+    * core of the t91 pair expander and the t95 drop decision. */
+  private val containmentCoreSql = shingleSqlCte +
+    """,
+      |ex AS (SELECT doc_id, md5(unnest(s)) m FROM sh),
+      |sig AS (SELECT doc_id,
+      |  min(m) || min(substr(m,5,28) || substr(m,1,4))
+      |         || min(substr(m,9,24) || substr(m,1,8))
+      |         || min(substr(m,13,20) || substr(m,1,12)) AS band1,
+      |  min(substr(m,17,16) || substr(m,1,16))
+      |         || min(substr(m,21,12) || substr(m,1,20))
+      |         || min(substr(m,25,8) || substr(m,1,24))
+      |         || min(substr(m,29,4) || substr(m,1,28)) AS band2
+      | FROM ex GROUP BY doc_id),
+      |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+      |         FROM sig a JOIN sig b ON (a.band1 = b.band1 OR a.band2 = b.band2)
+      |                             AND a.doc_id < b.doc_id),
+      |ns AS (SELECT doc_id, cast(len(s) as bigint) n FROM sh),
+      |shx AS (SELECT doc_id, unnest(s) shv FROM sh),
+      |inter AS (SELECT c.doc_a, c.doc_b, cast(count(*) as bigint) i
+      |          FROM cand c JOIN shx a ON a.doc_id = c.doc_a
+      |                      JOIN shx b ON b.doc_id = c.doc_b AND a.shv = b.shv
+      |          GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "t43_url_canonicalize" ->
@@ -891,27 +939,8 @@ object TextDedup {
     "t91_containment_pairs" ->
       // t28's candidates; exact intersection only on candidates
       // (t75's discipline); containment in integer ppm both directions
-      (shingleSqlCte +
-      """,
-        |ex AS (SELECT doc_id, md5(unnest(s)) m FROM sh),
-        |sig AS (SELECT doc_id,
-        |  min(m) || min(substr(m,5,28) || substr(m,1,4))
-        |         || min(substr(m,9,24) || substr(m,1,8))
-        |         || min(substr(m,13,20) || substr(m,1,12)) AS band1,
-        |  min(substr(m,17,16) || substr(m,1,16))
-        |         || min(substr(m,21,12) || substr(m,1,20))
-        |         || min(substr(m,25,8) || substr(m,1,24))
-        |         || min(substr(m,29,4) || substr(m,1,28)) AS band2
-        | FROM ex GROUP BY doc_id),
-        |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
-        |         FROM sig a JOIN sig b ON (a.band1 = b.band1 OR a.band2 = b.band2)
-        |                             AND a.doc_id < b.doc_id),
-        |ns AS (SELECT doc_id, cast(len(s) as bigint) n FROM sh),
-        |shx AS (SELECT doc_id, unnest(s) shv FROM sh),
-        |inter AS (SELECT c.doc_a, c.doc_b, cast(count(*) as bigint) i
-        |          FROM cand c JOIN shx a ON a.doc_id = c.doc_a
-        |                      JOIN shx b ON b.doc_id = c.doc_b AND a.shv = b.shv
-        |          GROUP BY 1, 2)
+      (containmentCoreSql +
+      """
         |SELECT c.doc_a, c.doc_b, coalesce(i.i, 0) inter,
         |  coalesce(i.i, 0) * 1000000 // na.n contain_a_ppm,
         |  coalesce(i.i, 0) * 1000000 // nb.n contain_b_ppm,
@@ -922,6 +951,23 @@ object TextDedup {
         |JOIN ns na ON na.doc_id = c.doc_a
         |JOIN ns nb ON nb.doc_id = c.doc_b
         |ORDER BY c.doc_a, c.doc_b""".stripMargin),
+    "t95_containment_dedup_drops" ->
+      // the same candidate/containment core folded into the
+      // keep-the-bigger (tie → lower id) drop decision
+      (containmentCoreSql +
+      """,
+        |p AS (SELECT c.doc_a, c.doc_b,
+        |        coalesce(i.i, 0) * 1000000 // na.n ca,
+        |        coalesce(i.i, 0) * 1000000 // nb.n cb
+        |      FROM cand c
+        |      LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        |      JOIN ns na ON na.doc_id = c.doc_a
+        |      JOIN ns nb ON nb.doc_id = c.doc_b)
+        |SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_a doc_id FROM p WHERE ca >= 600000 AND ca > cb
+        |  UNION ALL
+        |  SELECT doc_b FROM p WHERE cb >= 600000 AND cb >= ca)
+        |ORDER BY doc_id""".stripMargin),
     "t34_minhash_dedup_drops" ->
       (shingleSqlCte +
       """,

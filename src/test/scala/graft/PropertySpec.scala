@@ -161,6 +161,12 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       .editDistancePairs(vocab.toDF("w"), "w", maxDist = 2)
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
     assert(got === want)
+    // the linear-decision twin (t94): kept ⇔ not any pair's b-side
+    val wantKept = vocab.map(w => w -> !want.exists(_._2 == w)).toMap
+    val gotKept = graft.operators.FuzzyMatch
+      .editDistanceDedup(vocab.toDF("w"), "w", maxDist = 2)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(gotKept === wantKept)
   }
 
   test("scd2 intervals partition each key's timeline on random changelogs") {
@@ -211,6 +217,12 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       .select("id_a", "id_b")
       .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
     assert(got === want)
+    // the linear-decision twin (t96): kept ⇔ never a pair's higher id
+    val wantKept = pts.map { case (i, _, _) => i -> !want.exists(_._2 == i) }.toMap
+    val gotKept = graft.operators.GridJoin
+      .neighborDedup(pts.toDF("id", "x", "y"), "id", "x", "y", r)
+      .collect().map(row => row.getLong(0) -> row.getBoolean(1)).toMap
+    assert(gotKept === wantKept)
   }
 
   test("interval coverage equals a brute-force sweep on random intervals") {
