@@ -37,6 +37,28 @@ object Tables {
     "orders" -> Seq("o_orderdate"),
     "lineitem" -> Seq("l_shipdate"))
 
+  /** Columns every query program assumes exist — checked at the scan so
+    * a regenerated fixture that drops/renames one fails HERE with the
+    * table and column named, not as a deep AnalysisException inside an
+    * arbitrary gate. */
+  private val requiredCols: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey", "r_name"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value",
+      "props"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"))
+
   /** TS→NTZ preserving the UTC instant's wall clock, via pure datetime
     * arithmetic — independent of `spark.sql.session.timeZone`. */
   private def utcWallClock(c: String): Column =
@@ -45,6 +67,12 @@ object Tables {
 
   private def conform(name: String, df: DataFrame): DataFrame = {
     var out = df
+    requiredCols.get(name).foreach { cols =>
+      val missing = cols.filterNot(out.columns.contains)
+      require(missing.isEmpty,
+        s"$name.parquet is missing required column(s) " +
+          s"${missing.mkString(", ")} (found: ${out.columns.mkString(", ")})")
+    }
     // date-ish columns: queries are written against TIMESTAMP_NTZ
     ntzContract.getOrElse(name, Nil).foreach { c =>
       require(out.columns.contains(c),

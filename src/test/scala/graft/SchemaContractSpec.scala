@@ -89,10 +89,11 @@ class SchemaContractSpec extends AnyFunSuite with SparkSpec {
       Seq(0.5f, 1.25f, -2.0f))
 
     val schemaS = StructType(Seq(
-      StructField("vec_id", LongType), StructField("embedding", StringType)))
+      StructField("vec_id", LongType), StructField("embedding", StringType),
+      StructField("label", IntegerType)))
     val d2 = tmp()
     spark.createDataFrame(
-        java.util.Arrays.asList(Row(1L, "not-a-vector")), schemaS)
+        java.util.Arrays.asList(Row(1L, "not-a-vector", 3)), schemaS)
       .repartition(1).write.mode("overwrite").parquet(s"$d2/embeddings.parquet")
     val err = intercept[IllegalStateException](Tables.embeddings(spark, d2))
     assert(err.getMessage.contains("embedding"))
