@@ -23,13 +23,25 @@ object Bench {
   /** Two timed passes, min per query (single-run numbers swing ±25%
     * with background load on shared hardware; the min is the stable
     * steady-state estimate). Returns (name → seconds) for queries that
-    * completed BOTH passes and (name → error) for the rest. */
+    * completed BOTH passes and (name → error) for the rest.
+    *
+    * Execution is `queryExecution.toRdd.count()` — NOT `df.count()`:
+    * wrapping a query in count() lets Catalyst prune every operator
+    * whose output the count doesn't need (a window whose carried
+    * column feeds only pruned projections disappears entirely — q44's
+    * as-of window was being optimized OUT of its own benchmark,
+    * flat-lining at 0.3 s from 100 k to 10 M input rows). toRdd
+    * executes the query's own optimized plan and counts its rows, so
+    * the number measures the operator the gate exists to measure. */
   private[graft] def measure(spark: SparkSession, sfDir: String,
                              queries: Seq[(String, Q)])
       : (Seq[(String, Double)], Map[String, String]) = {
     def timeOnce(fn: Q): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      try {
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        Right((System.nanoTime() - t0) / 1e9)
+      }
       catch { case e: Throwable =>
         Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
       }
@@ -55,9 +67,10 @@ object Bench {
       .toSeq.sortBy(_._1)
 
     // warmup: execute everything once, untimed (failures re-surface —
-    // loudly — in the timed passes)
+    // loudly — in the timed passes); same toRdd form as the timed runs
     queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
     }
 
     val (results, errors) = measure(spark, sfDir, queries)

@@ -103,4 +103,77 @@ object TemporalJoin {
         Seq(when(inTolerance, matchedRt).as(s"${rightTime}_matched")) ++
         rightCols.map(c => when(inTolerance, col("__m")(c)).as(c)): _*)
   }
+
+  /** The NATIVE physical form of [[asOfJoin]] — identical semantics and
+    * output contract (keys, leftTime, left cols, `<rightTime>_matched`,
+    * right cols; left outer; inclusive boundaries; tolerance), executed
+    * by [[graft.plans.AsOfJoinExec]]: one exchange per side, per-key
+    * merge, O(1) carried state — instead of the union+window's single
+    * combined shuffle and carried struct. The trade is scale-shaped:
+    * the window form shuffles EVERY row at the union's combined width
+    * (each right row padded with null left columns and vice versa) and
+    * materializes a carried struct per row, so its shuffled bytes and
+    * window state grow with width × (|L|+|R|); the native form ships
+    * each side at its own width and streams. Measured (toRdd-forced
+    * full execution, local[32]): parity at 100 k events (0.59 s vs
+    * 0.57 s), native 1.3× faster at 10 M (q44 1.83 s vs q137 1.39 s)
+    * — the gap widens with volume exactly as the byte math predicts.
+    * Time columns must be the canonical epoch longs (cast first; the
+    * events contract). PlanSpec pins the physical operator;
+    * PropertySpec proves equivalence with the composed form on
+    * randomized inputs. */
+  def asOfJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTime: String, rightTime: String,
+                     toleranceNs: Option[Long] = None,
+                     direction: String = "backward"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val backward = direction match {
+      case "backward" => true
+      case "forward" => false
+      case other => throw new IllegalArgumentException(
+        s"""direction must be "backward" or "forward", got "$other"""")
+    }
+    require(keys.nonEmpty, "asOfJoinNative needs at least one key column")
+    require(left.schema(leftTime).dataType == org.apache.spark.sql.types.LongType &&
+      right.schema(rightTime).dataType == org.apache.spark.sql.types.LongType,
+      s"asOfJoinNative expects epoch-long time columns; cast '$leftTime'/" +
+        s"'$rightTime' to long first")
+    val spark = left.sparkSession
+    graft.plans.GraftExtensions.enableAsOfJoinStrategy(spark)
+
+    // mirror asOfJoin's projection: keys, left time, remaining left cols
+    val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftTime)
+    val orderedLeft = left.select((keys :+ leftTime) ++ leftCols map col: _*)
+    val lPlan = orderedLeft.queryExecution.analyzed
+
+    // fresh exprIds on the right side: the common case is a self-join
+    // (both sides filtered from the same table), whose shared ids
+    // would otherwise be ambiguous inside the node's expressions
+    val rAnalyzed = right.queryExecution.analyzed
+    val rPlan = Project(
+      rAnalyzed.output.map(a => Alias(a, a.name)()), rAnalyzed)
+    val rOut = rPlan.output
+    def rAttr(name: String): Attribute =
+      rOut.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"right side has no column '$name'"))
+    def lAttr(name: String): Attribute =
+      lPlan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"left side has no column '$name'"))
+
+    val rightCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
+    val payload = rightCols.map(rAttr).toSeq
+    val matchedOut: Seq[Attribute] =
+      AttributeReference(s"${rightTime}_matched",
+        org.apache.spark.sql.types.LongType, nullable = true)() +:
+        payload.map(a =>
+          AttributeReference(a.name, a.dataType, nullable = true)())
+
+    val node = graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      keys.map(lAttr).toSeq, keys.map(rAttr).toSeq,
+      lAttr(leftTime), rAttr(rightTime),
+      payload, matchedOut, backward, toleranceNs)
+    org.apache.spark.sql.GraftBridge.ofRows(spark, node)
+  }
 }

@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorExpressions.DotLong].getName, "dot_e6"),
       (children: Seq[Expression]) => GraftExtensions.buildDot(children)))
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
@@ -53,6 +54,13 @@ object GraftExtensions {
   def disableRangeJoinRewrite(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations.filterNot(_ == RangeJoinRewrite)
+
+  /** Attach [[AsOfJoinStrategy]] to an already-running session (the
+    * planner twin of [[enableRangeJoinRewrite]]). Idempotent. */
+  def enableAsOfJoinStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
 
   /** Register the same functions on an already-running session (the
     * builder-time extensions path only applies to new sessions). */

@@ -211,7 +211,29 @@ object Temporal {
       .orderBy("user_id", "day")
   }
 
+  /** q137: q44's exact query through the NATIVE [[graft.plans.AsOfJoinExec]]
+    * physical operator (custom LogicalPlan + SparkStrategy + SparkPlan —
+    * the full Catalyst ladder step (c)) instead of the composed
+    * union+window. Shares q44's DuckDB `ASOF LEFT JOIN` oracle, so the
+    * physical merge is certified against the engine-external reference
+    * semantics, not just against our own composed form. */
+  def q137AsofJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("snap_ts"),
+        col("value").as("snap_value"))
+    TemporalJoin.asOfJoinNative(purchases, signups, Seq("user_id"), "ts", "snap_ts")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"),
+        expr("snap_ts_matched div 1000").as("snap_ts_us"),
+        col("snap_value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q137_asof_join_native" -> (q137AsofJoinNative _),
     "q44_asof_join" -> (q44AsofJoin _),
     "q68_watermark_lag" -> (q68WatermarkLag _),
     "q73_range_join" -> (q73RangeJoin _),
@@ -350,5 +372,9 @@ object Temporal {
   // q79 shares q73's oracle verbatim: same fixture, same BETWEEN
   // semantics — only the plan that produces the answer differs
   val oracles: Map[String, String] =
-    oraclesBase + ("q79_range_rewrite" -> oraclesBase("q73_range_join"))
+    oraclesBase +
+      ("q79_range_rewrite" -> oraclesBase("q73_range_join")) +
+      // the native physical operator must match the same external
+      // ASOF JOIN reference answer as the composed form
+      ("q137_asof_join_native" -> oraclesBase("q44_asof_join"))
 }

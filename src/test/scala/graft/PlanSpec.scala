@@ -411,6 +411,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q137 native as-of join: AsOfJoin physical node, one exchange per side, no window") {
+    val plan = planOf(queries.Temporal.q137AsofJoinNative(spark, dir))
+    assert(plan.contains("AsOfJoin"),
+      s"native as-of operator missing — strategy not applied in:\n$plan")
+    assert(!plan.contains("Window"),
+      s"union+window form leaked into the native path:\n$plan")
+    assert(!plan.contains("Union"),
+      s"union+window form leaked into the native path:\n$plan")
+    // the SMJ cost structure: each side exchanges on the key once
+    // (fact and dim shuffled separately — never unioned first), plus
+    // the gate's presentation sort
+    assert(shuffles(plan) <= 3, s"expected ≤3 exchanges in:\n$plan")
+  }
+
   test("q134 AQE skew join: a runtime skew split occurred and equals the salted variant") {
     queries.LayoutGate.withSkewJoinConfs(spark) {
       val df = queries.LayoutGate.skewJoinProgram(spark, dir)

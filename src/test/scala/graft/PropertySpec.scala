@@ -275,6 +275,35 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(oneShot === want)
   }
 
+  test("native as-of join equals the composed union+window form on random inputs (q137)") {
+    val rnd = new scala.util.Random(7)
+    // unique (key, time) per side so tie order cannot differ between
+    // the two implementations (both leave equal-time right order
+    // unspecified); keys deliberately overlap only partially so the
+    // left-outer null path is exercised
+    val lefts = rnd.shuffle((0 until 400).toList).take(300).map { i =>
+      (i.toLong % 23 - 3, (i * 97).toLong % 5000, i.toLong)
+    }
+    val rights = rnd.shuffle((0 until 400).toList).take(250).map { i =>
+      (i.toLong % 29 - 3, (i * 89).toLong % 5000 + 1, i.toLong * 10)
+    }
+    val l = lefts.toDF("k", "t", "lv")
+    val r = rights.toDF("k", "rt", "rv")
+    for {
+      dir <- Seq("backward", "forward")
+      tol <- Seq(None, Some(700L))
+    } {
+      val composed = graft.operators.TemporalJoin
+        .asOfJoin(l, r, Seq("k"), "t", "rt", tol, dir)
+        .collect().map(_.toString).sorted.toSeq
+      val native = graft.operators.TemporalJoin
+        .asOfJoinNative(l, r, Seq("k"), "t", "rt", tol, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(native === composed,
+        s"native as-of diverged from composed (direction=$dir, tol=$tol)")
+    }
+  }
+
   test("TopK aggregator: any merge tree equals the sort-take reference (q133)") {
     import graft.functions.TopK
     val agg = new TopK.TopKByCount(5)

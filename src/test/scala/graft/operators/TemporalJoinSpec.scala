@@ -91,4 +91,31 @@ class TemporalJoinSpec extends AnyFunSuite with SparkSpec {
     assert(row.isNullAt(row.fieldIndex("state")))
     assert(row.getAs[Long]("score") === 200L)
   }
+
+  test("native operator matches the composed form on the fixture, both directions") {
+    for (dir <- Seq("backward", "forward")) {
+      val composed = TemporalJoin.asOfJoin(left, right, Seq("k"), "t", "rt",
+        direction = dir).collect().map(_.toString).sorted.toSeq
+      val native = TemporalJoin.asOfJoinNative(left, right, Seq("k"), "t", "rt",
+        direction = dir).collect().map(_.toString).sorted.toSeq
+      assert(native === composed, s"direction=$dir")
+    }
+  }
+
+  test("native operator: empty sides and long-key requirement") {
+    val emptyR = right.filter(lit(false))
+    val n1 = TemporalJoin.asOfJoinNative(left, emptyR, Seq("k"), "t", "rt")
+      .collect()
+    assert(n1.length === left.count())
+    assert(n1.forall(_.isNullAt(n1.head.fieldIndex("rt_matched"))))
+    val emptyL = left.filter(lit(false))
+    assert(TemporalJoin.asOfJoinNative(emptyL, right, Seq("k"), "t", "rt")
+      .collect().isEmpty)
+    // non-long time column fails loudly at construction
+    val badTime = left.withColumn("t", col("t").cast("string"))
+    val err = intercept[IllegalArgumentException] {
+      TemporalJoin.asOfJoinNative(badTime, right, Seq("k"), "t", "rt")
+    }
+    assert(err.getMessage.contains("epoch-long"))
+  }
 }
