@@ -232,8 +232,47 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** q138/q139: the forward and forward+tolerance quadrants of the
+    * native physical operator, sharing q83/q84's oracles — with q137
+    * the native [[graft.plans.AsOfJoinExec]] is oracle-certified on the
+    * same (direction × bounded) matrix the composed form carries. */
+  def q138AsofForwardNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("snap_ts"),
+        col("value").as("snap_value"))
+    TemporalJoin.asOfJoinNative(purchases, signups, Seq("user_id"),
+        "ts", "snap_ts", direction = "forward")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"),
+        expr("snap_ts_matched div 1000").as("snap_ts_us"),
+        col("snap_value"))
+      .orderBy("event_id")
+  }
+
+  def q139AsofForwardTolNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    TemporalJoin.asOfJoinNative(purchases, clicks, Seq("user_id"),
+        "ts", "click_ts",
+        toleranceNs = Some(7L * 24 * 3600 * 1000000000L), direction = "forward")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"),
+        expr("click_ts_matched div 1000").as("click_ts_us"),
+        col("click_value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q137_asof_join_native" -> (q137AsofJoinNative _),
+    "q138_asof_forward_native" -> (q138AsofForwardNative _),
+    "q139_asof_forward_tol_native" -> (q139AsofForwardTolNative _),
     "q44_asof_join" -> (q44AsofJoin _),
     "q68_watermark_lag" -> (q68WatermarkLag _),
     "q73_range_join" -> (q73RangeJoin _),
@@ -375,6 +414,9 @@ object Temporal {
     oraclesBase +
       ("q79_range_rewrite" -> oraclesBase("q73_range_join")) +
       // the native physical operator must match the same external
-      // ASOF JOIN reference answer as the composed form
-      ("q137_asof_join_native" -> oraclesBase("q44_asof_join"))
+      // ASOF JOIN reference answers as the composed form, on the full
+      // (direction × bounded) matrix
+      ("q137_asof_join_native" -> oraclesBase("q44_asof_join")) +
+      ("q138_asof_forward_native" -> oraclesBase("q83_asof_forward")) +
+      ("q139_asof_forward_tol_native" -> oraclesBase("q84_asof_forward_tol"))
 }
