@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.types.LongType
 
 /** A NATIVE as-of join — SURVEY custom-operator ladder step (c): a
@@ -100,7 +101,13 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     val leftOut = left.output
     val rightOut = right.output
     val matchedWidth = matchedOutput.length
@@ -170,8 +177,10 @@ case class AsOfJoinExec(
               } else cont = false
             }
             if (candKey != null && keyOrd.compare(candKey, lk) == 0 &&
-                tol.forall(lt - candT <= _))
+                tol.forall(lt - candT <= _)) {
               payload = candPayload
+              numMatched += 1
+            }
           } else {
             var cont = !rDone
             while (cont) {
@@ -180,10 +189,13 @@ case class AsOfJoinExec(
               else cont = false
             }
             if (!rDone && keyOrd.compare(rKey, lk) == 0 &&
-                tol.forall(rT - lt <= _))
+                tol.forall(rT - lt <= _)) {
               payload = rPayload
+              numMatched += 1
+            }
           }
         }
+        numOutputRows += 1
         resultProj(joined(l, payload))
       }
     }

@@ -11,4 +11,11 @@ object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The planner strategies a SparkSessionExtensions instance would
+    * install — lets the spec pin the builder-path injection without
+    * constructing a second SparkSession in the shared test JVM. */
+  def plannerStrategies(ext: SparkSessionExtensions,
+                        spark: SparkSession): Seq[execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
 }

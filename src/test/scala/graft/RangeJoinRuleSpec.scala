@@ -143,4 +143,13 @@ class RangeJoinRuleSpec extends AnyFunSuite with SparkSpec {
       assert(!half.queryExecution.executedPlan.toString.contains("__graft"))
     } finally GraftExtensions.disableRangeJoinRewrite(spark)
   }
+
+  test("builder-path extensions install the as-of planner strategy") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val strategies =
+      org.apache.spark.sql.GraftBridge.plannerStrategies(ext, spark)
+    assert(strategies.contains(graft.plans.AsOfJoinStrategy),
+      "withExtensions(new GraftExtensions) does not plan AsOfJoinNode")
+  }
 }
