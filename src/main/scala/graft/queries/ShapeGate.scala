@@ -514,7 +514,33 @@ object ShapeGate {
       .orderBy("doc_id")
   }
 
+  /** t97: EXACT balanced per-group sampling — k documents per language
+    * chosen by a portable hash rank ((doc_id·2654435761) mod 1000003,
+    * reproducible on any engine), via the k-bounded typed Aggregator
+    * from q133 instead of a per-group window. The shape matters at
+    * 100 TB: "k docs per language" has FEW heavy groups, so a
+    * row_number window puts an entire language on one task, while the
+    * aggregator's partial buffers cap at k entries per task and merge
+    * — no skew, no per-group sort. Deterministic ties by doc_id. The
+    * oracle IS the window form — certifying the aggregator equals the
+    * window semantics exactly is the point. */
+  def t97BalancedSample(s: SparkSession, dir: String): DataFrame = {
+    val fn = graft.functions.TopK.register(s, 20)
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        (col("doc_id") * 2654435761L % 1000003L).as("hk"))
+      .createOrReplaceTempView("g_t97_docs")
+    s.sql(
+      s"""SELECT lang, cast(pos + 1 as bigint) AS rank, e.value AS doc_id
+         |FROM (
+         |  SELECT lang, $fn(doc_id, -hk) AS tk
+         |  FROM g_t97_docs GROUP BY lang) t
+         |LATERAL VIEW posexplode(t.tk.entries) pe AS pos, e
+         |ORDER BY lang, rank""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "t97_balanced_sample" -> (t97BalancedSample _),
     "t62_token_quantiles" -> (t62TokenQuantiles _),
     "t63_zipf_histogram" -> (t63ZipfHistogram _),
     "t66_pagerank" -> (t66Pagerank _),
@@ -539,6 +565,16 @@ object ShapeGate {
   )
 
   val oracles: Map[String, String] = Map(
+    // the window form the k-bounded aggregator must equal exactly:
+    // (cnt desc, value asc) over cnt = −hk ⇔ ORDER BY hk, doc_id
+    "t97_balanced_sample" ->
+      """WITH h AS (SELECT lang, doc_id,
+        |    (doc_id * 2654435761) % 1000003 hk FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) rnk
+        |  FROM h)
+        |SELECT lang, cast(rnk as bigint) "rank", doc_id
+        |FROM r WHERE rnk <= 20 ORDER BY lang, "rank"""".stripMargin,
     "t71_bpe_merges" -> bpeOracleSql(8),
     "t72_bpe_tokenize" -> bpeTokenizeOracleSql(8),
     "t78_bpe_merges_delta" -> bpeOracleSql(8),
