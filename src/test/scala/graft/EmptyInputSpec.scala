@@ -112,4 +112,23 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
       source = 7L, rounds = 2).collect()
     assert(bfs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((7L, 0L)))
   }
+
+  test("round-9 operators (dedup decisions, TopK, native as-of) on empty inputs") {
+    assert(FuzzyMatch.editDistanceDedup(
+      Seq.empty[String].toDF("w"), "w", 2).count() == 0)
+    assert(GridJoin.neighborDedup(
+      Seq.empty[(Long, Long, Long)].toDF("id", "x", "y"),
+      "id", "x", "y", r = 10L).count() == 0)
+    // TopK over an empty frame: no groups, no rows
+    val fn = graft.functions.TopK.register(spark, 3)
+    Seq.empty[(Long, Long, Long)].toDF("g", "v", "cnt")
+      .createOrReplaceTempView("empty_topk_in")
+    assert(spark.sql(s"SELECT g, $fn(v, cnt) FROM empty_topk_in GROUP BY g")
+      .count() == 0)
+    // native as-of with both sides empty
+    val noL = Seq.empty[(Long, Long, Long)].toDF("k", "t", "lv")
+    val noR = Seq.empty[(Long, Long, Long)].toDF("k", "rt", "rv")
+    assert(TemporalJoin.asOfJoinNative(noL, noR, Seq("k"), "t", "rt")
+      .count() == 0)
+  }
 }
