@@ -40,7 +40,18 @@ object TopK {
     require(k > 0, s"k must be positive, got $k")
     private def trim(s: Seq[Entry]): Seq[Entry] = s.sortWith(better).take(k)
     override def zero: Buf = Buf(Seq.empty)
-    override def reduce(b: Buf, in: Entry): Buf = Buf(trim(b.entries :+ in))
+    // the buffer is kept sorted (zero is empty, reduce inserts in
+    // place, merge re-sorts) — so the per-input-row cost is one O(k)
+    // bounded insertion, not a fresh O(k log k) sort per row
+    override def reduce(b: Buf, in: Entry): Buf = {
+      val e = b.entries
+      if (e.length >= k && better(e.last, in)) b
+      else {
+        val at = e.indexWhere(better(in, _))
+        val pos = if (at < 0) e.length else at
+        Buf(((e.take(pos) :+ in) ++ e.drop(pos)).take(k))
+      }
+    }
     override def merge(a: Buf, b: Buf): Buf = Buf(trim(a.entries ++ b.entries))
     override def finish(r: Buf): Buf = Buf(trim(r.entries))
     override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]

@@ -84,8 +84,13 @@ object SemDedup {
     // the OR over its (lower-block, own-block) pair groups
     val blockSize = maxCell / 2
     val w = Window.partitionBy("centroid_id").orderBy("vid")
+    // localCheckpoint: `index` is an uncached lineage ending in the full
+    // centroid build + assignment scan; without it the degraded path
+    // would re-run that most-expensive job for EACH of the two
+    // consumers below (lowers and uppers both scan `blocked`)
     val blocked = index
       .filter(col("centroid_id").isin(bigCells.map(Long.box): _*))
+      .localCheckpoint()
       .withColumn("rn", row_number().over(w))
       .withColumn("cell_n",
         max("rn").over(Window.partitionBy("centroid_id")))

@@ -139,6 +139,17 @@ object TemporalJoin {
       right.schema(rightTime).dataType == org.apache.spark.sql.types.LongType,
       s"asOfJoinNative expects epoch-long time columns; cast '$leftTime'/" +
         s"'$rightTime' to long first")
+    // the exec's merge compares left/right key UnsafeRows under an
+    // ordering built from the LEFT key types — a mismatched right key
+    // (int vs bigint) has a different row layout and would compare
+    // silently wrong, so fail loudly at build time instead
+    keys.foreach { k =>
+      val lt = left.schema(k).dataType
+      val rt = right.schema(k).dataType
+      require(lt == rt,
+        s"asOfJoinNative key '$k' has mismatched types: left ${lt.simpleString} " +
+          s"vs right ${rt.simpleString} — cast both sides to the same type first")
+    }
     val spark = left.sparkSession
     graft.plans.GraftExtensions.enableAsOfJoinStrategy(spark)
 

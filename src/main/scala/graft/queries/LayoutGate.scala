@@ -19,6 +19,14 @@ import graft.operators.Layout
 object LayoutGate {
   type Q = (SparkSession, String) => DataFrame
 
+  // Per-process scratch root (the VersionedGate discipline): fixed
+  // tmp-dir names race when two Verify/test runs share a box — one run's
+  // overwrite lands mid-read of the other's.
+  private lazy val scratchBase: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_layout_gate_")
+  private def scratch(name: String): String =
+    scratchBase.resolve(name).toString
+
   private def cents(c: Column): Column = round(c * 100).cast(LongType)
 
   /** q107: orders and customer both bucketed 16 ways on the customer
@@ -98,8 +106,7 @@ object LayoutGate {
     * time (PlanSpec-pinned). Result equals the oracle's plain filter
     * over the unpartitioned table. */
   def q119PartitionPruning(s: SparkSession, dir: String): DataFrame = {
-    val out = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"), "graft_q119_events_p").toString
+    val out = scratch("q119_events_p")
     Layout.partitionedWrite(
       Tables.events(s, dir).select(col("event_id"), col("user_id"),
         col("event_type"), expr("ts div 1000").as("ts_us"),
@@ -129,8 +136,7 @@ object LayoutGate {
     * filter+join over the unpartitioned table. */
   def q129DynamicPruning(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"), "graft_q129_events_p").toString
+    val out = scratch("q129_events_p")
     Layout.partitionedWrite(
       Tables.events(s, dir).select(col("event_id"), col("user_id"),
         col("event_type"),
@@ -140,8 +146,7 @@ object LayoutGate {
     // Seq constant-folds to a pre-filtered LocalRelation, leaving the
     // pruning rule no selective predicate to derive the DPP subquery
     // from — exactly how a warehouse dim behaves, so write it out
-    val dimPath = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"), "graft_q129_stage_dim").toString
+    val dimPath = scratch("q129_stage_dim")
     Seq(
       ("view", "traffic"), ("click", "traffic"), ("error", "ops"),
       ("signup", "conversion"), ("purchase", "conversion"))
@@ -198,9 +203,9 @@ object LayoutGate {
       s.conf.set(keys(0), "true")
       s.conf.set(keys(1), "0")
       s.conf.set(keys(2), "-1")
-      val rows = bloomJoinProgram(s, dir).collect()
-      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
-        bloomJoinProgram(s, dir).schema)
+      val df = bloomJoinProgram(s, dir)
+      val rows = df.collect()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
     } finally saved.foreach {
       case (k, Some(v)) => s.conf.set(k, v)
       case (k, None)    => s.conf.unset(k)
@@ -225,8 +230,7 @@ object LayoutGate {
     // into the dim leg sits between the shuffle stage and the join and
     // breaks OptimizeSkewedJoin's SMJ(Sort(Shuffle), Sort(Shuffle))
     // pattern — exactly how a warehouse dim behaves anyway
-    val dimPath = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"), "graft_q134_dim").toString
+    val dimPath = scratch("q134_dim")
     ev.groupBy("sk").agg(count(lit(1)).as("sk_total"))
       .write.mode("overwrite").parquet(dimPath)
     // AQE splits a skewed reduce partition along its MAP-output blocks;
@@ -294,9 +298,11 @@ object LayoutGate {
     * (bounded collect — conf scoping, not a data path). */
   def q134AqeSkewJoin(s: SparkSession, dir: String): DataFrame =
     withSkewJoinConfs(s) {
-      val rows = skewJoinProgram(s, dir).collect()
-      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
-        skewJoinProgram(s, dir).schema)
+      // bind once: skewInputs eagerly rebuilds + rewrites the dim table
+      // on every call, so a second .schema-only call would pay it twice
+      val df = skewJoinProgram(s, dir)
+      val rows = df.collect()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
     }
 
   val queries: Map[String, Q] = Map(

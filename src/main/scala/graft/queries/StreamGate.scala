@@ -168,8 +168,10 @@ object StreamGate {
     * backfill must arrange (replay oldest first). */
   def q135ChunkedBackfill(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val chunkRoot = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"), "graft_q135_chunks").toString
+    // per-process scratch: a fixed name races with a concurrent run's
+    // overwrite-then-stamp of the same chunk files
+    val chunkRoot = java.nio.file.Files
+      .createTempDirectory("graft_q135_chunks_").toString
     graft.Tables.events(s, dir).drop("ts_utc")
       .repartitionByRange(4, col("ts"))
       .write.mode("overwrite").parquet(s"$chunkRoot/events.parquet")

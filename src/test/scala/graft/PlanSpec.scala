@@ -425,6 +425,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles(plan) <= 3, s"expected ≤3 exchanges in:\n$plan")
   }
 
+  test("native as-of join: downstream aggregate on the keys reuses the exec's exchange") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("snap_ts"),
+        col("value").as("snap_value"))
+    val agg = graft.operators.TemporalJoin
+      .asOfJoinNative(purchases, signups, Seq("user_id"), "ts", "snap_ts")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("snap_value").as("sum_snap"))
+    val plan = planOf(agg)
+    assert(plan.contains("AsOfJoin"), s"native operator missing in:\n$plan")
+    // outputPartitioning = left side's hash partitioning on the key, so
+    // the aggregate must ride the join's exchanges: exactly one per
+    // side, none between AsOfJoin and the HashAggregate — the exchange
+    // reuse a native operator exists for at 100 TB
+    assert(shuffles(plan) <= 2,
+      s"aggregate re-shuffled above AsOfJoinExec in:\n$plan")
+  }
+
   test("q134 AQE skew join: a runtime skew split occurred and equals the salted variant") {
     queries.LayoutGate.withSkewJoinConfs(spark) {
       val df = queries.LayoutGate.skewJoinProgram(spark, dir)

@@ -118,4 +118,16 @@ class TemporalJoinSpec extends AnyFunSuite with SparkSpec {
     }
     assert(err.getMessage.contains("epoch-long"))
   }
+
+  test("native operator: mismatched key types fail loudly at construction") {
+    // the merge compares key UnsafeRows under the LEFT key types — an
+    // int-vs-bigint mismatch would compare silently wrong, so the
+    // builder must refuse it
+    val intKeyedRight = right.withColumn("k0", lit(1))
+      .drop("k").withColumnRenamed("k0", "k")
+    val err = intercept[IllegalArgumentException] {
+      TemporalJoin.asOfJoinNative(left, intKeyedRight, Seq("k"), "t", "rt")
+    }
+    assert(err.getMessage.contains("mismatched types"))
+  }
 }
