@@ -43,10 +43,16 @@ object Versioned {
     * the version with a commit timestamp in a per-version manifest
     * (`_graft_commit`, underscore-prefixed so Spark's file index skips
     * it) — the deterministic anchor for [[readAsOf]] time travel;
-    * directory mtimes would drift across copies/restores. */
-  def writeNext(df: DataFrame, root: String, commitTs: Option[Long] = None): Long = {
+    * directory mtimes would drift across copies/restores. `layout`
+    * applies writer-side clustering + file-size targets
+    * ([[Layout.WriteSpec]]) so the version's row-group stats prune for
+    * readers filtering on the sort key. */
+  def writeNext(df: DataFrame, root: String, commitTs: Option[Long] = None,
+                layout: Layout.WriteSpec = Layout.WriteSpec()): Long = {
     val next = latestVersion(root).map(_ + 1).getOrElse(0L)
-    df.write.mode("overwrite").parquet(s"$root/v=$next")
+    Layout.applySpec(df, layout).write
+      .options(Layout.writerOptions(layout))
+      .mode("overwrite").parquet(s"$root/v=$next")
     commitTs.foreach { ts =>
       Files.write(Paths.get(root, s"v=$next", CommitManifest),
         ts.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -77,7 +83,12 @@ object Versioned {
     * single torn write must not poison time travel for every timestamp
     * on the root — older stamped versions stay resolvable. Only when NO
     * stamped version exists does readAsOf fail loudly. */
-  def readAsOf(spark: SparkSession, root: String, asOf: Long): DataFrame = {
+  def readAsOf(spark: SparkSession, root: String, asOf: Long): DataFrame =
+    read(spark, root, Some(resolveAsOf(root, asOf)))
+
+  /** The version a `TIMESTAMP AS OF` read resolves to — shared by
+    * [[readAsOf]] and the DSv2 provider's `timestampAsOf` option. */
+  def resolveAsOf(root: String, asOf: Long): Long = {
     val dirs = versionDirs(root)
     if (dirs.isEmpty) throw new IllegalStateException(s"no versions under $root")
     val stamped = dirs.flatMap { case (v, _) => commitStamp(root, v).map(v -> _) }
@@ -92,7 +103,7 @@ object Versioned {
           s"(earliest commit is ${stamped.map(_._2).min})")
     // tie-break on version: a compaction rewrite carries its source's
     // stamp forward, and the newer (compacted) layout must win
-    read(spark, root, Some(eligible.maxBy(e => (e._2, e._1))._1))
+    eligible.maxBy(e => (e._2, e._1))._1
   }
 
   /** OPTIMIZE-style small-file compaction: rewrite the CURRENT version's
@@ -146,6 +157,68 @@ object Versioned {
     } finally stream.close()
   }
 
+  // ------------------------------------------------------- change feed
+
+  /** Versions with a stored change feed, ascending. The feed lives under
+    * `root/_changes/v=<n>` (underscore-prefixed so Spark's file index
+    * skips it on snapshot reads). */
+  def feedVersions(root: String): Seq[Long] = {
+    val p = Paths.get(root, "_changes")
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val stream = Files.list(p)
+      try {
+        val it = stream.iterator()
+        var acc = List.empty[Long]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.startsWith("v=")) acc ::= n.drop(2).toLong
+        }
+        acc.sorted
+      } finally stream.close()
+    }
+  }
+
+  def feedDir(root: String, version: Long): String =
+    s"$root/_changes/v=$version"
+
+  /** [[writeNext]] + a STORED change feed: the keyed diff against the
+    * previous version (added/removed/changed with old_/new_ payloads,
+    * [[Cdc.snapshotDiff]]) lands under `root/_changes/v=<n>` in the same
+    * commit — the Delta CDF contract that makes the change feed a
+    * STREAMABLE source (computing diffs inside a streaming reader would
+    * need a join per batch; storing them at write time makes each commit
+    * a file listing). The initial version's feed is all-'added'. Feed
+    * rows carry `commit_version` so a multi-commit batch stays
+    * attributable. Diff cost is one full-outer join per commit at write
+    * time — the price of an incremental downstream.
+    */
+  def writeNextWithFeed(df: DataFrame, root: String, keys: Seq[String],
+                        payload: Seq[String],
+                        commitTs: Option[Long] = None): Long = {
+    val spark = df.sparkSession
+    val prev = latestVersion(root)
+    val next = writeNext(df, root, commitTs)
+    val cur = read(spark, root, Some(next))
+    val feed = prev match {
+      case Some(p) =>
+        Cdc.snapshotDiff(read(spark, root, Some(p)), cur, keys, payload)
+      case None =>
+        cur.select(
+          keys.map(col) ++
+            Seq(lit("added").as("change_type")) ++
+            payload.map(c => lit(null).cast(cur.schema(c).dataType).as(s"old_$c")) ++
+            payload.map(c => col(c).as(s"new_$c")): _*)
+    }
+    feed
+      .select(keys.map(col) ++
+        Seq(col("change_type"), lit(next).as("commit_version")) ++
+        payload.map(c => col(s"old_$c")) ++
+        payload.map(c => col(s"new_$c")): _*)
+      .write.mode("overwrite").parquet(feedDir(root, next))
+    next
+  }
+
   /** Read the current (or a pinned) version. */
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(root))
@@ -154,10 +227,15 @@ object Versioned {
   }
 
   /** S13 rollback: drop the newest version so the previous one is current
-    * again (the old-data→last-data restore path). */
+    * again (the old-data→last-data restore path). A stored change feed
+    * for the dropped version goes with it — a feed row for a commit
+    * that no longer exists would replay a phantom change. */
   def rollback(root: String): Option[Long] = {
     val dirs = versionDirs(root)
-    dirs.lastOption.foreach { case (_, p) => deleteRecursively(p) }
+    dirs.lastOption.foreach { case (v, p) =>
+      deleteRecursively(p)
+      deleteRecursively(Paths.get(feedDir(root, v)))
+    }
     versionDirs(root).lastOption.map(_._1)
   }
 
@@ -165,7 +243,10 @@ object Versioned {
     * (utils_of_backup.py:155-164 keeps 3 dated backups). */
   def applyRetention(root: String, keep: Int = 3): Seq[Long] = {
     val dirs = versionDirs(root)
-    dirs.dropRight(keep).foreach { case (_, p) => deleteRecursively(p) }
+    dirs.dropRight(keep).foreach { case (v, p) =>
+      deleteRecursively(p)
+      deleteRecursively(Paths.get(feedDir(root, v)))
+    }
     versionDirs(root).map(_._1)
   }
 

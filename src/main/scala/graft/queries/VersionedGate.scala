@@ -176,7 +176,73 @@ object VersionedGate {
     Versioned.readAsOf(s, TravelRoot, asOf = 2500L).orderBy("doc_id")
   }
 
+  private lazy val Dsv2Root = scratchBase.resolve("q140").toString
+
+  /** q140: the DataSource V2 snapshot surface —
+    * `spark.read.format("graft-versioned").option("timestampAsOf", …)`
+    * over a root with injected commit stamps, sharing q131's oracle: a
+    * hash match certifies provider → version resolution → custom
+    * parquet reader end-to-end against the SAME external expectation
+    * the helper-API path meets. The gate also requires the
+    * `versionAsOf` pin to agree with [[Versioned.read]] row-for-row
+    * (collected as sorted strings — 500-row fixture, bounded).
+    * Pruning/pushdown and the fail-loud matrix are in
+    * VersionedDsv2Spec; PlanSpec pins the custom scan node. */
+  def q140Dsv2TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    Versioned.deleteRecursively(java.nio.file.Paths.get(Dsv2Root))
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"), (col("n_chars") * 1000L).cast(LongType).as("price"))
+    Versioned.writeNext(base, Dsv2Root, Some(1000L))                       // v=0
+    Versioned.writeNext(base.withColumn("price", col("price") + 10L),
+      Dsv2Root, Some(2000L))                                               // v=1
+    Versioned.writeNext(base.withColumn("price", col("price") + 20L),
+      Dsv2Root, Some(3000L))                                               // v=2
+    val pinned = s.read.format("graft-versioned")
+      .option("versionAsOf", "0").load(Dsv2Root)
+      .collect().map(_.toString).sorted.toSeq
+    val direct = Versioned.read(s, Dsv2Root, Some(0L))
+      .collect().map(_.toString).sorted.toSeq
+    require(pinned == direct, "versionAsOf read diverged from Versioned.read")
+    s.read.format("graft-versioned")
+      .option("timestampAsOf", "2500").load(Dsv2Root)
+      .orderBy("doc_id")
+  }
+
+  private lazy val FeedStreamRoot = scratchBase.resolve("q141").toString
+
+  /** q141: the change feed as a STREAMING DataSource V2 source — q120's
+    * exact v0/v1 data lands via [[Versioned.writeNextWithFeed]] (the
+    * diff is STORED per commit, the Delta-CDF shape that makes the feed
+    * streamable), then a real micro-batch query drains it from
+    * startingVersion=1 and must hash-match q120's batch-diff oracle:
+    * the stored feed, the DSv2 stream, and the micro-batch execution
+    * are all on the hook for the same rows. */
+  def q141Dsv2ChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    Versioned.deleteRecursively(java.nio.file.Paths.get(FeedStreamRoot))
+    val base = Tables.documents(s, dir).select(col("doc_id"),
+      (col("n_chars") * 1000L).cast(LongType).as("price"))
+    val v0 = base.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val v1 = base.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      .withColumn("price", col("price") +
+        when(pmod(col("doc_id"), lit(3)) === 0, 7L).otherwise(0L))
+    Versioned.writeNextWithFeed(v0, FeedStreamRoot, Seq("doc_id"), Seq("price")) // v=0
+    Versioned.writeNextWithFeed(v1, FeedStreamRoot, Seq("doc_id"), Seq("price")) // v=1
+    val name = s"q141_feed_${System.nanoTime()}"
+    s.readStream.format("graft-versioned")
+      .option("changeFeed", "true").option("startingVersion", "1")
+      .load(FeedStreamRoot)
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    s.table(name)
+      .select(col("doc_id"), col("change_type"),
+        col("old_price"), col("new_price"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q140_dsv2_time_travel" -> (q140Dsv2TimeTravel _),
+    "q141_dsv2_change_feed" -> (q141Dsv2ChangeFeed _),
     "q63_versioned_load" -> (q63VersionedLoad _),
     "q67_csv_swap" -> (q67CsvSwap _),
     "q120_version_change_feed" -> (q120VersionChangeFeed _),
@@ -184,6 +250,30 @@ object VersionedGate {
     "q131_time_travel" -> (q131TimeTravel _))
 
   val oracles: Map[String, String] = Map(
+    // q140 shares q131's expectation: as-of 2500 resolves stamp 2000
+    "q140_dsv2_time_travel" ->
+      """SELECT doc_id, cast(n_chars * 1000 + 10 as bigint) price
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q141 shares q120's batch-diff expectation
+    "q141_dsv2_change_feed" ->
+      """WITH b AS (SELECT doc_id, n_chars * 1000 price FROM documents),
+        |v0 AS (SELECT * FROM b WHERE doc_id % 5 <> 0),
+        |v1 AS (SELECT doc_id, price +
+        |         CASE WHEN doc_id % 3 = 0 THEN 7 ELSE 0 END price
+        |       FROM b WHERE doc_id % 4 <> 0),
+        |j AS (SELECT coalesce(v0.doc_id, v1.doc_id) doc_id,
+        |        v0.price old_price, v1.price new_price,
+        |        v0.doc_id k0, v1.doc_id k1
+        |      FROM v0 FULL OUTER JOIN v1 ON v0.doc_id = v1.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN k0 IS NULL THEN 'added'
+        |       WHEN k1 IS NULL THEN 'removed'
+        |       ELSE 'changed' END change_type,
+        |  old_price, new_price
+        |FROM j
+        |WHERE k0 IS NULL OR k1 IS NULL
+        |   OR old_price IS DISTINCT FROM new_price
+        |ORDER BY doc_id""".stripMargin,
     "q120_version_change_feed" ->
       """WITH b AS (SELECT doc_id, n_chars * 1000 price FROM documents),
         |v0 AS (SELECT * FROM b WHERE doc_id % 5 <> 0),

@@ -447,6 +447,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"aggregate re-shuffled above AsOfJoinExec in:\n$plan")
   }
 
+  test("q140 DSv2 snapshot: custom GraftVersionedScan node with resolved time travel") {
+    val plan = planOf(queries.VersionedGate.q140Dsv2TimeTravel(spark, dir))
+    // timestampAsOf=2500 must resolve to the stamp-2000 commit (v=1)
+    // inside the custom TableProvider/Scan, visible in the scan node
+    assert(plan.contains("GraftVersionedScan version=1"),
+      s"custom DSv2 scan missing or resolved wrong version in:\n$plan")
+  }
+
   test("q134 AQE skew join: a runtime skew split occurred and equals the salted variant") {
     queries.LayoutGate.withSkewJoinConfs(spark) {
       val df = queries.LayoutGate.skewJoinProgram(spark, dir)
