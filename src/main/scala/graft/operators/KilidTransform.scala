@@ -22,6 +22,14 @@ object KilidTransform {
 
   // ---- plain-Scala ports of the shared text helpers (UDF side)
 
+  // precompiled per-object: `"...".r` inside extract() would compile a
+  // fresh Pattern per call per row — the dominant cost of the parse UDF
+  // before hoisting
+  private val digitsRe = "(\\d+)".r
+  private val fullCreditRe = "رهن\\s*کامل".r
+  private val meterRe = "(\\d+)\\s*متر".r
+  private val sakhtRe = "ساخت\\s*(\\d+)".r
+
   private def cleanText(s: String): String =
     if (s == null) "" else s.replace("‌", " ").trim
 
@@ -41,7 +49,7 @@ object KilidTransform {
     if (raw == null) return None
     val s = toEnDigits(cleanText(raw))
     if (s.contains("توافقی")) return None
-    val m = "(\\d+)".r.findFirstIn(s)
+    val m = digitsRe.findFirstIn(s)
     m.map(_.toLong).map { n =>
       if (s.contains("میلیارد")) n * 1000000000L
       else if (s.contains("میلیون")) n * 1000000L
@@ -140,7 +148,7 @@ object KilidTransform {
       creditValue = parseToman(rcBlocks(0).text)
       val rentText = cleanText(rcBlocks(1).text)
       rentValue =
-        if ("رهن\\s*کامل".r.findFirstIn(rentText).isDefined) Some(0L)
+        if (fullCreditRe.findFirstIn(rentText).isDefined) Some(0L)
         else parseToman(rentText)
     }
 
@@ -159,7 +167,7 @@ object KilidTransform {
           parking =
             if (full.contains("اشاره")) None
             else if (full.contains("ندارد")) Some(false)
-            else "(\\d+)".r.findFirstMatchIn(full)
+            else digitsRe.findFirstMatchIn(full)
               .map(m => m.group(1).toInt > 0)
         } else {
           val key = cleanText(keySpan.text)
@@ -187,7 +195,6 @@ object KilidTransform {
     val description = doc.select("div", "transition-all", "duration-300")
       .headOption.map(n => cleanText(n.text)).orNull
 
-    val allText = doc.text
     val userType =
       if (doc.select("span").exists(_.text.contains("آژانس"))) "مشاور املاک"
       else if (doc.select("span").exists(_.text.contains("مالک"))) "شخصی"
@@ -195,12 +202,12 @@ object KilidTransform {
 
     val nowraps = doc.select("span", "text-nowrap").map(n => toEnDigits(cleanText(n.text)))
     val buildingSize = nowraps.collectFirst {
-      case t if "(\\d+)\\s*متر".r.findFirstIn(t).isDefined =>
-        "(\\d+)".r.findFirstIn(t).get.toInt
+      case t if meterRe.findFirstIn(t).isDefined =>
+        digitsRe.findFirstIn(t).get.toInt
     }
     val constructionYear = nowraps.collectFirst {
-      case t if "ساخت\\s*(\\d+)".r.findFirstMatchIn(t).isDefined =>
-        "ساخت\\s*(\\d+)".r.findFirstMatchIn(t).get.group(1).toInt
+      case t if sakhtRe.findFirstMatchIn(t).isDefined =>
+        sakhtRe.findFirstMatchIn(t).get.group(1).toInt
     }
 
     val isRebuilt = doc.select("button").flatMap(_.select("span"))
@@ -219,7 +226,7 @@ object KilidTransform {
     val rentNeg = cat1 == "RENT" &&
       pairs.exists { case (l, v) => l.contains("رهن و اجاره") && v.contains("توافقی") }
     val fullCredit = cat1 == "RENT" &&
-      valueTexts.exists(v => "رهن\\s*کامل".r.findFirstIn(v).isDefined)
+      valueTexts.exists(v => fullCreditRe.findFirstIn(v).isDefined)
 
     // RENT refines credit from the "رهن ... تومان" labelled block
     if (cat1 == "RENT") {

@@ -31,7 +31,7 @@ object SiteGates {
   type Q = (SparkSession, String) => DataFrame
 
   private val RefTs = "2025-10-21 12:00:00"
-  private def refTime: Column = to_timestamp(lit(RefTs))
+  private[graft] def refTime: Column = to_timestamp(lit(RefTs))
   private def fmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
   private def kv(k: String, v: Column): Column =
@@ -206,7 +206,30 @@ object SiteGates {
     * labelled rent/credit rows) under the DuckDB gate. The HTML page is
     * synthesized per documents row with the same markup shapes the
     * reference's BeautifulSoup selectors target. */
-  def q54KilidTransform(s: SparkSession, dir: String): DataFrame = {
+  def q54KilidTransform(s: SparkSession, dir: String): DataFrame =
+    q54Project(KilidTransform.kilidTransform(q54Envelope(s, dir), refTime))
+      .orderBy("content_url")
+
+  /** q54's canonical output projection over a kilidTransform frame —
+    * shared with the q142 streaming pipeline gate, which must emit the
+    * exact batch shape to share the oracle. */
+  private[graft] def q54Project(transformed: DataFrame): DataFrame =
+    transformed
+      .select(col("content_url"), col("breadcrumbs"), col("cat1_slug"),
+        col("cat2_slug"), col("cat3_slug"),
+        col("city_slug"), col("neighborhood_slug"),
+        fmt(col("created_at_month")).as("created_at_month"),
+        col("user_type"), col("title"), col("description"),
+        col("rent_mode"), col("rent_value"), col("rent_type"),
+        col("price_mode"), col("price_value"), col("credit_value"),
+        col("deed_type"), col("floor"), col("rooms_count"),
+        col("has_elevator"), col("has_warehouse"), col("has_parking"),
+        col("building_size"), col("construction_year"), col("is_rebuilt"),
+        array_join(col("images"), "|").as("images_str"))
+
+  /** q54's synthesized fetch-envelope frame (shared with profiling and
+    * the q142 streaming pipeline gate). */
+  private[graft] def q54Envelope(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val even = pmod(col("doc_id"), lit(2)) === 0 // RENT rows; odd = BUY
     val m3 = pmod(col("doc_id"), lit(3))
@@ -308,30 +331,48 @@ object SiteGates {
       rcBlocks, deedDiv, sizeChip, yearChip, chips, grid, desc, owner,
       rows, lit("</body></html>"))
 
-    // fetch envelope JSON → kilidEnvelope → kilidTransform (end-to-end)
+    // envelope columns built directly — the fetch-envelope from_json
+    // path is certified by the slim q143 gate; round-tripping the
+    // synthesized page through to_json→from_json here was a wasted
+    // serialization cycle (it was the single biggest bench line)
+    docs.select(
+      col("doc_id").cast(StringType).as("content_url"),
+      when(even, "RENT").otherwise(lit("BUY")).as("cat1_slug"),
+      lit("RESIDENTIAL").as("cat2_slug"),
+      lit("APARTMENT").as("cat3_slug"),
+      lit(200).as("status_code"),
+      to_timestamp(lit("2025-10-21T10:00:00")).as("fetched_at"),
+      html.as("html_content"))
+  }
+
+  /** q143: the kilid fetch-envelope JSON path in isolation
+    * (kilid_fetcher.py:25-33) — to_json → [[ListingTransforms
+    * .kilidEnvelope]] (from_json) over a payload that exercises JSON
+    * string escaping (quotes, backslash, newline/tab, Persian text).
+    * This is the slim companion q54 delegated the serialization
+    * fidelity to when it started building envelope columns directly;
+    * the DuckDB oracle round-trips the same struct through ITS OWN
+    * JSON writer + `->>` extraction, so a hash match certifies the
+    * escape/parse cycle against an independent implementation. */
+  def q143KilidEnvelope(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val even = pmod(col("doc_id"), lit(2)) === 0
+    val payload = concat(lit("<html dir=\"rtl\">\n\t"),
+      substring(col("text"), 1, 40), lit(" \\ \"نقل قول\"</html>"))
     val envelopeJson = to_json(struct(
       col("doc_id").cast(StringType).as("content_url"),
-      html.as("html_content"),
+      payload.as("html_content"),
       lit(200).as("status_code"),
       lit("2025-10-21T10:00:00").as("fetched_at"),
       when(even, "RENT").otherwise(lit("BUY")).as("listingType"),
       lit("RESIDENTIAL").as("propertyType"),
       lit("APARTMENT").as("landuseType")))
-    val envelope = ListingTransforms.kilidEnvelope(
-      docs.select(envelopeJson.as("raw")), "raw")
-
-    KilidTransform.kilidTransform(envelope, refTime)
-      .select(col("content_url"), col("breadcrumbs"), col("cat1_slug"),
-        col("cat2_slug"), col("cat3_slug"),
-        col("city_slug"), col("neighborhood_slug"),
-        fmt(col("created_at_month")).as("created_at_month"),
-        col("user_type"), col("title"), col("description"),
-        col("rent_mode"), col("rent_value"), col("rent_type"),
-        col("price_mode"), col("price_value"), col("credit_value"),
-        col("deed_type"), col("floor"), col("rooms_count"),
-        col("has_elevator"), col("has_warehouse"), col("has_parking"),
-        col("building_size"), col("construction_year"), col("is_rebuilt"),
-        array_join(col("images"), "|").as("images_str"))
+    ListingTransforms.kilidEnvelope(docs.select(envelopeJson.as("raw")), "raw")
+      .select(col("content_url"), col("cat1_slug"), col("cat2_slug"),
+        col("cat3_slug"), col("status_code"),
+        date_format(col("fetched_at"), "yyyy-MM-dd HH:mm:ss").as("fetched_at_str"),
+        length(col("html_content")).cast(LongType).as("html_len"),
+        col("html_content"))
       .orderBy("content_url")
   }
 
@@ -475,6 +516,7 @@ object SiteGates {
     "q52_sheypoor_transform" -> (q52SheypoorTransform _),
     "q53_mrestate_transform" -> (q53MrestateTransform _),
     "q54_kilid_transform" -> (q54KilidTransform _),
+    "q143_kilid_envelope" -> (q143KilidEnvelope _),
     "q55_xml_fallback" -> (q55XmlFallback _),
     "q57_collection_cleanup" -> (q57CollectionCleanup _),
     "q58_divar_to_delta" -> (q58DivarToDelta _),
@@ -483,6 +525,28 @@ object SiteGates {
   private val ts = s"timestamp '$RefTs'"
 
   val oracles: Map[String, String] = Map(
+    "q143_kilid_envelope" ->
+      """WITH j AS (
+        |  SELECT to_json(struct_pack(
+        |    content_url := cast(doc_id as varchar),
+        |    html_content := '<html dir="rtl">' || chr(10) || chr(9) ||
+        |      substr(text, 1, 40) || ' \ "نقل قول"</html>',
+        |    status_code := 200,
+        |    fetched_at := '2025-10-21T10:00:00',
+        |    listingType := CASE WHEN doc_id % 2 = 0 THEN 'RENT' ELSE 'BUY' END,
+        |    propertyType := 'RESIDENTIAL',
+        |    landuseType := 'APARTMENT')) AS raw
+        |  FROM documents)
+        |SELECT raw->>'content_url' AS content_url,
+        |  raw->>'listingType' AS cat1_slug,
+        |  raw->>'propertyType' AS cat2_slug,
+        |  raw->>'landuseType' AS cat3_slug,
+        |  cast(raw->>'status_code' AS int) AS status_code,
+        |  strftime(cast(raw->>'fetched_at' AS timestamp),
+        |           '%Y-%m-%d %H:%M:%S') AS fetched_at_str,
+        |  cast(length(raw->>'html_content') AS bigint) AS html_len,
+        |  raw->>'html_content' AS html_content
+        |FROM j ORDER BY content_url""".stripMargin,
     "q52_sheypoor_transform" ->
       s"""SELECT cast(doc_id as varchar) AS content_url,
         | CASE WHEN doc_id%2=0 THEN 'خرید' ELSE 'اجاره' END AS cat2_slug,

@@ -617,7 +617,49 @@ object StreamGate {
     report.orderBy("rule")
   }
 
+  /** q142: the reference's FULL fetcher path as one streaming gate —
+    * queue → envelope → canonical transform → stateful dedup → keyed
+    * insert-if-absent merge (fetcher_dag_factory.py:47-110), executed
+    * as a real micro-batch query and hash-matched against q54's BATCH
+    * oracle. The queue delivers at-least-once (the envelope set is
+    * written TWICE and drained file-by-file, so duplicates arrive in
+    * LATER micro-batches and the dedup state must hold across
+    * batches); `dropDuplicates(content_url)` emits each listing once;
+    * the final merge lands the stream onto a pre-existing keyed subset
+    * ([[graft.operators.KeyedSink.upsertAbsent]], S11). Micro-batch
+    * slicing must be semantically invisible — the q47/q135 discipline
+    * — which is exactly what sharing the batch oracle certifies. */
+  def q142StreamFetcherPipeline(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q142_env_").toString
+    val env = SiteGates.q54Envelope(s, dir)
+    // at-least-once delivery: two full copies, spread over files so the
+    // file-per-trigger drain replays duplicates across batch boundaries
+    env.union(env).repartition(4, col("content_url"))
+      .write.mode("overwrite").parquet(s"$root/env")
+    val stream = s.readStream.schema(env.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/env")
+    val projected = SiteGates.q54Project(
+      graft.operators.KilidTransform.kilidTransform(stream, SiteGates.refTime))
+    val name = s"q142_stream_${runId.incrementAndGet()}"
+    projected.dropDuplicates("content_url")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    // the keyed sink already holds a slice of previously-fetched
+    // listings; insert-if-absent must leave them untouched and land
+    // only the new keys — idempotent by S11
+    val existing = SiteGates.q54Project(
+      graft.operators.KilidTransform.kilidTransform(
+        env.filter(col("content_url").cast(LongType) % 10 === 0),
+        SiteGates.refTime))
+    graft.operators.KeyedSink.upsertAbsent(existing, s.table(name), "content_url")
+      .orderBy("content_url")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q142_stream_fetcher_pipeline" -> (q142StreamFetcherPipeline _),
     "q109_stream_changelog_compact" -> (q109StreamChangelogCompact _),
     "q111_stream_static_join" -> (q111StreamStaticJoin _),
     "q117_stream_quality" -> (q117StreamQuality _),
@@ -676,6 +718,10 @@ object StreamGate {
   // reflection breaks. SparkEntry's init only needs `queries`;
   // deferring the oracle map keeps TextDedup out of the smoke path.
   lazy val oracles: Map[String, String] = Map(
+    // the streamed fetcher pipeline must equal the batch transform —
+    // same oracle as q54 (duplicates deduped, merge is insert-if-absent
+    // onto an identical-valued subset)
+    "q142_stream_fetcher_pipeline" -> SiteGates.oracles("q54_kilid_transform"),
     // identical answer contract as batch q102 — same one-shot oracle
     "q109_stream_changelog_compact" -> ChangeGate.oracles("q102_changelog_compact"),
     // the one-shot audit the accumulated monitor must equal

@@ -141,4 +141,22 @@ class KilidTransformSpec extends AnyFunSuite with SparkSpec {
     assert(buy.isNullAt(buy.fieldIndex("credit_value")))
     assert(buy.isNullAt(buy.fieldIndex("rent_mode")))
   }
+
+  test("truncated / malformed pages yield null fields, not a task failure") {
+    // a fetch cut off mid-tag and a page of tag soup — the real-world
+    // inputs the reference's BeautifulSoup path shrugs off
+    val truncated = html.substring(0, html.length / 3)
+    val soup = """<div class="><span<<>> garbage = " 'unclosed"""
+    val env = Seq(
+      ("u1", "RENT", "RES", "APT", truncated),
+      ("u2", "RENT", "RES", "APT", soup))
+      .toDF("content_url", "cat1_slug", "cat2_slug", "cat3_slug", "html_content")
+    val rows = KilidTransform.kilidTransform(env,
+      to_timestamp(lit("2025-10-21 12:00:00"))).orderBy("content_url").collect()
+    assert(rows.length === 2)
+    val garbage = rows(1)
+    for (c <- Seq("title", "description", "user_type", "rent_value",
+        "building_size", "construction_year", "deed_type"))
+      assert(garbage.isNullAt(garbage.fieldIndex(c)), s"expected null $c")
+  }
 }
