@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -46,6 +48,75 @@ object Layout {
     coded.repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+  }
+
+  /** Writer-side layout targets for a versioned load: cluster-sort the
+    * data on `sortCols` (repartitionByRange + sortWithinPartitions —
+    * globally range-clustered, so every file and row group covers a
+    * narrow, nearly disjoint min/max slice of the sort key) and cap
+    * `maxRecordsPerFile` so one oversized task cannot emit a
+    * statistics-defeating mega-file. This is the q98 Z-order locality
+    * argument applied at WRITE time to the plain single/multi-column
+    * case: a reader filtering on the sort key then skips most row
+    * groups on footer stats alone ([[rowGroupLongStats]] is the
+    * verification probe; LayoutSpec pins the skip counts). */
+  final case class WriteSpec(sortCols: Seq[String] = Seq.empty,
+                             maxRecordsPerFile: Long = 0L,
+                             numPartitions: Option[Int] = None)
+
+  /** Apply a [[WriteSpec]]'s clustering to the frame (the file-count /
+    * file-size half is a writer option, [[writerOptions]]). */
+  def applySpec(df: DataFrame, spec: WriteSpec): DataFrame =
+    if (spec.sortCols.isEmpty) df
+    else {
+      val cols = spec.sortCols.map(col)
+      val parted = spec.numPartitions
+        .map(n => df.repartitionByRange(n, cols: _*))
+        .getOrElse(df.repartitionByRange(cols: _*))
+      parted.sortWithinPartitions(cols: _*)
+    }
+
+  def writerOptions(spec: WriteSpec): Map[String, String] =
+    if (spec.maxRecordsPerFile > 0)
+      Map("maxRecordsPerFile" -> spec.maxRecordsPerFile.toString)
+    else Map.empty
+
+  /** Per-row-group (min, max, rows) footer statistics of a long column
+    * across a parquet directory — exactly the view a pruning reader
+    * evaluates before opening any page, exposed so layout quality
+    * ("would a filter on this column skip?") is measurable instead of
+    * assumed. */
+  def rowGroupLongStats(dir: java.nio.file.Path,
+                        column: String): Seq[(Long, Long, Long)] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    Versioned.dataFiles(dir).sortBy(_.getFileName.toString).flatMap { f =>
+      val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toString), conf))
+      try {
+        in.getFooter.getBlocks.asScala.toSeq.map { block =>
+          val col = block.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .getOrElse(throw new IllegalArgumentException(
+              s"column '$column' not in ${f.getFileName}"))
+          val st = col.getStatistics
+          require(st != null && !st.isEmpty,
+            s"no statistics for '$column' in ${f.getFileName}")
+          (st.genericGetMin.asInstanceOf[Number].longValue(),
+           st.genericGetMax.asInstanceOf[Number].longValue(),
+           block.getRowCount)
+        }
+      } finally in.close()
+    }
+  }
+
+  /** How many row groups a `[lo, hi]` range filter on `column` could
+    * skip, given the footer stats — the pruning score LayoutSpec pins
+    * for sorted vs unsorted writes. */
+  def prunableRowGroups(dir: java.nio.file.Path, column: String,
+                        lo: Long, hi: Long): (Int, Int) = {
+    val stats = rowGroupLongStats(dir, column)
+    (stats.count { case (mn, mx, _) => mx < lo || mn > hi }, stats.size)
   }
 
   /** Hive-style partitioned write: one directory per distinct value of

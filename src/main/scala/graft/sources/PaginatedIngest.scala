@@ -57,6 +57,81 @@ object PaginatedIngest {
     loop(1, Vector.empty, Set.empty, 0, stopped = false)
   }
 
+  // ------------------------------------------- durable (resumable) crawl
+
+  /** Crawl progress persisted after every page — the page cursor plus
+    * the emitted-URL log (the engine's stand-in for the reference's
+    * durable work queue, rabbitmq_utils.py:42-90: what was already
+    * enqueued must not be enqueued again after a worker restart). */
+  final case class CrawlState(nextPage: Int, emitted: Vector[String],
+                              discovered: Int, stoppedEarly: Boolean)
+
+  object CrawlState {
+    /** Atomic save (write tmp + rename): a crash mid-write leaves the
+      * previous state intact, never a torn file — the saveBloom
+      * discipline (KeyedSink.scala). URLs are line-delimited (URLs
+      * cannot contain newlines). */
+    def save(path: java.nio.file.Path, st: CrawlState): Unit = {
+      val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+      java.nio.file.Files.createDirectories(path.toAbsolutePath.getParent)
+      val body = (Seq(s"${st.nextPage}|${st.discovered}|${st.stoppedEarly}") ++
+        st.emitted).mkString("\n")
+      java.nio.file.Files.write(tmp,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, path,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    def load(path: java.nio.file.Path): Option[CrawlState] =
+      if (!java.nio.file.Files.exists(path)) None
+      else {
+        val lines = new String(java.nio.file.Files.readAllBytes(path),
+          java.nio.charset.StandardCharsets.UTF_8).split("\n", -1).toSeq
+        val head = lines.head.split("\\|")
+        Some(CrawlState(head(0).toInt, lines.tail.filter(_.nonEmpty).toVector,
+          head(1).toInt, head(2).toBoolean))
+      }
+  }
+
+  /** [[crawl]] with restart durability: state is checkpointed to
+    * `statePath` after every page, and a re-invocation resumes from the
+    * cursor with the emitted log as its in-run seen set — so across any
+    * number of kill/restart cycles each URL is emitted EXACTLY once and
+    * completed pages are never re-fetched (a crash between fetch and
+    * checkpoint re-fetches that one page, but its URLs still emit once
+    * because the pre-crash emitted log never contained them). Pair the
+    * external `seen` probe with a persisted Bloom
+    * (KeyedSink.saveBloom/loadBloom) for the cross-run two-tier dedup
+    * the reference runs against RedisBloom (divar_crawler.py:20-22,
+    * crawler_dag_factory.py:37-49). */
+  def crawlDurable(fetchPage: Int => Seq[String],
+                   seen: String => Boolean,
+                   statePath: java.nio.file.Path,
+                   config: Config = Config()): (Seq[String], Stats) = {
+    var st = CrawlState.load(statePath)
+      .getOrElse(CrawlState(1, Vector.empty, 0, stoppedEarly = false))
+    var pagesFetched = st.nextPage - 1
+    var done = st.stoppedEarly || st.nextPage > config.maxPages
+    while (!done) {
+      val urls = fetchPage(st.nextPage)
+      pagesFetched = st.nextPage // an empty page still counts as fetched
+      if (urls.isEmpty) done = true
+      else {
+        val inRun = st.emitted.toSet
+        val dupCount = urls.count(seen)
+        val fresh = urls.filterNot(u => seen(u) || inRun(u)).distinct
+        val dupRatio = dupCount.toDouble / urls.size
+        st = CrawlState(st.nextPage + 1, st.emitted ++ fresh,
+          st.discovered + urls.size, dupRatio >= config.dupRatioStop)
+        CrawlState.save(statePath, st)
+        done = st.stoppedEarly || st.nextPage > config.maxPages
+      }
+    }
+    (st.emitted,
+      Stats(pagesFetched, st.discovered, st.emitted.size, st.stoppedEarly))
+  }
+
   // ---------------------------------------- multi-seed fan-out (kilid)
 
   final case class Seed(listingType: String, city: String)

@@ -103,4 +103,38 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
   }
+
+  test("sorted versioned write prunes row groups a shuffled write cannot") {
+    import graft.operators.Versioned
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_layout_write_").toString
+    val df = spark.range(0, 100000)
+      .select(col("id").as("k"), (col("id") * 7 % 1001).as("v"))
+    // v=0: shuffled layout (hash-repartitioned on an unrelated column)
+    Versioned.writeNext(df.repartition(8, col("v")), root)
+    // v=1: write-time clustering on k + a file-size cap
+    Versioned.writeNext(df, root,
+      layout = Layout.WriteSpec(sortCols = Seq("k"),
+        maxRecordsPerFile = 20000, numPartitions = Some(4)))
+
+    val lo = 40000L; val hi = 45000L // a 5% slice of the key domain
+    val (skipShuffled, totalShuffled) = Layout.prunableRowGroups(
+      java.nio.file.Paths.get(root, "v=0"), "k", lo, hi)
+    val (skipSorted, totalSorted) = Layout.prunableRowGroups(
+      java.nio.file.Paths.get(root, "v=1"), "k", lo, hi)
+    // hash-shuffled: every row group spans nearly the whole key range
+    assert(skipShuffled === 0,
+      s"shuffled write unexpectedly prunable ($skipShuffled/$totalShuffled)")
+    // clustered: >=8 files (maxRecordsPerFile splits each range task),
+    // and all but the one or two slices covering [lo, hi] are skippable
+    assert(totalSorted >= 5, s"file-size cap did not split ($totalSorted files)")
+    assert(skipSorted >= totalSorted - 2,
+      s"sorted write should skip all but the covering slices " +
+        s"($skipSorted/$totalSorted)")
+    // layout is physical only: both versions hold identical rows
+    val a = Versioned.read(spark, root, Some(0L)).filter(col("k").between(lo, hi))
+    val b = Versioned.read(spark, root, Some(1L)).filter(col("k").between(lo, hi))
+    assert(a.collect().map(_.toString).sorted.toSeq ===
+      b.collect().map(_.toString).sorted.toSeq)
+  }
 }

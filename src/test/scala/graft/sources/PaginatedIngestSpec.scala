@@ -81,4 +81,66 @@ class PaginatedIngestSpec extends AnyFunSuite {
     assert(PaginatedIngest.kilidSeeds.size === 18) // 2 modes × 9 cities
     assert(PaginatedIngest.kilidSeeds.take(9).forall(_.listingType == "BUY"))
   }
+
+  test("kill-and-resume: durable crawl emits the same URL set exactly once") {
+    val fixture = Map(
+      1 -> Seq("u1", "u2", "seenA"),
+      2 -> Seq("u3", "u2", "u4"),
+      3 -> Seq("u5", "seenB", "u6"),
+      4 -> Seq("u7"))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_crawl_state_").resolve("crawl.state")
+    // persisted Bloom as the cross-run external probe (the RedisBloom
+    // half of the reference's durability contract)
+    val spark = graft.SparkTestSession.get
+    import spark.implicits._
+    val bloomPath = statePath.resolveSibling("seen.bloom")
+    graft.operators.KeyedSink.saveBloom(
+      graft.operators.KeyedSink.buildBloom(
+        Seq("seenA", "seenB").toDF("k"), "k", 100, 0.01), bloomPath)
+    val bloom = graft.operators.KeyedSink.loadBloom(bloomPath)
+    val seen: String => Boolean = bloom.mightContainString
+
+    val fetchLog = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def fetch(dieAt: Option[Int]): Int => Seq[String] = { page =>
+      if (dieAt.contains(page)) throw new RuntimeException("worker killed")
+      fetchLog += page
+      fixture.getOrElse(page, Seq.empty)
+    }
+    val cfg = Config(maxPages = 10, dupRatioStop = 0.9)
+
+    // run 1 dies fetching page 3
+    intercept[RuntimeException] {
+      crawlDurable(fetch(dieAt = Some(3)), seen, statePath, cfg)
+    }
+    assert(fetchLog.toSeq === Seq(1, 2))
+    // run 2 resumes at page 3 (no re-fetch, hence no re-emit of 1-2)
+    val (urls, stats) = crawlDurable(fetch(dieAt = None), seen, statePath, cfg)
+    assert(fetchLog.toSeq === Seq(1, 2, 3, 4, 5), "completed pages were re-fetched")
+
+    // reference run: one uninterrupted crawl, fresh state
+    val (want, wantStats) = crawlDurable(fetch(dieAt = None),
+      seen, statePath.resolveSibling("fresh.state"), cfg)
+    assert(urls === want)
+    assert(urls === Seq("u1", "u2", "u3", "u4", "u5", "u6", "u7"))
+    assert(urls.distinct === urls, "a URL was emitted twice across the restart")
+    assert(stats.pagesFetched === wantStats.pagesFetched)
+    assert(stats.urlsDiscovered === wantStats.urlsDiscovered)
+  }
+
+  test("durable crawl persists the early stop so a restart stays stopped") {
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_crawl_state2_").resolve("crawl.state")
+    val fixture = Map(1 -> Seq("d1", "d2"), 2 -> Seq("x1", "x2"))
+    val seen = Set("d1", "d2")
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val fetch: Int => Seq[String] = { p => calls += p; fixture.getOrElse(p, Seq.empty) }
+    val (urls, stats) = crawlDurable(fetch, seen, statePath,
+      Config(maxPages = 10, dupRatioStop = 0.5))
+    assert(stats.stoppedEarly && urls.isEmpty && calls.toSeq === Seq(1))
+    // restart must NOT resume past the recorded stop
+    val (urls2, stats2) = crawlDurable(fetch, seen, statePath,
+      Config(maxPages = 10, dupRatioStop = 0.5))
+    assert(stats2.stoppedEarly && urls2.isEmpty && calls.toSeq === Seq(1))
+  }
 }

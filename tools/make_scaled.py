@@ -47,6 +47,41 @@ COPY (
   ORDER BY vec_id
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
 
+# part: the t83/t94 vocabulary is DISTINCT p_name words, so replicating
+# rows alone would not grow it. Each replica suffixes every word with a
+# 3-char replica tag (aaa/bbb/...): vocabulary size scales by k, within-
+# replica edit-distance structure is preserved (a shared suffix doesn't
+# change Levenshtein distances), and cross-replica distances are >= 3 —
+# outside the maxDist=2 envelope, so candidate density per word stays
+# the base density instead of acquiring k^2 synthetic near-dups.
+part_stride = con.execute(
+    f"SELECT max(p_partkey)+1 FROM '{src}/part.parquet'").fetchone()[0]
+con.execute(f"""
+COPY (
+  SELECT p_partkey + r.k*{part_stride} AS p_partkey,
+         CASE WHEN r.k = 0 THEN p_name
+              ELSE array_to_string(list_transform(string_split(p_name, ' '),
+                     w -> w || repeat(chr(cast(97 + (r.k % 26) as int)), 3)), ' ')
+         END AS p_name,
+         p_brand, p_type, p_size, p_retailprice
+  FROM '{src}/part.parquet', (SELECT unnest(range({k})) k) r
+  ORDER BY p_partkey
+) TO '{dst}/part.parquet' (FORMAT PARQUET)""")
+
+# customer: strided distinct keys; t96 derives grid coordinates by
+# hashing c_custkey, so k x customers = k x points in the same spatial
+# domain (density grows with k — the fixed-domain densification story,
+# see SCALING.md's t96 note)
+cust_stride = con.execute(
+    f"SELECT max(c_custkey)+1 FROM '{src}/customer.parquet'").fetchone()[0]
+con.execute(f"""
+COPY (
+  SELECT c_custkey + r.k*{cust_stride} AS c_custkey,
+         c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM '{src}/customer.parquet', (SELECT unnest(range({k})) k) r
+  ORDER BY c_custkey
+) TO '{dst}/customer.parquet' (FORMAT PARQUET)""")
+
 ord_stride = con.execute(
     f"SELECT max(o_orderkey)+1 FROM '{src}/orders.parquet'").fetchone()[0]
 con.execute(f"""
@@ -86,4 +121,4 @@ for p in glob.glob(f"{src}/*.parquet"):
             shutil.copyfile(p, q)
 
 print(f"wrote {dst}: documents x{k} (stride {doc_stride}), "
-      f"embeddings x{k} (stride {vec_stride})")
+      f"embeddings x{k} (stride {vec_stride}), part x{k}, customer x{k}")
