@@ -38,6 +38,18 @@ object Versioned {
 
   def latestVersion(root: String): Option[Long] = versionDirs(root).lastOption.map(_._1)
 
+  /** All version numbers under the root, ascending — for the DSv2
+    * writer's commit bookkeeping (streaming epoch replay detection). */
+  private[graft] def versions(root: String): Seq[Long] = versionDirs(root).map(_._1)
+
+  /** Stamp an already-committed version (the DSv2 writer commits the
+    * data by atomic rename FIRST, then stamps — the same torn-write
+    * ordering as [[writeNext]], so [[readAsOf]]'s unstamped-skip rule
+    * covers a crash between the two). */
+  private[graft] def writeStamp(root: String, version: Long, ts: Long): Unit =
+    Files.write(Paths.get(root, s"v=$version", CommitManifest),
+      ts.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** S13 load: write the next version (old data stays addressable — the
     * copy-to-old-data step becomes a no-op). Pass `commitTs` to stamp
     * the version with a commit timestamp in a per-version manifest

@@ -240,9 +240,106 @@ object VersionedGate {
       .orderBy("doc_id")
   }
 
+  /** The graft TableCatalog wired into the session: versioned tables as
+    * SQL citizens (`spark.sql.catalog.graft` → [[graft.sources.GraftCatalog]]).
+    * Confs are idempotent; the catalog instance is cached by Spark after
+    * first reference, and the warehouse is process-scoped scratch. */
+  private def ensureCatalog(s: SparkSession): Unit = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse",
+      scratchBase.resolve("catalog").toString)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+  }
+
+  /** q144: SQL DDL/DML against the version store through the
+    * TableCatalog plugin — CREATE TABLE USING graft-versioned, two
+    * INSERT INTOs (each an atomic append commit: v=0 then v=1 =
+    * v0 ∪ rows, previous files hard-linked, one rename publishes), and
+    * a plain SQL aggregate over the table by NAME. The oracle aggregates
+    * the same predicate union straight off the documents parquet, so a
+    * hash match certifies the whole catalog → DSv2 write → commit →
+    * DSv2 read loop. */
+  def q144CatalogSql(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs144")
+    s.sql("CREATE TABLE graft.gate.docs144 (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+      "USING `graft-versioned`")
+    Tables.documents(s, dir).createOrReplaceTempView("q144_docs_src")
+    s.sql("INSERT INTO graft.gate.docs144 " +
+      "SELECT doc_id, lang, n_chars FROM q144_docs_src WHERE doc_id % 3 = 0")
+    s.sql("INSERT INTO graft.gate.docs144 " +
+      "SELECT doc_id, lang, n_chars FROM q144_docs_src WHERE doc_id % 3 = 1")
+    s.sql("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+             FROM graft.gate.docs144 GROUP BY lang ORDER BY lang""")
+  }
+
+  /** q145: SQL time travel through the catalog — INSERT INTO builds
+    * v=0, INSERT OVERWRITE (snapshot replace, the reference's
+    * copy-then-replace discipline as a SQL verb) builds v=1, and the
+    * query reads BOTH `VERSION AS OF 0` and the current table in one
+    * result. The oracle derives each snapshot's membership from the
+    * insert predicates, so the hash certifies that overwrite replaced
+    * the current snapshot while history stayed pinned. */
+  def q145CatalogTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs145")
+    s.sql("CREATE TABLE graft.gate.docs145 (doc_id BIGINT, n_chars BIGINT) " +
+      "USING `graft-versioned`")
+    Tables.documents(s, dir).createOrReplaceTempView("q145_docs_src")
+    s.sql("INSERT INTO graft.gate.docs145 " +
+      "SELECT doc_id, n_chars FROM q145_docs_src WHERE doc_id % 2 = 0")
+    s.sql("INSERT OVERWRITE graft.gate.docs145 " +
+      "SELECT doc_id, n_chars FROM q145_docs_src WHERE doc_id % 7 = 0")
+    s.sql("""SELECT 'v0' AS snap, doc_id, n_chars
+             FROM graft.gate.docs145 VERSION AS OF 0
+             UNION ALL
+             SELECT 'cur' AS snap, doc_id, n_chars FROM graft.gate.docs145
+             ORDER BY snap, doc_id""")
+  }
+
+  private lazy val StreamWriteSrc = scratchBase.resolve("q146_src").toString
+  private lazy val StreamWriteDst = scratchBase.resolve("q146_dst").toString
+
+  /** q146: the full streaming loop over the store — a stored change
+    * feed ([[Versioned.writeNextWithFeed]], q141's exact v0/v1 data) is
+    * drained by `readStream`, the surviving (non-removed) rows stream
+    * into a SECOND versioned root through the DSv2 STREAMING WRITE
+    * (epoch commit = atomic version publish, `_graft_epoch`-tagged for
+    * replay idempotence), and the result is the destination snapshot
+    * read back. CDF in, versioned table out — the incremental-pipeline
+    * shape — certified against an oracle that recomputes the surviving
+    * diff rows relationally. */
+  def q146StreamWriteVersions(s: SparkSession, dir: String): DataFrame = {
+    Versioned.deleteRecursively(java.nio.file.Paths.get(StreamWriteSrc))
+    Versioned.deleteRecursively(java.nio.file.Paths.get(StreamWriteDst))
+    val base = Tables.documents(s, dir).select(col("doc_id"),
+      (col("n_chars") * 1000L).cast(LongType).as("price"))
+    val v0 = base.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val v1 = base.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      .withColumn("price", col("price") +
+        when(pmod(col("doc_id"), lit(3)) === 0, 7L).otherwise(0L))
+    Versioned.writeNextWithFeed(v0, StreamWriteSrc, Seq("doc_id"), Seq("price"))
+    Versioned.writeNextWithFeed(v1, StreamWriteSrc, Seq("doc_id"), Seq("price"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q146_ckpt_").toString
+    s.readStream.format("graft-versioned")
+      .option("changeFeed", "true").load(StreamWriteSrc)
+      .filter(col("change_type") =!= "removed")
+      .select(col("doc_id"), col("new_price").as("price"), col("commit_version"))
+      .writeStream.format("graft-versioned")
+      .option("path", StreamWriteDst).option("create", "true")
+      .option("commitTs", "1000")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    Versioned.read(s, StreamWriteDst).orderBy("commit_version", "doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_dsv2_time_travel" -> (q140Dsv2TimeTravel _),
     "q141_dsv2_change_feed" -> (q141Dsv2ChangeFeed _),
+    "q144_catalog_sql" -> (q144CatalogSql _),
+    "q145_catalog_time_travel" -> (q145CatalogTimeTravel _),
+    "q146_stream_write_versions" -> (q146StreamWriteVersions _),
     "q63_versioned_load" -> (q63VersionedLoad _),
     "q67_csv_swap" -> (q67CsvSwap _),
     "q120_version_change_feed" -> (q120VersionChangeFeed _),
@@ -250,6 +347,32 @@ object VersionedGate {
     "q131_time_travel" -> (q131TimeTravel _))
 
   val oracles: Map[String, String] = Map(
+    // q144: two append commits = the union of the two insert predicates
+    "q144_catalog_sql" ->
+      """SELECT lang, cast(count(*) as bigint) AS n_docs,
+        |  cast(sum(n_chars) as bigint) AS sum_chars
+        |FROM documents WHERE doc_id % 3 IN (0, 1)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // q145: v0 = first insert's predicate; current = the overwrite's
+    "q145_catalog_time_travel" ->
+      """SELECT 'v0' AS snap, doc_id, n_chars FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 'cur' AS snap, doc_id, n_chars FROM documents WHERE doc_id % 7 = 0
+        |ORDER BY snap, doc_id""".stripMargin,
+    // q146: the non-removed rows of both stored feeds — v0 all-'added'
+    // (new_price = price), v1 added (in v1 only) + changed (price moved)
+    "q146_stream_write_versions" ->
+      """WITH b AS (SELECT doc_id, n_chars * 1000 price FROM documents),
+        |v0 AS (SELECT * FROM b WHERE doc_id % 5 <> 0),
+        |v1 AS (SELECT doc_id, price +
+        |         CASE WHEN doc_id % 3 = 0 THEN 7 ELSE 0 END price
+        |       FROM b WHERE doc_id % 4 <> 0)
+        |SELECT doc_id, price, cast(0 as bigint) AS commit_version FROM v0
+        |UNION ALL
+        |SELECT v1.doc_id, v1.price, cast(1 as bigint) AS commit_version
+        |FROM v1 LEFT JOIN v0 ON v1.doc_id = v0.doc_id
+        |WHERE v0.doc_id IS NULL OR v0.price IS DISTINCT FROM v1.price
+        |ORDER BY commit_version, doc_id""".stripMargin,
     // q140 shares q131's expectation: as-of 2500 resolves stamp 2000
     "q140_dsv2_time_travel" ->
       """SELECT doc_id, cast(n_chars * 1000 + 10 as bigint) price

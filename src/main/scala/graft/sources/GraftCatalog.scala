@@ -1,0 +1,198 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NonEmptyNamespaceException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.Versioned
+
+/** TableCatalog plugin over a warehouse of version-store roots — the
+  * surface that makes the engine's versioned tables first-class SQL
+  * citizens (the reference's versioned loads,
+  * price_prediction_data_pipeline.py:140-177, addressed by name instead
+  * of path):
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+  * spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/graft")
+  *
+  * CREATE NAMESPACE graft.feeds
+  * CREATE TABLE graft.feeds.listings (id BIGINT, price BIGINT, tag STRING)
+  *   USING graft-versioned
+  * INSERT INTO graft.feeds.listings SELECT ...        -- commits v=next (append)
+  * INSERT OVERWRITE graft.feeds.listings SELECT ...   -- snapshot replace
+  * SELECT * FROM graft.feeds.listings VERSION AS OF 0 -- SQL time travel
+  * SELECT * FROM graft.feeds.listings TIMESTAMP AS OF '...'
+  * }}}
+  *
+  * Layout on disk: `<warehouse>/<ns...>/<table>` is a plain
+  * [[Versioned]] root (v=N snapshot dirs + optional _changes feed), plus
+  * a `_graft_schema.json` manifest (the declared schema, Catalyst JSON)
+  * and `_graft_namespace` markers on namespace dirs. Everything the
+  * path-based API wrote stays readable by name and vice versa — the
+  * catalog adds naming, not a new format.
+  *
+  * Deliberately unsupported, loudly: partition transforms (version dirs
+  * are the layout unit — cluster with Layout.WriteSpec), ALTER TABLE
+  * (no schema evolution in the store; replace the snapshot instead).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null && w.nonEmpty,
+      s"graft catalog '$name' needs spark.sql.catalog.$name.warehouse=<dir>")
+    warehouse = Paths.get(w)
+    Files.createDirectories(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private val SchemaManifest = "_graft_schema.json"
+  private val NsMarker = "_graft_namespace"
+
+  private def nsPath(ns: Array[String]): Path = ns.foldLeft(warehouse)(_.resolve(_))
+  private def tablePath(ident: Identifier): Path =
+    nsPath(ident.namespace).resolve(ident.name)
+  private def manifestOf(ident: Identifier): Path =
+    tablePath(ident).resolve(SchemaManifest)
+
+  private def listDirs(p: Path): Seq[Path] =
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val stream = Files.list(p)
+      try stream.iterator().asScala.filter(Files.isDirectory(_)).toList
+      finally stream.close()
+    }
+
+  // ------------------------------------------------------------ tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    listDirs(nsPath(namespace))
+      .filter(d => Files.exists(d.resolve(SchemaManifest)))
+      .map(d => Identifier.of(namespace, d.getFileName.toString))
+      .sortBy(_.name).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = tableWith(ident, Map.empty)
+
+  /** SQL `VERSION AS OF <n>` — resolved by the same DSv2 scan rules as
+    * `.option("versionAsOf", n)`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    require(version.nonEmpty && version.forall(_.isDigit),
+      s"graft catalog: VERSION AS OF wants a version number, got '$version'")
+    tableWith(ident, Map("versionAsOf" -> version))
+  }
+
+  /** SQL `TIMESTAMP AS OF <ts>` — Spark hands the literal as epoch
+    * MICROS, which is exactly the stamp space the DSv2 writer commits
+    * in (stampValue), so SQL time travel works out of the box on any
+    * DSv2-written table. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    tableWith(ident, Map("timestampAsOf" -> timestamp.toString))
+
+  private def tableWith(ident: Identifier, extra: Map[String, String]): Table = {
+    val m = manifestOf(ident)
+    if (!Files.exists(m)) throw new NoSuchTableException(ident)
+    val schema = DataType.fromJson(new String(Files.readAllBytes(m),
+      java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    val opts = Map("path" -> tablePath(ident).toString) ++ extra
+    new GraftVersionedTable(schema, new CaseInsensitiveStringMap(opts.asJava))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-versioned tables are unpartitioned — the version dir is the " +
+        "layout unit; cluster files with Layout.WriteSpec at write time")
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    if (Files.exists(manifestOf(ident))) throw new TableAlreadyExistsException(ident)
+    GroupParquetIo.writeMessageType(schema) // DDL-time type check, fail loud
+    Files.createDirectories(tablePath(ident))
+    Files.write(manifestOf(ident),
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is not supported — the store has no " +
+        "schema evolution; INSERT OVERWRITE a new snapshot (or create a " +
+        "new table) instead")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!Files.exists(p.resolve(SchemaManifest))) false
+    else { Versioned.deleteRecursively(p); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!Files.exists(manifestOf(oldIdent))) throw new NoSuchTableException(oldIdent)
+    if (Files.exists(manifestOf(newIdent)))
+      throw new TableAlreadyExistsException(newIdent)
+    if (!namespaceExists(newIdent.namespace))
+      throw new NoSuchNamespaceException(newIdent.namespace)
+    Files.move(tablePath(oldIdent), tablePath(newIdent))
+  }
+
+  // -------------------------------------------------------- namespaces
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || Files.exists(nsPath(namespace).resolve(NsMarker))
+
+  override def listNamespaces(): Array[Array[String]] =
+    listDirs(warehouse)
+      .filter(d => Files.exists(d.resolve(NsMarker)))
+      .map(d => Array(d.getFileName.toString))
+      .sortBy(_.head).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    listDirs(nsPath(namespace))
+      .filter(d => Files.exists(d.resolve(NsMarker)))
+      .map(d => namespace :+ d.getFileName.toString)
+      .sortBy(_.mkString(".")).toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(namespace)
+    val p = nsPath(namespace)
+    Files.createDirectories(p)
+    Files.write(p.resolve(NsMarker), Array.empty[Byte])
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val p = nsPath(namespace)
+    val nonEmpty = listDirs(p).nonEmpty
+    if (nonEmpty && !cascade) throw new NonEmptyNamespaceException(namespace)
+    Versioned.deleteRecursively(p)
+    true
+  }
+}

@@ -6,21 +6,27 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroup
 import org.apache.parquet.filter2.compat.FilterCompat
 import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
-import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader, ParquetWriter}
 import org.apache.parquet.hadoop.api.ReadSupport
-import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
-import org.apache.parquet.schema.MessageType
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types => PTypes}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.parquet.schema.Type.Repetition
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -116,7 +122,14 @@ private[sources] object GraftVersionedTable {
 
   /** Schema of the resolved snapshot (batch) or of the stored change
     * feed (changeFeed=true) — inferred once, driver-side, through the
-    * engine's own parquet footer reader. */
+    * engine's own parquet footer reader.
+    *
+    * An empty root is fail-loud (`no versions`) UNLESS the caller opts
+    * into bootstrap with `.option("create", "true")` — the first write
+    * to a fresh root has no schema to infer, so the table reports an
+    * empty schema plus ACCEPT_ANY_SCHEMA and the write carries its own
+    * (the catalog path never hits this: a created table's schema comes
+    * from its manifest, not from inference). */
   def resolveSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val root = rootOf(options)
@@ -126,6 +139,9 @@ private[sources] object GraftVersionedTable {
         s"no change feed under $root — write versions with " +
           "Versioned.writeNextWithFeed to enable streaming reads")
       spark.read.parquet(Versioned.feedDir(root, feeds.head)).schema
+    } else if (Versioned.latestVersion(root).isEmpty &&
+               options.getBoolean("create", false)) {
+      new StructType()
     } else {
       spark.read.parquet(snapshotDir(root, options)).schema
     }
@@ -134,7 +150,7 @@ private[sources] object GraftVersionedTable {
 
 private[sources] class GraftVersionedTable(
     tableSchema: StructType, options: CaseInsensitiveStringMap)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
   private val root = GraftVersionedTable.rootOf(options)
   private val changeFeed = GraftVersionedTable.isChangeFeed(options)
@@ -148,14 +164,33 @@ private[sources] class GraftVersionedTable(
   override def capabilities(): util.Set[TableCapability] =
     if (changeFeed)
       util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-    else
-      util.EnumSet.of(TableCapability.BATCH_READ)
+    else {
+      val caps = util.EnumSet.of(
+        TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+        TableCapability.STREAMING_WRITE)
+      // bootstrap write to a fresh root: no schema to resolve against,
+      // the write's own query schema becomes version 0's schema
+      if (tableSchema.isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+      caps
+    }
 
   override def newScanBuilder(readOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // .load(root) options arrive here; table-construction options carry
     // the same map — prefer the read-time one
     val merged = if (readOptions.isEmpty) options else readOptions
     new GraftVersionedScanBuilder(tableSchema, merged)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!changeFeed,
+      "the change feed is derived at commit time and read-only — " +
+        "write snapshots to the root itself")
+    require(!options.containsKey("versionAsOf") &&
+        !options.containsKey("timestampAsOf"),
+      "cannot write to a time-travel pinned snapshot — writes go to the " +
+        "root (a new version)")
+    new GraftVersionedWriteBuilder(root, tableSchema, info)
   }
 }
 
@@ -198,9 +233,19 @@ private[sources] class GraftVersionedScan(
 
   override def readSchema(): StructType = required
 
+  // a catalog table between CREATE and its first INSERT has a schema
+  // (the manifest) but no versions — that is a legitimate empty table,
+  // not an error; an explicit versionAsOf/timestampAsOf on such a root
+  // still fails loudly through resolveVersion
+  private def uninitialized: Boolean =
+    Versioned.latestVersion(root).isEmpty &&
+      !options.containsKey("versionAsOf") &&
+      !options.containsKey("timestampAsOf")
+
   override def description(): String = {
     val what =
       if (GraftVersionedTable.isChangeFeed(options)) "changeFeed"
+      else if (uninitialized) "version=<empty table>"
       else s"version=${GraftVersionedTable.resolveVersion(root, options)}"
     s"GraftVersionedScan $what, " +
       s"ReadColumns: [${required.fieldNames.mkString(", ")}], " +
@@ -214,7 +259,14 @@ private[sources] class GraftVersionedScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (uninitialized) return Array.empty
     val dir = GraftVersionedTable.snapshotDir(root, options)
+    // catalog tables resolve schema from the manifest, so a bad
+    // versionAsOf would otherwise sail through to an empty file listing
+    // and silently read as zero rows — fail loudly instead
+    require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)),
+      s"graft-versioned: version dir $dir does not exist " +
+        s"(existing: ${Versioned.versions(root).mkString("v=", ", v=", "")})")
     Versioned.dataFiles(java.nio.file.Paths.get(dir))
       .sortBy(_.getFileName.toString)
       .map(p => GroupParquetPartition(p.toString): InputPartition)
@@ -490,4 +542,325 @@ private[sources] object GroupParquetIo {
       case BooleanType => FilterApi.eq(FilterApi.booleanColumn(a), null.asInstanceOf[java.lang.Boolean])
       case StringType => FilterApi.eq(FilterApi.binaryColumn(a), null.asInstanceOf[Binary])
     }
+
+  /** Catalyst schema → parquet MessageType for the WRITE side — the
+    * exact mirror of the reader's type set, so anything this writer
+    * commits the reader (and Spark's own vectorized parquet scan) reads
+    * back losslessly. Fails loudly on any type outside the set — at
+    * write-BUILD time (driver), before a single task launches. */
+  def writeMessageType(schema: StructType): MessageType = {
+    require(schema.nonEmpty, "graft-versioned: cannot write a zero-column schema")
+    val b = PTypes.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType =>
+          b.addField(PTypes.primitive(PrimitiveTypeName.INT64, Repetition.OPTIONAL).named(f.name))
+        case IntegerType =>
+          b.addField(PTypes.primitive(PrimitiveTypeName.INT32, Repetition.OPTIONAL).named(f.name))
+        case DoubleType =>
+          b.addField(PTypes.primitive(PrimitiveTypeName.DOUBLE, Repetition.OPTIONAL).named(f.name))
+        case FloatType =>
+          b.addField(PTypes.primitive(PrimitiveTypeName.FLOAT, Repetition.OPTIONAL).named(f.name))
+        case BooleanType =>
+          b.addField(PTypes.primitive(PrimitiveTypeName.BOOLEAN, Repetition.OPTIONAL).named(f.name))
+        case StringType =>
+          b.addField(PTypes.primitive(PrimitiveTypeName.BINARY, Repetition.OPTIONAL)
+            .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case DateType =>
+          b.addField(PTypes.primitive(PrimitiveTypeName.INT32, Repetition.OPTIONAL)
+            .as(LogicalTypeAnnotation.dateType()).named(f.name))
+        case other => throw new UnsupportedOperationException(
+          s"graft-versioned: unsupported column type ${other.simpleString} " +
+            s"for '${f.name}' — the store's column set is " +
+            "long/int/double/float/boolean/string/date")
+      }
+    }
+    b.named("graft_versioned")
+  }
+}
+
+// ============================================================ write path
+
+/** WriteBuilder for the version store. Default mode APPENDS: the new
+  * version is previous ∪ written rows (previous data files are
+  * hard-linked into the commit — immutable files make the link safe and
+  * O(files), never a data copy). `truncate()` (DataFrameWriter
+  * mode("overwrite"), SQL INSERT OVERWRITE, streaming OutputMode
+  * Complete) switches to snapshot-REPLACE: the new version is exactly
+  * the written rows — the reference's copy-then-replace discipline
+  * (price_prediction_data_pipeline.py:140-177) as a SQL verb. Either
+  * way history is preserved; rollback/retention/time travel see one
+  * more version. */
+private[sources] class GraftVersionedWriteBuilder(
+    root: String, tableSchema: StructType, info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var replace = false
+
+  override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def build(): Write = {
+    val schema = info.schema()
+    GroupParquetIo.writeMessageType(schema) // fail loud on unsupported types now
+    // appending to existing versions: the combined snapshot must be
+    // homogeneous — require positional name+type equality with the
+    // current version (replace may change schema: each version dir
+    // carries its own footer schema and pinned readers use their own)
+    Versioned.latestVersion(root).foreach { v =>
+      if (!replace) {
+        val existing = SparkSession.active.read.parquet(s"$root/v=$v").schema
+        val got = schema.fields.map(f => (f.name, f.dataType)).toSeq
+        val want = existing.fields.map(f => (f.name, f.dataType)).toSeq
+        require(got == want,
+          s"graft-versioned append schema mismatch under $root: " +
+            s"writing ${schema.simpleString} onto v=$v ${existing.simpleString} — " +
+            "append requires identical columns; use overwrite to change schema")
+      }
+    }
+    val stamp = Option(info.options.get("commitTs")).map(_.toLong)
+    new GraftVersionedWrite(root, schema, replace, stamp, info.queryId())
+  }
+}
+
+private[sources] class GraftVersionedWrite(
+    root: String, schema: StructType, replace: Boolean,
+    commitTs: Option[Long], queryId: String) extends Write {
+
+  override def description(): String =
+    s"GraftVersionedWrite ${if (replace) "replace" else "append"} `$root`"
+
+  override def toBatch: BatchWrite =
+    new GraftBatchWrite(root, schema, replace, commitTs, queryId)
+
+  override def toStreaming: StreamingWrite =
+    new GraftStreamingWrite(root, schema, replace, commitTs, queryId)
+}
+
+/** Batch write: tasks stage parquet files under `root/_staging_<id>`
+  * (underscore-prefixed — invisible to every reader), the driver commit
+  * links in the previous version's files (append mode), then publishes
+  * the whole directory as `v=<next>` with ONE atomic rename. A reader
+  * can never observe a half-written version; abort deletes the staging
+  * dir and the store is untouched. */
+private[sources] class GraftBatchWrite(
+    root: String, schema: StructType, replace: Boolean,
+    commitTs: Option[Long], queryId: String) extends BatchWrite {
+
+  private val staged = java.nio.file.Paths.get(
+    root, s"_staging_${queryId}_${java.util.UUID.randomUUID.toString.take(8)}")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    java.nio.file.Files.createDirectories(staged)
+    GroupParquetWriterFactory(schema, staged.toString)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    VersionedWriteIo.keepOnly(staged, messages)
+    VersionedWriteIo.commitStaged(root, staged, schema,
+      appendPrev = !replace, stamp = VersionedWriteIo.stampValue(commitTs),
+      epochTag = None)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    Versioned.deleteRecursively(staged)
+}
+
+/** Streaming write: every micro-batch epoch commits one version —
+  * append mode grows the snapshot (OutputMode.Append/Update), truncate
+  * replaces it (OutputMode.Complete). Epoch replay after a restart is
+  * IDEMPOTENT: the committed version carries a `_graft_epoch` tag
+  * (queryId:epochId) written into the staging dir BEFORE the atomic
+  * rename, so the replay check and the commit are one filesystem
+  * event — a replayed epoch finds its tag and drops its staged files
+  * instead of double-appending. */
+private[sources] class GraftStreamingWrite(
+    root: String, schema: StructType, replace: Boolean,
+    commitTs: Option[Long], queryId: String) extends StreamingWrite {
+
+  private val stagedBase = java.nio.file.Paths.get(root, s"_staging_stream_$queryId")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    java.nio.file.Files.createDirectories(stagedBase)
+    GroupParquetWriterFactory(schema, stagedBase.toString)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val epochDir = stagedBase.resolve(s"epoch=$epochId")
+    val tag = s"$queryId:$epochId"
+    if (VersionedWriteIo.epochCommitted(root, tag)) {
+      Versioned.deleteRecursively(epochDir) // replayed epoch — already in
+      return
+    }
+    java.nio.file.Files.createDirectories(epochDir)
+    VersionedWriteIo.keepOnly(epochDir, messages)
+    // a deterministic stamp ladder when the caller provided commitTs
+    // (epoch i lands at commitTs+i); wall-clock micros otherwise
+    val stamp = commitTs.map(_ + epochId)
+      .getOrElse(VersionedWriteIo.stampValue(None))
+    VersionedWriteIo.commitStaged(root, epochDir, schema,
+      appendPrev = !replace, stamp = stamp, epochTag = Some(tag))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    Versioned.deleteRecursively(stagedBase.resolve(s"epoch=$epochId"))
+}
+
+private[sources] case class StagedFilesMessage(files: Seq[String])
+  extends WriterCommitMessage
+
+/** Commit machinery shared by batch and streaming writes. */
+private[sources] object VersionedWriteIo {
+
+  import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+  def stampValue(commitTs: Option[Long]): Long =
+    // every DSv2 commit is stamped (time travel always works on a
+    // DSv2-written root); default stamp is wall-clock MICROS so SQL
+    // `TIMESTAMP AS OF` (which resolves to micros) lands in stamp space
+    commitTs.getOrElse(System.currentTimeMillis() * 1000L)
+
+  /** Drop staged files not named in any commit message — the leftovers
+    * of speculative or failed task attempts whose abort never ran. */
+  def keepOnly(staged: Path, messages: Array[WriterCommitMessage]): Unit = {
+    val keep = messages.collect {
+      case StagedFilesMessage(fs) => fs
+    }.flatten.toSet
+    Versioned.dataFiles(staged)
+      .filterNot(f => keep(f.getFileName.toString))
+      .foreach(Files.delete(_))
+  }
+
+  private def epochTagOf(root: String, version: Long): Option[String] = {
+    val f = Paths.get(root, s"v=$version", "_graft_epoch")
+    if (Files.exists(f))
+      Some(new String(Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8).trim)
+    else None
+  }
+
+  def epochCommitted(root: String, tag: String): Boolean =
+    Versioned.versions(root).exists(v => epochTagOf(root, v).contains(tag))
+
+  /** Publish a staged directory as the next version. Optimistic
+    * concurrency: compute `next`, link the previous version's files in
+    * (append mode), atomically rename; if another writer claimed
+    * `v=next` first, the rename fails, the stale links are replaced
+    * against the NEW latest, and the commit retries — serialized
+    * multi-writer appends without a lock service, bounded and loud. */
+  def commitStaged(root: String, staged: Path, schema: StructType,
+                   appendPrev: Boolean, stamp: Long,
+                   epochTag: Option[String]): Long = {
+    // an all-empty-partitions write still commits a readable version:
+    // one zero-row file carries the schema for every future reader
+    if (Versioned.dataFiles(staged).isEmpty)
+      GroupParquetWriterFactory(schema, staged.toString)
+        .emptyFile("part-00000-empty.parquet")
+    epochTag.foreach { t =>
+      Files.write(staged.resolve("_graft_epoch"),
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    var attempt = 0
+    var prevLinked: Seq[Path] = Nil
+    while (attempt < 20) {
+      val prev = Versioned.latestVersion(root)
+      val next = prev.map(_ + 1).getOrElse(0L)
+      if (appendPrev) {
+        prevLinked.foreach(Files.deleteIfExists(_))
+        prevLinked = prev.toSeq.flatMap { p =>
+          Versioned.dataFiles(Paths.get(root, s"v=$p")).map { f =>
+            val tgt = staged.resolve(s"prev-v$p-${f.getFileName}")
+            try Files.createLink(tgt, f)
+            catch { case _: UnsupportedOperationException => Files.copy(f, tgt) }
+            tgt
+          }
+        }
+      }
+      try {
+        Files.move(staged, Paths.get(root, s"v=$next"), StandardCopyOption.ATOMIC_MOVE)
+        Versioned.writeStamp(root, next, stamp)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.FileSystemException =>
+          attempt += 1 // v=next was claimed concurrently — recompute
+      }
+    }
+    throw new IllegalStateException(
+      s"graft-versioned: could not commit under $root after 20 attempts — " +
+        "either extreme write contention or the root is not writable")
+  }
+}
+
+/** Executor-side writer: one parquet file per non-empty partition,
+  * created lazily on the first row (no empty-file litter from empty
+  * shuffle partitions), named by (partition, task attempt) so
+  * speculative attempts never collide. */
+private[sources] case class GroupParquetWriterFactory(
+    schema: StructType, stagingDir: String)
+  extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GroupParquetDataWriter(stagingDir,
+      f"part-$partitionId%05d-$taskId.parquet", schema)
+
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new GroupParquetDataWriter(s"$stagingDir/epoch=$epochId",
+      f"part-$partitionId%05d-$taskId.parquet", schema)
+
+  /** Zero-row file with the write schema (driver-side, commit path). */
+  def emptyFile(name: String): Unit =
+    new GroupParquetDataWriter(stagingDir, name, schema).forceCreateAndClose()
+}
+
+private[sources] class GroupParquetDataWriter(
+    dir: String, fileName: String, schema: StructType)
+  extends DataWriter[InternalRow] {
+
+  private lazy val msgType: MessageType = GroupParquetIo.writeMessageType(schema)
+  private var writer: ParquetWriter[Group] = null
+  private var path: java.nio.file.Path = null
+
+  private def open(): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    path = java.nio.file.Paths.get(dir, fileName)
+    writer = ExampleParquetWriter.builder(new HPath(path.toString))
+      .withType(msgType).withConf(new Configuration()).build()
+  }
+
+  private[sources] def forceCreateAndClose(): Unit = { open(); writer.close() }
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) open()
+    val g = new SimpleGroup(msgType)
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) schema.fields(i).dataType match {
+        case LongType    => g.add(i, row.getLong(i))
+        case IntegerType => g.add(i, row.getInt(i))
+        case DateType    => g.add(i, row.getInt(i))
+        case DoubleType  => g.add(i, row.getDouble(i))
+        case FloatType   => g.add(i, row.getFloat(i))
+        case BooleanType => g.add(i, row.getBoolean(i))
+        case StringType  =>
+          g.add(i, Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+        case other => throw new UnsupportedOperationException(
+          s"graft-versioned: unsupported column type ${other.simpleString}")
+      }
+      i += 1
+    }
+    writer.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    StagedFilesMessage(if (path == null) Seq.empty else Seq(fileName))
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) writer.close()
+    if (path != null) java.nio.file.Files.deleteIfExists(path)
+  }
+
+  override def close(): Unit = ()
 }

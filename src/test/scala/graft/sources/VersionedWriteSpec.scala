@@ -1,0 +1,192 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.operators.Versioned
+
+/** DSv2 WRITE path over the version store: append vs snapshot-replace
+  * semantics, atomic commit (one rename), hard-linked append history,
+  * commit stamps / time travel interop with the Versioned helpers,
+  * streaming epoch commits with replay idempotence, and the fail-loud
+  * matrix (schema drift on append, unsupported types, writes to pinned
+  * snapshots). */
+class VersionedWriteSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_w_${tag}_").toString
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def df(t: (Long, Long, String)*): DataFrame =
+    t.toDF("id", "price", "tag")
+
+  test("bootstrap write creates v=0; read round-trips exactly") {
+    val root = freshRoot("boot")
+    val d = df((1L, 100L, "a"), (2L, 200L, "b"), (3L, 300L, null.asInstanceOf[String]))
+    d.write.format("graft-versioned").option("create", "true")
+      .mode("append").save(root)
+    assert(Versioned.versions(root) === Seq(0L))
+    assert(rows(spark.read.format("graft-versioned").load(root)) === rows(d))
+    assert(rows(Versioned.read(spark, root)) === rows(d)) // helper interop
+  }
+
+  test("append commits prev ∪ new; overwrite replaces; history pinned") {
+    val root = freshRoot("modes")
+    df((1L, 100L, "a")).write.format("graft-versioned")
+      .option("create", "true").mode("append").save(root)
+    df((2L, 200L, "b")).write.format("graft-versioned")
+      .mode("append").save(root)
+    df((9L, 900L, "z")).write.format("graft-versioned")
+      .mode("overwrite").save(root)
+    assert(Versioned.versions(root) === Seq(0L, 1L, 2L))
+    def r = spark.read.format("graft-versioned") // fresh reader per call — options stick
+    assert(rows(r.option("versionAsOf", "0").load(root)) === rows(df((1L, 100L, "a"))))
+    assert(rows(r.option("versionAsOf", "1").load(root)) ===
+      rows(df((1L, 100L, "a"), (2L, 200L, "b"))))
+    assert(rows(r.load(root)) === rows(df((9L, 900L, "z"))))
+  }
+
+  test("append hard-links the previous version's files, never re-copies data") {
+    val root = freshRoot("links")
+    df((1L, 100L, "a")).repartition(1).write.format("graft-versioned")
+      .option("create", "true").mode("append").save(root)
+    df((2L, 200L, "b")).repartition(1).write.format("graft-versioned")
+      .mode("append").save(root)
+    val v0 = java.nio.file.Paths.get(root, "v=0")
+    val v1 = java.nio.file.Paths.get(root, "v=1")
+    val v0Keys = Versioned.dataFiles(v0).map(f =>
+      java.nio.file.Files.readAttributes(f, "unix:ino").get("ino")).toSet
+    val v1Keys = Versioned.dataFiles(v1).map(f =>
+      java.nio.file.Files.readAttributes(f, "unix:ino").get("ino")).toSet
+    // every v0 inode appears again in v1 (same physical file, linked)
+    assert(v0Keys.subsetOf(v1Keys), s"v0 files not linked into v1: $v0Keys vs $v1Keys")
+  }
+
+  test("commitTs stamps flow to readAsOf and resolveAsOf") {
+    val root = freshRoot("stamps")
+    df((1L, 100L, "a")).write.format("graft-versioned")
+      .option("create", "true").option("commitTs", "1000").mode("append").save(root)
+    df((2L, 200L, "b")).write.format("graft-versioned")
+      .option("commitTs", "3000").mode("append").save(root)
+    assert(rows(Versioned.readAsOf(spark, root, 1500L)) === rows(df((1L, 100L, "a"))))
+    assert(Versioned.resolveAsOf(root, 3500L) === 1L)
+    // an unstamped option write still stamps (wall-clock micros)
+    assert(Versioned.commitStamp(root, 0L) === Some(1000L))
+  }
+
+  test("empty write commits a readable zero-row version carrying the schema") {
+    val root = freshRoot("empty")
+    df((1L, 1L, "x")).filter(col("id") > 100).write.format("graft-versioned")
+      .option("create", "true").mode("append").save(root)
+    val back = spark.read.format("graft-versioned").load(root)
+    assert(back.count() === 0L)
+    assert(back.columns.toSeq === Seq("id", "price", "tag"))
+  }
+
+  test("fail-loud: append schema drift, unsupported type, write to pinned snapshot") {
+    val root = freshRoot("loud")
+    df((1L, 100L, "a")).write.format("graft-versioned")
+      .option("create", "true").mode("append").save(root)
+    val drift = intercept[Exception] {
+      Seq((2L, "oops")).toDF("id", "tag").write.format("graft-versioned")
+        .mode("append").save(root)
+    }
+    assert(chain(drift).exists(_.contains("append schema mismatch")) ||
+      chain(drift).exists(_.contains("Cannot write incompatible data")) ||
+      chain(drift).exists(_.contains("cannot resolve")), s"got: ${chain(drift)}")
+    val badType = intercept[Exception] {
+      Seq((1L, Seq(1, 2))).toDF("id", "arr").write.format("graft-versioned")
+        .mode("overwrite").save(root)
+    }
+    assert(chain(badType).exists(_.contains("unsupported column type")))
+    val pinned = intercept[Exception] {
+      df((3L, 300L, "c")).write.format("graft-versioned")
+        .option("versionAsOf", "0").mode("append").save(root)
+    }
+    assert(chain(pinned).exists(_.contains("time-travel pinned")))
+  }
+
+  test("streaming write: one version per epoch, append across batches") {
+    val root = freshRoot("stream")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_w_ckpt_").toString
+    mem.addData((1L, 100L, "a"), (2L, 200L, "b"))
+    val q = mem.toDF().toDF("id", "price", "tag")
+      .writeStream.format("graft-versioned")
+      .option("path", root).option("create", "true")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    mem.addData((3L, 300L, "c"))
+    val q2 = mem.toDF().toDF("id", "price", "tag")
+      .writeStream.format("graft-versioned")
+      .option("path", root).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(Versioned.versions(root).size === 2)
+    assert(rows(Versioned.read(spark, root)) ===
+      rows(df((1L, 100L, "a"), (2L, 200L, "b"), (3L, 300L, "c"))))
+    // each committed version carries its epoch tag
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "v=0", "_graft_epoch")))
+  }
+
+  test("streaming epoch replay is idempotent (no double-append)") {
+    val root = freshRoot("replay")
+    val w = new GraftStreamingWrite(root,
+      df((0L, 0L, "")).schema, replace = false,
+      commitTs = Some(5000L), queryId = "qtest")
+    val factory = w.createStreamingWriterFactory(null)
+    val writer = factory.createWriter(0, 7L, 0L)
+    Seq((1L, 100L, "a")).foreach { case (a, b, c) =>
+      writer.write(org.apache.spark.sql.catalyst.InternalRow(
+        a, b, org.apache.spark.unsafe.types.UTF8String.fromString(c)))
+    }
+    val msg = writer.commit()
+    w.commit(0L, Array(msg))
+    assert(Versioned.versions(root) === Seq(0L))
+    assert(Versioned.commitStamp(root, 0L) === Some(5000L))
+    // replay the same epoch: same files staged again, commit again
+    val writer2 = factory.createWriter(0, 8L, 0L)
+    writer2.write(org.apache.spark.sql.catalyst.InternalRow(
+      1L, 100L, org.apache.spark.unsafe.types.UTF8String.fromString("a")))
+    w.commit(0L, Array(writer2.commit()))
+    assert(Versioned.versions(root) === Seq(0L), "replayed epoch double-committed")
+    assert(Versioned.read(spark, root).count() === 1L)
+  }
+
+  test("speculative-attempt leftovers are dropped: only message-listed files commit") {
+    val root = freshRoot("spec")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val bw = new GraftBatchWrite(root, df((0L, 0L, "")).schema,
+      replace = false, commitTs = Some(1L), queryId = "qspec")
+    val factory = bw.createBatchWriterFactory(null)
+    val winner = factory.createWriter(0, 1L)
+    winner.write(org.apache.spark.sql.catalyst.InternalRow(
+      1L, 10L, org.apache.spark.unsafe.types.UTF8String.fromString("w")))
+    val msg = winner.commit()
+    // a speculative attempt whose file landed in staging but whose
+    // message never reached the driver (its abort never ran either)
+    val loser = factory.createWriter(0, 2L)
+    loser.write(org.apache.spark.sql.catalyst.InternalRow(
+      9L, 90L, org.apache.spark.unsafe.types.UTF8String.fromString("l")))
+    loser.commit() // message dropped — as if the task lost the race
+    bw.commit(Array(msg))
+    assert(rows(Versioned.read(spark, root)) === rows(df((1L, 10L, "w"))))
+  }
+
+  private def chain(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+}
