@@ -297,6 +297,31 @@ object VersionedGate {
              ORDER BY snap, doc_id""")
   }
 
+  /** q147: the maintenance lifecycle driven ENTIRELY from SQL —
+    * two INSERT commits, `CALL sys.compact` (OPTIMIZE rewrite as v=2),
+    * `CALL sys.rollback` (drop it), compact again, `CALL sys.retain`
+    * keep=1 (only the compacted version survives). The output is the
+    * table's data aggregated per language AFTER all of that; the oracle
+    * recomputes it from documents — so the hash certifies that the
+    * whole compact→rollback→compact→retain dance was data-lossless. */
+  def q147SqlMaintenance(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs147")
+    s.sql("CREATE TABLE graft.gate.docs147 (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+      "USING `graft-versioned`")
+    Tables.documents(s, dir).createOrReplaceTempView("q147_docs_src")
+    s.sql("INSERT INTO graft.gate.docs147 " +
+      "SELECT doc_id, lang, n_chars FROM q147_docs_src WHERE doc_id % 4 = 0")
+    s.sql("INSERT INTO graft.gate.docs147 " +
+      "SELECT doc_id, lang, n_chars FROM q147_docs_src WHERE doc_id % 4 = 1")
+    s.sql("CALL graft.sys.compact(table => 'gate.docs147')")       // v=2
+    s.sql("CALL graft.sys.rollback(table => 'gate.docs147')")      // back to v=1
+    s.sql("CALL graft.sys.compact(table => 'gate.docs147')")       // v=2 again
+    s.sql("CALL graft.sys.retain(table => 'gate.docs147', keep => 1)")
+    s.sql("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+             FROM graft.gate.docs147 GROUP BY lang ORDER BY lang""")
+  }
+
   private lazy val StreamWriteSrc = scratchBase.resolve("q146_src").toString
   private lazy val StreamWriteDst = scratchBase.resolve("q146_dst").toString
 
@@ -340,6 +365,7 @@ object VersionedGate {
     "q144_catalog_sql" -> (q144CatalogSql _),
     "q145_catalog_time_travel" -> (q145CatalogTimeTravel _),
     "q146_stream_write_versions" -> (q146StreamWriteVersions _),
+    "q147_sql_maintenance" -> (q147SqlMaintenance _),
     "q63_versioned_load" -> (q63VersionedLoad _),
     "q67_csv_swap" -> (q67CsvSwap _),
     "q120_version_change_feed" -> (q120VersionChangeFeed _),
@@ -347,6 +373,13 @@ object VersionedGate {
     "q131_time_travel" -> (q131TimeTravel _))
 
   val oracles: Map[String, String] = Map(
+    // q147: the SQL maintenance dance is data-lossless — the surviving
+    // compacted version holds exactly the two inserts' union
+    "q147_sql_maintenance" ->
+      """SELECT lang, cast(count(*) as bigint) AS n_docs,
+        |  cast(sum(n_chars) as bigint) AS sum_chars
+        |FROM documents WHERE doc_id % 4 IN (0, 1)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // q144: two append commits = the union of the two insert predicates
     "q144_catalog_sql" ->
       """SELECT lang, cast(count(*) as bigint) AS n_docs,

@@ -5,10 +5,15 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NonEmptyNamespaceException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.operators.Versioned
@@ -43,7 +48,7 @@ import graft.operators.Versioned
   * are the layout unit — cluster with Layout.WriteSpec), ALTER TABLE
   * (no schema evolution in the store; replace the snapshot instead).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -194,5 +199,98 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (nonEmpty && !cascade) throw new NonEmptyNamespaceException(namespace)
     Versioned.deleteRecursively(p)
     true
+  }
+
+  // -------------------------------------------------------- procedures
+
+  /** Maintenance verbs as SQL stored procedures under the reserved
+    * `sys` namespace — the OPTIMIZE / RESTORE / VACUUM surface:
+    *
+    * {{{
+    * CALL graft.sys.compact(table => 'ns.t', target_file_bytes => 134217728)
+    * CALL graft.sys.rollback(table => 'ns.t')
+    * CALL graft.sys.retain(table => 'ns.t', keep => 3)
+    * }}}
+    *
+    * Each maps 1:1 onto the [[Versioned]] lifecycle op the reference's
+    * pipelines run in code (compaction rewrite, old-data restore,
+    * keep-last-3 backup retention, utils_of_backup.py:155-164) and
+    * returns its outcome as rows (compact/rollback: the resulting
+    * current version; retain: one row per surviving version). */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("sys")))
+      Array("compact", "rollback", "retain").map(Identifier.of(Array("sys"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val known = Array("compact", "rollback", "retain")
+    require(ident.namespace.sameElements(Array("sys")) && known.contains(ident.name),
+      s"graft catalog: unknown procedure ${ident.namespace.mkString(".")}." +
+        s"${ident.name} — available: ${known.map("sys." + _).mkString(", ")}")
+    val root: String => String = resolveTableRoot
+    ident.name match {
+      case "compact" => new GraftProcedure("compact",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("target_file_bytes", LongType)
+            .defaultValue((128L << 20).toString).build()),
+        new StructType().add("version", LongType, nullable = false),
+        in => {
+          val v = Versioned.compact(SparkSession.active,
+            root(in.getUTF8String(0).toString), in.getLong(1))
+          Seq(new GenericInternalRow(Array[Any](v)))
+        })
+      case "rollback" => new GraftProcedure("rollback",
+        Array(ProcedureParameter.in("table", StringType).build()),
+        new StructType().add("current_version", LongType, nullable = true),
+        in => {
+          val cur = Versioned.rollback(root(in.getUTF8String(0).toString))
+          Seq(new GenericInternalRow(Array[Any](cur.getOrElse(null))))
+        })
+      case "retain" => new GraftProcedure("retain",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("keep", IntegerType).defaultValue("3").build()),
+        new StructType().add("version", LongType, nullable = false),
+        in => Versioned.applyRetention(root(in.getUTF8String(0).toString),
+            in.getInt(1))
+          .map(v => new GenericInternalRow(Array[Any](v))))
+    }
+  }
+
+  /** Resolve a procedure's `'ns.table'` argument to its version root —
+    * same layout rules as loadTable, same fail-loud on a missing
+    * manifest. */
+  private def resolveTableRoot(table: String): String = {
+    val parts = table.split("\\.").filter(_.nonEmpty)
+    require(parts.length >= 2,
+      s"graft catalog: procedure table argument must be 'ns.table', got '$table'")
+    val ident = Identifier.of(parts.init, parts.last)
+    if (!Files.exists(manifestOf(ident))) throw new NoSuchTableException(ident)
+    tablePath(ident).toString
+  }
+}
+
+/** One class covers unbound + bound: the parameters are static (no
+  * overloading), so bind() is identity and `call` runs the verb on the
+  * driver and hands the outcome back as a [[LocalScan]] of rows. */
+private[sources] class GraftProcedure(
+    procName: String, params: Array[ProcedureParameter],
+    outSchema: StructType, run: InternalRow => Seq[InternalRow])
+  extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = procName
+  override def description(): String = s"graft version-store $procName"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = params
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val out = run(input).toArray
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = out
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"graft sys.$procName result"
+    }).iterator()
   }
 }

@@ -105,6 +105,72 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(chain(missing).exists(_.contains("does not exist")))
   }
 
+  test("CALL sys.compact rewrites the snapshot as a new version with fewer files") {
+    sql("DROP TABLE IF EXISTS gtest.ns.t6")
+    sql("CREATE TABLE gtest.ns.t6 (id BIGINT) USING `graft-versioned`")
+    import spark.implicits._
+    spark.range(0, 400).select($"id").repartition(8)
+      .createOrReplaceTempView("t6_src")
+    sql("INSERT INTO gtest.ns.t6 SELECT * FROM t6_src WHERE id < 200")
+    sql("INSERT INTO gtest.ns.t6 SELECT * FROM t6_src WHERE id >= 200")
+    val root = s"$warehouse/ns/t6"
+    val filesBefore = fileCount(s"$root/v=1")
+    val res = sql("CALL gtest.sys.compact(table => 'ns.t6')").collect()
+    assert(res.map(_.getLong(0)).toSeq === Seq(2L))
+    assert(fileCount(s"$root/v=2") < filesBefore,
+      s"compacted version should have fewer files than $filesBefore")
+    assert(sql("SELECT * FROM gtest.ns.t6").count() === 400L)
+    assert(sql("SELECT * FROM gtest.ns.t6 VERSION AS OF 1").count() === 400L)
+  }
+
+  test("CALL sys.rollback and sys.retain drive the version lifecycle from SQL") {
+    sql("DROP TABLE IF EXISTS gtest.ns.t7")
+    sql("CREATE TABLE gtest.ns.t7 (id BIGINT) USING `graft-versioned`")
+    sql("INSERT INTO gtest.ns.t7 VALUES (1)")
+    sql("INSERT INTO gtest.ns.t7 VALUES (2)")
+    sql("INSERT INTO gtest.ns.t7 VALUES (3)")
+    val rb = sql("CALL gtest.sys.rollback(table => 'ns.t7')").collect()
+    assert(rb.map(_.getLong(0)).toSeq === Seq(1L)) // v=2 dropped, v=1 current
+    assert(sql("SELECT * FROM gtest.ns.t7").count() === 2L)
+    val kept = sql("CALL gtest.sys.retain(table => 'ns.t7', keep => 1)").collect()
+    assert(kept.map(_.getLong(0)).toSeq === Seq(1L)) // only v=1 survives
+    assert(sql("SELECT * FROM gtest.ns.t7").count() === 2L)
+    val gone = intercept[Exception] {
+      sql("SELECT * FROM gtest.ns.t7 VERSION AS OF 0").collect()
+    }
+    assert(chain(gone).exists(_.contains("does not exist")))
+  }
+
+  test("fail-loud: unknown procedure, missing table argument") {
+    val unknown = intercept[Exception] {
+      sql("CALL gtest.sys.vacuum(table => 'ns.t1')")
+    }
+    assert(chain(unknown).exists(m =>
+      m.contains("unknown procedure") || m.contains("not found")), chain(unknown))
+    sql("CREATE TABLE IF NOT EXISTS gtest.ns.t8 (id BIGINT) USING `graft-versioned`")
+    val missing = intercept[Exception] {
+      sql("CALL gtest.sys.compact(table => 'ns.nope')")
+    }
+    assert(chain(missing).exists(m =>
+      m.contains("TABLE_OR_VIEW_NOT_FOUND") || m.contains("cannot be found")),
+      chain(missing))
+  }
+
+  private def fileCount(dir: String): Int = {
+    val p = java.nio.file.Paths.get(dir)
+    val s = java.nio.file.Files.list(p)
+    try s.iterator().asScalaCount(_.getFileName.toString.endsWith(".parquet"))
+    finally s.close()
+  }
+
+  private implicit class IterOps(it: java.util.Iterator[java.nio.file.Path]) {
+    def asScalaCount(p: java.nio.file.Path => Boolean): Int = {
+      var n = 0
+      while (it.hasNext) if (p(it.next())) n += 1
+      n
+    }
+  }
+
   private def chain(e: Throwable): Seq[String] =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
       .map(t => Option(t.getMessage).getOrElse("")).toSeq
