@@ -69,8 +69,9 @@ import graft.operators.Versioned
   * compacted version holds size-targeted files, Versioned.compact).
   *
   * Types cover the version-store column set (long/int/double/float/
-  * boolean/string/date). Anything else fails loudly at read time — the
-  * graft fail-loud contract, not a silent null.
+  * boolean/string/date/timestamp — both LTZ and NTZ, stored as parquet
+  * INT64 micros). Anything else fails loudly at read AND write time —
+  * the graft fail-loud contract, not a silent null.
   */
 class GraftVersionedProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -424,10 +425,12 @@ private[sources] class GroupParquetPartitionReader(
         case DateType    => row.setInt(i, g.getInteger(gi, 0))
         case StringType  =>
           row.update(i, UTF8String.fromBytes(g.getBinary(gi, 0).getBytes))
+        case TimestampType | TimestampNTZType =>
+          row.setLong(i, g.getLong(gi, 0)) // micros, the parquet encoding
         case other => throw new UnsupportedOperationException(
           s"graft-versioned: unsupported column type ${other.simpleString} " +
             s"for '${f.name}' — the reader covers the version-store " +
-            "column set (long/int/double/float/boolean/string/date)")
+            "column set (long/int/double/float/boolean/string/date/timestamp)")
       }
       i += 1
     }
@@ -448,11 +451,13 @@ private[sources] object GroupParquetIo {
       schema.fields.find(_.name == name).map(_.dataType)
     def atomic(name: String): Boolean = typeOf(name).exists {
       case LongType | IntegerType | DoubleType | FloatType |
-           BooleanType | StringType => true
+           BooleanType | StringType | DateType |
+           TimestampType | TimestampNTZType => true
       case _ => false
     }
     def ordered(name: String): Boolean = typeOf(name).exists {
-      case LongType | IntegerType | DoubleType | FloatType | StringType => true
+      case LongType | IntegerType | DoubleType | FloatType | StringType |
+           DateType | TimestampType | TimestampNTZType => true
       case _ => false
     }
     f match {
@@ -472,6 +477,32 @@ private[sources] object GroupParquetIo {
               types: Map[String, DataType]): Option[FilterPredicate] =
     filters.flatMap(one(_, types)).reduceOption(FilterApi.and)
 
+  // date literals arrive as LocalDate or java.sql.Date (datetime
+  // java8API setting) — parquet wants epoch days
+  private def toDays(v: Any): java.lang.Integer = v match {
+    case d: java.time.LocalDate => d.toEpochDay.toInt
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case n: Number => n.intValue()
+    case other => throw new IllegalArgumentException(
+      s"graft-versioned: cannot convert ${other.getClass.getName} to epoch days")
+  }
+
+  // timestamp literals arrive as Instant / java.sql.Timestamp (LTZ) or
+  // LocalDateTime (NTZ) — parquet wants epoch micros
+  private def toMicros(v: Any): java.lang.Long = v match {
+    case i: java.time.Instant =>
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+    case ts: java.sql.Timestamp =>
+      Math.addExact(Math.multiplyExact(ts.getTime / 1000L, 1000000L),
+        ts.getNanos / 1000L)
+    case ldt: java.time.LocalDateTime =>
+      val i = ldt.toInstant(java.time.ZoneOffset.UTC)
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+    case n: Number => n.longValue()
+    case other => throw new IllegalArgumentException(
+      s"graft-versioned: cannot convert ${other.getClass.getName} to epoch micros")
+  }
+
   // the typed-column handle comes from the COLUMN's Catalyst type (the
   // literal may arrive as a narrower boxed type than the column)
   private def one(f: Filter, t: Map[String, DataType]): Option[FilterPredicate] = {
@@ -484,6 +515,8 @@ private[sources] object GroupParquetIo {
       t.get(a).flatMap {
         case LongType => Some(onLong(v.asInstanceOf[Number].longValue()))
         case IntegerType => Some(onInt(v.asInstanceOf[Number].intValue()))
+        case DateType => Some(onInt(toDays(v)))
+        case TimestampType | TimestampNTZType => Some(onLong(toMicros(v)))
         case DoubleType => Some(onDouble(v.asInstanceOf[Number].doubleValue()))
         case FloatType => Some(onFloat(v.asInstanceOf[Number].floatValue()))
         case StringType => Some(onStr(Binary.fromString(v.toString)))
@@ -535,8 +568,10 @@ private[sources] object GroupParquetIo {
   private def isNullPred(a: String,
                          t: Map[String, DataType]): Option[FilterPredicate] =
     t.get(a).collect {
-      case LongType => FilterApi.eq(FilterApi.longColumn(a), null.asInstanceOf[java.lang.Long])
-      case IntegerType => FilterApi.eq(FilterApi.intColumn(a), null.asInstanceOf[java.lang.Integer])
+      case LongType | TimestampType | TimestampNTZType =>
+        FilterApi.eq(FilterApi.longColumn(a), null.asInstanceOf[java.lang.Long])
+      case IntegerType | DateType =>
+        FilterApi.eq(FilterApi.intColumn(a), null.asInstanceOf[java.lang.Integer])
       case DoubleType => FilterApi.eq(FilterApi.doubleColumn(a), null.asInstanceOf[java.lang.Double])
       case FloatType => FilterApi.eq(FilterApi.floatColumn(a), null.asInstanceOf[java.lang.Float])
       case BooleanType => FilterApi.eq(FilterApi.booleanColumn(a), null.asInstanceOf[java.lang.Boolean])
@@ -569,10 +604,18 @@ private[sources] object GroupParquetIo {
         case DateType =>
           b.addField(PTypes.primitive(PrimitiveTypeName.INT32, Repetition.OPTIONAL)
             .as(LogicalTypeAnnotation.dateType()).named(f.name))
+        case TimestampType =>
+          b.addField(PTypes.primitive(PrimitiveTypeName.INT64, Repetition.OPTIONAL)
+            .as(LogicalTypeAnnotation.timestampType(true,
+              LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
+        case TimestampNTZType =>
+          b.addField(PTypes.primitive(PrimitiveTypeName.INT64, Repetition.OPTIONAL)
+            .as(LogicalTypeAnnotation.timestampType(false,
+              LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
         case other => throw new UnsupportedOperationException(
           s"graft-versioned: unsupported column type ${other.simpleString} " +
             s"for '${f.name}' — the store's column set is " +
-            "long/int/double/float/boolean/string/date")
+            "long/int/double/float/boolean/string/date/timestamp")
       }
     }
     b.named("graft_versioned")
@@ -839,6 +882,7 @@ private[sources] class GroupParquetDataWriter(
         case LongType    => g.add(i, row.getLong(i))
         case IntegerType => g.add(i, row.getInt(i))
         case DateType    => g.add(i, row.getInt(i))
+        case TimestampType | TimestampNTZType => g.add(i, row.getLong(i))
         case DoubleType  => g.add(i, row.getDouble(i))
         case FloatType   => g.add(i, row.getFloat(i))
         case BooleanType => g.add(i, row.getBoolean(i))

@@ -186,6 +186,61 @@ class VersionedWriteSpec extends AnyFunSuite with SparkSpec {
     assert(rows(Versioned.read(spark, root)) === rows(df((1L, 10L, "w"))))
   }
 
+  test("timestamp columns round-trip and push down (LTZ + NTZ + date)") {
+    val root = freshRoot("ts")
+    val d = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, TIMESTAMP'2024-03-01 10:00:00', TIMESTAMP_NTZ'2024-03-01 10:00:00', DATE'2024-03-01'),
+        |  (2L, TIMESTAMP'2024-03-02 11:30:00.123456', TIMESTAMP_NTZ'2024-03-02 11:30:00.123456', DATE'2024-03-02'),
+        |  (3L, CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP_NTZ), CAST(NULL AS DATE))
+        |AS t(id, ts, ts_ntz, d)""".stripMargin)
+    d.write.format("graft-versioned").option("create", "true")
+      .mode("append").save(root)
+    val back = spark.read.format("graft-versioned").load(root)
+    assert(rows(back) === rows(d))
+    // pushed comparison filters on all three temporal types return exact results
+    val q = back.filter(col("ts") > lit(java.sql.Timestamp.valueOf("2024-03-01 12:00:00")))
+      .select("id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(ts"),
+      s"timestamp filter not pushed in:\n$plan")
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(back.filter(col("d") === lit(java.sql.Date.valueOf("2024-03-01")))
+      .collect().map(_.getAs[Long]("id")).toSeq === Seq(1L))
+    assert(back.filter(col("ts_ntz").isNull).collect()
+      .map(_.getAs[Long]("id")).toSeq === Seq(3L))
+  }
+
+  test("concurrent appends serialize: every writer commits, union survives") {
+    val root = freshRoot("conc")
+    df((0L, 0L, "base")).write.format("graft-versioned")
+      .option("create", "true").mode("append").save(root)
+    val schema = df((0L, 0L, "")).schema
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        try {
+          val bw = new GraftBatchWrite(root, schema, replace = false,
+            commitTs = Some(1000L + i), queryId = s"conc$i")
+          val w = bw.createBatchWriterFactory(null).createWriter(0, i.toLong)
+          w.write(org.apache.spark.sql.catalyst.InternalRow(
+            i.toLong, i * 10L,
+            org.apache.spark.unsafe.types.UTF8String.fromString(s"w$i")))
+          bw.commit(Array(w.commit()))
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(errors.isEmpty, s"concurrent commit failed: ${errors.peek()}")
+    // 1 bootstrap + 4 appends, serialized into distinct versions
+    assert(Versioned.versions(root) === Seq(0L, 1L, 2L, 3L, 4L))
+    // the FINAL snapshot holds every writer's row plus the base —
+    // no append was lost to a stale prev-link
+    assert(rows(Versioned.read(spark, root)) === rows(df(
+      (0L, 0L, "base"), (1L, 10L, "w1"), (2L, 20L, "w2"),
+      (3L, 30L, "w3"), (4L, 40L, "w4"))))
+  }
+
   private def chain(e: Throwable): Seq[String] =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
       .map(t => Option(t.getMessage).getOrElse("")).toSeq
