@@ -268,10 +268,8 @@ private[sources] class GraftVersionedScan(
     require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)),
       s"graft-versioned: version dir $dir does not exist " +
         s"(existing: ${Versioned.versions(root).mkString("v=", ", v=", "")})")
-    Versioned.dataFiles(java.nio.file.Paths.get(dir))
-      .sortBy(_.getFileName.toString)
-      .map(p => GroupParquetPartition(p.toString): InputPartition)
-      .toArray
+    GroupParquetIo.splitByRowGroup(
+      Versioned.dataFiles(java.nio.file.Paths.get(dir)))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -321,9 +319,8 @@ private[sources] class GraftChangeFeedStream(
     val e = end.asInstanceOf[GraftVersionOffset].version
     Versioned.feedVersions(root).filter(v => v > s && v <= e)
       .flatMap { v =>
-        Versioned.dataFiles(java.nio.file.Paths.get(Versioned.feedDir(root, v)))
-          .sortBy(_.getFileName.toString)
-          .map(p => GroupParquetPartition(p.toString): InputPartition)
+        GroupParquetIo.splitByRowGroup(
+          Versioned.dataFiles(java.nio.file.Paths.get(Versioned.feedDir(root, v))))
       }.toArray
   }
 
@@ -342,20 +339,26 @@ private[sources] case class GraftVersionOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
-/** One parquet data file = one input partition (the row-group split is
-  * the obvious refinement at scale; version files are size-targeted by
-  * Versioned.compact so the per-file unit stays balanced). */
-private[sources] case class GroupParquetPartition(file: String) extends InputPartition
+/** One parquet ROW GROUP = one input partition: `[rangeStart,
+  * rangeEnd)` is the byte range whose midpoint selects exactly this
+  * row group inside the file (parquet-mr's own split rule), so a 1 GB
+  * file with 8 row groups fans out to 8 tasks — file count no longer
+  * caps parallelism at scale. A negative range means "whole file"
+  * (streaming-feed fallbacks and older call sites). */
+private[sources] case class GroupParquetPartition(
+    file: String, rangeStart: Long = -1L, rangeEnd: Long = -1L)
+  extends InputPartition
 
 private[sources] case class GroupParquetReaderFactory(
     required: StructType, pushed: Array[Filter],
     filterTypes: Map[String, DataType])
   extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GroupParquetPartitionReader(
-      partition.asInstanceOf[GroupParquetPartition].file,
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GroupParquetPartition]
+    new GroupParquetPartitionReader(p.file, p.rangeStart, p.rangeEnd,
       required, pushed, filterTypes)
+  }
 }
 
 /** Executor-side reader: parquet example-Group assembly under a
@@ -364,7 +367,8 @@ private[sources] case class GroupParquetReaderFactory(
   * + record-level filtering happen inside parquet-mr; rows that fail
   * never reach Spark). */
 private[sources] class GroupParquetPartitionReader(
-    file: String, required: StructType, pushed: Array[Filter],
+    file: String, rangeStart: Long, rangeEnd: Long,
+    required: StructType, pushed: Array[Filter],
     filterTypes: Map[String, DataType])
   extends PartitionReader[InternalRow] {
 
@@ -392,8 +396,11 @@ private[sources] class GroupParquetPartitionReader(
         fileSchema.getType(fileSchema.getFieldIndex(n))
       }.asJava)
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
-    val b = ParquetReader.builder(new GroupReadSupport(), new HPath(file))
+    val b0 = ParquetReader.builder(new GroupReadSupport(), new HPath(file))
       .withConf(conf)
+    // row-group split: the range's midpoint rule selects exactly this
+    // partition's group (negative range = whole file)
+    val b = if (rangeStart >= 0) b0.withFileRange(rangeStart, rangeEnd) else b0
     GroupParquetIo.compile(pushed, filterTypes) match {
       case Some(pred) => b.withFilter(FilterCompat.get(pred)).build()
       case None => b.build()
@@ -445,6 +452,28 @@ private[sources] class GroupParquetPartitionReader(
   * (read time) agree by construction: anything accepted at pushdown has
   * a typed compilation, so Spark only re-applies true residuals. */
 private[sources] object GroupParquetIo {
+
+  /** Plan one input partition PER ROW GROUP: a driver-side footer read
+    * per file lists the groups; each partition carries the byte range
+    * `[startingPos, startingPos + compressedSize)` whose midpoint is
+    * inside exactly that group (parquet-mr's own range→group rule, so
+    * the executor-side `withFileRange` selects it and nothing else).
+    * Files are the durability unit, row groups the parallelism unit —
+    * a compacted 1 GB file still fans out to its ~8 groups instead of
+    * capping the stage at file count. Single-group files cost one
+    * footer read and plan exactly as before. */
+  def splitByRowGroup(files: Seq[java.nio.file.Path]): Array[InputPartition] =
+    files.sortBy(_.getFileName.toString).flatMap { p =>
+      val in = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new HPath(p.toString), new Configuration()))
+      val blocks =
+        try in.getFooter.getBlocks.asScala.toSeq finally in.close()
+      if (blocks.size <= 1) Seq(GroupParquetPartition(p.toString))
+      else blocks.map { b =>
+        GroupParquetPartition(p.toString, b.getStartingPos,
+          b.getStartingPos + b.getCompressedSize)
+      }
+    }.toArray
 
   def translatable(f: Filter, schema: StructType): Boolean = {
     def typeOf(name: String): Option[DataType] =

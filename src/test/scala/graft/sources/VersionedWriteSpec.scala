@@ -211,6 +211,25 @@ class VersionedWriteSpec extends AnyFunSuite with SparkSpec {
       .map(_.getAs[Long]("id")).toSeq === Seq(3L))
   }
 
+  test("row-group split: one multi-group file fans out to multiple partitions, rows exactly once") {
+    val root = freshRoot("rg")
+    // one physical file with MANY row groups (tiny block size)
+    spark.range(0, 200000).selectExpr("id", "id * 7 AS v")
+      .coalesce(1).write
+      .option("parquet.block.size", "65536")
+      .parquet(s"$root/v=0")
+    val nFiles = Versioned.dataFiles(java.nio.file.Paths.get(s"$root/v=0")).size
+    assert(nFiles === 1)
+    val back = spark.read.format("graft-versioned").load(root)
+    val nParts = back.rdd.getNumPartitions
+    assert(nParts > 1, s"expected row-group fan-out from 1 file, got $nParts partition(s)")
+    // no group dropped, none read twice — ids exactly once
+    assert(back.count() === 200000L)
+    assert(back.select("id").distinct().count() === 200000L)
+    // pushed filters still prune: only the groups whose stats overlap survive
+    assert(back.filter(col("id") >= 199990L).count() === 10L)
+  }
+
   test("concurrent appends serialize: every writer commits, union survives") {
     val root = freshRoot("conc")
     df((0L, 0L, "base")).write.format("graft-versioned")
