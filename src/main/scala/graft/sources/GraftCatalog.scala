@@ -65,6 +65,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def name(): String = catalogName
 
   private val SchemaManifest = "_graft_schema.json"
+  private val PropsManifest = "_graft_props.json"
   private val NsMarker = "_graft_namespace"
 
   private def nsPath(ns: Array[String]): Path = ns.foldLeft(warehouse)(_.resolve(_))
@@ -113,7 +114,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     if (!Files.exists(m)) throw new NoSuchTableException(ident)
     val schema = DataType.fromJson(new String(Files.readAllBytes(m),
       java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
-    val opts = Map("path" -> tablePath(ident).toString) ++ extra
+    // table-level layout contract: a persisted clusterBy property makes
+    // EVERY insert range-cluster + sort on those columns (the write
+    // enforces it via RequiresDistributionAndOrdering)
+    val props = tablePath(ident).resolve(PropsManifest)
+    val persisted =
+      if (!Files.exists(props)) Map.empty[String, String]
+      else new String(Files.readAllBytes(props),
+          java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.map(_.split("=", 2)).collect {
+          case Array(k, v) if k.nonEmpty => k -> v
+        }.toMap
+    val opts = persisted ++ Map("path" -> tablePath(ident).toString) ++ extra
     new GraftVersionedTable(schema, new CaseInsensitiveStringMap(opts.asJava))
   }
 
@@ -130,6 +142,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     Files.createDirectories(tablePath(ident))
     Files.write(manifestOf(ident),
       schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // persist the layout contract (TBLPROPERTIES: clusterBy,
+    // writePartitions, targetFileBytes); validate clusterBy columns at
+    // DDL time, not first insert
+    Option(properties.get("clusterBy")).filter(_.nonEmpty).foreach { cb =>
+      cb.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
+        require(schema.fieldNames.contains(c),
+          s"graft catalog: clusterBy column '$c' not in table schema " +
+            s"${schema.fieldNames.mkString("[", ", ", "]")}")
+      }
+    }
+    val layoutProps = Seq("clusterBy", "writePartitions", "targetFileBytes")
+      .flatMap(k => Option(properties.get(k)).filter(_.nonEmpty).map(v => s"$k=$v"))
+    if (layoutProps.nonEmpty)
+      Files.write(tablePath(ident).resolve(PropsManifest),
+        layoutProps.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     loadTable(ident)
   }
 

@@ -25,7 +25,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -63,10 +65,17 @@ import graft.operators.Versioned
   * decoded), and supported predicates become parquet `FilterPredicate`s
   * (row-group statistics + dictionary + record-level filtering inside
   * the parquet reader — rows failing a pushed filter are never
-  * materialized). One input partition per data file; at 100 TB the
-  * per-file unit is what a splitting planner would subdivide by row
-  * group, and the version dirs themselves are the parallelism (a
-  * compacted version holds size-targeted files, Versioned.compact).
+  * materialized). One input partition per parquet ROW GROUP
+  * ([[GroupParquetIo.splitByRowGroup]]) — files are the durability
+  * unit, row groups the parallelism unit, so a compacted 1 GB file
+  * still fans out to its groups instead of capping the stage at file
+  * count.
+  *
+  * Writes honor a layout contract: `clusterBy` (write option or
+  * catalog TBLPROPERTY) range-clusters + sorts rows through Spark's
+  * own planner (`RequiresDistributionAndOrdering`) before files are
+  * cut; `writePartitions` / `targetFileBytes` control file count and
+  * size.
   *
   * Types cover the version-store column set (long/int/double/float/
   * boolean/string/date/timestamp — both LTZ and NTZ, stored as parquet
@@ -191,7 +200,10 @@ private[sources] class GraftVersionedTable(
         !options.containsKey("timestampAsOf"),
       "cannot write to a time-travel pinned snapshot — writes go to the " +
         "root (a new version)")
-    new GraftVersionedWriteBuilder(root, tableSchema, info)
+    // the table's own options carry the catalog-persisted layout
+    // contract (clusterBy / writePartitions / targetFileBytes) — SQL
+    // INSERTs have empty write options, so the builder consults both
+    new GraftVersionedWriteBuilder(root, tableSchema, info, options)
   }
 }
 
@@ -664,10 +676,15 @@ private[sources] object GroupParquetIo {
   * way history is preserved; rollback/retention/time travel see one
   * more version. */
 private[sources] class GraftVersionedWriteBuilder(
-    root: String, tableSchema: StructType, info: LogicalWriteInfo)
+    root: String, tableSchema: StructType, info: LogicalWriteInfo,
+    tableOptions: CaseInsensitiveStringMap)
   extends WriteBuilder with SupportsTruncate {
 
   private var replace = false
+
+  // write-time options win over the table's persisted layout contract
+  private def opt(key: String): Option[String] =
+    Option(info.options.get(key)).orElse(Option(tableOptions.get(key)))
 
   override def truncate(): WriteBuilder = { replace = true; this }
 
@@ -689,17 +706,58 @@ private[sources] class GraftVersionedWriteBuilder(
             "append requires identical columns; use overwrite to change schema")
       }
     }
-    val stamp = Option(info.options.get("commitTs")).map(_.toLong)
-    new GraftVersionedWrite(root, schema, replace, stamp, info.queryId())
+    val stamp = opt("commitTs").map(_.toLong)
+    // writer-side layout: range-cluster + sort on these columns before
+    // the files are cut, so every committed file covers a narrow
+    // min/max slice of the cluster key (footer-stats pruning for every
+    // future reader). From `.option("clusterBy", ...)` on path writes
+    // or the table's `clusterBy` TBLPROPERTY through the catalog.
+    val clusterBy = opt("clusterBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    clusterBy.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"graft-versioned: clusterBy column '$c' not in write schema " +
+          s"${schema.fieldNames.mkString("[", ", ", "]")}")
+    }
+    // file-count / file-size control: writePartitions fixes the number
+    // of output partitions (= files); targetFileBytes feeds AQE's
+    // advisory partition sizing so file sizes track the target
+    val writeParts = opt("writePartitions").map(_.toInt)
+    writeParts.foreach(n => require(n > 0,
+      s"graft-versioned: writePartitions must be positive, got $n"))
+    val targetBytes = opt("targetFileBytes").map(_.toLong)
+    new GraftVersionedWrite(root, schema, replace, stamp, info.queryId(),
+      clusterBy, writeParts, targetBytes)
   }
 }
 
 private[sources] class GraftVersionedWrite(
     root: String, schema: StructType, replace: Boolean,
-    commitTs: Option[Long], queryId: String) extends Write {
+    commitTs: Option[Long], queryId: String, clusterBy: Seq[String],
+    writeParts: Option[Int] = None, targetBytes: Option[Long] = None)
+  extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String =
-    s"GraftVersionedWrite ${if (replace) "replace" else "append"} `$root`"
+    s"GraftVersionedWrite ${if (replace) "replace" else "append"} `$root`" +
+      (if (clusterBy.nonEmpty) s" clusterBy=${clusterBy.mkString(",")}" else "")
+
+  // Spark plans the range exchange + sort for us (the DataFrame-side
+  // Layout.applySpec contract expressed through the V2 write protocol);
+  // unspecified + empty ordering is the documented no-op
+  private def orders: Array[SortOrder] =
+    clusterBy.map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+
+  override def requiredDistribution(): Distribution =
+    if (clusterBy.isEmpty) Distributions.unspecified()
+    else Distributions.ordered(orders)
+
+  override def requiredOrdering(): Array[SortOrder] = orders
+
+  // 0 = "no requirement" / "session default" in the V2 write contract
+  override def requiredNumPartitions(): Int = writeParts.getOrElse(0)
+  override def advisoryPartitionSizeInBytes(): Long = targetBytes.getOrElse(0L)
 
   override def toBatch: BatchWrite =
     new GraftBatchWrite(root, schema, replace, commitTs, queryId)

@@ -141,6 +141,36 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(chain(gone).exists(_.contains("does not exist")))
   }
 
+  test("clusterBy table property: every INSERT range-clusters its files") {
+    sql("DROP TABLE IF EXISTS gtest.ns.t9")
+    sql("CREATE TABLE gtest.ns.t9 (id BIGINT, v BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('clusterBy' = 'id', 'writePartitions' = '6')")
+    import spark.implicits._
+    spark.range(0, 30000).selectExpr("id", "id % 5 AS v")
+      .repartition(8, $"v").createOrReplaceTempView("t9_src")
+    sql("INSERT INTO gtest.ns.t9 SELECT * FROM t9_src")
+    val files = Versioned.dataFiles(
+      java.nio.file.Paths.get(s"$warehouse/ns/t9/v=0"))
+    assert(files.size > 1)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.toString)
+        .agg(org.apache.spark.sql.functions.min($"id"),
+          org.apache.spark.sql.functions.max($"id")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"clustered insert produced overlapping files: $spans")
+      case _ => ()
+    }
+    // DDL-time validation of the property
+    val bad = intercept[Exception] {
+      sql("CREATE TABLE gtest.ns.t9bad (id BIGINT) USING `graft-versioned` " +
+        "TBLPROPERTIES ('clusterBy' = 'missing')")
+    }
+    assert(chain(bad).exists(_.contains("clusterBy column 'missing'")))
+  }
+
   test("fail-loud: unknown procedure, missing table argument") {
     val unknown = intercept[Exception] {
       sql("CALL gtest.sys.vacuum(table => 'ns.t1')")

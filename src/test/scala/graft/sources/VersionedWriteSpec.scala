@@ -230,6 +230,40 @@ class VersionedWriteSpec extends AnyFunSuite with SparkSpec {
     assert(back.filter(col("id") >= 199990L).count() === 10L)
   }
 
+  test("clusterBy write: Spark plans the range exchange, files cover disjoint key slices") {
+    val root = freshRoot("cluster")
+    // adversarial input: ids round-robined across partitions, so an
+    // unclustered write would give every file the full [0, 40000) span
+    spark.range(0, 40000).selectExpr("id", "id % 7 AS v")
+      .repartition(8, col("v"))
+      .write.format("graft-versioned").option("create", "true")
+      .option("clusterBy", "id").option("writePartitions", "6")
+      .mode("append").save(root)
+    val files = Versioned.dataFiles(java.nio.file.Paths.get(s"$root/v=0"))
+    assert(files.size > 1, "expected multiple range partitions")
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.toString)
+        .agg(min(col("id")), max(col("id"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"file key ranges overlap: $spans")
+      case _ => ()
+    }
+    assert(spark.read.format("graft-versioned").load(root).count() === 40000L)
+  }
+
+  test("clusterBy fail-loud: unknown column rejected at write build") {
+    val root = freshRoot("clusterbad")
+    val err = intercept[Exception] {
+      df((1L, 1L, "x")).write.format("graft-versioned")
+        .option("create", "true").option("clusterBy", "nope")
+        .mode("append").save(root)
+    }
+    assert(chain(err).exists(_.contains("clusterBy column 'nope'")))
+  }
+
   test("concurrent appends serialize: every writer commits, union survives") {
     val root = freshRoot("conc")
     df((0L, 0L, "base")).write.format("graft-versioned")
