@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Full conversion through the ACTIVE session's ColumnNode converter.
+    * [[expression]]'s lazy wrapper reports a VOID dataType until the
+    * analyzer converts it, which breaks eager consumers (struct field
+    * extraction on a FunctionRegistry macro's result); this resolves
+    * the composed Column tree immediately. */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.SparkSession.active
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .expression(c)
 }
