@@ -118,7 +118,32 @@ object CorpusGate {
       .orderBy("source_a", "source_b")
   }
 
+  /** t98: tokenizer vocabulary COVERAGE — per-document OOV rate against
+    * the corpus's own top-16 token vocabulary (count desc, term asc
+    * tie-break — deterministic at the boundary). The go/no-go metric
+    * before committing a tokenizer: k is set BELOW the corpus vocabulary here so both branches are exercised; high OOV → the vocab budget or the
+    * normalization is wrong for this corpus. Shape: one token-count
+    * aggregate, a k-row top-k (driver-bounded, broadcast back), one
+    * per-doc aggregate — at 100 TB the vocab stays k rows regardless
+    * of corpus size, so the join side is always a broadcast. */
+  def t98OovRate(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term").asc).limit(16)
+      .select(col("term"), lit(true).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000 div n_tokens").as("oov_ppm"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t98_oov_rate" -> (t98OovRate _),
     "t69_source_overlap" -> (t69SourceOverlap _),
     "t68_dedup_keep_best" -> (t68DedupKeepBest _),
     "t55_boilerplate_segments" -> (t55BoilerplateSegments _),
@@ -129,6 +154,22 @@ object CorpusGate {
   )
 
   val oracles: Map[String, String] = Map(
+    "t98_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.term FROM documents,
+        |    UNNEST(string_split(text, ' ')) AS t(term)
+        |  WHERE t.term <> ''),
+        |vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, count(*) c FROM toks GROUP BY term
+        |    ORDER BY c DESC, term ASC LIMIT 16))
+        |SELECT doc_id,
+        |  cast(count(*) as bigint) AS n_tokens,
+        |  cast(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) as bigint) AS n_oov,
+        |  cast(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) as bigint) AS oov_ppm
+        |FROM toks LEFT JOIN vocab v USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t69_source_overlap" ->
       """WITH f AS (SELECT DISTINCT source,
         |    md5(array_to_string(string_split(text, ' ')[1:2], ' ')) fp
