@@ -237,6 +237,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * CALL graft.sys.compact(table => 'ns.t', target_file_bytes => 134217728)
     * CALL graft.sys.rollback(table => 'ns.t')
     * CALL graft.sys.retain(table => 'ns.t', keep => 3)
+    * CALL graft.sys.vacuum(table => 'ns.t', older_than_ms => 86400000)
     * }}}
     *
     * Each maps 1:1 onto the [[Versioned]] lifecycle op the reference's
@@ -246,11 +247,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * current version; retain: one row per surviving version). */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("sys")))
-      Array("compact", "rollback", "retain").map(Identifier.of(Array("sys"), _))
+      Array("compact", "rollback", "retain", "vacuum")
+        .map(Identifier.of(Array("sys"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
-    val known = Array("compact", "rollback", "retain")
+    val known = Array("compact", "rollback", "retain", "vacuum")
     require(ident.namespace.sameElements(Array("sys")) && known.contains(ident.name),
       s"graft catalog: unknown procedure ${ident.namespace.mkString(".")}." +
         s"${ident.name} — available: ${known.map("sys." + _).mkString(", ")}")
@@ -274,6 +276,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           val cur = Versioned.rollback(root(in.getUTF8String(0).toString))
           Seq(new GenericInternalRow(Array[Any](cur.getOrElse(null))))
         })
+      case "vacuum" => new GraftProcedure("vacuum",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("older_than_ms", LongType)
+            .defaultValue(86400000L.toString).build()),
+        new StructType().add("removed", StringType, nullable = false),
+        in => VersionedWriteIo.vacuumStaging(
+            root(in.getUTF8String(0).toString), in.getLong(1))
+          .map(d => new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(d)))))
       case "retain" => new GraftProcedure("retain",
         Array(
           ProcedureParameter.in("table", StringType).build(),

@@ -870,6 +870,27 @@ private[sources] object VersionedWriteIo {
   def epochCommitted(root: String, tag: String): Boolean =
     Versioned.versions(root).exists(v => epochTagOf(root, v).contains(tag))
 
+  /** Delete `_staging_*` leftovers older than `olderThanMs` — what a
+    * crashed driver's un-aborted write leaves behind (a successful
+    * commit renames its staging dir away; abort deletes it). Age-gated
+    * so an in-flight writer's staging is never swept: a live commit
+    * holds its staging dir for seconds, the default window is a day.
+    * Returns the deleted directory names. */
+  def vacuumStaging(root: String, olderThanMs: Long): Seq[String] = {
+    val p = Paths.get(root)
+    if (!Files.isDirectory(p)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val stream = Files.list(p)
+    val stale =
+      try stream.iterator().asScala.filter { d =>
+        d.getFileName.toString.startsWith("_staging") &&
+          Files.getLastModifiedTime(d).toMillis < cutoff
+      }.toList
+      finally stream.close()
+    stale.foreach(Versioned.deleteRecursively)
+    stale.map(_.getFileName.toString).sorted
+  }
+
   /** Publish a staged directory as the next version. Optimistic
     * concurrency: compute `next`, link the previous version's files in
     * (append mode), atomically rename; if another writer claimed

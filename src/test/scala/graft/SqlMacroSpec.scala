@@ -65,6 +65,21 @@ class SqlMacroSpec extends AnyFunSuite with SparkSpec {
     assert(r.map(_.toString).toSeq === want.map(_.toString).toSeq)
   }
 
+  test("macros are transparent to the optimizer: truthy filter pushes to the scan") {
+    registered
+    val dir = java.nio.file.Files.createTempDirectory("graft_macro_push_").toString
+    Seq((1L, "fa"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("id", "lang").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("macro_push")
+    val q = spark.sql("SELECT id FROM macro_push WHERE graft_truthy(lang)")
+    // a UDF black box would block pushdown entirely; the inlined
+    // composition decomposes into IsNotNull(lang) at the parquet scan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(lang)"),
+      s"truthy macro did not decompose into a pushed filter:\n$plan")
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("fail-loud: wrong arity is rejected at analysis") {
     registered
     val err = intercept[Exception] {

@@ -171,9 +171,31 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(chain(bad).exists(_.contains("clusterBy column 'missing'")))
   }
 
+  test("CALL sys.vacuum sweeps stale staging leftovers, spares fresh ones") {
+    sql("DROP TABLE IF EXISTS gtest.ns.t10")
+    sql("CREATE TABLE gtest.ns.t10 (id BIGINT) USING `graft-versioned`")
+    sql("INSERT INTO gtest.ns.t10 VALUES (1)")
+    val root = java.nio.file.Paths.get(s"$warehouse/ns/t10")
+    // a crashed writer's leftover (old mtime) and a live one (fresh)
+    val stale = root.resolve("_staging_crashed_001")
+    val live = root.resolve("_staging_live_002")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.createDirectories(live)
+    java.nio.file.Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600_000L))
+    val removed = sql(
+      "CALL gtest.sys.vacuum(table => 'ns.t10', older_than_ms => 1800000)")
+      .collect().map(_.getString(0)).toSeq
+    assert(removed === Seq("_staging_crashed_001"))
+    assert(!java.nio.file.Files.exists(stale))
+    assert(java.nio.file.Files.exists(live))
+    assert(sql("SELECT * FROM gtest.ns.t10").count() === 1L) // data untouched
+  }
+
   test("fail-loud: unknown procedure, missing table argument") {
     val unknown = intercept[Exception] {
-      sql("CALL gtest.sys.vacuum(table => 'ns.t1')")
+      sql("CALL gtest.sys.optimize(table => 'ns.t1')")
     }
     assert(chain(unknown).exists(m =>
       m.contains("unknown procedure") || m.contains("not found")), chain(unknown))
