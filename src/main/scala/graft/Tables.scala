@@ -165,6 +165,19 @@ object Tables {
   def events(s: SparkSession, dir: String): DataFrame =
     canonicalEventTs(table(s, dir, "events"))
       .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+
+  /** Spread rows across the session's full parallelism before a
+    * CPU-heavy per-row transform. The toy corpus is ONE small parquet
+    * file with one row group — unsplittable, so a scan feeds exactly
+    * one task and the whole transform serializes onto a single core
+    * (q54 measured 1.2 s single-threaded vs ~0.1 s spread). At
+    * production scale the input arrives in many partitions and this
+    * round-robin shuffle of the raw rows is cheap insurance against
+    * the same skew (one giant unsplittable file). Use ONLY ahead of
+    * expensive per-row work — a plain scan-aggregate is better off
+    * without the exchange. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }
 
 /** One SparkSession factory so every entry point (tests, Bench, Verify)

@@ -76,7 +76,8 @@ object CorpusGate {
     * appearing in ≥ 2 distinct documents (exact-substring dedup at any
     * alignment, vs t55's grid segments). */
   def t65DupSpans(s: SparkSession, dir: String): DataFrame =
-    CorpusText.slidingDupSpans(Tables.documents(s, dir), window = 12, minDocs = 2)
+    CorpusText.slidingDupSpans(Tables.spread(Tables.documents(s, dir)),
+      window = 12, minDocs = 2)
       .orderBy("doc_id")
 
   /** t68: quality-aware dedup — one representative per canonical key

@@ -19,7 +19,7 @@ object ListingGate {
   type Q = (SparkSession, String) => DataFrame
 
   def q51DivarTransform(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.spread(Tables.documents(s, dir))
     val even = pmod(col("doc_id"), lit(2)) === 0
     val m4 = pmod(col("doc_id"), lit(4))
     // even rows: RENT_SLIDER branch — %4==0 with truthy transformed

@@ -52,7 +52,9 @@ object SimHash {
     })
 
   def signatures(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    // spread first: CPU-heavy per-row pass, one unsplittable input file
+    // would serialize it onto one core (Tables.spread doc)
+    Tables.spread(Tables.documents(s, dir))
       // cheap equivalent of isNotNull(udf(...)): the udf is null iff the
       // text is (a post-projection null filter would be pushed below the
       // projection and evaluate the udf twice per row)

@@ -48,7 +48,7 @@ object SiteGates {
     * relative dates, price-row label branching, attribute lookups —
     * sheypoor_transformer.py:103-231) under the DuckDB gate. */
   def q52SheypoorTransform(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.spread(Tables.documents(s, dir))
     val even = pmod(col("doc_id"), lit(2)) === 0
     val m3 = pmod(col("doc_id"), lit(3))
 
@@ -115,7 +115,7 @@ object SiteGates {
     * quirk — user-type precedence, image URL prefixing, breadcrumb
     * join — mrestate_transformer.py:28-213) under the DuckDB gate. */
   def q53MrestateTransform(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.spread(Tables.documents(s, dir))
     val m3 = pmod(col("doc_id"), lit(3))
     val m4 = pmod(col("doc_id"), lit(4))
     val m8 = pmod(col("doc_id"), lit(8))
@@ -230,7 +230,7 @@ object SiteGates {
   /** q54's synthesized fetch-envelope frame (shared with profiling and
     * the q142 streaming pipeline gate). */
   private[graft] def q54Envelope(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.spread(Tables.documents(s, dir))
     val even = pmod(col("doc_id"), lit(2)) === 0 // RENT rows; odd = BUY
     val m3 = pmod(col("doc_id"), lit(3))
     val m4 = pmod(col("doc_id"), lit(4))
@@ -382,7 +382,7 @@ object SiteGates {
     * the DuckDB gate — native from_xml over a synthesized listing-page
     * payload; entries without an id are dropped like the reference. */
   def q55XmlFallback(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.spread(Tables.documents(s, dir))
     val lt1 = when(pmod(col("doc_id"), lit(2)) === 0, "RENT").otherwise(lit("BUY"))
     val lt2 = when(pmod(col("n_chars"), lit(2)) === 0, "BUY").otherwise(lit("RENT"))
     val noId = when(pmod(col("doc_id"), lit(3)) === 0,

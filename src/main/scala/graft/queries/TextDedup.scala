@@ -184,7 +184,9 @@ object TextDedup {
     * push below the projection and thereby evaluate the UDF twice per
     * row. */
   private def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    // spread first: the signature UDF is the CPU-heavy pass and the toy
+    // corpus is one unsplittable file = one task (Tables.spread doc)
+    Tables.spread(Tables.documents(s, dir))
       .filter(col("text").isNotNull && size(toks) >= 3)
       .select(col("doc_id"), minhashSigUdf(toks).as("sig"))
       .select(col("doc_id") +:
@@ -308,7 +310,7 @@ object TextDedup {
         (0 until 8).map(i =>
           when(col(s"sa.h$i") === col(s"sb.h$i"), 1L).otherwise(0L)).reduce(_ + _)
           .as("est_matches"))
-    val d = Tables.documents(s, dir)
+    val d = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), shingles(toks).as("s")).localCheckpoint()
     val ns = d.select(col("doc_id"), size(col("s")).cast(LongType).as("n"))
     val shx = d.select(col("doc_id"), explode(col("s")).as("sh"))
@@ -346,7 +348,7 @@ object TextDedup {
       .select(explode(bucketPairsUdf(col("ds"))).as("p"))
       .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
       .distinct()
-    val d = Tables.documents(s, dir)
+    val d = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), shingles(toks).as("s")).localCheckpoint()
     val ns = d.select(col("doc_id"), size(col("s")).cast(LongType).as("n"))
     val shx = d.select(col("doc_id"), explode(col("s")).as("sh"))
@@ -588,7 +590,8 @@ object TextDedup {
     * semantically invisible. */
   private[queries] def decontaminateCore(docs: DataFrame,
                                          bench: DataFrame): DataFrame = {
-    val corpus = docs.select(col("doc_id"), shingles(toks).as("s"))
+    val corpus = Tables.spread(docs)
+      .select(col("doc_id"), shingles(toks).as("s"))
     val ns = corpus.select(col("doc_id"), size(col("s")).as("n_shingles"))
     val hits = corpus.select(col("doc_id"), explode(col("s")).as("sh"))
       .join(broadcast(bench), Seq("sh"), "left_semi")

@@ -94,12 +94,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"candidate scoring degenerated to a cartesian product in:\n$plan")
   }
 
-  test("q51 divar transform: no shuffle before the presentation sort") {
+  test("q51 divar transform: only the spread + presentation-sort exchanges") {
     val plan = planOf(queries.ListingGate.q51DivarTransform(spark, dir))
-    // narrow per-row JSON projection → the ONLY exchange allowed is the
-    // range partitioning for the final orderBy; a hash shuffle creeping
-    // in means a join/agg was introduced into a map-only pipeline
-    assert(shuffles(plan) <= 1, s"shuffle before presentation sort in:\n$plan")
+    // narrow per-row JSON projection → exactly two exchanges: the
+    // ROUND-ROBIN spread of the unsplittable input file ahead of the
+    // CPU-heavy per-row pass (Tables.spread) and the range partitioning
+    // for the final orderBy; a HASH shuffle creeping in means a
+    // join/agg was introduced into a map-only pipeline
+    assert(shuffles(plan) <= 2, s"unexpected extra shuffle in:\n$plan")
+    assert(plan.contains("RoundRobinPartitioning"),
+      s"the input spread (round-robin) is missing from:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"hash shuffle crept into the map-only transform:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
       s"join/window crept into the map-only transform:\n$plan")
   }
