@@ -49,7 +49,7 @@ object CorpusGate {
     * IPv4 addresses with typed placeholders (scan-side regexp chain,
     * global replace on both engines). */
   def t56PiiRedact(s: SparkSession, dir: String): DataFrame =
-    withPii(Tables.documents(s, dir))
+    withPii(Tables.spread(Tables.documents(s, dir)))
       .select(col("doc_id"),
         CorpusText.countMatches(col("text"), CorpusText.EmailRe).as("n_emails"),
         CorpusText.countMatches(col("text"), CorpusText.PhoneRe).as("n_phones"),

@@ -111,7 +111,7 @@ object ImagePixels {
   }
 
   def t44PngPixelStats(s: SparkSession, dir: String): DataFrame =
-    pngPixelStatsOf(Tables.documents(s, dir)).orderBy("asset_id")
+    pngPixelStatsOf(Tables.spread(Tables.documents(s, dir))).orderBy("asset_id")
 
   // t45 fixture mixes geometries — 9×8 (pool = identity), 18×8, 9×16,
   // 18×16 (real 2×1 / 1×2 / 2×2 floor-division average pooling) — so
@@ -131,7 +131,7 @@ object ImagePixels {
   /** dHash signatures (4×16-bit bands) for the synthesized corpus —
     * scan-side one-pass work, the input to the banded candidate join. */
   private def dhashSigs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), bandsUdf(synth45Udf(col("doc_id"))).as("bands"))
 
   /** t45: perceptual image near-dup pairs — decoded-pixel dHash,
@@ -214,7 +214,7 @@ object ImagePixels {
     * `feature_kind` is part of the gated output: GIF features must be
     * labeled `pixel`, never the histogram fallback. */
   def t46GifPixelStats(s: SparkSession, dir: String): DataFrame = {
-    val assets = Tables.documents(s, dir).select(
+    val assets = Tables.spread(Tables.documents(s, dir)).select(
       col("doc_id").cast(LongType).as("asset_id"),
       lit("image").as("media_type"),
       synth46Udf(col("doc_id")).as("content"),
@@ -257,7 +257,7 @@ object ImagePixels {
     * is part of the gated output: audio must be labeled `pcm`, never
     * the histogram fallback. */
   def t49WavAudioStats(s: SparkSession, dir: String): DataFrame = {
-    val assets = Tables.documents(s, dir).select(
+    val assets = Tables.spread(Tables.documents(s, dir)).select(
       col("doc_id").cast(LongType).as("asset_id"),
       lit("audio").as("media_type"),
       synth49Udf(col("doc_id")).as("content"),
@@ -302,7 +302,7 @@ object ImagePixels {
     * image dHash, embedding LSH, audio envelope) in the
     * no-pair-materialization form that survives 100 TB. */
   def t50AudioDedupDrops(s: SparkSession, dir: String): DataFrame = {
-    val ex = Tables.documents(s, dir)
+    val ex = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"),
         posexplode(envBandsUdf(synth50Udf(col("doc_id"))))
           .as(Seq("band_idx", "band_val")))
@@ -332,7 +332,7 @@ object ImagePixels {
     * duration/dimensions/track-count straight from the integer law,
     * including the duration×1000/timescale floor division. */
   def t51Mp4VideoMeta(s: SparkSession, dir: String): DataFrame = {
-    val assets = Tables.documents(s, dir).select(
+    val assets = Tables.spread(Tables.documents(s, dir)).select(
       col("doc_id").cast(LongType).as("asset_id"),
       lit("video").as("media_type"),
       synth51Udf(col("doc_id")).as("content"),
@@ -353,7 +353,7 @@ object ImagePixels {
     * endpoint-inclusive). Partition-parallel end to end: parse and
     * explode are both scan-side; no driver involvement. */
   def t52Mp4FrameSample(s: SparkSession, dir: String): DataFrame = {
-    val assets = Tables.documents(s, dir).select(
+    val assets = Tables.spread(Tables.documents(s, dir)).select(
       col("doc_id").cast(LongType).as("asset_id"),
       lit("video").as("media_type"),
       synth51Udf(col("doc_id")).as("content"),
@@ -400,7 +400,7 @@ object ImagePixels {
     * never the histogram fallback), and the decoded dimensions match
     * the synthesis law bit-for-bit. */
   def t53JpegMeta(s: SparkSession, dir: String): DataFrame = {
-    val assets = Tables.documents(s, dir).select(
+    val assets = Tables.spread(Tables.documents(s, dir)).select(
       col("doc_id").cast(LongType).as("asset_id"),
       lit("image").as("media_type"),
       synth53Udf(col("doc_id")).as("content"),
