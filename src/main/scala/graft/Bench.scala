@@ -36,13 +36,26 @@ object Bench {
   private[graft] def measure(spark: SparkSession, sfDir: String,
                              queries: Seq[(String, Q)])
       : (Seq[(String, Double)], Map[String, String]) = {
+    // drop per-query leftovers (localCheckpoint RDDs, cached frames)
+    // after each measurement: 180+ queries otherwise accumulate storage
+    // memory and the GC pressure bleeds into UNRELATED queries' numbers
+    // (q53 measured 2.2 s inside the full run vs 0.46 s isolated before
+    // this cleanup)
+    def dropQueryState(): Unit = {
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     def timeOnce(fn: Q): Either[String, Double] = {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).queryExecution.toRdd.count()
-        Right((System.nanoTime() - t0) / 1e9)
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropQueryState()
+        Right(dt)
       }
       catch { case e: Throwable =>
+        dropQueryState()
         Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
       }
     }
