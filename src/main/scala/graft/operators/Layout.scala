@@ -65,9 +65,13 @@ object Layout {
                              numPartitions: Option[Int] = None)
 
   /** Apply a [[WriteSpec]]'s clustering to the frame (the file-count /
-    * file-size half is a writer option, [[writerOptions]]). */
+    * file-size half is a writer option, [[writerOptions]]). A
+    * file-count-only spec (numPartitions without sortCols) is honored
+    * with a plain repartition — previously a silent no-op, diverging
+    * from the DSv2 writer's `writePartitions` twin. */
   def applySpec(df: DataFrame, spec: WriteSpec): DataFrame =
-    if (spec.sortCols.isEmpty) df
+    if (spec.sortCols.isEmpty)
+      spec.numPartitions.map(df.repartition(_)).getOrElse(df)
     else {
       val cols = spec.sortCols.map(col)
       val parted = spec.numPartitions

@@ -65,10 +65,7 @@ object Versioned {
     Layout.applySpec(df, layout).write
       .options(Layout.writerOptions(layout))
       .mode("overwrite").parquet(s"$root/v=$next")
-    commitTs.foreach { ts =>
-      Files.write(Paths.get(root, s"v=$next", CommitManifest),
-        ts.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
+    commitTs.foreach(writeStamp(root, next, _))
     next
   }
 

@@ -633,10 +633,14 @@ object StreamGate {
     val root = java.nio.file.Files
       .createTempDirectory("graft_q142_env_").toString
     val env = SiteGates.q54Envelope(s, dir)
-    // at-least-once delivery: two full copies, spread over files so the
-    // file-per-trigger drain replays duplicates across batch boundaries
-    env.union(env).repartition(4, col("content_url"))
-      .write.mode("overwrite").parquet(s"$root/env")
+    // at-least-once delivery: two full copies written as SEPARATE jobs
+    // (distinct files), so with the file-per-trigger drain every URL's
+    // duplicate arrives in a LATER micro-batch and the dedup state must
+    // hold across batches. (A single union hash-repartitioned on
+    // content_url would co-locate both copies in one file and the gate
+    // would only ever exercise within-batch dedup.)
+    env.repartition(2).write.mode("overwrite").parquet(s"$root/env")
+    env.repartition(2).write.mode("append").parquet(s"$root/env")
     val stream = s.readStream.schema(env.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$root/env")
     val projected = SiteGates.q54Project(

@@ -64,7 +64,8 @@ object PaginatedIngest {
     * durable work queue, rabbitmq_utils.py:42-90: what was already
     * enqueued must not be enqueued again after a worker restart). */
   final case class CrawlState(nextPage: Int, emitted: Vector[String],
-                              discovered: Int, stoppedEarly: Boolean)
+                              discovered: Int, stoppedEarly: Boolean,
+                              finished: Boolean = false)
 
   object CrawlState {
     /** Atomic save (write tmp + rename): a crash mid-write leaves the
@@ -74,7 +75,8 @@ object PaginatedIngest {
     def save(path: java.nio.file.Path, st: CrawlState): Unit = {
       val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
       java.nio.file.Files.createDirectories(path.toAbsolutePath.getParent)
-      val body = (Seq(s"${st.nextPage}|${st.discovered}|${st.stoppedEarly}") ++
+      val body = (Seq(
+        s"${st.nextPage}|${st.discovered}|${st.stoppedEarly}|${st.finished}") ++
         st.emitted).mkString("\n")
       java.nio.file.Files.write(tmp,
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -90,7 +92,9 @@ object PaginatedIngest {
           java.nio.charset.StandardCharsets.UTF_8).split("\n", -1).toSeq
         val head = lines.head.split("\\|")
         Some(CrawlState(head(0).toInt, lines.tail.filter(_.nonEmpty).toVector,
-          head(1).toInt, head(2).toBoolean))
+          head(1).toInt, head(2).toBoolean,
+          // pre-finished-flag state files have a 3-field header
+          finished = head.length > 3 && head(3).toBoolean))
       }
   }
 
@@ -112,11 +116,18 @@ object PaginatedIngest {
     var st = CrawlState.load(statePath)
       .getOrElse(CrawlState(1, Vector.empty, 0, stoppedEarly = false))
     var pagesFetched = st.nextPage - 1
-    var done = st.stoppedEarly || st.nextPage > config.maxPages
+    var done = st.stoppedEarly || st.finished || st.nextPage > config.maxPages
     while (!done) {
       val urls = fetchPage(st.nextPage)
       pagesFetched = st.nextPage // an empty page still counts as fetched
-      if (urls.isEmpty) done = true
+      if (urls.isEmpty) {
+        // persist the terminal state too: without it a restart would
+        // re-fetch the empty page — and if the site has since grown,
+        // silently resume a crawl that already reported completion
+        st = st.copy(finished = true)
+        CrawlState.save(statePath, st)
+        done = true
+      }
       else {
         val inRun = st.emitted.toSet
         val dupCount = urls.count(seen)

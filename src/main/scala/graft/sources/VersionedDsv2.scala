@@ -185,10 +185,29 @@ private[sources] class GraftVersionedTable(
       caps
     }
 
+  // SNAPSHOT PIN: an unpinned table resolves "latest" ONCE, here at
+  // table construction — not per scan-planning call — so a DataFrame is
+  // a stable snapshot (two actions on it, or two scan legs of one
+  // self-join, can never read different versions when a concurrent
+  // writer commits in between; the Delta-style contract). Explicit
+  // versionAsOf/timestampAsOf options already pin deterministically.
+  private val pinnedLatest: Option[Long] =
+    if (changeFeed || options.containsKey("versionAsOf") ||
+        options.containsKey("timestampAsOf")) None
+    else Versioned.latestVersion(root)
+
   override def newScanBuilder(readOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // .load(root) options arrive here; table-construction options carry
     // the same map — prefer the read-time one
-    val merged = if (readOptions.isEmpty) options else readOptions
+    val base = if (readOptions.isEmpty) options else readOptions
+    val merged = pinnedLatest match {
+      case Some(v) if !base.containsKey("versionAsOf") &&
+          !base.containsKey("timestampAsOf") =>
+        val m = new java.util.HashMap[String, String](base)
+        m.put("versionAsOf", v.toString)
+        new CaseInsensitiveStringMap(m)
+      case _ => base
+    }
     new GraftVersionedScanBuilder(tableSchema, merged)
   }
 
@@ -534,7 +553,10 @@ private[sources] object GroupParquetIo {
     case i: java.time.Instant =>
       Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
     case ts: java.sql.Timestamp =>
-      Math.addExact(Math.multiplyExact(ts.getTime / 1000L, 1000000L),
+      // floorDiv, not /: plain division truncates toward zero, so a
+      // pre-1970 timestamp (negative millis) would round the wrong way
+      // and the pushed predicate would silently drop matching rows
+      Math.addExact(Math.multiplyExact(Math.floorDiv(ts.getTime, 1000L), 1000000L),
         ts.getNanos / 1000L)
     case ldt: java.time.LocalDateTime =>
       val i = ldt.toInstant(java.time.ZoneOffset.UTC)

@@ -143,4 +143,24 @@ class PaginatedIngestSpec extends AnyFunSuite {
       Config(maxPages = 10, dupRatioStop = 0.5))
     assert(stats2.stoppedEarly && urls2.isEmpty && calls.toSeq === Seq(1))
   }
+
+  test("durable crawl persists the empty-page finish so a restart never re-fetches") {
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_crawl_state3_").resolve("crawl.state")
+    val fixture = scala.collection.mutable.Map(
+      1 -> Seq("a1", "a2"), 2 -> Seq("b1")) // page 3 empty → finish
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val fetch: Int => Seq[String] = { p => calls += p; fixture.getOrElse(p, Seq.empty) }
+    val (urls, _) = crawlDurable(fetch, _ => false, statePath,
+      Config(maxPages = 10, dupRatioStop = 0.9))
+    assert(urls.toSet === Set("a1", "a2", "b1") && calls.toSeq === Seq(1, 2, 3))
+    // the site GROWS after the crawl finished: a restart must NOT
+    // silently resume past the recorded end (finished is terminal)
+    fixture(3) = Seq("late1")
+    val (urls2, _) = crawlDurable(fetch, _ => false, statePath,
+      Config(maxPages = 10, dupRatioStop = 0.9))
+    assert(urls2.toSet === Set("a1", "a2", "b1"),
+      "restart resumed a finished crawl")
+    assert(calls.toSeq === Seq(1, 2, 3), "restart re-fetched the terminal page")
+  }
 }

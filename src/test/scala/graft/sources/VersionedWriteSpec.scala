@@ -264,6 +264,41 @@ class VersionedWriteSpec extends AnyFunSuite with SparkSpec {
     assert(chain(err).exists(_.contains("clusterBy column 'nope'")))
   }
 
+  test("pre-epoch timestamp filters push down with correct rounding") {
+    val root = freshRoot("preepoch")
+    val d = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, TIMESTAMP'1969-12-31 23:59:59.5'),
+        |  (2L, TIMESTAMP'1970-01-01 00:00:00.5')
+        |AS t(id, ts)""".stripMargin)
+    d.write.format("graft-versioned").option("create", "true")
+      .mode("append").save(root)
+    val back = spark.read.format("graft-versioned").load(root)
+    // truncation-toward-zero would map -0.5s to +0.5s and silently
+    // return the WRONG row through the fully-pushed predicate
+    assert(back.filter(col("ts") ===
+        lit(java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5")))
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(back.filter(col("ts") <
+        lit(java.sql.Timestamp.valueOf("1970-01-01 00:00:00")))
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("an unpinned DataFrame is a stable snapshot across later commits") {
+    val root = freshRoot("pin")
+    df((1L, 10L, "a")).write.format("graft-versioned")
+      .option("create", "true").mode("append").save(root)
+    val snap = spark.read.format("graft-versioned").load(root)
+    assert(snap.count() === 1L)
+    df((2L, 20L, "b")).write.format("graft-versioned").mode("append").save(root)
+    // the df pinned v=0 at load time — a commit in between actions
+    // must not change what it reads (two actions, one snapshot)
+    assert(snap.count() === 1L)
+    assert(rows(snap) === rows(df((1L, 10L, "a"))))
+    // a FRESH load sees the new version
+    assert(spark.read.format("graft-versioned").load(root).count() === 2L)
+  }
+
   test("concurrent appends serialize: every writer commits, union survives") {
     val root = freshRoot("conc")
     df((0L, 0L, "base")).write.format("graft-versioned")
