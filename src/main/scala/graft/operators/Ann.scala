@@ -112,6 +112,8 @@ object Ann {
     // the quantized corpus re-reads every round — materialize it once
     val q = truncate(embeddings.select(col(idCol).as("vid"),
       quantize_e6(col(vecCol)).as("v")))
+    // bounded global window: the frame under it is the k-row limit
+    // (k = cell count, single digits), never corpus-sized
     val seeds = q.orderBy("vid").limit(k)
       .withColumn("centroid_id", row_number().over(Window.orderBy("vid")) - 1)
       .select(col("centroid_id"), col("v").as("cvec"))
@@ -147,6 +149,8 @@ object Ann {
     * (vid, v) rows → (centroid_id, n, cvec). */
   private def lloydFrom(q: DataFrame, k: Int, iters: Int, d: Int): DataFrame = {
     require(iters >= 1, s"lloyd needs at least one round, got $iters")
+    // bounded global window: the frame under it is the k-row limit
+    // (k = cell count, single digits), never corpus-sized
     val seeds = q.orderBy("vid").limit(k)
       .withColumn("centroid_id", row_number().over(Window.orderBy("vid")) - 1)
       .select(col("centroid_id"), lit(0L).as("n"), col("v").as("cvec"))

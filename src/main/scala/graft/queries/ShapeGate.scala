@@ -301,6 +301,8 @@ object ShapeGate {
       .select(explode(expr(
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
     pairs.groupBy("pair").agg(count(lit(1)).as("n"))
+      // bounded global window: the frame is the aggregated PAIR table,
+      // alphabet²-bounded (distinct 2-char pairs), never corpus-sized
       .withColumn("rank", row_number()
         .over(Window.orderBy(col("n").desc, col("pair").asc)))
       .filter(col("rank") <= 20)
