@@ -322,6 +322,28 @@ object VersionedGate {
              FROM graft.gate.docs147 GROUP BY lang ORDER BY lang""")
   }
 
+  /** q149: SQL `DELETE FROM` as a copy-on-write commit — the survivors
+    * land in a NEW version (null-predicate rows kept, the P10 rule) and
+    * `VERSION AS OF 0` still shows the pre-delete snapshot; the output
+    * exhibits both, and the oracle re-derives each from the insert +
+    * delete predicates alone. */
+  def q149SqlDelete(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs149")
+    s.sql("CREATE TABLE graft.gate.docs149 (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+      "USING `graft-versioned`")
+    Tables.documents(s, dir).createOrReplaceTempView("q149_docs_src")
+    s.sql("INSERT INTO graft.gate.docs149 " +
+      "SELECT doc_id, lang, n_chars FROM q149_docs_src WHERE doc_id % 3 = 0")
+    s.sql("DELETE FROM graft.gate.docs149 WHERE n_chars < 400 OR doc_id < 60")
+    s.sql("""SELECT 'pre' AS snap, lang, cast(count(*) AS bigint) AS n_docs
+             FROM graft.gate.docs149 VERSION AS OF 0 GROUP BY lang
+             UNION ALL
+             SELECT 'post' AS snap, lang, cast(count(*) AS bigint) AS n_docs
+             FROM graft.gate.docs149 GROUP BY lang
+             ORDER BY snap, lang""")
+  }
+
   private lazy val StreamWriteSrc = scratchBase.resolve("q146_src").toString
   private lazy val StreamWriteDst = scratchBase.resolve("q146_dst").toString
 
@@ -366,6 +388,7 @@ object VersionedGate {
     "q145_catalog_time_travel" -> (q145CatalogTimeTravel _),
     "q146_stream_write_versions" -> (q146StreamWriteVersions _),
     "q147_sql_maintenance" -> (q147SqlMaintenance _),
+    "q149_sql_delete" -> (q149SqlDelete _),
     "q63_versioned_load" -> (q63VersionedLoad _),
     "q67_csv_swap" -> (q67CsvSwap _),
     "q120_version_change_feed" -> (q120VersionChangeFeed _),
@@ -380,6 +403,16 @@ object VersionedGate {
         |  cast(sum(n_chars) as bigint) AS sum_chars
         |FROM documents WHERE doc_id % 4 IN (0, 1)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // q149: pre = the insert predicate; post = insert minus the delete
+    "q149_sql_delete" ->
+      """SELECT 'pre' AS snap, lang, cast(count(*) as bigint) AS n_docs
+        |FROM documents WHERE doc_id % 3 = 0 GROUP BY lang
+        |UNION ALL
+        |SELECT 'post' AS snap, lang, cast(count(*) as bigint) AS n_docs
+        |FROM documents
+        |WHERE doc_id % 3 = 0 AND NOT (n_chars < 400 OR doc_id < 60)
+        |GROUP BY lang
+        |ORDER BY snap, lang""".stripMargin,
     // q144: two append commits = the union of the two insert predicates
     "q144_catalog_sql" ->
       """SELECT lang, cast(count(*) as bigint) AS n_docs,

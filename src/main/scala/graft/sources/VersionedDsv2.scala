@@ -21,7 +21,7 @@ import org.apache.parquet.schema.Type.Repetition
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
@@ -160,7 +160,7 @@ private[sources] object GraftVersionedTable {
 
 private[sources] class GraftVersionedTable(
     tableSchema: StructType, options: CaseInsensitiveStringMap)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private val root = GraftVersionedTable.rootOf(options)
   private val changeFeed = GraftVersionedTable.isChangeFeed(options)
@@ -223,6 +223,33 @@ private[sources] class GraftVersionedTable(
     // contract (clusterBy / writePartitions / targetFileBytes) — SQL
     // INSERTs have empty write options, so the builder consults both
     new GraftVersionedWriteBuilder(root, tableSchema, info, options)
+  }
+
+  // ---- SQL DELETE FROM (copy-on-write): the survivors become a new
+  // version, so history is preserved and `VERSION AS OF` still shows
+  // the pre-delete rows — the reference's delete-by-predicate (P10,
+  // KeyedSink.deleteWhere null-keep semantics) as a SQL verb.
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !changeFeed && filters.forall(GroupParquetIo.toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(!changeFeed, "the change feed is read-only")
+    val spark = SparkSession.active
+    if (Versioned.latestVersion(root).isEmpty) return // nothing to delete
+    val cur = Versioned.read(spark, root)
+    val pred = filters.flatMap(GroupParquetIo.toColumn).reduceOption(_ && _)
+    val keep = pred match {
+      // SQL DELETE removes rows where the predicate is TRUE; rows where
+      // it evaluates NULL are KEPT (the P10 null-keep rule) — a plain
+      // filter(!p) would silently drop them
+      case Some(p) => cur.filter(
+        org.apache.spark.sql.functions.not(
+          org.apache.spark.sql.functions.coalesce(
+            p, org.apache.spark.sql.functions.lit(false))))
+      case None => cur.limit(0) // TRUNCATE TABLE: empty survivors
+    }
+    Versioned.writeNext(keep, root, Some(VersionedWriteIo.stampValue(None)))
   }
 }
 
@@ -505,6 +532,36 @@ private[sources] object GroupParquetIo {
           b.getStartingPos + b.getCompressedSize)
       }
     }.toArray
+
+  /** Spark [[Filter]] → Column predicate for the DELETE rewrite — a
+    * BROADER vocabulary than the parquet pushdown set (Or/Not/In/
+    * null-safe equality compose fine as Catalyst expressions even
+    * though parquet-mr cannot evaluate them at the page level).
+    * Returns None for anything unsupported, which makes
+    * `canDeleteWhere` reject the whole DELETE loudly at analysis. */
+  def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case And(l, r) => for { x <- toColumn(l); y <- toColumn(r) } yield x && y
+      case Or(l, r) => for { x <- toColumn(l); y <- toColumn(r) } yield x || y
+      case Not(c) => toColumn(c).map(!_)
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
 
   def translatable(f: Filter, schema: StructType): Boolean = {
     def typeOf(name: String): Option[DataType] =

@@ -193,6 +193,28 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(sql("SELECT * FROM gtest.ns.t10").count() === 1L) // data untouched
   }
 
+  test("DELETE FROM is copy-on-write: survivors in a new version, history pinned") {
+    sql("DROP TABLE IF EXISTS gtest.ns.t11")
+    sql("CREATE TABLE gtest.ns.t11 (id BIGINT, tag STRING) USING `graft-versioned`")
+    sql("INSERT INTO gtest.ns.t11 VALUES (1, 'a'), (2, 'b'), (3, 'a'), (4, NULL)")
+    sql("DELETE FROM gtest.ns.t11 WHERE tag = 'a' OR id = 2")
+    // null-predicate rows are KEPT (tag = 'a' is NULL for id=4)
+    assert(rows(sql("SELECT * FROM gtest.ns.t11")) === Seq("[4,null]"))
+    // the pre-delete snapshot is still addressable
+    assert(sql("SELECT * FROM gtest.ns.t11 VERSION AS OF 0").count() === 4L)
+    assert(Versioned.versions(s"$warehouse/ns/t11") === Seq(0L, 1L))
+    // TRUNCATE TABLE: empty survivors, another version
+    sql("TRUNCATE TABLE gtest.ns.t11")
+    assert(sql("SELECT * FROM gtest.ns.t11").count() === 0L)
+    assert(sql("SELECT * FROM gtest.ns.t11 VERSION AS OF 1").count() === 1L)
+    // a predicate outside the translatable vocabulary fails loudly
+    val err = intercept[Exception] {
+      sql("DELETE FROM gtest.ns.t11 WHERE id % 2 = 0")
+    }
+    assert(chain(err).exists(m => m.contains("Cannot delete") ||
+      m.contains("DELETE")), chain(err))
+  }
+
   test("fail-loud: unknown procedure, missing table argument") {
     val unknown = intercept[Exception] {
       sql("CALL gtest.sys.optimize(table => 'ns.t1')")
