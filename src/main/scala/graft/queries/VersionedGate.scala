@@ -344,6 +344,62 @@ object VersionedGate {
              ORDER BY snap, lang""")
   }
 
+  /** q150: SQL `UPDATE` as a group-based copy-on-write row-level
+    * operation (`SupportsRowLevelOperations`, group = the snapshot).
+    * The condition mixes a modulo term (NOT expressible as a source
+    * filter — forces the full rewrite, never a metadata shortcut) with
+    * a plain comparison; the updated rows land in a NEW version, so
+    * `VERSION AS OF 0` still shows every pre-update row. The oracle
+    * re-derives pre from the insert predicate and post from the same
+    * predicate + a CASE mirroring the SET clause. */
+  def q150SqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs150")
+    s.sql("CREATE TABLE graft.gate.docs150 (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+      "USING `graft-versioned`")
+    Tables.documents(s, dir).createOrReplaceTempView("q150_docs_src")
+    s.sql("INSERT INTO graft.gate.docs150 " +
+      "SELECT doc_id, lang, n_chars FROM q150_docs_src WHERE doc_id % 3 = 0")
+    s.sql("UPDATE graft.gate.docs150 SET n_chars = n_chars + 1000 " +
+      "WHERE doc_id % 2 = 0 AND n_chars >= 200")
+    s.sql("""SELECT 'pre' AS snap, doc_id, n_chars
+             FROM graft.gate.docs150 VERSION AS OF 0
+             UNION ALL
+             SELECT 'post' AS snap, doc_id, n_chars FROM graft.gate.docs150
+             ORDER BY snap, doc_id""")
+  }
+
+  /** q151: SQL `MERGE INTO` through the same group-based rewrite, all
+    * three clause families at once — MATCHED UPDATE (guarded), NOT
+    * MATCHED INSERT, NOT MATCHED BY SOURCE DELETE (guarded). Target =
+    * docs with doc_id%3=0, source = docs with doc_id%2=0, so the three
+    * populations (matched %6=0; source-only; target-only) are all
+    * non-empty and the oracle reconstructs each from the predicates. */
+  def q151MergeInto(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs151")
+    s.sql("CREATE TABLE graft.gate.docs151 (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+      "USING `graft-versioned`")
+    Tables.documents(s, dir).createOrReplaceTempView("q151_docs_src")
+    s.sql("INSERT INTO graft.gate.docs151 " +
+      "SELECT doc_id, lang, n_chars FROM q151_docs_src WHERE doc_id % 3 = 0")
+    s.sql("""MERGE INTO graft.gate.docs151 t
+             USING (SELECT doc_id, lang, n_chars FROM q151_docs_src
+                    WHERE doc_id % 2 = 0) s
+             ON t.doc_id = s.doc_id
+             WHEN MATCHED AND s.n_chars > 500 THEN
+               UPDATE SET n_chars = s.n_chars + 5
+             WHEN NOT MATCHED THEN
+               INSERT (doc_id, lang, n_chars) VALUES (s.doc_id, s.lang, s.n_chars)
+             WHEN NOT MATCHED BY SOURCE AND t.n_chars < 300 THEN
+               DELETE""")
+    s.sql("""SELECT 'pre' AS snap, doc_id, n_chars
+             FROM graft.gate.docs151 VERSION AS OF 0
+             UNION ALL
+             SELECT 'post' AS snap, doc_id, n_chars FROM graft.gate.docs151
+             ORDER BY snap, doc_id""")
+  }
+
   private lazy val StreamWriteSrc = scratchBase.resolve("q146_src").toString
   private lazy val StreamWriteDst = scratchBase.resolve("q146_dst").toString
 
@@ -389,6 +445,8 @@ object VersionedGate {
     "q146_stream_write_versions" -> (q146StreamWriteVersions _),
     "q147_sql_maintenance" -> (q147SqlMaintenance _),
     "q149_sql_delete" -> (q149SqlDelete _),
+    "q150_sql_update" -> (q150SqlUpdate _),
+    "q151_merge_into" -> (q151MergeInto _),
     "q63_versioned_load" -> (q63VersionedLoad _),
     "q67_csv_swap" -> (q67CsvSwap _),
     "q120_version_change_feed" -> (q120VersionChangeFeed _),
@@ -413,6 +471,36 @@ object VersionedGate {
         |WHERE doc_id % 3 = 0 AND NOT (n_chars < 400 OR doc_id < 60)
         |GROUP BY lang
         |ORDER BY snap, lang""".stripMargin,
+    // q150: pre = the insert predicate; post = same rows with the SET
+    // clause mirrored as a CASE under the UPDATE condition
+    "q150_sql_update" ->
+      """SELECT 'pre' AS snap, doc_id, n_chars
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT 'post' AS snap, doc_id,
+        |  CASE WHEN doc_id % 2 = 0 AND n_chars >= 200
+        |       THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY snap, doc_id""".stripMargin,
+    // q151: pre = the insert predicate; post = the three merge
+    // populations — matched (%6=0, guarded update), source-only
+    // (insert), target-only (guarded delete)
+    "q151_merge_into" ->
+      """SELECT 'pre' AS snap, doc_id, n_chars
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT 'post' AS snap, doc_id, n_chars FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN n_chars > 500 THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id, n_chars FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, n_chars FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 2 <> 0 AND n_chars >= 300
+        |)
+        |ORDER BY snap, doc_id""".stripMargin,
     // q144: two append commits = the union of the two insert predicates
     "q144_catalog_sql" ->
       """SELECT lang, cast(count(*) as bigint) AS n_docs,

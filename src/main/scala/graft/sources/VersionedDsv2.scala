@@ -21,13 +21,13 @@ import org.apache.parquet.schema.Type.Repetition
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -100,6 +100,16 @@ class GraftVersionedProvider extends TableProvider
 
 private[sources] object GraftVersionedTable {
 
+  /** Name of the synthesized file-provenance metadata column. */
+  val FileColumn = "_file"
+
+  object FileMetadataColumn extends MetadataColumn {
+    override def name(): String = FileColumn
+    override def dataType(): DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment(): String = "data file path holding the row"
+  }
+
   def rootOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null && p.nonEmpty,
@@ -160,7 +170,8 @@ private[sources] object GraftVersionedTable {
 
 private[sources] class GraftVersionedTable(
     tableSchema: StructType, options: CaseInsensitiveStringMap)
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   private val root = GraftVersionedTable.rootOf(options)
   private val changeFeed = GraftVersionedTable.isChangeFeed(options)
@@ -196,11 +207,13 @@ private[sources] class GraftVersionedTable(
         options.containsKey("timestampAsOf")) None
     else Versioned.latestVersion(root)
 
-  override def newScanBuilder(readOptions: CaseInsensitiveStringMap): ScanBuilder = {
+  /** Read-time options + the construction-time snapshot pin. */
+  private[sources] def scanOptions(
+      readOptions: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {
     // .load(root) options arrive here; table-construction options carry
     // the same map — prefer the read-time one
     val base = if (readOptions.isEmpty) options else readOptions
-    val merged = pinnedLatest match {
+    pinnedLatest match {
       case Some(v) if !base.containsKey("versionAsOf") &&
           !base.containsKey("timestampAsOf") =>
         val m = new java.util.HashMap[String, String](base)
@@ -208,8 +221,10 @@ private[sources] class GraftVersionedTable(
         new CaseInsensitiveStringMap(m)
       case _ => base
     }
-    new GraftVersionedScanBuilder(tableSchema, merged)
   }
+
+  override def newScanBuilder(readOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftVersionedScanBuilder(tableSchema, scanOptions(readOptions))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!changeFeed,
@@ -251,15 +266,112 @@ private[sources] class GraftVersionedTable(
     }
     Versioned.writeNext(keep, root, Some(VersionedWriteIo.stampValue(None)))
   }
+
+  // ---- `_file` metadata column (Delta's `_metadata.file_path` shape):
+  // row provenance for audits, and the REQUIRED metadata attribute of
+  // the row-level operation below — Spark's group-based ReplaceDataExec
+  // only routes rows through its data projection when the operation
+  // declares metadata (with none, the writer would receive the raw
+  // [__row_operation, data…] rows and the columns would shift).
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(GraftVersionedTable.FileMetadataColumn)
+
+  // ---- SQL UPDATE / MERGE INTO / arbitrary-predicate DELETE: the
+  // group-based (copy-on-write) row-level operation with the SNAPSHOT
+  // as the single group. Spark rewrites the command into scan-current →
+  // transform → ReplaceData; the replacement lands as a NEW version, so
+  // history is preserved and `VERSION AS OF` still shows the
+  // pre-mutation rows. Translatable DELETE predicates never get here —
+  // Spark's OptimizeMetadataOnlyDeleteFromTable routes them to
+  // `deleteWhere` above; this path catches everything that rule cannot
+  // express (modulo predicates, subqueries, UPDATE, MERGE).
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(!changeFeed, "the change feed is read-only")
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GraftRowLevelOperation(GraftVersionedTable.this, root,
+          tableSchema, options, info.command)
+    }
+  }
+}
+
+/** Group-based row-level operation over the version store with the
+  * WHOLE SNAPSHOT as the single replacement group — correct by
+  * construction for an immutable version store, where every mutation
+  * commits a full new version anyway, so "replace the groups the scan
+  * read" and "write version N+1" coincide. UPDATE arrives from Spark's
+  * rewrite as a conditional projection over the snapshot scan, MERGE
+  * as a join against the source, DELETE (the non-translatable-predicate
+  * fallback) as a survivor filter — in every case the rewritten query's
+  * output IS the next snapshot, committed through the replace-mode
+  * write. (The Delta-style mutation surface; reference per-document
+  * mutation shape: dags/collection_cleanup DAG's update-in-place pass.) */
+private[sources] class GraftRowLevelOperation(
+    table: GraftVersionedTable, root: String, tableSchema: StructType,
+    tableOptions: CaseInsensitiveStringMap,
+    cmd: RowLevelOperation.Command)
+  extends RowLevelOperation {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"graft-versioned $cmd (copy-on-write, group = snapshot)"
+
+  // _file keeps Spark's rewrite on the metadata-projecting write path
+  // (see metadataColumns on the table) and feeds its per-group metrics
+  override def requiredMetadataAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(GraftVersionedTable.FileColumn))
+
+  // FILTER-FREE scan, deliberately: Spark pushes the command's
+  // condition into a row-level scan as a GROUP-selection hint — the
+  // scan must still return every row of any group it keeps, because
+  // non-matching rows of kept groups are carried over into the
+  // replacement. With the whole snapshot as the one group, the only
+  // correct scan is the full unfiltered snapshot: a record-filtering
+  // scan here would silently DROP the carry-over rows from the new
+  // version (data loss), so this builder does not implement filter
+  // pushdown at all. Column pruning stays (the rewrite needs every
+  // data column anyway; pruning covers the metadata-only legs).
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = table.scanOptions(options)
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan =
+        new GraftVersionedScan(required, Array.empty, Map.empty, merged,
+          limit = None, runtimeFilterable = false)
+    }
+  }
+
+  // replace-mode write: the rewritten query's output is the complete
+  // next snapshot, never an append
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val b = new GraftVersionedWriteBuilder(root, tableSchema, info, tableOptions)
+    b.truncate()
+    b
+  }
 }
 
 private[sources] class GraftVersionedScanBuilder(
     fullSchema: StructType, options: CaseInsensitiveStringMap)
   extends ScanBuilder
-  with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+  with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggAnswer: Option[(StructType, GenericInternalRow, String)] = None
+  private var limit: Option[Int] = None
+
+  // PARTIAL limit pushdown (isPartiallyPushed stays true, Spark keeps
+  // the final LIMIT): the scan schedules only enough row groups to
+  // cover n rows and each reader stops early — correct under parallel
+  // partitions precisely because the engine-side LIMIT remains
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -273,22 +385,145 @@ private[sources] class GraftVersionedScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = {
-    // the reader needs the types of filter-referenced columns even when
-    // they are pruned from the output projection
-    val filterTypes: Map[String, DataType] =
-      pushed.flatMap(_.references).distinct.flatMap(n =>
-        fullSchema.fields.find(_.name == n).map(f => f.name -> f.dataType)).toMap
-    new GraftVersionedScan(required, pushed, filterTypes, options)
+  // ---- aggregate pushdown: global COUNT(*) / COUNT(col) / MIN / MAX
+  // answered ENTIRELY from parquet footers — row counts, null counts,
+  // and column min/max statistics. The scan then ships ONE precomputed
+  // row instead of scanning data: `SELECT count(*) FROM fact` over a
+  // 100 TB snapshot costs one footer read per file, not a cluster-wide
+  // scan. Refused (falls back to a normal scan) whenever exactness is
+  // not guaranteed: any pushed filter, any GROUP BY, DISTINCT, an
+  // unsupported function, a non-statistics-safe column type, or a file
+  // whose footer lacks the needed statistic.
+
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
+  private def aggField(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+    e match {
+      case n: NamedReference if n.fieldNames.length == 1 =>
+        fullSchema.fields.find(_.name == n.fieldNames()(0))
+      case _ => None
+    }
+
+  // min/max only for types whose footer stats order matches Spark's
+  // (strings excluded: writers may truncate binary stats)
+  private def statOrdered(f: StructField): Boolean = f.dataType match {
+    case LongType | IntegerType | DoubleType | FloatType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
   }
+
+  private def structurallyAnswerable(agg: Aggregation): Boolean =
+    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      !GraftVersionedTable.isChangeFeed(options) &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count => !c.isDistinct && aggField(c.column).isDefined
+        case m: Min => aggField(m.column).exists(statOrdered)
+        case m: Max => aggField(m.column).exists(statOrdered)
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    structurallyAnswerable(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!structurallyAnswerable(agg)) return false
+    val answer = GroupParquetIo.answerFromFooters(agg, fullSchema, options)
+    aggAnswer = answer
+    answer.isDefined
+  }
+
+  override def build(): Scan = aggAnswer match {
+    case Some((schema, row, desc)) => new GraftAggregateScan(schema, row, desc)
+    case None =>
+      // the reader needs the types of filter-referenced columns even when
+      // they are pruned from the output projection
+      val filterTypes: Map[String, DataType] =
+        pushed.flatMap(_.references).distinct.flatMap(n =>
+          fullSchema.fields.find(_.name == n).map(f => f.name -> f.dataType)).toMap
+      new GraftVersionedScan(required, pushed, filterTypes, options, limit)
+  }
+}
+
+/** The result of a fully-pushed-down aggregate: one precomputed row,
+  * no data scan. Statistics are exact (it IS the final answer). */
+private[sources] class GraftAggregateScan(
+    schema: StructType, row: GenericInternalRow, desc: String)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = schema
+  override def description(): String = desc
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(AggRowPartition(row))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    AggRowReaderFactory
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.of(8L * schema.length)
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(1L)
+  }
+}
+
+private[sources] case class AggRowPartition(row: GenericInternalRow)
+  extends InputPartition
+
+private[sources] object AggRowReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = partition.asInstanceOf[AggRowPartition].row
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] class GraftVersionedScan(
     required: StructType, pushed: Array[Filter],
-    filterTypes: Map[String, DataType], options: CaseInsensitiveStringMap)
-  extends Scan with Batch {
+    filterTypes: Map[String, DataType], options: CaseInsensitiveStringMap,
+    limit: Option[Int] = None, runtimeFilterable: Boolean = true)
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeV2Filtering {
 
   private val root = GraftVersionedTable.rootOf(options)
+
+  // ---- runtime filtering: broadcast-join key sets (and DPP
+  // subqueries) arrive here AT EXECUTION start; they re-run the same
+  // footer stats prune, so a fact-table scan joined to a filtered
+  // dimension schedules only the row groups whose min/max overlap the
+  // surviving keys. The row-level operation path constructs this scan
+  // with runtimeFilterable=false (its replacement group is the whole
+  // snapshot — pruning ANYTHING would drop carry-over rows).
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+  @volatile private var cachedGroups: Seq[GroupParquetIo.FileGroups] = _
+
+  private def allFilters: Array[Filter] = pushed ++ runtimeFilters
+  private def allFilterTypes: Map[String, DataType] =
+    filterTypes ++ runtimeFilters.flatMap(_.references).distinct.flatMap(n =>
+      required.fields.find(_.name == n).map(f => f.name -> f.dataType))
+
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (!runtimeFilterable) Array.empty
+    else required.fields
+      .filter(f => GroupParquetIo.translatable(IsNotNull(f.name), required))
+      .map(f => Expressions.column(f.name))
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val usable = org.apache.spark.sql.graftbridge.PredicateBridge
+      .toV1(predicates)
+      .filter(GroupParquetIo.translatable(_, required))
+    if (runtimeFilterable && usable.nonEmpty) {
+      runtimeFilters = usable
+      cachedGroups = null
+    }
+  }
 
   override def readSchema(): StructType = required
 
@@ -301,14 +536,50 @@ private[sources] class GraftVersionedScan(
       !options.containsKey("versionAsOf") &&
       !options.containsKey("timestampAsOf")
 
+  /** Driver-side plan state, ONE footer read per data file, shared by
+    * partition planning and `estimateStatistics`. Pushed predicates
+    * prune whole row groups here through parquet's own
+    * StatisticsFilter (min/max/null-count — the same rule the
+    * executor reader applies), so a selective filter on a CLUSTERED
+    * table shrinks the TASK COUNT at the driver, not just the bytes
+    * each task reads: at 100 TB the scheduler never even launches the
+    * groups the layout excludes. */
+  private def plannedGroups: Seq[GroupParquetIo.FileGroups] = {
+    val cached = cachedGroups
+    if (cached != null) return cached
+    val computed =
+      if (uninitialized) Seq.empty[GroupParquetIo.FileGroups]
+      else {
+        val dir = GraftVersionedTable.snapshotDir(root, options)
+        // catalog tables resolve schema from the manifest, so a bad
+        // versionAsOf would otherwise sail through to an empty file
+        // listing and silently read as zero rows — fail loudly instead
+        require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)),
+          s"graft-versioned: version dir $dir does not exist " +
+            s"(existing: ${Versioned.versions(root).mkString("v=", ", v=", "")})")
+        GroupParquetIo.pruneByStats(
+          GroupParquetIo.readFooters(
+            Versioned.dataFiles(java.nio.file.Paths.get(dir))),
+          allFilters, allFilterTypes)
+      }
+    cachedGroups = computed
+    computed
+  }
+
   override def description(): String = {
     val what =
       if (GraftVersionedTable.isChangeFeed(options)) "changeFeed"
       else if (uninitialized) "version=<empty table>"
-      else s"version=${GraftVersionedTable.resolveVersion(root, options)}"
+      else {
+        val kept = plannedGroups.map(_.kept.size).sum
+        val total = plannedGroups.map(_.total).sum
+        s"version=${GraftVersionedTable.resolveVersion(root, options)}, " +
+          s"RowGroups: $kept/$total"
+      }
     s"GraftVersionedScan $what, " +
       s"ReadColumns: [${required.fieldNames.mkString(", ")}], " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      limit.map(n => s", PushedLimit: $n").getOrElse("")
   }
 
   override def toBatch: Batch = {
@@ -318,20 +589,47 @@ private[sources] class GraftVersionedScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    if (uninitialized) return Array.empty
-    val dir = GraftVersionedTable.snapshotDir(root, options)
-    // catalog tables resolve schema from the manifest, so a bad
-    // versionAsOf would otherwise sail through to an empty file listing
-    // and silently read as zero rows — fail loudly instead
-    require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)),
-      s"graft-versioned: version dir $dir does not exist " +
-        s"(existing: ${Versioned.versions(root).mkString("v=", ", v=", "")})")
-    GroupParquetIo.splitByRowGroup(
-      Versioned.dataFiles(java.nio.file.Paths.get(dir)))
+    // LIMIT with no filters: row counts are exact, so schedule only
+    // enough row groups to cover the limit — `LIMIT 10` over a 100 TB
+    // snapshot launches one task, not one per row group
+    val groups = limit match {
+      case Some(n) if allFilters.isEmpty =>
+        GroupParquetIo.limitGroups(plannedGroups, n.toLong)
+      case _ => plannedGroups
+    }
+    GroupParquetIo.toPartitions(groups)
+  }
+
+  /** Footer-derived estimates over the SURVIVING row groups: numRows
+    * is their row count (an upper bound under residual filters);
+    * sizeInBytes counts only the uncompressed bytes of the columns
+    * this scan actually reads (projection ∪ filter columns). Without
+    * this a DSv2 relation reports `defaultSizeInBytes` (effectively
+    * infinite), so a 2 MB dimension snapshot would never qualify for
+    * auto-broadcast and every join against the store would shuffle —
+    * the single worst default at 1000-executor scale. */
+  override def estimateStatistics(): Statistics = {
+    val readCols: Set[String] =
+      (required.fieldNames ++ filterTypes.keys).toSet
+    val groupRows = plannedGroups.map(_.kept.map(_.getRowCount).sum).sum
+    val rows = limit.map(n => math.min(n.toLong, groupRows)).getOrElse(groupRows)
+    val colBytes = plannedGroups.map(_.kept.map(
+      _.getColumns.asScala
+        .filter(c => readCols.contains(c.getPath.toDotString))
+        .map(_.getTotalUncompressedSize).sum).sum).sum
+    // a fully-pruned projection (count(*)) still materializes a row
+    // per record — floor at one byte per row so the estimate is
+    // never zero while rows remain
+    val bytes = math.max(colBytes, rows)
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+      override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GroupParquetReaderFactory(required, pushed, filterTypes)
+    GroupParquetReaderFactory(required, allFilters, allFilterTypes,
+      limit.map(_.toLong).getOrElse(-1L))
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(GraftVersionedTable.isChangeFeed(options),
@@ -378,7 +676,8 @@ private[sources] class GraftChangeFeedStream(
     Versioned.feedVersions(root).filter(v => v > s && v <= e)
       .flatMap { v =>
         GroupParquetIo.splitByRowGroup(
-          Versioned.dataFiles(java.nio.file.Paths.get(Versioned.feedDir(root, v))))
+          Versioned.dataFiles(java.nio.file.Paths.get(Versioned.feedDir(root, v))),
+          pushed, filterTypes)
       }.toArray
   }
 
@@ -409,13 +708,13 @@ private[sources] case class GroupParquetPartition(
 
 private[sources] case class GroupParquetReaderFactory(
     required: StructType, pushed: Array[Filter],
-    filterTypes: Map[String, DataType])
+    filterTypes: Map[String, DataType], limit: Long = -1L)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GroupParquetPartition]
     new GroupParquetPartitionReader(p.file, p.rangeStart, p.rangeEnd,
-      required, pushed, filterTypes)
+      required, pushed, filterTypes, limit)
   }
 }
 
@@ -427,10 +726,12 @@ private[sources] case class GroupParquetReaderFactory(
 private[sources] class GroupParquetPartitionReader(
     file: String, rangeStart: Long, rangeEnd: Long,
     required: StructType, pushed: Array[Filter],
-    filterTypes: Map[String, DataType])
+    filterTypes: Map[String, DataType], limit: Long = -1L)
   extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
+
+  private val filePathUtf8 = UTF8String.fromString(file)
 
   private val fileSchema: MessageType = {
     val in = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file), conf))
@@ -439,10 +740,16 @@ private[sources] class GroupParquetPartitionReader(
 
   // projection = required ∪ filter columns (record-level filtering
   // evaluates on the assembled record, so filter columns must be read
-  // even when pruned from the output); a fully-pruned scan (count(*))
-  // still needs one column to drive record iteration
+  // even when pruned from the output); the synthesized `_file`
+  // metadata column is never a physical field; a fully-pruned scan
+  // (count(*), SELECT _file) still needs one column to drive record
+  // iteration
+  private def synthesized(name: String): Boolean =
+    name == GraftVersionedTable.FileColumn && !fileSchema.containsField(name)
+
   private val projNames: Seq[String] = {
-    val want = (required.fieldNames ++ filterTypes.keys).distinct.toSeq
+    val want = (required.fieldNames ++ filterTypes.keys)
+      .distinct.filterNot(synthesized).toSeq
     if (want.nonEmpty) want else Seq(fileSchema.getFields.get(0).getName)
   }
 
@@ -466,9 +773,14 @@ private[sources] class GroupParquetPartitionReader(
   }
 
   private var current: org.apache.parquet.example.data.Group = _
+  private var emitted = 0L
 
   override def next(): Boolean = {
+    // a pushed LIMIT needs at most `limit` rows from EACH partition —
+    // the engine-side final LIMIT (partial pushdown) does the rest
+    if (limit >= 0 && emitted >= limit) return false
     current = reader.read()
+    if (current != null) emitted += 1
     current != null
   }
 
@@ -479,6 +791,10 @@ private[sources] class GroupParquetPartitionReader(
     var i = 0
     while (i < required.length) {
       val f = required.fields(i)
+      if (synthesized(f.name)) {
+        row.update(i, filePathUtf8)
+        i += 1
+      } else {
       val gi = gType.getFieldIndex(f.name)
       if (g.getFieldRepetitionCount(gi) == 0) row.update(i, null)
       else f.dataType match {
@@ -498,6 +814,7 @@ private[sources] class GroupParquetPartitionReader(
             "column set (long/int/double/float/boolean/string/date/timestamp)")
       }
       i += 1
+      }
     }
     row
   }
@@ -511,27 +828,168 @@ private[sources] class GroupParquetPartitionReader(
   * a typed compilation, so Spark only re-applies true residuals. */
 private[sources] object GroupParquetIo {
 
-  /** Plan one input partition PER ROW GROUP: a driver-side footer read
-    * per file lists the groups; each partition carries the byte range
-    * `[startingPos, startingPos + compressedSize)` whose midpoint is
-    * inside exactly that group (parquet-mr's own range→group rule, so
-    * the executor-side `withFileRange` selects it and nothing else).
-    * Files are the durability unit, row groups the parallelism unit —
-    * a compacted 1 GB file still fans out to its ~8 groups instead of
-    * capping the stage at file count. Single-group files cost one
-    * footer read and plan exactly as before. */
-  def splitByRowGroup(files: Seq[java.nio.file.Path]): Array[InputPartition] =
-    files.sortBy(_.getFileName.toString).flatMap { p =>
+  /** One data file's footer state: its schema, the row groups the
+    * pushed predicate kept, and the pre-prune group count (for the
+    * `RowGroups: kept/total` explain line). */
+  case class FileGroups(file: String, schema: MessageType,
+                        kept: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+                        total: Int)
+
+  /** One driver-side footer read per file → schema + row groups. */
+  def readFooters(files: Seq[java.nio.file.Path]): Seq[FileGroups] =
+    files.sortBy(_.getFileName.toString).map { p =>
       val in = ParquetFileReader.open(
         HadoopInputFile.fromPath(new HPath(p.toString), new Configuration()))
-      val blocks =
-        try in.getFooter.getBlocks.asScala.toSeq finally in.close()
-      if (blocks.size <= 1) Seq(GroupParquetPartition(p.toString))
-      else blocks.map { b =>
-        GroupParquetPartition(p.toString, b.getStartingPos,
+      val footer = try in.getFooter finally in.close()
+      val blocks = footer.getBlocks.asScala.toSeq
+      FileGroups(p.toString, footer.getFileMetaData.getSchema,
+        blocks, blocks.size)
+    }
+
+  /** Drop row groups whose column statistics cannot satisfy the
+    * pushed predicate — parquet's own StatisticsFilter, applied at
+    * the DRIVER so a pruned group never becomes a task. A predicate
+    * this translation cannot express simply skips pruning (the
+    * executor-side record filter still applies it). */
+  def pruneByStats(footers: Seq[FileGroups], pushed: Array[Filter],
+                   filterTypes: Map[String, DataType]): Seq[FileGroups] =
+    compile(pushed, filterTypes) match {
+      case None => footers
+      case Some(pred) =>
+        val filter = FilterCompat.get(pred)
+        footers.map { fg =>
+          fg.copy(kept = org.apache.parquet.filter2.compat.RowGroupFilter
+            .filterRowGroups(filter, fg.kept.asJava, fg.schema).asScala.toSeq)
+        }
+    }
+
+  /** Plan one input partition PER SURVIVING ROW GROUP: each partition
+    * carries the byte range `[startingPos, startingPos +
+    * compressedSize)` whose midpoint is inside exactly that group
+    * (parquet-mr's own range→group rule, so the executor-side
+    * `withFileRange` selects it and nothing else). Files are the
+    * durability unit, row groups the parallelism unit — a compacted
+    * 1 GB file still fans out to its ~8 groups instead of capping the
+    * stage at file count. */
+  def toPartitions(footers: Seq[FileGroups]): Array[InputPartition] =
+    footers.flatMap { fg =>
+      if (fg.total <= 1) fg.kept.map(_ => GroupParquetPartition(fg.file))
+      else fg.kept.map { b =>
+        GroupParquetPartition(fg.file, b.getStartingPos,
           b.getStartingPos + b.getCompressedSize)
       }
     }.toArray
+
+  /** Keep only enough leading row groups to cover `n` rows — the
+    * LIMIT-pushdown planning cap (valid only when no filters apply,
+    * where footer row counts are exact). */
+  def limitGroups(footers: Seq[FileGroups], n: Long): Seq[FileGroups] = {
+    var cum = 0L
+    footers.map { fg =>
+      val kept = Seq.newBuilder[org.apache.parquet.hadoop.metadata.BlockMetaData]
+      fg.kept.foreach { b =>
+        if (cum < n) { kept += b; cum += b.getRowCount }
+      }
+      fg.copy(kept = kept.result())
+    }.filter(_.kept.nonEmpty)
+  }
+
+  /** Footer-split + stats-prune in one call (the streaming feed path,
+    * where partitions are planned per micro-batch). */
+  def splitByRowGroup(files: Seq[java.nio.file.Path],
+                      pushed: Array[Filter] = Array.empty,
+                      filterTypes: Map[String, DataType] = Map.empty): Array[InputPartition] =
+    toPartitions(pruneByStats(readFooters(files), pushed, filterTypes))
+
+  /** Answer a pushed-down global aggregation from footer metadata
+    * alone: row counts (COUNT(*)), null counts (COUNT(col)), column
+    * min/max statistics (MIN/MAX). Returns the (schema, row, explain
+    * description) of the one-row result, or None when any row group
+    * lacks the needed statistic — in which case the caller refuses the
+    * pushdown and Spark runs the aggregate over a normal scan. */
+  def answerFromFooters(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      fullSchema: StructType,
+      options: CaseInsensitiveStringMap): Option[(StructType, GenericInternalRow, String)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+
+    val root = GraftVersionedTable.rootOf(options)
+    val uninitialized = Versioned.latestVersion(root).isEmpty &&
+      !options.containsKey("versionAsOf") && !options.containsKey("timestampAsOf")
+    val blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData] =
+      if (uninitialized) Seq.empty
+      else readFooters(Versioned.dataFiles(java.nio.file.Paths.get(
+        GraftVersionedTable.snapshotDir(root, options)))).flatMap(_.kept)
+    val totalRows = blocks.map(_.getRowCount).sum
+
+    def chunkOf(b: org.apache.parquet.hadoop.metadata.BlockMetaData, col: String) =
+      b.getColumns.asScala.find(_.getPath.toDotString == col)
+
+    // every row group must carry the statistic, or the answer is a lie
+    def nullCount(col: String): Option[Long] = {
+      val counts = blocks.map(chunkOf(_, col).flatMap { c =>
+        val st = c.getStatistics
+        if (st != null && st.isNumNullsSet) Some(st.getNumNulls) else None
+      })
+      if (counts.forall(_.isDefined)) Some(counts.flatMap(x => x).sum) else None
+    }
+
+    // merged min/max over non-empty groups; all-null/empty → Some(null)
+    // (SQL MIN/MAX of no values); a group missing stats → None (refuse)
+    def minMax(col: String, wantMin: Boolean): Option[Any] = {
+      val perBlock: Seq[Option[Option[Any]]] = blocks
+        .filter(_.getRowCount > 0)
+        .map(chunkOf(_, col).flatMap { c =>
+          val st = c.getStatistics
+          if (st == null || st.isEmpty) None // stats missing — refuse
+          else if (!st.hasNonNullValue) Some(None) // all-null group
+          else Some(Some(if (wantMin) st.genericGetMin else st.genericGetMax))
+        })
+      if (perBlock.exists(_.isEmpty)) return None
+      val values = perBlock.flatMap(_.get)
+      if (values.isEmpty) Some(null)
+      else Some(values.reduce { (a, b) =>
+        val cmp = (a, b) match {
+          case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+          case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
+          case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
+          case (x: java.lang.Float, y: java.lang.Float) => x.compareTo(y)
+          case _ => return None // unexpected stat type — refuse
+        }
+        if ((cmp <= 0) == wantMin) a else b
+      })
+    }
+
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression): String =
+      e.asInstanceOf[NamedReference].fieldNames()(0)
+    def colType(e: org.apache.spark.sql.connector.expressions.Expression): DataType =
+      fullSchema.fields.find(_.name == colName(e)).get.dataType
+
+    val out = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(("count_star", LongType, totalRows: Any))
+      case c: Count =>
+        nullCount(colName(c.column)).map(n =>
+          (s"count_${colName(c.column)}", LongType, (totalRows - n): Any))
+      case m: Min =>
+        minMax(colName(m.column), wantMin = true).map(v =>
+          (s"min_${colName(m.column)}", colType(m.column), v))
+      case m: Max =>
+        minMax(colName(m.column), wantMin = false).map(v =>
+          (s"max_${colName(m.column)}", colType(m.column), v))
+      case _ => None
+    }
+    if (out.exists(_.isEmpty)) return None
+
+    val fields = out.flatMap(x => x)
+    val schema = StructType(fields.map { case (n, t, _) => StructField(n, t) })
+    val row = new GenericInternalRow(fields.length)
+    fields.zipWithIndex.foreach { case ((_, _, v), i) => row.update(i, v) }
+    val desc = s"GraftAggregateScan footers-only, " +
+      s"PushedAggregates: [${agg.aggregateExpressions.mkString(", ")}], " +
+      s"rowGroups=${blocks.size}"
+    Some((schema, row, desc))
+  }
 
   /** Spark [[Filter]] → Column predicate for the DELETE rewrite — a
     * BROADER vocabulary than the parquet pushdown set (Or/Not/In/
@@ -585,6 +1043,12 @@ private[sources] object GroupParquetIo {
       case LessThanOrEqual(a, _) => ordered(a)
       case IsNull(a) => atomic(a)
       case IsNotNull(a) => atomic(a)
+      // IN pushes for the ordered set + strings (parquet FilterApi.in
+      // evaluates row-group stats AND dictionaries); a null in the
+      // value list would change semantics — refuse it
+      case In(a, vs) =>
+        vs.nonEmpty && vs.forall(_ != null) &&
+          (ordered(a) || typeOf(a).contains(StringType))
       case And(l, r) => translatable(l, schema) && translatable(r, schema)
       case _ => false
     }
@@ -677,6 +1141,24 @@ private[sources] object GroupParquetIo {
         FilterApi.ltEq(FilterApi.binaryColumn(a), _))
       case IsNull(a) => isNullPred(a, t)
       case IsNotNull(a) => isNullPred(a, t).map(FilterApi.not)
+      case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+        t.get(a).flatMap {
+          case LongType => Some(FilterApi.in(FilterApi.longColumn(a),
+            vs.map(v => java.lang.Long.valueOf(v.asInstanceOf[Number].longValue())).toSet.asJava))
+          case TimestampType | TimestampNTZType =>
+            Some(FilterApi.in(FilterApi.longColumn(a), vs.map(toMicros).toSet.asJava))
+          case IntegerType => Some(FilterApi.in(FilterApi.intColumn(a),
+            vs.map(v => java.lang.Integer.valueOf(v.asInstanceOf[Number].intValue())).toSet.asJava))
+          case DateType =>
+            Some(FilterApi.in(FilterApi.intColumn(a), vs.map(toDays).toSet.asJava))
+          case DoubleType => Some(FilterApi.in(FilterApi.doubleColumn(a),
+            vs.map(v => java.lang.Double.valueOf(v.asInstanceOf[Number].doubleValue())).toSet.asJava))
+          case FloatType => Some(FilterApi.in(FilterApi.floatColumn(a),
+            vs.map(v => java.lang.Float.valueOf(v.asInstanceOf[Number].floatValue())).toSet.asJava))
+          case StringType => Some(FilterApi.in(FilterApi.binaryColumn(a),
+            vs.map(v => Binary.fromString(v.toString)).toSet.asJava))
+          case _ => None
+        }
       case And(l, r) => for { x <- one(l, t); y <- one(r, t) }
         yield FilterApi.and(x, y)
       case _ => None

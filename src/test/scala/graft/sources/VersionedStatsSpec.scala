@@ -1,0 +1,193 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.operators.Versioned
+
+/** Planning-time intelligence of the graft-versioned scan: footer
+  * statistics reported to Catalyst (`SupportsReportStatistics`) and
+  * driver-side row-group pruning from pushed predicates.
+  *
+  * Why it matters at scale: a DSv2 relation with no stats reports
+  * `defaultSizeInBytes` (effectively infinite), so a 2 MB dimension
+  * snapshot would never auto-broadcast and every join against the
+  * version store would shuffle; and without driver-side pruning a
+  * selective filter on a clustered table still schedules one task per
+  * row group, paying scheduler latency for groups whose min/max
+  * already exclude them. */
+class VersionedStatsSpec extends AnyFunSuite with SparkSpec {
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_stats_${tag}_").toString
+
+  /** One physical file, MANY row groups, ids ascending so group
+    * min/max spans are disjoint — the clustered-table shape. */
+  private def clusteredRoot(n: Long): String = {
+    val root = freshRoot("rg")
+    spark.range(0, n).selectExpr("id", "id * 7 AS v",
+      "repeat('x', 32) AS pad")
+      .coalesce(1).write
+      .option("parquet.block.size", "65536")
+      .parquet(s"$root/v=0")
+    root
+  }
+
+  private def scanStats(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan.stats
+
+  test("numRows and sizeInBytes come from footers, not defaultSizeInBytes") {
+    val root = freshRoot("stats")
+    import spark.implicits._
+    Versioned.writeNext(
+      (0L until 1000L).map(i => (i, s"tag_$i")).toDF("id", "tag"), root, Some(10L))
+    val df = spark.read.format("graft-versioned").load(root)
+    val st = scanStats(df)
+    assert(st.rowCount.contains(BigInt(1000)),
+      s"expected footer rowCount 1000, got ${st.rowCount}")
+    val default = spark.sessionState.conf.defaultSizeInBytes
+    assert(st.sizeInBytes > 0 && st.sizeInBytes < BigInt(default),
+      s"sizeInBytes ${st.sizeInBytes} should be a real footer estimate")
+  }
+
+  test("sizeInBytes counts only the projected columns") {
+    val root = freshRoot("proj")
+    import spark.implicits._
+    // wide payload column dominates the footprint — DISTINCT values, so
+    // dictionary encoding cannot collapse the column chunk
+    Versioned.writeNext(
+      (0L until 2000L).map(i => (i, s"payload_$i" * 20)).toDF("id", "payload"),
+      root, Some(10L))
+    val full = scanStats(
+      spark.read.format("graft-versioned").load(root))
+    val narrow = scanStats(
+      spark.read.format("graft-versioned").load(root).select("id"))
+    assert(narrow.sizeInBytes * 5 < full.sizeInBytes,
+      s"narrow ${narrow.sizeInBytes} should be far below full ${full.sizeInBytes}")
+  }
+
+  test("a small versioned dimension auto-broadcasts with no hint") {
+    val root = freshRoot("bcast")
+    import spark.implicits._
+    Versioned.writeNext(
+      (0L until 500L).map(i => (i, s"n_$i")).toDF("k", "name"), root, Some(10L))
+    val dim = spark.read.format("graft-versioned").load(root)
+    val fact = spark.range(0, 100000).selectExpr("id % 500 AS k", "id AS x")
+    val joined = fact.join(dim, "k")
+    val plan = joined.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"footer stats should make the dimension broadcastable:\n$plan")
+    assert(joined.count() === 100000L)
+  }
+
+  test("driver-side row-group pruning: selective filter schedules fewer tasks") {
+    val root = clusteredRoot(200000L)
+    val all = spark.read.format("graft-versioned").load(root)
+    val totalParts = all.rdd.getNumPartitions
+    assert(totalParts > 3, s"fixture should span many row groups, got $totalParts")
+
+    val tail = all.filter(col("id") >= 199990L)
+    val keptParts = tail.rdd.getNumPartitions
+    assert(keptParts < totalParts,
+      s"stats pruning should drop groups: kept $keptParts of $totalParts")
+    assert(tail.count() === 10L)
+    // the explain line reports the prune ratio
+    val desc = tail.queryExecution.executedPlan.toString
+    val rg = "RowGroups: (\\d+)/(\\d+)".r
+    rg.findFirstMatchIn(desc) match {
+      case Some(m) =>
+        assert(m.group(1).toInt < m.group(2).toInt,
+          s"expected kept < total in '${m.matched}'")
+      case None => fail(s"RowGroups marker missing in:\n$desc")
+    }
+  }
+
+  test("pruned scan stays exact across the group boundary span") {
+    val root = clusteredRoot(120000L)
+    val all = spark.read.format("graft-versioned").load(root)
+    // a mid-range band: neither the first nor the last group
+    val band = all.filter(col("id") >= 50000L && col("id") < 50100L)
+    assert(band.count() === 100L)
+    assert(band.agg(sum("v")).collect()(0).getLong(0) ===
+      (50000L until 50100L).map(_ * 7).sum)
+    assert(band.rdd.getNumPartitions < all.rdd.getNumPartitions)
+  }
+
+  test("statistics shrink under pushed filters (group-level, pre-execution)") {
+    val root = clusteredRoot(200000L)
+    val all = spark.read.format("graft-versioned").load(root)
+    val tail = all.filter(col("id") >= 199990L)
+    assert(scanStats(tail).sizeInBytes < scanStats(all).sizeInBytes,
+      "pruned groups must leave the size estimate")
+  }
+
+  test("pushed LIMIT schedules one covering row group and stays exact") {
+    val root = clusteredRoot(120000L)
+    val q = spark.read.format("graft-versioned").load(root).limit(7)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 7"), s"limit not pushed:\n$plan")
+    assert(q.collect().length === 7)
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    assert(scan.inputPartitions.length === 1,
+      s"LIMIT 7 should plan one row-group task, got ${scan.inputPartitions.length}")
+    // limit + filter: partial pushdown keeps the engine-side LIMIT exact
+    val f = spark.read.format("graft-versioned").load(root)
+      .filter(col("id") >= 60000L).limit(5)
+    assert(f.collect().map(_.getLong(0)).forall(_ >= 60000L))
+    assert(f.count() === 5)
+  }
+
+  test("runtime IN filter re-prunes row groups at execution time") {
+    val root = clusteredRoot(120000L)
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Expressions}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    val sb = new GraftVersionedScanBuilder(
+      spark.read.format("graft-versioned").load(root).schema,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("path" -> root).asJava))
+    val scan = sb.build().asInstanceOf[GraftVersionedScan]
+    val before = scan.toBatch.planInputPartitions().length
+    assert(before > 3, s"fixture should span many groups, got $before")
+    val children: Array[VExpr] =
+      Expressions.column("id") +:
+        Array(3L, 17L).map(v => Expressions.literal(v): VExpr)
+    scan.filter(Array(new Predicate("IN", children)))
+    val after = scan.toBatch.planInputPartitions().length
+    assert(after === 1,
+      s"IN(3, 17) covers the first row group only, planned $after of $before")
+  }
+
+  test("broadcast join against a tiny key set stays exact (runtime-filter path)") {
+    val root = clusteredRoot(120000L)
+    val fact = spark.read.format("graft-versioned").load(root)
+    val dim = spark.range(0, 120000).selectExpr("id AS k")
+      .filter(col("k") < 20L)
+    val joined = fact.join(broadcast(dim), fact("id") === dim("k"))
+    assert(joined.count() === 20L)
+    assert(joined.agg(sum("v")).collect()(0).getLong(0) ===
+      (0L until 20L).map(_ * 7).sum)
+  }
+
+  test("static IN predicate pushes into the scan and prunes groups") {
+    val root = clusteredRoot(120000L)
+    val all = spark.read.format("graft-versioned").load(root)
+    val q = all.filter(col("id").isin(2L, 9L, 11L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("In(id"), s"IN not pushed:\n$plan")
+    assert(q.rdd.getNumPartitions < all.rdd.getNumPartitions)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 9L, 11L))
+  }
+
+  test("an untranslatable predicate prunes nothing and stays correct") {
+    val root = clusteredRoot(60000L)
+    val all = spark.read.format("graft-versioned").load(root)
+    // modulo is not in the pushdown vocabulary — full scan, exact result
+    val odd = all.filter(expr("id % 2 = 1"))
+    assert(odd.rdd.getNumPartitions === all.rdd.getNumPartitions)
+    assert(odd.count() === 30000L)
+  }
+}
