@@ -277,14 +277,17 @@ private[sources] class GraftVersionedTable(
     Array(GraftVersionedTable.FileMetadataColumn)
 
   // ---- SQL UPDATE / MERGE INTO / arbitrary-predicate DELETE: the
-  // group-based (copy-on-write) row-level operation with the SNAPSHOT
-  // as the single group. Spark rewrites the command into scan-current →
-  // transform → ReplaceData; the replacement lands as a NEW version, so
-  // history is preserved and `VERSION AS OF` still shows the
-  // pre-mutation rows. Translatable DELETE predicates never get here —
-  // Spark's OptimizeMetadataOnlyDeleteFromTable routes them to
-  // `deleteWhere` above; this path catches everything that rule cannot
-  // express (modulo predicates, subqueries, UPDATE, MERGE).
+  // group-based (copy-on-write) row-level operation with the DATA FILE
+  // as the replacement group. Spark rewrites the command into
+  // scan-current → transform → ReplaceData; files whose statistics
+  // refute the condition are never scanned and hard-link into the new
+  // version unchanged, so a one-row UPDATE rewrites one file. The
+  // replacement lands as a NEW version — history is preserved and
+  // `VERSION AS OF` still shows the pre-mutation rows. Translatable
+  // DELETE predicates never get here — Spark's
+  // OptimizeMetadataOnlyDeleteFromTable routes them to `deleteWhere`
+  // above; this path catches everything that rule cannot express
+  // (modulo predicates, subqueries, UPDATE, MERGE).
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
@@ -314,46 +317,159 @@ private[sources] class GraftRowLevelOperation(
     cmd: RowLevelOperation.Command)
   extends RowLevelOperation {
 
+  /** Set by the scan when it plans partitions (driver side), consumed
+    * by the write at commit time (same JVM, same operation instance —
+    * the Iceberg copy-on-write linkage): the snapshot version the scan
+    * read and the file names it actually scanned. Files NOT scanned
+    * carry into the new version as hard-links — a one-row UPDATE
+    * rewrites one file, not the table. */
+  @volatile private[sources] var scannedState: Option[(Long, Set[String])] = None
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def description(): String =
-    s"graft-versioned $cmd (copy-on-write, group = snapshot)"
+    s"graft-versioned $cmd (copy-on-write, group = data file)"
 
   // _file keeps Spark's rewrite on the metadata-projecting write path
-  // (see metadataColumns on the table) and feeds its per-group metrics
+  // (see metadataColumns on the table), feeds its per-group metrics,
+  // and is the key the runtime group-filter subquery prunes on
   override def requiredMetadataAttributes():
       Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(Expressions.column(GraftVersionedTable.FileColumn))
 
-  // FILTER-FREE scan, deliberately: Spark pushes the command's
-  // condition into a row-level scan as a GROUP-selection hint — the
-  // scan must still return every row of any group it keeps, because
-  // non-matching rows of kept groups are carried over into the
-  // replacement. With the whole snapshot as the one group, the only
-  // correct scan is the full unfiltered snapshot: a record-filtering
-  // scan here would silently DROP the carry-over rows from the new
-  // version (data loss), so this builder does not implement filter
-  // pushdown at all. Column pruning stays (the rewrite needs every
-  // data column anyway; pruning covers the metadata-only legs).
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val merged = table.scanOptions(options)
-    new ScanBuilder with SupportsPushDownRequiredColumns {
-      private var required: StructType = tableSchema
-      override def pruneColumns(requiredSchema: StructType): Unit =
-        required = requiredSchema
-      override def build(): Scan =
-        new GraftVersionedScan(required, Array.empty, Map.empty, merged,
-          limit = None, runtimeFilterable = false)
-    }
-  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftRowLevelScanBuilder(this, tableSchema, table.scanOptions(options))
 
-  // replace-mode write: the rewritten query's output is the complete
-  // next snapshot, never an append
+  // replace-mode write: the rewritten query's output replaces exactly
+  // the files the scan read (all of them when nothing was pruned)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val b = new GraftVersionedWriteBuilder(root, tableSchema, info, tableOptions)
+    val b = new GraftVersionedWriteBuilder(root, tableSchema, info,
+      tableOptions, rowLevelOp = Some(this))
     b.truncate()
     b
   }
+}
+
+/** Scan builder for a row-level operation. Pushed filters here are the
+  * COMMAND's condition arriving as a group-selection hint (Spark's
+  * GroupBasedRowLevelOperationScanPlanning): the scan may use them to
+  * skip whole groups that contain no matching row, but must return
+  * EVERY row of any group it keeps — the non-matching rows of kept
+  * groups are carried over into the replacement by the rewrite query
+  * itself. The replacement group here is the DATA FILE: a file is
+  * pruned only when footer statistics refute the condition for every
+  * row group in it (no row needs modification), and pruned files are
+  * hard-linked into the new version at commit. Record-level filtering
+  * would be data loss; per-row-group pruning would be too (the write
+  * replaces whole files). */
+private[sources] class GraftRowLevelScanBuilder(
+    op: GraftRowLevelOperation, fullSchema: StructType,
+    options: CaseInsensitiveStringMap)
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var groupHints: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    groupHints = filters.filter(GroupParquetIo.translatable(_, fullSchema))
+    // NOTHING is fully applied at row level — everything stays residual
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = groupHints
+
+  override def build(): Scan = {
+    val types: Map[String, DataType] =
+      groupHints.flatMap(_.references).distinct.flatMap(n =>
+        fullSchema.fields.find(_.name == n).map(f => f.name -> f.dataType)).toMap
+    new GraftRowLevelScan(op, required, fullSchema, groupHints, types, options)
+  }
+}
+
+/** The row-level operation's scan: reads every row of every file it
+  * keeps (no record filter, no row-group split pruning) and reports
+  * the kept file set to the operation so the write replaces exactly
+  * those files. Static group hints AND runtime filters (the `_file IN
+  * (…)` set from Spark's runtime group-filter subquery, or data-column
+  * join keys) prune at FILE granularity only. */
+private[sources] class GraftRowLevelScan(
+    op: GraftRowLevelOperation, required: StructType,
+    fullSchema: StructType, hints: Array[Filter],
+    hintTypes: Map[String, DataType], options: CaseInsensitiveStringMap)
+  extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  private val root = GraftVersionedTable.rootOf(options)
+
+  @volatile private var runtimeData: Array[Filter] = Array.empty
+  @volatile private var runtimeFile: Array[Filter] = Array.empty
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftRowLevelScan `$root`, ReadColumns: " +
+      s"[${required.fieldNames.mkString(", ")}], " +
+      s"GroupHints: [${hints.mkString(", ")}]"
+
+  // `_file` ONLY: with several attributes Spark's runtime group-filter
+  // subquery filters on ONE struct over all of them
+  // (named_struct(...) IN subquery), which no source can translate —
+  // a single attribute yields the convertible `_file IN (…)` set
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(GraftVersionedTable.FileColumn))
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val v1 = org.apache.spark.sql.graftbridge.PredicateBridge.toV1(predicates)
+    val (onFile, onData) = v1.partition(
+      _.references.toSet == Set(GraftVersionedTable.FileColumn))
+    runtimeFile = onFile
+    runtimeData = onData.filter(GroupParquetIo.translatable(_, fullSchema))
+  }
+
+  /** Conservative `_file` predicate evaluation: None = not understood
+    * (keep the file). */
+  private def fileKeep(f: Filter, path: String): Option[Boolean] = f match {
+    case EqualTo(GraftVersionedTable.FileColumn, v) => Some(v == path)
+    case EqualNullSafe(GraftVersionedTable.FileColumn, v) => Some(v == path)
+    case In(GraftVersionedTable.FileColumn, vs) => Some(vs.contains(path))
+    case IsNotNull(GraftVersionedTable.FileColumn) => Some(true)
+    case And(l, r) =>
+      for { a <- fileKeep(l, path); b <- fileKeep(r, path) } yield a && b
+    case Or(l, r) =>
+      for { a <- fileKeep(l, path); b <- fileKeep(r, path) } yield a || b
+    case _ => None
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val version = GraftVersionedTable.resolveVersion(root, options)
+    val dir = java.nio.file.Paths.get(root, s"v=$version")
+    val footers = GroupParquetIo.readFooters(Versioned.dataFiles(dir))
+    val dataFilters = hints ++ runtimeData
+    val dataTypes = hintTypes ++ runtimeData.flatMap(_.references).distinct
+      .flatMap(n => fullSchema.fields.find(_.name == n)
+        .map(f => f.name -> f.dataType))
+    val kept = footers.filter { fg =>
+      val byFile = runtimeFile.forall(f =>
+        fileKeep(f, fg.file).getOrElse(true))
+      // a file survives the data hints unless EVERY row group refutes
+      // them — only then can no row need modification
+      byFile && GroupParquetIo.pruneByStats(Seq(fg), dataFilters, dataTypes)
+        .head.kept.nonEmpty
+    }
+    op.scannedState = Some((version,
+      kept.map(fg => java.nio.file.Paths.get(fg.file).getFileName.toString).toSet))
+    // full files, split per row group for parallelism — never filtered
+    GroupParquetIo.toPartitions(kept)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GroupParquetReaderFactory(required, Array.empty, Map.empty)
 }
 
 private[sources] class GraftVersionedScanBuilder(
@@ -1238,7 +1354,8 @@ private[sources] object GroupParquetIo {
   * more version. */
 private[sources] class GraftVersionedWriteBuilder(
     root: String, tableSchema: StructType, info: LogicalWriteInfo,
-    tableOptions: CaseInsensitiveStringMap)
+    tableOptions: CaseInsensitiveStringMap,
+    rowLevelOp: Option[GraftRowLevelOperation] = None)
   extends WriteBuilder with SupportsTruncate {
 
   private var replace = false
@@ -1289,14 +1406,15 @@ private[sources] class GraftVersionedWriteBuilder(
       s"graft-versioned: writePartitions must be positive, got $n"))
     val targetBytes = opt("targetFileBytes").map(_.toLong)
     new GraftVersionedWrite(root, schema, replace, stamp, info.queryId(),
-      clusterBy, writeParts, targetBytes)
+      clusterBy, writeParts, targetBytes, rowLevelOp)
   }
 }
 
 private[sources] class GraftVersionedWrite(
     root: String, schema: StructType, replace: Boolean,
     commitTs: Option[Long], queryId: String, clusterBy: Seq[String],
-    writeParts: Option[Int] = None, targetBytes: Option[Long] = None)
+    writeParts: Option[Int] = None, targetBytes: Option[Long] = None,
+    rowLevelOp: Option[GraftRowLevelOperation] = None)
   extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String =
@@ -1321,7 +1439,7 @@ private[sources] class GraftVersionedWrite(
   override def advisoryPartitionSizeInBytes(): Long = targetBytes.getOrElse(0L)
 
   override def toBatch: BatchWrite =
-    new GraftBatchWrite(root, schema, replace, commitTs, queryId)
+    new GraftBatchWrite(root, schema, replace, commitTs, queryId, rowLevelOp)
 
   override def toStreaming: StreamingWrite =
     new GraftStreamingWrite(root, schema, replace, commitTs, queryId)
@@ -1335,7 +1453,8 @@ private[sources] class GraftVersionedWrite(
   * dir and the store is untouched. */
 private[sources] class GraftBatchWrite(
     root: String, schema: StructType, replace: Boolean,
-    commitTs: Option[Long], queryId: String) extends BatchWrite {
+    commitTs: Option[Long], queryId: String,
+    rowLevelOp: Option[GraftRowLevelOperation] = None) extends BatchWrite {
 
   private val staged = java.nio.file.Paths.get(
     root, s"_staging_${queryId}_${java.util.UUID.randomUUID.toString.take(8)}")
@@ -1347,9 +1466,17 @@ private[sources] class GraftBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     VersionedWriteIo.keepOnly(staged, messages)
-    VersionedWriteIo.commitStaged(root, staged, schema,
-      appendPrev = !replace, stamp = VersionedWriteIo.stampValue(commitTs),
-      epochTag = None)
+    rowLevelOp.flatMap(_.scannedState) match {
+      case Some((scannedVersion, scannedNames)) =>
+        // copy-on-write by file: staged output replaces exactly the
+        // scanned files; everything else hard-links over
+        VersionedWriteIo.commitRowLevel(root, staged, schema,
+          scannedVersion, scannedNames, VersionedWriteIo.stampValue(commitTs))
+      case _ =>
+        VersionedWriteIo.commitStaged(root, staged, schema,
+          appendPrev = !replace, stamp = VersionedWriteIo.stampValue(commitTs),
+          epochTag = None)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1450,6 +1577,52 @@ private[sources] object VersionedWriteIo {
       finally stream.close()
     stale.foreach(Versioned.deleteRecursively)
     stale.map(_.getFileName.toString).sorted
+  }
+
+  /** Publish a row-level operation's staged output as the next
+    * version: staged files REPLACE the scanned files of the scanned
+    * snapshot; every unscanned file hard-links over unchanged (a
+    * one-row UPDATE rewrites one file). SERIALIZABLE, not optimistic:
+    * the replacement is only meaningful against the exact snapshot the
+    * scan read, so a concurrent commit in between fails this commit
+    * loudly — retrying the whole statement re-scans current data
+    * (Delta's write-conflict semantics), whereas silently re-basing
+    * would resurrect concurrently-deleted rows or drop concurrent
+    * appends. */
+  def commitRowLevel(root: String, staged: Path, schema: StructType,
+                     scannedVersion: Long, scannedNames: Set[String],
+                     stamp: Long): Long = {
+    def conflict(): Nothing = {
+      Versioned.deleteRecursively(staged)
+      throw new IllegalStateException(
+        s"graft-versioned: concurrent commit under $root during a " +
+          s"row-level operation (scanned v=$scannedVersion, latest is " +
+          s"v=${Versioned.latestVersion(root).getOrElse(-1L)}) — " +
+          "retry the statement against current data")
+    }
+    if (!Versioned.latestVersion(root).contains(scannedVersion)) conflict()
+    val carryOver = Versioned.dataFiles(Paths.get(root, s"v=$scannedVersion"))
+      .filterNot(f => scannedNames(f.getFileName.toString))
+    carryOver.foreach { f =>
+      val tgt = staged.resolve(s"prev-v$scannedVersion-${f.getFileName}")
+      try Files.createLink(tgt, f)
+      catch { case _: UnsupportedOperationException => Files.copy(f, tgt) }
+    }
+    // a fully-pruned no-op still commits a readable version; the
+    // schema needs a carrier only when nothing else survived
+    if (Versioned.dataFiles(staged).isEmpty)
+      GroupParquetWriterFactory(schema, staged.toString)
+        .emptyFile("part-00000-empty.parquet")
+    val next = scannedVersion + 1
+    try {
+      Files.move(staged, Paths.get(root, s"v=$next"), StandardCopyOption.ATOMIC_MOVE)
+      Versioned.writeStamp(root, next, stamp)
+      next
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.DirectoryNotEmptyException |
+           _: java.nio.file.FileSystemException => conflict()
+    }
   }
 
   /** Publish a staged directory as the next version. Optimistic

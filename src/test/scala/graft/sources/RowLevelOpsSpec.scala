@@ -111,6 +111,103 @@ class RowLevelOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ---- file-granularity copy-on-write: the scan prunes files whose
+  // stats refute the condition; the commit hard-links them over
+
+  private def inode(p: java.nio.file.Path): Any =
+    java.nio.file.Files.getAttribute(p, "unix:ino")
+
+  private def clusteredTable(): (String, String) = {
+    spark.conf.set("spark.sql.catalog.rlo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rlo.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rlo.t")
+    n += 1
+    val name = s"rlo.t.clus$n"
+    spark.sql(s"CREATE TABLE $name (id BIGINT, v BIGINT) " +
+      "USING `graft-versioned` " +
+      "TBLPROPERTIES ('clusterBy'='id', 'writePartitions'='4')")
+    spark.sql(s"INSERT INTO $name SELECT id, id * 10 FROM range(0, 100)")
+    (name, s"$warehouse/t/clus$n")
+  }
+
+  test("selective UPDATE rewrites only the covering file; the rest hard-link over") {
+    val (t, root) = clusteredTable()
+    val v0Files = graft.operators.Versioned.dataFiles(
+      java.nio.file.Paths.get(s"$root/v=0"))
+    assert(v0Files.size === 4, s"fixture should have 4 clustered files: $v0Files")
+    spark.sql(s"UPDATE $t SET v = -1 WHERE id = 97")
+    val v1Files = graft.operators.Versioned.dataFiles(
+      java.nio.file.Paths.get(s"$root/v=1"))
+    // 3 of the 4 files carried over as hard-links (same inode)
+    val v0Inodes = v0Files.map(inode).toSet
+    val carried = v1Files.filter(f => v0Inodes.contains(inode(f)))
+    assert(carried.size === 3,
+      s"expected 3 hard-linked carry-overs, got ${carried.size} of ${v1Files.size}")
+    // content exact: one row changed, everything else intact
+    assert(spark.sql(s"SELECT v FROM $t WHERE id = 97").collect()(0).getLong(0) === -1L)
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) === 100L)
+    assert(spark.sql(s"SELECT sum(v) FROM $t").collect()(0).getLong(0) ===
+      (0L until 100L).map(_ * 10).sum - 970L - 1L)
+    assert(spark.sql(s"SELECT sum(v) FROM $t VERSION AS OF 0")
+      .collect()(0).getLong(0) === (0L until 100L).map(_ * 10).sum)
+  }
+
+  test("DELETE wiping entire files does not resurrect their rows") {
+    val (t, root) = clusteredTable()
+    // modulo keeps it off the metadata path; id < 60 fully covers at
+    // least two clustered files — if file pruning used the survivor
+    // predicate instead of the command condition, those files would
+    // carry over and the deleted rows would come back
+    spark.sql(s"DELETE FROM $t WHERE id < 60 AND id % 1 = 0")
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) === 40L)
+    assert(spark.sql(s"SELECT min(id) FROM $t").collect()(0).getLong(0) === 60L)
+    val v1Files = graft.operators.Versioned.dataFiles(
+      java.nio.file.Paths.get(s"$root/v=1"))
+    val v0Inodes = graft.operators.Versioned.dataFiles(
+      java.nio.file.Paths.get(s"$root/v=0")).map(inode).toSet
+    // the untouched tail file(s) still hard-link over
+    assert(v1Files.exists(f => v0Inodes.contains(inode(f))),
+      "files outside the delete range should carry over by hard-link")
+  }
+
+  test("MERGE touching a narrow key range carries the untouched files") {
+    val (t, root) = clusteredTable()
+    spark.sql(s"""MERGE INTO $t t
+      USING (SELECT id, id * 1000 AS v FROM range(10, 13)) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v""")
+    assert(spark.sql(s"SELECT sum(v) FROM $t WHERE id IN (10, 11, 12)")
+      .collect()(0).getLong(0) === (10L + 11L + 12L) * 1000)
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) === 100L)
+    val v1Files = graft.operators.Versioned.dataFiles(
+      java.nio.file.Paths.get(s"$root/v=1"))
+    val v0Inodes = graft.operators.Versioned.dataFiles(
+      java.nio.file.Paths.get(s"$root/v=0")).map(inode).toSet
+    assert(v1Files.count(f => v0Inodes.contains(inode(f))) >= 2,
+      "files outside the merge key range should hard-link over")
+  }
+
+  test("row-level commit fails loudly on a concurrent commit (no silent rebase)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rlo_conflict_").toString
+    import spark.implicits._
+    graft.operators.Versioned.writeNext(
+      (0L until 10L).map(i => (i, i)).toDF("id", "v"), root, Some(10L))
+    val staged = java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(root, "_staging_conflict"))
+    // a concurrent writer publishes v=1 between scan (of v=0) and commit
+    graft.operators.Versioned.writeNext(
+      (0L until 3L).map(i => (i, -i)).toDF("id", "v"), root, Some(20L))
+    val err = intercept[IllegalStateException] {
+      VersionedWriteIo.commitRowLevel(root, staged,
+        new org.apache.spark.sql.types.StructType()
+          .add("id", "bigint").add("v", "bigint"),
+        scannedVersion = 0L, scannedNames = Set("whatever.parquet"),
+        stamp = 30L)
+    }
+    assert(err.getMessage.contains("concurrent commit"))
+    assert(graft.operators.Versioned.versions(root) === Seq(0L, 1L))
+  }
+
   test("UPDATE on the change feed is rejected") {
     val t = freshTable()
     // direct path-based feed reads are read-only by construction; the
