@@ -145,7 +145,10 @@ object Versioned {
           "before compacting")
     val bytes = dataFiles(vdir).map(Files.size).sum
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val df = spark.read.parquet(vdir.toString)
+    // mergeSchema: a snapshot may hold pre-evolution files next to
+    // evolved ones (catalog ADD COLUMN is metadata-only) — compacting
+    // with single-footer inference would silently drop added columns
+    val df = spark.read.option("mergeSchema", "true").parquet(vdir.toString)
     val compacted =
       if (nFiles < df.rdd.getNumPartitions) df.coalesce(nFiles) else df
     writeNext(compacted, root, stamp)
@@ -205,13 +208,29 @@ object Versioned {
   def writeNextWithFeed(df: DataFrame, root: String, keys: Seq[String],
                         payload: Seq[String],
                         commitTs: Option[Long] = None): Long = {
-    val spark = df.sparkSession
-    val prev = latestVersion(root)
     val next = writeNext(df, root, commitTs)
-    val cur = read(spark, root, Some(next))
+    writeFeedFor(df.sparkSession, root, next, keys, payload)
+    next
+  }
+
+  /** Derive and store the change feed of an ALREADY-COMMITTED version:
+    * the keyed diff against the previous surviving version ('added' /
+    * 'changed' / 'removed' with old_/new_ payload), or all-'added' for
+    * a first commit. Factored out of [[writeNextWithFeed]] so DSv2/SQL
+    * commits (INSERT, UPDATE, MERGE, DELETE on a `changeFeedKeys`
+    * table) can emit the same feed the streaming change-feed source
+    * drains. Reads snapshots with explicit mergeSchema-safe columns:
+    * payload columns absent from pre-evolution files read as null. */
+  def writeFeedFor(spark: SparkSession, root: String, version: Long,
+                   keys: Seq[String], payload: Seq[String]): Unit = {
+    val prev = versions(root).filter(_ < version).lastOption
+    def snap(v: Long) =
+      spark.read.option("mergeSchema", "true").parquet(s"$root/v=$v")
+        .select((keys ++ payload).map(col): _*)
+    val cur = snap(version)
     val feed = prev match {
       case Some(p) =>
-        Cdc.snapshotDiff(read(spark, root, Some(p)), cur, keys, payload)
+        Cdc.snapshotDiff(snap(p), cur, keys, payload)
       case None =>
         cur.select(
           keys.map(col) ++
@@ -221,11 +240,10 @@ object Versioned {
     }
     feed
       .select(keys.map(col) ++
-        Seq(col("change_type"), lit(next).as("commit_version")) ++
+        Seq(col("change_type"), lit(version).as("commit_version")) ++
         payload.map(c => col(s"old_$c")) ++
         payload.map(c => col(s"new_$c")): _*)
-      .write.mode("overwrite").parquet(feedDir(root, next))
-    next
+      .write.mode("overwrite").parquet(feedDir(root, version))
   }
 
   /** Read the current (or a pinned) version. */

@@ -400,6 +400,55 @@ object VersionedGate {
              ORDER BY snap, doc_id""")
   }
 
+  /** q152: schema evolution end-to-end — `ALTER TABLE ADD COLUMN` is a
+    * metadata-only commit (no file rewritten), a post-evolution insert
+    * fills the new column, and a row-level UPDATE then mutates ACROSS
+    * the mixed-schema snapshot (pre-evolution files null-fill). The
+    * oracle re-derives the final state from the predicates alone; lang
+    * is non-null in the driver table, so the UPDATE's `lang IS NULL`
+    * hits exactly the pre-evolution rows. */
+  def q152SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs152")
+    s.sql("CREATE TABLE graft.gate.docs152 (doc_id BIGINT, n_chars BIGINT) " +
+      "USING `graft-versioned`")
+    Tables.documents(s, dir).createOrReplaceTempView("q152_docs_src")
+    s.sql("INSERT INTO graft.gate.docs152 " +
+      "SELECT doc_id, n_chars FROM q152_docs_src WHERE doc_id % 3 = 0")
+    s.sql("ALTER TABLE graft.gate.docs152 ADD COLUMN lang STRING")
+    s.sql("INSERT INTO graft.gate.docs152 " +
+      "SELECT doc_id, n_chars, lang FROM q152_docs_src WHERE doc_id % 3 = 1")
+    s.sql("UPDATE graft.gate.docs152 SET lang = 'none' " +
+      "WHERE lang IS NULL AND doc_id % 2 = 0")
+    s.sql("""SELECT doc_id, n_chars, coalesce(lang, '?') AS lang
+             FROM graft.gate.docs152 ORDER BY doc_id""")
+  }
+
+  /** q153: change-data-feed through plain SQL — a `changeFeedKeys`
+    * table stores a keyed diff feed on every commit: the INSERT's
+    * all-'added' feed, the UPDATE's 'changed' rows (old/new payload),
+    * the metadata-path DELETE's 'removed' rows. The output is the
+    * union of the STORED feeds; the oracle re-derives every feed row
+    * from the predicates alone. */
+  def q153CatalogChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs153")
+    s.sql("CREATE TABLE graft.gate.docs153 (doc_id BIGINT, n_chars BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('changeFeedKeys'='doc_id')")
+    Tables.documents(s, dir).createOrReplaceTempView("q153_docs_src")
+    s.sql("INSERT INTO graft.gate.docs153 " +
+      "SELECT doc_id, n_chars FROM q153_docs_src WHERE doc_id % 3 = 0")
+    s.sql("UPDATE graft.gate.docs153 SET n_chars = n_chars + 7 " +
+      "WHERE doc_id % 2 = 0")
+    s.sql("DELETE FROM graft.gate.docs153 WHERE n_chars < 300")
+    val root = scratchBase.resolve("catalog").resolve("gate")
+      .resolve("docs153").toString
+    Versioned.feedVersions(root)
+      .map(v => s.read.parquet(Versioned.feedDir(root, v)))
+      .reduce(_.unionByName(_))
+      .orderBy(col("commit_version"), col("doc_id"))
+  }
+
   private lazy val StreamWriteSrc = scratchBase.resolve("q146_src").toString
   private lazy val StreamWriteDst = scratchBase.resolve("q146_dst").toString
 
@@ -447,6 +496,8 @@ object VersionedGate {
     "q149_sql_delete" -> (q149SqlDelete _),
     "q150_sql_update" -> (q150SqlUpdate _),
     "q151_merge_into" -> (q151MergeInto _),
+    "q152_schema_evolution" -> (q152SchemaEvolution _),
+    "q153_catalog_change_feed" -> (q153CatalogChangeFeed _),
     "q63_versioned_load" -> (q63VersionedLoad _),
     "q67_csv_swap" -> (q67CsvSwap _),
     "q120_version_change_feed" -> (q120VersionChangeFeed _),
@@ -501,6 +552,34 @@ object VersionedGate {
         |  WHERE doc_id % 3 = 0 AND doc_id % 2 <> 0 AND n_chars >= 300
         |)
         |ORDER BY snap, doc_id""".stripMargin,
+    // q152: pre-evolution rows (%3=0) get 'none'/'?' by parity; the
+    // post-evolution insert (%3=1) keeps its real lang
+    "q152_schema_evolution" ->
+      """SELECT doc_id, n_chars,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'none' ELSE '?' END AS lang
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 3 = 1
+        |ORDER BY doc_id""".stripMargin,
+    // q153: feed v0 = the insert (all added), v1 = the UPDATE's evens
+    // (old/new n_chars), v2 = the DELETE's sub-300 rows against the
+    // UPDATED values
+    "q153_catalog_change_feed" ->
+      """WITH base AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0),
+        |upd AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN n_chars + 7 ELSE n_chars END AS n_chars
+        |  FROM base)
+        |SELECT doc_id, 'added' AS change_type,
+        |  CAST(0 AS BIGINT) AS commit_version,
+        |  CAST(NULL AS BIGINT) AS old_n_chars, n_chars AS new_n_chars
+        |FROM base
+        |UNION ALL
+        |SELECT b.doc_id, 'changed', 1, b.n_chars, u.n_chars
+        |FROM base b JOIN upd u USING (doc_id) WHERE b.doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, 'removed', 2, n_chars, NULL
+        |FROM upd WHERE n_chars < 300
+        |ORDER BY commit_version, doc_id""".stripMargin,
     // q144: two append commits = the union of the two insert predicates
     "q144_catalog_sql" ->
       """SELECT lang, cast(count(*) as bigint) AS n_docs,

@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, Proc
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.operators.Versioned
@@ -125,7 +125,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         .linesIterator.map(_.split("=", 2)).collect {
           case Array(k, v) if k.nonEmpty => k -> v
         }.toMap
-    val opts = persisted ++ Map("path" -> tablePath(ident).toString) ++ extra
+    // graftCatalogManaged marks the schema as MANIFEST-authoritative:
+    // the write builder validates appends against it (it may have
+    // evolved past the stored files) instead of footer inference
+    val opts = persisted ++ Map("path" -> tablePath(ident).toString,
+      "graftCatalogManaged" -> "true") ++ extra
     new GraftVersionedTable(schema, new CaseInsensitiveStringMap(opts.asJava))
   }
 
@@ -152,19 +156,94 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             s"${schema.fieldNames.mkString("[", ", ", "]")}")
       }
     }
-    val layoutProps = Seq("clusterBy", "writePartitions", "targetFileBytes")
-      .flatMap(k => Option(properties.get(k)).filter(_.nonEmpty).map(v => s"$k=$v"))
+    Option(properties.get("changeFeedKeys")).filter(_.nonEmpty).foreach { ks =>
+      ks.split(",").map(_.trim).filter(_.nonEmpty).foreach { k =>
+        require(schema.fieldNames.contains(k),
+          s"graft catalog: changeFeedKeys column '$k' not in table schema " +
+            s"${schema.fieldNames.mkString("[", ", ", "]")}")
+      }
+    }
+    val layoutProps =
+      Seq("clusterBy", "writePartitions", "targetFileBytes", "changeFeedKeys")
+        .flatMap(k => Option(properties.get(k)).filter(_.nonEmpty).map(v => s"$k=$v"))
     if (layoutProps.nonEmpty)
       Files.write(tablePath(ident).resolve(PropsManifest),
         layoutProps.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported — the store has no " +
-        "schema evolution; INSERT OVERWRITE a new snapshot (or create a " +
-        "new table) instead")
+  /** Schema evolution, Delta-style: `ALTER TABLE … ADD COLUMN(S)`
+    * appends nullable columns to the manifest — a METADATA-ONLY commit
+    * (no file is rewritten; the reader null-fills the new column for
+    * every pre-evolution file, and the manifest schema applies to all
+    * versions, old snapshots included). Layout TBLPROPERTIES
+    * (clusterBy / writePartitions / targetFileBytes) can be SET/UNSET;
+    * everything else (DROP/RENAME/retype) is rejected loudly — those
+    * would change the meaning of immutable history. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val m = manifestOf(ident)
+    if (!Files.exists(m)) throw new NoSuchTableException(ident)
+    var schema = DataType.fromJson(new String(Files.readAllBytes(m),
+      java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    val layoutKeys =
+      Set("clusterBy", "writePartitions", "targetFileBytes", "changeFeedKeys")
+    var props = readProps(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft catalog: ADD COLUMN supports top-level columns only, " +
+            s"got ${add.fieldNames.mkString(".")}")
+        val name = add.fieldNames()(0)
+        require(!schema.fieldNames.contains(name),
+          s"graft catalog: column '$name' already exists")
+        require(add.isNullable,
+          s"graft catalog: added column '$name' must be nullable — " +
+            "existing rows have no value for it")
+        require(add.defaultValue() == null,
+          s"graft catalog: added column '$name' cannot carry a DEFAULT — " +
+            "pre-evolution rows read as NULL")
+        require(add.position() == null,
+          "graft catalog: ADD COLUMN appends at the end (FIRST/AFTER " +
+            "unsupported — file column order is immutable)")
+        schema = schema.add(StructField(name, add.dataType, nullable = true))
+      case set: TableChange.SetProperty if layoutKeys(set.property) =>
+        if (set.property == "clusterBy" || set.property == "changeFeedKeys")
+          set.value.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
+            require(schema.fieldNames.contains(c),
+              s"graft catalog: ${set.property} column '$c' not in table schema")
+          }
+        props += (set.property -> set.value)
+      case rm: TableChange.RemoveProperty if layoutKeys(rm.property) =>
+        props -= rm.property
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft catalog: unsupported ALTER TABLE change $other — the " +
+            "store evolves by ADDing nullable columns and layout " +
+            "TBLPROPERTIES only; DROP/RENAME/retype would rewrite " +
+            "immutable history")
+    }
+    GroupParquetIo.writeMessageType(schema) // evolved schema must stay writable
+    Files.write(m, schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeProps(ident, props)
+    loadTable(ident)
+  }
+
+  private def readProps(ident: Identifier): Map[String, String] = {
+    val p = tablePath(ident).resolve(PropsManifest)
+    if (!Files.exists(p)) Map.empty
+    else new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.split("=", 2)).collect {
+        case Array(k, v) if k.nonEmpty => k -> v
+      }.toMap
+  }
+
+  private def writeProps(ident: Identifier, props: Map[String, String]): Unit = {
+    val p = tablePath(ident).resolve(PropsManifest)
+    if (props.isEmpty) Files.deleteIfExists(p)
+    else Files.write(p, props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)

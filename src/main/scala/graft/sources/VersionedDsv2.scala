@@ -163,7 +163,11 @@ private[sources] object GraftVersionedTable {
                options.getBoolean("create", false)) {
       new StructType()
     } else {
-      spark.read.parquet(snapshotDir(root, options)).schema
+      // mergeSchema: a snapshot that hard-links pre-evolution files
+      // next to evolved ones holds MIXED footer schemas — the union
+      // (with null-fill on read) is the snapshot's schema
+      spark.read.option("mergeSchema", "true")
+        .parquet(snapshotDir(root, options)).schema
     }
   }
 }
@@ -252,7 +256,14 @@ private[sources] class GraftVersionedTable(
     require(!changeFeed, "the change feed is read-only")
     val spark = SparkSession.active
     if (Versioned.latestVersion(root).isEmpty) return // nothing to delete
-    val cur = Versioned.read(spark, root)
+    // read with the TABLE schema, not footer inference: a snapshot
+    // holding pre-evolution files next to evolved ones must null-fill
+    // the added columns, or the rewrite would silently drop them
+    val cur =
+      if (tableSchema.nonEmpty)
+        spark.read.schema(tableSchema)
+          .parquet(s"$root/v=${Versioned.latestVersion(root).get}")
+      else Versioned.read(spark, root)
     val pred = filters.flatMap(GroupParquetIo.toColumn).reduceOption(_ && _)
     val keep = pred match {
       // SQL DELETE removes rows where the predicate is TRUE; rows where
@@ -264,7 +275,14 @@ private[sources] class GraftVersionedTable(
             p, org.apache.spark.sql.functions.lit(false))))
       case None => cur.limit(0) // TRUNCATE TABLE: empty survivors
     }
-    Versioned.writeNext(keep, root, Some(VersionedWriteIo.stampValue(None)))
+    val v = Versioned.writeNext(keep, root, Some(VersionedWriteIo.stampValue(None)))
+    // changeFeedKeys tables feed the change source from DELETEs too
+    val feedKeys = Option(options.get("changeFeedKeys"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    if (feedKeys.nonEmpty)
+      Versioned.writeFeedFor(spark, root, v, feedKeys,
+        tableSchema.fieldNames.filterNot(feedKeys.contains).toSeq)
   }
 
   // ---- `_file` metadata column (Delta's `_metadata.file_path` shape):
@@ -856,12 +874,22 @@ private[sources] class GroupParquetPartitionReader(
 
   // projection = required ∪ filter columns (record-level filtering
   // evaluates on the assembled record, so filter columns must be read
-  // even when pruned from the output); the synthesized `_file`
-  // metadata column is never a physical field; a fully-pruned scan
-  // (count(*), SELECT _file) still needs one column to drive record
-  // iteration
+  // even when pruned from the output). Columns ABSENT from this file's
+  // schema are synthesized: `_file` = the path, anything else = null
+  // (the schema-evolution contract — pre-evolution files have no value
+  // for an added column). A fully-pruned scan (count(*), SELECT _file)
+  // still needs one column to drive record iteration.
   private def synthesized(name: String): Boolean =
-    name == GraftVersionedTable.FileColumn && !fileSchema.containsField(name)
+    !fileSchema.containsField(name)
+
+  // pushed-filter atoms referencing columns this file lacks evaluate
+  // under "value is null": IsNull is trivially satisfied (drop the
+  // atom), every other atom refutes the whole file (no row can match)
+  private val pushedAtoms = pushed.flatMap(GroupParquetIo.atoms)
+  private val (presentAtoms, absentAtoms) =
+    pushedAtoms.partition(_.references.forall(fileSchema.containsField))
+  private val fileRefuted =
+    absentAtoms.exists(a => !GroupParquetIo.nullSatisfied(a))
 
   private val projNames: Seq[String] = {
     val want = (required.fieldNames ++ filterTypes.keys)
@@ -869,7 +897,7 @@ private[sources] class GroupParquetPartitionReader(
     if (want.nonEmpty) want else Seq(fileSchema.getFields.get(0).getName)
   }
 
-  private val reader: ParquetReader[org.apache.parquet.example.data.Group] = {
+  private lazy val reader: ParquetReader[org.apache.parquet.example.data.Group] = {
     val projected = new MessageType(fileSchema.getName,
       projNames.map { n =>
         require(fileSchema.containsField(n),
@@ -882,7 +910,7 @@ private[sources] class GroupParquetPartitionReader(
     // row-group split: the range's midpoint rule selects exactly this
     // partition's group (negative range = whole file)
     val b = if (rangeStart >= 0) b0.withFileRange(rangeStart, rangeEnd) else b0
-    GroupParquetIo.compile(pushed, filterTypes) match {
+    GroupParquetIo.compile(presentAtoms, filterTypes) match {
       case Some(pred) => b.withFilter(FilterCompat.get(pred)).build()
       case None => b.build()
     }
@@ -892,6 +920,9 @@ private[sources] class GroupParquetPartitionReader(
   private var emitted = 0L
 
   override def next(): Boolean = {
+    // a filter on a column this file lacks (and null doesn't satisfy)
+    // can match no row — never even open the file
+    if (fileRefuted) return false
     // a pushed LIMIT needs at most `limit` rows from EACH partition —
     // the engine-side final LIMIT (partial pushdown) does the rest
     if (limit >= 0 && emitted >= limit) return false
@@ -908,7 +939,8 @@ private[sources] class GroupParquetPartitionReader(
     while (i < required.length) {
       val f = required.fields(i)
       if (synthesized(f.name)) {
-        row.update(i, filePathUtf8)
+        row.update(i,
+          if (f.name == GraftVersionedTable.FileColumn) filePathUtf8 else null)
         i += 1
       } else {
       val gi = gType.getFieldIndex(f.name)
@@ -935,7 +967,7 @@ private[sources] class GroupParquetPartitionReader(
     row
   }
 
-  override def close(): Unit = reader.close()
+  override def close(): Unit = if (!fileRefuted) reader.close()
 }
 
 /** Spark [[Filter]] → parquet [[FilterPredicate]] translation for the
@@ -962,22 +994,45 @@ private[sources] object GroupParquetIo {
         blocks, blocks.size)
     }
 
+  /** Flatten a translatable predicate into its conjunctive atoms. */
+  def atoms(f: Filter): Seq[Filter] = f match {
+    case And(l, r) => atoms(l) ++ atoms(r)
+    case x => Seq(x)
+  }
+
+  /** Truth value of a translatable atom when its column reads as null
+    * — the value an added (schema-evolution) column has in every
+    * pre-evolution file. Only IsNull survives a null. */
+  def nullSatisfied(f: Filter): Boolean = f match {
+    case IsNull(_) => true
+    case _ => false
+  }
+
   /** Drop row groups whose column statistics cannot satisfy the
     * pushed predicate — parquet's own StatisticsFilter, applied at
-    * the DRIVER so a pruned group never becomes a task. A predicate
-    * this translation cannot express simply skips pruning (the
-    * executor-side record filter still applies it). */
+    * the DRIVER so a pruned group never becomes a task. Evaluated
+    * PER FILE: an atom on a column the file lacks (pre-evolution
+    * file) reads as null — IsNull keeps the file (atom dropped),
+    * anything else refutes it outright. A predicate the translation
+    * cannot express simply skips pruning (the executor-side record
+    * filter still applies it). */
   def pruneByStats(footers: Seq[FileGroups], pushed: Array[Filter],
-                   filterTypes: Map[String, DataType]): Seq[FileGroups] =
-    compile(pushed, filterTypes) match {
-      case None => footers
-      case Some(pred) =>
-        val filter = FilterCompat.get(pred)
-        footers.map { fg =>
+                   filterTypes: Map[String, DataType]): Seq[FileGroups] = {
+    val as = pushed.flatMap(atoms)
+    if (as.isEmpty) return footers
+    footers.map { fg =>
+      val (present, absent) =
+        as.partition(_.references.forall(fg.schema.containsField))
+      if (absent.exists(a => !nullSatisfied(a))) fg.copy(kept = Seq.empty)
+      else compile(present, filterTypes) match {
+        case None => fg
+        case Some(pred) =>
           fg.copy(kept = org.apache.parquet.filter2.compat.RowGroupFilter
-            .filterRowGroups(filter, fg.kept.asJava, fg.schema).asScala.toSeq)
-        }
+            .filterRowGroups(FilterCompat.get(pred), fg.kept.asJava, fg.schema)
+            .asScala.toSeq)
+      }
     }
+  }
 
   /** Plan one input partition PER SURVIVING ROW GROUP: each partition
     * carries the byte range `[startingPos, startingPos +
@@ -1369,13 +1424,20 @@ private[sources] class GraftVersionedWriteBuilder(
   override def build(): Write = {
     val schema = info.schema()
     GroupParquetIo.writeMessageType(schema) // fail loud on unsupported types now
-    // appending to existing versions: the combined snapshot must be
-    // homogeneous — require positional name+type equality with the
-    // current version (replace may change schema: each version dir
-    // carries its own footer schema and pinned readers use their own)
+    // appending to existing versions: the write must match the TABLE
+    // schema — the MANIFEST for catalog-managed tables (which may have
+    // evolved past the stored files; pre-evolution files null-fill on
+    // read), the current version's footer schema for path-based writes
+    // (there tableSchema is just the writer's own schema, so footer
+    // inference is the only independent authority; replace may change
+    // schema: each version dir carries its own footer schema and
+    // pinned readers use their own)
     Versioned.latestVersion(root).foreach { v =>
       if (!replace) {
-        val existing = SparkSession.active.read.parquet(s"$root/v=$v").schema
+        val existing =
+          if (tableOptions.getBoolean("graftCatalogManaged", false) &&
+              tableSchema.nonEmpty) tableSchema
+          else SparkSession.active.read.parquet(s"$root/v=$v").schema
         val got = schema.fields.map(f => (f.name, f.dataType)).toSeq
         val want = existing.fields.map(f => (f.name, f.dataType)).toSeq
         require(got == want,
@@ -1405,8 +1467,18 @@ private[sources] class GraftVersionedWriteBuilder(
     writeParts.foreach(n => require(n > 0,
       s"graft-versioned: writePartitions must be positive, got $n"))
     val targetBytes = opt("targetFileBytes").map(_.toLong)
+    // changeFeedKeys (TBLPROPERTY or write option): every commit also
+    // derives + stores its change feed — Delta CDF through plain SQL
+    val feedKeys = opt("changeFeedKeys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    feedKeys.foreach { k =>
+      require(schema.fieldNames.contains(k),
+        s"graft-versioned: changeFeedKeys column '$k' not in write schema " +
+          s"${schema.fieldNames.mkString("[", ", ", "]")}")
+    }
     new GraftVersionedWrite(root, schema, replace, stamp, info.queryId(),
-      clusterBy, writeParts, targetBytes, rowLevelOp)
+      clusterBy, writeParts, targetBytes, rowLevelOp, feedKeys)
   }
 }
 
@@ -1414,7 +1486,8 @@ private[sources] class GraftVersionedWrite(
     root: String, schema: StructType, replace: Boolean,
     commitTs: Option[Long], queryId: String, clusterBy: Seq[String],
     writeParts: Option[Int] = None, targetBytes: Option[Long] = None,
-    rowLevelOp: Option[GraftRowLevelOperation] = None)
+    rowLevelOp: Option[GraftRowLevelOperation] = None,
+    feedKeys: Seq[String] = Seq.empty)
   extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String =
@@ -1439,7 +1512,8 @@ private[sources] class GraftVersionedWrite(
   override def advisoryPartitionSizeInBytes(): Long = targetBytes.getOrElse(0L)
 
   override def toBatch: BatchWrite =
-    new GraftBatchWrite(root, schema, replace, commitTs, queryId, rowLevelOp)
+    new GraftBatchWrite(root, schema, replace, commitTs, queryId,
+      rowLevelOp, feedKeys)
 
   override def toStreaming: StreamingWrite =
     new GraftStreamingWrite(root, schema, replace, commitTs, queryId)
@@ -1454,7 +1528,8 @@ private[sources] class GraftVersionedWrite(
 private[sources] class GraftBatchWrite(
     root: String, schema: StructType, replace: Boolean,
     commitTs: Option[Long], queryId: String,
-    rowLevelOp: Option[GraftRowLevelOperation] = None) extends BatchWrite {
+    rowLevelOp: Option[GraftRowLevelOperation] = None,
+    feedKeys: Seq[String] = Seq.empty) extends BatchWrite {
 
   private val staged = java.nio.file.Paths.get(
     root, s"_staging_${queryId}_${java.util.UUID.randomUUID.toString.take(8)}")
@@ -1466,7 +1541,7 @@ private[sources] class GraftBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     VersionedWriteIo.keepOnly(staged, messages)
-    rowLevelOp.flatMap(_.scannedState) match {
+    val committed = rowLevelOp.flatMap(_.scannedState) match {
       case Some((scannedVersion, scannedNames)) =>
         // copy-on-write by file: staged output replaces exactly the
         // scanned files; everything else hard-links over
@@ -1477,6 +1552,11 @@ private[sources] class GraftBatchWrite(
           appendPrev = !replace, stamp = VersionedWriteIo.stampValue(commitTs),
           epochTag = None)
     }
+    // a changeFeedKeys table derives + stores this commit's feed (CDF):
+    // INSERT/UPDATE/MERGE/DELETE all feed the streaming change source
+    if (feedKeys.nonEmpty)
+      Versioned.writeFeedFor(SparkSession.active, root, committed,
+        feedKeys, schema.fieldNames.filterNot(feedKeys.contains).toSeq)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

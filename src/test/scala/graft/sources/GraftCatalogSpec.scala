@@ -94,10 +94,12 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     }
     assert(chain(badType).exists(_.contains("unsupported column type")))
     sql("CREATE TABLE gtest.ns.t5 (id BIGINT) USING `graft-versioned`")
+    // ADD COLUMN is supported (schema evolution, SchemaEvolutionSpec);
+    // history-rewriting changes stay fail-loud
     val alter = intercept[Exception] {
-      sql("ALTER TABLE gtest.ns.t5 ADD COLUMN extra BIGINT")
+      sql("ALTER TABLE gtest.ns.t5 DROP COLUMN id")
     }
-    assert(chain(alter).exists(_.contains("ALTER TABLE is not supported")))
+    assert(chain(alter).exists(_.contains("immutable history")), chain(alter))
     sql("INSERT INTO gtest.ns.t5 VALUES (1)")
     val missing = intercept[Exception] {
       sql("SELECT * FROM gtest.ns.t5 VERSION AS OF 7").collect()
