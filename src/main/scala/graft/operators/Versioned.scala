@@ -128,7 +128,8 @@ object Versioned {
     * single-version shape here is the per-partition unit of that job.
     * Returns the new version number. */
   def compact(spark: SparkSession, root: String,
-              targetFileBytes: Long = 128L << 20): Long = {
+              targetFileBytes: Long = 128L << 20,
+              clusterBy: Seq[String] = Seq.empty): Long = {
     val v = latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no versions under $root"))
     val vdir = Paths.get(root, s"v=$v")
@@ -149,8 +150,16 @@ object Versioned {
     // evolved ones (catalog ADD COLUMN is metadata-only) — compacting
     // with single-footer inference would silently drop added columns
     val df = spark.read.option("mergeSchema", "true").parquet(vdir.toString)
+    // a clustered table re-clusters on compaction (range + sort), so
+    // the rewrite RESTORES file-level min/max locality instead of
+    // interleaving it away — coalesce alone merges arbitrary ranges
+    // and widens every file's key span
     val compacted =
-      if (nFiles < df.rdd.getNumPartitions) df.coalesce(nFiles) else df
+      if (clusterBy.nonEmpty)
+        df.repartitionByRange(nFiles, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      else if (nFiles < df.rdd.getNumPartitions) df.coalesce(nFiles)
+      else df
     writeNext(compacted, root, stamp)
   }
 

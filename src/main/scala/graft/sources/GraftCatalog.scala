@@ -326,12 +326,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * current version; retain: one row per surviving version). */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("sys")))
-      Array("compact", "rollback", "retain", "vacuum")
+      Array("compact", "history", "rollback", "retain", "vacuum")
         .map(Identifier.of(Array("sys"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
-    val known = Array("compact", "rollback", "retain", "vacuum")
+    val known = Array("compact", "history", "rollback", "retain", "vacuum")
     require(ident.namespace.sameElements(Array("sys")) && known.contains(ident.name),
       s"graft catalog: unknown procedure ${ident.namespace.mkString(".")}." +
         s"${ident.name} — available: ${known.map("sys." + _).mkString(", ")}")
@@ -344,8 +344,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             .defaultValue((128L << 20).toString).build()),
         new StructType().add("version", LongType, nullable = false),
         in => {
-          val v = Versioned.compact(SparkSession.active,
-            root(in.getUTF8String(0).toString), in.getLong(1))
+          val tbl = in.getUTF8String(0).toString
+          // a clustered table re-clusters on compaction: the rewrite
+          // restores file-level min/max locality (z-order-style data
+          // skipping survives OPTIMIZE instead of degrading)
+          val clusterBy = clusterByOf(tbl)
+          val v = Versioned.compact(SparkSession.active, root(tbl),
+            in.getLong(1), clusterBy)
           Seq(new GenericInternalRow(Array[Any](v)))
         })
       case "rollback" => new GraftProcedure("rollback",
@@ -365,6 +370,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             root(in.getUTF8String(0).toString), in.getLong(1))
           .map(d => new GenericInternalRow(Array[Any](
             org.apache.spark.unsafe.types.UTF8String.fromString(d)))))
+      // DESCRIBE HISTORY parity: one row per surviving version, newest
+      // first — commit stamp (time-travel key), file/byte footprint,
+      // and whether a stored change feed exists for it
+      case "history" => new GraftProcedure("history",
+        Array(ProcedureParameter.in("table", StringType).build()),
+        new StructType()
+          .add("version", LongType, nullable = false)
+          .add("commit_ts", LongType, nullable = true)
+          .add("n_files", IntegerType, nullable = false)
+          .add("bytes", LongType, nullable = false)
+          .add("has_change_feed", org.apache.spark.sql.types.BooleanType,
+            nullable = false),
+        in => {
+          val r = root(in.getUTF8String(0).toString)
+          val feeds = Versioned.feedVersions(r).toSet
+          Versioned.versions(r).sorted.reverse.map { v =>
+            val files = Versioned.dataFiles(
+              java.nio.file.Paths.get(r, s"v=$v"))
+            new GenericInternalRow(Array[Any](
+              v, Versioned.commitStamp(r, v).getOrElse(null),
+              files.size, files.map(Files.size(_)).sum, feeds.contains(v)))
+          }
+        })
       case "retain" => new GraftProcedure("retain",
         Array(
           ProcedureParameter.in("table", StringType).build(),
@@ -374,6 +402,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             in.getInt(1))
           .map(v => new GenericInternalRow(Array[Any](v))))
     }
+  }
+
+  /** The persisted clusterBy columns of a `'ns.table'` argument. */
+  private def clusterByOf(table: String): Seq[String] = {
+    val parts = table.split("\\.").filter(_.nonEmpty)
+    if (parts.length < 2) return Seq.empty
+    readProps(Identifier.of(parts.init, parts.last)).get("clusterBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
   }
 
   /** Resolve a procedure's `'ns.table'` argument to its version root —

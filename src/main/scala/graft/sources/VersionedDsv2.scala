@@ -62,14 +62,29 @@ import graft.operators.Versioned
   *
   * The scan is a REAL column-pruning, filter-pushing reader: requested
   * columns become a parquet projection schema (unread columns are never
-  * decoded), and supported predicates become parquet `FilterPredicate`s
-  * (row-group statistics + dictionary + record-level filtering inside
-  * the parquet reader — rows failing a pushed filter are never
-  * materialized). One input partition per parquet ROW GROUP
-  * ([[GroupParquetIo.splitByRowGroup]]) — files are the durability
-  * unit, row groups the parallelism unit, so a compacted 1 GB file
-  * still fans out to its groups instead of capping the stage at file
-  * count.
+  * decoded), and supported predicates (incl. IN) become parquet
+  * `FilterPredicate`s (row-group statistics + dictionary +
+  * record-level filtering inside the parquet reader — rows failing a
+  * pushed filter are never materialized). One input partition per
+  * SURVIVING parquet ROW GROUP: pushed predicates prune groups against
+  * footer min/max AT THE DRIVER ([[GroupParquetIo.pruneByStats]]), so
+  * selectivity shrinks the task count, not just bytes read; runtime
+  * filters (broadcast-join key sets) re-prune at execution
+  * (`SupportsRuntimeV2Filtering`); footer statistics feed Catalyst
+  * (`SupportsReportStatistics` — small snapshots auto-broadcast);
+  * global COUNT/MIN/MAX answer from footers alone
+  * (`SupportsPushDownAggregates`); LIMIT schedules only covering
+  * groups (`SupportsPushDownLimit`). Files are the durability unit,
+  * row groups the parallelism unit — a compacted 1 GB file still fans
+  * out to its groups instead of capping the stage at file count.
+  *
+  * SQL mutations (UPDATE / MERGE INTO / arbitrary-predicate DELETE)
+  * run as group-based copy-on-write row-level operations with the
+  * DATA FILE as the replacement group (`SupportsRowLevelOperations` +
+  * the `_file` metadata column); `ALTER TABLE ADD COLUMN` evolves the
+  * manifest metadata-only (pre-evolution files null-fill); a
+  * `changeFeedKeys` table stores a keyed diff feed on every commit
+  * (the Delta CDF contract, drained by the streaming source).
   *
   * Writes honor a layout contract: `clusterBy` (write option or
   * catalog TBLPROPERTY) range-clusters + sorts rows through Spark's
@@ -918,6 +933,7 @@ private[sources] class GroupParquetPartitionReader(
 
   private var current: org.apache.parquet.example.data.Group = _
   private var emitted = 0L
+  private var opened = false
 
   override def next(): Boolean = {
     // a filter on a column this file lacks (and null doesn't satisfy)
@@ -926,6 +942,7 @@ private[sources] class GroupParquetPartitionReader(
     // a pushed LIMIT needs at most `limit` rows from EACH partition —
     // the engine-side final LIMIT (partial pushdown) does the rest
     if (limit >= 0 && emitted >= limit) return false
+    opened = true
     current = reader.read()
     if (current != null) emitted += 1
     current != null
@@ -967,7 +984,9 @@ private[sources] class GroupParquetPartitionReader(
     row
   }
 
-  override def close(): Unit = if (!fileRefuted) reader.close()
+  // only close what next() actually opened — closing an untouched
+  // lazy reader would open the file just to shut it
+  override def close(): Unit = if (opened) reader.close()
 }
 
 /** Spark [[Filter]] → parquet [[FilterPredicate]] translation for the

@@ -218,6 +218,49 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
       Seq("[5,e]", "[7,g]"))
   }
 
+  test("sys.compact re-clusters a clustered table: file spans disjoint again") {
+    sql("DROP TABLE IF EXISTS gtest.ns.tc")
+    sql("CREATE TABLE gtest.ns.tc (id BIGINT, v BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('clusterBy'='id', 'writePartitions'='4')")
+    // two appends over the SAME key range: every file of v=1 spans the
+    // full range's half-stripes, so compaction must re-sort to restore
+    // disjoint min/max spans
+    sql("INSERT INTO gtest.ns.tc SELECT id, id FROM range(0, 4000) WHERE id % 2 = 0")
+    sql("INSERT INTO gtest.ns.tc SELECT id, id FROM range(0, 4000) WHERE id % 2 = 1")
+    sql("CALL gtest.sys.compact(table => 'ns.tc', target_file_bytes => 16384)")
+    val cur = graft.operators.Versioned.versions(s"$warehouse/ns/tc").max
+    val files = graft.operators.Versioned.dataFiles(
+      java.nio.file.Paths.get(s"$warehouse/ns/tc/v=$cur"))
+    assert(files.size > 1, s"expected multiple compacted files: $files")
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.toString)
+        .agg(org.apache.spark.sql.functions.min("id"),
+             org.apache.spark.sql.functions.max("id")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"compacted file spans overlap: $spans")
+      case _ => ()
+    }
+    assert(sql("SELECT count(*) FROM gtest.ns.tc").collect()(0).getLong(0) === 4000L)
+  }
+
+  test("CALL sys.history lists versions newest-first with stamps and footprint") {
+    sql("DROP TABLE IF EXISTS gtest.ns.th")
+    sql("CREATE TABLE gtest.ns.th (id BIGINT) USING `graft-versioned`")
+    sql("INSERT INTO gtest.ns.th SELECT id FROM range(0, 100)")
+    sql("INSERT INTO gtest.ns.th SELECT id FROM range(100, 150)")
+    sql("DELETE FROM gtest.ns.th WHERE id < 20")
+    val h = sql("CALL gtest.sys.history(table => 'ns.th')").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(2L, 1L, 0L))
+    // every DSv2 commit is stamped; stamps are non-decreasing in time
+    val stamps = h.map(_.getLong(1)).toSeq
+    assert(stamps.forall(_ > 0) && stamps.reverse == stamps.reverse.sorted)
+    assert(h.forall(r => r.getInt(2) > 0 && r.getLong(3) > 0))
+    assert(h.forall(!_.getBoolean(4))) // no changeFeedKeys on this table
+  }
+
   test("fail-loud: unknown procedure, missing table argument") {
     val unknown = intercept[Exception] {
       sql("CALL gtest.sys.optimize(table => 'ns.t1')")
