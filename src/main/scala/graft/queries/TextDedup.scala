@@ -414,6 +414,46 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** t99: INCREMENTAL LSH dedup — the continuous-ingestion shape of
+    * t34: the existing corpus's band index is STATE on disk, one row
+    * per (band, bucket) holding the smallest member id; a NEW batch
+    * computes signatures for ITS OWN documents only, probes the stored
+    * index, and combines the probe with a within-batch window-min.
+    * Cost per batch = O(batch) signature work + one shuffle on the
+    * batch's band keys + a join against the (corpus-bucket-count-sized,
+    * heavily pre-aggregated) index — never a recompute of the corpus:
+    * the shape that keeps a 100 TB corpus deduplicating as it grows.
+    * Decisions are provably identical to running t34 over old ∪ new
+    * and keeping the new-batch rows (min(batch-min, stored rep) = the
+    * overall bucket min), which is exactly what the oracle checks. */
+  def t99IncrementalLshDedup(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashSignatures(s, dir)
+      .select(col("doc_id"), expr(
+        "stack(2, 1, concat(h0, h1, h2, h3), 2, concat(h4, h5, h6, h7)) " +
+        "as (band_idx, band_val)"))
+    // state build (the "existing corpus" = even doc_ids): aggregate to
+    // one rep per bucket and ROUND-TRIP THROUGH DISK — the probe below
+    // reads the stored index, not this job's lineage
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_t99_state_").toString
+    bands.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .groupBy("band_idx", "band_val")
+      .agg(min(col("doc_id")).as("rep"))
+      .write.mode("overwrite").parquet(stateDir)
+    val storedIndex = s.read.parquet(stateDir)
+    // incremental batch (odd doc_ids): own signatures + index probe
+    val batch = bands.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "band_val")
+    batch.withColumn("batch_rep", min(col("doc_id")).over(w))
+      .join(storedIndex, Seq("band_idx", "band_val"), "left")
+      .withColumn("rep_all",
+        least(col("batch_rep"), coalesce(col("rep"), col("batch_rep"))))
+      .filter(col("doc_id") > col("rep_all"))
+      .select(col("doc_id")).distinct()
+      .orderBy("doc_id")
+  }
+
   /** t29: JSON path extraction from the event props payload
     * (F35 deep-path navigation, mrestate_transformer.py:31-186). */
   def t29JsonExtract(s: SparkSession, dir: String): DataFrame =
@@ -647,6 +687,7 @@ object TextDedup {
     "t28_minhash_band_pairs" -> (t28MinhashBandPairs _),
     "t89_fuzzy_decontaminate" -> (t89FuzzyDecontaminate _),
     "t34_minhash_dedup_drops" -> (t34MinhashDedupDrops _),
+    "t99_incremental_lsh_dedup" -> (t99IncrementalLshDedup _),
     "t75_minhash_quality" -> (t75MinhashQuality _),
     "t91_containment_pairs" -> (t91ContainmentPairs _),
     "t95_containment_dedup_drops" -> (t95ContainmentDedupDrops _),
@@ -992,6 +1033,31 @@ object TextDedup {
         |SELECT DISTINCT b.doc_id FROM bands b
         |JOIN reps r ON b.band_idx = r.band_idx AND b.band_val = r.band_val
         |WHERE b.doc_id > r.rep
+        |ORDER BY doc_id""".stripMargin),
+    "t99_incremental_lsh_dedup" ->
+      // identical rule to t34 over old ∪ new, restricted to the new
+      // batch (odd ids): min(batch min, stored even-rep) IS the
+      // overall bucket min
+      (shingleSqlCte +
+      """,
+        |ex AS (SELECT doc_id, md5(unnest(s)) m FROM sh),
+        |sig AS (SELECT doc_id,
+        |  min(m) || min(substr(m,5,28) || substr(m,1,4))
+        |         || min(substr(m,9,24) || substr(m,1,8))
+        |         || min(substr(m,13,20) || substr(m,1,12)) AS band1,
+        |  min(substr(m,17,16) || substr(m,1,16))
+        |         || min(substr(m,21,12) || substr(m,1,20))
+        |         || min(substr(m,25,8) || substr(m,1,24))
+        |         || min(substr(m,29,4) || substr(m,1,28)) AS band2
+        | FROM ex GROUP BY doc_id),
+        |bands AS (SELECT doc_id, 1 band_idx, band1 band_val FROM sig
+        |          UNION ALL
+        |          SELECT doc_id, 2, band2 FROM sig),
+        |reps AS (SELECT band_idx, band_val, min(doc_id) rep
+        |         FROM bands GROUP BY 1, 2)
+        |SELECT DISTINCT b.doc_id FROM bands b
+        |JOIN reps r ON b.band_idx = r.band_idx AND b.band_val = r.band_val
+        |WHERE b.doc_id > r.rep AND b.doc_id % 2 = 1
         |ORDER BY doc_id""".stripMargin),
     "t29_json_extract" ->
       """SELECT cast(json_extract_string(props, '$.k') as int) AS k,
