@@ -233,11 +233,25 @@ object Versioned {
   def writeFeedFor(spark: SparkSession, root: String, version: Long,
                    keys: Seq[String], payload: Seq[String]): Unit = {
     val prev = versions(root).filter(_ < version).lastOption
-    def snap(v: Long) =
+    def raw(v: Long) =
       spark.read.option("mergeSchema", "true").parquet(s"$root/v=$v")
-        .select((keys ++ payload).map(col): _*)
-    val cur = snap(version)
-    val feed = prev match {
+    // align both snapshots to the same (keys ++ payload) projection: a
+    // PRE-evolution snapshot may lack an added column entirely — it
+    // reads as null there, typed from whichever snapshot has it
+    val rawCur = raw(version)
+    val rawPrev = prev.map(raw)
+    def typeOf(name: String) =
+      rawCur.schema.fields.find(_.name == name)
+        .orElse(rawPrev.flatMap(_.schema.fields.find(_.name == name)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"change feed column '$name' exists in no snapshot under $root"))
+        .dataType
+    def snap(df: DataFrame) = df.select((keys ++ payload).map { n =>
+      if (df.schema.fieldNames.contains(n)) col(n)
+      else lit(null).cast(typeOf(n)).as(n)
+    }: _*)
+    val cur = snap(rawCur)
+    val feed = rawPrev match {
       case Some(p) =>
         Cdc.snapshotDiff(snap(p), cur, keys, payload)
       case None =>

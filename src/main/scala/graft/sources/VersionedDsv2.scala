@@ -173,7 +173,12 @@ private[sources] object GraftVersionedTable {
       require(feeds.nonEmpty,
         s"no change feed under $root — write versions with " +
           "Versioned.writeNextWithFeed to enable streaming reads")
-      spark.read.parquet(Versioned.feedDir(root, feeds.head)).schema
+      // union across ALL stored feeds: a table that evolved mid-stream
+      // has old feeds without the new old_/new_ payload columns — the
+      // merged schema exposes them and pre-evolution feed files
+      // null-fill on read
+      spark.read.option("mergeSchema", "true")
+        .parquet(feeds.map(Versioned.feedDir(root, _)): _*).schema
     } else if (Versioned.latestVersion(root).isEmpty &&
                options.getBoolean("create", false)) {
       new StructType()

@@ -55,6 +55,34 @@ class CatalogChangeFeedSpec extends AnyFunSuite with SparkSpec {
     assert(spark.table("cdf_drain").count() === 10L + 3L + 2L + 3L)
   }
 
+  test("a table evolving mid-stream exposes the merged feed schema; old feeds null-fill") {
+    spark.conf.set("spark.sql.catalog.cdf", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cdf.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cdf.t")
+    spark.sql("CREATE TABLE cdf.t.e (id BIGINT, v BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('changeFeedKeys'='id')")
+    spark.sql("INSERT INTO cdf.t.e SELECT id, id FROM range(0, 5)")
+    spark.sql("ALTER TABLE cdf.t.e ADD COLUMN tag STRING")
+    spark.sql("INSERT INTO cdf.t.e SELECT id, id, 't' FROM range(5, 8)")
+    val root = s"$warehouse/t/e"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_evo_").toString
+    val q = spark.readStream.format("graft-versioned")
+      .option("changeFeed", "true").load(root)
+      .writeStream.format("memory").queryName("cdf_evo")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val drained = spark.table("cdf_evo")
+    assert(drained.schema.fieldNames.contains("new_tag"),
+      s"merged feed schema should expose the evolved payload: ${drained.schema}")
+    // v0 feed = 5 added; v1 feed = the 3 inserts only (old rows' tag
+    // stayed null→null, so the null-safe diff reports no change)
+    assert(drained.count() === 5L + 3L)
+    assert(drained.where("commit_version = 0 AND new_tag IS NULL").count() === 5L)
+    assert(drained.where("commit_version = 1 AND new_tag = 't'").count() === 3L)
+  }
+
   test("MERGE commits a feed and changeFeedKeys validates at DDL") {
     spark.conf.set("spark.sql.catalog.cdf", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.cdf.warehouse", warehouse)
