@@ -170,6 +170,38 @@ object Vectors {
       .orderBy("query_id", "rank")
   }
 
+  /** v48: incremental IVF insertion — the index-maintenance shape for
+    * a growing corpus: centroids and postings built from the EXISTING
+    * corpus live on disk; a NEW batch is quantized and assigned
+    * against the stored (k-row, broadcast) centroid frame only —
+    * O(batch·k) work, no Lloyd re-run, no old-vector recompute — and
+    * its postings append to the stored index. A 2-probe top-5 search
+    * over the merged index must equal assigning the FULL corpus to the
+    * same centroids, which is exactly what the oracle derives
+    * (centroids from the old half, one joint assignment). */
+  def v48IncrementalIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val old = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val fresh = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_v48_state_").toString
+    val centroids = graft.operators.Ann.buildCentroids(
+      old, "vec_id", "embedding", k = 8)
+    centroids.write.mode("overwrite").parquet(s"$stateDir/centroids")
+    graft.operators.Ann.buildIndex(old, "vec_id", "embedding", centroids)
+      .write.mode("overwrite").parquet(s"$stateDir/postings")
+    // incremental insert: only the new batch touches compute; the
+    // stored index is read, never rebuilt
+    val storedCent = s.read.parquet(s"$stateDir/centroids")
+    val storedIdx = s.read.parquet(s"$stateDir/postings")
+    val inserted = graft.operators.Ann.buildIndex(
+      fresh, "vec_id", "embedding", storedCent)
+    graft.operators.Ann.ivfSearch(storedIdx.unionByName(inserted), storedCent,
+        emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        nProbe = 2, topK = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** v39: product quantization + ADC search (operators/Ann.Pq) under
     * the oracle — per-subspace codebooks with the IVF conventions
     * (lowest-id seeds, max-dot ties-lowest, trunc-mean Lloyd step),
@@ -358,6 +390,7 @@ object Vectors {
     "v35_lsh_ann" -> (v35LshAnn _),
     "v36_cosine_pairs" -> (v36CosinePairs _),
     "v37_ivf_ann" -> (v37IvfAnn _),
+    "v48_incremental_ivf" -> (v48IncrementalIvf _),
     "v38_lsh_cosine_dups" -> (v38LshCosineDups _),
   )
 
@@ -369,6 +402,65 @@ object Vectors {
   /** Shared IVF-index derivation (v37/v40/v41): lowest-8-id seeds, one
     * assign→trunc-mean Lloyd round (`cent`), final cell assignment
     * (`idx`) — the oracle mirror of Ann.buildCentroids + buildIndex. */
+  /** v48's index derivation: seeds + Lloyd step from the OLD (even-id)
+    * half only — the stored index — then ONE joint assignment of the
+    * full corpus against those centroids (old assignment at build time
+    * ∪ new-batch assignment at insert time coincide with it). */
+  private val ivfIncrementalCte = quantCte +
+    """,
+      |old AS (SELECT vec_id vid, v FROM q WHERE vec_id % 2 = 0),
+      |seeds AS (SELECT cast(row_number() OVER (ORDER BY vid) as int) - 1 centroid_id, v cvec
+      |          FROM (SELECT vid, v FROM old ORDER BY vid LIMIT 8)),
+      |qq AS (SELECT vec_id vid, v FROM q),
+      |a0d AS (SELECT vid, centroid_id, cast(sum(x*y) as bigint) d
+      |        FROM (SELECT old.vid, s.centroid_id, unnest(old.v) x, unnest(s.cvec) y
+      |              FROM old, seeds s)
+      |        GROUP BY vid, centroid_id),
+      |a0 AS (SELECT vid, centroid_id FROM (
+      |         SELECT vid, centroid_id,
+      |           row_number() OVER (PARTITION BY vid ORDER BY d DESC, centroid_id ASC) rn
+      |         FROM a0d) WHERE rn = 1),
+      |cmeans AS (SELECT centroid_id, pos, cast(trunc(sum(x) * 1.0 / count(x)) as bigint) cx
+      |           FROM (SELECT a0.centroid_id, unnest(old.v) x, unnest(range(len(old.v))) pos
+      |                 FROM a0 JOIN old USING (vid))
+      |           GROUP BY centroid_id, pos),
+      |cent AS (SELECT centroid_id, list(cx ORDER BY pos) cvec FROM cmeans GROUP BY centroid_id),
+      |idxd AS (SELECT vid, centroid_id, cast(sum(x*y) as bigint) d
+      |         FROM (SELECT qq.vid, c.centroid_id, unnest(qq.v) x, unnest(c.cvec) y
+      |               FROM qq, cent c)
+      |         GROUP BY vid, centroid_id),
+      |idx AS (SELECT vid, centroid_id FROM (
+      |          SELECT vid, centroid_id,
+      |            row_number() OVER (PARTITION BY vid ORDER BY d DESC, centroid_id ASC) rn
+      |          FROM idxd) WHERE rn = 1)""".stripMargin
+
+  /** The v37 probe/rank search block — shared verbatim by the full and
+    * incremental index oracles (both expose `qq`, `cent`, `idx`). */
+  private val ivfSearchSql =
+    """,
+      |qv AS (SELECT vid query_id, v FROM qq WHERE vid < 50),
+      |celld AS (SELECT query_id, centroid_id, cast(sum(x*y) as bigint) cd
+      |          FROM (SELECT qv.query_id, c.centroid_id, unnest(qv.v) x, unnest(c.cvec) y
+      |                FROM qv, cent c)
+      |          GROUP BY query_id, centroid_id),
+      |probed AS (SELECT query_id, centroid_id FROM (
+      |             SELECT query_id, centroid_id,
+      |               row_number() OVER (PARTITION BY query_id ORDER BY cd DESC, centroid_id ASC) rn
+      |             FROM celld) WHERE rn <= 2),
+      |cands AS (SELECT query_id, neighbor_id, cast(sum(x*y) as bigint) dot
+      |          FROM (SELECT p.query_id, i.vid neighbor_id, unnest(qs.v) x, unnest(q2.v) y
+      |                FROM probed p JOIN idx i USING (centroid_id)
+      |                JOIN qv qs ON qs.query_id = p.query_id
+      |                JOIN qq q2 ON q2.vid = i.vid
+      |                WHERE i.vid <> p.query_id)
+      |          GROUP BY query_id, neighbor_id),
+      |rk AS (SELECT query_id, neighbor_id, dot,
+      |         cast(row_number() OVER (PARTITION BY query_id
+      |                                 ORDER BY dot DESC, neighbor_id ASC) as int) rank
+      |       FROM cands)
+      |SELECT query_id, rank, neighbor_id, dot FROM rk
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private val ivfIndexCte = quantCte +
     """,
       |seeds AS (SELECT cast(row_number() OVER (ORDER BY vid) as int) - 1 centroid_id, v cvec
@@ -841,5 +933,10 @@ object Vectors {
         |       FROM cands)
         |SELECT query_id, rank, neighbor_id, dot FROM rk
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "v48_incremental_ivf" ->
+      // centroids from the old half, one joint assignment, the v37
+      // search verbatim — incremental insert ≡ full assignment against
+      // the stored centroids
+      (ivfIncrementalCte + ivfSearchSql),
   )
 }
