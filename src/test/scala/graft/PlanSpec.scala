@@ -465,6 +465,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"custom DSv2 scan missing or resolved wrong version in:\n$plan")
   }
 
+  test("SQL UPDATE plans as ReplaceData over the filter-free row-level scan") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_planspec_rlo_").toString
+    spark.conf.set("spark.sql.catalog.prlo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.prlo.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS prlo.t")
+    spark.sql("CREATE TABLE prlo.t.u (id BIGINT, v BIGINT) USING `graft-versioned`")
+    spark.sql("INSERT INTO prlo.t.u SELECT id, id FROM range(0, 100)")
+    val plan = spark.sql(
+      "EXPLAIN UPDATE prlo.t.u SET v = v + 1 WHERE id % 7 = 0 AND id < 50")
+      .collect()(0).getString(0)
+    assert(plan.contains("ReplaceData"), s"no ReplaceData in:\n$plan")
+    assert(plan.contains("GraftRowLevelScan"), s"row-level scan missing in:\n$plan")
+    // the translatable half of the condition arrives as a group hint;
+    // the scan never applies it to rows (file pruning only)
+    assert(plan.contains("GroupHints: [") && plan.contains("LessThan(id,50"),
+      s"group hint missing in:\n$plan")
+    // UPDATE = conditional projection, never a Filter above the scan
+    // (a filter would drop the carry-over rows from the replacement)
+    assert(!plan.matches("(?s).*Filter.*GraftRowLevelScan.*"),
+      s"unexpected Filter above the row-level scan in:\n$plan")
+  }
+
   test("q134 AQE skew join: a runtime skew split occurred and equals the salted variant") {
     queries.LayoutGate.withSkewJoinConfs(spark) {
       val df = queries.LayoutGate.skewJoinProgram(spark, dir)
