@@ -141,6 +141,40 @@ object SemDedup {
     small.unionByName(big)
   }
 
+  /** INCREMENTAL SemDeDup — the ingestion form: the existing corpus's
+    * per-cell index (ALL members, kept or dropped — the pairwise rule
+    * compares against any lower-id cell-mate) and its centroids are
+    * STATE; a new batch whose ids sit strictly above the corpus ids is
+    * assigned to the stored centroids (O(batch·k), no re-cluster) and
+    * verdicts are scored for the NEW members only — old members serve
+    * as mates, never re-scored. Identical decisions to running the
+    * full dedup over old ∪ new with the same centroids and keeping the
+    * new rows. Oversized cells fail loudly (re-shard with a larger k
+    * via the full path — an incremental insert must not silently
+    * degrade into the block decomposition's cost).
+    *
+    * Returns (idCol, centroid_id, kept) for the new batch. */
+  def dedupIncremental(storedIndex: DataFrame, storedCentroids: DataFrame,
+                       newBatch: DataFrame, idCol: String, vecCol: String,
+                       cosE6: Long, maxCell: Int = 1 << 20): DataFrame = {
+    require(cosE6 > 0, s"cosE6 threshold must be positive, got $cosE6")
+    val withLongId = newBatch.withColumn(idCol, col(idCol).cast("long"))
+    val newIdx = Ann.buildIndex(withLongId, idCol, vecCol, storedCentroids)
+      .withColumn("n2", dot_long(col("v"), col("v")))
+      .select(col("centroid_id"), col("vid"), col("v"), col("n2"))
+    val minNew = withLongId.agg(min(col(idCol))).collect()(0)
+    if (minNew.isNullAt(0)) return newBatch.sparkSession.emptyDataFrame
+    val from = minNew.getLong(0)
+    val verdicts = verdictPass(storedIndex.unionByName(newIdx), idCol,
+      cosE6, maxCell, scoreFrom = from)
+    val overflowing = verdicts.filter(col("overflow")).limit(1).count()
+    require(overflowing == 0,
+      "SemDedup.dedupIncremental: a cell exceeded maxCell — re-cluster " +
+        "with a larger k (full dedup path) instead of degrading the " +
+        "incremental insert")
+    verdicts.drop("overflow")
+  }
+
   /** The quantized per-cell index (centroid_id, vid, v, n2) the verdict
     * passes run over. */
   private[graft] def indexOf(withLongId: DataFrame, idCol: String,
@@ -157,7 +191,8 @@ object SemDedup {
     * caller checkpoints; PlanSpec pins this plan's shape (one
     * MapGroups, no pair self-join, bounded shuffles). */
   private[graft] def verdictPass(index: DataFrame, idCol: String,
-                                 cosE6: Long, maxCell: Int): DataFrame = {
+                                 cosE6: Long, maxCell: Int,
+                                 scoreFrom: Long = Long.MinValue): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     index
@@ -177,17 +212,22 @@ object SemDedup {
         } else {
           val members = buf.toArray.sortBy(_._1)
           val norms = members.map(m => math.sqrt(m._3.toDouble))
+          // members below scoreFrom are MATES only (the incremental
+          // path's already-committed corpus) — never re-scored
           Iterator.tabulate(members.length) { bi =>
             val (vid, vb, _) = members(bi)
-            var dropped = false
-            var ai = 0
-            while (!dropped && ai < bi) {
-              if (cosHit(members(ai)._2, vb, norms(ai), norms(bi), cosE6))
-                dropped = true
-              ai += 1
+            if (vid < scoreFrom) null
+            else {
+              var dropped = false
+              var ai = 0
+              while (!dropped && ai < bi) {
+                if (cosHit(members(ai)._2, vb, norms(ai), norms(bi), cosE6))
+                  dropped = true
+                ai += 1
+              }
+              (vid, cell, !dropped, false)
             }
-            (vid, cell, !dropped, false)
-          }
+          }.filter(_ != null)
         }
       }
       .toDF(idCol, "centroid_id", "kept", "overflow")

@@ -202,6 +202,41 @@ object Vectors {
       .orderBy("query_id", "rank")
   }
 
+  /** v49: incremental SemDeDup — the third leg of the incremental
+    * corpus-maintenance trio (t99 text, v48 ANN index, this one
+    * semantic dedup): the existing corpus's per-cell index (ALL
+    * members — the pairwise verdict compares against any lower-id
+    * cell-mate) and centroids are state on disk; a new batch of
+    * strictly-higher ids is assigned to the stored centroids and
+    * verdicts are scored for the NEW members only. The oracle derives
+    * centroids from the old half, one joint assignment, the full
+    * pairwise drop rule, and keeps the new rows — provably what the
+    * incremental pass computes. */
+  def v49IncrementalSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val maxId = emb.agg(max(col("vec_id").cast(LongType)))
+      .collect()(0).getLong(0)
+    val t = (maxId + 1) / 2
+    val old = emb.filter(col("vec_id") < t)
+      .withColumn("vec_id", col("vec_id").cast(LongType))
+    val fresh = emb.filter(col("vec_id") >= t)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_v49_state_").toString
+    val centroids = graft.operators.Ann.buildCentroids(
+      old, "vec_id", "embedding", k = 8)
+    centroids.write.mode("overwrite").parquet(s"$stateDir/centroids")
+    graft.operators.Ann.buildIndex(old, "vec_id", "embedding", centroids)
+      .withColumn("n2",
+        graft.plans.VectorExpressions.dot_long(col("v"), col("v")))
+      .select(col("centroid_id"), col("vid"), col("v"), col("n2"))
+      .write.mode("overwrite").parquet(s"$stateDir/index")
+    graft.operators.SemDedup.dedupIncremental(
+        s.read.parquet(s"$stateDir/index"),
+        s.read.parquet(s"$stateDir/centroids"),
+        fresh, "vec_id", "embedding", cosE6 = 300000L)
+      .orderBy("vec_id")
+  }
+
   /** v39: product quantization + ADC search (operators/Ann.Pq) under
     * the oracle — per-subspace codebooks with the IVF conventions
     * (lowest-id seeds, max-dot ties-lowest, trunc-mean Lloyd step),
@@ -391,6 +426,7 @@ object Vectors {
     "v36_cosine_pairs" -> (v36CosinePairs _),
     "v37_ivf_ann" -> (v37IvfAnn _),
     "v48_incremental_ivf" -> (v48IncrementalIvf _),
+    "v49_incremental_semdedup" -> (v49IncrementalSemdedup _),
     "v38_lsh_cosine_dups" -> (v38LshCosineDups _),
   )
 
@@ -402,13 +438,15 @@ object Vectors {
   /** Shared IVF-index derivation (v37/v40/v41): lowest-8-id seeds, one
     * assign→trunc-mean Lloyd round (`cent`), final cell assignment
     * (`idx`) — the oracle mirror of Ann.buildCentroids + buildIndex. */
-  /** v48's index derivation: seeds + Lloyd step from the OLD (even-id)
-    * half only — the stored index — then ONE joint assignment of the
-    * full corpus against those centroids (old assignment at build time
-    * ∪ new-batch assignment at insert time coincide with it). */
-  private val ivfIncrementalCte = quantCte +
-    """,
-      |old AS (SELECT vec_id vid, v FROM q WHERE vec_id % 2 = 0),
+  /** Index derivation for the incremental gates (v48/v49): seeds +
+    * Lloyd step from the OLD half only (`oldPred`) — the stored index —
+    * then ONE joint assignment of the full corpus against those
+    * centroids (old assignment at build time ∪ new-batch assignment at
+    * insert time coincide with it). */
+  private def ivfIncrementalCteBy(oldPred: String): String = quantCte +
+    s""",
+      |old AS (SELECT vec_id vid, v FROM q WHERE $oldPred),""".stripMargin +
+    """
       |seeds AS (SELECT cast(row_number() OVER (ORDER BY vid) as int) - 1 centroid_id, v cvec
       |          FROM (SELECT vid, v FROM old ORDER BY vid LIMIT 8)),
       |qq AS (SELECT vec_id vid, v FROM q),
@@ -937,6 +975,30 @@ object Vectors {
       // centroids from the old half, one joint assignment, the v37
       // search verbatim — incremental insert ≡ full assignment against
       // the stored centroids
-      (ivfIncrementalCte + ivfSearchSql),
+      (ivfIncrementalCteBy("vec_id % 2 = 0") + ivfSearchSql),
+    "v49_incremental_semdedup" ->
+      // centroids from the lower-id half, one joint assignment, the
+      // full pairwise drop rule (v41's), restricted to the new batch
+      (ivfIncrementalCteBy("vec_id < (SELECT (max(vec_id)+1)//2 FROM q)") +
+      """,
+        |nn AS (SELECT vid, cast(sum(x*x) as bigint) n2
+        |       FROM (SELECT vid, unnest(v) x FROM qq) GROUP BY vid),
+        |iv AS (SELECT idx.vid, idx.centroid_id, qq.v FROM idx JOIN qq USING (vid)),
+        |pairs AS (SELECT a.vid va, b.vid vb, a.v pa, b.v pb
+        |          FROM iv a JOIN iv b
+        |            ON a.centroid_id = b.centroid_id AND a.vid < b.vid),
+        |dots AS (SELECT va, vb, cast(sum(x*y) as bigint) d
+        |         FROM (SELECT va, vb, unnest(pa) x, unnest(pb) y FROM pairs)
+        |         GROUP BY va, vb),
+        |dropped AS (SELECT DISTINCT vb AS vid
+        |            FROM dots JOIN nn na ON na.vid = dots.va
+        |                      JOIN nn nb ON nb.vid = dots.vb
+        |            WHERE round(d * 1000000.0 /
+        |                    (sqrt(cast(na.n2 as double)) * sqrt(cast(nb.n2 as double)))) >= 300000)
+        |SELECT idx.vid AS vec_id, idx.centroid_id,
+        |  (dropped.vid IS NULL) AS kept
+        |FROM idx LEFT JOIN dropped ON idx.vid = dropped.vid
+        |WHERE idx.vid >= (SELECT (max(vec_id)+1)//2 FROM q)
+        |ORDER BY vec_id""".stripMargin),
   )
 }
