@@ -276,6 +276,63 @@ object Versioned {
     spark.read.parquet(s"$root/v=$v")
   }
 
+  /** RESTORE: make an OLD snapshot current again as a NEW commit
+    * (Delta's `RESTORE TABLE … TO VERSION AS OF`) — unlike [[rollback]]
+    * nothing is deleted, so the restored-over versions stay
+    * addressable. FILE-LEVEL: the new version hard-links the target
+    * version's immutable files (O(files), no data copy, no Spark job)
+    * and carries a fresh commit stamp so time travel keeps working.
+    * Returns the new current version. */
+  def restoreTo(root: String, version: Long,
+                commitTs: Option[Long] = None): Long = {
+    val src = Paths.get(root, s"v=$version")
+    require(Files.isDirectory(src),
+      s"restoreTo: version $version does not exist under $root " +
+        s"(existing: ${versions(root).mkString(", ")})")
+    val cur = latestVersion(root).get
+    val staged = Files.createTempDirectory(Paths.get(root), "_staging_restore_")
+    dataFiles(src).foreach { f =>
+      val tgt = staged.resolve(f.getFileName)
+      try Files.createLink(tgt, f)
+      catch { case _: UnsupportedOperationException => Files.copy(f, tgt) }
+    }
+    val next = cur + 1
+    try Files.move(staged, Paths.get(root, s"v=$next"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileSystemException =>
+        deleteRecursively(staged)
+        throw new IllegalStateException(
+          s"restoreTo: concurrent commit under $root — retry", e)
+    }
+    writeStamp(root, next,
+      commitTs.getOrElse(System.currentTimeMillis() * 1000L))
+    next
+  }
+
+  /** SHALLOW CLONE: materialize the CURRENT snapshot of `srcRoot` as
+    * version 0 of a fresh `dstRoot` — hard-links again, O(files).
+    * History does not transfer (the clone starts its own); the
+    * immutable-file discipline is what makes sharing safe. */
+  def cloneTo(srcRoot: String, dstRoot: String,
+              commitTs: Option[Long] = None): Unit = {
+    val srcV = latestVersion(srcRoot).getOrElse(throw new IllegalStateException(
+      s"cloneTo: no versions under $srcRoot"))
+    require(!Files.exists(Paths.get(dstRoot, "v=0")),
+      s"cloneTo: destination $dstRoot already has versions")
+    val dst = Paths.get(dstRoot, "v=0")
+    Files.createDirectories(dst.getParent)
+    val staged = Files.createTempDirectory(dst.getParent, "_staging_clone_")
+    dataFiles(Paths.get(srcRoot, s"v=$srcV")).foreach { f =>
+      val tgt = staged.resolve(f.getFileName)
+      try Files.createLink(tgt, f)
+      catch { case _: UnsupportedOperationException => Files.copy(f, tgt) }
+    }
+    Files.move(staged, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    writeStamp(dstRoot, 0L,
+      commitTs.getOrElse(System.currentTimeMillis() * 1000L))
+  }
+
   /** S13 rollback: drop the newest version so the previous one is current
     * again (the old-data→last-data restore path). A stored change feed
     * for the dropped version goes with it — a feed row for a commit

@@ -449,6 +449,34 @@ object VersionedGate {
       .orderBy(col("commit_version"), col("doc_id"))
   }
 
+  /** q154: RESTORE + SHALLOW CLONE as SQL verbs — restore brings the
+    * pre-overwrite snapshot back as a NEW commit (the overwrite stays
+    * addressable), the clone materializes the restored snapshot as a
+    * fresh table sharing the immutable files; the output exhibits all
+    * three states and the oracle re-derives each from the insert
+    * predicates alone. */
+  def q154RestoreClone(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs154c")
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs154")
+    s.sql("CREATE TABLE graft.gate.docs154 (doc_id BIGINT, n_chars BIGINT) " +
+      "USING `graft-versioned`")
+    Tables.documents(s, dir).createOrReplaceTempView("q154_docs_src")
+    s.sql("INSERT INTO graft.gate.docs154 " +
+      "SELECT doc_id, n_chars FROM q154_docs_src WHERE doc_id % 5 = 0")
+    s.sql("INSERT OVERWRITE graft.gate.docs154 " +
+      "SELECT doc_id, n_chars FROM q154_docs_src WHERE doc_id % 7 = 0")
+    s.sql("CALL graft.sys.restore(table => 'gate.docs154', version => 0)")
+    s.sql("CALL graft.sys.clone(source => 'gate.docs154', target => 'gate.docs154c')")
+    s.sql("""SELECT 'restored' AS snap, doc_id, n_chars FROM graft.gate.docs154
+             UNION ALL
+             SELECT 'overwrite' AS snap, doc_id, n_chars
+             FROM graft.gate.docs154 VERSION AS OF 1
+             UNION ALL
+             SELECT 'clone' AS snap, doc_id, n_chars FROM graft.gate.docs154c
+             ORDER BY snap, doc_id""")
+  }
+
   private lazy val StreamWriteSrc = scratchBase.resolve("q146_src").toString
   private lazy val StreamWriteDst = scratchBase.resolve("q146_dst").toString
 
@@ -498,6 +526,7 @@ object VersionedGate {
     "q151_merge_into" -> (q151MergeInto _),
     "q152_schema_evolution" -> (q152SchemaEvolution _),
     "q153_catalog_change_feed" -> (q153CatalogChangeFeed _),
+    "q154_restore_clone" -> (q154RestoreClone _),
     "q63_versioned_load" -> (q63VersionedLoad _),
     "q67_csv_swap" -> (q67CsvSwap _),
     "q120_version_change_feed" -> (q120VersionChangeFeed _),
@@ -580,6 +609,18 @@ object VersionedGate {
         |SELECT doc_id, 'removed', 2, n_chars, NULL
         |FROM upd WHERE n_chars < 300
         |ORDER BY commit_version, doc_id""".stripMargin,
+    // q154: restored = the first insert predicate (as a NEW commit);
+    // the overwrite stays addressable; the clone equals the restored
+    "q154_restore_clone" ->
+      """SELECT 'clone' AS snap, doc_id, n_chars
+        |FROM documents WHERE doc_id % 5 = 0
+        |UNION ALL
+        |SELECT 'overwrite' AS snap, doc_id, n_chars
+        |FROM documents WHERE doc_id % 7 = 0
+        |UNION ALL
+        |SELECT 'restored' AS snap, doc_id, n_chars
+        |FROM documents WHERE doc_id % 5 = 0
+        |ORDER BY snap, doc_id""".stripMargin,
     // q144: two append commits = the union of the two insert predicates
     "q144_catalog_sql" ->
       """SELECT lang, cast(count(*) as bigint) AS n_docs,

@@ -326,12 +326,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * current version; retain: one row per surviving version). */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("sys")))
-      Array("compact", "history", "rollback", "retain", "vacuum")
+      Array("clone", "compact", "history", "restore", "rollback", "retain", "vacuum")
         .map(Identifier.of(Array("sys"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
-    val known = Array("compact", "history", "rollback", "retain", "vacuum")
+    val known =
+      Array("clone", "compact", "history", "restore", "rollback", "retain", "vacuum")
     require(ident.namespace.sameElements(Array("sys")) && known.contains(ident.name),
       s"graft catalog: unknown procedure ${ident.namespace.mkString(".")}." +
         s"${ident.name} — available: ${known.map("sys." + _).mkString(", ")}")
@@ -392,6 +393,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               v, Versioned.commitStamp(r, v).getOrElse(null),
               files.size, files.map(Files.size(_)).sum, feeds.contains(v)))
           }
+        })
+      // RESTORE TABLE … TO VERSION AS OF, as a NEW commit (nothing
+      // deleted, restored-over versions stay addressable) — hard-links,
+      // O(files), no data copy
+      case "restore" => new GraftProcedure("restore",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("version", LongType).build()),
+        new StructType().add("current_version", LongType, nullable = false),
+        in => {
+          val v = Versioned.restoreTo(
+            root(in.getUTF8String(0).toString), in.getLong(1))
+          Seq(new GenericInternalRow(Array[Any](v)))
+        })
+      // SHALLOW CLONE: the source's current snapshot becomes v=0 of a
+      // NEW table (manifest + layout properties copied, history fresh)
+      case "clone" => new GraftProcedure("clone",
+        Array(
+          ProcedureParameter.in("source", StringType).build(),
+          ProcedureParameter.in("target", StringType).build()),
+        new StructType().add("cloned", StringType, nullable = false),
+        in => {
+          val src = in.getUTF8String(0).toString
+          val tgt = in.getUTF8String(1).toString
+          val parts = tgt.split("\\.").filter(_.nonEmpty)
+          require(parts.length >= 2,
+            s"graft catalog: clone target must be 'ns.table', got '$tgt'")
+          val tgtIdent = Identifier.of(parts.init, parts.last)
+          if (!namespaceExists(tgtIdent.namespace))
+            throw new NoSuchNamespaceException(tgtIdent.namespace)
+          if (Files.exists(manifestOf(tgtIdent)))
+            throw new TableAlreadyExistsException(tgtIdent)
+          val srcParts = src.split("\\.").filter(_.nonEmpty)
+          require(srcParts.length >= 2,
+            s"graft catalog: clone source must be 'ns.table', got '$src'")
+          val srcIdent = Identifier.of(srcParts.init, srcParts.last)
+          Versioned.cloneTo(root(src), tablePath(tgtIdent).toString)
+          Files.copy(manifestOf(srcIdent), manifestOf(tgtIdent))
+          val srcProps = tablePath(srcIdent).resolve(PropsManifest)
+          if (Files.exists(srcProps))
+            Files.copy(srcProps, tablePath(tgtIdent).resolve(PropsManifest))
+          Seq(new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(tgt))))
         })
       case "retain" => new GraftProcedure("retain",
         Array(

@@ -261,6 +261,54 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(h.forall(!_.getBoolean(4))) // no changeFeedKeys on this table
   }
 
+  test("sys.restore brings an old snapshot back as a NEW commit; history intact") {
+    sql("DROP TABLE IF EXISTS gtest.ns.tr")
+    sql("CREATE TABLE gtest.ns.tr (id BIGINT) USING `graft-versioned`")
+    sql("INSERT INTO gtest.ns.tr SELECT id FROM range(0, 10)")          // v0
+    sql("INSERT OVERWRITE gtest.ns.tr SELECT id FROM range(100, 103)")  // v1
+    val v = sql("CALL gtest.sys.restore(table => 'ns.tr', version => 0)")
+      .collect()(0).getLong(0)
+    assert(v === 2L)
+    assert(sql("SELECT count(*) FROM gtest.ns.tr").collect()(0).getLong(0) === 10L)
+    // nothing deleted: the restored-over overwrite is still addressable
+    assert(sql("SELECT count(*) FROM gtest.ns.tr VERSION AS OF 1")
+      .collect()(0).getLong(0) === 3L)
+    // file-level: the restored version shares inodes with v=0
+    def inodes(v: Long) = graft.operators.Versioned.dataFiles(
+      java.nio.file.Paths.get(s"$warehouse/ns/tr/v=$v"))
+      .map(p => java.nio.file.Files.getAttribute(p, "unix:ino")).toSet
+    assert(inodes(2L) === inodes(0L), "restore must hard-link, not copy")
+    val bad = intercept[Exception] {
+      sql("CALL gtest.sys.restore(table => 'ns.tr', version => 9)")
+    }
+    assert(chain(bad).exists(_.contains("does not exist")), chain(bad))
+  }
+
+  test("sys.clone: shallow clone shares files, then diverges independently") {
+    sql("DROP TABLE IF EXISTS gtest.ns.src")
+    sql("DROP TABLE IF EXISTS gtest.ns.dst")
+    sql("CREATE TABLE gtest.ns.src (id BIGINT, v BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('clusterBy'='id')")
+    sql("INSERT INTO gtest.ns.src SELECT id, id * 3 FROM range(0, 100)")
+    sql("CALL gtest.sys.clone(source => 'ns.src', target => 'ns.dst')")
+    assert(sql("SELECT sum(v) FROM gtest.ns.dst").collect()(0).getLong(0) ===
+      (0L until 100L).map(_ * 3).sum)
+    // shared inodes at clone time
+    def inodes(t: String, v: Long) = graft.operators.Versioned.dataFiles(
+      java.nio.file.Paths.get(s"$warehouse/ns/$t/v=$v"))
+      .map(p => java.nio.file.Files.getAttribute(p, "unix:ino")).toSet
+    assert(inodes("dst", 0L) === inodes("src", 0L))
+    // the clone carries the layout contract and diverges independently
+    sql("INSERT INTO gtest.ns.dst SELECT id, 0 FROM range(100, 110)")
+    assert(sql("SELECT count(*) FROM gtest.ns.dst").collect()(0).getLong(0) === 110L)
+    assert(sql("SELECT count(*) FROM gtest.ns.src").collect()(0).getLong(0) === 100L)
+    val dup = intercept[Exception] {
+      sql("CALL gtest.sys.clone(source => 'ns.src', target => 'ns.dst')")
+    }
+    assert(chain(dup).exists(m => m.contains("already exists") ||
+      m.contains("TABLE_OR_VIEW_ALREADY_EXISTS")), chain(dup))
+  }
+
   test("fail-loud: unknown procedure, missing table argument") {
     val unknown = intercept[Exception] {
       sql("CALL gtest.sys.optimize(table => 'ns.t1')")
