@@ -403,8 +403,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           ProcedureParameter.in("version", LongType).build()),
         new StructType().add("current_version", LongType, nullable = false),
         in => {
-          val v = Versioned.restoreTo(
-            root(in.getUTF8String(0).toString), in.getLong(1))
+          val tbl = in.getUTF8String(0).toString
+          val v = Versioned.restoreTo(root(tbl), in.getLong(1))
+          // a changeFeedKeys table feeds EVERY commit — the restore's
+          // diff (rows changing back) included
+          feedHook(tbl, v)
           Seq(new GenericInternalRow(Array[Any](v)))
         })
       // SHALLOW CLONE: the source's current snapshot becomes v=0 of a
@@ -434,6 +437,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           val srcProps = tablePath(srcIdent).resolve(PropsManifest)
           if (Files.exists(srcProps))
             Files.copy(srcProps, tablePath(tgtIdent).resolve(PropsManifest))
+          // a changeFeedKeys clone starts its own feed history with
+          // v=0's all-'added' feed (a stream from 0 sees the content)
+          feedHook(tgt, 0L)
           Seq(new GenericInternalRow(Array[Any](
             org.apache.spark.unsafe.types.UTF8String.fromString(tgt))))
         })
@@ -446,6 +452,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             in.getInt(1))
           .map(v => new GenericInternalRow(Array[Any](v))))
     }
+  }
+
+  /** Emit the stored change feed of a freshly-committed version when
+    * the `'ns.table'` carries changeFeedKeys (the every-commit-feeds
+    * contract, extended to the maintenance verbs). */
+  private def feedHook(table: String, version: Long): Unit = {
+    val parts = table.split("\\.").filter(_.nonEmpty)
+    if (parts.length < 2) return
+    val ident = Identifier.of(parts.init, parts.last)
+    readProps(ident).get("changeFeedKeys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty).foreach { keys =>
+        val schema = DataType.fromJson(new String(
+          Files.readAllBytes(manifestOf(ident)),
+          java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+        Versioned.writeFeedFor(SparkSession.active,
+          tablePath(ident).toString, version, keys,
+          schema.fieldNames.filterNot(keys.contains).toSeq)
+      }
   }
 
   /** The persisted clusterBy columns of a `'ns.table'` argument. */

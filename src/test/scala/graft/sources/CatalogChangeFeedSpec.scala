@@ -83,6 +83,31 @@ class CatalogChangeFeedSpec extends AnyFunSuite with SparkSpec {
     assert(drained.where("commit_version = 1 AND new_tag = 't'").count() === 3L)
   }
 
+  test("restore and clone feed too on changeFeedKeys tables") {
+    spark.conf.set("spark.sql.catalog.cdf", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cdf.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cdf.t")
+    spark.sql("CREATE TABLE cdf.t.r (id BIGINT, v BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('changeFeedKeys'='id')")
+    spark.sql("INSERT INTO cdf.t.r SELECT id, id FROM range(0, 5)")          // v0
+    spark.sql("INSERT OVERWRITE cdf.t.r SELECT id, -id FROM range(0, 3)")    // v1
+    spark.sql("CALL cdf.sys.restore(table => 't.r', version => 0)")          // v2
+    val root = s"$warehouse/t/r"
+    assert(Versioned.feedVersions(root) === Seq(0L, 1L, 2L))
+    val f2 = spark.read.parquet(Versioned.feedDir(root, 2L))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("change_type")))
+      .sortBy(_._1).toSeq
+    // restore: ids 1..2 change back (their v flips sign; id 0 is 0 both
+    // ways, no diff row), ids 3..4 reappear as added
+    assert(f2 === Seq((1L, "changed"), (2L, "changed"),
+      (3L, "added"), (4L, "added")))
+    spark.sql("CALL cdf.sys.clone(source => 't.r', target => 't.rc')")
+    val croot = s"$warehouse/t/rc"
+    assert(Versioned.feedVersions(croot) === Seq(0L))
+    assert(spark.read.parquet(Versioned.feedDir(croot, 0L))
+      .where("change_type = 'added'").count() === 5L)
+  }
+
   test("MERGE commits a feed and changeFeedKeys validates at DDL") {
     spark.conf.set("spark.sql.catalog.cdf", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.cdf.warehouse", warehouse)
