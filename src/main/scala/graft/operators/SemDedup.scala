@@ -165,8 +165,11 @@ object SemDedup {
     val minNew = withLongId.agg(min(col(idCol))).collect()(0)
     if (minNew.isNullAt(0)) return newBatch.sparkSession.emptyDataFrame
     val from = minNew.getLong(0)
+    // localCheckpoint: the overflow probe below would otherwise re-run
+    // the whole assignment + verdict lineage when the caller consumes
+    // the result (the same once-only discipline as dedup's first pass)
     val verdicts = verdictPass(storedIndex.unionByName(newIdx), idCol,
-      cosE6, maxCell, scoreFrom = from)
+      cosE6, maxCell, scoreFrom = from).localCheckpoint()
     val overflowing = verdicts.filter(col("overflow")).limit(1).count()
     require(overflowing == 0,
       "SemDedup.dedupIncremental: a cell exceeded maxCell — re-cluster " +
