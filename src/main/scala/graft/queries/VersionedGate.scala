@@ -477,6 +477,34 @@ object VersionedGate {
              ORDER BY snap, doc_id""")
   }
 
+  /** q155: SQL CHECK constraints — added via DDL, enforced on every
+    * subsequent write: the conforming insert lands, the violating one
+    * is REJECTED atomically (no partial version — the count must be
+    * exactly the conforming predicate's). The gate itself asserts the
+    * rejection happened; the oracle certifies that nothing beyond the
+    * conforming rows ever reached the table. */
+  def q155CheckConstraints(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs155")
+    s.sql("CREATE TABLE graft.gate.docs155 (doc_id BIGINT, n_chars BIGINT) " +
+      "USING `graft-versioned`")
+    s.sql("ALTER TABLE graft.gate.docs155 ADD CONSTRAINT chars_min " +
+      "CHECK (n_chars >= 300)")
+    Tables.documents(s, dir).createOrReplaceTempView("q155_docs_src")
+    s.sql("INSERT INTO graft.gate.docs155 " +
+      "SELECT doc_id, n_chars FROM q155_docs_src " +
+      "WHERE doc_id % 3 = 0 AND n_chars >= 300")
+    val rejected =
+      try {
+        s.sql("INSERT INTO graft.gate.docs155 " +
+          "SELECT doc_id, n_chars FROM q155_docs_src WHERE doc_id % 3 = 1")
+        false
+      } catch { case _: Exception => true }
+    require(rejected, "q155: the violating insert must be rejected " +
+      "(the driver tables contain sub-300 documents at every scale)")
+    s.sql("SELECT doc_id, n_chars FROM graft.gate.docs155 ORDER BY doc_id")
+  }
+
   private lazy val StreamWriteSrc = scratchBase.resolve("q146_src").toString
   private lazy val StreamWriteDst = scratchBase.resolve("q146_dst").toString
 
@@ -527,6 +555,7 @@ object VersionedGate {
     "q152_schema_evolution" -> (q152SchemaEvolution _),
     "q153_catalog_change_feed" -> (q153CatalogChangeFeed _),
     "q154_restore_clone" -> (q154RestoreClone _),
+    "q155_check_constraints" -> (q155CheckConstraints _),
     "q63_versioned_load" -> (q63VersionedLoad _),
     "q67_csv_swap" -> (q67CsvSwap _),
     "q120_version_change_feed" -> (q120VersionChangeFeed _),
@@ -621,6 +650,12 @@ object VersionedGate {
         |SELECT 'restored' AS snap, doc_id, n_chars
         |FROM documents WHERE doc_id % 5 = 0
         |ORDER BY snap, doc_id""".stripMargin,
+    // q155: only the conforming insert survives — the violating one
+    // aborts atomically, so the final state IS the conforming predicate
+    "q155_check_constraints" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id % 3 = 0 AND n_chars >= 300
+        |ORDER BY doc_id""".stripMargin,
     // q144: two append commits = the union of the two insert predicates
     "q144_catalog_sql" ->
       """SELECT lang, cast(count(*) as bigint) AS n_docs,

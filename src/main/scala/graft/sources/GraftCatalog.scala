@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NonEmptyNamespaceException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableCatalogCapability, TableChange}
+import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
@@ -66,7 +67,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   private val SchemaManifest = "_graft_schema.json"
   private val PropsManifest = "_graft_props.json"
+  private val ConstraintsManifest = "_graft_constraints"
   private val NsMarker = "_graft_namespace"
+
+  /** Persisted CHECK constraints: one `name<TAB>predicateSql` line. */
+  private def readConstraints(ident: Identifier): Seq[(String, String)] = {
+    val p = tablePath(ident).resolve(ConstraintsManifest)
+    if (!Files.exists(p)) Seq.empty
+    else new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.split("\t", 2)).collect {
+        case Array(n, sql) if n.nonEmpty => (n, sql)
+      }.toSeq
+  }
+
+  private def writeConstraints(ident: Identifier,
+                               cs: Seq[(String, String)]): Unit = {
+    val p = tablePath(ident).resolve(ConstraintsManifest)
+    if (cs.isEmpty) Files.deleteIfExists(p)
+    else Files.write(p, cs.map { case (n, sql) => s"$n\t$sql" }
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 
   private def nsPath(ns: Array[String]): Path = ns.foldLeft(warehouse)(_.resolve(_))
   private def tablePath(ident: Identifier): Path =
@@ -91,6 +112,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       .map(d => Identifier.of(namespace, d.getFileName.toString))
       .sortBy(_.name).toArray
   }
+
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   override def loadTable(ident: Identifier): Table = tableWith(ident, Map.empty)
 
@@ -130,7 +154,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // evolved past the stored files) instead of footer inference
     val opts = persisted ++ Map("path" -> tablePath(ident).toString,
       "graftCatalogManaged" -> "true") ++ extra
-    new GraftVersionedTable(schema, new CaseInsensitiveStringMap(opts.asJava))
+    val constraints: Array[Constraint] = readConstraints(ident).map {
+      case (n, sql) => Constraint.check(n).predicateSql(sql).build(): Constraint
+    }.toArray
+    new GraftVersionedTable(schema, new CaseInsensitiveStringMap(opts.asJava),
+      constraints)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -215,6 +243,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         props += (set.property -> set.value)
       case rm: TableChange.RemoveProperty if layoutKeys(rm.property) =>
         props -= rm.property
+      // CHECK constraints: persisted as predicate SQL, exposed through
+      // Table.constraints() so Spark enforces them on every write.
+      // Spark's own AddCheckConstraintExec has ALREADY validated the
+      // existing rows by the time this change arrives (the ALTER fails
+      // upstream if current data violates the predicate).
+      case add: TableChange.AddConstraint =>
+        add.constraint() match {
+          case c: Check =>
+            val existing = readConstraints(ident)
+            require(!existing.exists(_._1 == c.name),
+              s"graft catalog: constraint '${c.name}' already exists")
+            writeConstraints(ident, existing :+ (c.name -> c.predicateSql))
+          case other =>
+            throw new UnsupportedOperationException(
+              s"graft catalog: only CHECK constraints are supported " +
+                s"(nothing would enforce ${other.toDDL}) — got $other")
+        }
+      case drop: TableChange.DropConstraint =>
+        val existing = readConstraints(ident)
+        if (!existing.exists(_._1 == drop.name) && !drop.ifExists)
+          throw new IllegalArgumentException(
+            s"graft catalog: no constraint named '${drop.name}'")
+        writeConstraints(ident, existing.filterNot(_._1 == drop.name))
       case other =>
         throw new UnsupportedOperationException(
           s"graft catalog: unsupported ALTER TABLE change $other — the " +

@@ -193,9 +193,17 @@ private[sources] object GraftVersionedTable {
 }
 
 private[sources] class GraftVersionedTable(
-    tableSchema: StructType, options: CaseInsensitiveStringMap)
+    tableSchema: StructType, options: CaseInsensitiveStringMap,
+    tableConstraints: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+      Array.empty)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  // catalog-persisted CHECK constraints — Spark's analyzer injects
+  // their enforcement into every write against this table
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    tableConstraints
 
   private val root = GraftVersionedTable.rootOf(options)
   private val changeFeed = GraftVersionedTable.isChangeFeed(options)
