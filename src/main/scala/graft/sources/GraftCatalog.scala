@@ -485,9 +485,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           val srcIdent = Identifier.of(srcParts.init, srcParts.last)
           Versioned.cloneTo(root(src), tablePath(tgtIdent).toString)
           Files.copy(manifestOf(srcIdent), manifestOf(tgtIdent))
-          val srcProps = tablePath(srcIdent).resolve(PropsManifest)
-          if (Files.exists(srcProps))
-            Files.copy(srcProps, tablePath(tgtIdent).resolve(PropsManifest))
+          // the full table contract transfers: layout properties AND
+          // check constraints (a clone silently losing its gates would
+          // accept rows the source never could)
+          Seq(PropsManifest, ConstraintsManifest).foreach { m =>
+            val srcM = tablePath(srcIdent).resolve(m)
+            if (Files.exists(srcM))
+              Files.copy(srcM, tablePath(tgtIdent).resolve(m))
+          }
           // a changeFeedKeys clone starts its own feed history with
           // v=0's all-'added' feed (a stream from 0 sees the content)
           feedHook(tgt, 0L)

@@ -53,6 +53,18 @@ class ConstraintSpec extends AnyFunSuite with SparkSpec {
       .collect()(0).getLong(0) === 1L)
   }
 
+  test("a clone carries the source's constraints") {
+    warehouse
+    spark.sql("CREATE TABLE ck.t.src (id BIGINT, v BIGINT) USING `graft-versioned`")
+    spark.sql("ALTER TABLE ck.t.src ADD CONSTRAINT pos CHECK (v >= 0)")
+    spark.sql("INSERT INTO ck.t.src VALUES (1, 1)")
+    spark.sql("CALL ck.sys.clone(source => 't.src', target => 't.srcclone')")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO ck.t.srcclone VALUES (2, -2)")
+    }
+    assert(chain(e).exists(_.contains("CHECK constraint pos")), chain(e))
+  }
+
   test("adding a constraint the existing data violates fails the ALTER") {
     warehouse
     spark.sql("CREATE TABLE ck.t.b (id BIGINT, v BIGINT) USING `graft-versioned`")
