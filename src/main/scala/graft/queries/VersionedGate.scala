@@ -240,6 +240,45 @@ object VersionedGate {
       .orderBy("doc_id")
   }
 
+  private lazy val ThrottleRoot = scratchBase.resolve("q159").toString
+
+  /** q159: ADMISSION CONTROL on the change-feed source — q141's exact
+    * data drained with `maxVersionsPerTrigger=1`, so the 2-commit
+    * backlog MUST arrive as two separate checkpointed micro-batches
+    * (require()d from the query's progress), and the union must still
+    * hash-match q141's batch-diff oracle: bounding the catch-up batch
+    * changes the failure domain, never the rows. The N-batch drain and
+    * resume discipline are spec'd in ChangeFeedAdmissionSpec. */
+  def q159ThrottledChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    Versioned.deleteRecursively(java.nio.file.Paths.get(ThrottleRoot))
+    val base = Tables.documents(s, dir).select(col("doc_id"),
+      (col("n_chars") * 1000L).cast(LongType).as("price"))
+    val v0 = base.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val v1 = base.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      .withColumn("price", col("price") +
+        when(pmod(col("doc_id"), lit(3)) === 0, 7L).otherwise(0L))
+    Versioned.writeNextWithFeed(v0, ThrottleRoot, Seq("doc_id"), Seq("price")) // v=0
+    Versioned.writeNextWithFeed(v1, ThrottleRoot, Seq("doc_id"), Seq("price")) // v=1
+    val name = s"q159_feed_${System.nanoTime()}"
+    val q = s.readStream.format("graft-versioned")
+      .option("changeFeed", "true")
+      .option("maxVersionsPerTrigger", "1")
+      .load(ThrottleRoot)
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches == 2,
+      s"q159: a 2-commit backlog at maxVersionsPerTrigger=1 must drain " +
+        s"in exactly 2 micro-batches, got $batches")
+    s.table(name)
+      .filter(col("commit_version") === 1L)
+      .select(col("doc_id"), col("change_type"),
+        col("old_price"), col("new_price"))
+      .orderBy("doc_id")
+  }
+
   /** The graft TableCatalog wired into the session: versioned tables as
     * SQL citizens (`spark.sql.catalog.graft` → [[graft.sources.GraftCatalog]]).
     * Confs are idempotent; the catalog instance is cached by Spark after
@@ -556,6 +595,7 @@ object VersionedGate {
     "q153_catalog_change_feed" -> (q153CatalogChangeFeed _),
     "q154_restore_clone" -> (q154RestoreClone _),
     "q155_check_constraints" -> (q155CheckConstraints _),
+    "q159_throttled_change_feed" -> (q159ThrottledChangeFeed _),
     "q63_versioned_load" -> (q63VersionedLoad _),
     "q67_csv_swap" -> (q67CsvSwap _),
     "q120_version_change_feed" -> (q120VersionChangeFeed _),
@@ -686,6 +726,27 @@ object VersionedGate {
     "q140_dsv2_time_travel" ->
       """SELECT doc_id, cast(n_chars * 1000 + 10 as bigint) price
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q159 shares q141/q120's batch-diff expectation: throttling the
+    // drain into one-commit batches must not change a single row
+    "q159_throttled_change_feed" ->
+      """WITH b AS (SELECT doc_id, n_chars * 1000 price FROM documents),
+        |v0 AS (SELECT * FROM b WHERE doc_id % 5 <> 0),
+        |v1 AS (SELECT doc_id, price +
+        |         CASE WHEN doc_id % 3 = 0 THEN 7 ELSE 0 END price
+        |       FROM b WHERE doc_id % 4 <> 0),
+        |j AS (SELECT coalesce(v0.doc_id, v1.doc_id) doc_id,
+        |        v0.price old_price, v1.price new_price,
+        |        v0.doc_id k0, v1.doc_id k1
+        |      FROM v0 FULL OUTER JOIN v1 ON v0.doc_id = v1.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN k0 IS NULL THEN 'added'
+        |       WHEN k1 IS NULL THEN 'removed'
+        |       ELSE 'changed' END change_type,
+        |  old_price, new_price
+        |FROM j
+        |WHERE k0 IS NULL OR k1 IS NULL
+        |   OR old_price IS DISTINCT FROM new_price
+        |ORDER BY doc_id""".stripMargin,
     // q141 shares q120's batch-diff expectation
     "q141_dsv2_change_feed" ->
       """WITH b AS (SELECT doc_id, n_chars * 1000 price FROM documents),

@@ -45,9 +45,12 @@ import graft.operators.Versioned
   * path-based API wrote stays readable by name and vice versa — the
   * catalog adds naming, not a new format.
   *
+  * Schema evolution is metadata-only ([[alterTable]]): `ADD COLUMN`
+  * appends a nullable column (pre-evolution files null-fill on read),
+  * and layout TBLPROPERTIES / CHECK constraints can be SET/UNSET.
   * Deliberately unsupported, loudly: partition transforms (version dirs
-  * are the layout unit — cluster with Layout.WriteSpec), ALTER TABLE
-  * (no schema evolution in the store; replace the snapshot instead).
+  * are the layout unit — cluster with Layout.WriteSpec) and column
+  * retype (it would change the meaning of immutable history).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 

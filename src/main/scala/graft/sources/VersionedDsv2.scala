@@ -796,41 +796,91 @@ private[sources] class GraftVersionedScan(
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(GraftVersionedTable.isChangeFeed(options),
       "streaming reads need .option(\"changeFeed\", \"true\") — snapshots are batch")
+    val maxPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+    maxPerTrigger.foreach(n => require(n > 0,
+      s"graft-versioned: maxVersionsPerTrigger must be positive, got $n"))
     new GraftChangeFeedStream(root, required, pushed, filterTypes,
-      options.getLong("startingVersion", 0L))
+      options.getLong("startingVersion", 0L), maxPerTrigger)
   }
 }
 
 /** The stored change feed as a micro-batch stream: offsets are commit
   * versions; a batch covering (start, end] reads the feed files of those
   * versions. The feed is immutable, so replay from any checkpointed
-  * offset re-reads the identical rows (deterministic recovery). */
+  * offset re-reads the identical rows (deterministic recovery).
+  *
+  * ADMISSION CONTROL: the admission unit is one COMMIT (a stored feed
+  * version). `.option("maxVersionsPerTrigger", n)` bounds every
+  * micro-batch to n commits — a stream resuming after downtime drains
+  * an N-commit backlog in ceil(N/n) checkpointed batches instead of one
+  * giant all-or-nothing batch (the reference's own fetcher caps a drain
+  * the same way, fetcher_dag_factory.py:77-79). The option surfaces as
+  * `ReadLimit.maxRows(n)` through `getDefaultReadLimit` (rows = commits
+  * here: the source's admission unit, the closest vocabulary Spark's
+  * ReadLimit offers), and `latestOffset(start, limit)` honors whatever
+  * limit arrives — including the one Trigger.AvailableNow composes —
+  * so the pinned drain target is still reached, one bounded batch at a
+  * time. */
 private[sources] class GraftChangeFeedStream(
     root: String, required: StructType, pushed: Array[Filter],
-    filterTypes: Map[String, DataType], startingVersion: Long)
+    filterTypes: Map[String, DataType], startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long] = None)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxRows}
 
   private def currentLatest: Long =
     Versioned.feedVersions(root).lastOption.getOrElse(startingVersion - 1)
 
-  // Trigger.AvailableNow pins the drain target at query start
+  // Trigger.AvailableNow pins the drain target at query start: later
+  // commits stay out of THIS run, but the capped batches below still
+  // walk all the way to the pinned target before the query stops
   private var availableTarget: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableTarget = Some(currentLatest)
 
+  private def drainTarget: Long = availableTarget.getOrElse(currentLatest)
+
   override def initialOffset(): Offset = GraftVersionOffset(startingVersion - 1)
 
-  override def latestOffset(): Offset =
-    GraftVersionOffset(availableTarget.getOrElse(currentLatest))
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxRows(n))
+      .getOrElse(ReadLimit.allAvailable())
 
-  // SupportsAdmissionControl variant (Trigger.AvailableNow drains
-  // through this one); the version store has no rate limit to honor —
-  // a commit is the admission unit
-  override def latestOffset(
-      start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+  // the engine drives a SupportsAdmissionControl source exclusively
+  // through latestOffset(start, limit)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft-versioned change feed: use latestOffset(start, limit)")
+
+  override def reportLatestOffset(): Offset = GraftVersionOffset(currentLatest)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftVersionOffset].version
+    val target = drainTarget
+    // keep only the first n pending commits of (s, target]; feed
+    // versions can be sparse (every commit feeds on a changeFeedKeys
+    // table, but a path-based root may mix), so count stored feeds,
+    // not version arithmetic
+    def cap(n: Long): Long = {
+      if (n <= 0) return s
+      val pending = Versioned.feedVersions(root).filter(v => v > s && v <= target)
+      if (pending.size <= n) target
+      else pending(math.min(n, Int.MaxValue.toLong).toInt - 1)
+    }
+    val end = limit match {
+      case _: ReadAllAvailable => target
+      case r: ReadMaxRows => cap(r.maxRows())
+      case c: CompositeReadLimit =>
+        // AvailableNow composes limits; the rows (=commits) cap is the
+        // one this source understands — min over every maxRows present
+        val caps = c.getReadLimits.collect { case r: ReadMaxRows => r.maxRows() }
+        if (caps.isEmpty) target else cap(caps.min)
+      case _ => target // maxFiles/maxBytes: no commit-count mapping
+    }
+    GraftVersionOffset(end)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftVersionOffset].version
