@@ -22,8 +22,17 @@ object Bench {
 
   /** Two timed passes, min per query (single-run numbers swing ±25%
     * with background load on shared hardware; the min is the stable
-    * steady-state estimate). Returns (name → seconds) for queries that
-    * completed BOTH passes and (name → error) for the rest.
+    * steady-state estimate), plus a NOISE GUARD: when the two passes
+    * disagree by more than 2× (and by >0.2 s absolute — tiny queries
+    * flip ratios on scheduler jitter alone) a third pass runs and the
+    * min of all three is reported. Min-of-two does not protect against background
+    * load spanning both passes of adjacent queries — round 11's
+    * official bench showed t29 at 4.05 s (unchanged code; 0.37 s on an
+    * idle box) because one noisy window covered both passes. A third
+    * pass is cheap and rescues the outlier; the `loadavg` field the
+    * main() emits records the box's state for post-hoc triage.
+    * Returns (name → seconds) for queries that completed every pass
+    * and (name → error) for the rest.
     *
     * Execution is `queryExecution.toRdd.count()` — NOT `df.count()`:
     * wrapping a query in count() lets Catalyst prune every operator
@@ -60,7 +69,17 @@ object Bench {
       }
     }
     val results = queries.map { case (name, fn) =>
-      name -> (for (a <- timeOnce(fn); b <- timeOnce(fn)) yield math.min(a, b))
+      name -> (for {
+        a <- timeOnce(fn)
+        b <- timeOnce(fn)
+        // ratio alone would re-run every sub-50 ms query (tiny times
+        // flip 2x on scheduler jitter) — demand a real absolute gap too
+        best <-
+          if (math.max(a, b) > 2.0 * math.min(a, b) &&
+              math.max(a, b) - math.min(a, b) > 0.2)
+            timeOnce(fn).map(c => math.min(math.min(a, b), c))
+          else Right(math.min(a, b))
+      } yield best)
     }
     (results.collect { case (n, Right(v)) => n -> v },
      results.collect { case (n, Left(e)) => n -> e }.toMap)
@@ -92,8 +111,13 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = Verify.toJson(errors)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // 1-minute loadavg at end of run: background load is the one thing
+    // min-of-passes can't fully defend against — record the evidence
+    val loadavg = fmt(math.max(0.0,
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage))
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","loadavg":$loadavg,"queries":$qs,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
 
     // The harness keeps only the last ~2000 chars of stdout; the full
     // per-query line outgrew that window (BENCH_r03 `parsed: null`). So:
@@ -110,7 +134,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errNames = errors.keys.toSeq.sorted.take(12)
       .map(Verify.q).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"error_names":$errNames,"queries":$top,"queries_truncated":true,"queries_full":"bench_full.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","loadavg":$loadavg,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"error_names":$errNames,"queries":$top,"queries_truncated":true,"queries_full":"bench_full.json"}""")
     System.out.flush()
   }
 }

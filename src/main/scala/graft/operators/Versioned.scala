@@ -36,7 +36,46 @@ object Versioned {
     }
   }
 
-  def latestVersion(root: String): Option[Long] = versionDirs(root).lastOption.map(_._1)
+  /** Root-level latest-version HINT (`_graft_latest`): resolving
+    * "current" on a long history must not list every version dir — at
+    * object-store scale a directory listing over 10⁴ commits is the
+    * classic latency killer the Delta log's `_last_checkpoint` solves.
+    * The hint is exactly that checkpoint: commit writers update it
+    * best-effort AFTER the atomic version rename, and [[latestVersion]]
+    * verifies it (the hinted dir must exist) then probes FORWARD until
+    * the first missing version — correct because surviving versions
+    * form a contiguous range (retention drops the oldest, rollback the
+    * newest), and probing costs O(commits since the hint), not
+    * O(history). A stale, torn, or missing hint falls back to the full
+    * listing — the hint can speed resolution up but never change it. */
+  private val LatestHint = "_graft_latest"
+
+  private[graft] def writeLatestHint(root: String, version: Long): Unit =
+    try {
+      val tmp = Files.createTempFile(Paths.get(root), "_graft_latest_", ".tmp")
+      Files.write(tmp,
+        version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, Paths.get(root, LatestHint),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: java.io.IOException => () } // best-effort: it's a hint
+
+  private def readLatestHint(root: String): Option[Long] = {
+    val f = Paths.get(root, LatestHint)
+    if (!Files.exists(f)) None
+    else scala.util.Try(new String(Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption
+  }
+
+  def latestVersion(root: String): Option[Long] =
+    readLatestHint(root) match {
+      case Some(h) if Files.isDirectory(Paths.get(root, s"v=$h")) =>
+        // verified hint: probe forward to the first missing version
+        var v = h
+        while (Files.isDirectory(Paths.get(root, s"v=${v + 1}"))) v += 1
+        Some(v)
+      case _ => versionDirs(root).lastOption.map(_._1) // stale/absent hint
+    }
 
   /** All version numbers under the root, ascending — for the DSv2
     * writer's commit bookkeeping (streaming epoch replay detection). */
@@ -65,6 +104,10 @@ object Versioned {
     Layout.applySpec(df, layout).write
       .options(Layout.writerOptions(layout))
       .mode("overwrite").parquet(s"$root/v=$next")
+    // ONE listing at commit time buys manifest-resolved reads forever
+    val vdir = Paths.get(root, s"v=$next")
+    writeFilesManifest(vdir, listParquet(vdir).map(_.getFileName.toString))
+    writeLatestHint(root, next)
     commitTs.foreach(writeStamp(root, next, _))
     next
   }
@@ -148,8 +191,11 @@ object Versioned {
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     // mergeSchema: a snapshot may hold pre-evolution files next to
     // evolved ones (catalog ADD COLUMN is metadata-only) — compacting
-    // with single-footer inference would silently drop added columns
-    val df = spark.read.option("mergeSchema", "true").parquet(vdir.toString)
+    // with single-footer inference would silently drop added columns.
+    // readSnapshot also applies deletion vectors, so compacting a
+    // DV-carrying version MATERIALIZES the deletes: the rewrite holds
+    // only live rows and the new version carries no sidecars.
+    val df = readSnapshot(spark, root, v, mergeSchema = true)
     // a clustered table re-clusters on compaction (range + sort), so
     // the rewrite RESTORES file-level min/max locality instead of
     // interleaving it away — coalesce alone merges arbitrary ranges
@@ -163,8 +209,41 @@ object Versioned {
     writeNext(compacted, root, stamp)
   }
 
-  /** Parquet data files of one version dir (skips _SUCCESS/manifests). */
-  private[graft] def dataFiles(vdir: Path): Seq[Path] = {
+  // -------------------------------------------- commit file manifests
+
+  /** Per-commit FILE MANIFEST (`_graft_files`): the authoritative list
+    * of the version's data files and DV sidecars, written by the commit
+    * itself. Readers resolve a snapshot's files from the manifest
+    * instead of globbing the directory — a stray/alien file dropped
+    * into `v=N` (a crashed task's orphan, an operator mistake) is
+    * INVISIBLE, and at object-store scale the per-read directory
+    * listing disappears (the Delta-log contract: the log names the
+    * files, the store never gets LISTed on the read path). Line format:
+    * `f <name>` data file, `d <name>` deletion-vector sidecar. */
+  private[graft] val FilesManifest = "_graft_files"
+
+  private[graft] def writeFilesManifest(vdir: Path, dataNames: Seq[String],
+                                        dvNames: Seq[String] = Seq.empty): Unit =
+    Files.write(vdir.resolve(FilesManifest),
+      (dataNames.sorted.map("f " + _) ++ dvNames.sorted.map("d " + _))
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** (data file names, dv sidecar names) from the manifest, or None for
+    * a pre-manifest version dir (falls back to directory listing). */
+  private[graft] def manifestEntries(vdir: Path): Option[(Seq[String], Seq[String])] = {
+    val m = vdir.resolve(FilesManifest)
+    if (!Files.exists(m)) None
+    else {
+      val lines = new String(Files.readAllBytes(m),
+        java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+      Some((lines.collect { case l if l.startsWith("f ") => l.drop(2) },
+        lines.collect { case l if l.startsWith("d ") => l.drop(2) }))
+    }
+  }
+
+  /** Raw directory listing of `*.parquet` (skips _SUCCESS/manifests) —
+    * the staging-dir and pre-manifest fallback path. */
+  private[graft] def listParquet(vdir: Path): Seq[Path] = {
     if (!Files.exists(vdir)) return Seq.empty
     val stream = Files.list(vdir)
     try {
@@ -177,6 +256,23 @@ object Versioned {
       acc
     } finally stream.close()
   }
+
+  /** Parquet data files of one version dir: manifest-resolved when the
+    * commit wrote one (stray files invisible, no listing), directory
+    * listing otherwise. A manifest naming a missing file is corruption
+    * and fails loudly — silently reading a partial snapshot would be
+    * data loss. */
+  private[graft] def dataFiles(vdir: Path): Seq[Path] =
+    manifestEntries(vdir) match {
+      case Some((names, _)) => names.map { n =>
+        val p = vdir.resolve(n)
+        require(Files.exists(p),
+          s"graft-versioned: manifest of $vdir lists missing data file " +
+            s"'$n' — the commit is corrupt")
+        p
+      }
+      case None => listParquet(vdir)
+    }
 
   // ------------------------------------------------------- change feed
 
@@ -233,8 +329,10 @@ object Versioned {
   def writeFeedFor(spark: SparkSession, root: String, version: Long,
                    keys: Seq[String], payload: Seq[String]): Unit = {
     val prev = versions(root).filter(_ < version).lastOption
-    def raw(v: Long) =
-      spark.read.option("mergeSchema", "true").parquet(s"$root/v=$v")
+    // manifest-resolved + DV-applied: the feed of a DV-mode DELETE must
+    // show the deleted keys as 'removed' even though their bytes are
+    // still in the (hard-linked) data files
+    def raw(v: Long) = readSnapshot(spark, root, v, mergeSchema = true)
     // align both snapshots to the same (keys ++ payload) projection: a
     // PRE-evolution snapshot may lack an added column entirely — it
     // reads as null there, typed from whichever snapshot has it
@@ -269,11 +367,36 @@ object Versioned {
       .write.mode("overwrite").parquet(feedDir(root, version))
   }
 
-  /** Read the current (or a pinned) version. */
+  /** Read the current (or a pinned) version. Files resolve through the
+    * commit manifest (stray files invisible, no directory listing) and
+    * deletion vectors apply ([[readSnapshot]]). */
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(root))
       .getOrElse(throw new IllegalStateException(s"no versions under $root"))
-    spark.read.parquet(s"$root/v=$v")
+    readSnapshot(spark, root, v, mergeSchema = false)
+  }
+
+  /** THE snapshot read every lifecycle op routes through: the commit
+    * manifest names the files (a stray `.parquet` planted in `v=N` is
+    * invisible; pre-manifest dirs fall back to listing), and a version
+    * carrying deletion-vector sidecars reads through the DSv2 scan —
+    * the only reader that applies DVs positionally. Compaction,
+    * change-feed derivation, restore validation and the public
+    * [[read]] all agree on what a snapshot IS because they all call
+    * this. */
+  def readSnapshot(spark: SparkSession, root: String, version: Long,
+                   mergeSchema: Boolean): DataFrame = {
+    val vdir = Paths.get(root, s"v=$version")
+    if (DeletionVectors.hasDvs(vdir))
+      // the DSv2 scan resolves the same manifest and skips DV'd rows
+      spark.read.format("graft-versioned")
+        .option("versionAsOf", version.toString).load(root)
+    else {
+      val files = dataFiles(vdir).map(_.toString)
+      val r = spark.read.option("mergeSchema", mergeSchema.toString)
+      // an empty manifest (no files at all) still needs a schema source
+      if (files.isEmpty) r.parquet(vdir.toString) else r.parquet(files: _*)
+    }
   }
 
   /** RESTORE: make an OLD snapshot current again as a NEW commit
@@ -296,6 +419,11 @@ object Versioned {
       try Files.createLink(tgt, f)
       catch { case _: UnsupportedOperationException => Files.copy(f, tgt) }
     }
+    // hard-links keep file names, so the restored manifest lists the
+    // same names the source manifest did (plus its DV sidecars, below)
+    writeFilesManifest(staged,
+      listParquet(staged).map(_.getFileName.toString),
+      DeletionVectors.carryAll(src, staged))
     val next = cur + 1
     try Files.move(staged, Paths.get(root, s"v=$next"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -305,6 +433,7 @@ object Versioned {
         throw new IllegalStateException(
           s"restoreTo: concurrent commit under $root — retry", e)
     }
+    writeLatestHint(root, next)
     writeStamp(root, next,
       commitTs.getOrElse(System.currentTimeMillis() * 1000L))
     next
@@ -328,7 +457,11 @@ object Versioned {
       try Files.createLink(tgt, f)
       catch { case _: UnsupportedOperationException => Files.copy(f, tgt) }
     }
+    writeFilesManifest(staged,
+      listParquet(staged).map(_.getFileName.toString),
+      DeletionVectors.carryAll(Paths.get(srcRoot, s"v=$srcV"), staged))
     Files.move(staged, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    writeLatestHint(dstRoot, 0L)
     writeStamp(dstRoot, 0L,
       commitTs.getOrElse(System.currentTimeMillis() * 1000L))
   }
@@ -343,7 +476,14 @@ object Versioned {
       deleteRecursively(p)
       deleteRecursively(Paths.get(feedDir(root, v)))
     }
-    versionDirs(root).lastOption.map(_._1)
+    val cur = versionDirs(root).lastOption.map(_._1)
+    // re-point the latest hint below the deleted version (a stale-high
+    // hint only costs a listing fallback, but keep it truthful)
+    cur match {
+      case Some(v) => writeLatestHint(root, v)
+      case None => Files.deleteIfExists(Paths.get(root, LatestHint))
+    }
+    cur
   }
 
   /** O3/S14 retention: keep the newest `keep` versions

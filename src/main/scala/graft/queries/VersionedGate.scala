@@ -544,6 +544,67 @@ object VersionedGate {
     s.sql("SELECT doc_id, n_chars FROM graft.gate.docs155 ORDER BY doc_id")
   }
 
+  /** q156: MERGE-ON-READ deletion vectors — q149's exact DELETE
+    * lifecycle on a `deletionVectors=true` table, sharing q149's
+    * predicate-derived oracle: the final snapshots must be IDENTICAL to
+    * the copy-on-write path's (representation changes, rows never do).
+    * The gate itself require()s the merge-on-read mechanics: the
+    * post-delete version hard-links every pre-delete data file under
+    * the same name (history shows no file rewrite) and carries DV
+    * sidecars instead. */
+  def q156DvDelete(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs156")
+    s.sql("CREATE TABLE graft.gate.docs156 (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('deletionVectors'='true')")
+    Tables.documents(s, dir).createOrReplaceTempView("q156_docs_src")
+    s.sql("INSERT INTO graft.gate.docs156 " +
+      "SELECT doc_id, lang, n_chars FROM q156_docs_src WHERE doc_id % 3 = 0")
+    s.sql("DELETE FROM graft.gate.docs156 WHERE n_chars < 400 OR doc_id < 60")
+    val root = scratchBase.resolve("catalog").resolve("gate")
+      .resolve("docs156")
+    def names(v: String) = Versioned.dataFiles(root.resolve(v))
+      .map(_.getFileName.toString).toSet
+    require(names("v=1") == names("v=0"),
+      "q156: a DV-mode DELETE must not rewrite or drop any data file")
+    require(graft.operators.DeletionVectors.hasDvs(root.resolve("v=1")),
+      "q156: the DELETE commit must carry deletion-vector sidecars")
+    s.sql("""SELECT 'pre' AS snap, lang, cast(count(*) AS bigint) AS n_docs
+             FROM graft.gate.docs156 VERSION AS OF 0 GROUP BY lang
+             UNION ALL
+             SELECT 'post' AS snap, lang, cast(count(*) AS bigint) AS n_docs
+             FROM graft.gate.docs156 GROUP BY lang
+             ORDER BY snap, lang""")
+  }
+
+  /** q158: the change feed is REPRESENTATION-INDEPENDENT — q153's exact
+    * insert/update/delete lifecycle with deletion vectors enabled,
+    * sharing q153's oracle: the stored feed of a DV-mode DELETE (whose
+    * deleted rows still live in the hard-linked files) must be
+    * row-identical to the copy-on-write feed, because feed derivation
+    * reads snapshots through the DV-applying scan. */
+  def q158DvChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs158")
+    s.sql("CREATE TABLE graft.gate.docs158 (doc_id BIGINT, n_chars BIGINT) " +
+      "USING `graft-versioned` " +
+      "TBLPROPERTIES ('changeFeedKeys'='doc_id', 'deletionVectors'='true')")
+    Tables.documents(s, dir).createOrReplaceTempView("q158_docs_src")
+    s.sql("INSERT INTO graft.gate.docs158 " +
+      "SELECT doc_id, n_chars FROM q158_docs_src WHERE doc_id % 3 = 0")
+    s.sql("UPDATE graft.gate.docs158 SET n_chars = n_chars + 7 " +
+      "WHERE doc_id % 2 = 0")
+    s.sql("DELETE FROM graft.gate.docs158 WHERE n_chars < 300")
+    val root = scratchBase.resolve("catalog").resolve("gate")
+      .resolve("docs158")
+    require(graft.operators.DeletionVectors.hasDvs(root.resolve("v=2")),
+      "q158: the DELETE must have taken the deletion-vector path")
+    Versioned.feedVersions(root.toString)
+      .map(v => s.read.parquet(Versioned.feedDir(root.toString, v)))
+      .reduce(_.unionByName(_))
+      .orderBy(col("commit_version"), col("doc_id"))
+  }
+
   private lazy val StreamWriteSrc = scratchBase.resolve("q146_src").toString
   private lazy val StreamWriteDst = scratchBase.resolve("q146_dst").toString
 
@@ -595,6 +656,8 @@ object VersionedGate {
     "q153_catalog_change_feed" -> (q153CatalogChangeFeed _),
     "q154_restore_clone" -> (q154RestoreClone _),
     "q155_check_constraints" -> (q155CheckConstraints _),
+    "q156_dv_delete" -> (q156DvDelete _),
+    "q158_dv_change_feed" -> (q158DvChangeFeed _),
     "q159_throttled_change_feed" -> (q159ThrottledChangeFeed _),
     "q63_versioned_load" -> (q63VersionedLoad _),
     "q67_csv_swap" -> (q67CsvSwap _),
@@ -696,6 +759,35 @@ object VersionedGate {
       """SELECT doc_id, n_chars FROM documents
         |WHERE doc_id % 3 = 0 AND n_chars >= 300
         |ORDER BY doc_id""".stripMargin,
+    // q156 shares q149's oracle verbatim: merge-on-read DELETE must be
+    // row-identical to copy-on-write DELETE
+    "q156_dv_delete" ->
+      """SELECT 'pre' AS snap, lang, cast(count(*) as bigint) AS n_docs
+        |FROM documents WHERE doc_id % 3 = 0 GROUP BY lang
+        |UNION ALL
+        |SELECT 'post' AS snap, lang, cast(count(*) as bigint) AS n_docs
+        |FROM documents
+        |WHERE doc_id % 3 = 0 AND NOT (n_chars < 400 OR doc_id < 60)
+        |GROUP BY lang
+        |ORDER BY snap, lang""".stripMargin,
+    // q158 shares q153's oracle verbatim: the stored feed of a DV-mode
+    // DELETE equals the copy-on-write feed
+    "q158_dv_change_feed" ->
+      """WITH base AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0),
+        |upd AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN n_chars + 7 ELSE n_chars END AS n_chars
+        |  FROM base)
+        |SELECT doc_id, 'added' AS change_type,
+        |  CAST(0 AS BIGINT) AS commit_version,
+        |  CAST(NULL AS BIGINT) AS old_n_chars, n_chars AS new_n_chars
+        |FROM base
+        |UNION ALL
+        |SELECT b.doc_id, 'changed', 1, b.n_chars, u.n_chars
+        |FROM base b JOIN upd u USING (doc_id) WHERE b.doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, 'removed', 2, n_chars, NULL
+        |FROM upd WHERE n_chars < 300
+        |ORDER BY commit_version, doc_id""".stripMargin,
     // q144: two append commits = the union of the two insert predicates
     "q144_catalog_sql" ->
       """SELECT lang, cast(count(*) as bigint) AS n_docs,

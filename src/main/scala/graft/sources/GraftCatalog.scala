@@ -195,7 +195,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       }
     }
     val layoutProps =
-      Seq("clusterBy", "writePartitions", "targetFileBytes", "changeFeedKeys")
+      Seq("clusterBy", "writePartitions", "targetFileBytes", "changeFeedKeys",
+        "deletionVectors")
         .flatMap(k => Option(properties.get(k)).filter(_.nonEmpty).map(v => s"$k=$v"))
     if (layoutProps.nonEmpty)
       Files.write(tablePath(ident).resolve(PropsManifest),
@@ -217,7 +218,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     var schema = DataType.fromJson(new String(Files.readAllBytes(m),
       java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
     val layoutKeys =
-      Set("clusterBy", "writePartitions", "targetFileBytes", "changeFeedKeys")
+      Set("clusterBy", "writePartitions", "targetFileBytes", "changeFeedKeys",
+        "deletionVectors")
     var props = readProps(ident)
     changes.foreach {
       case add: TableChange.AddColumn =>

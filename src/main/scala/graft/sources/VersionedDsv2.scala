@@ -125,6 +125,60 @@ private[sources] object GraftVersionedTable {
     override def comment(): String = "data file path holding the row"
   }
 
+  /** Name of the synthesized absolute-row-position metadata column —
+    * the physical row ordinal within the row's data file, the
+    * coordinate deletion vectors are keyed on. Exposed ONLY under
+    * `.option("withRowPos", "true")`: correct positions require the
+    * scan to keep every predicate residual (a parquet record-level
+    * filter hides the rows it skips, which would shift the ordinals),
+    * and that trade is made when — and only when — the option asks
+    * for it (the DV-writing DELETE path does). */
+  val PosColumn = "_pos"
+
+  object PosMetadataColumn extends MetadataColumn {
+    override def name(): String = PosColumn
+    override def dataType(): DataType = LongType
+    override def isNullable: Boolean = false
+    override def comment(): String = "absolute row position within the data file"
+  }
+
+  def withRowPos(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("withRowPos", false)
+
+  /** COLUMN MAPPING (logical → physical): files always store PHYSICAL
+    * column names, fixed at column birth; `RENAME COLUMN` moves only
+    * the logical name, so every pre-rename file stays readable with no
+    * rewrite (Delta's name-mapping mode). The catalog serializes the
+    * mapping into this option; identity when absent. Separators are
+    * control characters no SQL identifier contains. */
+  private val ColMapEntrySep = '\u0002'
+  private val ColMapPairSep = '\u0001'
+
+  def colMapOf(options: CaseInsensitiveStringMap): Map[String, String] =
+    Option(options.get("colmap")).filter(_.nonEmpty)
+      .map(_.split(ColMapEntrySep).map { e =>
+        val i = e.indexOf(ColMapPairSep)
+        require(i > 0, s"graft-versioned: malformed colmap entry '$e'")
+        e.substring(0, i) -> e.substring(i + 1)
+      }.toMap)
+      .getOrElse(Map.empty)
+
+  def serializeColMap(m: Map[String, String]): String =
+    m.map { case (l, p) => s"$l$ColMapPairSep$p" }
+      .mkString(ColMapEntrySep.toString)
+
+  /** Does the snapshot this scan resolves to carry deletion vectors?
+    * (False for change feeds and uninitialized roots.) */
+  def snapshotHasDvs(options: CaseInsensitiveStringMap): Boolean =
+    !isChangeFeed(options) && {
+      val root = rootOf(options)
+      (Versioned.latestVersion(root).nonEmpty ||
+        options.containsKey("versionAsOf") ||
+        options.containsKey("timestampAsOf")) &&
+        graft.operators.DeletionVectors.hasDvs(
+          java.nio.file.Paths.get(snapshotDir(root, options)))
+    }
+
   def rootOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null && p.nonEmpty,
@@ -185,9 +239,13 @@ private[sources] object GraftVersionedTable {
     } else {
       // mergeSchema: a snapshot that hard-links pre-evolution files
       // next to evolved ones holds MIXED footer schemas — the union
-      // (with null-fill on read) is the snapshot's schema
-      spark.read.option("mergeSchema", "true")
-        .parquet(snapshotDir(root, options)).schema
+      // (with null-fill on read) is the snapshot's schema; files
+      // resolve through the commit manifest (stray parquet invisible)
+      val dir = snapshotDir(root, options)
+      val files = Versioned.dataFiles(java.nio.file.Paths.get(dir))
+        .map(_.toString)
+      val r = spark.read.option("mergeSchema", "true")
+      (if (files.isEmpty) r.parquet(dir) else r.parquet(files: _*)).schema
     }
   }
 }
@@ -284,26 +342,57 @@ private[sources] class GraftVersionedTable(
     require(!changeFeed, "the change feed is read-only")
     val spark = SparkSession.active
     if (Versioned.latestVersion(root).isEmpty) return // nothing to delete
-    // read with the TABLE schema, not footer inference: a snapshot
-    // holding pre-evolution files next to evolved ones must null-fill
-    // the added columns, or the rewrite would silently drop them
-    val cur =
-      if (tableSchema.nonEmpty)
-        spark.read.schema(tableSchema)
-          .parquet(s"$root/v=${Versioned.latestVersion(root).get}")
-      else Versioned.read(spark, root)
     val pred = filters.flatMap(GroupParquetIo.toColumn).reduceOption(_ && _)
-    val keep = pred match {
-      // SQL DELETE removes rows where the predicate is TRUE; rows where
-      // it evaluates NULL are KEPT (the P10 null-keep rule) — a plain
-      // filter(!p) would silently drop them
-      case Some(p) => cur.filter(
-        org.apache.spark.sql.functions.not(
-          org.apache.spark.sql.functions.coalesce(
-            p, org.apache.spark.sql.functions.lit(false))))
-      case None => cur.limit(0) // TRUNCATE TABLE: empty survivors
+    val v = pred match {
+      // MERGE-ON-READ delete (`deletionVectors=true` table property):
+      // the new version hard-links every data file and records the
+      // matching ROW POSITIONS in per-file sidecars — a one-row DELETE
+      // writes bytes proportional to the deleted rows, never to the
+      // touched files (the point-mutation shape the reference's
+      // per-record cleanup deletes have, del_unuse_record_in_kilid.py:
+      // 20-24). Null-predicate rows are naturally kept: only rows the
+      // predicate evaluates TRUE get a position. TRUNCATE (no
+      // predicate) stays copy-on-write — an all-rows DV would be the
+      // worst of both worlds.
+      case Some(p) if options.getBoolean("deletionVectors", false) =>
+        VersionedWriteIo.deleteViaDv(spark, root, p)
+      case _ =>
+        // copy-on-write: survivors become a new version. Read with the
+        // TABLE schema, not footer inference: a snapshot holding
+        // pre-evolution files next to evolved ones must null-fill the
+        // added columns, or the rewrite would silently drop them. A
+        // snapshot carrying deletion vectors reads through the
+        // DV-applying scan instead (raw files would resurrect deleted
+        // rows), aligned to the table schema the same way.
+        val latest = Versioned.latestVersion(root).get
+        val vdir = java.nio.file.Paths.get(s"$root/v=$latest")
+        val cur =
+          if (graft.operators.DeletionVectors.hasDvs(vdir)) {
+            val snap = Versioned.readSnapshot(spark, root, latest,
+              mergeSchema = true)
+            if (tableSchema.isEmpty) snap
+            else snap.select(tableSchema.fields.map { f =>
+              if (snap.schema.fieldNames.contains(f.name))
+                org.apache.spark.sql.functions.col(f.name)
+              else org.apache.spark.sql.functions.lit(null)
+                .cast(f.dataType).as(f.name)
+            }.toIndexedSeq: _*)
+          } else if (tableSchema.nonEmpty)
+            spark.read.schema(tableSchema).parquet(
+              Versioned.dataFiles(vdir).map(_.toString): _*)
+          else Versioned.read(spark, root)
+        val keep = pred match {
+          // SQL DELETE removes rows where the predicate is TRUE; rows
+          // where it evaluates NULL are KEPT (the P10 null-keep rule) —
+          // a plain filter(!p) would silently drop them
+          case Some(p) => cur.filter(
+            org.apache.spark.sql.functions.not(
+              org.apache.spark.sql.functions.coalesce(
+                p, org.apache.spark.sql.functions.lit(false))))
+          case None => cur.limit(0) // TRUNCATE TABLE: empty survivors
+        }
+        Versioned.writeNext(keep, root, Some(VersionedWriteIo.stampValue(None)))
     }
-    val v = Versioned.writeNext(keep, root, Some(VersionedWriteIo.stampValue(None)))
     // changeFeedKeys tables feed the change source from DELETEs too
     val feedKeys = Option(options.get("changeFeedKeys"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -319,8 +408,12 @@ private[sources] class GraftVersionedTable(
   // only routes rows through its data projection when the operation
   // declares metadata (with none, the writer would receive the raw
   // [__row_operation, data…] rows and the columns would shift).
+  // `_pos` joins it only under withRowPos (see PosColumn's contract).
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(GraftVersionedTable.FileMetadataColumn)
+    if (GraftVersionedTable.withRowPos(options))
+      Array(GraftVersionedTable.FileMetadataColumn,
+        GraftVersionedTable.PosMetadataColumn)
+    else Array(GraftVersionedTable.FileMetadataColumn)
 
   // ---- SQL UPDATE / MERGE INTO / arbitrary-predicate DELETE: the
   // group-based (copy-on-write) row-level operation with the DATA FILE
@@ -510,8 +603,13 @@ private[sources] class GraftRowLevelScan(
     }
     op.scannedState = Some((version,
       kept.map(fg => java.nio.file.Paths.get(fg.file).getFileName.toString).toSet))
-    // full files, split per row group for parallelism — never filtered
-    GroupParquetIo.toPartitions(kept)
+    // full files, split per row group for parallelism — never filtered;
+    // existing deletion vectors APPLY (the rewrite must not resurrect
+    // rows a DV-mode DELETE already killed), and the commit drops the
+    // replaced files' sidecars (the rewritten content excludes them)
+    GroupParquetIo.toPartitions(kept,
+      graft.operators.DeletionVectors.dvMap(dir)
+        .map { case (n, p) => n -> p.toString })
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -529,11 +627,29 @@ private[sources] class GraftVersionedScanBuilder(
   private var aggAnswer: Option[(StructType, GenericInternalRow, String)] = None
   private var limit: Option[Int] = None
 
+  // column mapping: predicates arrive logical, footers speak physical —
+  // translate once here, at the boundary; `required` stays logical
+  // (it IS the scan's output schema) and the reader maps per lookup
+  private val colMap = GraftVersionedTable.colMapOf(options)
+
+  // MERGE-ON-READ mode: the resolved snapshot carries deletion vectors
+  // (rows the reader must skip positionally), or the caller asked for
+  // `_pos` (positions must count every physical row). Either way a
+  // parquet record-level filter would shift/hide positions, so pushed
+  // predicates degrade to DRIVER-SIDE row-group pruning hints and
+  // Spark re-applies every filter above the scan; footer-only
+  // shortcuts (LIMIT group-trimming, aggregate pushdown) are refused
+  // because footer row counts include the DV'd rows.
+  private lazy val morMode: Boolean =
+    GraftVersionedTable.withRowPos(options) ||
+      GraftVersionedTable.snapshotHasDvs(options)
+
   // PARTIAL limit pushdown (isPartiallyPushed stays true, Spark keeps
   // the final LIMIT): the scan schedules only enough row groups to
   // cover n rows and each reader stops early — correct under parallel
   // partitions precisely because the engine-side LIMIT remains
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def pushLimit(n: Int): Boolean =
+    if (morMode) false else { limit = Some(n); true }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -542,7 +658,8 @@ private[sources] class GraftVersionedScanBuilder(
     val (ok, residual) = filters.partition(f =>
       GroupParquetIo.translatable(f, fullSchema))
     pushed = ok
-    residual // Spark re-applies these above the scan
+    if (morMode) filters // group-prune only; Spark re-applies ALL
+    else residual // Spark re-applies these above the scan
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -576,7 +693,7 @@ private[sources] class GraftVersionedScanBuilder(
   }
 
   private def structurallyAnswerable(agg: Aggregation): Boolean =
-    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+    pushed.isEmpty && agg.groupByExpressions.isEmpty && !morMode &&
       !GraftVersionedTable.isChangeFeed(options) &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
@@ -753,13 +870,20 @@ private[sources] class GraftVersionedScan(
   override def planInputPartitions(): Array[InputPartition] = {
     // LIMIT with no filters: row counts are exact, so schedule only
     // enough row groups to cover the limit — `LIMIT 10` over a 100 TB
-    // snapshot launches one task, not one per row group
+    // snapshot launches one task, not one per row group (the scan
+    // builder refuses the limit pushdown in morMode, where DV'd rows
+    // make footer counts an overcount)
     val groups = limit match {
       case Some(n) if allFilters.isEmpty =>
         GroupParquetIo.limitGroups(plannedGroups, n.toLong)
       case _ => plannedGroups
     }
-    GroupParquetIo.toPartitions(groups)
+    val dvs =
+      if (uninitialized) Map.empty[String, String]
+      else graft.operators.DeletionVectors.dvMap(java.nio.file.Paths.get(
+          GraftVersionedTable.snapshotDir(root, options)))
+        .map { case (n, p) => n -> p.toString }
+    GroupParquetIo.toPartitions(groups, dvs)
   }
 
   /** Footer-derived estimates over the SURVIVING row groups: numRows
@@ -796,11 +920,20 @@ private[sources] class GraftVersionedScan(
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(GraftVersionedTable.isChangeFeed(options),
       "streaming reads need .option(\"changeFeed\", \"true\") — snapshots are batch")
-    val maxPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
-    maxPerTrigger.foreach(n => require(n > 0,
-      s"graft-versioned: maxVersionsPerTrigger must be positive, got $n"))
+    // parse inside an option-named error: a malformed value ("abc")
+    // must fail as loudly and as helpfully as a non-positive one
+    def positiveLong(key: String): Option[Long] =
+      Option(options.get(key)).map { v =>
+        val n = scala.util.Try(v.trim.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-versioned: $key must be a positive integer, got '$v'"))
+        require(n > 0, s"graft-versioned: $key must be positive, got $n")
+        n
+      }
     new GraftChangeFeedStream(root, required, pushed, filterTypes,
-      options.getLong("startingVersion", 0L), maxPerTrigger)
+      options.getLong("startingVersion", 0L),
+      positiveLong("maxVersionsPerTrigger"),
+      positiveLong("maxBytesPerTrigger"))
   }
 }
 
@@ -818,17 +951,23 @@ private[sources] class GraftVersionedScan(
   * `ReadLimit.maxRows(n)` through `getDefaultReadLimit` (rows = commits
   * here: the source's admission unit, the closest vocabulary Spark's
   * ReadLimit offers), and `latestOffset(start, limit)` honors whatever
-  * limit arrives — including the one Trigger.AvailableNow composes —
-  * so the pinned drain target is still reached, one bounded batch at a
+  * limit arrives: maxRows caps the batch's commit count, maxBytes caps
+  * it by the pending commits' stored-feed byte footprint (always
+  * admitting at least one commit so the stream cannot stall), and
+  * CompositeReadLimit is handled defensively (min over its members) for
+  * forward-compatibility — Spark's AvailableNow path passes
+  * getDefaultReadLimit through rather than composing one. Either way
+  * the pinned drain target is still reached, one bounded batch at a
   * time. */
 private[sources] class GraftChangeFeedStream(
     root: String, required: StructType, pushed: Array[Filter],
     filterTypes: Map[String, DataType], startingVersion: Long,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxRows}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxRows}
 
   private def currentLatest: Long =
     Versioned.feedVersions(root).lastOption.getOrElse(startingVersion - 1)
@@ -844,9 +983,16 @@ private[sources] class GraftChangeFeedStream(
 
   override def initialOffset(): Offset = GraftVersionOffset(startingVersion - 1)
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxVersionsPerTrigger.map(n => ReadLimit.maxRows(n))
-      .getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits =
+      maxVersionsPerTrigger.map(n => ReadLimit.maxRows(n)).toArray ++
+        maxBytesPerTrigger.map(b => ReadLimit.maxBytes(b))
+    limits match {
+      case Array() => ReadLimit.allAvailable()
+      case Array(one) => one
+      case both => ReadLimit.compositeLimit(both)
+    }
+  }
 
   // the engine drives a SupportsAdmissionControl source exclusively
   // through latestOffset(start, limit)
@@ -858,28 +1004,59 @@ private[sources] class GraftChangeFeedStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftVersionOffset].version
-    val target = drainTarget
-    // keep only the first n pending commits of (s, target]; feed
-    // versions can be sparse (every commit feeds on a changeFeedKeys
-    // table, but a path-based root may mix), so count stored feeds,
-    // not version arithmetic
-    def cap(n: Long): Long = {
+    // ONE feed listing per trigger: the drain target (when not pinned
+    // by AvailableNow) and the pending slice both derive from the same
+    // directory snapshot — a second listing would double per-batch cost
+    // on a remote filesystem and could disagree with the first
+    // mid-commit
+    val feeds = Versioned.feedVersions(root)
+    val target = availableTarget.getOrElse(
+      feeds.lastOption.getOrElse(startingVersion - 1))
+    // feed versions can be sparse (every commit feeds on a
+    // changeFeedKeys table, but a path-based root may mix), so caps
+    // count/weigh stored feeds, not version arithmetic
+    lazy val pending = feeds.filter(v => v > s && v <= target)
+    def capByCount(n: Long): Long = {
       if (n <= 0) return s
-      val pending = Versioned.feedVersions(root).filter(v => v > s && v <= target)
       if (pending.size <= n) target
       else pending(math.min(n, Int.MaxValue.toLong).toInt - 1)
     }
-    val end = limit match {
-      case _: ReadAllAvailable => target
-      case r: ReadMaxRows => cap(r.maxRows())
-      case c: CompositeReadLimit =>
-        // AvailableNow composes limits; the rows (=commits) cap is the
-        // one this source understands — min over every maxRows present
-        val caps = c.getReadLimits.collect { case r: ReadMaxRows => r.maxRows() }
-        if (caps.isEmpty) target else cap(caps.min)
-      case _ => target // maxFiles/maxBytes: no commit-count mapping
+    // maxBytes maps onto the stored feeds' byte sums: admit commits
+    // until the budget is spent, but always at least one — a single
+    // over-budget commit must go through alone, not stall the stream
+    def capByBytes(budget: Long): Long = {
+      if (pending.isEmpty) return target
+      var spent = 0L
+      var end = s
+      var admitted = 0
+      var full = false
+      // the admitted set must be a PREFIX of the pending commits —
+      // stop at the first commit that busts the budget (a later,
+      // smaller commit must NOT slip past it)
+      pending.foreach { v =>
+        if (!full) {
+          val bytes = Versioned.dataFiles(
+            java.nio.file.Paths.get(Versioned.feedDir(root, v)))
+            .map(java.nio.file.Files.size(_)).sum
+          if (admitted == 0 || spent + bytes <= budget) {
+            spent += bytes; end = v; admitted += 1
+          } else full = true
+        }
+      }
+      if (end == pending.last) target else end
     }
-    GraftVersionOffset(end)
+    def capBy(l: ReadLimit): Long = l match {
+      case _: ReadAllAvailable => target
+      case r: ReadMaxRows => capByCount(r.maxRows())
+      case b: ReadMaxBytes => capByBytes(b.maxBytes())
+      case c: CompositeReadLimit =>
+        // defensive: Spark's own triggers don't compose limits today,
+        // but a composite must mean "most restrictive member wins"
+        val caps = c.getReadLimits.map(capBy)
+        if (caps.isEmpty) target else caps.min
+      case _ => target // maxFiles: no commit mapping for a feed source
+    }
+    GraftVersionOffset(capBy(limit))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -915,7 +1092,8 @@ private[sources] case class GraftVersionOffset(version: Long) extends Offset {
   * caps parallelism at scale. A negative range means "whole file"
   * (streaming-feed fallbacks and older call sites). */
 private[sources] case class GroupParquetPartition(
-    file: String, rangeStart: Long = -1L, rangeEnd: Long = -1L)
+    file: String, rangeStart: Long = -1L, rangeEnd: Long = -1L,
+    dvFile: String = null)
   extends InputPartition
 
 private[sources] case class GroupParquetReaderFactory(
@@ -926,7 +1104,7 @@ private[sources] case class GroupParquetReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GroupParquetPartition]
     new GroupParquetPartitionReader(p.file, p.rangeStart, p.rangeEnd,
-      required, pushed, filterTypes, limit)
+      required, pushed, filterTypes, limit, p.dvFile)
   }
 }
 
@@ -938,17 +1116,53 @@ private[sources] case class GroupParquetReaderFactory(
 private[sources] class GroupParquetPartitionReader(
     file: String, rangeStart: Long, rangeEnd: Long,
     required: StructType, pushed: Array[Filter],
-    filterTypes: Map[String, DataType], limit: Long = -1L)
+    filterTypes: Map[String, DataType], limit: Long = -1L,
+    dvFile: String = null)
   extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
 
   private val filePathUtf8 = UTF8String.fromString(file)
 
-  private val fileSchema: MessageType = {
+  // merge-on-read state: positions are absolute row ordinals within
+  // the FILE, so a row-group partition needs its group's starting row
+  // index (cumulative row count of the preceding groups — computed
+  // from the same footer read that resolves the schema)
+  private val needPos = dvFile != null ||
+    required.fieldNames.contains(GraftVersionedTable.PosColumn)
+
+  private val (fileSchema: MessageType, startRow: Long) = {
     val in = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file), conf))
-    try in.getFooter.getFileMetaData.getSchema finally in.close()
+    try {
+      val footer = in.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val start =
+        if (!needPos || rangeStart < 0) 0L
+        else {
+          // the same midpoint rule withFileRange uses to pick the group
+          var cum = 0L
+          var found = -1L
+          val it = footer.getBlocks.iterator()
+          while (it.hasNext && found < 0) {
+            val b = it.next()
+            val mid = b.getStartingPos + b.getCompressedSize / 2
+            if (mid >= rangeStart && mid < rangeEnd) found = cum
+            else cum += b.getRowCount
+          }
+          require(found >= 0,
+            s"graft-versioned: no row group midpoint in [$rangeStart, " +
+              s"$rangeEnd) of $file")
+          found
+        }
+      (schema, start)
+    } finally in.close()
   }
+
+  private lazy val dvPositions: Array[Long] =
+    if (dvFile == null) Array.empty
+    else graft.operators.DeletionVectors.read(java.nio.file.Paths.get(dvFile))
+  private var dvIdx = 0
+  private var rowPos: Long = startRow - 1
 
   // projection = required ∪ filter columns (record-level filtering
   // evaluates on the assembled record, so filter columns must be read
@@ -988,7 +1202,13 @@ private[sources] class GroupParquetPartitionReader(
     // row-group split: the range's midpoint rule selects exactly this
     // partition's group (negative range = whole file)
     val b = if (rangeStart >= 0) b0.withFileRange(rangeStart, rangeEnd) else b0
-    GroupParquetIo.compile(presentAtoms, filterTypes) match {
+    // position tracking forbids record-level filtering: parquet hides
+    // the rows a record filter skips, which would shift every ordinal.
+    // Safe: whenever needPos holds the scan builder kept ALL predicates
+    // residual (morMode), so Spark re-applies them above the scan.
+    val compiled =
+      if (needPos) None else GroupParquetIo.compile(presentAtoms, filterTypes)
+    compiled match {
       case Some(pred) => b.withFilter(FilterCompat.get(pred)).build()
       case None => b.build()
     }
@@ -1006,9 +1226,21 @@ private[sources] class GroupParquetPartitionReader(
     // the engine-side final LIMIT (partial pushdown) does the rest
     if (limit >= 0 && emitted >= limit) return false
     opened = true
-    current = reader.read()
-    if (current != null) emitted += 1
-    current != null
+    var live = false
+    while (!live) {
+      current = reader.read()
+      if (current == null) return false
+      rowPos += 1
+      // deletion-vector skip: both the rows and the positions arrive
+      // in ascending order, so one pointer walks the sorted DV once
+      if (dvFile != null) {
+        while (dvIdx < dvPositions.length && dvPositions(dvIdx) < rowPos)
+          dvIdx += 1
+        live = dvIdx >= dvPositions.length || dvPositions(dvIdx) != rowPos
+      } else live = true
+    }
+    emitted += 1
+    true
   }
 
   override def get(): InternalRow = {
@@ -1019,8 +1251,9 @@ private[sources] class GroupParquetPartitionReader(
     while (i < required.length) {
       val f = required.fields(i)
       if (synthesized(f.name)) {
-        row.update(i,
-          if (f.name == GraftVersionedTable.FileColumn) filePathUtf8 else null)
+        if (f.name == GraftVersionedTable.FileColumn) row.update(i, filePathUtf8)
+        else if (f.name == GraftVersionedTable.PosColumn) row.setLong(i, rowPos)
+        else row.update(i, null)
         i += 1
       } else {
       val gi = gType.getFieldIndex(f.name)
@@ -1082,6 +1315,36 @@ private[sources] object GroupParquetIo {
     case x => Seq(x)
   }
 
+  /** Rewrite a filter's attribute references through the column
+    * mapping (logical → physical) — predicates arrive from Spark in
+    * LOGICAL names, parquet footers and pages carry PHYSICAL ones. An
+    * unmapped name maps to itself (identity for unmapped columns and
+    * for `_file`/`_pos` metadata references). Supports exactly the
+    * vocabulary [[translatable]]/[[toColumn]] accept; anything else
+    * passes through unchanged (it is never compiled or pruned on). */
+  def mapFilter(f: Filter, m: Map[String, String]): Filter = {
+    if (m.isEmpty) return f
+    def p(a: String): String = m.getOrElse(a, a)
+    f match {
+      case EqualTo(a, v) => EqualTo(p(a), v)
+      case EqualNullSafe(a, v) => EqualNullSafe(p(a), v)
+      case GreaterThan(a, v) => GreaterThan(p(a), v)
+      case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(p(a), v)
+      case LessThan(a, v) => LessThan(p(a), v)
+      case LessThanOrEqual(a, v) => LessThanOrEqual(p(a), v)
+      case IsNull(a) => IsNull(p(a))
+      case IsNotNull(a) => IsNotNull(p(a))
+      case In(a, vs) => In(p(a), vs)
+      case StringStartsWith(a, v) => StringStartsWith(p(a), v)
+      case StringEndsWith(a, v) => StringEndsWith(p(a), v)
+      case StringContains(a, v) => StringContains(p(a), v)
+      case And(l, r) => And(mapFilter(l, m), mapFilter(r, m))
+      case Or(l, r) => Or(mapFilter(l, m), mapFilter(r, m))
+      case Not(c) => Not(mapFilter(c, m))
+      case other => other
+    }
+  }
+
   /** Truth value of a translatable atom when its column reads as null
     * — the value an added (schema-evolution) column has in every
     * pre-evolution file. Only IsNull survives a null. */
@@ -1124,12 +1387,16 @@ private[sources] object GroupParquetIo {
     * durability unit, row groups the parallelism unit — a compacted
     * 1 GB file still fans out to its ~8 groups instead of capping the
     * stage at file count. */
-  def toPartitions(footers: Seq[FileGroups]): Array[InputPartition] =
+  def toPartitions(footers: Seq[FileGroups],
+                   dvs: Map[String, String] = Map.empty): Array[InputPartition] =
     footers.flatMap { fg =>
-      if (fg.total <= 1) fg.kept.map(_ => GroupParquetPartition(fg.file))
+      val dv = dvs.getOrElse(
+        java.nio.file.Paths.get(fg.file).getFileName.toString, null)
+      if (fg.total <= 1)
+        fg.kept.map(_ => GroupParquetPartition(fg.file, dvFile = dv))
       else fg.kept.map { b =>
         GroupParquetPartition(fg.file, b.getStartingPos,
-          b.getStartingPos + b.getCompressedSize)
+          b.getStartingPos + b.getCompressedSize, dv)
       }
     }.toArray
 
@@ -1741,50 +2008,223 @@ private[sources] object VersionedWriteIo {
     stale.map(_.getFileName.toString).sorted
   }
 
-  /** Publish a row-level operation's staged output as the next
-    * version: staged files REPLACE the scanned files of the scanned
-    * snapshot; every unscanned file hard-links over unchanged (a
-    * one-row UPDATE rewrites one file). SERIALIZABLE, not optimistic:
-    * the replacement is only meaningful against the exact snapshot the
-    * scan read, so a concurrent commit in between fails this commit
-    * loudly — retrying the whole statement re-scans current data
-    * (Delta's write-conflict semantics), whereas silently re-basing
-    * would resurrect concurrently-deleted rows or drop concurrent
-    * appends. */
-  def commitRowLevel(root: String, staged: Path, schema: StructType,
-                     scannedVersion: Long, scannedNames: Set[String],
-                     stamp: Long): Long = {
-    def conflict(): Nothing = {
-      Versioned.deleteRecursively(staged)
-      throw new IllegalStateException(
-        s"graft-versioned: concurrent commit under $root during a " +
-          s"row-level operation (scanned v=$scannedVersion, latest is " +
-          s"v=${Versioned.latestVersion(root).getOrElse(-1L)}) — " +
-          "retry the statement against current data")
+  /** Marker a row-level commit leaves in its version dir recording the
+    * file set it REPLACED — the evidence [[commitRowLevel]]'s conflict
+    * resolution reads: a later row-level commit that scanned an older
+    * snapshot may REBASE over this one iff the two replaced sets are
+    * disjoint (Delta's file-level conflict check). */
+  private val RowLevelMarker = "_graft_rowlevel"
+
+  private def writeRowLevelMarker(vdir: Path, replaced: Set[String]): Unit =
+    Files.write(vdir.resolve(RowLevelMarker),
+      replaced.toSeq.sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** The replaced-file set of a row-level commit, None for any other
+    * commit kind (append/overwrite/streaming epoch). */
+  private def rowLevelReplaced(root: String, version: Long): Option[Set[String]] = {
+    val f = Paths.get(root, s"v=$version", RowLevelMarker)
+    if (!Files.exists(f)) None
+    else Some(new String(Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).toSet)
+  }
+
+  private[sources] def uniqueEmptyName(): String =
+    s"part-empty-${java.util.UUID.randomUUID.toString.take(8)}.parquet"
+
+  /** MERGE-ON-READ DELETE: commit a new version whose data files are
+    * all HARD-LINKS of the current one, plus per-file deletion-vector
+    * sidecars naming the predicate's row positions. Cost is
+    * O(deleted rows + file count), independent of file SIZE — the
+    * copy-on-write path rewrites every touched file end-to-end.
+    *
+    * Position discovery is a distributed scan (the DV-aware,
+    * position-tracking DSv2 read under `withRowPos`), grouped per file
+    * so each file's sidecar is written ONCE from the executor that
+    * aggregated it — the driver never holds the deleted-position set,
+    * only the per-file merge of old+new sidecars (each bounded by one
+    * file's rows). Existing DVs apply during discovery, so only LIVE
+    * rows can match and merged sidecars never double-count.
+    * Serializable commit: a concurrent commit between scan and publish
+    * fails this statement loudly; the committed version carries a
+    * row-level marker naming the TOUCHED files so later row-level
+    * commits can rebase over this one when disjoint. Returns the
+    * committed version. */
+  def deleteViaDv(spark: SparkSession, root: String,
+                  pred: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, collect_list, lit}
+    import graft.operators.DeletionVectors
+    val scanned = Versioned.latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no versions under $root"))
+    val vdir = Paths.get(root, s"v=$scanned")
+    val snap = spark.read.format("graft-versioned")
+      .option("versionAsOf", scanned.toString)
+      .option("withRowPos", "true")
+      .load(root)
+    val freshDvDir = Files.createTempDirectory(Paths.get(root), "_staging_dvdelete_")
+    val freshDvStr = freshDvDir.toString
+    // DELETE removes rows where the predicate is TRUE; null-evaluating
+    // rows get no position and stay live (the P10 null-keep rule)
+    snap.filter(coalesce(pred, lit(false)))
+      .select(col(GraftVersionedTable.FileColumn).as("f"),
+        col(GraftVersionedTable.PosColumn).as("p"))
+      .groupBy(col("f")).agg(collect_list(col("p")).as("ps"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.foreach { r =>
+          val name = java.nio.file.Paths.get(r.getString(0))
+            .getFileName.toString
+          DeletionVectors.write(
+            java.nio.file.Paths.get(freshDvStr, name + DeletionVectors.Suffix),
+            r.getSeq[Long](1).toArray)
+        }
+      }
+    val fresh: Map[String, Path] = {
+      val stream = Files.list(freshDvDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(DeletionVectors.Suffix))
+          .map(p => DeletionVectors.dataNameOf(p.getFileName.toString) -> p)
+          .toMap
+      } finally stream.close()
     }
-    if (!Versioned.latestVersion(root).contains(scannedVersion)) conflict()
-    val carryOver = Versioned.dataFiles(Paths.get(root, s"v=$scannedVersion"))
-      .filterNot(f => scannedNames(f.getFileName.toString))
-    carryOver.foreach { f =>
-      val tgt = staged.resolve(s"prev-v$scannedVersion-${f.getFileName}")
+    val existing = DeletionVectors.dvMap(vdir)
+    val staged = Files.createTempDirectory(Paths.get(root), "_staging_dvcommit_")
+    val dataFiles = Versioned.dataFiles(vdir)
+    dataFiles.foreach { f =>
+      val tgt = staged.resolve(f.getFileName.toString)
       try Files.createLink(tgt, f)
       catch { case _: UnsupportedOperationException => Files.copy(f, tgt) }
     }
-    // a fully-pruned no-op still commits a readable version; the
-    // schema needs a carrier only when nothing else survived
-    if (Versioned.dataFiles(staged).isEmpty)
-      GroupParquetWriterFactory(schema, staged.toString)
-        .emptyFile("part-00000-empty.parquet")
-    val next = scannedVersion + 1
+    val dvNames = dataFiles.flatMap { f =>
+      val n = f.getFileName.toString
+      val merged = (existing.get(n), fresh.get(n)) match {
+        case (Some(e), Some(nw)) => Some(DeletionVectors.merge(
+          DeletionVectors.read(e), DeletionVectors.read(nw)))
+        case (Some(e), None) => Some(DeletionVectors.read(e))
+        case (None, Some(nw)) => Some(DeletionVectors.read(nw))
+        case _ => None
+      }
+      merged.map { ps =>
+        DeletionVectors.write(DeletionVectors.dvPath(staged, n), ps)
+        n + DeletionVectors.Suffix
+      }
+    }
+    Versioned.deleteRecursively(freshDvDir)
+    writeRowLevelMarker(staged, fresh.keySet)
+    Versioned.writeFilesManifest(staged,
+      dataFiles.map(_.getFileName.toString), dvNames)
+    val next = scanned + 1
     try {
       Files.move(staged, Paths.get(root, s"v=$next"), StandardCopyOption.ATOMIC_MOVE)
-      Versioned.writeStamp(root, next, stamp)
+      Versioned.writeLatestHint(root, next)
+      Versioned.writeStamp(root, next, stampValue(None))
       next
     } catch {
       case _: java.nio.file.FileAlreadyExistsException |
            _: java.nio.file.DirectoryNotEmptyException |
-           _: java.nio.file.FileSystemException => conflict()
+           _: java.nio.file.FileSystemException =>
+        Versioned.deleteRecursively(staged)
+        throw new IllegalStateException(
+          s"graft-versioned: concurrent commit under $root during a " +
+            s"merge-on-read DELETE (scanned v=$scanned) — retry the " +
+            "statement against current data")
     }
+  }
+
+  /** Publish a row-level operation's staged output as the next
+    * version: staged files REPLACE the scanned files of the scanned
+    * snapshot; every unscanned file hard-links over unchanged, SAME
+    * name (file names are unique at creation and immutable for life,
+    * so identity survives commits), and carried files keep their
+    * deletion-vector sidecars while replaced files shed theirs (their
+    * rewritten content already excludes the DV'd rows).
+    *
+    * CONCURRENCY is file-level, Delta-style: a concurrent commit that
+    * landed between this operation's scan and its commit does NOT
+    * automatically abort it. If EVERY intervening commit is itself a
+    * row-level commit whose replaced file set is DISJOINT from this
+    * scan's, the commit REBASES — it replays its replacement against
+    * the new latest snapshot (the scanned files still exist there,
+    * untouched by the disjoint commits, and every file those commits
+    * added or rewrote carries over). Two UPDATEs on different
+    * clustered key ranges both commit; the merged table equals the
+    * sequential result. Any overlap — or any intervening append /
+    * overwrite, whose rows this operation never saw — still fails
+    * loudly: silently re-basing over those would resurrect
+    * concurrently-deleted rows or drop concurrent appends. */
+  def commitRowLevel(root: String, staged: Path, schema: StructType,
+                     scannedVersion: Long, scannedNames: Set[String],
+                     stamp: Long): Long = {
+    def conflict(why: String): Nothing = {
+      Versioned.deleteRecursively(staged)
+      throw new IllegalStateException(
+        s"graft-versioned: concurrent commit under $root during a " +
+          s"row-level operation (scanned v=$scannedVersion, latest is " +
+          s"v=${Versioned.latestVersion(root).getOrElse(-1L)}; $why) — " +
+          "retry the statement against current data")
+    }
+    // the staged output (the replacement rows) is fixed; the base we
+    // rebase onto may advance while we retry against racing committers
+    var attempt = 0
+    var carried: Seq[Path] = Nil
+    var carriedDvs: Seq[Path] = Nil
+    while (attempt < 20) {
+      val base = Versioned.latestVersion(root).getOrElse(
+        conflict("no versions left"))
+      if (base != scannedVersion) {
+        // rebase eligibility: every commit in (scanned, base] must be a
+        // row-level commit whose replaced set is disjoint from ours
+        ((scannedVersion + 1) to base).foreach { v =>
+          rowLevelReplaced(root, v) match {
+            case None => conflict(s"v=$v is not a row-level commit")
+            case Some(replaced) =>
+              val overlap = replaced.intersect(scannedNames)
+              if (overlap.nonEmpty)
+                conflict(s"v=$v also replaced ${overlap.mkString(", ")}")
+          }
+        }
+      }
+      val baseDir = Paths.get(root, s"v=$base")
+      // (re)link the carry-over against the CURRENT base: everything
+      // the base holds except the files we are replacing
+      carried.foreach(Files.deleteIfExists(_))
+      carriedDvs.foreach(Files.deleteIfExists(_))
+      val carryOver = Versioned.dataFiles(baseDir)
+        .filterNot(f => scannedNames(f.getFileName.toString))
+      carried = carryOver.map { f =>
+        val tgt = staged.resolve(f.getFileName.toString)
+        try Files.createLink(tgt, f)
+        catch { case _: UnsupportedOperationException => Files.copy(f, tgt) }
+        tgt
+      }
+      val dvNames = graft.operators.DeletionVectors.carryFor(
+        baseDir, staged, carryOver.map(_.getFileName.toString).toSet)
+      carriedDvs = dvNames.map(
+        graft.operators.DeletionVectors.dvDir(staged).resolve(_))
+      // a fully-pruned no-op still commits a readable version; the
+      // schema needs a carrier only when nothing else survived
+      if (Versioned.listParquet(staged).isEmpty)
+        GroupParquetWriterFactory(schema, staged.toString)
+          .emptyFile(uniqueEmptyName())
+      writeRowLevelMarker(staged, scannedNames)
+      Versioned.writeFilesManifest(staged,
+        Versioned.listParquet(staged).map(_.getFileName.toString), dvNames)
+      val next = base + 1
+      try {
+        Files.move(staged, Paths.get(root, s"v=$next"), StandardCopyOption.ATOMIC_MOVE)
+        Versioned.writeLatestHint(root, next)
+        Versioned.writeStamp(root, next, stamp)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.FileSystemException =>
+          attempt += 1 // v=next claimed concurrently — re-check and rebase
+      }
+    }
+    conflict("20 rebase attempts exhausted")
   }
 
   /** Publish a staged directory as the next version. Optimistic
@@ -1798,31 +2238,47 @@ private[sources] object VersionedWriteIo {
                    epochTag: Option[String]): Long = {
     // an all-empty-partitions write still commits a readable version:
     // one zero-row file carries the schema for every future reader
-    if (Versioned.dataFiles(staged).isEmpty)
+    if (Versioned.listParquet(staged).isEmpty)
       GroupParquetWriterFactory(schema, staged.toString)
-        .emptyFile("part-00000-empty.parquet")
+        .emptyFile(uniqueEmptyName())
     epochTag.foreach { t =>
       Files.write(staged.resolve("_graft_epoch"),
         t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     var attempt = 0
     var prevLinked: Seq[Path] = Nil
+    var prevDvLinked: Seq[Path] = Nil
     while (attempt < 20) {
       val prev = Versioned.latestVersion(root)
       val next = prev.map(_ + 1).getOrElse(0L)
+      var dvNames: Seq[String] = Nil
       if (appendPrev) {
         prevLinked.foreach(Files.deleteIfExists(_))
+        prevDvLinked.foreach(Files.deleteIfExists(_))
         prevLinked = prev.toSeq.flatMap { p =>
+          // SAME names: file names are unique at creation (UUID'd) and
+          // immutable across commits — identity the conflict checker,
+          // DV sidecars, and carry-over logic all key on
           Versioned.dataFiles(Paths.get(root, s"v=$p")).map { f =>
-            val tgt = staged.resolve(s"prev-v$p-${f.getFileName}")
+            val tgt = staged.resolve(f.getFileName.toString)
             try Files.createLink(tgt, f)
             catch { case _: UnsupportedOperationException => Files.copy(f, tgt) }
             tgt
           }
         }
+        // append keeps every previous file, so every previous DV rides
+        // along — dropping one would resurrect its deleted rows
+        dvNames = prev.toSeq.flatMap(p =>
+          graft.operators.DeletionVectors.carryAll(
+            Paths.get(root, s"v=$p"), staged))
+        prevDvLinked = dvNames.map(
+          graft.operators.DeletionVectors.dvDir(staged).resolve(_))
       }
+      Versioned.writeFilesManifest(staged,
+        Versioned.listParquet(staged).map(_.getFileName.toString), dvNames)
       try {
         Files.move(staged, Paths.get(root, s"v=$next"), StandardCopyOption.ATOMIC_MOVE)
+        Versioned.writeLatestHint(root, next)
         Versioned.writeStamp(root, next, stamp)
         return next
       } catch {
@@ -1840,20 +2296,26 @@ private[sources] object VersionedWriteIo {
 
 /** Executor-side writer: one parquet file per non-empty partition,
   * created lazily on the first row (no empty-file litter from empty
-  * shuffle partitions), named by (partition, task attempt) so
-  * speculative attempts never collide. */
+  * shuffle partitions), named by (partition, task attempt, uuid) —
+  * speculative attempts never collide, and the uuid makes every file
+  * name GLOBALLY unique for the life of the store: commits carry
+  * unreplaced files forward under the SAME name, so name-keyed
+  * identity (DV sidecars, file-level conflict checks) stays stable
+  * across versions. */
 private[sources] case class GroupParquetWriterFactory(
     schema: StructType, stagingDir: String)
   extends DataWriterFactory with StreamingDataWriterFactory {
 
+  private def unique: String = java.util.UUID.randomUUID.toString.take(8)
+
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GroupParquetDataWriter(stagingDir,
-      f"part-$partitionId%05d-$taskId.parquet", schema)
+      f"part-$partitionId%05d-$taskId-$unique.parquet", schema)
 
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new GroupParquetDataWriter(s"$stagingDir/epoch=$epochId",
-      f"part-$partitionId%05d-$taskId.parquet", schema)
+      f"part-$partitionId%05d-$taskId-$unique.parquet", schema)
 
   /** Zero-row file with the write schema (driver-side, commit path). */
   def emptyFile(name: String): Unit =

@@ -37,6 +37,33 @@ class HarnessSpec extends AnyFunSuite with SparkSpec {
     assert(Files.readString(Paths.get(s"$out/_failed.json")) === "{}")
   }
 
+  test("Bench.measure runs a third pass when the first two disagree >2x") {
+    // synthetic noise: the first timed pass sleeps 400 ms, later passes
+    // are fast — without the noise guard the reported min would be the
+    // fast second pass ONLY if the noise hit exactly one pass; here the
+    // guard's third pass must rescue the number AND the stable query
+    // must not pay for a third pass it doesn't need
+    var noisyCalls = 0
+    val noisy: (SparkSession, String) => DataFrame = (s, _) => {
+      noisyCalls += 1
+      if (noisyCalls == 1) Thread.sleep(400)
+      s.range(1).toDF("id")
+    }
+    var stableCalls = 0
+    val stable: (SparkSession, String) => DataFrame = (s, _) => {
+      stableCalls += 1
+      s.range(1).toDF("id")
+    }
+    val (results, errors) = Bench.measure(spark, "/unused",
+      Seq("b_noisy" -> noisy, "b_stable" -> stable))
+    assert(errors.isEmpty)
+    val byName = results.toMap
+    assert(noisyCalls === 3, "a >2x pass disagreement must trigger a third pass")
+    assert(stableCalls === 2, "agreeing passes must not pay for a third")
+    assert(byName("b_noisy") < 0.4,
+      s"the rescued minimum must exclude the noisy pass, got ${byName("b_noisy")}")
+  }
+
   test("Bench.measure excludes throwing queries from results, reports them as errors") {
     val (results, errors) = Bench.measure(spark, "/unused",
       Seq("b_ok" -> ok, "b_broken" -> broken))

@@ -117,6 +117,47 @@ class ChangeFeedAdmissionSpec extends AnyFunSuite with SparkSpec {
     assert(q2.recentProgress.count(_.numInputRows > 0) === 2)
   }
 
+  test("maxBytesPerTrigger caps the drain by stored-feed byte sums") {
+    val root = newRoot(4)
+    val perCommit = Versioned.feedVersions(root).map(v =>
+      Versioned.dataFiles(java.nio.file.Paths.get(Versioned.feedDir(root, v)))
+        .map(java.nio.file.Files.size(_)).sum)
+    // budget covers any single commit but never two adjacent ones —
+    // the byte cap must degrade to one commit per batch
+    val budget = perCommit.max
+    assert(perCommit.sliding(2).forall(_.sum > budget),
+      "fixture regression: two adjacent feeds fit the budget")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_adm_ckptb_").toString
+    val q = spark.readStream.format("graft-versioned")
+      .option("changeFeed", "true")
+      .option("maxBytesPerTrigger", budget.toString)
+      .load(root)
+      .writeStream.format("memory").queryName("adm_bytes")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("adm_bytes")
+      .select("commit_version").distinct().count() === 4L)
+    assert(q.recentProgress.count(_.numInputRows > 0) === 4,
+      "a budget below any two adjacent commits must admit one per batch")
+  }
+
+  test("an over-budget single commit still goes through alone (no stall)") {
+    val root = newRoot(2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_adm_ckpts_").toString
+    val q = spark.readStream.format("graft-versioned")
+      .option("changeFeed", "true")
+      .option("maxBytesPerTrigger", "1") // every commit is over budget
+      .load(root)
+      .writeStream.format("memory").queryName("adm_stall")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("adm_stall")
+      .select("commit_version").distinct().count() === 2L)
+    assert(q.recentProgress.count(_.numInputRows > 0) === 2)
+  }
+
   test("no cap keeps the single-batch drain; bad caps fail loudly") {
     val root = newRoot(3)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_adm_ckpt4_").toString
@@ -129,5 +170,20 @@ class ChangeFeedAdmissionSpec extends AnyFunSuite with SparkSpec {
         "adm_bad", Some(0))
     }
     assert(err.getMessage.contains("maxVersionsPerTrigger"))
+    // a malformed value fails with the same option-named message as a
+    // non-positive one, not a bare NumberFormatException
+    val malformed = intercept[Exception] {
+      spark.readStream.format("graft-versioned")
+        .option("changeFeed", "true")
+        .option("maxVersionsPerTrigger", "abc")
+        .load(root)
+        .writeStream.format("memory").queryName("adm_malformed")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_adm_badopt_").toString)
+        .trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    assert(malformed.getMessage.contains("maxVersionsPerTrigger") ||
+      String.valueOf(malformed.getCause).contains("maxVersionsPerTrigger"))
   }
 }

@@ -187,7 +187,110 @@ class RowLevelOpsSpec extends AnyFunSuite with SparkSpec {
       "files outside the merge key range should hard-link over")
   }
 
-  test("row-level commit fails loudly on a concurrent commit (no silent rebase)") {
+  // ---- file-level conflict resolution: a row-level commit racing
+  // another ROW-LEVEL commit rebases when their replaced file sets are
+  // disjoint; overlap — or any intervening append/overwrite, whose
+  // rows the operation never saw — still fails loudly.
+
+  /** Stage a replacement parquet file (one (id, v) row) for a direct
+    * commitRowLevel call. */
+  private def stageReplacement(root: String, rows: Seq[(Long, Long)]): java.nio.file.Path = {
+    import spark.implicits._
+    val staged = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(root), "_staging_test_")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rlo_stage_src_")
+    rows.toDF("id", "v").coalesce(1).write.mode("overwrite")
+      .parquet(tmp.toString)
+    val part = graft.operators.Versioned.listParquet(tmp).head
+    java.nio.file.Files.copy(part, staged.resolve(
+      s"part-rebase-${java.util.UUID.randomUUID.toString.take(8)}.parquet"))
+    graft.operators.Versioned.deleteRecursively(tmp)
+    staged
+  }
+
+  test("two row-level commits on DISJOINT files: the later one rebases, both land") {
+    val (t, root) = clusteredTable()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "bigint").add("v", "bigint")
+    val v0 = graft.operators.Versioned.dataFiles(
+      java.nio.file.Paths.get(s"$root/v=0")).map(_.getFileName.toString).sorted
+    assert(v0.size === 4)
+    // op1 and op2 both scanned v=0; op1 replaces file 0, op2 file 3.
+    // op1 commits first (v=1); op2's commit sees latest != scanned and
+    // must REBASE: its replacement lands as v=2 carrying op1's work.
+    val op1Rows = spark.read.parquet(s"$root/v=0/${v0(0)}")
+      .collect().map(r => (r.getLong(0), -1L)).toSeq
+    val op2Rows = spark.read.parquet(s"$root/v=0/${v0(3)}")
+      .collect().map(r => (r.getLong(0), -2L)).toSeq
+    val s1 = stageReplacement(root, op1Rows)
+    val s2 = stageReplacement(root, op2Rows)
+    assert(VersionedWriteIo.commitRowLevel(root, s1, schema, 0L,
+      Set(v0(0)), 100L) === 1L)
+    assert(VersionedWriteIo.commitRowLevel(root, s2, schema, 0L,
+      Set(v0(3)), 200L) === 2L, "disjoint row-level commit must rebase")
+    // merged result == sequential result: file 0 rows at -1, file 3 at -2
+    val got = spark.sql(s"SELECT id, v FROM $t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 100)
+    op1Rows.foreach { case (id, _) => assert(got(id) === -1L, s"id=$id") }
+    op2Rows.foreach { case (id, _) => assert(got(id) === -2L, s"id=$id") }
+    assert(got.count(_._2 >= 0) === 100 - op1Rows.size - op2Rows.size)
+  }
+
+  test("two row-level commits REPLACING the same file: the later one aborts") {
+    val (t, root) = clusteredTable()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "bigint").add("v", "bigint")
+    val v0 = graft.operators.Versioned.dataFiles(
+      java.nio.file.Paths.get(s"$root/v=0")).map(_.getFileName.toString).sorted
+    val rows = spark.read.parquet(s"$root/v=0/${v0(1)}")
+      .collect().map(r => (r.getLong(0), -1L)).toSeq
+    val s1 = stageReplacement(root, rows)
+    val s2 = stageReplacement(root, rows.map { case (id, _) => (id, -2L) })
+    VersionedWriteIo.commitRowLevel(root, s1, schema, 0L, Set(v0(1)), 100L)
+    val err = intercept[IllegalStateException] {
+      VersionedWriteIo.commitRowLevel(root, s2, schema, 0L, Set(v0(1)), 200L)
+    }
+    assert(err.getMessage.contains("also replaced"))
+    // the first commit's result is intact, nothing from the aborted one
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE v = -2")
+      .collect()(0).getLong(0) === 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE v = -1")
+      .collect()(0).getLong(0).toInt === rows.size)
+  }
+
+  test("concurrent SQL UPDATEs on disjoint clustered ranges both commit") {
+    val (t, _) = clusteredTable()
+    // two threads race real UPDATE statements over disjoint key ranges
+    // (disjoint clustered files). Whatever the interleaving — fully
+    // sequential or scan-overlapped-with-commit — both must succeed
+    // and the merged table must equal the sequential outcome.
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def submit(sqlText: String) = pool.submit(new Runnable {
+      override def run(): Unit = {
+        start.await()
+        try spark.sql(sqlText)
+        catch { case e: Throwable => errs.add(e) }
+      }
+    })
+    val f1 = submit(s"UPDATE $t SET v = -10 WHERE id < 20 AND id % 1 = 0")
+    val f2 = submit(s"UPDATE $t SET v = -20 WHERE id >= 80 AND id % 1 = 0")
+    start.countDown()
+    f1.get(120, TimeUnit.SECONDS); f2.get(120, TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(errs.isEmpty, s"concurrent disjoint UPDATEs must both commit: " +
+      s"${Option(errs.peek()).map(_.getMessage)}")
+    val got = spark.sql(s"SELECT id, v FROM $t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 20L).foreach(id => assert(got(id) === -10L))
+    (80L until 100L).foreach(id => assert(got(id) === -20L))
+    (20L until 80L).foreach(id => assert(got(id) === id * 10))
+  }
+
+  test("row-level commit fails loudly on a concurrent APPEND (no rebase over unseen rows)") {
     val root = java.nio.file.Files.createTempDirectory("graft_rlo_conflict_").toString
     import spark.implicits._
     graft.operators.Versioned.writeNext(
