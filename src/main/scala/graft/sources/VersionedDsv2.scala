@@ -1815,6 +1815,14 @@ private[sources] class GraftVersionedWriteBuilder(
     val writeParts = opt("writePartitions").map(_.toInt)
     writeParts.foreach(n => require(n > 0,
       s"graft-versioned: writePartitions must be positive, got $n"))
+    // Spark's V2 write protocol rejects a fixed partition count with an
+    // unspecified distribution (PARTITION_NUM_WITH_UNSPECIFIED_
+    // DISTRIBUTION) — surface that as an option-named error here, at
+    // build time, instead of a protocol error mid-write
+    require(writeParts.isEmpty || clusterBy.nonEmpty,
+      "graft-versioned: writePartitions needs clusterBy — a fixed " +
+        "partition count is only expressible alongside the declared " +
+        "range distribution")
     val targetBytes = opt("targetFileBytes").map(_.toLong)
     // changeFeedKeys (TBLPROPERTY or write option): every commit also
     // derives + stores its change feed — Delta CDF through plain SQL
