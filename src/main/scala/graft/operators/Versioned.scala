@@ -327,25 +327,30 @@ object Versioned {
     * drains. Reads snapshots with explicit mergeSchema-safe columns:
     * payload columns absent from pre-evolution files read as null. */
   def writeFeedFor(spark: SparkSession, root: String, version: Long,
-                   keys: Seq[String], payload: Seq[String]): Unit = {
+                   keys: Seq[String], payload: Seq[String],
+                   colMap: Map[String, String] = Map.empty): Unit = {
     val prev = versions(root).filter(_ < version).lastOption
     // manifest-resolved + DV-applied: the feed of a DV-mode DELETE must
     // show the deleted keys as 'removed' even though their bytes are
     // still in the (hard-linked) data files
     def raw(v: Long) = readSnapshot(spark, root, v, mergeSchema = true)
+    // keys/payload arrive LOGICAL; raw snapshots read parquet files,
+    // which store PHYSICAL (birth) names on a column-mapped table —
+    // the projection translates per column and the FEED stores logical
+    def physOf(n: String): String = colMap.getOrElse(n, n)
     // align both snapshots to the same (keys ++ payload) projection: a
     // PRE-evolution snapshot may lack an added column entirely — it
     // reads as null there, typed from whichever snapshot has it
     val rawCur = raw(version)
     val rawPrev = prev.map(raw)
     def typeOf(name: String) =
-      rawCur.schema.fields.find(_.name == name)
-        .orElse(rawPrev.flatMap(_.schema.fields.find(_.name == name)))
+      rawCur.schema.fields.find(_.name == physOf(name))
+        .orElse(rawPrev.flatMap(_.schema.fields.find(_.name == physOf(name))))
         .getOrElse(throw new IllegalArgumentException(
           s"change feed column '$name' exists in no snapshot under $root"))
         .dataType
     def snap(df: DataFrame) = df.select((keys ++ payload).map { n =>
-      if (df.schema.fieldNames.contains(n)) col(n)
+      if (df.schema.fieldNames.contains(physOf(n))) col(physOf(n)).as(n)
       else lit(null).cast(typeOf(n)).as(n)
     }: _*)
     val cur = snap(rawCur)

@@ -577,6 +577,35 @@ object VersionedGate {
              ORDER BY snap, lang""")
   }
 
+  /** q157: COLUMN MAPPING — RENAME and DROP COLUMN as metadata-only
+    * evolution. Files always store physical (birth) names; the rename
+    * moves the logical binding only, so pre-rename files stay readable
+    * with zero rewrites (require()d: the DDL writes no data version).
+    * The lifecycle crosses every boundary: write → rename → drop →
+    * write more (mixed physical/logical history) → row-level UPDATE
+    * across the mixed files; the oracle re-derives the final state
+    * from the predicates alone. */
+  def q157ColumnMapping(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs157")
+    s.sql("CREATE TABLE graft.gate.docs157 " +
+      "(doc_id BIGINT, n_chars BIGINT, lang STRING) USING `graft-versioned`")
+    Tables.documents(s, dir).createOrReplaceTempView("q157_docs_src")
+    s.sql("INSERT INTO graft.gate.docs157 " +
+      "SELECT doc_id, n_chars, lang FROM q157_docs_src WHERE doc_id % 3 = 0")
+    s.sql("ALTER TABLE graft.gate.docs157 RENAME COLUMN n_chars TO chars")
+    s.sql("ALTER TABLE graft.gate.docs157 DROP COLUMN lang")
+    val root = scratchBase.resolve("catalog").resolve("gate")
+      .resolve("docs157").toString
+    require(Versioned.versions(root) == Seq(0L),
+      "q157: RENAME/DROP must be metadata-only — no data version written")
+    s.sql("INSERT INTO graft.gate.docs157 " +
+      "SELECT doc_id, n_chars FROM q157_docs_src WHERE doc_id % 3 = 1")
+    s.sql("UPDATE graft.gate.docs157 SET chars = chars + 1000 " +
+      "WHERE doc_id % 2 = 0")
+    s.sql("SELECT doc_id, chars FROM graft.gate.docs157 ORDER BY doc_id")
+  }
+
   /** q158: the change feed is REPRESENTATION-INDEPENDENT — q153's exact
     * insert/update/delete lifecycle with deletion vectors enabled,
     * sharing q153's oracle: the stored feed of a DV-mode DELETE (whose
@@ -657,6 +686,7 @@ object VersionedGate {
     "q154_restore_clone" -> (q154RestoreClone _),
     "q155_check_constraints" -> (q155CheckConstraints _),
     "q156_dv_delete" -> (q156DvDelete _),
+    "q157_column_mapping" -> (q157ColumnMapping _),
     "q158_dv_change_feed" -> (q158DvChangeFeed _),
     "q159_throttled_change_feed" -> (q159ThrottledChangeFeed _),
     "q63_versioned_load" -> (q63VersionedLoad _),
@@ -770,6 +800,14 @@ object VersionedGate {
         |WHERE doc_id % 3 = 0 AND NOT (n_chars < 400 OR doc_id < 60)
         |GROUP BY lang
         |ORDER BY snap, lang""".stripMargin,
+    // q157: the final state after rename/drop/mixed-file UPDATE — the
+    // union of both insert predicates with the SET clause mirrored
+    "q157_column_mapping" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN n_chars + 1000
+        |       ELSE n_chars END AS chars
+        |FROM documents WHERE doc_id % 3 IN (0, 1)
+        |ORDER BY doc_id""".stripMargin,
     // q158 shares q153's oracle verbatim: the stored feed of a DV-mode
     // DELETE equals the copy-on-write feed
     "q158_dv_change_feed" ->

@@ -71,7 +71,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   private val SchemaManifest = "_graft_schema.json"
   private val PropsManifest = "_graft_props.json"
   private val ConstraintsManifest = "_graft_constraints"
+  private val ColMapManifest = "_graft_colmap"
   private val NsMarker = "_graft_namespace"
+
+  /** COLUMN MAPPING manifest: `m<TAB>logical<TAB>physical` per live
+    * column plus `r<TAB>physical` per retired (dropped) physical name.
+    * Files always store PHYSICAL names (fixed at column birth), so
+    * RENAME moves only the logical name (metadata-only, old files stay
+    * readable) and DROP retires the physical name so a later ADD of
+    * the same logical name can never read the dropped column's bytes.
+    * Absent manifest = identity mapping (the common case). */
+  private def readColMap(ident: Identifier): Option[(Map[String, String], Set[String])] = {
+    val p = tablePath(ident).resolve(ColMapManifest)
+    if (!Files.exists(p)) None
+    else {
+      val lines = new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+      Some((
+        lines.collect { case l if l.startsWith("m\t") =>
+          val Array(_, lg, ph) = l.split("\t", 3); lg -> ph
+        }.toMap,
+        lines.collect { case l if l.startsWith("r\t") =>
+          l.split("\t", 2)(1)
+        }.toSet))
+    }
+  }
+
+  private def writeColMap(ident: Identifier, map: Map[String, String],
+                          retired: Set[String]): Unit =
+    Files.write(tablePath(ident).resolve(ColMapManifest),
+      (map.toSeq.sortBy(_._1).map { case (l, p) => s"m\t$l\t$p" } ++
+        retired.toSeq.sorted.map(p => s"r\t$p"))
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Current mapping as a complete map over `schema`'s columns
+    * (identity-filled), plus retired physical names. */
+  private def colMapState(ident: Identifier,
+                          schema: StructType): (Map[String, String], Set[String]) =
+    readColMap(ident) match {
+      case Some((m, r)) =>
+        (schema.fieldNames.map(n => n -> m.getOrElse(n, n)).toMap, r)
+      case None => (schema.fieldNames.map(n => n -> n).toMap, Set.empty)
+    }
 
   /** Persisted CHECK constraints: one `name<TAB>predicateSql` line. */
   private def readConstraints(ident: Identifier): Seq[(String, String)] = {
@@ -155,8 +196,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // graftCatalogManaged marks the schema as MANIFEST-authoritative:
     // the write builder validates appends against it (it may have
     // evolved past the stored files) instead of footer inference
+    val colMapOpt = readColMap(ident).map { case (m, _) =>
+      "colmap" -> GraftVersionedTable.serializeColMap(
+        schema.fieldNames.map(n => n -> m.getOrElse(n, n)).toMap)
+    }
     val opts = persisted ++ Map("path" -> tablePath(ident).toString,
-      "graftCatalogManaged" -> "true") ++ extra
+      "graftCatalogManaged" -> "true") ++ colMapOpt ++ extra
     val constraints: Array[Constraint] = readConstraints(ident).map {
       case (n, sql) => Constraint.check(n).predicateSql(sql).build(): Constraint
     }.toArray
@@ -221,6 +266,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       Set("clusterBy", "writePartitions", "targetFileBytes", "changeFeedKeys",
         "deletionVectors")
     var props = readProps(ident)
+    var (colMap, retired) = colMapState(ident, schema)
+    val hadColMap = readColMap(ident).isDefined
+    // CHECK constraints persist as predicate SQL over LOGICAL names —
+    // renaming or dropping a referenced column would silently unbind
+    // the predicate, so those changes are refused while referenced
+    def constraintReferencing(name: String): Option[String] =
+      readConstraints(ident).collectFirst {
+        case (cn, sql) if java.util.regex.Pattern
+          .compile("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b")
+          .matcher(sql).find() => cn
+      }
+    def propReferencing(name: String): Option[String] =
+      Seq("clusterBy", "changeFeedKeys").find(k =>
+        props.get(k).exists(_.split(",").map(_.trim).contains(name)))
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -239,6 +298,64 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           "graft catalog: ADD COLUMN appends at the end (FIRST/AFTER " +
             "unsupported — file column order is immutable)")
         schema = schema.add(StructField(name, add.dataType, nullable = true))
+        // physical birth name: the logical name unless any LIVE or
+        // RETIRED physical name already claims it — re-adding a
+        // dropped column's name must never read the dropped bytes
+        val used = colMap.values.toSet ++ retired
+        val phys =
+          if (!used(name)) name
+          else s"${name}_${java.util.UUID.randomUUID.toString.take(8)}"
+        colMap += name -> phys
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          "graft catalog: RENAME COLUMN supports top-level columns only, " +
+            s"got ${rn.fieldNames.mkString(".")}")
+        val old = rn.fieldNames()(0)
+        val nw = rn.newName()
+        require(schema.fieldNames.contains(old),
+          s"graft catalog: no column '$old' to rename")
+        require(!schema.fieldNames.contains(nw),
+          s"graft catalog: column '$nw' already exists")
+        constraintReferencing(old).foreach(cn => throw new IllegalArgumentException(
+          s"graft catalog: cannot rename '$old' — CHECK constraint '$cn' " +
+            "references it; drop the constraint first"))
+        // METADATA-ONLY: the physical (file) name never changes — only
+        // the logical binding moves, so every existing file stays
+        // readable with zero rewrites
+        val phys = colMap(old)
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == old) f.copy(name = nw) else f))
+        colMap = colMap - old + (nw -> phys)
+        // the layout contract follows the logical rename
+        props = props.map {
+          case (k, v) if k == "clusterBy" || k == "changeFeedKeys" =>
+            k -> v.split(",").map(_.trim).filter(_.nonEmpty)
+              .map(c => if (c == old) nw else c).mkString(",")
+          case kv => kv
+        }
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "graft catalog: DROP COLUMN supports top-level columns only, " +
+            s"got ${del.fieldNames.mkString(".")}")
+        val name = del.fieldNames()(0)
+        if (!schema.fieldNames.contains(name)) {
+          if (!del.ifExists) throw new IllegalArgumentException(
+            s"graft catalog: no column '$name' to drop")
+        } else {
+          require(schema.length > 1,
+            "graft catalog: cannot drop the table's last column")
+          propReferencing(name).foreach(k => throw new IllegalArgumentException(
+            s"graft catalog: cannot drop '$name' — table property '$k' " +
+              "references it; unset or change the property first"))
+          constraintReferencing(name).foreach(cn => throw new IllegalArgumentException(
+            s"graft catalog: cannot drop '$name' — CHECK constraint '$cn' " +
+              "references it; drop the constraint first"))
+          // METADATA-ONLY: the bytes stay in the immutable files; the
+          // physical name is RETIRED so no future ADD can rebind them
+          retired += colMap(name)
+          colMap -= name
+          schema = StructType(schema.fields.filterNot(_.name == name))
+        }
       case set: TableChange.SetProperty if layoutKeys(set.property) =>
         if (set.property == "clusterBy" || set.property == "changeFeedKeys")
           set.value.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
@@ -274,13 +391,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case other =>
         throw new UnsupportedOperationException(
           s"graft catalog: unsupported ALTER TABLE change $other — the " +
-            "store evolves by ADDing nullable columns and layout " +
-            "TBLPROPERTIES only; DROP/RENAME/retype would rewrite " +
+            "store evolves by ADD/RENAME/DROP of top-level nullable " +
+            "columns (metadata-only, via column mapping) and layout " +
+            "TBLPROPERTIES; retype would change the meaning of " +
             "immutable history")
     }
     GroupParquetIo.writeMessageType(schema) // evolved schema must stay writable
     Files.write(m, schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     writeProps(ident, props)
+    // persist the mapping once it carries information (a rename, a
+    // drop, or a collision-renamed physical); identity tables skip it
+    if (hadColMap || retired.nonEmpty ||
+        colMap.exists { case (l, p) => l != p })
+      writeColMap(ident, colMap, retired)
     loadTable(ident)
   }
 
@@ -490,10 +613,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           val srcIdent = Identifier.of(srcParts.init, srcParts.last)
           Versioned.cloneTo(root(src), tablePath(tgtIdent).toString)
           Files.copy(manifestOf(srcIdent), manifestOf(tgtIdent))
-          // the full table contract transfers: layout properties AND
-          // check constraints (a clone silently losing its gates would
-          // accept rows the source never could)
-          Seq(PropsManifest, ConstraintsManifest).foreach { m =>
+          // the full table contract transfers: layout properties,
+          // check constraints AND the column mapping (a clone reading
+          // the shared physical files needs the same logical bindings)
+          Seq(PropsManifest, ConstraintsManifest, ColMapManifest).foreach { m =>
             val srcM = tablePath(srcIdent).resolve(m)
             if (Files.exists(srcM))
               Files.copy(srcM, tablePath(tgtIdent).resolve(m))
@@ -530,17 +653,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
         Versioned.writeFeedFor(SparkSession.active,
           tablePath(ident).toString, version, keys,
-          schema.fieldNames.filterNot(keys.contains).toSeq)
+          schema.fieldNames.filterNot(keys.contains).toSeq,
+          readColMap(ident).map(_._1).getOrElse(Map.empty))
       }
   }
 
-  /** The persisted clusterBy columns of a `'ns.table'` argument. */
+  /** The persisted clusterBy columns of a `'ns.table'` argument, in
+    * PHYSICAL names — compaction reads raw snapshot frames, which
+    * carry birth names on a column-mapped table. */
   private def clusterByOf(table: String): Seq[String] = {
     val parts = table.split("\\.").filter(_.nonEmpty)
     if (parts.length < 2) return Seq.empty
-    readProps(Identifier.of(parts.init, parts.last)).get("clusterBy")
+    val ident = Identifier.of(parts.init, parts.last)
+    val phys = readColMap(ident).map(_._1).getOrElse(Map.empty)
+    readProps(ident).get("clusterBy")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+      .map(c => phys.getOrElse(c, c))
   }
 
   /** Resolve a procedure's `'ns.table'` argument to its version root —

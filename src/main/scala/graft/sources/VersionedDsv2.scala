@@ -167,6 +167,13 @@ private[sources] object GraftVersionedTable {
     m.map { case (l, p) => s"$l$ColMapPairSep$p" }
       .mkString(ColMapEntrySep.toString)
 
+  /** A schema with every field renamed logical → physical — what the
+    * writer stamps into parquet footers. */
+  def physicalSchema(schema: StructType, colMap: Map[String, String]): StructType =
+    if (colMap.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = colMap.getOrElse(f.name, f.name))))
+
   /** Does the snapshot this scan resolves to carry deletion vectors?
     * (False for change feeds and uninitialized roots.) */
   def snapshotHasDvs(options: CaseInsensitiveStringMap): Boolean =
@@ -245,7 +252,18 @@ private[sources] object GraftVersionedTable {
       val files = Versioned.dataFiles(java.nio.file.Paths.get(dir))
         .map(_.toString)
       val r = spark.read.option("mergeSchema", "true")
-      (if (files.isEmpty) r.parquet(dir) else r.parquet(files: _*)).schema
+      val inferred =
+        (if (files.isEmpty) r.parquet(dir) else r.parquet(files: _*)).schema
+      // a colmap-carrying load surfaces LOGICAL names: footer names
+      // are physical; a complete mapping also hides DROPPED columns
+      // (their physical names map to no logical one)
+      val colMap = colMapOf(options)
+      if (colMap.isEmpty) inferred
+      else {
+        val rev = colMap.map(_.swap)
+        StructType(inferred.fields.flatMap(f =>
+          rev.get(f.name).map(l => f.copy(name = l))).toSeq)
+      }
     }
   }
 }
@@ -355,7 +373,8 @@ private[sources] class GraftVersionedTable(
       // predicate) stays copy-on-write — an all-rows DV would be the
       // worst of both worlds.
       case Some(p) if options.getBoolean("deletionVectors", false) =>
-        VersionedWriteIo.deleteViaDv(spark, root, p)
+        VersionedWriteIo.deleteViaDv(spark, root, p,
+          Option(options.get("colmap")))
       case _ =>
         // copy-on-write: survivors become a new version. Read with the
         // TABLE schema, not footer inference: a snapshot holding
@@ -366,20 +385,26 @@ private[sources] class GraftVersionedTable(
         // rows), aligned to the table schema the same way.
         val latest = Versioned.latestVersion(root).get
         val vdir = java.nio.file.Paths.get(s"$root/v=$latest")
+        val colMap = GraftVersionedTable.colMapOf(options)
+        def physOf(n: String) = colMap.getOrElse(n, n)
         val cur =
           if (graft.operators.DeletionVectors.hasDvs(vdir)) {
+            // raw snapshot frames carry PHYSICAL names — project each
+            // table column from its physical twin (null-fill absents)
             val snap = Versioned.readSnapshot(spark, root, latest,
               mergeSchema = true)
             if (tableSchema.isEmpty) snap
             else snap.select(tableSchema.fields.map { f =>
-              if (snap.schema.fieldNames.contains(f.name))
-                org.apache.spark.sql.functions.col(f.name)
+              if (snap.schema.fieldNames.contains(physOf(f.name)))
+                org.apache.spark.sql.functions.col(physOf(f.name)).as(f.name)
               else org.apache.spark.sql.functions.lit(null)
                 .cast(f.dataType).as(f.name)
             }.toIndexedSeq: _*)
           } else if (tableSchema.nonEmpty)
-            spark.read.schema(tableSchema).parquet(
-              Versioned.dataFiles(vdir).map(_.toString): _*)
+            spark.read
+              .schema(GraftVersionedTable.physicalSchema(tableSchema, colMap))
+              .parquet(Versioned.dataFiles(vdir).map(_.toString): _*)
+              .toDF(tableSchema.fieldNames.toIndexedSeq: _*)
           else Versioned.read(spark, root)
         val keep = pred match {
           // SQL DELETE removes rows where the predicate is TRUE; rows
@@ -391,7 +416,13 @@ private[sources] class GraftVersionedTable(
                 p, org.apache.spark.sql.functions.lit(false))))
           case None => cur.limit(0) // TRUNCATE TABLE: empty survivors
         }
-        Versioned.writeNext(keep, root, Some(VersionedWriteIo.stampValue(None)))
+        // survivors rewrite under PHYSICAL names — every file of a
+        // column-mapped table stores birth names, whatever wrote it
+        val keepPhys =
+          if (colMap.isEmpty) keep
+          else keep.toDF(keep.columns.map(physOf).toIndexedSeq: _*)
+        Versioned.writeNext(keepPhys, root,
+          Some(VersionedWriteIo.stampValue(None)))
     }
     // changeFeedKeys tables feed the change source from DELETEs too
     val feedKeys = Option(options.get("changeFeedKeys"))
@@ -399,7 +430,8 @@ private[sources] class GraftVersionedTable(
       .getOrElse(Seq.empty)
     if (feedKeys.nonEmpty)
       Versioned.writeFeedFor(spark, root, v, feedKeys,
-        tableSchema.fieldNames.filterNot(feedKeys.contains).toSeq)
+        tableSchema.fieldNames.filterNot(feedKeys.contains).toSeq,
+        GraftVersionedTable.colMapOf(options))
   }
 
   // ---- `_file` metadata column (Delta's `_metadata.file_path` shape):
@@ -509,6 +541,7 @@ private[sources] class GraftRowLevelScanBuilder(
 
   private var required: StructType = fullSchema
   private var groupHints: Array[Filter] = Array.empty
+  private val colMap = GraftVersionedTable.colMapOf(options)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -522,10 +555,14 @@ private[sources] class GraftRowLevelScanBuilder(
   override def pushedFilters(): Array[Filter] = groupHints
 
   override def build(): Scan = {
+    // hand the scan PHYSICAL hints + physically-keyed types: footer
+    // pruning compares against file schemas, which speak birth names
     val types: Map[String, DataType] =
       groupHints.flatMap(_.references).distinct.flatMap(n =>
-        fullSchema.fields.find(_.name == n).map(f => f.name -> f.dataType)).toMap
-    new GraftRowLevelScan(op, required, fullSchema, groupHints, types, options)
+        fullSchema.fields.find(_.name == n)
+          .map(f => colMap.getOrElse(f.name, f.name) -> f.dataType)).toMap
+    new GraftRowLevelScan(op, required, fullSchema,
+      groupHints.map(GroupParquetIo.mapFilter(_, colMap)), types, options)
   }
 }
 
@@ -542,6 +579,7 @@ private[sources] class GraftRowLevelScan(
   extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   private val root = GraftVersionedTable.rootOf(options)
+  private val colMap = GraftVersionedTable.colMapOf(options)
 
   @volatile private var runtimeData: Array[Filter] = Array.empty
   @volatile private var runtimeFile: Array[Filter] = Array.empty
@@ -568,8 +606,14 @@ private[sources] class GraftRowLevelScan(
     val (onFile, onData) = v1.partition(
       _.references.toSet == Set(GraftVersionedTable.FileColumn))
     runtimeFile = onFile
-    runtimeData = onData.filter(GroupParquetIo.translatable(_, fullSchema))
+    val usable = onData.filter(GroupParquetIo.translatable(_, fullSchema))
+    runtimeDataTypes = usable.flatMap(_.references).distinct.flatMap(n =>
+      fullSchema.fields.find(_.name == n)
+        .map(f => colMap.getOrElse(f.name, f.name) -> f.dataType)).toMap
+    runtimeData = usable.map(GroupParquetIo.mapFilter(_, colMap)) // physical
   }
+
+  @volatile private var runtimeDataTypes: Map[String, DataType] = Map.empty
 
   /** Conservative `_file` predicate evaluation: None = not understood
     * (keep the file). */
@@ -590,9 +634,7 @@ private[sources] class GraftRowLevelScan(
     val dir = java.nio.file.Paths.get(root, s"v=$version")
     val footers = GroupParquetIo.readFooters(Versioned.dataFiles(dir))
     val dataFilters = hints ++ runtimeData
-    val dataTypes = hintTypes ++ runtimeData.flatMap(_.references).distinct
-      .flatMap(n => fullSchema.fields.find(_.name == n)
-        .map(f => f.name -> f.dataType))
+    val dataTypes = hintTypes ++ runtimeDataTypes
     val kept = footers.filter { fg =>
       val byFile = runtimeFile.forall(f =>
         fileKeep(f, fg.file).getOrElse(true))
@@ -613,7 +655,8 @@ private[sources] class GraftRowLevelScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GroupParquetReaderFactory(required, Array.empty, Map.empty)
+    GroupParquetReaderFactory(required, Array.empty, Map.empty,
+      colMap = colMap)
 }
 
 private[sources] class GraftVersionedScanBuilder(
@@ -655,14 +698,19 @@ private[sources] class GraftVersionedScanBuilder(
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // translatability is judged in LOGICAL names (the schema Spark
+    // sees); the stored pushed set is PHYSICAL (what footers speak)
     val (ok, residual) = filters.partition(f =>
       GroupParquetIo.translatable(f, fullSchema))
-    pushed = ok
+    pushedLogical = ok
+    pushed = ok.map(GroupParquetIo.mapFilter(_, colMap))
     if (morMode) filters // group-prune only; Spark re-applies ALL
     else residual // Spark re-applies these above the scan
   }
 
-  override def pushedFilters(): Array[Filter] = pushed
+  private var pushedLogical: Array[Filter] = Array.empty
+
+  override def pushedFilters(): Array[Filter] = pushedLogical
 
   // ---- aggregate pushdown: global COUNT(*) / COUNT(col) / MIN / MAX
   // answered ENTIRELY from parquet footers — row counts, null counts,
@@ -718,10 +766,12 @@ private[sources] class GraftVersionedScanBuilder(
     case Some((schema, row, desc)) => new GraftAggregateScan(schema, row, desc)
     case None =>
       // the reader needs the types of filter-referenced columns even when
-      // they are pruned from the output projection
+      // they are pruned from the output projection — keyed PHYSICAL,
+      // typed from the LOGICAL schema
       val filterTypes: Map[String, DataType] =
-        pushed.flatMap(_.references).distinct.flatMap(n =>
-          fullSchema.fields.find(_.name == n).map(f => f.name -> f.dataType)).toMap
+        pushedLogical.flatMap(_.references).distinct.flatMap(n =>
+          fullSchema.fields.find(_.name == n)
+            .map(f => colMap.getOrElse(f.name, f.name) -> f.dataType)).toMap
       new GraftVersionedScan(required, pushed, filterTypes, options, limit)
   }
 }
@@ -779,12 +829,16 @@ private[sources] class GraftVersionedScan(
   // with runtimeFilterable=false (its replacement group is the whole
   // snapshot — pruning ANYTHING would drop carry-over rows).
   @volatile private var runtimeFilters: Array[Filter] = Array.empty
+  @volatile private var runtimeFilterTypes: Map[String, DataType] = Map.empty
   @volatile private var cachedGroups: Seq[GroupParquetIo.FileGroups] = _
 
+  private val colMap = GraftVersionedTable.colMapOf(options)
+
+  // both arrays/maps live in PHYSICAL name space (pushed arrives
+  // translated from the builder; runtime filters translate on entry)
   private def allFilters: Array[Filter] = pushed ++ runtimeFilters
   private def allFilterTypes: Map[String, DataType] =
-    filterTypes ++ runtimeFilters.flatMap(_.references).distinct.flatMap(n =>
-      required.fields.find(_.name == n).map(f => f.name -> f.dataType))
+    filterTypes ++ runtimeFilterTypes
 
   override def filterAttributes():
       Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -799,7 +853,10 @@ private[sources] class GraftVersionedScan(
       .toV1(predicates)
       .filter(GroupParquetIo.translatable(_, required))
     if (runtimeFilterable && usable.nonEmpty) {
-      runtimeFilters = usable
+      runtimeFilterTypes = usable.flatMap(_.references).distinct.flatMap(n =>
+        required.fields.find(_.name == n)
+          .map(f => colMap.getOrElse(f.name, f.name) -> f.dataType)).toMap
+      runtimeFilters = usable.map(GroupParquetIo.mapFilter(_, colMap))
       cachedGroups = null
     }
   }
@@ -896,7 +953,8 @@ private[sources] class GraftVersionedScan(
     * the single worst default at 1000-executor scale. */
   override def estimateStatistics(): Statistics = {
     val readCols: Set[String] =
-      (required.fieldNames ++ filterTypes.keys).toSet
+      (required.fieldNames.map(n => colMap.getOrElse(n, n)) ++
+        filterTypes.keys).toSet
     val groupRows = plannedGroups.map(_.kept.map(_.getRowCount).sum).sum
     val rows = limit.map(n => math.min(n.toLong, groupRows)).getOrElse(groupRows)
     val colBytes = plannedGroups.map(_.kept.map(
@@ -915,7 +973,7 @@ private[sources] class GraftVersionedScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     GroupParquetReaderFactory(required, allFilters, allFilterTypes,
-      limit.map(_.toLong).getOrElse(-1L))
+      limit.map(_.toLong).getOrElse(-1L), colMap)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(GraftVersionedTable.isChangeFeed(options),
@@ -1098,13 +1156,14 @@ private[sources] case class GroupParquetPartition(
 
 private[sources] case class GroupParquetReaderFactory(
     required: StructType, pushed: Array[Filter],
-    filterTypes: Map[String, DataType], limit: Long = -1L)
+    filterTypes: Map[String, DataType], limit: Long = -1L,
+    colMap: Map[String, String] = Map.empty)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GroupParquetPartition]
     new GroupParquetPartitionReader(p.file, p.rangeStart, p.rangeEnd,
-      required, pushed, filterTypes, limit, p.dvFile)
+      required, pushed, filterTypes, limit, p.dvFile, colMap)
   }
 }
 
@@ -1117,12 +1176,18 @@ private[sources] class GroupParquetPartitionReader(
     file: String, rangeStart: Long, rangeEnd: Long,
     required: StructType, pushed: Array[Filter],
     filterTypes: Map[String, DataType], limit: Long = -1L,
-    dvFile: String = null)
+    dvFile: String = null, colMap: Map[String, String] = Map.empty)
   extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
 
   private val filePathUtf8 = UTF8String.fromString(file)
+
+  // column mapping: `required` is LOGICAL (the output schema); pushed
+  // filters and filterTypes arrive already PHYSICAL; file schemas are
+  // physical by construction (files store birth names forever)
+  private def physOf(logical: String): String =
+    colMap.getOrElse(logical, logical)
 
   // merge-on-read state: positions are absolute row ordinals within
   // the FILE, so a row-group partition needs its group's starting row
@@ -1171,8 +1236,8 @@ private[sources] class GroupParquetPartitionReader(
   // (the schema-evolution contract — pre-evolution files have no value
   // for an added column). A fully-pruned scan (count(*), SELECT _file)
   // still needs one column to drive record iteration.
-  private def synthesized(name: String): Boolean =
-    !fileSchema.containsField(name)
+  private def synthesized(logicalName: String): Boolean =
+    !fileSchema.containsField(physOf(logicalName))
 
   // pushed-filter atoms referencing columns this file lacks evaluate
   // under "value is null": IsNull is trivially satisfied (drop the
@@ -1184,8 +1249,10 @@ private[sources] class GroupParquetPartitionReader(
     absentAtoms.exists(a => !GroupParquetIo.nullSatisfied(a))
 
   private val projNames: Seq[String] = {
-    val want = (required.fieldNames ++ filterTypes.keys)
-      .distinct.filterNot(synthesized).toSeq
+    // physical projection: required maps logical→physical, filterTypes
+    // keys are physical already — never double-map a physical name
+    val want = (required.fieldNames.map(physOf) ++ filterTypes.keys)
+      .distinct.filter(fileSchema.containsField).toSeq
     if (want.nonEmpty) want else Seq(fileSchema.getFields.get(0).getName)
   }
 
@@ -1256,7 +1323,7 @@ private[sources] class GroupParquetPartitionReader(
         else row.update(i, null)
         i += 1
       } else {
-      val gi = gType.getFieldIndex(f.name)
+      val gi = gType.getFieldIndex(physOf(f.name))
       if (g.getFieldRepetitionCount(gi) == 0) row.update(i, null)
       else f.dataType match {
         case LongType    => row.setLong(i, g.getLong(gi, 0))
@@ -1435,6 +1502,7 @@ private[sources] object GroupParquetIo {
     import org.apache.spark.sql.connector.expressions.NamedReference
 
     val root = GraftVersionedTable.rootOf(options)
+    val colMap = GraftVersionedTable.colMapOf(options)
     val uninitialized = Versioned.latestVersion(root).isEmpty &&
       !options.containsKey("versionAsOf") && !options.containsKey("timestampAsOf")
     val blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData] =
@@ -1443,8 +1511,11 @@ private[sources] object GroupParquetIo {
         GraftVersionedTable.snapshotDir(root, options)))).flatMap(_.kept)
     val totalRows = blocks.map(_.getRowCount).sum
 
+    // chunk lookups translate logical → physical (footers speak birth
+    // names); the answer's output field names stay logical
     def chunkOf(b: org.apache.parquet.hadoop.metadata.BlockMetaData, col: String) =
-      b.getColumns.asScala.find(_.getPath.toDotString == col)
+      b.getColumns.asScala.find(
+        _.getPath.toDotString == colMap.getOrElse(col, col))
 
     // every row group must carry the statistic, or the answer is a lie
     def nullCount(col: String): Option[Long] = {
@@ -1835,7 +1906,8 @@ private[sources] class GraftVersionedWriteBuilder(
           s"${schema.fieldNames.mkString("[", ", ", "]")}")
     }
     new GraftVersionedWrite(root, schema, replace, stamp, info.queryId(),
-      clusterBy, writeParts, targetBytes, rowLevelOp, feedKeys)
+      clusterBy, writeParts, targetBytes, rowLevelOp, feedKeys,
+      GraftVersionedTable.colMapOf(tableOptions))
   }
 }
 
@@ -1844,7 +1916,8 @@ private[sources] class GraftVersionedWrite(
     commitTs: Option[Long], queryId: String, clusterBy: Seq[String],
     writeParts: Option[Int] = None, targetBytes: Option[Long] = None,
     rowLevelOp: Option[GraftRowLevelOperation] = None,
-    feedKeys: Seq[String] = Seq.empty)
+    feedKeys: Seq[String] = Seq.empty,
+    colMap: Map[String, String] = Map.empty)
   extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String =
@@ -1870,10 +1943,10 @@ private[sources] class GraftVersionedWrite(
 
   override def toBatch: BatchWrite =
     new GraftBatchWrite(root, schema, replace, commitTs, queryId,
-      rowLevelOp, feedKeys)
+      rowLevelOp, feedKeys, colMap)
 
   override def toStreaming: StreamingWrite =
-    new GraftStreamingWrite(root, schema, replace, commitTs, queryId)
+    new GraftStreamingWrite(root, schema, replace, commitTs, queryId, colMap)
 }
 
 /** Batch write: tasks stage parquet files under `root/_staging_<id>`
@@ -1886,14 +1959,19 @@ private[sources] class GraftBatchWrite(
     root: String, schema: StructType, replace: Boolean,
     commitTs: Option[Long], queryId: String,
     rowLevelOp: Option[GraftRowLevelOperation] = None,
-    feedKeys: Seq[String] = Seq.empty) extends BatchWrite {
+    feedKeys: Seq[String] = Seq.empty,
+    colMap: Map[String, String] = Map.empty) extends BatchWrite {
 
   private val staged = java.nio.file.Paths.get(
     root, s"_staging_${queryId}_${java.util.UUID.randomUUID.toString.take(8)}")
 
+  // files store PHYSICAL names, fixed at column birth — the rename of a
+  // logical column never touches a byte on disk
+  private val physSchema = GraftVersionedTable.physicalSchema(schema, colMap)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     java.nio.file.Files.createDirectories(staged)
-    GroupParquetWriterFactory(schema, staged.toString)
+    GroupParquetWriterFactory(physSchema, staged.toString)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1902,10 +1980,10 @@ private[sources] class GraftBatchWrite(
       case Some((scannedVersion, scannedNames)) =>
         // copy-on-write by file: staged output replaces exactly the
         // scanned files; everything else hard-links over
-        VersionedWriteIo.commitRowLevel(root, staged, schema,
+        VersionedWriteIo.commitRowLevel(root, staged, physSchema,
           scannedVersion, scannedNames, VersionedWriteIo.stampValue(commitTs))
       case _ =>
-        VersionedWriteIo.commitStaged(root, staged, schema,
+        VersionedWriteIo.commitStaged(root, staged, physSchema,
           appendPrev = !replace, stamp = VersionedWriteIo.stampValue(commitTs),
           epochTag = None)
     }
@@ -1913,7 +1991,8 @@ private[sources] class GraftBatchWrite(
     // INSERT/UPDATE/MERGE/DELETE all feed the streaming change source
     if (feedKeys.nonEmpty)
       Versioned.writeFeedFor(SparkSession.active, root, committed,
-        feedKeys, schema.fieldNames.filterNot(feedKeys.contains).toSeq)
+        feedKeys, schema.fieldNames.filterNot(feedKeys.contains).toSeq,
+        colMap)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1930,13 +2009,16 @@ private[sources] class GraftBatchWrite(
   * instead of double-appending. */
 private[sources] class GraftStreamingWrite(
     root: String, schema: StructType, replace: Boolean,
-    commitTs: Option[Long], queryId: String) extends StreamingWrite {
+    commitTs: Option[Long], queryId: String,
+    colMap: Map[String, String] = Map.empty) extends StreamingWrite {
 
   private val stagedBase = java.nio.file.Paths.get(root, s"_staging_stream_$queryId")
 
+  private val physSchema = GraftVersionedTable.physicalSchema(schema, colMap)
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     java.nio.file.Files.createDirectories(stagedBase)
-    GroupParquetWriterFactory(schema, stagedBase.toString)
+    GroupParquetWriterFactory(physSchema, stagedBase.toString)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -1952,7 +2034,7 @@ private[sources] class GraftStreamingWrite(
     // (epoch i lands at commitTs+i); wall-clock micros otherwise
     val stamp = commitTs.map(_ + epochId)
       .getOrElse(VersionedWriteIo.stampValue(None))
-    VersionedWriteIo.commitStaged(root, epochDir, schema,
+    VersionedWriteIo.commitStaged(root, epochDir, physSchema,
       appendPrev = !replace, stamp = stamp, epochTag = Some(tag))
   }
 
@@ -2060,15 +2142,20 @@ private[sources] object VersionedWriteIo {
     * commits can rebase over this one when disjoint. Returns the
     * committed version. */
   def deleteViaDv(spark: SparkSession, root: String,
-                  pred: org.apache.spark.sql.Column): Long = {
+                  pred: org.apache.spark.sql.Column,
+                  colMapOpt: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, collect_list, lit}
     import graft.operators.DeletionVectors
     val scanned = Versioned.latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no versions under $root"))
     val vdir = Paths.get(root, s"v=$scanned")
-    val snap = spark.read.format("graft-versioned")
+    val snapReader = spark.read.format("graft-versioned")
       .option("versionAsOf", scanned.toString)
       .option("withRowPos", "true")
+    // the discovery scan must surface LOGICAL column names — the
+    // predicate was written against them
+    val snap = colMapOpt.filter(_.nonEmpty)
+      .fold(snapReader)(m => snapReader.option("colmap", m))
       .load(root)
     val freshDvDir = Files.createTempDirectory(Paths.get(root), "_staging_dvdelete_")
     val freshDvStr = freshDvDir.toString

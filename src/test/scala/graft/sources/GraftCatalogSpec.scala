@@ -94,12 +94,20 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     }
     assert(chain(badType).exists(_.contains("unsupported column type")))
     sql("CREATE TABLE gtest.ns.t5 (id BIGINT) USING `graft-versioned`")
-    // ADD COLUMN is supported (schema evolution, SchemaEvolutionSpec);
-    // history-rewriting changes stay fail-loud
+    // ADD/RENAME/DROP COLUMN are supported via column mapping
+    // (SchemaEvolutionSpec); retype stays fail-loud, and DROP of the
+    // last column is refused
     val alter = intercept[Exception] {
       sql("ALTER TABLE gtest.ns.t5 DROP COLUMN id")
     }
-    assert(chain(alter).exists(_.contains("immutable history")), chain(alter))
+    assert(chain(alter).exists(_.contains("last column")), chain(alter))
+    val retype = intercept[Exception] {
+      sql("ALTER TABLE gtest.ns.t5 ALTER COLUMN id TYPE INT")
+    }
+    // Spark's own analyzer rejects type changes before the catalog
+    // even sees them — the loud refusal happens upstream
+    assert(chain(retype).exists(_.contains("NOT_SUPPORTED_CHANGE_COLUMN")),
+      chain(retype))
     sql("INSERT INTO gtest.ns.t5 VALUES (1)")
     val missing = intercept[Exception] {
       sql("SELECT * FROM gtest.ns.t5 VERSION AS OF 7").collect()

@@ -115,8 +115,9 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSpec {
     fails(s"ALTER TABLE $t ADD COLUMN id STRING", "already exists")
     fails(s"ALTER TABLE $t ADD COLUMN b BIGINT NOT NULL", "must be nullable")
     fails(s"ALTER TABLE $t ADD COLUMN m MAP<STRING,STRING>", "unsupported column type")
-    fails(s"ALTER TABLE $t DROP COLUMN v", "immutable history")
-    fails(s"ALTER TABLE $t RENAME COLUMN v TO w", "immutable history")
+    fails(s"ALTER TABLE $t RENAME COLUMN v TO id", "already exists")
+    // an unknown source column dies in Spark's analyzer, upstream of us
+    fails(s"ALTER TABLE $t RENAME COLUMN nope TO w", "cannot be resolved")
     fails(s"ALTER TABLE $t SET TBLPROPERTIES ('clusterBy'='nope')",
       "not in table schema")
   }
@@ -130,5 +131,130 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSpec {
     assert(v1.schema.fieldNames.toSeq === Seq("id", "v", "tag"))
     assert(v1.count() === 60L)
     assert(v1.where("tag IS NOT NULL").count() === 0L)
+  }
+
+  // ---- COLUMN MAPPING: RENAME/DROP as metadata-only evolution.
+  // Files always store physical (birth) names; the mapping moves only
+  // the logical binding, so pre-rename files stay readable unrewritten.
+
+  test("RENAME COLUMN is metadata-only; old and new files both read back") {
+    val (t, root) = freshTable()
+    val v0Files = graft.operators.Versioned.dataFiles(
+      java.nio.file.Paths.get(s"$root/v=0"))
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO price")
+    // no data version written, no file touched
+    assert(graft.operators.Versioned.versions(root) === Seq(0L))
+    assert(graft.operators.Versioned.dataFiles(
+      java.nio.file.Paths.get(s"$root/v=0")) === v0Files)
+    assert(spark.table(t).schema.fieldNames.toSeq === Seq("id", "price"))
+    // pre-rename files serve the renamed column
+    assert(spark.sql(s"SELECT sum(price) FROM $t").collect()(0).getLong(0) ===
+      (0L until 50L).map(_ * 10).sum)
+    // a post-rename insert lands under the SAME physical name...
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(100, 110)")
+    assert(spark.sql(s"SELECT sum(price) FROM $t WHERE id >= 100")
+      .collect()(0).getLong(0) === (100L until 110L).sum)
+    // ...so mixed-file reads agree and the OLD name is gone
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) === 60L)
+    intercept[Exception] { spark.sql(s"SELECT v FROM $t").collect() }
+  }
+
+  test("filters on a renamed column push down and prune against old files") {
+    val (t, root) = freshTable()
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO price")
+    val df = spark.sql(s"SELECT id FROM $t WHERE price = 250")
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(25L))
+    // the pushed filter reaches the scan in PHYSICAL (birth) name
+    // space and prunes row groups: 4 clustered-ish groups, 1 kept
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("EqualTo(v,250)"),
+      s"expected the physical-name pushed filter in the scan:\n$scan")
+    assert(scan.contains("RowGroups: 1/"),
+      s"expected footer-stats pruning through the mapping:\n$scan")
+  }
+
+  test("UPDATE and DELETE work across pre- and post-rename files") {
+    val (t, _) = freshTable()
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO price")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(100, 110)")
+    spark.sql(s"UPDATE $t SET price = price + 1 WHERE id % 2 = 0 AND id < 100")
+    spark.sql(s"DELETE FROM $t WHERE price >= 100 AND id >= 100")
+    val got = spark.sql(s"SELECT id, price FROM $t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 50L).foreach { id =>
+      assert(got(id) === id * 10 + (if (id % 2 == 0) 1 else 0), s"id=$id")
+    }
+    assert(got.keySet.filter(_ >= 100L) === Set.empty[Long])
+  }
+
+  test("DROP COLUMN hides the data; re-ADD of the name reads fresh nulls") {
+    val (t, root) = freshTable()
+    spark.sql(s"ALTER TABLE $t DROP COLUMN v")
+    assert(spark.table(t).schema.fieldNames.toSeq === Seq("id"))
+    assert(graft.operators.Versioned.versions(root) === Seq(0L),
+      "DROP COLUMN must be metadata-only")
+    intercept[Exception] { spark.sql(s"SELECT v FROM $t").collect() }
+    // re-adding the SAME logical name must NOT resurrect the dropped
+    // bytes: the physical name is retired, the new column is null
+    spark.sql(s"ALTER TABLE $t ADD COLUMN v BIGINT")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE v IS NULL")
+      .collect()(0).getLong(0) === 50L)
+    spark.sql(s"INSERT INTO $t SELECT id, -id FROM range(200, 205)")
+    assert(spark.sql(s"SELECT sum(v) FROM $t").collect()(0).getLong(0) ===
+      (200L until 205L).map(-_).sum)
+  }
+
+  test("rename then compact: the rewrite keeps physical names consistent") {
+    val (t, root) = freshTable()
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO price")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(100, 110)")
+    spark.sql(s"CALL evo.sys.compact(table => 't.tab$n')")
+    assert(spark.sql(s"SELECT sum(price) FROM $t").collect()(0).getLong(0) ===
+      (0L until 50L).map(_ * 10).sum + (100L until 110L).sum)
+    // pre-compaction history still reads through the mapping
+    assert(spark.sql(s"SELECT sum(price) FROM $t VERSION AS OF 0")
+      .collect()(0).getLong(0) === (0L until 50L).map(_ * 10).sum)
+  }
+
+  test("rename follows the layout contract and the change feed") {
+    spark.conf.set("spark.sql.catalog.evo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.evo.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.t")
+    n += 1
+    val t = s"evo.t.tab$n"
+    val root = s"$warehouse/t/tab$n"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('changeFeedKeys'='id', 'clusterBy'='v')")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(0, 20)")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO price")
+    // the persisted layout props followed the rename
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(100, 105)")
+    spark.sql(s"UPDATE $t SET price = 0 WHERE id = 3")
+    val feeds = graft.operators.Versioned.feedVersions(root)
+    val last = spark.read.parquet(
+      graft.operators.Versioned.feedDir(root, feeds.last))
+    // post-rename feeds carry the NEW logical payload names
+    assert(last.schema.fieldNames.contains("old_price") &&
+      last.schema.fieldNames.contains("new_price"))
+    assert(last.filter("change_type = 'changed'").count() === 1L)
+  }
+
+  test("rename/drop fail-loud matrix: conflicts and referenced columns") {
+    val (t, _) = freshTable()
+    def fails(sql: String, fragment: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      assert(e.getMessage.contains(fragment) ||
+        String.valueOf(e.getCause).contains(fragment),
+        s"expected '$fragment' in: ${e.getMessage}")
+    }
+    spark.sql(s"ALTER TABLE $t ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    fails(s"ALTER TABLE $t RENAME COLUMN v TO w", "CHECK constraint")
+    fails(s"ALTER TABLE $t DROP COLUMN v", "CHECK constraint")
+    spark.sql(s"ALTER TABLE $t DROP CONSTRAINT v_pos")
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('clusterBy'='v')")
+    fails(s"ALTER TABLE $t DROP COLUMN v", "references it")
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('clusterBy')")
+    spark.sql(s"ALTER TABLE $t DROP COLUMN v") // now fine
+    fails(s"ALTER TABLE $t DROP COLUMN id", "last column")
   }
 }
