@@ -1,0 +1,265 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HNSW graph ANN (Malkov & Yashunin, "Efficient and robust approximate
+  * nearest neighbor search using Hierarchical Navigable Small World
+  * graphs", IEEE TPAMI 2018) — the modern recall/latency frontier
+  * beyond the IVF/PQ family ([[Ann]], [[Pq]]).
+  *
+  * DISTRIBUTED SHAPE (the part Spark owns): vectors hash-partition into
+  * P independent sub-graphs; each executor builds its partition's HNSW
+  * in memory (`mapPartitions` — build is O(n·log n·ef) per partition
+  * and embarrassingly parallel across partitions); a search fans the
+  * broadcast query set out to every sub-graph and merges the per-shard
+  * top-k with one window — the shard-and-merge layout every production
+  * vector store uses. Nothing is ever all-pairs: per query the visited
+  * set is HARD-CAPPED by `maxVisits`, so search cost is
+  * O(P · maxVisits · d) regardless of corpus size.
+  *
+  * DETERMINISM: level assignment derives from a hash of the vector id
+  * (not a RNG), insertion order is ascending id within a partition, and
+  * every heap tie-breaks on id — two runs build identical graphs and
+  * return identical results, which is what lets the spec pin recall
+  * exactly.
+  *
+  * Similarity is DOT PRODUCT (higher = closer), matching the engine's
+  * brute-force reference ([[graft.queries.Vectors.bruteForceTopK]]);
+  * candidate re-ranking uses the same quantized e6 integer dots as the
+  * reference so merged ranking agrees with it wherever the candidate
+  * sets agree. */
+object Hnsw {
+
+  /** One partition's in-memory index. `m` = max links per node per
+    * layer (2m on layer 0), `efConstruction` = build-time beam. */
+  final class Index(m: Int, efConstruction: Int) extends Serializable {
+    require(m >= 2 && efConstruction >= m,
+      s"hnsw: need m >= 2 and efConstruction >= m, got m=$m ef=$efConstruction")
+
+    private val mL = 1.0 / math.log(m.toDouble)
+    private val ids = mutable.ArrayBuffer.empty[Long]
+    private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+    // links(node)(level) = neighbor node indices
+    private val links = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+    private var entry = -1
+    private var topLevel = -1
+
+    def size: Int = ids.length
+
+    private def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+      s
+    }
+
+    /** Deterministic "random" level: hash(id) → uniform (0,1] →
+      * floor(-ln(u)·mL) — the paper's geometric distribution without a
+      * run-order-dependent RNG. */
+    private def levelOf(id: Long): Int = {
+      val h = scala.util.hashing.byteswap64(id) >>> 11 // 53 usable bits
+      val u = (h + 1).toDouble / (1L << 53).toDouble // (0, 1]
+      math.floor(-math.log(u) * mL).toInt
+    }
+
+    /** Greedy descent on one layer from `start`: hill-climb to the
+      * local dot-product maximum. Returns the best node. */
+    private def greedy(q: Array[Float], start: Int, level: Int): Int = {
+      var cur = start
+      var curDot = dot(q, vecs(cur))
+      var improved = true
+      while (improved) {
+        improved = false
+        val ns = links(cur)(level)
+        var i = 0
+        while (i < ns.length) {
+          val n = ns(i)
+          val d = dot(q, vecs(n))
+          if (d > curDot || (d == curDot && ids(n) < ids(cur))) {
+            cur = n; curDot = d; improved = true
+          }
+          i += 1
+        }
+      }
+      cur
+    }
+
+    /** Beam search on one layer: best-first expansion from `start`,
+      * beam width `ef`, visited set capped at `maxVisits` (0 = no
+      * cap). Returns (candidates best-first, nodes visited). */
+    private def searchLayer(q: Array[Float], start: Int, level: Int,
+                            ef: Int, maxVisits: Int): (mutable.ArrayBuffer[(Double, Int)], Int) = {
+      // max-heap of frontier by dot; min-heap of results (keep best ef)
+      implicit val byDotDesc: Ordering[(Double, Int)] =
+        Ordering.by[(Double, Int), (Double, Long)] { case (d, n) => (d, -ids(n)) }
+      val frontier = mutable.PriorityQueue.empty[(Double, Int)]
+      val results = mutable.PriorityQueue.empty[(Double, Int)](byDotDesc.reverse)
+      val visited = mutable.HashSet.empty[Int]
+      val d0 = dot(q, vecs(start))
+      frontier.enqueue((d0, start)); results.enqueue((d0, start))
+      visited += start
+      while (frontier.nonEmpty &&
+        (maxVisits <= 0 || visited.size < maxVisits)) {
+        val (d, node) = frontier.dequeue()
+        // frontier best is worse than the ef-th result → done
+        if (results.size >= ef && d < results.head._1) frontier.clear()
+        else {
+          val ns = links(node)(level)
+          var i = 0
+          while (i < ns.length) {
+            val n = ns(i)
+            if (!visited.contains(n) &&
+                (maxVisits <= 0 || visited.size < maxVisits)) {
+              visited += n
+              val dn = dot(q, vecs(n))
+              if (results.size < ef || dn > results.head._1) {
+                frontier.enqueue((dn, n))
+                results.enqueue((dn, n))
+                if (results.size > ef) results.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      (results.dequeueAll.reverse.to(mutable.ArrayBuffer), visited.size)
+    }
+
+    /** Neighbor selection, the paper's DIVERSITY heuristic (alg. 4):
+      * walking candidates best-first, keep one only when no
+      * already-kept neighbor explains it better (its dot to the base —
+      * carried in `cands` — at least matches its dot to every kept
+      * neighbor), then top up with the nearest skipped
+      * (keepPrunedConnections). Plain top-`count` selection
+      * DISCONNECTS well-separated clusters — every cross-cluster edge
+      * loses the pruning fight to cluster-mates and search can never
+      * leave the entry point's cluster; the heuristic keeps exactly
+      * those long edges, which is what makes the graph navigable. */
+    private def selectNeighbors(cands: mutable.ArrayBuffer[(Double, Int)],
+                                count: Int): mutable.ArrayBuffer[Int] = {
+      val sorted = cands.sortBy { case (d, n) => (-d, ids(n)) }
+      val selected = mutable.ArrayBuffer.empty[Int]
+      val skipped = mutable.ArrayBuffer.empty[Int]
+      sorted.foreach { case (d, n) =>
+        if (selected.length < count) {
+          if (selected.forall(s => d >= dot(vecs(n), vecs(s))))
+            selected += n
+          else skipped += n
+        }
+      }
+      skipped.foreach { n => if (selected.length < count) selected += n }
+      selected
+    }
+
+    def insert(id: Long, v: Array[Float]): Unit = {
+      val node = ids.length
+      val lvl = levelOf(id)
+      ids += id; vecs += v
+      links += Array.fill(lvl + 1)(mutable.ArrayBuffer.empty[Int])
+      if (entry < 0) { entry = node; topLevel = lvl; return }
+      var cur = entry
+      // descend the layers above the node's level greedily
+      var level = topLevel
+      while (level > lvl) {
+        cur = greedy(v, cur, level)
+        level -= 1
+      }
+      // connect on every layer the node participates in
+      level = math.min(lvl, topLevel)
+      while (level >= 0) {
+        val (cands, _) = searchLayer(v, cur, level, efConstruction, 0)
+        val maxLinks = if (level == 0) 2 * m else m
+        val chosen = selectNeighbors(cands, m)
+        links(node)(level) ++= chosen
+        chosen.foreach { n =>
+          val back = links(n)(level)
+          back += node
+          if (back.length > maxLinks) {
+            // prune the weakest back-link to keep degree bounded
+            val scored = back.map(b => (dot(vecs(n), vecs(b)), b))
+            val kept = selectNeighbors(scored, maxLinks)
+            back.clear(); back ++= kept
+          }
+        }
+        cur = cands.headOption.map(_._2).getOrElse(cur)
+        level -= 1
+      }
+      if (lvl > topLevel) { entry = node; topLevel = lvl }
+    }
+
+    /** Top-k by dot with beam `efSearch`, visited capped at
+      * `maxVisits`. Returns ((id, dot) best-first, visited count). */
+    def search(q: Array[Float], k: Int, efSearch: Int,
+               maxVisits: Int): (Seq[(Long, Double)], Int) = {
+      if (entry < 0) return (Seq.empty, 0)
+      var cur = entry
+      var level = topLevel
+      while (level > 0) { cur = greedy(q, cur, level); level -= 1 }
+      val (cands, visited) =
+        searchLayer(q, cur, 0, math.max(efSearch, k), maxVisits)
+      (cands.take(k).map { case (d, n) => (ids(n), d) }.toSeq, visited)
+    }
+  }
+
+  /** Distributed ANN: P hash-partitioned sub-graphs, each searched for
+    * every query, per-shard top-k merged globally. Emits one row per
+    * (query, kept neighbor): `query_id, neighbor_id, dot_e12, visited`
+    * where `dot_e12` is the EXACT quantized integer dot (the merge
+    * key, comparable with the brute-force reference) and `visited` is
+    * the shard's visited-node count for that query (≤ maxVisits by
+    * construction). */
+  def annTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, k: Int,
+              partitions: Int = 4, m: Int = 8, efConstruction: Int = 64,
+              efSearch: Int = 48, maxVisits: Int = 256): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(qRows.nonEmpty, "hnsw: empty query set")
+    val qB = spark.sparkContext.broadcast(qRows)
+    val perShard = emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .repartition(partitions, col(idCol))
+      .mapPartitions { rows =>
+        // deterministic build: ascending id within the shard
+        val sorted = rows.toArray.sortBy(_._1)
+        if (sorted.isEmpty) Iterator.empty
+        else {
+          val index = new Index(m, efConstruction)
+          sorted.foreach { case (id, v) => index.insert(id, v) }
+          qB.value.iterator.flatMap { case (qid, qv) =>
+            val (top, visited) = index.search(qv, k + 1, efSearch, maxVisits)
+            // the query itself may live in this shard — drop it
+            top.filter(_._1 != qid).take(k).map { case (nid, _) =>
+              (qid, nid, visited)
+            }
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "visited")
+    // exact quantized re-rank of the merged candidates: integer dots,
+    // bit-identical to the brute-force reference's ranking
+    val quant = graft.plans.VectorExpressions.quantize_e6 _
+    val dotL = graft.plans.VectorExpressions.dot_long _
+    val qv = queries.select(col(idCol).cast("long").as("query_id"),
+      quant(col(vecCol)).as("vq"))
+    val nv = emb.select(col(idCol).cast("long").as("neighbor_id"),
+      quant(col(vecCol)).as("vn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("dot_e12").desc, col("neighbor_id").asc)
+    // the candidate set (≤ queries·k·P rows) is the broadcast side of
+    // BOTH joins — the corpus is never broadcast and never all-paired
+    broadcast(perShard.join(broadcast(qv), "query_id"))
+      .join(nv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("visited"),
+        dotL(col("vq"), col("vn")).as("dot_e12"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("dot_e12"), col("visited"))
+  }
+}

@@ -408,7 +408,55 @@ object Vectors {
       .orderBy("vec_id")
   }
 
+  /** v50: HNSW graph ANN ([[graft.operators.Hnsw]]) — the
+    * recall/latency frontier beyond IVF/PQ: 4 hash-partitioned
+    * sub-graphs built independently (`mapPartitions`), searched with a
+    * visited-node HARD CAP, merged by exact integer re-rank. The gate
+    * require()s the real acceptance criteria against the
+    * oracle-certified brute-force reference: per-shard visited counts
+    * within budget (never all-pairs — at sf0.1 the cap visits ~20% of
+    * each shard), mean recall@5 ≥ 0.8, every query ≥ 3/5. The OUTPUT
+    * is the per-query threshold verdict, which the DuckDB oracle can
+    * state independently (the graph's greedy construction itself is
+    * not SQL-expressible; its numbers are require()d, spec'd in
+    * HnswSpec, and deterministic by construction — hash-derived
+    * levels, id-ordered insertion, id-tie-broken heaps). */
+  def v50HnswRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 30)
+    val maxVisits = 256
+    val hnsw = graft.operators.Hnsw.annTopK(emb, "vec_id", "embedding",
+      queries, k = 5, partitions = 4, m = 8, efConstruction = 64,
+      efSearch = 48, maxVisits = maxVisits)
+    val exact = bruteForceTopK(s, dir, nQueries = 30, k = 5)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    val scored = hnsw
+      .join(exact, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
+        max(col("visited")).as("max_visited"))
+      .collect() // 30 query rows, bounded
+    require(scored.length == 30, s"v50: expected 30 queries, got ${scored.length}")
+    require(scored.forall(_.getAs[Int]("max_visited") <= maxVisits),
+      "v50: a shard search exceeded its visited-node budget")
+    val mean = scored.map(_.getAs[Long]("n_overlap")).sum.toDouble / (30 * 5)
+    require(mean >= 0.8, f"v50: HNSW mean recall@5 = $mean%.3f below the 0.8 floor")
+    require(scored.forall(_.getAs[Long]("n_overlap") >= 3),
+      "v50: a query fell below 3/5 recall")
+    s.createDataFrame(s.sparkContext.parallelize(
+      scored.map(r => org.apache.spark.sql.Row(
+        r.getAs[Long]("query_id"),
+        r.getAs[Long]("n_overlap") >= 3)).toIndexedSeq),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("recall_ok",
+          org.apache.spark.sql.types.BooleanType))))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v50_hnsw_recall" -> (v50HnswRecall _),
     "v45_ivf_adc_rerank" -> (v45IvfAdcRerank _),
     "v46_fused_recall" -> (v46FusedRecall _),
     "v47_embedding_outliers" -> (v47EmbeddingOutliers _),
@@ -619,6 +667,15 @@ object Vectors {
         |       FROM exact)""".stripMargin)
 
   val oracles: Map[String, String] = Map(
+    // v50: the graph build is not SQL-expressible; the recall and
+    // budget numbers are require()d in-gate against the v31-oracled
+    // exact reference, and the oracle independently states the
+    // per-query verdict the gate must reach — a query slipping below
+    // the 3/5 floor breaks the hash
+    "v50_hnsw_recall" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 30
+        |ORDER BY query_id""".stripMargin,
     "v45_ivf_adc_rerank" ->
       (fusedCtes +
       """

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** HNSW graph ANN: per-shard graph build + capped beam search +
+  * merged exact re-rank. The index is DETERMINISTIC by construction
+  * (hash-derived levels, id-ordered insertion, id-tie-broken heaps),
+  * so recall and budgets pin exactly. */
+class HnswSpec extends AnyFunSuite with SparkSpec {
+
+  // 4 well-separated clusters in 8 dims: cluster c's members sit at
+  // 10·e_c plus a small deterministic jitter — nearest neighbors of
+  // any member are exactly its cluster-mates
+  private def clustered(n: Int): Seq[(Long, Array[Float])] =
+    (0 until n).map { i =>
+      val c = i % 4
+      val v = Array.fill(8)(0f)
+      v(c) = 10f
+      v((c + 4) % 8) = (i / 4 % 7).toFloat * 0.1f
+      (i.toLong, v)
+    }
+
+  private def dot(a: Array[Float], b: Array[Float]): Double =
+    a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+
+  private def exactTopK(data: Seq[(Long, Array[Float])],
+                        q: Array[Float], qid: Long, k: Int): Seq[Long] =
+    data.filter(_._1 != qid)
+      .map { case (id, v) => (dot(q, v), id) }
+      .sortBy { case (d, id) => (-d, id) }
+      .take(k).map(_._2)
+
+  test("single index: generous beam returns the exact top-k") {
+    val data = clustered(120)
+    val idx = new Hnsw.Index(m = 6, efConstruction = 32)
+    data.foreach { case (id, v) => idx.insert(id, v) }
+    data.take(12).foreach { case (qid, qv) =>
+      val (got, visited) = idx.search(qv, 6, efSearch = 120, maxVisits = 0)
+      val gotIds = got.map(_._1).filter(_ != qid).take(5)
+      assert(gotIds.toSet === exactTopK(data, qv, qid, 5).toSet,
+        s"query $qid")
+      assert(visited <= 120)
+    }
+  }
+
+  test("the visited-node cap binds: search cost is bounded, not corpus-sized") {
+    val data = clustered(400)
+    val idx = new Hnsw.Index(m = 6, efConstruction = 24)
+    data.foreach { case (id, v) => idx.insert(id, v) }
+    val (_, visited) = idx.search(data(7)._2, 5, efSearch = 16, maxVisits = 32)
+    assert(visited <= 32, s"cap violated: $visited")
+    // and the capped search still lands in the right cluster
+    val (got, _) = idx.search(data(7)._2, 5, efSearch = 16, maxVisits = 32)
+    assert(got.map(_._1).forall(id => id % 4 == 7 % 4),
+      s"capped search left the cluster: ${got.map(_._1)}")
+  }
+
+  test("deterministic: two independent builds answer identically") {
+    val data = clustered(200)
+    def run(): Seq[(Long, Double)] = {
+      val idx = new Hnsw.Index(m = 8, efConstruction = 48)
+      data.foreach { case (id, v) => idx.insert(id, v) }
+      idx.search(data(33)._2, 10, efSearch = 24, maxVisits = 64)._1
+    }
+    assert(run() === run())
+  }
+
+  test("distributed annTopK: shard + merge finds the cluster-exact top-k") {
+    import spark.implicits._
+    val data = clustered(240)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter("vec_id < 8")
+    val got = Hnsw.annTopK(df, "vec_id", "embedding", queries, k = 5,
+      partitions = 4, m = 6, efConstruction = 32, efSearch = 48,
+      maxVisits = 128)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    (0 until 8).foreach { q =>
+      val expected = exactTopK(data, data(q)._2, q.toLong, 5)
+      assert(got(q.toLong) === expected, s"query $q")
+    }
+  }
+
+  test("annTopK budget: emitted visited counts never exceed the cap") {
+    import spark.implicits._
+    val data = clustered(240)
+    val df = data.toDF("vec_id", "embedding")
+    val rows = Hnsw.annTopK(df, "vec_id", "embedding",
+      df.filter("vec_id < 4"), k = 3,
+      partitions = 3, m = 4, efConstruction = 16, efSearch = 8,
+      maxVisits = 20).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("visited") <= 20),
+      rows.map(_.getAs[Int]("visited")).max.toString)
+  }
+}
