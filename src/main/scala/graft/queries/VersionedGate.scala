@@ -634,6 +634,76 @@ object VersionedGate {
       .orderBy(col("commit_version"), col("doc_id"))
   }
 
+  /** q160: MERGE-ON-READ UPDATE (delta row-level operation) — q150's
+    * exact UPDATE lifecycle on a `deletionVectors=true` table, sharing
+    * q150's predicate-derived oracle: representation changes (DV
+    * sidecars + an insert file instead of file rewrites — require()d:
+    * every pre-update data file carries into v=1 under its own name),
+    * rows never do. */
+  def q160DvUpdate(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs160")
+    s.sql("CREATE TABLE graft.gate.docs160 (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('deletionVectors'='true')")
+    Tables.documents(s, dir).createOrReplaceTempView("q160_docs_src")
+    s.sql("INSERT INTO graft.gate.docs160 " +
+      "SELECT doc_id, lang, n_chars FROM q160_docs_src WHERE doc_id % 3 = 0")
+    s.sql("UPDATE graft.gate.docs160 SET n_chars = n_chars + 1000 " +
+      "WHERE doc_id % 2 = 0 AND n_chars >= 200")
+    val root = scratchBase.resolve("catalog").resolve("gate")
+      .resolve("docs160")
+    def names(v: String) = Versioned.dataFiles(root.resolve(v))
+      .map(_.getFileName.toString).toSet
+    require(names("v=0").subsetOf(names("v=1")),
+      "q160: a merge-on-read UPDATE must carry every data file, not rewrite")
+    require(graft.operators.DeletionVectors.hasDvs(root.resolve("v=1")),
+      "q160: the UPDATE commit must carry deletion-vector sidecars")
+    s.sql("""SELECT 'pre' AS snap, doc_id, n_chars
+             FROM graft.gate.docs160 VERSION AS OF 0
+             UNION ALL
+             SELECT 'post' AS snap, doc_id, n_chars FROM graft.gate.docs160
+             ORDER BY snap, doc_id""")
+  }
+
+  /** q161: MERGE-ON-READ MERGE INTO — q151's exact three-clause MERGE
+    * on a `deletionVectors=true` table, sharing q151's oracle: matched
+    * updates become DV'd positions + inserted rows, not-matched
+    * inserts land in fresh files, not-matched-by-source deletes become
+    * DV positions — and no pre-merge file is ever rewritten
+    * (require()d). */
+  def q161DvMerge(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs161")
+    s.sql("CREATE TABLE graft.gate.docs161 (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('deletionVectors'='true')")
+    Tables.documents(s, dir).createOrReplaceTempView("q161_docs_src")
+    s.sql("INSERT INTO graft.gate.docs161 " +
+      "SELECT doc_id, lang, n_chars FROM q161_docs_src WHERE doc_id % 3 = 0")
+    s.sql("""MERGE INTO graft.gate.docs161 t
+             USING (SELECT doc_id, lang, n_chars FROM q161_docs_src
+                    WHERE doc_id % 2 = 0) s
+             ON t.doc_id = s.doc_id
+             WHEN MATCHED AND s.n_chars > 500 THEN
+               UPDATE SET n_chars = s.n_chars + 5
+             WHEN NOT MATCHED THEN
+               INSERT (doc_id, lang, n_chars) VALUES (s.doc_id, s.lang, s.n_chars)
+             WHEN NOT MATCHED BY SOURCE AND t.n_chars < 300 THEN
+               DELETE""")
+    val root = scratchBase.resolve("catalog").resolve("gate")
+      .resolve("docs161")
+    def names(v: String) = Versioned.dataFiles(root.resolve(v))
+      .map(_.getFileName.toString).toSet
+    require(names("v=0").subsetOf(names("v=1")),
+      "q161: a merge-on-read MERGE must carry every data file, not rewrite")
+    require(graft.operators.DeletionVectors.hasDvs(root.resolve("v=1")),
+      "q161: the MERGE commit must carry deletion-vector sidecars")
+    s.sql("""SELECT 'pre' AS snap, doc_id, n_chars
+             FROM graft.gate.docs161 VERSION AS OF 0
+             UNION ALL
+             SELECT 'post' AS snap, doc_id, n_chars FROM graft.gate.docs161
+             ORDER BY snap, doc_id""")
+  }
+
   private lazy val StreamWriteSrc = scratchBase.resolve("q146_src").toString
   private lazy val StreamWriteDst = scratchBase.resolve("q146_dst").toString
 
@@ -689,6 +759,8 @@ object VersionedGate {
     "q157_column_mapping" -> (q157ColumnMapping _),
     "q158_dv_change_feed" -> (q158DvChangeFeed _),
     "q159_throttled_change_feed" -> (q159ThrottledChangeFeed _),
+    "q160_dv_update" -> (q160DvUpdate _),
+    "q161_dv_merge" -> (q161DvMerge _),
     "q63_versioned_load" -> (q63VersionedLoad _),
     "q67_csv_swap" -> (q67CsvSwap _),
     "q120_version_change_feed" -> (q120VersionChangeFeed _),
@@ -808,6 +880,35 @@ object VersionedGate {
         |       ELSE n_chars END AS chars
         |FROM documents WHERE doc_id % 3 IN (0, 1)
         |ORDER BY doc_id""".stripMargin,
+    // q160 shares q150's oracle verbatim: merge-on-read UPDATE must be
+    // row-identical to copy-on-write UPDATE
+    "q160_dv_update" ->
+      """SELECT 'pre' AS snap, doc_id, n_chars
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT 'post' AS snap, doc_id,
+        |  CASE WHEN doc_id % 2 = 0 AND n_chars >= 200
+        |       THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY snap, doc_id""".stripMargin,
+    // q161 shares q151's oracle verbatim: merge-on-read MERGE must be
+    // row-identical to copy-on-write MERGE
+    "q161_dv_merge" ->
+      """SELECT 'pre' AS snap, doc_id, n_chars
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT 'post' AS snap, doc_id, n_chars FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN n_chars > 500 THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id, n_chars FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, n_chars FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 2 <> 0 AND n_chars >= 300
+        |)
+        |ORDER BY snap, doc_id""".stripMargin,
     // q158 shares q153's oracle verbatim: the stored feed of a DV-mode
     // DELETE equals the copy-on-write feed
     "q158_dv_change_feed" ->

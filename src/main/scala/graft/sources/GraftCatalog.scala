@@ -552,7 +552,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             org.apache.spark.unsafe.types.UTF8String.fromString(d)))))
       // DESCRIBE HISTORY parity: one row per surviving version, newest
       // first — commit stamp (time-travel key), file/byte footprint,
-      // and whether a stored change feed exists for it
+      // whether a stored change feed exists, and the merge-on-read
+      // state (sidecar count + DV'd row count, O(1) header reads)
       case "history" => new GraftProcedure("history",
         Array(ProcedureParameter.in("table", StringType).build()),
         new StructType()
@@ -561,16 +562,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           .add("n_files", IntegerType, nullable = false)
           .add("bytes", LongType, nullable = false)
           .add("has_change_feed", org.apache.spark.sql.types.BooleanType,
-            nullable = false),
+            nullable = false)
+          .add("n_dvs", IntegerType, nullable = false)
+          .add("n_deleted_rows", LongType, nullable = false),
         in => {
           val r = root(in.getUTF8String(0).toString)
           val feeds = Versioned.feedVersions(r).toSet
           Versioned.versions(r).sorted.reverse.map { v =>
-            val files = Versioned.dataFiles(
-              java.nio.file.Paths.get(r, s"v=$v"))
+            val vdir = java.nio.file.Paths.get(r, s"v=$v")
+            val files = Versioned.dataFiles(vdir)
+            val dvs = graft.operators.DeletionVectors.dvMap(vdir)
             new GenericInternalRow(Array[Any](
               v, Versioned.commitStamp(r, v).getOrElse(null),
-              files.size, files.map(Files.size(_)).sum, feeds.contains(v)))
+              files.size, files.map(Files.size(_)).sum, feeds.contains(v),
+              dvs.size,
+              dvs.values.map(
+                graft.operators.DeletionVectors.cardinality).sum))
           }
         })
       // RESTORE TABLE … TO VERSION AS OF, as a NEW commit (nothing

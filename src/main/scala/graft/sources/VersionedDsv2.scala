@@ -27,7 +27,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -127,12 +127,13 @@ private[sources] object GraftVersionedTable {
 
   /** Name of the synthesized absolute-row-position metadata column —
     * the physical row ordinal within the row's data file, the
-    * coordinate deletion vectors are keyed on. Exposed ONLY under
-    * `.option("withRowPos", "true")`: correct positions require the
-    * scan to keep every predicate residual (a parquet record-level
-    * filter hides the rows it skips, which would shift the ordinals),
-    * and that trade is made when — and only when — the option asks
-    * for it (the DV-writing DELETE path does). */
+    * coordinate deletion vectors are keyed on and half of the delta
+    * operations' row id (`(_file, _pos)`, the Iceberg shape). Always
+    * exposed; whenever a scan projects it the reader turns parquet's
+    * record-level filtering OFF (it would hide skipped rows and shift
+    * every ordinal) and evaluates the pushed predicates itself on the
+    * assembled rows — pushdown semantics are preserved, positions
+    * stay physical. */
   val PosColumn = "_pos"
 
   object PosMetadataColumn extends MetadataColumn {
@@ -141,9 +142,6 @@ private[sources] object GraftVersionedTable {
     override def isNullable: Boolean = false
     override def comment(): String = "absolute row position within the data file"
   }
-
-  def withRowPos(options: CaseInsensitiveStringMap): Boolean =
-    options.getBoolean("withRowPos", false)
 
   /** COLUMN MAPPING (logical → physical): files always store PHYSICAL
     * column names, fixed at column birth; `RENAME COLUMN` moves only
@@ -434,18 +432,15 @@ private[sources] class GraftVersionedTable(
         GraftVersionedTable.colMapOf(options))
   }
 
-  // ---- `_file` metadata column (Delta's `_metadata.file_path` shape):
-  // row provenance for audits, and the REQUIRED metadata attribute of
-  // the row-level operation below — Spark's group-based ReplaceDataExec
-  // only routes rows through its data projection when the operation
-  // declares metadata (with none, the writer would receive the raw
-  // [__row_operation, data…] rows and the columns would shift).
-  // `_pos` joins it only under withRowPos (see PosColumn's contract).
+  // ---- `_file` + `_pos` metadata columns (Delta's
+  // `_metadata.file_path`/`row_index` shape): row provenance for
+  // audits, the REQUIRED metadata attribute of the group-based
+  // operation below (Spark's ReplaceDataExec only routes rows through
+  // its data projection when the operation declares metadata), and the
+  // delta operations' row id.
   override def metadataColumns(): Array[MetadataColumn] =
-    if (GraftVersionedTable.withRowPos(options))
-      Array(GraftVersionedTable.FileMetadataColumn,
-        GraftVersionedTable.PosMetadataColumn)
-    else Array(GraftVersionedTable.FileMetadataColumn)
+    Array(GraftVersionedTable.FileMetadataColumn,
+      GraftVersionedTable.PosMetadataColumn)
 
   // ---- SQL UPDATE / MERGE INTO / arbitrary-predicate DELETE: the
   // group-based (copy-on-write) row-level operation with the DATA FILE
@@ -464,9 +459,18 @@ private[sources] class GraftVersionedTable(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(!changeFeed, "the change feed is read-only")
     new RowLevelOperationBuilder {
+      // a deletionVectors table mutates MERGE-ON-READ through the
+      // delta protocol (per-row deltas → DV sidecars + insert files,
+      // zero file rewrites); everything else stays group-based
+      // copy-on-write
       override def build(): RowLevelOperation =
-        new GraftRowLevelOperation(GraftVersionedTable.this, root,
-          tableSchema, options, info.command)
+        if (options.getBoolean("deletionVectors", false) &&
+            Versioned.latestVersion(root).nonEmpty)
+          new GraftDeltaOperation(GraftVersionedTable.this, root,
+            tableSchema, options, info.command)
+        else
+          new GraftRowLevelOperation(GraftVersionedTable.this, root,
+            tableSchema, options, info.command)
     }
   }
 }
@@ -659,6 +663,217 @@ private[sources] class GraftRowLevelScan(
       colMap = colMap)
 }
 
+// ======================================== delta (merge-on-read) mutations
+
+/** DELTA-BASED row-level operation (`SupportsDelta`) — the
+  * merge-on-read mutation protocol for `deletionVectors=true` tables:
+  * instead of replacing whole files, Spark streams per-row DELTAS to
+  * the writer — delete(rowId) and insert(row), with UPDATE represented
+  * as delete+insert — and the commit becomes DV sidecars for the
+  * deleted positions plus fresh files for the inserted rows, with
+  * EVERY existing data file hard-linked over untouched. A one-row
+  * UPDATE on a 1 GB file costs one sidecar entry and one tiny insert
+  * file; the copy-on-write path rewrites the gigabyte. The row id is
+  * `(_file, _pos)` — the same positional coordinates the DV sidecars
+  * and the Iceberg delta protocol use. Unlike the group-based path the
+  * scan here needs no carry-over discipline: non-matching rows produce
+  * no delta, so pushed predicates apply FULLY (the reader's manual
+  * evaluation keeps them exact under position tracking). */
+private[sources] class GraftDeltaOperation(
+    private[sources] val table: GraftVersionedTable, root: String,
+    tableSchema: StructType, tableOptions: CaseInsensitiveStringMap,
+    cmd: RowLevelOperation.Command)
+  extends RowLevelOperation with SupportsDelta {
+
+  /** The snapshot this statement reads and must commit against —
+    * resolved once at operation build (the table's own snapshot pin
+    * makes this the version every scan of the statement sees). */
+  private[sources] val scannedVersion: Long =
+    GraftVersionedTable.resolveVersion(root,
+      table.scanOptions(CaseInsensitiveStringMap.empty()))
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"graft-versioned $cmd (merge-on-read delta: DV sidecars + insert files)"
+
+  override def rowId():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(GraftVersionedTable.FileColumn),
+      Expressions.column(GraftVersionedTable.PosColumn))
+
+  // immutable files cannot update in place — every UPDATE splits into
+  // a DV'd delete of the old position and an insert of the new row
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(GraftVersionedTable.FileColumn))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftVersionedScanBuilder(tableSchema, table.scanOptions(options))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new GraftDeltaWriteBuilder(root, info, tableOptions, this)
+}
+
+private[sources] class GraftDeltaWriteBuilder(
+    root: String, info: LogicalWriteInfo,
+    tableOptions: CaseInsensitiveStringMap, op: GraftDeltaOperation)
+  extends DeltaWriteBuilder {
+
+  override def build(): DeltaWrite = {
+    val colMap = GraftVersionedTable.colMapOf(tableOptions)
+    // a delete-only delta plan may carry no data columns at all; when
+    // rows CAN be inserted, their types must be writable — checked
+    // here at build time, before a task launches
+    if (info.schema().nonEmpty)
+      GroupParquetIo.writeMessageType(
+        GraftVersionedTable.physicalSchema(info.schema(), colMap))
+    val feedKeys = Option(tableOptions.get("changeFeedKeys"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    new GraftDeltaWrite(root, info.schema(), colMap,
+      Option(tableOptions.get("commitTs")).map(_.toLong),
+      info.queryId(), feedKeys, op)
+  }
+}
+
+private[sources] class GraftDeltaWrite(
+    root: String, dataSchema: StructType, colMap: Map[String, String],
+    commitTs: Option[Long], queryId: String, feedKeys: Seq[String],
+    op: GraftDeltaOperation) extends DeltaWrite {
+
+  override def description(): String =
+    s"GraftDeltaWrite merge-on-read `$root` (scanned v=${op.scannedVersion})"
+
+  override def toBatch: DeltaBatchWrite =
+    new GraftDeltaBatchWrite(root, dataSchema, colMap, commitTs, queryId,
+      feedKeys, op)
+}
+
+/** One staged message per task: the insert part file it cut (if any
+  * row was inserted) plus one DV FRAGMENT per data file it deleted
+  * from (`_dvfrag/<dataFileName>/<task>.dv`). The driver merges
+  * fragments per data file with the base version's sidecars at commit
+  * — driver work is O(deleted positions + files), never row data. */
+private[sources] case class StagedDeltaMessage(
+    insertFiles: Seq[String], fragments: Seq[String])
+  extends WriterCommitMessage
+
+private[sources] class GraftDeltaBatchWrite(
+    root: String, dataSchema: StructType, colMap: Map[String, String],
+    commitTs: Option[Long], queryId: String, feedKeys: Seq[String],
+    op: GraftDeltaOperation) extends DeltaBatchWrite {
+
+  private val staged = java.nio.file.Paths.get(
+    root, s"_staging_delta_${queryId}_${java.util.UUID.randomUUID.toString.take(8)}")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    java.nio.file.Files.createDirectories(staged)
+    GraftDeltaWriterFactory(
+      GraftVersionedTable.physicalSchema(dataSchema, colMap), staged.toString)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // drop leftovers of speculative/failed attempts: only files named
+    // in a commit message survive (inserts AND fragments)
+    val keepInserts = messages.collect {
+      case StagedDeltaMessage(ins, _) => ins }.flatten.toSet
+    val keepFrags = messages.collect {
+      case StagedDeltaMessage(_, fr) => fr }.flatten.toSet
+    Versioned.listParquet(staged)
+      .filterNot(f => keepInserts(f.getFileName.toString))
+      .foreach(java.nio.file.Files.delete(_))
+    val fragBase = staged.resolve(VersionedWriteIo.FragDir)
+    if (java.nio.file.Files.isDirectory(fragBase)) {
+      val stream = java.nio.file.Files.walk(fragBase)
+      try {
+        stream.filter(p => p.toString.endsWith(".dv")).forEach { p =>
+          val rel = fragBase.relativize(p).toString
+          if (!keepFrags(rel)) java.nio.file.Files.delete(p)
+        }
+      } finally stream.close()
+    }
+    val committed = VersionedWriteIo.commitDelta(root, staged,
+      op.scannedVersion, VersionedWriteIo.stampValue(commitTs))
+    if (feedKeys.nonEmpty)
+      Versioned.writeFeedFor(SparkSession.active, root, committed,
+        feedKeys,
+        op.table.schema().fieldNames.filterNot(feedKeys.contains).toSeq,
+        colMap)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    Versioned.deleteRecursively(staged)
+}
+
+private[sources] case class GraftDeltaWriterFactory(
+    physSchema: StructType, stagingDir: String) extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaDataWriter(stagingDir,
+      f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID.toString.take(8)}",
+      physSchema)
+}
+
+/** Executor-side delta writer: inserted rows stream into one lazy
+  * parquet part file; deleted `(_file, _pos)` ids accumulate per data
+  * file and flush as DV fragments at task commit. The id arrives in
+  * [[GraftDeltaOperation.rowId]] order: (file path string, position). */
+private[sources] class GraftDeltaDataWriter(
+    dir: String, baseName: String, physSchema: StructType)
+  extends DeltaWriter[InternalRow] {
+
+  private val insertWriter =
+    new GroupParquetDataWriter(dir, baseName + ".parquet", physSchema)
+  private val deletes =
+    scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    val file = id.getUTF8String(0).toString
+    val pos = id.getLong(1)
+    val name = java.nio.file.Paths.get(file).getFileName.toString
+    deletes.getOrElseUpdate(name,
+      scala.collection.mutable.ArrayBuffer.empty[Long]) += pos
+  }
+
+  override def insert(row: InternalRow): Unit = insertWriter.write(row)
+
+  // defensive: representUpdateAsDeleteAndInsert=true means Spark
+  // splits updates before they reach the writer
+  override def update(metadata: InternalRow, id: InternalRow,
+                      row: InternalRow): Unit = {
+    delete(metadata, id)
+    insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val insertMsg = insertWriter.commit() match {
+      case StagedFilesMessage(fs) => fs
+      case _ => Seq.empty
+    }
+    val frags = deletes.toSeq.map { case (dataFile, positions) =>
+      val rel = s"$dataFile/$baseName.dv"
+      graft.operators.DeletionVectors.write(
+        java.nio.file.Paths.get(dir, VersionedWriteIo.FragDir, rel),
+        positions.toArray)
+      rel
+    }
+    StagedDeltaMessage(insertMsg, frags)
+  }
+
+  override def abort(): Unit = {
+    insertWriter.abort()
+    deletes.keys.foreach { dataFile =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        dir, VersionedWriteIo.FragDir, dataFile, baseName + ".dv"))
+    }
+  }
+
+  override def close(): Unit = ()
+}
+
 private[sources] class GraftVersionedScanBuilder(
     fullSchema: StructType, options: CaseInsensitiveStringMap)
   extends ScanBuilder
@@ -675,24 +890,20 @@ private[sources] class GraftVersionedScanBuilder(
   // (it IS the scan's output schema) and the reader maps per lookup
   private val colMap = GraftVersionedTable.colMapOf(options)
 
-  // MERGE-ON-READ mode: the resolved snapshot carries deletion vectors
-  // (rows the reader must skip positionally), or the caller asked for
-  // `_pos` (positions must count every physical row). Either way a
-  // parquet record-level filter would shift/hide positions, so pushed
-  // predicates degrade to DRIVER-SIDE row-group pruning hints and
-  // Spark re-applies every filter above the scan; footer-only
-  // shortcuts (LIMIT group-trimming, aggregate pushdown) are refused
-  // because footer row counts include the DV'd rows.
-  private lazy val morMode: Boolean =
-    GraftVersionedTable.withRowPos(options) ||
-      GraftVersionedTable.snapshotHasDvs(options)
+  // MERGE-ON-READ snapshots (deletion vectors present): pushed filters
+  // still apply fully — the reader evaluates them itself on assembled
+  // rows whenever position tracking disables parquet's record filter —
+  // but footer-only shortcuts (LIMIT group-trimming, aggregate
+  // pushdown) refuse themselves: footer row counts include DV'd rows.
+  private lazy val dvPresent: Boolean =
+    GraftVersionedTable.snapshotHasDvs(options)
 
   // PARTIAL limit pushdown (isPartiallyPushed stays true, Spark keeps
   // the final LIMIT): the scan schedules only enough row groups to
   // cover n rows and each reader stops early — correct under parallel
   // partitions precisely because the engine-side LIMIT remains
   override def pushLimit(n: Int): Boolean =
-    if (morMode) false else { limit = Some(n); true }
+    if (dvPresent) false else { limit = Some(n); true }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -704,8 +915,7 @@ private[sources] class GraftVersionedScanBuilder(
       GroupParquetIo.translatable(f, fullSchema))
     pushedLogical = ok
     pushed = ok.map(GroupParquetIo.mapFilter(_, colMap))
-    if (morMode) filters // group-prune only; Spark re-applies ALL
-    else residual // Spark re-applies these above the scan
+    residual // Spark re-applies these above the scan
   }
 
   private var pushedLogical: Array[Filter] = Array.empty
@@ -741,7 +951,7 @@ private[sources] class GraftVersionedScanBuilder(
   }
 
   private def structurallyAnswerable(agg: Aggregation): Boolean =
-    pushed.isEmpty && agg.groupByExpressions.isEmpty && !morMode &&
+    pushed.isEmpty && agg.groupByExpressions.isEmpty && !dvPresent &&
       !GraftVersionedTable.isChangeFeed(options) &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
@@ -909,8 +1119,12 @@ private[sources] class GraftVersionedScan(
       else {
         val kept = plannedGroups.map(_.kept.size).sum
         val total = plannedGroups.map(_.total).sum
+        val dvs = graft.operators.DeletionVectors.dvMap(
+          java.nio.file.Paths.get(
+            GraftVersionedTable.snapshotDir(root, options))).size
         s"version=${GraftVersionedTable.resolveVersion(root, options)}, " +
-          s"RowGroups: $kept/$total"
+          s"RowGroups: $kept/$total" +
+          (if (dvs > 0) s", DeletionVectors: $dvs" else "")
       }
     s"GraftVersionedScan $what, " +
       s"ReadColumns: [${required.fieldNames.mkString(", ")}], " +
@@ -928,8 +1142,8 @@ private[sources] class GraftVersionedScan(
     // LIMIT with no filters: row counts are exact, so schedule only
     // enough row groups to cover the limit — `LIMIT 10` over a 100 TB
     // snapshot launches one task, not one per row group (the scan
-    // builder refuses the limit pushdown in morMode, where DV'd rows
-    // make footer counts an overcount)
+    // builder refuses the limit pushdown under deletion vectors,
+    // where footer counts overcount)
     val groups = limit match {
       case Some(n) if allFilters.isEmpty =>
         GroupParquetIo.limitGroups(plannedGroups, n.toLong)
@@ -955,7 +1169,16 @@ private[sources] class GraftVersionedScan(
     val readCols: Set[String] =
       (required.fieldNames.map(n => colMap.getOrElse(n, n)) ++
         filterTypes.keys).toSet
-    val groupRows = plannedGroups.map(_.kept.map(_.getRowCount).sum).sum
+    // deletion vectors: footer counts include the dead rows — subtract
+    // the sidecar cardinalities (an O(1) header read each) so a
+    // heavily-deleted dimension still qualifies for auto-broadcast
+    val dvDead: Long =
+      if (uninitialized) 0L
+      else graft.operators.DeletionVectors.dvMap(java.nio.file.Paths.get(
+          GraftVersionedTable.snapshotDir(root, options)))
+        .values.map(graft.operators.DeletionVectors.cardinality).sum
+    val groupRows = math.max(0L,
+      plannedGroups.map(_.kept.map(_.getRowCount).sum).sum - dvDead)
     val rows = limit.map(n => math.min(n.toLong, groupRows)).getOrElse(groupRows)
     val colBytes = plannedGroups.map(_.kept.map(
       _.getColumns.asScala
@@ -1271,8 +1494,8 @@ private[sources] class GroupParquetPartitionReader(
     val b = if (rangeStart >= 0) b0.withFileRange(rangeStart, rangeEnd) else b0
     // position tracking forbids record-level filtering: parquet hides
     // the rows a record filter skips, which would shift every ordinal.
-    // Safe: whenever needPos holds the scan builder kept ALL predicates
-    // residual (morMode), so Spark re-applies them above the scan.
+    // Pushdown semantics survive because next() then evaluates the
+    // SAME pushed atoms itself on each assembled row (evalAtoms).
     val compiled =
       if (needPos) None else GroupParquetIo.compile(presentAtoms, filterTypes)
     compiled match {
@@ -1284,6 +1507,64 @@ private[sources] class GroupParquetPartitionReader(
   private var current: org.apache.parquet.example.data.Group = _
   private var emitted = 0L
   private var opened = false
+
+  // position tracking turned parquet's record filter off — the reader
+  // honors the pushed predicates itself, same vocabulary, same
+  // three-valued semantics (an atom over a null value never matches;
+  // only IsNull does)
+  private val manualEval = needPos && presentAtoms.nonEmpty
+
+  private def atomHolds(g: org.apache.parquet.example.data.Group,
+                        f: Filter): Boolean = {
+    val gType = g.getType
+    def isNull(a: String): Boolean = {
+      val gi = gType.getFieldIndex(a)
+      g.getFieldRepetitionCount(gi) == 0
+    }
+    // compare the stored value with the literal under the COLUMN's
+    // type — the same normalization the parquet compile path uses
+    // (dates to epoch days, timestamps to micros, strings by unsigned
+    // UTF-8 byte order). Returns None when the stored value is null.
+    def cmp(a: String, v: Any): Option[Int] = {
+      if (isNull(a)) return None
+      val gi = gType.getFieldIndex(a)
+      Some(filterTypes(a) match {
+        case LongType => java.lang.Long.compare(
+          g.getLong(gi, 0), v.asInstanceOf[Number].longValue())
+        case TimestampType | TimestampNTZType => java.lang.Long.compare(
+          g.getLong(gi, 0), GroupParquetIo.toMicros(v))
+        case IntegerType => java.lang.Integer.compare(
+          g.getInteger(gi, 0), v.asInstanceOf[Number].intValue())
+        case DateType => java.lang.Integer.compare(
+          g.getInteger(gi, 0), GroupParquetIo.toDays(v))
+        case DoubleType => java.lang.Double.compare(
+          g.getDouble(gi, 0), v.asInstanceOf[Number].doubleValue())
+        case FloatType => java.lang.Float.compare(
+          g.getFloat(gi, 0), v.asInstanceOf[Number].floatValue())
+        case BooleanType => java.lang.Boolean.compare(
+          g.getBoolean(gi, 0), v.asInstanceOf[Boolean])
+        case StringType =>
+          UTF8String.fromBytes(g.getBinary(gi, 0).getBytes)
+            .compareTo(UTF8String.fromString(v.toString))
+        case other => throw new UnsupportedOperationException(
+          s"graft-versioned: cannot evaluate pushed filter on type $other")
+      })
+    }
+    f match {
+      case EqualTo(a, v) => cmp(a, v).contains(0)
+      case GreaterThan(a, v) => cmp(a, v).exists(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v).exists(_ >= 0)
+      case LessThan(a, v) => cmp(a, v).exists(_ < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v).exists(_ <= 0)
+      case IsNull(a) => isNull(a)
+      case IsNotNull(a) => !isNull(a)
+      case In(a, vs) => vs.exists(v => cmp(a, v).contains(0))
+      case And(l, r) => atomHolds(g, l) && atomHolds(g, r)
+      case other => throw new UnsupportedOperationException(
+        s"graft-versioned: unevaluable pushed filter $other — " +
+          "translatable() and atomHolds() drifted apart")
+    }
+  }
 
   override def next(): Boolean = {
     // a filter on a column this file lacks (and null doesn't satisfy)
@@ -1305,6 +1586,10 @@ private[sources] class GroupParquetPartitionReader(
           dvIdx += 1
         live = dvIdx >= dvPositions.length || dvPositions(dvIdx) != rowPos
       } else live = true
+      // pushed predicates, applied by hand when the record filter is
+      // off for position tracking — pushdown stays fully honored
+      if (live && manualEval)
+        live = presentAtoms.forall(atomHolds(current, _))
     }
     emitted += 1
     true
@@ -1651,7 +1936,7 @@ private[sources] object GroupParquetIo {
 
   // date literals arrive as LocalDate or java.sql.Date (datetime
   // java8API setting) — parquet wants epoch days
-  private def toDays(v: Any): java.lang.Integer = v match {
+  private[sources] def toDays(v: Any): java.lang.Integer = v match {
     case d: java.time.LocalDate => d.toEpochDay.toInt
     case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
     case n: Number => n.intValue()
@@ -1661,7 +1946,7 @@ private[sources] object GroupParquetIo {
 
   // timestamp literals arrive as Instant / java.sql.Timestamp (LTZ) or
   // LocalDateTime (NTZ) — parquet wants epoch micros
-  private def toMicros(v: Any): java.lang.Long = v match {
+  private[sources] def toMicros(v: Any): java.lang.Long = v match {
     case i: java.time.Instant =>
       Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
     case ts: java.sql.Timestamp =>
@@ -2123,6 +2408,119 @@ private[sources] object VersionedWriteIo {
   private[sources] def uniqueEmptyName(): String =
     s"part-empty-${java.util.UUID.randomUUID.toString.take(8)}.parquet"
 
+  /** Staging subdirectory holding per-task deletion-vector FRAGMENTS
+    * of a delta commit: `_dvfrag/<dataFileName>/<task>.dv`. */
+  private[sources] val FragDir = "_dvfrag"
+
+  /** Publish a DELTA commit: the staged dir holds insert part files
+    * plus per-task DV fragments; the new version hard-links EVERY data
+    * file of the base version (nothing is replaced), adds the insert
+    * files, and writes per-file sidecars merging the base's DVs with
+    * the fragments. Same file-level conflict discipline as
+    * [[commitRowLevel]] with the DV'd files as the touched set:
+    * intervening DISJOINT row-level commits rebase (positions stay
+    * valid — file names are immutable identities), overlap or an
+    * intervening append/overwrite aborts loudly. */
+  def commitDelta(root: String, staged: Path, scannedVersion: Long,
+                  stamp: Long): Long = {
+    import graft.operators.DeletionVectors
+    def conflict(why: String): Nothing = {
+      Versioned.deleteRecursively(staged)
+      throw new IllegalStateException(
+        s"graft-versioned: concurrent commit under $root during a " +
+          s"merge-on-read mutation (scanned v=$scannedVersion, latest is " +
+          s"v=${Versioned.latestVersion(root).getOrElse(-1L)}; $why) — " +
+          "retry the statement against current data")
+    }
+    // merge the per-task fragments: data file name → new positions
+    val fragBase = staged.resolve(FragDir)
+    val newPos: Map[String, Array[Long]] =
+      if (!Files.isDirectory(fragBase)) Map.empty
+      else {
+        val stream = Files.list(fragBase)
+        val dirs = try {
+          import scala.jdk.CollectionConverters._
+          stream.iterator().asScala.filter(Files.isDirectory(_)).toList
+        } finally stream.close()
+        dirs.map { d =>
+          val fs = Files.list(d)
+          val frags = try {
+            import scala.jdk.CollectionConverters._
+            fs.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".dv")).toList
+          } finally fs.close()
+          d.getFileName.toString ->
+            frags.flatMap(DeletionVectors.read(_)).toArray.distinct.sorted
+        }.filter(_._2.nonEmpty).toMap
+      }
+    Versioned.deleteRecursively(fragBase)
+    val touched = newPos.keySet
+    var attempt = 0
+    var linked: Seq[Path] = Nil
+    var linkedDvs: Seq[Path] = Nil
+    while (attempt < 20) {
+      val base = Versioned.latestVersion(root).getOrElse(
+        conflict("no versions left"))
+      if (base != scannedVersion) {
+        ((scannedVersion + 1) to base).foreach { v =>
+          rowLevelReplaced(root, v) match {
+            case None => conflict(s"v=$v is not a row-level commit")
+            case Some(replaced) =>
+              val overlap = replaced.intersect(touched)
+              if (overlap.nonEmpty)
+                conflict(s"v=$v also touched ${overlap.mkString(", ")}")
+          }
+        }
+      }
+      val baseDir = Paths.get(root, s"v=$base")
+      linked.foreach(Files.deleteIfExists(_))
+      linkedDvs.foreach(Files.deleteIfExists(_))
+      val baseFiles = Versioned.dataFiles(baseDir)
+      val missing = touched -- baseFiles.map(_.getFileName.toString).toSet
+      if (missing.nonEmpty)
+        conflict(s"deltas target files no longer present: ${missing.mkString(", ")}")
+      // every base file carries over untouched (nothing is replaced)
+      linked = baseFiles.map { f =>
+        val tgt = staged.resolve(f.getFileName.toString)
+        try Files.createLink(tgt, f)
+        catch { case _: UnsupportedOperationException => Files.copy(f, tgt) }
+        tgt
+      }
+      // sidecars: base DVs ∪ this commit's fragments, per file
+      val baseDvs = DeletionVectors.dvMap(baseDir)
+      val dvNames = baseFiles.flatMap { f =>
+        val n = f.getFileName.toString
+        val merged = (baseDvs.get(n).map(DeletionVectors.read), newPos.get(n)) match {
+          case (Some(old), Some(nw)) => Some(DeletionVectors.merge(old, nw))
+          case (Some(old), None) => Some(old)
+          case (None, Some(nw)) => Some(nw.distinct.sorted)
+          case _ => None
+        }
+        merged.map { ps =>
+          DeletionVectors.write(DeletionVectors.dvPath(staged, n), ps)
+          n + DeletionVectors.Suffix
+        }
+      }
+      linkedDvs = dvNames.map(DeletionVectors.dvDir(staged).resolve(_))
+      writeRowLevelMarker(staged, touched)
+      Versioned.writeFilesManifest(staged,
+        Versioned.listParquet(staged).map(_.getFileName.toString), dvNames)
+      val next = base + 1
+      try {
+        Files.move(staged, Paths.get(root, s"v=$next"), StandardCopyOption.ATOMIC_MOVE)
+        Versioned.writeLatestHint(root, next)
+        Versioned.writeStamp(root, next, stamp)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.FileSystemException =>
+          attempt += 1 // v=next claimed concurrently — re-check and rebase
+      }
+    }
+    conflict("20 rebase attempts exhausted")
+  }
+
   /** MERGE-ON-READ DELETE: commit a new version whose data files are
     * all HARD-LINKS of the current one, plus per-file deletion-vector
     * sidecars naming the predicate's row positions. Cost is
@@ -2130,7 +2528,7 @@ private[sources] object VersionedWriteIo {
     * copy-on-write path rewrites every touched file end-to-end.
     *
     * Position discovery is a distributed scan (the DV-aware,
-    * position-tracking DSv2 read under `withRowPos`), grouped per file
+    * position-tracking DSv2 read projecting `_file`/`_pos`), grouped per file
     * so each file's sidecar is written ONCE from the executor that
     * aggregated it — the driver never holds the deleted-position set,
     * only the per-file merge of old+new sidecars (each bounded by one
@@ -2151,7 +2549,6 @@ private[sources] object VersionedWriteIo {
     val vdir = Paths.get(root, s"v=$scanned")
     val snapReader = spark.read.format("graft-versioned")
       .option("versionAsOf", scanned.toString)
-      .option("withRowPos", "true")
     // the discovery scan must surface LOGICAL column names — the
     // predicate was written against them
     val snap = colMapOpt.filter(_.nonEmpty)

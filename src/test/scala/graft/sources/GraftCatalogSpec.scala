@@ -267,6 +267,21 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(stamps.forall(_ > 0) && stamps.reverse == stamps.reverse.sorted)
     assert(h.forall(r => r.getInt(2) > 0 && r.getLong(3) > 0))
     assert(h.forall(!_.getBoolean(4))) // no changeFeedKeys on this table
+    assert(h.forall(r => r.getInt(5) === 0 && r.getLong(6) === 0L),
+      "a copy-on-write table carries no deletion vectors")
+  }
+
+  test("CALL sys.history surfaces the merge-on-read state") {
+    sql("DROP TABLE IF EXISTS gtest.ns.thdv")
+    sql("CREATE TABLE gtest.ns.thdv (id BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('deletionVectors'='true')")
+    sql("INSERT INTO gtest.ns.thdv SELECT id FROM range(0, 100)")
+    sql("DELETE FROM gtest.ns.thdv WHERE id < 20")
+    val h = sql("CALL gtest.sys.history(table => 'ns.thdv')").collect()
+      .map(r => r.getLong(0) -> (r.getInt(5), r.getLong(6))).toMap
+    assert(h(0L) === ((0, 0L)))
+    assert(h(1L)._2 === 20L, s"20 DV'd rows expected: $h")
+    assert(h(1L)._1 > 0)
   }
 
   test("sys.restore brings an old snapshot back as a NEW commit; history intact") {
