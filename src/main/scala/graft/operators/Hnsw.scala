@@ -202,6 +202,41 @@ object Hnsw {
         searchLayer(q, cur, 0, math.max(efSearch, k), maxVisits)
       (cands.take(k).map { case (d, n) => (ids(n), d) }.toSeq, visited)
     }
+
+    /** Serializable graph snapshot, one row per node: (id, vector,
+      * per-level neighbor IDS, isEntry). Neighbor IDS — not ordinals —
+      * so a restore is insensitive to row order. */
+    def dump(): Seq[(Long, Array[Float], Seq[Seq[Long]], Boolean)] =
+      ids.indices.map { n =>
+        (ids(n), vecs(n),
+          links(n).toSeq.map(_.toSeq.map(ids(_))), n == entry)
+      }.toSeq
+
+    private[Hnsw] def restoreFrom(
+        rows: Seq[(Long, Array[Float], Seq[Seq[Long]], Boolean)]): Unit = {
+      require(ids.isEmpty, "hnsw: restore into a non-empty index")
+      // deterministic ordinals: ascending id (row order irrelevant)
+      val sorted = rows.sortBy(_._1)
+      val ordOf = sorted.iterator.map(_._1).zipWithIndex.toMap
+      sorted.foreach { case (id, v, ls, isEntry) =>
+        val node = ids.length
+        ids += id; vecs += v
+        links += ls.map(level =>
+          level.map(ordOf).to(mutable.ArrayBuffer)).toArray
+        if (isEntry) { entry = node; topLevel = ls.length - 1 }
+      }
+      require(entry >= 0, "hnsw: restored snapshot has no entry node")
+    }
+  }
+
+  /** Rebuild an [[Index]] from a [[Index.dump]] snapshot — identical
+    * adjacency, identical search results; further [[Index.insert]]s
+    * continue the graph. */
+  def restore(rows: Seq[(Long, Array[Float], Seq[Seq[Long]], Boolean)],
+              m: Int, efConstruction: Int): Index = {
+    val idx = new Index(m, efConstruction)
+    idx.restoreFrom(rows)
+    idx
   }
 
   /** Distributed ANN: P hash-partitioned sub-graphs, each searched for
@@ -240,26 +275,123 @@ object Hnsw {
           }
         }
       }.toDF("query_id", "neighbor_id", "visited")
-    // exact quantized re-rank of the merged candidates: integer dots,
-    // bit-identical to the brute-force reference's ranking
-    val quant = graft.plans.VectorExpressions.quantize_e6 _
-    val dotL = graft.plans.VectorExpressions.dot_long _
-    val qv = queries.select(col(idCol).cast("long").as("query_id"),
-      quant(col(vecCol)).as("vq"))
     val nv = emb.select(col(idCol).cast("long").as("neighbor_id"),
-      quant(col(vecCol)).as("vn"))
+      graft.plans.VectorExpressions.quantize_e6(col(vecCol)).as("vn"))
+    rerankMerge(perShard, nv, queries, idCol, vecCol, k)
+  }
+
+  /** Exact quantized re-rank + global top-k of per-shard candidates:
+    * integer dots, bit-identical to the brute-force reference's
+    * ranking. The candidate set (≤ queries·k·shards rows) is the
+    * broadcast side of BOTH joins — the corpus side is never broadcast
+    * and never all-paired. */
+  private def rerankMerge(cands: DataFrame, neighborVecs: DataFrame,
+                          queries: DataFrame, idCol: String,
+                          vecCol: String, k: Int): DataFrame = {
+    val qv = queries.select(col(idCol).cast("long").as("query_id"),
+      graft.plans.VectorExpressions.quantize_e6(col(vecCol)).as("vq"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("dot_e12").desc, col("neighbor_id").asc)
-    // the candidate set (≤ queries·k·P rows) is the broadcast side of
-    // BOTH joins — the corpus is never broadcast and never all-paired
-    broadcast(perShard.join(broadcast(qv), "query_id"))
-      .join(nv, "neighbor_id")
+    broadcast(cands.join(broadcast(qv), "query_id"))
+      .join(neighborVecs, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), col("visited"),
-        dotL(col("vq"), col("vn")).as("dot_e12"))
+        graft.plans.VectorExpressions.dot_long(col("vq"), col("vn"))
+          .as("dot_e12"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("dot_e12"), col("visited"))
+  }
+
+  // --------------------------- persisted, incrementally-growing index
+
+  /** PERSISTED index as SEGMENTS (the Lucene-HNSW shape): the base
+    * build writes `segments` independent graphs; every later batch
+    * becomes ONE NEW segment — the base graphs are never touched, so
+    * per-batch maintenance cost is O(batch·log batch) build +
+    * O(batch) write, independent of corpus size (the same
+    * index-as-state discipline as the incremental IVF/LSH/SemDeDup
+    * legs). A search fans out over every segment under the same
+    * visited cap and merges; segment proliferation degrades search
+    * additively (one capped walk per segment), so a compaction —
+    * [[buildIndex]] over the full corpus — amortizes like any segment
+    * merge. On disk: one parquet row per node (seg, id, vec, links,
+    * is_entry); neighbor lists carry IDS, so restore is insensitive to
+    * row order. */
+  def buildIndex(emb: DataFrame, idCol: String, vecCol: String,
+                 path: String, segments: Int = 4, m: Int = 8,
+                 efConstruction: Int = 64): Unit =
+    writeSegments(emb, idCol, vecCol, path, segments, firstSeg = 0,
+      m, efConstruction, overwrite = true)
+
+  /** Append one batch as a fresh segment; the stored base is read only
+    * to learn the next segment id (a listing-scale read, no graph
+    * loads). */
+  def appendBatch(path: String, batch: DataFrame, idCol: String,
+                  vecCol: String, m: Int = 8,
+                  efConstruction: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val next = spark.read.parquet(path)
+      .agg(max(col("seg"))).collect()(0).getInt(0) + 1
+    writeSegments(batch, idCol, vecCol, path, segments = 1,
+      firstSeg = next, m, efConstruction, overwrite = false)
+  }
+
+  private def writeSegments(emb: DataFrame, idCol: String, vecCol: String,
+                            path: String, segments: Int, firstSeg: Int,
+                            m: Int, efConstruction: Int,
+                            overwrite: Boolean): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .repartition(segments, col(idCol))
+      .mapPartitions { rows =>
+        val seg = firstSeg + org.apache.spark.TaskContext.getPartitionId()
+        val sorted = rows.toArray.sortBy(_._1)
+        if (sorted.isEmpty) Iterator.empty
+        else {
+          val index = new Index(m, efConstruction)
+          sorted.foreach { case (id, v) => index.insert(id, v) }
+          index.dump().iterator.map { case (id, v, links, isEntry) =>
+            (seg, id, v, links, isEntry)
+          }
+        }
+      }.toDF("seg", "id", "vec", "links", "is_entry")
+      .write.mode(if (overwrite) "overwrite" else "append").parquet(path)
+  }
+
+  /** Search the stored index: one capped beam walk per segment, merged
+    * by exact integer re-rank — same output shape as [[annTopK]]. */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  queries: DataFrame, idCol: String, vecCol: String,
+                  k: Int, m: Int = 8, efConstruction: Int = 64,
+                  efSearch: Int = 48, maxVisits: Int = 256): DataFrame = {
+    import spark.implicits._
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(qRows.nonEmpty, "hnsw: empty query set")
+    val qB = spark.sparkContext.broadcast(qRows)
+    val stored = spark.read.parquet(path)
+      .select(col("seg"), col("id"), col("vec"), col("links"),
+        col("is_entry"))
+      .as[(Int, Long, Array[Float], Seq[Seq[Long]], Boolean)]
+    val cands = stored.groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        val index = restore(
+          rows.map { case (_, id, v, ls, e) => (id, v, ls, e) }.toSeq,
+          m, efConstruction)
+        qB.value.iterator.flatMap { case (qid, qv) =>
+          val (top, visited) = index.search(qv, k + 1, efSearch, maxVisits)
+          top.filter(_._1 != qid).take(k).map { case (nid, _) =>
+            (qid, nid, visited)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "visited")
+    val nv = spark.read.parquet(path).select(
+      col("id").cast("long").as("neighbor_id"),
+      graft.plans.VectorExpressions.quantize_e6(col("vec")).as("vn"))
+    rerankMerge(cands, nv, queries, idCol, vecCol, k)
   }
 }

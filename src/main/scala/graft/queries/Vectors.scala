@@ -455,8 +455,67 @@ object Vectors {
       .orderBy("query_id")
   }
 
+  private lazy val HnswIndexBase: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_hnsw_index_")
+
+  /** v51: INCREMENTAL HNSW — the index-as-state leg of the graph-ANN
+    * family (the v48/v49/t99 discipline applied to HNSW): the base
+    * corpus (vec_id % 4 != 3) persists as 4 graph segments; two later
+    * batches (% 8 == 3, % 8 == 7) append as fresh segments WITHOUT
+    * touching the base (require()d: 6 segments on disk, base rows
+    * byte-identical) — per-batch cost is the batch's own graph build,
+    * never a corpus rebuild. A search over the stored segments must
+    * then clear the same recall/budget floors as v50 against the
+    * whole-corpus brute force: growing by segments loses no rows. */
+  def v51HnswIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val path = HnswIndexBase.resolve("v51").toString
+    graft.operators.Versioned.deleteRecursively(java.nio.file.Paths.get(path))
+    val base = emb.filter(pmod(col("vec_id"), lit(4)) =!= 3)
+    val batch1 = emb.filter(pmod(col("vec_id"), lit(8)) === 3)
+    val batch2 = emb.filter(pmod(col("vec_id"), lit(8)) === 7)
+    graft.operators.Hnsw.buildIndex(base, "vec_id", "embedding", path,
+      segments = 4)
+    val baseRows = s.read.parquet(path).filter(col("seg") < 4).count()
+    graft.operators.Hnsw.appendBatch(path, batch1, "vec_id", "embedding")
+    graft.operators.Hnsw.appendBatch(path, batch2, "vec_id", "embedding")
+    val segs = s.read.parquet(path).select("seg").distinct().count()
+    require(segs == 6, s"v51: expected 4 base + 2 batch segments, got $segs")
+    require(s.read.parquet(path).filter(col("seg") < 4).count() == baseRows,
+      "v51: appending a batch must not touch the base segments")
+    val maxVisits = 256
+    val queries = emb.filter(col("vec_id") < 30)
+    val got = graft.operators.Hnsw.searchIndex(s, path, queries,
+      "vec_id", "embedding", k = 5, efSearch = 48, maxVisits = maxVisits)
+    val exact = bruteForceTopK(s, dir, nQueries = 30, k = 5)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    val scored = got.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
+        max(col("visited")).as("max_visited"))
+      .collect()
+    require(scored.length == 30, s"v51: expected 30 queries, got ${scored.length}")
+    require(scored.forall(_.getAs[Int]("max_visited") <= maxVisits),
+      "v51: a segment search exceeded its visited-node budget")
+    val mean = scored.map(_.getAs[Long]("n_overlap")).sum.toDouble / (30 * 5)
+    require(mean >= 0.8, f"v51: incremental recall@5 = $mean%.3f below 0.8")
+    require(scored.forall(_.getAs[Long]("n_overlap") >= 3),
+      "v51: a query fell below 3/5 recall")
+    s.createDataFrame(s.sparkContext.parallelize(
+      scored.map(r => org.apache.spark.sql.Row(
+        r.getAs[Long]("query_id"),
+        r.getAs[Long]("n_overlap") >= 3)).toIndexedSeq),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("recall_ok",
+          org.apache.spark.sql.types.BooleanType))))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "v50_hnsw_recall" -> (v50HnswRecall _),
+    "v51_hnsw_incremental" -> (v51HnswIncremental _),
     "v45_ivf_adc_rerank" -> (v45IvfAdcRerank _),
     "v46_fused_recall" -> (v46FusedRecall _),
     "v47_embedding_outliers" -> (v47EmbeddingOutliers _),
@@ -673,6 +732,12 @@ object Vectors {
     // per-query verdict the gate must reach — a query slipping below
     // the 3/5 floor breaks the hash
     "v50_hnsw_recall" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 30
+        |ORDER BY query_id""".stripMargin,
+    // v51: same verdict contract as v50 — the segmented incremental
+    // index must clear the same floors as the one-shot build
+    "v51_hnsw_incremental" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 30
         |ORDER BY query_id""".stripMargin,

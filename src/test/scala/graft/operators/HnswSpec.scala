@@ -84,6 +84,60 @@ class HnswSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dump/restore round-trips the graph exactly") {
+    val data = clustered(150)
+    val idx = new Hnsw.Index(m = 6, efConstruction = 32)
+    data.foreach { case (id, v) => idx.insert(id, v) }
+    // restore from a SHUFFLED dump: neighbor lists carry ids, so row
+    // order must not matter
+    val dumped = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(7)).shuffle(idx.dump())
+    val back = Hnsw.restore(dumped, m = 6, efConstruction = 32)
+    data.take(10).foreach { case (qid, qv) =>
+      assert(back.search(qv, 5, 40, 64) === idx.search(qv, 5, 40, 64),
+        s"query $qid")
+    }
+  }
+
+  test("inserting into a restored graph continues it") {
+    val data = clustered(160)
+    val (seed, rest) = data.splitAt(100)
+    val idx = new Hnsw.Index(m = 6, efConstruction = 32)
+    seed.foreach { case (id, v) => idx.insert(id, v) }
+    val back = Hnsw.restore(idx.dump(), m = 6, efConstruction = 32)
+    rest.foreach { case (id, v) => back.insert(id, v) }
+    data.take(8).foreach { case (qid, qv) =>
+      val got = back.search(qv, 6, efSearch = 160, maxVisits = 0)
+        ._1.map(_._1).filter(_ != qid).take(5)
+      assert(got.toSet === exactTopK(data, qv, qid, 5).toSet, s"query $qid")
+    }
+  }
+
+  test("persisted segments: append never touches the base, search merges all") {
+    import spark.implicits._
+    val data = clustered(240)
+    val (base, batch) = data.splitAt(200)
+    val path = java.nio.file.Files.createTempDirectory("hnsw_seg_").toString + "/idx"
+    Hnsw.buildIndex(base.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      path, segments = 3, m = 6, efConstruction = 32)
+    val baseBytes = spark.read.parquet(path).filter("seg < 3").count()
+    Hnsw.appendBatch(path, batch.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", m = 6, efConstruction = 32)
+    assert(spark.read.parquet(path).select("seg").distinct().count() === 4L)
+    assert(spark.read.parquet(path).filter("seg < 3").count() === baseBytes)
+    // a batch-only neighbor must be findable through the merged search
+    val got = Hnsw.searchIndex(spark, path,
+      data.take(8).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      k = 5, m = 6, efConstruction = 32, efSearch = 48, maxVisits = 128)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    (0 until 8).foreach { q =>
+      assert(got(q.toLong) === exactTopK(data, data(q)._2, q.toLong, 5),
+        s"query $q")
+    }
+  }
+
   test("annTopK budget: emitted visited counts never exceed the cap") {
     import spark.implicits._
     val data = clustered(240)
