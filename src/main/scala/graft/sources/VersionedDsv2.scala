@@ -2546,7 +2546,6 @@ private[sources] object VersionedWriteIo {
     import graft.operators.DeletionVectors
     val scanned = Versioned.latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no versions under $root"))
-    val vdir = Paths.get(root, s"v=$scanned")
     val snapReader = spark.read.format("graft-versioned")
       .option("versionAsOf", scanned.toString)
     // the discovery scan must surface LOGICAL column names — the
@@ -2571,58 +2570,27 @@ private[sources] object VersionedWriteIo {
             r.getSeq[Long](1).toArray)
         }
       }
-    val fresh: Map[String, Path] = {
-      val stream = Files.list(freshDvDir)
-      try {
-        import scala.jdk.CollectionConverters._
-        stream.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(DeletionVectors.Suffix))
-          .map(p => DeletionVectors.dataNameOf(p.getFileName.toString) -> p)
-          .toMap
-      } finally stream.close()
-    }
-    val existing = DeletionVectors.dvMap(vdir)
+    // stage the fragments in commitDelta's layout and share ITS commit
+    // machinery — one code path owns DV merging, manifests, markers,
+    // and the file-level conflict rebase (two concurrent DV deletes on
+    // disjoint files both land; overlap aborts loudly)
     val staged = Files.createTempDirectory(Paths.get(root), "_staging_dvcommit_")
-    val dataFiles = Versioned.dataFiles(vdir)
-    dataFiles.foreach { f =>
-      val tgt = staged.resolve(f.getFileName.toString)
-      try Files.createLink(tgt, f)
-      catch { case _: UnsupportedOperationException => Files.copy(f, tgt) }
-    }
-    val dvNames = dataFiles.flatMap { f =>
-      val n = f.getFileName.toString
-      val merged = (existing.get(n), fresh.get(n)) match {
-        case (Some(e), Some(nw)) => Some(DeletionVectors.merge(
-          DeletionVectors.read(e), DeletionVectors.read(nw)))
-        case (Some(e), None) => Some(DeletionVectors.read(e))
-        case (None, Some(nw)) => Some(DeletionVectors.read(nw))
-        case _ => None
-      }
-      merged.map { ps =>
-        DeletionVectors.write(DeletionVectors.dvPath(staged, n), ps)
-        n + DeletionVectors.Suffix
-      }
+    val fragRoot = staged.resolve(FragDir)
+    val stream = Files.list(freshDvDir)
+    val frags = try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(DeletionVectors.Suffix))
+        .toList
+    } finally stream.close()
+    frags.foreach { f =>
+      val dataName = DeletionVectors.dataNameOf(f.getFileName.toString)
+      val tgt = fragRoot.resolve(dataName).resolve("delete.dv")
+      Files.createDirectories(tgt.getParent)
+      Files.move(f, tgt)
     }
     Versioned.deleteRecursively(freshDvDir)
-    writeRowLevelMarker(staged, fresh.keySet)
-    Versioned.writeFilesManifest(staged,
-      dataFiles.map(_.getFileName.toString), dvNames)
-    val next = scanned + 1
-    try {
-      Files.move(staged, Paths.get(root, s"v=$next"), StandardCopyOption.ATOMIC_MOVE)
-      Versioned.writeLatestHint(root, next)
-      Versioned.writeStamp(root, next, stampValue(None))
-      next
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.DirectoryNotEmptyException |
-           _: java.nio.file.FileSystemException =>
-        Versioned.deleteRecursively(staged)
-        throw new IllegalStateException(
-          s"graft-versioned: concurrent commit under $root during a " +
-            s"merge-on-read DELETE (scanned v=$scanned) — retry the " +
-            "statement against current data")
-    }
+    commitDelta(root, staged, scanned, stampValue(None))
   }
 
   /** Publish a row-level operation's staged output as the next

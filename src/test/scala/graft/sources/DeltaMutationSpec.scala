@@ -145,6 +145,42 @@ class DeltaMutationSpec extends AnyFunSuite with SparkSpec {
       Seq((0L until 100L).count(_ % 9 != 0).toLong, expected))
   }
 
+  test("concurrent MoR mutations on disjoint clustered ranges both commit") {
+    spark.conf.set("spark.sql.catalog.dlt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.dlt.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dlt.t")
+    n += 1
+    val t = s"dlt.t.tab$n"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('deletionVectors'='true', 'clusterBy'='id', " +
+      "'writePartitions'='4')")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(0, 100)")
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def submit(sqlText: String) = pool.submit(new Runnable {
+      override def run(): Unit = {
+        start.await()
+        try spark.sql(sqlText)
+        catch { case e: Throwable => errs.add(e) }
+      }
+    })
+    val f1 = submit(s"UPDATE $t SET v = -10 WHERE id < 20")
+    val f2 = submit(s"DELETE FROM $t WHERE id >= 80 AND id % 1 = 0")
+    start.countDown()
+    f1.get(120, TimeUnit.SECONDS); f2.get(120, TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(errs.isEmpty, s"disjoint MoR mutations must both commit: " +
+      s"${Option(errs.peek()).map(_.getMessage)}")
+    val got = spark.sql(s"SELECT id, v FROM $t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 80)
+    (0L until 20L).foreach(id => assert(got(id) === -10L, s"id=$id"))
+    (20L until 80L).foreach(id => assert(got(id) === id * 10, s"id=$id"))
+    (80L until 100L).foreach(id => assert(!got.contains(id), s"id=$id"))
+  }
+
   test("_pos metadata column is queryable and filter-safe") {
     val (t, _) = freshTable()
     // positions with a pushed filter must stay PHYSICAL ordinals (the
