@@ -951,14 +951,18 @@ private[sources] class GraftVersionedScanBuilder(
   }
 
   private def structurallyAnswerable(agg: Aggregation): Boolean =
-    pushed.isEmpty && agg.groupByExpressions.isEmpty && !dvPresent &&
+    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
       !GraftVersionedTable.isChangeFeed(options) &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
+        // under deletion vectors ONLY COUNT(*) stays footer-exact
+        // (row counts minus sidecar cardinalities); a deleted row may
+        // have held the min/max or a column's only null, so everything
+        // else must scan
         case _: CountStar => true
-        case c: Count => !c.isDistinct && aggField(c.column).isDefined
-        case m: Min => aggField(m.column).exists(statOrdered)
-        case m: Max => aggField(m.column).exists(statOrdered)
+        case c: Count => !dvPresent && !c.isDistinct && aggField(c.column).isDefined
+        case m: Min => !dvPresent && aggField(m.column).exists(statOrdered)
+        case m: Max => !dvPresent && aggField(m.column).exists(statOrdered)
         case _ => false
       }
 
@@ -1794,7 +1798,14 @@ private[sources] object GroupParquetIo {
       if (uninitialized) Seq.empty
       else readFooters(Versioned.dataFiles(java.nio.file.Paths.get(
         GraftVersionedTable.snapshotDir(root, options)))).flatMap(_.kept)
-    val totalRows = blocks.map(_.getRowCount).sum
+    // deletion vectors: COUNT(*) = footer rows − sidecar cardinalities,
+    // exact (the caller only admits CountStar under DVs)
+    val dvDead: Long =
+      if (uninitialized) 0L
+      else graft.operators.DeletionVectors.dvMap(java.nio.file.Paths.get(
+          GraftVersionedTable.snapshotDir(root, options)))
+        .values.map(graft.operators.DeletionVectors.cardinality).sum
+    val totalRows = blocks.map(_.getRowCount).sum - dvDead
 
     // chunk lookups translate logical → physical (footers speak birth
     // names); the answer's output field names stay logical

@@ -110,4 +110,25 @@ class AggPushdownSpec extends AnyFunSuite with SparkSpec {
     val r = q.collect()(0)
     assert(r.getLong(0) === 12345L && r.getLong(1) === 0L && r.getLong(2) === 12344L)
   }
+
+  test("deletion vectors: count(*) stays footer-only (rows minus sidecars); min/max scan") {
+    spark.conf.set("spark.sql.catalog.aggpd3", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.aggpd3.warehouse",
+      java.nio.file.Files.createTempDirectory("graft_aggpd_dv_").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS aggpd3.t")
+    spark.sql("CREATE TABLE aggpd3.t.d (id BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('deletionVectors'='true')")
+    spark.sql("INSERT INTO aggpd3.t.d SELECT id FROM range(0, 1000)")
+    spark.sql("DELETE FROM aggpd3.t.d WHERE id < 100")
+    val cnt = spark.sql("SELECT count(*) AS n FROM aggpd3.t.d")
+    assert(isFooterOnly(cnt),
+      s"count(*) under DVs should stay footer-only:\n${cnt.queryExecution.executedPlan}")
+    assert(cnt.collect()(0).getLong(0) === 900L,
+      "footer count must subtract the sidecar cardinalities")
+    // a deleted row may have held the extreme — min/max must scan
+    val mn = spark.sql("SELECT min(id) AS mn, max(id) AS mx FROM aggpd3.t.d")
+    assert(!isFooterOnly(mn),
+      s"min/max under DVs must refuse footer pushdown:\n${mn.queryExecution.executedPlan}")
+    assert(mn.collect()(0).toSeq === Seq(100L, 999L))
+  }
 }
