@@ -487,6 +487,29 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"unexpected Filter above the row-level scan in:\n$plan")
   }
 
+  test("UPDATE on a deletionVectors table plans as WriteDelta, with filters applied") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_planspec_dlt_").toString
+    spark.conf.set("spark.sql.catalog.pdlt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.pdlt.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS pdlt.t")
+    spark.sql("CREATE TABLE pdlt.t.u (id BIGINT, v BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('deletionVectors'='true')")
+    spark.sql("INSERT INTO pdlt.t.u SELECT id, id FROM range(0, 100)")
+    val plan = spark.sql(
+      "EXPLAIN UPDATE pdlt.t.u SET v = v + 1 WHERE id % 7 = 0 AND id < 50")
+      .collect()(0).getString(0)
+    // merge-on-read: the delta protocol, not the group-based rewrite
+    assert(plan.contains("WriteDelta"), s"no WriteDelta in:\n$plan")
+    assert(!plan.contains("ReplaceData"),
+      s"a deletionVectors table must not fall back to ReplaceData:\n$plan")
+    // unlike the group-based path, non-matching rows produce no delta —
+    // the condition filters rows for real (pushed + residual), and the
+    // scan is the standard one (no carry-over discipline needed)
+    assert(plan.contains("GraftVersionedScan"), s"standard scan missing in:\n$plan")
+    assert(plan.contains("PushedFilters: [") && plan.contains("LessThan(id,50"),
+      s"pushed filter missing in:\n$plan")
+  }
+
   test("q134 AQE skew join: a runtime skew split occurred and equals the salted variant") {
     queries.LayoutGate.withSkewJoinConfs(spark) {
       val df = queries.LayoutGate.skewJoinProgram(spark, dir)

@@ -53,6 +53,28 @@ class ConstraintSpec extends AnyFunSuite with SparkSpec {
       .collect()(0).getLong(0) === 1L)
   }
 
+  test("CHECK constraints gate the merge-on-read delta path too") {
+    warehouse
+    spark.sql("CREATE TABLE ck.t.dv (id BIGINT, v BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('deletionVectors'='true')")
+    spark.sql("INSERT INTO ck.t.dv SELECT id, id FROM range(0, 10)")
+    spark.sql("ALTER TABLE ck.t.dv ADD CONSTRAINT pos CHECK (v >= 0)")
+    // a violating MoR UPDATE (delta write, not ReplaceData) must be
+    // rejected atomically — no version, no sidecar, no insert file
+    val bad = intercept[Exception] {
+      spark.sql("UPDATE ck.t.dv SET v = -5 WHERE id = 1")
+    }
+    assert(chain(bad).exists(_.contains("CHECK constraint pos")), chain(bad))
+    assert(spark.sql("SELECT count(*) FROM ck.t.dv WHERE v < 0")
+      .collect()(0).getLong(0) === 0L)
+    assert(graft.operators.Versioned.versions(
+      s"$warehouse/t/dv") === Seq(0L), "the violating delta must not commit")
+    // a conforming MoR UPDATE passes
+    spark.sql("UPDATE ck.t.dv SET v = v + 1 WHERE id = 1")
+    assert(spark.sql("SELECT v FROM ck.t.dv WHERE id = 1")
+      .collect()(0).getLong(0) === 2L)
+  }
+
   test("a clone carries the source's constraints") {
     warehouse
     spark.sql("CREATE TABLE ck.t.src (id BIGINT, v BIGINT) USING `graft-versioned`")
