@@ -2242,7 +2242,8 @@ private[sources] class GraftVersionedWrite(
       rowLevelOp, feedKeys, colMap)
 
   override def toStreaming: StreamingWrite =
-    new GraftStreamingWrite(root, schema, replace, commitTs, queryId, colMap)
+    new GraftStreamingWrite(root, schema, replace, commitTs, queryId, colMap,
+      feedKeys)
 }
 
 /** Batch write: tasks stage parquet files under `root/_staging_<id>`
@@ -2306,7 +2307,8 @@ private[sources] class GraftBatchWrite(
 private[sources] class GraftStreamingWrite(
     root: String, schema: StructType, replace: Boolean,
     commitTs: Option[Long], queryId: String,
-    colMap: Map[String, String] = Map.empty) extends StreamingWrite {
+    colMap: Map[String, String] = Map.empty,
+    feedKeys: Seq[String] = Seq.empty) extends StreamingWrite {
 
   private val stagedBase = java.nio.file.Paths.get(root, s"_staging_stream_$queryId")
 
@@ -2330,8 +2332,15 @@ private[sources] class GraftStreamingWrite(
     // (epoch i lands at commitTs+i); wall-clock micros otherwise
     val stamp = commitTs.map(_ + epochId)
       .getOrElse(VersionedWriteIo.stampValue(None))
-    VersionedWriteIo.commitStaged(root, epochDir, physSchema,
+    val committed = VersionedWriteIo.commitStaged(root, epochDir, physSchema,
       appendPrev = !replace, stamp = stamp, epochTag = Some(tag))
+    // the every-commit-feeds contract covers streaming epochs too: a
+    // changeFeedKeys table fed by a stream stores one diff per epoch
+    // (replayed epochs return before reaching here, so no double feed)
+    if (feedKeys.nonEmpty)
+      Versioned.writeFeedFor(SparkSession.active, root, committed,
+        feedKeys, schema.fieldNames.filterNot(feedKeys.contains).toSeq,
+        colMap)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

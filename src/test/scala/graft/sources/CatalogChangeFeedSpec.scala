@@ -135,4 +135,42 @@ class CatalogChangeFeedSpec extends AnyFunSuite with SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
     assert(chain(bad).exists(_.contains("not in table schema")))
   }
+
+  test("STREAMING epoch commits feed a changeFeedKeys table too") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.catalog.cdf", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cdf.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cdf.t")
+    spark.sql("CREATE TABLE cdf.t.s (id BIGINT, v BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('changeFeedKeys'='id')")
+    val root = s"$warehouse/t/s"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_stream_").toString
+    def drain(): Unit = {
+      // BY NAME: the catalog resolves the table, so the persisted
+      // changeFeedKeys property reaches the streaming write builder
+      // (a bare path write has no table contract to honor)
+      val q = src.toDF().toDF("id", "v")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable("cdf.t.s")
+      q.awaitTermination()
+    }
+    src.addData((1L, 10L), (2L, 20L))
+    drain() // epoch 0 → v=0
+    src.addData((3L, 30L))
+    drain() // epoch 1 → v=1 (append: {1,2} ∪ {3})
+    assert(Versioned.feedVersions(root) === Seq(0L, 1L),
+      "every streaming epoch must store its feed")
+    val f0 = spark.read.parquet(Versioned.feedDir(root, 0L))
+    assert(f0.filter("change_type = 'added'").count() === 2L)
+    val f1 = spark.read.parquet(Versioned.feedDir(root, 1L))
+    assert(f1.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("change_type"))).toSeq ===
+      Seq((3L, "added")), "epoch 1's feed is the appended key only")
+  }
 }
