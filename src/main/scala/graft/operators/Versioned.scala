@@ -223,10 +223,19 @@ object Versioned {
   private[graft] val FilesManifest = "_graft_files"
 
   private[graft] def writeFilesManifest(vdir: Path, dataNames: Seq[String],
-                                        dvNames: Seq[String] = Seq.empty): Unit =
+                                        dvNames: Seq[String] = Seq.empty,
+                                        statsFrom: Option[Path] = None): Unit = {
+    // stats sidecar FIRST: the files manifest is the commit's visibility
+    // point for manifest-resolved readers, so "manifest present ⇒ stats
+    // present" survives a crash between the two writes. `statsFrom`
+    // carries stats lines forward for hard-linked (name-stable) files —
+    // commit cost stays O(new files) even when the version carries a
+    // 100k-file table. Readers treat an absent sidecar as "no pruning".
+    FileStats.write(vdir, dataNames, statsFrom)
     Files.write(vdir.resolve(FilesManifest),
       (dataNames.sorted.map("f " + _) ++ dvNames.sorted.map("d " + _))
         .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 
   /** (data file names, dv sidecar names) from the manifest, or None for
     * a pre-manifest version dir (falls back to directory listing). */
@@ -428,7 +437,7 @@ object Versioned {
     // same names the source manifest did (plus its DV sidecars, below)
     writeFilesManifest(staged,
       listParquet(staged).map(_.getFileName.toString),
-      DeletionVectors.carryAll(src, staged))
+      DeletionVectors.carryAll(src, staged), statsFrom = Some(src))
     val next = cur + 1
     try Files.move(staged, Paths.get(root, s"v=$next"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -464,7 +473,8 @@ object Versioned {
     }
     writeFilesManifest(staged,
       listParquet(staged).map(_.getFileName.toString),
-      DeletionVectors.carryAll(Paths.get(srcRoot, s"v=$srcV"), staged))
+      DeletionVectors.carryAll(Paths.get(srcRoot, s"v=$srcV"), staged),
+      statsFrom = Some(Paths.get(srcRoot, s"v=$srcV")))
     Files.move(staged, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     writeLatestHint(dstRoot, 0L)
     writeStamp(dstRoot, 0L,

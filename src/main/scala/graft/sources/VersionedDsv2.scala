@@ -1094,6 +1094,11 @@ private[sources] class GraftVersionedScan(
     * table shrinks the TASK COUNT at the driver, not just the bytes
     * each task reads: at 100 TB the scheduler never even launches the
     * groups the layout excludes. */
+  /** (files kept, files total) of the manifest-stats file prune — set
+    * by [[plannedGroups]], surfaced in the explain description so plan
+    * audits can SEE skipping happen without counting tasks. */
+  @volatile private var fileCounts: (Int, Int) = (0, 0)
+
   private def plannedGroups: Seq[GroupParquetIo.FileGroups] = {
     val cached = cachedGroups
     if (cached != null) return cached
@@ -1107,10 +1112,18 @@ private[sources] class GraftVersionedScan(
         require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)),
           s"graft-versioned: version dir $dir does not exist " +
             s"(existing: ${Versioned.versions(root).mkString("v=", ", v=", "")})")
+        val dirPath = java.nio.file.Paths.get(dir)
+        val all = Versioned.dataFiles(dirPath)
+        // FILE-level skip from the commit's stats sidecar BEFORE any
+        // footer is opened: at object-store scale planning cost is one
+        // round trip per surviving file, so a selective predicate on a
+        // clustered table prunes most of the snapshot for the price of
+        // one sidecar read. Row-group pruning still runs on survivors.
+        val kept = GroupParquetIo.pruneFilesByStats(
+          all, graft.operators.FileStats.read(dirPath), allFilters)
+        fileCounts = (kept.size, all.size)
         GroupParquetIo.pruneByStats(
-          GroupParquetIo.readFooters(
-            Versioned.dataFiles(java.nio.file.Paths.get(dir))),
-          allFilters, allFilterTypes)
+          GroupParquetIo.readFooters(kept), allFilters, allFilterTypes)
       }
     cachedGroups = computed
     computed
@@ -1123,11 +1136,12 @@ private[sources] class GraftVersionedScan(
       else {
         val kept = plannedGroups.map(_.kept.size).sum
         val total = plannedGroups.map(_.total).sum
+        val (fKept, fTotal) = fileCounts // populated by plannedGroups
         val dvs = graft.operators.DeletionVectors.dvMap(
           java.nio.file.Paths.get(
             GraftVersionedTable.snapshotDir(root, options))).size
         s"version=${GraftVersionedTable.resolveVersion(root, options)}, " +
-          s"RowGroups: $kept/$total" +
+          s"DataFiles: $fKept/$fTotal, RowGroups: $kept/$total" +
           (if (dvs > 0) s", DeletionVectors: $dvs" else "")
       }
     s"GraftVersionedScan $what, " +
@@ -1654,6 +1668,21 @@ private[sources] object GroupParquetIo {
                         kept: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
                         total: Int)
 
+  /** FILE-level data skipping from the commit's stats sidecar
+    * ([[graft.operators.FileStats]]): drop files whose manifest
+    * min/max/null-count statistics refute the pushed predicate, before
+    * any footer I/O. Filters are in PHYSICAL name space (the caller
+    * translated at the scan boundary), matching the sidecar's keys. A
+    * file without a stats line (pre-stats commit) is always kept. */
+  def pruneFilesByStats(files: Seq[java.nio.file.Path],
+                        stats: Map[String, graft.operators.FileStats.FileStat],
+                        pushed: Array[Filter]): Seq[java.nio.file.Path] =
+    if (pushed.isEmpty || stats.isEmpty) files
+    else files.filter { p =>
+      stats.get(p.getFileName.toString).forall(st =>
+        pushed.forall(graft.operators.FileStats.mayMatch(st, _)))
+    }
+
   /** One driver-side footer read per file → schema + row groups. */
   def readFooters(files: Seq[java.nio.file.Path]): Seq[FileGroups] =
     files.sortBy(_.getFileName.toString).map { p =>
@@ -1777,6 +1806,118 @@ private[sources] object GroupParquetIo {
                       filterTypes: Map[String, DataType] = Map.empty): Array[InputPartition] =
     toPartitions(pruneByStats(readFooters(files), pushed, filterTypes))
 
+  /** Answer a pushed-down global aggregation from the commit's
+    * `_graft_stats` sidecar ([[graft.operators.FileStats]]) — ONE
+    * sequential read instead of one footer GET per file. Sound only
+    * when every data file carries a stats line AND every needed
+    * statistic is present and type-exact; anything less returns None
+    * and the caller falls through to footers. A column key absent from
+    * a file's stats means the file predates the column (schema
+    * evolution): its rows read null, so it contributes `rows` to the
+    * null count and nothing to MIN/MAX — which makes evolved tables
+    * answerable here where the footer path must refuse (a footer
+    * cannot distinguish "column absent" from "stats missing").
+    * Timestamps refuse (the sidecar stores raw int64 whose unit the
+    * reader can't re-derive); Date converts exactly (int32 days). */
+  private def answerFromStatsManifest(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      fullSchema: StructType,
+      colMap: Map[String, String],
+      sdir: java.nio.file.Path,
+      dvDead: Long): Option[(StructType, GenericInternalRow, String)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import graft.operators.FileStats
+    import graft.operators.FileStats.{ColStat, FileStat}
+
+    val stats = FileStats.read(sdir)
+    if (stats.isEmpty) return None // pre-stats commit
+    val files = Versioned.dataFiles(sdir).map(_.getFileName.toString)
+    if (!files.forall(stats.contains)) return None // partial coverage
+    val perFile: Seq[FileStat] = files.map(stats(_))
+    val totalRows = perFile.map(_.rows).sum - dvDead
+
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression): String =
+      e.asInstanceOf[NamedReference].fieldNames()(0)
+    def colType(e: org.apache.spark.sql.connector.expressions.Expression): DataType =
+      fullSchema.fields.find(_.name == colName(e)).get.dataType
+    def phys(c: String): String = colMap.getOrElse(c, c)
+
+    def nullCount(col: String): Option[Long] = {
+      val per = perFile.map { fs =>
+        fs.cols.get(phys(col)) match {
+          case Some(cs) => cs.nulls
+          case None => Some(fs.rows) // pre-evolution file: all rows read null
+        }
+      }
+      if (per.forall(_.isDefined)) Some(per.flatMap(x => x).sum) else None
+    }
+
+    // merged bound over files that can hold a non-null value; files
+    // where the column is absent or provably all-null contribute
+    // nothing; a file that MIGHT hold a value but has no bound refuses
+    def bound(col: String, wantMin: Boolean): Option[Option[FileStats.V]] = {
+      val per: Seq[Option[Option[FileStats.V]]] = perFile.map { fs =>
+        fs.cols.get(phys(col)) match {
+          case None => Some(None) // column absent: all null
+          case Some(cs) =>
+            val b = if (wantMin) cs.lo else cs.hi
+            b match {
+              case some @ Some(_) => Some(some)
+              case None =>
+                if (fs.rows == 0L || cs.nulls.contains(fs.rows)) Some(None)
+                else None // values exist but no bound stored — refuse
+            }
+        }
+      }
+      if (per.exists(_.isEmpty)) return None
+      val vs = per.flatMap(_.get)
+      if (vs.isEmpty) Some(None) // every file all-null/absent
+      else FileStats.merge(vs, wantMin).map(Some(_)) // hetero-typed → refuse
+    }
+
+    // sidecar value → Spark internal value, exact or refuse
+    def internal(v: FileStats.V, t: DataType): Option[Any] = (v, t) match {
+      case (FileStats.L(x), LongType) => Some(x)
+      case (FileStats.L(x), IntegerType) => Some(x.toInt)
+      case (FileStats.L(x), DateType) => Some(x.toInt) // int32 days
+      case (FileStats.D(x), DoubleType) => Some(x)
+      case (FileStats.D(x), FloatType) => Some(x.toFloat) // float→double→float is exact
+      case _ => None // timestamps (unit), strings (truncation), cross-type
+    }
+
+    def minMax(e: org.apache.spark.sql.connector.expressions.Expression,
+               wantMin: Boolean): Option[Any] =
+      bound(colName(e), wantMin).flatMap {
+        case None => Some(null) // no non-null values: SQL MIN/MAX = NULL
+        case Some(v) => internal(v, colType(e))
+      }
+
+    val out = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(("count_star", LongType, totalRows: Any))
+      case c: Count =>
+        nullCount(colName(c.column)).map(n =>
+          (s"count_${colName(c.column)}", LongType, (totalRows - n): Any))
+      case m: Min =>
+        minMax(m.column, wantMin = true).map(v =>
+          (s"min_${colName(m.column)}", colType(m.column), v))
+      case m: Max =>
+        minMax(m.column, wantMin = false).map(v =>
+          (s"max_${colName(m.column)}", colType(m.column), v))
+      case _ => None
+    }
+    if (out.exists(_.isEmpty)) return None
+
+    val fields = out.flatMap(x => x)
+    val schema = StructType(fields.map { case (n, t, _) => StructField(n, t) })
+    val row = new GenericInternalRow(fields.length)
+    fields.zipWithIndex.foreach { case ((_, _, v), i) => row.update(i, v) }
+    val desc = s"GraftAggregateScan stats-manifest-only, " +
+      s"PushedAggregates: [${agg.aggregateExpressions.mkString(", ")}], " +
+      s"files=${files.size}"
+    Some((schema, row, desc))
+  }
+
   /** Answer a pushed-down global aggregation from footer metadata
     * alone: row counts (COUNT(*)), null counts (COUNT(col)), column
     * min/max statistics (MIN/MAX). Returns the (schema, row, explain
@@ -1794,10 +1935,6 @@ private[sources] object GroupParquetIo {
     val colMap = GraftVersionedTable.colMapOf(options)
     val uninitialized = Versioned.latestVersion(root).isEmpty &&
       !options.containsKey("versionAsOf") && !options.containsKey("timestampAsOf")
-    val blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData] =
-      if (uninitialized) Seq.empty
-      else readFooters(Versioned.dataFiles(java.nio.file.Paths.get(
-        GraftVersionedTable.snapshotDir(root, options)))).flatMap(_.kept)
     // deletion vectors: COUNT(*) = footer rows − sidecar cardinalities,
     // exact (the caller only admits CountStar under DVs)
     val dvDead: Long =
@@ -1805,6 +1942,21 @@ private[sources] object GroupParquetIo {
       else graft.operators.DeletionVectors.dvMap(java.nio.file.Paths.get(
           GraftVersionedTable.snapshotDir(root, options)))
         .values.map(graft.operators.DeletionVectors.cardinality).sum
+    // FIRST try the commit's stats sidecar: one small read answers the
+    // whole aggregation where the footer path costs one GET per file —
+    // `SELECT count(*)` over a 100k-file snapshot goes from 100k round
+    // trips to one. Falls back to footers on any gap (pre-stats
+    // commit, missing statistic, type the sidecar can't settle).
+    if (!uninitialized) {
+      val fromStats = answerFromStatsManifest(agg, fullSchema, colMap,
+        java.nio.file.Paths.get(GraftVersionedTable.snapshotDir(root, options)),
+        dvDead)
+      if (fromStats.isDefined) return fromStats
+    }
+    val blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData] =
+      if (uninitialized) Seq.empty
+      else readFooters(Versioned.dataFiles(java.nio.file.Paths.get(
+        GraftVersionedTable.snapshotDir(root, options)))).flatMap(_.kept)
     val totalRows = blocks.map(_.getRowCount).sum - dvDead
 
     // chunk lookups translate logical → physical (footers speak birth
@@ -2524,7 +2676,8 @@ private[sources] object VersionedWriteIo {
       linkedDvs = dvNames.map(DeletionVectors.dvDir(staged).resolve(_))
       writeRowLevelMarker(staged, touched)
       Versioned.writeFilesManifest(staged,
-        Versioned.listParquet(staged).map(_.getFileName.toString), dvNames)
+        Versioned.listParquet(staged).map(_.getFileName.toString), dvNames,
+        statsFrom = Some(baseDir))
       val next = base + 1
       try {
         Files.move(staged, Paths.get(root, s"v=$next"), StandardCopyOption.ATOMIC_MOVE)
@@ -2690,7 +2843,8 @@ private[sources] object VersionedWriteIo {
           .emptyFile(uniqueEmptyName())
       writeRowLevelMarker(staged, scannedNames)
       Versioned.writeFilesManifest(staged,
-        Versioned.listParquet(staged).map(_.getFileName.toString), dvNames)
+        Versioned.listParquet(staged).map(_.getFileName.toString), dvNames,
+        statsFrom = Some(baseDir))
       val next = base + 1
       try {
         Files.move(staged, Paths.get(root, s"v=$next"), StandardCopyOption.ATOMIC_MOVE)
@@ -2755,7 +2909,8 @@ private[sources] object VersionedWriteIo {
           graft.operators.DeletionVectors.dvDir(staged).resolve(_))
       }
       Versioned.writeFilesManifest(staged,
-        Versioned.listParquet(staged).map(_.getFileName.toString), dvNames)
+        Versioned.listParquet(staged).map(_.getFileName.toString), dvNames,
+        statsFrom = prev.map(p => Paths.get(root, s"v=$p")))
       try {
         Files.move(staged, Paths.get(root, s"v=$next"), StandardCopyOption.ATOMIC_MOVE)
         Versioned.writeLatestHint(root, next)

@@ -131,4 +131,68 @@ class AggPushdownSpec extends AnyFunSuite with SparkSpec {
       s"min/max under DVs must refuse footer pushdown:\n${mn.queryExecution.executedPlan}")
     assert(mn.collect()(0).toSeq === Seq(100L, 999L))
   }
+
+  test("aggregates answer from the stats sidecar — one read, zero footers") {
+    val q = load().agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+      max(col("id")).as("mx"))
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("stats-manifest-only"),
+      s"expected the sidecar to answer before any footer read:\n$desc")
+    val r = q.collect()(0)
+    assert(r.getLong(0) === 1000L && r.getLong(1) === 3L && r.getLong(2) === 999L)
+  }
+
+  test("a missing stats sidecar falls back to footers with identical answers") {
+    val r4 = java.nio.file.Files.createTempDirectory("graft_aggpd_nosc_").toString
+    import spark.implicits._
+    Versioned.writeNext(
+      (0L until 100L).map(i => (i, i * 2)).toDF("id", "v"), r4, Some(10L))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(r4, "v=0", "_graft_stats"))
+    val q = spark.read.format("graft-versioned").load(r4)
+      .agg(count(lit(1)).as("n"), max(col("v")).as("mx"))
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("footers-only"),
+      s"pre-stats commit must take the footer path:\n$desc")
+    val r = q.collect()(0)
+    assert(r.getLong(0) === 100L && r.getLong(1) === 198L)
+  }
+
+  test("evolved tables: the sidecar answers where footers must refuse") {
+    // a pre-evolution file has NO footer entry for the added column —
+    // the footer path cannot tell "column absent" (rows read null, an
+    // exact answer exists) from "stats missing" (refuse); the sidecar
+    // records column PRESENCE per file, so it can
+    spark.conf.set("spark.sql.catalog.aggpd4", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.aggpd4.warehouse",
+      java.nio.file.Files.createTempDirectory("graft_aggpd_evo_").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS aggpd4.t")
+    spark.sql("CREATE TABLE aggpd4.t.e (id BIGINT) USING `graft-versioned`")
+    spark.sql("INSERT INTO aggpd4.t.e SELECT id FROM range(0, 50)")
+    spark.sql("ALTER TABLE aggpd4.t.e ADD COLUMN w BIGINT")
+    spark.sql("INSERT INTO aggpd4.t.e SELECT id, id * 2 FROM range(100, 110)")
+    val q = spark.sql(
+      "SELECT count(w) AS n, min(w) AS mn, max(w) AS mx, count(*) AS c FROM aggpd4.t.e")
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("stats-manifest-only"),
+      s"evolved-column aggregate should answer from the sidecar:\n$desc")
+    val r = q.collect()(0)
+    assert(r.getLong(0) === 10L && r.getLong(1) === 200L &&
+      r.getLong(2) === 218L && r.getLong(3) === 60L)
+  }
+
+  test("sidecar min/max survives RENAME COLUMN (physical-name lookup)") {
+    spark.conf.set("spark.sql.catalog.aggpd5", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.aggpd5.warehouse",
+      java.nio.file.Files.createTempDirectory("graft_aggpd_ren_").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS aggpd5.t")
+    spark.sql("CREATE TABLE aggpd5.t.r (id BIGINT, v BIGINT) USING `graft-versioned`")
+    spark.sql("INSERT INTO aggpd5.t.r SELECT id, id * 3 FROM range(0, 40)")
+    spark.sql("ALTER TABLE aggpd5.t.r RENAME COLUMN v TO val")
+    val q = spark.sql("SELECT min(val) AS mn, max(val) AS mx FROM aggpd5.t.r")
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("stats-manifest-only"),
+      s"renamed-column aggregate should answer from the sidecar:\n$desc")
+    assert(q.collect()(0).toSeq === Seq(0L, 117L))
+  }
 }
