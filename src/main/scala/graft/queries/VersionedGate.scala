@@ -279,6 +279,60 @@ object VersionedGate {
       .orderBy("doc_id")
   }
 
+  private lazy val TableStreamScratch = scratchBase.resolve("q162")
+
+  /** q162: the versioned TABLE ITSELF as a streaming source (the Delta
+    * `readStream` shape, [[graft.sources]] GraftTableStream) — distinct
+    * from the stored change feed: the first batch is the full snapshot
+    * pinned at stream start, every later commit streams exactly its new
+    * files. The gate drives BOTH paths against a catalog table built
+    * from documents slices: two INSERT commits → AvailableNow drain
+    * (snapshot at v=1) → a third INSERT → resume from the same
+    * checkpoint (append-only delta, require()d to be one batch with no
+    * re-snapshot). The accumulated parquet sink must equal the three
+    * slices' union — which the oracle derives straight from the
+    * documents table, so a hash match certifies snapshot + incremental
+    * delivery end-to-end. Reference consumer: the search-feed loader's
+    * watermark poll loop (load_data_from_search_db_to_es_db.py) is this
+    * source as one declarative stream. */
+  def q162StreamTableRead(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs162")
+    s.sql("CREATE TABLE graft.gate.docs162 " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING `graft-versioned`")
+    Tables.documents(s, dir).createOrReplaceTempView("q162_docs_src")
+    def slice(r: Int): Unit = s.sql("INSERT INTO graft.gate.docs162 " +
+      s"SELECT doc_id, lang, n_chars FROM q162_docs_src WHERE doc_id % 3 = $r")
+    slice(0) // v=0
+    slice(1) // v=1
+    Versioned.deleteRecursively(TableStreamScratch)
+    val ckpt = TableStreamScratch.resolve("ckpt").toString
+    val out = TableStreamScratch.resolve("out").toString
+    def drain(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = s.readStream.table("graft.gate.docs162")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
+    drain() // one batch: the full snapshot at v=1
+    val snapRows = s.read.parquet(out).count()
+    slice(2) // v=2, committed AFTER the stream's snapshot
+    val resumed = drain() // resume: exactly the new commit's files
+    val deltaBatches = resumed.recentProgress.filter(_.numInputRows > 0)
+    require(deltaBatches.length == 1,
+      s"q162: the resumed drain must carry ONE append batch, got " +
+        s"${deltaBatches.length}")
+    require(deltaBatches.head.numInputRows == s.read.parquet(out).count() - snapRows,
+      "q162: the resumed batch must hold exactly the third slice — a " +
+        "re-snapshot would double-count")
+    s.read.parquet(out)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** The graft TableCatalog wired into the session: versioned tables as
     * SQL citizens (`spark.sql.catalog.graft` → [[graft.sources.GraftCatalog]]).
     * Confs are idempotent; the catalog instance is cached by Spark after
@@ -759,6 +813,7 @@ object VersionedGate {
     "q157_column_mapping" -> (q157ColumnMapping _),
     "q158_dv_change_feed" -> (q158DvChangeFeed _),
     "q159_throttled_change_feed" -> (q159ThrottledChangeFeed _),
+    "q162_stream_table_read" -> (q162StreamTableRead _),
     "q160_dv_update" -> (q160DvUpdate _),
     "q161_dv_merge" -> (q161DvMerge _),
     "q63_versioned_load" -> (q63VersionedLoad _),
@@ -957,6 +1012,11 @@ object VersionedGate {
     "q140_dsv2_time_travel" ->
       """SELECT doc_id, cast(n_chars * 1000 + 10 as bigint) price
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q162: snapshot-then-append streaming of the table itself — the
+    // three INSERT slices partition doc_id mod 3, so the accumulated
+    // sink must be every document exactly once
+    "q162_stream_table_read" ->
+      """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",
     // q159 shares q141/q120's batch-diff expectation: throttling the
     // drain into one-commit batches must not change a single row
     "q159_throttled_change_feed" ->

@@ -295,7 +295,9 @@ private[sources] class GraftVersionedTable(
       val caps = util.EnumSet.of(
         TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
         TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-        TableCapability.STREAMING_WRITE)
+        TableCapability.STREAMING_WRITE,
+        // the table itself as a stream: initial snapshot + appends
+        TableCapability.MICRO_BATCH_READ)
       // bootstrap write to a fresh root: no schema to resolve against,
       // the write's own query schema becomes version 0's schema
       if (tableSchema.isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
@@ -1217,8 +1219,6 @@ private[sources] class GraftVersionedScan(
       limit.map(_.toLong).getOrElse(-1L), colMap)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-    require(GraftVersionedTable.isChangeFeed(options),
-      "streaming reads need .option(\"changeFeed\", \"true\") — snapshots are batch")
     // parse inside an option-named error: a malformed value ("abc")
     // must fail as loudly and as helpfully as a non-positive one
     def positiveLong(key: String): Option[Long] =
@@ -1229,10 +1229,26 @@ private[sources] class GraftVersionedScan(
         require(n > 0, s"graft-versioned: $key must be positive, got $n")
         n
       }
-    new GraftChangeFeedStream(root, required, pushed, filterTypes,
-      options.getLong("startingVersion", 0L),
-      positiveLong("maxVersionsPerTrigger"),
-      positiveLong("maxBytesPerTrigger"))
+    if (GraftVersionedTable.isChangeFeed(options))
+      new GraftChangeFeedStream(root, required, pushed, filterTypes,
+        options.getLong("startingVersion", 0L),
+        positiveLong("maxVersionsPerTrigger"),
+        positiveLong("maxBytesPerTrigger"))
+    else
+      new GraftTableStream(root, required, pushed, filterTypes, colMap,
+        checkpointLocation,
+        Option(options.get("startingVersion")).map { v =>
+          val n = scala.util.Try(v.trim.toLong).getOrElse(
+            throw new IllegalArgumentException(
+              "graft-versioned: startingVersion must be a non-negative " +
+                s"integer, got '$v'"))
+          require(n >= 0,
+            s"graft-versioned: startingVersion must be non-negative, got $n")
+          n
+        },
+        options.getBoolean("skipChangeCommits", false),
+        positiveLong("maxVersionsPerTrigger"),
+        positiveLong("maxBytesPerTrigger"))
   }
 }
 
@@ -1371,6 +1387,233 @@ private[sources] class GraftChangeFeedStream(
 
   override def createReaderFactory(): PartitionReaderFactory =
     GroupParquetReaderFactory(required, pushed, filterTypes)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftVersionOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+/** The TABLE ITSELF as a micro-batch stream (the Delta `readStream`
+  * shape, distinct from the stored change feed): the first batch is the
+  * FULL SNAPSHOT at the version current when the stream first started,
+  * and every later commit contributes exactly its NEW data files —
+  * append commits stream row-identically to re-reading the table,
+  * version dirs are immutable so checkpointed replay is deterministic.
+  *
+  * `.option("startingVersion", n)` skips the initial snapshot and
+  * streams commits from version n on (each as its new files), matching
+  * Delta's option of the same name.
+  *
+  * A NON-APPEND commit (copy-on-write rewrite, truncate, compaction,
+  * a deletion-vector mutation — anything that removes a file or touches
+  * a DV sidecar) cannot be represented as "new rows": the stream FAILS
+  * LOUDLY at that version, naming `skipChangeCommits` — set it and
+  * those commits contribute nothing, appends keep flowing (Delta's
+  * contract). Detection is structural, one listing per side: a commit
+  * is an append iff its file set is a superset of its parent's and the
+  * DV sidecar signature (name → byte size) is unchanged — sidecars
+  * only ever grow, so byte equality certifies carried-not-merged.
+  *
+  * The SNAPSHOT BASE (which version the first batch covers, and whether
+  * it is a full snapshot or a startingVersion delta) is pinned in a
+  * marker under the stream's checkpoint directory at first start:
+  * a restart must re-plan the in-flight batch identically even though
+  * the table has moved on, so "latest at start" cannot be recomputed.
+  * The snapshot batch applies the base version's deletion vectors;
+  * append batches never carry any (appends cannot create a DV).
+  *
+  * Shares the change-feed source's admission control verbatim:
+  * `maxVersionsPerTrigger` caps a catch-up batch's commit count,
+  * `maxBytesPerTrigger` caps it by the pending commits' NEW-file byte
+  * sums (prefix-only, always ≥ 1 commit), AvailableNow pins its drain
+  * target. Reference consumers poll stores the same incremental way
+  * (load_data_from_search_db_to_es_db.py watermark loop) — this source
+  * is that loop as one declarative stream. */
+private[sources] class GraftTableStream(
+    root: String, required: StructType, pushed: Array[Filter],
+    filterTypes: Map[String, DataType], colMap: Map[String, String],
+    checkpointLocation: String,
+    startingVersion: Option[Long],
+    skipChangeCommits: Boolean,
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import java.nio.file.Files
+
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxRows}
+
+  // ---- snapshot base: pinned once per checkpoint, replay-stable
+  private case class Base(version: Long, snapshot: Boolean)
+
+  private val base: Base = {
+    // checkpointLocation arrives as a Hadoop URI string (file:/...) —
+    // resolve the path component; only the local scheme is supported
+    // (the whole store is java.nio-addressed)
+    val ckptUri = new HPath(checkpointLocation).toUri
+    require(ckptUri.getScheme == null || ckptUri.getScheme == "file",
+      s"graft-versioned table stream: unsupported checkpoint scheme in " +
+        s"'$checkpointLocation' (local filesystem only)")
+    val marker = java.nio.file.Paths.get(ckptUri.getPath, "graft_snapshot_base")
+    if (Files.exists(marker)) {
+      val parts = new String(Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split(" ")
+      Base(parts(0).toLong, parts(1).toBoolean)
+    } else {
+      val b = startingVersion match {
+        case Some(v) => Base(v, snapshot = false)
+        case None => Versioned.latestVersion(root) match {
+          case Some(latest) => Base(latest, snapshot = true)
+          // empty table at start: no snapshot, stream appends from v=0
+          case None => Base(0L, snapshot = false)
+        }
+      }
+      Files.createDirectories(marker.getParent)
+      Files.write(marker, s"${b.version} ${b.snapshot}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      b
+    }
+  }
+
+  private def currentLatest: Long =
+    Versioned.versions(root).lastOption.getOrElse(base.version - 1)
+
+  private var availableTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = Some(currentLatest)
+
+  override def initialOffset(): Offset = GraftVersionOffset(base.version - 1)
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits =
+      maxVersionsPerTrigger.map(n => ReadLimit.maxRows(n)).toArray ++
+        maxBytesPerTrigger.map(b => ReadLimit.maxBytes(b))
+    limits match {
+      case Array() => ReadLimit.allAvailable()
+      case Array(one) => one
+      case both => ReadLimit.compositeLimit(both)
+    }
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft-versioned table stream: use latestOffset(start, limit)")
+
+  override def reportLatestOffset(): Offset = GraftVersionOffset(currentLatest)
+
+  private def names(v: Long): Set[String] = {
+    val vdir = java.nio.file.Paths.get(root, s"v=$v")
+    require(Files.isDirectory(vdir),
+      s"graft-versioned table stream: version $v is gone (vacuumed by " +
+        "retention?) — the stream cannot replay it; restart from a fresh " +
+        "checkpoint to re-snapshot")
+    Versioned.dataFiles(vdir).map(_.getFileName.toString).toSet
+  }
+
+  /** The data files a batch for version `v` reads: the full snapshot
+    * for the pinned base, the parent-diff for everything after. */
+  private def batchFiles(v: Long): Seq[java.nio.file.Path] = {
+    val vdir = java.nio.file.Paths.get(root, s"v=$v")
+    if (v == base.version && base.snapshot)
+      Versioned.dataFiles(vdir)
+    else if (v == 0L) Versioned.dataFiles(vdir) // no parent: all new
+    else {
+      val prev = names(v - 1)
+      Versioned.dataFiles(vdir).filterNot(p =>
+        prev.contains(p.getFileName.toString))
+    }
+  }
+
+  /** name → sidecar byte size: appends hard-link sidecars (size
+    * unchanged); any DV mutation merges positions in, which can only
+    * GROW a sidecar — so signature equality certifies "no row of an
+    * existing file changed". */
+  private def dvSignature(v: Long): Map[String, Long] =
+    graft.operators.DeletionVectors.dvMap(
+      java.nio.file.Paths.get(root, s"v=$v"))
+      .map { case (n, p) => n -> Files.size(p) }
+
+  /** Is commit `v` a pure append over its parent? The pinned base batch
+    * is a snapshot, not a diff — always admissible. */
+  private def isAppend(v: Long): Boolean = {
+    if (v == base.version && base.snapshot) return true
+    if (v == 0L) return true
+    names(v - 1).subsetOf(names(v)) && dvSignature(v) == dvSignature(v - 1)
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftVersionOffset].version
+    // ONE version listing per trigger (ADVICE round 11: a second
+    // listing doubles remote-store cost and can disagree mid-commit)
+    val versions = Versioned.versions(root)
+    val target = availableTarget.getOrElse(
+      versions.lastOption.getOrElse(base.version - 1))
+    lazy val pending = versions.filter(v => v > s && v <= target)
+    def capByCount(n: Long): Long = {
+      if (n <= 0) return s
+      if (pending.size <= n) target
+      else pending(math.min(n, Int.MaxValue.toLong).toInt - 1)
+    }
+    def capByBytes(budget: Long): Long = {
+      if (pending.isEmpty) return target
+      var spent = 0L
+      var end = s
+      var admitted = 0
+      var full = false
+      pending.foreach { v =>
+        if (!full) {
+          val bytes = batchFiles(v).map(Files.size(_)).sum
+          if (admitted == 0 || spent + bytes <= budget) {
+            spent += bytes; end = v; admitted += 1
+          } else full = true
+        }
+      }
+      if (end == pending.last) target else end
+    }
+    def capBy(l: ReadLimit): Long = l match {
+      case _: ReadAllAvailable => target
+      case r: ReadMaxRows => capByCount(r.maxRows())
+      case b: ReadMaxBytes => capByBytes(b.maxBytes())
+      case c: CompositeReadLimit =>
+        val caps = c.getReadLimits.map(capBy)
+        if (caps.isEmpty) target else caps.min
+      case _ => target
+    }
+    GraftVersionOffset(capBy(limit))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftVersionOffset].version
+    val e = end.asInstanceOf[GraftVersionOffset].version
+    Versioned.versions(root).filter(v => v > s && v <= e)
+      .flatMap { v =>
+        if (!isAppend(v)) {
+          if (skipChangeCommits) Array.empty[InputPartition]
+          else throw new IllegalStateException(
+            s"graft-versioned table stream: version $v of $root is not a " +
+              "pure append (a file was rewritten, removed, or a deletion " +
+              "vector changed) — streaming new rows past it would be wrong. " +
+              "Set .option(\"skipChangeCommits\", \"true\") to skip such " +
+              "commits, or stream the stored change feed " +
+              "(.option(\"changeFeed\", \"true\")) for row-level diffs.")
+        } else {
+          val dvs =
+            if (v == base.version && base.snapshot)
+              graft.operators.DeletionVectors.dvMap(
+                java.nio.file.Paths.get(root, s"v=$v"))
+                .map { case (n, p) => n -> p.toString }
+            else Map.empty[String, String] // appends cannot create a DV
+          GroupParquetIo.splitByRowGroup(batchFiles(v), pushed, filterTypes, dvs)
+        }
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GroupParquetReaderFactory(required, pushed, filterTypes, -1L, colMap)
 
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset(json.trim.toLong)
@@ -1803,8 +2046,9 @@ private[sources] object GroupParquetIo {
     * where partitions are planned per micro-batch). */
   def splitByRowGroup(files: Seq[java.nio.file.Path],
                       pushed: Array[Filter] = Array.empty,
-                      filterTypes: Map[String, DataType] = Map.empty): Array[InputPartition] =
-    toPartitions(pruneByStats(readFooters(files), pushed, filterTypes))
+                      filterTypes: Map[String, DataType] = Map.empty,
+                      dvs: Map[String, String] = Map.empty): Array[InputPartition] =
+    toPartitions(pruneByStats(readFooters(files), pushed, filterTypes), dvs)
 
   /** Answer a pushed-down global aggregation from the commit's
     * `_graft_stats` sidecar ([[graft.operators.FileStats]]) — ONE
