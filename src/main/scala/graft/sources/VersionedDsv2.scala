@@ -1248,7 +1248,14 @@ private[sources] class GraftVersionedScan(
         },
         options.getBoolean("skipChangeCommits", false),
         positiveLong("maxVersionsPerTrigger"),
-        positiveLong("maxBytesPerTrigger"))
+        positiveLong("maxBytesPerTrigger"),
+        positiveLong("maxFilesPerTrigger"),
+        Option(options.get("startingTimestamp")).map { v =>
+          scala.util.Try(v.trim.toLong).getOrElse(
+            throw new IllegalArgumentException(
+              "graft-versioned: startingTimestamp must be an integer " +
+                s"commit stamp (micros), got '$v'"))
+        })
   }
 }
 
@@ -1427,9 +1434,14 @@ private[sources] class GraftChangeFeedStream(
   *
   * Shares the change-feed source's admission control verbatim:
   * `maxVersionsPerTrigger` caps a catch-up batch's commit count,
-  * `maxBytesPerTrigger` caps it by the pending commits' NEW-file byte
-  * sums (prefix-only, always ≥ 1 commit), AvailableNow pins its drain
-  * target. Reference consumers poll stores the same incremental way
+  * `maxBytesPerTrigger` / `maxFilesPerTrigger` cap it by the pending
+  * commits' NEW-file byte and file counts (prefix-only, always ≥ 1
+  * commit so one wide commit cannot stall the stream — Delta's default
+  * admission axis is the file count), AvailableNow pins its drain
+  * target. `startingTimestamp` (exclusive with `startingVersion`)
+  * resolves the replay start against commit stamps — the first commit
+  * stamped at-or-after it, the same micros anchor `timestampAsOf`
+  * uses. Reference consumers poll stores the same incremental way
   * (load_data_from_search_db_to_es_db.py watermark loop) — this source
   * is that loop as one declarative stream. */
 private[sources] class GraftTableStream(
@@ -1439,13 +1451,19 @@ private[sources] class GraftTableStream(
     startingVersion: Option[Long],
     skipChangeCommits: Boolean,
     maxVersionsPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None,
+    startingTimestamp: Option[Long] = None)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import java.nio.file.Files
 
-  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxRows}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, ReadMaxRows}
+
+  require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+    "graft-versioned table stream: startingVersion and startingTimestamp " +
+      "are mutually exclusive")
 
   // ---- snapshot base: pinned once per checkpoint, replay-stable
   private case class Base(version: Long, snapshot: Boolean)
@@ -1464,9 +1482,19 @@ private[sources] class GraftTableStream(
         java.nio.charset.StandardCharsets.UTF_8).trim.split(" ")
       Base(parts(0).toLong, parts(1).toBoolean)
     } else {
-      val b = startingVersion match {
-        case Some(v) => Base(v, snapshot = false)
-        case None => Versioned.latestVersion(root) match {
+      val b = (startingVersion, startingTimestamp) match {
+        case (Some(v), _) => Base(v, snapshot = false)
+        case (None, Some(ts)) =>
+          // Delta's startingTimestamp: no snapshot, replay from the
+          // FIRST commit stamped at-or-after ts (stamps are the same
+          // micros anchor timestampAsOf resolves against); if every
+          // stamp is earlier, only future commits stream. Unstamped
+          // (torn) versions are never selected as the start.
+          val vs = Versioned.versions(root)
+          val first = vs.find(v => Versioned.commitStamp(root, v).exists(_ >= ts))
+          Base(first.getOrElse(vs.lastOption.map(_ + 1L).getOrElse(0L)),
+            snapshot = false)
+        case (None, None) => Versioned.latestVersion(root) match {
           case Some(latest) => Base(latest, snapshot = true)
           // empty table at start: no snapshot, stream appends from v=0
           case None => Base(0L, snapshot = false)
@@ -1491,7 +1519,9 @@ private[sources] class GraftTableStream(
   override def getDefaultReadLimit: ReadLimit = {
     val limits =
       maxVersionsPerTrigger.map(n => ReadLimit.maxRows(n)).toArray ++
-        maxBytesPerTrigger.map(b => ReadLimit.maxBytes(b))
+        maxBytesPerTrigger.map(b => ReadLimit.maxBytes(b)) ++
+        maxFilesPerTrigger.map(f =>
+          ReadLimit.maxFiles(math.min(f, Int.MaxValue.toLong).toInt))
     limits match {
       case Array() => ReadLimit.allAvailable()
       case Array(one) => one
@@ -1574,10 +1604,30 @@ private[sources] class GraftTableStream(
       }
       if (end == pending.last) target else end
     }
+    // files budget (Delta's default admission axis): admit commits
+    // until their NEW-file counts exceed the cap — prefix-only, always
+    // at least one commit so a wide commit cannot stall the stream
+    def capByFiles(budget: Int): Long = {
+      if (pending.isEmpty) return target
+      var spent = 0L
+      var end = s
+      var admitted = 0
+      var full = false
+      pending.foreach { v =>
+        if (!full) {
+          val nFiles = batchFiles(v).size
+          if (admitted == 0 || spent + nFiles <= budget) {
+            spent += nFiles; end = v; admitted += 1
+          } else full = true
+        }
+      }
+      if (end == pending.last) target else end
+    }
     def capBy(l: ReadLimit): Long = l match {
       case _: ReadAllAvailable => target
       case r: ReadMaxRows => capByCount(r.maxRows())
       case b: ReadMaxBytes => capByBytes(b.maxBytes())
+      case f: ReadMaxFiles => capByFiles(f.maxFiles())
       case c: CompositeReadLimit =>
         val caps = c.getReadLimits.map(capBy)
         if (caps.isEmpty) target else caps.min

@@ -212,6 +212,64 @@ class TableStreamSpec extends AnyFunSuite with SparkSpec {
       (0L until 40L).map(_ * 10).sum)
   }
 
+  test("maxFilesPerTrigger packs commits by their new-file counts") {
+    val (t, root) = freshTable(
+      " TBLPROPERTIES ('clusterBy'='id', 'writePartitions'='2')")
+    (0 until 3).foreach(i => insert(t, i * 100, i * 100 + 100)) // 2 files each
+    // budget 4 files: v0+v1 fit one batch, v2 takes the next
+    val q = runMem(root, tmp("mft"), "ts_mft",
+      Map("startingVersion" -> "0", "maxFilesPerTrigger" -> "4"))
+    assert(spark.table("ts_mft").count() === 300L)
+    assert(q.recentProgress.filter(_.numInputRows > 0)
+      .map(_.numInputRows).sorted.toSeq === Seq(100L, 200L),
+      "4-file budget must pack two 2-file commits then the third")
+    // a single over-budget commit still goes through alone (no stall)
+    val (t2, root2) = freshTable(
+      " TBLPROPERTIES ('clusterBy'='id', 'writePartitions'='3')")
+    insert(t2, 0, 90)
+    val q2 = runMem(root2, tmp("mft1"), "ts_mft1",
+      Map("startingVersion" -> "0", "maxFilesPerTrigger" -> "1"))
+    assert(spark.table("ts_mft1").count() === 90L)
+    assert(q2.recentProgress.count(_.numInputRows > 0) === 1)
+  }
+
+  test("startingTimestamp replays from the first commit stamped at-or-after it") {
+    val (t, root) = freshTable()
+    insert(t, 0, 20)   // v=0
+    insert(t, 20, 50)  // v=1
+    insert(t, 50, 60)  // v=2
+    val ts1 = graft.operators.Versioned.commitStamp(root, 1L)
+      .getOrElse(fail("v=1 must be stamped"))
+    runMem(root, tmp("sts"), "ts_sts",
+      Map("startingTimestamp" -> ts1.toString))
+    val got = spark.table("ts_sts")
+    assert(got.count() === 40L, "v=1 and v=2 only — no snapshot, no v=0")
+    assert(got.agg(min("id")).collect()(0).getLong(0) === 20L)
+    // a timestamp after every stamp: nothing now, future appends stream
+    val tsLate = graft.operators.Versioned.commitStamp(root, 2L).get + 1
+    val (ckpt, out) = (tmp("sts2_ck"), tmp("sts2_out"))
+    runFile(root, ckpt, out, Map("startingTimestamp" -> tsLate.toString))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out)) ||
+      spark.read.parquet(out).isEmpty)
+    insert(t, 60, 70) // v=3
+    runFile(root, ckpt, out, Map("startingTimestamp" -> tsLate.toString))
+    val resumed = spark.read.parquet(out)
+    assert(resumed.count() === 10L)
+    assert(resumed.agg(min("id")).collect()(0).getLong(0) === 60L)
+  }
+
+  test("startingVersion and startingTimestamp are mutually exclusive") {
+    val (t, root) = freshTable()
+    insert(t, 0, 10)
+    val e = intercept[Exception] {
+      runMem(root, tmp("excl"), "ts_excl",
+        Map("startingVersion" -> "0", "startingTimestamp" -> "1"))
+    }
+    def messages(x: Throwable): String =
+      if (x == null) "" else x.getMessage + messages(x.getCause)
+    assert(messages(e).contains("mutually exclusive"))
+  }
+
   test("malformed options fail loudly with the option's name") {
     val (t, root) = freshTable()
     insert(t, 0, 10)
@@ -225,5 +283,7 @@ class TableStreamSpec extends AnyFunSuite with SparkSpec {
     }
     fails(Map("startingVersion" -> "abc"), "startingVersion")
     fails(Map("maxVersionsPerTrigger" -> "0"), "maxVersionsPerTrigger")
+    fails(Map("maxFilesPerTrigger" -> "-3"), "maxFilesPerTrigger")
+    fails(Map("startingTimestamp" -> "noon"), "startingTimestamp")
   }
 }
