@@ -50,6 +50,56 @@ object Layout {
       .drop("__z")
   }
 
+  /** Rank-quantized Z-order rewrite — [[zorderBy]] for REAL domains.
+    * [[zorderBy]] needs both columns pre-quantized to `[0, 2^bits)`;
+    * production columns are skewed longs/doubles, so this variant maps
+    * each column onto the grid by RANK: `approxQuantile` (one driver
+    * call, sampling-based, never a global sort) yields `2^bits − 1`
+    * cut points per column, and the per-row bucket is the count of cut
+    * points ≤ the value — a `filter` higher-order function over a
+    * literal array, evaluated scan-side with no shuffle of its own.
+    * Rank quantization is what makes the Z-code skew-proof: a column
+    * where 90% of rows share one hot value still spreads the remaining
+    * 10% across the grid instead of collapsing the curve to one cell
+    * (Delta's OPTIMIZE ZORDER BY uses the same range_partition_id
+    * trick for exactly this reason). Nulls land in bucket 0, i.e. sort
+    * first — the same contract as `sortWithinPartitions`.
+    *
+    * The result is range-partitioned + sorted by the (dropped) code:
+    * every output file covers a compact Z-curve segment, a small
+    * min/max box in BOTH dimensions, so the commit's stats sidecar
+    * prunes on either filter column. One shuffle (the range exchange),
+    * driver cost `O(2^bits)` per column — at 100 TB the quantile pass
+    * is a sample scan and everything else rides the rewrite the
+    * compaction was already paying for. */
+  def zorderByRank(df: DataFrame, a: String, b: String, bits: Int,
+                   numPartitions: Int): DataFrame = {
+    require(bits >= 1 && bits <= 12,
+      s"zorderByRank: bits must be in [1, 12] (grid cells = 4^bits), got $bits")
+    Seq(a, b).foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"zorderByRank: column '$c' not in ${df.schema.fieldNames.mkString(", ")}"))
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"zorderByRank: column '$c' is ${f.dataType.simpleString} — Z-order " +
+          "clustering needs numeric columns (quantile-rank the domain)")
+    }
+    val m = 1 << bits
+    val probs = (1 until m).map(_.toDouble / m).toArray
+    def bucket(c: String): Column = {
+      // distinct cut points only: ties in a skewed domain repeat the
+      // same cut, which would burn grid resolution for nothing
+      val cuts = df.stat.approxQuantile(c, probs, 0.001).distinct.sorted
+      if (cuts.isEmpty) lit(0)
+      else size(filter(lit(cuts),
+        cut => cut <= coalesce(col(c).cast("double"), lit(Double.MinValue))))
+    }
+    val coded = df.withColumn("__z", mortonCode(bucket(a), bucket(b), bits))
+    coded.repartitionByRange(math.max(1, numPartitions), col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
   /** Writer-side layout targets for a versioned load: cluster-sort the
     * data on `sortCols` (repartitionByRange + sortWithinPartitions —
     * globally range-clustered, so every file and row group covers a

@@ -172,7 +172,8 @@ object Versioned {
     * Returns the new version number. */
   def compact(spark: SparkSession, root: String,
               targetFileBytes: Long = 128L << 20,
-              clusterBy: Seq[String] = Seq.empty): Long = {
+              clusterBy: Seq[String] = Seq.empty,
+              zorderBy: Seq[String] = Seq.empty): Long = {
     val v = latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no versions under $root"))
     val vdir = Paths.get(root, s"v=$v")
@@ -199,9 +200,16 @@ object Versioned {
     // a clustered table re-clusters on compaction (range + sort), so
     // the rewrite RESTORES file-level min/max locality instead of
     // interleaving it away — coalesce alone merges arbitrary ranges
-    // and widens every file's key span
+    // and widens every file's key span; OPTIMIZE ZORDER BY (zorderBy,
+    // two columns) interleaves rank-quantized bits instead, buying
+    // stats pruning on BOTH filter dimensions at once
     val compacted =
-      if (clusterBy.nonEmpty)
+      if (zorderBy.nonEmpty) {
+        require(zorderBy.length == 2,
+          s"compact: zorderBy takes exactly two columns (Morton interleave), " +
+            s"got ${zorderBy.mkString(", ")}")
+        Layout.zorderByRank(df, zorderBy(0), zorderBy(1), bits = 8, nFiles)
+      } else if (clusterBy.nonEmpty)
         df.repartitionByRange(nFiles, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       else if (nFiles < df.rdd.getNumPartitions) df.coalesce(nFiles)

@@ -688,6 +688,69 @@ object VersionedGate {
       .orderBy(col("commit_version"), col("doc_id"))
   }
 
+  /** q163: OPTIMIZE ZORDER BY — `sys.compact(zorder_by => 'a,b')`
+    * rewrites the snapshot along a rank-quantized Morton curve
+    * ([[graft.operators.Layout.zorderByRank]]), so the commit's stats
+    * sidecar prunes files on EITHER filter dimension. The gate builds
+    * the adversarial starting layout (linear clusterBy on doc_id —
+    * perfect pruning on doc_id, none on n_chars), Z-orders, and
+    * require()s the skipping arithmetic against the stats manifest
+    * itself: pre-Z a mid-band n_chars filter refutes almost nothing;
+    * post-Z both single-dimension bands and their box keep well under
+    * the file count. The returned rows are layout-independent — the
+    * oracle certifies the rewrite moved bytes, never rows. */
+  def q163ZorderCompact(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs163")
+    s.sql("CREATE TABLE graft.gate.docs163 (doc_id BIGINT, n_chars BIGINT) " +
+      "USING `graft-versioned` " +
+      "TBLPROPERTIES ('clusterBy'='doc_id', 'writePartitions'='16')")
+    Tables.documents(s, dir).createOrReplaceTempView("q163_docs_src")
+    s.sql("INSERT INTO graft.gate.docs163 SELECT doc_id, n_chars FROM q163_docs_src")
+    // small target so the rewrite yields a multi-file layout at gate
+    // scale — the 128 MB default would fold the whole table into one
+    // file and leave nothing to measure
+    s.sql("CALL graft.sys.compact(table => 'gate.docs163', " +
+      "target_file_bytes => 2048, zorder_by => 'doc_id,n_chars')")
+
+    import graft.operators.FileStats
+    val root = scratchBase.resolve("catalog").resolve("gate").resolve("docs163")
+    // the pruning metric, straight from the stats sidecar the scan
+    // planner uses: expected files a uniform point probe on one column
+    // touches = Σ file_span / domain_span. (A fixed band count is NOT
+    // robust here — the Z-curve's quadrant boundaries sit at the rank
+    // median, so a mid-band aligns with every file's box edge.)
+    def expTouched(v: Long, c: String): (Double, Int) = {
+      val st = FileStats.read(root.resolve(s"v=$v")).values.toSeq
+      def lh(fs: FileStats.FileStat): (Long, Long) = fs.cols(c) match {
+        case FileStats.ColStat(Some(FileStats.L(lo)), Some(FileStats.L(hi)), _) =>
+          (lo, hi)
+        case other => throw new IllegalStateException(
+          s"q163: no long bounds for '$c' in stats sidecar: $other")
+      }
+      val (dLo, dHi) = (st.map(lh(_)._1).min, st.map(lh(_)._2).max)
+      (st.map(fs => (lh(fs)._2 - lh(fs)._1).toDouble / (dHi - dLo)).sum, st.size)
+    }
+    val (preChars, preN) = expTouched(0, "n_chars")
+    val (postChars, postN) = expTouched(1, "n_chars")
+    val (postDoc, _) = expTouched(1, "doc_id")
+    require(postN >= 4,
+      s"q163: the Z-order rewrite must produce a multi-file layout to " +
+        s"measure (got $postN files)")
+    require(preChars >= preN * 0.85,
+      s"q163: before Z-ordering, n_chars should be unprunable on a " +
+        s"doc_id-clustered layout (expected-touched $preChars of $preN)")
+    require(postChars <= postN * 0.7,
+      s"q163: after Z-ordering, n_chars must prune " +
+        s"(expected-touched $postChars of $postN)")
+    require(postDoc <= postN * 0.7,
+      s"q163: after Z-ordering, doc_id must STILL prune " +
+        s"(expected-touched $postDoc of $postN)")
+    s.sql("""SELECT doc_id, n_chars FROM graft.gate.docs163
+             WHERE n_chars BETWEEN 250 AND 400 AND doc_id BETWEEN 100 AND 260
+             ORDER BY doc_id""")
+  }
+
   /** q160: MERGE-ON-READ UPDATE (delta row-level operation) — q150's
     * exact UPDATE lifecycle on a `deletionVectors=true` table, sharing
     * q150's predicate-derived oracle: representation changes (DV
@@ -816,6 +879,7 @@ object VersionedGate {
     "q162_stream_table_read" -> (q162StreamTableRead _),
     "q160_dv_update" -> (q160DvUpdate _),
     "q161_dv_merge" -> (q161DvMerge _),
+    "q163_zorder_compact" -> (q163ZorderCompact _),
     "q63_versioned_load" -> (q63VersionedLoad _),
     "q67_csv_swap" -> (q67CsvSwap _),
     "q120_version_change_feed" -> (q120VersionChangeFeed _),
@@ -1017,6 +1081,13 @@ object VersionedGate {
     // sink must be every document exactly once
     "q162_stream_table_read" ->
       """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",
+    // q163: OPTIMIZE ZORDER BY moves bytes, never rows — the box query
+    // over the Z-ordered snapshot equals the same predicate on the
+    // source table (the gate itself require()s the skipping arithmetic)
+    "q163_zorder_compact" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars BETWEEN 250 AND 400 AND doc_id BETWEEN 100 AND 260
+        |ORDER BY doc_id""".stripMargin,
     // q159 shares q141/q120's batch-diff expectation: throttling the
     // drain into one-commit batches must not change a single row
     "q159_throttled_change_feed" ->

@@ -521,16 +521,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         Array(
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("target_file_bytes", LongType)
-            .defaultValue((128L << 20).toString).build()),
+            .defaultValue((128L << 20).toString).build(),
+          // OPTIMIZE ZORDER BY: 'colA,colB' rank-quantizes both columns
+          // and rewrites along the Morton curve, so the commit's stats
+          // sidecar prunes on EITHER filter dimension (Layout
+          // .zorderByRank). Overrides the table's linear clusterBy for
+          // this rewrite only — like Delta, Z-ordering is a maintenance
+          // verb, not a persistent write contract.
+          ProcedureParameter.in("zorder_by", StringType)
+            .defaultValue("''").build()),
         new StructType().add("version", LongType, nullable = false),
         in => {
           val tbl = in.getUTF8String(0).toString
+          val zorder = Option(in.getUTF8String(2)).map(_.toString).getOrElse("")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
           // a clustered table re-clusters on compaction: the rewrite
           // restores file-level min/max locality (z-order-style data
           // skipping survives OPTIMIZE instead of degrading)
-          val clusterBy = clusterByOf(tbl)
+          val clusterBy = if (zorder.nonEmpty) Seq.empty else clusterByOf(tbl)
           val v = Versioned.compact(SparkSession.active, root(tbl),
-            in.getLong(1), clusterBy)
+            in.getLong(1), clusterBy, zorder)
           Seq(new GenericInternalRow(Array[Any](v)))
         })
       case "rollback" => new GraftProcedure("rollback",

@@ -65,6 +65,92 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(zb * 2 < sb, s"z-order did not bound the second dimension: $zb vs $sb")
   }
 
+  test("zorderByRank bounds both dimensions on REAL (skewed, null-bearing) domains") {
+    // column a: 80% of rows share one hot value (the skew that defeats
+    // value-space quantization); column b: uniform with 2% nulls
+    val pts = spark.range(8000).select(
+      when(col("id") % 5 < 4, lit(7L))
+        .otherwise(conv(substring(md5(concat(col("id"), lit(":a"))), 1, 8), 16, 10)
+          .cast("long") % 1000000L).as("a"),
+      when(col("id") % 50 === 0, lit(null).cast("long"))
+        .otherwise(conv(substring(md5(concat(col("id"), lit(":b"))), 1, 8), 16, 10)
+          .cast("long") % 1024).as("b"))
+    val z = Layout.zorderByRank(pts, "a", "b", bits = 8, numPartitions = 16)
+    // rows survive byte-identically (layout is physical, not data)
+    assert(z.count() === 8000)
+    assert(z.agg(sum(coalesce(col("b"), lit(0L)))).as[Long].head() ===
+      pts.agg(sum(coalesce(col("b"), lit(0L)))).as[Long].head())
+    // the uniform dimension must still be bounded per partition even
+    // though the OTHER dimension is 80% one value: expected partitions
+    // touched by a uniform point probe on b well under all-partitions
+    val spans = z.withColumn("p", spark_partition_id())
+      .groupBy("p").agg((max("b") - min("b")).as("rb"))
+      .agg(sum("rb")).as[Long].head() / 1024.0
+    assert(spans * 2 < 16,
+      s"rank quantization failed to bound the uniform dimension under skew: " +
+        s"expected touched $spans of 16")
+    // null ordering contract: nulls land in the FIRST z-bucket
+    val firstPart = z.withColumn("p", spark_partition_id())
+      .filter(col("b").isNull).agg(max("p")).as[Int].head()
+    assert(firstPart <= 1, s"nulls must sort first, found one in partition $firstPart")
+  }
+
+  test("zorderByRank rejects non-numeric and unknown columns loudly") {
+    val df = Seq((1L, "x")).toDF("n", "s")
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.zorderByRank(df, "n", "s", 8, 4)
+    }
+    assert(e1.getMessage.contains("numeric"))
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.zorderByRank(df, "n", "missing", 8, 4)
+    }
+    assert(e2.getMessage.contains("missing"))
+  }
+
+  test("compact(zorderBy) rewrites into a layout the stats sidecar prunes on both dims") {
+    import graft.operators.{FileStats, Versioned}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zorder_compact_").toString
+    val df = spark.range(20000).select(
+      col("id").as("k"),
+      (conv(substring(md5(concat(col("id"), lit(":v"))), 1, 8), 16, 10)
+        .cast("long") % 10000L).as("v"))
+    // adversarial start: clustered on k only — v prunes nothing
+    Versioned.writeNext(df, root, commitTs = Some(1000L),
+      layout = Layout.WriteSpec(sortCols = Seq("k"), numPartitions = Some(16)))
+    val v1 = Versioned.compact(spark, root, targetFileBytes = 4 << 10,
+      zorderBy = Seq("k", "v"))
+    // the pruning metric a band-survivor count can't state robustly
+    // (any fixed band aligns with SOME file boundary): expected files
+    // touched by a uniform point probe on one column = Σ span_i/domain,
+    // straight from the stats sidecar the scan planner actually uses
+    def expTouched(v: Long, c: String): (Double, Int) = {
+      val st = FileStats.read(java.nio.file.Paths.get(root, s"v=$v")).values.toSeq
+      def lh(s: FileStats.FileStat) = s.cols(c) match {
+        case FileStats.ColStat(Some(FileStats.L(lo)), Some(FileStats.L(hi)), _) =>
+          (lo, hi)
+        case other => fail(s"no long bounds for $c: $other")
+      }
+      val (dLo, dHi) = (st.map(lh(_)._1).min, st.map(lh(_)._2).max)
+      (st.map(s => (lh(s)._2 - lh(s)._1).toDouble / (dHi - dLo)).sum, st.size)
+    }
+    val (preV, preN) = expTouched(0, "v")
+    val (postV, postN) = expTouched(v1, "v")
+    val (postK, _) = expTouched(v1, "k")
+    assert(preV >= preN * 0.85, s"v should not prune before z-ordering ($preV/$preN)")
+    assert(postN >= 8, s"need a multi-file rewrite to measure ($postN)")
+    assert(postV <= postN * 0.5, s"v expected-touched $postV/$postN after z-ordering")
+    assert(postK <= postN * 0.5, s"k expected-touched $postK/$postN after z-ordering")
+    // the rewrite carries the source's stamp: time travel still lands
+    // on the NEWER (compacted) layout for the same timestamp
+    assert(Versioned.resolveAsOf(root, 1000L) === v1)
+    // rows identical across the rewrite
+    assert(Versioned.read(spark, root, Some(v1)).count() === 20000)
+    assert(Versioned.read(spark, root, Some(v1))
+      .agg(sum(col("k") + col("v"))).as[Long].head() ===
+      df.agg(sum(col("k") + col("v"))).as[Long].head())
+  }
+
   test("q119 partitioned layout prunes directories at planning time") {
     val df = graft.queries.LayoutGate.q119PartitionPruning(
       spark, "/root/testdata/sf0.001")
