@@ -109,6 +109,7 @@ object Versioned {
     writeFilesManifest(vdir, listParquet(vdir).map(_.getFileName.toString))
     writeLatestHint(root, next)
     commitTs.foreach(writeStamp(root, next, _))
+    BloomSidecar.ensure(root, next) // no-op unless bloomFilterColumns set
     next
   }
 
@@ -458,6 +459,8 @@ object Versioned {
     writeLatestHint(root, next)
     writeStamp(root, next,
       commitTs.getOrElse(System.currentTimeMillis() * 1000L))
+    // restored files are hard links of src's — their bloom lines carry
+    BloomSidecar.ensure(root, next, carryExtra = Some(src))
     next
   }
 
@@ -487,6 +490,9 @@ object Versioned {
     writeLatestHint(dstRoot, 0L)
     writeStamp(dstRoot, 0L,
       commitTs.getOrElse(System.currentTimeMillis() * 1000L))
+    // the clone shares the source's immutable files — bloom lines carry
+    BloomSidecar.ensure(dstRoot, 0L,
+      carryExtra = Some(Paths.get(srcRoot, s"v=$srcV")))
   }
 
   /** S13 rollback: drop the newest version so the previous one is current

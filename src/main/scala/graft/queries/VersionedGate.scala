@@ -751,6 +751,51 @@ object VersionedGate {
              ORDER BY doc_id""")
   }
 
+  /** q164: BLOOM-FILTER POINT-LOOKUP SKIPPING — `bloomFilterColumns`
+    * tables build per-file Bloom filters at commit, and the scan
+    * refutes `key = v` probes min/max statistics cannot (the layout is
+    * clustered on n_chars, so every file's [min, max] on doc_id spans
+    * the whole domain). The gate require()s all three layers: the
+    * stats layer keeps ~everything, the bloom layer keeps ~one file,
+    * and the LIVE scan's explain marker shows the drop. The returned
+    * point-lookup rows are layout-independent — the oracle certifies
+    * skipping never changes answers. */
+  def q164BloomPointLookup(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs164")
+    s.sql("CREATE TABLE graft.gate.docs164 (doc_id BIGINT, n_chars BIGINT, lang STRING) " +
+      "USING `graft-versioned` TBLPROPERTIES ('clusterBy'='n_chars', " +
+      "'writePartitions'='12', 'bloomFilterColumns'='doc_id')")
+    Tables.documents(s, dir).createOrReplaceTempView("q164_docs_src")
+    s.sql("INSERT INTO graft.gate.docs164 " +
+      "SELECT doc_id, n_chars, lang FROM q164_docs_src")
+    import org.apache.spark.sql.sources.EqualTo
+    import graft.operators.{BloomSidecar, FileStats}
+    val vdir = scratchBase.resolve("catalog").resolve("gate")
+      .resolve("docs164").resolve("v=0")
+    val stats = FileStats.read(vdir)
+    val statsKept = stats.values.count(FileStats.mayMatch(_, EqualTo("doc_id", 263L)))
+    require(statsKept >= stats.size - 1,
+      s"q164: min/max must be unable to prune a scattered key " +
+        s"($statsKept/${stats.size} kept — the starting layout is wrong)")
+    val (bloomKept, n) = BloomSidecar.survivors(vdir, EqualTo("doc_id", 263L))
+    require(n >= 4, s"q164: need a multi-file layout to measure ($n files)")
+    require(bloomKept <= math.max(2, n / 4),
+      s"q164: the bloom layer must isolate the point lookup " +
+        s"($bloomKept/$n kept)")
+    // the ENGINE path, not just the helper: the snapshot scan's explain
+    // marker must show the same drop
+    val probe = s.sql("SELECT n_chars FROM graft.gate.docs164 WHERE doc_id = 263")
+    probe.collect()
+    val desc = probe.queryExecution.executedPlan.toString
+    val m = "DataFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+    require(m.isDefined, s"q164: no DataFiles marker in scan:\n$desc")
+    require(m.get.group(1).toInt <= math.max(2, n / 4),
+      s"q164: live scan read ${m.get.group(1)}/${m.get.group(2)} files:\n$desc")
+    s.sql("""SELECT doc_id, n_chars, lang FROM graft.gate.docs164
+             WHERE doc_id IN (41, 137, 263) ORDER BY doc_id""")
+  }
+
   /** q160: MERGE-ON-READ UPDATE (delta row-level operation) — q150's
     * exact UPDATE lifecycle on a `deletionVectors=true` table, sharing
     * q150's predicate-derived oracle: representation changes (DV
@@ -880,6 +925,7 @@ object VersionedGate {
     "q160_dv_update" -> (q160DvUpdate _),
     "q161_dv_merge" -> (q161DvMerge _),
     "q163_zorder_compact" -> (q163ZorderCompact _),
+    "q164_bloom_point_lookup" -> (q164BloomPointLookup _),
     "q63_versioned_load" -> (q63VersionedLoad _),
     "q67_csv_swap" -> (q67CsvSwap _),
     "q120_version_change_feed" -> (q120VersionChangeFeed _),
@@ -1088,6 +1134,12 @@ object VersionedGate {
       """SELECT doc_id, n_chars FROM documents
         |WHERE n_chars BETWEEN 250 AND 400 AND doc_id BETWEEN 100 AND 260
         |ORDER BY doc_id""".stripMargin,
+    // q164: bloom skipping moves I/O, never rows — the point lookups
+    // over the bloom-indexed table equal the same predicate on the
+    // source (the gate itself require()s the three-layer skipping)
+    "q164_bloom_point_lookup" ->
+      """SELECT doc_id, n_chars, lang FROM documents
+        |WHERE doc_id IN (41, 137, 263) ORDER BY doc_id""".stripMargin,
     // q159 shares q141/q120's batch-diff expectation: throttling the
     // drain into one-commit batches must not change a single row
     "q159_throttled_change_feed" ->

@@ -209,6 +209,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       constraints)
   }
 
+  /** `bloomFilterColumns` entries must exist and be integral/string —
+    * the two type families whose equality the per-file Bloom filters
+    * can hash consistently on both the build and probe side. */
+  private def validateBloomCols(value: String, schema: StructType): Unit =
+    value.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft catalog: bloomFilterColumns column '$c' not in table " +
+            s"schema ${schema.fieldNames.mkString("[", ", ", "]")}"))
+      import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType => ()
+        case dt => throw new IllegalArgumentException(
+          s"graft catalog: bloomFilterColumns column '$c' is " +
+            s"${dt.simpleString} — Bloom membership needs an integral or " +
+            "string column (equality must hash identically at build and probe)")
+      }
+    }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -239,9 +258,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             s"${schema.fieldNames.mkString("[", ", ", "]")}")
       }
     }
+    Option(properties.get(graft.operators.BloomSidecar.PropKey))
+      .filter(_.nonEmpty).foreach(validateBloomCols(_, schema))
     val layoutProps =
       Seq("clusterBy", "writePartitions", "targetFileBytes", "changeFeedKeys",
-        "deletionVectors")
+        "deletionVectors", graft.operators.BloomSidecar.PropKey)
         .flatMap(k => Option(properties.get(k)).filter(_.nonEmpty).map(v => s"$k=$v"))
     if (layoutProps.nonEmpty)
       Files.write(tablePath(ident).resolve(PropsManifest),
@@ -264,7 +285,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
     val layoutKeys =
       Set("clusterBy", "writePartitions", "targetFileBytes", "changeFeedKeys",
-        "deletionVectors")
+        "deletionVectors", graft.operators.BloomSidecar.PropKey)
     var props = readProps(ident)
     var (colMap, retired) = colMapState(ident, schema)
     val hadColMap = readColMap(ident).isDefined
@@ -280,6 +301,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     def propReferencing(name: String): Option[String] =
       Seq("clusterBy", "changeFeedKeys").find(k =>
         props.get(k).exists(_.split(",").map(_.trim).contains(name)))
+    val bloomKey = graft.operators.BloomSidecar.PropKey
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -328,7 +350,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         colMap = colMap - old + (nw -> phys)
         // the layout contract follows the logical rename
         props = props.map {
-          case (k, v) if k == "clusterBy" || k == "changeFeedKeys" =>
+          case (k, v) if k == "clusterBy" || k == "changeFeedKeys" ||
+              k == bloomKey =>
             k -> v.split(",").map(_.trim).filter(_.nonEmpty)
               .map(c => if (c == old) nw else c).mkString(",")
           case kv => kv
@@ -344,9 +367,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         } else {
           require(schema.length > 1,
             "graft catalog: cannot drop the table's last column")
-          propReferencing(name).foreach(k => throw new IllegalArgumentException(
-            s"graft catalog: cannot drop '$name' — table property '$k' " +
-              "references it; unset or change the property first"))
+          (propReferencing(name) ++ Some(bloomKey).filter(k =>
+            props.get(k).exists(_.split(",").map(_.trim).contains(name))))
+            .headOption.foreach(k => throw new IllegalArgumentException(
+              s"graft catalog: cannot drop '$name' — table property '$k' " +
+                "references it; unset or change the property first"))
           constraintReferencing(name).foreach(cn => throw new IllegalArgumentException(
             s"graft catalog: cannot drop '$name' — CHECK constraint '$cn' " +
               "references it; drop the constraint first"))
@@ -362,6 +387,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             require(schema.fieldNames.contains(c),
               s"graft catalog: ${set.property} column '$c' not in table schema")
           }
+        if (set.property == bloomKey) validateBloomCols(set.value, schema)
         props += (set.property -> set.value)
       case rm: TableChange.RemoveProperty if layoutKeys(rm.property) =>
         props -= rm.property
@@ -638,6 +664,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             if (Files.exists(srcM))
               Files.copy(srcM, tablePath(tgtIdent).resolve(m))
           }
+          // bloom sidecar: the property lands only with the copy above,
+          // AFTER cloneTo's own hook saw a props-less root — re-run the
+          // (pure-carry, hard-linked names) pass now that it can see it
+          graft.operators.BloomSidecar.ensure(tablePath(tgtIdent).toString,
+            0L, carryExtra = Some(Paths.get(root(src)).resolve(
+              s"v=${Versioned.latestVersion(root(src)).getOrElse(0L)}")))
           // a changeFeedKeys clone starts its own feed history with
           // v=0's all-'added' feed (a stream from 0 sees the content)
           feedHook(tgt, 0L)

@@ -1123,9 +1123,14 @@ private[sources] class GraftVersionedScan(
         // one sidecar read. Row-group pruning still runs on survivors.
         val kept = GroupParquetIo.pruneFilesByStats(
           all, graft.operators.FileStats.read(dirPath), allFilters)
-        fileCounts = (kept.size, all.size)
+        // second file-level layer: per-file Bloom membership refutes
+        // equality probes min/max can't (high-cardinality keys scatter
+        // across every file's [min, max] span)
+        val keptBloom = GroupParquetIo.pruneFilesByBloom(
+          kept, dirPath, allFilters)
+        fileCounts = (keptBloom.size, all.size)
         GroupParquetIo.pruneByStats(
-          GroupParquetIo.readFooters(kept), allFilters, allFilterTypes)
+          GroupParquetIo.readFooters(keptBloom), allFilters, allFilterTypes)
       }
     cachedGroups = computed
     computed
@@ -1975,6 +1980,33 @@ private[sources] object GroupParquetIo {
       stats.get(p.getFileName.toString).forall(st =>
         pushed.forall(graft.operators.FileStats.mayMatch(st, _)))
     }
+
+  /** FILE-level Bloom skipping ([[graft.operators.BloomSidecar]]):
+    * refute `key = v` / `key IN (…)` atoms against the commit's
+    * per-file filters. Runs after the stats prune, decodes the (small)
+    * sidecar only when an equality-family atom is actually pushed, and
+    * keeps the file on every absence — same conservatism contract as
+    * the stats layer. */
+  def pruneFilesByBloom(files: Seq[java.nio.file.Path],
+                        vdir: java.nio.file.Path,
+                        pushed: Array[Filter]): Seq[java.nio.file.Path] = {
+    def hasEq(f: Filter): Boolean = f match {
+      case And(l, r) => hasEq(l) || hasEq(r)
+      case Or(l, r) => hasEq(l) || hasEq(r)
+      case _: EqualTo | _: EqualNullSafe | _: In => true
+      case _ => false
+    }
+    if (files.isEmpty || !pushed.exists(hasEq)) files
+    else {
+      val blooms = graft.operators.BloomSidecar.read(vdir)
+      if (blooms.isEmpty) files
+      else files.filter { p =>
+        val bl = blooms.getOrElse(p.getFileName.toString,
+          Map.empty[String, org.apache.spark.util.sketch.BloomFilter])
+        pushed.forall(graft.operators.BloomSidecar.mayMatch(bl, _))
+      }
+    }
+  }
 
   /** One driver-side footer read per file → schema + row groups. */
   def readFooters(files: Seq[java.nio.file.Path]): Seq[FileGroups] =
@@ -2977,6 +3009,9 @@ private[sources] object VersionedWriteIo {
         Files.move(staged, Paths.get(root, s"v=$next"), StandardCopyOption.ATOMIC_MOVE)
         Versioned.writeLatestHint(root, next)
         Versioned.writeStamp(root, next, stamp)
+        // bloom sidecar (no-op unless configured): carried files reuse
+        // their lines from the base version, new files get one build scan
+        graft.operators.BloomSidecar.ensure(root, next)
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException |
@@ -3144,6 +3179,9 @@ private[sources] object VersionedWriteIo {
         Files.move(staged, Paths.get(root, s"v=$next"), StandardCopyOption.ATOMIC_MOVE)
         Versioned.writeLatestHint(root, next)
         Versioned.writeStamp(root, next, stamp)
+        // bloom sidecar (no-op unless configured): carried files reuse
+        // their lines from the base version, new files get one build scan
+        graft.operators.BloomSidecar.ensure(root, next)
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException |
@@ -3209,6 +3247,9 @@ private[sources] object VersionedWriteIo {
         Files.move(staged, Paths.get(root, s"v=$next"), StandardCopyOption.ATOMIC_MOVE)
         Versioned.writeLatestHint(root, next)
         Versioned.writeStamp(root, next, stamp)
+        // bloom sidecar (no-op unless configured): carried files reuse
+        // their lines from the base version, new files get one build scan
+        graft.operators.BloomSidecar.ensure(root, next)
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException |
