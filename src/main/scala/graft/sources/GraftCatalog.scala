@@ -582,10 +582,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           ProcedureParameter.in("older_than_ms", LongType)
             .defaultValue(86400000L.toString).build()),
         new StructType().add("removed", StringType, nullable = false),
-        in => VersionedWriteIo.vacuumStaging(
-            root(in.getUTF8String(0).toString), in.getLong(1))
-          .map(d => new GenericInternalRow(Array[Any](
-            org.apache.spark.unsafe.types.UTF8String.fromString(d)))))
+        in => {
+          val r = root(in.getUTF8String(0).toString)
+          val age = in.getLong(1)
+          // two sweeps, both age-gated: crashed writers' staging dirs,
+          // and unmanifested strays inside committed version dirs
+          // (invisible to readers since the commit names its files —
+          // vacuum reclaims their storage)
+          (VersionedWriteIo.vacuumStaging(r, age) ++
+            VersionedWriteIo.vacuumOrphans(r, age))
+            .map(d => new GenericInternalRow(Array[Any](
+              org.apache.spark.unsafe.types.UTF8String.fromString(d))))
+        })
       // DESCRIBE HISTORY parity: one row per surviving version, newest
       // first — commit stamp (time-travel key), file/byte footprint,
       // whether a stored change feed exists, and the merge-on-read

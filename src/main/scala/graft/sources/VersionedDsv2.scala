@@ -2881,6 +2881,56 @@ private[sources] object VersionedWriteIo {
     stale.map(_.getFileName.toString).sorted
   }
 
+  /** Orphan sweep INSIDE committed version dirs — the cleanup the file
+    * manifest makes possible: a committed `v=N` only ever gains files
+    * through its one atomic rename, so any `*.parquet` the manifest
+    * does not name (a crashed task's stray, an operator mistake, a
+    * planted alien), any `.dv` sidecar the manifest does not list, and
+    * any stale sidecar temp file is garbage — already INVISIBLE to
+    * every manifest-resolved reader, but still billed storage at
+    * object-store scale. Age-gated like the staging sweep; versions
+    * without a manifest (pre-manifest history) are never touched —
+    * there the listing IS the truth and deletion would be data loss.
+    * Returns `v=N/<name>` for each removed file. */
+  def vacuumOrphans(root: String, olderThanMs: Long): Seq[String] = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    def old(p: Path): Boolean = Files.getLastModifiedTime(p).toMillis < cutoff
+    Versioned.versions(root).flatMap { v =>
+      val vdir = Paths.get(root, s"v=$v")
+      Versioned.manifestEntries(vdir) match {
+        case None => Seq.empty
+        case Some((data, dvs)) =>
+          val dataSet = data.toSet
+          val strayData = Versioned.listParquet(vdir)
+            .filterNot(f => dataSet(f.getFileName.toString)).filter(old)
+          val dvDirP = graft.operators.DeletionVectors.dvDir(vdir)
+          val dvSet = dvs.toSet
+          val strayDv =
+            if (!Files.isDirectory(dvDirP)) Seq.empty[Path]
+            else {
+              val s = Files.list(dvDirP)
+              try s.iterator().asScala.filter { f =>
+                val n = f.getFileName.toString
+                n.endsWith(graft.operators.DeletionVectors.Suffix) && !dvSet(n)
+              }.filter(old).toList
+              finally s.close()
+            }
+          val strayTmp = {
+            val s = Files.list(vdir)
+            try s.iterator().asScala.filter { f =>
+              val n = f.getFileName.toString
+              n.startsWith("_graft_bloom_") && n.endsWith(".tmp")
+            }.filter(old).toList
+            finally s.close()
+          }
+          (strayData ++ strayDv ++ strayTmp).map { f =>
+            Files.deleteIfExists(f)
+            s"v=$v/${vdir.relativize(f)}"
+          }
+      }
+    }.sorted
+  }
+
   /** Marker a row-level commit leaves in its version dir recording the
     * file set it REPLACED — the evidence [[commitRowLevel]]'s conflict
     * resolution reads: a later row-level commit that scanned an older

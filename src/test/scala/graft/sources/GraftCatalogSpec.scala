@@ -203,6 +203,45 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(sql("SELECT * FROM gtest.ns.t10").count() === 1L) // data untouched
   }
 
+  test("vacuum sweeps unmanifested strays in version dirs; pre-manifest dirs untouched") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    import java.nio.file.attribute.FileTime
+    sql("DROP TABLE IF EXISTS gtest.ns.t10b")
+    sql("CREATE TABLE gtest.ns.t10b (id BIGINT) USING `graft-versioned`")
+    sql("INSERT INTO gtest.ns.t10b VALUES (1), (2)")
+    val vdir = JP.get(s"$warehouse/ns/t10b/v=0")
+    val oldTs = FileTime.fromMillis(System.currentTimeMillis() - 3600_000L)
+    // plant: an old alien data file, a FRESH alien, an old stray DV,
+    // and an old bloom temp file — none named by the commit manifest
+    val alienOld = vdir.resolve("alien-old.parquet")
+    val alienNew = vdir.resolve("alien-new.parquet")
+    JF.write(alienOld, Array[Byte](1, 2, 3)); JF.setLastModifiedTime(alienOld, oldTs)
+    JF.write(alienNew, Array[Byte](4, 5, 6))
+    val dvDir = graft.operators.DeletionVectors.dvDir(vdir)
+    JF.createDirectories(dvDir)
+    val strayDv = dvDir.resolve("ghost.parquet.dv")
+    JF.write(strayDv, Array[Byte](7)); JF.setLastModifiedTime(strayDv, oldTs)
+    val tmp = vdir.resolve("_graft_bloom_x.tmp")
+    JF.write(tmp, Array[Byte](8)); JF.setLastModifiedTime(tmp, oldTs)
+    val removed = sql(
+      "CALL gtest.sys.vacuum(table => 'ns.t10b', older_than_ms => 1800000)")
+      .collect().map(_.getString(0)).toSeq
+    assert(removed === Seq("v=0/_dv/ghost.parquet.dv",
+      "v=0/_graft_bloom_x.tmp", "v=0/alien-old.parquet"), removed.toString)
+    assert(!JF.exists(alienOld) && !JF.exists(strayDv) && !JF.exists(tmp))
+    assert(JF.exists(alienNew), "fresh stray must survive the age gate")
+    assert(sql("SELECT * FROM gtest.ns.t10b").count() === 2L)
+    // pre-manifest dirs: the listing is the truth — never swept
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft_premanifest_").toString
+    import spark.implicits._
+    Seq(1L).toDF("id").write.mode("overwrite").parquet(s"$bare/v=0")
+    val planted = JP.get(s"$bare/v=0/extra.parquet")
+    JF.write(planted, Array[Byte](9)); JF.setLastModifiedTime(planted, oldTs)
+    assert(VersionedWriteIo.vacuumOrphans(bare, 0L) === Seq.empty)
+    assert(JF.exists(planted))
+  }
+
   test("DELETE FROM is copy-on-write: survivors in a new version, history pinned") {
     sql("DROP TABLE IF EXISTS gtest.ns.t11")
     sql("CREATE TABLE gtest.ns.t11 (id BIGINT, tag STRING) USING `graft-versioned`")
