@@ -2679,9 +2679,30 @@ private[sources] class GraftVersionedWriteBuilder(
         s"graft-versioned: changeFeedKeys column '$k' not in write schema " +
           s"${schema.fieldNames.mkString("[", ", ", "]")}")
     }
+    // idempotent application transactions (Delta's txnAppId/txnVersion
+    // contract): a retried batch whose (appId, version) the table has
+    // already committed becomes a no-op instead of a double-append —
+    // the foreachBatch / retried-job exactly-once primitive. One
+    // writer per appId (like Delta): the check-then-commit pair is not
+    // atomic across two simultaneous drivers of the SAME app.
+    val txn: Option[(String, Long)] = {
+      val app = opt("txnAppId").map(_.trim).filter(_.nonEmpty)
+      val ver = opt("txnVersion")
+      require(app.isDefined == ver.isDefined,
+        "graft-versioned: txnAppId and txnVersion come as a pair — " +
+          s"got txnAppId=${app.getOrElse("<unset>")}, " +
+          s"txnVersion=${ver.getOrElse("<unset>")}")
+      app.map { a =>
+        val raw = ver.get
+        val n = scala.util.Try(raw.trim.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-versioned: txnVersion must be a long, got '$raw'"))
+        (a, n)
+      }
+    }
     new GraftVersionedWrite(root, schema, replace, stamp, info.queryId(),
       clusterBy, writeParts, targetBytes, rowLevelOp, feedKeys,
-      GraftVersionedTable.colMapOf(tableOptions))
+      GraftVersionedTable.colMapOf(tableOptions), txn)
   }
 }
 
@@ -2691,7 +2712,8 @@ private[sources] class GraftVersionedWrite(
     writeParts: Option[Int] = None, targetBytes: Option[Long] = None,
     rowLevelOp: Option[GraftRowLevelOperation] = None,
     feedKeys: Seq[String] = Seq.empty,
-    colMap: Map[String, String] = Map.empty)
+    colMap: Map[String, String] = Map.empty,
+    txn: Option[(String, Long)] = None)
   extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String =
@@ -2717,11 +2739,15 @@ private[sources] class GraftVersionedWrite(
 
   override def toBatch: BatchWrite =
     new GraftBatchWrite(root, schema, replace, commitTs, queryId,
-      rowLevelOp, feedKeys, colMap)
+      rowLevelOp, feedKeys, colMap, txn)
 
-  override def toStreaming: StreamingWrite =
+  override def toStreaming: StreamingWrite = {
+    require(txn.isEmpty,
+      "graft-versioned: txnAppId/txnVersion are batch options — streaming " +
+        "writes are already idempotent per epoch (the _graft_epoch tag)")
     new GraftStreamingWrite(root, schema, replace, commitTs, queryId, colMap,
       feedKeys)
+  }
 }
 
 /** Batch write: tasks stage parquet files under `root/_staging_<id>`
@@ -2735,7 +2761,8 @@ private[sources] class GraftBatchWrite(
     commitTs: Option[Long], queryId: String,
     rowLevelOp: Option[GraftRowLevelOperation] = None,
     feedKeys: Seq[String] = Seq.empty,
-    colMap: Map[String, String] = Map.empty) extends BatchWrite {
+    colMap: Map[String, String] = Map.empty,
+    txn: Option[(String, Long)] = None) extends BatchWrite {
 
   private val staged = java.nio.file.Paths.get(
     root, s"_staging_${queryId}_${java.util.UUID.randomUUID.toString.take(8)}")
@@ -2751,6 +2778,20 @@ private[sources] class GraftBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     VersionedWriteIo.keepOnly(staged, messages)
+    // idempotent transaction replay: a (txnAppId, txnVersion) the table
+    // has already recorded (at or past this version) drops its staged
+    // files and commits NOTHING — same discipline as a replayed
+    // streaming epoch. The marker is written into the staging dir so
+    // the record and the data publish in the SAME atomic rename.
+    txn match {
+      case Some((app, ver)) if VersionedWriteIo.txnCommitted(root, app, ver) =>
+        Versioned.deleteRecursively(staged)
+        return
+      case Some((app, ver)) =>
+        java.nio.file.Files.write(staged.resolve("_graft_txn"),
+          s"$app\t$ver".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case None => ()
+    }
     val committed = rowLevelOp.flatMap(_.scannedState) match {
       case Some((scannedVersion, scannedNames)) =>
         // copy-on-write by file: staged output replaces exactly the
@@ -2859,6 +2900,30 @@ private[sources] object VersionedWriteIo {
 
   def epochCommitted(root: String, tag: String): Boolean =
     Versioned.versions(root).exists(v => epochTagOf(root, v).contains(tag))
+
+  /** The `_graft_txn` marker of a version, if it committed under an
+    * application transaction: `(txnAppId, txnVersion)`. */
+  private def txnOf(root: String, version: Long): Option[(String, Long)] = {
+    val f = Paths.get(root, s"v=$version", "_graft_txn")
+    if (!Files.exists(f)) None
+    else {
+      val s = new String(Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val i = s.lastIndexOf('\t')
+      if (i < 0) None
+      else scala.util.Try((s.substring(0, i), s.substring(i + 1).trim.toLong))
+        .toOption
+    }
+  }
+
+  /** Has `appId` already committed at or past `version`? Rollback and
+    * retention naturally forget dropped commits' transactions (the
+    * marker lives in the version dir), so a rolled-back batch replays —
+    * exactly what a rollback asks for. */
+  def txnCommitted(root: String, appId: String, version: Long): Boolean =
+    Versioned.versions(root).exists(v => txnOf(root, v).exists {
+      case (a, x) => a == appId && x >= version
+    })
 
   /** Delete `_staging_*` leftovers older than `olderThanMs` — what a
     * crashed driver's un-aborted write leaves behind (a successful

@@ -180,6 +180,21 @@ class BloomSidecarSpec extends AnyFunSuite with SparkSpec {
     sql("ALTER TABLE gbloom.ns.t7 DROP COLUMN id")
   }
 
+  test("compaction rebuilds filters for the rewritten files") {
+    val root = mkTable("t9")
+    sql("CALL gbloom.sys.compact(table => 'ns.t9', target_file_bytes => 8192)")
+    val v1 = Versioned.latestVersion(root).get
+    assert(v1 === 1L)
+    // all-new file names -> no carry possible; the writeNext hook must
+    // have rebuilt filters for the compacted layout
+    val (kept, n) = BloomSidecar.survivors(Paths.get(root, s"v=$v1"),
+      EqualTo("id", 1234L))
+    assert(n >= 2, s"compaction should leave a multi-file layout ($n)")
+    assert(kept <= math.max(1, n / 3), s"compacted layout kept $kept of $n")
+    assert(sql("SELECT grp FROM gbloom.ns.t9 WHERE id = 1234")
+      .collect().map(_.getLong(0)).toSeq === Seq(1234L % 8))
+  }
+
   test("restore and clone carry bloom lines without a build pass") {
     val root = mkTable("t8")
     sql("INSERT INTO gbloom.ns.t8 VALUES (90002, 2, 'x')")

@@ -329,6 +329,55 @@ class VersionedWriteSpec extends AnyFunSuite with SparkSpec {
       (3L, 30L, "w3"), (4L, 40L, "w4"))))
   }
 
+  test("txnAppId/txnVersion: a replayed batch commits nothing") {
+    val root = freshRoot("txn")
+    def write(ver: Long, rows: (Long, Long, String)*): Unit =
+      df(rows: _*).write.format("graft-versioned")
+        .option("txnAppId", "etl").option("txnVersion", ver.toString)
+        .mode("append").save(root)
+    write(1L, (1L, 100L, "a"))
+    assert(Versioned.versions(root) === Seq(0L))
+    // EXACT replay (a retried job): no new version, rows unchanged
+    write(1L, (1L, 100L, "a"))
+    assert(Versioned.versions(root) === Seq(0L))
+    assert(Versioned.read(spark, root).count() === 1L)
+    // the next app version commits
+    write(2L, (2L, 200L, "b"))
+    assert(Versioned.versions(root) === Seq(0L, 1L))
+    // an OLDER app version replaying after a newer one: still skipped
+    // (at-or-past semantics — Delta's txn contract)
+    write(1L, (1L, 100L, "a"))
+    assert(Versioned.versions(root) === Seq(0L, 1L))
+    // a different application is unaffected
+    df((9L, 900L, "z")).write.format("graft-versioned")
+      .option("txnAppId", "other").option("txnVersion", "1")
+      .mode("append").save(root)
+    assert(Versioned.versions(root) === Seq(0L, 1L, 2L))
+    assert(rows(Versioned.read(spark, root)) ===
+      Seq("[1,100,a]", "[2,200,b]", "[9,900,z]"))
+    // rollback forgets the dropped commit's transaction → it replays
+    Versioned.rollback(root)
+    df((9L, 900L, "z")).write.format("graft-versioned")
+      .option("txnAppId", "other").option("txnVersion", "1")
+      .mode("append").save(root)
+    assert(Versioned.versions(root) === Seq(0L, 1L, 2L))
+  }
+
+  test("txn options fail loudly when malformed or streaming") {
+    val root = freshRoot("txnbad")
+    val e1 = intercept[Exception] {
+      df((1L, 1L, "x")).write.format("graft-versioned")
+        .option("txnAppId", "etl").mode("append").save(root)
+    }
+    assert(chain(e1).exists(_.contains("come as a pair")), chain(e1).toString)
+    val e2 = intercept[Exception] {
+      df((1L, 1L, "x")).write.format("graft-versioned")
+        .option("txnAppId", "etl").option("txnVersion", "abc")
+        .mode("append").save(root)
+    }
+    assert(chain(e2).exists(_.contains("txnVersion must be a long")), chain(e2).toString)
+  }
+
   private def chain(e: Throwable): Seq[String] =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
       .map(t => Option(t.getMessage).getOrElse("")).toSeq
