@@ -218,6 +218,77 @@ object Versioned {
     writeNext(compacted, root, stamp)
   }
 
+  /** INCREMENTAL compaction — rewrite only the current version's data
+    * files smaller than `smallerThanBytes`; everything else hard-links
+    * over untouched through the row-level commit machinery. This is
+    * the 100 TB form of OPTIMIZE: a streaming writer fragments the
+    * tail of the table into small files every epoch, and re-clustering
+    * the WHOLE table to heal that ([[compact]]) costs O(table) — this
+    * costs O(small tail), the bulk's layout (and its Z-order, stats,
+    * bloom lines) survives byte-identical, and the file-level conflict
+    * discipline means it can run CONCURRENTLY with row-level mutations
+    * on the un-rewritten files (Delta's OPTIMIZE bin-packing contract:
+    * only files under the threshold are touched).
+    *
+    * DV-carrying small files are compacted too — their deleted
+    * positions anti-join away against `_metadata.row_index` (the same
+    * absolute in-file ordinals the sidecars store), so the rewrite
+    * holds only live rows and sheds the sidecars. Returns the new
+    * version, or the CURRENT one when fewer than two files qualify
+    * (nothing to merge — no empty commit). */
+  def compactSmall(spark: SparkSession, root: String,
+                   smallerThanBytes: Long,
+                   targetFileBytes: Long = 128L << 20,
+                   clusterBy: Seq[String] = Seq.empty): Long = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no versions under $root"))
+    val vdir = Paths.get(root, s"v=$v")
+    val stamp = commitStamp(root, v)
+    if (stamp.isEmpty && versionDirs(root).exists { case (ver, _) =>
+        commitStamp(root, ver).isDefined })
+      throw new IllegalStateException(
+        s"current version v=$v under $root has no commit stamp but the root " +
+          "is time-travel-enabled — re-stamp or roll back the torn version " +
+          "before compacting")
+    val smalls = dataFiles(vdir).filter(f => Files.size(f) < smallerThanBytes)
+    if (smalls.size < 2) return v
+    val names = smalls.map(_.getFileName.toString).toSet
+    val dvPositions: Seq[(String, Long)] =
+      DeletionVectors.dvMap(vdir)
+        .filter { case (n, _) => names(n) }
+        .toSeq.flatMap { case (n, p) => DeletionVectors.read(p).map(n -> _) }
+    // physical-name space end to end: the files store physical names
+    // and the rewrite writes physical names, so column mapping needs
+    // no translation here (clusterBy arrives already physical)
+    val base = spark.read.option("mergeSchema", "true")
+      .parquet(smalls.map(_.toString): _*)
+    val live =
+      if (dvPositions.isEmpty) base
+      else {
+        import spark.implicits._
+        // deleted (file, position) pairs of SMALL files only — bounded
+        // by the tail's row count by definition, broadcast-joined away
+        val dels = dvPositions.toDF("__f", "__p")
+        base
+          .withColumn("__f", col("_metadata.file_name"))
+          .withColumn("__p", col("_metadata.row_index"))
+          .join(broadcast(dels), Seq("__f", "__p"), "left_anti")
+          .drop("__f", "__p")
+      }
+    val bytes = smalls.map(Files.size).sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val rewritten =
+      if (clusterBy.nonEmpty)
+        live.repartitionByRange(nFiles, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      else live.coalesce(nFiles)
+    val staged = Files.createTempDirectory(Paths.get(root), "_staging_binpack_")
+    rewritten.write.mode("overwrite").parquet(staged.toString)
+    graft.sources.VersionedWriteIo.commitRowLevel(root, staged,
+      org.apache.spark.sql.types.StructType(rewritten.schema.fields), v, names,
+      stamp.getOrElse(System.currentTimeMillis() * 1000L))
+  }
+
   // -------------------------------------------- commit file manifests
 
   /** Per-commit FILE MANIFEST (`_graft_files`): the authoritative list

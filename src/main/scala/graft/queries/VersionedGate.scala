@@ -796,6 +796,46 @@ object VersionedGate {
              WHERE doc_id IN (41, 137, 263) ORDER BY doc_id""")
   }
 
+  /** q165: INCREMENTAL OPTIMIZE (bin-packing) — `sys.compact(
+    * only_smaller_than => …)` rewrites only the small-file tail a
+    * sequence of append commits fragments; the clustered bulk
+    * hard-links over under its own name (require()d), so cost is
+    * O(tail), not O(table). The oracle certifies the packed snapshot
+    * holds exactly the union of every insert's predicate — moving
+    * bytes, never rows. */
+  def q165BinPackCompact(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs165")
+    s.sql("CREATE TABLE graft.gate.docs165 (doc_id BIGINT, n_chars BIGINT) " +
+      "USING `graft-versioned` " +
+      "TBLPROPERTIES ('clusterBy'='doc_id', 'writePartitions'='1')")
+    Tables.documents(s, dir).createOrReplaceTempView("q165_docs_src")
+    s.sql("INSERT INTO graft.gate.docs165 " +
+      "SELECT doc_id, n_chars FROM q165_docs_src WHERE doc_id % 3 = 0")
+    Seq(1, 4, 7).foreach { r =>
+      s.sql("INSERT INTO graft.gate.docs165 " +
+        s"SELECT doc_id, n_chars FROM q165_docs_src WHERE doc_id % 9 = $r")
+    }
+    val root = scratchBase.resolve("catalog").resolve("gate").resolve("docs165")
+    def names(v: Long) = Versioned.dataFiles(root.resolve(s"v=$v"))
+      .map(_.getFileName.toString)
+    require(names(3L).size == 4, s"q165: expected 4 files, got ${names(3L)}")
+    // scale-independent threshold: the bulk file's own size — every
+    // strictly smaller file is tail, the bulk itself survives
+    val bulk = Versioned.dataFiles(root.resolve("v=3"))
+      .maxBy(java.nio.file.Files.size)
+    val thr = java.nio.file.Files.size(bulk)
+    s.sql("CALL graft.sys.compact(table => 'gate.docs165', " +
+      s"target_file_bytes => 1048576, only_smaller_than => $thr)")
+    val post = names(4L)
+    require(post.contains(bulk.getFileName.toString),
+      "q165: the bulk file must hard-link over, not rewrite")
+    require(post.size == 2,
+      s"q165: the three tail files must pack into one, got $post")
+    s.sql("""SELECT doc_id, n_chars FROM graft.gate.docs165
+             ORDER BY doc_id""")
+  }
+
   /** q160: MERGE-ON-READ UPDATE (delta row-level operation) — q150's
     * exact UPDATE lifecycle on a `deletionVectors=true` table, sharing
     * q150's predicate-derived oracle: representation changes (DV
@@ -926,6 +966,7 @@ object VersionedGate {
     "q161_dv_merge" -> (q161DvMerge _),
     "q163_zorder_compact" -> (q163ZorderCompact _),
     "q164_bloom_point_lookup" -> (q164BloomPointLookup _),
+    "q165_binpack_compact" -> (q165BinPackCompact _),
     "q63_versioned_load" -> (q63VersionedLoad _),
     "q67_csv_swap" -> (q67CsvSwap _),
     "q120_version_change_feed" -> (q120VersionChangeFeed _),
@@ -1140,6 +1181,13 @@ object VersionedGate {
     "q164_bloom_point_lookup" ->
       """SELECT doc_id, n_chars, lang FROM documents
         |WHERE doc_id IN (41, 137, 263) ORDER BY doc_id""".stripMargin,
+    // q165: bin-packing moves bytes, never rows — the packed snapshot
+    // is the union of every insert's predicate (the gate require()s
+    // the bulk file carried and the tail merged)
+    "q165_binpack_compact" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id % 3 = 0 OR doc_id % 9 IN (1, 4, 7)
+        |ORDER BY doc_id""".stripMargin,
     // q159 shares q141/q120's batch-diff expectation: throttling the
     // drain into one-commit batches must not change a single row
     "q159_throttled_change_feed" ->

@@ -555,18 +555,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           // this rewrite only — like Delta, Z-ordering is a maintenance
           // verb, not a persistent write contract.
           ProcedureParameter.in("zorder_by", StringType)
-            .defaultValue("''").build()),
+            .defaultValue("''").build(),
+          // incremental OPTIMIZE (Delta's bin-packing contract): when
+          // set, rewrite ONLY data files under this byte threshold —
+          // cost O(small tail), the clustered bulk hard-links over
+          // untouched, and the row-level conflict machinery lets it
+          // run concurrently with mutations of un-rewritten files
+          ProcedureParameter.in("only_smaller_than", LongType)
+            .defaultValue("0").build()),
         new StructType().add("version", LongType, nullable = false),
         in => {
           val tbl = in.getUTF8String(0).toString
           val zorder = Option(in.getUTF8String(2)).map(_.toString).getOrElse("")
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val smallerThan = in.getLong(3)
+          require(smallerThan == 0 || zorder.isEmpty,
+            "graft catalog: zorder_by is a FULL-table layout decision — " +
+              "it cannot combine with only_smaller_than bin-packing")
           // a clustered table re-clusters on compaction: the rewrite
           // restores file-level min/max locality (z-order-style data
           // skipping survives OPTIMIZE instead of degrading)
           val clusterBy = if (zorder.nonEmpty) Seq.empty else clusterByOf(tbl)
-          val v = Versioned.compact(SparkSession.active, root(tbl),
-            in.getLong(1), clusterBy, zorder)
+          val v =
+            if (smallerThan > 0)
+              Versioned.compactSmall(SparkSession.active, root(tbl),
+                smallerThan, in.getLong(1), clusterBy)
+            else Versioned.compact(SparkSession.active, root(tbl),
+              in.getLong(1), clusterBy, zorder)
           Seq(new GenericInternalRow(Array[Any](v)))
         })
       case "rollback" => new GraftProcedure("rollback",

@@ -2870,7 +2870,7 @@ private[sources] case class StagedFilesMessage(files: Seq[String])
   extends WriterCommitMessage
 
 /** Commit machinery shared by batch and streaming writes. */
-private[sources] object VersionedWriteIo {
+private[graft] object VersionedWriteIo {
 
   import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
