@@ -50,6 +50,23 @@ object Layout {
       .drop("__z")
   }
 
+  /** N-column Morton interleave: bit `i` of column `j` lands at
+    * position `i·n + (n−1−j)` — the first column owns the most
+    * significant bit of each round, matching [[mortonCode]] exactly
+    * for n = 2. Total code width `n·bits` must fit a long. */
+  def mortonCodeN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.length
+    require(n >= 2, s"mortonCodeN needs at least two columns, got $n")
+    require(bits >= 1 && n * bits <= 62,
+      s"mortonCodeN: $n columns × $bits bits exceeds a long's code space")
+    val longs = cols.map(_.cast("long"))
+    (0 until bits).flatMap { i =>
+      longs.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + (n - 1 - j))
+      }
+    }.reduce(_ + _)
+  }
+
   /** Rank-quantized Z-order rewrite — [[zorderBy]] for REAL domains.
     * [[zorderBy]] needs both columns pre-quantized to `[0, 2^bits)`;
     * production columns are skewed longs/doubles, so this variant maps
@@ -73,10 +90,20 @@ object Layout {
     * is a sample scan and everything else rides the rewrite the
     * compaction was already paying for. */
   def zorderByRank(df: DataFrame, a: String, b: String, bits: Int,
-                   numPartitions: Int): DataFrame = {
+                   numPartitions: Int): DataFrame =
+    zorderByRankN(df, Seq(a, b), bits, numPartitions)
+
+  /** N-column generalization (2–4 columns is the useful range — each
+    * added dimension divides the per-dimension pruning power, the
+    * same trade Delta documents for OPTIMIZE ZORDER BY). */
+  def zorderByRankN(df: DataFrame, cols: Seq[String], bits: Int,
+                    numPartitions: Int): DataFrame = {
     require(bits >= 1 && bits <= 12,
-      s"zorderByRank: bits must be in [1, 12] (grid cells = 4^bits), got $bits")
-    Seq(a, b).foreach { c =>
+      s"zorderByRank: bits must be in [1, 12], got $bits")
+    require(cols.size >= 2 && cols.size * bits <= 62,
+      s"zorderByRank: ${cols.size} columns × $bits bits must fit a long " +
+        "(and one column needs no curve — use clusterBy)")
+    cols.foreach { c =>
       val f = df.schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"zorderByRank: column '$c' not in ${df.schema.fieldNames.mkString(", ")}"))
@@ -94,7 +121,7 @@ object Layout {
       else size(filter(lit(cuts),
         cut => cut <= coalesce(col(c).cast("double"), lit(Double.MinValue))))
     }
-    val coded = df.withColumn("__z", mortonCode(bucket(a), bucket(b), bits))
+    val coded = df.withColumn("__z", mortonCodeN(cols.map(bucket), bits))
     coded.repartitionByRange(math.max(1, numPartitions), col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -206,10 +206,10 @@ object Versioned {
     // stats pruning on BOTH filter dimensions at once
     val compacted =
       if (zorderBy.nonEmpty) {
-        require(zorderBy.length == 2,
-          s"compact: zorderBy takes exactly two columns (Morton interleave), " +
-            s"got ${zorderBy.mkString(", ")}")
-        Layout.zorderByRank(df, zorderBy(0), zorderBy(1), bits = 8, nFiles)
+        require(zorderBy.length >= 2 && zorderBy.length <= 4,
+          s"compact: zorderBy takes 2-4 columns (each added dimension " +
+            s"divides per-dimension pruning power), got ${zorderBy.mkString(", ")}")
+        Layout.zorderByRankN(df, zorderBy, bits = 8, nFiles)
       } else if (clusterBy.nonEmpty)
         df.repartitionByRange(nFiles, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)

@@ -531,13 +531,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * current version; retain: one row per surviving version). */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("sys")))
-      Array("clone", "compact", "history", "restore", "rollback", "retain", "vacuum")
+      Array("clone", "compact", "files", "history", "restore", "rollback", "retain", "vacuum")
         .map(Identifier.of(Array("sys"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     val known =
-      Array("clone", "compact", "history", "restore", "rollback", "retain", "vacuum")
+      Array("clone", "compact", "files", "history", "restore", "rollback", "retain", "vacuum")
     require(ident.namespace.sameElements(Array("sys")) && known.contains(ident.name),
       s"graft catalog: unknown procedure ${ident.namespace.mkString(".")}." +
         s"${ident.name} — available: ${known.map("sys." + _).mkString(", ")}")
@@ -618,6 +618,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         new StructType()
           .add("version", LongType, nullable = false)
           .add("commit_ts", LongType, nullable = true)
+          .add("operation", StringType, nullable = false)
           .add("n_files", IntegerType, nullable = false)
           .add("bytes", LongType, nullable = false)
           .add("has_change_feed", org.apache.spark.sql.types.BooleanType,
@@ -631,12 +632,57 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             val vdir = java.nio.file.Paths.get(r, s"v=$v")
             val files = Versioned.dataFiles(vdir)
             val dvs = graft.operators.DeletionVectors.dvMap(vdir)
+            // operation kind from the commit's own markers — the same
+            // evidence the conflict/replay machinery reads
+            val op =
+              if (Files.exists(vdir.resolve("_graft_rowlevel"))) "rowlevel"
+              else if (Files.exists(vdir.resolve("_graft_epoch"))) "stream-epoch"
+              else if (Files.exists(vdir.resolve("_graft_txn"))) "txn-write"
+              else "write"
             new GenericInternalRow(Array[Any](
               v, Versioned.commitStamp(r, v).getOrElse(null),
+              org.apache.spark.unsafe.types.UTF8String.fromString(op),
               files.size, files.map(Files.size(_)).sum, feeds.contains(v),
               dvs.size,
               dvs.values.map(
                 graft.operators.DeletionVectors.cardinality).sum))
+          }
+        })
+      // DESCRIBE DETAIL at file granularity: one row per data file of a
+      // snapshot — name, bytes, stats-sidecar row count, DV'd rows —
+      // the view an operator sizing only_smaller_than or auditing
+      // skipping actually needs; all O(1) sidecar reads, no footers
+      case "files" => new GraftProcedure("files",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("version", LongType)
+            .defaultValue("-1").build()),
+        new StructType()
+          .add("file", StringType, nullable = false)
+          .add("bytes", LongType, nullable = false)
+          .add("rows", LongType, nullable = true)
+          .add("deleted_rows", LongType, nullable = false),
+        in => {
+          val r = root(in.getUTF8String(0).toString)
+          val v = in.getLong(1) match {
+            case -1L => Versioned.latestVersion(r).getOrElse(
+              throw new IllegalStateException(s"no versions under $r"))
+            case x => x
+          }
+          val vdir = java.nio.file.Paths.get(r, s"v=$v")
+          require(Files.isDirectory(vdir),
+            s"graft catalog: version $v does not exist (existing: " +
+              s"${Versioned.versions(r).mkString(", ")})")
+          val stats = graft.operators.FileStats.read(vdir)
+          val dvs = graft.operators.DeletionVectors.dvMap(vdir)
+          Versioned.dataFiles(vdir).sortBy(_.getFileName.toString).map { f =>
+            val n = f.getFileName.toString
+            new GenericInternalRow(Array[Any](
+              org.apache.spark.unsafe.types.UTF8String.fromString(n),
+              Files.size(f),
+              stats.get(n).map(_.rows).getOrElse(null),
+              dvs.get(n).map(
+                graft.operators.DeletionVectors.cardinality).getOrElse(0L)))
           }
         })
       // RESTORE TABLE … TO VERSION AS OF, as a NEW commit (nothing

@@ -298,16 +298,42 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     sql("CREATE TABLE gtest.ns.th (id BIGINT) USING `graft-versioned`")
     sql("INSERT INTO gtest.ns.th SELECT id FROM range(0, 100)")
     sql("INSERT INTO gtest.ns.th SELECT id FROM range(100, 150)")
-    sql("DELETE FROM gtest.ns.th WHERE id < 20")
+    sql("UPDATE gtest.ns.th SET id = id + 1000 WHERE id < 20")
     val h = sql("CALL gtest.sys.history(table => 'ns.th')").collect()
     assert(h.map(_.getLong(0)).toSeq === Seq(2L, 1L, 0L))
     // every DSv2 commit is stamped; stamps are non-decreasing in time
     val stamps = h.map(_.getLong(1)).toSeq
     assert(stamps.forall(_ > 0) && stamps.reverse == stamps.reverse.sorted)
-    assert(h.forall(r => r.getInt(2) > 0 && r.getLong(3) > 0))
-    assert(h.forall(!_.getBoolean(4))) // no changeFeedKeys on this table
-    assert(h.forall(r => r.getInt(5) === 0 && r.getLong(6) === 0L),
+    // operation kinds from the commits' own markers: the UPDATE is a
+    // row-level commit, the two inserts plain writes
+    assert(h.map(_.getString(2)).toSeq === Seq("rowlevel", "write", "write"))
+    assert(h.forall(r => r.getInt(3) > 0 && r.getLong(4) > 0))
+    assert(h.forall(!_.getBoolean(5))) // no changeFeedKeys on this table
+    assert(h.forall(r => r.getInt(6) === 0 && r.getLong(7) === 0L),
       "a copy-on-write table carries no deletion vectors")
+  }
+
+  test("CALL sys.files lists a snapshot's data files with rows and DV state") {
+    sql("DROP TABLE IF EXISTS gtest.ns.tf")
+    sql("CREATE TABLE gtest.ns.tf (id BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('clusterBy'='id', 'writePartitions'='4', " +
+      "'deletionVectors'='true')")
+    sql("INSERT INTO gtest.ns.tf SELECT id FROM range(0, 1000)")
+    sql("DELETE FROM gtest.ns.tf WHERE id < 10")
+    val f = sql("CALL gtest.sys.files(table => 'ns.tf')").collect()
+    assert(f.length === 4)
+    assert(f.forall(r => r.getLong(1) > 0))                  // bytes
+    assert(f.map(_.getLong(2)).sum === 1000L)                // sidecar rows
+    assert(f.map(_.getLong(3)).sum === 10L)                  // DV'd rows
+    // pinned version: pre-delete snapshot shows zero deletions
+    val f0 = sql("CALL gtest.sys.files(table => 'ns.tf', version => 0)")
+      .collect()
+    assert(f0.map(_.getLong(3)).sum === 0L)
+    // missing version fails loudly
+    val e = intercept[Exception] {
+      sql("CALL gtest.sys.files(table => 'ns.tf', version => 9)").collect()
+    }
+    assert(chain(e).exists(_.contains("does not exist")), chain(e).toString)
   }
 
   test("CALL sys.history surfaces the merge-on-read state") {
@@ -317,7 +343,7 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     sql("INSERT INTO gtest.ns.thdv SELECT id FROM range(0, 100)")
     sql("DELETE FROM gtest.ns.thdv WHERE id < 20")
     val h = sql("CALL gtest.sys.history(table => 'ns.thdv')").collect()
-      .map(r => r.getLong(0) -> (r.getInt(5), r.getLong(6))).toMap
+      .map(r => r.getLong(0) -> (r.getInt(6), r.getLong(7))).toMap
     assert(h(0L) === ((0, 0L)))
     assert(h(1L)._2 === 20L, s"20 DV'd rows expected: $h")
     assert(h(1L)._1 > 0)
