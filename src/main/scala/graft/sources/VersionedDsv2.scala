@@ -638,9 +638,18 @@ private[sources] class GraftRowLevelScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val version = GraftVersionedTable.resolveVersion(root, options)
     val dir = java.nio.file.Paths.get(root, s"v=$version")
-    val footers = GroupParquetIo.readFooters(Versioned.dataFiles(dir))
     val dataFilters = hints ++ runtimeData
     val dataTypes = hintTypes ++ runtimeDataTypes
+    // the sidecar layers run BEFORE any footer I/O, exactly like the
+    // snapshot scan: a point UPDATE/DELETE on a stats-clustered or
+    // bloom-indexed table then scans (and REWRITES — the kept set is
+    // the replaced set) only the files that can hold a matching row,
+    // and planning stops costing one footer GET per table file
+    val statsKept = GroupParquetIo.pruneFilesByStats(
+      Versioned.dataFiles(dir), graft.operators.FileStats.read(dir),
+      dataFilters)
+    val bloomKept = GroupParquetIo.pruneFilesByBloom(statsKept, dir, dataFilters)
+    val footers = GroupParquetIo.readFooters(bloomKept)
     val kept = footers.filter { fg =>
       val byFile = runtimeFile.forall(f =>
         fileKeep(f, fg.file).getOrElse(true))

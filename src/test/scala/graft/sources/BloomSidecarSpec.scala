@@ -195,6 +195,26 @@ class BloomSidecarSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(1234L % 8))
   }
 
+  test("a point UPDATE rewrites only the file the bloom keeps (copy-on-write)") {
+    val root = mkTable("t10")
+    def names(v: String) = Versioned.dataFiles(Paths.get(root, v))
+      .map(_.getFileName.toString).toSet
+    val pre = names("v=0")
+    spark.sql("UPDATE gbloom.ns.t10 SET grp = -1 WHERE id = 1234")
+    val post = names("v=1")
+    // the row-level scan's kept set IS the replaced set — with the
+    // bloom layer in front of planning, only the file(s) that can hold
+    // id=1234 get rewritten; everything else hard-links over
+    val replaced = pre -- post
+    assert(replaced.size <= 2,
+      s"point UPDATE replaced ${replaced.size} of ${pre.size} files")
+    assert((pre -- replaced).subsetOf(post), "unmatched files must carry")
+    assert(sql("SELECT grp FROM gbloom.ns.t10 WHERE id = 1234")
+      .collect().map(_.getLong(0)).toSeq === Seq(-1L))
+    assert(sql("SELECT count(*) FROM gbloom.ns.t10").collect()(0).getLong(0)
+      === 4000L)
+  }
+
   test("restore and clone carry bloom lines without a build pass") {
     val root = mkTable("t8")
     sql("INSERT INTO gbloom.ns.t8 VALUES (90002, 2, 'x')")
