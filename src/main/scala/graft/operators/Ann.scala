@@ -226,6 +226,137 @@ object Ann {
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
   }
+
+  /** Strategy a predicate-constrained (filtered) ANN search resolves
+    * to. Pure function of the corpus/allowed counts so specs can pin
+    * the decision boundary without running a search. Filtered search
+    * has two regimes with opposite failure modes: a SELECTIVE
+    * predicate starves IVF cells (probing nProbe cells may yield
+    * fewer than k allowed candidates — recall collapses), while a
+    * BROAD predicate makes the exact path scan nearly the whole
+    * corpus per query. The classic answer (filtered-DiskANN, Milvus,
+    * Vespa all do a version of this): below a selectivity threshold
+    * run EXACT brute force over just the allowed subset — it is small
+    * by definition of the branch — and above it run IVF with the
+    * probe count widened by 1/selectivity, post-filtering candidates,
+    * so the EXPECTED number of allowed candidates per query matches
+    * the unfiltered search's. */
+  sealed trait FilteredStrategy
+  final case class ExactSubset(nAllowed: Long) extends FilteredStrategy
+  final case class WidenedIvf(nProbe: Int) extends FilteredStrategy
+
+  def chooseFilteredStrategy(total: Long, allowed: Long,
+                             exactThreshold: Double = 0.2,
+                             nProbe0: Int = 2, kCells: Int = 8): FilteredStrategy = {
+    require(total > 0, "filtered search over an empty corpus")
+    val sel = allowed.toDouble / total
+    if (sel <= exactThreshold) ExactSubset(allowed)
+    else WidenedIvf(math.min(kCells, math.ceil(nProbe0 / sel).toInt))
+  }
+
+  /** Exact top-k restricted to `allowed` neighbor ids — the selective
+    * branch of [[filteredSearch]]. The allowed subset joins BEFORE the
+    * query cross-join, so the per-query work is O(|allowed|), not
+    * O(corpus); the subset is broadcast (this branch is only chosen
+    * when the predicate keeps ≤ `exactThreshold` of the corpus, and
+    * production thresholds are set so that fits an executor). */
+  def filteredBruteForce(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String,
+                         allowed: DataFrame, topK: Int = 5): DataFrame = {
+    val a = allowed.select(col(allowed.columns.head).as("vid")).distinct()
+    val e = corpus.select(col(idCol).as("vid"), quantize_e6(col(vecCol)).as("v"))
+      .join(a, Seq("vid"))
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize_e6(col(vecCol)).as("qv"))
+    val dots = q.join(broadcast(e.select(col("vid").as("neighbor_id"), col("v"))),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot_long(col("qv"), col("v")).as("dot"))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
+    dots.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
+  }
+
+  /** IVF search post-filtered to `allowed` neighbor ids. Filtering the
+    * postings before the probe join is plan-equivalent to filtering
+    * candidates after it (filter commutes with the equi-join) but
+    * cheaper: disallowed vectors never reach the dot products. Cell
+    * probing still ranks ALL centroids — the index is shared with
+    * unfiltered queries, never rebuilt per predicate. */
+  def filteredIvfSearch(index: DataFrame, centroids: DataFrame,
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        allowed: DataFrame, nProbe: Int, topK: Int = 5): DataFrame = {
+    val a = allowed.select(col(allowed.columns.head).as("vid")).distinct()
+    ivfSearch(index.join(a, Seq("vid")), centroids, queries,
+      idCol, vecCol, nProbe, topK)
+  }
+
+  /** Predicate-constrained ANN: top-`topK` neighbors drawn only from
+    * `allowed` (a one-column frame of permitted corpus ids — the
+    * materialized predicate). Resolves the physical strategy from the
+    * measured selectivity via [[chooseFilteredStrategy]]; the two
+    * count jobs at plan time are aggregate-only scans (at scale,
+    * manifest-carried row counts make them metadata lookups). */
+  def filteredSearch(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, allowed: DataFrame,
+                     topK: Int = 5, exactThreshold: Double = 0.2,
+                     kCells: Int = 8, nProbe0: Int = 2): DataFrame =
+    chooseFilteredStrategy(corpus.count(), allowed.count(),
+        exactThreshold, nProbe0, kCells) match {
+      case ExactSubset(_) =>
+        filteredBruteForce(corpus, queries, idCol, vecCol, allowed, topK)
+      case WidenedIvf(nProbe) =>
+        val centroids = buildCentroids(corpus, idCol, vecCol, kCells)
+        val index = buildIndex(corpus, idCol, vecCol, centroids)
+        filteredIvfSearch(index, centroids, queries, idCol, vecCol,
+          allowed, nProbe, topK)
+    }
+
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * `topK` most-similar corpus vectors with a DIFFERENT label — close
+    * in embedding space yet labeled differently, the pairs a
+    * contrastive / reranker objective learns most from (the ANN-mined
+    * hard-negatives recipe of DPR/ANCE-style training pipelines).
+    * Unlike [[filteredSearch]] the predicate is PER-ANCHOR (`label <>
+    * anchor.label`), so no global allowed set exists: the label
+    * travels with the index postings and the mismatch test is a
+    * join-side filter, applied BEFORE ranking so discarded same-label
+    * crowding never consumes top-k slots. Probes default WIDER than
+    * plain search (3 of 8 cells) because an anchor's own cell is, by
+    * construction of a good embedding, crowded with same-label vectors
+    * the filter throws away.
+    *
+    * Scale shape — identical to [[ivfSearch]]: k-row centroid frame
+    * broadcast, candidates via one equi-join on probed cell ids
+    * (never anchors × corpus), the label an O(1)-width column carried
+    * through the postings join rather than a second corpus join.
+    * Returns (query_id, rank, neighbor_id, dot). */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, kCells: Int = 8,
+                    nProbe: Int = 3, topK: Int = 5): DataFrame = {
+    val centroids = buildCentroids(corpus, idCol, vecCol, kCells)
+    val index = buildIndex(corpus, idCol, vecCol, centroids)
+      .join(corpus.select(col(idCol).as("vid"), col(labelCol).as("nlbl")),
+        Seq("vid"))
+    val q = anchors.select(col(idCol).as("query_id"),
+      col(labelCol).as("qlbl"), quantize_e6(col(vecCol)).as("qv"))
+    val cellScores = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("qlbl"), col("centroid_id"),
+        dot_long(col("qv"), col("cvec")).as("cd"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("cd").desc, col("centroid_id").asc)
+    val probed = cellScores.withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qlbl"), col("centroid_id"))
+    val cands = probed.join(index, Seq("centroid_id"))
+      .filter(col("nlbl") =!= col("qlbl"))
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        dot_long(col("qv"), col("v")).as("dot"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
+  }
 }
 
 /** Product quantization (the MIPS flavor, matching this engine's

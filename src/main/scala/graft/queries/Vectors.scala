@@ -170,6 +170,57 @@ object Vectors {
       .orderBy("query_id", "rank")
   }
 
+  /** v52: filtered (predicate-constrained) ANN, selective branch —
+    * top-5 among corpus vectors with `label = 3` only (~10% of the
+    * corpus). The adaptive chooser (Ann.chooseFilteredStrategy)
+    * resolves this below the 0.2 selectivity threshold to EXACT brute
+    * force over just the allowed subset: probing IVF cells under a
+    * predicate this selective would starve most probes of allowed
+    * candidates, while the allowed subset is small enough that exact
+    * search over it is cheaper than the index walk. The oracle is the
+    * definitionally-correct filtered top-5. */
+  def v52FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Ann.filteredSearch(
+        emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        allowed = emb.filter(col("label") === 3).select("vec_id"), topK = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** v53: filtered ANN, broad branch — the same search with the
+    * predicate inverted (`label <> 3`, ~90% of the corpus). The
+    * chooser lands on the IVF path with the probe count widened by
+    * 1/selectivity (ceil(2 / 0.9) = 3 of 8 cells — any label <> x
+    * predicate over the ~uniform 10-label corpus widens 2 → 3), and
+    * candidates post-filter against the predicate. Widening keeps the
+    * EXPECTED allowed-candidate count per query at the unfiltered
+    * search's level — the standard filtered-vector-search recipe. The
+    * oracle replays the deterministic IVF derivation with the same
+    * widened probe and predicate. */
+  def v53FilteredIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Ann.filteredSearch(
+        emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        allowed = emb.filter(col("label") =!= 3).select("vec_id"), topK = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** v54: hard-negative mining — per anchor (vec_id < 50), the top-5
+    * most-similar corpus vectors whose label DIFFERS from the
+    * anchor's: the contrastive-training pairs an embedding model
+    * learns most from. The predicate is per-anchor, so the label rides
+    * the IVF postings and filters candidates before ranking; probes
+    * widen to 3 of 8 cells because an anchor's own cell is crowded
+    * with the same-label vectors the filter discards. The oracle
+    * replays the deterministic IVF derivation with the same widened
+    * probe and the label-mismatch join condition. */
+  def v54HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Ann.hardNegatives(
+        emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", "label")
+      .orderBy("query_id", "rank")
+  }
+
   /** v48: incremental IVF insertion — the index-maintenance shape for
     * a growing corpus: centroids and postings built from the EXISTING
     * corpus live on disk; a NEW batch is quantized and assigned
@@ -534,6 +585,9 @@ object Vectors {
     "v37_ivf_ann" -> (v37IvfAnn _),
     "v48_incremental_ivf" -> (v48IncrementalIvf _),
     "v49_incremental_semdedup" -> (v49IncrementalSemdedup _),
+    "v52_filtered_ann" -> (v52FilteredAnn _),
+    "v53_filtered_ivf" -> (v53FilteredIvf _),
+    "v54_hard_negatives" -> (v54HardNegatives _),
     "v38_lsh_cosine_dups" -> (v38LshCosineDups _),
   )
 
@@ -1122,5 +1176,80 @@ object Vectors {
         |FROM idx LEFT JOIN dropped ON idx.vid = dropped.vid
         |WHERE idx.vid >= (SELECT (max(vec_id)+1)//2 FROM q)
         |ORDER BY vec_id""".stripMargin),
+    "v52_filtered_ann" ->
+      // selective predicate → the exact pre-filter branch: the oracle
+      // is simply the definition — exact top-5 among label=3 vectors
+      (quantCte +
+      """,
+        |qv AS (SELECT vec_id query_id, v FROM q WHERE vec_id < 50),
+        |al AS (SELECT vec_id vid, v FROM q WHERE label = 3),
+        |dots AS (SELECT query_id, vid AS neighbor_id, cast(sum(x*y) as bigint) dot
+        |         FROM (SELECT qv.query_id, al.vid, unnest(qv.v) x, unnest(al.v) y
+        |               FROM qv, al WHERE al.vid <> qv.query_id)
+        |         GROUP BY query_id, vid),
+        |rk AS (SELECT query_id, neighbor_id, dot,
+        |         cast(row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY dot DESC, neighbor_id ASC) as int) rank
+        |       FROM dots)
+        |SELECT query_id, rank, neighbor_id, dot FROM rk
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "v53_filtered_ivf" ->
+      // broad predicate → IVF with the probe widened 2 → 3
+      // (ceil(nProbe0 / selectivity)) and candidates post-filtered:
+      // the v37 derivation with rn <= 3 and a label guard on the
+      // candidate join
+      (ivfIndexCte +
+      """,
+        |qv AS (SELECT vid query_id, v FROM qq WHERE vid < 50),
+        |celld AS (SELECT query_id, centroid_id, cast(sum(x*y) as bigint) cd
+        |          FROM (SELECT qv.query_id, c.centroid_id, unnest(qv.v) x, unnest(c.cvec) y
+        |                FROM qv, cent c)
+        |          GROUP BY query_id, centroid_id),
+        |probed AS (SELECT query_id, centroid_id FROM (
+        |             SELECT query_id, centroid_id,
+        |               row_number() OVER (PARTITION BY query_id ORDER BY cd DESC, centroid_id ASC) rn
+        |             FROM celld) WHERE rn <= 3),
+        |cands AS (SELECT query_id, neighbor_id, cast(sum(x*y) as bigint) dot
+        |          FROM (SELECT p.query_id, i.vid neighbor_id, unnest(qs.v) x, unnest(q2.v) y
+        |                FROM probed p JOIN idx i USING (centroid_id)
+        |                JOIN q ql ON ql.vec_id = i.vid AND ql.label <> 3
+        |                JOIN qv qs ON qs.query_id = p.query_id
+        |                JOIN qq q2 ON q2.vid = i.vid
+        |                WHERE i.vid <> p.query_id)
+        |          GROUP BY query_id, neighbor_id),
+        |rk AS (SELECT query_id, neighbor_id, dot,
+        |         cast(row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY dot DESC, neighbor_id ASC) as int) rank
+        |       FROM cands)
+        |SELECT query_id, rank, neighbor_id, dot FROM rk
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "v54_hard_negatives" ->
+      // per-anchor label-mismatch mining: the v37 IVF derivation with
+      // the probe widened to 3 and `label <> anchor.label` as a
+      // candidate-join condition (applied before ranking)
+      (ivfIndexCte +
+      """,
+        |qv AS (SELECT vec_id query_id, label qlbl, v FROM q WHERE vec_id < 50),
+        |celld AS (SELECT query_id, centroid_id, cast(sum(x*y) as bigint) cd
+        |          FROM (SELECT qv.query_id, c.centroid_id, unnest(qv.v) x, unnest(c.cvec) y
+        |                FROM qv, cent c)
+        |          GROUP BY query_id, centroid_id),
+        |probed AS (SELECT query_id, centroid_id FROM (
+        |             SELECT query_id, centroid_id,
+        |               row_number() OVER (PARTITION BY query_id ORDER BY cd DESC, centroid_id ASC) rn
+        |             FROM celld) WHERE rn <= 3),
+        |cands AS (SELECT query_id, neighbor_id, cast(sum(x*y) as bigint) dot
+        |          FROM (SELECT p.query_id, i.vid neighbor_id, unnest(qs.v) x, unnest(q2.v) y
+        |                FROM probed p JOIN idx i USING (centroid_id)
+        |                JOIN qv qs ON qs.query_id = p.query_id
+        |                JOIN q ql ON ql.vec_id = i.vid AND ql.label <> qs.qlbl
+        |                JOIN qq q2 ON q2.vid = i.vid)
+        |          GROUP BY query_id, neighbor_id),
+        |rk AS (SELECT query_id, neighbor_id, dot,
+        |         cast(row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY dot DESC, neighbor_id ASC) as int) rank
+        |       FROM cands)
+        |SELECT query_id, rank, neighbor_id, dot FROM rk
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
   )
 }
