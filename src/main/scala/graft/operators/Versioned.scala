@@ -289,6 +289,69 @@ object Versioned {
       stamp.getOrElse(System.currentTimeMillis() * 1000L))
   }
 
+  // ----------------------------------------- protocol feature flags
+
+  /** Table-level PROTOCOL (`_graft_protocol`): the reader features a
+    * build MUST understand to read this table correctly — Delta's
+    * `readerFeatures` contract. Without it, an older engine build
+    * pointed at a table whose commits use a newer representation
+    * (deletion vectors it would ignore, a column mapping it would
+    * bypass) returns WRONG ROWS silently; with it, the same read fails
+    * loudly naming the missing feature. Line format: `reader <name>`.
+    * Unknown non-`reader` lines are ignored (forward-compatible
+    * metadata) — a future writer adding reader-affecting semantics is
+    * obligated to flag them with a `reader` line, which THIS build then
+    * refuses. Absent file = no requirements (the common case). */
+  private[graft] val ProtocolFile = "_graft_protocol"
+
+  /** Reader features this build implements. A table requiring anything
+    * outside this set is unreadable here by [[checkProtocol]]. */
+  val SupportedReaderFeatures: Set[String] =
+    Set("deletion-vectors", "column-mapping")
+
+  /** Features the table's protocol file requires of readers. */
+  def readerFeatures(root: String): Set[String] = {
+    val p = Paths.get(root, ProtocolFile)
+    if (!Files.exists(p)) Set.empty
+    else new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.collect {
+        case l if l.startsWith("reader ") => l.drop(7).trim
+      }.filter(_.nonEmpty).toSet
+  }
+
+  /** Writer-side: record that the table now needs `feature` to be read
+    * correctly. Idempotent. Called BEFORE the data using the feature
+    * becomes visible (inside [[writeFilesManifest]], which runs in the
+    * staging dir ahead of the atomic publish move), so no reader can
+    * observe feature-bearing data without the flag. Over-requirement
+    * after an aborted commit is safe: this build supports the feature,
+    * and the flag never changes row content. */
+  private[graft] def requireReaderFeature(root: Path, feature: String): Unit = {
+    require(SupportedReaderFeatures.contains(feature),
+      s"graft-versioned: writer flagged unknown reader feature '$feature'")
+    val cur = readerFeatures(root.toString)
+    if (!cur.contains(feature))
+      Files.write(root.resolve(ProtocolFile),
+        (cur + feature).toSeq.sorted.map("reader " + _).mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Reader-side gate, run at every table resolution (DSv2 table
+    * construction and the path-API snapshot read): required features
+    * this build lacks fail the read loudly — wrong results are never an
+    * option. */
+  def checkProtocol(root: String): Unit = {
+    val unknown = readerFeatures(root) -- SupportedReaderFeatures
+    if (unknown.nonEmpty)
+      throw new IllegalStateException(
+        s"graft-versioned: table at $root requires reader feature(s) " +
+          unknown.toSeq.sorted.mkString("'", "', '", "'") +
+          " this build does not support (supported: " +
+          SupportedReaderFeatures.toSeq.sorted.mkString(", ") +
+          ") — refusing to read rather than risk wrong results")
+  }
+
   // -------------------------------------------- commit file manifests
 
   /** Per-commit FILE MANIFEST (`_graft_files`): the authoritative list
@@ -312,6 +375,11 @@ object Versioned {
     // commit cost stays O(new files) even when the version carries a
     // 100k-file table. Readers treat an absent sidecar as "no pruning".
     FileStats.write(vdir, dataNames, statsFrom)
+    // DV sidecars change what a correct read IS — flag the requirement
+    // before the manifest (= the commit's visibility point) exists.
+    // Staging dirs live inside the table root, so the parent is the
+    // root on every call path (direct v=N writes and staged publishes).
+    if (dvNames.nonEmpty) requireReaderFeature(vdir.getParent, "deletion-vectors")
     Files.write(vdir.resolve(FilesManifest),
       (dataNames.sorted.map("f " + _) ++ dvNames.sorted.map("d " + _))
         .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -480,6 +548,7 @@ object Versioned {
     * this. */
   def readSnapshot(spark: SparkSession, root: String, version: Long,
                    mergeSchema: Boolean): DataFrame = {
+    checkProtocol(root) // never hand back rows a missing feature would falsify
     val vdir = Paths.get(root, s"v=$version")
     if (DeletionVectors.hasDvs(vdir))
       // the DSv2 scan resolves the same manifest and skips DV'd rows
@@ -541,6 +610,9 @@ object Versioned {
     * immutable-file discipline is what makes sharing safe. */
   def cloneTo(srcRoot: String, dstRoot: String,
               commitTs: Option[Long] = None): Unit = {
+    // cloning a representation this build can't read would propagate
+    // files whose sidecar kinds the carry logic doesn't know about
+    checkProtocol(srcRoot)
     val srcV = latestVersion(srcRoot).getOrElse(throw new IllegalStateException(
       s"cloneTo: no versions under $srcRoot"))
     require(!Files.exists(Paths.get(dstRoot, "v=0")),
@@ -557,6 +629,10 @@ object Versioned {
       listParquet(staged).map(_.getFileName.toString),
       DeletionVectors.carryAll(Paths.get(srcRoot, s"v=$srcV"), staged),
       statsFrom = Some(Paths.get(srcRoot, s"v=$srcV")))
+    // the clone inherits every reader requirement of the source —
+    // shared immutable files mean shared representation
+    readerFeatures(srcRoot).foreach(
+      requireReaderFeature(Paths.get(dstRoot), _))
     Files.move(staged, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     writeLatestHint(dstRoot, 0L)
     writeStamp(dstRoot, 0L,

@@ -836,6 +836,50 @@ object VersionedGate {
              ORDER BY doc_id""")
   }
 
+  /** q166: PROTOCOL reader-feature flags — the Delta `readerFeatures`
+    * contract: commits that change what a correct read IS flag the
+    * table (`_graft_protocol`), and a build missing a flagged feature
+    * refuses the table loudly instead of silently serving wrong rows
+    * (deleted rows resurrected by an unapplied DV, stale names from a
+    * bypassed column mapping). The lifecycle earns both shipped flags
+    * (a DV DELETE, then a RENAME), require()s them on disk, plants an
+    * unknown future feature and require()s the read fails NAMING it,
+    * un-plants, and returns the final state; the oracle re-derives
+    * that state from the predicates alone — protocol enforcement must
+    * never change surviving rows. */
+  def q166ProtocolFlags(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs166")
+    s.sql("CREATE TABLE graft.gate.docs166 (doc_id BIGINT, n_chars BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('deletionVectors'='true')")
+    Tables.documents(s, dir).createOrReplaceTempView("q166_docs_src")
+    s.sql("INSERT INTO graft.gate.docs166 " +
+      "SELECT doc_id, n_chars FROM q166_docs_src WHERE doc_id % 3 = 2")
+    val root = scratchBase.resolve("catalog").resolve("gate")
+      .resolve("docs166").toString
+    require(Versioned.readerFeatures(root).isEmpty,
+      "q166: a plain append must not flag any reader feature")
+    s.sql("DELETE FROM graft.gate.docs166 WHERE n_chars < 500")
+    require(Versioned.readerFeatures(root) == Set("deletion-vectors"),
+      "q166: a DV-mode DELETE must flag deletion-vectors")
+    s.sql("ALTER TABLE graft.gate.docs166 RENAME COLUMN n_chars TO chars")
+    require(Versioned.readerFeatures(root) ==
+        Set("deletion-vectors", "column-mapping"),
+      "q166: RENAME COLUMN must flag column-mapping")
+    // a future build's feature: this build must refuse, naming it
+    val pf = java.nio.file.Paths.get(root, "_graft_protocol")
+    val saved = java.nio.file.Files.readAllBytes(pf)
+    java.nio.file.Files.write(pf,
+      "reader future-rle-pages".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val refused =
+      try { s.sql("SELECT count(*) FROM graft.gate.docs166").collect(); None }
+      catch { case e: Exception => Some(e.getMessage) }
+    require(refused.exists(_.contains("future-rle-pages")),
+      s"q166: unknown required feature must fail the read naming it, got $refused")
+    java.nio.file.Files.write(pf, saved)
+    s.sql("SELECT doc_id, chars FROM graft.gate.docs166 ORDER BY doc_id")
+  }
+
   /** q160: MERGE-ON-READ UPDATE (delta row-level operation) — q150's
     * exact UPDATE lifecycle on a `deletionVectors=true` table, sharing
     * q150's predicate-derived oracle: representation changes (DV
@@ -967,6 +1011,7 @@ object VersionedGate {
     "q163_zorder_compact" -> (q163ZorderCompact _),
     "q164_bloom_point_lookup" -> (q164BloomPointLookup _),
     "q165_binpack_compact" -> (q165BinPackCompact _),
+    "q166_protocol_flags" -> (q166ProtocolFlags _),
     "q63_versioned_load" -> (q63VersionedLoad _),
     "q67_csv_swap" -> (q67CsvSwap _),
     "q120_version_change_feed" -> (q120VersionChangeFeed _),
@@ -1085,6 +1130,13 @@ object VersionedGate {
         |  CASE WHEN doc_id % 2 = 0 THEN n_chars + 1000
         |       ELSE n_chars END AS chars
         |FROM documents WHERE doc_id % 3 IN (0, 1)
+        |ORDER BY doc_id""".stripMargin,
+    // q166: the final state is independent of the protocol dance — the
+    // insert predicate minus the delete predicate, renamed column
+    "q166_protocol_flags" ->
+      """SELECT doc_id, n_chars AS chars
+        |FROM documents
+        |WHERE doc_id % 3 = 2 AND n_chars >= 500
         |ORDER BY doc_id""".stripMargin,
     // q160 shares q150's oracle verbatim: merge-on-read UPDATE must be
     // row-identical to copy-on-write UPDATE

@@ -428,8 +428,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // persist the mapping once it carries information (a rename, a
     // drop, or a collision-renamed physical); identity tables skip it
     if (hadColMap || retired.nonEmpty ||
-        colMap.exists { case (l, p) => l != p })
+        colMap.exists { case (l, p) => l != p }) {
+      // a non-identity mapping changes what a correct read IS (physical
+      // file names ≠ logical columns) — protocol-flag it so a build
+      // without column mapping refuses the table instead of serving
+      // stale names ([[Versioned.checkProtocol]])
+      Versioned.requireReaderFeature(tablePath(ident), "column-mapping")
       writeColMap(ident, colMap, retired)
+    }
     loadTable(ident)
   }
 

@@ -280,6 +280,12 @@ private[sources] class GraftVersionedTable(
     tableConstraints
 
   private val root = GraftVersionedTable.rootOf(options)
+  // protocol gate at table resolution — one shot covers every scan,
+  // write, and stream built from this table: a root requiring a reader
+  // feature this build lacks fails loudly here instead of returning
+  // rows a missing feature (an unapplied DV, a bypassed column
+  // mapping) would falsify
+  Versioned.checkProtocol(root)
   private val changeFeed = GraftVersionedTable.isChangeFeed(options)
 
   override def name(): String =

@@ -1,0 +1,127 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.operators.Versioned
+
+/** Protocol reader-feature flags (`_graft_protocol`): commits that
+  * change what a correct read IS (deletion vectors, column mapping)
+  * flag the table, and a build lacking a flagged feature refuses the
+  * table loudly instead of silently returning wrong rows. */
+class ProtocolSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft_protocol_spec_").toString
+
+  private var n = 0
+  private def freshTable(props: String = ""): (String, String) = {
+    spark.conf.set("spark.sql.catalog.proto", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.proto.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS proto.t")
+    n += 1
+    val name = s"proto.t.tab$n"
+    spark.sql(s"CREATE TABLE $name (id BIGINT, v BIGINT) USING `graft-versioned` $props")
+    spark.sql(s"INSERT INTO $name SELECT id, id * 10 FROM range(0, 50)")
+    (name, s"$warehouse/t/tab$n")
+  }
+
+  private def plant(root: String, lines: String): Unit =
+    Files.write(Paths.get(root, "_graft_protocol"),
+      lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  test("a plain table has no protocol file and no requirements") {
+    val (t, root) = freshTable()
+    assert(!Files.exists(Paths.get(root, "_graft_protocol")))
+    assert(Versioned.readerFeatures(root) === Set.empty[String])
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) === 50L)
+  }
+
+  test("a DV-mode DELETE flags deletion-vectors; reads keep working") {
+    val (t, root) = freshTable("TBLPROPERTIES ('deletionVectors'='true')")
+    spark.sql(s"DELETE FROM $t WHERE id % 5 = 0")
+    assert(Versioned.readerFeatures(root) === Set("deletion-vectors"))
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) === 40L)
+    // time travel to the pre-DV snapshot still passes the gate — the
+    // requirement is table-level, and this build supports the feature
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 0")
+      .collect()(0).getLong(0) === 50L)
+  }
+
+  test("RENAME COLUMN flags column-mapping") {
+    val (t, root) = freshTable()
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO w")
+    assert(Versioned.readerFeatures(root) === Set("column-mapping"))
+    assert(spark.sql(s"SELECT sum(w) FROM $t").collect()(0).getLong(0)
+      === (0L until 50L).map(_ * 10).sum)
+  }
+
+  test("features accumulate in one sorted file") {
+    val (t, root) = freshTable("TBLPROPERTIES ('deletionVectors'='true')")
+    spark.sql(s"DELETE FROM $t WHERE id = 7")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO w")
+    assert(Versioned.readerFeatures(root)
+      === Set("deletion-vectors", "column-mapping"))
+    assert(new String(Files.readAllBytes(Paths.get(root, "_graft_protocol")))
+      === "reader column-mapping\nreader deletion-vectors")
+  }
+
+  test("an unknown required feature fails every reader loudly, naming it") {
+    val (t, root) = freshTable()
+    plant(root, "reader rle-pages-v9")
+    // catalog SQL read
+    val e1 = intercept[Exception](spark.sql(s"SELECT * FROM $t").collect())
+    assert(e1.getMessage.contains("rle-pages-v9"), e1.getMessage)
+    assert(e1.getMessage.contains("deletion-vectors")) // supported set named
+    // path-API read
+    val e2 = intercept[IllegalStateException](
+      Versioned.read(spark, root).collect())
+    assert(e2.getMessage.contains("rle-pages-v9"))
+    // DSv2 path load
+    val e3 = intercept[Exception](
+      spark.read.format("graft-versioned").load(root).collect())
+    assert(e3.getMessage.contains("rle-pages-v9"), e3.getMessage)
+    // writes are refused too — a build that can't read the table can't
+    // safely extend its history
+    val e4 = intercept[Exception](
+      spark.sql(s"INSERT INTO $t VALUES (999, 999)"))
+    assert(e4.getMessage.contains("rle-pages-v9"), e4.getMessage)
+    // un-flagging restores the table untouched
+    Files.delete(Paths.get(root, "_graft_protocol"))
+    assert(spark.sql(s"SELECT count(*) FROM proto.t.tab$n")
+      .collect()(0).getLong(0) === 50L)
+  }
+
+  test("known required features pass; unknown non-reader lines are ignored") {
+    val (t, root) = freshTable()
+    plant(root, "reader deletion-vectors\nwriter somefuture x\n# note")
+    assert(Versioned.readerFeatures(root) === Set("deletion-vectors"))
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) === 50L)
+  }
+
+  test("cloneTo carries the source's requirements; an unreadable source refuses") {
+    val (t, root) = freshTable("TBLPROPERTIES ('deletionVectors'='true')")
+    spark.sql(s"DELETE FROM $t WHERE id % 2 = 0")
+    val dst = Files.createTempDirectory("graft_protocol_clone_").toString
+    Versioned.cloneTo(root, dst)
+    assert(Versioned.readerFeatures(dst) === Set("deletion-vectors"))
+    assert(Versioned.read(spark, dst).count() === 25L)
+    // a source requiring an unknown feature cannot be cloned — the
+    // carry logic would not know its sidecar kinds
+    plant(root, "reader rle-pages-v9")
+    val dst2 = Files.createTempDirectory("graft_protocol_clone2_").toString
+    val e = intercept[IllegalStateException](Versioned.cloneTo(root, dst2))
+    assert(e.getMessage.contains("rle-pages-v9"))
+  }
+
+  test("requireReaderFeature is idempotent and refuses unsupported flags") {
+    val root = Files.createTempDirectory("graft_protocol_req_").toString
+    Versioned.requireReaderFeature(Paths.get(root), "deletion-vectors")
+    Versioned.requireReaderFeature(Paths.get(root), "deletion-vectors")
+    assert(Versioned.readerFeatures(root) === Set("deletion-vectors"))
+    intercept[IllegalArgumentException](
+      Versioned.requireReaderFeature(Paths.get(root), "made-up"))
+  }
+}
