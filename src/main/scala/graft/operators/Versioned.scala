@@ -642,6 +642,56 @@ object Versioned {
       carryExtra = Some(Paths.get(srcRoot, s"v=$srcV")))
   }
 
+  /** CONVERT-in-place (Delta's `CONVERT TO DELTA` shape): register an
+    * existing directory of parquet files as version 0 of a fresh
+    * versioned root — O(files) METADATA work, zero data rewrite. Each
+    * source file hard-links into a staged v=0 (the same-filesystem
+    * analog of an object-store metadata pointer; a cross-device source
+    * falls back to a copy rather than failing the onboarding), the
+    * commit manifest + stats sidecar derive from footers alone, and one
+    * atomic rename publishes. At 100 TB this is the difference between
+    * onboarding a lake in footer-read time and re-writing every byte
+    * through a cluster.
+    *
+    * `validateFile` runs per source file BEFORE it is linked — the
+    * caller's chance to refuse files whose footer schema the table
+    * contract cannot read ([[graft.sources.GraftCatalog]]'s convert
+    * procedure passes a MessageType compatibility check). Any failure
+    * aborts the staging dir: conversion is all-or-nothing, and the
+    * source directory is never touched. */
+  def convertFrom(srcDir: String, dstRoot: String,
+                  validateFile: Path => Unit = _ => (),
+                  commitTs: Option[Long] = None): Long = {
+    val src = Paths.get(srcDir)
+    require(Files.isDirectory(src),
+      s"convertFrom: source $srcDir is not a directory")
+    val files = listParquet(src).sortBy(_.getFileName.toString)
+    require(files.nonEmpty,
+      s"convertFrom: no *.parquet files under $srcDir — nothing to convert")
+    require(latestVersion(dstRoot).isEmpty,
+      s"convertFrom: destination $dstRoot already has versions")
+    val dst = Paths.get(dstRoot, "v=0")
+    Files.createDirectories(dst.getParent)
+    val staged = Files.createTempDirectory(dst.getParent, "_staging_convert_")
+    try {
+      files.foreach { f =>
+        validateFile(f)
+        val tgt = staged.resolve(f.getFileName)
+        try Files.createLink(tgt, f)
+        catch {
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException => Files.copy(f, tgt)
+        }
+      }
+      writeFilesManifest(staged, files.map(_.getFileName.toString))
+    } catch { case e: Throwable => deleteRecursively(staged); throw e }
+    Files.move(staged, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    writeLatestHint(dstRoot, 0L)
+    writeStamp(dstRoot, 0L,
+      commitTs.getOrElse(System.currentTimeMillis() * 1000L))
+    0L
+  }
+
   /** S13 rollback: drop the newest version so the previous one is current
     * again (the old-data→last-data restore path). A stored change feed
     * for the dropped version goes with it — a feed row for a commit

@@ -836,6 +836,46 @@ object VersionedGate {
              ORDER BY doc_id""")
   }
 
+  /** q167: CONVERT in place (Delta's `CONVERT TO DELTA`) — an existing
+    * directory of plain parquet files becomes v=0 of a named versioned
+    * table with ZERO data rewrite: O(files) footer reads build the
+    * stats sidecar, hard links register the bytes (require()d at the
+    * inode level — a copy would be an O(data) onboarding), and the
+    * converted table is immediately a first-class citizen: the gate
+    * runs a real SQL DELETE against it (a new CoW commit over linked
+    * v=0 files) and returns the survivors. The oracle re-derives the
+    * final state from the write + delete predicates alone, so a hash
+    * match certifies the conversion changed nothing and the converted
+    * table mutates correctly. */
+  def q167ConvertInPlace(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs167")
+    val srcDir = scratchBase.resolve("q167_convert_src")
+    Versioned.deleteRecursively(srcDir)
+    Tables.documents(s, dir)
+      .where("doc_id % 4 = 1")
+      .selectExpr("doc_id", "lang", "n_chars")
+      .repartition(3)
+      .write.parquet(srcDir.toString)
+    s.sql(s"CALL graft.sys.convert(source_dir => '$srcDir', " +
+      "target => 'gate.docs167')")
+    val root = scratchBase.resolve("catalog").resolve("gate").resolve("docs167")
+    def inode(p: java.nio.file.Path): Any =
+      java.nio.file.Files.getAttribute(p, "unix:ino")
+    val srcInodes = Versioned.listParquet(srcDir).map(inode).toSet
+    Versioned.dataFiles(root.resolve("v=0")).foreach { f =>
+      require(srcInodes.contains(inode(f)),
+        s"q167: converted file $f must be a hard link of a source file " +
+          "(same inode) — a copy would make conversion O(data)")
+    }
+    // the converted table is a full citizen: SQL DELETE commits v=1
+    s.sql("DELETE FROM graft.gate.docs167 WHERE n_chars < 300")
+    require(Versioned.latestVersion(root.toString).contains(1L),
+      "q167: the DELETE must commit v=1 on the converted table")
+    s.sql("""SELECT doc_id, lang, n_chars FROM graft.gate.docs167
+             ORDER BY doc_id""")
+  }
+
   /** q166: PROTOCOL reader-feature flags — the Delta `readerFeatures`
     * contract: commits that change what a correct read IS flag the
     * table (`_graft_protocol`), and a build missing a flagged feature
@@ -1012,6 +1052,7 @@ object VersionedGate {
     "q164_bloom_point_lookup" -> (q164BloomPointLookup _),
     "q165_binpack_compact" -> (q165BinPackCompact _),
     "q166_protocol_flags" -> (q166ProtocolFlags _),
+    "q167_convert_in_place" -> (q167ConvertInPlace _),
     "q63_versioned_load" -> (q63VersionedLoad _),
     "q67_csv_swap" -> (q67CsvSwap _),
     "q120_version_change_feed" -> (q120VersionChangeFeed _),
@@ -1137,6 +1178,13 @@ object VersionedGate {
       """SELECT doc_id, n_chars AS chars
         |FROM documents
         |WHERE doc_id % 3 = 2 AND n_chars >= 500
+        |ORDER BY doc_id""".stripMargin,
+    // q167: the converted-then-deleted state is the write predicate
+    // minus the delete predicate — conversion itself must be lossless
+    "q167_convert_in_place" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents
+        |WHERE doc_id % 4 = 1 AND n_chars >= 300
         |ORDER BY doc_id""".stripMargin,
     // q160 shares q150's oracle verbatim: merge-on-read UPDATE must be
     // row-identical to copy-on-write UPDATE

@@ -537,13 +537,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * current version; retain: one row per surviving version). */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("sys")))
-      Array("clone", "compact", "files", "history", "restore", "rollback", "retain", "vacuum")
+      Array("clone", "compact", "convert", "files", "history", "restore", "rollback", "retain", "vacuum")
         .map(Identifier.of(Array("sys"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     val known =
-      Array("clone", "compact", "files", "history", "restore", "rollback", "retain", "vacuum")
+      Array("clone", "compact", "convert", "files", "history", "restore", "rollback", "retain", "vacuum")
     require(ident.namespace.sameElements(Array("sys")) && known.contains(ident.name),
       s"graft catalog: unknown procedure ${ident.namespace.mkString(".")}." +
         s"${ident.name} — available: ${known.map("sys." + _).mkString(", ")}")
@@ -750,6 +750,74 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           feedHook(tgt, 0L)
           Seq(new GenericInternalRow(Array[Any](
             org.apache.spark.unsafe.types.UTF8String.fromString(tgt))))
+        })
+      // CONVERT TO DELTA's shape: register an existing parquet
+      // directory as v=0 of a NEW named table — O(files) footer reads
+      // + hard links, zero data rewrite (the only sane way to onboard
+      // a 100 TB lake). Schema is the merged footer schema of exactly
+      // the *.parquet files (alien files ignored); every footer is
+      // then held to the store's physical type contract so a file this
+      // reader cannot decode (INT96 stamps, nested groups, unannotated
+      // binary) refuses the WHOLE conversion rather than surfacing as
+      // a wrong read later. The source directory is never modified.
+      case "convert" => new GraftProcedure("convert",
+        Array(
+          ProcedureParameter.in("source_dir", StringType).build(),
+          ProcedureParameter.in("target", StringType).build()),
+        new StructType()
+          .add("converted", StringType, nullable = false)
+          .add("version", LongType, nullable = false)
+          .add("n_files", IntegerType, nullable = false),
+        in => {
+          val srcDir = in.getUTF8String(0).toString
+          val tgt = in.getUTF8String(1).toString
+          val parts = tgt.split("\\.").filter(_.nonEmpty)
+          require(parts.length >= 2,
+            s"graft catalog: convert target must be 'ns.table', got '$tgt'")
+          val tgtIdent = Identifier.of(parts.init, parts.last)
+          if (!namespaceExists(tgtIdent.namespace))
+            throw new NoSuchNamespaceException(tgtIdent.namespace)
+          if (Files.exists(manifestOf(tgtIdent)))
+            throw new TableAlreadyExistsException(tgtIdent)
+          val files = Versioned.listParquet(Paths.get(srcDir))
+            .sortBy(_.getFileName.toString)
+          require(files.nonEmpty,
+            s"graft catalog: convert — no *.parquet files under $srcDir")
+          // merged footer schema via Spark's own conversion (explicit
+          // file paths: alien non-parquet files never enter the merge;
+          // conflicting types across files fail loudly inside the merge)
+          val schema = SparkSession.active.read
+            .option("mergeSchema", "true")
+            .parquet(files.map(_.toString): _*).schema
+          // the store's type-set gate, at convert time not first read
+          val expected = GroupParquetIo.writeMessageType(schema)
+          def validate(f: Path): Unit =
+            GroupParquetIo.readFooters(Seq(f)).head.schema.getFields.asScala
+              .foreach { fld =>
+                require(fld.isPrimitive, "graft catalog: convert — file " +
+                  s"'${f.getFileName}' column '${fld.getName}' is nested " +
+                  "— the store's column set is flat " +
+                  "(long/int/double/float/boolean/string/date/timestamp)")
+                val exp = expected
+                  .getType(Seq(fld.getName): _*).asPrimitiveType
+                val got = fld.asPrimitiveType
+                require(exp.getPrimitiveTypeName == got.getPrimitiveTypeName &&
+                    java.util.Objects.equals(exp.getLogicalTypeAnnotation,
+                      got.getLogicalTypeAnnotation),
+                  s"graft catalog: convert — file '${f.getFileName}' " +
+                    s"column '${fld.getName}' is stored as $got, the " +
+                    s"table contract expects $exp — this reader would " +
+                    "decode it wrongly, refusing the conversion")
+              }
+          val v = Versioned.convertFrom(srcDir, tablePath(tgtIdent).toString,
+            validate)
+          // the schema manifest lands LAST: a failed conversion leaves
+          // no half-created table visible to loadTable
+          Files.write(manifestOf(tgtIdent),
+            schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          Seq(new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(tgt),
+            v, files.size)))
         })
       case "retain" => new GraftProcedure("retain",
         Array(
