@@ -240,6 +240,46 @@ object VersionedGate {
       .orderBy("doc_id")
   }
 
+  private lazy val BatchCdfRoot = scratchBase.resolve("q168").toString
+
+  /** q168: the change feed as a BATCH read (Delta's `readChangeFeed`
+    * audit/backfill shape) — q141's exact stored feed, but drained by
+    * `spark.read` with a `[startingVersion, endingVersion]` range
+    * instead of a streaming query: one distributed scan over the feed
+    * files of the covered commits, no checkpoint machinery. Shares
+    * q141's batch-diff oracle, so stream and batch are on the hook for
+    * the SAME rows; range semantics (endingVersion excludes later
+    * commits, a [0,0] read is v=0's all-'added' feed) are require()d
+    * in-gate, and the loud no-feed / inverted-range / beyond-latest
+    * cases live in VersionedDsv2Spec. */
+  def q168BatchChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    Versioned.deleteRecursively(java.nio.file.Paths.get(BatchCdfRoot))
+    val base = Tables.documents(s, dir).select(col("doc_id"),
+      (col("n_chars") * 1000L).cast(LongType).as("price"))
+    val v0 = base.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val v1 = base.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      .withColumn("price", col("price") +
+        when(pmod(col("doc_id"), lit(3)) === 0, 7L).otherwise(0L))
+    Versioned.writeNextWithFeed(v0, BatchCdfRoot, Seq("doc_id"), Seq("price")) // v=0
+    Versioned.writeNextWithFeed(v1, BatchCdfRoot, Seq("doc_id"), Seq("price")) // v=1
+    def feed(from: Long, to: Long) = s.read.format("graft-versioned")
+      .option("changeFeed", "true")
+      .option("startingVersion", from.toString)
+      .option("endingVersion", to.toString)
+      .load(BatchCdfRoot)
+    // range semantics: [0,0] is exactly v=0's bootstrap feed — every
+    // v0 row once, all 'added', nothing from v=1 leaking in
+    val bootstrap = feed(0L, 0L)
+    require(bootstrap.where(col("change_type") =!= "added").isEmpty,
+      "q168: the [0,0] feed slice must be all 'added'")
+    require(bootstrap.count() == v0.count(),
+      "q168: the [0,0] feed slice must cover exactly v=0's rows")
+    feed(1L, 1L)
+      .select(col("doc_id"), col("change_type"),
+        col("old_price"), col("new_price"))
+      .orderBy("doc_id")
+  }
+
   private lazy val ThrottleRoot = scratchBase.resolve("q159").toString
 
   /** q159: ADMISSION CONTROL on the change-feed source — q141's exact
@@ -1030,6 +1070,7 @@ object VersionedGate {
   val queries: Map[String, Q] = Map(
     "q140_dsv2_time_travel" -> (q140Dsv2TimeTravel _),
     "q141_dsv2_change_feed" -> (q141Dsv2ChangeFeed _),
+    "q168_batch_change_feed" -> (q168BatchChangeFeed _),
     "q144_catalog_sql" -> (q144CatalogSql _),
     "q145_catalog_time_travel" -> (q145CatalogTimeTravel _),
     "q146_stream_write_versions" -> (q146StreamWriteVersions _),
@@ -1310,6 +1351,27 @@ object VersionedGate {
         |   OR old_price IS DISTINCT FROM new_price
         |ORDER BY doc_id""".stripMargin,
     // q141 shares q120's batch-diff expectation
+    // q168 shares q141's oracle verbatim: the batch CDF range read and
+    // the streaming drain must produce the same rows
+    "q168_batch_change_feed" ->
+      """WITH b AS (SELECT doc_id, n_chars * 1000 price FROM documents),
+        |v0 AS (SELECT * FROM b WHERE doc_id % 5 <> 0),
+        |v1 AS (SELECT doc_id, price +
+        |         CASE WHEN doc_id % 3 = 0 THEN 7 ELSE 0 END price
+        |       FROM b WHERE doc_id % 4 <> 0),
+        |j AS (SELECT coalesce(v0.doc_id, v1.doc_id) doc_id,
+        |        v0.price old_price, v1.price new_price,
+        |        v0.doc_id k0, v1.doc_id k1
+        |      FROM v0 FULL OUTER JOIN v1 ON v0.doc_id = v1.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN k0 IS NULL THEN 'added'
+        |       WHEN k1 IS NULL THEN 'removed'
+        |       ELSE 'changed' END change_type,
+        |  old_price, new_price
+        |FROM j
+        |WHERE k0 IS NULL OR k1 IS NULL
+        |   OR old_price IS DISTINCT FROM new_price
+        |ORDER BY doc_id""".stripMargin,
     "q141_dsv2_change_feed" ->
       """WITH b AS (SELECT doc_id, n_chars * 1000 price FROM documents),
         |v0 AS (SELECT * FROM b WHERE doc_id % 5 <> 0),

@@ -296,7 +296,11 @@ private[sources] class GraftVersionedTable(
 
   override def capabilities(): util.Set[TableCapability] =
     if (changeFeed)
-      util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+      // batch = Delta's readChangeFeed audit/backfill path (version
+      // range via startingVersion/endingVersion); micro-batch = the
+      // continuous drain with admission control
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ)
     else {
       val caps = util.EnumSet.of(
         TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -1052,6 +1056,35 @@ private[sources] class GraftVersionedScan(
 
   private val root = GraftVersionedTable.rootOf(options)
 
+  // BATCH change-feed read (Delta's `readChangeFeed` shape): the stored
+  // feed versions in [startingVersion, endingVersion] as one
+  // distributed scan — the audit/backfill path that should not need to
+  // spin up a streaming query. Both bounds are inclusive commit
+  // versions; endingVersion defaults to the newest stored feed.
+  private val changeFeed = GraftVersionedTable.isChangeFeed(options)
+
+  /** Feed versions this batch scan covers — resolved once, loudly. */
+  private lazy val feedRange: Seq[Long] = {
+    val feeds = Versioned.feedVersions(root)
+    require(feeds.nonEmpty,
+      s"graft-versioned: no stored change feed under $root — the table " +
+        "was not written with changeFeedKeys / writeNextWithFeed")
+    def bound(key: String, default: Long): Long =
+      Option(options.get(key)).map { v =>
+        scala.util.Try(v.trim.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-versioned: $key must be an integer version, got '$v'"))
+      }.getOrElse(default)
+    val from = bound("startingVersion", 0L)
+    val to = bound("endingVersion", feeds.last)
+    require(from <= feeds.last,
+      s"graft-versioned: startingVersion $from is beyond the newest " +
+        s"stored feed version ${feeds.last}")
+    require(from <= to,
+      s"graft-versioned: startingVersion $from > endingVersion $to")
+    feeds.filter(v => v >= from && v <= to)
+  }
+
   // ---- runtime filtering: broadcast-join key sets (and DPP
   // subqueries) arrive here AT EXECUTION start; they re-run the same
   // footer stats prune, so a fact-table scan joined to a filtered
@@ -1120,7 +1153,17 @@ private[sources] class GraftVersionedScan(
     val cached = cachedGroups
     if (cached != null) return cached
     val computed =
-      if (uninitialized) Seq.empty[GroupParquetIo.FileGroups]
+      if (changeFeed) {
+        // feed dirs carry no stats/bloom sidecars (diff rows, written
+        // once, never mutated) — footer row-group pruning is the
+        // skipping layer; a filter on commit_version prunes groups
+        // because each feed file holds exactly one version's rows
+        val files = feedRange.flatMap(v => Versioned.dataFiles(
+          java.nio.file.Paths.get(Versioned.feedDir(root, v))))
+        fileCounts = (files.size, files.size)
+        GroupParquetIo.pruneByStats(
+          GroupParquetIo.readFooters(files), allFilters, allFilterTypes)
+      } else if (uninitialized) Seq.empty[GroupParquetIo.FileGroups]
       else {
         val dir = GraftVersionedTable.snapshotDir(root, options)
         // catalog tables resolve schema from the manifest, so a bad
@@ -1153,7 +1196,10 @@ private[sources] class GraftVersionedScan(
 
   override def description(): String = {
     val what =
-      if (GraftVersionedTable.isChangeFeed(options)) "changeFeed"
+      if (changeFeed)
+        s"changeFeed versions=[${feedRange.headOption.getOrElse(-1L)}, " +
+          s"${feedRange.lastOption.getOrElse(-1L)}], " +
+          s"FeedFiles: ${fileCounts._2}"
       else if (uninitialized) "version=<empty table>"
       else {
         val kept = plannedGroups.map(_.kept.size).sum
@@ -1172,11 +1218,7 @@ private[sources] class GraftVersionedScan(
       limit.map(n => s", PushedLimit: $n").getOrElse("")
   }
 
-  override def toBatch: Batch = {
-    require(!GraftVersionedTable.isChangeFeed(options),
-      "the change feed is a streaming source — use readStream")
-    this
-  }
+  override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     // LIMIT with no filters: row counts are exact, so schedule only
@@ -1190,7 +1232,7 @@ private[sources] class GraftVersionedScan(
       case _ => plannedGroups
     }
     val dvs =
-      if (uninitialized) Map.empty[String, String]
+      if (uninitialized || changeFeed) Map.empty[String, String]
       else graft.operators.DeletionVectors.dvMap(java.nio.file.Paths.get(
           GraftVersionedTable.snapshotDir(root, options)))
         .map { case (n, p) => n -> p.toString }
@@ -1213,7 +1255,7 @@ private[sources] class GraftVersionedScan(
     // the sidecar cardinalities (an O(1) header read each) so a
     // heavily-deleted dimension still qualifies for auto-broadcast
     val dvDead: Long =
-      if (uninitialized) 0L
+      if (uninitialized || changeFeed) 0L
       else graft.operators.DeletionVectors.dvMap(java.nio.file.Paths.get(
           GraftVersionedTable.snapshotDir(root, options)))
         .values.map(graft.operators.DeletionVectors.cardinality).sum

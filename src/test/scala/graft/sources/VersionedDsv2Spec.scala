@@ -103,15 +103,54 @@ class VersionedDsv2Spec extends AnyFunSuite with SparkSpec {
     assert(sorted(got) === sorted(want))
   }
 
-  test("fail-loud: snapshot read of a changeFeed table, unsupported types, empty root") {
-    // the table advertises MICRO_BATCH_READ only, so Spark's own
-    // capability check rejects the batch read before our guard
-    val err1 = intercept[Exception] {
-      spark.read.format("graft-versioned")
-        .option("changeFeed", "true").load(root).collect()
+  test("batch change feed: full history, range slices, pushdown") {
+    def feed(opts: (String, String)*) = {
+      val r = spark.read.format("graft-versioned").option("changeFeed", "true")
+      opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load(root)
     }
-    assert(err1.getMessage.contains("not a valid Spark SQL Data Source") ||
-      err1.getMessage.contains("streaming source"))
+    // no range: the whole stored feed — v=0 bootstrap + v=1 diff
+    val all = feed()
+    assert(all.count() ===
+      3L /* v0 added */ + 3L /* v1: changed(1), removed(3), added(4) */)
+    // [1,1] is exactly the v=1 diff, matching the streamed drain
+    val v1Rows = sorted(feed("startingVersion" -> "1", "endingVersion" -> "1")
+      .select("id", "change_type", "old_price", "new_price"))
+    assert(v1Rows === Seq("[1,changed,100,101]", "[3,removed,300,null]",
+      "[4,added,null,400]"))
+    // endingVersion excludes later commits
+    assert(feed("endingVersion" -> "0")
+      .where(col("change_type") =!= "added").isEmpty)
+    // filters push into the feed scan (commit_version is a column)
+    val plan = feed().where(col("change_type") === "removed")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("change_type"), plan)
+    assert(feed().where(col("commit_version") === 1L).count() === 3L)
+  }
+
+  test("batch change feed fail-loud: no feed, inverted range, beyond latest") {
+    import spark.implicits._
+    // a root with versions but no stored feed
+    val bare = java.nio.file.Files.createTempDirectory("graft_dsv2_nofeed_").toString
+    Versioned.writeNext(Seq((1L, 2L)).toDF("id", "v"), bare)
+    val e1 = intercept[Exception] {
+      spark.read.format("graft-versioned")
+        .option("changeFeed", "true").load(bare).collect()
+    }
+    assert(exceptionChain(e1).exists(_.contains("no change feed under")))
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-versioned").option("changeFeed", "true")
+        .option("startingVersion", "1").option("endingVersion", "0")
+        .load(root).collect()
+    }
+    assert(exceptionChain(e2).exists(_.contains("startingVersion 1 > endingVersion 0")))
+    val e3 = intercept[Exception] {
+      spark.read.format("graft-versioned").option("changeFeed", "true")
+        .option("startingVersion", "9").load(root).collect()
+    }
+    assert(exceptionChain(e3).exists(_.contains("beyond the newest")))
+  }
+
+  test("fail-loud: unsupported types, empty root") {
     val err2 = intercept[Exception] {
       spark.read.format("graft-versioned")
         .load(java.nio.file.Files.createTempDirectory("graft_dsv2_empty_").toString)
