@@ -242,11 +242,37 @@ object FileStats {
   private[graft] def write(vdir: Path, dataNames: Seq[String],
                            carryFrom: Option[Path]): Unit = {
     val carried = carryFrom.map(rawLines).getOrElse(Map.empty)
-    val lines = dataNames.sorted.map { n =>
-      carried.getOrElse(n, toJson(n, collect(vdir.resolve(n))))
-    }
+    // footer reads are independent per file and latency-bound (on an
+    // object store each is a round trip) — collect them in parallel;
+    // the manifest line ORDER stays the sorted-name order regardless
+    val sorted = dataNames.sorted
+    val lines = sorted.toArray.par(n =>
+      carried.getOrElse(n, toJson(n, collect(vdir.resolve(n)))))
     Files.write(vdir.resolve(StatsManifest),
       lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Order-preserving parallel map over driver-side per-file metadata
+    * work (footer reads, links): a bounded pool, fail-fast on the
+    * first error. Scala 2.13 parallel collections are a separate
+    * module, so this is plain java.util.concurrent. */
+  private[operators] implicit final class ParMap[A](private val as: Array[A])
+      extends AnyVal {
+    def par[B](f: A => B): Seq[B] = {
+      if (as.length <= 1) return as.toSeq.map(f)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(as.length,
+          math.min(32, Runtime.getRuntime.availableProcessors())))
+      try {
+        val futs = as.map(a => pool.submit(new java.util.concurrent.Callable[B] {
+          override def call(): B = f(a)
+        }))
+        futs.toSeq.map(_.get())
+      } catch {
+        // unwrap so callers see the same exception type as sequential
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      } finally pool.shutdownNow()
+    }
   }
 
   /** The version's per-file stats, empty for a pre-stats commit (every

@@ -674,7 +674,11 @@ object Versioned {
     Files.createDirectories(dst.getParent)
     val staged = Files.createTempDirectory(dst.getParent, "_staging_convert_")
     try {
-      files.foreach { f =>
+      // validation (a footer read each) and linking are independent
+      // per file and latency-bound — run them in parallel so a
+      // 100k-file onboarding is bounded by pool width, not file count
+      import FileStats.ParMap
+      files.toArray.par { f =>
         validateFile(f)
         val tgt = staged.resolve(f.getFileName)
         try Files.createLink(tgt, f)
