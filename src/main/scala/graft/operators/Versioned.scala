@@ -703,6 +703,13 @@ object Versioned {
   def rollback(root: String): Option[Long] = {
     val dirs = versionDirs(root)
     dirs.lastOption.foreach { case (v, p) =>
+      // a tag is a reproducibility promise — rollback must not break it
+      // silently; untag first if the drop is intended
+      tags(root).find(_._2 == v).foreach { case (n, _) =>
+        throw new IllegalStateException(
+          s"graft-versioned: cannot roll back v=$v — it is tagged '$n'; " +
+            "drop the tag first if the version really should go")
+      }
       deleteRecursively(p)
       deleteRecursively(Paths.get(feedDir(root, v)))
     }
@@ -717,14 +724,94 @@ object Versioned {
   }
 
   /** O3/S14 retention: keep the newest `keep` versions
-    * (utils_of_backup.py:155-164 keeps 3 dated backups). */
+    * (utils_of_backup.py:155-164 keeps 3 dated backups). TAGGED
+    * versions always survive (the Iceberg tag contract): a tag is a
+    * named reproducibility anchor — "the snapshot train-v1 was built
+    * from" — and a retention sweep silently deleting it would be data
+    * loss wearing a maintenance hat. */
   def applyRetention(root: String, keep: Int = 3): Seq[Long] = {
     val dirs = versionDirs(root)
-    dirs.dropRight(keep).foreach { case (v, p) =>
-      deleteRecursively(p)
-      deleteRecursively(Paths.get(feedDir(root, v)))
-    }
+    val tagged = tags(root).values.toSet
+    dirs.dropRight(keep).filterNot(d => tagged.contains(d._1))
+      .foreach { case (v, p) =>
+        deleteRecursively(p)
+        deleteRecursively(Paths.get(feedDir(root, v)))
+      }
     versionDirs(root).map(_._1)
+  }
+
+  // ------------------------------------------------------- version tags
+
+  /** Named snapshot refs (`_graft_tags`) — Iceberg's TAG contract, the
+    * reproducibility anchor a training pipeline needs ("the exact
+    * corpus train-v1 saw"): a tag binds a NAME to a version, reads
+    * resolve `versionAsOf`/`VERSION AS OF` by name, retention never
+    * deletes a tagged version, and rollback refuses to drop one. Tags
+    * are immutable bindings: re-tagging an existing name fails loudly
+    * (drop + re-create to move it — an explicit two-step, never a
+    * silent repoint). File format: `name<SP>version` per line, names
+    * are identifier-shaped so a tag can never parse as a version. */
+  private val TagsFile = "_graft_tags"
+
+  /** All tags of `root`, name → version. */
+  def tags(root: String): Map[String, Long] = {
+    val p = Paths.get(root, TagsFile)
+    if (!Files.exists(p)) Map.empty
+    else new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val i = l.lastIndexOf(' ')
+        l.take(i) -> l.drop(i + 1).toLong
+      }.toMap
+  }
+
+  private def writeTags(root: String, ts: Map[String, Long]): Unit = {
+    val p = Paths.get(root, TagsFile)
+    if (ts.isEmpty) Files.deleteIfExists(p)
+    else Files.write(p, ts.toSeq.sorted.map { case (n, v) => s"$n $v" }
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Bind `name` to `version` (default: current latest). Loud on a
+    * malformed name, a missing version, or an existing binding. */
+  def tagVersion(root: String, name: String,
+                 version: Option[Long] = None): Long = {
+    require(name.nonEmpty && !name.head.isDigit &&
+        name.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"graft-versioned: tag name '$name' must be identifier-shaped " +
+        "(letters/digits/_/-/., not starting with a digit) so it can " +
+        "never be mistaken for a version number")
+    val v = version.getOrElse(latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no versions under $root to tag")))
+    require(Files.isDirectory(Paths.get(root, s"v=$v")),
+      s"graft-versioned: cannot tag v=$v — it does not exist " +
+        s"(existing: ${versions(root).mkString(", ")})")
+    val cur = tags(root)
+    cur.get(name).foreach(old => throw new IllegalStateException(
+      s"graft-versioned: tag '$name' already points at v=$old — tags " +
+        "are immutable bindings; drop it first to move it"))
+    writeTags(root, cur + (name -> v))
+    v
+  }
+
+  /** Remove `name`'s binding. Loud when the tag does not exist. */
+  def dropTag(root: String, name: String): Long = {
+    val cur = tags(root)
+    val v = cur.getOrElse(name, throw new IllegalArgumentException(
+      s"graft-versioned: no tag '$name' " +
+        s"(existing: ${cur.keys.toSeq.sorted.mkString(", ")})"))
+    writeTags(root, cur - name)
+    v
+  }
+
+  /** Resolve a `versionAsOf` value that may be a number OR a tag name
+    * — the single entry every read path funnels through. */
+  def resolveRef(root: String, ref: String): Long = {
+    val t = ref.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    else tags(root).getOrElse(t, throw new IllegalArgumentException(
+      s"graft-versioned: '$t' is neither a version number nor a tag " +
+        s"of $root (tags: ${tags(root).keys.toSeq.sorted.mkString(", ")})"))
   }
 
   /** S14 validation: restored/current data is structurally equal to the

@@ -240,6 +240,40 @@ object VersionedGate {
       .orderBy("doc_id")
   }
 
+  /** q169: VERSION TAGS (Iceberg's named snapshot refs) — the
+    * reproducibility anchor a training pipeline needs: tag the corpus
+    * snapshot a run trained on, keep mutating and compacting the
+    * table, and the NAME keeps resolving the exact bytes even after a
+    * retention sweep that deletes every other old version. The gate
+    * builds three versions, tags v=1 'train-v1', retains keep=1 (v=0
+    * dies, TAGGED v=1 require()d alive, v=2 current), then returns
+    * `VERSION AS OF 'train-v1'` through catalog SQL; the oracle
+    * re-derives v=1's content from the predicates alone. Fail-loud
+    * matrix (retag, unknown tag, rollback-of-tagged) lives in
+    * TagSpec. */
+  def q169VersionTags(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs169")
+    s.sql("CREATE TABLE graft.gate.docs169 (doc_id BIGINT, n_chars BIGINT) " +
+      "USING `graft-versioned`")
+    Tables.documents(s, dir).createOrReplaceTempView("q169_docs_src")
+    s.sql("INSERT INTO graft.gate.docs169 " +
+      "SELECT doc_id, n_chars FROM q169_docs_src WHERE doc_id % 3 = 0") // v=0
+    s.sql("INSERT INTO graft.gate.docs169 " +
+      "SELECT doc_id, n_chars FROM q169_docs_src WHERE doc_id % 3 = 1") // v=1
+    s.sql("CALL graft.sys.tag(table => 'gate.docs169', name => 'train-v1')")
+    s.sql("INSERT INTO graft.gate.docs169 " +
+      "SELECT doc_id, n_chars FROM q169_docs_src WHERE doc_id % 3 = 2") // v=2
+    s.sql("CALL graft.sys.retain(table => 'gate.docs169', keep => 1)")
+    val root = scratchBase.resolve("catalog").resolve("gate")
+      .resolve("docs169").toString
+    require(Versioned.versions(root) == Seq(1L, 2L),
+      s"q169: retention must keep the TAGGED v=1 and the newest v=2, " +
+        s"got ${Versioned.versions(root)}")
+    s.sql("""SELECT doc_id, n_chars FROM graft.gate.docs169
+             VERSION AS OF 'train-v1' ORDER BY doc_id""")
+  }
+
   private lazy val BatchCdfRoot = scratchBase.resolve("q168").toString
 
   /** q168: the change feed as a BATCH read (Delta's `readChangeFeed`
@@ -1071,6 +1105,7 @@ object VersionedGate {
     "q140_dsv2_time_travel" -> (q140Dsv2TimeTravel _),
     "q141_dsv2_change_feed" -> (q141Dsv2ChangeFeed _),
     "q168_batch_change_feed" -> (q168BatchChangeFeed _),
+    "q169_version_tags" -> (q169VersionTags _),
     "q144_catalog_sql" -> (q144CatalogSql _),
     "q145_catalog_time_travel" -> (q145CatalogTimeTravel _),
     "q146_stream_write_versions" -> (q146StreamWriteVersions _),
@@ -1351,6 +1386,12 @@ object VersionedGate {
         |   OR old_price IS DISTINCT FROM new_price
         |ORDER BY doc_id""".stripMargin,
     // q141 shares q120's batch-diff expectation
+    // q169: the tag pins v=1 = the first two inserts' predicate union,
+    // resolvable by NAME even after retention deleted v=0
+    "q169_version_tags" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id % 3 IN (0, 1)
+        |ORDER BY doc_id""".stripMargin,
     // q168 shares q141's oracle verbatim: the batch CDF range read and
     // the streaming drain must produce the same rows
     "q168_batch_change_feed" ->

@@ -165,8 +165,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   /** SQL `VERSION AS OF <n>` — resolved by the same DSv2 scan rules as
     * `.option("versionAsOf", n)`. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    require(version.nonEmpty && version.forall(_.isDigit),
-      s"graft catalog: VERSION AS OF wants a version number, got '$version'")
+    // a version number, or a TAG name (`VERSION AS OF 'train-v1'`) —
+    // resolution (and the loud unknown-ref error) happens in
+    // Versioned.resolveRef at scan planning
+    require(version.nonEmpty,
+      "graft catalog: VERSION AS OF wants a version number or tag name")
     tableWith(ident, Map("versionAsOf" -> version))
   }
 
@@ -537,13 +540,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * current version; retain: one row per surviving version). */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("sys")))
-      Array("clone", "compact", "convert", "files", "history", "restore", "rollback", "retain", "vacuum")
+      Array("clone", "compact", "convert", "files", "history", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
         .map(Identifier.of(Array("sys"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     val known =
-      Array("clone", "compact", "convert", "files", "history", "restore", "rollback", "retain", "vacuum")
+      Array("clone", "compact", "convert", "files", "history", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
     require(ident.namespace.sameElements(Array("sys")) && known.contains(ident.name),
       s"graft catalog: unknown procedure ${ident.namespace.mkString(".")}." +
         s"${ident.name} — available: ${known.map("sys." + _).mkString(", ")}")
@@ -819,6 +822,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             org.apache.spark.unsafe.types.UTF8String.fromString(tgt),
             v, files.size)))
         })
+      // Iceberg-style TAGS: named snapshot refs for reproducibility —
+      // CALL graft.sys.tag(table => 'ns.t', name => 'train-v1')
+      // pins the current (or an explicit) version under a name;
+      // SELECT … VERSION AS OF 'train-v1' reads it; retention keeps
+      // tagged versions alive; rollback refuses to drop one. Bindings
+      // are immutable — moving a tag is an explicit untag + tag.
+      case "tag" => new GraftProcedure("tag",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("version", LongType)
+            .defaultValue("-1").build()),
+        new StructType().add("version", LongType, nullable = false),
+        in => {
+          val v = Versioned.tagVersion(root(in.getUTF8String(0).toString),
+            in.getUTF8String(1).toString,
+            in.getLong(2) match { case -1L => None; case x => Some(x) })
+          Seq(new GenericInternalRow(Array[Any](v)))
+        })
+      case "untag" => new GraftProcedure("untag",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build()),
+        new StructType().add("was_version", LongType, nullable = false),
+        in => Seq(new GenericInternalRow(Array[Any](
+          Versioned.dropTag(root(in.getUTF8String(0).toString),
+            in.getUTF8String(1).toString)))))
+      case "tags" => new GraftProcedure("tags",
+        Array(ProcedureParameter.in("table", StringType).build()),
+        new StructType()
+          .add("name", StringType, nullable = false)
+          .add("version", LongType, nullable = false),
+        in => Versioned.tags(root(in.getUTF8String(0).toString))
+          .toSeq.sortBy(_._1).map { case (n, v) =>
+            new GenericInternalRow(Array[Any](
+              org.apache.spark.unsafe.types.UTF8String.fromString(n), v))
+          })
       case "retain" => new GraftProcedure("retain",
         Array(
           ProcedureParameter.in("table", StringType).build(),

@@ -198,7 +198,10 @@ private[sources] object GraftVersionedTable {
     * latest — the same resolution rules as [[Versioned.read]] /
     * [[Versioned.readAsOf]] (stamp-based, never mtimes). */
   def resolveVersion(root: String, options: CaseInsensitiveStringMap): Long = {
-    val vOpt = Option(options.get("versionAsOf")).map(_.toLong)
+    // versionAsOf accepts a version NUMBER or a TAG name (Iceberg's
+    // named-ref contract) — resolveRef settles which, loudly
+    val vOpt = Option(options.get("versionAsOf"))
+      .map(Versioned.resolveRef(root, _))
     val tOpt = Option(options.get("timestampAsOf")).map(_.toLong)
     require(vOpt.isEmpty || tOpt.isEmpty,
       "graft-versioned: give versionAsOf OR timestampAsOf, not both")

@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.operators.Versioned
+
+/** Version tags — Iceberg's named snapshot refs: immutable name →
+  * version bindings, readable via `VERSION AS OF 'name'` and
+  * `versionAsOf`, protected from retention and rollback. */
+class TagSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft_tag_spec_").toString
+    spark.conf.set("spark.sql.catalog.tg", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.tg.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tg.ns")
+    w
+  }
+
+  private var n = 0
+  private def fresh(): (String, String) = {
+    warehouse // force catalog registration before any SQL
+    n += 1
+    val t = s"tg.ns.t$n"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT) USING `graft-versioned`")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 10)")      // v=0
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(10, 30)")     // v=1
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(30, 60)")     // v=2
+    (t, s"$warehouse/ns/t$n")
+  }
+
+  test("tag resolves by name on both the SQL and path read APIs") {
+    val (t, root) = fresh()
+    spark.sql(s"CALL tg.sys.tag(table => 'ns.t$n', name => 'train-v1', version => 1)")
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'train-v1'")
+      .collect()(0).getLong(0) === 30L)
+    assert(spark.read.format("graft-versioned")
+      .option("versionAsOf", "train-v1").load(root).count() === 30L)
+    // numeric refs keep working
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 0")
+      .collect()(0).getLong(0) === 10L)
+    // sys.tags lists the binding
+    assert(spark.sql("CALL tg.sys.tags(table => 'ns.t" + n + "')")
+      .collect().map(_.toString).toSeq === Seq("[train-v1,1]"))
+  }
+
+  test("tag defaults to latest; bindings are immutable; untag frees the name") {
+    val (_, root) = fresh()
+    val v = spark.sql(s"CALL tg.sys.tag(table => 'ns.t$n', name => 'cur')")
+      .collect()(0).getLong(0)
+    assert(v === 2L)
+    val e = intercept[Exception](spark.sql(
+      s"CALL tg.sys.tag(table => 'ns.t$n', name => 'cur', version => 0)"))
+    assert(e.getMessage.contains("already points at v=2"), e.getMessage)
+    val was = spark.sql(s"CALL tg.sys.untag(table => 'ns.t$n', name => 'cur')")
+      .collect()(0).getLong(0)
+    assert(was === 2L)
+    assert(Versioned.tags(root).isEmpty)
+    spark.sql(s"CALL tg.sys.tag(table => 'ns.t$n', name => 'cur', version => 0)")
+    assert(Versioned.tags(root) === Map("cur" -> 0L))
+  }
+
+  test("retention keeps tagged versions alive; rollback refuses a tagged tip") {
+    val (t, root) = fresh()
+    spark.sql(s"CALL tg.sys.tag(table => 'ns.t$n', name => 'keep-me', version => 0)")
+    spark.sql(s"CALL tg.sys.retain(table => 'ns.t$n', keep => 1)")
+    assert(Versioned.versions(root) === Seq(0L, 2L)) // v=1 died, tagged v=0 lives
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'keep-me'")
+      .collect()(0).getLong(0) === 10L)
+    spark.sql(s"CALL tg.sys.tag(table => 'ns.t$n', name => 'tip', version => 2)")
+    val e = intercept[Exception](spark.sql(
+      s"CALL tg.sys.rollback(table => 'ns.t$n')"))
+    assert(e.getMessage.contains("tagged 'tip'"), e.getMessage)
+    spark.sql(s"CALL tg.sys.untag(table => 'ns.t$n', name => 'tip')")
+    assert(spark.sql(s"CALL tg.sys.rollback(table => 'ns.t$n')")
+      .collect()(0).getLong(0) === 0L)
+  }
+
+  test("fail-loud: unknown refs, malformed names, missing versions") {
+    val (t, root) = fresh()
+    val e1 = intercept[Exception](spark.sql(
+      s"SELECT * FROM $t VERSION AS OF 'no-such-tag'").collect())
+    assert(e1.getMessage.contains("neither a version number nor a tag"),
+      e1.getMessage)
+    val e2 = intercept[Exception](
+      Versioned.tagVersion(root, "9starts-with-digit", Some(0L)))
+    assert(e2.getMessage.contains("identifier-shaped"))
+    intercept[Exception](Versioned.tagVersion(root, "ghost", Some(99L)))
+    intercept[Exception](Versioned.dropTag(root, "never-existed"))
+  }
+
+  test("tag names survive round-trips with spaces-free punctuation and sort stably") {
+    val (_, root) = fresh()
+    Versioned.tagVersion(root, "a.b-c_d", Some(0L))
+    Versioned.tagVersion(root, "z", Some(2L))
+    Versioned.tagVersion(root, "m-1", Some(1L))
+    assert(Versioned.tags(root) ===
+      Map("a.b-c_d" -> 0L, "z" -> 2L, "m-1" -> 1L))
+    assert(Versioned.resolveRef(root, "m-1") === 1L)
+    assert(Versioned.resolveRef(root, "7") === 7L) // numbers stay numbers
+  }
+}
