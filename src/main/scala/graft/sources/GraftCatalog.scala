@@ -575,8 +575,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         new StructType().add("version", LongType, nullable = false),
         in => {
           val tbl = in.getUTF8String(0).toString
+          // zorder_by arrives in LOGICAL names; the rewrite reads raw
+          // snapshots (physical birth names on a column-mapped table) —
+          // translate like clusterByOf does, or a post-RENAME Z-order
+          // would fail naming a column the files have never heard of
+          val zorderPhys: String => String = {
+            val parts = tbl.split("\\.").filter(_.nonEmpty)
+            if (parts.length < 2) identity
+            else readColMap(Identifier.of(parts.init, parts.last))
+              .map(_._1).getOrElse(Map.empty[String, String])
+              .withDefault(identity)
+          }
           val zorder = Option(in.getUTF8String(2)).map(_.toString).getOrElse("")
-            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(zorderPhys)
           val smallerThan = in.getLong(3)
           require(smallerThan == 0 || zorder.isEmpty,
             "graft catalog: zorder_by is a FULL-table layout decision — " +
