@@ -172,6 +172,43 @@ object CorpusText {
             x => x.getField("seg"))).as("clean_text"))
   }
 
+  /** Per-document REPETITION PROFILE — the Gopher/MassiveText
+    * intra-document repetition signals as EXACT INTEGERS (consumers
+    * divide; the engine never ships a float a different platform would
+    * round differently): token count, distinct-token count (their
+    * ratio is the duplicate-word fraction), total bigram count, and
+    * the occurrence count of the MOST FREQUENT bigram (its fraction is
+    * the top-2-gram repetition signal — high means the doc loops).
+    *
+    * Entirely PER-ROW, zero shuffle: the top-bigram count folds over
+    * the SORTED bigram array with a longest-equal-run accumulator
+    * (equal bigrams are adjacent after array_sort, so the longest run
+    * IS the max frequency) — a corpus-wide profile costs one scan, and
+    * 100 TB of documents never exchanges a byte. */
+  def repetitionProfile(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val bigrams = expr(
+      "transform(slice(t, 1, greatest(size(t) - 1, 0)), " +
+        "(x, i) -> concat(x, ' ', t[i + 1]))")
+    val topRun = expr(
+      """aggregate(
+        |  array_sort(bg),
+        |  named_struct('prev', '', 'run', 0L, 'best', 0L),
+        |  (acc, x) -> named_struct(
+        |    'prev', x,
+        |    'run', IF(x = acc.prev, acc.run + 1L, 1L),
+        |    'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
+        |  acc -> acc.best)""".stripMargin)
+    docs
+      .select(col("doc_id"), t.as("t"))
+      .withColumn("bg", bigrams)
+      .select(col("doc_id"),
+        size(col("t")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("t"))).cast(LongType).as("n_distinct_tokens"),
+        topRun.as("top_bigram_n"),
+        size(col("bg")).cast(LongType).as("n_bigrams"))
+  }
+
   /** Sliding token windows with stride — the context-window chunker
     * for sequence-model training samples. Chunk i covers tokens
     * [i*stride, i*stride + window); a document shorter than `window`

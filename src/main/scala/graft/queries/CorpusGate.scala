@@ -143,7 +143,16 @@ object CorpusGate {
       .orderBy("doc_id")
   }
 
+  /** t100: per-document REPETITION PROFILE (Gopher/MassiveText
+    * intra-document quality signals) — duplicate-word and top-bigram
+    * repetition as exact integer pairs, computed per row with a
+    * sorted-array longest-run fold: zero shuffle, one corpus scan. */
+  def t100RepetitionProfile(s: SparkSession, dir: String): DataFrame =
+    CorpusText.repetitionProfile(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "t100_repetition_profile" -> (t100RepetitionProfile _),
     "t98_oov_rate" -> (t98OovRate _),
     "t69_source_overlap" -> (t69SourceOverlap _),
     "t68_dedup_keep_best" -> (t68DedupKeepBest _),
@@ -155,6 +164,26 @@ object CorpusGate {
   )
 
   val oracles: Map[String, String] = Map(
+    // t100: the most frequent bigram's count re-derived by explicit
+    // group-by — the engine's per-row sorted-run fold must agree
+    "t100_repetition_profile" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest([t[i] || ' ' || t[i + 1]
+        |            for i in generate_series(1, len(t) - 1)]) g
+        |  FROM base),
+        |cnt AS (SELECT doc_id, g, count(*) c FROM bg GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) top_bigram_n, sum(c) n_bigrams
+        |        FROM cnt GROUP BY 1)
+        |SELECT base.doc_id,
+        |  cast(len(t) AS BIGINT) n_tokens,
+        |  cast(len(list_distinct(t)) AS BIGINT) n_distinct_tokens,
+        |  cast(coalesce(top_bigram_n, 0) AS BIGINT) top_bigram_n,
+        |  cast(coalesce(n_bigrams, 0) AS BIGINT) n_bigrams
+        |FROM base LEFT JOIN top USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "t98_oov_rate" ->
       """WITH toks AS (
         |  SELECT doc_id, t.term FROM documents,

@@ -76,4 +76,28 @@ class CorpusTextSpec extends AnyFunSuite with SparkSpec {
     assert((ne, np, ni) === (2L, 1L, 2L))
     assert(r === "mail <EMAIL> and <EMAIL> then call <PHONE> from <IP> or <IP>")
   }
+
+  test("repetitionProfile: exact counts incl. looped, uniform, and tiny docs") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // bigram 'a b' x3, 'b a' x2
+      (2L, "x x x x"),       // all-same: 'x x' x3
+      (3L, "p q r"),         // all distinct bigrams
+      (4L, "solo"),          // one token: no bigrams
+      (5L, "")).toDF("doc_id", "text")
+    val out = CorpusText.repetitionProfile(docs).orderBy("doc_id").collect()
+    assert(out.toSeq === Seq(
+      Row(1L, 6L, 2L, 3L, 5L),
+      Row(2L, 4L, 1L, 3L, 3L),
+      Row(3L, 3L, 3L, 1L, 2L),
+      Row(4L, 1L, 1L, 0L, 0L),
+      // split("", " ") yields [""] — one empty token, zero bigrams
+      Row(5L, 1L, 1L, 0L, 0L)))
+  }
+
+  test("repetitionProfile plans shuffle-free (per-row fold, no exchange)") {
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val plan = CorpusText.repetitionProfile(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
