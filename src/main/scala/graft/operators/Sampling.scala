@@ -34,6 +34,66 @@ object Sampling {
     df.filter(pct < rateCol)
   }
 
+  /** TEMPERATURE-SMOOTHED mixture sampling (α = 0.5, the standard
+    * multilingual/multi-source smoothing): draw one epoch of
+    * `epochDocs` documents with per-source quotas ∝ √n_s — small
+    * sources are upweighted relative to proportional sampling, the
+    * T5/CC-mixing recipe. Selection is EXACT and deterministic:
+    * quota arithmetic is all-integer (⌊√n⌋ weights, floor division),
+    * each source contributes its quota's lowest rows by the portable
+    * hash rank ((key·2654435761) mod 1000003, ties by key) — no
+    * rand(), reproducible on any engine.
+    *
+    * Scale shape: NO per-source global window over the data (few
+    * heavy groups = straggler tasks). Instead the per-source rank
+    * threshold is found on the (source, hk) HISTOGRAM — bounded by
+    * 1000003 rows per source regardless of corpus size — and the data
+    * is then filtered by broadcast threshold; only the single tie
+    * bucket at the threshold (expected n_s/1000003 rows) is ranked
+    * exactly. One balanced shuffle + one broadcast filter at 100 TB.
+    * Per-source counts collect to the driver — rows = #sources,
+    * bounded like every profile here. */
+  def temperatureMixture(docs: DataFrame, epochDocs: Long,
+                         srcCol: String = "source",
+                         keyCol: String = "doc_id"): DataFrame = {
+    require(epochDocs > 0, s"temperatureMixture: epochDocs must be positive, got $epochDocs")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.withColumn("__hk",
+      pmod(col(keyCol) * lit(2654435761L), lit(1000003L)))
+    val counts = keyed.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(sqrt(col("n"))).cast(LongType))
+      .collect() // #sources rows
+    val wSum = counts.map(_.getAs[Long]("w")).sum
+    val takes = counts.map { r =>
+      val n = r.getAs[Long]("n")
+      r.get(0) -> math.min(epochDocs * r.getAs[Long]("w") / wSum, n)
+    }.toMap
+    val takeCol = takes.foldLeft(lit(0L)) { case (acc, (s, t)) =>
+      when(col(srcCol) === s, lit(t)).otherwise(acc)
+    }
+    // threshold per source from the hk histogram: the unique histogram
+    // row where the cumulative count first covers the quota
+    val hist = keyed.groupBy(col(srcCol), col("__hk")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(srcCol).orderBy("__hk")))
+      .withColumn("__take", takeCol)
+    val thr = cum
+      .where(col("__take") > 0 &&
+        col("cum") - col("c") < col("__take") && col("__take") <= col("cum"))
+      .select(col(srcCol), col("__hk").as("__thk"),
+        (col("__take") - (col("cum") - col("c"))).as("__need_at_t"))
+    val joined = keyed.join(broadcast(thr), Seq(srcCol))
+    val below = joined.where(col("__hk") < col("__thk"))
+    // the tie bucket: rank ONLY the rows AT the threshold hk by key
+    val atT = joined.where(col("__hk") === col("__thk"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(srcCol)).orderBy(col(keyCol))))
+      .where(col("__r") <= col("__need_at_t"))
+      .drop("__r")
+    below.unionByName(atT)
+      .drop("__hk", "__thk", "__need_at_t")
+  }
+
   /** Sequence packing: assign documents (in a stable order) to
     * fixed-token-budget bins — the batch-construction step of an LLM
     * training pipeline. Greedy sequential packing is exactly cumulative

@@ -544,7 +544,28 @@ object ShapeGate {
          |ORDER BY lang, rank""".stripMargin)
   }
 
+  /** t101: TEMPERATURE-SMOOTHED mixture epoch (α = 0.5, the
+    * T5/multilingual smoothing) — skewed strata are synthesized from
+    * doc_id (one huge, one mid, two small) so the √n quotas actually
+    * discriminate from proportional sampling; the engine's
+    * histogram-threshold selection (no per-source window over data)
+    * must equal the oracle's explicit rank-window form row-for-row:
+    * quota arithmetic integer-exact, selection by portable hash rank,
+    * ties by doc_id. */
+  def t101TemperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(16)) < 10, "huge")
+        .when(pmod(col("doc_id"), lit(16)) < 14, "mid")
+        .when(pmod(col("doc_id"), lit(16)) < 15, "rare_a")
+        .otherwise("rare_b").as("grp"))
+    graft.operators.Sampling.temperatureMixture(docs, epochDocs = 120L,
+        srcCol = "grp", keyCol = "doc_id")
+      .select(col("grp"), col("doc_id"))
+      .orderBy("grp", "doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t101_temperature_mixture" -> (t101TemperatureMixture _),
     "t97_balanced_sample" -> (t97BalancedSample _),
     "t62_token_quantiles" -> (t62TokenQuantiles _),
     "t63_zipf_histogram" -> (t63ZipfHistogram _),
@@ -572,6 +593,28 @@ object ShapeGate {
   val oracles: Map[String, String] = Map(
     // the window form the k-bounded aggregator must equal exactly:
     // (cnt desc, value asc) over cnt = −hk ⇔ ORDER BY hk, doc_id
+    // t101: the oracle IS the window form — the engine's
+    // histogram-threshold path must equal explicit per-group ranking
+    "t101_temperature_mixture" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 16 < 10 THEN 'huge'
+        |         WHEN doc_id % 16 < 14 THEN 'mid'
+        |         WHEN doc_id % 16 < 15 THEN 'rare_a'
+        |         ELSE 'rare_b' END grp
+        |  FROM documents),
+        |n AS (SELECT grp, count(*) n,
+        |        CAST(FLOOR(SQRT(count(*))) AS BIGINT) w
+        |      FROM d GROUP BY grp),
+        |tk AS (SELECT grp, least(120 * w // (SELECT sum(w) FROM n), n) tke
+        |       FROM n),
+        |r AS (SELECT grp, doc_id,
+        |        row_number() OVER (PARTITION BY grp
+        |          ORDER BY (doc_id * 2654435761) % 1000003, doc_id) rnk
+        |      FROM d)
+        |SELECT r.grp, r.doc_id
+        |FROM r JOIN tk USING (grp)
+        |WHERE rnk <= tke
+        |ORDER BY grp, doc_id""".stripMargin,
     "t97_balanced_sample" ->
       """WITH h AS (SELECT lang, doc_id,
         |    (doc_id * 2654435761) % 1000003 hk FROM documents),

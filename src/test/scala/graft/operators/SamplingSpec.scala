@@ -68,4 +68,33 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(top.filter(col("rank") === 1).select("term")
       .as[String].collect().toSet === Set("common"))
   }
+
+  test("temperatureMixture: sqrt quotas, caps at source size, deterministic") {
+    // sizes 100/9/1 → ⌊√n⌋ weights 10/3/1 (sum 14); epochDocs=14 gives
+    // quotas exactly 10/3/1 — 'c' is fully taken (cap), 'a' downweighted
+    // vs proportional
+    val df = ((0L until 100L).map(i => (i, "a")) ++
+      (100L until 109L).map(i => (i, "b")) ++ Seq((200L, "c")))
+      .toDF("doc_id", "source")
+    val out = Sampling.temperatureMixture(df, epochDocs = 14L)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc === Map("a" -> 10L, "b" -> 3L, "c" -> 1L))
+    // deterministic under any partitioning
+    val again = Sampling.temperatureMixture(df.repartition(7), epochDocs = 14L)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("temperatureMixture resolves hash-collision ties by key") {
+    // keys k and k + 1000003 share the same portable hash rank; with a
+    // quota that splits the tie bucket, the LOWEST keys must win
+    val p = 1000003L
+    val df = Seq(5L, 5L + p, 5L + 2 * p, 5L + 3 * p).map((_, "s"))
+      .toDF("doc_id", "source")
+    // n=4 → w=2, epochDocs=2 → take = 2*2/2 = 2 of the 4 tied rows
+    val kept = Sampling.temperatureMixture(df, epochDocs = 2L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(5L, 5L + p))
+  }
 }
