@@ -644,10 +644,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           .add("has_change_feed", org.apache.spark.sql.types.BooleanType,
             nullable = false)
           .add("n_dvs", IntegerType, nullable = false)
-          .add("n_deleted_rows", LongType, nullable = false),
+          .add("n_deleted_rows", LongType, nullable = false)
+          .add("tags", StringType, nullable = false),
         in => {
           val r = root(in.getUTF8String(0).toString)
           val feeds = Versioned.feedVersions(r).toSet
+          val tagsByV = Versioned.tags(r).groupBy(_._2)
+            .map { case (v, m) => v -> m.keys.toSeq.sorted.mkString(",") }
           Versioned.versions(r).sorted.reverse.map { v =>
             val vdir = java.nio.file.Paths.get(r, s"v=$v")
             val files = Versioned.dataFiles(vdir)
@@ -665,7 +668,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               files.size, files.map(Files.size(_)).sum, feeds.contains(v),
               dvs.size,
               dvs.values.map(
-                graft.operators.DeletionVectors.cardinality).sum))
+                graft.operators.DeletionVectors.cardinality).sum,
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                tagsByV.getOrElse(v, ""))))
           }
         })
       // DESCRIBE DETAIL at file granularity: one row per data file of a

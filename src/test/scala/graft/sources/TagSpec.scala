@@ -45,6 +45,11 @@ class TagSpec extends AnyFunSuite with SparkSpec {
     // sys.tags lists the binding
     assert(spark.sql("CALL tg.sys.tags(table => 'ns.t" + n + "')")
       .collect().map(_.toString).toSeq === Seq("[train-v1,1]"))
+    // sys.history carries the tag on its version's row
+    spark.sql(s"CALL tg.sys.tag(table => 'ns.t$n', name => 'also-v1', version => 1)")
+    val hist = spark.sql(s"CALL tg.sys.history(table => 'ns.t$n')")
+      .collect().map(r => r.getLong(0) -> r.getString(8)).toMap
+    assert(hist === Map(2L -> "", 1L -> "also-v1,train-v1", 0L -> ""))
   }
 
   test("tag defaults to latest; bindings are immutable; untag frees the name") {
