@@ -645,7 +645,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             nullable = false)
           .add("n_dvs", IntegerType, nullable = false)
           .add("n_deleted_rows", LongType, nullable = false)
-          .add("tags", StringType, nullable = false),
+          .add("tags", StringType, nullable = false)
+          .add("message", StringType, nullable = true),
         in => {
           val r = root(in.getUTF8String(0).toString)
           val feeds = Versioned.feedVersions(r).toSet
@@ -670,7 +671,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               dvs.values.map(
                 graft.operators.DeletionVectors.cardinality).sum,
               org.apache.spark.unsafe.types.UTF8String.fromString(
-                tagsByV.getOrElse(v, ""))))
+                tagsByV.getOrElse(v, "")),
+              VersionedWriteIo.commitMessage(r, v)
+                .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+                .orNull))
           }
         })
       // DESCRIBE DETAIL at file granularity: one row per data file of a

@@ -2760,9 +2760,17 @@ private[sources] class GraftVersionedWriteBuilder(
         (a, n)
       }
     }
+    // commit MESSAGE (Delta's userMetadata): a free-form line stored
+    // with the commit and surfaced by sys.history — write option wins,
+    // session conf ('graft.versioned.commitMessage') covers SQL verbs
+    // that take no options
+    val message = opt("commitMessage").map(_.trim).filter(_.nonEmpty)
+      .orElse(Option(SparkSession.active.conf
+          .get("graft.versioned.commitMessage", "")).map(_.trim)
+        .filter(_.nonEmpty))
     new GraftVersionedWrite(root, schema, replace, stamp, info.queryId(),
       clusterBy, writeParts, targetBytes, rowLevelOp, feedKeys,
-      GraftVersionedTable.colMapOf(tableOptions), txn)
+      GraftVersionedTable.colMapOf(tableOptions), txn, message)
   }
 }
 
@@ -2773,7 +2781,8 @@ private[sources] class GraftVersionedWrite(
     rowLevelOp: Option[GraftRowLevelOperation] = None,
     feedKeys: Seq[String] = Seq.empty,
     colMap: Map[String, String] = Map.empty,
-    txn: Option[(String, Long)] = None)
+    txn: Option[(String, Long)] = None,
+    message: Option[String] = None)
   extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String =
@@ -2799,14 +2808,14 @@ private[sources] class GraftVersionedWrite(
 
   override def toBatch: BatchWrite =
     new GraftBatchWrite(root, schema, replace, commitTs, queryId,
-      rowLevelOp, feedKeys, colMap, txn)
+      rowLevelOp, feedKeys, colMap, txn, message)
 
   override def toStreaming: StreamingWrite = {
     require(txn.isEmpty,
       "graft-versioned: txnAppId/txnVersion are batch options — streaming " +
         "writes are already idempotent per epoch (the _graft_epoch tag)")
     new GraftStreamingWrite(root, schema, replace, commitTs, queryId, colMap,
-      feedKeys)
+      feedKeys, message)
   }
 }
 
@@ -2822,7 +2831,8 @@ private[sources] class GraftBatchWrite(
     rowLevelOp: Option[GraftRowLevelOperation] = None,
     feedKeys: Seq[String] = Seq.empty,
     colMap: Map[String, String] = Map.empty,
-    txn: Option[(String, Long)] = None) extends BatchWrite {
+    txn: Option[(String, Long)] = None,
+    message: Option[String] = None) extends BatchWrite {
 
   private val staged = java.nio.file.Paths.get(
     root, s"_staging_${queryId}_${java.util.UUID.randomUUID.toString.take(8)}")
@@ -2852,6 +2862,10 @@ private[sources] class GraftBatchWrite(
           s"$app\t$ver".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       case None => ()
     }
+    // the commit message rides the same atomic rename as the data
+    message.foreach(m => java.nio.file.Files.write(
+      staged.resolve(VersionedWriteIo.MessageMarker),
+      m.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     val committed = rowLevelOp.flatMap(_.scannedState) match {
       case Some((scannedVersion, scannedNames)) =>
         // copy-on-write by file: staged output replaces exactly the
@@ -2887,7 +2901,8 @@ private[sources] class GraftStreamingWrite(
     root: String, schema: StructType, replace: Boolean,
     commitTs: Option[Long], queryId: String,
     colMap: Map[String, String] = Map.empty,
-    feedKeys: Seq[String] = Seq.empty) extends StreamingWrite {
+    feedKeys: Seq[String] = Seq.empty,
+    message: Option[String] = None) extends StreamingWrite {
 
   private val stagedBase = java.nio.file.Paths.get(root, s"_staging_stream_$queryId")
 
@@ -2907,6 +2922,9 @@ private[sources] class GraftStreamingWrite(
     }
     java.nio.file.Files.createDirectories(epochDir)
     VersionedWriteIo.keepOnly(epochDir, messages)
+    message.foreach(m => java.nio.file.Files.write(
+      epochDir.resolve(VersionedWriteIo.MessageMarker),
+      m.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     // a deterministic stamp ladder when the caller provided commitTs
     // (epoch i lands at commitTs+i); wall-clock micros otherwise
     val stamp = commitTs.map(_ + epochId)
@@ -2933,6 +2951,20 @@ private[sources] case class StagedFilesMessage(files: Seq[String])
 private[graft] object VersionedWriteIo {
 
   import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+  /** Per-commit free-form message (Delta's userMetadata) — written
+    * into the staging dir so it publishes atomically with the data;
+    * surfaced by sys.history. */
+  val MessageMarker = "_graft_message"
+
+  /** The commit message of a version, if its writer recorded one. */
+  def commitMessage(root: String, version: Long): Option[String] = {
+    val f = Paths.get(root, s"v=$version", MessageMarker)
+    if (Files.exists(f))
+      Some(new String(Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8))
+    else None
+  }
 
   def stampValue(commitTs: Option[Long]): Long =
     // every DSv2 commit is stamped (time travel always works on a

@@ -297,7 +297,10 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     sql("DROP TABLE IF EXISTS gtest.ns.th")
     sql("CREATE TABLE gtest.ns.th (id BIGINT) USING `graft-versioned`")
     sql("INSERT INTO gtest.ns.th SELECT id FROM range(0, 100)")
-    sql("INSERT INTO gtest.ns.th SELECT id FROM range(100, 150)")
+    // session-conf commit message rides SQL verbs (which take no options)
+    spark.conf.set("graft.versioned.commitMessage", "daily load")
+    try sql("INSERT INTO gtest.ns.th SELECT id FROM range(100, 150)")
+    finally spark.conf.set("graft.versioned.commitMessage", "")
     sql("UPDATE gtest.ns.th SET id = id + 1000 WHERE id < 20")
     val h = sql("CALL gtest.sys.history(table => 'ns.th')").collect()
     assert(h.map(_.getLong(0)).toSeq === Seq(2L, 1L, 0L))
@@ -311,6 +314,9 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(h.forall(!_.getBoolean(5))) // no changeFeedKeys on this table
     assert(h.forall(r => r.getInt(6) === 0 && r.getLong(7) === 0L),
       "a copy-on-write table carries no deletion vectors")
+    // the conf-scoped message landed on exactly the one commit it covered
+    assert(h.map(r => Option(r.getString(9))).toSeq ===
+      Seq(None, Some("daily load"), None))
   }
 
   test("CALL sys.files lists a snapshot's data files with rows and DV state") {

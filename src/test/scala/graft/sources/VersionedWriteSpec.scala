@@ -378,6 +378,25 @@ class VersionedWriteSpec extends AnyFunSuite with SparkSpec {
     assert(chain(e2).exists(_.contains("txnVersion must be a long")), chain(e2).toString)
   }
 
+  test("commit messages: option, session-conf fallback, option wins, absent = null") {
+    val root = freshRoot("msg")
+    df((1L, 1L, "a")).write.format("graft-versioned").option("create", "true")
+      .option("commitMessage", "bootstrap load").mode("append").save(root)
+    assert(VersionedWriteIo.commitMessage(root, 0L) === Some("bootstrap load"))
+    // conf covers writers that take no options (SQL verbs)
+    spark.conf.set("graft.versioned.commitMessage", "from-conf")
+    try {
+      df((2L, 2L, "b")).write.format("graft-versioned").mode("append").save(root)
+      assert(VersionedWriteIo.commitMessage(root, 1L) === Some("from-conf"))
+      // an explicit option beats the ambient conf
+      df((3L, 3L, "c")).write.format("graft-versioned")
+        .option("commitMessage", "explicit").mode("append").save(root)
+      assert(VersionedWriteIo.commitMessage(root, 2L) === Some("explicit"))
+    } finally spark.conf.set("graft.versioned.commitMessage", "")
+    df((4L, 4L, "d")).write.format("graft-versioned").mode("append").save(root)
+    assert(VersionedWriteIo.commitMessage(root, 3L) === None)
+  }
+
   private def chain(e: Throwable): Seq[String] =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
       .map(t => Option(t.getMessage).getOrElse("")).toSeq
