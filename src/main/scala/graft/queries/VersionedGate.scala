@@ -274,6 +274,53 @@ object VersionedGate {
              VERSION AS OF 'train-v1' ORDER BY doc_id""")
   }
 
+  /** q170: INCREMENTAL MATERIALIZED VIEW maintained from the stored
+    * change feed — the composition the table format exists for: a
+    * standing aggregate (per-group count + sum) is built ONCE from the
+    * v=0 snapshot, the table then takes an UPDATE, a DELETE, and an
+    * INSERT, and the aggregate is brought current by folding the BATCH
+    * CDF range read of those commits through [[Ivm.applyAggDelta]]
+    * (changed → −old +new, removed → −old, added → +new) — never
+    * rescanning the base table. The oracle recomputes the final
+    * aggregate from the predicates alone: increment ≡ recompute, the
+    * IVM contract, certified through the real catalog + feed + CDF
+    * machinery end-to-end. */
+  def q170IvmFromCdf(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs170")
+    s.sql("CREATE TABLE graft.gate.docs170 " +
+      "(doc_id BIGINT, grp BIGINT, chars BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('changeFeedKeys'='doc_id')")
+    Tables.documents(s, dir).createOrReplaceTempView("q170_docs_src")
+    s.sql("INSERT INTO graft.gate.docs170 " +
+      "SELECT doc_id, doc_id % 7, n_chars FROM q170_docs_src " +
+      "WHERE doc_id % 2 = 0")                                          // v=0
+    // the standing aggregate, built once from the initial snapshot
+    val base = s.sql(
+      """SELECT grp, count(*) AS n, sum(chars) AS sum_chars
+        |FROM graft.gate.docs170 VERSION AS OF 0 GROUP BY grp""".stripMargin)
+    s.sql("UPDATE graft.gate.docs170 SET chars = chars + 10 " +
+      "WHERE doc_id % 10 = 0")                                         // v=1
+    s.sql("DELETE FROM graft.gate.docs170 WHERE chars < 400")          // v=2
+    s.sql("INSERT INTO graft.gate.docs170 " +
+      "SELECT doc_id, doc_id % 7, n_chars FROM q170_docs_src " +
+      "WHERE doc_id % 2 = 1 AND doc_id % 3 = 0")                       // v=3
+    val root = scratchBase.resolve("catalog").resolve("gate")
+      .resolve("docs170").toString
+    val feed = s.read.format("graft-versioned")
+      .option("changeFeed", "true").option("startingVersion", "1")
+      .load(root)
+    val neg = feed.where(col("change_type").isin("changed", "removed"))
+      .select(col("old_grp").as("grp"), lit(-1L).as("sign"),
+        col("old_chars").as("v"))
+    val pos = feed.where(col("change_type").isin("changed", "added"))
+      .select(col("new_grp").as("grp"), lit(1L).as("sign"),
+        col("new_chars").as("v"))
+    graft.operators.Ivm.applyAggDelta(base, neg.unionByName(pos),
+        Seq("grp"), "n", "sum_chars", "sign", "v")
+      .orderBy("grp")
+  }
+
   private lazy val BatchCdfRoot = scratchBase.resolve("q168").toString
 
   /** q168: the change feed as a BATCH read (Delta's `readChangeFeed`
@@ -1106,6 +1153,7 @@ object VersionedGate {
     "q141_dsv2_change_feed" -> (q141Dsv2ChangeFeed _),
     "q168_batch_change_feed" -> (q168BatchChangeFeed _),
     "q169_version_tags" -> (q169VersionTags _),
+    "q170_ivm_from_cdf" -> (q170IvmFromCdf _),
     "q144_catalog_sql" -> (q144CatalogSql _),
     "q145_catalog_time_travel" -> (q145CatalogTimeTravel _),
     "q146_stream_write_versions" -> (q146StreamWriteVersions _),
@@ -1386,6 +1434,24 @@ object VersionedGate {
         |   OR old_price IS DISTINCT FROM new_price
         |ORDER BY doc_id""".stripMargin,
     // q141 shares q120's batch-diff expectation
+    // q170: increment ≡ recompute — the final aggregate re-derived by
+    // replaying the predicates sequentially, never reading the feed
+    "q170_ivm_from_cdf" ->
+      """WITH v0 AS (
+        |  SELECT doc_id, doc_id % 7 grp, n_chars chars FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |v1 AS (
+        |  SELECT doc_id, grp,
+        |    CASE WHEN doc_id % 10 = 0 THEN chars + 10 ELSE chars END chars
+        |  FROM v0),
+        |v2 AS (SELECT * FROM v1 WHERE chars >= 400),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  UNION ALL
+        |  SELECT doc_id, doc_id % 7, n_chars FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id % 3 = 0)
+        |SELECT grp, count(*) AS n, sum(chars) AS sum_chars
+        |FROM v3 GROUP BY grp ORDER BY grp""".stripMargin,
     // q169: the tag pins v=1 = the first two inserts' predicate union,
     // resolvable by NAME even after retention deleted v=0
     "q169_version_tags" ->
