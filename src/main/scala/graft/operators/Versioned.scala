@@ -604,17 +604,25 @@ object Versioned {
     next
   }
 
-  /** SHALLOW CLONE: materialize the CURRENT snapshot of `srcRoot` as
-    * version 0 of a fresh `dstRoot` — hard-links again, O(files).
-    * History does not transfer (the clone starts its own); the
-    * immutable-file discipline is what makes sharing safe. */
+  /** SHALLOW CLONE: materialize a snapshot of `srcRoot` (the CURRENT
+    * one, or an explicit `srcVersion` — e.g. a tag-resolved training
+    * snapshot, "branch from train-v1") as version 0 of a fresh
+    * `dstRoot` — hard-links again, O(files). History does not transfer
+    * (the clone starts its own); the immutable-file discipline is what
+    * makes sharing safe. */
   def cloneTo(srcRoot: String, dstRoot: String,
-              commitTs: Option[Long] = None): Unit = {
+              commitTs: Option[Long] = None,
+              srcVersion: Option[Long] = None): Unit = {
     // cloning a representation this build can't read would propagate
     // files whose sidecar kinds the carry logic doesn't know about
     checkProtocol(srcRoot)
-    val srcV = latestVersion(srcRoot).getOrElse(throw new IllegalStateException(
-      s"cloneTo: no versions under $srcRoot"))
+    srcVersion.foreach(v => require(
+      Files.isDirectory(Paths.get(srcRoot, s"v=$v")),
+      s"cloneTo: version $v does not exist under $srcRoot " +
+        s"(existing: ${versions(srcRoot).mkString(", ")})"))
+    val srcV = srcVersion.orElse(latestVersion(srcRoot))
+      .getOrElse(throw new IllegalStateException(
+        s"cloneTo: no versions under $srcRoot"))
     require(!Files.exists(Paths.get(dstRoot, "v=0")),
       s"cloneTo: destination $dstRoot already has versions")
     val dst = Paths.get(dstRoot, "v=0")

@@ -615,17 +615,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         Array(
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("older_than_ms", LongType)
-            .defaultValue(86400000L.toString).build()),
+            .defaultValue(86400000L.toString).build(),
+          // Delta's VACUUM DRY RUN: list what WOULD be reclaimed,
+          // delete nothing — the audit step before a destructive sweep
+          ProcedureParameter.in("dry_run", org.apache.spark.sql.types
+            .BooleanType).defaultValue("false").build()),
         new StructType().add("removed", StringType, nullable = false),
         in => {
           val r = root(in.getUTF8String(0).toString)
           val age = in.getLong(1)
+          val dry = in.getBoolean(2)
           // two sweeps, both age-gated: crashed writers' staging dirs,
           // and unmanifested strays inside committed version dirs
           // (invisible to readers since the commit names its files —
           // vacuum reclaims their storage)
-          (VersionedWriteIo.vacuumStaging(r, age) ++
-            VersionedWriteIo.vacuumOrphans(r, age))
+          (VersionedWriteIo.vacuumStaging(r, age, dry) ++
+            VersionedWriteIo.vacuumOrphans(r, age, dry))
             .map(d => new GenericInternalRow(Array[Any](
               org.apache.spark.unsafe.types.UTF8String.fromString(d))))
         })
@@ -720,11 +725,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "restore" => new GraftProcedure("restore",
         Array(
           ProcedureParameter.in("table", StringType).build(),
-          ProcedureParameter.in("version", LongType).build()),
+          // a version number, or (ref) a tag name / number string —
+          // exactly one of the two
+          ProcedureParameter.in("version", LongType)
+            .defaultValue("-1").build(),
+          ProcedureParameter.in("ref", StringType)
+            .defaultValue("''").build()),
         new StructType().add("current_version", LongType, nullable = false),
         in => {
           val tbl = in.getUTF8String(0).toString
-          val v = Versioned.restoreTo(root(tbl), in.getLong(1))
+          val refS = Option(in.getUTF8String(2)).map(_.toString.trim)
+            .filter(_.nonEmpty)
+          val vIn = in.getLong(1)
+          require((vIn >= 0) != refS.isDefined,
+            "graft catalog: restore wants version => n OR ref => " +
+              s"'tag-or-number', got version=$vIn ref=${refS.getOrElse("''")}")
+          val target = refS.map(Versioned.resolveRef(root(tbl), _))
+            .getOrElse(vIn)
+          val v = Versioned.restoreTo(root(tbl), target)
           // a changeFeedKeys table feeds EVERY commit — the restore's
           // diff (rows changing back) included
           feedHook(tbl, v)
@@ -735,11 +753,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "clone" => new GraftProcedure("clone",
         Array(
           ProcedureParameter.in("source", StringType).build(),
-          ProcedureParameter.in("target", StringType).build()),
+          ProcedureParameter.in("target", StringType).build(),
+          // clone a PINNED snapshot instead of the current one: a
+          // version number or tag name ("branch from train-v1")
+          ProcedureParameter.in("ref", StringType)
+            .defaultValue("''").build()),
         new StructType().add("cloned", StringType, nullable = false),
         in => {
           val src = in.getUTF8String(0).toString
           val tgt = in.getUTF8String(1).toString
+          val refS = Option(in.getUTF8String(2)).map(_.toString.trim)
+            .filter(_.nonEmpty)
           val parts = tgt.split("\\.").filter(_.nonEmpty)
           require(parts.length >= 2,
             s"graft catalog: clone target must be 'ns.table', got '$tgt'")
@@ -752,7 +776,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           require(srcParts.length >= 2,
             s"graft catalog: clone source must be 'ns.table', got '$src'")
           val srcIdent = Identifier.of(srcParts.init, srcParts.last)
-          Versioned.cloneTo(root(src), tablePath(tgtIdent).toString)
+          val srcV = refS.map(Versioned.resolveRef(root(src), _))
+          Versioned.cloneTo(root(src), tablePath(tgtIdent).toString,
+            srcVersion = srcV)
           Files.copy(manifestOf(srcIdent), manifestOf(tgtIdent))
           // the full table contract transfers: layout properties,
           // check constraints AND the column mapping (a clone reading
@@ -767,7 +793,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           // (pure-carry, hard-linked names) pass now that it can see it
           graft.operators.BloomSidecar.ensure(tablePath(tgtIdent).toString,
             0L, carryExtra = Some(Paths.get(root(src)).resolve(
-              s"v=${Versioned.latestVersion(root(src)).getOrElse(0L)}")))
+              s"v=${srcV.orElse(Versioned.latestVersion(root(src))).getOrElse(0L)}")))
           // a changeFeedKeys clone starts its own feed history with
           // v=0's all-'added' feed (a stream from 0 sees the content)
           feedHook(tgt, 0L)

@@ -3023,7 +3023,8 @@ private[graft] object VersionedWriteIo {
     * so an in-flight writer's staging is never swept: a live commit
     * holds its staging dir for seconds, the default window is a day.
     * Returns the deleted directory names. */
-  def vacuumStaging(root: String, olderThanMs: Long): Seq[String] = {
+  def vacuumStaging(root: String, olderThanMs: Long,
+                    dryRun: Boolean = false): Seq[String] = {
     val p = Paths.get(root)
     if (!Files.isDirectory(p)) return Seq.empty
     val cutoff = System.currentTimeMillis() - olderThanMs
@@ -3034,7 +3035,7 @@ private[graft] object VersionedWriteIo {
           Files.getLastModifiedTime(d).toMillis < cutoff
       }.toList
       finally stream.close()
-    stale.foreach(Versioned.deleteRecursively)
+    if (!dryRun) stale.foreach(Versioned.deleteRecursively)
     stale.map(_.getFileName.toString).sorted
   }
 
@@ -3049,7 +3050,8 @@ private[graft] object VersionedWriteIo {
     * without a manifest (pre-manifest history) are never touched —
     * there the listing IS the truth and deletion would be data loss.
     * Returns `v=N/<name>` for each removed file. */
-  def vacuumOrphans(root: String, olderThanMs: Long): Seq[String] = {
+  def vacuumOrphans(root: String, olderThanMs: Long,
+                    dryRun: Boolean = false): Seq[String] = {
     val cutoff = System.currentTimeMillis() - olderThanMs
     def old(p: Path): Boolean = Files.getLastModifiedTime(p).toMillis < cutoff
     Versioned.versions(root).flatMap { v =>
@@ -3081,7 +3083,7 @@ private[graft] object VersionedWriteIo {
             finally s.close()
           }
           (strayData ++ strayDv ++ strayTmp).map { f =>
-            Files.deleteIfExists(f)
+            if (!dryRun) Files.deleteIfExists(f)
             s"v=$v/${vdir.relativize(f)}"
           }
       }

@@ -194,6 +194,13 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     java.nio.file.Files.setLastModifiedTime(stale,
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() - 3600_000L))
+    // DRY RUN first: same listing, nothing deleted
+    val wouldRemove = sql("CALL gtest.sys.vacuum(table => 'ns.t10', " +
+      "older_than_ms => 1800000, dry_run => true)")
+      .collect().map(_.getString(0)).toSeq
+    assert(wouldRemove === Seq("_staging_crashed_001"))
+    assert(java.nio.file.Files.exists(stale),
+      "dry_run must not delete anything")
     val removed = sql(
       "CALL gtest.sys.vacuum(table => 'ns.t10', older_than_ms => 1800000)")
       .collect().map(_.getString(0)).toSeq

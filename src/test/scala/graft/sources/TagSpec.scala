@@ -84,6 +84,31 @@ class TagSpec extends AnyFunSuite with SparkSpec {
       .collect()(0).getLong(0) === 0L)
   }
 
+  test("clone and restore resolve tag refs (branch from / roll back to a name)") {
+    val (t, root) = fresh()
+    spark.sql(s"CALL tg.sys.tag(table => 'ns.t$n', name => 'snap', version => 1)")
+    // branch from the tagged snapshot: the clone's v=0 IS v=1's content
+    spark.sql(s"CALL tg.sys.clone(source => 'ns.t$n', " +
+      s"target => 'ns.branch$n', ref => 'snap')")
+    assert(spark.sql(s"SELECT count(*) FROM tg.ns.branch$n")
+      .collect()(0).getLong(0) === 30L)
+    // numeric refs work too
+    spark.sql(s"CALL tg.sys.clone(source => 'ns.t$n', " +
+      s"target => 'ns.branch0_$n', ref => '0')")
+    assert(spark.sql(s"SELECT count(*) FROM tg.ns.branch0_$n")
+      .collect()(0).getLong(0) === 10L)
+    // restore the source back to the tag: a NEW commit with v=1's rows
+    val cur = spark.sql(s"CALL tg.sys.restore(table => 'ns.t$n', ref => 'snap')")
+      .collect()(0).getLong(0)
+    assert(cur === 3L)
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) === 30L)
+    // exactly one of version/ref
+    val e = intercept[Exception](spark.sql(
+      s"CALL tg.sys.restore(table => 'ns.t$n', version => 1, ref => 'snap')"))
+    assert(e.getMessage.contains("version => n OR ref"), e.getMessage)
+    intercept[Exception](spark.sql(s"CALL tg.sys.restore(table => 'ns.t$n')"))
+  }
+
   test("fail-loud: unknown refs, malformed names, missing versions") {
     val (t, root) = fresh()
     val e1 = intercept[Exception](spark.sql(
