@@ -274,6 +274,46 @@ object VersionedGate {
              VERSION AS OF 'train-v1' ORDER BY doc_id""")
   }
 
+  /** q171: TRAINING-CORPUS RELEASE — the engine's reason to exist as
+    * ONE gate: documents are quality-filtered (length bounds), exactly
+    * deduplicated (md5 of text, smallest doc_id survives), split
+    * train/val by portable hash, written to a versioned catalog table,
+    * TAGGED as the release, then mutated further (the corpus moves on)
+    * — and the query returns the release read BY NAME, which must
+    * still be the exact filtered/deduped/split corpus the oracle
+    * re-derives from first principles. Every layer is on the hook at
+    * once: functions, dedup, sampling, the write path, tags, and
+    * time-travel-by-name. */
+  def q171CorpusRelease(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs171")
+    s.sql("CREATE TABLE graft.gate.docs171 " +
+      "(doc_id BIGINT, split STRING, n_chars BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('clusterBy'='doc_id')")
+    val docs = Tables.documents(s, dir)
+      .where(col("n_chars").between(120, 2500)) // quality: length bounds
+    // exact dedup: one survivor per text body, smallest doc_id wins
+    val deduped = docs
+      .withColumn("__k", md5(col("text")))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("__k").orderBy("doc_id")))
+      .where(col("__rn") === 1)
+    // deterministic split by portable hash of the doc id
+    val released = deduped.select(col("doc_id"),
+      when(pmod(col("doc_id") * 2654435761L, lit(1000003L)) < 800003L,
+        "train").otherwise(lit("val")).as("split"),
+      col("n_chars"))
+    released.createOrReplaceTempView("q171_release")
+    s.sql("INSERT INTO graft.gate.docs171 SELECT * FROM q171_release") // v=0
+    s.sql("CALL graft.sys.tag(table => 'gate.docs171', name => 'train-v1')")
+    // the corpus moves on: the release must not
+    s.sql("DELETE FROM graft.gate.docs171 WHERE split = 'val'")        // v=1
+    s.sql("INSERT INTO graft.gate.docs171 VALUES (999999, 'train', 1)") // v=2
+    s.sql("""SELECT doc_id, split, n_chars FROM graft.gate.docs171
+             VERSION AS OF 'train-v1' ORDER BY doc_id""")
+  }
+
   /** q170: INCREMENTAL MATERIALIZED VIEW maintained from the stored
     * change feed — the composition the table format exists for: a
     * standing aggregate (per-group count + sum) is built ONCE from the
@@ -1154,6 +1194,7 @@ object VersionedGate {
     "q168_batch_change_feed" -> (q168BatchChangeFeed _),
     "q169_version_tags" -> (q169VersionTags _),
     "q170_ivm_from_cdf" -> (q170IvmFromCdf _),
+    "q171_corpus_release" -> (q171CorpusRelease _),
     "q144_catalog_sql" -> (q144CatalogSql _),
     "q145_catalog_time_travel" -> (q145CatalogTimeTravel _),
     "q146_stream_write_versions" -> (q146StreamWriteVersions _),
@@ -1434,6 +1475,23 @@ object VersionedGate {
         |   OR old_price IS DISTINCT FROM new_price
         |ORDER BY doc_id""".stripMargin,
     // q141 shares q120's batch-diff expectation
+    // q171: the release re-derived from first principles — filter,
+    // dedup (min doc_id per text), hash split; the post-tag mutations
+    // must be invisible to the named read
+    "q171_corpus_release" ->
+      """WITH q AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  WHERE n_chars BETWEEN 120 AND 2500),
+        |d AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+        |  FROM q)
+        |SELECT doc_id,
+        |  CASE WHEN (doc_id * 2654435761) % 1000003 < 800003
+        |       THEN 'train' ELSE 'val' END AS split,
+        |  n_chars
+        |FROM d WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     // q170: increment ≡ recompute — the final aggregate re-derived by
     // replaying the predicates sequentially, never reading the feed
     "q170_ivm_from_cdf" ->
