@@ -337,6 +337,35 @@ object Versioned {
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** Drop a reader-feature requirement (Delta's `ALTER TABLE DROP
+    * FEATURE` shape) — legal only when NO surviving version still uses
+    * the representation, because the flag protects time travel too:
+    * for `deletion-vectors` every surviving version dir must be free
+    * of DV sidecars (compact materializes the current one; retention
+    * ages out flagged history). Refusals name the blocking versions.
+    * `column-mapping` has an extra catalog-side condition (the mapping
+    * file itself) checked by the procedure before calling this. */
+  private[graft] def dropReaderFeature(root: String, feature: String): Unit = {
+    val cur = readerFeatures(root)
+    require(cur.contains(feature),
+      s"graft-versioned: '$feature' is not a required reader feature " +
+        s"of $root (required: ${cur.toSeq.sorted.mkString(", ")})")
+    if (feature == "deletion-vectors") {
+      val blocking = versions(root).filter(v =>
+        DeletionVectors.dvMap(Paths.get(root, s"v=$v")).nonEmpty)
+      require(blocking.isEmpty,
+        "graft-versioned: cannot drop 'deletion-vectors' — surviving " +
+          s"version(s) ${blocking.mkString("v=", ", v=", "")} still " +
+          "carry DV sidecars; compact the current version and age out " +
+          "or retain away the flagged history first")
+    }
+    val rest = cur - feature
+    val p = Paths.get(root, ProtocolFile)
+    if (rest.isEmpty) Files.deleteIfExists(p)
+    else Files.write(p, rest.toSeq.sorted.map("reader " + _).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** Reader-side gate, run at every table resolution (DSv2 table
     * construction and the path-API snapshot read): required features
     * this build lacks fail the read loudly — wrong results are never an

@@ -540,13 +540,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * current version; retain: one row per surviving version). */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("sys")))
-      Array("clone", "compact", "convert", "files", "history", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
+      Array("clone", "compact", "convert", "drop_feature", "files", "history", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
         .map(Identifier.of(Array("sys"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     val known =
-      Array("clone", "compact", "convert", "files", "history", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
+      Array("clone", "compact", "convert", "drop_feature", "files", "history", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
     require(ident.namespace.sameElements(Array("sys")) && known.contains(ident.name),
       s"graft catalog: unknown procedure ${ident.namespace.mkString(".")}." +
         s"${ident.name} — available: ${known.map("sys." + _).mkString(", ")}")
@@ -905,6 +905,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             new GenericInternalRow(Array[Any](
               org.apache.spark.unsafe.types.UTF8String.fromString(n), v))
           })
+      // Delta's ALTER TABLE DROP FEATURE: lift a reader-feature
+      // requirement once NO surviving state still uses the
+      // representation — older builds can read the table again.
+      // Refusals name what blocks (DV-carrying versions, a mapping
+      // that still carries information).
+      case "drop_feature" => new GraftProcedure("drop_feature",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("feature", StringType).build()),
+        new StructType().add("dropped", StringType, nullable = false),
+        in => {
+          val tbl = in.getUTF8String(0).toString
+          val feature = in.getUTF8String(1).toString
+          if (feature == "column-mapping") {
+            val parts = tbl.split("\\.").filter(_.nonEmpty)
+            require(parts.length >= 2,
+              s"graft catalog: drop_feature wants 'ns.table', got '$tbl'")
+            val ident = Identifier.of(parts.init, parts.last)
+            readColMap(ident).foreach { case (m, retired) =>
+              require(m.forall { case (l, p) => l == p } && retired.isEmpty,
+                "graft catalog: cannot drop 'column-mapping' — the " +
+                  "mapping still carries information (non-identity " +
+                  "bindings or dropped-column tombstones); only a " +
+                  "mapping that has become identity with no drop " +
+                  "history can be lifted")
+              Files.deleteIfExists(tablePath(ident).resolve(ColMapManifest))
+            }
+          }
+          Versioned.dropReaderFeature(root(tbl), feature)
+          Seq(new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(feature))))
+        })
       case "retain" => new GraftProcedure("retain",
         Array(
           ProcedureParameter.in("table", StringType).build(),

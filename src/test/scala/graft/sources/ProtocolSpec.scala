@@ -116,6 +116,50 @@ class ProtocolSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("rle-pages-v9"))
   }
 
+  test("sys.drop_feature lifts deletion-vectors only when no version carries DVs") {
+    val (t, root) = freshTable("TBLPROPERTIES ('deletionVectors'='true')")
+    spark.sql(s"DELETE FROM $t WHERE id % 5 = 0") // v=1, DV sidecars
+    assert(Versioned.readerFeatures(root) === Set("deletion-vectors"))
+    // refused while v=1 still carries sidecars — names the version
+    val e = intercept[Exception](spark.sql(
+      s"CALL proto.sys.drop_feature(table => 't.tab$n', " +
+        "feature => 'deletion-vectors')"))
+    assert(e.getMessage.contains("v=1"), e.getMessage)
+    // materialize (compact) then age out the flagged history
+    spark.sql(s"CALL proto.sys.compact(table => 't.tab$n')") // v=2, no DVs
+    spark.sql(s"CALL proto.sys.retain(table => 't.tab$n', keep => 1)")
+    spark.sql(s"CALL proto.sys.drop_feature(table => 't.tab$n', " +
+      "feature => 'deletion-vectors')")
+    assert(Versioned.readerFeatures(root) === Set.empty[String])
+    assert(!Files.exists(Paths.get(root, "_graft_protocol")))
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) === 40L)
+    // a later DV DELETE re-earns the flag
+    spark.sql(s"DELETE FROM $t WHERE id = 1")
+    assert(Versioned.readerFeatures(root) === Set("deletion-vectors"))
+  }
+
+  test("sys.drop_feature lifts column-mapping only once the mapping is identity") {
+    val (t, root) = freshTable()
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO w")
+    assert(Versioned.readerFeatures(root) === Set("column-mapping"))
+    val e = intercept[Exception](spark.sql(
+      s"CALL proto.sys.drop_feature(table => 't.tab$n', " +
+        "feature => 'column-mapping')"))
+    assert(e.getMessage.contains("carries information"), e.getMessage)
+    // rename back: the mapping becomes identity (w never wrote files)
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN w TO v")
+    spark.sql(s"CALL proto.sys.drop_feature(table => 't.tab$n', " +
+      "feature => 'column-mapping')")
+    assert(Versioned.readerFeatures(root) === Set.empty[String])
+    assert(spark.sql(s"SELECT sum(v) FROM $t").collect()(0).getLong(0)
+      === (0L until 50L).map(_ * 10).sum)
+    // dropping an un-flagged feature is loud
+    val e2 = intercept[Exception](spark.sql(
+      s"CALL proto.sys.drop_feature(table => 't.tab$n', " +
+        "feature => 'deletion-vectors')"))
+    assert(e2.getMessage.contains("not a required reader feature"), e2.getMessage)
+  }
+
   test("requireReaderFeature is idempotent and refuses unsupported flags") {
     val root = Files.createTempDirectory("graft_protocol_req_").toString
     Versioned.requireReaderFeature(Paths.get(root), "deletion-vectors")
