@@ -540,13 +540,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * current version; retain: one row per surviving version). */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("sys")))
-      Array("clone", "compact", "convert", "drop_feature", "files", "history", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
+      Array("clone", "compact", "convert", "drop_feature", "files", "history", "manifest", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
         .map(Identifier.of(Array("sys"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     val known =
-      Array("clone", "compact", "convert", "drop_feature", "files", "history", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
+      Array("clone", "compact", "convert", "drop_feature", "files", "history", "manifest", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
     require(ident.namespace.sameElements(Array("sys")) && known.contains(ident.name),
       s"graft catalog: unknown procedure ${ident.namespace.mkString(".")}." +
         s"${ident.name} — available: ${known.map("sys." + _).mkString(", ")}")
@@ -905,6 +905,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             new GenericInternalRow(Array[Any](
               org.apache.spark.unsafe.types.UTF8String.fromString(n), v))
           })
+      // Delta's GENERATE symlink_format_manifest shape: export a
+      // snapshot's data-file list (absolute paths) so EXTERNAL engines
+      // (DuckDB, Trino, a plain parquet reader) can consume the exact
+      // snapshot without this connector. REFUSES itself whenever a
+      // plain parquet read of those files would be WRONG: DV sidecars
+      // (deleted rows would resurrect) or a non-identity column
+      // mapping (files carry physical birth names) — the refusal names
+      // the fix (compact / drop_feature).
+      case "manifest" => new GraftProcedure("manifest",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("version", LongType)
+            .defaultValue("-1").build()),
+        new StructType()
+          .add("path", StringType, nullable = false)
+          .add("bytes", LongType, nullable = false),
+        in => {
+          val tbl = in.getUTF8String(0).toString
+          val r = root(tbl)
+          val v = in.getLong(1) match {
+            case -1L => Versioned.latestVersion(r).getOrElse(
+              throw new IllegalStateException(s"no versions under $r"))
+            case x => x
+          }
+          val vdir = java.nio.file.Paths.get(r, s"v=$v")
+          require(Files.isDirectory(vdir),
+            s"graft catalog: version $v does not exist (existing: " +
+              s"${Versioned.versions(r).mkString(", ")})")
+          val dvs = graft.operators.DeletionVectors.dvMap(vdir)
+          require(dvs.isEmpty,
+            s"graft catalog: manifest of v=$v would be WRONG for an " +
+              s"external reader — ${dvs.size} data file(s) carry " +
+              "deletion-vector sidecars a plain parquet read would " +
+              "ignore (deleted rows resurrect); run sys.compact to " +
+              "materialize them first")
+          val parts = tbl.split("\\.").filter(_.nonEmpty)
+          if (parts.length >= 2)
+            readColMap(Identifier.of(parts.init, parts.last)).foreach {
+              case (m, _) => require(m.forall { case (l, p) => l == p },
+                "graft catalog: manifest would expose PHYSICAL column " +
+                  "names that differ from the table's logical schema " +
+                  "(column mapping in effect) — external readers would " +
+                  "see pre-rename names; drop the mapping " +
+                  "(sys.drop_feature) or read through the engine")
+            }
+          Versioned.dataFiles(vdir).sortBy(_.getFileName.toString).map { f =>
+            new GenericInternalRow(Array[Any](
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                f.toAbsolutePath.toString),
+              Files.size(f)))
+          }
+        })
       // Delta's ALTER TABLE DROP FEATURE: lift a reader-feature
       // requirement once NO surviving state still uses the
       // representation — older builds can read the table again.

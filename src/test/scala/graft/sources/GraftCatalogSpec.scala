@@ -249,6 +249,42 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(JF.exists(planted))
   }
 
+  test("sys.manifest exports externally-readable file lists; refuses when wrong") {
+    import spark.implicits._
+    sql("DROP TABLE IF EXISTS gtest.ns.tman")
+    sql("CREATE TABLE gtest.ns.tman (id BIGINT, v BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('deletionVectors'='true')")
+    sql("INSERT INTO gtest.ns.tman SELECT id, id * 2 FROM range(0, 100)")
+    sql("INSERT INTO gtest.ns.tman SELECT id, id * 2 FROM range(100, 150)")
+    val files = sql("CALL gtest.sys.manifest(table => 'ns.tman')")
+      .collect().map(_.getString(0)).toSeq
+    assert(files.nonEmpty && files.forall(_.endsWith(".parquet")))
+    // an EXTERNAL plain parquet read of the exported list = the table
+    val external = spark.read.parquet(files: _*)
+    assert(external.count() === 150L)
+    assert(external.agg(org.apache.spark.sql.functions.sum("v"))
+      .collect()(0).getLong(0) ===
+      sql("SELECT sum(v) FROM gtest.ns.tman").collect()(0).getLong(0))
+    // a version addressed explicitly exports too
+    assert(sql("CALL gtest.sys.manifest(table => 'ns.tman', version => 0)")
+      .collect().length > 0)
+    // DV'd snapshot: a plain read would resurrect deleted rows — refuse
+    sql("DELETE FROM gtest.ns.tman WHERE id < 10")
+    val e = intercept[Exception](
+      sql("CALL gtest.sys.manifest(table => 'ns.tman')").collect())
+    assert(e.getMessage.contains("deletion-vector"), e.getMessage)
+    assert(e.getMessage.contains("sys.compact"), e.getMessage)
+    sql("CALL gtest.sys.compact(table => 'ns.tman')")
+    val afterCompact = sql("CALL gtest.sys.manifest(table => 'ns.tman')")
+      .collect().map(_.getString(0)).toSeq
+    assert(spark.read.parquet(afterCompact: _*).count() === 140L)
+    // a column-mapped table would expose physical names — refuse
+    sql("ALTER TABLE gtest.ns.tman RENAME COLUMN v TO w")
+    val e2 = intercept[Exception](
+      sql("CALL gtest.sys.manifest(table => 'ns.tman')").collect())
+    assert(e2.getMessage.contains("PHYSICAL column names"), e2.getMessage)
+  }
+
   test("DELETE FROM is copy-on-write: survivors in a new version, history pinned") {
     sql("DROP TABLE IF EXISTS gtest.ns.t11")
     sql("CREATE TABLE gtest.ns.t11 (id BIGINT, tag STRING) USING `graft-versioned`")
