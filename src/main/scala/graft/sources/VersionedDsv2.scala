@@ -1073,11 +1073,9 @@ private[sources] class GraftVersionedScan(
       s"graft-versioned: no stored change feed under $root — the table " +
         "was not written with changeFeedKeys / writeNextWithFeed")
     def bound(key: String, default: Long): Long =
-      Option(options.get(key)).map { v =>
-        scala.util.Try(v.trim.toLong).getOrElse(
-          throw new IllegalArgumentException(
-            s"graft-versioned: $key must be an integer version, got '$v'"))
-      }.getOrElse(default)
+      Option(options.get(key))
+        .map(Versioned.resolveRef(root, _)) // number or tag name
+        .getOrElse(default)
     val from = bound("startingVersion", 0L)
     val to = bound("endingVersion", feeds.last)
     require(from <= feeds.last,
@@ -1296,17 +1294,18 @@ private[sources] class GraftVersionedScan(
       }
     if (GraftVersionedTable.isChangeFeed(options))
       new GraftChangeFeedStream(root, required, pushed, filterTypes,
-        options.getLong("startingVersion", 0L),
+        // a version number or a TAG name — "stream the feed since the
+        // train-v1 release" resolves through the same ref rules as
+        // VERSION AS OF
+        Option(options.get("startingVersion"))
+          .map(Versioned.resolveRef(root, _)).getOrElse(0L),
         positiveLong("maxVersionsPerTrigger"),
         positiveLong("maxBytesPerTrigger"))
     else
       new GraftTableStream(root, required, pushed, filterTypes, colMap,
         checkpointLocation,
         Option(options.get("startingVersion")).map { v =>
-          val n = scala.util.Try(v.trim.toLong).getOrElse(
-            throw new IllegalArgumentException(
-              "graft-versioned: startingVersion must be a non-negative " +
-                s"integer, got '$v'"))
+          val n = Versioned.resolveRef(root, v) // number or tag name
           require(n >= 0,
             s"graft-versioned: startingVersion must be non-negative, got $n")
           n

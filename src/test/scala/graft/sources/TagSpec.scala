@@ -109,6 +109,40 @@ class TagSpec extends AnyFunSuite with SparkSpec {
     intercept[Exception](spark.sql(s"CALL tg.sys.restore(table => 'ns.t$n')"))
   }
 
+  test("streams and batch CDF accept tag refs for version bounds") {
+    warehouse
+    n += 1
+    val t = s"tg.ns.t$n"
+    val root = s"$warehouse/ns/t$n"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('changeFeedKeys'='id')")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 10)")   // v=0
+    spark.sql(s"CALL tg.sys.tag(table => 'ns.t$n', name => 'rel', version => 0)")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(10, 25)")  // v=1
+    // batch CDF: "changes SINCE the rel release" — (rel, latest] by name
+    val since = spark.read.format("graft-versioned")
+      .option("changeFeed", "true").option("startingVersion", "rel")
+      .load(root)
+    assert(since.where("commit_version = 0").count() === 10L)
+    assert(since.count() === 25L)
+    val after = spark.read.format("graft-versioned")
+      .option("changeFeed", "true").option("startingVersion", "1")
+      .option("endingVersion", "rel").load(root)
+    // inverted by resolution (1 > 0) — still loud
+    val e = intercept[Exception](after.collect())
+    assert(e.getMessage.contains("startingVersion 1 > endingVersion 0"))
+    // the table stream replays from the tag (no snapshot): v=0's files
+    val ckpt = java.nio.file.Files.createTempDirectory("tag_stream_").toString
+    val q = spark.readStream.format("graft-versioned")
+      .option("startingVersion", "rel").load(root)
+      .writeStream.format("memory").queryName(s"tag_stream_$n")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table(s"tag_stream_$n").count() === 25L)
+  }
+
   test("fail-loud: unknown refs, malformed names, missing versions") {
     val (t, root) = fresh()
     val e1 = intercept[Exception](spark.sql(
