@@ -802,17 +802,26 @@ object Versioned {
       }.toMap
   }
 
+  // tag mutations are read-modify-write over one small file: serialize
+  // them within the driver JVM (admin verbs, one driver in practice)
+  // and publish via temp + atomic rename so a crash mid-write can
+  // never leave a torn tag file behind
+  private val tagsLock = new Object
+
   private def writeTags(root: String, ts: Map[String, Long]): Unit = {
     val p = Paths.get(root, TagsFile)
-    if (ts.isEmpty) Files.deleteIfExists(p)
-    else Files.write(p, ts.toSeq.sorted.map { case (n, v) => s"$n $v" }
+    if (ts.isEmpty) { Files.deleteIfExists(p); return }
+    val tmp = Files.createTempFile(p.getParent, "_graft_tags_", ".tmp")
+    Files.write(tmp, ts.toSeq.sorted.map { case (n, v) => s"$n $v" }
       .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Bind `name` to `version` (default: current latest). Loud on a
     * malformed name, a missing version, or an existing binding. */
   def tagVersion(root: String, name: String,
-                 version: Option[Long] = None): Long = {
+                 version: Option[Long] = None): Long = tagsLock.synchronized {
     require(name.nonEmpty && !name.head.isDigit &&
         name.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
       s"graft-versioned: tag name '$name' must be identifier-shaped " +
@@ -832,7 +841,7 @@ object Versioned {
   }
 
   /** Remove `name`'s binding. Loud when the tag does not exist. */
-  def dropTag(root: String, name: String): Long = {
+  def dropTag(root: String, name: String): Long = tagsLock.synchronized {
     val cur = tags(root)
     val v = cur.getOrElse(name, throw new IllegalArgumentException(
       s"graft-versioned: no tag '$name' " +

@@ -156,6 +156,18 @@ class TagSpec extends AnyFunSuite with SparkSpec {
     intercept[Exception](Versioned.dropTag(root, "never-existed"))
   }
 
+  test("concurrent taggers never lose a binding; the file is never torn") {
+    val (_, root) = fresh()
+    val names = (0 until 16).map(i => s"tag-$i")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = names.map(nm => new Thread(() =>
+      try Versioned.tagVersion(root, nm, Some(0L))
+      catch { case t: Throwable => errs.add(t) }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.toString)
+    assert(Versioned.tags(root).keySet === names.toSet)
+  }
+
   test("tag names survive round-trips with spaces-free punctuation and sort stably") {
     val (_, root) = fresh()
     Versioned.tagVersion(root, "a.b-c_d", Some(0L))
