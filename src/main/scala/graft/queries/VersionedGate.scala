@@ -314,6 +314,40 @@ object VersionedGate {
              VERSION AS OF 'train-v1' ORDER BY doc_id""")
   }
 
+  /** q172: EXTERNAL-READER MANIFEST round trip — `sys.manifest`
+    * exports a snapshot's absolute data-file paths and the gate reads
+    * them back with Spark's PLAIN parquet reader (no connector, the
+    * external engine's view); a DV-mode DELETE happens first and the
+    * compact that makes the export legal materializes it, so the
+    * exported bytes must already be the post-delete rows. The oracle
+    * re-derives that state from predicates alone — if the manifest
+    * listed a stale, extra, or DV-carrying file, the plain read would
+    * drift and the hash would catch it. */
+  def q172ManifestExport(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs172")
+    s.sql("CREATE TABLE graft.gate.docs172 (doc_id BIGINT, n_chars BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('deletionVectors'='true')")
+    Tables.documents(s, dir).createOrReplaceTempView("q172_docs_src")
+    s.sql("INSERT INTO graft.gate.docs172 " +
+      "SELECT doc_id, n_chars FROM q172_docs_src WHERE doc_id % 5 = 3") // v=0
+    s.sql("DELETE FROM graft.gate.docs172 WHERE n_chars < 350")         // v=1 DVs
+    // DV'd snapshot must refuse export (a plain read would resurrect)
+    val refused =
+      try { s.sql("CALL graft.sys.manifest(table => 'gate.docs172')")
+        .collect(); false }
+      catch { case e: Exception => e.getMessage.contains("deletion-vector") }
+    require(refused, "q172: a DV'd snapshot must refuse the export")
+    s.sql("CALL graft.sys.compact(table => 'gate.docs172')")            // v=2
+    val paths = s.sql("CALL graft.sys.manifest(table => 'gate.docs172')")
+      .collect().map(_.getString(0)).toSeq
+    require(paths.nonEmpty, "q172: empty manifest export")
+    // the EXTERNAL view: plain parquet over the exported paths
+    s.read.parquet(paths: _*)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** q170: INCREMENTAL MATERIALIZED VIEW maintained from the stored
     * change feed — the composition the table format exists for: a
     * standing aggregate (per-group count + sum) is built ONCE from the
@@ -1195,6 +1229,7 @@ object VersionedGate {
     "q169_version_tags" -> (q169VersionTags _),
     "q170_ivm_from_cdf" -> (q170IvmFromCdf _),
     "q171_corpus_release" -> (q171CorpusRelease _),
+    "q172_manifest_export" -> (q172ManifestExport _),
     "q144_catalog_sql" -> (q144CatalogSql _),
     "q145_catalog_time_travel" -> (q145CatalogTimeTravel _),
     "q146_stream_write_versions" -> (q146StreamWriteVersions _),
@@ -1475,6 +1510,12 @@ object VersionedGate {
         |   OR old_price IS DISTINCT FROM new_price
         |ORDER BY doc_id""".stripMargin,
     // q141 shares q120's batch-diff expectation
+    // q172: the external reader's view of the exported manifest must
+    // equal the insert-minus-delete predicates
+    "q172_manifest_export" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id % 5 = 3 AND n_chars >= 350
+        |ORDER BY doc_id""".stripMargin,
     // q171: the release re-derived from first principles — filter,
     // dedup (min doc_id per text), hash split; the post-tag mutations
     // must be invisible to the named read
