@@ -131,4 +131,10 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     assert(TemporalJoin.asOfJoinNative(noL, noR, Seq("k"), "t", "rt")
       .count() == 0)
   }
+
+  test("round-12 text/sampling operators on empty inputs") {
+    assert(CorpusText.repetitionProfile(noDocs).count() == 0)
+    assert(Sampling.temperatureMixture(noDocs, epochDocs = 10L)
+      .count() == 0) // no sources → empty epoch, never a 0-division
+  }
 }
