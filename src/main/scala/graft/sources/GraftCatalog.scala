@@ -690,7 +690,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         Array(
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("version", LongType)
-            .defaultValue("-1").build()),
+            .defaultValue("-1").build(),
+          // a tag name or number string — same refs as VERSION AS OF
+          ProcedureParameter.in("ref", StringType)
+            .defaultValue("''").build()),
         new StructType()
           .add("file", StringType, nullable = false)
           .add("bytes", LongType, nullable = false)
@@ -698,11 +701,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           .add("deleted_rows", LongType, nullable = false),
         in => {
           val r = root(in.getUTF8String(0).toString)
-          val v = in.getLong(1) match {
-            case -1L => Versioned.latestVersion(r).getOrElse(
-              throw new IllegalStateException(s"no versions under $r"))
-            case x => x
-          }
+          val refS = Option(in.getUTF8String(2)).map(_.toString.trim)
+            .filter(_.nonEmpty)
+          require(refS.isEmpty || in.getLong(1) == -1L,
+            "graft catalog: files wants version => n OR ref => " +
+              "'tag-or-number', not both")
+          val v = refS.map(Versioned.resolveRef(r, _)).getOrElse(
+            in.getLong(1) match {
+              case -1L => Versioned.latestVersion(r).getOrElse(
+                throw new IllegalStateException(s"no versions under $r"))
+              case x => x
+            })
           val vdir = java.nio.file.Paths.get(r, s"v=$v")
           require(Files.isDirectory(vdir),
             s"graft catalog: version $v does not exist (existing: " +

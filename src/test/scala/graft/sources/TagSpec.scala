@@ -156,6 +156,19 @@ class TagSpec extends AnyFunSuite with SparkSpec {
     intercept[Exception](Versioned.dropTag(root, "never-existed"))
   }
 
+  test("sys.files resolves tag refs; both version and ref is loud") {
+    val (_, root) = fresh()
+    spark.sql(s"CALL tg.sys.tag(table => 'ns.t$n', name => 'first', version => 0)")
+    val byRef = spark.sql(s"CALL tg.sys.files(table => 'ns.t$n', ref => 'first')")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val byNum = spark.sql(s"CALL tg.sys.files(table => 'ns.t$n', version => 0)")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(byRef === byNum && byRef.nonEmpty)
+    val e = intercept[Exception](spark.sql(
+      s"CALL tg.sys.files(table => 'ns.t$n', version => 0, ref => 'first')"))
+    assert(e.getMessage.contains("not both"), e.getMessage)
+  }
+
   test("concurrent taggers never lose a binding; the file is never torn") {
     val (_, root) = fresh()
     val names = (0 until 16).map(i => s"tag-$i")
