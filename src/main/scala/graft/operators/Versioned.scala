@@ -100,6 +100,10 @@ object Versioned {
     * readers filtering on the sort key. */
   def writeNext(df: DataFrame, root: String, commitTs: Option[Long] = None,
                 layout: Layout.WriteSpec = Layout.WriteSpec()): Long = {
+    // writer gate BEFORE any bytes land: writeNext writes v=N directly
+    // (no staging), so the manifest-time funnel check would fire after
+    // the data — too late to keep a half-created version dir off disk
+    checkWriteProtocol(root)
     val next = latestVersion(root).map(_ + 1).getOrElse(0L)
     Layout.applySpec(df, layout).write
       .options(Layout.writerOptions(layout))
@@ -310,14 +314,36 @@ object Versioned {
     Set("deletion-vectors", "column-mapping")
 
   /** Features the table's protocol file requires of readers. */
-  def readerFeatures(root: String): Set[String] = {
+  def readerFeatures(root: String): Set[String] =
+    protocolLines(root).collect {
+      case l if l.startsWith("reader ") => l.drop(7).trim
+    }.filter(_.nonEmpty).toSet
+
+  private def protocolLines(root: String): Seq[String] = {
     val p = Paths.get(root, ProtocolFile)
-    if (!Files.exists(p)) Set.empty
+    if (!Files.exists(p)) Seq.empty
     else new String(Files.readAllBytes(p),
         java.nio.charset.StandardCharsets.UTF_8)
-      .linesIterator.collect {
-        case l if l.startsWith("reader ") => l.drop(7).trim
-      }.filter(_.nonEmpty).toSet
+      .linesIterator.toSeq
+  }
+
+  // protocol mutations are read-modify-write over one small file — the
+  // same discipline as the tags file: serialize within the driver JVM
+  // and publish via temp + atomic rename, so two concurrent commits
+  // flagging DIFFERENT features can't lose one, and a reader can never
+  // observe a truncated protocol (a lost deletion-vectors flag would
+  // let an older build silently resurrect deleted rows — the exact
+  // failure the protocol exists to prevent)
+  private val protocolLock = new Object
+
+  private def writeProtocol(root: Path, lines: Seq[String]): Unit = {
+    val p = root.resolve(ProtocolFile)
+    if (lines.isEmpty) { Files.deleteIfExists(p); return }
+    val tmp = Files.createTempFile(root, "_graft_protocol_", ".tmp")
+    Files.write(tmp, lines.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Writer-side: record that the table now needs `feature` to be read
@@ -327,15 +353,14 @@ object Versioned {
     * observe feature-bearing data without the flag. Over-requirement
     * after an aborted commit is safe: this build supports the feature,
     * and the flag never changes row content. */
-  private[graft] def requireReaderFeature(root: Path, feature: String): Unit = {
-    require(SupportedReaderFeatures.contains(feature),
-      s"graft-versioned: writer flagged unknown reader feature '$feature'")
-    val cur = readerFeatures(root.toString)
-    if (!cur.contains(feature))
-      Files.write(root.resolve(ProtocolFile),
-        (cur + feature).toSeq.sorted.map("reader " + _).mkString("\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-  }
+  private[graft] def requireReaderFeature(root: Path, feature: String): Unit =
+    protocolLock.synchronized {
+      require(SupportedReaderFeatures.contains(feature),
+        s"graft-versioned: writer flagged unknown reader feature '$feature'")
+      val cur = protocolLines(root.toString)
+      val line = s"reader $feature"
+      if (!cur.contains(line)) writeProtocol(root, cur :+ line)
+    }
 
   /** Drop a reader-feature requirement (Delta's `ALTER TABLE DROP
     * FEATURE` shape) — legal only when NO surviving version still uses
@@ -345,25 +370,87 @@ object Versioned {
     * ages out flagged history). Refusals name the blocking versions.
     * `column-mapping` has an extra catalog-side condition (the mapping
     * file itself) checked by the procedure before calling this. */
-  private[graft] def dropReaderFeature(root: String, feature: String): Unit = {
-    val cur = readerFeatures(root)
-    require(cur.contains(feature),
-      s"graft-versioned: '$feature' is not a required reader feature " +
-        s"of $root (required: ${cur.toSeq.sorted.mkString(", ")})")
-    if (feature == "deletion-vectors") {
-      val blocking = versions(root).filter(v =>
-        DeletionVectors.dvMap(Paths.get(root, s"v=$v")).nonEmpty)
-      require(blocking.isEmpty,
-        "graft-versioned: cannot drop 'deletion-vectors' — surviving " +
-          s"version(s) ${blocking.mkString("v=", ", v=", "")} still " +
-          "carry DV sidecars; compact the current version and age out " +
-          "or retain away the flagged history first")
+  private[graft] def dropReaderFeature(root: String, feature: String): Unit =
+    protocolLock.synchronized {
+      val cur = readerFeatures(root)
+      require(cur.contains(feature),
+        s"graft-versioned: '$feature' is not a required reader feature " +
+          s"of $root (required: ${cur.toSeq.sorted.mkString(", ")})")
+      if (feature == "deletion-vectors") {
+        val blocking = versions(root).filter(v =>
+          DeletionVectors.dvMap(Paths.get(root, s"v=$v")).nonEmpty)
+        require(blocking.isEmpty,
+          "graft-versioned: cannot drop 'deletion-vectors' — surviving " +
+            s"version(s) ${blocking.mkString("v=", ", v=", "")} still " +
+            "carry DV sidecars; compact the current version and age out " +
+            "or retain away the flagged history first")
+      }
+      // a feature drops from BOTH sides at once (Delta's DROP FEATURE
+      // contract): a table no reader needs DVs for has no business
+      // demanding DV-aware writers either
+      writeProtocol(Paths.get(root), protocolLines(root)
+        .filterNot(l => l == s"reader $feature" || l == s"writer $feature"))
     }
-    val rest = cur - feature
-    val p = Paths.get(root, ProtocolFile)
-    if (rest.isEmpty) Files.deleteIfExists(p)
-    else Files.write(p, rest.toSeq.sorted.map("reader " + _).mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  // ------------------------------------------- writer-feature protocol
+
+  /** Writer features this build can MAINTAIN. A table requiring
+    * anything outside this set refuses writes here ([[checkWriteProtocol]])
+    * — Delta's `writerFeatures` half of the protocol: a reader-only
+    * feature protects reads, a writer feature protects the table's
+    * INVARIANTS from a foreign or older build extending it with commits
+    * that don't maintain them (constraints left unchecked, a column
+    * mapping bypassed, an append-only promise broken). */
+  val SupportedWriterFeatures: Set[String] =
+    Set("deletion-vectors", "column-mapping", "check-constraints",
+      "append-only")
+
+  /** Features the table's protocol file requires of writers. */
+  def writerFeatures(root: String): Set[String] =
+    protocolLines(root).collect {
+      case l if l.startsWith("writer ") => l.drop(7).trim
+    }.filter(_.nonEmpty).toSet
+
+  /** Record that COMMITTING to this table now requires `feature` to be
+    * maintained. Idempotent; same atomic-publish discipline as the
+    * reader half. */
+  private[graft] def requireWriterFeature(root: Path, feature: String): Unit =
+    protocolLock.synchronized {
+      require(SupportedWriterFeatures.contains(feature),
+        s"graft-versioned: flagged unknown writer feature '$feature'")
+      val cur = protocolLines(root.toString)
+      val line = s"writer $feature"
+      if (!cur.contains(line)) writeProtocol(root, cur :+ line)
+    }
+
+  /** Drop a writer-feature requirement alone (the reader half, if any,
+    * stays). Legal only when the invariant it protects is gone — the
+    * caller (the catalog's drop_feature procedure) checks that; this
+    * just edits the file atomically. */
+  private[graft] def dropWriterFeature(root: String, feature: String): Unit =
+    protocolLock.synchronized {
+      val cur = writerFeatures(root)
+      require(cur.contains(feature),
+        s"graft-versioned: '$feature' is not a required writer feature " +
+          s"of $root (required: ${cur.toSeq.sorted.mkString(", ")})")
+      writeProtocol(Paths.get(root),
+        protocolLines(root).filterNot(_ == s"writer $feature"))
+    }
+
+  /** Writer-side gate, run at every commit funnel: a required writer
+    * feature this build cannot maintain fails the WRITE loudly — a
+    * commit that silently breaks the table's invariants is never an
+    * option. (Reading such a table stays legal: writer features gate
+    * commits, not scans.) */
+  def checkWriteProtocol(root: String): Unit = {
+    val unknown = writerFeatures(root) -- SupportedWriterFeatures
+    if (unknown.nonEmpty)
+      throw new IllegalStateException(
+        s"graft-versioned: table at $root requires writer feature(s) " +
+          unknown.toSeq.sorted.mkString("'", "', '", "'") +
+          " this build does not support (supported: " +
+          SupportedWriterFeatures.toSeq.sorted.mkString(", ") +
+          ") — refusing to commit rather than break the table's invariants")
   }
 
   /** Reader-side gate, run at every table resolution (DSv2 table
@@ -397,6 +484,12 @@ object Versioned {
   private[graft] def writeFilesManifest(vdir: Path, dataNames: Seq[String],
                                         dvNames: Seq[String] = Seq.empty,
                                         statsFrom: Option[Path] = None): Unit = {
+    // EVERY commit path funnels through this manifest write (direct
+    // v=N writes, staged publishes, restore/clone/convert, the DSv2
+    // commit loops) — so this is where the writer-feature gate runs:
+    // a table whose invariants this build cannot maintain refuses the
+    // commit before anything becomes visible
+    checkWriteProtocol(vdir.getParent.toString)
     // stats sidecar FIRST: the files manifest is the commit's visibility
     // point for manifest-resolved readers, so "manifest present ⇒ stats
     // present" survives a crash between the two writes. `statsFrom`
@@ -408,7 +501,12 @@ object Versioned {
     // before the manifest (= the commit's visibility point) exists.
     // Staging dirs live inside the table root, so the parent is the
     // root on every call path (direct v=N writes and staged publishes).
-    if (dvNames.nonEmpty) requireReaderFeature(vdir.getParent, "deletion-vectors")
+    // Writers need the flag too: a DV-blind build appending to (or
+    // compacting) this table would drop or resurrect the DV'd rows.
+    if (dvNames.nonEmpty) {
+      requireReaderFeature(vdir.getParent, "deletion-vectors")
+      requireWriterFeature(vdir.getParent, "deletion-vectors")
+    }
     Files.write(vdir.resolve(FilesManifest),
       (dataNames.sorted.map("f " + _) ++ dvNames.sorted.map("d " + _))
         .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -666,10 +764,13 @@ object Versioned {
       listParquet(staged).map(_.getFileName.toString),
       DeletionVectors.carryAll(Paths.get(srcRoot, s"v=$srcV"), staged),
       statsFrom = Some(Paths.get(srcRoot, s"v=$srcV")))
-    // the clone inherits every reader requirement of the source —
-    // shared immutable files mean shared representation
+    // the clone inherits every protocol requirement of the source —
+    // shared immutable files mean shared representation (and shared
+    // invariants on the writer side)
     readerFeatures(srcRoot).foreach(
       requireReaderFeature(Paths.get(dstRoot), _))
+    writerFeatures(srcRoot).foreach(
+      requireWriterFeature(Paths.get(dstRoot), _))
     Files.move(staged, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     writeLatestHint(dstRoot, 0L)
     writeStamp(dstRoot, 0L,
@@ -725,8 +826,11 @@ object Versioned {
         }
       }
       writeFilesManifest(staged, files.map(_.getFileName.toString))
+      // the publish move stays INSIDE the try: a concurrent convert
+      // that already created v=0 fails it, and the staging dir full of
+      // hard links must not leak under the destination root
+      Files.move(staged, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } catch { case e: Throwable => deleteRecursively(staged); throw e }
-    Files.move(staged, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     writeLatestHint(dstRoot, 0L)
     writeStamp(dstRoot, 0L,
       commitTs.getOrElse(System.currentTimeMillis() * 1000L))

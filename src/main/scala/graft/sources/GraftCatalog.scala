@@ -265,11 +265,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       .filter(_.nonEmpty).foreach(validateBloomCols(_, schema))
     val layoutProps =
       Seq("clusterBy", "writePartitions", "targetFileBytes", "changeFeedKeys",
-        "deletionVectors", graft.operators.BloomSidecar.PropKey)
+        "deletionVectors", "appendOnly", "autoMerge",
+        graft.operators.BloomSidecar.PropKey)
         .flatMap(k => Option(properties.get(k)).filter(_.nonEmpty).map(v => s"$k=$v"))
     if (layoutProps.nonEmpty)
       Files.write(tablePath(ident).resolve(PropsManifest),
         layoutProps.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the append-only promise binds every FUTURE writer of the table —
+    // protocol-flag it at birth (Delta's delta.appendOnly + the
+    // appendOnly writer feature)
+    if (Option(properties.get("appendOnly")).exists(_.trim.toBoolean))
+      Versioned.requireWriterFeature(tablePath(ident), "append-only")
     loadTable(ident)
   }
 
@@ -288,7 +294,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
     val layoutKeys =
       Set("clusterBy", "writePartitions", "targetFileBytes", "changeFeedKeys",
-        "deletionVectors", graft.operators.BloomSidecar.PropKey)
+        "deletionVectors", "appendOnly", "autoMerge",
+        graft.operators.BloomSidecar.PropKey)
     var props = readProps(ident)
     var (colMap, retired) = colMapState(ident, schema)
     val hadColMap = readColMap(ident).isDefined
@@ -391,6 +398,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               s"graft catalog: ${set.property} column '$c' not in table schema")
           }
         if (set.property == bloomKey) validateBloomCols(set.value, schema)
+        // appendOnly is a WRITER invariant the moment it's set: a build
+        // that doesn't know the property could UPDATE/DELETE through
+        // the promise — flag writers so foreign builds refuse commits
+        if (set.property == "appendOnly" && set.value.trim.toBoolean)
+          Versioned.requireWriterFeature(tablePath(ident), "append-only")
         props += (set.property -> set.value)
       case rm: TableChange.RemoveProperty if layoutKeys(rm.property) =>
         props -= rm.property
@@ -405,6 +417,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             val existing = readConstraints(ident)
             require(!existing.exists(_._1 == c.name),
               s"graft catalog: constraint '${c.name}' already exists")
+            // constraints are a WRITER-side invariant: a build that
+            // doesn't enforce them could commit violating rows — flag
+            // the table so foreign writers refuse (reads stay open)
+            Versioned.requireWriterFeature(tablePath(ident),
+              "check-constraints")
             writeConstraints(ident, existing :+ (c.name -> c.predicateSql))
           case other =>
             throw new UnsupportedOperationException(
@@ -435,8 +452,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       // a non-identity mapping changes what a correct read IS (physical
       // file names ≠ logical columns) — protocol-flag it so a build
       // without column mapping refuses the table instead of serving
-      // stale names ([[Versioned.checkProtocol]])
+      // stale names ([[Versioned.checkProtocol]]). Writers need the
+      // flag too: a mapping-blind build would write LOGICAL names into
+      // files whose contract is physical birth names.
       Versioned.requireReaderFeature(tablePath(ident), "column-mapping")
+      Versioned.requireWriterFeature(tablePath(ident), "column-mapping")
       writeColMap(ident, colMap, retired)
     }
     loadTable(ident)
@@ -758,7 +778,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           Seq(new GenericInternalRow(Array[Any](v)))
         })
       // SHALLOW CLONE: the source's current snapshot becomes v=0 of a
-      // NEW table (manifest + layout properties copied, history fresh)
+      // NEW table (manifest + layout properties copied, history fresh).
+      // DOCUMENTED CONTRACT for ref-clones (ref => an older tagged
+      // snapshot): the clone inherits the source's CURRENT table
+      // contract — schema manifest, column mapping, constraints — not
+      // the contract as of the pinned version. A clone of a
+      // pre-ADD-COLUMN snapshot therefore advertises the added column
+      // and reads it as all-null from the pinned files (exactly how the
+      // source itself reads that snapshot today: the manifest schema
+      // applies to ALL versions, old snapshots included — see
+      // alterTable's metadata-only evolution). Snapshot-pinned metadata
+      // would need per-version schema history, which this format
+      // deliberately does not keep.
       case "clone" => new GraftProcedure("clone",
         Array(
           ProcedureParameter.in("source", StringType).build(),
@@ -979,22 +1010,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         in => {
           val tbl = in.getUTF8String(0).toString
           val feature = in.getUTF8String(1).toString
-          if (feature == "column-mapping") {
-            val parts = tbl.split("\\.").filter(_.nonEmpty)
-            require(parts.length >= 2,
-              s"graft catalog: drop_feature wants 'ns.table', got '$tbl'")
-            val ident = Identifier.of(parts.init, parts.last)
-            readColMap(ident).foreach { case (m, retired) =>
-              require(m.forall { case (l, p) => l == p } && retired.isEmpty,
-                "graft catalog: cannot drop 'column-mapping' — the " +
-                  "mapping still carries information (non-identity " +
-                  "bindings or dropped-column tombstones); only a " +
-                  "mapping that has become identity with no drop " +
-                  "history can be lifted")
-              Files.deleteIfExists(tablePath(ident).resolve(ColMapManifest))
-            }
+          val parts = tbl.split("\\.").filter(_.nonEmpty)
+          require(parts.length >= 2,
+            s"graft catalog: drop_feature wants 'ns.table', got '$tbl'")
+          val ident = Identifier.of(parts.init, parts.last)
+          feature match {
+            // WRITER-ONLY features: lift once the invariant they
+            // protect is gone (reads were never gated by them)
+            case "append-only" =>
+              require(!readProps(ident).get("appendOnly")
+                  .exists(_.trim.toBoolean),
+                "graft catalog: cannot drop 'append-only' — the " +
+                  "appendOnly table property is still set; ALTER TABLE " +
+                  "… UNSET TBLPROPERTIES ('appendOnly') first")
+              Versioned.dropWriterFeature(root(tbl), feature)
+            case "check-constraints" =>
+              require(readConstraints(ident).isEmpty,
+                "graft catalog: cannot drop 'check-constraints' — " +
+                  readConstraints(ident).map(_._1).sorted
+                    .mkString("constraint(s) ", ", ", " still exist; ") +
+                  "ALTER TABLE … DROP CONSTRAINT them first")
+              Versioned.dropWriterFeature(root(tbl), feature)
+            case _ =>
+              if (feature == "column-mapping") {
+                readColMap(ident).foreach { case (m, retired) =>
+                  require(m.forall { case (l, p) => l == p } && retired.isEmpty,
+                    "graft catalog: cannot drop 'column-mapping' — the " +
+                      "mapping still carries information (non-identity " +
+                      "bindings or dropped-column tombstones); only a " +
+                      "mapping that has become identity with no drop " +
+                      "history can be lifted")
+                  Files.deleteIfExists(tablePath(ident).resolve(ColMapManifest))
+                }
+              }
+              // drops the reader flag AND the matching writer flag
+              Versioned.dropReaderFeature(root(tbl), feature)
           }
-          Versioned.dropReaderFeature(root(tbl), feature)
           Seq(new GenericInternalRow(Array[Any](
             org.apache.spark.unsafe.types.UTF8String.fromString(feature))))
         })

@@ -290,6 +290,18 @@ private[sources] class GraftVersionedTable(
   // mapping) would falsify
   Versioned.checkProtocol(root)
   private val changeFeed = GraftVersionedTable.isChangeFeed(options)
+  // Delta's delta.appendOnly: the table accepts INSERT/append commits
+  // ONLY — UPDATE/DELETE/MERGE/overwrite are refused loudly (the
+  // audit-log contract: history is evidence, mutation would be
+  // tampering). The matching 'append-only' WRITER feature flag keeps
+  // builds that don't know the property from breaking the promise.
+  private[sources] val appendOnly = options.getBoolean("appendOnly", false)
+
+  private[sources] def refuseMutation(verb: String): Unit =
+    if (appendOnly) throw new UnsupportedOperationException(
+      s"graft-versioned: $verb on `$root` refused — the table is " +
+        "appendOnly (INSERT/append commits only); unset the appendOnly " +
+        "property and drop the 'append-only' writer feature to mutate")
 
   override def name(): String =
     if (changeFeed) s"graft-versioned changes `$root`"
@@ -314,6 +326,17 @@ private[sources] class GraftVersionedTable(
       // bootstrap write to a fresh root: no schema to resolve against,
       // the write's own query schema becomes version 0's schema
       if (tableSchema.isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+      // SCHEMA-EVOLVING tables (autoMerge property / mergeSchema write
+      // option on path writes): Spark's TableOutputResolver would
+      // reject a source carrying NEW columns during analysis, before
+      // the write builder can evolve — ACCEPT_ANY_SCHEMA hands the
+      // query schema through verbatim (the Delta recipe), and the
+      // builder does the alignment itself: by-name against the table
+      // contract, positional fallback for SQL INSERT, evolution for
+      // genuinely new columns, loud for everything else
+      if (options.getBoolean("autoMerge", false) ||
+          options.getBoolean("mergeSchema", false))
+        caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
       caps
     }
 
@@ -371,6 +394,7 @@ private[sources] class GraftVersionedTable(
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(!changeFeed, "the change feed is read-only")
+    refuseMutation("DELETE")
     val spark = SparkSession.active
     if (Versioned.latestVersion(root).isEmpty) return // nothing to delete
     val pred = filters.flatMap(GroupParquetIo.toColumn).reduceOption(_ && _)
@@ -473,6 +497,7 @@ private[sources] class GraftVersionedTable(
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(!changeFeed, "the change feed is read-only")
+    refuseMutation(info.command.toString)
     new RowLevelOperationBuilder {
       // a deletionVectors table mutates MERGE-ON-READ through the
       // delta protocol (per-row deltas → DV sidecars + insert files,
@@ -1198,9 +1223,16 @@ private[sources] class GraftVersionedScan(
   override def description(): String = {
     val what =
       if (changeFeed)
-        s"changeFeed versions=[${feedRange.headOption.getOrElse(-1L)}, " +
-          s"${feedRange.lastOption.getOrElse(-1L)}], " +
-          s"FeedFiles: ${fileCounts._2}"
+        // exception-safe: description() runs inside plan stringification
+        // (EXPLAIN, SparkPlanInfo for the UI), where feedRange's loud
+        // require()s (empty stored feed, out-of-range startingVersion)
+        // must not turn a describe into a throw — resolution failures
+        // stay loud where they belong, in plannedGroups /
+        // planInputPartitions
+        scala.util.Try(
+          s"changeFeed versions=[${feedRange.headOption.getOrElse(-1L)}, " +
+            s"${feedRange.lastOption.getOrElse(-1L)}], " +
+            s"FeedFiles: ${fileCounts._2}").getOrElse("changeFeed")
       else if (uninitialized) "version=<empty table>"
       else {
         val kept = plannedGroups.map(_.kept.size).sum
@@ -2675,8 +2707,15 @@ private[sources] class GraftVersionedWriteBuilder(
   override def truncate(): WriteBuilder = { replace = true; this }
 
   override def build(): Write = {
-    val schema = info.schema()
-    GroupParquetIo.writeMessageType(schema) // fail loud on unsupported types now
+    GroupParquetIo.writeMessageType(info.schema()) // fail loud on unsupported types now
+    // an appendOnly table refuses snapshot replacement (INSERT
+    // OVERWRITE / TRUNCATE / mode("overwrite")) — only bootstrap
+    // overwrite of an EMPTY root passes (nothing is replaced)
+    if (replace && tableOptions.getBoolean("appendOnly", false) &&
+        Versioned.latestVersion(root).nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graft-versioned: overwrite/truncate on `$root` refused — the " +
+          "table is appendOnly (INSERT/append commits only)")
     // appending to existing versions: the write must match the TABLE
     // schema — the MANIFEST for catalog-managed tables (which may have
     // evolved past the stored files; pre-evolution files null-fill on
@@ -2684,19 +2723,83 @@ private[sources] class GraftVersionedWriteBuilder(
     // (there tableSchema is just the writer's own schema, so footer
     // inference is the only independent authority; replace may change
     // schema: each version dir carries its own footer schema and
-    // pinned readers use their own)
-    Versioned.latestVersion(root).foreach { v =>
-      if (!replace) {
-        val existing =
-          if (tableOptions.getBoolean("graftCatalogManaged", false) &&
-              tableSchema.nonEmpty) tableSchema
-          else SparkSession.active.read.parquet(s"$root/v=$v").schema
+    // pinned readers use their own).
+    //
+    // SCHEMA EVOLUTION opt-in (Delta's mergeSchema/autoMerge): on an
+    // evolving table ACCEPT_ANY_SCHEMA suppressed the analyzer's
+    // alignment, so the query schema arrives VERBATIM — the builder
+    // aligns it here: (1) same name/type set, any order → accept
+    // (files store columns by name, readers project by name);
+    // (2) by-name superset — every existing column present with its
+    // exact type plus NEW columns → evolve: metadata-only, q152's ADD
+    // COLUMN null-fill semantics, new columns appended nullable to the
+    // manifest at commit; (3) positional fallback for SQL INSERT
+    // (whose SELECT-list names are expression strings): same arity and
+    // positionally identical types → rename to the table's names in
+    // query order (no evolution positionally — a new column needs a
+    // name). Missing or retyped EXISTING columns stay loud: silent
+    // drops and casts are how ingestion corrupts tables.
+    val mergeOptIn = opt("mergeSchema").exists(_.trim.toBoolean) ||
+      opt("autoMerge").exists(_.trim.toBoolean)
+    var evolveTo: Option[StructType] = None
+    var schema = info.schema()
+    // the reference contract to align against: a catalog-managed table
+    // has one for EVERY write (bootstrap and INSERT OVERWRITE included
+    // — on an evolving table the analyzer skipped alignment, so a SQL
+    // SELECT list's expression names must not leak into the files);
+    // a path-based root only constrains non-replace appends, against
+    // the current version's footers
+    val alignAgainst: Option[(StructType, String)] =
+      if (tableOptions.getBoolean("graftCatalogManaged", false) &&
+          tableSchema.nonEmpty) Some((tableSchema, "the table contract"))
+      else if (!replace) Versioned.latestVersion(root).map(v =>
+        (SparkSession.active.read.parquet(s"$root/v=$v").schema, s"v=$v"))
+      else None
+    alignAgainst.foreach { case (existing, what) =>
+      {
         val got = schema.fields.map(f => (f.name, f.dataType)).toSeq
         val want = existing.fields.map(f => (f.name, f.dataType)).toSeq
-        require(got == want,
+        if (got != want && mergeOptIn) {
+          val gotTypes = schema.fields.map(f => f.name -> f.dataType).toMap
+          val newCols =
+            schema.fields.filterNot(f => existing.fieldNames.contains(f.name))
+          val existingCovered = existing.fields.forall(f =>
+            gotTypes.get(f.name).contains(f.dataType))
+          if (existingCovered && newCols.isEmpty) {
+            () // case (1): reorder-only — row layout stays query order
+          } else if (existingCovered && newCols.nonEmpty) {
+            // case (2) — but a column-mapping table evolves through
+            // ALTER TABLE ADD COLUMN only: a new name colliding with a
+            // RETIRED physical name would rebind the dropped bytes
+            require(!java.nio.file.Files.exists(
+                java.nio.file.Paths.get(root, "_graft_colmap")),
+              s"graft-versioned: mergeSchema on `$root` refused — the " +
+                "table carries a column mapping, so new columns need " +
+                "ALTER TABLE … ADD COLUMN (it assigns collision-free " +
+                "physical names); mergeSchema could rebind a dropped " +
+                "column's bytes")
+            evolveTo = Some(StructType(existing.fields ++
+              newCols.map(f => f.copy(nullable = true))))
+          } else if (schema.length == existing.length &&
+              schema.fields.map(_.dataType).toSeq ==
+                existing.fields.map(_.dataType).toSeq) {
+            // case (3): positional rename — values stay in query order
+            schema = StructType(schema.fields.zip(existing.fields).map {
+              case (g, w) => g.copy(name = w.name) })
+          } else require(got == want,
+            s"graft-versioned append schema mismatch under $root: " +
+              s"writing ${schema.simpleString} onto $what " +
+              s"${existing.simpleString} — mergeSchema evolves NEW " +
+              "columns only; every existing column must be present " +
+              "with its exact type (silent drops and casts are how " +
+              "ingestion corrupts tables)")
+        } else require(got == want,
           s"graft-versioned append schema mismatch under $root: " +
-            s"writing ${schema.simpleString} onto v=$v ${existing.simpleString} — " +
-            "append requires identical columns; use overwrite to change schema")
+            s"writing ${schema.simpleString} onto $what ${existing.simpleString} — " +
+            "append requires identical columns; use overwrite to change " +
+            "schema, or opt into evolution for NEW columns with " +
+            ".option(\"mergeSchema\", \"true\") / the autoMerge table " +
+            "property")
       }
     }
     val stamp = opt("commitTs").map(_.toLong)
@@ -2769,7 +2872,7 @@ private[sources] class GraftVersionedWriteBuilder(
         .filter(_.nonEmpty))
     new GraftVersionedWrite(root, schema, replace, stamp, info.queryId(),
       clusterBy, writeParts, targetBytes, rowLevelOp, feedKeys,
-      GraftVersionedTable.colMapOf(tableOptions), txn, message)
+      GraftVersionedTable.colMapOf(tableOptions), txn, message, evolveTo)
   }
 }
 
@@ -2781,7 +2884,8 @@ private[sources] class GraftVersionedWrite(
     feedKeys: Seq[String] = Seq.empty,
     colMap: Map[String, String] = Map.empty,
     txn: Option[(String, Long)] = None,
-    message: Option[String] = None)
+    message: Option[String] = None,
+    evolveTo: Option[StructType] = None)
   extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String =
@@ -2807,7 +2911,7 @@ private[sources] class GraftVersionedWrite(
 
   override def toBatch: BatchWrite =
     new GraftBatchWrite(root, schema, replace, commitTs, queryId,
-      rowLevelOp, feedKeys, colMap, txn, message)
+      rowLevelOp, feedKeys, colMap, txn, message, evolveTo)
 
   override def toStreaming: StreamingWrite = {
     require(txn.isEmpty,
@@ -2831,7 +2935,8 @@ private[sources] class GraftBatchWrite(
     feedKeys: Seq[String] = Seq.empty,
     colMap: Map[String, String] = Map.empty,
     txn: Option[(String, Long)] = None,
-    message: Option[String] = None) extends BatchWrite {
+    message: Option[String] = None,
+    evolveTo: Option[StructType] = None) extends BatchWrite {
 
   private val staged = java.nio.file.Paths.get(
     root, s"_staging_${queryId}_${java.util.UUID.randomUUID.toString.take(8)}")
@@ -2865,6 +2970,20 @@ private[sources] class GraftBatchWrite(
     message.foreach(m => java.nio.file.Files.write(
       staged.resolve(VersionedWriteIo.MessageMarker),
       m.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    // SCHEMA EVOLUTION (mergeSchema/autoMerge opt-in, validated at
+    // build): the evolved contract lands in the catalog's schema
+    // manifest just ahead of the data commit — metadata-only, exactly
+    // the file ALTER TABLE ADD COLUMN writes, so pre-evolution files
+    // null-fill the new columns on every read. A crash between the two
+    // writes leaves an ADD COLUMN without data — harmless and
+    // re-runnable. Path-based roots (no manifest file) skip this: each
+    // version dir carries its own footer schema there.
+    evolveTo.foreach { evolved =>
+      val manifest = java.nio.file.Paths.get(root, "_graft_schema.json")
+      if (java.nio.file.Files.exists(manifest))
+        java.nio.file.Files.write(manifest,
+          evolved.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     val committed = rowLevelOp.flatMap(_.scannedState) match {
       case Some((scannedVersion, scannedNames)) =>
         // copy-on-write by file: staged output replaces exactly the

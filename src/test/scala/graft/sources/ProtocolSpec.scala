@@ -64,8 +64,11 @@ class ProtocolSpec extends AnyFunSuite with SparkSpec {
     spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO w")
     assert(Versioned.readerFeatures(root)
       === Set("deletion-vectors", "column-mapping"))
+    // each feature flags BOTH halves: readers must understand the
+    // representation, writers must maintain it
     assert(new String(Files.readAllBytes(Paths.get(root, "_graft_protocol")))
-      === "reader column-mapping\nreader deletion-vectors")
+      === "reader column-mapping\nreader deletion-vectors\n" +
+        "writer column-mapping\nwriter deletion-vectors")
   }
 
   test("an unknown required feature fails every reader loudly, naming it") {
@@ -158,6 +161,101 @@ class ProtocolSpec extends AnyFunSuite with SparkSpec {
       s"CALL proto.sys.drop_feature(table => 't.tab$n', " +
         "feature => 'deletion-vectors')"))
     assert(e2.getMessage.contains("not a required reader feature"), e2.getMessage)
+  }
+
+  // ------------------------------------------- writer-feature matrix
+
+  test("an unknown required WRITER feature refuses commits but not reads") {
+    val (t, root) = freshTable()
+    plant(root, "writer row-tracking-v9")
+    // reads stay open: writer features gate commits, not scans
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) === 50L)
+    assert(Versioned.writerFeatures(root) === Set("row-tracking-v9"))
+    // every commit path refuses, naming the feature and the supported set
+    val e1 = intercept[Exception](
+      spark.sql(s"INSERT INTO $t VALUES (999, 999)"))
+    def chain(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "||" + chain(x.getCause)
+    assert(chain(e1).contains("row-tracking-v9"), chain(e1))
+    assert(chain(e1).contains("append-only")) // supported set named
+    val e2 = intercept[Exception](spark.sql(s"DELETE FROM $t WHERE id = 1"))
+    assert(chain(e2).contains("row-tracking-v9"), chain(e2))
+    val e3 = intercept[Exception](
+      Versioned.writeNext(spark.range(3).toDF("id"), root))
+    assert(chain(e3).contains("row-tracking-v9"))
+    // un-flagging restores writability
+    Files.delete(Paths.get(root, "_graft_protocol"))
+    spark.sql(s"INSERT INTO $t VALUES (999, 999)")
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) === 51L)
+  }
+
+  test("appendOnly: inserts pass, every mutation verb is refused loudly") {
+    val (t, root) = freshTable("TBLPROPERTIES ('appendOnly'='true')")
+    // creation flagged the writer feature
+    assert(Versioned.writerFeatures(root) === Set("append-only"))
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(100, 110)") // fine
+    def refused(sql: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      def chain(x: Throwable): String =
+        if (x == null) "" else x.getMessage + "||" + chain(x.getCause)
+      assert(chain(e).contains("appendOnly"), s"$sql -> ${chain(e)}")
+    }
+    refused(s"DELETE FROM $t WHERE id = 1")
+    refused(s"UPDATE $t SET v = 0 WHERE id = 1")
+    refused(s"MERGE INTO $t USING (SELECT 1L AS id, 2L AS v) s ON $t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v")
+    refused(s"INSERT OVERWRITE $t SELECT id, id FROM range(5)")
+    refused(s"TRUNCATE TABLE $t")
+    // the table still hash-matches its pure insert history
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) === 60L)
+    assert(spark.sql(s"SELECT sum(v) FROM $t").collect()(0).getLong(0)
+      === (0L until 50L).map(_ * 10).sum + (100L until 110L).sum)
+  }
+
+  test("drop_feature('append-only') needs the property unset first") {
+    val (t, root) = freshTable("TBLPROPERTIES ('appendOnly'='true')")
+    val e = intercept[Exception](spark.sql(
+      s"CALL proto.sys.drop_feature(table => 't.tab$n', " +
+        "feature => 'append-only')"))
+    assert(e.getMessage.contains("UNSET TBLPROPERTIES"), e.getMessage)
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('appendOnly')")
+    spark.sql(s"CALL proto.sys.drop_feature(table => 't.tab$n', " +
+      "feature => 'append-only')")
+    assert(Versioned.writerFeatures(root) === Set.empty[String])
+    // mutations work again
+    spark.sql(s"DELETE FROM $t WHERE id = 1")
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) === 49L)
+  }
+
+  test("CHECK constraints flag (and drop with) the check-constraints writer feature") {
+    val (t, root) = freshTable()
+    spark.sql(s"ALTER TABLE $t ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    assert(Versioned.writerFeatures(root) === Set("check-constraints"))
+    // refused while a constraint still exists — names it
+    val e = intercept[Exception](spark.sql(
+      s"CALL proto.sys.drop_feature(table => 't.tab$n', " +
+        "feature => 'check-constraints')"))
+    assert(e.getMessage.contains("v_pos"), e.getMessage)
+    spark.sql(s"ALTER TABLE $t DROP CONSTRAINT v_pos")
+    spark.sql(s"CALL proto.sys.drop_feature(table => 't.tab$n', " +
+      "feature => 'check-constraints')")
+    assert(Versioned.writerFeatures(root) === Set.empty[String])
+  }
+
+  test("concurrent feature flaggers never lose a flag; the file is never torn") {
+    val root = Files.createTempDirectory("graft_protocol_conc_").toString
+    val features = Seq("deletion-vectors", "column-mapping")
+    val threads = (0 until 8).map { i =>
+      new Thread(() => (0 until 20).foreach { _ =>
+        Versioned.requireReaderFeature(Paths.get(root), features(i % 2))
+        Versioned.requireWriterFeature(Paths.get(root), features((i + 1) % 2))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(Versioned.readerFeatures(root)
+      === Set("deletion-vectors", "column-mapping"))
+    assert(Versioned.writerFeatures(root)
+      === Set("deletion-vectors", "column-mapping"))
   }
 
   test("requireReaderFeature is idempotent and refuses unsupported flags") {

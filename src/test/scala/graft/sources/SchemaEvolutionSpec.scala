@@ -242,6 +242,129 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSpec {
     assert(last.filter("change_type = 'changed'").count() === 1L)
   }
 
+  // ---- WRITE-TIME schema evolution (Delta's mergeSchema/autoMerge):
+  // an append whose source carries NEW columns evolves the manifest
+  // under an explicit opt-in — metadata-only, same null-fill semantics
+  // as ALTER TABLE ADD COLUMN — and stays loud otherwise.
+
+  test("without the opt-in an extra-column append stays loud (analyzer or builder)") {
+    val (t, _) = freshTable()
+    import spark.implicits._
+    val src = (100L until 110L).map(i => (i, i, s"tag$i"))
+      .toDF("id", "v", "tag")
+    // a plain table never advertises ACCEPT_ANY_SCHEMA — Spark's own
+    // output resolution rejects the extra column during analysis
+    val e = intercept[Exception](src.writeTo(t).append())
+    def chain(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "||" + chain(x.getCause)
+    assert(chain(e).toLowerCase.contains("column"), chain(e))
+    assert(spark.table(t).schema.fieldNames.toSeq === Seq("id", "v"))
+  }
+
+  test("mergeSchema write option evolves a PATH-based root on append") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_evolve_path_").toString
+    import spark.implicits._
+    (0L until 20L).map(i => (i, i * 10)).toDF("id", "v")
+      .write.format("graft-versioned").mode("append").save(root) // v=0
+    // without the opt-in: loud, naming the escape hatches
+    val e = intercept[Exception](
+      (100L until 105L).map(i => (i, i, s"t$i")).toDF("id", "v", "tag")
+        .write.format("graft-versioned").mode("append").save(root))
+    def chain(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "||" + chain(x.getCause)
+    assert(chain(e).toLowerCase.contains("column"), chain(e))
+    // with it: the new version carries the evolved schema, the old
+    // files null-fill on a mergeSchema read
+    (100L until 105L).map(i => (i, i, s"t$i")).toDF("id", "v", "tag")
+      .write.format("graft-versioned").option("mergeSchema", "true")
+      .mode("append").save(root)
+    assert(graft.operators.Versioned.versions(root) === Seq(0L, 1L))
+    // v=1 holds MIXED footers (hard-linked v=0 files + the new ones) —
+    // a path-based root reads the full evolved schema via mergeSchema
+    val cur = graft.operators.Versioned.readSnapshot(spark, root, 1L,
+      mergeSchema = true)
+    assert(cur.schema.fieldNames.toSeq.sorted === Seq("id", "tag", "v"))
+    assert(cur.count() === 25L)
+    assert(cur.where("tag IS NULL").count() === 20L)
+    assert(cur.where("tag IS NOT NULL").count() === 5L)
+  }
+
+  test("autoMerge table property evolves appends without a per-write option") {
+    spark.conf.set("spark.sql.catalog.evo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.evo.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.t")
+    n += 1
+    val t = s"evo.t.tab$n"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('autoMerge'='true')")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 10)")
+    import spark.implicits._
+    Seq((100L, 1L, 0.5), (101L, 2L, 1.5)).toDF("id", "v", "score")
+      .writeTo(t).append()
+    assert(spark.table(t).schema.fieldNames.toSeq === Seq("id", "v", "score"))
+    assert(spark.sql(s"SELECT sum(score) FROM $t").collect()(0).getDouble(0)
+      === 2.0)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE score IS NULL")
+      .collect()(0).getLong(0) === 10L)
+  }
+
+  test("evolution stays loud for missing or retyped columns and column-mapped tables") {
+    spark.conf.set("spark.sql.catalog.evo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.evo.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.t")
+    n += 1
+    val t = s"evo.t.tab$n"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('autoMerge'='true')")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(0, 50)")
+    import spark.implicits._
+    def chain(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "||" + chain(x.getCause)
+    // a source MISSING an existing column cannot evolve — silent drops
+    // are how ingestion corrupts tables
+    val e1 = intercept[Exception](Seq((1L, "x")).toDF("id", "tag")
+      .writeTo(t).append())
+    assert(chain(e1).contains("schema mismatch"), chain(e1))
+    // a RETYPED existing column cannot evolve either
+    val e2 = intercept[Exception](Seq((1, 2, "x")).toDF("id", "v", "tag")
+      .writeTo(t).append())
+    assert(chain(e2).contains("schema mismatch"), chain(e2))
+    // a column-mapped table routes to ALTER TABLE ADD COLUMN (a new
+    // name colliding with a retired physical name must never rebind
+    // dropped bytes)
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO w")
+    val e3 = intercept[Exception](
+      (0L until 3L).map(i => (i, i, i)).toDF("id", "w", "extra")
+        .writeTo(t).append())
+    assert(chain(e3).contains("ADD COLUMN"), chain(e3))
+    // SQL INSERT still lands positionally on the evolving table
+    // (SELECT-list names are expression strings — case (3) renames)
+    spark.sql(s"INSERT INTO $t SELECT id, id + 1 FROM range(100, 105)")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE w = id + 1")
+      .collect()(0).getLong(0) === 5L)
+  }
+
+  test("evolved appends feed the change feed with the new payload columns") {
+    spark.conf.set("spark.sql.catalog.evo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.evo.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.t")
+    n += 1
+    val t = s"evo.t.tab$n"
+    val root = s"$warehouse/t/tab$n"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('changeFeedKeys'='id', 'autoMerge'='true')")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 10)")
+    import spark.implicits._
+    Seq((100L, 7L, "fresh")).toDF("id", "v", "note").writeTo(t).append()
+    val feeds = graft.operators.Versioned.feedVersions(root)
+    val last = spark.read.parquet(
+      graft.operators.Versioned.feedDir(root, feeds.last))
+    assert(last.schema.fieldNames.contains("new_note"))
+    assert(last.filter("change_type = 'added'").count() === 1L)
+    assert(last.filter("new_note = 'fresh'").count() === 1L)
+  }
+
   test("rename/drop fail-loud matrix: conflicts and referenced columns") {
     val (t, _) = freshTable()
     def fails(sql: String, fragment: String): Unit = {
