@@ -84,10 +84,16 @@ object Versioned {
   /** Stamp an already-committed version (the DSv2 writer commits the
     * data by atomic rename FIRST, then stamps — the same torn-write
     * ordering as [[writeNext]], so [[readAsOf]]'s unstamped-skip rule
-    * covers a crash between the two). */
-  private[graft] def writeStamp(root: String, version: Long, ts: Long): Unit =
+    * covers a crash between the two). Every `CheckpointInterval`-th
+    * stamped commit also refreshes the aggregated commit-log
+    * checkpoint (best-effort — it is an accelerator, never truth). */
+  private[graft] def writeStamp(root: String, version: Long, ts: Long): Unit = {
     Files.write(Paths.get(root, s"v=$version", CommitManifest),
       ts.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (version > 0 && version % CheckpointInterval == 0)
+      try writeCheckpoint(root, cover = version - 1)
+      catch { case scala.util.control.NonFatal(_) => () }
+  }
 
   /** S13 load: write the next version (old data stays addressable — the
     * copy-to-old-data step becomes a no-op). Pass `commitTs` to stamp
@@ -128,6 +134,137 @@ object Versioned {
     else None
   }
 
+  // ------------------------------------------- commit-log checkpoint
+
+  /** Aggregated COMMIT-LOG CHECKPOINT (`_graft_checkpoint`) — the
+    * `_last_checkpoint` analog for long histories. `TIMESTAMP AS OF`
+    * resolution and `sys.history` otherwise read one `_graft_commit`
+    * stamp (plus markers, file sizes, DV headers) PER VERSION — on an
+    * object store a 10k-commit history is 10k GETs per timestamp-travel
+    * read or history listing. The checkpoint aggregates the IMMUTABLE
+    * per-commit facts (stamp, operation kind, file count, byte
+    * footprint, DV state, message, feed presence) for every version up
+    * to a cover point into ONE file, refreshed every
+    * [[CheckpointInterval]] stamped commits; readers take checkpoint
+    * rows for covered versions and walk only the (≤ interval-sized)
+    * tail — O(1) GETs amortized instead of O(history).
+    *
+    * Truth discipline: the checkpoint is an ACCELERATOR. The surviving
+    * version set always comes from the directory listing (one LIST),
+    * so rows for retention-deleted versions are dead weight, not
+    * wrong answers; a corrupt or unparseable checkpoint falls back to
+    * the full walk; and [[rollback]] truncates the cover below a
+    * dropped version, because a later commit may REUSE that version
+    * number with different facts. Rows cover versions strictly BELOW
+    * the committing version — its change feed and message may land
+    * after the stamp, so its facts are not final yet. */
+  private[graft] val CheckpointFile = "_graft_checkpoint"
+  private[graft] val CheckpointInterval = 10L
+
+  /** The immutable per-commit facts the checkpoint carries — exactly
+    * what `sys.history` surfaces minus the mutable tag column. */
+  private[graft] case class CommitInfo(
+      ts: Option[Long], op: String, nFiles: Int, bytes: Long,
+      nDvs: Int, nDeletedRows: Long, message: Option[String],
+      hasFeed: Boolean)
+
+  /** Compute one version's facts from its own files (the walk path —
+    * what the checkpoint memoizes). */
+  private[graft] def commitInfoOf(root: String, v: Long): CommitInfo = {
+    val vdir = Paths.get(root, s"v=$v")
+    val files = dataFiles(vdir)
+    val dvs = DeletionVectors.dvMap(vdir)
+    val op =
+      if (Files.exists(vdir.resolve("_graft_rowlevel"))) "rowlevel"
+      else if (Files.exists(vdir.resolve("_graft_epoch"))) "stream-epoch"
+      else if (Files.exists(vdir.resolve("_graft_txn"))) "txn-write"
+      else "write"
+    CommitInfo(commitStamp(root, v), op, files.size,
+      files.map(Files.size(_)).sum, dvs.size,
+      dvs.values.map(DeletionVectors.cardinality).sum,
+      graft.sources.VersionedWriteIo.commitMessage(root, v),
+      Files.exists(Paths.get(feedDir(root, v))))
+  }
+
+  private val cpMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val checkpointLock = new Object
+
+  /** (cover version, version → facts) — None when absent OR unreadable
+    * (corruption falls back to the walk, never to an error). */
+  private[graft] def readCheckpoint(root: String): Option[(Long, Map[Long, CommitInfo])] = {
+    val p = Paths.get(root, CheckpointFile)
+    if (!Files.exists(p)) return None
+    scala.util.Try {
+      val lines = new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+      require(lines.nonEmpty && lines.head.startsWith("cp "))
+      val cover = lines.head.drop(3).trim.toLong
+      val rows = lines.tail.filter(_.nonEmpty).map { l =>
+        val o = cpMapper.readTree(l)
+        o.get("v").longValue() -> CommitInfo(
+          if (o.hasNonNull("ts")) Some(o.get("ts").longValue()) else None,
+          o.get("op").textValue(), o.get("nf").intValue(),
+          o.get("b").longValue(), o.get("dv").intValue(),
+          o.get("dr").longValue(),
+          if (o.hasNonNull("msg")) Some(o.get("msg").textValue()) else None,
+          o.get("feed").booleanValue())
+      }.toMap
+      (cover, rows)
+    }.toOption
+  }
+
+  /** One version's facts, checkpoint-resolved when covered, computed
+    * from its files otherwise — the shared fast path of [[resolveAsOf]]
+    * and the catalog's history procedure. */
+  private[graft] def commitInfoFast(root: String, v: Long,
+      cp: Option[(Long, Map[Long, CommitInfo])]): CommitInfo =
+    cp.filter(_._1 >= v).flatMap(_._2.get(v))
+      .getOrElse(commitInfoOf(root, v))
+
+  /** Refresh the checkpoint to cover versions ≤ `cover`: carry rows the
+    * previous checkpoint already holds, compute only the new tail —
+    * amortized O(1) facts per commit. Published via temp + atomic
+    * rename; serialized within the JVM like the tag/protocol files. */
+  private[graft] def writeCheckpoint(root: String, cover: Long): Unit =
+    checkpointLock.synchronized {
+      val carry = readCheckpoint(root) match {
+        case Some((prevCover, rows)) => rows.filter(_._1 <= prevCover)
+        case None => Map.empty[Long, CommitInfo]
+      }
+      val surviving = versions(root).filter(_ <= cover)
+      val lines = ("cp " + cover) +: surviving.map { v =>
+        val i = carry.getOrElse(v, commitInfoOf(root, v))
+        val o = cpMapper.createObjectNode()
+        o.put("v", v)
+        i.ts.foreach(o.put("ts", _))
+        o.put("op", i.op); o.put("nf", i.nFiles); o.put("b", i.bytes)
+        o.put("dv", i.nDvs); o.put("dr", i.nDeletedRows)
+        i.message.foreach(o.put("msg", _))
+        o.put("feed", i.hasFeed)
+        cpMapper.writeValueAsString(o)
+      }
+      val tmp = Files.createTempFile(Paths.get(root), "_graft_checkpoint_", ".tmp")
+      Files.write(tmp, lines.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, Paths.get(root, CheckpointFile),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** Invalidate checkpoint rows at/above a dropped version — rollback
+    * may be followed by a fresh commit REUSING the version number, and
+    * a stale row would then memoize the wrong facts forever. */
+  private[graft] def truncateCheckpoint(root: String, droppedVersion: Long): Unit =
+    checkpointLock.synchronized {
+      readCheckpoint(root).foreach { case (cover, _) =>
+        if (cover >= droppedVersion) {
+          if (droppedVersion == 0L)
+            Files.deleteIfExists(Paths.get(root, CheckpointFile))
+          else writeCheckpoint(root, droppedVersion - 1)
+        }
+      }
+    }
+
   /** Timestamp-based time travel (`TIMESTAMP AS OF`): resolve the
     * LATEST version whose commit stamp is ≤ `asOf` and read it.
     * Resolution never falls back to filesystem mtimes, which are not
@@ -148,7 +285,19 @@ object Versioned {
   def resolveAsOf(root: String, asOf: Long): Long = {
     val dirs = versionDirs(root)
     if (dirs.isEmpty) throw new IllegalStateException(s"no versions under $root")
-    val stamped = dirs.flatMap { case (v, _) => commitStamp(root, v).map(v -> _) }
+    // ONE listing (the truth for what survives) + ONE checkpoint read
+    // cover the whole history; per-version stamp files are read only
+    // for the post-checkpoint tail — O(interval), not O(history)
+    val cp = readCheckpoint(root)
+    def stampOf(v: Long): Option[Long] =
+      cp.filter(_._1 >= v).flatMap(_._2.get(v)) match {
+        // an unstamped row re-probes the stamp file: a torn version
+        // may have been manually re-stamped after the checkpoint —
+        // rare, and the probe only costs on actually-unstamped rows
+        case Some(info) => info.ts.orElse(commitStamp(root, v))
+        case None => commitStamp(root, v)
+      }
+    val stamped = dirs.flatMap { case (v, _) => stampOf(v).map(v -> _) }
     if (stamped.isEmpty)
       throw new IllegalStateException(
         s"no version under $root has a commit stamp — write versions with " +
@@ -654,6 +803,21 @@ object Versioned {
         payload.map(c => col(s"old_$c")) ++
         payload.map(c => col(s"new_$c")): _*)
       .write.mode("overwrite").parquet(feedDir(root, version))
+    // feed dirs get a files manifest like version dirs do: one listing
+    // at write time makes every feed read (batch CDF range scan,
+    // streaming drain, byte-budget admission) manifest-resolved — a
+    // stray parquet file (a task retry's orphan Spark's committer
+    // missed, an operator mistake) can never REPLAY A PHANTOM CHANGE.
+    // Published via temp + atomic rename so a crash mid-write leaves
+    // either no manifest (listing fallback) or a complete one.
+    val fdir = Paths.get(feedDir(root, version))
+    val names = listParquet(fdir).map(_.getFileName.toString).sorted
+    val tmp = Files.createTempFile(fdir, "_graft_files_", ".tmp")
+    Files.write(tmp, names.map("f " + _).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, fdir.resolve(FilesManifest),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Read the current (or a pinned) version. Files resolve through the
@@ -853,6 +1017,9 @@ object Versioned {
       }
       deleteRecursively(p)
       deleteRecursively(Paths.get(feedDir(root, v)))
+      // a later commit may REUSE this version number — drop any
+      // checkpoint rows memoizing the dead commit's facts
+      truncateCheckpoint(root, v)
     }
     val cur = versionDirs(root).lastOption.map(_._1)
     // re-point the latest hint below the deleted version (a stale-high
@@ -869,15 +1036,35 @@ object Versioned {
     * versions always survive (the Iceberg tag contract): a tag is a
     * named reproducibility anchor — "the snapshot train-v1 was built
     * from" — and a retention sweep silently deleting it would be data
-    * loss wearing a maintenance hat. */
-  def applyRetention(root: String, keep: Int = 3): Seq[Long] = {
+    * loss wearing a maintenance hat.
+    *
+    * TIME-BASED retention (`beforeStamp`, Delta's `RETAIN <interval>`
+    * / the reference's dated-prefix retention): when given, a version
+    * beyond the keep floor is deleted ONLY if its commit stamp is
+    * strictly below the horizon — count-based keep=N alone deletes a
+    * week of history under a burst of commits, the exact failure a
+    * retention contract exists to prevent. Stamps (epoch micros, the
+    * `TIMESTAMP AS OF` space) are the age source; UNSTAMPED versions
+    * are never age-deleted (their age cannot be proven). Age-mode
+    * deletions can leave holes in the version sequence — readers
+    * resolve the surviving set by listing, and the latest-hint probe
+    * is unaffected (holes only ever form below the current version). */
+  def applyRetention(root: String, keep: Int = 3,
+                     beforeStamp: Option[Long] = None): Seq[Long] = {
     val dirs = versionDirs(root)
     val tagged = tags(root).values.toSet
-    dirs.dropRight(keep).filterNot(d => tagged.contains(d._1))
-      .foreach { case (v, p) =>
-        deleteRecursively(p)
-        deleteRecursively(Paths.get(feedDir(root, v)))
-      }
+    val candidates = dirs.dropRight(keep).filterNot(d => tagged.contains(d._1))
+    val toDrop = beforeStamp match {
+      case None => candidates
+      case Some(cut) =>
+        val cp = readCheckpoint(root)
+        candidates.filter { case (v, _) =>
+          commitInfoFast(root, v, cp).ts.exists(_ < cut) }
+    }
+    toDrop.foreach { case (v, p) =>
+      deleteRecursively(p)
+      deleteRecursively(Paths.get(feedDir(root, v)))
+    }
     versionDirs(root).map(_._1)
   }
 

@@ -395,6 +395,144 @@ object VersionedGate {
       .orderBy("grp")
   }
 
+  /** q173: APPEND-ONLY TABLES (Delta's `delta.appendOnly` + the
+    * `append-only` writer-feature flag) — the audit-log contract:
+    * history is evidence, so the table accepts INSERT commits only and
+    * every mutation verb refuses loudly. The gate inserts twice, then
+    * require()s that DELETE, UPDATE, MERGE and INSERT OVERWRITE are
+    * all refused AND that the protocol carries the writer flag (a
+    * foreign build that doesn't know the property refuses commits
+    * instead of breaking the promise); the output is the table after
+    * the refused mutations, which the oracle re-derives as the pure
+    * insert history — any mutation that slipped through shifts the
+    * hash. */
+  def q173AppendOnly(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs173")
+    s.sql("CREATE TABLE graft.gate.docs173 (doc_id BIGINT, n_chars BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('appendOnly'='true')")
+    Tables.documents(s, dir).createOrReplaceTempView("q173_docs_src")
+    s.sql("INSERT INTO graft.gate.docs173 " +
+      "SELECT doc_id, n_chars FROM q173_docs_src WHERE doc_id % 3 = 0") // v=0
+    s.sql("INSERT INTO graft.gate.docs173 " +
+      "SELECT doc_id, n_chars FROM q173_docs_src WHERE doc_id % 3 = 1") // v=1
+    def refused(sql: String): Boolean =
+      try { s.sql(sql); false }
+      catch { case e: Throwable =>
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+          .exists(t => String.valueOf(t.getMessage).contains("appendOnly")) }
+    require(refused("DELETE FROM graft.gate.docs173 WHERE doc_id = 0"),
+      "q173: DELETE must be refused on an appendOnly table")
+    require(refused("UPDATE graft.gate.docs173 SET n_chars = 0 WHERE doc_id = 3"),
+      "q173: UPDATE must be refused on an appendOnly table")
+    require(refused("MERGE INTO graft.gate.docs173 t USING " +
+      "(SELECT 3L AS doc_id, 0L AS n_chars) s ON t.doc_id = s.doc_id " +
+      "WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars"),
+      "q173: MERGE must be refused on an appendOnly table")
+    require(refused("INSERT OVERWRITE graft.gate.docs173 " +
+      "SELECT doc_id, n_chars FROM q173_docs_src WHERE doc_id = 1"),
+      "q173: INSERT OVERWRITE must be refused on an appendOnly table")
+    val root = scratchBase.resolve("catalog").resolve("gate")
+      .resolve("docs173").toString
+    require(Versioned.writerFeatures(root).contains("append-only"),
+      "q173: the append-only writer feature must be protocol-flagged")
+    s.sql("SELECT doc_id, n_chars FROM graft.gate.docs173 ORDER BY doc_id")
+  }
+
+  private lazy val AgeRoot = scratchBase.resolve("q174").toString
+
+  /** q174: TIME-BASED RETENTION (Delta's `RETAIN <interval>`, the
+    * reference's dated-prefix retention, utils_of_backup.py:155-164) —
+    * four stamped commits at a controlled stamp ladder, one TAGGED,
+    * then a retention sweep with an absolute horizon: versions older
+    * than the horizon die UNLESS tagged or within the keep floor. The
+    * output is what actually survived on disk (version column over the
+    * surviving dirs, q63's shape); the oracle re-derives the survivors
+    * from the predicates — a sweep that deleted the tagged version, or
+    * kept an expired one, shifts rows. */
+  def q174AgeRetention(s: SparkSession, dir: String): DataFrame = {
+    Versioned.deleteRecursively(java.nio.file.Paths.get(AgeRoot))
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    (0 until 4).foreach { i =>
+      Versioned.writeNext(base.filter(pmod(col("doc_id"), lit(4)) === i),
+        AgeRoot, commitTs = Some(1000L + i * 1000L)) // v=i at stamp 1000(i+1)
+    }
+    Versioned.tagVersion(AgeRoot, "keep-me", Some(1L))
+    // horizon 3500: v=0 (1000) and v=2 (3000) are expired; v=1 is
+    // expired too but TAGGED; v=3 (4000) is inside keep=1 anyway
+    val survivors = Versioned.applyRetention(AgeRoot, keep = 1,
+      beforeStamp = Some(3500L))
+    require(survivors == Seq(1L, 3L),
+      s"q174: expected tagged v=1 + newest v=3 to survive, got $survivors")
+    s.read.option("basePath", AgeRoot).parquet(s"$AgeRoot/v=*")
+      .select(col("v").cast(IntegerType).as("v"), col("doc_id"), col("n_chars"))
+      .orderBy("v", "doc_id")
+  }
+
+  private lazy val CpRoot = scratchBase.resolve("q175").toString
+
+  /** q175: COMMIT-LOG CHECKPOINT under `TIMESTAMP AS OF` — 21 stamped
+    * commits build a long history; every 10th commit wrote the
+    * aggregated `_graft_checkpoint`, so timestamp resolution reads ONE
+    * checkpoint + the post-cover tail instead of one stamp file per
+    * version (O(history) GETs on an object store — the `_last_
+    * checkpoint` contract). The gate require()s the checkpoint exists
+    * and covers v=19, that checkpoint-resolved `TIMESTAMP AS OF` picks
+    * the same version as an explicit stamp-file walk, and returns the
+    * mid-history snapshot — which the oracle re-derives from the
+    * predicate alone. Stale/corrupt/absent checkpoint fallback lives
+    * in CheckpointSpec. */
+  def q175CheckpointTravel(s: SparkSession, dir: String): DataFrame = {
+    Versioned.deleteRecursively(java.nio.file.Paths.get(CpRoot))
+    val base = Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("n_chars"))
+    (0 until 21).foreach { i =>
+      Versioned.writeNext(base.withColumn("epoch", lit(i.toLong)),
+        CpRoot, commitTs = Some(1000L + i)) // v=i at stamp 1000+i
+    }
+    val cp = Versioned.readCheckpoint(CpRoot)
+    require(cp.exists(_._1 == 19L),
+      s"q175: checkpoint must exist and cover v=19 after 21 commits, " +
+        s"got ${cp.map(_._1)}")
+    // checkpoint-resolved == walk-resolved (the accelerator never
+    // changes the answer)
+    val viaCp = Versioned.resolveAsOf(CpRoot, 1012L)
+    val viaWalk = Versioned.versions(CpRoot)
+      .flatMap(v => Versioned.commitStamp(CpRoot, v).map(v -> _))
+      .filter(_._2 <= 1012L).maxBy(e => (e._2, e._1))._1
+    require(viaCp == 12L && viaWalk == 12L,
+      s"q175: TIMESTAMP AS OF 1012 must resolve v=12 (cp=$viaCp, walk=$viaWalk)")
+    Versioned.readAsOf(s, CpRoot, 1012L)
+      .select(col("doc_id"), col("n_chars"), col("epoch"))
+      .orderBy("doc_id")
+  }
+
+  /** q176: WRITE-TIME SCHEMA EVOLUTION (Delta's autoMerge/mergeSchema)
+    * — an append whose source carries a NEW column evolves the table:
+    * metadata-only (q152's ADD COLUMN null-fill), under the explicit
+    * `autoMerge` table property. The gate inserts the two-column base,
+    * appends a THREE-column DataFrame (new `lang`), and returns the
+    * full table — pre-evolution rows must read the new column as null
+    * and post-evolution rows must carry it; the oracle re-derives both
+    * halves from the documents table. A silent drop of the new column,
+    * a failure to null-fill, or a rejected append all shift the hash. */
+  def q176EvolveAppend(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs176")
+    s.sql("CREATE TABLE graft.gate.docs176 (doc_id BIGINT, n_chars BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('autoMerge'='true')")
+    Tables.documents(s, dir).createOrReplaceTempView("q176_docs_src")
+    s.sql("INSERT INTO graft.gate.docs176 " +
+      "SELECT doc_id, n_chars FROM q176_docs_src WHERE doc_id % 2 = 0") // v=0
+    // the evolving append: a source with a NEW column (lang)
+    Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .writeTo("graft.gate.docs176").append()                           // v=1
+    s.sql("SELECT doc_id, n_chars, lang FROM graft.gate.docs176 " +
+      "ORDER BY doc_id")
+  }
+
   private lazy val BatchCdfRoot = scratchBase.resolve("q168").toString
 
   /** q168: the change feed as a BATCH read (Delta's `readChangeFeed`
@@ -1230,6 +1368,10 @@ object VersionedGate {
     "q170_ivm_from_cdf" -> (q170IvmFromCdf _),
     "q171_corpus_release" -> (q171CorpusRelease _),
     "q172_manifest_export" -> (q172ManifestExport _),
+    "q173_append_only" -> (q173AppendOnly _),
+    "q174_age_retention" -> (q174AgeRetention _),
+    "q175_checkpoint_travel" -> (q175CheckpointTravel _),
+    "q176_evolve_append" -> (q176EvolveAppend _),
     "q144_catalog_sql" -> (q144CatalogSql _),
     "q145_catalog_time_travel" -> (q145CatalogTimeTravel _),
     "q146_stream_write_versions" -> (q146StreamWriteVersions _),
@@ -1551,6 +1693,33 @@ object VersionedGate {
         |  WHERE doc_id % 2 = 1 AND doc_id % 3 = 0)
         |SELECT grp, count(*) AS n, sum(chars) AS sum_chars
         |FROM v3 GROUP BY grp ORDER BY grp""".stripMargin,
+    // q173: the appendOnly table after every refused mutation = its
+    // pure insert history
+    "q173_append_only" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id % 3 IN (0, 1)
+        |ORDER BY doc_id""".stripMargin,
+    // q174: age-gated retention — expired v=0/v=2 die, TAGGED v=1 and
+    // the keep-floor v=3 survive with their version labels
+    "q174_age_retention" ->
+      """SELECT 1 AS v, doc_id, n_chars FROM documents WHERE doc_id % 4 = 1
+        |UNION ALL
+        |SELECT 3 AS v, doc_id, n_chars FROM documents WHERE doc_id % 4 = 3
+        |ORDER BY v, doc_id""".stripMargin,
+    // q175: TIMESTAMP AS OF 1012 over the checkpointed history = the
+    // epoch-12 snapshot of the filtered base
+    "q175_checkpoint_travel" ->
+      """SELECT doc_id, n_chars, CAST(12 AS BIGINT) AS epoch
+        |FROM documents WHERE doc_id % 5 = 0
+        |ORDER BY doc_id""".stripMargin,
+    // q176: evolved table = pre-evolution half (lang null-filled) plus
+    // the evolved append carrying it
+    "q176_evolve_append" ->
+      """SELECT doc_id, n_chars, NULL AS lang FROM documents
+        |WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
     // q169: the tag pins v=1 = the first two inserts' predicate union,
     // resolvable by NAME even after retention deleted v=0
     "q169_version_tags" ->

@@ -674,30 +674,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           .add("message", StringType, nullable = true),
         in => {
           val r = root(in.getUTF8String(0).toString)
-          val feeds = Versioned.feedVersions(r).toSet
           val tagsByV = Versioned.tags(r).groupBy(_._2)
             .map { case (v, m) => v -> m.keys.toSeq.sorted.mkString(",") }
+          // per-version facts resolve through the commit-log checkpoint
+          // when covered (ONE read amortizes the whole history — on an
+          // object store the walk is one GET per version per column
+          // family); only the post-checkpoint tail reads its own
+          // markers. Tags stay live — they are mutable bindings.
+          val cp = Versioned.readCheckpoint(r)
           Versioned.versions(r).sorted.reverse.map { v =>
-            val vdir = java.nio.file.Paths.get(r, s"v=$v")
-            val files = Versioned.dataFiles(vdir)
-            val dvs = graft.operators.DeletionVectors.dvMap(vdir)
-            // operation kind from the commit's own markers — the same
-            // evidence the conflict/replay machinery reads
-            val op =
-              if (Files.exists(vdir.resolve("_graft_rowlevel"))) "rowlevel"
-              else if (Files.exists(vdir.resolve("_graft_epoch"))) "stream-epoch"
-              else if (Files.exists(vdir.resolve("_graft_txn"))) "txn-write"
-              else "write"
+            val i = Versioned.commitInfoFast(r, v, cp)
             new GenericInternalRow(Array[Any](
-              v, Versioned.commitStamp(r, v).getOrElse(null),
-              org.apache.spark.unsafe.types.UTF8String.fromString(op),
-              files.size, files.map(Files.size(_)).sum, feeds.contains(v),
-              dvs.size,
-              dvs.values.map(
-                graft.operators.DeletionVectors.cardinality).sum,
+              v, i.ts.getOrElse(null),
+              org.apache.spark.unsafe.types.UTF8String.fromString(i.op),
+              i.nFiles, i.bytes, i.hasFeed,
+              i.nDvs, i.nDeletedRows,
               org.apache.spark.unsafe.types.UTF8String.fromString(
                 tagsByV.getOrElse(v, "")),
-              VersionedWriteIo.commitMessage(r, v)
+              i.message
                 .map(org.apache.spark.unsafe.types.UTF8String.fromString)
                 .orNull))
           }
@@ -1052,11 +1046,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "retain" => new GraftProcedure("retain",
         Array(
           ProcedureParameter.in("table", StringType).build(),
-          ProcedureParameter.in("keep", IntegerType).defaultValue("3").build()),
+          ProcedureParameter.in("keep", IntegerType).defaultValue("3").build(),
+          // TIME-BASED retention (Delta's RETAIN <interval>): delete
+          // beyond-keep versions only when their commit stamp is older
+          // than this AGE (micros relative to now) …
+          ProcedureParameter.in("older_than_micros", LongType)
+            .defaultValue("0").build(),
+          // … or strictly below this ABSOLUTE stamp (epoch micros, the
+          // TIMESTAMP AS OF space) — deterministic form for pipelines
+          // that stamp commits explicitly. At most one of the two.
+          ProcedureParameter.in("before_stamp", LongType)
+            .defaultValue("0").build()),
         new StructType().add("version", LongType, nullable = false),
-        in => Versioned.applyRetention(root(in.getUTF8String(0).toString),
-            in.getInt(1))
-          .map(v => new GenericInternalRow(Array[Any](v))))
+        in => {
+          val age = in.getLong(2)
+          val before = in.getLong(3)
+          require(age == 0 || before == 0,
+            "graft catalog: retain wants older_than_micros OR " +
+              "before_stamp, not both")
+          val horizon =
+            if (age > 0) Some(System.currentTimeMillis() * 1000L - age)
+            else if (before > 0) Some(before)
+            else None
+          Versioned.applyRetention(root(in.getUTF8String(0).toString),
+              in.getInt(1), horizon)
+            .map(v => new GenericInternalRow(Array[Any](v)))
+        })
     }
   }
 
