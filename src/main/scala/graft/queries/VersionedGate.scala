@@ -533,6 +533,33 @@ object VersionedGate {
       "ORDER BY doc_id")
   }
 
+  /** q177: MERGE … WITH SCHEMA EVOLUTION — the other half of write-time
+    * evolution (q176 covers append): a MERGE whose SOURCE carries a new
+    * column evolves the target under the explicit keyword (Spark's
+    * ResolveMergeIntoSchemaEvolution routes the new column through the
+    * catalog's metadata-only ADD COLUMN — collision-safe physical
+    * names included), updates matched rows, inserts unmatched ones,
+    * and null-fills everything the merge didn't touch. Without the
+    * keyword MERGE stays strict. The oracle re-derives all three row
+    * classes from predicates alone. */
+  def q177MergeEvolution(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs177")
+    s.sql("CREATE TABLE graft.gate.docs177 (doc_id BIGINT, n_chars BIGINT) " +
+      "USING `graft-versioned`")
+    Tables.documents(s, dir).createOrReplaceTempView("q177_docs_src")
+    s.sql("INSERT INTO graft.gate.docs177 " +
+      "SELECT doc_id, n_chars FROM q177_docs_src WHERE doc_id % 2 = 0") // v=0
+    s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft.gate.docs177 t
+             USING (SELECT doc_id, n_chars, lang FROM q177_docs_src
+                    WHERE doc_id % 3 = 0) s
+             ON t.doc_id = s.doc_id
+             WHEN MATCHED THEN UPDATE SET *
+             WHEN NOT MATCHED THEN INSERT *""")                         // v=1
+    s.sql("SELECT doc_id, n_chars, lang FROM graft.gate.docs177 " +
+      "ORDER BY doc_id")
+  }
+
   private lazy val BatchCdfRoot = scratchBase.resolve("q168").toString
 
   /** q168: the change feed as a BATCH read (Delta's `readChangeFeed`
@@ -1372,6 +1399,7 @@ object VersionedGate {
     "q174_age_retention" -> (q174AgeRetention _),
     "q175_checkpoint_travel" -> (q175CheckpointTravel _),
     "q176_evolve_append" -> (q176EvolveAppend _),
+    "q177_merge_evolution" -> (q177MergeEvolution _),
     "q144_catalog_sql" -> (q144CatalogSql _),
     "q145_catalog_time_travel" -> (q145CatalogTimeTravel _),
     "q146_stream_write_versions" -> (q146StreamWriteVersions _),
@@ -1719,6 +1747,16 @@ object VersionedGate {
         |WHERE doc_id % 2 = 0
         |UNION ALL
         |SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
+    // q177: merged table = evens (lang set where the source matched,
+    // null elsewhere) plus the odd multiples of 3 the merge inserted
+    "q177_merge_evolution" ->
+      """SELECT doc_id, n_chars,
+        |  CASE WHEN doc_id % 3 = 0 THEN lang END AS lang
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, n_chars, lang FROM documents
+        |WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
         |ORDER BY doc_id""".stripMargin,
     // q169: the tag pins v=1 = the first two inserts' predicate union,
     // resolvable by NAME even after retention deleted v=0

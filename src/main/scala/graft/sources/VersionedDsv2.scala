@@ -322,7 +322,14 @@ private[sources] class GraftVersionedTable(
         TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
         TableCapability.STREAMING_WRITE,
         // the table itself as a stream: initial snapshot + appends
-        TableCapability.MICRO_BATCH_READ)
+        TableCapability.MICRO_BATCH_READ,
+        // MERGE … WITH SCHEMA EVOLUTION: Spark's own
+        // ResolveMergeIntoSchemaEvolution computes the source's new
+        // columns and routes them through the catalog's alterTable —
+        // the exact metadata-only ADD COLUMN path (collision-safe
+        // physical names included). The keyword is the explicit
+        // opt-in; without it MERGE stays strict.
+        TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
       // bootstrap write to a fresh root: no schema to resolve against,
       // the write's own query schema becomes version 0's schema
       if (tableSchema.isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)

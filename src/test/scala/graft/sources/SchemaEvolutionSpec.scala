@@ -345,6 +345,34 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSpec {
       .collect()(0).getLong(0) === 5L)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION evolves; plain MERGE stays strict") {
+    val (t, root) = freshTable()
+    spark.sql(s"SELECT 3L AS id, 333L AS v, 'fresh' AS note " +
+      "UNION ALL SELECT 100L, 1L, 'new'").createOrReplaceTempView("evo_src")
+    // plain MERGE: the extra source column is NOT written (Spark's
+    // INSERT */UPDATE SET * expand over TARGET columns only)
+    spark.sql(s"MERGE INTO $t t USING evo_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.table(t).schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(spark.sql(s"SELECT v FROM $t WHERE id = 100")
+      .collect()(0).getLong(0) === 1L)
+    // WITH SCHEMA EVOLUTION: the new column lands via the catalog's
+    // metadata-only ADD COLUMN; matched rows carry it, others null
+    spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO $t t USING evo_src s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.table(t).schema.fieldNames.toSeq === Seq("id", "v", "note"))
+    val got = spark.sql(s"SELECT id, note FROM $t WHERE id IN (3, 100, 7)")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(3L) === Some("fresh"))
+    assert(got(100L) === Some("new"))
+    assert(got(7L) === None)
+    // history stayed versioned: the pre-evolution snapshot still reads
+    // (new column null-filled, q152's contract)
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 0 " +
+      "WHERE note IS NOT NULL").collect()(0).getLong(0) === 0L)
+  }
+
   test("evolved appends feed the change feed with the new payload columns") {
     spark.conf.set("spark.sql.catalog.evo", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.evo.warehouse", warehouse)
