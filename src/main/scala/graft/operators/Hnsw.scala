@@ -128,6 +128,79 @@ object Hnsw {
       (results.dequeueAll.reverse.to(mutable.ArrayBuffer), visited.size)
     }
 
+    /** FILTERED beam search — the standard filtered-HNSW recipe
+      * (Lucene/Weaviate): the walk TRAVERSES every node (disallowed
+      * nodes keep the graph connected and keep guiding the beam toward
+      * the query's neighborhood) but only `allow`ed nodes may enter
+      * the RESULT set. The naive alternative — post-filtering an
+      * unfiltered top-ef — collapses at low selectivity: a 1% filter
+      * leaves ~0.01·ef allowed answers. Traverse-through keeps
+      * expanding until ef ALLOWED results exist (or the visited cap
+      * trips), so recall holds and cost stays hard-bounded; callers
+      * scale `maxVisits` by ~1/selectivity for the same reason IVF
+      * probes widen. Kept separate from [[searchLayer]] so the
+      * unfiltered path's pinned numbers (v50/v51) stay byte-identical. */
+    private def searchLayerFiltered(q: Array[Float], start: Int, level: Int,
+                                    ef: Int, maxVisits: Int,
+                                    allow: Int => Boolean)
+        : (mutable.ArrayBuffer[(Double, Int)], Int) = {
+      implicit val byDotDesc: Ordering[(Double, Int)] =
+        Ordering.by[(Double, Int), (Double, Long)] { case (d, n) => (d, -ids(n)) }
+      val frontier = mutable.PriorityQueue.empty[(Double, Int)]
+      val results = mutable.PriorityQueue.empty[(Double, Int)](byDotDesc.reverse)
+      val visited = mutable.HashSet.empty[Int]
+      val d0 = dot(q, vecs(start))
+      frontier.enqueue((d0, start))
+      if (allow(start)) results.enqueue((d0, start))
+      visited += start
+      while (frontier.nonEmpty &&
+        (maxVisits <= 0 || visited.size < maxVisits)) {
+        val (d, node) = frontier.dequeue()
+        // frontier best is worse than the ef-th ALLOWED result → done
+        if (results.size >= ef && d < results.head._1) frontier.clear()
+        else {
+          val ns = links(node)(level)
+          var i = 0
+          while (i < ns.length) {
+            val n = ns(i)
+            if (!visited.contains(n) &&
+                (maxVisits <= 0 || visited.size < maxVisits)) {
+              visited += n
+              val dn = dot(q, vecs(n))
+              // disallowed nodes ride the frontier (connectivity);
+              // only allowed ones compete for the result set
+              frontier.enqueue((dn, n))
+              if (allow(n) && (results.size < ef || dn > results.head._1)) {
+                results.enqueue((dn, n))
+                if (results.size > ef) results.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      (results.dequeueAll.reverse.to(mutable.ArrayBuffer), visited.size)
+    }
+
+    /** Top-k among `allow`ed nodes only — the greedy upper-layer
+      * descent stays unfiltered (it only picks the layer-0 entry). */
+    def searchFiltered(q: Array[Float], k: Int, efSearch: Int,
+                       maxVisits: Int, allow: Int => Boolean)
+        : (Seq[(Long, Double)], Int) = {
+      if (entry < 0) return (Seq.empty, 0)
+      var cur = entry
+      var level = topLevel
+      while (level > 0) { cur = greedy(q, cur, level); level -= 1 }
+      val (cands, visited) =
+        searchLayerFiltered(q, cur, 0, math.max(efSearch, k), maxVisits, allow)
+      (cands.take(k).map { case (d, n) => (ids(n), d) }.toSeq, visited)
+    }
+
+    /** The insertion ordinal of an id — lets a caller key per-node
+      * metadata (e.g. a filter bitset) by the index's own node order. */
+    private[Hnsw] def ordinalOf: collection.Map[Long, Int] =
+      ids.zipWithIndex.toMap
+
     /** Neighbor selection, the paper's DIVERSITY heuristic (alg. 4):
       * walking candidates best-first, keep one only when no
       * already-kept neighbor explains it better (its dot to the base —
@@ -269,6 +342,54 @@ object Hnsw {
           qB.value.iterator.flatMap { case (qid, qv) =>
             val (top, visited) = index.search(qv, k + 1, efSearch, maxVisits)
             // the query itself may live in this shard — drop it
+            top.filter(_._1 != qid).take(k).map { case (nid, _) =>
+              (qid, nid, visited)
+            }
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "visited")
+    val nv = emb.select(col(idCol).cast("long").as("neighbor_id"),
+      graft.plans.VectorExpressions.quantize_e6(col(vecCol)).as("vn"))
+    rerankMerge(perShard, nv, queries, idCol, vecCol, k)
+  }
+
+  /** FILTERED distributed ANN: [[annTopK]] with a row predicate —
+    * the graph is built over the WHOLE shard (the filter must not
+    * change the graph: it varies per query workload, the index does
+    * not), and the beam walk traverses disallowed nodes while only
+    * allowed ones enter the result set (searchLayerFiltered). Pass a
+    * `maxVisits` scaled by ~1/selectivity — the filtered twin of the
+    * IVF probe widening (v53). `allowed` is any boolean Column over
+    * `emb`'s rows, evaluated Spark-side before the shard build, so
+    * predicate pushdown and column pruning still apply to the scan. */
+  def filteredAnnTopK(emb: DataFrame, idCol: String, vecCol: String,
+                      queries: DataFrame, k: Int, allowed: Column,
+                      partitions: Int = 4, m: Int = 8,
+                      efConstruction: Int = 64, efSearch: Int = 48,
+                      maxVisits: Int = 1024): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(qRows.nonEmpty, "hnsw: empty query set")
+    val qB = spark.sparkContext.broadcast(qRows)
+    val perShard = emb.select(col(idCol).cast("long"), col(vecCol),
+        allowed.cast("boolean").as("__ok"))
+      .as[(Long, Array[Float], Boolean)]
+      .repartition(partitions, col(idCol))
+      .mapPartitions { rows =>
+        val sorted = rows.toArray.sortBy(_._1)
+        if (sorted.isEmpty) Iterator.empty
+        else {
+          val index = new Index(m, efConstruction)
+          sorted.foreach { case (id, v, _) => index.insert(id, v) }
+          // per-node allow bitset keyed by the index's own ordinals
+          val ord = index.ordinalOf
+          val ok = new Array[Boolean](sorted.length)
+          sorted.foreach { case (id, _, a) => ok(ord(id)) = a }
+          qB.value.iterator.flatMap { case (qid, qv) =>
+            val (top, visited) =
+              index.searchFiltered(qv, k + 1, efSearch, maxVisits, ok(_))
             top.filter(_._1 != qid).take(k).map { case (nid, _) =>
               (qid, nid, visited)
             }

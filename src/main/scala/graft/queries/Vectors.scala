@@ -564,9 +564,60 @@ object Vectors {
       .orderBy("query_id")
   }
 
+  /** v55: FILTERED HNSW — the graph twin of v52/v53's filtered IVF:
+    * top-5 among `label = 3` vectors only (~10% selectivity) through
+    * the beam walk itself, which TRAVERSES disallowed nodes (graph
+    * connectivity, beam guidance) while only allowed ones enter the
+    * result set — the standard filtered-HNSW recipe. Post-filtering an
+    * unfiltered top-ef would collapse here (ef·selectivity ≈ 5 allowed
+    * survivors before rank 5 even exists); the visited cap scales by
+    * ~1/selectivity exactly like v53 widens IVF probes. Floors are
+    * v50's (mean recall@5 ≥ 0.8, every query ≥ 3/5, visited within
+    * budget) against v52's oracle-certified restricted brute force;
+    * the oracle states the per-query verdict independently. */
+  def v55FilteredHnsw(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 30)
+    val maxVisits = 2048 // 256 · ~(1/0.1), the selectivity-scaled budget
+    val got = graft.operators.Hnsw.filteredAnnTopK(emb, "vec_id",
+      "embedding", queries, k = 5, allowed = col("label") === 3,
+      partitions = 4, m = 8, efConstruction = 64, efSearch = 48,
+      maxVisits = maxVisits)
+    // the definitionally-correct filtered top-5 (v52's oracle path:
+    // exact brute force over the allowed subset)
+    val exact = graft.operators.Ann.filteredSearch(
+        emb, queries, "vec_id", "embedding",
+        allowed = emb.filter(col("label") === 3).select("vec_id"), topK = 5)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    val scored = got
+      .join(exact, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
+        max(col("visited")).as("max_visited"))
+      .collect() // 30 query rows, bounded
+    require(scored.length == 30, s"v55: expected 30 queries, got ${scored.length}")
+    require(scored.forall(_.getAs[Int]("max_visited") <= maxVisits),
+      "v55: a shard search exceeded its visited-node budget")
+    val mean = scored.map(_.getAs[Long]("n_overlap")).sum.toDouble / (30 * 5)
+    require(mean >= 0.8, f"v55: filtered recall@5 = $mean%.3f below the 0.8 floor")
+    require(scored.forall(_.getAs[Long]("n_overlap") >= 3),
+      "v55: a query fell below 3/5 filtered recall")
+    s.createDataFrame(s.sparkContext.parallelize(
+      scored.map(r => org.apache.spark.sql.Row(
+        r.getAs[Long]("query_id"),
+        r.getAs[Long]("n_overlap") >= 3)).toIndexedSeq),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("recall_ok",
+          org.apache.spark.sql.types.BooleanType))))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "v50_hnsw_recall" -> (v50HnswRecall _),
     "v51_hnsw_incremental" -> (v51HnswIncremental _),
+    "v55_filtered_hnsw" -> (v55FilteredHnsw _),
     "v45_ivf_adc_rerank" -> (v45IvfAdcRerank _),
     "v46_fused_recall" -> (v46FusedRecall _),
     "v47_embedding_outliers" -> (v47EmbeddingOutliers _),
@@ -792,6 +843,12 @@ object Vectors {
     // v51: same verdict contract as v50 — the segmented incremental
     // index must clear the same floors as the one-shot build
     "v51_hnsw_incremental" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 30
+        |ORDER BY query_id""".stripMargin,
+    // v55: same verdict contract — the filtered beam walk must clear
+    // v50's floors against the RESTRICTED (label = 3) brute force
+    "v55_filtered_hnsw" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 30
         |ORDER BY query_id""".stripMargin,

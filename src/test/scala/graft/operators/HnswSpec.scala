@@ -138,6 +138,65 @@ class HnswSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("filtered search: only allowed ids surface; low selectivity doesn't collapse") {
+    // distinct dots (jitter injective-ish in i): an all-ties corpus
+    // degenerates the hill-climb and tests nothing but tie-breaks
+    val data = (0 until 400).map { i =>
+      val c = i % 4
+      val v = Array.fill(8)(0f)
+      v(c) = 10f
+      v((c + 4) % 8) = ((i * 37) % 101 + 1).toFloat * 0.01f
+      (i.toLong, v)
+    }
+    val idx = new Hnsw.Index(m = 6, efConstruction = 32)
+    data.foreach { case (id, v) => idx.insert(id, v) }
+    // allow ~5% of nodes (id % 20 == 0) — a post-filtered top-ef would
+    // keep ~0.05·ef ≈ 1 allowed row; the traverse-through walk must
+    // still assemble a full top-5 of allowed ids
+    val allow: Int => Boolean = n => n % 20 == 0 // ordinal == id here
+    data.take(8).foreach { case (qid, qv) =>
+      val (got, visited) = idx.searchFiltered(qv, 5, efSearch = 48,
+        maxVisits = 400, allow)
+      assert(got.nonEmpty && got.forall(_._1 % 20 == 0),
+        s"query $qid surfaced a disallowed id: $got")
+      assert(got.size === 5, s"query $qid: filtered top-5 collapsed to ${got.size}")
+      // v50's floor against the restricted exact reference: the beam is
+      // approximate, so demand ≥ 3/5 overlap per query (deterministic —
+      // this either always holds or never does)
+      val exact = exactTopK(data.filter(_._1 % 20 == 0), qv, qid, 5)
+      val overlap = got.map(_._1).filter(_ != qid)
+        .count(exact.toSet.contains)
+      assert(overlap >= 3, s"query $qid: filtered overlap $overlap/5, " +
+        s"got=${got.map(_._1)}, exact=$exact")
+      assert(visited <= 400)
+    }
+    // the cap still binds under filtering
+    val (_, v2) = idx.searchFiltered(data.head._2, 5, efSearch = 48,
+      maxVisits = 64, allow)
+    assert(v2 <= 64)
+  }
+
+  test("filteredAnnTopK: distributed filtered walk matches the restricted exact top-k") {
+    import spark.implicits._
+    val data = clustered(240)
+    val df = data.toDF("id", "vec")
+    val queries = df.filter(org.apache.spark.sql.functions.col("id") < 8)
+    val got = Hnsw.filteredAnnTopK(df, "id", "vec", queries, k = 3,
+      allowed = org.apache.spark.sql.functions.expr("id % 2 = 0"),
+      partitions = 2, m = 6, efConstruction = 32, efSearch = 24,
+      maxVisits = 240)
+      .collect().groupBy(_.getLong(0))
+    val allowedData = data.filter(_._1 % 2 == 0)
+    (0L until 8L).foreach { qid =>
+      val rows = got(qid).sortBy(_.getAs[Int]("rank"))
+      assert(rows.forall(_.getAs[Long]("neighbor_id") % 2 == 0),
+        s"query $qid surfaced a disallowed neighbor")
+      val exact = exactTopK(allowedData, data(qid.toInt)._2, qid, 3)
+      assert(rows.map(_.getAs[Long]("neighbor_id")).toSeq === exact,
+        s"query $qid")
+    }
+  }
+
   test("annTopK budget: emitted visited counts never exceed the cap") {
     import spark.implicits._
     val data = clustered(240)
