@@ -201,6 +201,10 @@ object Hnsw {
     private[Hnsw] def ordinalOf: collection.Map[Long, Int] =
       ids.zipWithIndex.toMap
 
+    /** The id at a node ordinal — the inverse lookup tombstone filters
+      * need inside the beam walk. */
+    private[Hnsw] def idOf(n: Int): Long = ids(n)
+
     /** Neighbor selection, the paper's DIVERSITY heuristic (alg. 4):
       * walking candidates best-first, keep one only when no
       * already-kept neighbor explains it better (its dot to the base —
@@ -483,8 +487,72 @@ object Hnsw {
       .write.mode(if (overwrite) "overwrite" else "append").parquet(path)
   }
 
+  // ------------------------------------- soft deletes (tombstones)
+
+  /** TOMBSTONE sidecar dir of a persisted index: one parquet row per
+    * deleted id under `<path>/_tombstones` (underscore-prefixed, so
+    * the graph-row reads never see it). The Lucene-liveDocs shape:
+    * deleting from a graph in place would have to re-link every
+    * neighbor (and re-run the diversity heuristic) across segments —
+    * instead the id is marked dead, every search excludes it via the
+    * FILTERED beam walk (dead nodes still conduct: they keep the graph
+    * navigable exactly like any disallowed node), and a
+    * [[compactIndex]] rebuild purges them. Per-delete cost is O(ids)
+    * appended; search carries the dead set (O(deleted), driver-side
+    * like the query set) until compaction. Ids are never reused —
+    * re-inserting a tombstoned id does NOT revive it. */
+  private def tombstoneDir(path: String): String = s"$path/_tombstones"
+
+  /** Mark `ids` deleted in the stored index (appends — repeated
+    * deletes accumulate, deleting an already-dead id is a no-op). */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    require(ids.nonEmpty, "hnsw: deleteFromIndex with no ids")
+    ids.toDF("id").write.mode("append").parquet(tombstoneDir(path))
+  }
+
+  /** The stored index's dead set (empty when never deleted from). */
+  def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Set[Long] = {
+    val p = java.nio.file.Paths.get(tombstoneDir(path))
+    if (!java.nio.file.Files.isDirectory(p)) Set.empty
+    else {
+      import spark.implicits._
+      spark.read.parquet(p.toString).select(col("id").cast("long"))
+        .as[Long].collect().toSet
+    }
+  }
+
+  /** Rebuild the index over the LIVE rows only — the segment-merge
+    * compaction that purges tombstones (and heals segment
+    * proliferation from many [[appendBatch]]es). O(live corpus), run
+    * on the amortization schedule any LSM-ish store uses. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   segments: Int = 4, m: Int = 8,
+                   efConstruction: Int = 64): Unit = {
+    // dead set rides a broadcast anti-join (O(deleted) rows), never an
+    // IN-list expression — the corpus side stays a distributed scan
+    val p = java.nio.file.Paths.get(tombstoneDir(path))
+    val stored = spark.read.parquet(path).select(col("id"), col("vec"))
+    val live =
+      if (!java.nio.file.Files.isDirectory(p)) stored
+      else stored.join(
+        broadcast(spark.read.parquet(p.toString).select(col("id"))),
+        Seq("id"), "left_anti")
+    val staged = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(path).getParent, "_hnsw_compact_").toString
+    buildIndex(live, "id", "vec", staged, segments, m, efConstruction)
+    Versioned.deleteRecursively(java.nio.file.Paths.get(path))
+    java.nio.file.Files.move(java.nio.file.Paths.get(staged),
+      java.nio.file.Paths.get(path))
+  }
+
   /** Search the stored index: one capped beam walk per segment, merged
-    * by exact integer re-rank — same output shape as [[annTopK]]. */
+    * by exact integer re-rank — same output shape as [[annTopK]].
+    * Tombstoned ids never surface: the walk treats them as disallowed
+    * (traverse-through — they keep conducting) and the re-rank side
+    * drops them too. */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                   queries: DataFrame, idCol: String, vecCol: String,
                   k: Int, m: Int = 8, efConstruction: Int = 64,
@@ -494,6 +562,8 @@ object Hnsw {
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     require(qRows.nonEmpty, "hnsw: empty query set")
     val qB = spark.sparkContext.broadcast(qRows)
+    val dead = tombstonesOf(spark, path)
+    val deadB = spark.sparkContext.broadcast(dead)
     val stored = spark.read.parquet(path)
       .select(col("seg"), col("id"), col("vec"), col("links"),
         col("is_entry"))
@@ -503,16 +573,25 @@ object Hnsw {
         val index = restore(
           rows.map { case (_, id, v, ls, e) => (id, v, ls, e) }.toSeq,
           m, efConstruction)
+        val deadSet = deadB.value
         qB.value.iterator.flatMap { case (qid, qv) =>
-          val (top, visited) = index.search(qv, k + 1, efSearch, maxVisits)
+          val (top, visited) =
+            if (deadSet.isEmpty) index.search(qv, k + 1, efSearch, maxVisits)
+            else index.searchFiltered(qv, k + 1, efSearch, maxVisits,
+              n => !deadSet.contains(index.idOf(n)))
           top.filter(_._1 != qid).take(k).map { case (nid, _) =>
             (qid, nid, visited)
           }
         }
       }.toDF("query_id", "neighbor_id", "visited")
-    val nv = spark.read.parquet(path).select(
+    val nvAll = spark.read.parquet(path).select(
       col("id").cast("long").as("neighbor_id"),
       graft.plans.VectorExpressions.quantize_e6(col("vec")).as("vn"))
+    val nv =
+      if (dead.isEmpty) nvAll
+      else nvAll.join(
+        broadcast(dead.toSeq.toDF("neighbor_id")), Seq("neighbor_id"),
+        "left_anti")
     rerankMerge(cands, nv, queries, idCol, vecCol, k)
   }
 }

@@ -614,10 +614,92 @@ object Vectors {
       .orderBy("query_id")
   }
 
+  /** v56: HNSW soft DELETES — the index-maintenance verb the persisted
+    * graph was missing (Lucene's liveDocs shape): deleting in place
+    * would re-link neighbors across segments, so ids are TOMBSTONED
+    * instead; every search excludes them through the filtered beam
+    * walk (dead nodes still conduct — the graph stays navigable), and
+    * a compaction rebuild purges them. The gate deletes ~10% of the
+    * corpus from a stored index, require()s no dead id ever surfaces,
+    * clears v50's recall floors against the brute force over
+    * SURVIVORS, then compacts and require()s the purge (tombstone dir
+    * gone, stored rows shrunk, search verdicts unchanged). */
+  def v56HnswDeletes(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val path = HnswIndexBase.resolve("v56").toString
+    graft.operators.Versioned.deleteRecursively(java.nio.file.Paths.get(path))
+    graft.operators.Hnsw.buildIndex(emb, "vec_id", "embedding", path,
+      segments = 4)
+    import s.implicits._
+    val deadIds = emb.filter(pmod(col("vec_id"), lit(10)) === 7)
+      .select(col("vec_id").cast("long")).as[Long].collect().toSeq.sorted
+    graft.operators.Hnsw.deleteFromIndex(s, path, deadIds)
+    val dead = deadIds.toSet
+    val maxVisits = 512 // 256 scaled for the ~10% dead the walk skips
+    val queries = emb.filter(col("vec_id") < 30)
+    def runSearch() = graft.operators.Hnsw.searchIndex(s, path, queries,
+      "vec_id", "embedding", k = 5, efSearch = 48, maxVisits = maxVisits)
+    // exact reference over the SURVIVORS only
+    val e = qEmb(s, dir).filter(pmod(col("vec_id"), lit(10)) =!= 7)
+    val q = qEmb(s, dir).filter(col("vec_id") < 30)
+      .select(col("vec_id").as("query_id"), col("v").as("vq"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    val exact = q.join(
+        broadcast(e.select(col("vec_id").as("neighbor_id"), col("v"))),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("vq"), col("v")).as("dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    def verdicts(): Array[org.apache.spark.sql.Row] = runSearch()
+      .join(exact, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
+        max(col("visited")).as("max_visited"),
+        collect_list(col("neighbor_id")).as("got"))
+      .collect()
+    val scored = verdicts()
+    require(scored.length == 30, s"v56: expected 30 queries, got ${scored.length}")
+    require(scored.forall(!_.getAs[Seq[Long]]("got").exists(dead)),
+      "v56: a tombstoned id surfaced in search results")
+    require(scored.forall(_.getAs[Int]("max_visited") <= maxVisits),
+      "v56: a segment search exceeded its visited-node budget")
+    val mean = scored.map(_.getAs[Long]("n_overlap")).sum.toDouble / (30 * 5)
+    require(mean >= 0.8, f"v56: post-delete recall@5 = $mean%.3f below 0.8")
+    require(scored.forall(_.getAs[Long]("n_overlap") >= 3),
+      "v56: a query fell below 3/5 post-delete recall")
+    // compaction purges the tombstones; verdicts must not move
+    val rowsBefore = s.read.parquet(path).count()
+    graft.operators.Hnsw.compactIndex(s, path)
+    require(!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$path/_tombstones")),
+      "v56: compaction must purge the tombstone sidecar")
+    require(s.read.parquet(path).count() < rowsBefore,
+      "v56: compaction must drop the dead rows from storage")
+    val after = verdicts()
+    require(after.forall(!_.getAs[Seq[Long]]("got").exists(dead)),
+      "v56: a purged id surfaced after compaction")
+    require(after.map(_.getAs[Long]("n_overlap")).sum.toDouble / (30 * 5) >= 0.8,
+      "v56: compacted-index recall fell below 0.8")
+    s.createDataFrame(s.sparkContext.parallelize(
+      scored.map(r => org.apache.spark.sql.Row(
+        r.getAs[Long]("query_id"),
+        r.getAs[Long]("n_overlap") >= 3)).toIndexedSeq),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("recall_ok",
+          org.apache.spark.sql.types.BooleanType))))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "v50_hnsw_recall" -> (v50HnswRecall _),
     "v51_hnsw_incremental" -> (v51HnswIncremental _),
     "v55_filtered_hnsw" -> (v55FilteredHnsw _),
+    "v56_hnsw_deletes" -> (v56HnswDeletes _),
     "v45_ivf_adc_rerank" -> (v45IvfAdcRerank _),
     "v46_fused_recall" -> (v46FusedRecall _),
     "v47_embedding_outliers" -> (v47EmbeddingOutliers _),
@@ -849,6 +931,13 @@ object Vectors {
     // v55: same verdict contract — the filtered beam walk must clear
     // v50's floors against the RESTRICTED (label = 3) brute force
     "v55_filtered_hnsw" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 30
+        |ORDER BY query_id""".stripMargin,
+    // v56: same verdict contract — the tombstoned index must clear the
+    // floors against the brute force over SURVIVORS, pre- and
+    // post-compaction, with dead-id exclusion require()d in-gate
+    "v56_hnsw_deletes" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 30
         |ORDER BY query_id""".stripMargin,

@@ -197,6 +197,41 @@ class HnswSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("tombstone deletes: excluded from search, purged by compaction, appends unaffected") {
+    import spark.implicits._
+    val data = clustered(160)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_del_").resolve("idx").toString
+    val df = data.toDF("id", "vec")
+    Hnsw.buildIndex(df, "id", "vec", path, segments = 2)
+    val queries = df.filter(org.apache.spark.sql.functions.col("id") < 4)
+    def ids(): Set[Long] = Hnsw.searchIndex(spark, path, queries,
+        "id", "vec", k = 5, efSearch = 64, maxVisits = 160)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    val before = ids()
+    // delete every 4th id — cluster-mates of every query
+    val dead = (0L until 160L).filter(_ % 4 == 0)
+    Hnsw.deleteFromIndex(spark, path, dead)
+    assert(Hnsw.tombstonesOf(spark, path) === dead.toSet)
+    val after = ids()
+    assert(after.nonEmpty && !after.exists(_ % 4 == 0),
+      s"tombstoned ids surfaced: ${after.filter(_ % 4 == 0)}")
+    // deleting twice is a no-op; appends still land
+    Hnsw.deleteFromIndex(spark, path, Seq(0L))
+    Hnsw.appendBatch(path, Seq((500L, data(1)._2)).toDF("id", "vec"),
+      "id", "vec")
+    assert(ids().contains(500L) || !ids().exists(_ % 4 == 0))
+    // compaction purges: sidecar gone, rows shrunk, exclusions stand
+    val rowsBefore = spark.read.parquet(path).count()
+    Hnsw.compactIndex(spark, path, segments = 2)
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$path/_tombstones")))
+    assert(spark.read.parquet(path).count() < rowsBefore)
+    assert(!ids().exists(_ % 4 == 0))
+    assert(before.exists(_ % 4 == 0),
+      "fixture sanity: pre-delete results did include later-dead ids")
+  }
+
   test("annTopK budget: emitted visited counts never exceed the cap") {
     import spark.implicits._
     val data = clustered(240)
