@@ -645,12 +645,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           val r = root(in.getUTF8String(0).toString)
           val age = in.getLong(1)
           val dry = in.getBoolean(2)
-          // two sweeps, both age-gated: crashed writers' staging dirs,
-          // and unmanifested strays inside committed version dirs
-          // (invisible to readers since the commit names its files —
-          // vacuum reclaims their storage)
+          // three sweeps, all age-gated: crashed writers' staging dirs,
+          // unmanifested strays inside committed version dirs, and
+          // root-level sidecar temp files a crashed atomic publish
+          // left behind (all invisible to readers since commits name
+          // their files — vacuum reclaims the storage)
           (VersionedWriteIo.vacuumStaging(r, age, dry) ++
-            VersionedWriteIo.vacuumOrphans(r, age, dry))
+            VersionedWriteIo.vacuumOrphans(r, age, dry) ++
+            VersionedWriteIo.vacuumRootTmp(r, age, dry))
             .map(d => new GenericInternalRow(Array[Any](
               org.apache.spark.unsafe.types.UTF8String.fromString(d))))
         })
@@ -748,23 +750,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "restore" => new GraftProcedure("restore",
         Array(
           ProcedureParameter.in("table", StringType).build(),
-          // a version number, or (ref) a tag name / number string —
-          // exactly one of the two
+          // a version number, (ref) a tag name / number string, or
+          // (timestamp_micros) Delta's RESTORE … TIMESTAMP AS OF —
+          // exactly one of the three
           ProcedureParameter.in("version", LongType)
             .defaultValue("-1").build(),
           ProcedureParameter.in("ref", StringType)
-            .defaultValue("''").build()),
+            .defaultValue("''").build(),
+          ProcedureParameter.in("timestamp_micros", LongType)
+            .defaultValue("0").build()),
         new StructType().add("current_version", LongType, nullable = false),
         in => {
           val tbl = in.getUTF8String(0).toString
           val refS = Option(in.getUTF8String(2)).map(_.toString.trim)
             .filter(_.nonEmpty)
           val vIn = in.getLong(1)
-          require((vIn >= 0) != refS.isDefined,
-            "graft catalog: restore wants version => n OR ref => " +
-              s"'tag-or-number', got version=$vIn ref=${refS.getOrElse("''")}")
-          val target = refS.map(Versioned.resolveRef(root(tbl), _))
-            .getOrElse(vIn)
+          val tsIn = in.getLong(3)
+          require(Seq(vIn >= 0, refS.isDefined, tsIn > 0).count(identity) == 1,
+            "graft catalog: restore wants exactly ONE of version => n, " +
+              "ref => 'tag-or-number', timestamp_micros => t — got " +
+              s"version=$vIn ref=${refS.getOrElse("''")} " +
+              s"timestamp_micros=$tsIn")
+          // timestamp resolves like TIMESTAMP AS OF (latest stamp ≤ t,
+          // checkpoint-accelerated, loud when nothing qualifies)
+          val target =
+            if (tsIn > 0) Versioned.resolveAsOf(root(tbl), tsIn)
+            else refS.map(Versioned.resolveRef(root(tbl), _)).getOrElse(vIn)
           val v = Versioned.restoreTo(root(tbl), target)
           // a changeFeedKeys table feeds EVERY commit — the restore's
           // diff (rows changing back) included

@@ -1108,8 +1108,42 @@ private[sources] class GraftVersionedScan(
       Option(options.get(key))
         .map(Versioned.resolveRef(root, _)) // number or tag name
         .getOrElse(default)
-    val from = bound("startingVersion", 0L)
-    val to = bound("endingVersion", feeds.last)
+    // TIMESTAMP bounds (Delta's readChangeFeed startingTimestamp /
+    // endingTimestamp): resolved against commit stamps — the same
+    // micros anchor timestampAsOf uses, checkpoint-accelerated.
+    // start = first feed commit stamped at-or-after; end = last feed
+    // commit stamped at-or-before. Exclusive with the version bounds.
+    def tsBound(key: String): Option[Long] =
+      Option(options.get(key)).map { raw =>
+        scala.util.Try(raw.trim.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-versioned: $key must be an integer commit stamp " +
+              s"(micros), got '$raw'"))
+      }
+    require(!(options.containsKey("startingVersion") &&
+        options.containsKey("startingTimestamp")),
+      "graft-versioned: startingVersion and startingTimestamp are " +
+        "mutually exclusive")
+    require(!(options.containsKey("endingVersion") &&
+        options.containsKey("endingTimestamp")),
+      "graft-versioned: endingVersion and endingTimestamp are " +
+        "mutually exclusive")
+    lazy val cp = Versioned.readCheckpoint(root)
+    def stampOf(v: Long): Option[Long] =
+      Versioned.commitInfoFast(root, v, cp).ts
+    val from = tsBound("startingTimestamp").map { ts =>
+      feeds.find(v => stampOf(v).exists(_ >= ts)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-versioned: startingTimestamp $ts is after the newest " +
+            "stored feed commit — nothing to read"))
+    }.getOrElse(bound("startingVersion", 0L))
+    val to = tsBound("endingTimestamp").map { ts =>
+      val sel = feeds.filter(v => stampOf(v).exists(_ <= ts))
+      require(sel.nonEmpty,
+        s"graft-versioned: endingTimestamp $ts precedes the earliest " +
+          "stored feed commit")
+      sel.last
+    }.getOrElse(bound("endingVersion", feeds.last))
     require(from <= feeds.last,
       s"graft-versioned: startingVersion $from is beyond the newest " +
         s"stored feed version ${feeds.last}")
@@ -1331,15 +1365,35 @@ private[sources] class GraftVersionedScan(
         require(n > 0, s"graft-versioned: $key must be positive, got $n")
         n
       }
-    if (GraftVersionedTable.isChangeFeed(options))
+    if (GraftVersionedTable.isChangeFeed(options)) {
+      require(!(options.containsKey("startingVersion") &&
+          options.containsKey("startingTimestamp")),
+        "graft-versioned change feed: startingVersion and " +
+          "startingTimestamp are mutually exclusive")
+      // startingTimestamp (Delta's CDF shape): the first feed commit
+      // stamped at-or-after it — same micros anchor as timestampAsOf,
+      // checkpoint-accelerated; if every stored stamp is earlier, only
+      // future commits stream (the table-stream contract)
+      val fromTs = Option(options.get("startingTimestamp")).map { raw =>
+        val ts = scala.util.Try(raw.trim.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            "graft-versioned: startingTimestamp must be an integer " +
+              s"commit stamp (micros), got '$raw'"))
+        val feeds = Versioned.feedVersions(root)
+        val cp = Versioned.readCheckpoint(root)
+        feeds.find(v => Versioned.commitInfoFast(root, v, cp).ts
+            .exists(_ >= ts))
+          .getOrElse(feeds.lastOption.map(_ + 1).getOrElse(0L))
+      }
       new GraftChangeFeedStream(root, required, pushed, filterTypes,
         // a version number or a TAG name — "stream the feed since the
         // train-v1 release" resolves through the same ref rules as
         // VERSION AS OF
-        Option(options.get("startingVersion"))
-          .map(Versioned.resolveRef(root, _)).getOrElse(0L),
+        fromTs.orElse(Option(options.get("startingVersion"))
+          .map(Versioned.resolveRef(root, _))).getOrElse(0L),
         positiveLong("maxVersionsPerTrigger"),
         positiveLong("maxBytesPerTrigger"))
+    }
     else
       new GraftTableStream(root, required, pushed, filterTypes, colMap,
         checkpointLocation,
@@ -3162,6 +3216,34 @@ private[graft] object VersionedWriteIo {
       finally stream.close()
     if (!dryRun) stale.foreach(Versioned.deleteRecursively)
     stale.map(_.getFileName.toString).sorted
+  }
+
+  /** Root-level temp-file sweep: the sidecar writers (latest hint,
+    * tags, protocol, checkpoint) and feed manifests publish via
+    * `_graft_*_….tmp` + atomic rename — a crash between the two leaves
+    * the tmp behind, invisible to every reader but billed storage.
+    * Age-gated like the staging sweep; covers the root and the feed
+    * dirs. Returns the deleted names. */
+  def vacuumRootTmp(root: String, olderThanMs: Long,
+                    dryRun: Boolean = false): Seq[String] = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    def sweep(dir: Path, label: String): Seq[String] = {
+      if (!Files.isDirectory(dir)) return Seq.empty
+      val stream = Files.list(dir)
+      val stale =
+        try stream.iterator().asScala.filter { f =>
+          val n = f.getFileName.toString
+          n.startsWith("_graft_") && n.endsWith(".tmp") &&
+            Files.getLastModifiedTime(f).toMillis < cutoff
+        }.toList
+        finally stream.close()
+      if (!dryRun) stale.foreach(Files.deleteIfExists(_))
+      stale.map(f => s"$label${f.getFileName}")
+    }
+    val feedDirs = Versioned.feedVersions(root)
+      .map(v => Paths.get(Versioned.feedDir(root, v)))
+    (sweep(Paths.get(root), "") ++
+      feedDirs.flatMap(d => sweep(d, s"_changes/${d.getFileName}/"))).sorted
   }
 
   /** Orphan sweep INSIDE committed version dirs — the cleanup the file

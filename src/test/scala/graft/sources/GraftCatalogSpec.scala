@@ -421,6 +421,67 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(chain(bad).exists(_.contains("does not exist")), chain(bad))
   }
 
+  test("sys.restore by TIMESTAMP resolves like TIMESTAMP AS OF; arg matrix loud") {
+    sql("DROP TABLE IF EXISTS gtest.ns.trt")
+    sql("CREATE TABLE gtest.ns.trt (id BIGINT) USING `graft-versioned`")
+    // controlled stamps via the session commit option is not available
+    // to SQL INSERT — stamp directly through the path API
+    val root = s"$warehouse/ns/trt"
+    import spark.implicits._
+    graft.operators.Versioned.writeNext(
+      (0L until 10L).toDF("id"), root, commitTs = Some(1000L)) // v0
+    graft.operators.Versioned.writeNext(
+      (100L until 103L).toDF("id"), root, commitTs = Some(2000L)) // v1
+    val v = sql("CALL gtest.sys.restore(table => 'ns.trt', " +
+      "timestamp_micros => 1500)").collect()(0).getLong(0)
+    assert(v === 2L) // restored v0 (latest stamp <= 1500) as a new commit
+    assert(sql("SELECT count(*) FROM gtest.ns.trt").collect()(0).getLong(0) === 10L)
+    // exactly-one-of matrix
+    def fails(call: String, frag: String): Unit = {
+      val e = intercept[Exception](sql(call))
+      assert(chain(e).exists(_.contains(frag)), chain(e))
+    }
+    fails("CALL gtest.sys.restore(table => 'ns.trt')", "exactly ONE")
+    fails("CALL gtest.sys.restore(table => 'ns.trt', version => 0, " +
+      "timestamp_micros => 1500)", "exactly ONE")
+    fails("CALL gtest.sys.restore(table => 'ns.trt', " +
+      "timestamp_micros => 5)", "no version committed at or before")
+  }
+
+  test("sys.vacuum sweeps crashed sidecar temp files at the root and in feed dirs") {
+    sql("DROP TABLE IF EXISTS gtest.ns.tvt")
+    sql("CREATE TABLE gtest.ns.tvt (id BIGINT, v BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('changeFeedKeys'='id')")
+    sql("INSERT INTO gtest.ns.tvt SELECT id, id FROM range(0, 5)")
+    val root = java.nio.file.Paths.get(s"$warehouse/ns/tvt")
+    // plant crashed-publish leftovers: root-level sidecar tmp + one in
+    // the feed dir, plus a FRESH one the age gate must spare
+    val staleRoot = root.resolve("_graft_tags_dead.tmp")
+    java.nio.file.Files.write(staleRoot, "x".getBytes)
+    val feedDir = java.nio.file.Paths.get(
+      graft.operators.Versioned.feedDir(root.toString, 0L))
+    val staleFeed = feedDir.resolve("_graft_files_dead.tmp")
+    java.nio.file.Files.write(staleFeed, "x".getBytes)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 7200000)
+    java.nio.file.Files.setLastModifiedTime(staleRoot, old)
+    java.nio.file.Files.setLastModifiedTime(staleFeed, old)
+    val fresh = root.resolve("_graft_protocol_live.tmp")
+    java.nio.file.Files.write(fresh, "x".getBytes)
+    val removed = sql(
+      "CALL gtest.sys.vacuum(table => 'ns.tvt', older_than_ms => 1800000)")
+      .collect().map(_.getString(0)).toSeq
+    assert(removed.exists(_.contains("_graft_tags_dead.tmp")), removed)
+    assert(removed.exists(_.contains("_graft_files_dead.tmp")), removed)
+    assert(!java.nio.file.Files.exists(staleRoot))
+    assert(!java.nio.file.Files.exists(staleFeed))
+    assert(java.nio.file.Files.exists(fresh), "age gate must spare fresh tmps")
+    // the table and its feed still read exactly
+    assert(sql("SELECT count(*) FROM gtest.ns.tvt").collect()(0).getLong(0) === 5L)
+    assert(spark.read.format("graft-versioned").option("changeFeed", "true")
+      .load(root.toString).count() === 5L)
+  }
+
   test("sys.clone: shallow clone shares files, then diverges independently") {
     sql("DROP TABLE IF EXISTS gtest.ns.src")
     sql("DROP TABLE IF EXISTS gtest.ns.dst")

@@ -127,6 +127,54 @@ class VersionedDsv2Spec extends AnyFunSuite with SparkSpec {
     assert(feed().where(col("commit_version") === 1L).count() === 3L)
   }
 
+  test("change feed by TIMESTAMP: batch bounds and streaming start resolve on stamps") {
+    def feed(opts: (String, String)*) = {
+      val r = spark.read.format("graft-versioned").option("changeFeed", "true")
+      opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load(root)
+    }
+    // startingTimestamp = first feed commit stamped at-or-after
+    // (stamps: v=0 @1000, v=1 @2000)
+    assert(sorted(feed("startingTimestamp" -> "1500")
+        .select("id", "change_type", "old_price", "new_price"))
+      === Seq("[1,changed,100,101]", "[3,removed,300,null]",
+        "[4,added,null,400]"))
+    assert(feed("startingTimestamp" -> "1000").count() === 6L)
+    // endingTimestamp = last feed commit stamped at-or-before
+    assert(feed("endingTimestamp" -> "1999")
+      .where(col("change_type") =!= "added").isEmpty)
+    // mixing version and timestamp bounds is loud; so is a start past
+    // the newest stamp or an end before the earliest
+    def fails(frag: String)(opts: (String, String)*): Unit = {
+      val e = intercept[Exception](feed(opts: _*).collect())
+      def chain(x: Throwable): String =
+        if (x == null) "" else x.getMessage + "||" + chain(x.getCause)
+      assert(chain(e).contains(frag), s"$opts -> ${chain(e)}")
+    }
+    fails("mutually exclusive")(
+      "startingVersion" -> "0", "startingTimestamp" -> "1000")
+    fails("mutually exclusive")(
+      "endingVersion" -> "1", "endingTimestamp" -> "2000")
+    fails("after the newest")("startingTimestamp" -> "9999")
+    fails("precedes the earliest")("endingTimestamp" -> "5")
+    // the STREAMING drain accepts the same anchor
+    val name = "dsv2_feed_ts"
+    spark.readStream.format("graft-versioned")
+      .option("changeFeed", "true").option("startingTimestamp", "1500")
+      .load(root)
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(spark.table(name).count() === 3L)
+    assert(spark.table(name).where(col("commit_version") === 0L).isEmpty)
+    // a future streaming anchor streams nothing yet (only later commits)
+    val name2 = "dsv2_feed_ts_future"
+    spark.readStream.format("graft-versioned")
+      .option("changeFeed", "true").option("startingTimestamp", "99999")
+      .load(root)
+      .writeStream.format("memory").queryName(name2)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(spark.table(name2).isEmpty)
+  }
+
   test("batch change feed fail-loud: no feed, inverted range, beyond latest") {
     import spark.implicits._
     // a root with versions but no stored feed
