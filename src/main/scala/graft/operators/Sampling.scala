@@ -34,6 +34,62 @@ object Sampling {
     df.filter(pct < rateCol)
   }
 
+  /** DSIR-style IMPORTANCE scoring (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by how much more likely its HASHED-UNIGRAM bag is
+    * under the TARGET domain's distribution than under the raw
+    * corpus's — the cheap, principled "select pretraining data that
+    * looks like the domain you care about" recipe. Words hash into
+    * `buckets` bins (md5 hex-char arithmetic — portable across
+    * engines), both distributions are Laplace-smoothed bucket
+    * frequencies, and a document's score is Σ_w [ln p_target(b_w) −
+    * ln p_raw(b_w)]. Positive score = more target-like than raw;
+    * resample by score (the gate keeps score > 0; a production
+    * pipeline adds Gumbel noise for a soft sample — the scoring is
+    * the operator, the noise is a column).
+    *
+    * EXACTNESS: per-bucket log-ratios quantize to integer micro-nats
+    * ONCE (B rows), so document scores are exact integer sums —
+    * engine-comparable, tie-free. Scale shape: one exploded-token
+    * pass feeds a B-row aggregate (map-side partial, broadcast back)
+    * and one per-doc sum — two scans, zero wide shuffles beyond the
+    * doc-key aggregation, linear at 100 TB; the bucket table is
+    * O(buckets) everywhere it travels. */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, buckets: Int = 64): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536,
+      s"dsirScores: buckets must be in [2, 65536], got $buckets")
+    def hexVal(c: Column) =
+      when(c.between("0", "9"), ascii(c) - 48).otherwise(ascii(c) - 87)
+    val toks = docs
+      .select(col(idCol), isTarget.as("__t"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("__h", md5(col("w")))
+      .select(col(idCol), col("__t"),
+        pmod(hexVal(substring(col("__h"), 1, 1)) * 16 +
+          hexVal(substring(col("__h"), 2, 1)), lit(buckets)).as("b"))
+    // ONE pass counts both distributions (target ⊆ raw)
+    val counts = toks.groupBy("b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val totals = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("rt"))
+    // integer micro-nat score per bucket: floor(1e6·ln(p/q) + 0.5) —
+    // quantized once, so everything downstream is exact integers
+    val scores = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor(lit(1e6) *
+            (log((col("ct") + 1).cast("double") /
+                 (col("tt") + buckets).cast("double")) -
+             log((col("cr") + 1).cast("double") /
+                 (col("rt") + buckets).cast("double"))) + 0.5)
+          .cast(LongType).as("s"))
+    toks.join(broadcast(scores), "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("s")).as("dsir_score_e6"))
+  }
+
   /** TEMPERATURE-SMOOTHED mixture sampling (α = 0.5, the standard
     * multilingual/multi-source smoothing): draw one epoch of
     * `epochDocs` documents with per-source quotas ∝ √n_s — small

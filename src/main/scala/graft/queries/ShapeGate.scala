@@ -564,7 +564,47 @@ object ShapeGate {
       .orderBy("grp", "doc_id")
   }
 
+  /** t102: DSIR importance resampling (Xie et al. 2023) — "select raw
+    * documents that look like the target domain" via hashed-unigram
+    * likelihood ratios: the target here is documents mentioning
+    * 'customer', scores are exact integer micro-nat sums over 64
+    * md5-hashed buckets ([[graft.operators.Sampling.dsirScores]]), and
+    * the resampled set keeps score > 0 (more target-like than raw).
+    * Soundness require()d in-gate: the selection must be ENRICHED in
+    * the target trait versus the corpus base rate — an importance
+    * sampler that doesn't shift the distribution toward its target is
+    * broken no matter what it returns. The DuckDB oracle re-derives
+    * the full pipeline (tokens → buckets → smoothed log-ratios →
+    * integer scores → selection) from the parquet alone. */
+  def t102DsirResample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val isTarget = col("text").contains("customer")
+    val scored = graft.operators.Sampling.dsirScores(
+      docs, "doc_id", "text", isTarget, buckets = 64)
+    val withTrait = scored.join(
+      docs.select(col("doc_id"), isTarget.as("is_t")), "doc_id")
+    val (selT, selN, allT, allN) = {
+      val r = withTrait.agg(
+        sum(when(col("is_t") && col("dsir_score_e6") > 0, 1L)
+          .otherwise(0L)),
+        sum(when(col("dsir_score_e6") > 0, 1L).otherwise(0L)),
+        sum(when(col("is_t"), 1L).otherwise(0L)),
+        count(lit(1))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    require(selN > 0 && selN < allN,
+      s"t102: selection must be a proper subset, got $selN of $allN")
+    require(selT.toDouble / selN > allT.toDouble / allN,
+      f"t102: importance resampling must ENRICH the target trait — " +
+        f"selected ${selT.toDouble / selN}%.3f vs base " +
+        f"${allT.toDouble / allN}%.3f")
+    scored.filter(col("dsir_score_e6") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("dsir_score_e6"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t102_dsir_resample" -> (t102DsirResample _),
     "t101_temperature_mixture" -> (t101TemperatureMixture _),
     "t97_balanced_sample" -> (t97BalancedSample _),
     "t62_token_quantiles" -> (t62TokenQuantiles _),
@@ -591,6 +631,39 @@ object ShapeGate {
   )
 
   val oracles: Map[String, String] = Map(
+    // t102: the full DSIR derivation re-run from the parquet — md5
+    // hex-char buckets, Laplace-smoothed log-ratios quantized to
+    // integer micro-nats ONCE (so document scores are exact integer
+    // sums in both engines), selection = score > 0
+    "t102_dsir_resample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, (text LIKE '%customer%') AS t,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) w
+        |  FROM documents),
+        |bk AS (SELECT doc_id, t,
+        |  ((CASE WHEN substr(md5(w),1,1) BETWEEN '0' AND '9'
+        |         THEN ascii(substr(md5(w),1,1)) - 48
+        |         ELSE ascii(substr(md5(w),1,1)) - 87 END) * 16 +
+        |   (CASE WHEN substr(md5(w),2,1) BETWEEN '0' AND '9'
+        |         THEN ascii(substr(md5(w),2,1)) - 48
+        |         ELSE ascii(substr(md5(w),2,1)) - 87 END)) % 64 AS b
+        |  FROM toks),
+        |cnt AS (SELECT b,
+        |    cast(sum(CASE WHEN t THEN 1 ELSE 0 END) as bigint) ct,
+        |    cast(count(*) as bigint) cr
+        |  FROM bk GROUP BY 1),
+        |tot AS (SELECT cast(sum(ct) as bigint) tt,
+        |               cast(sum(cr) as bigint) rt FROM cnt),
+        |sc AS (SELECT b,
+        |    cast(floor(1000000.0 *
+        |      (ln((ct + 1)::DOUBLE / (tt + 64)) -
+        |       ln((cr + 1)::DOUBLE / (rt + 64))) + 0.5) as bigint) s
+        |  FROM cnt, tot),
+        |ds AS (SELECT doc_id, cast(count(*) as bigint) n_tokens,
+        |    cast(sum(s) as bigint) dsir_score_e6
+        |  FROM bk JOIN sc USING (b) GROUP BY 1)
+        |SELECT doc_id, n_tokens, dsir_score_e6 FROM ds
+        |WHERE dsir_score_e6 > 0 ORDER BY doc_id""".stripMargin,
     // the window form the k-bounded aggregator must equal exactly:
     // (cnt desc, value asc) over cnt = −hk ⇔ ORDER BY hk, doc_id
     // t101: the oracle IS the window form — the engine's

@@ -69,6 +69,33 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       .as[String].collect().toSet === Set("common"))
   }
 
+  test("dsirScores: target-word docs score higher, integers exact, partitioning-independent") {
+    // two sub-languages over a shared vocab: target docs speak extra
+    // 'alpha beta', background docs speak extra 'gamma delta'
+    val corpus = (0L until 400L).map { i =>
+      val t = i % 4 == 0
+      val extra = if (t) "alpha beta alpha" else "gamma delta gamma"
+      (i, s"common w${i % 5} $extra common")
+    }.toDF("id", "text")
+    val isTarget = col("text").contains("alpha")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.dsirScores(df, "id", "text", isTarget, buckets = 32)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+    val scores = run(corpus)
+    assert(scores.size === 400)
+    // every target doc must outscore every background doc (disjoint
+    // marker words dominate the shared vocab's neutral buckets)
+    val tMin = (0L until 400L by 4).map(scores(_)._2).min
+    val bMax = (0L until 400L).filterNot(_ % 4 == 0).map(scores(_)._2).max
+    assert(tMin > bMax, s"target min $tMin must exceed background max $bMax")
+    // target docs land positive, background negative (proper subset)
+    assert((0L until 400L by 4).forall(scores(_)._2 > 0))
+    assert((1L until 400L by 4).forall(scores(_)._2 < 0))
+    // integer scores are exactly reproducible under any partitioning
+    assert(run(corpus.repartition(13)) === scores)
+  }
+
   test("temperatureMixture: sqrt quotas, caps at source size, deterministic") {
     // sizes 100/9/1 → ⌊√n⌋ weights 10/3/1 (sum 14); epochDocs=14 gives
     // quotas exactly 10/3/1 — 'c' is fully taken (cap), 'a' downweighted
