@@ -58,3 +58,76 @@ object Quality {
   def report(checks: DataFrame*): DataFrame =
     checks.reduce(_ unionByName _).orderBy("rule")
 }
+
+/** Trainable QUALITY CLASSIFIER — the CCNet/LLaMA-style recipe
+  * (Wenzek et al., "CCNet", LREC 2020): fit a linear classifier on
+  * cheap per-document features against a target-domain label, then
+  * score the whole corpus and keep what looks target-like. Training
+  * runs on a SAMPLE (quality classifiers train on ~10⁵ labeled docs);
+  * SCORING is the 100 TB-scale op and compiles to one broadcast-free
+  * scan — the learned weights become literal expressions, so the
+  * score is whole-stage-codegen arithmetic, never a UDF.
+  *
+  * The trainer is deterministic, declarative batch gradient descent:
+  * features standardize once (one aggregate), and each GD step is ONE
+  * DataFrame aggregate — the gradient components are `sum((σ(w·x) −
+  * y)·x_i)` Column expressions with the current weights inlined as
+  * literals — over the cached training frame. No RDDs, no UDFs, no
+  * MLlib: k+1 doubles cross the driver per step. */
+object QualityScorer {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
+
+  /** Learned model: per-feature (mean, std) standardization + weights
+    * (last = intercept). */
+  final case class Model(features: Seq[String], means: Seq[Double],
+                         stds: Seq[Double], weights: Seq[Double]) {
+    /** The decision value w·x̃ + b as a codegen'd Column — positive
+      * means target-like. `sigmoid(decision)` is the probability. */
+    def decision: Column =
+      features.indices.map { i =>
+        lit(weights(i)) * ((col(features(i)) - means(i)) / stds(i))
+      }.reduce(_ + _) + lit(weights.last)
+  }
+
+  /** Fit by `iters` full-batch GD steps at rate `rate` on standardized
+    * features (zero-init weights — no RNG, fully reproducible). */
+  def train(labeled: DataFrame, features: Seq[String], labelCol: String,
+            iters: Int = 50, rate: Double = 1.0): Model = {
+    require(features.nonEmpty && iters > 0)
+    val statsRow = labeled.agg(
+      count(lit(1)).cast("double").as("n"),
+      features.flatMap(f => Seq(avg(col(f)).as(s"m_$f"),
+        coalesce(stddev_pop(col(f)), lit(0.0)).as(s"s_$f"))): _*).collect()(0)
+    val n = statsRow.getAs[Double]("n")
+    require(n > 0, "quality scorer: empty training frame")
+    val means = features.map(f => statsRow.getAs[Double](s"m_$f"))
+    // a constant feature standardizes to 0 (std 1 avoids div-by-zero)
+    val stds = features.map(f =>
+      math.max(statsRow.getAs[Double](s"s_$f"), 1e-12))
+    val std = labeled.select(
+      (features.zipWithIndex.map { case (f, i) =>
+        ((col(f) - means(i)) / stds(i)).as(s"x$i") } :+
+        col(labelCol).cast("double").as("y")): _*).cache()
+    std.count()
+    try {
+      var w = Array.fill(features.length + 1)(0.0)
+      var it = 0
+      while (it < iters) {
+        // σ(w·x) − y, with the CURRENT weights as literals — each GD
+        // step is one codegen'd aggregate over the cached frame
+        val z = features.indices.map(i => lit(w(i)) * col(s"x$i"))
+          .reduce(_ + _) + lit(w.last)
+        val err = lit(1.0) / (lit(1.0) + exp(-z)) - col("y")
+        val grads = std.agg(
+          sum(err * col("x0")).as("g0"),
+          (features.indices.drop(1).map(i =>
+            sum(err * col(s"x$i")).as(s"g$i")) :+
+            sum(err).as(s"g${features.length}")): _*).collect()(0)
+        w = w.indices.map(i => w(i) - rate * grads.getDouble(i) / n).toArray
+        it += 1
+      }
+      Model(features, means, stds, w.toSeq)
+    } finally { std.unpersist(); () }
+  }
+}

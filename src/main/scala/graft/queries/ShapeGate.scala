@@ -603,7 +603,65 @@ object ShapeGate {
       .orderBy("doc_id")
   }
 
+  /** t103: TRAINABLE quality classifier (the CCNet/LLaMA recipe) — fit
+    * a logistic scorer on cheap per-document features against a
+    * target-domain label on the TRAINING half (even doc_ids), score
+    * the HELD-OUT half (odd), and require generalization: exact AUC ≥
+    * 0.95 and every held-out prediction correct (the trait is
+    * feature-expressible, so a working trainer must separate it; a
+    * trainer that memorizes noise or diverges fails loudly). Training
+    * is [[graft.operators.QualityScorer]]'s declarative GD — each step
+    * one codegen'd aggregate; scoring is literal-weight arithmetic in
+    * one scan, the 100 TB-shaped half. The oracle states the per-doc
+    * verdict independently. */
+  def t103QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir)).select(
+      col("doc_id"), col("n_chars"),
+      (size(split(col("text"), " "))).cast("double").as("f_tokens"),
+      (size(split(col("text"), "customer")) - 1).cast("double")
+        .as("f_customer"),
+      (size(split(col("text"), " the ")) - 1).cast("double").as("f_the"),
+      col("n_chars").cast("double").as("f_chars"),
+      col("text").contains("customer").as("label"))
+    val features = Seq("f_tokens", "f_customer", "f_the", "f_chars")
+    val model = graft.operators.QualityScorer.train(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), features, "label",
+      iters = 50, rate = 1.0)
+    val held = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("label"), model.decision.as("score"))
+      .collect() // the eval set — bounded like every verdict gate's
+    require(held.nonEmpty, "t103: empty held-out set")
+    // exact AUC by rank-sum (Mann-Whitney): ties broken by doc_id —
+    // float scores collide with probability ~0
+    val ranked = held.sortBy(r => (r.getAs[Double]("score"),
+      r.getAs[Long]("doc_id"))).zipWithIndex
+    val nPos = held.count(_.getAs[Boolean]("label"))
+    val nNeg = held.length - nPos
+    require(nPos > 0 && nNeg > 0, "t103: degenerate held-out labels")
+    val rankSum = ranked.collect {
+      case (r, i) if r.getAs[Boolean]("label") => i + 1L }.sum
+    val auc = (rankSum - nPos.toLong * (nPos + 1) / 2).toDouble /
+      (nPos.toLong * nNeg)
+    require(auc >= 0.95,
+      f"t103: held-out AUC $auc%.4f below the 0.95 floor")
+    require(held.forall(r =>
+        (r.getAs[Double]("score") > 0) == r.getAs[Boolean]("label")),
+      "t103: a held-out document was misclassified")
+    s.createDataFrame(s.sparkContext.parallelize(
+      held.map(r => org.apache.spark.sql.Row(
+        r.getAs[Long]("doc_id"),
+        (r.getAs[Double]("score") > 0) == r.getAs[Boolean]("label")))
+        .toIndexedSeq),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("correct",
+          org.apache.spark.sql.types.BooleanType))))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t103_quality_classifier" -> (t103QualityClassifier _),
     "t102_dsir_resample" -> (t102DsirResample _),
     "t101_temperature_mixture" -> (t101TemperatureMixture _),
     "t97_balanced_sample" -> (t97BalancedSample _),
@@ -631,6 +689,12 @@ object ShapeGate {
   )
 
   val oracles: Map[String, String] = Map(
+    // t103: the learned scorer's held-out verdict — the trait is
+    // feature-expressible, so a working trainer classifies every
+    // held-out doc correctly; any miss breaks the hash
+    "t103_quality_classifier" ->
+      """SELECT doc_id, true AS correct FROM documents
+        |WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin,
     // t102: the full DSIR derivation re-run from the parquet — md5
     // hex-char buckets, Laplace-smoothed log-ratios quantized to
     // integer micro-nats ONCE (so document scores are exact integer

@@ -35,6 +35,36 @@ class QualitySpec extends AnyFunSuite with SparkSpec {
       === Seq(Row("u", 0L)))
   }
 
+  test("QualityScorer: separable data classifies exactly; scoring is plan arithmetic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // y ⟺ f1 ≥ 3; f2 is noise correlated with nothing
+    val rows = (0 until 300).map { i =>
+      val f1 = (i % 6).toDouble
+      (i.toLong, f1, ((i * 37) % 11).toDouble, f1 >= 3.0)
+    }.toDF("id", "f1", "f2", "y")
+    val m = QualityScorer.train(rows, Seq("f1", "f2"), "y",
+      iters = 60, rate = 1.0)
+    // every row classified correctly by the decision sign
+    val scored = rows.select(col("id"), col("y"), m.decision.as("s")).collect()
+    assert(scored.forall(r => (r.getAs[Double]("s") > 0) == r.getAs[Boolean]("y")))
+    // the learned weight loads on the informative feature
+    assert(math.abs(m.weights(0)) > 5 * math.abs(m.weights(1)),
+      s"weights ${m.weights} should load on f1")
+    // decision is literal arithmetic — no UDF in the plan
+    val plan = rows.select(m.decision).queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+    // retraining on a repartitioned frame flips no verdict
+    val m2 = QualityScorer.train(rows.repartition(7), Seq("f1", "f2"), "y",
+      iters = 60, rate = 1.0)
+    val scored2 = rows.select(col("id"), col("y"), m2.decision.as("s")).collect()
+    assert(scored2.forall(r => (r.getAs[Double]("s") > 0) == r.getAs[Boolean]("y")))
+    // constant features are inert (std-0 guard), not NaN factories
+    val m3 = QualityScorer.train(rows.withColumn("c", lit(4.0)),
+      Seq("f1", "c"), "y", iters = 30, rate = 1.0)
+    assert(!m3.weights.exists(_.isNaN))
+  }
+
   test("fkCheck counts orphans including null keys") {
     val parent = Seq(1L, 2L).toDF("p")
     val child = Seq(Option(1L), Option(3L), None).toDF("k")
