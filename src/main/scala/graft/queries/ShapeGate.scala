@@ -624,9 +624,12 @@ object ShapeGate {
       col("n_chars").cast("double").as("f_chars"),
       col("text").contains("customer").as("label"))
     val features = Seq("f_tokens", "f_customer", "f_the", "f_chars")
+    // 20 steps at rate 2 converge on this separable trait (the AUC +
+    // all-correct requires below are the convergence proof); each step
+    // is one job, so the step count is the gate's wall time
     val model = graft.operators.QualityScorer.train(
       docs.filter(pmod(col("doc_id"), lit(2)) === 0), features, "label",
-      iters = 50, rate = 1.0)
+      iters = 20, rate = 2.0)
     val held = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
       .select(col("doc_id"), col("label"), model.decision.as("score"))
       .collect() // the eval set — bounded like every verdict gate's
