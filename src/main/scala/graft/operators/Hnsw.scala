@@ -512,6 +512,13 @@ object Hnsw {
     ids.toDF("id").write.mode("append").parquet(tombstoneDir(path))
   }
 
+  /** Distributed form: the delete set stays a DataFrame end to end —
+    * a predicate-derived deletion over a large corpus never routes
+    * through the driver. */
+  def deleteFromIndex(path: String, ids: DataFrame, idCol: String): Unit =
+    ids.select(col(idCol).cast("long").as("id"))
+      .write.mode("append").parquet(tombstoneDir(path))
+
   /** The stored index's dead set (empty when never deleted from). */
   def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
                    path: String): Set[Long] = {

@@ -630,11 +630,11 @@ object Vectors {
     graft.operators.Versioned.deleteRecursively(java.nio.file.Paths.get(path))
     graft.operators.Hnsw.buildIndex(emb, "vec_id", "embedding", path,
       segments = 4)
-    import s.implicits._
-    val deadIds = emb.filter(pmod(col("vec_id"), lit(10)) === 7)
-      .select(col("vec_id").cast("long")).as[Long].collect().toSeq.sorted
-    graft.operators.Hnsw.deleteFromIndex(s, path, deadIds)
-    val dead = deadIds.toSet
+    // the delete set stays a DataFrame — predicate-derived deletions
+    // never route through the driver (the collect-free scale shape)
+    val deadDf = emb.filter(pmod(col("vec_id"), lit(10)) === 7)
+      .select(col("vec_id"))
+    graft.operators.Hnsw.deleteFromIndex(path, deadDf, "vec_id")
     val maxVisits = 512 // 256 scaled for the ~10% dead the walk skips
     val queries = emb.filter(col("vec_id") < 30)
     def runSearch() = graft.operators.Hnsw.searchIndex(s, path, queries,
@@ -653,17 +653,21 @@ object Vectors {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    // dead-id exclusion is checked by JOIN, never by collecting the
+    // dead set (it is O(deleted) — corpus-fraction-sized at scale)
+    def deadHits(): Long = runSearch().join(
+      deadDf.withColumnRenamed("vec_id", "neighbor_id"),
+      Seq("neighbor_id"), "left_semi").count()
     def verdicts(): Array[org.apache.spark.sql.Row] = runSearch()
       .join(exact, Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
-        max(col("visited")).as("max_visited"),
-        collect_list(col("neighbor_id")).as("got"))
+        max(col("visited")).as("max_visited"))
       .collect()
+    require(deadHits() == 0L,
+      "v56: a tombstoned id surfaced in search results")
     val scored = verdicts()
     require(scored.length == 30, s"v56: expected 30 queries, got ${scored.length}")
-    require(scored.forall(!_.getAs[Seq[Long]]("got").exists(dead)),
-      "v56: a tombstoned id surfaced in search results")
     require(scored.forall(_.getAs[Int]("max_visited") <= maxVisits),
       "v56: a segment search exceeded its visited-node budget")
     val mean = scored.map(_.getAs[Long]("n_overlap")).sum.toDouble / (30 * 5)
@@ -678,9 +682,9 @@ object Vectors {
       "v56: compaction must purge the tombstone sidecar")
     require(s.read.parquet(path).count() < rowsBefore,
       "v56: compaction must drop the dead rows from storage")
-    val after = verdicts()
-    require(after.forall(!_.getAs[Seq[Long]]("got").exists(dead)),
+    require(deadHits() == 0L,
       "v56: a purged id surfaced after compaction")
+    val after = verdicts()
     require(after.map(_.getAs[Long]("n_overlap")).sum.toDouble / (30 * 5) >= 0.8,
       "v56: compacted-index recall fell below 0.8")
     s.createDataFrame(s.sparkContext.parallelize(

@@ -105,7 +105,7 @@ class TagSpec extends AnyFunSuite with SparkSpec {
     // exactly one of version/ref
     val e = intercept[Exception](spark.sql(
       s"CALL tg.sys.restore(table => 'ns.t$n', version => 1, ref => 'snap')"))
-    assert(e.getMessage.contains("version => n OR ref"), e.getMessage)
+    assert(e.getMessage.contains("exactly ONE of version => n"), e.getMessage)
     intercept[Exception](spark.sql(s"CALL tg.sys.restore(table => 'ns.t$n')"))
   }
 
