@@ -262,4 +262,50 @@ object CorpusText {
   /** Count matches of `re` in `text` (exact, not capped). */
   def countMatches(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0))).cast(LongType)
+
+  // ---- extended sensitive-text detectors (t104/t105) — still the
+  // RE2 ∩ java.util.regex common subset, no lookaround. Phone numbers
+  // written in Persian digits are caught by normalizing with
+  // [[graft.functions.PersianText.persianToEnglishDigits]] (F1) BEFORE
+  // matching — see [[redactAllPii]].
+
+  /** Iranian mobile, both forms: +98 9xx xxx xxxx and 0 9xx xxx xxxx.
+    * No leading `\b` on the `+98` arm (+ after a space has no word
+    * boundary); each arm ends on `\b` so an 11/12-digit match never
+    * fires INSIDE a longer digit run. */
+  val IranMobileRe = "(?:\\+989[0-9]{9}\\b|\\b09[0-9]{9}\\b)"
+
+  /** Standalone 10-digit national-ID-shaped number. The `\b` pair means
+    * it never matches inside an 11-digit mobile or a 16-digit card. */
+  val NationalIdRe = "\\b[0-9]{10}\\b"
+
+  /** 16-digit card number in 4-4-4-4 dashed groups. */
+  val Card16Re = "\\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\\b"
+
+  /** Full redaction chain over DIGIT-NORMALIZED text (F1 first, so
+    * Persian-digit phone numbers redact too): email → IPv4 → card →
+    * international phone → Iranian mobile → national id. Fixed order —
+    * placeholders from earlier passes contain no digits or `@`, so a
+    * later pattern can never match inside one; the card pass runs
+    * before the bare-digit passes so its 4-digit groups are gone
+    * before any digit-run pattern looks. Scan-side, codegen'd — one
+    * projection, no UDF. */
+  def redactAllPii(text: Column): Column = {
+    val norm = graft.functions.PersianText.persianToEnglishDigits(text)
+    Seq(EmailRe -> "<EMAIL>", Ipv4Re -> "<IP>", Card16Re -> "<CARD>",
+      PhoneRe -> "<PHONE>", IranMobileRe -> "<PHONE>",
+      NationalIdRe -> "<ID>")
+      .foldLeft(norm) { case (c, (re, tag)) => regexp_replace(c, re, tag) }
+  }
+
+  /** Per-document PII instance counts over digit-normalized text —
+    * exact integers, one scan, the redaction chain's audit twin. */
+  def piiCounts(text: Column): (Column, Column, Column, Column, Column) = {
+    val norm = graft.functions.PersianText.persianToEnglishDigits(text)
+    (countMatches(norm, EmailRe),
+      countMatches(norm, PhoneRe) + countMatches(norm, IranMobileRe),
+      countMatches(norm, Ipv4Re),
+      countMatches(norm, NationalIdRe),
+      countMatches(norm, Card16Re))
+  }
 }

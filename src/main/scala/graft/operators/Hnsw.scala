@@ -547,12 +547,22 @@ object Hnsw {
       else stored.join(
         broadcast(spark.read.parquet(p.toString).select(col("id"))),
         Seq("id"), "left_anti")
+    // swap, never delete-then-move: the old index stays intact (under
+    // `path + "_old"`) until the staged rebuild is IN PLACE, so a crash
+    // at any point leaves either the old or the new index live at a
+    // predictable name — the temp+atomic-rename discipline the rest of
+    // the store uses. Absolute paths: a single-segment relative `path`
+    // has a null getParent.
+    val target = java.nio.file.Paths.get(path).toAbsolutePath
     val staged = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(path).getParent, "_hnsw_compact_").toString
+      target.getParent, "_hnsw_compact_").toString
     buildIndex(live, "id", "vec", staged, segments, m, efConstruction)
-    Versioned.deleteRecursively(java.nio.file.Paths.get(path))
-    java.nio.file.Files.move(java.nio.file.Paths.get(staged),
-      java.nio.file.Paths.get(path))
+    val aside = target.resolveSibling(target.getFileName.toString + "_old")
+    if (java.nio.file.Files.exists(aside)) // leftover from a prior crash
+      Versioned.deleteRecursively(aside)
+    java.nio.file.Files.move(target, aside)
+    java.nio.file.Files.move(java.nio.file.Paths.get(staged), target)
+    Versioned.deleteRecursively(aside)
   }
 
   /** Search the stored index: one capped beam walk per segment, merged
@@ -569,18 +579,34 @@ object Hnsw {
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     require(qRows.nonEmpty, "hnsw: empty query set")
     val qB = spark.sparkContext.broadcast(qRows)
-    val dead = tombstonesOf(spark, path)
-    val deadB = spark.sparkContext.broadcast(dead)
-    val stored = spark.read.parquet(path)
+    // Per-segment liveDocs (Lucene's shape): the dead set NEVER routes
+    // through the driver — it is joined onto the stored rows as a
+    // boolean flag, so each segment's beam walk sees only its OWN
+    // segment's dead slice (O(segment deleted) executor memory), and
+    // at 100 TB with heavy churn no single process ever holds the
+    // global tombstone set.
+    val tombDir = java.nio.file.Paths.get(tombstoneDir(path))
+    val tomb: Option[DataFrame] =
+      if (!java.nio.file.Files.isDirectory(tombDir)) None
+      else Some(spark.read.parquet(tombDir.toString)
+        .select(col("id").cast("long").as("id")).dropDuplicates("id"))
+    val stored0 = spark.read.parquet(path)
       .select(col("seg"), col("id"), col("vec"), col("links"),
         col("is_entry"))
-      .as[(Int, Long, Array[Float], Seq[Seq[Long]], Boolean)]
+    val stored = tomb.fold(stored0.withColumn("dead", lit(false))) { t =>
+      stored0.join(t.withColumn("dead", lit(true)), Seq("id"), "left")
+        .withColumn("dead", coalesce(col("dead"), lit(false)))
+        .select(col("seg"), col("id"), col("vec"), col("links"),
+          col("is_entry"), col("dead"))
+    }.as[(Int, Long, Array[Float], Seq[Seq[Long]], Boolean, Boolean)]
     val cands = stored.groupByKey(_._1)
       .flatMapGroups { (_, rows) =>
+        val rs = rows.toSeq
+        val deadSet =
+          rs.iterator.collect { case (_, id, _, _, _, true) => id }.toSet
         val index = restore(
-          rows.map { case (_, id, v, ls, e) => (id, v, ls, e) }.toSeq,
+          rs.map { case (_, id, v, ls, e, _) => (id, v, ls, e) },
           m, efConstruction)
-        val deadSet = deadB.value
         qB.value.iterator.flatMap { case (qid, qv) =>
           val (top, visited) =
             if (deadSet.isEmpty) index.search(qv, k + 1, efSearch, maxVisits)
@@ -594,11 +620,11 @@ object Hnsw {
     val nvAll = spark.read.parquet(path).select(
       col("id").cast("long").as("neighbor_id"),
       graft.plans.VectorExpressions.quantize_e6(col("vec")).as("vn"))
-    val nv =
-      if (dead.isEmpty) nvAll
-      else nvAll.join(
-        broadcast(dead.toSeq.toDF("neighbor_id")), Seq("neighbor_id"),
-        "left_anti")
+    // rerank side stays a distributive anti-join (AQE picks broadcast
+    // when the dead set is small)
+    val nv = tomb.fold(nvAll)(t =>
+      nvAll.join(t.select(col("id").as("neighbor_id")),
+        Seq("neighbor_id"), "left_anti"))
     rerankMerge(cands, nv, queries, idCol, vecCol, k)
   }
 }

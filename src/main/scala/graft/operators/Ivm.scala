@@ -40,4 +40,50 @@ object Ivm {
     }
     merged.withColumn(nCol, guard(col(nCol))).filter(col(nCol) > 0)
   }
+
+  /** CONTINUOUS IVM: drain a table's stored change feed as a stream and
+    * fold every micro-batch's signed delta into a materialized
+    * aggregate at `stateRoot` — the reference's watermark-poll refresh
+    * loop (sql_search_incremental_dag.py:118-140) as one standing
+    * query, and the streaming twin of the one-shot q170 fold.
+    *
+    * Restart-safe exactly-once: the state commit carries
+    * (txnAppId=`appId`, txnVersion=batchId), so a batch REPLAYED after
+    * a crash (the checkpoint's unresolved tail) recomputes against the
+    * already-updated state but its commit is a no-op — micro-batch
+    * slicing and failure points never change the rows (the q47/q135
+    * discipline). `toDelta` maps a feed batch to the signed changelog
+    * (key..., `signCol` ±1, `valCol`); state holds (key..., nCol,
+    * sumCol).
+    *
+    * Scale shape: each batch touches O(delta) feed rows plus one
+    * O(state) snapshot rewrite. The rewrite is the simple, always-
+    * correct merge; at a 100 TB state the same loop swaps the
+    * overwrite for a key-bucketed MERGE so a batch rewrites only the
+    * buckets its keys land in — `toDelta` and the fold are unchanged. */
+  def continuousAggMaintenance(
+      spark: org.apache.spark.sql.SparkSession,
+      feedRoot: String, stateRoot: String, checkpoint: String,
+      keyCols: Seq[String], nCol: String, sumCol: String,
+      toDelta: DataFrame => DataFrame, appId: String,
+      startingVersion: Long = 1L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft-versioned")
+      .option("changeFeed", "true")
+      .option("startingVersion", startingVersion.toString)
+      .load(feedRoot)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val base = s.read.format("graft-versioned").load(stateRoot)
+        applyAggDelta(base, toDelta(batch), keyCols, nCol, sumCol,
+            "sign", "v")
+          .write.format("graft-versioned")
+          .option("txnAppId", appId).option("txnVersion", batchId.toString)
+          .mode("overwrite").save(stateRoot)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -61,14 +61,22 @@ object Sampling {
       s"dsirScores: buckets must be in [2, 65536], got $buckets")
     def hexVal(c: Column) =
       when(c.between("0", "9"), ascii(c) - 48).otherwise(ascii(c) - 87)
+    // hash width scales with the requested bucket count: 2 hex chars
+    // (256 values) cover buckets ≤ 256, 4 chars (65536) the rest —
+    // a 2-char hash with buckets > 256 would leave every higher
+    // bucket PERMANENTLY empty and silently degrade the estimate.
+    // Power-of-two bucket counts divide the hash range evenly;
+    // non-divisors carry a ≤1/(range/buckets) per-bucket mass skew.
+    val hashChars = if (buckets <= 256) 2 else 4
+    val hv = (1 to hashChars)
+      .map(i => hexVal(substring(col("__h"), i, 1)))
+      .reduceLeft((a, b) => a * 16 + b)
     val toks = docs
       .select(col(idCol), isTarget.as("__t"),
         explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
       .withColumn("__h", md5(col("w")))
-      .select(col(idCol), col("__t"),
-        pmod(hexVal(substring(col("__h"), 1, 1)) * 16 +
-          hexVal(substring(col("__h"), 2, 1)), lit(buckets)).as("b"))
+      .select(col(idCol), col("__t"), pmod(hv, lit(buckets)).as("b"))
     // ONE pass counts both distributions (target ⊆ raw)
     val counts = toks.groupBy("b").agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),

@@ -218,8 +218,17 @@ object Versioned {
     * and the catalog's history procedure. */
   private[graft] def commitInfoFast(root: String, v: Long,
       cp: Option[(Long, Map[Long, CommitInfo])]): CommitInfo =
-    cp.filter(_._1 >= v).flatMap(_._2.get(v))
-      .getOrElse(commitInfoOf(root, v))
+    cp.filter(_._1 >= v).flatMap(_._2.get(v)) match {
+      // an unstamped checkpoint row re-probes the stamp file (the
+      // resolveAsOf discipline): a version stamped AFTER checkpoint
+      // coverage must become visible to CDF bounds, sys.history and
+      // age-based retention too, not stay unstamped forever
+      case Some(info) if info.ts.isEmpty =>
+        commitStamp(root, v).map(ts => info.copy(ts = Some(ts)))
+          .getOrElse(info)
+      case Some(info) => info
+      case None => commitInfoOf(root, v)
+    }
 
   /** Refresh the checkpoint to cover versions ≤ `cover`: carry rows the
     * previous checkpoint already holds, compute only the new tail —
@@ -228,7 +237,12 @@ object Versioned {
   private[graft] def writeCheckpoint(root: String, cover: Long): Unit =
     checkpointLock.synchronized {
       val carry = readCheckpoint(root) match {
-        case Some((prevCover, rows)) => rows.filter(_._1 <= prevCover)
+        // ts=None rows are NOT carried: an unstamped row is what a torn
+        // write (or a later manual re-stamp) leaves behind, and the
+        // refresh must recompute it so a post-checkpoint stamp is
+        // picked up instead of memoized away forever
+        case Some((prevCover, rows)) =>
+          rows.filter { case (v, i) => v <= prevCover && i.ts.nonEmpty }
         case None => Map.empty[Long, CommitInfo]
       }
       val surviving = versions(root).filter(_ <= cover)

@@ -57,6 +57,72 @@ object CorpusGate {
         CorpusText.redactPii(col("text")).as("redacted"))
       .orderBy("doc_id")
 
+  /** Extended PII fixture for t104/t105: doc_id % 7 round-robin over
+    * email(×2) / intl phone / IPv4 / PERSIAN-DIGIT Iranian mobile /
+    * 10-digit national id / card+email (two kinds — the "drop" row) /
+    * clean. Synthesized with printf-identical laws on both engines;
+    * the Persian arm exercises the F1 digit-normalization reuse. */
+  private def withPiiFull(docs: DataFrame): DataFrame = {
+    val m = pmod(col("doc_id"), lit(7))
+    val persianMobile = translate(
+      format_string("09%09d", pmod(col("doc_id"), lit(1000000000L))),
+      graft.functions.PersianText.EnglishDigits,
+      graft.functions.PersianText.PersianDigits)
+    docs.select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(m === 0, format_string(
+          " reach user%d@example.com or admin%d@mail.ir",
+          col("doc_id"), col("doc_id")))
+        .when(m === 1, format_string(" call +1-555-%04d now",
+          pmod(col("doc_id"), lit(10000))))
+        .when(m === 2, format_string(" server at 10.%d.%d.%d up",
+          pmod(col("doc_id"), lit(200)), pmod(col("doc_id"), lit(250)),
+          pmod(col("doc_id"), lit(100))))
+        .when(m === 3, concat(lit(" تماس "), persianMobile, lit(" بگیرید")))
+        .when(m === 4, format_string(" id %010d here",
+          pmod(col("doc_id"), lit(10000000000L))))
+        .when(m === 5, format_string(
+          " card 4111-1111-1111-%04d and user%d@ex.ir",
+          pmod(col("doc_id"), lit(10000)), col("doc_id")))
+        .otherwise(format_string(" nothing sensitive in row %d",
+          col("doc_id"))))
+        .as("text"))
+  }
+
+  /** t104: FULL sensitive-text redaction — the t56 family widened to
+    * national-id and card patterns plus Persian-digit phone numbers
+    * (digit-normalize first, F1 reuse), with exact per-kind instance
+    * counts. One projection, codegen'd regexp chain, no UDF. */
+  def t104PiiRedactFull(s: SparkSession, dir: String): DataFrame = {
+    val df = withPiiFull(Tables.spread(Tables.documents(s, dir)))
+    val (em, ph, ip, nid, card) = CorpusText.piiCounts(col("text"))
+    df.select(col("doc_id"), em.as("n_emails"), ph.as("n_phones"),
+        ip.as("n_ips"), nid.as("n_ids"), card.as("n_cards"),
+        CorpusText.redactAllPii(col("text")).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** t105: PII FILTER-RATE profile — the per-source go/no-go report a
+    * redaction stage publishes before corpus release: docs scanned,
+    * docs carrying any PII, total instances, ppm rate, and the count
+    * a "≥ 2 kinds ⇒ drop the document" policy would remove. Exact
+    * integers, one scan + one per-source aggregate (map-side partial;
+    * sources are few, the aggregate is O(sources) everywhere). */
+  def t105PiiFilterRate(s: SparkSession, dir: String): DataFrame = {
+    val df = withPiiFull(Tables.spread(Tables.documents(s, dir)))
+    val (em, ph, ip, nid, card) = CorpusText.piiCounts(col("text"))
+    df.select(col("source"), (em + ph + ip + nid + card).as("n_pii"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("n_pii_docs"),
+        sum(col("n_pii")).as("n_pii_total"),
+        sum(when(col("n_pii") >= 2, 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("source"), col("n_docs"), col("n_pii_docs"),
+        col("n_pii_total"), col("n_dropped"),
+        expr("n_pii_docs * 1000000 div n_docs").as("pii_doc_ppm"))
+      .orderBy("source")
+  }
+
   /** t57: sliding context windows — 32-token chunks at stride 24 (the
     * training-sample chunker; short docs yield one short chunk). */
   def t57ChunkWindows(s: SparkSession, dir: String): DataFrame =
@@ -158,6 +224,8 @@ object CorpusGate {
     "t68_dedup_keep_best" -> (t68DedupKeepBest _),
     "t55_boilerplate_segments" -> (t55BoilerplateSegments _),
     "t56_pii_redact" -> (t56PiiRedact _),
+    "t104_pii_redact_full" -> (t104PiiRedactFull _),
+    "t105_pii_filter_rate" -> (t105PiiFilterRate _),
     "t57_chunk_windows" -> (t57ChunkWindows _),
     "t64_quality_score" -> (t64QualityScore _),
     "t65_dup_spans" -> (t65DupSpans _),
@@ -287,6 +355,72 @@ object CorpusGate {
         |      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
         |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
         |FROM pii ORDER BY doc_id""".stripMargin,
+    // t104/t105: identical doc_id % 7 fixture law; the Persian arm is
+    // built English→Persian then normalized Persian→English, exactly
+    // the engine's F1 path; counts via regexp_extract_all, redaction
+    // via the same fixed-order chain with the 'g' flag
+    "t104_pii_redact_full" ->
+      """WITH pii AS (SELECT doc_id, text ||
+        |  CASE doc_id % 7
+        |    WHEN 0 THEN printf(' reach user%d@example.com or admin%d@mail.ir', doc_id, doc_id)
+        |    WHEN 1 THEN printf(' call +1-555-%04d now', doc_id % 10000)
+        |    WHEN 2 THEN printf(' server at 10.%d.%d.%d up',
+        |                       doc_id % 200, doc_id % 250, doc_id % 100)
+        |    WHEN 3 THEN ' تماس ' || translate(printf('09%09d', doc_id % 1000000000),
+        |                  '0123456789', '۰۱۲۳۴۵۶۷۸۹') || ' بگیرید'
+        |    WHEN 4 THEN printf(' id %010d here', doc_id % 10000000000)
+        |    WHEN 5 THEN printf(' card 4111-1111-1111-%04d and user%d@ex.ir',
+        |                       doc_id % 10000, doc_id)
+        |    ELSE printf(' nothing sensitive in row %d', doc_id) END AS text
+        | FROM documents),
+        |norm AS (SELECT doc_id,
+        |  translate(text, '۰۱۲۳۴۵۶۷۸۹', '0123456789') AS t FROM pii)
+        |SELECT doc_id,
+        |  cast(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as bigint) AS n_emails,
+        |  cast(len(regexp_extract_all(t, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))
+        |    + len(regexp_extract_all(t, '(?:\+989[0-9]{9}\b|\b09[0-9]{9}\b)')) as bigint) AS n_phones,
+        |  cast(len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) as bigint) AS n_ips,
+        |  cast(len(regexp_extract_all(t, '\b[0-9]{10}\b')) as bigint) AS n_ids,
+        |  cast(len(regexp_extract_all(t, '\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\b')) as bigint) AS n_cards,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\b', '<CARD>', 'g'),
+        |      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |      '(?:\+989[0-9]{9}\b|\b09[0-9]{9}\b)', '<PHONE>', 'g'),
+        |      '\b[0-9]{10}\b', '<ID>', 'g') AS redacted
+        |FROM norm ORDER BY doc_id""".stripMargin,
+    "t105_pii_filter_rate" ->
+      """WITH pii AS (SELECT doc_id, source, text ||
+        |  CASE doc_id % 7
+        |    WHEN 0 THEN printf(' reach user%d@example.com or admin%d@mail.ir', doc_id, doc_id)
+        |    WHEN 1 THEN printf(' call +1-555-%04d now', doc_id % 10000)
+        |    WHEN 2 THEN printf(' server at 10.%d.%d.%d up',
+        |                       doc_id % 200, doc_id % 250, doc_id % 100)
+        |    WHEN 3 THEN ' تماس ' || translate(printf('09%09d', doc_id % 1000000000),
+        |                  '0123456789', '۰۱۲۳۴۵۶۷۸۹') || ' بگیرید'
+        |    WHEN 4 THEN printf(' id %010d here', doc_id % 10000000000)
+        |    WHEN 5 THEN printf(' card 4111-1111-1111-%04d and user%d@ex.ir',
+        |                       doc_id % 10000, doc_id)
+        |    ELSE printf(' nothing sensitive in row %d', doc_id) END AS text
+        | FROM documents),
+        |per AS (SELECT doc_id, source,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |  + len(regexp_extract_all(t, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))
+        |  + len(regexp_extract_all(t, '(?:\+989[0-9]{9}\b|\b09[0-9]{9}\b)'))
+        |  + len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+        |  + len(regexp_extract_all(t, '\b[0-9]{10}\b'))
+        |  + len(regexp_extract_all(t, '\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\b')) AS n_pii
+        |  FROM (SELECT doc_id, source,
+        |          translate(text, '۰۱۲۳۴۵۶۷۸۹', '0123456789') AS t FROM pii))
+        |SELECT source,
+        |  cast(count(*) as bigint) AS n_docs,
+        |  cast(sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) as bigint) AS n_pii_docs,
+        |  cast(sum(n_pii) as bigint) AS n_pii_total,
+        |  cast(sum(CASE WHEN n_pii >= 2 THEN 1 ELSE 0 END) as bigint) AS n_dropped,
+        |  cast(sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) as bigint) AS pii_doc_ppm
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
     "t57_chunk_windows" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |chunks AS (SELECT doc_id, CAST(t.i AS INT) chunk_idx,

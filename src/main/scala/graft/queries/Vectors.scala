@@ -654,19 +654,28 @@ object Vectors {
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
     // dead-id exclusion is checked by JOIN, never by collecting the
-    // dead set (it is O(deleted) — corpus-fraction-sized at scale)
-    def deadHits(): Long = runSearch().join(
-      deadDf.withColumnRenamed("vec_id", "neighbor_id"),
-      Seq("neighbor_id"), "left_semi").count()
-    def verdicts(): Array[org.apache.spark.sql.Row] = runSearch()
-      .join(exact, Seq("query_id", "neighbor_id"), "left")
-      .groupBy("query_id")
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
-        max(col("visited")).as("max_visited"))
-      .collect()
-    require(deadHits() == 0L,
+    // dead set (it is O(deleted) — corpus-fraction-sized at scale).
+    // ONE search per phase: the same cached result feeds both the
+    // dead-hit join and the recall verdicts (the gate measures the
+    // engine, not 4× re-search scaffolding).
+    def searchPhase(): (Long, Array[org.apache.spark.sql.Row]) = {
+      val res = runSearch().cache()
+      try {
+        val dead = res.join(
+          deadDf.withColumnRenamed("vec_id", "neighbor_id"),
+          Seq("neighbor_id"), "left_semi").count()
+        val scored = res
+          .join(exact, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
+            max(col("visited")).as("max_visited"))
+          .collect()
+        (dead, scored)
+      } finally res.unpersist()
+    }
+    val (deadHitsPre, scored) = searchPhase()
+    require(deadHitsPre == 0L,
       "v56: a tombstoned id surfaced in search results")
-    val scored = verdicts()
     require(scored.length == 30, s"v56: expected 30 queries, got ${scored.length}")
     require(scored.forall(_.getAs[Int]("max_visited") <= maxVisits),
       "v56: a segment search exceeded its visited-node budget")
@@ -682,9 +691,9 @@ object Vectors {
       "v56: compaction must purge the tombstone sidecar")
     require(s.read.parquet(path).count() < rowsBefore,
       "v56: compaction must drop the dead rows from storage")
-    require(deadHits() == 0L,
+    val (deadHitsPost, after) = searchPhase()
+    require(deadHitsPost == 0L,
       "v56: a purged id surfaced after compaction")
-    val after = verdicts()
     require(after.map(_.getAs[Long]("n_overlap")).sum.toDouble / (30 * 5) >= 0.8,
       "v56: compacted-index recall fell below 0.8")
     s.createDataFrame(s.sparkContext.parallelize(

@@ -395,6 +395,83 @@ object VersionedGate {
       .orderBy("grp")
   }
 
+  /** q178: CONTINUOUS IVM — q170's fold as a STANDING STREAM
+    * ([[graft.operators.Ivm.continuousAggMaintenance]]): the stored
+    * change feed drains as micro-batches into a materialized aggregate
+    * table, restart-safe from the checkpoint with txn-idempotent state
+    * commits. The gate seeds the state from the v=0 snapshot, drains
+    * the UPDATE+DELETE commits in one AvailableNow run, then lands the
+    * INSERT commit and RESUMES from the same checkpoint — require()ing
+    * the second run read only the new commit's feed rows (no re-drain,
+    * no re-snapshot). Batch slicing must be invisible: the final state
+    * shares q170's oracle verbatim. Closes the reference's watermark
+    * poll loop (sql_search_incremental_dag.py:118-140) as a stream. */
+  def q178StreamingIvm(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs178")
+    s.sql("CREATE TABLE graft.gate.docs178 " +
+      "(doc_id BIGINT, grp BIGINT, chars BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('changeFeedKeys'='doc_id')")
+    Tables.documents(s, dir).createOrReplaceTempView("q178_docs_src")
+    s.sql("INSERT INTO graft.gate.docs178 " +
+      "SELECT doc_id, doc_id % 7, n_chars FROM q178_docs_src " +
+      "WHERE doc_id % 2 = 0")                                          // v=0
+    val scratch = scratchBase.resolve("q178")
+    Versioned.deleteRecursively(scratch)
+    val stateRoot = scratch.resolve("state").toString
+    val ckpt = scratch.resolve("ckpt").toString
+    // the standing aggregate, materialized ONCE from the v=0 snapshot
+    s.sql("""SELECT grp, count(*) AS n, sum(chars) AS sum_chars
+            |FROM graft.gate.docs178 VERSION AS OF 0
+            |GROUP BY grp""".stripMargin)
+      .write.format("graft-versioned").option("create", "true")
+      .mode("append").save(stateRoot)
+    s.sql("UPDATE graft.gate.docs178 SET chars = chars + 10 " +
+      "WHERE doc_id % 10 = 0")                                         // v=1
+    s.sql("DELETE FROM graft.gate.docs178 WHERE chars < 400")          // v=2
+    val root = scratchBase.resolve("catalog").resolve("gate")
+      .resolve("docs178").toString
+    // ONE scan of the feed emits both retraction and insertion rows
+    // (explode over a 2-slot signed array) — the union-of-two-filters
+    // shape reads the feed twice per batch, which doubles feed I/O at
+    // scale and double-counts numInputRows
+    def toDelta(feed: DataFrame): DataFrame =
+      feed.select(explode(array(
+          when(col("change_type").isin("changed", "removed"),
+            struct(col("old_grp").as("grp"), lit(-1L).as("sign"),
+              col("old_chars").as("v"))),
+          when(col("change_type").isin("changed", "added"),
+            struct(col("new_grp").as("grp"), lit(1L).as("sign"),
+              col("new_chars").as("v"))))).as("e"))
+        .filter(col("e").isNotNull)
+        .select(col("e.grp"), col("e.sign"), col("e.v"))
+    def drain(): Seq[(Long, Long)] = {
+      val q = graft.operators.Ivm.continuousAggMaintenance(s, root,
+        stateRoot, ckpt, Seq("grp"), "n", "sum_chars", toDelta _,
+        appId = "q178_ivm")
+      q.awaitTermination()
+      q.recentProgress.map(p => (p.batchId, p.numInputRows)).toSeq
+    }
+    require(drain().map(_._2).sum > 0L,
+      "q178: first drain must fold the UPDATE+DELETE feed")
+    s.sql("INSERT INTO graft.gate.docs178 " +
+      "SELECT doc_id, doc_id % 7, n_chars FROM q178_docs_src " +
+      "WHERE doc_id % 2 = 1 AND doc_id % 3 = 0")                       // v=3
+    // the v=3 commit's own feed size — what a checkpoint-true resume
+    // is allowed to read
+    val v3Rows = s.read.format("graft-versioned")
+      .option("changeFeed", "true").option("startingVersion", "3")
+      .load(root).count()
+    val resumed = drain()
+    require(resumed.map(_._2).sum == v3Rows,
+      s"q178: resume must drain EXACTLY the new commit's feed " +
+        s"($v3Rows rows), got batches $resumed — the checkpoint " +
+        "re-read history")
+    s.read.format("graft-versioned").load(stateRoot)
+      .select(col("grp"), col("n"), col("sum_chars"))
+      .orderBy("grp")
+  }
+
   /** q173: APPEND-ONLY TABLES (Delta's `delta.appendOnly` + the
     * `append-only` writer-feature flag) — the audit-log contract:
     * history is evidence, so the table accepts INSERT commits only and
@@ -1393,6 +1470,7 @@ object VersionedGate {
     "q168_batch_change_feed" -> (q168BatchChangeFeed _),
     "q169_version_tags" -> (q169VersionTags _),
     "q170_ivm_from_cdf" -> (q170IvmFromCdf _),
+    "q178_streaming_ivm" -> (q178StreamingIvm _),
     "q171_corpus_release" -> (q171CorpusRelease _),
     "q172_manifest_export" -> (q172ManifestExport _),
     "q173_append_only" -> (q173AppendOnly _),
@@ -1719,7 +1797,26 @@ object VersionedGate {
         |  UNION ALL
         |  SELECT doc_id, doc_id % 7, n_chars FROM documents
         |  WHERE doc_id % 2 = 1 AND doc_id % 3 = 0)
-        |SELECT grp, count(*) AS n, sum(chars) AS sum_chars
+        |SELECT grp, count(*) AS n, cast(sum(chars) as bigint) AS sum_chars
+        |FROM v3 GROUP BY grp ORDER BY grp""".stripMargin,
+    // q178: the streaming twin shares q170's oracle verbatim — batch
+    // slicing, checkpoint resume and txn-idempotent state commits must
+    // all be invisible in the materialized rows
+    "q178_streaming_ivm" ->
+      """WITH v0 AS (
+        |  SELECT doc_id, doc_id % 7 grp, n_chars chars FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |v1 AS (
+        |  SELECT doc_id, grp,
+        |    CASE WHEN doc_id % 10 = 0 THEN chars + 10 ELSE chars END chars
+        |  FROM v0),
+        |v2 AS (SELECT * FROM v1 WHERE chars >= 400),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  UNION ALL
+        |  SELECT doc_id, doc_id % 7, n_chars FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id % 3 = 0)
+        |SELECT grp, count(*) AS n, cast(sum(chars) as bigint) AS sum_chars
         |FROM v3 GROUP BY grp ORDER BY grp""".stripMargin,
     // q173: the appendOnly table after every refused mutation = its
     // pure insert history

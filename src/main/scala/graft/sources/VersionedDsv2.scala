@@ -295,7 +295,12 @@ private[sources] class GraftVersionedTable(
   // audit-log contract: history is evidence, mutation would be
   // tampering). The matching 'append-only' WRITER feature flag keeps
   // builds that don't know the property from breaking the promise.
-  private[sources] val appendOnly = options.getBoolean("appendOnly", false)
+  // The flag in the table ROOT's protocol file is authoritative: a
+  // path-based write (or any caller omitting the option) must not be
+  // able to mutate a protocol-flagged append-only table just by
+  // arriving through a different access route.
+  private[sources] val appendOnly = options.getBoolean("appendOnly", false) ||
+    Versioned.writerFeatures(root).contains("append-only")
 
   private[sources] def refuseMutation(verb: String): Unit =
     if (appendOnly) throw new UnsupportedOperationException(
@@ -2771,8 +2776,11 @@ private[sources] class GraftVersionedWriteBuilder(
     GroupParquetIo.writeMessageType(info.schema()) // fail loud on unsupported types now
     // an appendOnly table refuses snapshot replacement (INSERT
     // OVERWRITE / TRUNCATE / mode("overwrite")) — only bootstrap
-    // overwrite of an EMPTY root passes (nothing is replaced)
-    if (replace && tableOptions.getBoolean("appendOnly", false) &&
+    // overwrite of an EMPTY root passes (nothing is replaced). The
+    // root's protocol flag is authoritative alongside the option, so
+    // a path-based overwrite cannot bypass the promise.
+    if (replace && (tableOptions.getBoolean("appendOnly", false) ||
+        Versioned.writerFeatures(root).contains("append-only")) &&
         Versioned.latestVersion(root).nonEmpty)
       throw new UnsupportedOperationException(
         s"graft-versioned: overwrite/truncate on `$root` refused — the " +
@@ -2843,8 +2851,22 @@ private[sources] class GraftVersionedWriteBuilder(
               newCols.map(f => f.copy(nullable = true))))
           } else if (schema.length == existing.length &&
               schema.fields.map(_.dataType).toSeq ==
-                existing.fields.map(_.dataType).toSeq) {
-            // case (3): positional rename — values stay in query order
+                existing.fields.map(_.dataType).toSeq &&
+              schema.fields.zipWithIndex.forall { case (g, i) =>
+                !existing.fieldNames.contains(g.name) ||
+                  schema.fieldNames.count(_ == g.name) > 1 ||
+                  existing.fields(i).name == g.name }) {
+            // case (3): positional rename — values stay in query order.
+            // ONLY when no UNIQUELY-named source column bearing a REAL
+            // table column's name would move: such a column sitting at
+            // a different position means the writer named real table
+            // columns and misordered/mistyped one — positionally
+            // rebinding those values (n_chars→doc_id) would corrupt
+            // data silently, so that shape falls through to the loud
+            // mismatch instead. Expression-named SELECT-list columns
+            // ("(id + 1)") and DUPLICATED source names (SELECT id, id —
+            // by-name intent is impossible there) still bind
+            // positionally, the SQL INSERT cases this exists for.
             schema = StructType(schema.fields.zip(existing.fields).map {
               case (g, w) => g.copy(name = w.name) })
           } else require(got == want,

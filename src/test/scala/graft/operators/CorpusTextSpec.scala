@@ -77,6 +77,39 @@ class CorpusTextSpec extends AnyFunSuite with SparkSpec {
     assert(r === "mail <EMAIL> and <EMAIL> then call <PHONE> from <IP> or <IP>")
   }
 
+  test("redactAllPii: Persian-digit phones, id/card boundaries, fixed-order overlaps") {
+    def run(text: String): (String, Long, Long, Long, Long, Long) = {
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val (em, ph, ip, id, card) = CorpusText.piiCounts(col("text"))
+      val Row(r: String, ne: Long, np: Long, ni: Long, nd: Long, nc: Long) =
+        df.select(CorpusText.redactAllPii(col("text")).as("r"),
+          em.as("ne"), ph.as("np"), ip.as("ni"), id.as("nd"), card.as("nc"))
+          .collect()(0)
+      (r, ne, np, ni, nd, nc)
+    }
+    // a Persian-digit mobile normalizes (F1) then redacts
+    val (r1, _, p1, _, _, _) = run("تماس ۰۹۱۲۳۴۵۶۷۸۹ بگیرید")
+    assert(r1 === "تماس <PHONE> بگیرید" && p1 === 1L)
+    // an 11-digit mobile must NOT also count as a 10-digit national id,
+    // and a bare 10-digit id must not count as a phone
+    val (r2, _, p2, _, d2, _) = run("call 09123456789 id 0071234567 end")
+    assert(r2 === "call <PHONE> id <ID> end" && p2 === 1L && d2 === 1L)
+    // a dashed card's 4-digit groups never feed the digit-run patterns
+    val (r3, _, p3, _, d3, c3) = run("card 4111-1111-1111-1111 paid")
+    assert(r3 === "card <CARD> paid" && c3 === 1L && p3 === 0L && d3 === 0L)
+    // a 16-digit UNdashed run matches neither id nor card (boundaries)
+    val (r4, _, _, _, d4, c4) = run("raw 4111111111111111 run")
+    assert(r4 === "raw 4111111111111111 run" && d4 === 0L && c4 === 0L)
+    // +98 intl form (no word boundary exists before '+')
+    val (r5, _, p5, _, d5, _) = run("reach +989123456789 ok")
+    assert(r5 === "reach <PHONE> ok" && p5 === 1L && d5 === 0L)
+    // everything at once, every kind counted exactly once
+    val (r6, e6, p6, i6, d6, c6) = run(
+      "a@b.com ۰۹۱۲۳۴۵۶۷۸۹ 10.0.0.1 0071234567 4111-1111-1111-1111 +1-555-1234")
+    assert(r6 === "<EMAIL> <PHONE> <IP> <ID> <CARD> <PHONE>")
+    assert((e6, p6, i6, d6, c6) === (1L, 2L, 1L, 1L, 1L))
+  }
+
   test("repetitionProfile: exact counts incl. looped, uniform, and tiny docs") {
     val docs = Seq(
       (1L, "a b a b a b"),   // bigram 'a b' x3, 'b a' x2

@@ -33,6 +33,58 @@ class IvmSpec extends AnyFunSuite with SparkSpec {
       || ex.getCause != null && ex.getCause.getMessage.contains("negative"))
   }
 
+  test("continuousAggMaintenance: drain, checkpoint resume, replayed batch is a no-op") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivm_stream_").toString
+    val feedRoot = s"$dir/feed"
+    val stateRoot = s"$dir/state"
+    val ckpt = s"$dir/ckpt"
+    val v0 = (1L to 4L).map(k => (k, k * 10L)).toDF("k", "v")
+    Versioned.writeNextWithFeed(v0, feedRoot, Seq("k"), Seq("v"))
+    v0.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .write.format("graft-versioned").option("create", "true")
+      .mode("append").save(stateRoot)
+    // v1: k=1 updated, k=2 removed, k=5 added
+    Versioned.writeNextWithFeed(
+      Seq((1L, 100L), (3L, 30L), (4L, 40L), (5L, 50L)).toDF("k", "v"),
+      feedRoot, Seq("k"), Seq("v"))
+    def toDelta(feed: DataFrame): DataFrame =
+      feed.where(col("change_type").isin("changed", "removed"))
+        .select(col("k"), lit(-1L).as("sign"), col("old_v").as("v"))
+        .unionByName(feed.where(col("change_type").isin("changed", "added"))
+          .select(col("k"), lit(1L).as("sign"), col("new_v").as("v")))
+    def drain(): Long = {
+      val q = Ivm.continuousAggMaintenance(spark, feedRoot, stateRoot,
+        ckpt, Seq("k"), "n", "s", toDelta _, appId = "ivm_spec")
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    assert(drain() > 0L)
+    def state(): Seq[Row] = spark.read.format("graft-versioned")
+      .load(stateRoot).orderBy("k").collect().toSeq
+    assert(state() === Seq(Row(1L, 1L, 100L), Row(3L, 1L, 30L),
+      Row(4L, 1L, 40L), Row(5L, 1L, 50L)))
+    // crash-replay: a state commit re-arriving with an already-
+    // committed txnVersion must change nothing (exactly-once)
+    val versionsBefore = Versioned.versions(stateRoot)
+    Seq((99L, 99L, 99L)).toDF("k", "n", "s")
+      .write.format("graft-versioned")
+      .option("txnAppId", "ivm_spec").option("txnVersion", "0")
+      .mode("overwrite").save(stateRoot)
+    assert(Versioned.versions(stateRoot) === versionsBefore,
+      "replayed txnVersion must not commit")
+    assert(state() === Seq(Row(1L, 1L, 100L), Row(3L, 1L, 30L),
+      Row(4L, 1L, 40L), Row(5L, 1L, 50L)))
+    // checkpoint resume: a second commit drains alone, fold continues
+    Versioned.writeNextWithFeed(
+      Seq((1L, 100L), (3L, 33L), (4L, 40L)).toDF("k", "v"),
+      feedRoot, Seq("k"), Seq("v"))
+    assert(drain() > 0L)
+    assert(state() === Seq(Row(1L, 1L, 100L), Row(3L, 1L, 33L),
+      Row(4L, 1L, 40L)))
+  }
+
   test("empty delta is the identity; empty base passes inserts through") {
     val base = Seq((1L, 1L, 10L)).toDF("k", "n", "s")
     val noDelta = Seq.empty[(Long, Long, Long)].toDF("k", "sign", "v")

@@ -96,6 +96,34 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(run(corpus.repartition(13)) === scores)
   }
 
+  test("dsirScores: buckets > 256 actually populate the high buckets") {
+    // pre-fix, the 2-hex-char hash (256 values) left every bucket
+    // ≥ 256 permanently empty for buckets > 256 — the wide-bucket
+    // request must use a wider hash, not silently degrade
+    val corpus = (0L until 500L)
+      .map(i => (i, s"word$i tok${i * 7} common"))
+      .toDF("id", "text")
+    val scored = Sampling.dsirScores(corpus, "id", "text",
+      col("id") % 3 === 0, buckets = 1024)
+    assert(scored.count() === 500L)
+    // re-derive the bucket ids the operator hashes into: with ~1000
+    // distinct words over 1024 buckets, a healthy hash must land well
+    // beyond the first 256
+    import org.apache.spark.sql.functions.{explode, split, md5, conv, substring, pmod, lit}
+    val high = corpus
+      .select(explode(split(col("text"), " ")).as("w"))
+      .select(pmod(conv(substring(md5(col("w")), 1, 4), 16, 10)
+        .cast("long"), lit(1024)).as("b"))
+      .filter(col("b") >= 256).distinct().count()
+    assert(high > 100L, s"high buckets populated: $high")
+    // scoring stays exact under repartitioning at the wide setting
+    val a = scored.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b = Sampling.dsirScores(corpus.repartition(7), "id", "text",
+      col("id") % 3 === 0, buckets = 1024)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a === b)
+  }
+
   test("temperatureMixture: sqrt quotas, caps at source size, deterministic") {
     // sizes 100/9/1 → ⌊√n⌋ weights 10/3/1 (sum 14); epochDocs=14 gives
     // quotas exactly 10/3/1 — 'c' is fully taken (cap), 'a' downweighted

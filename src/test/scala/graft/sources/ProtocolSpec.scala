@@ -212,6 +212,32 @@ class ProtocolSpec extends AnyFunSuite with SparkSpec {
       === (0L until 50L).map(_ * 10).sum + (100L until 110L).sum)
   }
 
+  test("appendOnly: the ROOT's protocol flag binds path-based writers too") {
+    // a writer arriving through the raw path route (no catalog, no
+    // appendOnly option) must still honor the protocol-flagged
+    // append-only invariant — otherwise the writer feature protects
+    // nothing (the access route is not part of the promise)
+    val (t, root) = freshTable("TBLPROPERTIES ('appendOnly'='true')")
+    def chain(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "||" + chain(x.getCause)
+    // path-based overwrite: refused by the root flag alone
+    val e1 = intercept[Exception](
+      spark.range(5).selectExpr("id", "id AS v")
+        .write.format("graft-versioned").mode("overwrite").save(root))
+    assert(chain(e1).contains("appendOnly"), chain(e1))
+    // even an explicit appendOnly=false option cannot out-vote the root
+    val e2 = intercept[Exception](
+      spark.range(5).selectExpr("id", "id AS v")
+        .write.format("graft-versioned").option("appendOnly", "false")
+        .mode("overwrite").save(root))
+    assert(chain(e2).contains("appendOnly"), chain(e2))
+    // path-based APPEND stays legal — append-only forbids mutation,
+    // not inserts
+    spark.range(200, 205).selectExpr("id", "id AS v")
+      .write.format("graft-versioned").mode("append").save(root)
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) === 55L)
+  }
+
   test("drop_feature('append-only') needs the property unset first") {
     val (t, root) = freshTable("TBLPROPERTIES ('appendOnly'='true')")
     val e = intercept[Exception](spark.sql(

@@ -343,6 +343,15 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSpec {
     spark.sql(s"INSERT INTO $t SELECT id, id + 1 FROM range(100, 105)")
     assert(spark.sql(s"SELECT count(*) FROM $t WHERE w = id + 1")
       .collect()(0).getLong(0) === 5L)
+    // the positional path must NOT fire when a source column bearing a
+    // REAL table column's name sits at a different position: writing
+    // (w, extra) onto (id, w) with matching arity+types would silently
+    // rebind w→id and extra→w — that shape is a writer mistake and
+    // stays loud
+    val e4 = intercept[Exception](
+      (0L until 3L).map(i => (i + 1000L, i)).toDF("w", "extra")
+        .writeTo(t).append())
+    assert(chain(e4).contains("schema mismatch"), chain(e4))
   }
 
   test("MERGE WITH SCHEMA EVOLUTION evolves; plain MERGE stays strict") {

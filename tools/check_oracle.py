@@ -61,10 +61,31 @@ def main(sfdir, outdir):
             n_fail += 1
             continue
         try:
-            got = norm(pd.read_parquet(pq_dir))
-            want = norm(con.execute(sql).fetchdf())
+            got_raw = pd.read_parquet(pq_dir)
+            want_raw = con.execute(sql).fetchdf()
+            got = norm(got_raw)
+            want = norm(want_raw)
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        # Oracle-type drift guard (the q170 class): DuckDB HUGEINT
+        # (uncast sum(BIGINT)) arrives through pandas as float64 while
+        # Spark emits int64; the %.17g canonicalization below would
+        # mask it ("900.0" -> "900") even though the driver's stricter
+        # hasher does not. Flag integral-vs-float dtype mismatches in
+        # either direction BEFORE canonicalizing.
+        drift = []
+        for c in set(got_raw.columns) & set(want_raw.columns):
+            gi = pd.api.types.is_integer_dtype(got_raw[c])
+            wi = pd.api.types.is_integer_dtype(want_raw[c])
+            gf = pd.api.types.is_float_dtype(got_raw[c])
+            wf = pd.api.types.is_float_dtype(want_raw[c])
+            if (gi and wf) or (gf and wi):
+                drift.append(f"{c}: spark={got_raw[c].dtype} duckdb={want_raw[c].dtype}")
+        if drift:
+            print(f"FAIL {name}: oracle type drift (cast the oracle "
+                  f"projection): {'; '.join(sorted(drift))}")
             n_fail += 1
             continue
         if list(got.columns) != list(want.columns):
