@@ -127,6 +127,18 @@ object Bench {
     // (two fresh passes each, min merged in): a sustained noisy window
     // during the sweep now has to ALSO cover this tail re-run to leave
     // an inflated entry in the published top-12.
+    //
+    // The tail re-run is LOAD-GATED like the launch (round 13 published
+    // v41 at 3.2× its idle time because co-tenant load ramped mid-sweep
+    // and covered the unguarded tail re-run too): sleep — bounded — until
+    // the 1-min loadavg decays below threshold before re-measuring. Our
+    // own just-finished sweep inflates loadavg at first; idling here
+    // lets it decay toward the true background level.
+    var tailWaitedSec = 0
+    while (load1 > 2.0 && tailWaitedSec < 240) {
+      Thread.sleep(10000); tailWaitedSec += 10
+    }
+    val loadAtTail = load1
     val top12 = swept.sortBy(-_._2).take(12).map(_._1).toSet
     val (retried, _) =
       measure(spark, sfDir, queries.filter(q => top12(q._1)))
@@ -141,7 +153,7 @@ object Bench {
     // loadavg evidence: background state before we started (settled,
     // part-1 gate), and at end of run (includes our own load)
     val loadavg = fmt(load1)
-    val loadEvidence = s""""loadavg":$loadavg,"loadavg_start":${fmt(loadAtStart)},"loadavg_launch":${fmt(loadAtLaunch)},"load_waited_sec":$waitedSec"""
+    val loadEvidence = s""""loadavg":$loadavg,"loadavg_start":${fmt(loadAtStart)},"loadavg_launch":${fmt(loadAtLaunch)},"load_waited_sec":$waitedSec,"loadavg_tail":${fmt(loadAtTail)},"tail_waited_sec":$tailWaitedSec"""
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$loadEvidence,"queries":$qs,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
 

@@ -474,7 +474,7 @@ object Versioned {
   /** Reader features this build implements. A table requiring anything
     * outside this set is unreadable here by [[checkProtocol]]. */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletion-vectors", "column-mapping")
+    Set("deletion-vectors", "column-mapping", "type-widening")
 
   /** Features the table's protocol file requires of readers. */
   def readerFeatures(root: String): Set[String] =
@@ -566,7 +566,7 @@ object Versioned {
     * mapping bypassed, an append-only promise broken). */
   val SupportedWriterFeatures: Set[String] =
     Set("deletion-vectors", "column-mapping", "check-constraints",
-      "append-only")
+      "append-only", "type-widening")
 
   /** Features the table's protocol file requires of writers. */
   def writerFeatures(root: String): Set[String] =

@@ -472,6 +472,60 @@ object VersionedGate {
       .orderBy("grp")
   }
 
+  /** q179: TYPE WIDENING (Delta's typeWidening) — INT→BIGINT and
+    * FLOAT→DOUBLE as METADATA-ONLY retypes: narrow files are written,
+    * the columns are widened by ALTER TABLE (no rewrite; the
+    * `type-widening` reader+writer feature is protocol-flagged), wide
+    * rows append beside them, a filter lands on the widened column
+    * (mixed-file pushdown: narrow files evaluate the atom via the
+    * widening read, never the native parquet filter), and an UPDATE
+    * rewrites pre-widening files through the widening read path. The
+    * oracle re-derives the final mixed-file table from the predicates
+    * alone — any widening bug (wrong values, dropped rows, a crashed
+    * narrow-file scan) shifts the hash. */
+  def q179TypeWidening(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs179")
+    s.sql("CREATE TABLE graft.gate.docs179 " +
+      "(doc_id BIGINT, n INT, r FLOAT) USING `graft-versioned`")
+    Tables.documents(s, dir).createOrReplaceTempView("q179_docs_src")
+    s.sql("INSERT INTO graft.gate.docs179 " +
+      "SELECT doc_id, cast(n_chars % 1000 AS INT), " +
+      "cast(n_chars % 97 AS FLOAT) FROM q179_docs_src " +
+      "WHERE doc_id % 3 = 0")                                          // v=0, narrow
+    // non-widening retypes stay loud: INT→STRING reaches the catalog
+    // (Spark's canUpCast admits numeric→string) and must name the
+    // widening contract; the NARROWING retype may be refused by Spark
+    // itself or by the catalog — refused either way is the invariant
+    def refused(sql: String, needle: String): Boolean =
+      try { s.sql(sql); false }
+      catch { case e: Throwable =>
+        needle.isEmpty ||
+          Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+            .exists(t => String.valueOf(t.getMessage).contains(needle)) }
+    require(refused("ALTER TABLE graft.gate.docs179 ALTER COLUMN n TYPE STRING",
+        "widening"),
+      "q179: INT->STRING retype must be refused")
+    require(refused("ALTER TABLE graft.gate.docs179 ALTER COLUMN doc_id TYPE INT",
+        ""),
+      "q179: narrowing retype must be refused")
+    s.sql("ALTER TABLE graft.gate.docs179 ALTER COLUMN n TYPE BIGINT")
+    s.sql("ALTER TABLE graft.gate.docs179 ALTER COLUMN r TYPE DOUBLE")
+    val root = scratchBase.resolve("catalog").resolve("gate")
+      .resolve("docs179").toString
+    require(Versioned.writerFeatures(root).contains("type-widening") &&
+        Versioned.readerFeatures(root).contains("type-widening"),
+      "q179: widening must protocol-flag readers and writers")
+    s.sql("INSERT INTO graft.gate.docs179 " +
+      "SELECT doc_id, n_chars * 10000000000, n_chars + 0.25 " +
+      "FROM q179_docs_src WHERE doc_id % 3 = 1")                       // v=1, wide
+    // UPDATE touches pre-widening files only (doc_id%6=0 ⊂ arm A):
+    // the CoW rewrite must read narrow and re-encode wide
+    s.sql("UPDATE graft.gate.docs179 SET n = n + 1 WHERE doc_id % 6 = 0")
+    s.sql("""SELECT doc_id, n, r FROM graft.gate.docs179
+            |WHERE n >= 50 ORDER BY doc_id""".stripMargin)
+  }
+
   /** q173: APPEND-ONLY TABLES (Delta's `delta.appendOnly` + the
     * `append-only` writer-feature flag) — the audit-log contract:
     * history is evidence, so the table accepts INSERT commits only and
@@ -1471,6 +1525,7 @@ object VersionedGate {
     "q169_version_tags" -> (q169VersionTags _),
     "q170_ivm_from_cdf" -> (q170IvmFromCdf _),
     "q178_streaming_ivm" -> (q178StreamingIvm _),
+    "q179_type_widening" -> (q179TypeWidening _),
     "q171_corpus_release" -> (q171CorpusRelease _),
     "q172_manifest_export" -> (q172ManifestExport _),
     "q173_append_only" -> (q173AppendOnly _),
@@ -1818,6 +1873,23 @@ object VersionedGate {
         |  WHERE doc_id % 2 = 1 AND doc_id % 3 = 0)
         |SELECT grp, count(*) AS n, cast(sum(chars) as bigint) AS sum_chars
         |FROM v3 GROUP BY grp ORDER BY grp""".stripMargin,
+    // q179: the mixed-file widened table re-derived from the
+    // predicates — arm A narrow files (+1 where the UPDATE hit),
+    // arm B wide appends, the n >= 50 filter over both
+    "q179_type_widening" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    (n_chars % 1000) +
+        |      (CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END) AS n,
+        |    CAST(n_chars % 97 AS DOUBLE) AS r
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |b AS (
+        |  SELECT doc_id, n_chars * 10000000000 AS n,
+        |    n_chars + 0.25 AS r
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT doc_id, cast(n as bigint) AS n, r FROM u
+        |WHERE n >= 50 ORDER BY doc_id""".stripMargin,
     // q173: the appendOnly table after every refused mutation = its
     // pure insert history
     "q173_append_only" ->

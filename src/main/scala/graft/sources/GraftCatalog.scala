@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.operators.Versioned
@@ -434,13 +434,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           throw new IllegalArgumentException(
             s"graft catalog: no constraint named '${drop.name}'")
         writeConstraints(ident, existing.filterNot(_._1 == drop.name))
+      // TYPE WIDENING (Delta's typeWidening): the ONLY legal retypes
+      // are value-preserving widenings — INT→BIGINT, FLOAT→DOUBLE.
+      // METADATA-ONLY: no file is rewritten; pre-widening files keep
+      // the narrow primitive and the reader widens on scan (the ADD
+      // COLUMN null-fill discipline applied to types). Flagged as a
+      // reader feature (a widening-blind build would crash mid-scan on
+      // a narrow file) AND a writer feature (its rewrites must read
+      // narrow files correctly before re-encoding them wide).
+      case up: TableChange.UpdateColumnType =>
+        require(up.fieldNames.length == 1,
+          "graft catalog: ALTER COLUMN TYPE supports top-level columns " +
+            s"only, got ${up.fieldNames.mkString(".")}")
+        val name = up.fieldNames()(0)
+        require(schema.fieldNames.contains(name),
+          s"graft catalog: no column '$name' to retype")
+        val cur = schema(name).dataType
+        val nw = up.newDataType()
+        val widening = (cur, nw) match {
+          case (IntegerType, LongType) => true
+          case (FloatType, DoubleType) => true
+          case _ => false
+        }
+        require(widening,
+          s"graft catalog: cannot retype '$name' from ${cur.simpleString} " +
+            s"to ${nw.simpleString} — only the value-preserving widenings " +
+            "INT->BIGINT and FLOAT->DOUBLE are metadata-only; anything " +
+            "else would change the meaning of immutable history")
+        constraintReferencing(name).foreach(cn =>
+          throw new IllegalArgumentException(
+            s"graft catalog: cannot retype '$name' — CHECK constraint " +
+              s"'$cn' references it; drop the constraint first"))
+        Versioned.requireReaderFeature(tablePath(ident), "type-widening")
+        Versioned.requireWriterFeature(tablePath(ident), "type-widening")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == name) f.copy(dataType = nw) else f))
       case other =>
         throw new UnsupportedOperationException(
           s"graft catalog: unsupported ALTER TABLE change $other — the " +
             "store evolves by ADD/RENAME/DROP of top-level nullable " +
-            "columns (metadata-only, via column mapping) and layout " +
-            "TBLPROPERTIES; retype would change the meaning of " +
-            "immutable history")
+            "columns and widening retypes (INT->BIGINT, FLOAT->DOUBLE; " +
+            "all metadata-only, via column mapping) and layout " +
+            "TBLPROPERTIES; a narrowing or cross-family retype would " +
+            "change the meaning of immutable history")
     }
     GroupParquetIo.writeMessageType(schema) // evolved schema must stay writable
     Files.write(m, schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -784,17 +820,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         })
       // SHALLOW CLONE: the source's current snapshot becomes v=0 of a
       // NEW table (manifest + layout properties copied, history fresh).
-      // DOCUMENTED CONTRACT for ref-clones (ref => an older tagged
-      // snapshot): the clone inherits the source's CURRENT table
-      // contract — schema manifest, column mapping, constraints — not
-      // the contract as of the pinned version. A clone of a
-      // pre-ADD-COLUMN snapshot therefore advertises the added column
-      // and reads it as all-null from the pinned files (exactly how the
-      // source itself reads that snapshot today: the manifest schema
-      // applies to ALL versions, old snapshots included — see
-      // alterTable's metadata-only evolution). Snapshot-pinned metadata
-      // would need per-version schema history, which this format
-      // deliberately does not keep.
+      // REF-CLONES (ref => an older tagged snapshot) PIN the table
+      // contract to the resolved version (the Delta/Iceberg clone
+      // semantics): the schema manifest is RESTRICTED to the columns
+      // whose physical names the pinned snapshot's files actually
+      // carry, and the column mapping, constraints and column-list
+      // properties are restricted with it — a clone of a
+      // pre-ADD-COLUMN snapshot does NOT advertise the later column.
+      // The format keeps no per-version schema history, so the pinned
+      // contract is RECONSTRUCTED from the snapshot's footers + the
+      // current mapping: later-ADDed columns vanish (their physicals
+      // are absent from the pinned files), later RENAMES keep their
+      // current logical names (the physical identity is the contract),
+      // and a column added metadata-only with no data commit yet is
+      // indistinguishable from absent — documented edge of the
+      // reconstruction.
       case "clone" => new GraftProcedure("clone",
         Array(
           ProcedureParameter.in("source", StringType).build(),
@@ -824,14 +864,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           val srcV = refS.map(Versioned.resolveRef(root(src), _))
           Versioned.cloneTo(root(src), tablePath(tgtIdent).toString,
             srcVersion = srcV)
-          Files.copy(manifestOf(srcIdent), manifestOf(tgtIdent))
-          // the full table contract transfers: layout properties,
-          // check constraints AND the column mapping (a clone reading
-          // the shared physical files needs the same logical bindings)
-          Seq(PropsManifest, ConstraintsManifest, ColMapManifest).foreach { m =>
-            val srcM = tablePath(srcIdent).resolve(m)
-            if (Files.exists(srcM))
-              Files.copy(srcM, tablePath(tgtIdent).resolve(m))
+          val curSchema = DataType.fromJson(new String(
+            Files.readAllBytes(manifestOf(srcIdent)),
+            java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+          val (srcColMap, srcRetired) = colMapState(srcIdent, curSchema)
+          val pinnedKeep: Option[Set[String]] = srcV.map { v =>
+            // physical columns the pinned snapshot's files carry — the
+            // reconstruction source for the as-of contract
+            val phys = SparkSession.active.read
+              .parquet(s"${root(src)}/v=$v").schema.fieldNames.toSet
+            curSchema.fieldNames.filter(l =>
+              phys.contains(srcColMap.getOrElse(l, l))).toSet
+          }
+          pinnedKeep match {
+            case None => // plain clone: the current contract verbatim
+              Files.copy(manifestOf(srcIdent), manifestOf(tgtIdent))
+              Seq(PropsManifest, ConstraintsManifest, ColMapManifest).foreach { m =>
+                val srcM = tablePath(srcIdent).resolve(m)
+                if (Files.exists(srcM))
+                  Files.copy(srcM, tablePath(tgtIdent).resolve(m))
+              }
+            case Some(keep) =>
+              // ref-clone: pin schema manifest, mapping, constraints
+              // and column-list properties to the snapshot's columns
+              val pinned = StructType(
+                curSchema.fields.filter(f => keep(f.name)))
+              require(pinned.nonEmpty,
+                s"graft catalog: ref-clone of $src@${srcV.get} pins an " +
+                  "empty schema — the snapshot's files share no column " +
+                  "with the current contract")
+              Files.write(manifestOf(tgtIdent), pinned.json.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              val pinnedProps = readProps(srcIdent).flatMap {
+                case (k, v) if k == "clusterBy" || k == "changeFeedKeys" ||
+                    k == graft.operators.BloomSidecar.PropKey =>
+                  val cols = v.split(",").map(_.trim).filter(_.nonEmpty)
+                    .filter(keep)
+                  if (cols.isEmpty) None else Some(k -> cols.mkString(","))
+                case kv => Some(kv)
+              }
+              if (pinnedProps.nonEmpty) writeProps(tgtIdent, pinnedProps)
+              val dropped = curSchema.fieldNames.filterNot(keep).toSeq
+              val pinnedCons = readConstraints(srcIdent).filterNot {
+                case (_, sql) => dropped.exists(c => java.util.regex.Pattern
+                  .compile("(?i)\\b" + java.util.regex.Pattern.quote(c) + "\\b")
+                  .matcher(sql).find())
+              }
+              if (pinnedCons.nonEmpty) writeConstraints(tgtIdent, pinnedCons)
+              val pinnedMap = srcColMap.filter { case (l, _) => keep(l) }
+              if (readColMap(srcIdent).isDefined)
+                writeColMap(tgtIdent, pinnedMap, srcRetired)
           }
           // bloom sidecar: the property lands only with the copy above,
           // AFTER cloneTo's own hook saw a props-less root — re-run the

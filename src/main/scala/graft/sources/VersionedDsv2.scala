@@ -1935,6 +1935,22 @@ private[sources] class GroupParquetPartitionReader(
   private def synthesized(logicalName: String): Boolean =
     !fileSchema.containsField(physOf(logicalName))
 
+  // per-required-field widening kind, computed ONCE per file:
+  // 0 = exact, 1 = INT32 stored under a BIGINT column, 2 = FLOAT
+  // stored under a DOUBLE column (the type-widening read contract)
+  private lazy val widenKind: Array[Int] = required.fields.map { f =>
+    if (synthesized(f.name)) 0
+    else {
+      val field = fileSchema.getType(fileSchema.getFieldIndex(physOf(f.name)))
+      if (!field.isPrimitive) 0
+      else (f.dataType, field.asPrimitiveType().getPrimitiveTypeName) match {
+        case (LongType, PrimitiveTypeName.INT32) => 1
+        case (DoubleType, PrimitiveTypeName.FLOAT) => 2
+        case _ => 0
+      }
+    }
+  }
+
   // pushed-filter atoms referencing columns this file lacks evaluate
   // under "value is null": IsNull is trivially satisfied (drop the
   // atom), every other atom refutes the whole file (no row can match)
@@ -1943,6 +1959,12 @@ private[sources] class GroupParquetPartitionReader(
     pushedAtoms.partition(_.references.forall(fileSchema.containsField))
   private val fileRefuted =
     absentAtoms.exists(a => !GroupParquetIo.nullSatisfied(a))
+  // atoms over TYPE-WIDENED columns stored narrow in this file cannot
+  // feed parquet's native record filter (declared long/double vs
+  // stored INT32/FLOAT is a parquet-mr error) — they are evaluated by
+  // hand on assembled rows, with widening reads, below
+  private val (nativeAtoms, widenedAtoms) = presentAtoms.partition(
+    GroupParquetIo.fileTypeMatched(_, fileSchema, filterTypes))
 
   private val projNames: Seq[String] = {
     // physical projection: required maps logical→physical, filterTypes
@@ -1970,7 +1992,7 @@ private[sources] class GroupParquetPartitionReader(
     // Pushdown semantics survive because next() then evaluates the
     // SAME pushed atoms itself on each assembled row (evalAtoms).
     val compiled =
-      if (needPos) None else GroupParquetIo.compile(presentAtoms, filterTypes)
+      if (needPos) None else GroupParquetIo.compile(nativeAtoms, filterTypes)
     compiled match {
       case Some(pred) => b.withFilter(FilterCompat.get(pred)).build()
       case None => b.build()
@@ -1984,8 +2006,11 @@ private[sources] class GroupParquetPartitionReader(
   // position tracking turned parquet's record filter off — the reader
   // honors the pushed predicates itself, same vocabulary, same
   // three-valued semantics (an atom over a null value never matches;
-  // only IsNull does)
-  private val manualEval = needPos && presentAtoms.nonEmpty
+  // only IsNull does). Widened-column atoms are ALWAYS manual (the
+  // native filter can't see them in a narrow file).
+  private val manualAtoms =
+    if (needPos) presentAtoms else widenedAtoms
+  private val manualEval = manualAtoms.nonEmpty
 
   private def atomHolds(g: org.apache.parquet.example.data.Group,
                         f: Filter): Boolean = {
@@ -2001,9 +2026,16 @@ private[sources] class GroupParquetPartitionReader(
     def cmp(a: String, v: Any): Option[Int] = {
       if (isNull(a)) return None
       val gi = gType.getFieldIndex(a)
+      def narrowInt: Boolean = // pre-widening file: INT32 under BIGINT
+        gType.getType(gi).asPrimitiveType().getPrimitiveTypeName ==
+          PrimitiveTypeName.INT32
+      def narrowFloat: Boolean = // pre-widening file: FLOAT under DOUBLE
+        gType.getType(gi).asPrimitiveType().getPrimitiveTypeName ==
+          PrimitiveTypeName.FLOAT
       Some(filterTypes(a) match {
         case LongType => java.lang.Long.compare(
-          g.getLong(gi, 0), v.asInstanceOf[Number].longValue())
+          if (narrowInt) g.getInteger(gi, 0).toLong else g.getLong(gi, 0),
+          v.asInstanceOf[Number].longValue())
         case TimestampType | TimestampNTZType => java.lang.Long.compare(
           g.getLong(gi, 0), GroupParquetIo.toMicros(v))
         case IntegerType => java.lang.Integer.compare(
@@ -2011,7 +2043,8 @@ private[sources] class GroupParquetPartitionReader(
         case DateType => java.lang.Integer.compare(
           g.getInteger(gi, 0), GroupParquetIo.toDays(v))
         case DoubleType => java.lang.Double.compare(
-          g.getDouble(gi, 0), v.asInstanceOf[Number].doubleValue())
+          if (narrowFloat) g.getFloat(gi, 0).toDouble else g.getDouble(gi, 0),
+          v.asInstanceOf[Number].doubleValue())
         case FloatType => java.lang.Float.compare(
           g.getFloat(gi, 0), v.asInstanceOf[Number].floatValue())
         case BooleanType => java.lang.Boolean.compare(
@@ -2062,7 +2095,7 @@ private[sources] class GroupParquetPartitionReader(
       // pushed predicates, applied by hand when the record filter is
       // off for position tracking — pushdown stays fully honored
       if (live && manualEval)
-        live = presentAtoms.forall(atomHolds(current, _))
+        live = manualAtoms.forall(atomHolds(current, _))
     }
     emitted += 1
     true
@@ -2084,9 +2117,16 @@ private[sources] class GroupParquetPartitionReader(
       val gi = gType.getFieldIndex(physOf(f.name))
       if (g.getFieldRepetitionCount(gi) == 0) row.update(i, null)
       else f.dataType match {
-        case LongType    => row.setLong(i, g.getLong(gi, 0))
+        // TYPE WIDENING (INT→BIGINT, FLOAT→DOUBLE): a pre-widening
+        // file stores the narrow primitive under the widened manifest
+        // column — widen on read, exact by construction
+        case LongType    =>
+          if (widenKind(i) == 1) row.setLong(i, g.getInteger(gi, 0).toLong)
+          else row.setLong(i, g.getLong(gi, 0))
         case IntegerType => row.setInt(i, g.getInteger(gi, 0))
-        case DoubleType  => row.setDouble(i, g.getDouble(gi, 0))
+        case DoubleType  =>
+          if (widenKind(i) == 2) row.setDouble(i, g.getFloat(gi, 0).toDouble)
+          else row.setDouble(i, g.getDouble(gi, 0))
         case FloatType   => row.setFloat(i, g.getFloat(gi, 0))
         case BooleanType => row.setBoolean(i, g.getBoolean(gi, 0))
         case DateType    => row.setInt(i, g.getInteger(gi, 0))
@@ -2228,6 +2268,38 @@ private[sources] object GroupParquetIo {
     * anything else refutes it outright. A predicate the translation
     * cannot express simply skips pruning (the executor-side record
     * filter still applies it). */
+  /** The parquet primitive a Catalyst type is STORED as by this
+    * writer — the vocabulary of the type-widening check. */
+  private[sources] def storedPrimitive(t: DataType): Option[PrimitiveTypeName] =
+    t match {
+      case LongType | TimestampType | TimestampNTZType =>
+        Some(PrimitiveTypeName.INT64)
+      case IntegerType | DateType => Some(PrimitiveTypeName.INT32)
+      case DoubleType => Some(PrimitiveTypeName.DOUBLE)
+      case FloatType => Some(PrimitiveTypeName.FLOAT)
+      case BooleanType => Some(PrimitiveTypeName.BOOLEAN)
+      case StringType => Some(PrimitiveTypeName.BINARY)
+      case _ => None
+    }
+
+  /** True when every column the atom references is stored in THIS
+    * file at the primitive its declared type expects. On a
+    * TYPE-WIDENED table a pre-widening file stores INT32/FLOAT under a
+    * BIGINT/DOUBLE manifest column — parquet-mr rejects a long/double
+    * predicate over such a column, so mismatched atoms must skip the
+    * native stats/page path for this file (the caller evaluates them
+    * itself on assembled, widened rows). */
+  private[sources] def fileTypeMatched(a: Filter, schema: MessageType,
+                                       types: Map[String, DataType]): Boolean =
+    a.references.forall { r =>
+      !schema.containsField(r) || {
+        val field = schema.getType(schema.getFieldIndex(r))
+        !field.isPrimitive ||
+          types.get(r).flatMap(storedPrimitive).forall(
+            _ == field.asPrimitiveType().getPrimitiveTypeName)
+      }
+    }
+
   def pruneByStats(footers: Seq[FileGroups], pushed: Array[Filter],
                    filterTypes: Map[String, DataType]): Seq[FileGroups] = {
     val as = pushed.flatMap(atoms)
@@ -2236,7 +2308,11 @@ private[sources] object GroupParquetIo {
       val (present, absent) =
         as.partition(_.references.forall(fg.schema.containsField))
       if (absent.exists(a => !nullSatisfied(a))) fg.copy(kept = Seq.empty)
-      else compile(present, filterTypes) match {
+      // atoms over columns this file stores NARROWER than declared
+      // (pre-widening files) cannot drive the native row-group filter —
+      // conservatively keep the groups; the reader still applies them
+      else compile(present.filter(fileTypeMatched(_, fg.schema, filterTypes)),
+          filterTypes) match {
         case None => fg
         case Some(pred) =>
           fg.copy(kept = org.apache.parquet.filter2.compat.RowGroupFilter
@@ -2459,14 +2535,25 @@ private[sources] object GroupParquetIo {
 
     // merged min/max over non-empty groups; all-null/empty → Some(null)
     // (SQL MIN/MAX of no values); a group missing stats → None (refuse)
-    def minMax(col: String, wantMin: Boolean): Option[Any] = {
+    def minMax(col: String, wantMin: Boolean,
+               declared: DataType): Option[Any] = {
+      // type widening: a pre-widening file's Integer/Float stat under
+      // a BIGINT/DOUBLE column widens exactly before the merge
+      def widen(v: Any): Any = (v, declared) match {
+        case (x: java.lang.Integer, LongType) =>
+          java.lang.Long.valueOf(x.longValue())
+        case (x: java.lang.Float, DoubleType) =>
+          java.lang.Double.valueOf(x.doubleValue())
+        case _ => v
+      }
       val perBlock: Seq[Option[Option[Any]]] = blocks
         .filter(_.getRowCount > 0)
         .map(chunkOf(_, col).flatMap { c =>
           val st = c.getStatistics
           if (st == null || st.isEmpty) None // stats missing — refuse
           else if (!st.hasNonNullValue) Some(None) // all-null group
-          else Some(Some(if (wantMin) st.genericGetMin else st.genericGetMax))
+          else Some(Some(widen(
+            if (wantMin) st.genericGetMin else st.genericGetMax)))
         })
       if (perBlock.exists(_.isEmpty)) return None
       val values = perBlock.flatMap(_.get)
@@ -2494,10 +2581,10 @@ private[sources] object GroupParquetIo {
         nullCount(colName(c.column)).map(n =>
           (s"count_${colName(c.column)}", LongType, (totalRows - n): Any))
       case m: Min =>
-        minMax(colName(m.column), wantMin = true).map(v =>
+        minMax(colName(m.column), wantMin = true, colType(m.column)).map(v =>
           (s"min_${colName(m.column)}", colType(m.column), v))
       case m: Max =>
-        minMax(colName(m.column), wantMin = false).map(v =>
+        minMax(colName(m.column), wantMin = false, colType(m.column)).map(v =>
           (s"max_${colName(m.column)}", colType(m.column), v))
       case _ => None
     }

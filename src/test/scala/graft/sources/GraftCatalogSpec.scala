@@ -507,6 +507,33 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
       m.contains("TABLE_OR_VIEW_ALREADY_EXISTS")), chain(dup))
   }
 
+  test("sys.clone(ref) pins the schema contract to the resolved version") {
+    sql("DROP TABLE IF EXISTS gtest.ns.psrc")
+    sql("DROP TABLE IF EXISTS gtest.ns.pdst")
+    sql("DROP TABLE IF EXISTS gtest.ns.pdst_cur")
+    sql("CREATE TABLE gtest.ns.psrc (id BIGINT, v BIGINT) USING `graft-versioned`")
+    sql("INSERT INTO gtest.ns.psrc SELECT id, id * 3 FROM range(0, 40)")
+    sql("CALL gtest.sys.tag(table => 'ns.psrc', name => 'pre', version => 0)")
+    // evolve PAST the tag: a new column and rows that carry it
+    sql("ALTER TABLE gtest.ns.psrc ADD COLUMN note STRING")
+    sql("INSERT INTO gtest.ns.psrc SELECT id, id, 'late' FROM range(100, 110)")
+    sql("CALL gtest.sys.clone(source => 'ns.psrc', " +
+      "target => 'ns.pdst', ref => 'pre')")
+    // the pinned clone advertises the SNAPSHOT's schema — not the
+    // evolved one (the later ADD COLUMN must not leak in)
+    assert(spark.table("gtest.ns.pdst").schema.fieldNames.toSeq ===
+      Seq("id", "v"))
+    // reads equal the source's VERSION AS OF on the pinned columns
+    val asOf = sql("SELECT id, v FROM gtest.ns.psrc VERSION AS OF 0 " +
+      "ORDER BY id").collect().toSeq
+    assert(sql("SELECT id, v FROM gtest.ns.pdst ORDER BY id")
+      .collect().toSeq === asOf)
+    // a plain (no-ref) clone still carries the CURRENT contract
+    sql("CALL gtest.sys.clone(source => 'ns.psrc', target => 'ns.pdst_cur')")
+    assert(spark.table("gtest.ns.pdst_cur").schema.fieldNames.toSeq ===
+      Seq("id", "v", "note"))
+  }
+
   test("fail-loud: unknown procedure, missing table argument") {
     val unknown = intercept[Exception] {
       sql("CALL gtest.sys.optimize(table => 'ns.t1')")

@@ -26,6 +26,57 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSpec {
     (name, s"$warehouse/t/tab$n")
   }
 
+  test("type widening matrix: metadata-only, mixed-file reads, pushdown, DML, loud refusals") {
+    spark.conf.set("spark.sql.catalog.evo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.evo.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.t")
+    n += 1
+    val t = s"evo.t.tab$n"
+    val root = s"$warehouse/t/tab$n"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v INT, f FLOAT) USING `graft-versioned`")
+    spark.sql(s"INSERT INTO $t SELECT id, cast(id AS INT), " +
+      "cast(id AS FLOAT) FROM range(0, 50)")                       // narrow v=0
+    val narrowFiles = graft.operators.Versioned.versions(root).size
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN v TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN f TYPE DOUBLE")
+    // metadata-only: no new version, manifest evolved, features flagged
+    assert(graft.operators.Versioned.versions(root).size === narrowFiles,
+      "widening must not rewrite or commit data")
+    assert(spark.table(t).schema.map(_.dataType.simpleString) ===
+      Seq("bigint", "bigint", "double"))
+    assert(graft.operators.Versioned.readerFeatures(root).contains("type-widening"))
+    assert(graft.operators.Versioned.writerFeatures(root).contains("type-widening"))
+    // wide append BEYOND int/float exactness (1e10 > Int.MaxValue)
+    spark.sql(s"INSERT INTO $t SELECT id, id * 10000000000, " +
+      "id + 0.25 FROM range(100, 110)")
+    // mixed-file scan: narrow rows widen exactly
+    assert(spark.sql(s"SELECT sum(v) FROM $t").collect()(0).getLong(0) ===
+      (0L until 50L).sum + (100L until 110L).map(_ * 10000000000L).sum)
+    // filter pushdown on the widened column across mixed files: the
+    // narrow file must evaluate the long atom via the widening read
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE v >= 40").collect()(0)
+      .getLong(0) === 10L + 10L)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE f = cast(0.25 AS DOUBLE) + 100")
+      .collect()(0).getLong(0) === 1L)
+    // footer MIN/MAX aggregate over mixed narrow+wide stats
+    val mm = spark.sql(s"SELECT min(v), max(v) FROM $t").collect()(0)
+    assert((mm.getLong(0), mm.getLong(1)) === (0L, 109L * 10000000000L))
+    // UPDATE hits the narrow file: CoW reads narrow, re-encodes wide
+    spark.sql(s"UPDATE $t SET v = v + 1000000000000 WHERE id < 5")
+    assert(spark.sql(s"SELECT sum(v) FROM $t WHERE id < 5").collect()(0)
+      .getLong(0) === (0L until 5L).sum + 5L * 1000000000000L)
+    // DELETE keyed on the widened column across mixed files
+    spark.sql(s"DELETE FROM $t WHERE v >= 1090000000000")
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) ===
+      50L + 10L - 1L)
+    // refusals: cross-family and narrowing retypes stay loud
+    def fails(sql: String): Boolean =
+      try { spark.sql(sql); false } catch { case _: Throwable => true }
+    assert(fails(s"ALTER TABLE $t ALTER COLUMN id TYPE INT"))
+    assert(fails(s"ALTER TABLE $t ALTER COLUMN f TYPE STRING"))
+    assert(fails(s"ALTER TABLE $t ALTER COLUMN id TYPE DOUBLE"))
+  }
+
   test("ADD COLUMN is metadata-only; old rows read null, new inserts fill it") {
     val (t, root) = freshTable()
     val v0Files = graft.operators.Versioned.dataFiles(
