@@ -526,6 +526,50 @@ object VersionedGate {
             |WHERE n >= 50 ORDER BY doc_id""".stripMargin)
   }
 
+  /** q180: GENERATED + IDENTITY columns through real DDL (Delta's
+    * `GENERATED ALWAYS AS (expr)` / `AS IDENTITY`, the catalog's
+    * SUPPORTS_CREATE_TABLE_WITH_* capabilities): two inserts omit the
+    * auto columns entirely, an UPDATE of a base column forces the
+    * dependents to RECOMPUTE through the copy-on-write rewrite, and
+    * the identity invariants (uniqueness, start/step grid, high-water
+    * continuation across commits) are require()d — identity VALUES are
+    * partition-dependent by design, so the hash-checked output is the
+    * deterministic surface: base + generated columns, which the oracle
+    * re-derives from the generation expressions alone. */
+  def q180GeneratedIdentity(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs180")
+    s.sql("CREATE TABLE graft.gate.docs180 (" +
+      "rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 7), " +
+      "doc_id BIGINT, n_chars BIGINT, " +
+      "n_kilo BIGINT GENERATED ALWAYS AS (n_chars * 1000 + doc_id % 10), " +
+      "tag STRING GENERATED ALWAYS AS (concat('d', cast(doc_id % 5 AS STRING)))" +
+      ") USING `graft-versioned`")
+    Tables.documents(s, dir).createOrReplaceTempView("q180_docs_src")
+    s.sql("INSERT INTO graft.gate.docs180 (doc_id, n_chars) " +
+      "SELECT doc_id, n_chars FROM q180_docs_src WHERE doc_id % 2 = 0")
+    val max1 = s.sql("SELECT max(rid) FROM graft.gate.docs180")
+      .collect()(0).getLong(0)
+    s.sql("INSERT INTO graft.gate.docs180 (doc_id, n_chars) " +
+      "SELECT doc_id, n_chars FROM q180_docs_src WHERE doc_id % 2 = 1")
+    s.sql("UPDATE graft.gate.docs180 SET n_chars = n_chars + 5 " +
+      "WHERE doc_id % 7 = 0")
+    val inv = s.sql(
+      """SELECT count(*) AS nr, count(DISTINCT rid) AS nd,
+        |  min(rid) AS lo,
+        |  sum(CASE WHEN (rid - 100) % 7 = 0 THEN 0 ELSE 1 END) AS off_grid,
+        |  min(CASE WHEN doc_id % 2 = 1 THEN rid END) AS min_batch2
+        |FROM graft.gate.docs180""".stripMargin).collect()(0)
+    require(inv.getLong(0) == inv.getLong(1),
+      "q180: identity values must be unique")
+    require(inv.getLong(2) >= 100L && inv.getLong(3) == 0L,
+      "q180: identity values must sit on the start/step grid")
+    require(inv.getLong(4) > max1,
+      "q180: the second insert must continue past the high-water mark")
+    s.sql("""SELECT doc_id, n_chars, n_kilo, tag
+            |FROM graft.gate.docs180 ORDER BY doc_id""".stripMargin)
+  }
+
   /** q173: APPEND-ONLY TABLES (Delta's `delta.appendOnly` + the
     * `append-only` writer-feature flag) — the audit-log contract:
     * history is evidence, so the table accepts INSERT commits only and
@@ -1526,6 +1570,7 @@ object VersionedGate {
     "q170_ivm_from_cdf" -> (q170IvmFromCdf _),
     "q178_streaming_ivm" -> (q178StreamingIvm _),
     "q179_type_widening" -> (q179TypeWidening _),
+    "q180_generated_identity" -> (q180GeneratedIdentity _),
     "q171_corpus_release" -> (q171CorpusRelease _),
     "q172_manifest_export" -> (q172ManifestExport _),
     "q173_append_only" -> (q173AppendOnly _),
@@ -1890,6 +1935,18 @@ object VersionedGate {
         |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
         |SELECT doc_id, cast(n as bigint) AS n, r FROM u
         |WHERE n >= 50 ORDER BY doc_id""".stripMargin,
+    // q180: generated columns re-derived from the expressions alone
+    // (identity invariants are require()d in the gate; its values are
+    // partition-dependent and stay out of the hashed surface)
+    "q180_generated_identity" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    n_chars + (CASE WHEN doc_id % 7 = 0 THEN 5 ELSE 0 END) AS n_chars
+        |  FROM documents)
+        |SELECT doc_id, cast(n_chars as bigint) AS n_chars,
+        |  cast(n_chars * 1000 + doc_id % 10 as bigint) AS n_kilo,
+        |  'd' || cast(doc_id % 5 as varchar) AS tag
+        |FROM base ORDER BY doc_id""".stripMargin,
     // q173: the appendOnly table after every refused mutation = its
     // pure insert history
     "q173_append_only" ->

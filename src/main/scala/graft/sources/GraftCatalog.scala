@@ -158,7 +158,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   override def loadTable(ident: Identifier): Table = tableWith(ident, Map.empty)
 
@@ -230,6 +232,55 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             "string column (equality must hash identically at build and probe)")
       }
     }
+
+  /** DDL entry for GENERATED / IDENTITY columns (the capabilities above
+    * make Spark's parser accept them): extract the specs from the V2
+    * Column objects, validate them against the base columns, create the
+    * table, then persist the specs in the `_graft_generated` manifest —
+    * the write builder computes/enforces them on every batch write. */
+  override def createTable(
+      ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val specs: Seq[graft.sources.AutoColumns.Spec] = columns.toSeq.flatMap { c =>
+      require(c.defaultValue() == null,
+        s"graft catalog: DEFAULT values are unsupported (column '${c.name}')")
+      (Option(c.generationExpression()), Option(c.identityColumnSpec())) match {
+        case (Some(e), _) =>
+          require(!e.contains('\t') && !e.contains('\n'),
+            s"graft catalog: generation expression of '${c.name}' must " +
+              "not contain tabs or newlines")
+          Some(AutoColumns.Generated(c.name, e))
+        case (_, Some(s)) =>
+          require(c.dataType == LongType,
+            s"graft catalog: IDENTITY column '${c.name}' must be BIGINT, " +
+              s"got ${c.dataType.simpleString}")
+          Some(AutoColumns.Identity(c.name, s.getStart, s.getStep,
+            s.isAllowExplicitInsert))
+        case _ => None
+      }
+    }
+    // (CatalogV2Util is private[sql]; the struct is trivial to build —
+    // generation/identity info lives in the _graft_generated manifest,
+    // not in field metadata)
+    val schema = StructType(columns.map(c =>
+      StructField(c.name, c.dataType, c.nullable)))
+    if (specs.nonEmpty) {
+      // validate generation expressions at DDL time, not first insert
+      val autoNames = specs.map(_.name).toSet
+      val spark = org.apache.spark.sql.SparkSession.active
+      specs.foreach {
+        case AutoColumns.Generated(n, sql) =>
+          AutoColumns.resolveExpr(spark, sql, n, schema(n).dataType,
+            schema, autoNames)
+        case _: AutoColumns.Identity => ()
+      }
+    }
+    val t = createTable(ident, schema, partitions, properties)
+    if (specs.nonEmpty) AutoColumns.write(tablePath(ident), specs)
+    t
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
@@ -311,6 +362,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     def propReferencing(name: String): Option[String] =
       Seq("clusterBy", "changeFeedKeys").find(k =>
         props.get(k).exists(_.split(",").map(_.trim).contains(name)))
+    // GENERATED/IDENTITY specs bind column NAMES (the spec itself and
+    // the base columns its expression references) — renaming, dropping
+    // or retyping any of them would silently unbind or retype the
+    // generation contract, so those changes are refused while bound
+    val autoSpecs = AutoColumns.read(tablePath(ident).toString)
+    def autoGuard(name: String, verb: String): Unit = {
+      autoSpecs.find(_.name == name).foreach(s =>
+        throw new IllegalArgumentException(
+          s"graft catalog: cannot $verb '$name' — it is a " +
+            "GENERATED/IDENTITY column"))
+      autoSpecs.collect { case g: AutoColumns.Generated
+          if java.util.regex.Pattern
+            .compile("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b")
+            .matcher(g.exprSql).find() => g.name
+      }.headOption.foreach(dep => throw new IllegalArgumentException(
+        s"graft catalog: cannot $verb '$name' — the generation " +
+          s"expression of '$dep' references it"))
+    }
     val bloomKey = graft.operators.BloomSidecar.PropKey
     changes.foreach {
       case add: TableChange.AddColumn =>
@@ -346,6 +415,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         val nw = rn.newName()
         require(schema.fieldNames.contains(old),
           s"graft catalog: no column '$old' to rename")
+        autoGuard(old, "rename")
         require(!schema.fieldNames.contains(nw),
           s"graft catalog: column '$nw' already exists")
         constraintReferencing(old).foreach(cn => throw new IllegalArgumentException(
@@ -375,6 +445,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           if (!del.ifExists) throw new IllegalArgumentException(
             s"graft catalog: no column '$name' to drop")
         } else {
+          autoGuard(name, "drop")
           require(schema.length > 1,
             "graft catalog: cannot drop the table's last column")
           (propReferencing(name) ++ Some(bloomKey).filter(k =>
@@ -449,6 +520,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         val name = up.fieldNames()(0)
         require(schema.fieldNames.contains(name),
           s"graft catalog: no column '$name' to retype")
+        autoGuard(name, "retype")
         val cur = schema(name).dataType
         val nw = up.newDataType()
         val widening = (cur, nw) match {
@@ -879,7 +951,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           pinnedKeep match {
             case None => // plain clone: the current contract verbatim
               Files.copy(manifestOf(srcIdent), manifestOf(tgtIdent))
-              Seq(PropsManifest, ConstraintsManifest, ColMapManifest).foreach { m =>
+              Seq(PropsManifest, ConstraintsManifest, ColMapManifest,
+                  AutoColumns.ManifestFile).foreach { m =>
                 val srcM = tablePath(srcIdent).resolve(m)
                 if (Files.exists(srcM))
                   Files.copy(srcM, tablePath(tgtIdent).resolve(m))
@@ -914,6 +987,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               val pinnedMap = srcColMap.filter { case (l, _) => keep(l) }
               if (readColMap(srcIdent).isDefined)
                 writeColMap(tgtIdent, pinnedMap, srcRetired)
+              // auto-column specs survive the pin only when the spec's
+              // column AND every base column its expression references
+              // are still in the pinned schema
+              val droppedCols = curSchema.fieldNames.filterNot(keep).toSeq
+              val pinnedAuto = AutoColumns.read(tablePath(srcIdent).toString)
+                .filter(s => keep(s.name))
+                .filter {
+                  case g: AutoColumns.Generated => !droppedCols.exists(c =>
+                    java.util.regex.Pattern
+                      .compile("(?i)\\b" + java.util.regex.Pattern.quote(c) + "\\b")
+                      .matcher(g.exprSql).find())
+                  case _ => true
+                }
+              if (pinnedAuto.nonEmpty)
+                AutoColumns.write(tablePath(tgtIdent), pinnedAuto)
           }
           // bloom sidecar: the property lands only with the copy above,
           // AFTER cloneTo's own hook saw a props-less root — re-run the

@@ -784,6 +784,11 @@ private[sources] class GraftDeltaWriteBuilder(
   extends DeltaWriteBuilder {
 
   override def build(): DeltaWrite = {
+    require(AutoColumns.read(root).isEmpty,
+      "graft-versioned: merge-on-read deltas into a table with " +
+        "GENERATED/IDENTITY columns are unsupported — unset " +
+        "deletionVectors on this table so row-level ops take the " +
+        "copy-on-write path (which computes the auto columns)")
     val colMap = GraftVersionedTable.colMapOf(tableOptions)
     // a delete-only delta plan may carry no data columns at all; when
     // rows CAN be inserted, their types must be writable — checked
@@ -3040,9 +3045,19 @@ private[sources] class GraftVersionedWriteBuilder(
       .orElse(Option(SparkSession.active.conf
           .get("graft.versioned.commitMessage", "")).map(_.trim)
         .filter(_.nonEmpty))
+    // GENERATED/IDENTITY columns: resolve the fill plan driver-side
+    // (bind expressions to the write schema; ONE stats-answered
+    // aggregate for the identity high-water mark) and hand it to the
+    // batch write — each writer task fills rows locally.
+    val autoSpecs = AutoColumns.read(root)
+    val autoFill =
+      if (autoSpecs.isEmpty) None
+      else Some(AutoColumns.resolveFill(SparkSession.active, root,
+        autoSpecs, schema, rowLevel = rowLevelOp.isDefined))
     new GraftVersionedWrite(root, schema, replace, stamp, info.queryId(),
       clusterBy, writeParts, targetBytes, rowLevelOp, feedKeys,
-      GraftVersionedTable.colMapOf(tableOptions), txn, message, evolveTo)
+      GraftVersionedTable.colMapOf(tableOptions), txn, message, evolveTo,
+      autoFill)
   }
 }
 
@@ -3055,7 +3070,8 @@ private[sources] class GraftVersionedWrite(
     colMap: Map[String, String] = Map.empty,
     txn: Option[(String, Long)] = None,
     message: Option[String] = None,
-    evolveTo: Option[StructType] = None)
+    evolveTo: Option[StructType] = None,
+    autoFill: Option[AutoColumns.Fill] = None)
   extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String =
@@ -3081,12 +3097,16 @@ private[sources] class GraftVersionedWrite(
 
   override def toBatch: BatchWrite =
     new GraftBatchWrite(root, schema, replace, commitTs, queryId,
-      rowLevelOp, feedKeys, colMap, txn, message, evolveTo)
+      rowLevelOp, feedKeys, colMap, txn, message, evolveTo, autoFill)
 
   override def toStreaming: StreamingWrite = {
     require(txn.isEmpty,
       "graft-versioned: txnAppId/txnVersion are batch options — streaming " +
         "writes are already idempotent per epoch (the _graft_epoch tag)")
+    require(autoFill.isEmpty,
+      "graft-versioned: streaming writes into a table with " +
+        "GENERATED/IDENTITY columns are unsupported — the identity " +
+        "high-water mark is resolved per batch write; use foreachBatch")
     new GraftStreamingWrite(root, schema, replace, commitTs, queryId, colMap,
       feedKeys, message)
   }
@@ -3106,7 +3126,8 @@ private[sources] class GraftBatchWrite(
     colMap: Map[String, String] = Map.empty,
     txn: Option[(String, Long)] = None,
     message: Option[String] = None,
-    evolveTo: Option[StructType] = None) extends BatchWrite {
+    evolveTo: Option[StructType] = None,
+    autoFill: Option[AutoColumns.Fill] = None) extends BatchWrite {
 
   private val staged = java.nio.file.Paths.get(
     root, s"_staging_${queryId}_${java.util.UUID.randomUUID.toString.take(8)}")
@@ -3117,7 +3138,9 @@ private[sources] class GraftBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     java.nio.file.Files.createDirectories(staged)
-    GroupParquetWriterFactory(physSchema, staged.toString)
+    val inner = GroupParquetWriterFactory(physSchema, staged.toString)
+    autoFill.fold(inner: DataWriterFactory)(f =>
+      AutoFillWriterFactory(inner, f, math.max(1, info.numPartitions())))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
