@@ -298,6 +298,57 @@ object CorpusText {
       .foldLeft(norm) { case (c, (re, tag)) => regexp_replace(c, re, tag) }
   }
 
+  /** MULTI-KEYWORD / PHRASE TAGGING at blocklist scale (the FlashText
+    * problem): find every occurrence of a large keyword/phrase set in
+    * every document. A regex alternation dies past a few thousand
+    * keywords (pattern compilation and per-char alternation cost both
+    * grow with the set); this stays declarative instead — keywords
+    * tokenize once, documents explode to (pos, token), candidates come
+    * from ONE broadcast equi-join on each phrase's FIRST token, and a
+    * higher-order `slice == phrase` comparison against the document's
+    * token array verifies the full phrase. Token-boundary matching,
+    * case-insensitive, overlapping and repeated occurrences all
+    * counted.
+    *
+    * Scale shape: the keyword set travels as a broadcast (100k phrases
+    * is megabytes); per-document cost is O(tokens) for the explode
+    * plus O(anchor hits · phrase length) for verification — never
+    * O(tokens · keywords). Output: (id, keyword, n_hits), one row per
+    * document×keyword that actually matches. */
+  def keywordTag(docs: DataFrame, idCol: String, textCol: String,
+                 keywords: Seq[String]): DataFrame = {
+    require(keywords.nonEmpty, "keywordTag: empty keyword set")
+    require(keywords.forall(_.trim.nonEmpty),
+      "keywordTag: blank keyword in the set")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // anchor = each phrase's LONGEST token (rarer than the first word
+    // of a phrase almost always — "the quick fox" anchors on "quick"),
+    // chosen driver-side; a_idx re-anchors the candidate position back
+    // to the phrase start
+    val kw = keywords.distinct.map { k =>
+      val kts = k.trim.toLowerCase.split("\\s+").toSeq
+      val aIdx = kts.zipWithIndex.maxBy { case (t, i) => (t.length, -i) }._2
+      (k, kts, kts.length, aIdx, kts(aIdx))
+    }.toDF("keyword", "kts", "k_len", "a_idx", "anchor")
+    val toksArr = docs.select(col(idCol),
+      split(lower(col(textCol)), "\\s+").as("__toks"))
+    val anchors = toksArr
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      .join(broadcast(kw), col("__tok") === col("anchor"))
+      .select(col(idCol), (col("__pos") - col("a_idx")).as("__start"),
+        col("keyword"), col("kts"), col("k_len"))
+      .filter(col("__start") >= 0)
+    // verify the full phrase against the document's token array —
+    // slice is 1-based; a phrase running past the end yields a short
+    // slice and fails the equality
+    anchors.join(toksArr, Seq(idCol))
+      .filter(slice(col("__toks"), col("__start") + 1, col("k_len")) ===
+        col("kts"))
+      .groupBy(col(idCol), col("keyword"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Per-document PII instance counts over digit-normalized text —
     * exact integers, one scan, the redaction chain's audit twin. */
   def piiCounts(text: Column): (Column, Column, Column, Column, Column) = {

@@ -123,6 +123,16 @@ object CorpusGate {
       .orderBy("source")
   }
 
+  /** t106: multi-keyword/phrase tagging at blocklist scale (the
+    * FlashText problem — regex alternation dies past a few thousand
+    * keywords): longest-token anchor join + higher-order slice verify,
+    * O(tokens + anchor-hits·phrase-len) per document, keyword set a
+    * broadcast. Mixed unigrams and multi-word phrases, one absent. */
+  def t106KeywordTag(s: SparkSession, dir: String): DataFrame =
+    CorpusText.keywordTag(Tables.documents(s, dir), "doc_id", "text",
+      Seq("customer", "fast scan", "group sort merge", "absent zz"))
+      .orderBy("doc_id", "keyword")
+
   /** t57: sliding context windows — 32-token chunks at stride 24 (the
     * training-sample chunker; short docs yield one short chunk). */
   def t57ChunkWindows(s: SparkSession, dir: String): DataFrame =
@@ -226,6 +236,7 @@ object CorpusGate {
     "t56_pii_redact" -> (t56PiiRedact _),
     "t104_pii_redact_full" -> (t104PiiRedactFull _),
     "t105_pii_filter_rate" -> (t105PiiFilterRate _),
+    "t106_keyword_tag" -> (t106KeywordTag _),
     "t57_chunk_windows" -> (t57ChunkWindows _),
     "t64_quality_score" -> (t64QualityScore _),
     "t65_dup_spans" -> (t65DupSpans _),
@@ -421,6 +432,23 @@ object CorpusGate {
         |  cast(sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) * 1000000
         |    // count(*) as bigint) AS pii_doc_ppm
         |FROM per GROUP BY source ORDER BY source""".stripMargin,
+    // t106: position-exhaustive phrase search re-derived with list
+    // slicing — the engine's anchor-join path must agree exactly
+    "t106_keyword_tag" ->
+      """WITH kw(keyword) AS (VALUES ('customer'), ('fast scan'),
+        |    ('group sort merge'), ('absent zz')),
+        |k AS (SELECT keyword,
+        |      string_split_regex(lower(trim(keyword)), '\s+') kts FROM kw),
+        |d AS (SELECT doc_id,
+        |      string_split_regex(lower(text), '\s+') toks FROM documents),
+        |m AS (
+        |  SELECT d.doc_id, k.keyword,
+        |    len(list_filter(range(1, len(toks) - len(kts) + 2),
+        |        i -> toks[i:i+len(kts)-1] = kts)) AS n_hits
+        |  FROM d CROSS JOIN k)
+        |SELECT doc_id, keyword, cast(n_hits as bigint) AS n_hits
+        |FROM m WHERE n_hits > 0
+        |ORDER BY doc_id, keyword""".stripMargin,
     "t57_chunk_windows" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |chunks AS (SELECT doc_id, CAST(t.i AS INT) chunk_idx,

@@ -110,6 +110,28 @@ class CorpusTextSpec extends AnyFunSuite with SparkSpec {
     assert((e6, p6, i6, d6, c6) === (1L, 2L, 1L, 1L, 1L))
   }
 
+  test("keywordTag: phrases, overlapping repeats, case, end-of-doc, absent") {
+    val docs = Seq(
+      (1L, "The quick brown fox and the QUICK brown dog"),
+      (2L, "aa aa aa"),
+      (3L, "quick"),
+      (4L, "edge case at end quick brown"))
+      .toDF("id", "text")
+    val out = CorpusText.keywordTag(docs, "id", "text",
+      Seq("quick brown", "aa aa", "fox", "missing"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out((1L, "quick brown")) === 2L, "case-insensitive phrase")
+    assert(out((1L, "fox")) === 1L)
+    assert(out((2L, "aa aa")) === 2L, "overlapping occurrences both count")
+    assert(!out.contains((3L, "quick brown")), "partial phrase is no match")
+    assert(out((4L, "quick brown")) === 1L, "phrase ending at the last token")
+    assert(!out.keys.exists(_._2 == "missing"))
+    // scale shape: the keyword side is a broadcast join, never a shuffle
+    val plan = CorpusText.keywordTag(docs, "id", "text",
+      Seq("quick brown", "fox")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+  }
+
   test("repetitionProfile: exact counts incl. looped, uniform, and tiny docs") {
     val docs = Seq(
       (1L, "a b a b a b"),   // bigram 'a b' x3, 'b a' x2
