@@ -427,20 +427,42 @@ object Versioned {
     // physical-name space end to end: the files store physical names
     // and the rewrite writes physical names, so column mapping needs
     // no translation here (clusterBy arrives already physical)
-    val base = spark.read.option("mergeSchema", "true")
-      .parquet(smalls.map(_.toString): _*)
+    val widened = readerFeatures(root).contains("type-widening")
     val live =
-      if (dvPositions.isEmpty) base
-      else {
-        import spark.implicits._
-        // deleted (file, position) pairs of SMALL files only — bounded
-        // by the tail's row count by definition, broadcast-joined away
-        val dels = dvPositions.toDF("__f", "__p")
-        base
-          .withColumn("__f", col("_metadata.file_name"))
-          .withColumn("__p", col("_metadata.row_index"))
-          .join(broadcast(dels), Seq("__f", "__p"), "left_anti")
-          .drop("__f", "__p")
+      if (widened) {
+        // a widened snapshot's small files can hold narrow AND wide
+        // halves of the same column — plain parquet cannot merge them,
+        // so read through the DSv2 scan (it widens per file and applies
+        // DVs positionally), restricted to the small files, and
+        // translate logical names back to physical for the rewrite
+        val df = spark.read.format("graft-versioned")
+          .option("versionAsOf", v.toString).load(root)
+        val dataCols = df.columns.toSeq
+        val l2p: Map[String, String] = {
+          val cm = Paths.get(root, "_graft_colmap")
+          if (!Files.exists(cm)) Map.empty
+          else new String(Files.readAllBytes(cm),
+            java.nio.charset.StandardCharsets.UTF_8).linesIterator
+            .map(_.split("\t", -1)).collect {
+              case Array("m", l, p) => l -> p }.toMap
+        }
+        df.filter(col("_file").isin(smalls.map(_.toString): _*))
+          .select(dataCols.map(c => col(c).as(l2p.getOrElse(c, c))): _*)
+      } else {
+        val base = spark.read.option("mergeSchema", "true")
+          .parquet(smalls.map(_.toString): _*)
+        if (dvPositions.isEmpty) base
+        else {
+          import spark.implicits._
+          // deleted (file, position) pairs of SMALL files only — bounded
+          // by the tail's row count by definition, broadcast-joined away
+          val dels = dvPositions.toDF("__f", "__p")
+          base
+            .withColumn("__f", col("_metadata.file_name"))
+            .withColumn("__p", col("_metadata.row_index"))
+            .join(broadcast(dels), Seq("__f", "__p"), "left_anti")
+            .drop("__f", "__p")
+        }
       }
     val bytes = smalls.map(Files.size).sum
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
@@ -790,14 +812,18 @@ object Versioned {
     // reads as null there, typed from whichever snapshot has it
     val rawCur = raw(version)
     val rawPrev = prev.map(raw)
+    // a DSv2-resolved snapshot (DVs, type widening) surfaces LOGICAL
+    // names; raw parquet reads surface PHYSICAL ones — accept either
     def typeOf(name: String) =
-      rawCur.schema.fields.find(_.name == physOf(name))
-        .orElse(rawPrev.flatMap(_.schema.fields.find(_.name == physOf(name))))
+      rawCur.schema.fields.find(f => f.name == physOf(name) || f.name == name)
+        .orElse(rawPrev.flatMap(_.schema.fields.find(f =>
+          f.name == physOf(name) || f.name == name)))
         .getOrElse(throw new IllegalArgumentException(
           s"change feed column '$name' exists in no snapshot under $root"))
         .dataType
     def snap(df: DataFrame) = df.select((keys ++ payload).map { n =>
       if (df.schema.fieldNames.contains(physOf(n))) col(physOf(n)).as(n)
+      else if (df.schema.fieldNames.contains(n)) col(n).as(n)
       else lit(null).cast(typeOf(n)).as(n)
     }: _*)
     val cur = snap(rawCur)
@@ -855,8 +881,11 @@ object Versioned {
                    mergeSchema: Boolean): DataFrame = {
     checkProtocol(root) // never hand back rows a missing feature would falsify
     val vdir = Paths.get(root, s"v=$version")
-    if (DeletionVectors.hasDvs(vdir))
-      // the DSv2 scan resolves the same manifest and skips DV'd rows
+    if (DeletionVectors.hasDvs(vdir) ||
+        readerFeatures(root).contains("type-widening"))
+      // the DSv2 scan resolves the same manifest, skips DV'd rows, and
+      // WIDENS pre-widening files on read — a plain parquet mergeSchema
+      // read cannot merge INT32 and INT64 halves of a widened column
       spark.read.format("graft-versioned")
         .option("versionAsOf", version.toString).load(root)
     else {

@@ -227,6 +227,36 @@ private[sources] object GraftVersionedTable {
     * empty schema plus ACCEPT_ANY_SCHEMA and the write carries its own
     * (the catalog path never hits this: a created table's schema comes
     * from its manifest, not from inference). */
+  /** Widening-aware schema union: same-named fields whose types differ
+    * merge ONLY along the value-preserving widenings (INT→BIGINT,
+    * FLOAT→DOUBLE — the `type-widening` contract); anything else is a
+    * loud conflict, exactly like parquet's own merge. Field order =
+    * first appearance. */
+  private[sources] def widenMergeSchemas(schemas: Seq[StructType],
+                                         root: String): StructType = {
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    schemas.foreach(_.fields.foreach { f =>
+      order.get(f.name) match {
+        case None => order(f.name) = f
+        case Some(g) if g.dataType == f.dataType =>
+          if (f.nullable && !g.nullable) order(f.name) = g.copy(nullable = true)
+        case Some(g) =>
+          val widened = (g.dataType, f.dataType) match {
+            case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+            case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+            case _ => throw new IllegalStateException(
+              s"graft-versioned: cannot merge schemas under $root — " +
+                s"column '${f.name}' is ${g.dataType.simpleString} in one " +
+                s"file and ${f.dataType.simpleString} in another, and only " +
+                "INT->BIGINT / FLOAT->DOUBLE widen")
+          }
+          order(f.name) = g.copy(dataType = widened,
+            nullable = g.nullable || f.nullable)
+      }
+    })
+    StructType(order.values.toSeq)
+  }
+
   def resolveSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val root = rootOf(options)
@@ -238,9 +268,16 @@ private[sources] object GraftVersionedTable {
       // union across ALL stored feeds: a table that evolved mid-stream
       // has old feeds without the new old_/new_ payload columns — the
       // merged schema exposes them and pre-evolution feed files
-      // null-fill on read
-      spark.read.option("mergeSchema", "true")
+      // null-fill on read. A feed spanning a TYPE WIDENING holds
+      // INT32 and INT64 halves of the same column — parquet's merge
+      // refuses that, so fall back to the widening-aware union.
+      try spark.read.option("mergeSchema", "true")
         .parquet(feeds.map(Versioned.feedDir(root, _)): _*).schema
+      catch { case e: org.apache.spark.SparkException
+          if String.valueOf(e.getMessage).contains("CANNOT_MERGE_SCHEMAS") =>
+        widenMergeSchemas(feeds.map(v =>
+          spark.read.parquet(Versioned.feedDir(root, v)).schema), root)
+      }
     } else if (Versioned.latestVersion(root).isEmpty &&
                options.getBoolean("create", false)) {
       new StructType()
@@ -253,8 +290,17 @@ private[sources] object GraftVersionedTable {
       val files = Versioned.dataFiles(java.nio.file.Paths.get(dir))
         .map(_.toString)
       val r = spark.read.option("mergeSchema", "true")
+      // a WIDENED snapshot holds INT32 and INT64 (FLOAT/DOUBLE) halves
+      // of the same column across files — parquet's own merge refuses
+      // that, so fall back to the widening-aware union (the reader
+      // widens the narrow files on scan)
       val inferred =
-        (if (files.isEmpty) r.parquet(dir) else r.parquet(files: _*)).schema
+        try (if (files.isEmpty) r.parquet(dir) else r.parquet(files: _*)).schema
+        catch { case e: org.apache.spark.SparkException
+            if String.valueOf(e.getMessage).contains("CANNOT_MERGE_SCHEMAS") =>
+          widenMergeSchemas(
+            files.map(f => spark.read.parquet(f).schema), root)
+        }
       // a colmap-carrying load surfaces LOGICAL names: footer names
       // are physical; a complete mapping also hides DROPPED columns
       // (their physical names map to no logical one)

@@ -77,6 +77,56 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSpec {
     assert(fails(s"ALTER TABLE $t ALTER COLUMN id TYPE DOUBLE"))
   }
 
+  test("type widening: the change feed spans the widening boundary") {
+    spark.conf.set("spark.sql.catalog.evo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.evo.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.t")
+    n += 1
+    val t = s"evo.t.tab$n"
+    val root = s"$warehouse/t/tab$n"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v INT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('changeFeedKeys'='id')")
+    spark.sql(s"INSERT INTO $t SELECT id, cast(id AS INT) FROM range(0, 10)") // v=0 narrow feed
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN v TYPE BIGINT")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 10000000000 FROM range(100, 105)") // v=1 wide feed
+    spark.sql(s"UPDATE $t SET v = v + 1 WHERE id = 3") // v=2: old_v from a NARROW base row
+    // the batch CDF range read spans narrow and wide feed files under
+    // the WIDENED schema — pre-widening feed files must widen on read
+    val feed = spark.read.format("graft-versioned")
+      .option("changeFeed", "true").option("startingVersion", "0")
+      .load(root)
+    assert(feed.filter(org.apache.spark.sql.functions.col("change_type") === "added").count() === 15L)
+    val upd = feed.filter(org.apache.spark.sql.functions.col("change_type") === "changed").collect()
+    assert(upd.length === 1 && upd(0).getAs[Long]("old_v") === 3L &&
+      upd(0).getAs[Long]("new_v") === 4L)
+    // wide payloads round-trip exactly
+    assert(feed.filter(org.apache.spark.sql.functions.col("new_v") === 104L * 10000000000L).count() === 1L)
+  }
+
+  test("type widening: OPTIMIZE and bin-pack compaction heal mixed-width files") {
+    spark.conf.set("spark.sql.catalog.evo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.evo.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evo.t")
+    n += 1
+    val t = s"evo.t.tab$n"
+    val root = s"$warehouse/t/tab$n"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v INT) USING `graft-versioned`")
+    spark.sql(s"INSERT INTO $t SELECT id, cast(id AS INT) FROM range(0, 30)")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN v TYPE BIGINT")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 10000000000 FROM range(100, 105)")
+    val expect = (0L until 30L).sum + (100L until 105L).map(_ * 10000000000L).sum
+    // bin-pack: small narrow + wide files merge through the widening
+    // read; the rewrite re-encodes everything wide
+    graft.operators.Versioned.compactSmall(spark, root,
+      smallerThanBytes = 1L << 30)
+    assert(spark.sql(s"SELECT sum(v) FROM $t").collect()(0).getLong(0) === expect)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE v >= 40").collect()(0)
+      .getLong(0) === 5L)
+    // full OPTIMIZE over the (now partially healed) table also works
+    spark.sql(s"CALL evo.sys.compact(table => 't.tab$n')")
+    assert(spark.sql(s"SELECT sum(v) FROM $t").collect()(0).getLong(0) === expect)
+  }
+
   test("ADD COLUMN is metadata-only; old rows read null, new inserts fill it") {
     val (t, root) = freshTable()
     val v0Files = graft.operators.Versioned.dataFiles(
