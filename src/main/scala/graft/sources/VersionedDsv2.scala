@@ -2959,8 +2959,22 @@ private[sources] class GraftVersionedWriteBuilder(
     val alignAgainst: Option[(StructType, String)] =
       if (tableOptions.getBoolean("graftCatalogManaged", false) &&
           tableSchema.nonEmpty) Some((tableSchema, "the table contract"))
-      else if (!replace) Versioned.latestVersion(root).map(v =>
-        (SparkSession.active.read.parquet(s"$root/v=$v").schema, s"v=$v"))
+      else if (!replace) Versioned.latestVersion(root).map { v =>
+        // a widened version dir holds mixed-width footers: merge with
+        // the widening-aware union so the alignment target is the WIDE
+        // contract, not whichever file's footer got sampled first
+        val spark = SparkSession.active
+        val dir = s"$root/v=$v"
+        val sch =
+          try spark.read.option("mergeSchema", "true").parquet(dir).schema
+          catch { case e: org.apache.spark.SparkException
+              if String.valueOf(e.getMessage).contains("CANNOT_MERGE_SCHEMAS") =>
+            GraftVersionedTable.widenMergeSchemas(
+              Versioned.dataFiles(java.nio.file.Paths.get(dir))
+                .map(f => spark.read.parquet(f.toString).schema), root)
+          }
+        (sch, s"v=$v")
+      }
       else None
     alignAgainst.foreach { case (existing, what) =>
       {
