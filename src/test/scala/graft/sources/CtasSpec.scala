@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Pins the DDL surface that works "for free" through the DSv2
+  * protocol so it can never silently regress: CTAS, CREATE OR REPLACE
+  * TABLE AS SELECT, and NOT NULL column enforcement (Spark's
+  * NOT_NULL_ASSERT on the write path — the table's declared
+  * nullability is part of the contract the engine enforces). */
+class CtasSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val warehouse =
+    java.nio.file.Files.createTempDirectory("graft_ctas_spec_").toString
+
+  private def cat(): Unit = {
+    spark.conf.set("spark.sql.catalog.ct", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ct.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ct.t")
+  }
+
+  test("CTAS creates and loads in one statement; RTAS replaces the contract") {
+    cat()
+    spark.sql("DROP TABLE IF EXISTS ct.t.c1")
+    spark.sql("CREATE TABLE ct.t.c1 USING `graft-versioned` AS " +
+      "SELECT id, id * 2 AS v FROM range(0, 10)")
+    assert(spark.table("ct.t.c1").count() === 10L)
+    assert(spark.sql("SELECT sum(v) FROM ct.t.c1").collect()(0).getLong(0)
+      === (0L until 10L).map(_ * 2).sum)
+    // CREATE OR REPLACE swaps schema AND content
+    spark.sql("CREATE OR REPLACE TABLE ct.t.c1 USING `graft-versioned` AS " +
+      "SELECT id, concat('r', id) AS tag FROM range(0, 3)")
+    assert(spark.table("ct.t.c1").schema.fieldNames.toSeq === Seq("id", "tag"))
+    assert(spark.table("ct.t.c1").count() === 3L)
+    // and the replaced table keeps working as a normal versioned table
+    spark.sql("INSERT INTO ct.t.c1 VALUES (100, 'x')")
+    assert(spark.table("ct.t.c1").count() === 4L)
+  }
+
+  test("NOT NULL columns refuse null writes; nullable columns accept them") {
+    cat()
+    spark.sql("DROP TABLE IF EXISTS ct.t.c2")
+    spark.sql("CREATE TABLE ct.t.c2 (id BIGINT NOT NULL, v BIGINT) " +
+      "USING `graft-versioned`")
+    spark.sql("INSERT INTO ct.t.c2 VALUES (1, CAST(null AS BIGINT))")
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO ct.t.c2 VALUES (CAST(null AS BIGINT), 1)"))
+    def chain(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "||" + chain(x.getCause)
+    assert(chain(e).contains("NOT_NULL") || chain(e).toLowerCase.contains("null"),
+      chain(e))
+    assert(spark.table("ct.t.c2").count() === 1L,
+      "the refused insert must not have committed")
+  }
+}
