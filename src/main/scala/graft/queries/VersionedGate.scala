@@ -570,6 +570,29 @@ object VersionedGate {
             |FROM graft.gate.docs180 ORDER BY doc_id""".stripMargin)
   }
 
+  /** q181: DEFAULT column values through DDL — the analyzer fills
+    * omitted columns and the DEFAULT keyword from the manifest-carried
+    * default (CURRENT_DEFAULT/EXISTS_DEFAULT field metadata, Spark's
+    * own resolution machinery; the store just persists it). The gate
+    * mixes defaulted, keyword-DEFAULT and explicit inserts and the
+    * oracle re-derives every row from the insert predicates alone. */
+  def q181DefaultValues(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs181")
+    s.sql("CREATE TABLE graft.gate.docs181 (doc_id BIGINT, " +
+      "status STRING DEFAULT 'new', boost BIGINT DEFAULT 100) " +
+      "USING `graft-versioned`")
+    Tables.documents(s, dir).createOrReplaceTempView("q181_docs_src")
+    s.sql("INSERT INTO graft.gate.docs181 (doc_id) " +
+      "SELECT doc_id FROM q181_docs_src WHERE doc_id % 3 = 0")
+    s.sql("INSERT INTO graft.gate.docs181 " +
+      "SELECT doc_id, 'seen', DEFAULT FROM q181_docs_src WHERE doc_id % 3 = 1")
+    s.sql("INSERT INTO graft.gate.docs181 " +
+      "SELECT doc_id, 'done', n_chars FROM q181_docs_src WHERE doc_id % 3 = 2")
+    s.sql("""SELECT doc_id, status, boost FROM graft.gate.docs181
+            |ORDER BY doc_id""".stripMargin)
+  }
+
   /** q173: APPEND-ONLY TABLES (Delta's `delta.appendOnly` + the
     * `append-only` writer-feature flag) — the audit-log contract:
     * history is evidence, so the table accepts INSERT commits only and
@@ -1571,6 +1594,7 @@ object VersionedGate {
     "q178_streaming_ivm" -> (q178StreamingIvm _),
     "q179_type_widening" -> (q179TypeWidening _),
     "q180_generated_identity" -> (q180GeneratedIdentity _),
+    "q181_default_values" -> (q181DefaultValues _),
     "q171_corpus_release" -> (q171CorpusRelease _),
     "q172_manifest_export" -> (q172ManifestExport _),
     "q173_append_only" -> (q173AppendOnly _),
@@ -1947,6 +1971,17 @@ object VersionedGate {
         |  cast(n_chars * 1000 + doc_id % 10 as bigint) AS n_kilo,
         |  'd' || cast(doc_id % 5 as varchar) AS tag
         |FROM base ORDER BY doc_id""".stripMargin,
+    // q181: defaults re-derived from the insert predicates alone
+    "q181_default_values" ->
+      """SELECT doc_id, 'new' AS status, cast(100 as bigint) AS boost
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, 'seen', cast(100 as bigint) FROM documents
+        |WHERE doc_id % 3 = 1
+        |UNION ALL
+        |SELECT doc_id, 'done', cast(n_chars as bigint) FROM documents
+        |WHERE doc_id % 3 = 2
+        |ORDER BY doc_id""".stripMargin,
     // q173: the appendOnly table after every refused mutation = its
     // pure insert history
     "q173_append_only" ->

@@ -160,7 +160,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def loadTable(ident: Identifier): Table = tableWith(ident, Map.empty)
 
@@ -244,8 +245,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val specs: Seq[graft.sources.AutoColumns.Spec] = columns.toSeq.flatMap { c =>
-      require(c.defaultValue() == null,
-        s"graft catalog: DEFAULT values are unsupported (column '${c.name}')")
       (Option(c.generationExpression()), Option(c.identityColumnSpec())) match {
         case (Some(e), _) =>
           require(!e.contains('\t') && !e.contains('\n'),
@@ -262,10 +261,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       }
     }
     // (CatalogV2Util is private[sql]; the struct is trivial to build —
-    // generation/identity info lives in the _graft_generated manifest,
-    // not in field metadata)
-    val schema = StructType(columns.map(c =>
-      StructField(c.name, c.dataType, c.nullable)))
+    // generation/identity info lives in the _graft_generated manifest.)
+    // CREATE-time DEFAULT values persist as the standard Spark field
+    // metadata (CURRENT_DEFAULT / EXISTS_DEFAULT) inside the schema
+    // manifest: the ANALYZER then fills omitted columns and the
+    // DEFAULT keyword on every INSERT — engine-side, nothing for the
+    // write path to do. ADD COLUMN keeps refusing defaults (existing
+    // rows would need an exists-default read path the null-fill
+    // contract deliberately doesn't have).
+    val schema = StructType(columns.map { c =>
+      val base = StructField(c.name, c.dataType, c.nullable)
+      Option(c.defaultValue()) match {
+        case None => base
+        case Some(d) =>
+          val sql = d.getSql
+          require(sql != null && sql.nonEmpty,
+            s"graft catalog: DEFAULT of '${c.name}' carries no SQL text")
+          import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          base.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(
+              ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+            .putString(
+              ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY, sql)
+            .build())
+      }
+    })
     if (specs.nonEmpty) {
       // validate generation expressions at DDL time, not first insert
       val autoNames = specs.map(_.name).toSet

@@ -38,6 +38,32 @@ class CtasSpec extends AnyFunSuite with SparkSpec {
     assert(spark.table("ct.t.c1").count() === 4L)
   }
 
+  test("DEFAULT values fill omitted columns and the DEFAULT keyword") {
+    cat()
+    spark.sql("DROP TABLE IF EXISTS ct.t.c3")
+    spark.sql("CREATE TABLE ct.t.c3 (id BIGINT, status STRING DEFAULT 'new', " +
+      "score BIGINT DEFAULT 7) USING `graft-versioned`")
+    spark.sql("INSERT INTO ct.t.c3 (id) VALUES (1)")
+    spark.sql("INSERT INTO ct.t.c3 VALUES (2, DEFAULT, DEFAULT)")
+    spark.sql("INSERT INTO ct.t.c3 VALUES (3, 'done', 0)")
+    val rows = spark.sql("SELECT id, status, score FROM ct.t.c3 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows === Seq((1L, "new", 7L), (2L, "new", 7L), (3L, "done", 0L)))
+    // the default survives a fresh table resolution (it lives in the
+    // schema manifest, not the session)
+    spark.sql("REFRESH TABLE ct.t.c3")
+    spark.sql("INSERT INTO ct.t.c3 (id) VALUES (4)")
+    assert(spark.sql("SELECT status FROM ct.t.c3 WHERE id = 4")
+      .collect()(0).getString(0) === "new")
+    // ADD COLUMN with a DEFAULT keeps refusing: pre-existing rows would
+    // need an exists-default read the null-fill contract doesn't have
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE ct.t.c3 ADD COLUMN extra STRING DEFAULT 'x'"))
+    def chain(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "||" + chain(x.getCause)
+    assert(chain(e).toLowerCase.contains("default"), chain(e))
+  }
+
   test("NOT NULL columns refuse null writes; nullable columns accept them") {
     cat()
     spark.sql("DROP TABLE IF EXISTS ct.t.c2")
