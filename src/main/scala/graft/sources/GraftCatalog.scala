@@ -52,7 +52,9 @@ import graft.operators.Versioned
   * are the layout unit — cluster with Layout.WriteSpec) and column
   * retype (it would change the meaning of immutable history).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -234,16 +236,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       }
     }
 
-  /** DDL entry for GENERATED / IDENTITY columns (the capabilities above
-    * make Spark's parser accept them): extract the specs from the V2
-    * Column objects, validate them against the base columns, create the
-    * table, then persist the specs in the `_graft_generated` manifest —
-    * the write builder computes/enforces them on every batch write. */
-  override def createTable(
-      ident: Identifier,
-      columns: Array[org.apache.spark.sql.connector.catalog.Column],
-      partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
+  /** Shared extraction for every Column[]-taking DDL entry (CREATE,
+    * staged CREATE/REPLACE): the (schema-with-default-metadata,
+    * auto-column specs) pair, fully validated. */
+  private def columnContract(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column])
+      : (StructType, Seq[AutoColumns.Spec]) = {
     val specs: Seq[graft.sources.AutoColumns.Spec] = columns.toSeq.flatMap { c =>
       (Option(c.generationExpression()), Option(c.identityColumnSpec())) match {
         case (Some(e), _) =>
@@ -297,10 +295,166 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         case _: AutoColumns.Identity => ()
       }
     }
+    (schema, specs)
+  }
+
+  /** DDL entry for GENERATED / IDENTITY / DEFAULT columns (the
+    * capabilities above make Spark's parser accept them): extract the
+    * contract from the V2 Column objects, create the table, persist
+    * the auto specs in the `_graft_generated` manifest — the write
+    * builder computes/enforces them on every batch write. */
+  override def createTable(
+      ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val (schema, specs) = columnContract(columns)
     val t = createTable(ident, schema, partitions, properties)
     if (specs.nonEmpty) AutoColumns.write(tablePath(ident), specs)
     t
   }
+
+  // ------------------------------------------------- staged DDL
+  // CREATE/REPLACE TABLE AS SELECT through Spark's ATOMIC plans
+  // (StagingTableCatalog): the table's EXISTENCE is its schema
+  // manifest, so staging = write the data first, publish the manifest
+  // at commitStagedChanges. REPLACE therefore PRESERVES HISTORY —
+  // the replacement lands as one truncate commit on the same root
+  // (Delta's REPLACE semantics: time travel and tags keep working
+  // across it; pre-replace snapshots read through the new contract,
+  // null-filling columns their files never had — the same global-
+  // manifest discipline ADD COLUMN documents). A REPLACE without a
+  // query commits an EMPTY truncate version. Abort rolls back any
+  // staged data commit (create: the whole root).
+
+  private class GraftStagedTable(
+      ident: Identifier, declared: StructType,
+      specs: Seq[AutoColumns.Spec], partitions: Array[Transform],
+      properties: util.Map[String, String], existedBefore: Boolean)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+    private val root = tablePath(ident)
+    Files.createDirectories(root)
+    private val versionBefore = Versioned.latestVersion(root.toString)
+    // the OLD auto-column contract must not bind the staged write (its
+    // columns may not exist in the replacement) — set it aside, restore
+    // on abort
+    private val oldAuto: Option[Array[Byte]] = {
+      val m = root.resolve(AutoColumns.ManifestFile)
+      if (!Files.exists(m)) None
+      else { val b = Files.readAllBytes(m); Files.delete(m); Some(b) }
+    }
+
+    // the staged write behaves exactly like a write to the final table:
+    // layout/feed options travel as table options (they persist at
+    // commit)
+    private val stagedOpts: Map[String, String] = {
+      val layout = Seq("clusterBy", "writePartitions", "targetFileBytes",
+        "changeFeedKeys", "deletionVectors", "autoMerge",
+        graft.operators.BloomSidecar.PropKey)
+      layout.flatMap(k => Option(properties.get(k)).map(k -> _)).toMap ++
+        Map("path" -> root.toString, "graftCatalogManaged" -> "true")
+    }
+    private val inner = new GraftVersionedTable(declared,
+      new CaseInsensitiveStringMap(stagedOpts.asJava))
+
+    override def name(): String = s"${ident.toString} (staged)"
+    override def schema(): StructType = declared
+    override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+      inner.capabilities()
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder = {
+      val b = inner.newWriteBuilder(info)
+      // REPLACE: the staged query's output REPLACES the snapshot (one
+      // truncate commit on the same root — history preserved). CREATE:
+      // plain bootstrap append onto the fresh root.
+      if (existedBefore)
+        b.asInstanceOf[org.apache.spark.sql.connector.write.SupportsTruncate]
+          .truncate()
+      else b
+    }
+
+    override def commitStagedChanges(): Unit = {
+      // REPLACE with no staged query (CREATE OR REPLACE without AS
+      // SELECT): the replacement content is EMPTY — commit an empty
+      // truncate version so pre-replace rows never leak through
+      if (existedBefore &&
+          Versioned.latestVersion(root.toString) == versionBefore) {
+        val staging = Files.createTempDirectory(root, "_staging_replace_")
+        GroupParquetWriterFactory(
+          GraftVersionedTable.physicalSchema(declared, Map.empty),
+          staging.toString).emptyFile("part-empty.parquet")
+        VersionedWriteIo.commitStaged(root.toString, staging,
+          GraftVersionedTable.physicalSchema(declared, Map.empty),
+          appendPrev = false,
+          stamp = VersionedWriteIo.stampValue(None), epochTag = None)
+      }
+      // publish the new contract: the manifest write IS table
+      // existence/replacement. Stale per-table manifests of the old
+      // contract go first (constraints/colmap/props belong to the
+      // replaced schema).
+      Seq(SchemaManifest, PropsManifest, ConstraintsManifest, ColMapManifest)
+        .foreach(m => Files.deleteIfExists(root.resolve(m)))
+      createTable(ident, declared, partitions, properties)
+      if (specs.nonEmpty) AutoColumns.write(root, specs)
+    }
+
+    override def abortStagedChanges(): Unit = {
+      if (!existedBefore) Versioned.deleteRecursively(root)
+      else {
+        // drop any staged data commit; restore the set-aside auto
+        // contract
+        var cur = Versioned.latestVersion(root.toString)
+        while (cur != versionBefore && cur.isDefined) {
+          Versioned.rollback(root.toString)
+          cur = Versioned.latestVersion(root.toString)
+        }
+        oldAuto.foreach(b =>
+          Files.write(root.resolve(AutoColumns.ManifestFile), b))
+      }
+    }
+  }
+
+  private def stage(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo,
+      mustExist: Option[Boolean])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    require(info.constraints() == null || info.constraints().isEmpty,
+      "graft catalog: add CHECK constraints with ALTER TABLE after " +
+        "creation — inline constraint DDL is not staged")
+    require(info.partitions() == null || info.partitions().isEmpty,
+      "graft-versioned tables are unpartitioned — the version dir is " +
+        "the layout unit; cluster files with clusterBy")
+    val exists = Files.exists(manifestOf(ident))
+    mustExist match {
+      case Some(false) if exists => throw new TableAlreadyExistsException(ident)
+      case Some(true) if !exists => throw new NoSuchTableException(ident)
+      case _ => ()
+    }
+    val (schema, specs) = columnContract(info.columns())
+    GroupParquetIo.writeMessageType(schema) // DDL-time type check
+    new GraftStagedTable(ident, schema, specs, info.partitions(),
+      info.properties(), exists)
+  }
+
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, info, mustExist = Some(false))
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, info, mustExist = Some(true))
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, info, mustExist = None)
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],

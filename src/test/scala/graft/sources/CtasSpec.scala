@@ -38,6 +38,46 @@ class CtasSpec extends AnyFunSuite with SparkSpec {
     assert(spark.table("ct.t.c1").count() === 4L)
   }
 
+  test("atomic RTAS preserves history; aborted staged DDL leaves no trace") {
+    cat()
+    spark.sql("DROP TABLE IF EXISTS ct.t.c4")
+    spark.sql("DROP TABLE IF EXISTS ct.t.c5")
+    spark.sql("CREATE TABLE ct.t.c4 USING `graft-versioned` AS " +
+      "SELECT id, id * 2 AS v FROM range(0, 10)")
+    val root = s"$warehouse/t/c4"
+    assert(graft.operators.Versioned.versions(root) === Seq(0L))
+    // REPLACE lands as ONE truncate commit on the SAME root — history
+    // survives (Delta's REPLACE semantics), unlike drop+recreate
+    spark.sql("CREATE OR REPLACE TABLE ct.t.c4 USING `graft-versioned` AS " +
+      "SELECT id, concat('x', id) AS tag FROM range(0, 4)")
+    assert(graft.operators.Versioned.versions(root) === Seq(0L, 1L))
+    assert(spark.table("ct.t.c4").count() === 4L)
+    // time travel to the pre-replace snapshot still works; its files
+    // read through the NEW contract (the global-manifest discipline):
+    // id survives, tag null-fills
+    val v0 = spark.sql("SELECT id, tag FROM ct.t.c4 VERSION AS OF 0")
+    assert(v0.count() === 10L)
+    assert(v0.filter("tag IS NULL").count() === 10L)
+    // REPLACE without AS SELECT commits an EMPTY truncate version
+    spark.sql("CREATE OR REPLACE TABLE ct.t.c4 (id BIGINT, note STRING) " +
+      "USING `graft-versioned`")
+    assert(spark.table("ct.t.c4").count() === 0L)
+    assert(graft.operators.Versioned.versions(root) === Seq(0L, 1L, 2L))
+    // aborted staged CREATE: the failing query leaves NO table behind
+    intercept[Exception](spark.sql(
+      "CREATE TABLE ct.t.c5 USING `graft-versioned` AS " +
+        "SELECT raise_error('boom') AS x FROM range(1)"))
+    assert(!spark.catalog.tableExists("ct.t.c5"))
+    intercept[Exception](spark.table("ct.t.c5").count())
+    // aborted staged REPLACE: the old table and history stay intact
+    intercept[Exception](spark.sql(
+      "CREATE OR REPLACE TABLE ct.t.c4 USING `graft-versioned` AS " +
+        "SELECT raise_error('boom') AS x FROM range(1)"))
+    assert(spark.table("ct.t.c4").count() === 0L)
+    assert(graft.operators.Versioned.versions(root) === Seq(0L, 1L, 2L))
+    assert(spark.table("ct.t.c4").schema.fieldNames.toSeq === Seq("id", "note"))
+  }
+
   test("DEFAULT values fill omitted columns and the DEFAULT keyword") {
     cat()
     spark.sql("DROP TABLE IF EXISTS ct.t.c3")
