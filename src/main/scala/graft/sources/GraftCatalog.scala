@@ -435,6 +435,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case Some(true) if !exists => throw new NoSuchTableException(ident)
       case _ => ()
     }
+    // REPLACE is snapshot destruction — an appendOnly table's audit
+    // contract refuses it exactly like INSERT OVERWRITE/TRUNCATE (the
+    // query-less REPLACE path commits outside the write builder, so
+    // the guard must live here)
+    if (exists && (Versioned.writerFeatures(tablePath(ident).toString)
+          .contains("append-only") ||
+        readProps(ident).get("appendOnly").exists(_.trim.toBoolean)))
+      throw new UnsupportedOperationException(
+        s"graft catalog: CREATE OR REPLACE of ${ident} refused — the " +
+          "table is appendOnly (INSERT/append commits only); unset the " +
+          "appendOnly property and drop the 'append-only' writer " +
+          "feature to replace it")
     val (schema, specs) = columnContract(info.columns())
     GroupParquetIo.writeMessageType(schema) // DDL-time type check
     new GraftStagedTable(ident, schema, specs, info.partitions(),

@@ -78,6 +78,24 @@ class CtasSpec extends AnyFunSuite with SparkSpec {
     assert(spark.table("ct.t.c4").schema.fieldNames.toSeq === Seq("id", "note"))
   }
 
+  test("staged REPLACE refuses an appendOnly table (the audit contract)") {
+    cat()
+    spark.sql("DROP TABLE IF EXISTS ct.t.c6")
+    spark.sql("CREATE TABLE ct.t.c6 (id BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('appendOnly'='true')")
+    spark.sql("INSERT INTO ct.t.c6 VALUES (1), (2)")
+    def chain(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "||" + chain(x.getCause)
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE OR REPLACE TABLE ct.t.c6 (id BIGINT) USING `graft-versioned`"))
+    assert(chain(e1).contains("appendOnly"), chain(e1))
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE OR REPLACE TABLE ct.t.c6 USING `graft-versioned` AS " +
+        "SELECT id FROM range(1)"))
+    assert(chain(e2).contains("appendOnly"), chain(e2))
+    assert(spark.table("ct.t.c6").count() === 2L, "content untouched")
+  }
+
   test("DEFAULT values fill omitted columns and the DEFAULT keyword") {
     cat()
     spark.sql("DROP TABLE IF EXISTS ct.t.c3")
