@@ -593,6 +593,36 @@ object VersionedGate {
             |ORDER BY doc_id""".stripMargin)
   }
 
+  /** q182: ATOMIC CTAS + REPLACE-preserving-history (Delta's REPLACE
+    * semantics through StagingTableCatalog) — the table is created AS
+    * SELECT, tagged, REPLACED AS SELECT with a different schema and
+    * slice, and the gate emits BOTH the post-replace content and the
+    * pre-replace snapshot read through the new contract (id survives,
+    * the replaced-away column null-fills) — time travel across a
+    * REPLACE is the history-preservation proof, and the oracle
+    * re-derives every row from the two SELECT predicates alone. */
+  def q182ReplaceHistory(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs182")
+    Tables.documents(s, dir).createOrReplaceTempView("q182_docs_src")
+    s.sql("CREATE TABLE graft.gate.docs182 USING `graft-versioned` AS " +
+      "SELECT doc_id, n_chars FROM q182_docs_src WHERE doc_id % 4 = 0")
+    s.sql("CALL graft.sys.tag(table => 'gate.docs182', name => 'pre')")
+    s.sql("CREATE OR REPLACE TABLE graft.gate.docs182 " +
+      "USING `graft-versioned` AS " +
+      "SELECT doc_id, lang FROM q182_docs_src WHERE doc_id % 4 = 1")
+    val root = scratchBase.resolve("catalog").resolve("gate")
+      .resolve("docs182").toString
+    require(Versioned.versions(root) == Seq(0L, 1L),
+      "q182: REPLACE must land as one commit on the same root " +
+        s"(got versions ${Versioned.versions(root).mkString(", ")})")
+    s.sql("""SELECT 'cur' AS snap, doc_id, lang FROM graft.gate.docs182
+            |UNION ALL
+            |SELECT 'pre', doc_id, lang
+            |FROM graft.gate.docs182 VERSION AS OF 'pre'
+            |ORDER BY snap, doc_id""".stripMargin)
+  }
+
   /** q173: APPEND-ONLY TABLES (Delta's `delta.appendOnly` + the
     * `append-only` writer-feature flag) — the audit-log contract:
     * history is evidence, so the table accepts INSERT commits only and
@@ -1595,6 +1625,7 @@ object VersionedGate {
     "q179_type_widening" -> (q179TypeWidening _),
     "q180_generated_identity" -> (q180GeneratedIdentity _),
     "q181_default_values" -> (q181DefaultValues _),
+    "q182_replace_history" -> (q182ReplaceHistory _),
     "q171_corpus_release" -> (q171CorpusRelease _),
     "q172_manifest_export" -> (q172ManifestExport _),
     "q173_append_only" -> (q173AppendOnly _),
@@ -1971,6 +2002,14 @@ object VersionedGate {
         |  cast(n_chars * 1000 + doc_id % 10 as bigint) AS n_kilo,
         |  'd' || cast(doc_id % 5 as varchar) AS tag
         |FROM base ORDER BY doc_id""".stripMargin,
+    // q182: the post-replace content plus the pre-replace snapshot
+    // read through the NEW contract (lang null-fills on pre files)
+    "q182_replace_history" ->
+      """SELECT 'cur' AS snap, doc_id, lang FROM documents
+        |WHERE doc_id % 4 = 1
+        |UNION ALL
+        |SELECT 'pre', doc_id, NULL FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY snap, doc_id""".stripMargin,
     // q181: defaults re-derived from the insert predicates alone
     "q181_default_values" ->
       """SELECT doc_id, 'new' AS status, cast(100 as bigint) AS boost
