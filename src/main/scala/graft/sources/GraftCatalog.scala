@@ -76,6 +76,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private val ColMapManifest = "_graft_colmap"
   private val NsMarker = "_graft_namespace"
 
+  /** Every manifest publication is staged-write + atomic rename: a
+    * concurrent reader sees the old contract or the new one, never a
+    * missing or half-written manifest. */
+  private def atomicWrite(p: Path, bytes: Array[Byte]): Unit = {
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp-" +
+      java.util.UUID.randomUUID.toString.take(8))
+    Files.write(tmp, bytes)
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** COLUMN MAPPING manifest: `m<TAB>logical<TAB>physical` per live
     * column plus `r<TAB>physical` per retired (dropped) physical name.
     * Files always store PHYSICAL names (fixed at column birth), so
@@ -101,7 +112,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def writeColMap(ident: Identifier, map: Map[String, String],
                           retired: Set[String]): Unit =
-    Files.write(tablePath(ident).resolve(ColMapManifest),
+    atomicWrite(tablePath(ident).resolve(ColMapManifest),
       (map.toSeq.sortBy(_._1).map { case (l, p) => s"m\t$l\t$p" } ++
         retired.toSeq.sorted.map(p => s"r\t$p"))
         .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -131,7 +142,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                                cs: Seq[(String, String)]): Unit = {
     val p = tablePath(ident).resolve(ConstraintsManifest)
     if (cs.isEmpty) Files.deleteIfExists(p)
-    else Files.write(p, cs.map { case (n, sql) => s"$n\t$sql" }
+    else atomicWrite(p, cs.map { case (n, sql) => s"$n\t$sql" }
       .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
@@ -337,13 +348,64 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     private val root = tablePath(ident)
     Files.createDirectories(root)
     private val versionBefore = Versioned.latestVersion(root.toString)
-    // the OLD auto-column contract must not bind the staged write (its
-    // columns may not exist in the replacement) — set it aside, restore
-    // on abort
-    private val oldAuto: Option[Array[Byte]] = {
-      val m = root.resolve(AutoColumns.ManifestFile)
-      if (!Files.exists(m)) None
-      else { val b = Files.readAllBytes(m); Files.delete(m); Some(b) }
+
+    // COLUMN IDENTITY ACROSS REPLACE: a surviving logical name keeps
+    // its physical birth name when its type is unchanged (or legally
+    // widened), so time travel to pre-replace snapshots keeps surfacing
+    // the data the old files DO carry (the documented REPLACE contract
+    // null-fills only columns a file never had). A dropped or
+    // incompatibly-retyped logical retires its physical name — a later
+    // column of the same logical name can never rebind the old bytes.
+    private val hadOldColMap = existedBefore && readColMap(ident).isDefined
+    private val (stagedColMap, stagedRetired, carriedWidening):
+        (Map[String, String], Set[String], Boolean) =
+      if (!existedBefore)
+        (declared.fieldNames.map(n => n -> n).toMap, Set.empty, false)
+      else {
+        val old = DataType.fromJson(new String(
+          Files.readAllBytes(manifestOf(ident)),
+          java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+        val (oldMap, oldRetired) = colMapState(ident, old)
+        def carryable(was: DataType, now: DataType): Boolean =
+          was == now || ((was, now) match {
+            case (IntegerType, LongType) => true
+            case (FloatType, DoubleType) => true
+            case _ => false
+          })
+        val carried: Map[String, String] = declared.fields.flatMap { f =>
+          old.fields.find(_.name == f.name).collect {
+            case o if carryable(o.dataType, f.dataType) =>
+              f.name -> oldMap(o.name)
+          }
+        }.toMap
+        val widening = declared.fields.exists { f =>
+          carried.contains(f.name) &&
+            old.fields.find(_.name == f.name).exists(_.dataType != f.dataType)
+        }
+        val droppedPhys = old.fieldNames
+          .filterNot(carried.contains).map(oldMap(_)).toSet
+        var used = carried.values.toSet ++ oldRetired ++ droppedPhys
+        val full = declared.fieldNames.map { n =>
+          carried.get(n) match {
+            case Some(p) => n -> p
+            case None =>
+              val p = if (!used(n)) n
+                else s"${n}_${java.util.UUID.randomUUID.toString.take(8)}"
+              used += p
+              n -> p
+          }
+        }.toMap
+        (full, oldRetired ++ droppedPhys, widening)
+      }
+
+    // the NEW contract's auto specs bind the staged write (identity
+    // seeded at its declared start — a REPLACE is a fresh id space);
+    // the on-disk manifest still holds the OLD contract and keeps
+    // binding concurrent writes until commitStagedChanges swaps it —
+    // a crash mid-CTAS leaves the live table's contract untouched
+    private val stagedSpecs: Seq[AutoColumns.Spec] = specs.map {
+      case i: AutoColumns.Identity => i.copy(hwm = Some(i.start))
+      case s => s
     }
 
     // the staged write behaves exactly like a write to the final table:
@@ -354,7 +416,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "changeFeedKeys", "deletionVectors", "autoMerge",
         graft.operators.BloomSidecar.PropKey)
       layout.flatMap(k => Option(properties.get(k)).map(k -> _)).toMap ++
-        Map("path" -> root.toString, "graftCatalogManaged" -> "true")
+        Map("path" -> root.toString, "graftCatalogManaged" -> "true",
+          "stagedAutoSpecs" -> AutoColumns.serialize(stagedSpecs),
+          "colmap" -> GraftVersionedTable.serializeColMap(stagedColMap))
     }
     private val inner = new GraftVersionedTable(declared,
       new CaseInsensitiveStringMap(stagedOpts.asJava))
@@ -384,35 +448,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           Versioned.latestVersion(root.toString) == versionBefore) {
         val staging = Files.createTempDirectory(root, "_staging_replace_")
         GroupParquetWriterFactory(
-          GraftVersionedTable.physicalSchema(declared, Map.empty),
+          GraftVersionedTable.physicalSchema(declared, stagedColMap),
           staging.toString).emptyFile("part-empty.parquet")
         VersionedWriteIo.commitStaged(root.toString, staging,
-          GraftVersionedTable.physicalSchema(declared, Map.empty),
+          GraftVersionedTable.physicalSchema(declared, stagedColMap),
           appendPrev = false,
           stamp = VersionedWriteIo.stampValue(None), epochTag = None)
       }
-      // publish the new contract: the manifest write IS table
-      // existence/replacement. Stale per-table manifests of the old
-      // contract go first (constraints/colmap/props belong to the
-      // replaced schema).
-      Seq(SchemaManifest, PropsManifest, ConstraintsManifest, ColMapManifest)
-        .foreach(m => Files.deleteIfExists(root.resolve(m)))
-      createTable(ident, declared, partitions, properties)
+      // publish the new contract — every manifest lands via staged
+      // write + atomic rename (publishTableContract), so a concurrent
+      // reader never sees a window where the table has no schema.
+      // Old-contract constraints are stale (they bound the replaced
+      // schema); the colmap CARRIES FORWARD surviving bindings and
+      // retires the rest, so pre-replace snapshots keep reading their
+      // renamed columns' data.
+      Files.deleteIfExists(root.resolve(ConstraintsManifest))
+      publishTableContract(ident, declared, properties)
+      if (hadOldColMap || stagedRetired.nonEmpty ||
+          stagedColMap.exists { case (l, p) => l != p }) {
+        Versioned.requireReaderFeature(root, "column-mapping")
+        Versioned.requireWriterFeature(root, "column-mapping")
+        writeColMap(ident, stagedColMap, stagedRetired)
+      } else Files.deleteIfExists(root.resolve(ColMapManifest))
+      if (carriedWidening) {
+        // a carried column whose declared type widened: pre-replace
+        // files keep the narrow primitive, readers widen on scan
+        Versioned.requireReaderFeature(root, "type-widening")
+        Versioned.requireWriterFeature(root, "type-widening")
+      }
       if (specs.nonEmpty) AutoColumns.write(root, specs)
+      else Files.deleteIfExists(root.resolve(AutoColumns.ManifestFile))
     }
 
     override def abortStagedChanges(): Unit = {
       if (!existedBefore) Versioned.deleteRecursively(root)
       else {
-        // drop any staged data commit; restore the set-aside auto
-        // contract
+        // drop any staged data commit — the live manifests (schema,
+        // auto columns, colmap, constraints) were never touched
         var cur = Versioned.latestVersion(root.toString)
         while (cur != versionBefore && cur.isDefined) {
           Versioned.rollback(root.toString)
           cur = Versioned.latestVersion(root.toString)
         }
-        oldAuto.foreach(b =>
-          Files.write(root.resolve(AutoColumns.ManifestFile), b))
       }
     }
   }
@@ -477,13 +554,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!namespaceExists(ident.namespace))
       throw new NoSuchNamespaceException(ident.namespace)
     if (Files.exists(manifestOf(ident))) throw new TableAlreadyExistsException(ident)
+    publishTableContract(ident, schema, properties)
+    loadTable(ident)
+  }
+
+  /** Validate + publish a table's schema/layout contract: validations
+    * run FIRST (a failed DDL never leaves a half-created table), then
+    * each manifest lands via atomic rename — REPLACE-safe by
+    * construction (a concurrent reader sees the old contract or the
+    * new one, never a missing manifest). Shared by CREATE and staged
+    * CTAS/RTAS commit. */
+  private def publishTableContract(ident: Identifier, schema: StructType,
+                                   properties: util.Map[String, String]): Unit = {
     GroupParquetIo.writeMessageType(schema) // DDL-time type check, fail loud
-    Files.createDirectories(tablePath(ident))
-    Files.write(manifestOf(ident),
-      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // persist the layout contract (TBLPROPERTIES: clusterBy,
-    // writePartitions, targetFileBytes); validate clusterBy columns at
-    // DDL time, not first insert
+    // validate the layout contract (TBLPROPERTIES: clusterBy,
+    // writePartitions, targetFileBytes) at DDL time, not first insert
     Option(properties.get("clusterBy")).filter(_.nonEmpty).foreach { cb =>
       cb.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
         require(schema.fieldNames.contains(c),
@@ -500,20 +585,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     Option(properties.get(graft.operators.BloomSidecar.PropKey))
       .filter(_.nonEmpty).foreach(validateBloomCols(_, schema))
+    Files.createDirectories(tablePath(ident))
+    atomicWrite(manifestOf(ident),
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val layoutProps =
       Seq("clusterBy", "writePartitions", "targetFileBytes", "changeFeedKeys",
         "deletionVectors", "appendOnly", "autoMerge",
         graft.operators.BloomSidecar.PropKey)
         .flatMap(k => Option(properties.get(k)).filter(_.nonEmpty).map(v => s"$k=$v"))
     if (layoutProps.nonEmpty)
-      Files.write(tablePath(ident).resolve(PropsManifest),
+      atomicWrite(tablePath(ident).resolve(PropsManifest),
         layoutProps.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    else Files.deleteIfExists(tablePath(ident).resolve(PropsManifest))
     // the append-only promise binds every FUTURE writer of the table —
     // protocol-flag it at birth (Delta's delta.appendOnly + the
     // appendOnly writer feature)
     if (Option(properties.get("appendOnly")).exists(_.trim.toBoolean))
       Versioned.requireWriterFeature(tablePath(ident), "append-only")
-    loadTable(ident)
   }
 
   /** Schema evolution, Delta-style: `ALTER TABLE … ADD COLUMN(S)`
@@ -769,7 +857,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def writeProps(ident: Identifier, props: Map[String, String]): Unit = {
     val p = tablePath(ident).resolve(PropsManifest)
     if (props.isEmpty) Files.deleteIfExists(p)
-    else Files.write(p, props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+    else atomicWrite(p, props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
       .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
@@ -1128,9 +1216,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val (srcColMap, srcRetired) = colMapState(srcIdent, curSchema)
           val pinnedKeep: Option[Set[String]] = srcV.map { v =>
             // physical columns the pinned snapshot's files carry — the
-            // reconstruction source for the as-of contract
-            val phys = SparkSession.active.read
-              .parquet(s"${root(src)}/v=$v").schema.fieldNames.toSet
+            // reconstruction source for the as-of contract. UNIONED
+            // across EVERY data file's footer: a snapshot dir holds
+            // heterogeneous footers (pre-ADD-COLUMN files are carried
+            // forward beside post-ADD files), and sampling one footer
+            // would nondeterministically drop a column whose data the
+            // newer files actually carry.
+            val vdir = Paths.get(root(src), s"v=$v")
+            val phys = GroupParquetIo
+              .readFooters(Versioned.dataFiles(vdir))
+              .flatMap(_.schema.getFields.asScala.map(_.getName)).toSet
             curSchema.fieldNames.filter(l =>
               phys.contains(srcColMap.getOrElse(l, l))).toSet
           }

@@ -845,23 +845,40 @@ private[sources] class GraftDeltaWriteBuilder(
     val feedKeys = Option(tableOptions.get("changeFeedKeys"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    // idempotent application transactions for SQL row-level verbs
+    // (Delta's txnAppId/txnVersion): session conf is the only channel
+    // a MERGE/UPDATE/DELETE statement has — the foreachBatch
+    // exactly-once primitive for merge-on-read folds
+    val txn: Option[(String, Long)] = {
+      val app = Option(tableOptions.get("txnAppId"))
+        .orElse(VersionedWriteIo.sessionConf("graft.versioned.txnAppId"))
+        .map(_.trim).filter(_.nonEmpty)
+      val ver = Option(tableOptions.get("txnVersion"))
+        .orElse(VersionedWriteIo.sessionConf("graft.versioned.txnVersion"))
+      require(app.isDefined == ver.isDefined,
+        "graft-versioned: txnAppId and txnVersion come as a pair — " +
+          s"got txnAppId=${app.getOrElse("<unset>")}, " +
+          s"txnVersion=${ver.getOrElse("<unset>")}")
+      app.map(a => (a, ver.get.trim.toLong))
+    }
     new GraftDeltaWrite(root, info.schema(), colMap,
       Option(tableOptions.get("commitTs")).map(_.toLong),
-      info.queryId(), feedKeys, op)
+      info.queryId(), feedKeys, op, txn)
   }
 }
 
 private[sources] class GraftDeltaWrite(
     root: String, dataSchema: StructType, colMap: Map[String, String],
     commitTs: Option[Long], queryId: String, feedKeys: Seq[String],
-    op: GraftDeltaOperation) extends DeltaWrite {
+    op: GraftDeltaOperation, txn: Option[(String, Long)] = None)
+  extends DeltaWrite {
 
   override def description(): String =
     s"GraftDeltaWrite merge-on-read `$root` (scanned v=${op.scannedVersion})"
 
   override def toBatch: DeltaBatchWrite =
     new GraftDeltaBatchWrite(root, dataSchema, colMap, commitTs, queryId,
-      feedKeys, op)
+      feedKeys, op, txn)
 }
 
 /** One staged message per task: the insert part file it cut (if any
@@ -876,7 +893,8 @@ private[sources] case class StagedDeltaMessage(
 private[sources] class GraftDeltaBatchWrite(
     root: String, dataSchema: StructType, colMap: Map[String, String],
     commitTs: Option[Long], queryId: String, feedKeys: Seq[String],
-    op: GraftDeltaOperation) extends DeltaBatchWrite {
+    op: GraftDeltaOperation, txn: Option[(String, Long)] = None)
+  extends DeltaBatchWrite {
 
   private val staged = java.nio.file.Paths.get(
     root, s"_staging_delta_${queryId}_${java.util.UUID.randomUUID.toString.take(8)}")
@@ -888,6 +906,22 @@ private[sources] class GraftDeltaBatchWrite(
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // idempotent transaction replay (the foreachBatch exactly-once
+    // primitive, extended to merge-on-read): a (txnAppId, txnVersion)
+    // the table has already recorded drops its staged delta and
+    // commits NOTHING — a replayed MERGE after a crash recomputes
+    // against already-updated state, and its delta must not re-apply.
+    // The marker rides the same atomic rename as the DV sidecars.
+    txn match {
+      case Some((app, ver)) if VersionedWriteIo.txnCommitted(root, app, ver) =>
+        Versioned.deleteRecursively(staged)
+        return
+      case Some((app, ver)) =>
+        java.nio.file.Files.createDirectories(staged)
+        java.nio.file.Files.write(staged.resolve("_graft_txn"),
+          s"$app\t$ver".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case None => ()
+    }
     // drop leftovers of speculative/failed attempts: only files named
     // in a commit message survive (inserts AND fragments)
     val keepInserts = messages.collect {
@@ -3083,8 +3117,14 @@ private[sources] class GraftVersionedWriteBuilder(
     // writer per appId (like Delta): the check-then-commit pair is not
     // atomic across two simultaneous drivers of the SAME app.
     val txn: Option[(String, Long)] = {
-      val app = opt("txnAppId").map(_.trim).filter(_.nonEmpty)
+      // session conf covers SQL verbs that take no write options
+      // (MERGE/UPDATE/DELETE inside a foreachBatch fold) — the same
+      // door commitMessage uses
+      val app = opt("txnAppId")
+        .orElse(VersionedWriteIo.sessionConf("graft.versioned.txnAppId"))
+        .map(_.trim).filter(_.nonEmpty)
       val ver = opt("txnVersion")
+        .orElse(VersionedWriteIo.sessionConf("graft.versioned.txnVersion"))
       require(app.isDefined == ver.isDefined,
         "graft-versioned: txnAppId and txnVersion come as a pair — " +
           s"got txnAppId=${app.getOrElse("<unset>")}, " +
@@ -3106,10 +3146,17 @@ private[sources] class GraftVersionedWriteBuilder(
           .get("graft.versioned.commitMessage", "")).map(_.trim)
         .filter(_.nonEmpty))
     // GENERATED/IDENTITY columns: resolve the fill plan driver-side
-    // (bind expressions to the write schema; ONE stats-answered
-    // aggregate for the identity high-water mark) and hand it to the
-    // batch write — each writer task fills rows locally.
-    val autoSpecs = AutoColumns.read(root)
+    // (bind expressions to the write schema; the persisted manifest
+    // high-water mark for identity) and hand it to the batch write —
+    // each writer task fills rows locally. A STAGED CTAS/RTAS write
+    // carries its own (new-contract) specs as an option: the live
+    // manifest on disk still holds the OLD contract until
+    // commitStagedChanges publishes the replacement, and it must keep
+    // binding concurrent writes — not this staged one.
+    val autoSpecs = opt("stagedAutoSpecs") match {
+      case Some(s) => AutoColumns.parse(s)
+      case None => AutoColumns.read(root)
+    }
     val autoFill =
       if (autoSpecs.isEmpty) None
       else Some(AutoColumns.resolveFill(SparkSession.active, root,
@@ -3204,7 +3251,7 @@ private[sources] class GraftBatchWrite(
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    VersionedWriteIo.keepOnly(staged, messages)
+    VersionedWriteIo.keepOnly(staged, AutoFillCommitMessage.unwrap(messages))
     // idempotent transaction replay: a (txnAppId, txnVersion) the table
     // has already recorded (at or past this version) drops its staged
     // files and commits NOTHING — same discipline as a replayed
@@ -3248,6 +3295,13 @@ private[sources] class GraftBatchWrite(
           appendPrev = !replace, stamp = VersionedWriteIo.stampValue(commitTs),
           epochTag = None)
     }
+    // persist the identity high-water mark implied by this commit's
+    // assignments (monotone advance, atomic manifest swap): the next
+    // writer resolves it O(1) from the manifest — no scan even under
+    // deletion vectors, and deleting the max-id rows can never reissue
+    // their ids
+    autoFill.foreach(f => AutoColumns.advanceHwm(root,
+      AutoFillCommitMessage.nextBases(f, messages)))
     // a changeFeedKeys table derives + stores this commit's feed (CDF):
     // INSERT/UPDATE/MERGE/DELETE all feed the streaming change source
     if (feedKeys.nonEmpty)
@@ -3322,6 +3376,12 @@ private[sources] case class StagedFilesMessage(files: Seq[String])
 private[graft] object VersionedWriteIo {
 
   import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+  /** A non-empty session conf value — the option channel for SQL verbs
+    * that take no write options (commitMessage, txnAppId/txnVersion). */
+  def sessionConf(key: String): Option[String] =
+    Option(SparkSession.active.conf.get(key, ""))
+      .map(_.trim).filter(_.nonEmpty)
 
   /** Per-commit free-form message (Delta's userMetadata) — written
     * into the staging dir so it publishes atomically with the data;

@@ -78,6 +78,66 @@ class CtasSpec extends AnyFunSuite with SparkSpec {
     assert(spark.table("ct.t.c4").schema.fieldNames.toSeq === Seq("id", "note"))
   }
 
+  test("RTAS carries renamed columns' bindings into pre-replace time travel") {
+    cat()
+    spark.sql("DROP TABLE IF EXISTS ct.t.c7")
+    spark.sql("CREATE TABLE ct.t.c7 (id BIGINT, price BIGINT) " +
+      "USING `graft-versioned`")
+    spark.sql("INSERT INTO ct.t.c7 VALUES (1, 100), (2, 200)")
+    // metadata-only rename: files keep physical birth name 'price'
+    spark.sql("ALTER TABLE ct.t.c7 RENAME COLUMN price TO cost")
+    spark.sql("CREATE OR REPLACE TABLE ct.t.c7 USING `graft-versioned` AS " +
+      "SELECT CAST(5 AS BIGINT) AS id, CAST(500 AS BIGINT) AS cost, " +
+      "'n' AS note")
+    // current content is the replacement
+    val cur = spark.sql("SELECT id, cost, note FROM ct.t.c7").collect()
+    assert(cur.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      === Seq((5L, 500L, "n")))
+    // pre-replace snapshot through the NEW contract: `cost` SURFACES
+    // its data (the old files DO carry it, under physical 'price' —
+    // the REPLACE must not sever the binding); `note` null-fills
+    // (those files never had it)
+    val v0 = spark.sql(
+      "SELECT id, cost, note FROM ct.t.c7 VERSION AS OF 0 ORDER BY id")
+      .collect()
+    assert(v0.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 100L), (2L, 200L)),
+      "renamed column's pre-replace data must survive the REPLACE")
+    assert(v0.forall(_.isNullAt(2)), "never-present column null-fills")
+  }
+
+  test("aborted RTAS leaves the GENERATED/IDENTITY contract binding") {
+    cat()
+    spark.sql("DROP TABLE IF EXISTS ct.t.c8")
+    spark.sql("CREATE TABLE ct.t.c8 (x BIGINT, " +
+      "y BIGINT GENERATED ALWAYS AS (x * 2)) USING `graft-versioned`")
+    spark.sql("INSERT INTO ct.t.c8 (x) VALUES (1)")
+    // the failing staged REPLACE must not strip the generation
+    // manifest — it stays in place during staging (a crash between
+    // stage and commit, where abort never runs, must also keep it)
+    intercept[Exception](spark.sql(
+      "CREATE OR REPLACE TABLE ct.t.c8 USING `graft-versioned` AS " +
+        "SELECT raise_error('boom') AS x FROM range(1)"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$warehouse/t/c8/_graft_generated")),
+      "generation manifest survives an aborted staged REPLACE")
+    spark.sql("INSERT INTO ct.t.c8 (x) VALUES (5)")
+    assert(spark.sql("SELECT y FROM ct.t.c8 WHERE x = 5")
+      .collect()(0).getLong(0) === 10L, "generation still computes")
+    def chain(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "||" + chain(x.getCause)
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO ct.t.c8 VALUES (7, 0)"))
+    assert(chain(e).contains("GENERATED ALWAYS"), chain(e))
+    // a COMMITTED replace without auto columns clears the contract
+    spark.sql("CREATE OR REPLACE TABLE ct.t.c8 USING `graft-versioned` AS " +
+      "SELECT CAST(1 AS BIGINT) AS x, CAST(0 AS BIGINT) AS y")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$warehouse/t/c8/_graft_generated")))
+    spark.sql("INSERT INTO ct.t.c8 VALUES (7, 0)") // no enforcement left
+    assert(spark.table("ct.t.c8").count() === 2L)
+  }
+
   test("staged REPLACE refuses an appendOnly table (the audit contract)") {
     cat()
     spark.sql("DROP TABLE IF EXISTS ct.t.c6")

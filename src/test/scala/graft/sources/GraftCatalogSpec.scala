@@ -534,6 +534,29 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
       Seq("id", "v", "note"))
   }
 
+  test("sys.clone(ref) pin unions ALL footers of a heterogeneous snapshot") {
+    sql("DROP TABLE IF EXISTS gtest.ns.hsrc")
+    sql("DROP TABLE IF EXISTS gtest.ns.hdst")
+    sql("CREATE TABLE gtest.ns.hsrc (id BIGINT, v BIGINT) USING `graft-versioned`")
+    sql("INSERT INTO gtest.ns.hsrc SELECT id, id FROM range(0, 30)")
+    sql("ALTER TABLE gtest.ns.hsrc ADD COLUMN note STRING")
+    // v=1 now holds HETEROGENEOUS footers: the carried-forward v=0
+    // files lack `note`, this insert's files carry it — the pin must
+    // union the footers, not sample one (a single pre-ADD footer would
+    // silently drop a column whose data the snapshot really carries)
+    sql("INSERT INTO gtest.ns.hsrc SELECT id, id, 'late' FROM range(100, 120)")
+    sql("CALL gtest.sys.tag(table => 'ns.hsrc', name => 'mixed', version => 1)")
+    sql("CALL gtest.sys.clone(source => 'ns.hsrc', " +
+      "target => 'ns.hdst', ref => 'mixed')")
+    assert(spark.table("gtest.ns.hdst").schema.fieldNames.toSeq ===
+      Seq("id", "v", "note"))
+    // the carried data is really there: old rows null-fill, new carry it
+    assert(sql("SELECT count(*) FROM gtest.ns.hdst WHERE note = 'late'")
+      .collect()(0).getLong(0) === 20L)
+    assert(sql("SELECT count(*) FROM gtest.ns.hdst WHERE note IS NULL")
+      .collect()(0).getLong(0) === 30L)
+  }
+
   test("fail-loud: unknown procedure, missing table argument") {
     val unknown = intercept[Exception] {
       sql("CALL gtest.sys.optimize(table => 'ns.t1')")
