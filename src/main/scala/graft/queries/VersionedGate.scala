@@ -472,6 +472,125 @@ object VersionedGate {
       .orderBy("grp")
   }
 
+  /** q183: CONTINUOUS IVM, O(changed groups) — q178's standing stream
+    * re-plumbed as a MERGE INTO a merge-on-read state TABLE
+    * ([[graft.operators.Ivm.continuousAggMaintenanceMerge]]): per
+    * micro-batch only the changed groups' rows move (deletion-vector
+    * positions plus one small insert file) and every state data file
+    * HARD-LINKS through — where the q178 fold reads AND rewrites the
+    * whole materialized view per trigger (full-table rewrite
+    * amplification at a 10⁸-group MV). The gate runs q178's exact
+    * drain + checkpoint-resume discipline, then lands a ONE-GROUP
+    * final batch and require()s the O(changed groups) shape commit by
+    * commit: every prior data file carries with the SAME INODE (a
+    * hard link, not a rewrite) and each state commit inserts at most
+    * the changed-group count of rows. Shares q170/q178's oracle
+    * verbatim — exactly-once through replay, slicing and resume. */
+  def q183MergeIvm(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs183")
+    s.sql("DROP TABLE IF EXISTS graft.gate.state183")
+    s.sql("CREATE TABLE graft.gate.docs183 " +
+      "(doc_id BIGINT, grp BIGINT, chars BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('changeFeedKeys'='doc_id')")
+    Tables.documents(s, dir).createOrReplaceTempView("q183_docs_src")
+    s.sql("INSERT INTO graft.gate.docs183 " +
+      "SELECT doc_id, doc_id % 7, n_chars FROM q183_docs_src " +
+      "WHERE doc_id % 2 = 0")                                          // v=0
+    // the state table: merge-on-read + clustered on the group key, so
+    // the MERGE probe prunes to the changed groups' files and commits
+    // touch only their sidecars
+    s.sql("CREATE TABLE graft.gate.state183 " +
+      "(grp BIGINT, n BIGINT, sum_chars BIGINT) USING `graft-versioned` " +
+      "TBLPROPERTIES ('deletionVectors'='true', 'clusterBy'='grp', " +
+      "'writePartitions'='4')")
+    s.sql("INSERT INTO graft.gate.state183 " +
+      "SELECT grp, count(*) AS n, sum(chars) AS sum_chars " +
+      "FROM graft.gate.docs183 VERSION AS OF 0 GROUP BY grp")
+    s.sql("UPDATE graft.gate.docs183 SET chars = chars + 10 " +
+      "WHERE doc_id % 10 = 0")                                         // v=1
+    s.sql("DELETE FROM graft.gate.docs183 WHERE chars < 400")          // v=2
+    val root = scratchBase.resolve("catalog").resolve("gate")
+      .resolve("docs183").toString
+    val stateRoot = scratchBase.resolve("catalog").resolve("gate")
+      .resolve("state183")
+    val scratch = scratchBase.resolve("q183")
+    Versioned.deleteRecursively(scratch)
+    val ckpt = scratch.resolve("ckpt").toString
+    def toDelta(feed: DataFrame): DataFrame =
+      feed.select(explode(array(
+          when(col("change_type").isin("changed", "removed"),
+            struct(col("old_grp").as("grp"), lit(-1L).as("sign"),
+              col("old_chars").as("v"))),
+          when(col("change_type").isin("changed", "added"),
+            struct(col("new_grp").as("grp"), lit(1L).as("sign"),
+              col("new_chars").as("v"))))).as("e"))
+        .filter(col("e").isNotNull)
+        .select(col("e.grp"), col("e.sign"), col("e.v"))
+    def drain(): Seq[(Long, Long)] = {
+      val q = graft.operators.Ivm.continuousAggMaintenanceMerge(s, root,
+        "graft.gate.state183", ckpt, Seq("grp"), "n", "sum_chars",
+        toDelta _, appId = "q183_ivm")
+      q.awaitTermination()
+      q.recentProgress.map(p => (p.batchId, p.numInputRows)).toSeq
+    }
+    require(drain().map(_._2).sum > 0L,
+      "q183: first drain must fold the UPDATE+DELETE feed")
+    s.sql("INSERT INTO graft.gate.docs183 " +
+      "SELECT doc_id, doc_id % 7, n_chars FROM q183_docs_src " +
+      "WHERE doc_id % 2 = 1 AND doc_id % 3 = 0")                       // v=3
+    val v3Rows = s.read.format("graft-versioned")
+      .option("changeFeed", "true").option("startingVersion", "3")
+      .load(root).count()
+    val resumed = drain()
+    require(resumed.map(_._2).sum == v3Rows,
+      s"q183: resume must drain EXACTLY the new commit's feed " +
+        s"($v3Rows rows), got batches $resumed — the checkpoint " +
+        "re-read history")
+    // ---- the O(changed groups) proof: a ONE-GROUP batch ----
+    // update one row (+1), then revert it (−1): the net fold leaves
+    // the oracle-checked state VALUES untouched, but the commits must
+    // still run the merge path — and touch only that group
+    val oneId = s.sql("SELECT max(doc_id) FROM graft.gate.docs183")
+      .collect()(0).getLong(0)
+    val vBefore = Versioned.latestVersion(stateRoot.toString).getOrElse(
+      throw new IllegalStateException("q183: state has no versions"))
+    s.sql(s"UPDATE graft.gate.docs183 SET chars = chars + 1 " +
+      s"WHERE doc_id = $oneId")                                        // v=4
+    s.sql(s"UPDATE graft.gate.docs183 SET chars = chars - 1 " +
+      s"WHERE doc_id = $oneId")                                        // v=5
+    drain()
+    val vAfter = Versioned.latestVersion(stateRoot.toString).get
+    require(vAfter > vBefore,
+      "q183: the one-group batch must commit state")
+    def ino(p: java.nio.file.Path): Long = java.nio.file.Files
+      .getAttribute(p, "unix:ino").asInstanceOf[Long]
+    def filesOf(v: Long): Map[String, Long] =
+      Versioned.dataFiles(stateRoot.resolve(s"v=$v"))
+        .map(f => f.getFileName.toString -> ino(f)).toMap
+    ((vBefore + 1) to vAfter).foreach { v =>
+      val prev = filesOf(v - 1)
+      val cur = filesOf(v)
+      require(prev.keySet.subsetOf(cur.keySet),
+        s"q183: state v=$v dropped carried files — the fold rewrote " +
+          s"state (${(prev.keySet -- cur.keySet).mkString(", ")})")
+      prev.foreach { case (nm, i) =>
+        require(cur(nm) == i,
+          s"q183: state file $nm of v=$v was REWRITTEN (new inode) — " +
+            "untouched state must hard-link through, O(changed groups)")
+      }
+      val stats = graft.operators.FileStats.read(stateRoot.resolve(s"v=$v"))
+      val newRows = (cur.keySet -- prev.keySet).toSeq
+        .flatMap(stats.get(_).map(_.rows)).sum
+      require(newRows <= 1L,
+        s"q183: a one-group batch inserted $newRows state rows at " +
+          s"v=$v — the fold is not O(changed groups)")
+    }
+    s.table("graft.gate.state183")
+      .select(col("grp"), col("n"), col("sum_chars"))
+      .orderBy("grp")
+  }
+
   /** q179: TYPE WIDENING (Delta's typeWidening) — INT→BIGINT and
     * FLOAT→DOUBLE as METADATA-ONLY retypes: narrow files are written,
     * the columns are widened by ALTER TABLE (no rewrite; the
@@ -1622,6 +1741,7 @@ object VersionedGate {
     "q169_version_tags" -> (q169VersionTags _),
     "q170_ivm_from_cdf" -> (q170IvmFromCdf _),
     "q178_streaming_ivm" -> (q178StreamingIvm _),
+    "q183_merge_ivm" -> (q183MergeIvm _),
     "q179_type_widening" -> (q179TypeWidening _),
     "q180_generated_identity" -> (q180GeneratedIdentity _),
     "q181_default_values" -> (q181DefaultValues _),
@@ -1958,6 +2078,26 @@ object VersionedGate {
     // slicing, checkpoint resume and txn-idempotent state commits must
     // all be invisible in the materialized rows
     "q178_streaming_ivm" ->
+      """WITH v0 AS (
+        |  SELECT doc_id, doc_id % 7 grp, n_chars chars FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |v1 AS (
+        |  SELECT doc_id, grp,
+        |    CASE WHEN doc_id % 10 = 0 THEN chars + 10 ELSE chars END chars
+        |  FROM v0),
+        |v2 AS (SELECT * FROM v1 WHERE chars >= 400),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  UNION ALL
+        |  SELECT doc_id, doc_id % 7, n_chars FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id % 3 = 0)
+        |SELECT grp, count(*) AS n, cast(sum(chars) as bigint) AS sum_chars
+        |FROM v3 GROUP BY grp ORDER BY grp""".stripMargin,
+    // q183: the O(changed groups) MERGE fold shares the oracle
+    // verbatim — merge-on-read state, DV'd group updates, hard-linked
+    // carries, batch slicing, replay and the net-zero one-group tail
+    // batch must all be invisible in the materialized rows
+    "q183_merge_ivm" ->
       """WITH v0 AS (
         |  SELECT doc_id, doc_id % 7 grp, n_chars chars FROM documents
         |  WHERE doc_id % 2 = 0),

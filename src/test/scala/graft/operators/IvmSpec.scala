@@ -85,6 +85,88 @@ class IvmSpec extends AnyFunSuite with SparkSpec {
       Row(4L, 1L, 40L)))
   }
 
+  test("continuousAggMaintenanceMerge: O(changed groups), resume, replayed MERGE is a no-op") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivm_merge_").toString
+    val feedRoot = s"$dir/feed"
+    val ckpt = s"$dir/ckpt"
+    spark.conf.set("spark.sql.catalog.ivm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ivm.warehouse", s"$dir/wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ivm.t")
+    spark.sql("DROP TABLE IF EXISTS ivm.t.state")
+    spark.sql("CREATE TABLE ivm.t.state (k BIGINT, n BIGINT, s BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('deletionVectors'='true', " +
+      "'clusterBy'='k')")
+    val v0 = (1L to 4L).map(k => (k, k * 10L)).toDF("k", "v")
+    Versioned.writeNextWithFeed(v0, feedRoot, Seq("k"), Seq("v"))
+    v0.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .createOrReplaceTempView("ivm_seed")
+    spark.sql("INSERT INTO ivm.t.state SELECT k, n, s FROM ivm_seed")
+    // v1: k=1 updated, k=2 removed, k=5 added
+    Versioned.writeNextWithFeed(
+      Seq((1L, 100L), (3L, 30L), (4L, 40L), (5L, 50L)).toDF("k", "v"),
+      feedRoot, Seq("k"), Seq("v"))
+    def toDelta(feed: DataFrame): DataFrame =
+      feed.where(col("change_type").isin("changed", "removed"))
+        .select(col("k"), lit(-1L).as("sign"), col("old_v").as("v"))
+        .unionByName(feed.where(col("change_type").isin("changed", "added"))
+          .select(col("k"), lit(1L).as("sign"), col("new_v").as("v")))
+    def drain(): Long = {
+      val q = Ivm.continuousAggMaintenanceMerge(spark, feedRoot,
+        "ivm.t.state", ckpt, Seq("k"), "n", "s", toDelta _,
+        appId = "ivm_merge_spec")
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    assert(drain() > 0L)
+    def state(): Seq[Row] = spark.table("ivm.t.state")
+      .orderBy("k").collect().toSeq
+    assert(state() === Seq(Row(1L, 1L, 100L), Row(3L, 1L, 30L),
+      Row(4L, 1L, 40L), Row(5L, 1L, 50L)))
+    val stateRoot = s"$dir/wh/t/state"
+    // O(changed groups): the fold commit carried every seed data file
+    // as a HARD LINK (same inode) — merge-on-read, not a rewrite
+    def ino(p: java.nio.file.Path): Long = java.nio.file.Files
+      .getAttribute(p, "unix:ino").asInstanceOf[Long]
+    val vCur = Versioned.latestVersion(stateRoot).get
+    val seed = Versioned.dataFiles(
+      java.nio.file.Paths.get(stateRoot, "v=0"))
+      .map(f => f.getFileName.toString -> ino(f)).toMap
+    val cur = Versioned.dataFiles(
+      java.nio.file.Paths.get(stateRoot, s"v=$vCur"))
+      .map(f => f.getFileName.toString -> ino(f)).toMap
+    assert(seed.keySet.subsetOf(cur.keySet), "seed files must carry")
+    seed.foreach { case (nm, i) => assert(cur(nm) === i,
+      s"state file $nm must hard-link through the fold, not rewrite") }
+    // crash-replay: a MERGE re-arriving with an already-committed
+    // txnVersion must change nothing (merge-on-read exactly-once)
+    val versionsBefore = Versioned.versions(stateRoot)
+    Seq((1L, 1L, 999L)).toDF("k", "dn", "ds")
+      .createOrReplaceTempView("ivm_replay_delta")
+    spark.conf.set("graft.versioned.txnAppId", "ivm_merge_spec")
+    spark.conf.set("graft.versioned.txnVersion", "0")
+    try spark.sql("""MERGE INTO ivm.t.state t USING ivm_replay_delta d
+      ON t.k = d.k
+      WHEN MATCHED THEN UPDATE SET n = t.n + d.dn, s = t.s + d.ds""")
+    finally {
+      spark.conf.unset("graft.versioned.txnAppId")
+      spark.conf.unset("graft.versioned.txnVersion")
+    }
+    assert(Versioned.versions(stateRoot) === versionsBefore,
+      "replayed txnVersion must not commit a merge-on-read delta")
+    assert(state() === Seq(Row(1L, 1L, 100L), Row(3L, 1L, 30L),
+      Row(4L, 1L, 40L), Row(5L, 1L, 50L)))
+    // checkpoint resume: a second commit drains alone, fold continues;
+    // a zero-count group (k=5 removed) leaves the state
+    Versioned.writeNextWithFeed(
+      Seq((1L, 100L), (3L, 33L), (4L, 40L)).toDF("k", "v"),
+      feedRoot, Seq("k"), Seq("v"))
+    assert(drain() > 0L)
+    assert(state() === Seq(Row(1L, 1L, 100L), Row(3L, 1L, 33L),
+      Row(4L, 1L, 40L)))
+  }
+
   test("empty delta is the identity; empty base passes inserts through") {
     val base = Seq((1L, 1L, 10L)).toDF("k", "n", "s")
     val noDelta = Seq.empty[(Long, Long, Long)].toDF("k", "sign", "v")
