@@ -591,6 +591,54 @@ object VersionedGate {
       .orderBy("grp")
   }
 
+  /** q184: `PARTITIONED BY` DDL — the single most common clause in
+    * real lakehouse DDL, accepted for IDENTITY transforms and mapped
+    * onto the clusterBy + file-stats-skipping layout (Delta's
+    * liquid-clustering answer; the reference's own layout is
+    * partition-shaped — per-site Mongo collections,
+    * mongodb_utils.py:14-21, and dated MinIO prefixes,
+    * utils_of_backup.py:38-73). The gate require()s the WHOLE
+    * contract: SHOW TBLPROPERTIES documents the mapping
+    * (partitionedBy + derived clusterBy), every INSERT range-clusters
+    * on the partition column, and a partition-predicate scan PRUNES —
+    * the live plan's `DataFiles: kept/total` marker must drop most
+    * files, exactly what directory pruning would have bought. Rows
+    * are layout-independent: the oracle re-derives them relationally. */
+  def q184PartitionedDdl(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs184")
+    s.sql("CREATE TABLE graft.gate.docs184 " +
+      "(doc_id BIGINT, grp BIGINT, n_chars BIGINT) USING `graft-versioned` " +
+      "PARTITIONED BY (grp) TBLPROPERTIES ('writePartitions'='8')")
+    val props = s.sql("SHOW TBLPROPERTIES graft.gate.docs184").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.get("partitionedBy").contains("grp") &&
+        props.get("clusterBy").contains("grp"),
+      s"q184: SHOW TBLPROPERTIES must document the PARTITIONED BY → " +
+        s"clusterBy mapping, got $props")
+    Tables.documents(s, dir).createOrReplaceTempView("q184_docs_src")
+    s.sql("INSERT INTO graft.gate.docs184 " +
+      "SELECT doc_id, doc_id % 7, n_chars FROM q184_docs_src")
+    // partition pruning through the stats layer: the live scan's
+    // explain marker must keep only the files whose slice covers the
+    // predicate value — with 7 partition values clustered across 8
+    // files, `grp = 3` reads at most a quarter of the snapshot
+    val probe = s.sql(
+      "SELECT doc_id, n_chars FROM graft.gate.docs184 WHERE grp = 3")
+    probe.collect()
+    val desc = probe.queryExecution.executedPlan.toString
+    val m = "DataFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+    require(m.isDefined, s"q184: no DataFiles marker in scan:\n$desc")
+    val (kept, total) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    require(total >= 4,
+      s"q184: need a multi-file layout to measure pruning ($total files)")
+    require(kept <= math.max(2, total / 4),
+      s"q184: partition predicate read $kept/$total files — the " +
+        "PARTITIONED BY layout did not prune:\n" + desc)
+    s.sql("""SELECT grp, doc_id, n_chars FROM graft.gate.docs184
+             WHERE grp = 3 ORDER BY doc_id""")
+  }
+
   /** q179: TYPE WIDENING (Delta's typeWidening) — INT→BIGINT and
     * FLOAT→DOUBLE as METADATA-ONLY retypes: narrow files are written,
     * the columns are widened by ALTER TABLE (no rewrite; the
@@ -1742,6 +1790,7 @@ object VersionedGate {
     "q170_ivm_from_cdf" -> (q170IvmFromCdf _),
     "q178_streaming_ivm" -> (q178StreamingIvm _),
     "q183_merge_ivm" -> (q183MergeIvm _),
+    "q184_partitioned_ddl" -> (q184PartitionedDdl _),
     "q179_type_widening" -> (q179TypeWidening _),
     "q180_generated_identity" -> (q180GeneratedIdentity _),
     "q181_default_values" -> (q181DefaultValues _),
@@ -2113,6 +2162,12 @@ object VersionedGate {
         |  WHERE doc_id % 2 = 1 AND doc_id % 3 = 0)
         |SELECT grp, count(*) AS n, cast(sum(chars) as bigint) AS sum_chars
         |FROM v3 GROUP BY grp ORDER BY grp""".stripMargin,
+    // q184: partition-predicate rows are layout-independent — pruning
+    // (require()d in-gate via the DataFiles marker) never changes them
+    "q184_partitioned_ddl" ->
+      """SELECT CAST(doc_id % 7 AS BIGINT) AS grp, doc_id, n_chars
+        |FROM documents WHERE doc_id % 7 = 3
+        |ORDER BY doc_id""".stripMargin,
     // q179: the mixed-file widened table re-derived from the
     // predicates — arm A narrow files (+1 where the UPDATE hit),
     // arm B wide appends, the n >= 50 filter over both

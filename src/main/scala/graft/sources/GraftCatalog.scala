@@ -48,9 +48,11 @@ import graft.operators.Versioned
   * Schema evolution is metadata-only ([[alterTable]]): `ADD COLUMN`
   * appends a nullable column (pre-evolution files null-fill on read),
   * and layout TBLPROPERTIES / CHECK constraints can be SET/UNSET.
-  * Deliberately unsupported, loudly: partition transforms (version dirs
-  * are the layout unit — cluster with Layout.WriteSpec) and column
-  * retype (it would change the meaning of immutable history).
+  * `PARTITIONED BY` accepts IDENTITY transforms and maps them onto the
+  * clusterBy + file-stats-skipping layout ([[identityPartitionCols]]);
+  * non-identity transforms and narrowing column retypes stay loudly
+  * unsupported (a retype would change the meaning of immutable
+  * history; only the INT→BIGINT / FLOAT→DOUBLE widenings are legal).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
   with ProcedureCatalog
@@ -340,7 +342,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private class GraftStagedTable(
       ident: Identifier, declared: StructType,
-      specs: Seq[AutoColumns.Spec], partitions: Array[Transform],
+      specs: Seq[AutoColumns.Spec],
       properties: util.Map[String, String], existedBefore: Boolean)
     extends org.apache.spark.sql.connector.catalog.StagedTable
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
@@ -413,7 +415,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // commit)
     private val stagedOpts: Map[String, String] = {
       val layout = Seq("clusterBy", "writePartitions", "targetFileBytes",
-        "changeFeedKeys", "deletionVectors", "autoMerge",
+        "changeFeedKeys", "deletionVectors", "autoMerge", "partitionedBy",
         graft.operators.BloomSidecar.PropKey)
       layout.flatMap(k => Option(properties.get(k)).map(k -> _)).toMap ++
         Map("path" -> root.toString, "graftCatalogManaged" -> "true",
@@ -503,9 +505,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(info.constraints() == null || info.constraints().isEmpty,
       "graft catalog: add CHECK constraints with ALTER TABLE after " +
         "creation — inline constraint DDL is not staged")
-    require(info.partitions() == null || info.partitions().isEmpty,
-      "graft-versioned tables are unpartitioned — the version dir is " +
-        "the layout unit; cluster files with clusterBy")
     val exists = Files.exists(manifestOf(ident))
     mustExist match {
       case Some(false) if exists => throw new TableAlreadyExistsException(ident)
@@ -526,8 +525,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "feature to replace it")
     val (schema, specs) = columnContract(info.columns())
     GroupParquetIo.writeMessageType(schema) // DDL-time type check
-    new GraftStagedTable(ident, schema, specs, info.partitions(),
-      info.properties(), exists)
+    // identity PARTITIONED BY folds into the layout properties here,
+    // so the STAGED write already range-clusters on the partition cols
+    new GraftStagedTable(ident, schema, specs,
+      withPartitionLayout(info.partitions(), schema, info.properties()),
+      exists)
   }
 
   override def stageCreate(ident: Identifier,
@@ -545,16 +547,62 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       : org.apache.spark.sql.connector.catalog.StagedTable =
     stage(ident, info, mustExist = None)
 
+  /** `PARTITIONED BY (col, …)` — IDENTITY transforms only — maps onto
+    * the clusterBy + file-stats-skipping layout (Delta's
+    * liquid-clustering answer to the same clause): every insert
+    * range-clusters on the partition columns, so each file covers a
+    * narrow value slice and a partition-predicate scan prunes via the
+    * per-file min/max sidecar exactly like directory pruning would —
+    * without freezing a physical dir layout into the contract. The
+    * mapping is documented in SHOW TBLPROPERTIES (`partitionedBy` +
+    * the derived `clusterBy`). Non-identity transforms (bucket,
+    * days/months, truncate) stay loud: they have no metadata-only
+    * equivalent in this store. */
+  private def identityPartitionCols(partitions: Array[Transform],
+                                    schema: StructType): Seq[String] =
+    Option(partitions).getOrElse(Array.empty[Transform]).toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1 =>
+        val c = t.references()(0).fieldNames()(0)
+        require(schema.fieldNames.contains(c),
+          s"graft catalog: PARTITIONED BY column '$c' not in table schema " +
+            s"${schema.fieldNames.mkString("[", ", ", "]")}")
+        c
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: PARTITIONED BY ${other.describe()} unsupported — " +
+          "identity transforms only; they map to the clusterBy + " +
+          "file-stats-skipping layout (each insert range-clusters on the " +
+          "partition columns); bucket/temporal transforms have no " +
+          "metadata-only equivalent here")
+    }
+
+  /** Fold identity partition columns into the layout properties:
+    * `partitionedBy` records the DDL intent, the derived `clusterBy`
+    * is the mechanism. Refuses the ambiguous both-spellings shape. */
+  private def withPartitionLayout(partitions: Array[Transform],
+      schema: StructType,
+      properties: util.Map[String, String]): util.Map[String, String] = {
+    val partCols = identityPartitionCols(partitions, schema)
+    if (partCols.isEmpty) properties
+    else {
+      require(Option(properties.get("clusterBy")).forall(_.trim.isEmpty),
+        "graft catalog: PARTITIONED BY and the clusterBy property are " +
+          "two spellings of the same layout — give exactly one")
+      val m = new util.HashMap[String, String](properties)
+      m.put("clusterBy", partCols.mkString(","))
+      m.put("partitionedBy", partCols.mkString(","))
+      m
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft-versioned tables are unpartitioned — the version dir is the " +
-        "layout unit; cluster files with Layout.WriteSpec at write time")
     if (!namespaceExists(ident.namespace))
       throw new NoSuchNamespaceException(ident.namespace)
     if (Files.exists(manifestOf(ident))) throw new TableAlreadyExistsException(ident)
-    publishTableContract(ident, schema, properties)
+    publishTableContract(ident, schema,
+      withPartitionLayout(partitions, schema, properties))
     loadTable(ident)
   }
 
@@ -590,7 +638,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val layoutProps =
       Seq("clusterBy", "writePartitions", "targetFileBytes", "changeFeedKeys",
-        "deletionVectors", "appendOnly", "autoMerge",
+        "deletionVectors", "appendOnly", "autoMerge", "partitionedBy",
         graft.operators.BloomSidecar.PropKey)
         .flatMap(k => Option(properties.get(k)).filter(_.nonEmpty).map(v => s"$k=$v"))
     if (layoutProps.nonEmpty)
@@ -634,7 +682,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .matcher(sql).find() => cn
       }
     def propReferencing(name: String): Option[String] =
-      Seq("clusterBy", "changeFeedKeys").find(k =>
+      Seq("partitionedBy", "clusterBy", "changeFeedKeys").find(k =>
         props.get(k).exists(_.split(",").map(_.trim).contains(name)))
     // GENERATED/IDENTITY specs bind column NAMES (the spec itself and
     // the base columns its expression references) — renaming, dropping
@@ -705,7 +753,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // the layout contract follows the logical rename
         props = props.map {
           case (k, v) if k == "clusterBy" || k == "changeFeedKeys" ||
-              k == bloomKey =>
+              k == "partitionedBy" || k == bloomKey =>
             k -> v.split(",").map(_.trim).filter(_.nonEmpty)
               .map(c => if (c == old) nw else c).mkString(",")
           case kv => kv

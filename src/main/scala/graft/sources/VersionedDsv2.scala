@@ -360,6 +360,27 @@ private[sources] class GraftVersionedTable(
 
   override def schema(): StructType = tableSchema
 
+  /** DDL-declared identity partitioning (mapped to the clusterBy
+    * layout by the catalog) — surfaced so DESCRIBE shows the clause. */
+  override def partitioning():
+      Array[org.apache.spark.sql.connector.expressions.Transform] =
+    Option(options.get("partitionedBy")).map(
+      _.split(",").map(_.trim).filter(_.nonEmpty)
+        .map(c => org.apache.spark.sql.connector.expressions.Expressions
+          .identity(c): org.apache.spark.sql.connector.expressions.Transform))
+      .getOrElse(Array.empty)
+
+  /** SHOW TBLPROPERTIES surface: the persisted layout contract,
+    * including the PARTITIONED BY → clusterBy mapping. */
+  override def properties(): util.Map[String, String] = {
+    val keys = Seq("clusterBy", "writePartitions", "targetFileBytes",
+      "changeFeedKeys", "deletionVectors", "appendOnly", "autoMerge",
+      "partitionedBy", graft.operators.BloomSidecar.PropKey)
+    val m = new java.util.HashMap[String, String]()
+    keys.foreach(k => Option(options.get(k)).foreach(m.put(k, _)))
+    m
+  }
+
   override def capabilities(): util.Set[TableCapability] =
     if (changeFeed)
       // batch = Delta's readChangeFeed audit/backfill path (version

