@@ -86,10 +86,30 @@ object Versioned {
     * ordering as [[writeNext]], so [[readAsOf]]'s unstamped-skip rule
     * covers a crash between the two). Every `CheckpointInterval`-th
     * stamped commit also refreshes the aggregated commit-log
-    * checkpoint (best-effort — it is an accelerator, never truth). */
+    * checkpoint (best-effort — it is an accelerator, never truth).
+    *
+    * IN-COMMIT TIMESTAMP MONOTONICITY (Delta's inCommitTimestamps
+    * rationale): `TIMESTAMP AS OF` ([[resolveAsOf]]), CDF timestamp
+    * bounds and age-based retention all assume stamps are monotone in
+    * version — with multiple writers and clock skew, wall-clock is
+    * not, and a backwards stamp would resolve time travel to the wrong
+    * version. Every stamp is therefore clamped to
+    * `max(parent stamp, ts)` — EQUAL stamps stay legal (a layout-only
+    * rewrite like compact deliberately shares its source's stamp, and
+    * [[resolveAsOf]] breaks ties toward the newest version), only a
+    * strictly BACKWARDS stamp is lifted. The walk stops at the nearest
+    * stamped ancestor (normally the immediate parent, one O(1) read;
+    * an unstamped prefix only exists on path-based legacy roots whose
+    * time travel is by version). */
   private[graft] def writeStamp(root: String, version: Long, ts: Long): Unit = {
+    val parent = ((version - 1) to 0L by -1).iterator
+      .map(commitStamp(root, _)).collectFirst { case Some(t) => t }
+    val stamp = parent match {
+      case Some(p) if ts < p => p
+      case _ => ts
+    }
     Files.write(Paths.get(root, s"v=$version", CommitManifest),
-      ts.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      stamp.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (version > 0 && version % CheckpointInterval == 0)
       try writeCheckpoint(root, cover = version - 1)
       catch { case scala.util.control.NonFatal(_) => () }

@@ -44,6 +44,38 @@ class CheckpointSpec extends AnyFunSuite with SparkSpec {
     assert(rows(3L).nFiles >= 1 && rows(3L).bytes > 0)
   }
 
+  test("backwards-clock commit stamps clamp: resolution order follows versions") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cp_skew_").toString
+    Versioned.writeNext(Seq((0L, "v0")).toDF("id", "tag"), root,
+      commitTs = Some(5000L))
+    // a skewed writer whose clock runs BEHIND injects an earlier stamp:
+    // without in-commit monotonicity, TIMESTAMP AS OF 4000 would
+    // resolve to the NEWER v=1 while AS OF 5000 resolves v=0 —
+    // time travel ordering inverted against version order
+    Versioned.writeNext(Seq((1L, "v1")).toDF("id", "tag"), root,
+      commitTs = Some(4000L))
+    val s0 = Versioned.commitStamp(root, 0L).get
+    val s1 = Versioned.commitStamp(root, 1L).get
+    assert(s1 >= s0, s"stamps must be monotone in version ($s0 then $s1)")
+    def tagAt(ts: Long): String =
+      Versioned.readAsOf(spark, root, ts).select("tag").as[String].head()
+    // the injected 4000 was LIFTED to the parent's 5000 — nothing
+    // resolves before the table's first stamp, exactly as if the
+    // skewed commit had arrived with an honest clock
+    val early = intercept[IllegalStateException](tagAt(4500L))
+    assert(early.getMessage.contains("earliest commit"), early.getMessage)
+    assert(tagAt(5000L) === "v1",
+      "at the shared clamped stamp the newest version wins")
+    assert(tagAt(9999L) === "v1")
+    // a FORWARD clock is untouched: stamps keep their given values
+    Versioned.writeNext(Seq((2L, "v2")).toDF("id", "tag"), root,
+      commitTs = Some(8000L))
+    assert(Versioned.commitStamp(root, 2L) === Some(8000L))
+    assert(tagAt(7999L) === "v1")
+    assert(tagAt(8000L) === "v2")
+  }
+
   test("resolveAsOf answers identically with, without, and with a corrupt checkpoint") {
     val root = freshRoot(21) // checkpoints at v=10 (cover 9) and v=20 (cover 19)
     val cpFile = Paths.get(root, "_graft_checkpoint")
