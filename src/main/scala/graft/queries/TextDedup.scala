@@ -391,6 +391,81 @@ object TextDedup {
     dropA.union(dropB).distinct().orderBy("doc_id")
   }
 
+  /** Positional k-gram stream: one gram per starting token (duplicates
+    * and order preserved — unlike the distinct shingle set, positions
+    * are the point). Compiled UDF for the same reason as [[shingleUdf]]
+    * (higher-order lambdas run interpreted). */
+  private def kgramUdf(k: Int) = udf((words: Seq[String]) =>
+    if (words == null || words.length < k) Seq.empty[String]
+    else (0 to words.length - k).map(i => words.slice(i, i + k).mkString(" ")))
+
+  /** EXACT-SUBSTRING dedup spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): find maximal token
+    * spans that appear VERBATIM in more than one document — the
+    * "duplicate 50-token span inside otherwise-distinct documents"
+    * granularity (C4/RefinedWeb boilerplate, quoted chunks, licenses)
+    * that document- and shingle-level dedup both miss. Returns one
+    * `(doc_id, span_start, span_end)` token-range drop decision per
+    * maximal span.
+    *
+    * The suffix-array formulation of the paper is single-node; this is
+    * its distributed equivalent in the banded-decision discipline:
+    * (1) every token position emits its k-token gram — O(tokens),
+    * the same k× blowup a suffix index pays; (2) one hash-shuffle on
+    * the gram groups identical grams, and a window min≠max over doc_id
+    * marks CROSS-document duplicates (within-doc repeats are not
+    * dedup targets here) without ever materializing pairs — a gram
+    * shared by m documents costs m rows, never m²; (3) per document,
+    * duplicated positions merge into maximal spans by the classic
+    * gaps-and-islands window (positions within k of the previous one
+    * extend the span — their grams overlap or touch in the text).
+    * Two shuffles total (gram hash, doc_id), output linear in the
+    * number of spans, no driver involvement. */
+  def exactSubstrSpans(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(kgramUdf(k)(split(col("text"), " ")))
+          .as(Seq("pos", "gram")))
+      // fixed-width shuffle key; md5 ≡ exact contract as t24
+      .select(col("doc_id"), col("pos"), md5(col("gram")).as("g"))
+    val wG = Window.partitionBy("g")
+    val dupPos = grams
+      .withColumn("dmin", min("doc_id").over(wG))
+      .withColumn("dmax", max("doc_id").over(wG))
+      .filter(col("dmin") =!= col("dmax"))
+      .select(col("doc_id"), col("pos"))
+    val wD = Window.partitionBy("doc_id").orderBy("pos")
+    dupPos
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(wD) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("run", sum("brk").over(
+        wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("run"))
+      .agg(min(col("pos")).cast(LongType).as("span_start"),
+        (max(col("pos")) + k).cast(LongType).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
+  /** t107: [[exactSubstrSpans]] over the documents corpus with PLANTED
+    * duplicate spans (a shared 9-token header on every doc_id % 5 = 0
+    * document, a shared 8-token footer on % 7 = 0) — plus whatever
+    * organic cross-document 5-grams the corpus already repeats. The
+    * DuckDB oracle re-derives the spans brute-force from the same
+    * planted text, so blocking, hashing, window slicing and the
+    * islands merge must all be lossless. */
+  def t107ExactSubstrSpans(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("quick brown fox jumps over the lazy dog tonight "),
+          col("text")))
+        .when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"),
+            lit(" alpha beta gamma delta epsilon zeta eta theta")))
+        .otherwise(col("text")).as("text"))
+    exactSubstrSpans(planted, 5).orderBy("doc_id", "span_start")
+  }
+
   /** t34: the LSH dedup DECISION at linear cost — drop any document
     * that is not the smallest id in one of its band buckets (the
     * greedy keep-first rule a production dedup applies). Unlike the
@@ -705,6 +780,7 @@ object TextDedup {
     "t75_minhash_quality" -> (t75MinhashQuality _),
     "t91_containment_pairs" -> (t91ContainmentPairs _),
     "t95_containment_dedup_drops" -> (t95ContainmentDedupDrops _),
+    "t107_exact_substr_spans" -> (t107ExactSubstrSpans _),
     "t29_json_extract" -> (t29JsonExtract _),
     "t30_unpivot_part" -> (t30UnpivotPart _),
     "t31_multimodal_meta" -> (t31MultimodalMeta _),
@@ -744,6 +820,39 @@ object TextDedup {
       |          GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // t107: brute-force substring-overlap re-derivation on the planted
+    // text — every cross-document duplicate 5-gram position, islands
+    // merged with the same within-k rule
+    "t107_exact_substr_spans" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |           'quick brown fox jumps over the lazy dog tonight ' || text
+        |         WHEN doc_id % 7 = 0 THEN
+        |           text || ' alpha beta gamma delta epsilon zeta eta theta'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, string_split(text, ' ') w FROM src),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) i
+        |       FROM d WHERE len(w) >= 5),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |        concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) gram
+        |      FROM ix),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING min(doc_id) <> max(doc_id)),
+        |p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+        |r AS (SELECT doc_id, pos,
+        |        CASE WHEN pos - lag(pos) OVER
+        |               (PARTITION BY doc_id ORDER BY pos) <= 5
+        |             THEN 0 ELSE 1 END brk FROM p),
+        |isl AS (SELECT doc_id, pos,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                         ROWS UNBOUNDED PRECEDING) run
+        |        FROM r)
+        |SELECT doc_id, cast(min(pos) as bigint) AS span_start,
+        |       cast(max(pos) + 5 as bigint) AS span_end
+        |FROM isl GROUP BY doc_id, run
+        |ORDER BY doc_id, span_start""".stripMargin,
     "t43_url_canonicalize" ->
       """SELECT doc_id,
         | CASE doc_id%4

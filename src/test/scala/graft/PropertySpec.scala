@@ -140,6 +140,47 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(tiered === exact)
   }
 
+  test("exact-substring spans equal brute force, partitioning-independent") {
+    import graft.queries.TextDedup
+    val k = 3
+    // small vocabulary -> dense cross-document duplicate grams
+    val docGen = for {
+      len <- Gen.choose(0, 25)
+      ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e"))
+    } yield ws.mkString(" ")
+    val docs = samples(docGen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    // brute force: every k-gram position; duplicated = the gram occurs
+    // in >= 2 distinct docs; islands merge positions within k
+    val gramsOf = docs.map { case (id, t) =>
+      val w = t.split(" ", -1).toSeq
+      id -> (if (w.length < k) Seq.empty[(Int, String)]
+             else (0 to w.length - k)
+               .map(i => i -> w.slice(i, i + k).mkString(" ")))
+    }.toMap
+    val docsPerGram = gramsOf.toSeq
+      .flatMap { case (id, gs) => gs.map { case (_, g) => g -> id } }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    val expected = docs.flatMap { case (id, _) =>
+      val dupPos = gramsOf(id).collect {
+        case (p, g) if docsPerGram(g) >= 2 => p
+      }.sorted
+      if (dupPos.isEmpty) Seq.empty
+      else dupPos.tail.foldLeft(Vector((dupPos.head, dupPos.head))) {
+        case (acc, p) =>
+          val (s0, last) = acc.last
+          if (p - last <= k) acc.init :+ ((s0, p))
+          else acc :+ ((p, p))
+      }.map { case (s0, e0) => (id, s0.toLong, e0.toLong + k) }
+    }.sorted
+    Seq(1, 7, 32).foreach { parts =>
+      val got = TextDedup.exactSubstrSpans(
+        docs.toDF("doc_id", "text").repartition(parts), k)
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
   test("edit-distance blocking is lossless on random short strings") {
     val gen = for {
       len <- Gen.choose(0, 6)
