@@ -172,6 +172,46 @@ object CorpusText {
             x => x.getField("seg"))).as("clean_text"))
   }
 
+  /** LINE-LEVEL boilerplate removal — CCNet's paragraph
+    * document-frequency filter (Wenzek et al. 2020), the
+    * nav-bar/footer remover every production web corpus runs before
+    * quality filtering: a line whose document frequency exceeds
+    * `tauPpm` of the corpus (df/N ≥ tau) is boilerplate by definition
+    * — no organic content repeats verbatim across a third of the
+    * corpus — and is dropped from every document; survivors rebuild
+    * in original line order.
+    *
+    * Scale shape, all linear: one explode to (doc, line) — O(lines);
+    * (doc, line) distinct + per-line count, both map-side-combinable
+    * hash aggregates; the corpus size joins in as a 1-row broadcast;
+    * and the boilerplate set broadcasts back onto the line stream —
+    * by construction it holds AT MOST 1/tau lines (each is carried by
+    * ≥ tau·N documents), so the broadcast is bounded by the threshold,
+    * not the corpus: at 100 TB the df aggregate is the only shuffle.
+    * Returns (doc_id, n_lines, n_dropped, clean_text). */
+  def removeBoilerplateLines(docs: DataFrame, tauPpm: Long): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("line_idx", "line")))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val boiler = lines.select("doc_id", "line").distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .filter(col("df") * lit(1000000L) >= col("n_docs") * lit(tauPpm))
+      .select(col("line"), lit(true).as("is_boiler"))
+    lines
+      .join(broadcast(boiler), Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(col("is_boiler")).as("n_dropped"),
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(
+              when(col("is_boiler").isNull,
+                struct(col("line_idx"), col("line"))))),
+            x => x.getField("line"))).as("clean_text"))
+  }
+
   /** Per-document REPETITION PROFILE — the Gopher/MassiveText
     * intra-document repetition signals as EXACT INTEGERS (consumers
     * divide; the engine never ships a float a different platform would

@@ -57,6 +57,30 @@ object CorpusGate {
         CorpusText.redactPii(col("text")).as("redacted"))
       .orderBy("doc_id")
 
+  /** Line-structured fixture for t108: the corpus text carries no
+    * newlines, so the gate plants the web shape — a nav-bar line on a
+    * third of the documents, a copyright footer on two thirds — and
+    * the oracle synthesizes the identical input from doc_id. */
+  private def withLines(docs: DataFrame): DataFrame = {
+    val m = pmod(col("doc_id"), lit(3))
+    docs.select(col("doc_id"),
+      when(m === 0, concat(lit("home about contact login\n"), col("text"),
+        lit("\ncopyright 2024 all rights reserved")))
+        .when(m === 1, concat(col("text"),
+          lit("\ncopyright 2024 all rights reserved")))
+        .otherwise(col("text")).as("text"))
+  }
+
+  /** t108: LINE-LEVEL boilerplate removal (CCNet's paragraph-df
+    * filter) — lines carried by ≥ 30% of the corpus (the planted nav
+    * at ~33% and footer at ~67%, never the organic bodies) drop from
+    * every document; the oracle re-derives line hashes, document
+    * frequencies and the surviving text independently. */
+  def t108BoilerplateLines(s: SparkSession, dir: String): DataFrame =
+    CorpusText.removeBoilerplateLines(
+      withLines(Tables.documents(s, dir)), tauPpm = 300000L)
+      .orderBy("doc_id")
+
   /** Extended PII fixture for t104/t105: doc_id % 7 round-robin over
     * email(×2) / intl phone / IPv4 / PERSIAN-DIGIT Iranian mobile /
     * 10-digit national id / card+email (two kinds — the "drop" row) /
@@ -237,6 +261,7 @@ object CorpusGate {
     "t104_pii_redact_full" -> (t104PiiRedactFull _),
     "t105_pii_filter_rate" -> (t105PiiFilterRate _),
     "t106_keyword_tag" -> (t106KeywordTag _),
+    "t108_boilerplate_lines" -> (t108BoilerplateLines _),
     "t57_chunk_windows" -> (t57ChunkWindows _),
     "t64_quality_score" -> (t64QualityScore _),
     "t65_dup_spans" -> (t65DupSpans _),
@@ -245,6 +270,32 @@ object CorpusGate {
   val oracles: Map[String, String] = Map(
     // t100: the most frequent bigram's count re-derived by explicit
     // group-by — the engine's per-row sorted-run fold must agree
+    // t108: line df + threshold + rebuild re-derived independently;
+    // docs whose every line dropped rebuild to '' on both sides
+    "t108_boilerplate_lines" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |           'home about contact login' || chr(10) || text ||
+        |             chr(10) || 'copyright 2024 all rights reserved'
+        |         WHEN doc_id % 3 = 1 THEN
+        |           text || chr(10) || 'copyright 2024 all rights reserved'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, string_split(text, chr(10)) ls FROM src),
+        |ix AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) i FROM d),
+        |ln AS (SELECT doc_id, i - 1 AS line_idx, ls[i] AS line FROM ix),
+        |dfreq AS (SELECT line, count(DISTINCT doc_id) df FROM ln GROUP BY line),
+        |tot AS (SELECT count(*) n FROM src),
+        |bp AS (SELECT line FROM dfreq, tot WHERE df * 1000000 >= n * 300000)
+        |SELECT doc_id,
+        |  cast(count(*) as bigint) AS n_lines,
+        |  cast(sum(CASE WHEN line IN (SELECT line FROM bp)
+        |               THEN 1 ELSE 0 END) as bigint) AS n_dropped,
+        |  coalesce(string_agg(
+        |    CASE WHEN line IN (SELECT line FROM bp) THEN NULL ELSE line END,
+        |    chr(10) ORDER BY line_idx), '') AS clean_text
+        |FROM ln GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t100_repetition_profile" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(text, ' ') t FROM documents),

@@ -28,6 +28,32 @@ class CorpusTextSpec extends AnyFunSuite with SparkSpec {
       Row(4L, 2L, 0L, "p q r")))
   }
 
+  test("removeBoilerplateLines: df threshold, order kept, all-dropped doc is ''") {
+    // footer in 3/4 docs (75% ≥ 50%) drops; nav in 1/4 (25% < 50%) stays
+    val docs = Seq(
+      (0L, "nav bar\nbody zero\nfooter line"),
+      (1L, "body one\nfooter line"),
+      (2L, "footer line"), // all lines boilerplate -> rebuilds to ''
+      (3L, "body three a\nbody three b")).toDF("doc_id", "text")
+    val out = CorpusText.removeBoilerplateLines(docs, tauPpm = 500000L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (0L, 3L, 1L, "nav bar\nbody zero"),
+      (1L, 2L, 1L, "body one"),
+      (2L, 1L, 1L, ""),
+      (3L, 2L, 0L, "body three a\nbody three b")))
+    // a line repeated TWICE in one doc counts that doc once in df
+    val rep = Seq(
+      (0L, "dup\ndup\nkeep"),
+      (1L, "solo"), (2L, "solo2"), (3L, "solo3")).toDF("doc_id", "text")
+    val kept = CorpusText.removeBoilerplateLines(rep, tauPpm = 400000L)
+      .filter(col("doc_id") === 0L)
+      .select("clean_text").as[String].head()
+    assert(kept === "dup\ndup\nkeep",
+      "within-doc repeats must not inflate document frequency")
+  }
+
   test("removeBoilerplate counts DISTINCT documents, not occurrences") {
     // "x y" twice in ONE doc is not boilerplate at minDocs=2
     val docs = Seq((1L, "x y x y"), (2L, "a b")).toDF("doc_id", "text")
