@@ -140,6 +140,7 @@ object Versioned {
     writeLatestHint(root, next)
     commitTs.foreach(writeStamp(root, next, _))
     BloomSidecar.ensure(root, next) // no-op unless bloomFilterColumns set
+    NdvSidecar.ensure(root, next)
     next
   }
 
@@ -955,6 +956,7 @@ object Versioned {
       commitTs.getOrElse(System.currentTimeMillis() * 1000L))
     // restored files are hard links of src's — their bloom lines carry
     BloomSidecar.ensure(root, next, carryExtra = Some(src))
+    NdvSidecar.ensure(root, next, carryExtra = Some(src))
     next
   }
 
@@ -1005,6 +1007,7 @@ object Versioned {
     // the clone shares the source's immutable files — bloom lines carry
     BloomSidecar.ensure(dstRoot, 0L,
       carryExtra = Some(Paths.get(srcRoot, s"v=$srcV")))
+    NdvSidecar.ensure(dstRoot, 0L, carryExtra = Some(Paths.get(srcRoot, s"v=$srcV")))
   }
 
   /** CONVERT-in-place (Delta's `CONVERT TO DELTA` shape): register an

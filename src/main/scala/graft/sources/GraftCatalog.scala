@@ -416,7 +416,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     private val stagedOpts: Map[String, String] = {
       val layout = Seq("clusterBy", "writePartitions", "targetFileBytes",
         "changeFeedKeys", "deletionVectors", "autoMerge", "partitionedBy",
-        graft.operators.BloomSidecar.PropKey)
+        graft.operators.BloomSidecar.PropKey,
+        graft.operators.NdvSidecar.PropKey)
       layout.flatMap(k => Option(properties.get(k)).map(k -> _)).toMap ++
         Map("path" -> root.toString, "graftCatalogManaged" -> "true",
           "stagedAutoSpecs" -> AutoColumns.serialize(stagedSpecs),
@@ -633,13 +634,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     Option(properties.get(graft.operators.BloomSidecar.PropKey))
       .filter(_.nonEmpty).foreach(validateBloomCols(_, schema))
+    Option(properties.get(graft.operators.NdvSidecar.PropKey))
+      .filter(_.nonEmpty).foreach { v =>
+        v.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
+          require(schema.fieldNames.contains(c),
+            s"graft catalog: ndvColumns column '$c' not in table schema " +
+              s"${schema.fieldNames.mkString("[", ", ", "]")}")
+        }
+      }
     Files.createDirectories(tablePath(ident))
     atomicWrite(manifestOf(ident),
       schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val layoutProps =
       Seq("clusterBy", "writePartitions", "targetFileBytes", "changeFeedKeys",
         "deletionVectors", "appendOnly", "autoMerge", "partitionedBy",
-        graft.operators.BloomSidecar.PropKey)
+        graft.operators.BloomSidecar.PropKey,
+        graft.operators.NdvSidecar.PropKey)
         .flatMap(k => Option(properties.get(k)).filter(_.nonEmpty).map(v => s"$k=$v"))
     if (layoutProps.nonEmpty)
       atomicWrite(tablePath(ident).resolve(PropsManifest),
@@ -668,7 +678,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val layoutKeys =
       Set("clusterBy", "writePartitions", "targetFileBytes", "changeFeedKeys",
         "deletionVectors", "appendOnly", "autoMerge",
-        graft.operators.BloomSidecar.PropKey)
+        graft.operators.BloomSidecar.PropKey,
+        graft.operators.NdvSidecar.PropKey)
     var props = readProps(ident)
     var (colMap, retired) = colMapState(ident, schema)
     val hadColMap = readColMap(ident).isDefined
@@ -1299,7 +1310,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 java.nio.charset.StandardCharsets.UTF_8))
               val pinnedProps = readProps(srcIdent).flatMap {
                 case (k, v) if k == "clusterBy" || k == "changeFeedKeys" ||
-                    k == graft.operators.BloomSidecar.PropKey =>
+                    k == "partitionedBy" ||
+                    k == graft.operators.BloomSidecar.PropKey ||
+                    k == graft.operators.NdvSidecar.PropKey =>
                   val cols = v.split(",").map(_.trim).filter(_.nonEmpty)
                     .filter(keep)
                   if (cols.isEmpty) None else Some(k -> cols.mkString(","))
@@ -1336,6 +1349,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // AFTER cloneTo's own hook saw a props-less root — re-run the
           // (pure-carry, hard-linked names) pass now that it can see it
           graft.operators.BloomSidecar.ensure(tablePath(tgtIdent).toString,
+            0L, carryExtra = Some(Paths.get(root(src)).resolve(
+              s"v=${srcV.orElse(Versioned.latestVersion(root(src))).getOrElse(0L)}")))
+          graft.operators.NdvSidecar.ensure(tablePath(tgtIdent).toString,
             0L, carryExtra = Some(Paths.get(root(src)).resolve(
               s"v=${srcV.orElse(Versioned.latestVersion(root(src))).getOrElse(0L)}")))
           // a changeFeedKeys clone starts its own feed history with

@@ -375,7 +375,8 @@ private[sources] class GraftVersionedTable(
   override def properties(): util.Map[String, String] = {
     val keys = Seq("clusterBy", "writePartitions", "targetFileBytes",
       "changeFeedKeys", "deletionVectors", "appendOnly", "autoMerge",
-      "partitionedBy", graft.operators.BloomSidecar.PropKey)
+      "partitionedBy", graft.operators.BloomSidecar.PropKey,
+      graft.operators.NdvSidecar.PropKey)
     val m = new java.util.HashMap[String, String]()
     keys.foreach(k => Option(options.get(k)).foreach(m.put(k, _)))
     m
@@ -1446,18 +1447,81 @@ private[sources] class GraftVersionedScan(
         .values.map(graft.operators.DeletionVectors.cardinality).sum
     val groupRows = math.max(0L,
       plannedGroups.map(_.kept.map(_.getRowCount).sum).sum - dvDead)
-    val rows = limit.map(n => math.min(n.toLong, groupRows)).getOrElse(groupRows)
+    // PER-COLUMN DISTINCT COUNTS from the commit's NDV sketch sidecar
+    // (ndvColumns tables): the kept files' register blobs union into a
+    // pruning-aware estimate in PHYSICAL name space. Absence of the
+    // sidecar = empty map = optimizer defaults, never a wrong row.
+    val ndvPhys: Map[String, Long] =
+      if (uninitialized || changeFeed) Map.empty
+      else scala.util.Try {
+        val vdir = java.nio.file.Paths.get(
+          GraftVersionedTable.snapshotDir(root, options))
+        val keptFiles = plannedGroups.filter(_.kept.nonEmpty)
+          .map(g => java.nio.file.Paths.get(g.file).getFileName.toString).toSet
+        if (keptFiles.isEmpty) Map.empty[String, Long]
+        else graft.operators.NdvSidecar.mergedNdv(vdir, keptFiles)
+      }.getOrElse(Map.empty)
+    // NDV-implied selectivity of the FULLY-PUSHED predicates: once a
+    // filter pushes into this scan, Catalyst removes the Filter node,
+    // so no downstream estimation can apply its selectivity — the
+    // scan's own row estimate must, or a point-filtered 30k-row
+    // dimension still looks like 30k rows to the join planner.
+    // Equality keeps ~rows/ndv, IN keeps |set|/ndv; unknown shapes and
+    // unsketched columns keep selectivity 1 (conservative).
+    def selOf(f: Filter): Double = f match {
+      case EqualTo(c, _) =>
+        ndvPhys.get(c).map(n => 1.0 / math.max(1L, n)).getOrElse(1.0)
+      case EqualNullSafe(c, _) =>
+        ndvPhys.get(c).map(n => 1.0 / math.max(1L, n)).getOrElse(1.0)
+      case In(c, vs) =>
+        ndvPhys.get(c).map(n =>
+          math.min(vs.distinct.length.toLong, math.max(1L, n)).toDouble /
+            math.max(1L, n)).getOrElse(1.0)
+      case And(l, r) => selOf(l) * selOf(r)
+      case Or(l, r) => math.min(1.0, selOf(l) + selOf(r))
+      case _ => 1.0
+    }
+    val sel = pushed.map(selOf).product
+    val selRows =
+      if (groupRows == 0L || sel >= 1.0) groupRows
+      else math.max(1L, math.round(groupRows * sel))
+    val rows = limit.map(n => math.min(n.toLong, selRows)).getOrElse(selRows)
     val colBytes = plannedGroups.map(_.kept.map(
       _.getColumns.asScala
         .filter(c => readCols.contains(c.getPath.toDotString))
         .map(_.getTotalUncompressedSize).sum).sum).sum
-    // a fully-pruned projection (count(*)) still materializes a row
-    // per record — floor at one byte per row so the estimate is
-    // never zero while rows remain
-    val bytes = math.max(colBytes, rows)
+    // scale bytes with the selectivity-adjusted row estimate; a
+    // fully-pruned projection (count(*)) still materializes a row per
+    // record — floor at one byte per row so the estimate is never
+    // zero while rows remain
+    val selBytes =
+      if (groupRows == 0L) colBytes
+      else math.round(colBytes * (rows.toDouble / groupRows))
+    val bytes = math.max(selBytes, rows)
+    // distinct counts keyed back to LOGICAL names for the optimizer,
+    // clamped at the live row estimate (DVs only shrink the true set)
+    val ndvByLogical: Map[String, Long] =
+      required.fieldNames.flatMap { n =>
+        ndvPhys.get(colMap.getOrElse(n, n)).map(v => n -> math.min(v, rows))
+      }.toMap
     new Statistics {
       override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
       override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+      override def columnStats(): util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        ndvByLogical.foreach { case (n, est) =>
+          m.put(org.apache.spark.sql.connector.expressions.Expressions.column(n),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): util.OptionalLong =
+                util.OptionalLong.of(math.max(1L, est))
+            })
+        }
+        m
+      }
     }
   }
 
@@ -3701,6 +3765,7 @@ private[graft] object VersionedWriteIo {
         // bloom sidecar (no-op unless configured): carried files reuse
         // their lines from the base version, new files get one build scan
         graft.operators.BloomSidecar.ensure(root, next)
+        graft.operators.NdvSidecar.ensure(root, next)
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException |
@@ -3871,6 +3936,7 @@ private[graft] object VersionedWriteIo {
         // bloom sidecar (no-op unless configured): carried files reuse
         // their lines from the base version, new files get one build scan
         graft.operators.BloomSidecar.ensure(root, next)
+        graft.operators.NdvSidecar.ensure(root, next)
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException |
@@ -3939,6 +4005,7 @@ private[graft] object VersionedWriteIo {
         // bloom sidecar (no-op unless configured): carried files reuse
         // their lines from the base version, new files get one build scan
         graft.operators.BloomSidecar.ensure(root, next)
+        graft.operators.NdvSidecar.ensure(root, next)
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException |

@@ -190,4 +190,97 @@ class VersionedStatsSpec extends AnyFunSuite with SparkSpec {
     assert(odd.rdd.getNumPartitions === all.rdd.getNumPartitions)
     assert(odd.count() === 30000L)
   }
+
+  test("ndvColumns: sketches land at commit, carry by name, union ≈ exact") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ndv_spec_")
+    spark.conf.set("spark.sql.catalog.ndv", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ndv.warehouse", wh.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ndv.t")
+    spark.sql("DROP TABLE IF EXISTS ndv.t.d1")
+    spark.sql("CREATE TABLE ndv.t.d1 (k BIGINT, grp BIGINT, pad STRING) " +
+      "USING `graft-versioned` TBLPROPERTIES ('ndvColumns'='k,grp', " +
+      "'clusterBy'='k', 'writePartitions'='4')")
+    spark.sql("INSERT INTO ndv.t.d1 " +
+      "SELECT id, id % 37, repeat('x', 16) FROM range(0, 20000)")
+    val root = wh.resolve("t").resolve("d1")
+    def sidecarLines(v: Long): Map[(String, String), String] =
+      new String(java.nio.file.Files.readAllBytes(
+        root.resolve(s"v=$v").resolve("_graft_ndv")),
+        java.nio.charset.StandardCharsets.UTF_8).linesIterator.map { l =>
+        val o = new com.fasterxml.jackson.databind.ObjectMapper().readTree(l)
+        (o.get("f").textValue(), o.get("c").textValue()) -> l
+      }.toMap
+    val v0 = sidecarLines(0L)
+    assert(v0.nonEmpty && v0.keys.map(_._2).toSet === Set("k", "grp"))
+    // union over all files ≈ exact distinct counts (HLL at lgK=12)
+    val kept = graft.operators.Versioned.dataFiles(root.resolve("v=0"))
+      .map(_.getFileName.toString).toSet
+    val est = graft.operators.NdvSidecar.mergedNdv(root.resolve("v=0"), kept)
+    assert(math.abs(est("k") - 20000L) <= 1000L, s"ndv(k) = ${est("k")}")
+    assert(math.abs(est("grp") - 37L) <= 3L, s"ndv(grp) = ${est("grp")}")
+    // append: the carried files' lines are byte-identical (O(new files)
+    // commit cost — no re-sketch of old data), new files get fresh lines
+    spark.sql("INSERT INTO ndv.t.d1 " +
+      "SELECT id, id % 37, repeat('x', 16) FROM range(20000, 22000)")
+    val v1 = sidecarLines(1L)
+    v0.foreach { case (key, line) =>
+      assert(v1(key) === line, s"carried line for $key must be verbatim")
+    }
+    assert(v1.size > v0.size, "new files must gain fresh sketch lines")
+  }
+
+  test("CBO + NDV sketches pick the filtered build side without hints") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ndvcbo_spec_")
+    spark.conf.set("spark.sql.catalog.ndvb", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ndvb.warehouse", wh.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ndvb.t")
+    spark.sql("DROP TABLE IF EXISTS ndvb.t.dim")
+    spark.sql("DROP TABLE IF EXISTS ndvb.t.dimplain")
+    spark.sql("DROP TABLE IF EXISTS ndvb.t.fact")
+    // the dim is BIGGER than the broadcast threshold raw, and the
+    // filter column `h` is SCATTERED across every file (min/max and
+    // file pruning refute nothing) — only the NDV-implied selectivity
+    // of `h = const` (1/ndv) can shrink the estimate under the
+    // threshold
+    spark.sql("CREATE TABLE ndvb.t.dim (k BIGINT, h BIGINT, pad STRING) " +
+      "USING `graft-versioned` TBLPROPERTIES ('ndvColumns'='h')")
+    spark.sql("INSERT INTO ndvb.t.dim " +
+      "SELECT id, id % 1000, repeat('d', 64) FROM range(0, 30000)")
+    spark.sql("CREATE TABLE ndvb.t.dimplain (k BIGINT, h BIGINT, pad STRING) " +
+      "USING `graft-versioned`")
+    spark.sql("INSERT INTO ndvb.t.dimplain " +
+      "SELECT id, id % 1000, repeat('d', 64) FROM range(0, 30000)")
+    spark.sql("CREATE TABLE ndvb.t.fact (k BIGINT, v BIGINT) " +
+      "USING `graft-versioned`")
+    spark.sql("INSERT INTO ndvb.t.fact " +
+      "SELECT id % 30000, id FROM range(0, 120000)")
+    val joinSql = (dim: String) =>
+      s"SELECT f.v, d.pad FROM ndvb.t.fact f JOIN $dim d ON f.k = d.k " +
+        "WHERE d.h = 123"
+    withConfs("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "262144") {
+      val withNdv = spark.sql(joinSql("ndvb.t.dim"))
+      val plan = withNdv.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"NDV-backed dim must broadcast under CBO (1/ndv selectivity):\n$plan")
+      assert(withNdv.count() === 120L)
+      // the DIFFERENTIAL: same data without sketches keeps the raw
+      // size estimate (> threshold) — no broadcast, the join shuffles
+      val plain = spark.sql(joinSql("ndvb.t.dimplain"))
+      val plainPlan = plain.queryExecution.executedPlan.toString
+      assert(!plainPlan.contains("BroadcastHashJoin"),
+        s"without NDV stats the oversized dim must not broadcast:\n$plainPlan")
+      assert(plain.count() === 120L, "strategy choice never changes rows")
+    }
+  }
+
+  private def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+    val olds = kvs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
