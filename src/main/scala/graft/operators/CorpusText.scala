@@ -366,25 +366,40 @@ object CorpusText {
     // of a phrase almost always — "the quick fox" anchors on "quick"),
     // chosen driver-side; a_idx re-anchors the candidate position back
     // to the phrase start
-    val kw = keywords.distinct.map { k =>
+    val kwList = keywords.distinct.map { k =>
       val kts = k.trim.toLowerCase.split("\\s+").toSeq
       val aIdx = kts.zipWithIndex.maxBy { case (t, i) => (t.length, -i) }._2
       (k, kts, kts.length, aIdx, kts(aIdx))
-    }.toDF("keyword", "kts", "k_len", "a_idx", "anchor")
+    }
+    val maxLen = kwList.map(_._3).max
+    val kw = kwList.toDF("keyword", "kts", "k_len", "a_idx", "anchor")
     val toksArr = docs.select(col(idCol),
       split(lower(col(textCol)), "\\s+").as("__toks"))
+    // a phrase containing the anchor at position __pos lies entirely
+    // inside tokens [__pos-(maxLen-1), __pos+(maxLen-1)] — carry that
+    // WINDOW through the anchor projection and verify against it, so
+    // the full token arrays are never shuffled a second time (the old
+    // anchors⋈toksArr re-join moved every matched document's array
+    // again; the window is O(maxLen) per ANCHOR HIT, computed lazily
+    // after the broadcast probe filters the token stream). The only
+    // exchange left in the whole operator is the final tiny groupBy.
     val anchors = toksArr
-      .select(col(idCol), posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      .select(col(idCol), col("__toks"),
+        posexplode(col("__toks")).as(Seq("__pos", "__tok")))
       .join(broadcast(kw), col("__tok") === col("anchor"))
-      .select(col(idCol), (col("__pos") - col("a_idx")).as("__start"),
-        col("keyword"), col("kts"), col("k_len"))
+      .select(col(idCol), col("keyword"), col("kts"), col("k_len"),
+        (col("__pos") - col("a_idx")).as("__start"),
+        greatest(col("__pos") - lit(maxLen - 1), lit(0)).as("__wstart"),
+        slice(col("__toks"),
+          greatest(col("__pos") - lit(maxLen - 1), lit(0)) + 1,
+          lit(2 * maxLen - 1)).as("__win"))
       .filter(col("__start") >= 0)
-    // verify the full phrase against the document's token array —
-    // slice is 1-based; a phrase running past the end yields a short
-    // slice and fails the equality
-    anchors.join(toksArr, Seq(idCol))
-      .filter(slice(col("__toks"), col("__start") + 1, col("k_len")) ===
-        col("kts"))
+    // verify the full phrase against the carried window — slice is
+    // 1-based; a phrase running past the end yields a short slice and
+    // fails the equality
+    anchors
+      .filter(slice(col("__win"),
+        col("__start") - col("__wstart") + 1, col("k_len")) === col("kts"))
       .groupBy(col(idCol), col("keyword"))
       .agg(count(lit(1)).as("n_hits"))
   }

@@ -158,6 +158,25 @@ class CorpusTextSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(600))
   }
 
+  test("keywordTag plan: one exchange, no re-join of the token arrays") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps"),
+      (1L, "quick maneuvers win races quick brown wins more"))
+      .toDF("doc_id", "text")
+    val out = CorpusText.keywordTag(docs, "doc_id", "text",
+      Seq("quick brown", "races"))
+    // the window-slice verification needs no anchors⋈tokens join: the
+    // only exchange in the plan is the final (doc, keyword) groupBy
+    val plan = out.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 1, s"expected one shuffle exchange, plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no re-join:\n$plan")
+    val rows = out.orderBy("doc_id", "keyword")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows === Seq((0L, "quick brown", 1L), (1L, "quick brown", 1L),
+      (1L, "races", 1L)))
+  }
+
   test("repetitionProfile: exact counts incl. looped, uniform, and tiny docs") {
     val docs = Seq(
       (1L, "a b a b a b"),   // bigram 'a b' x3, 'b a' x2
