@@ -290,6 +290,56 @@ class RowLevelOpsSpec extends AnyFunSuite with SparkSpec {
     (20L until 80L).foreach(id => assert(got(id) === id * 10))
   }
 
+  test("N concurrent row-level writers on disjoint ranges: all land, merged ≡ sequential") {
+    // the file-level conflict resolution (commitRowLevel / commitDelta
+    // rebase loops) under real N-way concurrency — both mutation
+    // representations: copy-on-write rewrites and merge-on-read deltas
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val writers = 6
+    def stress(dv: Boolean): Unit = {
+      n += 1
+      val name = s"rlo.t.nway$n"
+      spark.sql(s"CREATE TABLE $name (id BIGINT, v BIGINT) " +
+        "USING `graft-versioned` TBLPROPERTIES ('clusterBy'='id', " +
+        s"'writePartitions'='$writers'" +
+        (if (dv) ", 'deletionVectors'='true'" else "") + ")")
+      spark.sql(s"INSERT INTO $name SELECT id, id * 10 FROM range(0, 600)")
+      val pool = Executors.newFixedThreadPool(writers)
+      val start = new CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val futs = (0 until writers).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            start.await()
+            try spark.sql(s"UPDATE $name SET v = ${-(i + 1)} " +
+              s"WHERE id >= ${i * 100} AND id < ${i * 100 + 50}")
+            catch { case e: Throwable => errs.add(e) }
+          }
+        })
+      }
+      start.countDown()
+      futs.foreach(_.get(240, TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(errs.isEmpty,
+        s"all $writers disjoint writers must commit (dv=$dv): " +
+          s"${Option(errs.peek()).map(_.toString)}")
+      val root = s"$warehouse/t/nway$n"
+      assert(graft.operators.Versioned.versions(root).size === writers + 1,
+        s"every writer lands its own version (dv=$dv)")
+      // merged ≡ sequential, whatever the interleaving and rebasing
+      val got = spark.sql(s"SELECT id, v FROM $name").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size === 600)
+      (0L until 600L).foreach { id =>
+        val w = (id / 100).toInt
+        val expected = if (id % 100 < 50) -(w + 1).toLong else id * 10
+        assert(got(id) === expected, s"id=$id dv=$dv")
+      }
+    }
+    stress(dv = false) // copy-on-write: commitRowLevel rebase chain
+    stress(dv = true)  // merge-on-read: commitDelta DV-fragment rebase
+  }
+
   test("row-level commit fails loudly on a concurrent APPEND (no rebase over unseen rows)") {
     val root = java.nio.file.Files.createTempDirectory("graft_rlo_conflict_").toString
     import spark.implicits._
