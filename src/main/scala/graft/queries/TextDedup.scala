@@ -466,6 +466,68 @@ object TextDedup {
     exactSubstrSpans(planted, 5).orderBy("doc_id", "span_start")
   }
 
+  /** EXACT-SUBSTRING dedup APPLIED — [[exactSubstrSpans]]' rewrite
+    * twin (Lee et al. 2022 keep-one semantics): a duplicated k-gram
+    * position survives only in the gram's CANONICAL document (the
+    * smallest doc_id carrying it — deterministic, coordination-free);
+    * every other document drops the tokens its duplicated positions
+    * cover and rebuilds from the survivors. Within-document repeats
+    * stay (the canonical copy keeps its own text intact).
+    *
+    * Scale shape: the same gram-hash shuffle as the span finder (a
+    * window min over doc_id marks non-canonical positions — never
+    * pairs), the covered token set explodes only DROP positions (×k
+    * of the duplicated tail, not the corpus), and the rebuild is one
+    * (doc, idx) anti-join + ordered collect per document. Three
+    * bounded-key shuffles, linear output. Returns
+    * (doc_id, n_tokens, n_dropped, clean_text). */
+  def exactSubstrDedupApply(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val grams = toks
+      .select(col("doc_id"),
+        posexplode(kgramUdf(k)(col("w"))).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), md5(col("gram")).as("g"))
+    val wG = Window.partitionBy("g")
+    val dropPos = grams
+      .withColumn("dmin", min("doc_id").over(wG))
+      .filter(col("dmin") < col("doc_id"))
+      .select(col("doc_id"), col("pos"))
+    val covered = dropPos
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("idx"))
+      .distinct()
+      .withColumn("__drop", lit(true))
+    toks
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("idx", "tok")))
+      .join(covered, Seq("doc_id", "idx"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("__drop")).as("n_dropped"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("__drop").isNull, struct(col("idx"), col("tok"))))),
+            x => x.getField("tok"))).as("clean_text"))
+  }
+
+  /** t109: [[exactSubstrDedupApply]] over t107's exact planted-span
+    * corpus — the %5 header survives only in its smallest carrier,
+    * the %7 footer likewise, organic cross-document 5-grams dedup
+    * with them; the oracle re-derives canonical assignment, covered
+    * token indexes and the rebuilt text brute-force. */
+  def t109ExactSubstrApply(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("quick brown fox jumps over the lazy dog tonight "),
+          col("text")))
+        .when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"),
+            lit(" alpha beta gamma delta epsilon zeta eta theta")))
+        .otherwise(col("text")).as("text"))
+    exactSubstrDedupApply(planted, 5).orderBy("doc_id")
+  }
+
   /** t34: the LSH dedup DECISION at linear cost — drop any document
     * that is not the smallest id in one of its band buckets (the
     * greedy keep-first rule a production dedup applies). Unlike the
@@ -781,6 +843,7 @@ object TextDedup {
     "t91_containment_pairs" -> (t91ContainmentPairs _),
     "t95_containment_dedup_drops" -> (t95ContainmentDedupDrops _),
     "t107_exact_substr_spans" -> (t107ExactSubstrSpans _),
+    "t109_exact_substr_apply" -> (t109ExactSubstrApply _),
     "t29_json_extract" -> (t29JsonExtract _),
     "t30_unpivot_part" -> (t30UnpivotPart _),
     "t31_multimodal_meta" -> (t31MultimodalMeta _),
@@ -853,6 +916,39 @@ object TextDedup {
         |       cast(max(pos) + 5 as bigint) AS span_end
         |FROM isl GROUP BY doc_id, run
         |ORDER BY doc_id, span_start""".stripMargin,
+    // t109: keep-one apply — canonical doc per gram = min(doc_id);
+    // non-canonical duplicated positions cover [pos, pos+5) token
+    // indexes; survivors rebuild in order ('' when everything drops)
+    "t109_exact_substr_apply" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |           'quick brown fox jumps over the lazy dog tonight ' || text
+        |         WHEN doc_id % 7 = 0 THEN
+        |           text || ' alpha beta gamma delta epsilon zeta eta theta'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, string_split(text, ' ') w FROM src),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) i
+        |       FROM d WHERE len(w) >= 5),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |        concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) gram
+        |      FROM ix),
+        |canon AS (SELECT gram, min(doc_id) mn FROM g GROUP BY gram),
+        |drops AS (SELECT g.doc_id, g.pos FROM g JOIN canon USING (gram)
+        |          WHERE canon.mn < g.doc_id),
+        |cov AS (SELECT DISTINCT doc_id,
+        |          unnest(generate_series(pos, pos + 4)) idx FROM drops),
+        |tk AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) j FROM d),
+        |t2 AS (SELECT doc_id, j - 1 AS idx, w[j] AS tok FROM tk)
+        |SELECT t2.doc_id,
+        |  cast(count(*) as bigint) AS n_tokens,
+        |  cast(sum(CASE WHEN cov.idx IS NOT NULL THEN 1 ELSE 0 END)
+        |       as bigint) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN cov.idx IS NULL THEN t2.tok END,
+        |    ' ' ORDER BY t2.idx), '') AS clean_text
+        |FROM t2 LEFT JOIN cov ON t2.doc_id = cov.doc_id AND t2.idx = cov.idx
+        |GROUP BY t2.doc_id ORDER BY t2.doc_id""".stripMargin,
     "t43_url_canonicalize" ->
       """SELECT doc_id,
         | CASE doc_id%4

@@ -181,6 +181,41 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("exact-substring APPLY equals brute force (keep-one canonical)") {
+    import graft.queries.TextDedup
+    val k = 3
+    val docGen = for {
+      len <- Gen.choose(0, 20)
+      ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+    } yield ws.mkString(" ")
+    val docs = samples(docGen, 80).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val gramsOf = docs.map { case (id, t) =>
+      val w = t.split(" ", -1).toSeq
+      id -> (w, if (w.length < k) Seq.empty[(Int, String)]
+                else (0 to w.length - k)
+                  .map(i => i -> w.slice(i, i + k).mkString(" ")))
+    }.toMap
+    val minDocOf = gramsOf.toSeq
+      .flatMap { case (id, (_, gs)) => gs.map { case (_, g) => g -> id } }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    val expected = docs.map { case (id, _) =>
+      val (w, gs) = gramsOf(id)
+      val covered = gs.collect {
+        case (p, g) if minDocOf(g) < id => p until (p + k)
+      }.flatten.toSet
+      val kept = w.zipWithIndex.collect {
+        case (t, i) if !covered(i) => t }
+      (id, w.length.toLong, covered.size.toLong, kept.mkString(" "))
+    }.sorted
+    Seq(1, 7).foreach { parts =>
+      val got = TextDedup.exactSubstrDedupApply(
+        docs.toDF("doc_id", "text").repartition(parts), k)
+        .as[(Long, Long, Long, String)].collect().sorted.toSeq
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
   test("edit-distance blocking is lossless on random short strings") {
     val gen = for {
       len <- Gen.choose(0, 6)
