@@ -99,10 +99,13 @@ object Ivm {
     *
     * Per batch: (1) the delta pre-aggregates per key — map-side
     * combinable, O(batch); (2) one MERGE joins it against state on the
-    * keys — with the state clustered on the keys, file-stats skipping
-    * prunes the probe to the changed groups' files; (3) groups whose
-    * count reaches zero DELETE (DV positions), groups going negative
-    * raise (the retraction-complete contract), new groups INSERT.
+    * keys, with the delta's key MIN/MAX pushed into the ON clause as a
+    * null-safe range conjunct (Delta's dynamic file pruning for
+    * MERGE): the clustered state scan file-prunes to the changed key
+    * range, so the READ side shrinks with the batch too, not just the
+    * write side; (3) groups whose count reaches zero DELETE (DV
+    * positions), groups going negative raise (the
+    * retraction-complete contract), new groups INSERT.
     *
     * Restart-safe exactly-once: the MERGE's state commit carries
     * (txnAppId=`appId`, txnVersion=batchId) through the session-conf
@@ -126,12 +129,42 @@ object Ivm {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val view = s"__ivm_delta_${appId.replaceAll("[^A-Za-z0-9_]", "_")}"
-        toDelta(batch)
+        val delta = toDelta(batch)
           .groupBy(keyCols.map(col): _*)
           .agg(sum(col("sign")).as("__dn"),
                sum(col("sign") * col("v")).as("__dsum"))
-          .createOrReplaceTempView(view)
-        val on = keyCols.map(k => s"t.$k <=> d.$k").mkString(" AND ")
+          .cache()
+        delta.createOrReplaceTempView(view)
+        // DYNAMIC FILE PRUNING for the target scan (Delta's MERGE does
+        // the same with source-key min/max): the join alone gives the
+        // state scan no literal predicate, so without this the READ
+        // side is O(state files) even though the write side is
+        // O(changes). The delta's key bounds are a tiny driver read off
+        // the cached aggregate; `t.k IS NULL OR t.k BETWEEN lo AND hi`
+        // is semantics-preserving under the null-safe join (a non-null
+        // target key outside the bounds can never <=>-match any delta
+        // key, and null target keys stay joinable), and the pushed OR
+        // prunes every clustered state file outside the changed range.
+        def sqlLit(v: Any): Option[String] = v match {
+          case null => None
+          case n: Byte => Some(n.toString)
+          case n: Short => Some(n.toString)
+          case n: Int => Some(n.toString)
+          case n: Long => Some(n.toString + "L")
+          case s: String => Some("'" + s.replace("'", "''") + "'")
+          case _ => None // non-orderable-literal types: no conjunct
+        }
+        val boundsConjuncts = keyCols.flatMap { k =>
+          scala.util.Try {
+            val r = delta.agg(min(col(k)), max(col(k))).collect()(0)
+            for {
+              lo <- sqlLit(r.get(0))
+              hi <- sqlLit(r.get(1))
+            } yield s"(t.$k IS NULL OR (t.$k >= $lo AND t.$k <= $hi))"
+          }.toOption.flatten
+        }
+        val on = (keyCols.map(k => s"t.$k <=> d.$k") ++ boundsConjuncts)
+          .mkString(" AND ")
         val insertCols = (keyCols :+ nCol :+ sumCol).mkString(", ")
         val insertVals = (keyCols.map("d." + _) :+
           // a not-matched key with a net-negative count retracted rows
@@ -155,6 +188,7 @@ object Ivm {
         finally {
           s.conf.unset("graft.versioned.txnAppId")
           s.conf.unset("graft.versioned.txnVersion")
+          delta.unpersist()
         }
         ()
       }
