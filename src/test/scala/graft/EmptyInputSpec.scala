@@ -137,4 +137,20 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     assert(Sampling.temperatureMixture(noDocs, epochDocs = 10L)
       .count() == 0) // no sources → empty epoch, never a 0-division
   }
+
+  test("round-15 operators on empty inputs") {
+    import graft.queries.TextDedup
+    assert(TextDedup.exactSubstrSpans(noDocs, 5).count() == 0)
+    assert(TextDedup.exactSubstrDedupApply(noDocs, 5).count() == 0)
+    assert(CorpusText.removeBoilerplateLines(noDocs, 300000L).count() == 0)
+    // degenerate-but-nonempty: every doc shorter than k, single doc
+    val tiny = Seq((1L, "a b", "s"), (2L, "", "s"))
+      .toDF("doc_id", "text", "source")
+    assert(TextDedup.exactSubstrSpans(tiny, 5).count() == 0)
+    val applied = TextDedup.exactSubstrDedupApply(tiny, 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(applied === Seq((1L, 2L, 0L, "a b"), (2L, 1L, 0L, "")),
+      "sub-k docs pass through untouched")
+  }
 }
