@@ -714,6 +714,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"expression of '$dep' references it"))
     }
     val bloomKey = graft.operators.BloomSidecar.PropKey
+    val ndvKey = graft.operators.NdvSidecar.PropKey
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -764,7 +765,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // the layout contract follows the logical rename
         props = props.map {
           case (k, v) if k == "clusterBy" || k == "changeFeedKeys" ||
-              k == "partitionedBy" || k == bloomKey =>
+              k == "partitionedBy" || k == bloomKey || k == ndvKey =>
             k -> v.split(",").map(_.trim).filter(_.nonEmpty)
               .map(c => if (c == old) nw else c).mkString(",")
           case kv => kv
@@ -781,7 +782,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           autoGuard(name, "drop")
           require(schema.length > 1,
             "graft catalog: cannot drop the table's last column")
-          (propReferencing(name) ++ Some(bloomKey).filter(k =>
+          (propReferencing(name) ++ Seq(bloomKey, ndvKey).filter(k =>
             props.get(k).exists(_.split(",").map(_.trim).contains(name))))
             .headOption.foreach(k => throw new IllegalArgumentException(
               s"graft catalog: cannot drop '$name' — table property '$k' " +
@@ -802,6 +803,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"graft catalog: ${set.property} column '$c' not in table schema")
           }
         if (set.property == bloomKey) validateBloomCols(set.value, schema)
+        if (set.property == ndvKey)
+          set.value.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
+            require(schema.fieldNames.contains(c),
+              s"graft catalog: ndvColumns column '$c' not in table schema")
+          }
         // appendOnly is a WRITER invariant the moment it's set: a build
         // that doesn't know the property could UPDATE/DELETE through
         // the promise — flag writers so foreign builds refuse commits

@@ -229,6 +229,41 @@ class VersionedStatsSpec extends AnyFunSuite with SparkSpec {
     assert(v1.size > v0.size, "new files must gain fresh sketch lines")
   }
 
+  test("ndvColumns follows RENAME, refuses DROP, sketches stay physical-keyed") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ndvddl_spec_")
+    spark.conf.set("spark.sql.catalog.ndvd", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ndvd.warehouse", wh.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ndvd.t")
+    spark.sql("DROP TABLE IF EXISTS ndvd.t.r")
+    spark.sql("CREATE TABLE ndvd.t.r (k BIGINT, pad STRING) " +
+      "USING `graft-versioned` TBLPROPERTIES ('ndvColumns'='k')")
+    spark.sql("INSERT INTO ndvd.t.r SELECT id % 500, 'x' FROM range(0, 5000)")
+    val root = wh.resolve("t").resolve("r")
+    spark.sql("ALTER TABLE ndvd.t.r RENAME COLUMN k TO key")
+    val props = spark.sql("SHOW TBLPROPERTIES ndvd.t.r").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("ndvColumns").contains("key"), props)
+    // the sketches are keyed by PHYSICAL birth name — the rename is
+    // metadata-only and the NEXT insert still carries + extends them
+    spark.sql("INSERT INTO ndvd.t.r SELECT 500 + id % 100, 'y' " +
+      "FROM range(0, 1000)")
+    val kept = graft.operators.Versioned.dataFiles(root.resolve("v=1"))
+      .map(_.getFileName.toString).toSet
+    val est = graft.operators.NdvSidecar.mergedNdv(root.resolve("v=1"), kept)
+    assert(est.contains("k"), s"physical key space: $est")
+    assert(math.abs(est("k") - 600L) <= 30L, s"ndv after rename: $est")
+    // a sketched column is load-bearing: DROP refuses naming the prop
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE ndvd.t.r DROP COLUMN key"))
+    def chain(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "||" + chain(x.getCause)
+    assert(chain(e).contains("ndvColumns"), chain(e))
+    // SET validates columns exist
+    val bad = intercept[Exception](spark.sql(
+      "ALTER TABLE ndvd.t.r SET TBLPROPERTIES ('ndvColumns'='nope')"))
+    assert(chain(bad).contains("ndvColumns column 'nope'"), chain(bad))
+  }
+
   test("CBO + NDV sketches pick the filtered build side without hints") {
     val wh = java.nio.file.Files.createTempDirectory("graft_ndvcbo_spec_")
     spark.conf.set("spark.sql.catalog.ndvb", "graft.sources.GraftCatalog")
