@@ -421,22 +421,23 @@ object TextDedup {
     * extend the span — their grams overlap or touch in the text).
     * Two shuffles total (gram hash, doc_id), output linear in the
     * number of spans, no driver involvement. */
-  def exactSubstrSpans(docs: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = docs
-      .select(col("doc_id"),
+  /** Positional k-gram stream of a corpus: (doc_id, pos, md5(gram)) —
+    * fixed-width shuffle key; md5 ≡ exact contract as t24. */
+  private def kgramHashes(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
         posexplode(kgramUdf(k)(split(col("text"), " ")))
           .as(Seq("pos", "gram")))
-      // fixed-width shuffle key; md5 ≡ exact contract as t24
       .select(col("doc_id"), col("pos"), md5(col("gram")).as("g"))
-    val wG = Window.partitionBy("g")
-    val dupPos = grams
-      .withColumn("dmin", min("doc_id").over(wG))
-      .withColumn("dmax", max("doc_id").over(wG))
-      .filter(col("dmin") =!= col("dmax"))
-      .select(col("doc_id"), col("pos"))
+
+  /** Marked gram positions → maximal (doc, span) ranges: the classic
+    * gaps-and-islands window (positions within k of the previous one
+    * extend the span — their grams overlap or touch); the run
+    * aggregate partial-combines map-side on the already-doc-partitioned
+    * stream, so the final exchange moves O(spans), not O(positions). */
+  private def spansOf(markedPos: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wD = Window.partitionBy("doc_id").orderBy("pos")
-    dupPos
+    markedPos
       .withColumn("brk",
         when(col("pos") - lag("pos", 1).over(wD) <= k, lit(0)).otherwise(lit(1)))
       .withColumn("run", sum("brk").over(
@@ -445,6 +446,42 @@ object TextDedup {
       .agg(min(col("pos")).cast(LongType).as("span_start"),
         (max(col("pos")) + k).cast(LongType).as("span_end"))
       .select("doc_id", "span_start", "span_end")
+  }
+
+  def exactSubstrSpans(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wG = Window.partitionBy("g")
+    val dupPos = kgramHashes(docs, k)
+      .withColumn("dmin", min("doc_id").over(wG))
+      .withColumn("dmax", max("doc_id").over(wG))
+      .filter(col("dmin") =!= col("dmax"))
+      .select(col("doc_id"), col("pos"))
+    spansOf(dupPos, k)
+  }
+
+  /** SUBSTRING-LEVEL DECONTAMINATION — the GPT-3 / Lee et al. overlap
+    * rule the doc-level (t42) and fuzzy (t89) decontaminators cannot
+    * express: a training document is contaminated wherever it shares a
+    * ≥ k-token VERBATIM run with any benchmark/eval text, even though
+    * the documents as wholes are nothing alike. Emits the maximal
+    * contaminated (doc, span) ranges — the caller drops the spans (the
+    * C4/GPT-3 recipe) or the whole document.
+    *
+    * Scale shape: the EVAL side is small by definition (benchmarks are
+    * thousands of rows, the corpus is the 100 TB side) — its distinct
+    * gram hashes build once and the corpus gram stream semi-joins
+    * against them (AQE broadcasts the eval side, so the corpus is
+    * never shuffled for the probe); only the HITS (contaminated
+    * positions, a vanishing fraction) reach the islands windows. */
+  def substrDecontaminate(docs: DataFrame, evalDocs: DataFrame,
+                          k: Int): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(kgramUdf(k)(split(col("text"), " "))).as("gram"))
+      .select(md5(col("gram")).as("g")).distinct()
+    val hits = kgramHashes(docs, k)
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    spansOf(hits, k)
   }
 
   /** t107: [[exactSubstrSpans]] over the documents corpus with PLANTED
@@ -526,6 +563,20 @@ object TextDedup {
             lit(" alpha beta gamma delta epsilon zeta eta theta")))
         .otherwise(col("text")).as("text"))
     exactSubstrDedupApply(planted, 5).orderBy("doc_id")
+  }
+
+  /** t110: [[substrDecontaminate]] with the eval set synthesized from
+    * the corpus itself — 10-token mid-document snippets of every
+    * doc_id % 31 = 0 document (so each source doc must flag its own
+    * span, and any template-repeated run flags its other carriers);
+    * the oracle re-derives eval grams, hit positions and merged spans
+    * brute-force. */
+  def t110SubstrDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(31)) === 0)
+      .select(concat_ws(" ",
+        slice(split(col("text"), " "), 4, 10)).as("text"))
+    substrDecontaminate(docs, evalSet, 5).orderBy("doc_id", "span_start")
   }
 
   /** t34: the LSH dedup DECISION at linear cost — drop any document
@@ -844,6 +895,7 @@ object TextDedup {
     "t95_containment_dedup_drops" -> (t95ContainmentDedupDrops _),
     "t107_exact_substr_spans" -> (t107ExactSubstrSpans _),
     "t109_exact_substr_apply" -> (t109ExactSubstrApply _),
+    "t110_substr_decontaminate" -> (t110SubstrDecontaminate _),
     "t29_json_extract" -> (t29JsonExtract _),
     "t30_unpivot_part" -> (t30UnpivotPart _),
     "t31_multimodal_meta" -> (t31MultimodalMeta _),
@@ -904,6 +956,35 @@ object TextDedup {
         |dup AS (SELECT gram FROM g GROUP BY gram
         |        HAVING min(doc_id) <> max(doc_id)),
         |p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+        |r AS (SELECT doc_id, pos,
+        |        CASE WHEN pos - lag(pos) OVER
+        |               (PARTITION BY doc_id ORDER BY pos) <= 5
+        |             THEN 0 ELSE 1 END brk FROM p),
+        |isl AS (SELECT doc_id, pos,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                         ROWS UNBOUNDED PRECEDING) run
+        |        FROM r)
+        |SELECT doc_id, cast(min(pos) as bigint) AS span_start,
+        |       cast(max(pos) + 5 as bigint) AS span_end
+        |FROM isl GROUP BY doc_id, run
+        |ORDER BY doc_id, span_start""".stripMargin,
+    // t110: eval grams from mid-document snippets; contaminated
+    // positions = corpus grams in the eval set; islands merge within k
+    "t110_substr_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |ev AS (SELECT w[4:13] s FROM d WHERE doc_id % 31 = 0),
+        |evix AS (SELECT s, unnest(generate_series(1, len(s) - 4)) i
+        |         FROM ev WHERE len(s) >= 5),
+        |evg AS (SELECT DISTINCT
+        |          concat_ws(' ', s[i], s[i+1], s[i+2], s[i+3], s[i+4]) gram
+        |        FROM evix),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) i
+        |       FROM d WHERE len(w) >= 5),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |        concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) gram
+        |      FROM ix),
+        |p AS (SELECT doc_id, pos FROM g
+        |      WHERE gram IN (SELECT gram FROM evg)),
         |r AS (SELECT doc_id, pos,
         |        CASE WHEN pos - lag(pos) OVER
         |               (PARTITION BY doc_id ORDER BY pos) <= 5
