@@ -440,6 +440,57 @@ object Versioned {
           "before compacting")
     val smalls = dataFiles(vdir).filter(f => Files.size(f) < smallerThanBytes)
     if (smalls.size < 2) return v
+    rewriteFiles(spark, root, v, smalls, targetFileBytes, clusterBy,
+      commitStamp(root, v))
+  }
+
+  /** OPTIMIZE … WHERE (Delta's predicate-scoped compaction): rewrite
+    * ONLY the data files whose per-file statistics MAY match `pred`
+    * (physical-name space — the caller translates), hard-linking every
+    * other file over through the row-level commit machinery. On a
+    * `PARTITIONED BY`/clustered table the stats slices are narrow, so
+    * "optimize this partition" touches exactly that partition's files
+    * — maintenance cost scales with the slice, not the table. Files
+    * without a stats line rewrite too (absence = may match, the
+    * conservative direction for a rewrite). `smallerThan` composes:
+    * only sub-threshold files inside the slice are packed. Fewer than
+    * two candidates = nothing to pack, no-op. */
+  def compactWhere(spark: SparkSession, root: String,
+                   pred: org.apache.spark.sql.sources.Filter,
+                   targetFileBytes: Long = 128L << 20,
+                   clusterBy: Seq[String] = Seq.empty,
+                   smallerThan: Long = Long.MaxValue): Long = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no versions under $root"))
+    val vdir = Paths.get(root, s"v=$v")
+    val stamp = commitStamp(root, v)
+    if (stamp.isEmpty && versionDirs(root).exists { case (ver, _) =>
+        commitStamp(root, ver).isDefined })
+      throw new IllegalStateException(
+        s"current version v=$v under $root has no commit stamp but the root " +
+          "is time-travel-enabled — re-stamp or roll back the torn version " +
+          "before compacting")
+    val stats = FileStats.read(vdir)
+    val selected = dataFiles(vdir).filter { f =>
+      Files.size(f) < smallerThan &&
+        stats.get(f.getFileName.toString)
+          .forall(FileStats.mayMatch(_, pred))
+    }
+    if (selected.size < 2) return v
+    rewriteFiles(spark, root, v, selected, targetFileBytes, clusterBy, stamp)
+  }
+
+  /** Shared rewrite half of [[compactSmall]]/[[compactWhere]]: read the
+    * LIVE rows of exactly `selected` (DV- and widening-aware), re-cut
+    * them at the byte target (re-clustered when the table has a layout
+    * contract), and land the swap as a row-level commit — untouched
+    * files hard-link, concurrent disjoint row-level commits rebase. */
+  private def rewriteFiles(spark: SparkSession, root: String, v: Long,
+                           selected: Seq[Path], targetFileBytes: Long,
+                           clusterBy: Seq[String],
+                           stamp: Option[Long]): Long = {
+    val vdir = Paths.get(root, s"v=$v")
+    val smalls = selected
     val names = smalls.map(_.getFileName.toString).toSet
     val dvPositions: Seq[(String, Long)] =
       DeletionVectors.dvMap(vdir)

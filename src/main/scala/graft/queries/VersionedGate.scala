@@ -639,6 +639,61 @@ object VersionedGate {
              WHERE grp = 3 ORDER BY doc_id""")
   }
 
+  /** q186: `OPTIMIZE … WHERE` (predicate-scoped compaction) — on a
+    * `PARTITIONED BY` table, three append commits fragment every
+    * partition slice into per-commit files; `sys.compact(where =>
+    * 'grp = 2')` must pack EXACTLY that slice: the gate require()s
+    * every carried file keeps its INODE (hard link, never a rewrite)
+    * and that no carried file's statistics admit grp = 2 (the slice
+    * really was selected by stats, not luck), while the file count
+    * drops. Rows are maintenance-invariant: the oracle re-derives the
+    * full table relationally. */
+  def q186OptimizeWhere(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs186")
+    s.sql("CREATE TABLE graft.gate.docs186 " +
+      "(doc_id BIGINT, grp BIGINT, n_chars BIGINT) USING `graft-versioned` " +
+      "PARTITIONED BY (grp) TBLPROPERTIES ('writePartitions'='4')")
+    Tables.documents(s, dir).createOrReplaceTempView("q186_docs_src")
+    (0 to 2).foreach { r =>
+      s.sql("INSERT INTO graft.gate.docs186 " +
+        s"SELECT doc_id, doc_id % 4, n_chars FROM q186_docs_src " +
+        s"WHERE doc_id % 3 = $r")                               // v=0,1,2
+    }
+    val root = scratchBase.resolve("catalog").resolve("gate")
+      .resolve("docs186")
+    def ino(p: java.nio.file.Path): Long = java.nio.file.Files
+      .getAttribute(p, "unix:ino").asInstanceOf[Long]
+    def filesOf(v: Long): Map[String, Long] =
+      Versioned.dataFiles(root.resolve(s"v=$v"))
+        .map(f => f.getFileName.toString -> ino(f)).toMap
+    val before = filesOf(2L)
+    require(before.size >= 8,
+      s"q186: need a fragmented multi-slice layout (${before.size} files)")
+    s.sql("CALL graft.sys.compact(table => 'gate.docs186', " +
+      "where => 'grp = 2')")                                    // v=3
+    val after = filesOf(3L)
+    require(after.size < before.size,
+      s"q186: the grp = 2 slice must pack (${before.size} -> ${after.size})")
+    val carried = after.keySet.intersect(before.keySet)
+    carried.foreach { nm =>
+      require(after(nm) == before(nm),
+        s"q186: carried file $nm must HARD-LINK (inode), not rewrite")
+    }
+    // the slice was selected by STATISTICS: no carried file may admit
+    // grp = 2 — everything that could hold the slice was rewritten
+    val stats = graft.operators.FileStats.read(root.resolve("v=3"))
+    import org.apache.spark.sql.sources.EqualTo
+    carried.foreach { nm =>
+      require(stats.get(nm).exists(st =>
+          !graft.operators.FileStats.mayMatch(st, EqualTo("grp", 2L))),
+        s"q186: carried file $nm still admits grp = 2 — the where " +
+          "selection missed it")
+    }
+    s.sql("""SELECT grp, doc_id, n_chars FROM graft.gate.docs186
+             ORDER BY doc_id""")
+  }
+
   /** q179: TYPE WIDENING (Delta's typeWidening) — INT→BIGINT and
     * FLOAT→DOUBLE as METADATA-ONLY retypes: narrow files are written,
     * the columns are widened by ALTER TABLE (no rewrite; the
@@ -1791,6 +1846,7 @@ object VersionedGate {
     "q178_streaming_ivm" -> (q178StreamingIvm _),
     "q183_merge_ivm" -> (q183MergeIvm _),
     "q184_partitioned_ddl" -> (q184PartitionedDdl _),
+    "q186_optimize_where" -> (q186OptimizeWhere _),
     "q179_type_widening" -> (q179TypeWidening _),
     "q180_generated_identity" -> (q180GeneratedIdentity _),
     "q181_default_values" -> (q181DefaultValues _),
@@ -2168,6 +2224,11 @@ object VersionedGate {
       """SELECT CAST(doc_id % 7 AS BIGINT) AS grp, doc_id, n_chars
         |FROM documents WHERE doc_id % 7 = 3
         |ORDER BY doc_id""".stripMargin,
+    // q186: predicate-scoped OPTIMIZE is maintenance — rows invariant
+    // (inode carry + stats-selection require()d in-gate)
+    "q186_optimize_where" ->
+      """SELECT CAST(doc_id % 4 AS BIGINT) AS grp, doc_id, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q179: the mixed-file widened table re-derived from the
     // predicates — arm A narrow files (+1 where the UPDATE hit),
     // arm B wide appends, the n >= 50 filter over both

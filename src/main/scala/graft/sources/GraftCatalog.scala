@@ -1024,6 +1024,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("target_file_bytes", LongType)
             .defaultValue((128L << 20).toString).build(),
+          // OPTIMIZE … WHERE (Delta's partition-scoped maintenance):
+          // rewrite only the files whose statistics may match the
+          // predicate — on a PARTITIONED BY table "optimize partition
+          // k" touches exactly that slice's files. Composes with
+          // only_smaller_than (pack the slice's small tail).
+          ProcedureParameter.in("where", StringType)
+            .defaultValue("''").build(),
           // OPTIMIZE ZORDER BY: 'colA,colB' rank-quantizes both columns
           // and rewrites along the Morton curve, so the commit's stats
           // sidecar prunes on EITHER filter dimension (Layout
@@ -1053,22 +1060,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               .map(_._1).getOrElse(Map.empty[String, String])
               .withDefault(identity)
           }
-          val zorder = Option(in.getUTF8String(2)).map(_.toString).getOrElse("")
+          val whereSql = Option(in.getUTF8String(2)).map(_.toString.trim)
+            .filter(_.nonEmpty)
+          val zorder = Option(in.getUTF8String(3)).map(_.toString).getOrElse("")
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(zorderPhys)
-          val smallerThan = in.getLong(3)
+          val smallerThan = in.getLong(4)
           require(smallerThan == 0 || zorder.isEmpty,
             "graft catalog: zorder_by is a FULL-table layout decision — " +
               "it cannot combine with only_smaller_than bin-packing")
+          require(whereSql.isEmpty || zorder.isEmpty,
+            "graft catalog: zorder_by is a FULL-table layout decision — " +
+              "it cannot combine with a where slice")
           // a clustered table re-clusters on compaction: the rewrite
           // restores file-level min/max locality (z-order-style data
           // skipping survives OPTIMIZE instead of degrading)
           val clusterBy = if (zorder.nonEmpty) Seq.empty else clusterByOf(tbl)
-          val v =
-            if (smallerThan > 0)
+          val v = whereSql match {
+            case Some(sql) =>
+              val parts = tbl.split("\\.").filter(_.nonEmpty)
+              require(parts.length >= 2,
+                s"graft catalog: compact where wants 'ns.table', got '$tbl'")
+              val pred = whereToStatsFilter(
+                Identifier.of(parts.init, parts.last), sql)
+              Versioned.compactWhere(SparkSession.active, root(tbl), pred,
+                in.getLong(1), clusterBy,
+                if (smallerThan > 0) smallerThan else Long.MaxValue)
+            case None if smallerThan > 0 =>
               Versioned.compactSmall(SparkSession.active, root(tbl),
                 smallerThan, in.getLong(1), clusterBy)
-            else Versioned.compact(SparkSession.active, root(tbl),
-              in.getLong(1), clusterBy, zorder)
+            case None =>
+              Versioned.compact(SparkSession.active, root(tbl),
+                in.getLong(1), clusterBy, zorder)
+          }
           Seq(new GenericInternalRow(Array[Any](v)))
         })
       case "rollback" => new GraftProcedure("rollback",
@@ -1625,6 +1648,63 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           schema.fieldNames.filterNot(keys.contains).toSeq,
           readColMap(ident).map(_._1).getOrElse(Map.empty))
       }
+  }
+
+  /** Parse + resolve an `OPTIMIZE … WHERE` predicate against the
+    * table's LOGICAL schema, fold analyzer-inserted literal casts,
+    * translate to a data-source Filter, and rename the references into
+    * PHYSICAL (file) name space — the stats sidecar's key space, where
+    * [[graft.operators.Versioned.compactWhere]] selects its files.
+    * Loud when the predicate has no statistics-selectable form. */
+  private def whereToStatsFilter(ident: Identifier, sql: String)
+      : org.apache.spark.sql.sources.Filter = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+    import org.apache.spark.sql.{sources => s}
+    val m = manifestOf(ident)
+    if (!Files.exists(m)) throw new NoSuchTableException(ident)
+    val schema = DataType.fromJson(new String(Files.readAllBytes(m),
+      java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    val spark = SparkSession.active
+    val attrs = schema.fields.toIndexedSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+    val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+    val plan = org.apache.spark.sql.catalyst.plans.logical.Filter(parsed,
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(attrs))
+    val analyzed = org.apache.spark.sql.GraftBridge.ofRows(spark, plan)
+      .queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]
+    // the analyzer wraps literals in casts (grp = 3 on a BIGINT column);
+    // fold them so the V1 translation sees plain literals
+    val folded = analyzed.condition.transformUp {
+      case e if e.foldable && !e.isInstanceOf[Literal] =>
+        Literal.create(e.eval(), e.dataType)
+    }
+    val v1 = org.apache.spark.sql.graftbridge.FilterBridge.toV1(folded)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft catalog: compact where => '$sql' has no " +
+          "file-statistics-selectable form — use comparisons / IN / " +
+          "AND / OR / IS NULL over table columns"))
+    val l2p = readColMap(ident).map(_._1).getOrElse(Map.empty[String, String])
+      .withDefault(identity)
+    def rename(f: s.Filter): s.Filter = f match {
+      case s.And(l, r) => s.And(rename(l), rename(r))
+      case s.Or(l, r) => s.Or(rename(l), rename(r))
+      case s.Not(c) => s.Not(rename(c))
+      case s.EqualTo(a, v) => s.EqualTo(l2p(a), v)
+      case s.EqualNullSafe(a, v) => s.EqualNullSafe(l2p(a), v)
+      case s.GreaterThan(a, v) => s.GreaterThan(l2p(a), v)
+      case s.GreaterThanOrEqual(a, v) => s.GreaterThanOrEqual(l2p(a), v)
+      case s.LessThan(a, v) => s.LessThan(l2p(a), v)
+      case s.LessThanOrEqual(a, v) => s.LessThanOrEqual(l2p(a), v)
+      case s.In(a, vs) => s.In(l2p(a), vs)
+      case s.IsNull(a) => s.IsNull(l2p(a))
+      case s.IsNotNull(a) => s.IsNotNull(l2p(a))
+      case s.StringStartsWith(a, v) => s.StringStartsWith(l2p(a), v)
+      case s.StringEndsWith(a, v) => s.StringEndsWith(l2p(a), v)
+      case s.StringContains(a, v) => s.StringContains(l2p(a), v)
+      case other => other // AlwaysTrue / AlwaysFalse carry no references
+    }
+    rename(v1)
   }
 
   /** The persisted clusterBy columns of a `'ns.table'` argument, in

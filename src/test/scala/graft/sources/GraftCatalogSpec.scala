@@ -127,6 +127,35 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
       .collect()(0).getLong(0) === 25L)
   }
 
+  test("compact(where): renamed columns translate, bad shapes loud") {
+    sql("DROP TABLE IF EXISTS gtest.ns.cw")
+    sql("CREATE TABLE gtest.ns.cw (id BIGINT, k BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('clusterBy'='k', " +
+      "'writePartitions'='4')")
+    (0 to 1).foreach(_ => sql(
+      "INSERT INTO gtest.ns.cw SELECT id, id % 4 FROM range(0, 400)"))
+    // predicate written against the RENAMED logical name must select
+    // files through their physical birth-name stats
+    sql("ALTER TABLE gtest.ns.cw RENAME COLUMN k TO part")
+    val root = java.nio.file.Paths.get(s"$warehouse/ns/cw")
+    val before = graft.operators.Versioned.dataFiles(root.resolve("v=1")).size
+    sql("CALL gtest.sys.compact(table => 'ns.cw', where => 'part = 1')")
+    val after = graft.operators.Versioned.dataFiles(root.resolve("v=2")).size
+    assert(after < before, s"slice must pack ($before -> $after)")
+    assert(sql("SELECT count(*) FROM gtest.ns.cw WHERE part = 1")
+      .collect()(0).getLong(0) === 200L, "rows invariant")
+    // where + zorder is a contradiction (slice vs full-table layout)
+    val both = intercept[Exception](sql(
+      "CALL gtest.sys.compact(table => 'ns.cw', where => 'part = 1', " +
+        "zorder_by => 'id')"))
+    assert(chain(both).exists(_.contains("cannot combine")), chain(both))
+    // an untranslatable predicate is loud, not a silent full rewrite
+    val bad = intercept[Exception](sql(
+      "CALL gtest.sys.compact(table => 'ns.cw', where => 'part % 2 = 0')"))
+    assert(chain(bad).exists(_.contains("file-statistics-selectable")),
+      chain(bad))
+  }
+
   test("fail-loud: ALTER, unsupported type, missing version") {
     sql("DROP TABLE IF EXISTS gtest.ns.t5")
     val badType = intercept[Exception] {
