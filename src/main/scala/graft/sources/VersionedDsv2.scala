@@ -852,11 +852,16 @@ private[sources] class GraftDeltaWriteBuilder(
   extends DeltaWriteBuilder {
 
   override def build(): DeltaWrite = {
-    require(AutoColumns.read(root).isEmpty,
-      "graft-versioned: merge-on-read deltas into a table with " +
-        "GENERATED/IDENTITY columns are unsupported — unset " +
-        "deletionVectors on this table so row-level ops take the " +
-        "copy-on-write path (which computes the auto columns)")
+    // GENERATED/IDENTITY columns take the same fill pass as the
+    // copy-on-write rewrite (recompute generated, pass identity
+    // through, assign MERGE-inserted ids from the persisted hwm) —
+    // only the INSERT half of the delta carries rows, so a
+    // delete-only plan (empty data schema) skips the fill entirely
+    val autoSpecs = AutoColumns.read(root)
+    val autoFill =
+      if (autoSpecs.isEmpty || info.schema().isEmpty) None
+      else Some(AutoColumns.resolveFill(SparkSession.active, root,
+        autoSpecs, info.schema(), rowLevel = true))
     val colMap = GraftVersionedTable.colMapOf(tableOptions)
     // a delete-only delta plan may carry no data columns at all; when
     // rows CAN be inserted, their types must be writable — checked
@@ -885,14 +890,15 @@ private[sources] class GraftDeltaWriteBuilder(
     }
     new GraftDeltaWrite(root, info.schema(), colMap,
       Option(tableOptions.get("commitTs")).map(_.toLong),
-      info.queryId(), feedKeys, op, txn)
+      info.queryId(), feedKeys, op, txn, autoFill)
   }
 }
 
 private[sources] class GraftDeltaWrite(
     root: String, dataSchema: StructType, colMap: Map[String, String],
     commitTs: Option[Long], queryId: String, feedKeys: Seq[String],
-    op: GraftDeltaOperation, txn: Option[(String, Long)] = None)
+    op: GraftDeltaOperation, txn: Option[(String, Long)] = None,
+    autoFill: Option[AutoColumns.Fill] = None)
   extends DeltaWrite {
 
   override def description(): String =
@@ -900,7 +906,7 @@ private[sources] class GraftDeltaWrite(
 
   override def toBatch: DeltaBatchWrite =
     new GraftDeltaBatchWrite(root, dataSchema, colMap, commitTs, queryId,
-      feedKeys, op, txn)
+      feedKeys, op, txn, autoFill)
 }
 
 /** One staged message per task: the insert part file it cut (if any
@@ -915,7 +921,8 @@ private[sources] case class StagedDeltaMessage(
 private[sources] class GraftDeltaBatchWrite(
     root: String, dataSchema: StructType, colMap: Map[String, String],
     commitTs: Option[Long], queryId: String, feedKeys: Seq[String],
-    op: GraftDeltaOperation, txn: Option[(String, Long)] = None)
+    op: GraftDeltaOperation, txn: Option[(String, Long)] = None,
+    autoFill: Option[AutoColumns.Fill] = None)
   extends DeltaBatchWrite {
 
   private val staged = java.nio.file.Paths.get(
@@ -924,7 +931,8 @@ private[sources] class GraftDeltaBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     java.nio.file.Files.createDirectories(staged)
     GraftDeltaWriterFactory(
-      GraftVersionedTable.physicalSchema(dataSchema, colMap), staged.toString)
+      GraftVersionedTable.physicalSchema(dataSchema, colMap), staged.toString,
+      autoFill, math.max(1, info.numPartitions()))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -946,9 +954,10 @@ private[sources] class GraftDeltaBatchWrite(
     }
     // drop leftovers of speculative/failed attempts: only files named
     // in a commit message survive (inserts AND fragments)
-    val keepInserts = messages.collect {
+    val dataMsgs = AutoFillCommitMessage.unwrap(messages)
+    val keepInserts = dataMsgs.collect {
       case StagedDeltaMessage(ins, _) => ins }.flatten.toSet
-    val keepFrags = messages.collect {
+    val keepFrags = dataMsgs.collect {
       case StagedDeltaMessage(_, fr) => fr }.flatten.toSet
     Versioned.listParquet(staged)
       .filterNot(f => keepInserts(f.getFileName.toString))
@@ -965,6 +974,10 @@ private[sources] class GraftDeltaBatchWrite(
     }
     val committed = VersionedWriteIo.commitDelta(root, staged,
       op.scannedVersion, VersionedWriteIo.stampValue(commitTs))
+    // MERGE-inserted identity values advance the persisted high-water
+    // mark exactly like batch inserts do
+    autoFill.foreach(f => AutoColumns.advanceHwm(root,
+      AutoFillCommitMessage.nextBases(f, messages)))
     if (feedKeys.nonEmpty)
       Versioned.writeFeedFor(SparkSession.active, root, committed,
         feedKeys,
@@ -977,12 +990,44 @@ private[sources] class GraftDeltaBatchWrite(
 }
 
 private[sources] case class GraftDeltaWriterFactory(
-    physSchema: StructType, stagingDir: String) extends DeltaWriterFactory {
+    physSchema: StructType, stagingDir: String,
+    autoFill: Option[AutoColumns.Fill] = None, numPartitions: Int = 1)
+  extends DeltaWriterFactory {
 
-  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new GraftDeltaDataWriter(stagingDir,
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
+    val inner = new GraftDeltaDataWriter(stagingDir,
       f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID.toString.take(8)}",
       physSchema)
+    autoFill.fold(inner: DeltaWriter[InternalRow])(f =>
+      new AutoFillDeltaWriter(inner, f, numPartitions, partitionId))
+  }
+}
+
+/** Merge-on-read twin of [[AutoFillDataWriter]]: only the INSERT half
+  * of a delta carries rows (UPDATE arrives as delete+insert), so the
+  * fill pass applies there — generated columns recompute, identity
+  * values pass through non-null and assign from the high-water mark
+  * when a MERGE insert arrives null; deletes pass untouched. */
+private[sources] class AutoFillDeltaWriter(
+    inner: DeltaWriter[InternalRow], fill: AutoColumns.Fill,
+    numPartitions: Int, partitionId: Int)
+  extends DeltaWriter[InternalRow] {
+
+  private val filler = new RowFiller(fill, numPartitions, partitionId)
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    inner.delete(metadata, id)
+  override def insert(row: InternalRow): Unit = inner.insert(filler(row))
+  override def update(metadata: InternalRow, id: InternalRow,
+                      row: InternalRow): Unit = {
+    inner.delete(metadata, id)
+    inner.insert(filler(row))
+  }
+  override def commit(): WriterCommitMessage =
+    AutoFillCommitMessage(inner.commit(), partitionId, numPartitions,
+      filler.assigned.toMap)
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
 }
 
 /** Executor-side delta writer: inserted rows stream into one lazy
