@@ -1007,13 +1007,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * current version; retain: one row per surviving version). */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("sys")))
-      Array("clone", "compact", "convert", "drop_feature", "files", "history", "manifest", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
+      Array("clone", "compact", "convert", "drop_feature", "files", "history", "manifest", "partitions", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
         .map(Identifier.of(Array("sys"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     val known =
-      Array("clone", "compact", "convert", "drop_feature", "files", "history", "manifest", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
+      Array("clone", "compact", "convert", "drop_feature", "files", "history", "manifest", "partitions", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
     require(ident.namespace.sameElements(Array("sys")) && known.contains(ident.name),
       s"graft catalog: unknown procedure ${ident.namespace.mkString(".")}." +
         s"${ident.name} — available: ${known.map("sys." + _).mkString(", ")}")
@@ -1213,6 +1213,81 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               dvs.get(n).map(
                 graft.operators.DeletionVectors.cardinality).getOrElse(0L)))
           }
+        })
+      // SHOW PARTITIONS for the PARTITIONED-BY-→-clusterBy mapping:
+      // one row per partition VALUE with its file/row/byte footprint,
+      // derived entirely from the stats sidecar (O(files) driver read,
+      // zero data I/O — the view a user sizing a partition-scoped
+      // OPTIMIZE WHERE actually needs). Files whose slice spans more
+      // than one value (or carry no stats) aggregate into one
+      // `value = NULL, spanning = true` row — honest, never guessed.
+      case "partitions" => new GraftProcedure("partitions",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          // defaults to the table's first partitionedBy/clusterBy col
+          ProcedureParameter.in("column", StringType)
+            .defaultValue("''").build()),
+        new StructType()
+          .add("value", StringType, nullable = true)
+          .add("n_files", IntegerType, nullable = false)
+          .add("rows", LongType, nullable = false)
+          .add("bytes", LongType, nullable = false)
+          .add("spanning", org.apache.spark.sql.types.BooleanType,
+            nullable = false),
+        in => {
+          val tbl = in.getUTF8String(0).toString
+          val parts = tbl.split("\\.").filter(_.nonEmpty)
+          require(parts.length >= 2,
+            s"graft catalog: partitions wants 'ns.table', got '$tbl'")
+          val ident = Identifier.of(parts.init, parts.last)
+          val props = readProps(ident)
+          val logicalCol = Option(in.getUTF8String(1)).map(_.toString.trim)
+            .filter(_.nonEmpty)
+            .orElse(props.get("partitionedBy")
+              .orElse(props.get("clusterBy"))
+              .map(_.split(",").map(_.trim).filter(_.nonEmpty).head))
+            .getOrElse(throw new IllegalArgumentException(
+              s"graft catalog: $tbl is unpartitioned and unclustered — " +
+                "name the column: partitions(table => …, column => 'k')"))
+          val phys = readColMap(ident).map(_._1)
+            .getOrElse(Map.empty[String, String])
+            .getOrElse(logicalCol, logicalCol)
+          val r = root(tbl)
+          val v = Versioned.latestVersion(r).getOrElse(
+            throw new IllegalStateException(s"no versions under $r"))
+          val vdir = java.nio.file.Paths.get(r, s"v=$v")
+          val stats = graft.operators.FileStats.read(vdir)
+          val files = Versioned.dataFiles(vdir)
+          def render(x: graft.operators.FileStats.V): String = x match {
+            case graft.operators.FileStats.L(n) => n.toString
+            case graft.operators.FileStats.D(d) => d.toString
+            case graft.operators.FileStats.S(s) => s
+            case graft.operators.FileStats.B(b) => b.toString
+          }
+          val keyed: Seq[(Option[String], java.nio.file.Path, Long)] =
+            files.map { f =>
+              val nm = f.getFileName.toString
+              val value = stats.get(nm).flatMap { st =>
+                st.cols.get(phys).flatMap { c =>
+                  (c.lo, c.hi) match {
+                    case (Some(lo), Some(hi)) if lo == hi => Some(render(lo))
+                    case _ => None
+                  }
+                }
+              }
+              (value, f, stats.get(nm).map(_.rows).getOrElse(0L))
+            }
+          keyed.groupBy(_._1).toSeq
+            .sortBy { case (valueOpt, _) => (valueOpt.isEmpty, valueOpt) }
+            .map { case (valueOpt, fs) =>
+              new GenericInternalRow(Array[Any](
+                valueOpt.map(org.apache.spark.unsafe.types.UTF8String
+                  .fromString).orNull,
+                fs.size,
+                fs.map(_._3).sum,
+                fs.map(x => Files.size(x._2)).sum,
+                valueOpt.isEmpty))
+            }
         })
       // RESTORE TABLE … TO VERSION AS OF, as a NEW commit (nothing
       // deleted, restored-over versions stay addressable) — hard-links,

@@ -127,6 +127,35 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
       .collect()(0).getLong(0) === 25L)
   }
 
+  test("sys.partitions: per-value footprint from stats, spanning honest") {
+    sql("DROP TABLE IF EXISTS gtest.ns.sp")
+    sql("CREATE TABLE gtest.ns.sp (id BIGINT, d STRING) " +
+      "USING `graft-versioned` PARTITIONED BY (d) " +
+      "TBLPROPERTIES ('writePartitions'='4')")
+    sql("INSERT INTO gtest.ns.sp SELECT id, concat('p', id % 4) " +
+      "FROM range(0, 400)")
+    val rows = sql("CALL gtest.sys.partitions(table => 'ns.sp')")
+      .collect().map(r => (Option(r.getString(0)), r.getInt(1),
+        r.getLong(2), r.getBoolean(4)))
+    assert(rows.map(_._3).sum === 400L, s"rows account: ${rows.toSeq}")
+    val clean = rows.filter(_._1.isDefined)
+    assert(clean.map(_._1.get).sorted.toSeq
+      .containsSlice(Seq("p0", "p1", "p2", "p3")) ||
+      rows.exists(_._4), s"values or spanning: ${rows.toSeq}")
+    // explicit column works on any clustered/plain table; unpartitioned
+    // and unclustered without a column is loud
+    sql("DROP TABLE IF EXISTS gtest.ns.spu")
+    sql("CREATE TABLE gtest.ns.spu (id BIGINT) USING `graft-versioned`")
+    sql("INSERT INTO gtest.ns.spu SELECT id FROM range(0, 10)")
+    val loud = intercept[Exception](
+      sql("CALL gtest.sys.partitions(table => 'ns.spu')"))
+    assert(chain(loud).exists(_.contains("unpartitioned")), chain(loud))
+    val byCol = sql(
+      "CALL gtest.sys.partitions(table => 'ns.spu', column => 'id')")
+      .collect()
+    assert(byCol.map(_.getLong(2)).sum === 10L)
+  }
+
   test("compact(where): renamed columns translate, bad shapes loud") {
     sql("DROP TABLE IF EXISTS gtest.ns.cw")
     sql("CREATE TABLE gtest.ns.cw (id BIGINT, k BIGINT) " +
