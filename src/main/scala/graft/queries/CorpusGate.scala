@@ -81,6 +81,23 @@ object CorpusGate {
       withLines(Tables.documents(s, dir)), tauPpm = 300000L)
       .orderBy("doc_id")
 
+  /** t111: INTRA-document repeated-line removal — looped/stuttered
+    * documents planted as line structure (the whole body repeated for
+    * % 4 = 0 documents, a doubled header for % 9 = 0), first
+    * occurrence kept in order; zero-shuffle per-row cleanup, oracle
+    * re-derives keep-first independently. */
+  def t111DedupLinesWithin(s: SparkSession, dir: String): DataFrame = {
+    val m4 = pmod(col("doc_id"), lit(4))
+    val m9 = pmod(col("doc_id"), lit(9))
+    val planted = Tables.documents(s, dir).select(col("doc_id"),
+      when(m4 === 0, concat_ws("\n", col("text"), col("text"),
+        concat(lit("tail "), col("doc_id"))))
+        .when(m9 === 0, concat_ws("\n", lit("header line"),
+          lit("header line"), col("text")))
+        .otherwise(col("text")).as("text"))
+    CorpusText.dedupLinesWithin(planted).orderBy("doc_id")
+  }
+
   /** Extended PII fixture for t104/t105: doc_id % 7 round-robin over
     * email(×2) / intl phone / IPv4 / PERSIAN-DIGIT Iranian mobile /
     * 10-digit national id / card+email (two kinds — the "drop" row) /
@@ -262,6 +279,7 @@ object CorpusGate {
     "t105_pii_filter_rate" -> (t105PiiFilterRate _),
     "t106_keyword_tag" -> (t106KeywordTag _),
     "t108_boilerplate_lines" -> (t108BoilerplateLines _),
+    "t111_dedup_lines_within" -> (t111DedupLinesWithin _),
     "t57_chunk_windows" -> (t57ChunkWindows _),
     "t64_quality_score" -> (t64QualityScore _),
     "t65_dup_spans" -> (t65DupSpans _),
@@ -270,6 +288,30 @@ object CorpusGate {
   val oracles: Map[String, String] = Map(
     // t100: the most frequent bigram's count re-derived by explicit
     // group-by — the engine's per-row sorted-run fold must agree
+    // t111: keep-first within each doc, order preserved; the planted
+    // %4 arm repeats the whole body (drops once), %9 doubles a header
+    "t111_dedup_lines_within" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN
+        |           text || chr(10) || text || chr(10) || 'tail ' || doc_id
+        |         WHEN doc_id % 9 = 0 THEN
+        |           'header line' || chr(10) || 'header line' || chr(10) || text
+        |         ELSE text END AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, string_split(text, chr(10)) ls FROM src),
+        |ix AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) i FROM d),
+        |ln AS (SELECT doc_id, i - 1 AS idx, ls[i] AS line FROM ix),
+        |firsts AS (SELECT doc_id, idx, line,
+        |             min(idx) OVER (PARTITION BY doc_id, line) fst
+        |           FROM ln)
+        |SELECT doc_id,
+        |  cast(count(*) as bigint) AS n_lines,
+        |  cast(sum(CASE WHEN idx <> fst THEN 1 ELSE 0 END) as bigint)
+        |    AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN idx = fst THEN line END,
+        |    chr(10) ORDER BY idx), '') AS clean_text
+        |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // t108: line df + threshold + rebuild re-derived independently;
     // docs whose every line dropped rebuild to '' on both sides
     "t108_boilerplate_lines" ->
