@@ -113,20 +113,36 @@ object NdvSidecar {
   /** Union the kept files' sketches per PHYSICAL column name → NDV
     * estimate. Columns missing a sketch in ANY kept file are omitted
     * (a partial union would under-estimate silently). Driver-side,
-    * O(kept files × columns) register merges — microseconds each. */
+    * O(kept files × columns) register merges — microseconds each, but
+    * planning calls this PER QUERY, so results memoize on the exact
+    * (version dir, kept set) pair (version dirs are immutable once
+    * published; the sidecar only gains lines, and a late build just
+    * keeps the no-estimate answer until the cache entry rolls). */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Set[String]), Map[String, Long]]()
+
   def mergedNdv(vdir: Path, keptFiles: Set[String]): Map[String, Long] = {
+    val key = (vdir.toString, keptFiles)
+    val hit = memo.get(key)
+    if (hit != null) return hit
     val byFile = read(vdir)
     val kept = keptFiles.toSeq.sorted.map(f => byFile.getOrElse(f, Map.empty))
-    if (kept.isEmpty) return Map.empty
-    val cols = kept.map(_.keySet).reduce(_ intersect _)
-    cols.flatMap { c =>
-      scala.util.Try {
-        val u = new org.apache.datasketches.hll.Union(LgK)
-        kept.foreach(m => u.update(
-          org.apache.datasketches.hll.HllSketch.heapify(m(c))))
-        c -> math.round(u.getEstimate)
-      }.toOption
-    }.toMap
+    val out =
+      if (kept.isEmpty) Map.empty[String, Long]
+      else {
+        val cols = kept.map(_.keySet).reduce(_ intersect _)
+        cols.flatMap { c =>
+          scala.util.Try {
+            val u = new org.apache.datasketches.hll.Union(LgK)
+            kept.foreach(m => u.update(
+              org.apache.datasketches.hll.HllSketch.heapify(m(c))))
+            c -> math.round(u.getEstimate)
+          }.toOption
+        }.toMap
+      }
+    if (memo.size > 256) memo.clear() // bounded; estimates rebuild cheaply
+    memo.put(key, out)
+    out
   }
 
   // ---------------------------------------------------------- build
