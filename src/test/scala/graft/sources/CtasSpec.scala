@@ -156,6 +156,30 @@ class CtasSpec extends AnyFunSuite with SparkSpec {
     assert(spark.table("ct.t.c6").count() === 2L, "content untouched")
   }
 
+  test("CTAS with PARTITIONED BY clusters the staged write itself") {
+    cat()
+    spark.sql("DROP TABLE IF EXISTS ct.t.c10")
+    spark.sql("CREATE TABLE ct.t.c10 USING `graft-versioned` " +
+      "PARTITIONED BY (g) TBLPROPERTIES ('writePartitions'='4') AS " +
+      "SELECT id, CAST(id % 4 AS BIGINT) AS g FROM range(0, 400)")
+    val props = spark.sql("SHOW TBLPROPERTIES ct.t.c10").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("partitionedBy").contains("g"), props)
+    assert(props.get("clusterBy").contains("g"), props)
+    // the STAGED write already range-clustered: a partition predicate
+    // prunes v=0's files without any post-hoc OPTIMIZE
+    val probe = spark.sql("SELECT id FROM ct.t.c10 WHERE g = 2")
+    probe.collect()
+    val m = "DataFiles: (\\d+)/(\\d+)".r
+      .findFirstMatchIn(probe.queryExecution.executedPlan.toString)
+    assert(m.isDefined)
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"CTAS partition layout must prune (${m.get})")
+    assert(probe.queryExecution.executedPlan.toString.nonEmpty)
+    assert(spark.sql("SELECT count(*) FROM ct.t.c10 WHERE g = 2")
+      .collect()(0).getLong(0) === 100L)
+  }
+
   test("DEFAULT values fill omitted columns and the DEFAULT keyword") {
     cat()
     spark.sql("DROP TABLE IF EXISTS ct.t.c3")
