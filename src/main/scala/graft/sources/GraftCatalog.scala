@@ -802,6 +802,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             require(schema.fieldNames.contains(c),
               s"graft catalog: ${set.property} column '$c' not in table schema")
           }
+        // the PARTITIONED BY contract IS the clusterBy mapping — a
+        // direct clusterBy edit would silently sever partition pruning
+        // while SHOW TBLPROPERTIES keeps advertising the clause
+        require(set.property != "clusterBy" ||
+            !props.contains("partitionedBy"),
+          "graft catalog: this table is PARTITIONED BY " +
+            s"(${props.getOrElse("partitionedBy", "")}) — clusterBy is its " +
+            "layout mapping and cannot be set directly")
         if (set.property == bloomKey) validateBloomCols(set.value, schema)
         if (set.property == ndvKey)
           set.value.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
@@ -815,6 +823,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           Versioned.requireWriterFeature(tablePath(ident), "append-only")
         props += (set.property -> set.value)
       case rm: TableChange.RemoveProperty if layoutKeys(rm.property) =>
+        require(rm.property != "clusterBy" ||
+            !props.contains("partitionedBy"),
+          "graft catalog: this table is PARTITIONED BY " +
+            s"(${props.getOrElse("partitionedBy", "")}) — clusterBy is its " +
+            "layout mapping and cannot be unset directly")
         props -= rm.property
       // CHECK constraints: persisted as predicate SQL, exposed through
       // Table.constraints() so Spark enforces them on every write.

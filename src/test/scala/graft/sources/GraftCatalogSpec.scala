@@ -117,6 +117,17 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
       sql("ALTER TABLE gtest.ns.tp DROP COLUMN d")
     }
     assert(chain(drop).exists(_.contains("partitionedBy")), chain(drop))
+    // the mapping is the contract: direct clusterBy edits refuse
+    val setClus = intercept[Exception] {
+      sql("ALTER TABLE gtest.ns.tp SET TBLPROPERTIES ('clusterBy'='id')")
+    }
+    assert(chain(setClus).exists(_.contains("cannot be set directly")),
+      chain(setClus))
+    val unsetClus = intercept[Exception] {
+      sql("ALTER TABLE gtest.ns.tp UNSET TBLPROPERTIES ('clusterBy')")
+    }
+    assert(chain(unsetClus).exists(_.contains("cannot be unset directly")),
+      chain(unsetClus))
     // rename follows the layout contract
     sql("ALTER TABLE gtest.ns.tp RENAME COLUMN d TO site")
     val renamed = sql("SHOW TBLPROPERTIES gtest.ns.tp").collect()
