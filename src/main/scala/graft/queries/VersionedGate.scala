@@ -694,6 +694,57 @@ object VersionedGate {
              ORDER BY doc_id""")
   }
 
+  /** q187: NDV SKETCH SIDECAR → JOIN STRATEGY — the distinct-count
+    * statistics actually steering the planner: two byte-identical
+    * dimensions (one `ndvColumns`, one plain), both bigger than the
+    * broadcast threshold raw, filtered on a SCATTERED column no
+    * file/row-group stats can prune. Only the sketch-backed dim's scan
+    * can apply the pushed equality's 1/ndv selectivity to its own
+    * estimate, so IT broadcasts and the plain one shuffles —
+    * require()d on the live plans; the threshold conf is restored in
+    * a finally. Rows are strategy-invariant: the oracle re-derives
+    * the join relationally. */
+  def q187NdvBroadcast(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    Seq("dim187", "plain187", "fact187").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS graft.gate.$t"))
+    s.sql("CREATE TABLE graft.gate.dim187 (k BIGINT, h BIGINT, pad STRING) " +
+      "USING `graft-versioned` TBLPROPERTIES ('ndvColumns'='h')")
+    Tables.documents(s, dir).createOrReplaceTempView("q187_docs_src")
+    s.sql("INSERT INTO graft.gate.dim187 " +
+      "SELECT doc_id, doc_id % 50, repeat('d', 64) FROM q187_docs_src")
+    s.sql("CREATE TABLE graft.gate.plain187 (k BIGINT, h BIGINT, pad STRING) " +
+      "USING `graft-versioned`")
+    s.sql("INSERT INTO graft.gate.plain187 " +
+      "SELECT doc_id, doc_id % 50, repeat('d', 64) FROM q187_docs_src")
+    s.sql("CREATE TABLE graft.gate.fact187 (k BIGINT, n_chars BIGINT) " +
+      "USING `graft-versioned`")
+    s.sql("INSERT INTO graft.gate.fact187 " +
+      "SELECT doc_id, n_chars FROM q187_docs_src")
+    def joined(dim: String) = s.sql(
+      s"SELECT f.k AS doc_id, f.n_chars FROM graft.gate.fact187 f " +
+        s"JOIN graft.gate.$dim d ON f.k = d.k WHERE d.h = 7")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = s.conf.get(key)
+    try {
+      s.conf.set(key, "2048")
+      val ndvPlan = joined("dim187").queryExecution.executedPlan.toString
+      require(ndvPlan.contains("BroadcastHashJoin"),
+        s"q187: the sketch-backed dim must broadcast (1/ndv " +
+          s"selectivity):\n$ndvPlan")
+      val plainPlan = joined("plain187").queryExecution.executedPlan.toString
+      require(!plainPlan.contains("BroadcastHashJoin"),
+        s"q187: without sketches the oversized dim must not " +
+          s"broadcast:\n$plainPlan")
+      // strategy never changes rows: materialize BOTH under the gate's
+      // conf, require equality, return the broadcast side's rows
+      val a = joined("dim187").orderBy("doc_id").collect().toSeq
+      val b = joined("plain187").orderBy("doc_id").collect().toSeq
+      require(a == b, "q187: join strategy changed the rows")
+    } finally s.conf.set(key, old)
+    joined("dim187").orderBy("doc_id")
+  }
+
   /** q179: TYPE WIDENING (Delta's typeWidening) — INT→BIGINT and
     * FLOAT→DOUBLE as METADATA-ONLY retypes: narrow files are written,
     * the columns are widened by ALTER TABLE (no rewrite; the
@@ -1847,6 +1898,7 @@ object VersionedGate {
     "q183_merge_ivm" -> (q183MergeIvm _),
     "q184_partitioned_ddl" -> (q184PartitionedDdl _),
     "q186_optimize_where" -> (q186OptimizeWhere _),
+    "q187_ndv_broadcast" -> (q187NdvBroadcast _),
     "q179_type_widening" -> (q179TypeWidening _),
     "q180_generated_identity" -> (q180GeneratedIdentity _),
     "q181_default_values" -> (q181DefaultValues _),
@@ -2229,6 +2281,11 @@ object VersionedGate {
     "q186_optimize_where" ->
       """SELECT CAST(doc_id % 4 AS BIGINT) AS grp, doc_id, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q187: NDV-steered join strategy is row-invariant — the planner
+    // differential is require()d in-gate on the live plans
+    "q187_ndv_broadcast" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id % 50 = 7 ORDER BY doc_id""".stripMargin,
     // q179: the mixed-file widened table re-derived from the
     // predicates — arm A narrow files (+1 where the UPDATE hit),
     // arm B wide appends, the n >= 50 filter over both
