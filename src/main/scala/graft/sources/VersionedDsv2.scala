@@ -1244,7 +1244,8 @@ private[sources] class GraftVersionedScan(
     filterTypes: Map[String, DataType], options: CaseInsensitiveStringMap,
     limit: Option[Int] = None, runtimeFilterable: Boolean = true)
   extends Scan with Batch with SupportsReportStatistics
-  with SupportsRuntimeV2Filtering {
+  with SupportsRuntimeV2Filtering
+  with SupportsReportPartitioning {
 
   private val root = GraftVersionedTable.rootOf(options)
 
@@ -1451,6 +1452,77 @@ private[sources] class GraftVersionedScan(
 
   override def toBatch: Batch = this
 
+  // ------------------------- storage-partitioned joins (Iceberg SPJ)
+  /** Per-file partition KEY values when this scan can participate in a
+    * storage-partitioned join: the table is `PARTITIONED BY`, the user
+    * enabled `spark.sql.sources.v2.bucketing.enabled`, every partition
+    * column is in this scan's output, and EVERY kept file's statistics
+    * pin an exact single value (min == max) for every partition column
+    * — the identity-partition invariant the clustered write maintains.
+    * Two co-partitioned tables joining on the partition columns then
+    * skip BOTH exchanges (Spark groups splits by key and aligns the
+    * sides) — at 100 TB the fact⋈fact join that would shuffle
+    * everything becomes a zipped per-partition merge. Any uncertainty
+    * (a spanning file, a missing stat, an unsupported type) reports
+    * UnknownPartitioning — never a wrong key. */
+  private lazy val spjKeys: Option[(Seq[String], Map[String, Array[Any]])] =
+    if (uninitialized || changeFeed) None
+    else if (!scala.util.Try(SparkSession.active.conf
+        .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
+        .getOrElse(false)) None
+    else Option(options.get("partitionedBy"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(cols => cols.nonEmpty &&
+        cols.forall(required.fieldNames.contains))
+      .flatMap { cols =>
+        import graft.operators.FileStats
+        val stats = FileStats.read(java.nio.file.Paths.get(
+          GraftVersionedTable.snapshotDir(root, options)))
+        def valueOf(st: FileStats.FileStat, c: String,
+                    dt: DataType): Option[Any] =
+          st.cols.get(colMap.getOrElse(c, c)).flatMap(cs =>
+            (cs.lo, cs.hi) match {
+              case (Some(lo), Some(hi)) if lo == hi => (lo, dt) match {
+                case (FileStats.L(v), LongType) => Some(v)
+                case (FileStats.L(v), IntegerType) => Some(v.toInt)
+                case (FileStats.L(v), ShortType) => Some(v.toShort)
+                case (FileStats.L(v), ByteType) => Some(v.toByte)
+                case (FileStats.S(v), StringType) =>
+                  Some(UTF8String.fromString(v))
+                case (FileStats.B(v), BooleanType) => Some(v)
+                case _ => None // floats/temporal: no equality partitions
+              }
+              case _ => None
+            })
+        val types = cols.map(c => required(required.fieldIndex(c)).dataType)
+        val files = plannedGroups.filter(_.kept.nonEmpty)
+          .map(g => java.nio.file.Paths.get(g.file).getFileName.toString)
+        val keyed = files.map { n =>
+          n -> stats.get(n).map(st =>
+            cols.zip(types).map { case (c, t) => valueOf(st, c, t) })
+        }
+        if (files.nonEmpty &&
+            keyed.forall(_._2.exists(_.forall(_.isDefined))))
+          Some(cols -> keyed.map { case (n, vs) =>
+            n -> vs.get.map(_.get).toArray }.toMap)
+        else None
+      }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjKeys match {
+      case Some((cols, byFile)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            cols.map(c => org.apache.spark.sql.connector.expressions
+              .Expressions.identity(c): org.apache.spark.sql.connector
+              .expressions.Expression).toArray,
+            byFile.values.map(_.toSeq).toSet.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     // LIMIT with no filters: row counts are exact, so schedule only
     // enough row groups to cover the limit — `LIMIT 10` over a 100 TB
@@ -1467,7 +1539,21 @@ private[sources] class GraftVersionedScan(
       else graft.operators.DeletionVectors.dvMap(java.nio.file.Paths.get(
           GraftVersionedTable.snapshotDir(root, options)))
         .map { case (n, p) => n -> p.toString }
-    GroupParquetIo.toPartitions(groups, dvs)
+    val parts = GroupParquetIo.toPartitions(groups, dvs)
+    // SPJ: every split carries its partition key so Spark can group
+    // and align the join sides (gated: spjKeys covers ALL planned
+    // files or reports nothing)
+    spjKeys match {
+      case Some((_, byFile)) => parts.map {
+        case p: GroupParquetPartition =>
+          byFile.get(java.nio.file.Paths.get(p.file).getFileName.toString)
+            .map(k => KeyedGroupParquetPartition(p.file, p.rangeStart,
+              p.rangeEnd, p.dvFile, k): InputPartition)
+            .getOrElse(p)
+        case p => p
+      }
+      case None => parts
+    }
   }
 
   /** Footer-derived estimates over the SURVIVING row groups: numRows
@@ -2065,16 +2151,31 @@ private[sources] case class GroupParquetPartition(
     dvFile: String = null)
   extends InputPartition
 
+/** A split that knows its partition-column values — the
+  * storage-partitioned-join shape (only planned when the scan proved
+  * every kept file pins one exact value per partition column). */
+private[sources] case class KeyedGroupParquetPartition(
+    file: String, rangeStart: Long, rangeEnd: Long, dvFile: String,
+    keyVals: Array[Any])
+  extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(keyVals)
+}
+
 private[sources] case class GroupParquetReaderFactory(
     required: StructType, pushed: Array[Filter],
     filterTypes: Map[String, DataType], limit: Long = -1L,
     colMap: Map[String, String] = Map.empty)
   extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GroupParquetPartition]
-    new GroupParquetPartitionReader(p.file, p.rangeStart, p.rangeEnd,
-      required, pushed, filterTypes, limit, p.dvFile, colMap)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
+    case p: GroupParquetPartition =>
+      new GroupParquetPartitionReader(p.file, p.rangeStart, p.rangeEnd,
+        required, pushed, filterTypes, limit, p.dvFile, colMap)
+    case p: KeyedGroupParquetPartition =>
+      new GroupParquetPartitionReader(p.file, p.rangeStart, p.rangeEnd,
+        required, pushed, filterTypes, limit, p.dvFile, colMap)
   }
 }
 

@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** STORAGE-PARTITIONED JOINS (Iceberg SPJ): two `PARTITIONED BY`
+  * graft tables joining on their partition columns skip BOTH shuffle
+  * exchanges — the scans report `KeyGroupedPartitioning` with a
+  * partition key per split (proved exact from the per-file stats) and
+  * Spark groups + aligns the sides. Gated three ways: the
+  * `spark.sql.sources.v2.bucketing.enabled` conf, the partitionedBy
+  * contract, and an exactness proof over every kept file — any
+  * uncertainty reports UnknownPartitioning and the join planning is
+  * exactly what it was before. */
+class SpjSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val warehouse =
+    java.nio.file.Files.createTempDirectory("graft_spj_spec_").toString
+
+  private def cat(): Unit = {
+    spark.conf.set("spark.sql.catalog.spj", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.spj.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spj.t")
+  }
+
+  private def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+    val olds = kvs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def mkTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS spj.t.$name")
+    spark.sql(s"CREATE TABLE spj.t.$name (id BIGINT, g BIGINT, v BIGINT) " +
+      "USING `graft-versioned` PARTITIONED BY (g)")
+    // one insert per partition value: each commit's file pins exactly
+    // one g (min == max), the invariant the key report requires
+    (0L to 3L).foreach { gv =>
+      spark.sql(s"INSERT INTO spj.t.$name " +
+        s"SELECT ${gv * 1000} + id, ${gv}L, id * 7 FROM range(0, 100)")
+    }
+  }
+
+  test("co-partitioned join on the partition column runs with zero exchanges") {
+    cat()
+    mkTable("a")
+    mkTable("b")
+    val q = "SELECT a.id, a.v, b.v AS bv FROM spj.t.a a JOIN spj.t.b b " +
+      "ON a.g = b.g AND a.id = b.id"
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      // the join clusters on (g, id) while storage partitions on g —
+      // a subset, which Spark accepts only with this off (default on)
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(q)
+      val plan = j.queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(shuffles === 0,
+        s"co-partitioned join must skip both exchanges:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(j.count() === 400L)
+      assert(j.filter("v != bv").count() === 0L)
+    }
+    // conf off: planning is exactly what it was — shuffled, same rows
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(q)
+      val plan = j.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 1,
+        s"without the conf the join shuffles as before:\n$plan")
+      assert(j.count() === 400L)
+    }
+  }
+
+  test("a spanning file degrades to UnknownPartitioning, never a wrong key") {
+    cat()
+    mkTable("c")
+    // one FILE covering TWO partition values — a path-level append
+    // (the catalog write would range-cluster the values apart): the
+    // exactness proof must fail and the report must withdraw
+    spark.range(0, 10)
+      .selectExpr("9000 + id AS id", "CAST(id % 2 AS BIGINT) AS g",
+        "id AS v")
+      .coalesce(1).write.format("graft-versioned")
+      .mode("append").save(s"$warehouse/t/c")
+    spark.sql("REFRESH TABLE spj.t.c")
+    mkTable("d")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql("SELECT c.id FROM spj.t.c c JOIN spj.t.d d " +
+        "ON c.g = d.g AND c.id = d.id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 1,
+        s"a spanning file must fall back to the shuffled join:\n$plan")
+      assert(j.count() === 400L, "fallback never changes rows")
+    }
+  }
+}
