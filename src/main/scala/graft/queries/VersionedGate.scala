@@ -745,6 +745,60 @@ object VersionedGate {
     joined("dim187").orderBy("doc_id")
   }
 
+  /** q188: STORAGE-PARTITIONED JOIN — two co-partitioned
+    * `PARTITIONED BY (grp)` tables joined on (grp, doc_id) with the
+    * v2-bucketing confs on: the gate require()s the plan ran with
+    * ZERO shuffle exchanges (both scans reported their per-split
+    * partition keys, proved exact from file stats, and Spark aligned
+    * the sides — the Iceberg SPJ shape), then returns the rows for
+    * the oracle's relational re-derivation. Strategy never changes
+    * rows; the confs restore in a finally. */
+  def q188StoragePartitionedJoin(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.a188")
+    s.sql("DROP TABLE IF EXISTS graft.gate.b188")
+    Tables.documents(s, dir).createOrReplaceTempView("q188_docs_src")
+    Seq("a188" -> "", "b188" -> " AND doc_id % 2 = 0").foreach {
+      case (t, extra) =>
+        s.sql(s"CREATE TABLE graft.gate.$t " +
+          "(doc_id BIGINT, grp BIGINT, n_chars BIGINT) " +
+          "USING `graft-versioned` PARTITIONED BY (grp)")
+        // one insert per partition value: every committed file pins
+        // exactly one grp — the SPJ exactness invariant
+        (0L to 3L).foreach { g =>
+          s.sql(s"INSERT INTO graft.gate.$t SELECT doc_id, ${g}L, " +
+            s"n_chars FROM q188_docs_src WHERE doc_id % 4 = $g$extra")
+        }
+    }
+    val q = "SELECT a.doc_id, a.n_chars, b.n_chars AS n2 " +
+      "FROM graft.gate.a188 a JOIN graft.gate.b188 b " +
+      "ON a.grp = b.grp AND a.doc_id = b.doc_id"
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = confs.map { case (k, _) =>
+      k -> scala.util.Try(s.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val j = s.sql(q)
+      val plan = j.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"q188: the co-partitioned join must skip both exchanges:\n$plan")
+      // the exchange-free rows ARE the returned rows: materialize them
+      // under the SPJ plan and hand a deterministic frame to Verify
+      val rows = j.orderBy("doc_id").collect().toSeq
+      val schema = j.schema
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+        .orderBy("doc_id")
+    } finally olds.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** q179: TYPE WIDENING (Delta's typeWidening) — INT→BIGINT and
     * FLOAT→DOUBLE as METADATA-ONLY retypes: narrow files are written,
     * the columns are widened by ALTER TABLE (no rewrite; the
@@ -1899,6 +1953,7 @@ object VersionedGate {
     "q184_partitioned_ddl" -> (q184PartitionedDdl _),
     "q186_optimize_where" -> (q186OptimizeWhere _),
     "q187_ndv_broadcast" -> (q187NdvBroadcast _),
+    "q188_spj" -> (q188StoragePartitionedJoin _),
     "q179_type_widening" -> (q179TypeWidening _),
     "q180_generated_identity" -> (q180GeneratedIdentity _),
     "q181_default_values" -> (q181DefaultValues _),
@@ -2286,6 +2341,11 @@ object VersionedGate {
     "q187_ndv_broadcast" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE doc_id % 50 = 7 ORDER BY doc_id""".stripMargin,
+    // q188: the exchange-free co-partitioned join is row-invariant —
+    // b ⊂ a at the even doc_ids, same grp derivation on both sides
+    "q188_spj" ->
+      """SELECT doc_id, n_chars, n_chars AS n2 FROM documents
+        |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
     // q179: the mixed-file widened table re-derived from the
     // predicates — arm A narrow files (+1 where the UPDATE hit),
     // arm B wide appends, the n >= 50 filter over both
