@@ -77,6 +77,23 @@ class SpjSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("GROUP BY the partition column aggregates without an exchange") {
+    cat()
+    mkTable("e")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val agg = spark.sql(
+        "SELECT g, sum(v) AS s, count(*) AS n FROM spj.t.e GROUP BY g")
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"partition-aligned aggregation must not shuffle:\n$plan")
+      val rows = agg.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      val expect = (0L to 3L).map(g => (g, (0L until 100L).map(_ * 7).sum, 100L))
+      assert(rows === expect)
+    }
+  }
+
   test("a spanning file degrades to UnknownPartitioning, never a wrong key") {
     cat()
     mkTable("c")
