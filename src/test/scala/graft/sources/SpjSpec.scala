@@ -94,6 +94,31 @@ class SpjSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mismatched partition sets: missing values pad, join stays exchange-free") {
+    cat()
+    mkTable("f")
+    // the other side carries only HALF the partition values
+    spark.sql("DROP TABLE IF EXISTS spj.t.half")
+    spark.sql("CREATE TABLE spj.t.half (id BIGINT, g BIGINT, v BIGINT) " +
+      "USING `graft-versioned` PARTITIONED BY (g)")
+    (0L to 1L).foreach { gv =>
+      spark.sql(s"INSERT INTO spj.t.half " +
+        s"SELECT ${gv * 1000} + id, ${gv}L, id * 7 FROM range(0, 100)")
+    }
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql("SELECT a.id FROM spj.t.f a JOIN spj.t.half b " +
+        "ON a.g = b.g AND a.id = b.id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"partition-value padding must keep the join exchange-free:\n$plan")
+      assert(j.count() === 200L, "only the shared values' rows join")
+    }
+  }
+
   test("a spanning file degrades to UnknownPartitioning, never a wrong key") {
     cat()
     mkTable("c")
