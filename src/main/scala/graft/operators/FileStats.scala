@@ -275,6 +275,27 @@ object FileStats {
     }
   }
 
+  /** Recompute the sidecar lines of exactly `names` in `vdir` (fresh
+    * footer reads), carrying every other line verbatim — the hook for
+    * maintenance that EDITS files in place (purge), where the old
+    * min/max/rows would over-approximate forever. No sidecar = no-op
+    * (absence stays "no pruning"). */
+  private[graft] def refreshLines(vdir: Path, names: Set[String]): Unit = {
+    val f = vdir.resolve(StatsManifest)
+    if (!Files.exists(f) || names.isEmpty) return
+    val existing = rawLines(vdir)
+    val updated = existing.map { case (n, line) =>
+      n -> (if (names(n) && Files.exists(vdir.resolve(n)))
+        toJson(n, collect(vdir.resolve(n)))
+      else line)
+    }
+    val tmp = Files.createTempFile(vdir, "_graft_stats_", ".tmp")
+    Files.write(tmp, updated.toSeq.sortBy(_._1).map(_._2).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** The version's per-file stats, empty for a pre-stats commit (every
     * absence is just "no pruning", never an error). */
   def read(vdir: Path): Map[String, FileStat] = {

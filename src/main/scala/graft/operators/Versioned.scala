@@ -480,6 +480,150 @@ object Versioned {
     rewriteFiles(spark, root, v, selected, targetFileBytes, clusterBy, stamp)
   }
 
+  /** GDPR / TAKEDOWN PURGE: physically remove every row matching the
+    * predicate from EVERY surviving version — the
+    * right-to-be-forgotten / PII-takedown operation a versioned
+    * training corpus must answer, and the one deliberate exception to
+    * immutable history (compliance outranks reproducibility; a DELETE
+    * only hides rows from the NEXT version, the bytes live on in every
+    * older snapshot and every hard link).
+    *
+    * Mechanics: data files are deduplicated BY INODE (versions share
+    * bytes via hard links — each distinct file rewrites ONCE), only
+    * inodes whose statistics MAY match `selector` are touched (a
+    * clustered/partitioned key purge reads just its slice), matching
+    * rows drop under the null-keep DELETE rule (`pred` null ⇒ row
+    * stays), the rewritten bytes re-link into every version that
+    * carried the inode (names, manifests and link-sharing all
+    * preserved; a fully-purged file stays as an empty parquet), stats
+    * sidecar lines REFRESH for rewritten files in every affected
+    * version (the old min/max would over-approximate forever), bloom +
+    * ndv sidecar lines for them DROP (absence is the conservative
+    * direction), and the commit-log checkpoint truncates (its byte
+    * counts drifted). Tags keep resolving — their versions' content
+    * simply no longer contains the purged rows.
+    *
+    * Refusals, each naming the fix: deletion-vector sidecars anywhere
+    * in history (positions would shift under the rewrite — compact +
+    * retention first), stored change feeds (the purged rows live in
+    * the diffs too — a feed-preserving purge is a different
+    * operation), and type-widening tables (a narrow file's rewrite
+    * through the widening read would silently re-type it).
+    *
+    * Returns (files rewritten, rows purged). */
+  def purgeRows(spark: SparkSession, root: String, predSql: String,
+                selector: org.apache.spark.sql.sources.Filter,
+                colMap: Map[String, String] = Map.empty): (Int, Long) = {
+    val vdirs = versionDirs(root)
+    require(vdirs.nonEmpty, s"purge: no versions under $root")
+    vdirs.foreach { case (v, d) =>
+      require(DeletionVectors.dvMap(d).isEmpty,
+        s"purge: v=$v carries deletion-vector sidecars — their row " +
+          "positions would shift under the rewrite; run sys.compact " +
+          "(materializes DVs) and retention over older DV'd versions " +
+          "first")
+    }
+    require(feedVersions(root).isEmpty,
+      "purge: this table stores change feeds — the purged rows live " +
+        "in the diffs too; a feed-preserving purge is not supported")
+    require(!readerFeatures(root).contains("type-widening"),
+      "purge: type-widening tables are unsupported — a narrow file's " +
+        "rewrite through the widening read would re-type it")
+    // one rewrite per INODE; every (version, name) entry re-links
+    val byInode = scala.collection.mutable.LinkedHashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Path]]
+    vdirs.foreach { case (_, d) =>
+      dataFiles(d).foreach { f =>
+        val ino = Files.getAttribute(f, "unix:ino").asInstanceOf[Long]
+        byInode.getOrElseUpdate(ino,
+          scala.collection.mutable.ArrayBuffer.empty[Path]) += f
+      }
+    }
+    val l2p = colMap.withDefault(identity)
+    val p2l = colMap.map(_.swap).withDefault(identity)
+    var filesRewritten = 0
+    var rowsPurged = 0L
+    byInode.values.foreach { paths =>
+      val first = paths.head
+      val name = first.getFileName.toString
+      // statistics gate: the file rewrites only when SOME version's
+      // stats line admits the predicate (absent stats = may match)
+      val mayMatch = paths.exists { f =>
+        FileStats.read(f.getParent).get(name)
+          .forall(FileStats.mayMatch(_, selector))
+      }
+      if (mayMatch) {
+        val raw = spark.read.parquet(first.toString)
+        // the predicate speaks LOGICAL names; files store physical
+        val logical = raw.select(raw.columns.toSeq
+          .map(c => col(c).as(p2l(c))): _*)
+        val before = raw.count()
+        val kept = logical
+          .filter(!coalesce(expr(predSql), lit(false)))
+          .select(logical.columns.toSeq.map(c => col(c).as(l2p(c))): _*)
+          .coalesce(1)
+        val tmpDir = Files.createTempDirectory(Paths.get(root),
+          "_staging_purge_")
+        kept.write.mode("overwrite").parquet(tmpDir.toString)
+        val part = listParquet(tmpDir).headOption.getOrElse {
+          // zero survivors and the writer cut no file: cut an empty one
+          val phys = org.apache.spark.sql.types.StructType(raw.schema.fields)
+          graft.sources.GroupParquetWriterFactory(phys, tmpDir.toString)
+            .emptyFile("part-empty.parquet")
+          listParquet(tmpDir).head
+        }
+        val after = spark.read.parquet(part.toString).count()
+        if (after < before) {
+          // publish: move over the first link, re-link the rest — the
+          // version dirs keep sharing one inode, names unchanged
+          Files.move(part, first,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          paths.tail.foreach { f =>
+            Files.deleteIfExists(f)
+            Files.createLink(f, first)
+          }
+          // Hadoop's local FS keeps `.name.crc` checksum twins — the
+          // old one now mismatches the rewritten bytes and would fail
+          // every future read loudly; drop it in each version dir
+          paths.foreach { f =>
+            Files.deleteIfExists(f.getParent.resolve(
+              "." + f.getFileName.toString + ".crc"))
+          }
+          filesRewritten += 1
+          rowsPurged += before - after
+          paths.map(_.getParent).distinct.foreach { vdir =>
+            FileStats.refreshLines(vdir, Set(name))
+            dropSidecarLines(vdir.resolve(BloomSidecar.Sidecar), name)
+            dropSidecarLines(vdir.resolve(NdvSidecar.Sidecar), name)
+          }
+        }
+        deleteRecursively(tmpDir)
+      }
+    }
+    if (rowsPurged > 0) truncateCheckpoint(root, 0L)
+    (filesRewritten, rowsPurged)
+  }
+
+  /** Drop the `{"f": name, …}` lines naming a rewritten file from a
+    * bloom/ndv sidecar — absence is each layer's conservative state. */
+  private def dropSidecarLines(sidecar: Path, name: String): Unit = {
+    if (!Files.exists(sidecar)) return
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val kept = new String(Files.readAllBytes(sidecar),
+      java.nio.charset.StandardCharsets.UTF_8).linesIterator.filter { l =>
+      scala.util.Try(
+        mapper.readTree(l).get("f").textValue() != name).getOrElse(true)
+    }.toSeq
+    if (kept.isEmpty) Files.deleteIfExists(sidecar)
+    else {
+      val tmp = Files.createTempFile(sidecar.getParent, "_graft_sc_", ".tmp")
+      Files.write(tmp, kept.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, sidecar, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Shared rewrite half of [[compactSmall]]/[[compactWhere]]: read the
     * LIVE rows of exactly `selected` (DV- and widening-aware), re-cut
     * them at the byte target (re-clustered when the table has a layout

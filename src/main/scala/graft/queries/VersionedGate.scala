@@ -799,6 +799,75 @@ object VersionedGate {
     }
   }
 
+  /** q189: GDPR/TAKEDOWN PURGE — `sys.purge` physically removes the
+    * predicate's rows from EVERY surviving version: after a
+    * multi-version CoW history, the gate records per-version
+    * (count, sum) facts over the NON-purged rows plus every file's
+    * inode, purges a partition-scoped key set, then require()s (a) no
+    * purged row is readable at ANY version, (b) the non-purged facts
+    * are bit-identical at every version (the rewrite touched nothing
+    * else), (c) every file whose statistics refute the purge slice
+    * kept its INODE (selection was stats-gated, not a full-history
+    * rewrite). The oracle re-derives the final content relationally
+    * with the purge applied on top of the predicate chain. */
+  def q189PurgeRows(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs189")
+    s.sql("CREATE TABLE graft.gate.docs189 " +
+      "(doc_id BIGINT, grp BIGINT, n_chars BIGINT) USING `graft-versioned` " +
+      "PARTITIONED BY (grp) TBLPROPERTIES ('writePartitions'='4')")
+    Tables.documents(s, dir).createOrReplaceTempView("q189_docs_src")
+    s.sql("INSERT INTO graft.gate.docs189 " +
+      "SELECT doc_id, doc_id % 4, n_chars FROM q189_docs_src")          // v=0
+    s.sql("UPDATE graft.gate.docs189 SET n_chars = n_chars + 5 " +
+      "WHERE doc_id % 6 = 0")                                           // v=1
+    s.sql("DELETE FROM graft.gate.docs189 WHERE n_chars < 100")         // v=2
+    val root = scratchBase.resolve("catalog").resolve("gate")
+      .resolve("docs189")
+    val versions = Versioned.versions(root.toString)
+    val keepPred = "NOT (grp = 2 AND doc_id % 5 = 3)"
+    def factsAt(v: Long): (Long, Long) = {
+      val r = s.sql(s"SELECT count(*), coalesce(sum(n_chars), 0) " +
+        s"FROM graft.gate.docs189 VERSION AS OF $v WHERE $keepPred")
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val preFacts = versions.map(v => v -> factsAt(v)).toMap
+    def ino(p: java.nio.file.Path): Long = java.nio.file.Files
+      .getAttribute(p, "unix:ino").asInstanceOf[Long]
+    import org.apache.spark.sql.sources.EqualTo
+    // files whose stats REFUTE grp = 2 must survive untouched
+    val protectedInodes: Seq[(java.nio.file.Path, Long)] =
+      versions.flatMap { v =>
+        val vdir = root.resolve(s"v=$v")
+        val stats = graft.operators.FileStats.read(vdir)
+        Versioned.dataFiles(vdir).filter { f =>
+          stats.get(f.getFileName.toString)
+            .exists(st => !graft.operators.FileStats
+              .mayMatch(st, EqualTo("grp", 2L)))
+        }.map(f => f -> ino(f))
+      }
+    require(protectedInodes.nonEmpty,
+      "q189: the layout must give the purge something to skip")
+    val out = s.sql("CALL graft.sys.purge(table => 'gate.docs189', " +
+      "where => 'grp = 2 AND doc_id % 5 = 3')").collect()(0)
+    require(out.getLong(1) > 0L, "q189: the purge must remove rows")
+    versions.foreach { v =>
+      require(s.sql(s"SELECT count(*) FROM graft.gate.docs189 " +
+          s"VERSION AS OF $v WHERE grp = 2 AND doc_id % 5 = 3")
+          .collect()(0).getLong(0) == 0L,
+        s"q189: purged rows still readable at v=$v")
+      require(factsAt(v) == preFacts(v),
+        s"q189: non-purged rows changed at v=$v — the rewrite leaked")
+    }
+    protectedInodes.foreach { case (f, i) =>
+      require(ino(f) == i,
+        s"q189: $f was rewritten though its stats refute the purge slice")
+    }
+    s.sql("""SELECT grp, doc_id, n_chars FROM graft.gate.docs189
+             ORDER BY doc_id""")
+  }
+
   /** q179: TYPE WIDENING (Delta's typeWidening) — INT→BIGINT and
     * FLOAT→DOUBLE as METADATA-ONLY retypes: narrow files are written,
     * the columns are widened by ALTER TABLE (no rewrite; the
@@ -1954,6 +2023,7 @@ object VersionedGate {
     "q186_optimize_where" -> (q186OptimizeWhere _),
     "q187_ndv_broadcast" -> (q187NdvBroadcast _),
     "q188_spj" -> (q188StoragePartitionedJoin _),
+    "q189_purge_rows" -> (q189PurgeRows _),
     "q179_type_widening" -> (q179TypeWidening _),
     "q180_generated_identity" -> (q180GeneratedIdentity _),
     "q181_default_values" -> (q181DefaultValues _),
@@ -2346,6 +2416,18 @@ object VersionedGate {
     "q188_spj" ->
       """SELECT doc_id, n_chars, n_chars AS n2 FROM documents
         |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
+    // q189: the post-purge final content re-derived relationally — the
+    // purge predicate applied on top of the CoW predicate chain
+    // (per-version absence + invariance + inode proofs live in-gate)
+    "q189_purge_rows" ->
+      """WITH v0 AS (SELECT doc_id, doc_id % 4 grp, n_chars FROM documents),
+        |v1 AS (SELECT doc_id, grp,
+        |         CASE WHEN doc_id % 6 = 0 THEN n_chars + 5
+        |              ELSE n_chars END n_chars FROM v0),
+        |v2 AS (SELECT * FROM v1 WHERE n_chars >= 100)
+        |SELECT CAST(grp AS BIGINT) AS grp, doc_id, n_chars FROM v2
+        |WHERE NOT (grp = 2 AND doc_id % 5 = 3)
+        |ORDER BY doc_id""".stripMargin,
     // q179: the mixed-file widened table re-derived from the
     // predicates — arm A narrow files (+1 where the UPDATE hit),
     // arm B wide appends, the n >= 50 filter over both

@@ -1020,13 +1020,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * current version; retain: one row per surviving version). */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("sys")))
-      Array("clone", "compact", "convert", "drop_feature", "files", "history", "manifest", "partitions", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
+      Array("clone", "compact", "convert", "drop_feature", "files", "history", "manifest", "partitions", "purge", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
         .map(Identifier.of(Array("sys"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     val known =
-      Array("clone", "compact", "convert", "drop_feature", "files", "history", "manifest", "partitions", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
+      Array("clone", "compact", "convert", "drop_feature", "files", "history", "manifest", "partitions", "purge", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
     require(ident.namespace.sameElements(Array("sys")) && known.contains(ident.name),
       s"graft catalog: unknown procedure ${ident.namespace.mkString(".")}." +
         s"${ident.name} — available: ${known.map("sys." + _).mkString(", ")}")
@@ -1301,6 +1301,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 fs.map(x => Files.size(x._2)).sum,
                 valueOpt.isEmpty))
             }
+        })
+      // GDPR/TAKEDOWN PURGE: physically remove matching rows from
+      // EVERY surviving version — the right-to-be-forgotten operation
+      // and the deliberate exception to immutable history (a DELETE
+      // only hides rows going forward; the bytes live on in every
+      // older snapshot). Inode-deduplicated rewrites, stats-gated
+      // file selection, sidecars refreshed; DV'd histories, stored
+      // feeds and widened tables refuse naming the fix.
+      case "purge" => new GraftProcedure("purge",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("where", StringType).build()),
+        new StructType()
+          .add("files_rewritten", IntegerType, nullable = false)
+          .add("rows_purged", LongType, nullable = false),
+        in => {
+          val tbl = in.getUTF8String(0).toString
+          val parts = tbl.split("\\.").filter(_.nonEmpty)
+          require(parts.length >= 2,
+            s"graft catalog: purge wants 'ns.table', got '$tbl'")
+          val ident = Identifier.of(parts.init, parts.last)
+          val whereSql = Option(in.getUTF8String(1)).map(_.toString.trim)
+            .filter(_.nonEmpty).getOrElse(throw new IllegalArgumentException(
+              "graft catalog: purge requires where => '<predicate>' — " +
+                "an unbounded purge is TRUNCATE across history; say so " +
+                "with an explicit always-true predicate"))
+          val selector = whereToStatsFilter(ident, whereSql,
+            partialOk = true)
+          val cm = readColMap(ident).map(_._1).getOrElse(Map.empty[String, String])
+          val (files, rows) = Versioned.purgeRows(SparkSession.active,
+            root(tbl), whereSql, selector, cm)
+          Seq(new GenericInternalRow(Array[Any](files, rows)))
         })
       // RESTORE TABLE … TO VERSION AS OF, as a NEW commit (nothing
       // deleted, restored-over versions stay addressable) — hard-links,
@@ -1744,7 +1776,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * PHYSICAL (file) name space — the stats sidecar's key space, where
     * [[graft.operators.Versioned.compactWhere]] selects its files.
     * Loud when the predicate has no statistics-selectable form. */
-  private def whereToStatsFilter(ident: Identifier, sql: String)
+  private def whereToStatsFilter(ident: Identifier, sql: String,
+                                 partialOk: Boolean = false)
       : org.apache.spark.sql.sources.Filter = {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
     import org.apache.spark.sql.{sources => s}
@@ -1767,11 +1800,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case e if e.foldable && !e.isInstanceOf[Literal] =>
         Literal.create(e.eval(), e.dataType)
     }
-    val v1 = org.apache.spark.sql.graftbridge.FilterBridge.toV1(folded)
-      .getOrElse(throw new IllegalArgumentException(
-        s"graft catalog: compact where => '$sql' has no " +
-          "file-statistics-selectable form — use comparisons / IN / " +
-          "AND / OR / IS NULL over table columns"))
+    // `partialOk` (the purge path): file SELECTION only needs a sound
+    // over-approximation — translate the conjuncts that have a V1 form
+    // and let the rest fall to "may match" (the full predicate still
+    // filters rows); AlwaysTrue when nothing translates. The compact
+    // path stays strict: a silently un-selective OPTIMIZE WHERE would
+    // be a surprise full-table rewrite.
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val translated = conjuncts(folded)
+      .map(org.apache.spark.sql.graftbridge.FilterBridge.toV1)
+    val v1 =
+      if (partialOk) translated.flatten
+        .reduceOption(s.And(_, _): s.Filter)
+        .getOrElse(s.AlwaysTrue)
+      else translated
+        .map(_.getOrElse(throw new IllegalArgumentException(
+          s"graft catalog: compact where => '$sql' has no " +
+            "file-statistics-selectable form — use comparisons / IN / " +
+            "AND / OR / IS NULL over table columns")))
+        .reduce(s.And(_, _): s.Filter)
     val l2p = readColMap(ident).map(_._1).getOrElse(Map.empty[String, String])
       .withDefault(identity)
     def rename(f: s.Filter): s.Filter = f match {

@@ -4174,7 +4174,7 @@ private[graft] object VersionedWriteIo {
   * unreplaced files forward under the SAME name, so name-keyed
   * identity (DV sidecars, file-level conflict checks) stays stable
   * across versions. */
-private[sources] case class GroupParquetWriterFactory(
+private[graft] case class GroupParquetWriterFactory(
     schema: StructType, stagingDir: String)
   extends DataWriterFactory with StreamingDataWriterFactory {
 

@@ -167,6 +167,51 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(byCol.map(_.getLong(2)).sum === 10L)
   }
 
+  test("sys.purge: refusal matrix names the fix; tags keep resolving") {
+    // deletion vectors anywhere in history: positions would shift
+    sql("DROP TABLE IF EXISTS gtest.ns.pd")
+    sql("CREATE TABLE gtest.ns.pd (id BIGINT, v BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('deletionVectors'='true')")
+    sql("INSERT INTO gtest.ns.pd SELECT id, id FROM range(0, 50)")
+    sql("DELETE FROM gtest.ns.pd WHERE id < 5")
+    val dv = intercept[Exception](sql(
+      "CALL gtest.sys.purge(table => 'ns.pd', where => 'id = 7')"))
+    assert(chain(dv).exists(_.contains("deletion-vector")), chain(dv))
+    // stored change feeds: the purged rows live in the diffs too
+    sql("DROP TABLE IF EXISTS gtest.ns.pf")
+    sql("CREATE TABLE gtest.ns.pf (id BIGINT, v BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('changeFeedKeys'='id')")
+    sql("INSERT INTO gtest.ns.pf SELECT id, id FROM range(0, 10)")
+    val feed = intercept[Exception](sql(
+      "CALL gtest.sys.purge(table => 'ns.pf', where => 'id = 7')"))
+    assert(chain(feed).exists(_.contains("change feeds")), chain(feed))
+    // type-widening tables: a rewrite would silently re-type narrow files
+    sql("DROP TABLE IF EXISTS gtest.ns.pw")
+    sql("CREATE TABLE gtest.ns.pw (id BIGINT, n INT) USING `graft-versioned`")
+    sql("INSERT INTO gtest.ns.pw SELECT id, CAST(id AS INT) FROM range(0, 10)")
+    sql("ALTER TABLE gtest.ns.pw ALTER COLUMN n TYPE BIGINT")
+    val wide = intercept[Exception](sql(
+      "CALL gtest.sys.purge(table => 'ns.pw', where => 'id = 7')"))
+    assert(chain(wide).exists(_.contains("type-widening")), chain(wide))
+    // the happy path: purge a tagged multi-version history — the tag
+    // keeps resolving, its content just lost the purged rows
+    sql("DROP TABLE IF EXISTS gtest.ns.pt")
+    sql("CREATE TABLE gtest.ns.pt (id BIGINT, v BIGINT) USING `graft-versioned`")
+    sql("INSERT INTO gtest.ns.pt SELECT id, id * 3 FROM range(0, 100)")
+    sql("CALL gtest.sys.tag(table => 'ns.pt', name => 'release', version => 0)")
+    sql("INSERT INTO gtest.ns.pt SELECT id, id * 3 FROM range(100, 200)")
+    val out = sql("CALL gtest.sys.purge(table => 'ns.pt', " +
+      "where => 'id % 10 = 3')").collect()(0)
+    assert(out.getLong(1) === 20L, s"rows purged: ${out.toSeq}")
+    assert(sql("SELECT count(*) FROM gtest.ns.pt VERSION AS OF 'release' " +
+      "WHERE id % 10 = 3").collect()(0).getLong(0) === 0L,
+      "the tagged snapshot must be purged too")
+    assert(sql("SELECT count(*) FROM gtest.ns.pt VERSION AS OF 'release'")
+      .collect()(0).getLong(0) === 90L)
+    assert(sql("SELECT count(*) FROM gtest.ns.pt").collect()(0)
+      .getLong(0) === 180L)
+  }
+
   test("compact(where): renamed columns translate, bad shapes loud") {
     sql("DROP TABLE IF EXISTS gtest.ns.cw")
     sql("CREATE TABLE gtest.ns.cw (id BIGINT, k BIGINT) " +
