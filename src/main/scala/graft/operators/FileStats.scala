@@ -116,9 +116,11 @@ object FileStats {
   /** Physical value → stored statistic, or None when the type's raw
     * ordering does not match its logical ordering (unsigned ints,
     * decimals) or the value cannot round-trip through JSON (NaN/Inf,
-    * non-UTF-8 binary). Date/timestamp-annotated ints are stored as
-    * their raw longs — harmless, because the filter-value coercion
-    * below refuses java.sql temporal types and never compares them. */
+    * non-UTF-8 binary). Timestamp-annotated longs normalize to MICROS
+    * (whatever unit the footer declares), date-annotated ints stay
+    * epoch days — the probe coercion in [[numeric]] converts pushed
+    * java.sql/java.time literals to the same scales, so time-range
+    * predicates prune files exactly like numeric ones. */
   private def toV(prim: org.apache.parquet.schema.PrimitiveType,
                   value: AnyRef): Option[V] = {
     val ann = prim.getLogicalTypeAnnotation
@@ -129,11 +131,21 @@ object FileStats {
       case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => true
       case _ => false // decimal/uuid/interval: raw order is not value order
     }
+    def toMicros(raw: Long): Long = ann match {
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        t.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+            raw * 1000L // millis×1000 fits a long for any sane epoch
+          case LogicalTypeAnnotation.TimeUnit.NANOS => Math.floorDiv(raw, 1000L)
+          case _ => raw // MICROS
+        }
+      case _ => raw
+    }
     prim.getPrimitiveTypeName match {
       case PrimitiveTypeName.INT32 if intOrderingSafe =>
         Some(L(value.asInstanceOf[java.lang.Integer].longValue()))
       case PrimitiveTypeName.INT64 if intOrderingSafe =>
-        Some(L(value.asInstanceOf[java.lang.Long].longValue()))
+        Some(L(toMicros(value.asInstanceOf[java.lang.Long].longValue())))
       case PrimitiveTypeName.FLOAT =>
         val f = value.asInstanceOf[java.lang.Float].floatValue()
         if (f.isNaN || f.isInfinite) None else Some(D(f.toDouble))
@@ -348,7 +360,23 @@ object FileStats {
       if (n.isNaN || n.isInfinite) None else Some(BigDecimal(n.toDouble))
     case n: Double =>
       if (n.isNaN || n.isInfinite) None else Some(BigDecimal(n))
-    case _ => None // temporal/decimal/binary probes never compare
+    // temporal probes: stats store MICROS (timestamps) / epoch DAYS
+    // (dates) — convert the pushed literal to the same scale. Both
+    // java.sql and java.time spellings arrive depending on
+    // spark.sql.datetime.java8API.enabled.
+    case t: java.sql.Timestamp =>
+      Some(BigDecimal(Math.floorDiv(t.getTime, 1000L) * 1000000L +
+        t.getNanos / 1000L))
+    case i: java.time.Instant =>
+      Some(BigDecimal(Math.multiplyExact(i.getEpochSecond, 1000000L) +
+        i.getNano / 1000L))
+    case dt: java.time.LocalDateTime => // TIMESTAMP_NTZ probe
+      Some(BigDecimal(Math.multiplyExact(
+        dt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L) +
+        dt.getNano / 1000L))
+    case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay))
+    case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay))
+    case _ => None // decimal/binary probes never compare
   }
 
   private def evalAtom(st: FileStat, f: Filter): Boolean = {

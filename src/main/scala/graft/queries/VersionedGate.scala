@@ -868,6 +868,164 @@ object VersionedGate {
              ORDER BY doc_id""")
   }
 
+  /** q190: BUCKET-TRANSFORM STORAGE-PARTITIONED JOIN — `PARTITIONED BY
+    * (bucket(8, doc_id))` on both sides (Iceberg's hash transform via
+    * the generated-column mapping: `doc_id_bucket = pmod(hash(doc_id),
+    * 8)` materializes writer-side, ONE insert clusters by the
+    * catalog's V2 bucket function and rolls files at bucket
+    * boundaries), then a join on the RAW HIGH-CARDINALITY KEY — no
+    * partition column in the ON clause — runs with ZERO shuffle
+    * exchanges: the scans report `bucket(8, doc_id)`
+    * KeyGroupedPartitioning and Spark aligns the sides. This is the
+    * 100 TB fact⋈fact shape identity partitioning cannot express (a
+    * high-cardinality key has no per-value layout). Strategy never
+    * changes rows; confs restore in a finally. */
+  def q190BucketSpj(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    Tables.documents(s, dir).createOrReplaceTempView("q190_docs_src")
+    Seq("a190" -> "", "b190" -> " WHERE doc_id % 2 = 0").foreach {
+      case (t, extra) =>
+        s.sql(s"DROP TABLE IF EXISTS graft.gate.$t")
+        s.sql(s"CREATE TABLE graft.gate.$t " +
+          "(doc_id BIGINT, n_chars BIGINT) " +
+          "USING `graft-versioned` PARTITIONED BY (bucket(8, doc_id))")
+        // ONE insert spanning every bucket: the boundary roll (not
+        // per-value inserts) maintains the one-bucket-per-file proof
+        s.sql(s"INSERT INTO graft.gate.$t (doc_id, n_chars) " +
+          s"SELECT doc_id, n_chars FROM q190_docs_src$extra")
+    }
+    val q = "SELECT a.doc_id, a.n_chars, b.n_chars AS n2 " +
+      "FROM graft.gate.a190 a JOIN graft.gate.b190 b " +
+      "ON a.doc_id = b.doc_id"
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = confs.map { case (k, _) =>
+      k -> scala.util.Try(s.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val j = s.sql(q)
+      val plan = j.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"q190: the co-bucketed join must skip both exchanges:\n$plan")
+      val rows = j.orderBy("doc_id").collect().toSeq
+      val schema = j.schema
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+        .orderBy("doc_id")
+    } finally olds.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** q191: TEMPORAL PARTITION TRANSFORM — `PARTITIONED BY
+    * (days(ts_utc))` maps to a generated DATE truncation column plus
+    * the clustered layout: ONE insert range-clusters on the raw
+    * timestamp (truncation is monotone in it), the writer rolls files
+    * at day boundaries, and a two-day time-range predicate prunes the
+    * 30-day snapshot through the timestamp's own file stats — the gate
+    * require()s the property mapping AND a live-plan `DataFiles:
+    * kept/total` prune proof, then returns the range's rows for the
+    * oracle's relational re-derivation (epoch-ns space, the temporal
+    * gates' convention). */
+  def q191TemporalDdl(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.ev191")
+    s.sql("CREATE TABLE graft.gate.ev191 " +
+      "(event_id BIGINT, ts_utc TIMESTAMP, value DOUBLE) " +
+      "USING `graft-versioned` PARTITIONED BY (days(ts_utc)) " +
+      "TBLPROPERTIES ('writePartitions'='4')")
+    val props = s.sql("SHOW TBLPROPERTIES graft.gate.ev191").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.get("partitionedBy").contains("days(ts_utc)") &&
+        props.get("clusterBy").contains("ts_utc_days"),
+      s"q191: SHOW TBLPROPERTIES must document the transform mapping, " +
+        s"got $props")
+    Tables.events(s, dir).createOrReplaceTempView("q191_ev_src")
+    s.sql("INSERT INTO graft.gate.ev191 (event_id, ts_utc, value) " +
+      "SELECT event_id, ts_utc, value FROM q191_ev_src")
+    val probe = s.sql("SELECT event_id, unix_micros(ts_utc) * 1000 AS " +
+      "ts_ns, value FROM graft.gate.ev191 " +
+      "WHERE ts_utc >= timestamp'2024-01-05 00:00:00' " +
+      "AND ts_utc < timestamp'2024-01-07 00:00:00'")
+    probe.collect()
+    val desc = probe.queryExecution.executedPlan.toString
+    val m = "DataFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+    require(m.isDefined, s"q191: no DataFiles marker in scan:\n$desc")
+    val (kept, total) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    require(total >= 10,
+      s"q191: a 30-day layout must yield day-grained files, got $total")
+    require(kept <= math.max(3, total / 5),
+      s"q191: the two-day range read $kept/$total files — temporal " +
+        "partitioning did not prune:\n" + desc)
+    probe.orderBy("event_id")
+  }
+
+  /** q192: PARTITION-SPEC EVOLUTION (Iceberg's replace-partition-field)
+    * — an identity-partitioned table evolves to `bucket(8, doc_id)`
+    * METADATA-ONLY: the derived bucket column is added (pre-evolution
+    * files read it as null and the bucket-prune IsNull arm keeps
+    * them — the gate require()s a pre-evolution point lookup still
+    * answers), post-evolution inserts pin + prune (live `DataFiles`
+    * pin), and an INSERT OVERWRITE rewrite re-pins every file under
+    * the new spec. Rows are evolution-invariant: the oracle re-derives
+    * the final table relationally. */
+  def q192PartitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs192")
+    s.sql("CREATE TABLE graft.gate.docs192 " +
+      "(doc_id BIGINT, grp BIGINT, n_chars BIGINT) USING `graft-versioned` " +
+      "PARTITIONED BY (grp)")
+    Tables.documents(s, dir).createOrReplaceTempView("q192_docs_src")
+    s.sql("INSERT INTO graft.gate.docs192 " +
+      "SELECT doc_id, doc_id % 4, n_chars FROM q192_docs_src " +
+      "WHERE doc_id % 2 = 0")                                    // v=0: evens
+    s.sql("ALTER TABLE graft.gate.docs192 SET TBLPROPERTIES " +
+      "('partitionedBy' = 'bucket(8,doc_id)')")
+    val props = s.sql("SHOW TBLPROPERTIES graft.gate.docs192").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.get("partitionedBy").contains("bucket(8,doc_id)") &&
+        props.get("clusterBy").contains("doc_id_bucket"),
+      s"q192: evolution must rewrite the layout mapping, got $props")
+    s.sql("INSERT INTO graft.gate.docs192 (doc_id, grp, n_chars) " +
+      "SELECT doc_id, doc_id % 4, n_chars FROM q192_docs_src " +
+      "WHERE doc_id % 2 = 1")                                    // v=1: odds
+    // soundness: a pre-evolution row (no bucket column in its file)
+    // must survive the synthetic bucket-prune filter
+    val evens = s.sql(
+      "SELECT n_chars FROM graft.gate.docs192 WHERE doc_id = 2").collect()
+    require(evens.length == 1,
+      s"q192: pre-evolution row lost to bucket pruning (${evens.length})")
+    // effectiveness: an odd (post-evolution) point lookup prunes the
+    // new files to the key's bucket
+    val probe = s.sql(
+      "SELECT n_chars FROM graft.gate.docs192 WHERE doc_id = 777")
+    probe.collect()
+    val m = "DataFiles: (\\d+)/(\\d+)".r
+      .findFirstMatchIn(probe.queryExecution.executedPlan.toString)
+    require(m.isDefined, "q192: no DataFiles marker")
+    val (kept, total) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    require(kept < total,
+      s"q192: post-evolution point lookup must prune ($kept/$total)")
+    // the overwrite rewrite re-pins EVERY file under the new spec
+    s.sql("INSERT OVERWRITE graft.gate.docs192 (doc_id, grp, n_chars) " +
+      "SELECT doc_id, grp, n_chars FROM graft.gate.docs192")
+    val root = scratchBase.resolve("catalog").resolve("gate")
+      .resolve("docs192")
+    val v = Versioned.latestVersion(root.toString).get
+    val vdir = root.resolve(s"v=$v")
+    val stats = graft.operators.FileStats.read(vdir)
+    Versioned.dataFiles(vdir).foreach { f =>
+      val cs = stats(f.getFileName.toString).cols("doc_id_bucket")
+      require(cs.lo.isDefined && cs.lo == cs.hi,
+        s"q192: ${f.getFileName} must pin one bucket after the rewrite")
+    }
+    s.sql("""SELECT doc_id, grp, n_chars FROM graft.gate.docs192
+             ORDER BY doc_id""")
+  }
+
   /** q179: TYPE WIDENING (Delta's typeWidening) — INT→BIGINT and
     * FLOAT→DOUBLE as METADATA-ONLY retypes: narrow files are written,
     * the columns are widened by ALTER TABLE (no rewrite; the
@@ -2024,6 +2182,9 @@ object VersionedGate {
     "q187_ndv_broadcast" -> (q187NdvBroadcast _),
     "q188_spj" -> (q188StoragePartitionedJoin _),
     "q189_purge_rows" -> (q189PurgeRows _),
+    "q190_bucket_spj" -> (q190BucketSpj _),
+    "q191_temporal_ddl" -> (q191TemporalDdl _),
+    "q192_partition_evolution" -> (q192PartitionEvolution _),
     "q179_type_widening" -> (q179TypeWidening _),
     "q180_generated_identity" -> (q180GeneratedIdentity _),
     "q181_default_values" -> (q181DefaultValues _),
@@ -2416,6 +2577,24 @@ object VersionedGate {
     "q188_spj" ->
       """SELECT doc_id, n_chars, n_chars AS n2 FROM documents
         |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
+    // q190: the exchange-free co-bucketed join is row-invariant —
+    // b ⊂ a at the even doc_ids (the zero-exchange plan proof lives
+    // in-gate)
+    "q190_bucket_spj" ->
+      """SELECT doc_id, n_chars, n_chars AS n2 FROM documents
+        |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
+    // q191: the two-day time-range slice re-derived relationally in
+    // epoch-ns space (the prune proof lives in-gate)
+    "q191_temporal_ddl" ->
+      """SELECT event_id, epoch_ns(ts) AS ts_ns, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-07 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    // q192: rows are partition-evolution-invariant — the final table is
+    // just documents re-keyed (soundness/pin/prune proofs live in-gate)
+    "q192_partition_evolution" ->
+      """SELECT doc_id, doc_id % 4 AS grp, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // q189: the post-purge final content re-derived relationally — the
     // purge predicate applied on top of the CoW predicate chain
     // (per-version absence + invariance + inode proofs live in-gate)

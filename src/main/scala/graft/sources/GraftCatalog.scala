@@ -48,15 +48,18 @@ import graft.operators.Versioned
   * Schema evolution is metadata-only ([[alterTable]]): `ADD COLUMN`
   * appends a nullable column (pre-evolution files null-fill on read),
   * and layout TBLPROPERTIES / CHECK constraints can be SET/UNSET.
-  * `PARTITIONED BY` accepts IDENTITY transforms and maps them onto the
-  * clusterBy + file-stats-skipping layout ([[identityPartitionCols]]);
-  * non-identity transforms and narrowing column retypes stay loudly
-  * unsupported (a retype would change the meaning of immutable
-  * history; only the INT→BIGINT / FLOAT→DOUBLE widenings are legal).
+  * `PARTITIONED BY` accepts IDENTITY, BUCKET and TEMPORAL
+  * (years/months/days/hours) transforms and maps them onto the
+  * clusterBy + file-stats-skipping layout ([[partitionContract]],
+  * [[PartitionTransforms]]); `truncate` and narrowing column retypes
+  * stay loudly unsupported (a retype would change the meaning of
+  * immutable history; only the INT→BIGINT / FLOAT→DOUBLE widenings
+  * are legal).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
   with ProcedureCatalog
-  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -177,6 +180,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
       TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  // ------------------------------------------------ FunctionCatalog
+  // Spark's storage-partitioned-join machinery resolves a scan's
+  // reported partition transforms (and a write's required clustering)
+  // through the table's catalog — the Iceberg pattern. `bucket` is the
+  // one function the transforms need; Spark looks it up with an empty
+  // namespace (V2ExpressionUtils), user SQL may qualify it.
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] = {
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Array(Identifier.of(namespace, "bucket"))
+  }
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   override def loadTable(ident: Identifier): Table = tableWith(ident, Map.empty)
 
@@ -322,9 +344,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val (schema, specs) = columnContract(columns)
-    val t = createTable(ident, schema, partitions, properties)
-    if (specs.nonEmpty) AutoColumns.write(tablePath(ident), specs)
-    t
+    createWith(ident, schema, partitions, properties, specs)
   }
 
   // ------------------------------------------------- staged DDL
@@ -343,9 +363,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private class GraftStagedTable(
       ident: Identifier, declared: StructType,
       specs: Seq[AutoColumns.Spec],
-      properties: util.Map[String, String], existedBefore: Boolean)
+      properties: util.Map[String, String], existedBefore: Boolean,
+      derivedNames: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.catalog.StagedTable
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+    // PARTITION-TRANSFORM-derived cluster columns are not part of the
+    // CTAS query's output: Spark aligns the staged write against the
+    // USER columns, the writer appends + computes the derived ones
+    // (AutoColumns append fill), and commitStagedChanges publishes the
+    // full contract
+    private val userSchema: StructType =
+      if (derivedNames.isEmpty) declared
+      else StructType(declared.fields.filterNot(f => derivedNames(f.name)))
 
     private val root = tablePath(ident)
     Files.createDirectories(root)
@@ -423,11 +453,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "stagedAutoSpecs" -> AutoColumns.serialize(stagedSpecs),
           "colmap" -> GraftVersionedTable.serializeColMap(stagedColMap))
     }
-    private val inner = new GraftVersionedTable(declared,
+    private val inner = new GraftVersionedTable(userSchema,
       new CaseInsensitiveStringMap(stagedOpts.asJava))
 
     override def name(): String = s"${ident.toString} (staged)"
-    override def schema(): StructType = declared
+    override def schema(): StructType = userSchema
     override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
       inner.capabilities()
     override def newWriteBuilder(
@@ -525,12 +555,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "appendOnly property and drop the 'append-only' writer " +
           "feature to replace it")
     val (schema, specs) = columnContract(info.columns())
-    GroupParquetIo.writeMessageType(schema) // DDL-time type check
-    // identity PARTITIONED BY folds into the layout properties here,
-    // so the STAGED write already range-clusters on the partition cols
-    new GraftStagedTable(ident, schema, specs,
-      withPartitionLayout(info.partitions(), schema, info.properties()),
-      exists)
+    // PARTITIONED BY folds into the layout properties (and may extend
+    // the schema with derived cluster columns) here, so the STAGED
+    // write already clusters on the partition transforms
+    val (schema2, derived, props2) =
+      partitionContract(info.partitions(), schema, info.properties())
+    derived.foreach { d =>
+      require(!specs.exists(_.name == d.name),
+        s"graft catalog: PARTITIONED BY derives column '${d.name}', which " +
+          "is already a declared GENERATED/IDENTITY column")
+    }
+    GroupParquetIo.writeMessageType(schema2) // DDL-time type check
+    new GraftStagedTable(ident, schema2, specs ++ derived, props2, exists,
+      derived.map(_.name).toSet)
   }
 
   override def stageCreate(ident: Identifier,
@@ -548,62 +585,75 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       : org.apache.spark.sql.connector.catalog.StagedTable =
     stage(ident, info, mustExist = None)
 
-  /** `PARTITIONED BY (col, …)` — IDENTITY transforms only — maps onto
-    * the clusterBy + file-stats-skipping layout (Delta's
-    * liquid-clustering answer to the same clause): every insert
-    * range-clusters on the partition columns, so each file covers a
-    * narrow value slice and a partition-predicate scan prunes via the
-    * per-file min/max sidecar exactly like directory pruning would —
-    * without freezing a physical dir layout into the contract. The
-    * mapping is documented in SHOW TBLPROPERTIES (`partitionedBy` +
-    * the derived `clusterBy`). Non-identity transforms (bucket,
-    * days/months, truncate) stay loud: they have no metadata-only
-    * equivalent in this store. */
-  private def identityPartitionCols(partitions: Array[Transform],
-                                    schema: StructType): Seq[String] =
-    Option(partitions).getOrElse(Array.empty[Transform]).toSeq.map {
-      case t if t.name == "identity" && t.references.length == 1 &&
-          t.references()(0).fieldNames.length == 1 =>
-        val c = t.references()(0).fieldNames()(0)
-        require(schema.fieldNames.contains(c),
-          s"graft catalog: PARTITIONED BY column '$c' not in table schema " +
-            s"${schema.fieldNames.mkString("[", ", ", "]")}")
-        c
-      case other => throw new UnsupportedOperationException(
-        s"graft catalog: PARTITIONED BY ${other.describe()} unsupported — " +
-          "identity transforms only; they map to the clusterBy + " +
-          "file-stats-skipping layout (each insert range-clusters on the " +
-          "partition columns); bucket/temporal transforms have no " +
-          "metadata-only equivalent here")
-    }
-
-  /** Fold identity partition columns into the layout properties:
-    * `partitionedBy` records the DDL intent, the derived `clusterBy`
-    * is the mechanism. Refuses the ambiguous both-spellings shape. */
-  private def withPartitionLayout(partitions: Array[Transform],
-      schema: StructType,
-      properties: util.Map[String, String]): util.Map[String, String] = {
-    val partCols = identityPartitionCols(partitions, schema)
-    if (partCols.isEmpty) properties
+  /** `PARTITIONED BY (…)` maps onto the clusterBy +
+    * file-stats-skipping layout (Delta's liquid-clustering answer to
+    * the same clause): every insert range-clusters on the partition
+    * columns, so each file covers a narrow value slice and a
+    * partition-predicate scan prunes via the per-file min/max sidecar
+    * exactly like directory pruning would — without freezing a
+    * physical dir layout into the contract. IDENTITY transforms
+    * cluster on the column itself; BUCKET and TEMPORAL
+    * (years/months/days/hours) transforms materialize a GENERATED
+    * cluster column (Delta's generated-partition-column recipe — see
+    * [[PartitionTransforms]]) that the layout clusters on, the stats
+    * sidecar pins per file, and the scan reports for
+    * storage-partitioned joins. The mapping is documented in SHOW
+    * TBLPROPERTIES (`partitionedBy` + the derived `clusterBy`).
+    * Returns (schema extended with the derived columns, the derived
+    * GENERATED specs, properties with the layout folded in). Refuses
+    * the ambiguous both-spellings shape. */
+  private def partitionContract(partitions: Array[Transform],
+      schema: StructType, properties: util.Map[String, String])
+      : (StructType, Seq[AutoColumns.Spec], util.Map[String, String]) = {
+    val entries = PartitionTransforms.fromTransforms(partitions, schema)
+    if (entries.isEmpty) (schema, Seq.empty, properties)
     else {
       require(Option(properties.get("clusterBy")).forall(_.trim.isEmpty),
         "graft catalog: PARTITIONED BY and the clusterBy property are " +
           "two spellings of the same layout — give exactly one")
+      val extended = StructType(schema.fields ++
+        PartitionTransforms.derivedFields(entries, schema))
+      val derived: Seq[AutoColumns.Spec] =
+        PartitionTransforms.generatedSpecs(entries, schema)
+      // validate the derived generation expressions at DDL time
+      val spark = org.apache.spark.sql.SparkSession.active
+      derived.foreach { case AutoColumns.Generated(n, sql) =>
+        AutoColumns.resolveExpr(spark, sql, n,
+          extended(extended.fieldIndex(n)).dataType, extended,
+          derived.map(_.name).toSet)
+      }
       val m = new util.HashMap[String, String](properties)
-      m.put("clusterBy", partCols.mkString(","))
-      m.put("partitionedBy", partCols.mkString(","))
-      m
+      m.put("clusterBy", entries.map(_.clusterCol).mkString(","))
+      m.put("partitionedBy", PartitionTransforms.spellingOf(entries))
+      (extended, derived, m)
     }
   }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table = {
+                           properties: util.Map[String, String]): Table =
+    createWith(ident, schema, partitions, properties, Seq.empty)
+
+  /** Shared CREATE core: fold the partition contract (which may extend
+    * the schema with derived cluster columns), publish, persist the
+    * merged auto-column specs. */
+  private def createWith(ident: Identifier, schema: StructType,
+                         partitions: Array[Transform],
+                         properties: util.Map[String, String],
+                         colSpecs: Seq[AutoColumns.Spec]): Table = {
     if (!namespaceExists(ident.namespace))
       throw new NoSuchNamespaceException(ident.namespace)
     if (Files.exists(manifestOf(ident))) throw new TableAlreadyExistsException(ident)
-    publishTableContract(ident, schema,
-      withPartitionLayout(partitions, schema, properties))
+    val (schema2, derived, props2) =
+      partitionContract(partitions, schema, properties)
+    derived.foreach { d =>
+      require(!colSpecs.exists(_.name == d.name),
+        s"graft catalog: PARTITIONED BY derives column '${d.name}', which " +
+          "is already a declared GENERATED/IDENTITY column")
+    }
+    publishTableContract(ident, schema2, props2)
+    val specs = colSpecs ++ derived
+    if (specs.nonEmpty) AutoColumns.write(tablePath(ident), specs)
     loadTable(ident)
   }
 
@@ -694,7 +744,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     def propReferencing(name: String): Option[String] =
       Seq("partitionedBy", "clusterBy", "changeFeedKeys").find(k =>
-        props.get(k).exists(_.split(",").map(_.trim).contains(name)))
+        props.get(k).exists(v =>
+          if (k == "partitionedBy")
+            PartitionTransforms.parse(v).exists(e =>
+              e.sourceCol == name || e.clusterCol == name)
+          else v.split(",").map(_.trim).contains(name)))
     // GENERATED/IDENTITY specs bind column NAMES (the spec itself and
     // the base columns its expression references) — renaming, dropping
     // or retyping any of them would silently unbind or retype the
@@ -762,10 +816,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         schema = StructType(schema.fields.map(f =>
           if (f.name == old) f.copy(name = nw) else f))
         colMap = colMap - old + (nw -> phys)
-        // the layout contract follows the logical rename
+        // the layout contract follows the logical rename (partitionedBy
+        // entries parse transform-aware: only IDENTITY entries can
+        // reach here — bucket/temporal sources are GENERATED-referenced
+        // and autoGuard refused the rename above)
         props = props.map {
+          case ("partitionedBy", v) =>
+            "partitionedBy" -> PartitionTransforms.spellingOf(
+              PartitionTransforms.parse(v).map {
+                case PartitionTransforms.IdentityPart(c) if c == old =>
+                  PartitionTransforms.IdentityPart(nw)
+                case e => e
+              })
           case (k, v) if k == "clusterBy" || k == "changeFeedKeys" ||
-              k == "partitionedBy" || k == bloomKey || k == ndvKey =>
+              k == bloomKey || k == ndvKey =>
             k -> v.split(",").map(_.trim).filter(_.nonEmpty)
               .map(c => if (c == old) nw else c).mkString(",")
           case kv => kv
@@ -796,6 +860,66 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           colMap -= name
           schema = StructType(schema.fields.filterNot(_.name == name))
         }
+      // PARTITION-SPEC EVOLUTION (Iceberg's replace-partition-field):
+      // `ALTER TABLE … SET TBLPROPERTIES ('partitionedBy' = '…')`
+      // re-partitions the table METADATA-ONLY — no file is rewritten.
+      // New derived cluster columns (bucket/temporal) are ADDED like
+      // any schema evolution (pre-evolution files read them as null,
+      // so the bucket-prune IsNull arm keeps them — sound, never
+      // wrong); future writes cluster, roll and pin under the new
+      // spec; storage-partitioned joins stay withdrawn until every
+      // live file pins the current spec (e.g. after an INSERT
+      // OVERWRITE or compaction rewrite). Old derived columns and
+      // their generation specs stay — history keeps its meaning.
+      case set: TableChange.SetProperty if set.property == "partitionedBy" =>
+        val entries = PartitionTransforms.parse(set.value)
+        require(entries.nonEmpty,
+          "graft catalog: empty partitionedBy — UNSET the property to " +
+            "un-partition the table")
+        val autoNow = AutoColumns.read(tablePath(ident).toString)
+        val spark = org.apache.spark.sql.SparkSession.active
+        PartitionTransforms.validate(entries, schema)
+        val newSpecs = PartitionTransforms
+          .generatedSpecs(entries, schema).flatMap { g =>
+            val entry = entries.find(e => e.clusterCol == g.name).get
+            if (schema.fieldNames.contains(g.name)) {
+              // the derived column already exists: legal only when it
+              // is bound to the SAME generation expression (re-evolving
+              // to a previous spec) — anything else would reinterpret
+              // stored bytes
+              val bound = autoNow.collectFirst {
+                case AutoColumns.Generated(n, sql) if n == g.name => sql }
+              require(bound.contains(g.exprSql),
+                s"graft catalog: partitionedBy ${entry.spelling} derives " +
+                  s"column '${g.name}', which already exists " +
+                  bound.fold("as a plain column")(sql =>
+                    s"with a different generation expression ($sql)") +
+                  " — pick a different source column name")
+              None
+            } else {
+              val field = PartitionTransforms
+                .derivedFields(Seq(entry), schema).head
+              AutoColumns.resolveExpr(spark, g.exprSql, g.name,
+                field.dataType, schema, Set(g.name))
+              // schema-evolution ADD: fresh physical birth name, never
+              // rebinding dropped bytes
+              val used = colMap.values.toSet ++ retired
+              val phys = if (!used(g.name)) g.name
+                else s"${g.name}_${java.util.UUID.randomUUID.toString.take(8)}"
+              schema = StructType(schema.fields :+ field)
+              colMap += g.name -> phys
+              Some(g: AutoColumns.Spec)
+            }
+          }
+        if (newSpecs.nonEmpty)
+          AutoColumns.write(tablePath(ident), autoNow ++ newSpecs)
+        props += ("partitionedBy" -> PartitionTransforms.spellingOf(entries))
+        props += ("clusterBy" -> entries.map(_.clusterCol).mkString(","))
+      case rm: TableChange.RemoveProperty if rm.property == "partitionedBy" =>
+        // un-partition: the layout contract goes, the derived columns
+        // and their generation specs stay (history keeps its meaning)
+        props -= "partitionedBy"
+        props -= "clusterBy"
       case set: TableChange.SetProperty if layoutKeys(set.property) =>
         if (set.property == "clusterBy" || set.property == "changeFeedKeys")
           set.value.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
@@ -1257,8 +1381,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val logicalCol = Option(in.getUTF8String(1)).map(_.toString.trim)
             .filter(_.nonEmpty)
             .orElse(props.get("partitionedBy")
-              .orElse(props.get("clusterBy"))
-              .map(_.split(",").map(_.trim).filter(_.nonEmpty).head))
+              .map(v => PartitionTransforms.parse(v).head.clusterCol)
+              .orElse(props.get("clusterBy")
+                .map(_.split(",").map(_.trim).filter(_.nonEmpty).head)))
             .getOrElse(throw new IllegalArgumentException(
               s"graft catalog: $tbl is unpartitioned and unclustered — " +
                 "name the column: partitions(table => …, column => 'k')"))
@@ -1458,8 +1583,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               Files.write(manifestOf(tgtIdent), pinned.json.getBytes(
                 java.nio.charset.StandardCharsets.UTF_8))
               val pinnedProps = readProps(srcIdent).flatMap {
+                case ("partitionedBy", v) =>
+                  // a transform entry survives only if BOTH its source
+                  // and its derived cluster column survive the pin
+                  val entries = PartitionTransforms.parse(v).filter(e =>
+                    keep(e.sourceCol) && keep(e.clusterCol))
+                  if (entries.isEmpty) None
+                  else Some("partitionedBy" ->
+                    PartitionTransforms.spellingOf(entries))
                 case (k, v) if k == "clusterBy" || k == "changeFeedKeys" ||
-                    k == "partitionedBy" ||
                     k == graft.operators.BloomSidecar.PropKey ||
                     k == graft.operators.NdvSidecar.PropKey =>
                   val cols = v.split(",").map(_.trim).filter(_.nonEmpty)

@@ -360,14 +360,13 @@ private[sources] class GraftVersionedTable(
 
   override def schema(): StructType = tableSchema
 
-  /** DDL-declared identity partitioning (mapped to the clusterBy
-    * layout by the catalog) — surfaced so DESCRIBE shows the clause. */
+  /** DDL-declared partitioning (mapped to the clusterBy layout by the
+    * catalog) — surfaced so DESCRIBE shows the clause, transforms
+    * included. */
   override def partitioning():
       Array[org.apache.spark.sql.connector.expressions.Transform] =
-    Option(options.get("partitionedBy")).map(
-      _.split(",").map(_.trim).filter(_.nonEmpty)
-        .map(c => org.apache.spark.sql.connector.expressions.Expressions
-          .identity(c): org.apache.spark.sql.connector.expressions.Transform))
+    Option(options.get("partitionedBy")).map(v =>
+      PartitionTransforms.toV2(PartitionTransforms.parse(v)))
       .getOrElse(Array.empty)
 
   /** SHOW TBLPROPERTIES surface: the persisted layout contract,
@@ -1329,6 +1328,38 @@ private[sources] class GraftVersionedScan(
   private def allFilterTypes: Map[String, DataType] =
     filterTypes ++ runtimeFilterTypes
 
+  /** BUCKET PRUNING: an equality probe on a bucket-partitioned key
+    * implies the probe's bucket id — `k = v` keeps only files whose
+    * stats pin `bucket(v)` (Hive/Iceberg bucket pruning through the
+    * stats layer: a point lookup on a 100 TB bucketed fact table reads
+    * 1/n of the snapshot). Files written OUTSIDE the contract (a path
+    * append without the derived column, or with nulls in it) are kept
+    * by the IsNull arm — the synthetic filter never refutes a file the
+    * real predicate couldn't. File-level only: a surviving file pins
+    * one bucket, so its row groups all qualify. */
+  private def bucketPruneFilters: Array[Filter] =
+    Option(options.get("partitionedBy"))
+      .map(PartitionTransforms.parse).getOrElse(Seq.empty)
+      .collect { case b: PartitionTransforms.BucketPart =>
+        val srcPhys = colMap.getOrElse(b.sourceCol, b.sourceCol)
+        val dstPhys = colMap.getOrElse(b.clusterCol, b.clusterCol)
+        def id(v: Any): Option[Int] =
+          PartitionTransforms.bucketIdOfExternal(v, b.numBuckets)
+        allFilters.flatMap {
+          case EqualTo(`srcPhys`, v) if v != null =>
+            id(v).map(i => Or(EqualTo(dstPhys, i), IsNull(dstPhys)): Filter)
+          case EqualNullSafe(`srcPhys`, v) if v != null =>
+            id(v).map(i => Or(EqualTo(dstPhys, i), IsNull(dstPhys)): Filter)
+          case In(`srcPhys`, vs) if vs != null && vs.nonEmpty &&
+              !vs.contains(null) =>
+            val ids = vs.toSeq.map(id)
+            if (ids.exists(_.isEmpty)) None
+            else Some(Or(In(dstPhys, ids.flatten.distinct.map(Int.box).toArray),
+              IsNull(dstPhys)): Filter)
+          case _ => None
+        }.toSeq
+      }.flatten.toArray
+
   override def filterAttributes():
       Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (!runtimeFilterable) Array.empty
@@ -1405,7 +1436,8 @@ private[sources] class GraftVersionedScan(
         // clustered table prunes most of the snapshot for the price of
         // one sidecar read. Row-group pruning still runs on survivors.
         val kept = GroupParquetIo.pruneFilesByStats(
-          all, graft.operators.FileStats.read(dirPath), allFilters)
+          all, graft.operators.FileStats.read(dirPath),
+          allFilters ++ bucketPruneFilters)
         // second file-level layer: per-file Bloom membership refutes
         // equality probes min/max can't (high-cardinality keys scatter
         // across every file's [min, max] span)
@@ -1465,16 +1497,24 @@ private[sources] class GraftVersionedScan(
     * everything becomes a zipped per-partition merge. Any uncertainty
     * (a spanning file, a missing stat, an unsupported type) reports
     * UnknownPartitioning — never a wrong key. */
-  private lazy val spjKeys: Option[(Seq[String], Map[String, Array[Any]])] =
+  private lazy val spjKeys: Option[(Seq[PartitionTransforms.Entry],
+      Map[String, Array[Any]])] =
     if (uninitialized || changeFeed) None
     else if (!scala.util.Try(SparkSession.active.conf
         .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
         .getOrElse(false)) None
     else Option(options.get("partitionedBy"))
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .filter(cols => cols.nonEmpty &&
-        cols.forall(required.fieldNames.contains))
-      .flatMap { cols =>
+      .map(PartitionTransforms.parse)
+      // identity + bucket entries report keys (the key VALUE is the
+      // column value / the stored bucket id); temporal transforms are a
+      // pruning device, not a join key — withdraw. Every entry's SOURCE
+      // column must be in this scan's output (the join references it).
+      .filter(es => es.nonEmpty &&
+        es.forall {
+          case _: PartitionTransforms.TemporalPart => false
+          case e => required.fieldNames.contains(e.sourceCol)
+        })
+      .flatMap { entries =>
         import graft.operators.FileStats
         val stats = FileStats.read(java.nio.file.Paths.get(
           GraftVersionedTable.snapshotDir(root, options)))
@@ -1494,16 +1534,24 @@ private[sources] class GraftVersionedScan(
               }
               case _ => None
             })
-        val types = cols.map(c => required(required.fieldIndex(c)).dataType)
+        // identity: the partition value is the column's pinned value;
+        // bucket: the stored bucket id the generated cluster column pins
+        val keyCols = entries.map {
+          case PartitionTransforms.IdentityPart(c) =>
+            c -> required(required.fieldIndex(c)).dataType
+          case e: PartitionTransforms.BucketPart =>
+            e.clusterCol -> (IntegerType: DataType)
+          case e => e.clusterCol -> (IntegerType: DataType) // unreachable
+        }
         val files = plannedGroups.filter(_.kept.nonEmpty)
           .map(g => java.nio.file.Paths.get(g.file).getFileName.toString)
         val keyed = files.map { n =>
           n -> stats.get(n).map(st =>
-            cols.zip(types).map { case (c, t) => valueOf(st, c, t) })
+            keyCols.map { case (c, t) => valueOf(st, c, t) })
         }
         if (files.nonEmpty &&
             keyed.forall(_._2.exists(_.forall(_.isDefined))))
-          Some(cols -> keyed.map { case (n, vs) =>
+          Some(entries -> keyed.map { case (n, vs) =>
             n -> vs.get.map(_.get).toArray }.toMap)
         else None
       }
@@ -1511,12 +1559,12 @@ private[sources] class GraftVersionedScan(
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     spjKeys match {
-      case Some((cols, byFile)) =>
+      case Some((entries, byFile)) =>
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
-            cols.map(c => org.apache.spark.sql.connector.expressions
-              .Expressions.identity(c): org.apache.spark.sql.connector
-              .expressions.Expression).toArray,
+            PartitionTransforms.toV2(entries)
+              .map(_.asInstanceOf[org.apache.spark.sql.connector
+                .expressions.Expression]),
             byFile.values.map(_.toSeq).toSet.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
@@ -3308,11 +3356,27 @@ private[sources] class GraftVersionedWriteBuilder(
     // min/max slice of the cluster key (footer-stats pruning for every
     // future reader). From `.option("clusterBy", ...)` on path writes
     // or the table's `clusterBy` TBLPROPERTY through the catalog.
+    // PARTITIONED BY transforms (catalog tables): bucket/temporal
+    // entries cluster on an expression OVER THE SOURCE column (the
+    // derived cluster column is still null here — the writer fills it),
+    // and the writer rolls files at partition-value boundaries so every
+    // committed file pins exactly one partition tuple (the SPJ
+    // exactness invariant, guaranteed rather than incidental)
+    val partEntries: Seq[PartitionTransforms.Entry] =
+      opt("partitionedBy").map(PartitionTransforms.parse).getOrElse(Seq.empty)
+    partEntries.foreach { e =>
+      require(schema.fieldNames.contains(e.sourceCol),
+        s"graft-versioned: partition column '${e.sourceCol}' not in " +
+          s"write schema ${schema.fieldNames.mkString("[", ", ", "]")}")
+    }
     val clusterBy = opt("clusterBy")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
     clusterBy.foreach { c =>
-      require(schema.fieldNames.contains(c),
+      // a transform-derived cluster column may be absent from a staged
+      // CTAS write schema — the writer appends and computes it
+      require(schema.fieldNames.contains(c) ||
+          partEntries.exists(e => e.clusterCol == c && e.clusterCol != e.sourceCol),
         s"graft-versioned: clusterBy column '$c' not in write schema " +
           s"${schema.fieldNames.mkString("[", ", ", "]")}")
     }
@@ -3388,14 +3452,28 @@ private[sources] class GraftVersionedWriteBuilder(
       case Some(s) => AutoColumns.parse(s)
       case None => AutoColumns.read(root)
     }
+    // a staged CTAS into a transform-partitioned table writes only the
+    // QUERY's columns — the derived cluster columns are appended (and
+    // computed) writer-side, so the committed files still carry them
+    val appendFields: Seq[StructField] = autoSpecs.collect {
+      case g: AutoColumns.Generated if !schema.fieldNames.contains(g.name) =>
+        partEntries.find(e => e.clusterCol == g.name &&
+            e.clusterCol != e.sourceCol) match {
+          case Some(e) => PartitionTransforms.derivedFields(Seq(e), schema).head
+          case None => throw new IllegalArgumentException(
+            s"graft-versioned: write schema lacks GENERATED column " +
+              s"'${g.name}' of `$root` — generated tables take " +
+              "Spark-aligned full-schema writes only")
+        }
+    }
     val autoFill =
       if (autoSpecs.isEmpty) None
       else Some(AutoColumns.resolveFill(SparkSession.active, root,
-        autoSpecs, schema, rowLevel = rowLevelOp.isDefined))
+        autoSpecs, schema, rowLevel = rowLevelOp.isDefined, appendFields))
     new GraftVersionedWrite(root, schema, replace, stamp, info.queryId(),
       clusterBy, writeParts, targetBytes, rowLevelOp, feedKeys,
       GraftVersionedTable.colMapOf(tableOptions), txn, message, evolveTo,
-      autoFill)
+      autoFill, partEntries, appendFields)
   }
 }
 
@@ -3409,7 +3487,9 @@ private[sources] class GraftVersionedWrite(
     txn: Option[(String, Long)] = None,
     message: Option[String] = None,
     evolveTo: Option[StructType] = None,
-    autoFill: Option[AutoColumns.Fill] = None)
+    autoFill: Option[AutoColumns.Fill] = None,
+    partEntries: Seq[PartitionTransforms.Entry] = Seq.empty,
+    appendFields: Seq[StructField] = Seq.empty)
   extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String =
@@ -3418,13 +3498,34 @@ private[sources] class GraftVersionedWrite(
 
   // Spark plans the range exchange + sort for us (the DataFrame-side
   // Layout.applySpec contract expressed through the V2 write protocol);
-  // unspecified + empty ordering is the documented no-op
+  // unspecified + empty ordering is the documented no-op.
+  //
+  // Transform partitioning orders on expressions over the SOURCE
+  // columns (the derived cluster columns are computed writer-side, so
+  // they are null at exchange time): bucket entries sort by the
+  // catalog's V2 `bucket(n, col)` function (Spark resolves it through
+  // the table's FunctionCatalog — the Iceberg write-distribution
+  // pattern) with the raw key as a secondary order so each file also
+  // pins a narrow key slice; temporal entries sort by the source
+  // timestamp itself — truncation is MONOTONE in it, so ordering by
+  // the source IS ordering by the transform, refined (and the file
+  // stats on the raw timestamp prune time-range predicates directly).
   private def orders: Array[SortOrder] =
-    clusterBy.map(c =>
-      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+    if (partEntries.forall(e => e.clusterCol == e.sourceCol))
+      clusterBy.map(c =>
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+    else partEntries.flatMap {
+      case PartitionTransforms.IdentityPart(c) =>
+        Seq(Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+      case PartitionTransforms.BucketPart(n, c) =>
+        Seq(Expressions.sort(Expressions.bucket(n, c), SortDirection.ASCENDING),
+          Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+      case PartitionTransforms.TemporalPart(_, c) =>
+        Seq(Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+    }.toArray
 
   override def requiredDistribution(): Distribution =
-    if (clusterBy.isEmpty) Distributions.unspecified()
+    if (clusterBy.isEmpty && partEntries.isEmpty) Distributions.unspecified()
     else Distributions.ordered(orders)
 
   override def requiredOrdering(): Array[SortOrder] = orders
@@ -3434,8 +3535,10 @@ private[sources] class GraftVersionedWrite(
   override def advisoryPartitionSizeInBytes(): Long = targetBytes.getOrElse(0L)
 
   override def toBatch: BatchWrite =
-    new GraftBatchWrite(root, schema, replace, commitTs, queryId,
-      rowLevelOp, feedKeys, colMap, txn, message, evolveTo, autoFill)
+    new GraftBatchWrite(root,
+      StructType(schema.fields ++ appendFields), replace, commitTs, queryId,
+      rowLevelOp, feedKeys, colMap, txn, message, evolveTo, autoFill,
+      partEntries.map(_.clusterCol))
 
   override def toStreaming: StreamingWrite = {
     require(txn.isEmpty,
@@ -3465,7 +3568,8 @@ private[sources] class GraftBatchWrite(
     txn: Option[(String, Long)] = None,
     message: Option[String] = None,
     evolveTo: Option[StructType] = None,
-    autoFill: Option[AutoColumns.Fill] = None) extends BatchWrite {
+    autoFill: Option[AutoColumns.Fill] = None,
+    partClusterCols: Seq[String] = Seq.empty) extends BatchWrite {
 
   private val staged = java.nio.file.Paths.get(
     root, s"_staging_${queryId}_${java.util.UUID.randomUUID.toString.take(8)}")
@@ -3476,7 +3580,14 @@ private[sources] class GraftBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     java.nio.file.Files.createDirectories(staged)
-    val inner = GroupParquetWriterFactory(physSchema, staged.toString)
+    // PARTITIONED BY tables roll to a new file whenever the partition
+    // tuple changes (rows arrive sorted by the required ordering, the
+    // auto-fill wrapper computes derived cluster values BEFORE the
+    // inner writer sees the row) — every committed file pins exactly
+    // one partition tuple, the storage-partitioned-join invariant
+    val inner = GroupParquetWriterFactory(physSchema, staged.toString,
+      partClusterCols.map(c =>
+        physSchema.fieldIndex(colMap.getOrElse(c, c))))
     autoFill.fold(inner: DataWriterFactory)(f =>
       AutoFillWriterFactory(inner, f, math.max(1, info.numPartitions())))
   }
@@ -4175,14 +4286,15 @@ private[graft] object VersionedWriteIo {
   * identity (DV sidecars, file-level conflict checks) stays stable
   * across versions. */
 private[graft] case class GroupParquetWriterFactory(
-    schema: StructType, stagingDir: String)
+    schema: StructType, stagingDir: String,
+    splitIdx: Seq[Int] = Seq.empty)
   extends DataWriterFactory with StreamingDataWriterFactory {
 
   private def unique: String = java.util.UUID.randomUUID.toString.take(8)
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GroupParquetDataWriter(stagingDir,
-      f"part-$partitionId%05d-$taskId-$unique.parquet", schema)
+      f"part-$partitionId%05d-$taskId-$unique.parquet", schema, splitIdx)
 
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
@@ -4195,16 +4307,46 @@ private[graft] case class GroupParquetWriterFactory(
 }
 
 private[sources] class GroupParquetDataWriter(
-    dir: String, fileName: String, schema: StructType)
+    dir: String, fileName: String, schema: StructType,
+    splitIdx: Seq[Int] = Seq.empty)
   extends DataWriter[InternalRow] {
 
   private lazy val msgType: MessageType = GroupParquetIo.writeMessageType(schema)
   private var writer: ParquetWriter[Group] = null
   private var path: java.nio.file.Path = null
 
+  // partition-boundary file roll: the names of files already closed by
+  // this task, plus the partition tuple the OPEN file is pinned to.
+  // Rows arrive sorted by the partition columns (the write's required
+  // ordering), so a tuple change means this task is done with the
+  // previous partition — close the file and start the next, and every
+  // committed file pins exactly ONE partition tuple (min == max in the
+  // stats sidecar: the invariant storage-partitioned joins prove
+  // against). Values are COPIED out of the row (Spark reuses buffers).
+  private val rolled = scala.collection.mutable.ArrayBuffer.empty[String]
+  private var fileSeq = 0
+  private var lastKey: Seq[Any] = null
+
+  private def keyOf(row: InternalRow): Seq[Any] =
+    splitIdx.map { i =>
+      if (row.isNullAt(i)) null
+      else schema.fields(i).dataType match {
+        case LongType => row.getLong(i)
+        case IntegerType | DateType => row.getInt(i)
+        case TimestampType | TimestampNTZType => row.getLong(i)
+        case BooleanType => row.getBoolean(i)
+        case StringType => row.getUTF8String(i).toString
+        case _ => null // unexpected partition type: never roll on it
+      }
+    }
+
+  private def currentName: String =
+    if (splitIdx.isEmpty || fileSeq == 0) fileName
+    else fileName.stripSuffix(".parquet") + f"-r$fileSeq%03d.parquet"
+
   private def open(): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    path = java.nio.file.Paths.get(dir, fileName)
+    path = java.nio.file.Paths.get(dir, currentName)
     writer = ExampleParquetWriter.builder(new HPath(path.toString))
       .withType(msgType).withConf(new Configuration()).build()
   }
@@ -4212,6 +4354,16 @@ private[sources] class GroupParquetDataWriter(
   private[sources] def forceCreateAndClose(): Unit = { open(); writer.close() }
 
   override def write(row: InternalRow): Unit = {
+    if (splitIdx.nonEmpty) {
+      val key = keyOf(row)
+      if (lastKey != null && key != lastKey && writer != null) {
+        writer.close()
+        rolled += currentName
+        fileSeq += 1
+        writer = null
+      }
+      lastKey = key
+    }
     if (writer == null) open()
     val g = new SimpleGroup(msgType)
     var i = 0
@@ -4235,13 +4387,16 @@ private[sources] class GroupParquetDataWriter(
   }
 
   override def commit(): WriterCommitMessage = {
-    if (writer != null) writer.close()
-    StagedFilesMessage(if (path == null) Seq.empty else Seq(fileName))
+    if (writer != null) { writer.close(); rolled += currentName }
+    else if (path != null && rolled.isEmpty) rolled += currentName
+    StagedFilesMessage(rolled.toSeq)
   }
 
   override def abort(): Unit = {
     if (writer != null) writer.close()
-    if (path != null) java.nio.file.Files.deleteIfExists(path)
+    (rolled.toSeq :+ currentName).distinct.foreach { n =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, n))
+    }
   }
 
   override def close(): Unit = ()

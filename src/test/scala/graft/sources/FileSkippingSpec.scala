@@ -248,8 +248,14 @@ class FileSkippingSpec extends AnyFunSuite with SparkSpec {
     assert(m(IsNull("ghost")) && !m(EqualTo("ghost", 1L)) && !m(IsNotNull("ghost")))
     // incomparable probe types never refute
     assert(m(EqualTo("id", "not_a_number")))
-    assert(m(EqualTo("id", java.sql.Date.valueOf("2020-01-01"))))
+    assert(m(EqualTo("id", BigDecimal(5))), "decimal probes keep-on-unknown")
     assert(m(EqualTo("name", 7L)))
+    // temporal probes compare on the stats' scale (micros / epoch days):
+    // a date probe only ever arrives for a DATE column, whose stats ARE
+    // epoch days — here `id` covers 10..20, so day 18262 refutes and
+    // day 15 keeps (the sound typed-probe contract)
+    assert(!m(EqualTo("id", java.sql.Date.valueOf("2020-01-01"))))
+    assert(m(EqualTo("id", java.time.LocalDate.ofEpochDay(15L))))
     // vocabulary outside the sound set keeps the file
     assert(m(StringEndsWith("name", "zzz")) && m(Not(EqualTo("id", 15L))))
   }

@@ -98,13 +98,20 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
       "FROM range(0, 100)")
     assert(sql("SELECT count(*) FROM gtest.ns.tp WHERE d = 'd1'")
       .collect()(0).getLong(0) === 25L)
-    // non-identity transforms have no metadata-only equivalent: loud
-    val bucketed = intercept[Exception] {
-      sql("CREATE TABLE gtest.ns.tpb (id BIGINT) " +
-        "USING `graft-versioned` PARTITIONED BY (bucket(4, id))")
+    // bucket transforms ACCEPT (BucketPartitionSpec covers semantics);
+    // truncate has no mapping: loud
+    sql("DROP TABLE IF EXISTS gtest.ns.tpb")
+    sql("CREATE TABLE gtest.ns.tpb (id BIGINT) " +
+      "USING `graft-versioned` PARTITIONED BY (bucket(4, id))")
+    val bprops = sql("SHOW TBLPROPERTIES gtest.ns.tpb").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bprops.get("partitionedBy").contains("bucket(4,id)"), bprops)
+    assert(bprops.get("clusterBy").contains("id_bucket"), bprops)
+    val truncated = intercept[Exception] {
+      sql("CREATE TABLE gtest.ns.tpt (id BIGINT, s STRING) " +
+        "USING `graft-versioned` PARTITIONED BY (truncate(4, s))")
     }
-    assert(chain(bucketed).exists(_.contains("identity transforms only")),
-      chain(bucketed))
+    assert(chain(truncated).exists(_.contains("truncate")), chain(truncated))
     // both spellings at once is ambiguous: loud
     val both = intercept[Exception] {
       sql("CREATE TABLE gtest.ns.tpc (id BIGINT, d STRING) " +
