@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid lexical + vector retrieval with reciprocal-rank fusion — the
+  * two-tower search shape production RAG/retrieval stacks run: a BM25
+  * posting-list side, an embedding k-NN side, and an RRF merge of the
+  * two ranked lists (Cormack et al. 2009's rank fusion, the default
+  * fusion in Elasticsearch/Vespa hybrid search). Reference shape: the
+  * search-index pipeline scores entities against corpus statistics and
+  * serves ranked lists the same way
+  * (dags/search_engine/sql_search_full_rebuild_dag.py:24-110).
+  *
+  * Determinism discipline: BM25 is quantized ONCE per (query, term,
+  * doc) contribution to integer micro-units — floor(1e6·idf·tfNorm
+  * + 0.5) on exact-integer inputs (counts, lengths) with a fixed IEEE
+  * expression shape — so per-document scores are exact integer sums;
+  * RRF contributions are integer `1e6 div (k + rank)`; every ranking
+  * tie breaks by doc id. Any engine re-derives the output
+  * bit-for-bit.
+  *
+  * 100 TB shape: the lexical side is posting-list algebra — token
+  * explode, two map-side-combinable count aggregates, then the QUERY
+  * terms (a bounded set) hash-join the tf table on the term key; no
+  * window touches the corpus except per-query top-k (bounded
+  * partitions = the query set). The vector side at scale swaps the
+  * brute-force scorer for the HNSW/IVF index ([[Ann]], [[Hnsw]]) —
+  * RRF only consumes (query, doc, rank) lists, so the fusion is
+  * indifferent to which tower produced them and costs O(queries · k).
+  */
+object HybridRetrieval {
+
+  /** BM25 (k1 = 1.2, b = 0.75, smoothed idf = ln((N+1)/(df+1)))
+    * of the bounded query-term list against the corpus. `queryTerms`
+    * is (query_id, term) WITH multiplicity — a term a query repeats
+    * contributes once per slot, the standard bag-of-words query
+    * weighting. Returns (query_id, doc_id, bm25_e6) for documents
+    * matching ≥ 1 term; exact integer micro-unit sums. */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 queryTerms: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol).as("__doc"),
+      explode(expr(s"filter(split($textCol, ' '), x -> x <> '')")).as("__t"))
+    val dl = toks.groupBy("__doc")
+      .agg(count(lit(1)).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("long").as("nn"),
+      sum(col("dl")).cast("long").as("tl"))
+    val tf = toks.groupBy("__doc", "__t")
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfT = tf.groupBy("__t").agg(count(lit(1)).cast("long").as("df"))
+      .withColumnRenamed("__t", "__t2")
+    // one quantization per (query, term-slot, doc) contribution; the
+    // float expression shape is pinned and mirrored by the oracle:
+    // 1e6 · ln((N+1)/(df+1)) · (tf·2.2) / (tf + 1.2·(0.25 + 0.75·(dl·N/tl)))
+    queryTerms.join(tf, queryTerms("term") === tf("__t"))
+      .join(dfT, col("__t") === col("__t2"))
+      .join(dl, Seq("__doc"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("__doc").as("doc_id"),
+        floor(lit(1e6) *
+            log((col("nn") + 1).cast("double") /
+              (col("df") + 1).cast("double")) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              ((col("dl") * col("nn")).cast("double") / col("tl")))) +
+            lit(0.5))
+          .cast("long").as("s_e6"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("s_e6")).cast("long").as("bm25_e6"))
+  }
+
+  /** Reciprocal-rank fusion of ranked lists: each (query_id, doc_id,
+    * rank) row contributes `1e6 div (k + rank)` (integer); a document
+    * absent from a list contributes nothing from it. Returns the
+    * per-query top-`topK` by fused score, ties by doc_id — the
+    * deterministic form of Cormack et al.'s RRF (k = 60 canonical). */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, topK: Int): DataFrame = {
+    val contrib = lists.map(_.select(col("query_id"), col("doc_id"),
+        expr(s"$k + rank").cast("long").as("__d"))
+      .select(col("query_id"), col("doc_id"),
+        expr("1000000 div __d").as("c")))
+      .reduce(_ unionByName _)
+    val fused = contrib.groupBy("query_id", "doc_id")
+      .agg(sum(col("c")).cast("long").as("rrf_e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_e6").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_e6"))
+  }
+}

@@ -663,7 +663,40 @@ object ShapeGate {
       .orderBy("doc_id")
   }
 
+  /** t112: CCNet perplexity filter (Wenzek et al. 2020) — the
+    * statistical-LM quality gate production web corpora run before
+    * training: a Laplace-smoothed bigram LM trained on the REFERENCE
+    * slice (even doc_ids, the Wikipedia stand-in), every document
+    * scored by its exact integer micro-nat negative log-likelihood
+    * ([[graft.operators.PerplexityLm]]), and the corpus split into
+    * head / middle / tail perplexity tertiles by positional
+    * thresholds (distributed prefix-count pick — no global window;
+    * the oracle re-derives them with the window DuckDB can afford).
+    * Soundness require()d in-gate: every bucket nonempty and the
+    * buckets ordered in score space (head max ≤ middle min, middle
+    * max ≤ tail min) — a tertile split that isn't a partition by
+    * score is broken no matter what it returns. */
+  def t112PerplexityFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val split = graft.operators.PerplexityLm.ccnetSplit(
+      graft.operators.PerplexityLm.scoreBigramLm(
+        docs, "doc_id", "text", pmod(col("doc_id"), lit(2)) === 0))
+      .select(col("doc_id"), col("n_scored"), col("nll_e6"),
+        col("spt"), col("bucket"))
+    val stats = split.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("spt").as("lo"), max("spt").as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for (b <- Seq("head", "middle", "tail"))
+      require(stats.contains(b), s"t112: bucket '$b' is empty")
+    require(stats("head")._3 <= stats("middle")._2 &&
+        stats("middle")._3 <= stats("tail")._2,
+      s"t112: buckets must partition the score space, got $stats")
+    split.orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t112_perplexity_filter" -> (t112PerplexityFilter _),
     "t103_quality_classifier" -> (t103QualityClassifier _),
     "t102_dsir_resample" -> (t102DsirResample _),
     "t101_temperature_mixture" -> (t101TemperatureMixture _),
@@ -692,6 +725,56 @@ object ShapeGate {
   )
 
   val oracles: Map[String, String] = Map(
+    // t112: the full CCNet derivation re-run from the parquet — the
+    // reference bigram LM's integer counts, micro-nat quantization
+    // (floor(1e6·ln + 0.5), applied ONCE so document scores are exact
+    // integer sums in both engines), positional tertile thresholds at
+    // ranks ceil(n/3) / ceil(2n/3), ties to the lower bucket
+    "t112_perplexity_filter" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 2 = 0) AS ref,
+        |    list_filter(string_split(text, ' '), x -> x <> '') w
+        |  FROM documents),
+        |p AS (SELECT doc_id, ref,
+        |    CASE WHEN t.i = 1 THEN NULL
+        |         ELSE w[CAST(t.i AS INT) - 1] END wp,
+        |    w[CAST(t.i AS INT)] wt
+        |  FROM d, UNNEST(range(1, len(w) + 1)) t(i) WHERE len(w) >= 1),
+        |uni AS (SELECT wt u, cast(count(*) as bigint) cu
+        |        FROM p WHERE ref GROUP BY 1),
+        |bi AS (SELECT wp b1, wt b2, cast(count(*) as bigint) cb
+        |       FROM p WHERE ref AND wp IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT cast(sum(cu) as bigint) tt,
+        |               cast(count(*) as bigint) vv FROM uni),
+        |sc AS (SELECT p.doc_id,
+        |    CASE WHEN u1.cu IS NOT NULL THEN
+        |      cast(floor(1000000.0 * ln((u1.cu + tot.vv)::DOUBLE /
+        |        (coalesce(bi.cb, 0) + 1)) + 0.5) as bigint)
+        |    ELSE
+        |      cast(floor(1000000.0 * ln((tot.tt + tot.vv)::DOUBLE /
+        |        (coalesce(u2.cu, 0) + 1)) + 0.5) as bigint)
+        |    END nll
+        |  FROM p
+        |  LEFT JOIN uni u1 ON u1.u = p.wp
+        |  LEFT JOIN bi ON bi.b1 = p.wp AND bi.b2 = p.wt
+        |  LEFT JOIN uni u2 ON u2.u = p.wt
+        |  CROSS JOIN tot),
+        |ds AS (SELECT doc_id, cast(count(*) as bigint) n_scored,
+        |        cast(sum(nll) as bigint) nll_e6,
+        |        cast(sum(nll) // count(*) as bigint) spt
+        |  FROM sc GROUP BY 1),
+        |nn AS (SELECT cast(count(*) as bigint) n FROM ds),
+        |rk AS (SELECT spt, row_number() OVER (ORDER BY spt) rn FROM ds),
+        |th AS (SELECT
+        |    max(CASE WHEN rn = (SELECT (n + 2) // 3 FROM nn)
+        |        THEN spt END) t1,
+        |    max(CASE WHEN rn = (SELECT (2 * n + 2) // 3 FROM nn)
+        |        THEN spt END) t2
+        |  FROM rk)
+        |SELECT doc_id, n_scored, nll_e6, spt,
+        |  CASE WHEN spt <= t1 THEN 'head'
+        |       WHEN spt <= t2 THEN 'middle'
+        |       ELSE 'tail' END bucket
+        |FROM ds, th ORDER BY doc_id""".stripMargin,
     // t103: the learned scorer's held-out verdict — the trait is
     // feature-expressible, so a working trainer classifies every
     // held-out doc correctly; any miss breaks the hash

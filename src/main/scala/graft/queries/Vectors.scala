@@ -708,7 +708,51 @@ object Vectors {
       .orderBy("query_id")
   }
 
+  /** v57: HYBRID lexical + vector retrieval with reciprocal-rank
+    * fusion ([[graft.operators.HybridRetrieval]]) — the two-tower RAG
+    * search shape: BM25 over the documents table (query = the query
+    * document's first 3 tokens, self excluded) and exact-dot k-NN over
+    * the aligned embeddings table (vec_id ≡ doc_id), each ranked
+    * top-20 per query, fused by integer RRF (k = 60) into a top-10.
+    * Queries are doc_id % 97 == 0 — a bounded set, the per-query
+    * windows partition on it. The vector tower at 100 TB swaps in the
+    * HNSW/IVF index; the fusion consumes only (query, doc, rank)
+    * lists either way. The oracle re-derives both towers and the
+    * fusion from the parquet alone. */
+  def v57HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val qTerms = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(expr("slice(filter(split(text, ' '), x -> x <> ''), 1, 3)"))
+          .as("term"))
+    val lex = graft.operators.HybridRetrieval
+      .bm25Scores(docs, "doc_id", "text", qTerms)
+      .filter(col("doc_id") =!= col("query_id"))
+    val wl = Window.partitionBy("query_id")
+      .orderBy(col("bm25_e6").desc, col("doc_id").asc)
+    val lexRanked = lex.withColumn("rank", row_number().over(wl))
+      .filter(col("rank") <= 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val e = qEmb(s, dir)
+    val qv = e.filter(pmod(col("vec_id"), lit(97)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("vq"))
+    val dots = qv.join(
+        broadcast(e.select(col("vec_id").as("doc_id"), col("v"))),
+        col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        dot(col("vq"), col("v")).as("d"))
+    val wv = Window.partitionBy("query_id")
+      .orderBy(col("d").desc, col("doc_id").asc)
+    val vecRanked = dots.withColumn("rank", row_number().over(wv))
+      .filter(col("rank") <= 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    graft.operators.HybridRetrieval
+      .rrfFuse(Seq(lexRanked, vecRanked), k = 60, topK = 10)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v57_hybrid_rrf" -> (v57HybridRrf _),
     "v50_hnsw_recall" -> (v50HnswRecall _),
     "v51_hnsw_incremental" -> (v51HnswIncremental _),
     "v55_filtered_hnsw" -> (v55FilteredHnsw _),
@@ -926,6 +970,62 @@ object Vectors {
         |       FROM exact)""".stripMargin)
 
   val oracles: Map[String, String] = Map(
+    // v57: both towers and the fusion re-derived from the parquet —
+    // BM25 quantized once per (query, term-slot, doc) with the pinned
+    // float expression shape, exact-dot vector ranks, integer RRF
+    "v57_hybrid_rrf" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) t FROM tk),
+        |dl AS (SELECT doc_id, cast(count(*) as bigint) dl
+        |       FROM tok GROUP BY 1),
+        |st AS (SELECT cast(count(*) as bigint) nn,
+        |              cast(sum(dl) as bigint) tl FROM dl),
+        |tf AS (SELECT doc_id, t, cast(count(*) as bigint) tf
+        |       FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT t, cast(count(*) as bigint) df FROM tf GROUP BY 1),
+        |qt AS (SELECT doc_id AS query_id, unnest(w[1:3]) term
+        |       FROM tk WHERE doc_id % 97 = 0),
+        |ls AS (SELECT qt.query_id, tf.doc_id,
+        |    cast(floor(1000000.0 * ln((nn + 1)::DOUBLE / (df + 1)) *
+        |      (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * ((dl.dl * nn)::DOUBLE / tl))) +
+        |      0.5) as bigint) s
+        |  FROM qt JOIN tf ON tf.t = qt.term
+        |  JOIN dfq ON dfq.t = qt.term
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN st
+        |  WHERE tf.doc_id <> qt.query_id),
+        |lex AS (SELECT query_id, doc_id, cast(sum(s) as bigint) sc
+        |        FROM ls GROUP BY 1, 2),
+        |lexr AS (SELECT query_id, doc_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sc DESC, doc_id) rnk FROM lex),
+        |qv AS (SELECT vec_id, list_transform(embedding,
+        |    x -> cast(round(cast(x as double) * 1000000.0) as bigint)) v
+        |  FROM embeddings),
+        |pairs AS (SELECT a.vec_id query_id, b.vec_id doc_id, a.v va, b.v vb
+        |          FROM qv a, qv b
+        |          WHERE a.vec_id % 97 = 0 AND a.vec_id <> b.vec_id),
+        |dots AS (SELECT query_id, doc_id, cast(sum(x * y) as bigint) d
+        |         FROM (SELECT query_id, doc_id, unnest(va) x, unnest(vb) y
+        |               FROM pairs)
+        |         GROUP BY 1, 2),
+        |vecr AS (SELECT query_id, doc_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY d DESC, doc_id) rnk FROM dots),
+        |c AS (
+        |  SELECT query_id, doc_id, 1000000 // (60 + rnk) c
+        |  FROM lexr WHERE rnk <= 20
+        |  UNION ALL
+        |  SELECT query_id, doc_id, 1000000 // (60 + rnk) c
+        |  FROM vecr WHERE rnk <= 20),
+        |f AS (SELECT query_id, doc_id, cast(sum(c) as bigint) rrf_e6
+        |      FROM c GROUP BY 1, 2),
+        |fr AS (SELECT query_id, doc_id, rrf_e6,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_e6 DESC, doc_id) as int) rank FROM f)
+        |SELECT query_id, rank, doc_id, rrf_e6 FROM fr
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // v50: the graph build is not SQL-expressible; the recall and
     // budget numbers are require()d in-gate against the v31-oracled
     // exact reference, and the oracle independently states the
