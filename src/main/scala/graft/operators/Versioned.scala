@@ -385,7 +385,20 @@ object Versioned {
     // readSnapshot also applies deletion vectors, so compacting a
     // DV-carrying version MATERIALIZES the deletes: the rewrite holds
     // only live rows and the new version carries no sidecars.
-    val df = readSnapshot(spark, root, v, mergeSchema = true)
+    // A row-tracking table compacts WITH its ids: the rewrite reorders
+    // and renames files, so `base + position` no longer addresses the
+    // original rows — each row's id MATERIALIZES into the rewritten
+    // files as the physical `_graft_row_id` column (Delta's
+    // materialized row-id contract), and the commit funnel flags the
+    // new files so readers serve the column instead of the base.
+    val df =
+      if (RowIds.enabled(root)) {
+        val d = spark.read.format("graft-versioned")
+          .option("versionAsOf", v.toString).load(root)
+        val l2p = colMapL2P(root)
+        d.select((d.columns.toSeq.map(c => col(c).as(l2p.getOrElse(c, c))) :+
+          col("_row_id").as(RowIds.MaterializedCol)): _*)
+      } else readSnapshot(spark, root, v, mergeSchema = true)
     // a clustered table re-clusters on compaction (range + sort), so
     // the rewrite RESTORES file-level min/max locality instead of
     // interleaving it away — coalesce alone merges arbitrary ranges
@@ -529,6 +542,12 @@ object Versioned {
     require(!readerFeatures(root).contains("type-widening"),
       "purge: type-widening tables are unsupported — a narrow file's " +
         "rewrite through the widening read would re-type it")
+    require(!RowIds.enabled(root),
+      "purge: row-tracking tables are unsupported — the in-place " +
+        "rewrite shifts row positions, so every derived `base + _pos` " +
+        "id after a purged row would silently change; drop the " +
+        "rowTracking property (sys history loses id stability) before " +
+        "purging")
     // one rewrite per INODE; every (version, name) entry re-links
     val byInode = scala.collection.mutable.LinkedHashMap
       .empty[Long, scala.collection.mutable.ArrayBuffer[Path]]
@@ -629,6 +648,18 @@ object Versioned {
     * them at the byte target (re-clustered when the table has a layout
     * contract), and land the swap as a row-level commit — untouched
     * files hard-link, concurrent disjoint row-level commits rebase. */
+  /** logical → physical column mapping of the root, empty when the
+    * table carries none (rewrites write PHYSICAL names — files store
+    * birth names whatever wrote them). */
+  private[graft] def colMapL2P(root: String): Map[String, String] = {
+    val cm = Paths.get(root, "_graft_colmap")
+    if (!Files.exists(cm)) Map.empty
+    else new String(Files.readAllBytes(cm),
+      java.nio.charset.StandardCharsets.UTF_8).linesIterator
+      .map(_.split("\t", -1)).collect {
+        case Array("m", l, p) => l -> p }.toMap
+  }
+
   private def rewriteFiles(spark: SparkSession, root: String, v: Long,
                            selected: Seq[Path], targetFileBytes: Long,
                            clusterBy: Seq[String],
@@ -644,26 +675,26 @@ object Versioned {
     // and the rewrite writes physical names, so column mapping needs
     // no translation here (clusterBy arrives already physical)
     val widened = readerFeatures(root).contains("type-widening")
+    val tracked = RowIds.enabled(root)
     val live =
-      if (widened) {
+      if (widened || tracked) {
         // a widened snapshot's small files can hold narrow AND wide
         // halves of the same column — plain parquet cannot merge them,
         // so read through the DSv2 scan (it widens per file and applies
         // DVs positionally), restricted to the small files, and
-        // translate logical names back to physical for the rewrite
+        // translate logical names back to physical for the rewrite.
+        // A row-tracking rewrite additionally carries each row's id
+        // into the replacement files (materialized `_graft_row_id` —
+        // the scan serves derived AND already-materialized sources
+        // uniformly through `_row_id`).
         val df = spark.read.format("graft-versioned")
           .option("versionAsOf", v.toString).load(root)
         val dataCols = df.columns.toSeq
-        val l2p: Map[String, String] = {
-          val cm = Paths.get(root, "_graft_colmap")
-          if (!Files.exists(cm)) Map.empty
-          else new String(Files.readAllBytes(cm),
-            java.nio.charset.StandardCharsets.UTF_8).linesIterator
-            .map(_.split("\t", -1)).collect {
-              case Array("m", l, p) => l -> p }.toMap
-        }
+        val l2p = colMapL2P(root)
+        val projected = dataCols.map(c => col(c).as(l2p.getOrElse(c, c))) ++
+          (if (tracked) Seq(col("_row_id").as(RowIds.MaterializedCol)) else Nil)
         df.filter(col("_file").isin(smalls.map(_.toString): _*))
-          .select(dataCols.map(c => col(c).as(l2p.getOrElse(c, c))): _*)
+          .select(projected: _*)
       } else {
         val base = spark.read.option("mergeSchema", "true")
           .parquet(smalls.map(_.toString): _*)
@@ -804,7 +835,7 @@ object Versioned {
     * mapping bypassed, an append-only promise broken). */
   val SupportedWriterFeatures: Set[String] =
     Set("deletion-vectors", "column-mapping", "check-constraints",
-      "append-only", "type-widening")
+      "append-only", "type-widening", "row-tracking")
 
   /** Features the table's protocol file requires of writers. */
   def writerFeatures(root: String): Set[String] =
@@ -898,6 +929,14 @@ object Versioned {
     // commit cost stays O(new files) even when the version carries a
     // 100k-file table. Readers treat an absent sidecar as "no pruning".
     FileStats.write(vdir, dataNames, statsFrom)
+    // row-tracking tables: assign/carry per-file row-id bases BEFORE
+    // the manifest (visibility point), reading row counts and
+    // materialized-column presence from the stats sidecar just written.
+    // `statsFrom` is the same carry source stats use — restore, clone
+    // and row-level commits preserve ids because their carried files
+    // keep their entries verbatim.
+    if (RowIds.enabled(vdir.getParent.toString))
+      RowIds.commit(vdir.getParent, vdir, dataNames, statsFrom)
     // DV sidecars change what a correct read IS — flag the requirement
     // before the manifest (= the commit's visibility point) exists.
     // Staging dirs live inside the table root, so the parent is the
@@ -1097,19 +1136,23 @@ object Versioned {
                    mergeSchema: Boolean): DataFrame = {
     checkProtocol(root) // never hand back rows a missing feature would falsify
     val vdir = Paths.get(root, s"v=$version")
-    if (DeletionVectors.hasDvs(vdir) ||
-        readerFeatures(root).contains("type-widening"))
-      // the DSv2 scan resolves the same manifest, skips DV'd rows, and
-      // WIDENS pre-widening files on read — a plain parquet mergeSchema
-      // read cannot merge INT32 and INT64 halves of a widened column
-      spark.read.format("graft-versioned")
-        .option("versionAsOf", version.toString).load(root)
-    else {
-      val files = dataFiles(vdir).map(_.toString)
-      val r = spark.read.option("mergeSchema", mergeSchema.toString)
-      // an empty manifest (no files at all) still needs a schema source
-      if (files.isEmpty) r.parquet(vdir.toString) else r.parquet(files: _*)
-    }
+    val raw =
+      if (DeletionVectors.hasDvs(vdir) ||
+          readerFeatures(root).contains("type-widening"))
+        // the DSv2 scan resolves the same manifest, skips DV'd rows, and
+        // WIDENS pre-widening files on read — a plain parquet mergeSchema
+        // read cannot merge INT32 and INT64 halves of a widened column
+        spark.read.format("graft-versioned")
+          .option("versionAsOf", version.toString).load(root)
+      else {
+        val files = dataFiles(vdir).map(_.toString)
+        val r = spark.read.option("mergeSchema", mergeSchema.toString)
+        // an empty manifest (no files at all) still needs a schema source
+        if (files.isEmpty) r.parquet(vdir.toString) else r.parquet(files: _*)
+      }
+    // the materialized row-id column is engine-internal (row tracking's
+    // rewrite carrier) — never part of a snapshot's logical rows
+    raw.drop(RowIds.MaterializedCol)
   }
 
   /** RESTORE: make an OLD snapshot current again as a NEW commit

@@ -1026,6 +1026,67 @@ object VersionedGate {
              ORDER BY doc_id""")
   }
 
+  /** q193: ROW TRACKING (Delta's rowTracking) — every row carries a
+    * stable `_row_id` metadata column: assigned once at commit,
+    * preserved across appends, COMPACTION (the rewrite MATERIALIZES
+    * ids into a physical carrier column — `base + position` cannot
+    * survive a reorder), and merge-on-read DELETE (files hard-link,
+    * sidecars hide rows). The lifecycle runs insert → insert →
+    * OPTIMIZE → MoR DELETE → MoR UPDATE and require()s, stage by
+    * stage: untouched rows keep their EXACT ids, ids stay globally
+    * unique, and the logical schema never leaks the internal carrier.
+    * Ids are engine-assigned (not oracle-derivable), so the invariants
+    * are in-gate; the CONTENT the lifecycle ends at is re-derived
+    * relationally by DuckDB from the predicates alone. */
+  def q193RowTracking(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs193")
+    s.sql("CREATE TABLE graft.gate.docs193 " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES " +
+      "('rowTracking'='true', 'deletionVectors'='true')")
+    Tables.documents(s, dir).createOrReplaceTempView("q193_docs_src")
+    s.sql("INSERT INTO graft.gate.docs193 " +
+      "SELECT doc_id, lang, n_chars FROM q193_docs_src WHERE doc_id % 3 = 0")
+    s.sql("INSERT INTO graft.gate.docs193 " +
+      "SELECT doc_id, lang, n_chars FROM q193_docs_src WHERE doc_id % 3 = 1")
+    def ids(): Map[Long, Long] = // gate-bounded: the sf slice's rows
+      s.sql("SELECT doc_id, _row_id FROM graft.gate.docs193").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val afterInserts = ids()
+    require(afterInserts.values.toSet.size == afterInserts.size,
+      "q193: row ids must be globally unique after the inserts")
+    val root = scratchBase.resolve("catalog").resolve("gate")
+      .resolve("docs193")
+    Versioned.compact(s, root.toString)
+    s.sql("REFRESH TABLE graft.gate.docs193")
+    val afterCompact = ids()
+    require(afterCompact == afterInserts,
+      "q193: OPTIMIZE must preserve every row's id (materialized carrier)")
+    val v = Versioned.latestVersion(root.toString).get
+    require(graft.operators.RowIds.baseMap(root.resolve(s"v=$v"))
+        .values.forall(_.materialized),
+      "q193: compacted files must be sidecar-flagged as materialized")
+    require(!s.sql("SELECT * FROM graft.gate.docs193").columns
+        .contains(graft.operators.RowIds.MaterializedCol),
+      "q193: the internal carrier column must never reach the logical schema")
+    s.sql("DELETE FROM graft.gate.docs193 WHERE n_chars < 300")
+    val afterDelete = ids()
+    require(afterDelete == afterInserts.filter {
+        case (doc, _) => afterDelete.contains(doc) },
+      "q193: MoR DELETE survivors must keep their exact ids")
+    s.sql("UPDATE graft.gate.docs193 SET n_chars = n_chars + 1000 " +
+      "WHERE doc_id % 10 = 7")
+    val afterUpdate = ids()
+    val untouched = afterUpdate.filter { case (doc, _) => doc % 10 != 7 }
+    require(untouched == afterDelete.filter { case (doc, _) => doc % 10 != 7 },
+      "q193: rows the UPDATE never touched must keep their exact ids")
+    require(afterUpdate.values.toSet.size == afterUpdate.size,
+      "q193: row ids must stay globally unique through the lifecycle")
+    s.sql("""SELECT doc_id, lang, n_chars FROM graft.gate.docs193
+             ORDER BY doc_id""")
+  }
+
   /** q179: TYPE WIDENING (Delta's typeWidening) — INT→BIGINT and
     * FLOAT→DOUBLE as METADATA-ONLY retypes: narrow files are written,
     * the columns are widened by ALTER TABLE (no rewrite; the
@@ -2185,6 +2246,7 @@ object VersionedGate {
     "q190_bucket_spj" -> (q190BucketSpj _),
     "q191_temporal_ddl" -> (q191TemporalDdl _),
     "q192_partition_evolution" -> (q192PartitionEvolution _),
+    "q193_row_tracking" -> (q193RowTracking _),
     "q179_type_widening" -> (q179TypeWidening _),
     "q180_generated_identity" -> (q180GeneratedIdentity _),
     "q181_default_values" -> (q181DefaultValues _),
@@ -2594,6 +2656,16 @@ object VersionedGate {
     // just documents re-keyed (soundness/pin/prune proofs live in-gate)
     "q192_partition_evolution" ->
       """SELECT doc_id, doc_id % 4 AS grp, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // q193: the lifecycle's final CONTENT re-derived from the
+    // predicates (inserted slices → MoR delete → MoR update); the
+    // id-stability invariants are engine facts, require()d in-gate
+    "q193_row_tracking" ->
+      """SELECT doc_id, lang,
+        |  n_chars + (CASE WHEN doc_id % 10 = 7 THEN 1000 ELSE 0 END)
+        |    AS n_chars
+        |FROM documents
+        |WHERE doc_id % 3 < 2 AND n_chars >= 300
         |ORDER BY doc_id""".stripMargin,
     // q189: the post-purge final content re-derived relationally — the
     // purge predicate applied on top of the CoW predicate chain

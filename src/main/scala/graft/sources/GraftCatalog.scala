@@ -698,6 +698,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val layoutProps =
       Seq("clusterBy", "writePartitions", "targetFileBytes", "changeFeedKeys",
         "deletionVectors", "appendOnly", "autoMerge", "partitionedBy",
+        "rowTracking",
         graft.operators.BloomSidecar.PropKey,
         graft.operators.NdvSidecar.PropKey)
         .flatMap(k => Option(properties.get(k)).filter(_.nonEmpty).map(v => s"$k=$v"))
@@ -710,7 +711,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // appendOnly writer feature)
     if (Option(properties.get("appendOnly")).exists(_.trim.toBoolean))
       Versioned.requireWriterFeature(tablePath(ident), "append-only")
+    // row tracking binds every future writer (an id-blind build would
+    // commit files without base assignments) — protocol-flag at birth;
+    // the metadata column name must stay free in the user schema
+    if (Option(properties.get("rowTracking")).exists(_.trim.toBoolean)) {
+      requireRowIdNamesFree(schema)
+      Versioned.requireWriterFeature(tablePath(ident),
+        graft.operators.RowIds.Feature)
+    }
   }
+
+  private def requireRowIdNamesFree(schema: StructType): Unit =
+    Seq(GraftVersionedTable.RowIdColumn,
+        graft.operators.RowIds.MaterializedCol).foreach { n =>
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+        s"graft catalog: rowTracking reserves column name '$n' — " +
+          "rename the conflicting table column first")
+    }
 
   /** Schema evolution, Delta-style: `ALTER TABLE … ADD COLUMN(S)`
     * appends nullable columns to the manifest — a METADATA-ONLY commit
@@ -727,7 +744,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
     val layoutKeys =
       Set("clusterBy", "writePartitions", "targetFileBytes", "changeFeedKeys",
-        "deletionVectors", "appendOnly", "autoMerge",
+        "deletionVectors", "appendOnly", "autoMerge", "rowTracking",
         graft.operators.BloomSidecar.PropKey,
         graft.operators.NdvSidecar.PropKey)
     var props = readProps(ident)
@@ -945,6 +962,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // the promise — flag writers so foreign builds refuse commits
         if (set.property == "appendOnly" && set.value.trim.toBoolean)
           Versioned.requireWriterFeature(tablePath(ident), "append-only")
+        // enabling row tracking on a live table: flag writers, then
+        // assign ids to the CURRENT version's files (history before
+        // the enablement has none — reads there refuse loudly)
+        if (set.property == "rowTracking" && set.value.trim.toBoolean) {
+          requireRowIdNamesFree(schema)
+          Versioned.requireWriterFeature(tablePath(ident),
+            graft.operators.RowIds.Feature)
+          graft.operators.RowIds.bootstrap(tablePath(ident).toString)
+        }
         props += (set.property -> set.value)
       case rm: TableChange.RemoveProperty if layoutKeys(rm.property) =>
         require(rm.property != "clusterBy" ||
@@ -952,6 +978,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "graft catalog: this table is PARTITIONED BY " +
             s"(${props.getOrElse("partitionedBy", "")}) — clusterBy is its " +
             "layout mapping and cannot be unset directly")
+        // unsetting row tracking releases the writer flag too — the
+        // sidecars stay on disk (inert) but no invariant remains for
+        // foreign builds to maintain
+        if (rm.property == "rowTracking" &&
+            Versioned.writerFeatures(tablePath(ident).toString)
+              .contains(graft.operators.RowIds.Feature))
+          Versioned.dropWriterFeature(tablePath(ident).toString,
+            graft.operators.RowIds.Feature)
         props -= rm.property
       // CHECK constraints: persisted as predicate SQL, exposed through
       // Table.constraints() so Spark enforces them on every write.

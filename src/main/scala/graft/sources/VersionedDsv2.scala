@@ -143,6 +143,22 @@ private[sources] object GraftVersionedTable {
     override def comment(): String = "absolute row position within the data file"
   }
 
+  /** Name of the STABLE ROW ID metadata column (Delta's rowTracking):
+    * assigned once at commit (`file base + _pos`), preserved across
+    * merge-on-read mutations by construction (files hard-link) and
+    * across rewrites by materialization
+    * ([[graft.operators.RowIds.MaterializedCol]]). Exposed only on
+    * tables whose protocol flags the `row-tracking` writer feature. */
+  val RowIdColumn = "_row_id"
+
+  object RowIdMetadataColumn extends MetadataColumn {
+    override def name(): String = RowIdColumn
+    override def dataType(): DataType = LongType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "stable row id (row tracking) — survives rewrites"
+  }
+
   /** COLUMN MAPPING (logical → physical): files always store PHYSICAL
     * column names, fixed at column birth; `RENAME COLUMN` moves only
     * the logical name, so every pre-rename file stays readable with no
@@ -294,13 +310,19 @@ private[sources] object GraftVersionedTable {
       // of the same column across files — parquet's own merge refuses
       // that, so fall back to the widening-aware union (the reader
       // widens the narrow files on scan)
-      val inferred =
+      val inferredRaw =
         try (if (files.isEmpty) r.parquet(dir) else r.parquet(files: _*)).schema
         catch { case e: org.apache.spark.SparkException
             if String.valueOf(e.getMessage).contains("CANNOT_MERGE_SCHEMAS") =>
           widenMergeSchemas(
             files.map(f => spark.read.parquet(f).schema), root)
         }
+      // the materialized row-id carrier is engine-internal — a
+      // rewritten file stores it physically, the logical schema never
+      // shows it (readers reach ids through the `_row_id` metadata
+      // column)
+      val inferred = StructType(inferredRaw.fields.filterNot(
+        _.name == graft.operators.RowIds.MaterializedCol).toSeq)
       // a colmap-carrying load surfaces LOGICAL names: footer names
       // are physical; a complete mapping also hides DROPPED columns
       // (their physical names map to no logical one)
@@ -503,8 +525,32 @@ private[sources] class GraftVersionedTable(
         val vdir = java.nio.file.Paths.get(s"$root/v=$latest")
         val colMap = GraftVersionedTable.colMapOf(options)
         def physOf(n: String) = colMap.getOrElse(n, n)
+        // row tracking: the rewrite must carry survivors' ids — read
+        // them through the scan's `_row_id` and keep them as the
+        // materialized physical column through the survivor filter
+        val tracked = graft.operators.RowIds.enabled(root)
         val cur =
-          if (graft.operators.DeletionVectors.hasDvs(vdir)) {
+          if (tracked) {
+            val rdr = spark.read.format("graft-versioned")
+              .option("versionAsOf", latest.toString)
+            val snap = Option(options.get("colmap")).filter(_.nonEmpty)
+              .fold(rdr)(m => rdr.option("colmap", m)).load(root)
+            // align to the table contract (a column no file carries yet
+            // null-fills — the scan surfaces logical names already),
+            // then carry each survivor's id as the materialized column
+            val dataCols =
+              if (tableSchema.isEmpty)
+                snap.columns.toSeq.map(org.apache.spark.sql.functions.col)
+              else tableSchema.fields.toSeq.map { f =>
+                if (snap.schema.fieldNames.contains(f.name))
+                  org.apache.spark.sql.functions.col(f.name)
+                else org.apache.spark.sql.functions.lit(null)
+                  .cast(f.dataType).as(f.name)
+              }
+            snap.select((dataCols :+
+              org.apache.spark.sql.functions.col(GraftVersionedTable.RowIdColumn)
+                .as(graft.operators.RowIds.MaterializedCol)): _*)
+          } else if (graft.operators.DeletionVectors.hasDvs(vdir)) {
             // raw snapshot frames carry PHYSICAL names — project each
             // table column from its physical twin (null-fill absents)
             val snap = Versioned.readSnapshot(spark, root, latest,
@@ -557,8 +603,13 @@ private[sources] class GraftVersionedTable(
   // its data projection when the operation declares metadata), and the
   // delta operations' row id.
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(GraftVersionedTable.FileMetadataColumn,
-      GraftVersionedTable.PosMetadataColumn)
+    if (graft.operators.RowIds.enabled(root))
+      Array(GraftVersionedTable.FileMetadataColumn,
+        GraftVersionedTable.PosMetadataColumn,
+        GraftVersionedTable.RowIdMetadataColumn)
+    else
+      Array(GraftVersionedTable.FileMetadataColumn,
+        GraftVersionedTable.PosMetadataColumn)
 
   // ---- SQL UPDATE / MERGE INTO / arbitrary-predicate DELETE: the
   // group-based (copy-on-write) row-level operation with the DATA FILE
@@ -637,6 +688,19 @@ private[sources] class GraftRowLevelOperation(
   // replace-mode write: the rewritten query's output replaces exactly
   // the files the scan read (all of them when nothing was pruned)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // the group-based rewrite flows through Spark's generic
+    // ReplaceData plan, which does not hand source row ids to the
+    // writer — executing it on a row-tracking table would silently
+    // reassign every rewritten row's id. Refused HERE, not at
+    // operation build: a translatable DELETE builds the operation
+    // during analysis but then reroutes to deleteWhere (which
+    // materializes ids itself) and never reaches this write.
+    // Merge-on-read preserves ids by construction — steer there.
+    if (graft.operators.RowIds.enabled(root))
+      throw new UnsupportedOperationException(
+        s"graft-versioned: $cmd on row-tracking table `$root` requires " +
+          "merge-on-read — set TBLPROPERTIES ('deletionVectors'='true') " +
+          "so mutations preserve row ids")
     val b = new GraftVersionedWriteBuilder(root, tableSchema, info,
       tableOptions, rowLevelOp = Some(this))
     b.truncate()
@@ -1587,7 +1651,28 @@ private[sources] class GraftVersionedScan(
       else graft.operators.DeletionVectors.dvMap(java.nio.file.Paths.get(
           GraftVersionedTable.snapshotDir(root, options)))
         .map { case (n, p) => n -> p.toString }
-    val parts = GroupParquetIo.toPartitions(groups, dvs)
+    val parts0 = GroupParquetIo.toPartitions(groups, dvs)
+    // row tracking: attach each split's file BASE row id (derived ids
+    // are base + in-file position; materialized files read their own
+    // column and ignore the base). Loud when the snapshot predates the
+    // feature — a silent null id would poison lineage downstream.
+    val parts =
+      if (!required.fieldNames.contains(GraftVersionedTable.RowIdColumn))
+        parts0
+      else {
+        val bases = graft.operators.RowIds.baseMap(java.nio.file.Paths.get(
+          GraftVersionedTable.snapshotDir(root, options)))
+        parts0.map {
+          case p: GroupParquetPartition =>
+            val n = java.nio.file.Paths.get(p.file).getFileName.toString
+            val e = bases.getOrElse(n, throw new IllegalStateException(
+              s"graft-versioned: `_row_id` requested but this snapshot " +
+                s"has no row-id entry for '$n' — the version predates " +
+                "row tracking (ids exist from the enabling commit forward)"))
+            p.copy(rowIdBase = e.base): InputPartition
+          case p => p
+        }
+      }
     // SPJ: every split carries its partition key so Spark can group
     // and align the join sides (gated: spjKeys covers ALL planned
     // files or reports nothing)
@@ -1596,7 +1681,7 @@ private[sources] class GraftVersionedScan(
         case p: GroupParquetPartition =>
           byFile.get(java.nio.file.Paths.get(p.file).getFileName.toString)
             .map(k => KeyedGroupParquetPartition(p.file, p.rangeStart,
-              p.rangeEnd, p.dvFile, k): InputPartition)
+              p.rangeEnd, p.dvFile, k, p.rowIdBase): InputPartition)
             .getOrElse(p)
         case p => p
       }
@@ -2196,7 +2281,7 @@ private[sources] case class GraftVersionOffset(version: Long) extends Offset {
   * (streaming-feed fallbacks and older call sites). */
 private[sources] case class GroupParquetPartition(
     file: String, rangeStart: Long = -1L, rangeEnd: Long = -1L,
-    dvFile: String = null)
+    dvFile: String = null, rowIdBase: Long = -1L)
   extends InputPartition
 
 /** A split that knows its partition-column values — the
@@ -2204,7 +2289,7 @@ private[sources] case class GroupParquetPartition(
   * every kept file pins one exact value per partition column). */
 private[sources] case class KeyedGroupParquetPartition(
     file: String, rangeStart: Long, rangeEnd: Long, dvFile: String,
-    keyVals: Array[Any])
+    keyVals: Array[Any], rowIdBase: Long = -1L)
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -2220,10 +2305,10 @@ private[sources] case class GroupParquetReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
     case p: GroupParquetPartition =>
       new GroupParquetPartitionReader(p.file, p.rangeStart, p.rangeEnd,
-        required, pushed, filterTypes, limit, p.dvFile, colMap)
+        required, pushed, filterTypes, limit, p.dvFile, colMap, p.rowIdBase)
     case p: KeyedGroupParquetPartition =>
       new GroupParquetPartitionReader(p.file, p.rangeStart, p.rangeEnd,
-        required, pushed, filterTypes, limit, p.dvFile, colMap)
+        required, pushed, filterTypes, limit, p.dvFile, colMap, p.rowIdBase)
   }
 }
 
@@ -2236,7 +2321,8 @@ private[sources] class GroupParquetPartitionReader(
     file: String, rangeStart: Long, rangeEnd: Long,
     required: StructType, pushed: Array[Filter],
     filterTypes: Map[String, DataType], limit: Long = -1L,
-    dvFile: String = null, colMap: Map[String, String] = Map.empty)
+    dvFile: String = null, colMap: Map[String, String] = Map.empty,
+    rowIdBase: Long = -1L)
   extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
@@ -2253,8 +2339,12 @@ private[sources] class GroupParquetPartitionReader(
   // the FILE, so a row-group partition needs its group's starting row
   // index (cumulative row count of the preceding groups — computed
   // from the same footer read that resolves the schema)
+  private val needRowId =
+    required.fieldNames.contains(GraftVersionedTable.RowIdColumn)
+
   private val needPos = dvFile != null ||
-    required.fieldNames.contains(GraftVersionedTable.PosColumn)
+    required.fieldNames.contains(GraftVersionedTable.PosColumn) ||
+    needRowId
 
   private val (fileSchema: MessageType, startRow: Long) = {
     val in = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file), conf))
@@ -2330,10 +2420,18 @@ private[sources] class GroupParquetPartitionReader(
   private val (nativeAtoms, widenedAtoms) = presentAtoms.partition(
     GroupParquetIo.fileTypeMatched(_, fileSchema, filterTypes))
 
+  // a REWRITTEN file of a row-tracking table materializes ids under
+  // this physical column — read it when `_row_id` is projected;
+  // derived files fall back to base + position
+  private val matRowIdPresent = needRowId &&
+    fileSchema.containsField(graft.operators.RowIds.MaterializedCol)
+
   private val projNames: Seq[String] = {
     // physical projection: required maps logical→physical, filterTypes
     // keys are physical already — never double-map a physical name
-    val want = (required.fieldNames.map(physOf) ++ filterTypes.keys)
+    val want = (required.fieldNames.map(physOf) ++ filterTypes.keys ++
+        (if (matRowIdPresent) Seq(graft.operators.RowIds.MaterializedCol)
+         else Nil))
       .distinct.filter(fileSchema.containsField).toSeq
     if (want.nonEmpty) want else Seq(fileSchema.getFields.get(0).getName)
   }
@@ -2475,6 +2573,19 @@ private[sources] class GroupParquetPartitionReader(
       if (synthesized(f.name)) {
         if (f.name == GraftVersionedTable.FileColumn) row.update(i, filePathUtf8)
         else if (f.name == GraftVersionedTable.PosColumn) row.setLong(i, rowPos)
+        else if (f.name == GraftVersionedTable.RowIdColumn) {
+          if (matRowIdPresent) {
+            val mi = gType.getFieldIndex(graft.operators.RowIds.MaterializedCol)
+            if (g.getFieldRepetitionCount(mi) == 0) row.update(i, null)
+            else row.setLong(i, g.getLong(mi, 0))
+          } else {
+            require(rowIdBase >= 0,
+              s"graft-versioned: `_row_id` requested but $file has no " +
+                "row-id base — the snapshot predates row tracking " +
+                "(enable assigns ids from the current version forward)")
+            row.setLong(i, rowIdBase + rowPos)
+          }
+        }
         else row.update(i, null)
         i += 1
       } else {
@@ -3286,7 +3397,10 @@ private[sources] class GraftVersionedWriteBuilder(
               Versioned.dataFiles(java.nio.file.Paths.get(dir))
                 .map(f => spark.read.parquet(f.toString).schema), root)
           }
-        (sch, s"v=$v")
+        // rewritten files of a row-tracking table carry the internal
+        // materialized-id column — appends never provide (or see) it
+        (StructType(sch.fields.filterNot(
+          _.name == graft.operators.RowIds.MaterializedCol).toSeq), s"v=$v")
       }
       else None
     alignAgainst.foreach { case (existing, what) =>

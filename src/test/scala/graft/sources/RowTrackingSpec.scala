@@ -1,0 +1,208 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.operators.{RowIds, Versioned}
+
+/** Row tracking (Delta's rowTracking): stable `_row_id` assignment at
+  * commit, preservation across appends and merge-on-read mutations,
+  * monotone high-water mark across rollback, bootstrap on live
+  * enablement, and the fail-loud matrix (pre-enablement snapshots,
+  * reserved names). */
+class RowTrackingSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val warehouse: String = {
+    val w = java.nio.file.Files.createTempDirectory("graft_rowid_spec_").toString
+    spark.conf.set("spark.sql.catalog.grid", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grid.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grid.ns")
+    w
+  }
+
+  private def sql(s: String): DataFrame = { warehouse; spark.sql(s) }
+
+  private def ids(table: String): Map[Long, Long] =
+    sql(s"SELECT id, _row_id FROM $table").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("appends assign dense, unique, monotone ids; reads are stable") {
+    sql("DROP TABLE IF EXISTS grid.ns.rt1")
+    sql("CREATE TABLE grid.ns.rt1 (id BIGINT, v BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('rowTracking'='true')")
+    sql("INSERT INTO grid.ns.rt1 VALUES (1, 10), (2, 20)")
+    val first = ids("grid.ns.rt1")
+    assert(first.values.toSet.size === 2, "ids must be unique")
+    sql("INSERT INTO grid.ns.rt1 VALUES (3, 30)")
+    val second = ids("grid.ns.rt1")
+    // earlier rows keep their ids; the new row gets a FRESH id
+    assert(second.filter(_._1 <= 2) === first)
+    assert(!first.values.toSet.contains(second(3L)))
+    // stable across re-reads
+    assert(ids("grid.ns.rt1") === second)
+  }
+
+  test("merge-on-read DELETE: survivors keep their ids verbatim") {
+    sql("DROP TABLE IF EXISTS grid.ns.rt2")
+    sql("CREATE TABLE grid.ns.rt2 (id BIGINT, v BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES " +
+      "('rowTracking'='true', 'deletionVectors'='true')")
+    sql("INSERT INTO grid.ns.rt2 VALUES (1, 10), (2, 20), (3, 30)")
+    val before = ids("grid.ns.rt2")
+    sql("DELETE FROM grid.ns.rt2 WHERE id = 2")
+    val after = ids("grid.ns.rt2")
+    assert(after.keySet === Set(1L, 3L))
+    assert(after === before.filter(_._1 != 2L),
+      "surviving rows must keep their exact ids across a DV delete")
+  }
+
+  test("time travel WITHIN the tracked history keeps per-version ids") {
+    sql("DROP TABLE IF EXISTS grid.ns.rt3")
+    sql("CREATE TABLE grid.ns.rt3 (id BIGINT, v BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('rowTracking'='true')")
+    sql("INSERT INTO grid.ns.rt3 VALUES (1, 10)")
+    sql("INSERT INTO grid.ns.rt3 VALUES (2, 20)")
+    val cur = ids("grid.ns.rt3")
+    val v0 = sql("SELECT id, _row_id FROM grid.ns.rt3 VERSION AS OF 0")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v0 === cur.filter(_._1 == 1L),
+      "the old snapshot's rows carry the same ids they have today")
+  }
+
+  test("enablement on a live table bootstraps the current version only") {
+    sql("DROP TABLE IF EXISTS grid.ns.rt4")
+    sql("CREATE TABLE grid.ns.rt4 (id BIGINT, v BIGINT) USING `graft-versioned`")
+    sql("INSERT INTO grid.ns.rt4 VALUES (1, 10)") // v0: pre-enablement
+    sql("INSERT INTO grid.ns.rt4 VALUES (2, 20)") // v1: pre-enablement
+    sql("ALTER TABLE grid.ns.rt4 SET TBLPROPERTIES ('rowTracking'='true')")
+    val cur = ids("grid.ns.rt4") // bootstrap covers the CURRENT version
+    assert(cur.keySet === Set(1L, 2L))
+    assert(cur.values.toSet.size === 2)
+    // the pre-enablement snapshot has no ids — loud, never null
+    val e = intercept[Exception] {
+      sql("SELECT id, _row_id FROM grid.ns.rt4 VERSION AS OF 0").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("row"),
+      s"expected a row-tracking refusal, got: ${e.getMessage}")
+    // new inserts extend from the bootstrap mark without reuse
+    sql("INSERT INTO grid.ns.rt4 VALUES (3, 30)")
+    val withNew = ids("grid.ns.rt4")
+    assert(withNew.filter(_._1 <= 2) === cur)
+    assert(withNew.values.toSet.size === 3)
+  }
+
+  test("rollback never leads to id reuse (root mark is monotone)") {
+    sql("DROP TABLE IF EXISTS grid.ns.rt5")
+    sql("CREATE TABLE grid.ns.rt5 (id BIGINT, v BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('rowTracking'='true')")
+    sql("INSERT INTO grid.ns.rt5 VALUES (1, 10)")
+    sql("INSERT INTO grid.ns.rt5 VALUES (2, 20)")
+    val dropped = ids("grid.ns.rt5")(2L)
+    val root = s"$warehouse/ns/rt5"
+    Versioned.rollback(root) // drops v=1 (the id-2 commit)
+    sql("REFRESH TABLE grid.ns.rt5")
+    sql("INSERT INTO grid.ns.rt5 VALUES (9, 90)")
+    val after = ids("grid.ns.rt5")
+    assert(after(9L) > dropped,
+      s"rolled-back id $dropped must never be reissued, got ${after(9L)}")
+  }
+
+  test("reserved names refuse at CREATE and on enablement") {
+    sql("DROP TABLE IF EXISTS grid.ns.rt6")
+    val e1 = intercept[Exception] {
+      sql("CREATE TABLE grid.ns.rt6 (id BIGINT, _row_id BIGINT) " +
+        "USING `graft-versioned` TBLPROPERTIES ('rowTracking'='true')")
+    }
+    assert(e1.getMessage.contains("reserves column name"))
+  }
+
+  test("compaction materializes ids: stable across OPTIMIZE") {
+    sql("DROP TABLE IF EXISTS grid.ns.rt8")
+    sql("CREATE TABLE grid.ns.rt8 (id BIGINT, v BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('rowTracking'='true')")
+    sql("INSERT INTO grid.ns.rt8 VALUES (1, 10), (2, 20)")
+    sql("INSERT INTO grid.ns.rt8 VALUES (3, 30)")
+    sql("INSERT INTO grid.ns.rt8 VALUES (4, 40)")
+    val before = ids("grid.ns.rt8")
+    val root = s"$warehouse/ns/rt8"
+    val cv = Versioned.compact(spark, root)
+    sql("REFRESH TABLE grid.ns.rt8")
+    val after = ids("grid.ns.rt8")
+    assert(after === before,
+      "every row must keep its exact id across compaction")
+    // the rewritten files carry the MATERIALIZED flag in the sidecar
+    val entries = RowIds.read(java.nio.file.Paths.get(root, s"v=$cv")).get._2
+    assert(entries.values.forall(_.materialized),
+      s"compacted files must be flagged materialized, got $entries")
+    // and the logical schema stays clean — no internal column leaks
+    assert(!sql("SELECT * FROM grid.ns.rt8").columns
+      .contains(RowIds.MaterializedCol))
+    // appends after compaction continue derived, without reuse
+    sql("INSERT INTO grid.ns.rt8 VALUES (5, 50)")
+    val withNew = ids("grid.ns.rt8")
+    assert(withNew.filter(_._1 <= 4) === before)
+    assert(withNew.values.toSet.size === 5)
+  }
+
+  test("copy-on-write DELETE (translatable predicate): survivors keep ids") {
+    sql("DROP TABLE IF EXISTS grid.ns.rt9")
+    sql("CREATE TABLE grid.ns.rt9 (id BIGINT, v BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('rowTracking'='true')")
+    sql("INSERT INTO grid.ns.rt9 VALUES (1, 10), (2, 20), (3, 30)")
+    val before = ids("grid.ns.rt9")
+    sql("DELETE FROM grid.ns.rt9 WHERE id = 2")
+    val after = ids("grid.ns.rt9")
+    assert(after === before.filter(_._1 != 2L),
+      "survivors must keep their ids across the copy-on-write delete")
+  }
+
+  test("UPDATE without deletionVectors refuses, naming the fix") {
+    sql("DROP TABLE IF EXISTS grid.ns.rt10")
+    sql("CREATE TABLE grid.ns.rt10 (id BIGINT, v BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('rowTracking'='true')")
+    sql("INSERT INTO grid.ns.rt10 VALUES (1, 10)")
+    val e = intercept[Exception] {
+      sql("UPDATE grid.ns.rt10 SET v = 11 WHERE id = 1")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("deletionVectors")),
+      s"expected the merge-on-read guidance, got: ${msgs(e)}")
+  }
+
+  test("MoR UPDATE on a DV table: ids survive for untouched rows") {
+    sql("DROP TABLE IF EXISTS grid.ns.rt11")
+    sql("CREATE TABLE grid.ns.rt11 (id BIGINT, v BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES " +
+      "('rowTracking'='true', 'deletionVectors'='true')")
+    sql("INSERT INTO grid.ns.rt11 VALUES (1, 10), (2, 20), (3, 30)")
+    val before = ids("grid.ns.rt11")
+    sql("UPDATE grid.ns.rt11 SET v = 21 WHERE id = 2")
+    val after = ids("grid.ns.rt11")
+    // untouched rows keep ids; the updated row is delete+insert in the
+    // delta protocol, so it carries a FRESH id (its lineage link is
+    // the change feed)
+    assert(after.filter(_._1 != 2L) === before.filter(_._1 != 2L))
+    assert(after(2L) != before(2L) && !before.values.toSet.contains(after(2L)))
+  }
+
+  test("sidecar carries entries and mark through the commit chain") {
+    sql("DROP TABLE IF EXISTS grid.ns.rt7")
+    sql("CREATE TABLE grid.ns.rt7 (id BIGINT, v BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('rowTracking'='true')")
+    sql("INSERT INTO grid.ns.rt7 VALUES (1, 10), (2, 20)")
+    sql("INSERT INTO grid.ns.rt7 VALUES (3, 30)")
+    val root = s"$warehouse/ns/rt7"
+    val v1 = java.nio.file.Paths.get(root, "v=1")
+    val Some((hwm, entries)) = RowIds.read(v1)
+    assert(hwm === 3L, s"3 rows assigned, mark must be 3, got $hwm")
+    // carried file keeps its base; entries cover every data file
+    val dataNames = Versioned.dataFiles(v1).map(_.getFileName.toString).toSet
+    assert(entries.keySet === dataNames)
+    val v0Entries = RowIds.read(java.nio.file.Paths.get(root, "v=0")).get._2
+    v0Entries.foreach { case (n, e) =>
+      assert(entries(n) === e, s"carried file $n must keep its entry")
+    }
+  }
+}
