@@ -283,9 +283,92 @@ object CorpusGate {
     "t57_chunk_windows" -> (t57ChunkWindows _),
     "t64_quality_score" -> (t64QualityScore _),
     "t65_dup_spans" -> (t65DupSpans _),
+    "t113_rag_retrieval" -> (t113RagRetrieval _),
   )
 
+  /** t113: RAG CORPUS CAPSTONE — the retrieval-ingestion pipeline end
+    * to end, composed from this round's and earlier rounds' pieces:
+    * sliding-window CHUNKING ([[CorpusText.chunkWindows]], 32/24),
+    * a minimum-length quality gate (≥ 8 tokens), EXACT chunK-level
+    * dedup (keep the smallest (doc, idx) per identical text — the
+    * boilerplate chunks web corpora repeat collapse here), then BM25
+    * retrieval over the surviving chunk corpus
+    * ([[graft.operators.HybridRetrieval.bm25Scores]]) for the bounded
+    * v57-style query set, top-5 per query. Chunk key = doc_id·1000 +
+    * chunk_idx (docs are far below 1000 chunks); a query never
+    * retrieves chunks of its own document. Every stage re-derived by
+    * the DuckDB oracle from the parquet alone. */
+  def t113RagRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val chunks = CorpusText
+      .chunkWindows(Tables.documents(s, dir), window = 32, stride = 24)
+      .filter(col("n_chunk_tokens") >= 8)
+      .select((col("doc_id") * 1000 + col("chunk_idx")).as("cid"),
+        col("chunk_text"))
+    val deduped = chunks.groupBy(col("chunk_text"))
+      .agg(min(col("cid")).as("cid"))
+      .select(col("cid"), col("chunk_text"))
+    val qTerms = Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(97)) === 0 && col("doc_id") < 2000)
+      .select(col("doc_id").as("query_id"),
+        explode(expr("slice(filter(split(text, ' '), x -> x <> ''), 1, 3)"))
+          .as("term"))
+    val scored = graft.operators.HybridRetrieval
+      .bm25Scores(deduped, "cid", "chunk_text", qTerms)
+      .withColumnRenamed("doc_id", "cid")
+      .filter(expr("cid div 1000") =!= col("query_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("bm25_e6").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cid"), col("bm25_e6"))
+      .orderBy("query_id", "rank")
+  }
+
   val oracles: Map[String, String] = Map(
+    // t113: every stage re-derived — t57's chunk slices, the ≥8-token
+    // gate, exact dedup keeping min cid, then the v57 BM25 formula
+    // (same pinned float shape) over the surviving chunk corpus
+    "t113_rag_retrieval" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |chunks AS (SELECT doc_id, CAST(t.i AS INT) chunk_idx,
+        |             w[(t.i*24+1):(t.i*24+32)] cw
+        |           FROM toks, UNNEST(range(
+        |             CASE WHEN len(w) <= 32 THEN 1
+        |                  ELSE CAST(ceil((len(w)-32)/24.0) AS BIGINT) + 1 END)) AS t(i)),
+        |ck AS (SELECT doc_id*1000 + chunk_idx AS cid,
+        |         array_to_string(cw, ' ') AS ct
+        |       FROM chunks WHERE len(cw) >= 8),
+        |dd AS (SELECT ct, cast(min(cid) as bigint) cid FROM ck GROUP BY ct),
+        |ctok AS (SELECT cid, unnest(list_filter(string_split(ct, ' '),
+        |           x -> x <> '')) tk FROM dd),
+        |dl AS (SELECT cid, cast(count(*) as bigint) dl FROM ctok GROUP BY 1),
+        |st AS (SELECT cast(count(*) as bigint) nn,
+        |              cast(sum(dl) as bigint) tl FROM dl),
+        |tf AS (SELECT cid, tk, cast(count(*) as bigint) tf
+        |       FROM ctok GROUP BY 1, 2),
+        |dfq AS (SELECT tk, cast(count(*) as bigint) df FROM tf GROUP BY 1),
+        |qt AS (SELECT doc_id AS query_id, unnest(w2[1:3]) term
+        |       FROM (SELECT doc_id,
+        |               list_filter(string_split(text, ' '), x -> x <> '') w2
+        |             FROM documents
+        |             WHERE doc_id % 97 = 0 AND doc_id < 2000)),
+        |ls AS (SELECT qt.query_id, tf.cid,
+        |    cast(floor(1000000.0 * ln((nn + 1)::DOUBLE / (df + 1)) *
+        |      (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * ((dl.dl * nn)::DOUBLE / tl))) +
+        |      0.5) as bigint) s
+        |  FROM qt JOIN tf ON tf.tk = qt.term
+        |  JOIN dfq ON dfq.tk = qt.term
+        |  JOIN dl ON dl.cid = tf.cid
+        |  CROSS JOIN st
+        |  WHERE tf.cid // 1000 <> qt.query_id),
+        |lex AS (SELECT query_id, cid, cast(sum(s) as bigint) bm25_e6
+        |        FROM ls GROUP BY 1, 2),
+        |rk AS (SELECT query_id, cid, bm25_e6,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bm25_e6 DESC, cid) as int) rank FROM lex)
+        |SELECT query_id, rank, cid, bm25_e6 FROM rk
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // t100: the most frequent bigram's count re-derived by explicit
     // group-by — the engine's per-row sorted-run fold must agree
     // t111: keep-first within each doc, order preserved; the planted
