@@ -53,16 +53,29 @@ object RowIds {
     * from every schema-inference surface (engine-internal prefix). */
   val MaterializedCol = "_graft_row_id"
 
+  /** Physical column a REWRITE materializes per-row COMMIT VERSIONS
+    * under (Delta's row commit versions — the partner fact: WHICH
+    * commit last created/modified the row, so an incremental consumer
+    * can scan `_row_commit_version > N` instead of diffing). Derived
+    * rows inherit their FILE's adding commit (a file's rows are
+    * exactly the rows that commit created: appends create files,
+    * merge-on-read updates insert new files, DV deletes touch no
+    * surviving row); rewrites carry the per-row value. */
+  val MaterializedVerCol = "_graft_row_ver"
+
   /** Root-level monotone high-water mark file. */
   private[graft] val HwmFile = "_graft_rowid_hwm"
 
-  final case class Entry(base: Long, materialized: Boolean)
+  /** base row id, the commit version that added the file's rows, and
+    * whether the file materializes per-row ids/versions physically. */
+  final case class Entry(base: Long, ver: Long, materialized: Boolean)
 
   def enabled(root: String): Boolean =
     Versioned.writerFeatures(root).contains(Feature)
 
   /** (commit high-water mark, file → entry) of one version dir; None
-    * when the version predates row tracking. */
+    * when the version predates row tracking. Line format after the
+    * `hwm <n>` head: `b|m <base> <ver> <name>`. */
   def read(vdir: Path): Option[(Long, Map[String, Entry])] = {
     val p = vdir.resolve(Sidecar)
     if (!Files.exists(p)) return None
@@ -76,9 +89,10 @@ object RowIds {
       require((kind == 'b' || kind == 'm') && l.charAt(1) == ' ',
         s"graft-versioned: malformed row-id line '$l' in $vdir")
       val rest = l.drop(2)
-      val sp = rest.indexOf(' ')
-      require(sp > 0, s"graft-versioned: malformed row-id line '$l' in $vdir")
-      rest.drop(sp + 1) -> Entry(rest.take(sp).toLong, kind == 'm')
+      val parts = rest.split(" ", 3)
+      require(parts.length == 3,
+        s"graft-versioned: malformed row-id line '$l' in $vdir")
+      parts(2) -> Entry(parts(0).toLong, parts(1).toLong, kind == 'm')
     }.toMap
     Some((hwm, entries))
   }
@@ -86,7 +100,7 @@ object RowIds {
   private def writeSidecar(vdir: Path, hwm: Long,
                            entries: Seq[(String, Entry)]): Unit = {
     val body = (s"hwm $hwm" +: entries.sortBy(_._1).map { case (n, e) =>
-      s"${if (e.materialized) "m" else "b"} ${e.base} $n"
+      s"${if (e.materialized) "m" else "b"} ${e.base} ${e.ver} $n"
     }).mkString("\n")
     Files.write(vdir.resolve(Sidecar),
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -124,6 +138,12 @@ object RowIds {
     * monotone mark, flag files that materialize ids (detected from the
     * just-written stats sidecar's column-presence markers — no extra
     * footer reads), and advance the root mark. */
+  private def verOf(dir: Path): Option[Long] = {
+    val n = dir.getFileName.toString
+    if (n.startsWith("v=")) scala.util.Try(n.drop(2).toLong).toOption
+    else None
+  }
+
   private[graft] def commit(root: Path, vdir: Path, dataNames: Seq[String],
                             carryFrom: Option[Path]): Unit = {
     val carriedState = carryFrom.flatMap(read)
@@ -132,13 +152,18 @@ object RowIds {
     var hwm = hwmLock.synchronized {
       math.max(carriedState.map(_._1).getOrElse(0L), rootHwm(root))
     }
+    // the commit version new files belong to: staged commits carry
+    // from their base (v=K → publishing as K+1); direct v=N writes
+    // name their own dir; a fresh table's first staged commit is v=0
+    val commitVer: Long = carryFrom.flatMap(verOf).map(_ + 1)
+      .orElse(verOf(vdir)).getOrElse(0L)
     val entries = dataNames.sorted.map { n =>
       carried.get(n) match {
         case Some(e) => n -> e
         case None =>
           val st = stats.getOrElse(n,
             FileStats.collect(vdir.resolve(n)))
-          val e = Entry(hwm, st.cols.contains(MaterializedCol))
+          val e = Entry(hwm, commitVer, st.cols.contains(MaterializedCol))
           hwm += st.rows
           n -> e
       }

@@ -396,8 +396,9 @@ object Versioned {
         val d = spark.read.format("graft-versioned")
           .option("versionAsOf", v.toString).load(root)
         val l2p = colMapL2P(root)
-        d.select((d.columns.toSeq.map(c => col(c).as(l2p.getOrElse(c, c))) :+
-          col("_row_id").as(RowIds.MaterializedCol)): _*)
+        d.select((d.columns.toSeq.map(c => col(c).as(l2p.getOrElse(c, c))) ++
+          Seq(col("_row_id").as(RowIds.MaterializedCol),
+            col("_row_commit_version").as(RowIds.MaterializedVerCol))): _*)
       } else readSnapshot(spark, root, v, mergeSchema = true)
     // a clustered table re-clusters on compaction (range + sort), so
     // the rewrite RESTORES file-level min/max locality instead of
@@ -692,7 +693,10 @@ object Versioned {
         val dataCols = df.columns.toSeq
         val l2p = colMapL2P(root)
         val projected = dataCols.map(c => col(c).as(l2p.getOrElse(c, c))) ++
-          (if (tracked) Seq(col("_row_id").as(RowIds.MaterializedCol)) else Nil)
+          (if (tracked)
+            Seq(col("_row_id").as(RowIds.MaterializedCol),
+              col("_row_commit_version").as(RowIds.MaterializedVerCol))
+          else Nil)
         df.filter(col("_file").isin(smalls.map(_.toString): _*))
           .select(projected: _*)
       } else {
@@ -1150,9 +1154,10 @@ object Versioned {
         // an empty manifest (no files at all) still needs a schema source
         if (files.isEmpty) r.parquet(vdir.toString) else r.parquet(files: _*)
       }
-    // the materialized row-id column is engine-internal (row tracking's
-    // rewrite carrier) — never part of a snapshot's logical rows
-    raw.drop(RowIds.MaterializedCol)
+    // the materialized row-id/version columns are engine-internal (row
+    // tracking's rewrite carriers) — never part of a snapshot's
+    // logical rows
+    raw.drop(RowIds.MaterializedCol, RowIds.MaterializedVerCol)
   }
 
   /** RESTORE: make an OLD snapshot current again as a NEW commit

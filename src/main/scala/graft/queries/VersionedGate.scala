@@ -1053,7 +1053,14 @@ object VersionedGate {
     def ids(): Map[Long, Long] = // gate-bounded: the sf slice's rows
       s.sql("SELECT doc_id, _row_id FROM graft.gate.docs193").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def vers(): Map[Long, Long] =
+      s.sql("SELECT doc_id, _row_commit_version FROM graft.gate.docs193")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val afterInserts = ids()
+    val versInserts = vers()
+    require(versInserts.forall { case (doc, cv) =>
+        cv == (if (doc % 3 == 0) 0L else 1L) },
+      "q193: row commit versions must name each row's inserting commit")
     require(afterInserts.values.toSet.size == afterInserts.size,
       "q193: row ids must be globally unique after the inserts")
     val root = scratchBase.resolve("catalog").resolve("gate")
@@ -1063,6 +1070,9 @@ object VersionedGate {
     val afterCompact = ids()
     require(afterCompact == afterInserts,
       "q193: OPTIMIZE must preserve every row's id (materialized carrier)")
+    require(vers() == versInserts,
+      "q193: OPTIMIZE must preserve per-row commit versions, not stamp " +
+        "its own")
     val v = Versioned.latestVersion(root.toString).get
     require(graft.operators.RowIds.baseMap(root.resolve(s"v=$v"))
         .values.forall(_.materialized),
@@ -1083,6 +1093,14 @@ object VersionedGate {
       "q193: rows the UPDATE never touched must keep their exact ids")
     require(afterUpdate.values.toSet.size == afterUpdate.size,
       "q193: row ids must stay globally unique through the lifecycle")
+    // incremental-consumer contract: the update commit's rows are
+    // exactly the touched ones; everything else keeps its version
+    val vUpd = Versioned.latestVersion(root.toString).get
+    val versUpdate = vers()
+    require(versUpdate.forall { case (doc, cv) =>
+        if (doc % 10 == 7) cv == vUpd else cv == versInserts(doc) },
+      "q193: `_row_commit_version > n` must select exactly the rows " +
+        "later commits touched")
     s.sql("""SELECT doc_id, lang, n_chars FROM graft.gate.docs193
              ORDER BY doc_id""")
   }

@@ -723,7 +723,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def requireRowIdNamesFree(schema: StructType): Unit =
     Seq(GraftVersionedTable.RowIdColumn,
-        graft.operators.RowIds.MaterializedCol).foreach { n =>
+        GraftVersionedTable.RowVerColumn,
+        graft.operators.RowIds.MaterializedCol,
+        graft.operators.RowIds.MaterializedVerCol).foreach { n =>
       require(!schema.fieldNames.exists(_.equalsIgnoreCase(n)),
         s"graft catalog: rowTracking reserves column name '$n' — " +
           "rename the conflicting table column first")

@@ -159,6 +159,22 @@ private[sources] object GraftVersionedTable {
       "stable row id (row tracking) — survives rewrites"
   }
 
+  /** Name of the ROW COMMIT VERSION metadata column (the rowTracking
+    * partner fact): the commit that created/last modified the row —
+    * derived from the file's adding commit (appends create files, MoR
+    * updates insert files, DV deletes touch no surviving row),
+    * carried per row through rewrites. An incremental consumer scans
+    * `_row_commit_version > N` instead of diffing. */
+  val RowVerColumn = "_row_commit_version"
+
+  object RowVerMetadataColumn extends MetadataColumn {
+    override def name(): String = RowVerColumn
+    override def dataType(): DataType = LongType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "commit version that created/last modified the row (row tracking)"
+  }
+
   /** COLUMN MAPPING (logical → physical): files always store PHYSICAL
     * column names, fixed at column birth; `RENAME COLUMN` moves only
     * the logical name, so every pre-rename file stays readable with no
@@ -317,12 +333,13 @@ private[sources] object GraftVersionedTable {
           widenMergeSchemas(
             files.map(f => spark.read.parquet(f).schema), root)
         }
-      // the materialized row-id carrier is engine-internal — a
-      // rewritten file stores it physically, the logical schema never
-      // shows it (readers reach ids through the `_row_id` metadata
-      // column)
-      val inferred = StructType(inferredRaw.fields.filterNot(
-        _.name == graft.operators.RowIds.MaterializedCol).toSeq)
+      // the materialized row-id/version carriers are engine-internal —
+      // a rewritten file stores them physically, the logical schema
+      // never shows them (readers reach ids through the `_row_id` /
+      // `_row_commit_version` metadata columns)
+      val inferred = StructType(inferredRaw.fields.filterNot(f =>
+        f.name == graft.operators.RowIds.MaterializedCol ||
+          f.name == graft.operators.RowIds.MaterializedVerCol).toSeq)
       // a colmap-carrying load surfaces LOGICAL names: footer names
       // are physical; a complete mapping also hides DROPPED columns
       // (their physical names map to no logical one)
@@ -547,9 +564,11 @@ private[sources] class GraftVersionedTable(
                 else org.apache.spark.sql.functions.lit(null)
                   .cast(f.dataType).as(f.name)
               }
-            snap.select((dataCols :+
+            snap.select((dataCols ++ Seq(
               org.apache.spark.sql.functions.col(GraftVersionedTable.RowIdColumn)
-                .as(graft.operators.RowIds.MaterializedCol)): _*)
+                .as(graft.operators.RowIds.MaterializedCol),
+              org.apache.spark.sql.functions.col(GraftVersionedTable.RowVerColumn)
+                .as(graft.operators.RowIds.MaterializedVerCol))): _*)
           } else if (graft.operators.DeletionVectors.hasDvs(vdir)) {
             // raw snapshot frames carry PHYSICAL names — project each
             // table column from its physical twin (null-fill absents)
@@ -606,7 +625,8 @@ private[sources] class GraftVersionedTable(
     if (graft.operators.RowIds.enabled(root))
       Array(GraftVersionedTable.FileMetadataColumn,
         GraftVersionedTable.PosMetadataColumn,
-        GraftVersionedTable.RowIdMetadataColumn)
+        GraftVersionedTable.RowIdMetadataColumn,
+        GraftVersionedTable.RowVerMetadataColumn)
     else
       Array(GraftVersionedTable.FileMetadataColumn,
         GraftVersionedTable.PosMetadataColumn)
@@ -1657,7 +1677,8 @@ private[sources] class GraftVersionedScan(
     // column and ignore the base). Loud when the snapshot predates the
     // feature — a silent null id would poison lineage downstream.
     val parts =
-      if (!required.fieldNames.contains(GraftVersionedTable.RowIdColumn))
+      if (!required.fieldNames.contains(GraftVersionedTable.RowIdColumn) &&
+          !required.fieldNames.contains(GraftVersionedTable.RowVerColumn))
         parts0
       else {
         val bases = graft.operators.RowIds.baseMap(java.nio.file.Paths.get(
@@ -1666,10 +1687,11 @@ private[sources] class GraftVersionedScan(
           case p: GroupParquetPartition =>
             val n = java.nio.file.Paths.get(p.file).getFileName.toString
             val e = bases.getOrElse(n, throw new IllegalStateException(
-              s"graft-versioned: `_row_id` requested but this snapshot " +
-                s"has no row-id entry for '$n' — the version predates " +
-                "row tracking (ids exist from the enabling commit forward)"))
-            p.copy(rowIdBase = e.base): InputPartition
+              s"graft-versioned: row-tracking metadata requested but " +
+                s"this snapshot has no row-id entry for '$n' — the " +
+                "version predates row tracking (ids exist from the " +
+                "enabling commit forward)"))
+            p.copy(rowIdBase = e.base, rowVer = e.ver): InputPartition
           case p => p
         }
       }
@@ -1681,7 +1703,7 @@ private[sources] class GraftVersionedScan(
         case p: GroupParquetPartition =>
           byFile.get(java.nio.file.Paths.get(p.file).getFileName.toString)
             .map(k => KeyedGroupParquetPartition(p.file, p.rangeStart,
-              p.rangeEnd, p.dvFile, k, p.rowIdBase): InputPartition)
+              p.rangeEnd, p.dvFile, k, p.rowIdBase, p.rowVer): InputPartition)
             .getOrElse(p)
         case p => p
       }
@@ -2281,7 +2303,7 @@ private[sources] case class GraftVersionOffset(version: Long) extends Offset {
   * (streaming-feed fallbacks and older call sites). */
 private[sources] case class GroupParquetPartition(
     file: String, rangeStart: Long = -1L, rangeEnd: Long = -1L,
-    dvFile: String = null, rowIdBase: Long = -1L)
+    dvFile: String = null, rowIdBase: Long = -1L, rowVer: Long = -1L)
   extends InputPartition
 
 /** A split that knows its partition-column values — the
@@ -2289,7 +2311,7 @@ private[sources] case class GroupParquetPartition(
   * every kept file pins one exact value per partition column). */
 private[sources] case class KeyedGroupParquetPartition(
     file: String, rangeStart: Long, rangeEnd: Long, dvFile: String,
-    keyVals: Array[Any], rowIdBase: Long = -1L)
+    keyVals: Array[Any], rowIdBase: Long = -1L, rowVer: Long = -1L)
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -2305,10 +2327,12 @@ private[sources] case class GroupParquetReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
     case p: GroupParquetPartition =>
       new GroupParquetPartitionReader(p.file, p.rangeStart, p.rangeEnd,
-        required, pushed, filterTypes, limit, p.dvFile, colMap, p.rowIdBase)
+        required, pushed, filterTypes, limit, p.dvFile, colMap,
+        p.rowIdBase, p.rowVer)
     case p: KeyedGroupParquetPartition =>
       new GroupParquetPartitionReader(p.file, p.rangeStart, p.rangeEnd,
-        required, pushed, filterTypes, limit, p.dvFile, colMap, p.rowIdBase)
+        required, pushed, filterTypes, limit, p.dvFile, colMap,
+        p.rowIdBase, p.rowVer)
   }
 }
 
@@ -2322,7 +2346,7 @@ private[sources] class GroupParquetPartitionReader(
     required: StructType, pushed: Array[Filter],
     filterTypes: Map[String, DataType], limit: Long = -1L,
     dvFile: String = null, colMap: Map[String, String] = Map.empty,
-    rowIdBase: Long = -1L)
+    rowIdBase: Long = -1L, rowVer: Long = -1L)
   extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
@@ -2341,6 +2365,9 @@ private[sources] class GroupParquetPartitionReader(
   // from the same footer read that resolves the schema)
   private val needRowId =
     required.fieldNames.contains(GraftVersionedTable.RowIdColumn)
+
+  private val needRowVer =
+    required.fieldNames.contains(GraftVersionedTable.RowVerColumn)
 
   private val needPos = dvFile != null ||
     required.fieldNames.contains(GraftVersionedTable.PosColumn) ||
@@ -2426,11 +2453,16 @@ private[sources] class GroupParquetPartitionReader(
   private val matRowIdPresent = needRowId &&
     fileSchema.containsField(graft.operators.RowIds.MaterializedCol)
 
+  private val matRowVerPresent = needRowVer &&
+    fileSchema.containsField(graft.operators.RowIds.MaterializedVerCol)
+
   private val projNames: Seq[String] = {
     // physical projection: required maps logical→physical, filterTypes
     // keys are physical already — never double-map a physical name
     val want = (required.fieldNames.map(physOf) ++ filterTypes.keys ++
         (if (matRowIdPresent) Seq(graft.operators.RowIds.MaterializedCol)
+         else Nil) ++
+        (if (matRowVerPresent) Seq(graft.operators.RowIds.MaterializedVerCol)
          else Nil))
       .distinct.filter(fileSchema.containsField).toSeq
     if (want.nonEmpty) want else Seq(fileSchema.getFields.get(0).getName)
@@ -2574,16 +2606,43 @@ private[sources] class GroupParquetPartitionReader(
         if (f.name == GraftVersionedTable.FileColumn) row.update(i, filePathUtf8)
         else if (f.name == GraftVersionedTable.PosColumn) row.setLong(i, rowPos)
         else if (f.name == GraftVersionedTable.RowIdColumn) {
-          if (matRowIdPresent) {
+          // a materialized NULL falls back to the file's base range: a
+          // MERGE-inserted row in a rewrite has no source id — its
+          // fresh id comes from the base allocation (disjoint from all
+          // carried ids by the monotone mark)
+          val fallback =
+            if (matRowIdPresent) {
+              val mi = gType.getFieldIndex(graft.operators.RowIds.MaterializedCol)
+              g.getFieldRepetitionCount(mi) == 0
+            } else true
+          if (!fallback) {
             val mi = gType.getFieldIndex(graft.operators.RowIds.MaterializedCol)
-            if (g.getFieldRepetitionCount(mi) == 0) row.update(i, null)
-            else row.setLong(i, g.getLong(mi, 0))
+            row.setLong(i, g.getLong(mi, 0))
           } else {
             require(rowIdBase >= 0,
               s"graft-versioned: `_row_id` requested but $file has no " +
                 "row-id base — the snapshot predates row tracking " +
                 "(enable assigns ids from the current version forward)")
             row.setLong(i, rowIdBase + rowPos)
+          }
+        }
+        else if (f.name == GraftVersionedTable.RowVerColumn) {
+          val fallback =
+            if (matRowVerPresent) {
+              val mi = gType.getFieldIndex(
+                graft.operators.RowIds.MaterializedVerCol)
+              g.getFieldRepetitionCount(mi) == 0
+            } else true
+          if (!fallback) {
+            val mi = gType.getFieldIndex(
+              graft.operators.RowIds.MaterializedVerCol)
+            row.setLong(i, g.getLong(mi, 0))
+          } else {
+            require(rowVer >= 0,
+              s"graft-versioned: `_row_commit_version` requested but " +
+                s"$file has no adding-commit record — the snapshot " +
+                "predates row tracking")
+            row.setLong(i, rowVer)
           }
         }
         else row.update(i, null)
@@ -3398,9 +3457,12 @@ private[sources] class GraftVersionedWriteBuilder(
                 .map(f => spark.read.parquet(f.toString).schema), root)
           }
         // rewritten files of a row-tracking table carry the internal
-        // materialized-id column — appends never provide (or see) it
-        (StructType(sch.fields.filterNot(
-          _.name == graft.operators.RowIds.MaterializedCol).toSeq), s"v=$v")
+        // materialized id/version columns — appends never provide
+        // (or see) them
+        (StructType(sch.fields.filterNot(f =>
+          f.name == graft.operators.RowIds.MaterializedCol ||
+            f.name == graft.operators.RowIds.MaterializedVerCol).toSeq),
+          s"v=$v")
       }
       else None
     alignAgainst.foreach { case (existing, what) =>

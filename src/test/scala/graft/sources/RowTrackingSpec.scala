@@ -187,6 +187,39 @@ class RowTrackingSpec extends AnyFunSuite with SparkSpec {
     assert(after(2L) != before(2L) && !before.values.toSet.contains(after(2L)))
   }
 
+  private def vers(table: String): Map[Long, Long] =
+    sql(s"SELECT id, _row_commit_version FROM $table").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("row commit versions: per-commit assignment, rewrite-stable") {
+    sql("DROP TABLE IF EXISTS grid.ns.rt12")
+    sql("CREATE TABLE grid.ns.rt12 (id BIGINT, v BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES " +
+      "('rowTracking'='true', 'deletionVectors'='true')")
+    sql("INSERT INTO grid.ns.rt12 VALUES (1, 10), (2, 20)") // v0
+    sql("INSERT INTO grid.ns.rt12 VALUES (3, 30)")          // v1
+    assert(vers("grid.ns.rt12") === Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+    // an incremental consumer reads exactly the rows since v0
+    assert(sql("SELECT id FROM grid.ns.rt12 WHERE _row_commit_version > 0")
+      .collect().map(_.getLong(0)).toSet === Set(3L))
+    // compaction must PRESERVE per-row versions, not stamp its own
+    val root = s"$warehouse/ns/rt12"
+    Versioned.compact(spark, root)
+    sql("REFRESH TABLE grid.ns.rt12")
+    assert(vers("grid.ns.rt12") === Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+    // a MoR UPDATE recreates the touched row AT the update commit;
+    // untouched rows keep their original commit versions
+    val vNow = Versioned.latestVersion(root).get
+    sql("UPDATE grid.ns.rt12 SET v = 21 WHERE id = 2")
+    val after = vers("grid.ns.rt12")
+    assert(after(1L) === 0L && after(3L) === 1L)
+    assert(after(2L) === vNow + 1,
+      s"updated row must carry the update commit, got ${after(2L)}")
+    // a MoR DELETE bumps no surviving row
+    sql("DELETE FROM grid.ns.rt12 WHERE id = 3")
+    assert(vers("grid.ns.rt12") === Map(1L -> 0L, 2L -> (vNow + 1)))
+  }
+
   test("sidecar carries entries and mark through the commit chain") {
     sql("DROP TABLE IF EXISTS grid.ns.rt7")
     sql("CREATE TABLE grid.ns.rt7 (id BIGINT, v BIGINT) " +
