@@ -84,7 +84,14 @@ object PerplexityLm {
       .join(c2t, pairs("wt") === c2t("u2w"), "left")
       .crossJoin(broadcast(tot))
       .select(col("doc_id"),
-        when(col("c1").isNotNull,
+        // an LM trained on ZERO reference tokens scores nothing —
+        // fail loudly per scored row (an empty CORPUS still returns
+        // empty: no row ever evaluates this branch)
+        when(coalesce(col("vv"), lit(0L)) === 0,
+          raise_error(lit("PerplexityLm: the reference slice is empty " +
+            "— an LM trained on zero tokens cannot score; widen " +
+            "isReference")).cast("long"))
+        .when(col("c1").isNotNull,
           floor(lit(1e6) * log((col("c1") + col("vv")).cast("double") /
             (coalesce(col("cb"), lit(0L)) + lit(1L)).cast("double")) +
             lit(0.5)))

@@ -153,4 +153,34 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     assert(applied === Seq((1L, 2L, 0L, "a b"), (2L, 1L, 0L, "")),
       "sub-k docs pass through untouched")
   }
+
+  test("perplexity LM and hybrid retrieval on empty/degenerate inputs") {
+    // empty corpus → empty scores, never a throw
+    assert(PerplexityLm.scoreBigramLm(noDocs, "doc_id", "text",
+      lit(true)).count() == 0)
+    assert(PerplexityLm.ccnetSplit(
+      PerplexityLm.scoreBigramLm(noDocs, "doc_id", "text", lit(true)))
+      .count() == 0)
+    // non-empty corpus with an EMPTY reference slice: loud, named
+    val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      PerplexityLm.scoreBigramLm(docs, "doc_id", "text", lit(false))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("reference slice is empty")),
+      s"expected the empty-reference refusal, got: ${msgs(e).take(3)}")
+    // retrieval: empty corpus and empty query sets stay empty
+    val noQ = Seq.empty[(Long, String)].toDF("query_id", "term")
+    assert(HybridRetrieval.bm25Scores(noDocs, "doc_id", "text",
+      noQ).count() == 0)
+    assert(HybridRetrieval.bm25Scores(docs, "doc_id", "text",
+      noQ).count() == 0)
+    val q = Seq((0L, "a")).toDF("query_id", "term")
+    assert(HybridRetrieval.bm25Scores(noDocs, "doc_id", "text",
+      q).count() == 0)
+    val noList = Seq.empty[(Long, Long, Int)].toDF("query_id", "doc_id", "rank")
+    assert(HybridRetrieval.rrfFuse(Seq(noList, noList), 60, 10).count() == 0)
+  }
 }
