@@ -528,4 +528,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(aqe === salted, "AQE skew join diverged from the salted join")
   }
+
+  test("t112 perplexity: LM lookups broadcast, no SMJ, no global window") {
+    val plan = planOf(queries.ShapeGate.t112PerplexityFilter(spark, dir))
+    // vocab-sized LM count tables must reach the token stream as
+    // broadcasts at this scale (Catalyst's stats decision — a silent
+    // fallback to SortMergeJoin would shuffle the stream three times)
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast LM join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("v57/t113 retrieval: ranking windows partition on the query key") {
+    for (df <- Seq(queries.Vectors.v57HybridRrf(spark, dir),
+        queries.CorpusGate.t113RagRetrieval(spark, dir))) {
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+      // every WindowExec must carry a partition spec (per-query top-k);
+      // an empty partitionBy would drag the corpus to one task
+      val winSpecs = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("query_id")),
+        s"a ranking window lost its query partition in:\n$plan")
+    }
+  }
 }
