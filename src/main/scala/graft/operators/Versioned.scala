@@ -1232,17 +1232,21 @@ object Versioned {
       try Files.createLink(tgt, f)
       catch { case _: UnsupportedOperationException => Files.copy(f, tgt) }
     }
-    writeFilesManifest(staged,
-      listParquet(staged).map(_.getFileName.toString),
-      DeletionVectors.carryAll(Paths.get(srcRoot, s"v=$srcV"), staged),
-      statsFrom = Some(Paths.get(srcRoot, s"v=$srcV")))
     // the clone inherits every protocol requirement of the source —
     // shared immutable files mean shared representation (and shared
-    // invariants on the writer side)
+    // invariants on the writer side). Inherited BEFORE the manifest
+    // funnel runs: the funnel consults the DESTINATION's features to
+    // decide which sidecars to carry (a row-tracking clone must carry
+    // the source's row-id entries into its v=0, or `_row_id` reads on
+    // the clone would refuse)
     readerFeatures(srcRoot).foreach(
       requireReaderFeature(Paths.get(dstRoot), _))
     writerFeatures(srcRoot).foreach(
       requireWriterFeature(Paths.get(dstRoot), _))
+    writeFilesManifest(staged,
+      listParquet(staged).map(_.getFileName.toString),
+      DeletionVectors.carryAll(Paths.get(srcRoot, s"v=$srcV"), staged),
+      statsFrom = Some(Paths.get(srcRoot, s"v=$srcV")))
     Files.move(staged, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     writeLatestHint(dstRoot, 0L)
     writeStamp(dstRoot, 0L,

@@ -220,6 +220,41 @@ class RowTrackingSpec extends AnyFunSuite with SparkSpec {
     assert(vers("grid.ns.rt12") === Map(1L -> 0L, 2L -> (vNow + 1)))
   }
 
+  test("clone and restore preserve ids and commit versions") {
+    sql("DROP TABLE IF EXISTS grid.ns.rt13")
+    sql("CREATE TABLE grid.ns.rt13 (id BIGINT, v BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('rowTracking'='true')")
+    sql("INSERT INTO grid.ns.rt13 VALUES (1, 10)")
+    sql("INSERT INTO grid.ns.rt13 VALUES (2, 20)")
+    val src = s"$warehouse/ns/rt13"
+    val srcIds = ids("grid.ns.rt13")
+    // clone: the new root inherits the protocol and carries the
+    // row-id entries — `_row_id` works on the clone, ids identical
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_rt_clone_").resolve("t").toString
+    Versioned.cloneTo(src, dst)
+    val cloneIds = spark.read.format("graft-versioned").load(dst)
+      .selectExpr("id", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cloneIds === srcIds,
+      "a clone must preserve every row's id (shared immutable files)")
+    // a post-clone insert into the clone continues above the carried
+    // mark — never a collision with carried ids
+    import spark.implicits._
+    Seq((9L, 90L)).toDF("id", "v").write.format("graft-versioned")
+      .mode("append").save(dst)
+    val afterIns = spark.read.format("graft-versioned").load(dst)
+      .selectExpr("id", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterIns.values.toSet.size === 3,
+      s"clone-side insert must not reuse carried ids, got $afterIns")
+    // restore: the restored-over commit keeps the old entries
+    Versioned.restoreTo(src, 0L)
+    sql("REFRESH TABLE grid.ns.rt13")
+    assert(ids("grid.ns.rt13") === srcIds.filter(_._1 == 1L),
+      "restore must resurrect the old snapshot's exact ids")
+  }
+
   test("sidecar carries entries and mark through the commit chain") {
     sql("DROP TABLE IF EXISTS grid.ns.rt7")
     sql("CREATE TABLE grid.ns.rt7 (id BIGINT, v BIGINT) " +
