@@ -1180,18 +1180,76 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * current version; retain: one row per surviving version). */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("sys")))
-      Array("clone", "compact", "convert", "drop_feature", "files", "history", "manifest", "partitions", "purge", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
+      Array("clone", "compact", "convert", "detail", "drop_feature", "files", "history", "manifest", "partitions", "purge", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
         .map(Identifier.of(Array("sys"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     val known =
-      Array("clone", "compact", "convert", "drop_feature", "files", "history", "manifest", "partitions", "purge", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
+      Array("clone", "compact", "convert", "detail", "drop_feature", "files", "history", "manifest", "partitions", "purge", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
     require(ident.namespace.sameElements(Array("sys")) && known.contains(ident.name),
       s"graft catalog: unknown procedure ${ident.namespace.mkString(".")}." +
         s"${ident.name} — available: ${known.map("sys." + _).mkString(", ")}")
     val root: String => String = resolveTableRoot
     ident.name match {
+      // DESCRIBE DETAIL (Delta's one-row table summary): location,
+      // current snapshot's file/byte/row footprint (footer-stats — no
+      // data scan; rows null when any file predates the stats
+      // sidecar), surviving DV'd rows, protocol features, persisted
+      // layout properties, and the row-tracking high-water mark
+      case "detail" => new GraftProcedure("detail",
+        Array(ProcedureParameter.in("table", StringType).build()),
+        new StructType()
+          .add("location", StringType, nullable = false)
+          .add("current_version", LongType, nullable = false)
+          .add("num_versions", LongType, nullable = false)
+          .add("num_files", LongType, nullable = false)
+          .add("size_bytes", LongType, nullable = false)
+          .add("num_rows", LongType, nullable = true)
+          .add("deleted_rows", LongType, nullable = false)
+          .add("reader_features", StringType, nullable = false)
+          .add("writer_features", StringType, nullable = false)
+          .add("properties", StringType, nullable = false)
+          .add("row_id_hwm", LongType, nullable = true)
+          .add("last_commit_ts", LongType, nullable = true),
+        in => {
+          val r = root(in.getUTF8String(0).toString)
+          val v = Versioned.latestVersion(r).getOrElse(
+            throw new IllegalStateException(s"no versions under $r"))
+          val vdir = java.nio.file.Paths.get(r, s"v=$v")
+          val files = Versioned.dataFiles(vdir)
+          val stats = graft.operators.FileStats.read(vdir)
+          val dvs = graft.operators.DeletionVectors.dvMap(vdir)
+          val rowsOpt: Any =
+            if (files.forall(f => stats.contains(f.getFileName.toString)))
+              files.map(f => stats(f.getFileName.toString).rows).sum -
+                dvs.values.map(
+                  graft.operators.DeletionVectors.cardinality).sum
+            else null
+          def utf8(s: String) =
+            org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          val propsFile = java.nio.file.Paths.get(r, PropsManifest)
+          val props =
+            if (!Files.exists(propsFile)) ""
+            else new String(Files.readAllBytes(propsFile),
+              java.nio.charset.StandardCharsets.UTF_8)
+              .linesIterator.filter(_.nonEmpty).toSeq.sorted.mkString(", ")
+          val hwm: Any =
+            if (graft.operators.RowIds.enabled(r))
+              graft.operators.RowIds.rootHwm(java.nio.file.Paths.get(r))
+            else null
+          Seq(new GenericInternalRow(Array[Any](
+            utf8(r), v, Versioned.versions(r).size.toLong,
+            files.size.toLong, files.map(Files.size(_)).sum,
+            rowsOpt,
+            dvs.values.map(
+              graft.operators.DeletionVectors.cardinality).sum,
+            utf8(Versioned.readerFeatures(r).toSeq.sorted.mkString(", ")),
+            utf8(Versioned.writerFeatures(r).toSeq.sorted.mkString(", ")),
+            utf8(props), hwm,
+            Versioned.commitStamp(r, v)
+              .map(java.lang.Long.valueOf).orNull)))
+        })
       case "compact" => new GraftProcedure("compact",
         Array(
           ProcedureParameter.in("table", StringType).build(),

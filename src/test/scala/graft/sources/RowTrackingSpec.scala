@@ -255,6 +255,28 @@ class RowTrackingSpec extends AnyFunSuite with SparkSpec {
       "restore must resurrect the old snapshot's exact ids")
   }
 
+  test("CALL sys.detail: one-row summary with features, props, hwm") {
+    sql("DROP TABLE IF EXISTS grid.ns.rt14")
+    sql("CREATE TABLE grid.ns.rt14 (id BIGINT, v BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES " +
+      "('rowTracking'='true', 'deletionVectors'='true')")
+    sql("INSERT INTO grid.ns.rt14 VALUES (1, 10), (2, 20)")
+    sql("INSERT INTO grid.ns.rt14 VALUES (3, 30)")
+    sql("DELETE FROM grid.ns.rt14 WHERE id = 2")
+    val d = sql("CALL grid.sys.detail(table => 'ns.rt14')").collect()
+    assert(d.length === 1)
+    val r = d(0)
+    assert(r.getAs[Long]("current_version") === 2L)
+    assert(r.getAs[Long]("num_versions") === 3L)
+    assert(r.getAs[Long]("num_rows") === 2L) // 3 inserted − 1 DV'd
+    assert(r.getAs[Long]("deleted_rows") === 1L)
+    assert(r.getAs[String]("writer_features").contains("row-tracking"))
+    assert(r.getAs[String]("reader_features").contains("deletion-vectors"))
+    assert(r.getAs[String]("properties").contains("rowTracking=true"))
+    assert(r.getAs[Long]("row_id_hwm") === 3L)
+    assert(!r.isNullAt(r.fieldIndex("last_commit_ts")))
+  }
+
   test("sidecar carries entries and mark through the commit chain") {
     sql("DROP TABLE IF EXISTS grid.ns.rt7")
     sql("CREATE TABLE grid.ns.rt7 (id BIGINT, v BIGINT) " +
