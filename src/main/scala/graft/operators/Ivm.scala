@@ -114,6 +114,31 @@ object Ivm {
     * its commit is a no-op — the same discipline as the overwrite
     * fold. `stateTable` is a catalog name (e.g. `graft.ns.mv_state`)
     * created with `deletionVectors=true` and clustered on the keys. */
+  /** SQL literal for a delta-bounds value, or None for types without
+    * an exact literal form (those keys just skip their conjunct —
+    * correct, only less pruned). Temporal keys are the MOST common
+    * real MV key (daily/hourly aggregates), so DATE/TIMESTAMP render
+    * here; java.sql vs java.time shapes depend on the session's
+    * datetime.java8API flag — cover both. `java.sql.Timestamp`
+    * toString is JVM-local-zone = Spark's default session zone;
+    * `Instant` renders with an explicit Z offset, which Spark's
+    * literal parser honors — both round-trip exactly at micros. */
+  private[graft] def boundsLiteral(v: Any): Option[String] = v match {
+    case null => None
+    case n: Byte => Some(n.toString)
+    case n: Short => Some(n.toString)
+    case n: Int => Some(n.toString)
+    case n: Long => Some(n.toString + "L")
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case d: java.sql.Date => Some(s"DATE'${d.toString}'")
+    case d: java.time.LocalDate => Some(s"DATE'${d.toString}'")
+    case t: java.sql.Timestamp => Some(s"TIMESTAMP'${t.toString}'")
+    case t: java.time.Instant => Some(s"TIMESTAMP'${t.toString}'")
+    case t: java.time.LocalDateTime =>
+      Some(s"TIMESTAMP_NTZ'${t.toString.replace('T', ' ')}'")
+    case _ => None // non-orderable-literal types: no conjunct
+  }
+
   def continuousAggMaintenanceMerge(
       spark: org.apache.spark.sql.SparkSession,
       feedRoot: String, stateTable: String, checkpoint: String,
@@ -145,21 +170,12 @@ object Ivm {
         // target key outside the bounds can never <=>-match any delta
         // key, and null target keys stay joinable), and the pushed OR
         // prunes every clustered state file outside the changed range.
-        def sqlLit(v: Any): Option[String] = v match {
-          case null => None
-          case n: Byte => Some(n.toString)
-          case n: Short => Some(n.toString)
-          case n: Int => Some(n.toString)
-          case n: Long => Some(n.toString + "L")
-          case s: String => Some("'" + s.replace("'", "''") + "'")
-          case _ => None // non-orderable-literal types: no conjunct
-        }
         val boundsConjuncts = keyCols.flatMap { k =>
           scala.util.Try {
             val r = delta.agg(min(col(k)), max(col(k))).collect()(0)
             for {
-              lo <- sqlLit(r.get(0))
-              hi <- sqlLit(r.get(1))
+              lo <- boundsLiteral(r.get(0))
+              hi <- boundsLiteral(r.get(1))
             } yield s"(t.$k IS NULL OR (t.$k >= $lo AND t.$k <= $hi))"
           }.toOption.flatten
         }

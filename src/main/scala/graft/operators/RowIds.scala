@@ -42,8 +42,10 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 object RowIds {
 
   /** Per-version sidecar name. Line 1: `hwm <n>`; then one
-    * `b <base> <name>` (derived: base + position) or
-    * `m <base> <name>` (file materializes `_graft_row_id`) per file. */
+    * `b <base> <ver> <name>` (derived: id = base + position, every row
+    * stamped with adding-commit `ver`) or `m <base> <ver> <name>`
+    * (file materializes `_graft_row_id`/`_graft_row_ver` physically)
+    * per file. */
   private[graft] val Sidecar = "_graft_rowids"
 
   /** Writer-feature name in the table protocol. */
@@ -148,28 +150,38 @@ object RowIds {
                             carryFrom: Option[Path]): Unit = {
     val carriedState = carryFrom.flatMap(read)
     val carried = carriedState.map(_._2).getOrElse(Map.empty)
-    lazy val stats = FileStats.read(vdir)
-    var hwm = hwmLock.synchronized {
-      math.max(carriedState.map(_._1).getOrElse(0L), rootHwm(root))
-    }
+    val stats = FileStats.read(vdir)
     // the commit version new files belong to: staged commits carry
     // from their base (v=K → publishing as K+1); direct v=N writes
     // name their own dir; a fresh table's first staged commit is v=0
     val commitVer: Long = carryFrom.flatMap(verOf).map(_ + 1)
       .orElse(verOf(vdir)).getOrElse(0L)
+    val freshStats = dataNames.sorted.filterNot(carried.contains).map {
+      n => n -> stats.getOrElse(n, FileStats.collect(vdir.resolve(n)))
+    }
+    // reserve the commit's whole id range atomically: read the root
+    // mark AND advance it past every fresh row inside ONE critical
+    // section, so two concurrent assignments (a bootstrap racing an
+    // INSERT, or any pair of commit paths) can never hand out
+    // overlapping bases — bases are then assigned from the reserved
+    // [start, start+totalFresh) range with the lock released
+    val totalFresh = freshStats.map(_._2.rows).sum
+    val start = hwmLock.synchronized {
+      val base = math.max(carriedState.map(_._1).getOrElse(0L),
+        rootHwm(root))
+      advanceRootHwm(root, base + totalFresh)
+      base
+    }
+    var hwm = start
+    val freshEntries = freshStats.map { case (n, st) =>
+      val e = Entry(hwm, commitVer, st.cols.contains(MaterializedCol))
+      hwm += st.rows
+      n -> e
+    }.toMap
     val entries = dataNames.sorted.map { n =>
-      carried.get(n) match {
-        case Some(e) => n -> e
-        case None =>
-          val st = stats.getOrElse(n,
-            FileStats.collect(vdir.resolve(n)))
-          val e = Entry(hwm, commitVer, st.cols.contains(MaterializedCol))
-          hwm += st.rows
-          n -> e
-      }
+      n -> carried.getOrElse(n, freshEntries(n))
     }
     writeSidecar(vdir, hwm, entries)
-    advanceRootHwm(root, hwm)
   }
 
   /** Bootstrap at feature-enable time: assign ids to the CURRENT

@@ -185,18 +185,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // Spark's storage-partitioned-join machinery resolves a scan's
   // reported partition transforms (and a write's required clustering)
   // through the table's catalog — the Iceberg pattern. `bucket` is the
-  // one function the transforms need; Spark looks it up with an empty
-  // namespace (V2ExpressionUtils), user SQL may qualify it.
+  // the functions the transforms need; Spark looks them up with an
+  // empty namespace (V2ExpressionUtils), user SQL may qualify them.
   override def listFunctions(namespace: Array[String])
       : Array[Identifier] = {
     if (namespace.nonEmpty && !namespaceExists(namespace))
       throw new NoSuchNamespaceException(namespace)
-    Array(Identifier.of(namespace, "bucket"))
+    Array(Identifier.of(namespace, "bucket"),
+      Identifier.of(namespace, "truncate"))
   }
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
+    else if (ident.name.equalsIgnoreCase("truncate")) GraftTruncateFunction
+    else if (ident.name.toLowerCase.startsWith("truncate_"))
+      // the SPJ spelling: width in the name (see PartitionTransforms
+      // .spjV2 — KeyGroupedPartitioning admits one-reference
+      // transforms only), any positive width resolves
+      scala.util.Try(ident.name.drop("truncate_".length).toInt).toOption
+        .filter(_ > 0).map(GraftTruncateWidthFunction)
+        .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchFunctionException(ident))
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
 

@@ -27,7 +27,18 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   *
   * Temporal transforms (days/months/years/hours) map the same way —
   * a generated truncation column plus the clustered layout (see
-  * [[temporalExprSql]]); `truncate(n, col)` stays loudly unsupported.
+  * [[temporalExprSql]]). `truncate(n, col)` (Iceberg's remaining
+  * standard transform: numeric bins, string prefixes) follows the
+  * temporal recipe verbatim — the truncation is MONOTONE in the
+  * source (floor-to-multiple for integers via `c - pmod(c, n)`,
+  * character prefix for strings), so range-clustering on the RAW key
+  * gives every file one truncated value AND a narrow raw slice, and
+  * the scan reports `truncate(n, col)` KeyGroupedPartitioning for
+  * SPJ (the catalog exports the matching V2 function,
+  * [[GraftTruncateFunction]], property-tested bit-equal to the SQL
+  * expression). Files whose key column contains NULLs cannot pin a
+  * stats value — they degrade SPJ to UnknownPartitioning, never a
+  * wrong key.
   *
   * The stored `partitionedBy` property records the DDL spelling
   * (`"g,bucket(16,k)"`); [[parse]]/[[spellingOf]] round-trip it. The
@@ -65,6 +76,12 @@ object PartitionTransforms {
     def sourceCol: String = col
   }
 
+  final case class TruncatePart(width: Int, col: String) extends Entry {
+    def spelling: String = s"truncate($width,$col)"
+    def clusterCol: String = s"${col}_trunc"
+    def sourceCol: String = col
+  }
+
   private[sources] val TemporalUnits = Set("years", "months", "days", "hours")
 
   /** Comma split that respects parentheses: `"g,bucket(16,k)"` →
@@ -85,11 +102,13 @@ object PartitionTransforms {
   }
 
   private val BucketRe = """(?i)bucket\s*\(\s*(\d+)\s*,\s*([^\s)]+)\s*\)""".r
+  private val TruncateRe = """(?i)truncate\s*\(\s*(\d+)\s*,\s*([^\s)]+)\s*\)""".r
   private val TemporalRe = """(?i)(years|months|days|hours)\s*\(\s*([^\s)]+)\s*\)""".r
 
   /** Parse a stored `partitionedBy` property value. */
   def parse(spec: String): Seq[Entry] = splitSpec(spec).map {
     case BucketRe(n, c) => BucketPart(n.toInt, c)
+    case TruncateRe(n, c) => TruncatePart(n.toInt, c)
     case TemporalRe(u, c) => TemporalPart(u.toLowerCase, c)
     case c => IdentityPart(c)
   }
@@ -101,6 +120,15 @@ object PartitionTransforms {
     * must hash identically wherever it is computed. */
   private def bucketable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
+  /** Types `truncate(n, col)` is defined over: the INT/BIGINT floor
+    * (`c - pmod(c, n)`) keeps the source type exactly, and the string
+    * prefix keeps StringType — narrower integrals would silently
+    * promote under the arithmetic, so they refuse. */
+  private def truncatable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | StringType => true
     case _ => false
   }
 
@@ -145,15 +173,29 @@ object PartitionTransforms {
             "unsupported — temporal transforms want a timestamp " +
             "(or date, below hours) column")
         TemporalPart(t.name, c)
+      case t if t.name == "truncate" =>
+        val c = oneRef(t)
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.dataType == IntegerType => l.value.asInstanceOf[Int]
+        }.getOrElse(throw new IllegalArgumentException(
+          s"graft catalog: ${t.describe()} carries no integer width"))
+        require(n > 0, s"graft catalog: truncate width must be positive, got $n")
+        val dt = schema(schema.fieldIndex(c)).dataType
+        require(truncatable(dt),
+          s"graft catalog: truncate($n, $c) over ${dt.simpleString} " +
+            "unsupported — integer bins and string prefixes only " +
+            "(INT/BIGINT/STRING)")
+        TruncatePart(n, c)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: PARTITIONED BY ${other.describe()} unsupported — " +
-          "identity, bucket(n, col) and years/months/days/hours(col) " +
-          "map to the clustered file-stats layout; truncate has no " +
-          "mapping here")
+          "identity, bucket(n, col), truncate(n, col) and " +
+          "years/months/days/hours(col) map to the clustered " +
+          "file-stats layout")
     }
     // a generated cluster column must not collide with a user column
     entries.foreach {
-      case e @ (_: BucketPart | _: TemporalPart) =>
+      case e @ (_: BucketPart | _: TemporalPart | _: TruncatePart) =>
         require(!schema.fieldNames.contains(e.clusterCol),
           s"graft catalog: PARTITIONED BY ${e.spelling} derives column " +
             s"'${e.clusterCol}', which already exists in the schema — " +
@@ -188,6 +230,12 @@ object PartitionTransforms {
             s"graft catalog: $u($c) over ${dt.simpleString} unsupported — " +
               "temporal transforms want a timestamp (or date, below " +
               "hours) column")
+        case TruncatePart(n, c) =>
+          require(n > 0,
+            s"graft catalog: truncate width must be positive, got $n")
+          require(truncatable(dt),
+            s"graft catalog: truncate($n, $c) over ${dt.simpleString} " +
+              "unsupported — INT/BIGINT/STRING keys only")
         case _: IdentityPart => ()
       }
     }
@@ -216,6 +264,16 @@ object PartitionTransforms {
     case "hours" => s"date_trunc('HOUR', `$col`)"
   }
 
+  /** Truncation SQL per key type — MONOTONE in the source in both
+    * families: floor-to-multiple for integers (`pmod` gives the
+    * non-negative remainder, so negatives floor instead of rounding
+    * toward zero — Iceberg's truncate semantics), character prefix
+    * for strings (order-preserving under UTF-8 byte comparison). */
+  def truncExprSql(n: Int, col: String, src: DataType): String = src match {
+    case StringType => s"substring(`$col`, 1, $n)"
+    case _ => s"`$col` - pmod(`$col`, $n)"
+  }
+
   /** The GENERATED specs for the derived cluster columns. */
   def generatedSpecs(entries: Seq[Entry],
                      schema: StructType): Seq[AutoColumns.Generated] =
@@ -225,6 +283,9 @@ object PartitionTransforms {
       case TemporalPart(u, c) =>
         AutoColumns.Generated(s"${c}_$u",
           temporalExprSql(u, c, schema(schema.fieldIndex(c)).dataType))
+      case TruncatePart(n, c) =>
+        AutoColumns.Generated(s"${c}_trunc",
+          truncExprSql(n, c, schema(schema.fieldIndex(c)).dataType))
     }
 
   /** The derived cluster columns to append to the declared schema.
@@ -248,6 +309,11 @@ object PartitionTransforms {
           case _ => DateType
         }
         StructField(t.clusterCol, dt, nullable = true, metadata = meta)
+      case t: TruncatePart =>
+        // truncation preserves the key's own type
+        StructField(t.clusterCol,
+          schema(schema.fieldIndex(t.sourceCol)).dataType,
+          nullable = true, metadata = meta)
     }
   }
 
@@ -261,7 +327,40 @@ object PartitionTransforms {
       case "days" => Expressions.days(c)
       case "hours" => Expressions.hours(c)
     }
+    case TruncatePart(n, c) => Expressions.apply("truncate",
+      Expressions.literal(n), Expressions.column(c))
   }.toArray
+
+  /** The V2 transforms the SCAN reports for storage-partitioned
+    * joins. Identical to [[toV2]] except truncate, whose WIDTH moves
+    * into the function NAME (`truncate_<n>(col)`): Spark's
+    * KeyGroupedPartitioning admits only single-reference transform
+    * expressions (physical/partitioning.scala isSupportedTransform —
+    * bucket alone gets its literal special-cased into numBucketsOpt),
+    * so a literal width argument would silently disqualify the
+    * partitioning. The catalog serves `truncate_<n>` from
+    * loadFunction; mismatched widths can never co-partition — their
+    * canonical names differ. */
+  def spjV2(entries: Seq[Entry]): Array[Transform] = entries.map {
+    case TruncatePart(n, c) =>
+      Expressions.apply(s"truncate_$n", Expressions.column(c))
+    case e => toV2(Seq(e)).head
+  }.toArray
+
+  /** Truncation of one value under `keyType` — the single semantics
+    * [[GraftTruncateBound]] (2-arg SQL form) and
+    * [[GraftTruncateWidthBound]] (SPJ form) share. */
+  private[sources] def truncValue(keyType: DataType, width: Int,
+                                  v: Any): Any = v match {
+    case null => null
+    case x: Long => java.lang.Long.valueOf(x - (((x % width) + width) % width))
+    case x: Int =>
+      java.lang.Integer.valueOf(x - (((x % width) + width) % width))
+    case x: org.apache.spark.unsafe.types.UTF8String =>
+      x.substringSQL(1, width) // by CHARACTERS, exactly SQL substring
+    case other => throw new UnsupportedOperationException(
+      s"graft truncate: unsupported value class ${other.getClass.getName}")
+  }
 
   /** Spark's `hash()` (Murmur3 seed 42) over one value — the write
     * ordering, the generated column and the SPJ function must agree. */
@@ -359,4 +458,99 @@ private[sources] class GraftBucketBound(keyType: DataType)
       }
     Int.box(PartitionTransforms.bucketId(keyType, v, n))
   }
+}
+
+/** `truncate(n, col)` as a V2 catalog function — the SPJ twin of
+  * [[GraftBucketFunction]]: Spark resolves the reported
+  * KeyGroupedPartitioning transform through the table's
+  * FunctionCatalog, and the semantics must be bit-equal to the
+  * generated column's SQL (`c - pmod(c, n)` for integers,
+  * `substring(c, 1, n)` — by characters — for strings; NULL keys
+  * truncate to NULL). */
+object GraftTruncateFunction extends UnboundFunction {
+  override def name(): String = "truncate"
+  override def description(): String =
+    "truncate(n, col) — floor-to-multiple / string prefix, the graft partition transform"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2,
+      s"truncate wants (width INT, key), got ${inputType.simpleString}")
+    require(inputType(0).dataType == IntegerType,
+      s"truncate width must be INT, got ${inputType(0).dataType.simpleString}")
+    val kt = inputType(1).dataType
+    kt match {
+      case IntegerType | LongType | StringType => new GraftTruncateBound(kt)
+      case dt => throw new UnsupportedOperationException(
+        s"truncate over ${dt.simpleString} unsupported — INT/BIGINT/STRING keys only")
+    }
+  }
+}
+
+private[sources] class GraftTruncateBound(keyType: DataType)
+  extends ScalarFunction[Any] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def resultType(): DataType = keyType
+  override def name(): String = "truncate"
+  // SPJ compatibility scopes by key type: an INT-keyed and a
+  // BIGINT-keyed table truncate equal numerics to values that compare
+  // differently as partition keys — never co-partition them
+  override def canonicalName(): String =
+    s"graft.truncate(${keyType.catalogString})"
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow)
+      : Any = {
+    val n = input.getInt(0)
+    if (input.isNullAt(1)) null
+    else PartitionTransforms.truncValue(keyType, n, keyType match {
+      case LongType => input.getLong(1)
+      case IntegerType => input.getInt(1)
+      case StringType => input.getUTF8String(1)
+      case _ => null
+    })
+  }
+}
+
+/** The SPJ spelling of truncate — `truncate_<n>(col)`: width in the
+  * NAME, one reference argument, so the transform expression stays
+  * inside KeyGroupedPartitioning's supported set (see
+  * [[PartitionTransforms.spjV2]]). Resolved by the catalog's
+  * loadFunction for any width. */
+final case class GraftTruncateWidthFunction(width: Int)
+  extends UnboundFunction {
+  override def name(): String = s"truncate_$width"
+  override def description(): String =
+    s"truncate_$width(col) — the width-bound SPJ form of truncate"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1,
+      s"truncate_$width wants (key), got ${inputType.simpleString}")
+    val kt = inputType(0).dataType
+    kt match {
+      case IntegerType | LongType | StringType =>
+        new GraftTruncateWidthBound(width, kt)
+      case dt => throw new UnsupportedOperationException(
+        s"truncate over ${dt.simpleString} unsupported — INT/BIGINT/STRING keys only")
+    }
+  }
+}
+
+private[sources] class GraftTruncateWidthBound(width: Int, keyType: DataType)
+  extends ScalarFunction[Any] {
+  override def inputTypes(): Array[DataType] = Array(keyType)
+  override def resultType(): DataType = keyType
+  override def name(): String = s"truncate_$width"
+  // width AND key type scope compatibility: either differing means the
+  // partition values compare in different spaces — never co-partition
+  override def canonicalName(): String =
+    s"graft.truncate($width, ${keyType.catalogString})"
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow)
+      : Any =
+    if (input.isNullAt(0)) null
+    else PartitionTransforms.truncValue(keyType, width, keyType match {
+      case LongType => input.getLong(0)
+      case IntegerType => input.getInt(0)
+      case StringType => input.getUTF8String(0)
+      case _ => null
+    })
 }

@@ -157,6 +157,11 @@ private[sources] object GraftVersionedTable {
     override def isNullable: Boolean = false
     override def comment(): String =
       "stable row id (row tracking) — survives rewrites"
+    // split-UPDATE reinsert rows must KEEP their source id (Spark
+    // nulls reinsert metadata by default) — this is how the delta
+    // writer receives the old id to materialize into the insert file
+    override def metadataInJSON(): String =
+      s"""{"${MetadataColumn.PRESERVE_ON_REINSERT}": true}"""
   }
 
   /** Name of the ROW COMMIT VERSION metadata column (the rowTracking
@@ -915,12 +920,23 @@ private[sources] class GraftDeltaOperation(
       Expressions.column(GraftVersionedTable.PosColumn))
 
   // immutable files cannot update in place — every UPDATE splits into
-  // a DV'd delete of the old position and an insert of the new row
+  // a DV'd delete of the old position and a REINSERT of the new row
+  // (Spark hands the reinserted row its source metadata, which is how
+  // row tracking carries the id through — see reinsert on the writer)
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 
+  // row tracking: the scan hands each mutated row's STABLE id in as a
+  // metadata column so the writer can materialize it into the insert
+  // part file — Delta's rowTracking contract is that an UPDATE keeps
+  // the row's id (only _row_commit_version bumps); without the carry,
+  // delete+insert would silently mint a fresh id per updated row
   override def requiredMetadataAttributes():
       Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(Expressions.column(GraftVersionedTable.FileColumn))
+    if (graft.operators.RowIds.enabled(root))
+      Array(Expressions.column(GraftVersionedTable.FileColumn),
+        Expressions.column(GraftVersionedTable.RowIdColumn))
+    else
+      Array(Expressions.column(GraftVersionedTable.FileColumn))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftVersionedScanBuilder(tableSchema, table.scanOptions(options))
@@ -971,9 +987,23 @@ private[sources] class GraftDeltaWriteBuilder(
           s"txnVersion=${ver.getOrElse("<unset>")}")
       app.map(a => (a, ver.get.trim.toLong))
     }
+    // row tracking: locate `_row_id` in the plan's metadata projection
+    // so the writer can materialize update-reinserted rows' SOURCE ids
+    // (delete-only plans carry no insert rows — nothing to materialize)
+    val rowIdMetaIdx: Option[Int] =
+      if (info.schema().isEmpty || !graft.operators.RowIds.enabled(root))
+        None
+      else {
+        val ms = info.metadataSchema()
+        require(ms.isPresent && ms.get.fieldNames
+            .contains(GraftVersionedTable.RowIdColumn),
+          "graft-versioned: row-tracking merge-on-read write without a " +
+            "`_row_id` metadata column in the plan")
+        Some(ms.get.fieldIndex(GraftVersionedTable.RowIdColumn))
+      }
     new GraftDeltaWrite(root, info.schema(), colMap,
       Option(tableOptions.get("commitTs")).map(_.toLong),
-      info.queryId(), feedKeys, op, txn, autoFill)
+      info.queryId(), feedKeys, op, txn, autoFill, rowIdMetaIdx)
   }
 }
 
@@ -981,7 +1011,8 @@ private[sources] class GraftDeltaWrite(
     root: String, dataSchema: StructType, colMap: Map[String, String],
     commitTs: Option[Long], queryId: String, feedKeys: Seq[String],
     op: GraftDeltaOperation, txn: Option[(String, Long)] = None,
-    autoFill: Option[AutoColumns.Fill] = None)
+    autoFill: Option[AutoColumns.Fill] = None,
+    rowIdMetaIdx: Option[Int] = None)
   extends DeltaWrite {
 
   override def description(): String =
@@ -989,7 +1020,7 @@ private[sources] class GraftDeltaWrite(
 
   override def toBatch: DeltaBatchWrite =
     new GraftDeltaBatchWrite(root, dataSchema, colMap, commitTs, queryId,
-      feedKeys, op, txn, autoFill)
+      feedKeys, op, txn, autoFill, rowIdMetaIdx)
 }
 
 /** One staged message per task: the insert part file it cut (if any
@@ -1005,7 +1036,8 @@ private[sources] class GraftDeltaBatchWrite(
     root: String, dataSchema: StructType, colMap: Map[String, String],
     commitTs: Option[Long], queryId: String, feedKeys: Seq[String],
     op: GraftDeltaOperation, txn: Option[(String, Long)] = None,
-    autoFill: Option[AutoColumns.Fill] = None)
+    autoFill: Option[AutoColumns.Fill] = None,
+    rowIdMetaIdx: Option[Int] = None)
   extends DeltaBatchWrite {
 
   private val staged = java.nio.file.Paths.get(
@@ -1015,7 +1047,7 @@ private[sources] class GraftDeltaBatchWrite(
     java.nio.file.Files.createDirectories(staged)
     GraftDeltaWriterFactory(
       GraftVersionedTable.physicalSchema(dataSchema, colMap), staged.toString,
-      autoFill, math.max(1, info.numPartitions()))
+      autoFill, math.max(1, info.numPartitions()), rowIdMetaIdx)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1074,13 +1106,14 @@ private[sources] class GraftDeltaBatchWrite(
 
 private[sources] case class GraftDeltaWriterFactory(
     physSchema: StructType, stagingDir: String,
-    autoFill: Option[AutoColumns.Fill] = None, numPartitions: Int = 1)
+    autoFill: Option[AutoColumns.Fill] = None, numPartitions: Int = 1,
+    rowIdMetaIdx: Option[Int] = None)
   extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
     val inner = new GraftDeltaDataWriter(stagingDir,
       f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID.toString.take(8)}",
-      physSchema)
+      physSchema, rowIdMetaIdx)
     autoFill.fold(inner: DeltaWriter[InternalRow])(f =>
       new AutoFillDeltaWriter(inner, f, numPartitions, partitionId))
   }
@@ -1101,10 +1134,14 @@ private[sources] class AutoFillDeltaWriter(
   override def delete(metadata: InternalRow, id: InternalRow): Unit =
     inner.delete(metadata, id)
   override def insert(row: InternalRow): Unit = inner.insert(filler(row))
+  // reinserts (the insert half of a split UPDATE) keep their metadata
+  // linkage — the inner writer needs it to carry the source row id
+  override def reinsert(metadata: InternalRow, row: InternalRow): Unit =
+    inner.reinsert(metadata, filler(row))
   override def update(metadata: InternalRow, id: InternalRow,
                       row: InternalRow): Unit = {
     inner.delete(metadata, id)
-    inner.insert(filler(row))
+    inner.reinsert(metadata, filler(row))
   }
   override def commit(): WriterCommitMessage =
     AutoFillCommitMessage(inner.commit(), partitionId, numPartitions,
@@ -1118,13 +1155,30 @@ private[sources] class AutoFillDeltaWriter(
   * file and flush as DV fragments at task commit. The id arrives in
   * [[GraftDeltaOperation.rowId]] order: (file path string, position). */
 private[sources] class GraftDeltaDataWriter(
-    dir: String, baseName: String, physSchema: StructType)
+    dir: String, baseName: String, physSchema: StructType,
+    rowIdMetaIdx: Option[Int] = None)
   extends DeltaWriter[InternalRow] {
 
+  // row tracking: the insert part file carries a NULLABLE physical id
+  // column — update-reinserted rows materialize their SOURCE id (the
+  // stable-id contract: an UPDATE keeps the row's id, only
+  // `_row_commit_version` bumps to this commit via the file's sidecar
+  // entry), true inserts write NULL and derive fresh ids from the
+  // file's base range at read time (the same mixed-file shape the
+  // copy-on-write rewrite emits for MERGE-inserted rows)
+  private val writeSchema = rowIdMetaIdx.fold(physSchema)(_ =>
+    physSchema.add(StructField(graft.operators.RowIds.MaterializedCol,
+      LongType, nullable = true)))
+
   private val insertWriter =
-    new GroupParquetDataWriter(dir, baseName + ".parquet", physSchema)
+    new GroupParquetDataWriter(dir, baseName + ".parquet", writeSchema)
   private val deletes =
     scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+
+  // reused per-row buffers: GroupParquetDataWriter consumes the row
+  // synchronously, so one id cell + one join shell suffice
+  private val idCell = new GenericInternalRow(1)
+  private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
     val file = id.getUTF8String(0).toString
@@ -1134,14 +1188,27 @@ private[sources] class GraftDeltaDataWriter(
       scala.collection.mutable.ArrayBuffer.empty[Long]) += pos
   }
 
-  override def insert(row: InternalRow): Unit = insertWriter.write(row)
+  override def insert(row: InternalRow): Unit = rowIdMetaIdx match {
+    case None => insertWriter.write(row)
+    case Some(_) =>
+      idCell.update(0, null)
+      insertWriter.write(joined(row, idCell))
+  }
+
+  override def reinsert(metadata: InternalRow, row: InternalRow): Unit =
+    rowIdMetaIdx match {
+      case None => insertWriter.write(row)
+      case Some(mi) =>
+        idCell.update(0, metadata.getLong(mi))
+        insertWriter.write(joined(row, idCell))
+    }
 
   // defensive: representUpdateAsDeleteAndInsert=true means Spark
   // splits updates before they reach the writer
   override def update(metadata: InternalRow, id: InternalRow,
                       row: InternalRow): Unit = {
     delete(metadata, id)
-    insert(row)
+    reinsert(metadata, row)
   }
 
   override def commit(): WriterCommitMessage = {
@@ -1625,6 +1692,11 @@ private[sources] class GraftVersionedScan(
             c -> required(required.fieldIndex(c)).dataType
           case e: PartitionTransforms.BucketPart =>
             e.clusterCol -> (IntegerType: DataType)
+          // truncate: the key is the derived truncated value, typed
+          // like the source key (floor keeps the type, prefix keeps
+          // STRING); all-NULL-key files can't pin → Unknown, never wrong
+          case e: PartitionTransforms.TruncatePart =>
+            e.clusterCol -> required(required.fieldIndex(e.sourceCol)).dataType
           case e => e.clusterCol -> (IntegerType: DataType) // unreachable
         }
         val files = plannedGroups.filter(_.kept.nonEmpty)
@@ -1646,7 +1718,7 @@ private[sources] class GraftVersionedScan(
       case Some((entries, byFile)) =>
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
-            PartitionTransforms.toV2(entries)
+            PartitionTransforms.spjV2(entries)
               .map(_.asInstanceOf[org.apache.spark.sql.connector
                 .expressions.Expression]),
             byFile.values.map(_.toSeq).toSet.size)
@@ -2560,6 +2632,7 @@ private[sources] class GroupParquetPartitionReader(
       case IsNotNull(a) => !isNull(a)
       case In(a, vs) => vs.exists(v => cmp(a, v).contains(0))
       case And(l, r) => atomHolds(g, l) && atomHolds(g, r)
+      case Or(l, r) => atomHolds(g, l) || atomHolds(g, r)
       case other => throw new UnsupportedOperationException(
         s"graft-versioned: unevaluable pushed filter $other — " +
           "translatable() and atomHolds() drifted apart")
@@ -2791,6 +2864,12 @@ private[sources] object GroupParquetIo {
     * pre-evolution file. Only IsNull survives a null. */
   def nullSatisfied(f: Filter): Boolean = f match {
     case IsNull(_) => true
+    // composite atoms (the pushed single-column Or, and Ands inside
+    // it) evaluate under all-null references by three-valued logic —
+    // sound because translatable() guarantees one column per pushed
+    // Or, so "references absent" means EVERY leaf sees null
+    case Or(l, r) => nullSatisfied(l) || nullSatisfied(r)
+    case And(l, r) => nullSatisfied(l) && nullSatisfied(r)
     case _ => false
   }
 
@@ -3193,6 +3272,16 @@ private[sources] object GroupParquetIo {
         vs.nonEmpty && vs.forall(_ != null) &&
           (ordered(a) || typeOf(a).contains(StringType))
       case And(l, r) => translatable(l, schema) && translatable(r, schema)
+      // Or pushes only when BOTH sides speak about the SAME single
+      // column (the IVM delta-bounds shape: `k IS NULL OR (k >= lo AND
+      // k <= hi)`). The restriction keeps the absent-column logic
+      // sound: a translatable atom's references are either all present
+      // in a file or all absent, never mixed — a mixed-column Or under
+      // nulls would need partial re-evaluation to prune correctly, so
+      // it stays residual (Spark applies it above the scan).
+      case Or(l, r) =>
+        translatable(l, schema) && translatable(r, schema) &&
+          f.references.distinct.length == 1
       case _ => false
     }
   }
@@ -3304,6 +3393,8 @@ private[sources] object GroupParquetIo {
         }
       case And(l, r) => for { x <- one(l, t); y <- one(r, t) }
         yield FilterApi.and(x, y)
+      case Or(l, r) => for { x <- one(l, t); y <- one(r, t) }
+        yield FilterApi.or(x, y)
       case _ => None
     }
   }
@@ -3698,6 +3789,10 @@ private[sources] class GraftVersionedWrite(
           Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
       case PartitionTransforms.TemporalPart(_, c) =>
         Seq(Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+      // truncation is monotone in the source — ordering by the raw key
+      // IS ordering by the transform, refined (the temporal recipe)
+      case PartitionTransforms.TruncatePart(_, c) =>
+        Seq(Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
     }.toArray
 
   override def requiredDistribution(): Distribution =
@@ -3725,7 +3820,7 @@ private[sources] class GraftVersionedWrite(
         "GENERATED/IDENTITY columns are unsupported — the identity " +
         "high-water mark is resolved per batch write; use foreachBatch")
     new GraftStreamingWrite(root, schema, replace, commitTs, queryId, colMap,
-      feedKeys, message)
+      feedKeys, message, partEntries.map(_.clusterCol))
   }
 }
 
@@ -3845,7 +3940,8 @@ private[sources] class GraftStreamingWrite(
     commitTs: Option[Long], queryId: String,
     colMap: Map[String, String] = Map.empty,
     feedKeys: Seq[String] = Seq.empty,
-    message: Option[String] = None) extends StreamingWrite {
+    message: Option[String] = None,
+    partClusterCols: Seq[String] = Seq.empty) extends StreamingWrite {
 
   private val stagedBase = java.nio.file.Paths.get(root, s"_staging_stream_$queryId")
 
@@ -3853,7 +3949,16 @@ private[sources] class GraftStreamingWrite(
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     java.nio.file.Files.createDirectories(stagedBase)
-    GroupParquetWriterFactory(physSchema, stagedBase.toString)
+    // PARTITIONED BY parity with the batch factory: streamed appends
+    // roll to a new file whenever the partition tuple changes, so every
+    // committed file pins exactly ONE partition value (min == max in
+    // the stats sidecar) — without this, streamed files silently span
+    // values and pruning + storage-partitioned joins degrade until the
+    // next OPTIMIZE re-pins. Unsorted micro-batch input only costs
+    // extra files (one per key run); the invariant holds regardless.
+    GroupParquetWriterFactory(physSchema, stagedBase.toString,
+      partClusterCols.map(c =>
+        physSchema.fieldIndex(colMap.getOrElse(c, c))))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -4475,7 +4580,7 @@ private[graft] case class GroupParquetWriterFactory(
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new GroupParquetDataWriter(s"$stagingDir/epoch=$epochId",
-      f"part-$partitionId%05d-$taskId-$unique.parquet", schema)
+      f"part-$partitionId%05d-$taskId-$unique.parquet", schema, splitIdx)
 
   /** Zero-row file with the write schema (driver-side, commit path). */
   def emptyFile(name: String): Unit =

@@ -167,6 +167,95 @@ class IvmSpec extends AnyFunSuite with SparkSpec {
       Row(4L, 1L, 40L)))
   }
 
+  test("merge-fold bounds render temporal literals (the date-keyed MV shape)") {
+    import java.sql.{Date, Timestamp}
+    assert(Ivm.boundsLiteral(Date.valueOf("2024-03-07"))
+      === Some("DATE'2024-03-07'"))
+    assert(Ivm.boundsLiteral(java.time.LocalDate.parse("2024-03-07"))
+      === Some("DATE'2024-03-07'"))
+    assert(Ivm.boundsLiteral(Timestamp.valueOf("2024-03-07 01:02:03.5"))
+      === Some("TIMESTAMP'2024-03-07 01:02:03.5'"))
+    assert(Ivm.boundsLiteral(java.time.Instant.parse("2024-03-07T01:02:03Z"))
+      === Some("TIMESTAMP'2024-03-07T01:02:03Z'"))
+    assert(Ivm.boundsLiteral(
+        java.time.LocalDateTime.parse("2024-03-07T01:02:03"))
+      === Some("TIMESTAMP_NTZ'2024-03-07 01:02:03'"))
+    assert(Ivm.boundsLiteral(null) === None)
+    assert(Ivm.boundsLiteral(BigDecimal(1)) === None)
+  }
+
+  test("continuousAggMaintenanceMerge on a DATE key: fold + file prune") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivm_date_").toString
+    val feedRoot = s"$dir/feed"
+    val ckpt = s"$dir/ckpt"
+    spark.conf.set("spark.sql.catalog.ivmd", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ivmd.warehouse", s"$dir/wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ivmd.t")
+    spark.sql("DROP TABLE IF EXISTS ivmd.t.state")
+    spark.sql("CREATE TABLE ivmd.t.state (d DATE, n BIGINT, s BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('deletionVectors'='true', " +
+      "'clusterBy'='d', 'writePartitions'='8')")
+    // 64 daily groups clustered across 8 files
+    val v0 = (0 until 64).map(i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        (i % 5) * 10L)).toDF("d", "v")
+    Versioned.writeNextWithFeed(v0, feedRoot, Seq("d"), Seq("v"))
+    v0.groupBy("d").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .createOrReplaceTempView("ivmd_seed")
+    spark.sql("INSERT INTO ivmd.t.state SELECT d, n, s FROM ivmd_seed")
+    val stateRoot = s"$dir/wh/t/state"
+    assert(Versioned.dataFiles(java.nio.file.Paths.get(stateRoot, "v=0"))
+      .size >= 4, "need a multi-file clustered layout to measure pruning")
+    // v1: only 2024-01-10 changes
+    val v1 = v0.withColumn("v",
+      when(col("d") === lit(java.sql.Date.valueOf("2024-01-10")),
+        col("v") + 7L).otherwise(col("v")))
+    Versioned.writeNextWithFeed(v1, feedRoot, Seq("d"), Seq("v"))
+    def toDelta(feed: DataFrame): DataFrame =
+      feed.where(col("change_type").isin("changed", "removed"))
+        .select(col("d"), lit(-1L).as("sign"), col("old_v").as("v"))
+        .unionByName(feed.where(col("change_type").isin("changed", "added"))
+          .select(col("d"), lit(1L).as("sign"), col("new_v").as("v")))
+    val q = Ivm.continuousAggMaintenanceMerge(spark, feedRoot,
+      "ivmd.t.state", ckpt, Seq("d"), "n", "s", toDelta _,
+      appId = "ivm_date_spec")
+    q.awaitTermination()
+    // fold correctness ≡ recompute
+    val expect = v1.groupBy("d").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("d").collect().toSeq
+    assert(spark.table("ivmd.t.state").orderBy("d").collect().toSeq === expect)
+    // the read side pruned: the bounds conjunct the fold rendered for
+    // the single changed date must keep ~1 clustered file. The probe
+    // replays the EXACT predicate shape the fold pushes (IS NULL OR
+    // range) — if DATE literals failed to render, the fold would have
+    // scanned everything and this shape is what proves the prune.
+    val lit10 = Ivm.boundsLiteral(java.sql.Date.valueOf("2024-01-10")).get
+    val probe = spark.sql("SELECT d, n, s FROM ivmd.t.state " +
+      s"WHERE d IS NULL OR (d >= $lit10 AND d <= $lit10)")
+    probe.collect()
+    val desc = probe.queryExecution.executedPlan.toString
+    val m = "DataFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+    assert(m.isDefined, s"no DataFiles marker in scan:\n$desc")
+    val (kept, total) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    assert(total >= 4 && kept <= math.max(2, total / 4),
+      s"date-bounds predicate kept $kept/$total state files — no prune")
+    // and the fold itself was merge-on-read: every untouched seed
+    // state file hard-links through (write side O(changes))
+    def ino(p: java.nio.file.Path): Long = java.nio.file.Files
+      .getAttribute(p, "unix:ino").asInstanceOf[Long]
+    val vCur = Versioned.latestVersion(stateRoot).get
+    val seed = Versioned.dataFiles(java.nio.file.Paths.get(stateRoot, "v=0"))
+      .map(f => f.getFileName.toString -> ino(f)).toMap
+    val cur = Versioned.dataFiles(
+      java.nio.file.Paths.get(stateRoot, s"v=$vCur"))
+      .map(f => f.getFileName.toString -> ino(f)).toMap
+    assert(seed.keySet.subsetOf(cur.keySet), "seed files must carry")
+    seed.foreach { case (nm, i) => assert(cur(nm) === i,
+      s"state file $nm must hard-link through the date-keyed fold") }
+  }
+
   test("empty delta is the identity; empty base passes inserts through") {
     val base = Seq((1L, 1L, 10L)).toDF("k", "n", "s")
     val noDelta = Seq.empty[(Long, Long, Long)].toDF("k", "sign", "v")

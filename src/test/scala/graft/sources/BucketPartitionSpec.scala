@@ -152,14 +152,10 @@ class BucketPartitionSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("refusal matrix: truncate refused, derived-name collision refused, " +
+  test("refusal matrix: derived-name collision refused, " +
       "float key refused, source drop/rename refused") {
     cat()
     spark.sql("DROP TABLE IF EXISTS bkt.t.bad")
-    val e1 = intercept[Exception](spark.sql(
-      "CREATE TABLE bkt.t.bad (id BIGINT, s STRING) USING `graft-versioned` " +
-        "PARTITIONED BY (truncate(4, s))"))
-    assert(e1.getMessage.contains("truncate"))
     val e2 = intercept[Exception](spark.sql(
       "CREATE TABLE bkt.t.bad (id BIGINT, id_bucket INT) " +
         "USING `graft-versioned` PARTITIONED BY (bucket(8, id))"))

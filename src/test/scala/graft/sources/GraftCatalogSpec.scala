@@ -98,8 +98,8 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
       "FROM range(0, 100)")
     assert(sql("SELECT count(*) FROM gtest.ns.tp WHERE d = 'd1'")
       .collect()(0).getLong(0) === 25L)
-    // bucket transforms ACCEPT (BucketPartitionSpec covers semantics);
-    // truncate has no mapping: loud
+    // bucket + truncate transforms ACCEPT (BucketPartitionSpec /
+    // TruncateSpec cover semantics); an unsupported key type is loud
     sql("DROP TABLE IF EXISTS gtest.ns.tpb")
     sql("CREATE TABLE gtest.ns.tpb (id BIGINT) " +
       "USING `graft-versioned` PARTITIONED BY (bucket(4, id))")
@@ -107,9 +107,16 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(bprops.get("partitionedBy").contains("bucket(4,id)"), bprops)
     assert(bprops.get("clusterBy").contains("id_bucket"), bprops)
+    sql("DROP TABLE IF EXISTS gtest.ns.tpt")
+    sql("CREATE TABLE gtest.ns.tpt (id BIGINT, s STRING) " +
+      "USING `graft-versioned` PARTITIONED BY (truncate(4, s))")
+    val tprops = sql("SHOW TBLPROPERTIES gtest.ns.tpt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tprops.get("partitionedBy").contains("truncate(4,s)"), tprops)
+    assert(tprops.get("clusterBy").contains("s_trunc"), tprops)
     val truncated = intercept[Exception] {
-      sql("CREATE TABLE gtest.ns.tpt (id BIGINT, s STRING) " +
-        "USING `graft-versioned` PARTITIONED BY (truncate(4, s))")
+      sql("CREATE TABLE gtest.ns.tpx (id BIGINT, f DOUBLE) " +
+        "USING `graft-versioned` PARTITIONED BY (truncate(4, f))")
     }
     assert(chain(truncated).exists(_.contains("truncate")), chain(truncated))
     // both spellings at once is ambiguous: loud

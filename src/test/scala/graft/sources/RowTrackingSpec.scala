@@ -43,6 +43,32 @@ class RowTrackingSpec extends AnyFunSuite with SparkSpec {
     assert(ids("grid.ns.rt1") === second)
   }
 
+  test("concurrent INSERTs reserve disjoint id ranges (atomic hwm)") {
+    sql("DROP TABLE IF EXISTS grid.ns.rtc")
+    sql("CREATE TABLE grid.ns.rtc (id BIGINT, v BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('rowTracking'='true')")
+    // N threads race their commits through the claim loop; the id
+    // RANGE reservation is a separate critical section (RowIds.commit)
+    // — whatever the interleaving, every committed row's id must be
+    // unique, else two assignments overlapped
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val writers = (0 until 6).map { w =>
+      Future {
+        sql(s"INSERT INTO grid.ns.rtc " +
+          s"SELECT id, id * 10 FROM RANGE(${w * 100}, ${w * 100 + 40}) " +
+          s"AS t(id)")
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    val all = ids("grid.ns.rtc")
+    assert(all.size === 240, "every writer's rows must land")
+    assert(all.values.toSet.size === 240,
+      "row ids must be globally unique across racing commits")
+  }
+
   test("merge-on-read DELETE: survivors keep their ids verbatim") {
     sql("DROP TABLE IF EXISTS grid.ns.rt2")
     sql("CREATE TABLE grid.ns.rt2 (id BIGINT, v BIGINT) " +
@@ -171,7 +197,7 @@ class RowTrackingSpec extends AnyFunSuite with SparkSpec {
       s"expected the merge-on-read guidance, got: ${msgs(e)}")
   }
 
-  test("MoR UPDATE on a DV table: ids survive for untouched rows") {
+  test("MoR UPDATE on a DV table: EVERY row keeps its id, touched or not") {
     sql("DROP TABLE IF EXISTS grid.ns.rt11")
     sql("CREATE TABLE grid.ns.rt11 (id BIGINT, v BIGINT) " +
       "USING `graft-versioned` TBLPROPERTIES " +
@@ -180,11 +206,35 @@ class RowTrackingSpec extends AnyFunSuite with SparkSpec {
     val before = ids("grid.ns.rt11")
     sql("UPDATE grid.ns.rt11 SET v = 21 WHERE id = 2")
     val after = ids("grid.ns.rt11")
-    // untouched rows keep ids; the updated row is delete+insert in the
-    // delta protocol, so it carries a FRESH id (its lineage link is
-    // the change feed)
-    assert(after.filter(_._1 != 2L) === before.filter(_._1 != 2L))
-    assert(after(2L) != before(2L) && !before.values.toSet.contains(after(2L)))
+    // the rowTracking contract: an UPDATE is delete+reinsert in the
+    // delta protocol, but the reinserted row MATERIALIZES its source
+    // id into the insert file — the id is stable across the update,
+    // only _row_commit_version bumps
+    assert(after === before,
+      "an UPDATE must not change any row's id — the reinsert carries it")
+    assert(sql("SELECT v FROM grid.ns.rt11 WHERE id = 2")
+      .collect().head.getLong(0) === 21L)
+  }
+
+  test("MoR MERGE update keeps ids; MERGE insert mints fresh ones") {
+    sql("DROP TABLE IF EXISTS grid.ns.rt11m")
+    sql("CREATE TABLE grid.ns.rt11m (id BIGINT, v BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES " +
+      "('rowTracking'='true', 'deletionVectors'='true')")
+    sql("INSERT INTO grid.ns.rt11m VALUES (1, 10), (2, 20), (3, 30)")
+    val before = ids("grid.ns.rt11m")
+    sql("""MERGE INTO grid.ns.rt11m t
+          |USING (SELECT * FROM VALUES (2L, 200L), (4L, 400L) AS s(id, v)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+          |""".stripMargin)
+    val after = ids("grid.ns.rt11m")
+    assert(after.filterKeys(_ != 4L).toMap === before,
+      "matched-update rows must keep their ids through the MERGE")
+    assert(!before.values.toSet.contains(after(4L)),
+      "the MERGE-inserted row must mint a fresh id")
+    assert(after.values.toSet.size === after.size, "ids stay unique")
   }
 
   private def vers(table: String): Map[Long, Long] =

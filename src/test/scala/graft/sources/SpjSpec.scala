@@ -119,6 +119,55 @@ class SpjSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("a STREAMED append keeps the one-value-per-file invariant and SPJ") {
+    cat()
+    mkTable("sa")
+    mkTable("sb")
+    // stream four more partition values' rows into `sa` in ONE epoch —
+    // the streaming writer must roll files at partition boundaries
+    // exactly like the batch factory, or the spanning file degrades
+    // SPJ to UnknownPartitioning until the next OPTIMIZE
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    mem.addData((0L to 3L).flatMap(gv =>
+      (0L until 50L).map(i => (gv * 1000 + 500 + i, gv, (500 + i) * 7))): _*)
+    val q = mem.toDF().toDF("id", "g", "v")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_spj_stream_").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("spj.t.sa")
+    q.awaitTermination()
+    // invariant: every data file of the streamed commit pins exactly
+    // one g value (stats min == max)
+    val root = s"$warehouse/t/sa"
+    val v = graft.operators.Versioned.latestVersion(root).get
+    val vdir = java.nio.file.Paths.get(root, s"v=$v")
+    val stats = graft.operators.FileStats.read(vdir)
+    assert(stats.nonEmpty, "streamed commit must carry a stats sidecar")
+    stats.foreach { case (f, st) =>
+      val c = st.cols.get("g")
+      assert(c.isDefined, s"file $f has no g stats")
+      assert(c.get.lo.isDefined && c.get.lo === c.get.hi,
+        s"streamed file $f spans g values [${c.get.lo}, ${c.get.hi}]")
+    }
+    // and the storage-partitioned join still plans with zero exchanges
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      spark.sql("REFRESH TABLE spj.t.sa")
+      val j = spark.sql("SELECT a.id, a.v, b.v AS bv FROM spj.t.sa a " +
+        "JOIN spj.t.sb b ON a.g = b.g AND a.id = b.id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size === 0,
+        s"SPJ must survive a streamed append:\n$plan")
+      assert(j.count() === 400L, "joined rows (streamed ids miss b)")
+    }
+  }
+
   test("a spanning file degrades to UnknownPartitioning, never a wrong key") {
     cat()
     mkTable("c")
