@@ -131,3 +131,92 @@ object QualityScorer {
     } finally { std.unpersist(); () }
   }
 }
+
+/** SQUARED-LOSS LINEAR REGRESSION — the price-prediction model the
+  * reference retrains on each exported feed
+  * (price_prediction/price_prediction_data_pipeline.py:197-366: train,
+  * roll the versioned data back on failure, smoke-predict a fixed
+  * 100 m² payload and require total_price > 10¹⁰). The fit is the
+  * exact least-squares solution via the NORMAL EQUATIONS: one
+  * codegen'd aggregate collects the 9 cross-moment sums (EXACT BIGINT
+  * on integer features — 9 counters per 100 TB scan, no iteration),
+  * and the driver solves the 3×3 system by Cramer's rule in doubles.
+  * Closed form beats a GD loop here twice over: ONE scan instead of
+  * `iters`, and the whole fit is a deterministic function of 9 exact
+  * integers — the DuckDB oracle re-derives it bit-for-bit by
+  * mirroring the determinant expressions textually (same IEEE ops on
+  * the same exact-integer inputs). Degeneracy (the planted-failure
+  * detector) is tested in EXACT integer arithmetic — n·Σx² − (Σx)²
+  * == 0 — never by float-epsilon on the determinant. */
+object PriceRegression {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  /** The 9 normal-equation sums for price ~ w_a·area + w_r·rooms + b.
+    * Exact BIGINTs (ANSI overflow is loud, not wrong). */
+  final case class Sums(n: Long, sa: Long, sr: Long, saa: Long,
+                        sar: Long, srr: Long, sap: Long, srp: Long,
+                        sp: Long)
+
+  /** Fitted coefficients, micro-quantized ONCE (the oracle-determinism
+    * contract): `waE6 = floor(1e6·w_a + 0.5)` etc. With the label in
+    * millions of toman, micro-millions ARE toman — prediction is then
+    * exact integer arithmetic. */
+  final case class Fit(waE6: Long, wrE6: Long, bE6: Long)
+
+  def normalSums(df: DataFrame, a: String, r: String, p: String): Sums = {
+    val row = df.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(col(a)), lit(0L)).as("sa"),
+      coalesce(sum(col(r)), lit(0L)).as("sr"),
+      coalesce(sum(col(a) * col(a)), lit(0L)).as("saa"),
+      coalesce(sum(col(a) * col(r)), lit(0L)).as("sar"),
+      coalesce(sum(col(r) * col(r)), lit(0L)).as("srr"),
+      coalesce(sum(col(a) * col(p)), lit(0L)).as("sap"),
+      coalesce(sum(col(r) * col(p)), lit(0L)).as("srp"),
+      coalesce(sum(col(p)), lit(0L)).as("sp")).collect()(0)
+    Sums(row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getLong(5), row.getLong(6), row.getLong(7),
+      row.getLong(8))
+  }
+
+  /** Left(reason) when training cannot succeed — the empty/constant
+    * feed shapes the reference rolls back on. Right(fit) otherwise.
+    * Determinant formulas are TEXTUALLY mirrored by the q194 oracle —
+    * do not re-associate them. */
+  def fit(df: DataFrame, a: String, r: String, p: String): Either[String, Fit] = {
+    val s = normalSums(df, a, r, p)
+    if (s.n == 0L) Left("empty training frame")
+    else if (s.n * s.saa - s.sa * s.sa == 0L)
+      Left(s"feature '$a' is constant — zero variance")
+    else if (s.n * s.srr - s.sr * s.sr == 0L)
+      Left(s"feature '$r' is constant — zero variance")
+    else {
+      val nn = s.n.toDouble
+      val sa = s.sa.toDouble; val sr = s.sr.toDouble
+      val saa = s.saa.toDouble; val sar = s.sar.toDouble
+      val srr = s.srr.toDouble
+      val sap = s.sap.toDouble; val srp = s.srp.toDouble
+      val sp = s.sp.toDouble
+      val det = saa * (srr * nn - sr * sr) - sar * (sar * nn - sr * sa) +
+        sa * (sar * sr - srr * sa)
+      if (det == 0.0) Left("singular normal matrix")
+      else {
+        val det1 = sap * (srr * nn - sr * sr) - sar * (srp * nn - sr * sp) +
+          sa * (srp * sr - srr * sp)
+        val det2 = saa * (srp * nn - sr * sp) - sap * (sar * nn - sr * sa) +
+          sa * (sar * sp - srp * sa)
+        val det3 = saa * (srr * sp - srp * sr) - sar * (sar * sp - srp * sa) +
+          sap * (sar * sr - srr * sa)
+        def q(d: Double): Long = math.floor(1e6 * d / det + 0.5).toLong
+        Right(Fit(q(det1), q(det2), q(det3)))
+      }
+    }
+  }
+
+  /** The smoke prediction in toman for an (area, rooms) payload —
+    * exact integer arithmetic on the micro-quantized fit (label is in
+    * millions; micro-millions = toman). */
+  def predictToman(fit: Fit, area: Long, rooms: Long): Long =
+    fit.waE6 * area + fit.wrE6 * rooms + fit.bE6
+}

@@ -663,6 +663,50 @@ object ShapeGate {
       .orderBy("doc_id")
   }
 
+  /** t114: LANGUAGE IDENTIFICATION as a trained classifier — the
+    * fastText shape (hashed char-trigram features into a linear
+    * model, [[graft.operators.LangId]]) that CCNet runs BEFORE its
+    * perplexity filter; with t108 (boilerplate) and t112 (perplexity)
+    * this completes the CCNet stack. The driver corpus's `lang` label
+    * is independent of its synthetic text, so the gate builds the
+    * two-script fixture deterministically (the q148 precedent): odd
+    * doc_ids transliterate to a 26-letter Persian alphabet, even stay
+    * Latin. Train on doc_id%4 < 2, hold out doc_id%4 >= 2; the two
+    * scripts are disjoint in trigram space, so a working trainer must
+    * classify EVERY held-out document — required in-gate (t103's
+    * pattern), and the oracle states the per-doc verdict
+    * independently from the parity that defined the fixture. */
+  def t114LangId(s: SparkSession, dir: String): DataFrame = {
+    val latin = "abcdefghijklmnopqrstuvwxyz"
+    val persian = "ابتثجحخدذرزسشصضطظعغفقكلمنه"
+    val docs = Tables.spread(Tables.documents(s, dir)).select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 1,
+        translate(col("text"), latin, persian))
+        .otherwise(col("text")).as("ltext"),
+      (pmod(col("doc_id"), lit(2)) === 1).as("is_fa"))
+    val buckets = 64
+    val feats = graft.operators.LangId
+      .charNgramFeatures(docs, "doc_id", "ltext", n = 3, buckets = buckets)
+      .join(docs.select("doc_id", "is_fa"), "doc_id")
+    val scored = graft.operators.LangId.trainAndScore(
+      feats.filter(pmod(col("doc_id"), lit(4)) < 2), feats, buckets,
+      "is_fa", iters = 40, rate = 2.0)
+    val held = scored.filter(pmod(col("doc_id"), lit(4)) >= 2)
+      .select(col("doc_id"), col("is_fa"), col("decision")).collect()
+    require(held.nonEmpty, "t114: empty held-out set")
+    val wrong = held.filter(r =>
+      (r.getAs[Double]("decision") > 0) != r.getAs[Boolean]("is_fa"))
+    require(wrong.isEmpty,
+      s"t114: ${wrong.length}/${held.length} held-out docs misclassified " +
+        "— the scripts are disjoint in trigram space, a working lang-id " +
+        "separates them completely")
+    scored.filter(pmod(col("doc_id"), lit(4)) >= 2)
+      .select(col("doc_id"),
+        when(col("decision") > 0, "fa").otherwise("en").as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
   /** t112: CCNet perplexity filter (Wenzek et al. 2020) — the
     * statistical-LM quality gate production web corpora run before
     * training: a Laplace-smoothed bigram LM trained on the REFERENCE
@@ -696,6 +740,7 @@ object ShapeGate {
   }
 
   val queries: Map[String, Q] = Map(
+    "t114_lang_id" -> (t114LangId _),
     "t112_perplexity_filter" -> (t112PerplexityFilter _),
     "t103_quality_classifier" -> (t103QualityClassifier _),
     "t102_dsir_resample" -> (t102DsirResample _),
@@ -775,6 +820,14 @@ object ShapeGate {
         |       WHEN spt <= t2 THEN 'middle'
         |       ELSE 'tail' END bucket
         |FROM ds, th ORDER BY doc_id""".stripMargin,
+    // t114: the learned lang-id's held-out verdict — the two scripts
+    // are disjoint in trigram space, so a working trainer labels every
+    // held-out doc with the language its transliteration parity
+    // defined; any miss breaks the hash (t103's verdict pattern)
+    "t114_lang_id" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'fa' ELSE 'en' END AS pred_lang
+        |FROM documents WHERE doc_id % 4 >= 2 ORDER BY doc_id""".stripMargin,
     // t103: the learned scorer's held-out verdict — the trait is
     // feature-expressible, so a working trainer classifies every
     // held-out doc correctly; any miss breaks the hash

@@ -920,6 +920,74 @@ object VersionedGate {
     }
   }
 
+  /** q195: TRUNCATE PARTITION TRANSFORM — `PARTITIONED BY
+    * (truncate(100, doc_id))`, Iceberg's remaining standard transform
+    * (numeric bins; string prefixes covered in `TruncateSpec`), by the
+    * temporal recipe: a generated floor-to-multiple column
+    * (`doc_id - pmod(doc_id, 100)` — monotone in the key), ONE insert
+    * range-clusters on the RAW key with boundary rolls so every file
+    * pins exactly one bin, a bin-range predicate on the raw key
+    * file-prunes (live `DataFiles: kept/total` pin), and two
+    * co-truncated tables joining on the raw key skip both shuffle
+    * exchanges (the scan reports `truncate(100, doc_id)`
+    * KeyGroupedPartitioning, resolved through the catalog's V2
+    * truncate function). Rows re-derived relationally by the oracle. */
+  def q195TruncateDdl(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    Tables.documents(s, dir).createOrReplaceTempView("q195_docs_src")
+    Seq("a195" -> "", "b195" -> " WHERE doc_id % 2 = 0").foreach {
+      case (t, extra) =>
+        s.sql(s"DROP TABLE IF EXISTS graft.gate.$t")
+        s.sql(s"CREATE TABLE graft.gate.$t " +
+          "(doc_id BIGINT, n_chars BIGINT) " +
+          "USING `graft-versioned` PARTITIONED BY (truncate(100, doc_id))")
+        s.sql(s"INSERT INTO graft.gate.$t (doc_id, n_chars) " +
+          s"SELECT doc_id, n_chars FROM q195_docs_src$extra")
+    }
+    val props = s.sql("SHOW TBLPROPERTIES graft.gate.a195").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.get("partitionedBy").contains("truncate(100,doc_id)") &&
+        props.get("clusterBy").contains("doc_id_trunc"),
+      s"q195: SHOW TBLPROPERTIES must document the truncate mapping, got $props")
+    // bin-range prune through the raw key's file stats
+    val lo = s.sql("SELECT min(doc_id) FROM q195_docs_src").collect()(0).getLong(0)
+    val binLo = lo - (((lo % 100) + 100) % 100) + 100
+    val probe = s.sql("SELECT doc_id, n_chars FROM graft.gate.a195 " +
+      s"WHERE doc_id >= $binLo AND doc_id < ${binLo + 100}")
+    probe.collect()
+    val desc = probe.queryExecution.executedPlan.toString
+    val m = "DataFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+    require(m.isDefined, s"q195: no DataFiles marker in scan:\n$desc")
+    val (kept, total) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    require(total >= 3 && kept <= math.max(2, total / 2),
+      s"q195: one-bin predicate read $kept/$total files — no prune:\n$desc")
+    // SPJ on the raw key between co-truncated tables
+    val q = "SELECT a.doc_id, a.n_chars, b.n_chars AS n2 " +
+      "FROM graft.gate.a195 a JOIN graft.gate.b195 b " +
+      "ON a.doc_id = b.doc_id"
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = confs.map { case (k, _) =>
+      k -> scala.util.Try(s.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val j = s.sql(q)
+      val plan = j.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"q195: the co-truncated join must skip both exchanges:\n$plan")
+      val rows = j.orderBy("doc_id").collect().toSeq
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), j.schema)
+        .orderBy("doc_id")
+    } finally olds.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** q191: TEMPORAL PARTITION TRANSFORM — `PARTITIONED BY
     * (days(ts_utc))` maps to a generated DATE truncation column plus
     * the clustered layout: ONE insert range-clusters on the raw
@@ -1088,9 +1156,9 @@ object VersionedGate {
     s.sql("UPDATE graft.gate.docs193 SET n_chars = n_chars + 1000 " +
       "WHERE doc_id % 10 = 7")
     val afterUpdate = ids()
-    val untouched = afterUpdate.filter { case (doc, _) => doc % 10 != 7 }
-    require(untouched == afterDelete.filter { case (doc, _) => doc % 10 != 7 },
-      "q193: rows the UPDATE never touched must keep their exact ids")
+    require(afterUpdate == afterDelete,
+      "q193: EVERY row keeps its exact id across a MoR UPDATE — the " +
+        "reinsert materializes the source id (the rowTracking contract)")
     require(afterUpdate.values.toSet.size == afterUpdate.size,
       "q193: row ids must stay globally unique through the lifecycle")
     // incremental-consumer contract: the update commit's rows are
@@ -1103,6 +1171,58 @@ object VersionedGate {
         "later commits touched")
     s.sql("""SELECT doc_id, lang, n_chars FROM graft.gate.docs193
              ORDER BY doc_id""")
+  }
+
+  /** q194: PRICE-PREDICTION LIFECYCLE — the reference's one remaining
+    * end-to-end path (price_prediction/price_prediction_data_pipeline
+    * .py:197-366): retrain the price model on the freshly exported
+    * feed, ROLL BACK the versioned data when training fails (the
+    * old-data→last-data restore), then smoke-predict a fixed 100 m²
+    * payload and require `total_price > 10¹⁰` toman (the bound
+    * BASELINE.md records). Engine composition: a deterministic
+    * listings feed derived from the documents table loads as v0 (the
+    * good old-data), a POISONED refresh (constant features — the
+    * broken-upstream shape) commits as v1, training on the latest
+    * snapshot fails by the EXACT integer zero-variance test,
+    * [[Versioned.rollback]] drops v1, and the retrain on the restored
+    * snapshot is [[graft.operators.PriceRegression]]'s one-aggregate
+    * closed-form least squares. The DuckDB oracle re-derives the fit
+    * bit-for-bit (mirrored determinant expressions over the same
+    * exact-integer cross moments) and the smoke prediction with it. */
+  def q194PriceTrainSmoke(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PriceRegression
+    val root = scratchBase.resolve("q194").toString
+    Versioned.deleteRecursively(java.nio.file.Paths.get(root))
+    val feed = Tables.documents(s, dir).select(
+      col("doc_id"),
+      (lit(50L) + pmod(col("doc_id"), lit(150L))).as("area"),
+      pmod(expr("doc_id div 150"), lit(5L)).as("rooms"),
+      // label in MILLIONS of toman: a known linear surface plus a
+      // small deterministic residual — exact BIGINT throughout
+      (lit(250L) * (lit(50L) + pmod(col("doc_id"), lit(150L))) +
+        lit(1500L) * pmod(expr("doc_id div 150"), lit(5L)) +
+        lit(3000L) + pmod(col("doc_id"), lit(7L))).as("price_m"))
+    Versioned.writeNext(feed, root)                              // v0: old-data
+    Versioned.writeNext(feed.withColumn("area", lit(77L))
+      .withColumn("rooms", lit(2L)), root)                       // v1: poisoned
+    val bad = PriceRegression.fit(
+      Versioned.read(s, root), "area", "rooms", "price_m")
+    require(bad.isLeft,
+      "q194: training on the poisoned feed must fail (zero variance)")
+    val restored = Versioned.rollback(root)
+    require(restored.contains(0L),
+      s"q194: rollback must restore v0 as current, got $restored")
+    val goodFit = PriceRegression.fit(
+      Versioned.read(s, root), "area", "rooms", "price_m")
+    val fit = goodFit.fold(m => throw new IllegalStateException(
+      s"q194: retrain on the restored feed failed: $m"), identity)
+    // the reference's static payload: building_size=100, all else 0
+    val total = PriceRegression.predictToman(fit, area = 100L, rooms = 0L)
+    require(total > 10000000000L,
+      s"q194: smoke bound violated — total_price $total ≤ 10e9")
+    s.range(1).select(
+      lit(fit.waE6).as("wa_e6"), lit(fit.wrE6).as("wr_e6"),
+      lit(fit.bE6).as("b_e6"), lit(total).as("total_price"))
   }
 
   /** q179: TYPE WIDENING (Delta's typeWidening) — INT→BIGINT and
@@ -2265,6 +2385,8 @@ object VersionedGate {
     "q191_temporal_ddl" -> (q191TemporalDdl _),
     "q192_partition_evolution" -> (q192PartitionEvolution _),
     "q193_row_tracking" -> (q193RowTracking _),
+    "q194_price_train_smoke" -> (q194PriceTrainSmoke _),
+    "q195_truncate_ddl" -> (q195TruncateDdl _),
     "q179_type_widening" -> (q179TypeWidening _),
     "q180_generated_identity" -> (q180GeneratedIdentity _),
     "q181_default_values" -> (q181DefaultValues _),
@@ -2685,6 +2807,56 @@ object VersionedGate {
         |FROM documents
         |WHERE doc_id % 3 < 2 AND n_chars >= 300
         |ORDER BY doc_id""".stripMargin,
+    // q195: the co-truncated join's rows re-derived relationally (the
+    // layout-independence convention: prune + SPJ proofs live in-gate)
+    "q195_truncate_ddl" ->
+      """SELECT a.doc_id, a.n_chars, b.n_chars AS n2
+        |FROM documents a JOIN documents b ON a.doc_id = b.doc_id
+        |WHERE b.doc_id % 2 = 0 ORDER BY a.doc_id""".stripMargin,
+    // q194: the closed-form least-squares fit re-derived bit-for-bit —
+    // exact BIGINT cross moments over the SAME deterministic feed, the
+    // SAME textually-mirrored Cramer determinants in doubles, the SAME
+    // single micro-quantization, then the smoke prediction in exact
+    // integer arithmetic. Any drift in the trainer, the rollback (a
+    // fit on the poisoned v1 would produce different sums), or the
+    // quantization shifts the hash.
+    "q194_price_train_smoke" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    50 + doc_id % 150 AS area,
+        |    (doc_id // 150) % 5 AS rooms,
+        |    250*(50 + doc_id % 150) + 1500*((doc_id // 150) % 5)
+        |      + 3000 + doc_id % 7 AS price_m
+        |  FROM documents),
+        |m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) nn,
+        |    CAST(cast(sum(area) AS BIGINT) AS DOUBLE) sa,
+        |    CAST(cast(sum(rooms) AS BIGINT) AS DOUBLE) sr,
+        |    CAST(cast(sum(area*area) AS BIGINT) AS DOUBLE) saa,
+        |    CAST(cast(sum(area*rooms) AS BIGINT) AS DOUBLE) sar,
+        |    CAST(cast(sum(rooms*rooms) AS BIGINT) AS DOUBLE) srr,
+        |    CAST(cast(sum(area*price_m) AS BIGINT) AS DOUBLE) sap,
+        |    CAST(cast(sum(rooms*price_m) AS BIGINT) AS DOUBLE) srp,
+        |    CAST(cast(sum(price_m) AS BIGINT) AS DOUBLE) sp
+        |  FROM f),
+        |d AS (
+        |  SELECT
+        |    saa*(srr*nn - sr*sr) - sar*(sar*nn - sr*sa)
+        |      + sa*(sar*sr - srr*sa) AS det,
+        |    sap*(srr*nn - sr*sr) - sar*(srp*nn - sr*sp)
+        |      + sa*(srp*sr - srr*sp) AS det1,
+        |    saa*(srp*nn - sr*sp) - sap*(sar*nn - sr*sa)
+        |      + sa*(sar*sp - srp*sa) AS det2,
+        |    saa*(srr*sp - srp*sr) - sar*(sar*sp - srp*sa)
+        |      + sap*(sar*sr - srr*sa) AS det3
+        |  FROM m)
+        |SELECT
+        |  CAST(floor(1e6 * det1 / det + 0.5) AS BIGINT) AS wa_e6,
+        |  CAST(floor(1e6 * det2 / det + 0.5) AS BIGINT) AS wr_e6,
+        |  CAST(floor(1e6 * det3 / det + 0.5) AS BIGINT) AS b_e6,
+        |  CAST(floor(1e6 * det1 / det + 0.5) AS BIGINT) * 100 +
+        |    CAST(floor(1e6 * det3 / det + 0.5) AS BIGINT) AS total_price
+        |FROM d""".stripMargin,
     // q189: the post-purge final content re-derived relationally — the
     // purge predicate applied on top of the CoW predicate chain
     // (per-version absence + invariance + inode proofs live in-gate)

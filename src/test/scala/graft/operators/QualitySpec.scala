@@ -65,6 +65,35 @@ class QualitySpec extends AnyFunSuite with SparkSpec {
     assert(!m3.weights.exists(_.isNaN))
   }
 
+  test("PriceRegression: exact fit on an exact linear surface") {
+    // price = 250·a + 1500·r + 3000 with NO residual: least squares
+    // must recover the coefficients exactly (integer sums, Cramer)
+    val rows = (0L until 200L).map { i =>
+      val a = 50L + i % 150; val r = (i / 150L) % 5
+      (i, a, r, 250L * a + 1500L * r + 3000L)
+    }.toDF("id", "area", "rooms", "price_m")
+    val fit = PriceRegression.fit(rows, "area", "rooms", "price_m")
+      .fold(m => fail(s"fit failed: $m"), identity)
+    assert(fit.waE6 === 250000000L)
+    assert(fit.wrE6 === 1500000000L)
+    assert(fit.bE6 === 3000000000L)
+    assert(PriceRegression.predictToman(fit, 100L, 0L) === 28000000000L)
+  }
+
+  test("PriceRegression: degenerate feeds fail loudly, not numerically") {
+    val empty = Seq.empty[(Long, Long, Long)].toDF("area", "rooms", "price_m")
+    assert(PriceRegression.fit(empty, "area", "rooms", "price_m")
+      .left.exists(_.contains("empty")))
+    val constArea = Seq((77L, 1L, 100L), (77L, 2L, 200L), (77L, 3L, 300L))
+      .toDF("area", "rooms", "price_m")
+    assert(PriceRegression.fit(constArea, "area", "rooms", "price_m")
+      .left.exists(_.contains("area")))
+    val constRooms = Seq((10L, 2L, 100L), (20L, 2L, 200L), (30L, 2L, 300L))
+      .toDF("area", "rooms", "price_m")
+    assert(PriceRegression.fit(constRooms, "area", "rooms", "price_m")
+      .left.exists(_.contains("rooms")))
+  }
+
   test("fkCheck counts orphans including null keys") {
     val parent = Seq(1L, 2L).toDF("p")
     val child = Seq(Option(1L), Option(3L), None).toDF("k")
