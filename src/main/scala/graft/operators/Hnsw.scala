@@ -557,12 +557,112 @@ object Hnsw {
     val staged = java.nio.file.Files.createTempDirectory(
       target.getParent, "_hnsw_compact_").toString
     buildIndex(live, "id", "vec", staged, segments, m, efConstruction)
+    swapInPlace(target, staged)
+  }
+
+  /** The staged-swap discipline shared by the compactions: the old
+    * index stays whole under `<path>_old` until the staged dir is in
+    * place — a crash at any point leaves old or new live at a
+    * predictable name. */
+  private def swapInPlace(target: java.nio.file.Path, staged: String): Unit = {
     val aside = target.resolveSibling(target.getFileName.toString + "_old")
     if (java.nio.file.Files.exists(aside)) // leftover from a prior crash
       Versioned.deleteRecursively(aside)
     java.nio.file.Files.move(target, aside)
     java.nio.file.Files.move(java.nio.file.Paths.get(staged), target)
     Versioned.deleteRecursively(aside)
+  }
+
+  /** TIERED segment compaction — the LSM schedule Lucene uses instead
+    * of [[compactIndex]]'s full rebuild: merge ONLY the segments below
+    * a size tier (the small fresh segments [[appendBatch]] piles up)
+    * plus any tombstone-heavy segment (dead fraction ≥
+    * `tombstoneRatio`); big settled segments' parquet files HARD-LINK
+    * through untouched, so maintenance cost tracks CHURN (the merged
+    * tier's row count), never corpus size — at 100 TB a nightly
+    * compaction rebuilds megabytes of fresh segments, not the
+    * terabyte graph. The merged tier rebuilds as ONE new segment (one
+    * task, O(tier·log tier) — the bounded-by-tier cost model);
+    * tombstones referencing merged rows are purged, those of kept
+    * segments stay (their graphs still carry the rows). Returns
+    * (merged segment ids, kept segment ids); no-op (Nil merged) when
+    * nothing qualifies.
+    *
+    * `tierRows`: segments strictly smaller qualify as mergeable;
+    * defaults to half the mean segment size. A lone qualifying
+    * segment still compacts when it carries tombstones (purge),
+    * otherwise merging needs ≥ 2 (nothing to gain rebuilding one
+    * clean segment). */
+  def compactIndexTiered(spark: org.apache.spark.sql.SparkSession,
+                         path: String, tierRows: Long = 0L,
+                         tombstoneRatio: Double = 0.2, m: Int = 8,
+                         efConstruction: Int = 64): (Set[Int], Set[Int]) = {
+    import spark.implicits._
+    val stored = spark.read.parquet(path)
+    val segRows = stored.groupBy("seg").count().as[(Int, Long)]
+      .collect().toMap
+    val tombDir = java.nio.file.Paths.get(tombstoneDir(path))
+    val tomb: Option[DataFrame] =
+      if (!java.nio.file.Files.isDirectory(tombDir)) None
+      else Some(spark.read.parquet(tombDir.toString)
+        .select(col("id").cast("long").as("id")).dropDuplicates("id"))
+    val deadPerSeg: Map[Int, Long] = tomb.fold(Map.empty[Int, Long])(t =>
+      stored.join(broadcast(t), Seq("id"), "left_semi")
+        .groupBy("seg").count().as[(Int, Long)].collect().toMap)
+    val tier =
+      if (tierRows > 0L) tierRows
+      else math.max(1L, segRows.values.sum / math.max(1, segRows.size) / 2)
+    val candidates = segRows.keySet.filter { s =>
+      segRows(s) < tier ||
+        deadPerSeg.getOrElse(s, 0L).toDouble / segRows(s) >= tombstoneRatio
+    }
+    val anyDead = candidates.exists(deadPerSeg.getOrElse(_, 0L) > 0L)
+    if (candidates.isEmpty || (candidates.size < 2 && !anyDead))
+      return (Set.empty, segRows.keySet)
+    val kept = segRows.keySet -- candidates
+    // file → segment map (O(files) driver rows): the writer cuts one
+    // file per segment-task, so a spanning file means foreign layout —
+    // refuse toward the full rebuild rather than guess
+    val fileSegs = stored
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"),
+        col("seg")).distinct().as[(String, Int)].collect()
+      .groupBy(_._1).map { case (f, ss) => f -> ss.map(_._2).toSet }
+    fileSegs.find(_._2.size > 1).foreach { case (f, ss) =>
+      throw new IllegalStateException(
+        s"hnsw: data file $f spans segments ${ss.mkString(",")} — not " +
+          "this writer's one-segment-per-file layout; run compactIndex " +
+          "(full rebuild) instead")
+    }
+    val target = java.nio.file.Paths.get(path).toAbsolutePath
+    val staged = java.nio.file.Files.createTempDirectory(
+      target.getParent, "_hnsw_tiered_")
+    // kept segments: hard-link their files — the inode-carry proof of
+    // "maintenance cost tracks churn"
+    fileSegs.foreach { case (f, ss) =>
+      if (ss.subsetOf(kept)) {
+        val src = java.nio.file.Paths.get(new java.net.URI(f).getPath)
+        java.nio.file.Files.createLink(
+          staged.resolve(src.getFileName.toString), src)
+      }
+    }
+    // the merged tier: LIVE rows only, one fresh segment
+    val mergedRows = stored.filter(col("seg").isin(candidates.toSeq: _*))
+      .select(col("id"), col("vec"))
+    val live = tomb.fold(mergedRows)(t =>
+      mergedRows.join(broadcast(t), Seq("id"), "left_anti"))
+    writeSegments(live, "id", "vec", staged.toString, segments = 1,
+      firstSeg = segRows.keySet.max + 1, m, efConstruction,
+      overwrite = false)
+    // tombstones of KEPT segments survive; merged ones are purged
+    if (kept.nonEmpty) tomb.foreach { t =>
+      val keptIds = spark.read.parquet(staged.toString)
+        .filter(col("seg").isin(kept.toSeq: _*)).select(col("id"))
+      val remaining = t.join(keptIds, Seq("id"), "left_semi")
+      if (remaining.limit(1).count() > 0L)
+        remaining.write.parquet(staged.resolve("_tombstones").toString)
+    }
+    swapInPlace(target, staged.toString)
+    (candidates, kept)
   }
 
   /** Search the stored index: one capped beam walk per segment, merged

@@ -284,6 +284,7 @@ object CorpusGate {
     "t64_quality_score" -> (t64QualityScore _),
     "t65_dup_spans" -> (t65DupSpans _),
     "t113_rag_retrieval" -> (t113RagRetrieval _),
+    "t115_rag_hybrid" -> (t115RagHybrid _),
   )
 
   /** t113: RAG CORPUS CAPSTONE — the retrieval-ingestion pipeline end
@@ -295,25 +296,44 @@ object CorpusGate {
     * retrieval over the surviving chunk corpus
     * ([[graft.operators.HybridRetrieval.bm25Scores]]) for the bounded
     * v57-style query set, top-5 per query. Chunk key = doc_id·1000 +
-    * chunk_idx (docs are far below 1000 chunks); a query never
+    * chunk_idx, with a raise_error arm enforcing chunk_idx < 1000 (a
+    * silent collision would merge distinct chunks); a query never
     * retrieves chunks of its own document. Every stage re-derived by
     * the DuckDB oracle from the parquet alone. */
-  def t113RagRetrieval(s: SparkSession, dir: String): DataFrame = {
+  /** The RAG ingest front end t113/t115 share: chunk → length gate →
+    * guarded packed key → exact dedup (keep the smallest cid per
+    * identical text). */
+  private def ragChunks(s: SparkSession, dir: String): DataFrame = {
     val chunks = CorpusText
       .chunkWindows(Tables.documents(s, dir), window = 32, stride = 24)
       .filter(col("n_chunk_tokens") >= 8)
-      .select((col("doc_id") * 1000 + col("chunk_idx")).as("cid"),
-        col("chunk_text"))
-    val deduped = chunks.groupBy(col("chunk_text"))
+      // the packed key assumes < 1000 chunks/doc — at corpus scale a
+      // million-token document would silently COLLIDE cids and merge
+      // distinct chunks, so the assumption is enforced, not commented
+      .select((col("doc_id") * 1000 + expr(
+        "CASE WHEN chunk_idx < 1000 THEN chunk_idx ELSE CAST(" +
+          "raise_error('rag chunks: chunk_idx >= 1000 would collide the " +
+          "packed cid = doc_id*1000 + chunk_idx — widen the factor or " +
+          "key by struct(doc_id, chunk_idx)') AS BIGINT) END"))
+        .as("cid"), col("chunk_text"))
+    chunks.groupBy(col("chunk_text"))
       .agg(min(col("cid")).as("cid"))
       .select(col("cid"), col("chunk_text"))
-    val qTerms = Tables.documents(s, dir)
+  }
+
+  /** The bounded v57-style query-term set (first 3 tokens per query
+    * document). */
+  private def ragQueryTerms(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .filter(pmod(col("doc_id"), lit(97)) === 0 && col("doc_id") < 2000)
       .select(col("doc_id").as("query_id"),
         explode(expr("slice(filter(split(text, ' '), x -> x <> ''), 1, 3)"))
           .as("term"))
+
+  def t113RagRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val deduped = ragChunks(s, dir)
     val scored = graft.operators.HybridRetrieval
-      .bm25Scores(deduped, "cid", "chunk_text", qTerms)
+      .bm25Scores(deduped, "cid", "chunk_text", ragQueryTerms(s, dir))
       .withColumnRenamed("doc_id", "cid")
       .filter(expr("cid div 1000") =!= col("query_id"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
@@ -324,10 +344,129 @@ object CorpusGate {
       .orderBy("query_id", "rank")
   }
 
+  /** t115: TWO-TOWER RAG retrieval over the chunked corpus — t113's
+    * ingest front end (chunk → gate → dedup) feeding BOTH retrieval
+    * towers, fused by reciprocal rank (v57's machinery, RRF k=60):
+    * the lexical tower is BM25 over the surviving chunks; the vector
+    * tower ranks chunks by exact integer dot between the query
+    * document's embedding and each chunk's PARENT document embedding
+    * (the deterministic chunk-embedding stand-in — chunks inherit
+    * their parent's vector, ties broken by cid; at 100 TB the tower
+    * swaps in the ANN index, fusion consumes only (query, chunk,
+    * rank) lists either way). A query never retrieves its own
+    * document's chunks in either tower. Both towers AND the fusion
+    * re-derived by DuckDB from the parquet alone. */
+  def t115RagHybrid(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deduped = ragChunks(s, dir)
+    val lex = graft.operators.HybridRetrieval
+      .bm25Scores(deduped, "cid", "chunk_text", ragQueryTerms(s, dir))
+      .withColumnRenamed("doc_id", "cid")
+      .filter(expr("cid div 1000") =!= col("query_id"))
+    val wl = Window.partitionBy("query_id")
+      .orderBy(col("bm25_e6").desc, col("cid").asc)
+    val lexRanked = lex.withColumn("rank", row_number().over(wl))
+      .filter(col("rank") <= 20)
+      .select(col("query_id"), col("cid").as("doc_id"), col("rank"))
+    val e = Tables.embeddings(s, dir).select(col("vec_id"),
+      graft.plans.VectorExpressions.quantize_e6(col("embedding")).as("v"))
+    val qv = e.filter(pmod(col("vec_id"), lit(97)) === 0 &&
+        col("vec_id") < 2000)
+      .select(col("vec_id").as("query_id"), col("v").as("vq"))
+    val cand = deduped.select(col("cid"),
+        expr("cid div 1000").as("parent"))
+      .join(e.select(col("vec_id").as("parent"), col("v")), Seq("parent"))
+    val dots = cand.join(broadcast(qv), col("parent") =!= col("query_id"))
+      .select(col("query_id"), col("cid"),
+        graft.plans.VectorExpressions.dot_long(col("vq"), col("v")).as("d"))
+    val wv = Window.partitionBy("query_id")
+      .orderBy(col("d").desc, col("cid").asc)
+    val vecRanked = dots.withColumn("rank", row_number().over(wv))
+      .filter(col("rank") <= 20)
+      .select(col("query_id"), col("cid").as("doc_id"), col("rank"))
+    graft.operators.HybridRetrieval
+      .rrfFuse(Seq(lexRanked, vecRanked), k = 60, topK = 10)
+      .select(col("query_id"), col("rank"), col("doc_id").as("cid"),
+        col("rrf_e6"))
+      .orderBy("query_id", "rank")
+  }
+
   val oracles: Map[String, String] = Map(
     // t113: every stage re-derived — t57's chunk slices, the ≥8-token
     // gate, exact dedup keeping min cid, then the v57 BM25 formula
     // (same pinned float shape) over the surviving chunk corpus
+    // t115: BOTH towers and the fusion re-derived — t113's chunk CTEs
+    // (BM25 over the deduped chunk corpus, top-20), the vector tower
+    // as exact integer dots between the query embedding and each
+    // chunk's PARENT document embedding (chunks inherit the parent
+    // vector, ties by cid), then v57's integer RRF (1e6 // (60+rank))
+    "t115_rag_hybrid" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |chunks AS (SELECT doc_id, CAST(t.i AS INT) chunk_idx,
+        |             w[(t.i*24+1):(t.i*24+32)] cw
+        |           FROM toks, UNNEST(range(
+        |             CASE WHEN len(w) <= 32 THEN 1
+        |                  ELSE CAST(ceil((len(w)-32)/24.0) AS BIGINT) + 1 END)) AS t(i)),
+        |ck AS (SELECT doc_id*1000 + chunk_idx AS cid,
+        |         array_to_string(cw, ' ') AS ct
+        |       FROM chunks WHERE len(cw) >= 8),
+        |dd AS (SELECT ct, cast(min(cid) as bigint) cid FROM ck GROUP BY ct),
+        |ctok AS (SELECT cid, unnest(list_filter(string_split(ct, ' '),
+        |           x -> x <> '')) tk FROM dd),
+        |dl AS (SELECT cid, cast(count(*) as bigint) dl FROM ctok GROUP BY 1),
+        |st AS (SELECT cast(count(*) as bigint) nn,
+        |              cast(sum(dl) as bigint) tl FROM dl),
+        |tf AS (SELECT cid, tk, cast(count(*) as bigint) tf
+        |       FROM ctok GROUP BY 1, 2),
+        |dfq AS (SELECT tk, cast(count(*) as bigint) df FROM tf GROUP BY 1),
+        |qt AS (SELECT doc_id AS query_id, unnest(w2[1:3]) term
+        |       FROM (SELECT doc_id,
+        |               list_filter(string_split(text, ' '), x -> x <> '') w2
+        |             FROM documents
+        |             WHERE doc_id % 97 = 0 AND doc_id < 2000)),
+        |ls AS (SELECT qt.query_id, tf.cid,
+        |    cast(floor(1000000.0 * ln((nn + 1)::DOUBLE / (df + 1)) *
+        |      (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * ((dl.dl * nn)::DOUBLE / tl))) +
+        |      0.5) as bigint) s
+        |  FROM qt JOIN tf ON tf.tk = qt.term
+        |  JOIN dfq ON dfq.tk = qt.term
+        |  JOIN dl ON dl.cid = tf.cid
+        |  CROSS JOIN st
+        |  WHERE tf.cid // 1000 <> qt.query_id),
+        |lex AS (SELECT query_id, cid, cast(sum(s) as bigint) sc
+        |        FROM ls GROUP BY 1, 2),
+        |lexr AS (SELECT query_id, cid, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sc DESC, cid) rnk FROM lex),
+        |qv AS (SELECT vec_id, list_transform(embedding,
+        |    x -> cast(round(cast(x as double) * 1000000.0) as bigint)) v
+        |  FROM embeddings),
+        |ce AS (SELECT c.cid, c.parent, e.v vb
+        |       FROM (SELECT cid, cid // 1000 AS parent FROM dd) c
+        |       JOIN qv e ON e.vec_id = c.parent),
+        |pairs AS (SELECT q.vec_id query_id, ce.cid, q.v va, ce.vb
+        |          FROM qv q CROSS JOIN ce
+        |          WHERE q.vec_id % 97 = 0 AND q.vec_id < 2000
+        |            AND ce.parent <> q.vec_id),
+        |dots AS (SELECT query_id, cid, cast(sum(x * y) as bigint) d
+        |         FROM (SELECT query_id, cid, unnest(va) x, unnest(vb) y
+        |               FROM pairs)
+        |         GROUP BY 1, 2),
+        |vecr AS (SELECT query_id, cid, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY d DESC, cid) rnk FROM dots),
+        |c AS (
+        |  SELECT query_id, cid, 1000000 // (60 + rnk) c
+        |  FROM lexr WHERE rnk <= 20
+        |  UNION ALL
+        |  SELECT query_id, cid, 1000000 // (60 + rnk) c
+        |  FROM vecr WHERE rnk <= 20),
+        |f AS (SELECT query_id, cid, cast(sum(c) as bigint) rrf_e6
+        |      FROM c GROUP BY 1, 2),
+        |fr AS (SELECT query_id, cid, rrf_e6,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_e6 DESC, cid) as int) rank FROM f)
+        |SELECT query_id, rank, cid, rrf_e6 FROM fr
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "t113_rag_retrieval" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |chunks AS (SELECT doc_id, CAST(t.i AS INT) chunk_idx,

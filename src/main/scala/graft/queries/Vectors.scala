@@ -721,6 +721,119 @@ object Vectors {
     * tower at 100 TB swaps in the HNSW/IVF index; the fusion consumes
     * only (query, doc, rank) lists either way. The oracle re-derives
     * both towers and the fusion from the parquet alone. */
+  /** v58: TIERED HNSW COMPACTION — the LSM maintenance schedule
+    * ([[graft.operators.Hnsw.compactIndexTiered]]): only the small
+    * fresh segments (and tombstone-heavy ones) merge; big settled
+    * segments HARD-LINK through by inode, so maintenance cost tracks
+    * churn, never corpus size (Lucene's tiered-merge answer — a full
+    * rebuild at 100 TB would redo the terabyte graph nightly). The
+    * gate appends two small segments onto a 4-segment base, deletes a
+    * spread slice, tier-compacts, and require()s: exactly the small
+    * segments merged, every kept segment's file carried BY INODE, the
+    * merged segments' dead ids physically purged while kept segments'
+    * tombstones survive, a second tiered call is a no-op, and
+    * post-compaction search still clears v56's recall floors against
+    * the brute force over survivors (the shared oracle contract). */
+  def v58TieredCompaction(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val path = HnswIndexBase.resolve("v58").toString
+    graft.operators.Versioned.deleteRecursively(java.nio.file.Paths.get(path))
+    graft.operators.Hnsw.buildIndex(emb.filter(col("vec_id") >= 60),
+      "vec_id", "embedding", path, segments = 4)
+    graft.operators.Hnsw.appendBatch(path,
+      emb.filter(col("vec_id") < 30), "vec_id", "embedding")
+    graft.operators.Hnsw.appendBatch(path,
+      emb.filter(col("vec_id") >= 30 && col("vec_id") < 60),
+      "vec_id", "embedding")
+    val deadDf = emb.filter(pmod(col("vec_id"), lit(10)) === 7)
+      .select(col("vec_id"))
+    graft.operators.Hnsw.deleteFromIndex(path, deadDf, "vec_id")
+    def ino(p: java.nio.file.Path): Long = java.nio.file.Files
+      .getAttribute(p, "unix:ino").asInstanceOf[Long]
+    import org.apache.spark.sql.functions.input_file_name
+    def filesOfKeptSegs(): Map[String, Long] =
+      s.read.parquet(path).filter(col("seg") < 4)
+        .select(input_file_name()).distinct().collect()
+        .map(r => java.nio.file.Paths.get(
+          new java.net.URI(r.getString(0)).getPath))
+        .map(p => p.getFileName.toString -> ino(p)).toMap
+    val beforeInodes = filesOfKeptSegs()
+    val (merged, kept) = graft.operators.Hnsw.compactIndexTiered(s, path)
+    require(merged == Set(4, 5) && kept == Set(0, 1, 2, 3),
+      s"v58: tier policy must merge exactly the small segments, got " +
+        s"merged=$merged kept=$kept")
+    val afterInodes = filesOfKeptSegs()
+    require(beforeInodes.keySet.subsetOf(afterInodes.keySet) &&
+        beforeInodes.forall { case (n, i) => afterInodes(n) == i },
+      "v58: kept segments' files must hard-link through the compaction")
+    val segsNow = s.read.parquet(path).select("seg").distinct()
+      .collect().map(_.getInt(0)).toSet
+    require(segsNow == Set(0, 1, 2, 3, 6),
+      s"v58: expected the merged tier as one fresh segment, got $segsNow")
+    // merged segments' dead ids are PHYSICALLY gone; kept tombstones stay
+    val deadSmall = s.read.parquet(path)
+      .join(deadDf.filter(col("vec_id") < 60)
+        .withColumnRenamed("vec_id", "id"), Seq("id"), "left_semi").count()
+    require(deadSmall == 0L,
+      "v58: merged segments' tombstoned rows must be purged")
+    val tombPath = java.nio.file.Paths.get(s"$path/_tombstones")
+    require(java.nio.file.Files.isDirectory(tombPath),
+      "v58: kept segments' tombstones must survive the tiered pass")
+    require(s.read.parquet(tombPath.toString)
+        .filter(col("id") < 60).count() == 0L,
+      "v58: purged ids must leave the tombstone sidecar")
+    // a second tiered call finds nothing mergeable
+    val (merged2, _) = graft.operators.Hnsw.compactIndexTiered(s, path)
+    require(merged2.isEmpty, s"v58: second pass must be a no-op, got $merged2")
+    // search still clears the v56 floors against survivors
+    val maxVisits = 512
+    val queries = emb.filter(col("vec_id") < 30)
+    val res = graft.operators.Hnsw.searchIndex(s, path, queries,
+      "vec_id", "embedding", k = 5, efSearch = 48, maxVisits = maxVisits)
+      .cache()
+    try {
+      require(res.join(deadDf.withColumnRenamed("vec_id", "neighbor_id"),
+          Seq("neighbor_id"), "left_semi").count() == 0L,
+        "v58: a tombstoned id surfaced after tiered compaction")
+      val e = qEmb(s, dir).filter(pmod(col("vec_id"), lit(10)) =!= 7)
+      val q = qEmb(s, dir).filter(col("vec_id") < 30)
+        .select(col("vec_id").as("query_id"), col("v").as("vq"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("dot").desc, col("neighbor_id").asc)
+      val exact = q.join(
+          broadcast(e.select(col("vec_id").as("neighbor_id"), col("v"))),
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          dot(col("vq"), col("v")).as("dot"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1L))
+      val scored = res.join(exact, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
+          max(col("visited")).as("max_visited"))
+        .collect()
+      require(scored.length == 30, s"v58: expected 30 queries, got ${scored.length}")
+      require(scored.forall(_.getAs[Int]("max_visited") <= maxVisits),
+        "v58: a segment search exceeded its visited-node budget")
+      val mean = scored.map(_.getAs[Long]("n_overlap")).sum.toDouble / (30 * 5)
+      require(mean >= 0.8, f"v58: post-compaction recall@5 = $mean%.3f below 0.8")
+      require(scored.forall(_.getAs[Long]("n_overlap") >= 3),
+        "v58: a query fell below 3/5 recall after tiered compaction")
+      s.createDataFrame(s.sparkContext.parallelize(
+        scored.map(r => org.apache.spark.sql.Row(
+          r.getAs[Long]("query_id"),
+          r.getAs[Long]("n_overlap") >= 3)).toIndexedSeq),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("recall_ok",
+            org.apache.spark.sql.types.BooleanType))))
+        .orderBy("query_id")
+    } finally { res.unpersist(); () }
+  }
+
   def v57HybridRrf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val qTerms = docs.filter(pmod(col("doc_id"), lit(97)) === 0 &&
@@ -757,6 +870,7 @@ object Vectors {
 
   val queries: Map[String, Q] = Map(
     "v57_hybrid_rrf" -> (v57HybridRrf _),
+    "v58_tiered_compaction" -> (v58TieredCompaction _),
     "v50_hnsw_recall" -> (v50HnswRecall _),
     "v51_hnsw_incremental" -> (v51HnswIncremental _),
     "v55_filtered_hnsw" -> (v55FilteredHnsw _),
@@ -977,6 +1091,13 @@ object Vectors {
     // v57: both towers and the fusion re-derived from the parquet —
     // BM25 quantized once per (query, term-slot, doc) with the pinned
     // float expression shape, exact-dot vector ranks, integer RRF
+    // v58: v56's verdict contract shared — the tier-compacted index
+    // must clear the same floors against the brute force over
+    // survivors; the inode/purge/no-op proofs live in-gate
+    "v58_tiered_compaction" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 30
+        |ORDER BY query_id""".stripMargin,
     "v57_hybrid_rrf" ->
       """WITH tk AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') w

@@ -232,6 +232,65 @@ class HnswSpec extends AnyFunSuite with SparkSpec {
       "fixture sanity: pre-delete results did include later-dead ids")
   }
 
+  test("tiered compaction: small segments merge, settled files carry " +
+      "by inode, tombstones purge per segment") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val data = clustered(240)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_tier_").resolve("idx").toString
+    // 2 big base segments (120 rows each) + 2 small appended (12 each)
+    Hnsw.buildIndex(data.toDF("id", "vec"), "id", "vec", path, segments = 2)
+    Hnsw.appendBatch(path,
+      (1000L until 1012L).map(i => (i, data((i % 240).toInt)._2))
+        .toDF("id", "vec"), "id", "vec")
+    Hnsw.appendBatch(path,
+      (2000L until 2012L).map(i => (i, data((i % 240).toInt)._2))
+        .toDF("id", "vec"), "id", "vec")
+    // deletes in BOTH worlds: base-segment ids stay tombstoned, the
+    // merged tier's purge physically
+    Hnsw.deleteFromIndex(spark, path, Seq(8L, 1000L, 2000L))
+    def ino(p: java.nio.file.Path): Long = java.nio.file.Files
+      .getAttribute(p, "unix:ino").asInstanceOf[Long]
+    def baseFiles(): Map[String, Long] =
+      spark.read.parquet(path).filter(col("seg") < 2)
+        .select(input_file_name()).distinct().collect()
+        .map(r => java.nio.file.Paths.get(
+          new java.net.URI(r.getString(0)).getPath))
+        .map(p => p.getFileName.toString -> ino(p)).toMap
+    val before = baseFiles()
+    val (merged, kept) = Hnsw.compactIndexTiered(spark, path)
+    assert(merged === Set(2, 3) && kept === Set(0, 1))
+    val after = baseFiles()
+    assert(before.keySet.subsetOf(after.keySet) &&
+      before.forall { case (n, i) => after(n) == i },
+      "settled segments must hard-link through")
+    val segs = spark.read.parquet(path).select("seg").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(segs === Set(0, 1, 4))
+    // merged dead ids physically gone; base tombstone survives
+    val idsNow = spark.read.parquet(path).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(!idsNow.contains(1000L) && !idsNow.contains(2000L))
+    assert(idsNow.contains(8L), "base rows stay in their graph")
+    assert(Hnsw.tombstonesOf(spark, path) === Set(8L))
+    // search: appended survivors reachable, dead never surface
+    val res = Hnsw.searchIndex(spark, path,
+      Seq((0L, data(8)._2)).toDF("id", "vec"), "id", "vec",
+      k = 8, efSearch = 64, maxVisits = 240)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(!res.contains(8L) && !res.contains(1000L) && !res.contains(2000L))
+    // a second pass finds nothing mergeable (one clean merged segment)
+    assert(Hnsw.compactIndexTiered(spark, path)._1 === Set.empty[Int])
+    // a lone small segment WITH tombstones still compacts (purge)
+    Hnsw.deleteFromIndex(spark, path, Seq(1001L))
+    val (m3, _) = Hnsw.compactIndexTiered(spark, path)
+    assert(m3 === Set(4), s"tombstoned small segment must purge, got $m3")
+    assert(!spark.read.parquet(path).select("id").collect()
+      .map(_.getLong(0)).toSet.contains(1001L))
+    assert(Hnsw.tombstonesOf(spark, path) === Set(8L))
+  }
+
   test("annTopK budget: emitted visited counts never exceed the cap") {
     import spark.implicits._
     val data = clustered(240)
