@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): times every SparkEntry query at
@@ -85,6 +87,64 @@ object Bench {
      results.collect { case (n, Left(e)) => n -> e }.toMap)
   }
 
+  /** (busy jiffies of the whole box, busy jiffies of THIS process) —
+    * the difference's growth over the sweep is co-tenant CPU, measured
+    * directly instead of inferred from loadavg (which our own local[N]
+    * sweep saturates, so mid-sweep loadavg can't tell background load
+    * from our own). USER_HZ is 100 on linux. */
+  private def cpuJiffies(): (Long, Long) =
+    try {
+      val total = {
+        val f = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val parts = f.getLines().next().trim.split("\\s+").drop(1)
+            .map(_.toLong)
+          // user nice system idle iowait irq softirq steal …
+          parts.sum - parts(3) - (if (parts.length > 4) parts(4) else 0L)
+        } finally f.close()
+      }
+      val self = {
+        val f = scala.io.Source.fromFile("/proc/self/stat")
+        try {
+          // fields 14,15 (1-based) = utime, stime; comm may contain
+          // spaces but is parenthesized — split after the ')'
+          val s = f.mkString
+          val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+          rest(11).toLong + rest(12).toLong
+        } finally f.close()
+      }
+      (total, self)
+    } catch { case _: Throwable => (0L, 0L) }
+
+  /** Per-query ratio evidence vs the previous round's artifact: reads
+    * the newest BENCH_r*.json in cwd, extracts its `queries` map, and
+    * returns (artifact name, this/prev ratio per shared query). Ends
+    * the recurring load-noise adjudication: the published line carries
+    * its own comparability evidence. */
+  private def priorQueries(): Option[(String, Map[String, Double])] =
+    try {
+      val stream = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+      val prior =
+        try stream.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("BENCH_r") && n.endsWith(".json"))
+          .toSeq.sorted.lastOption
+        finally stream.close()
+      prior.map { name =>
+        val body = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(name))
+        val qStart = body.indexOf("\"queries\":{")
+        val qs =
+          if (qStart < 0) Map.empty[String, Double]
+          else {
+            val sub = body.substring(qStart + 11,
+              body.indexOf('}', qStart))
+            "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(sub)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+        name -> qs
+      }
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // LOADAVG GATE, part 1: min-of-passes cannot defend against
@@ -120,7 +180,24 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    val (jifTotal0, jifSelf0) = cpuJiffies()
+    val sweepT0 = System.nanoTime()
     val (swept, errors) = measure(spark, sfDir, queries)
+    val sweepSec = (System.nanoTime() - sweepT0) / 1e9
+    val (jifTotal1, jifSelf1) = cpuJiffies()
+    // co-tenant CPU during the sweep, in average cores: total busy
+    // jiffies minus OUR jiffies, over elapsed time (USER_HZ = 100).
+    // This is the direct measurement loadavg can't give once our own
+    // local[N] sweep saturates the box.
+    val bgCores =
+      if (jifTotal1 <= jifTotal0 || sweepSec <= 0) 0.0
+      else math.max(0.0,
+        ((jifTotal1 - jifTotal0) - (jifSelf1 - jifSelf0)) / 100.0 / sweepSec)
+    // SHADOWED: the artifact declares its own non-comparability instead
+    // of leaving it to post-hoc adjudication — either the box never
+    // settled under the launch gate, or co-tenants burned >1.5 cores
+    // on average while we measured
+    val shadowed = loadAtStart > 2.0 || bgCores > 1.5
     // LOADAVG GATE, part 2: the headline numbers are the SLOWEST ones —
     // a noise window inflating any of them distorts the round-over-round
     // read the most. Re-measure the top-12 once more at the very end
@@ -153,9 +230,28 @@ object Bench {
     // loadavg evidence: background state before we started (settled,
     // part-1 gate), and at end of run (includes our own load)
     val loadavg = fmt(load1)
-    val loadEvidence = s""""loadavg":$loadavg,"loadavg_start":${fmt(loadAtStart)},"loadavg_launch":${fmt(loadAtLaunch)},"load_waited_sec":$waitedSec,"loadavg_tail":${fmt(loadAtTail)},"tail_waited_sec":$tailWaitedSec"""
+    val loadEvidence = s""""loadavg":$loadavg,"loadavg_start":${fmt(loadAtStart)},"loadavg_launch":${fmt(loadAtLaunch)},"load_waited_sec":$waitedSec,"loadavg_tail":${fmt(loadAtTail)},"tail_waited_sec":$tailWaitedSec,"bg_cpu_cores":${fmt(bgCores)},"shadowed":$shadowed"""
+    // per-query ratios vs the previous artifact (this/prev, shared
+    // queries): the median is the headline comparability figure — an
+    // honest run trends ~1.0 even when a few queries catch noise
+    val (ratioEvidence, ratioTable) = priorQueries() match {
+      case Some((priorName, prev)) if prev.nonEmpty =>
+        val shared = results.collect {
+          case (n, v) if prev.get(n).exists(_ > 0) => n -> v / prev(n) }
+        if (shared.isEmpty) ("\"ratio_vs_prior\":null", "{}")
+        else {
+          val sortedR = shared.map(_._2).sorted
+          val median = sortedR(sortedR.size / 2)
+          val table = shared.sortBy(_._1)
+            .map { case (n, r) => "\"" + n + "\":" + fmt(r) }
+            .mkString("{", ",", "}")
+          (s""""ratio_vs_prior":{"artifact":"$priorName","n_shared":${shared.size},"median":${fmt(median)}}""",
+            table)
+        }
+      case _ => ("\"ratio_vs_prior\":null", "{}")
+    }
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$loadEvidence,"queries":$qs,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$loadEvidence,$ratioEvidence,"query_ratios":$ratioTable,"queries":$qs,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
 
     // The harness keeps only the last ~2000 chars of stdout; the full
     // per-query line outgrew that window (BENCH_r03 `parsed: null`). So:
@@ -172,7 +268,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errNames = errors.keys.toSeq.sorted.take(12)
       .map(Verify.q).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$loadEvidence,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"error_names":$errNames,"queries":$top,"queries_truncated":true,"queries_full":"bench_full.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$loadEvidence,$ratioEvidence,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"error_names":$errNames,"queries":$top,"queries_truncated":true,"queries_full":"bench_full.json"}""")
     System.out.flush()
   }
 }
