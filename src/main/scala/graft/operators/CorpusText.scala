@@ -442,3 +442,96 @@ object CorpusText {
       countMatches(norm, Card16Re))
   }
 }
+
+/** GOPHER QUALITY RULES (Rae et al. 2021, "Scaling Language Models:
+  * Methods, Analysis & Insights from Training Gopher", appendix A1) —
+  * the rule set production corpora apply between boilerplate removal
+  * and model-based filtering. Every signal here is either row-local
+  * arithmetic or ONE map-side-combinable aggregate keyed by document,
+  * so the whole rule set costs one scan at 100 TB; ratios quantize to
+  * integer parts-per-million ONCE (the oracle-determinism contract).
+  *
+  * Implemented signals and their published thresholds:
+  *  - word count in [50, 100000]
+  *  - mean word length in [3, 10] characters
+  *  - fraction of words with an alphabetic character ≥ 0.80
+  *  - ≥ 2 distinct stop words present (the/be/to/of/and/that/have/with)
+  *  - fraction of lines starting with a bullet ≤ 0.90
+  *  - fraction of lines ending in an ellipsis ≤ 0.30
+  *  - fraction of characters in the most frequent word {2,3,4}-gram
+  *    ≤ {0.20, 0.18, 0.16} (count × n-gram length over text length;
+  *    the argmax n-gram ties break lexicographically)
+  */
+object GopherRules {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
+
+  private val StopWords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-document metrics + the boolean `gopher_keep` verdict. One
+    * n-gram explode-and-aggregate per n ∈ {2,3,4} plus row-local
+    * expressions; every ratio an exact integer ppm. */
+  def gopherRules(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("__t"),
+      expr(s"filter(split($textCol, ' '), x -> x <> '')").as("__w"),
+      split(col(textCol), "\n").as("__l"))
+    val rowLocal = base.select(col("doc_id"),
+      length(col("__t")).as("n_chars"),
+      size(col("__w")).cast("long").as("n_words"),
+      // mean word length in ppm: sum(len) * 1e6 div n_words
+      when(size(col("__w")) > 0, expr(
+          "aggregate(__w, 0L, (a, x) -> a + length(x)) * 1000000L " +
+            "div size(__w)"))
+        .otherwise(lit(0L)).as("mean_word_len_ppm"),
+      when(size(col("__w")) > 0, expr(
+          "size(filter(__w, x -> x rlike '[a-zA-Z]')) * 1000000L " +
+            "div size(__w)"))
+        .otherwise(lit(0L)).as("alpha_word_ppm"),
+      StopWords.map(w =>
+        when(array_contains(col("__w"), w), 1L).otherwise(0L))
+        .reduce(_ + _).as("stop_hits"),
+      expr("size(filter(__l, x -> x rlike '^\\\\s*[-*\u2022]')) " +
+        "* 1000000L div size(__l)").as("bullet_line_ppm"),
+      expr("size(filter(__l, x -> x rlike " +
+        "'(\\\\.\\\\.\\\\.|\u2026)\\\\s*$')) " +
+        "* 1000000L div size(__l)").as("ellipsis_line_ppm"))
+    // fraction of characters in the most frequent word n-gram: one
+    // (doc, gram) count aggregate per n, argmax tie-broken by gram
+    // text, then count·len(gram) over the document's length
+    def topGramPpm(n: Int): DataFrame = {
+      val grams = base.select(col("doc_id"), length(col("__t")).as("__len"),
+        explode(expr(
+          s"CASE WHEN size(__w) >= $n THEN " +
+            s"transform(sequence(1, size(__w) - ${n - 1}), " +
+            s"i -> array_join(slice(__w, i, $n), ' ')) " +
+            "ELSE array() END")).as("__g"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("__c").desc, col("__g").desc)
+      grams.groupBy(col("doc_id"), col("__len"), col("__g"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"),
+          expr(s"__c * length(__g) * 1000000L div __len")
+            .as(s"top${n}gram_ppm"))
+    }
+    val out = Seq(2, 3, 4).map(topGramPpm)
+      .foldLeft(rowLocal)((acc, d) => acc.join(d, Seq("doc_id"), "left"))
+      .na.fill(0L, Seq("top2gram_ppm", "top3gram_ppm", "top4gram_ppm"))
+    out.withColumn("gopher_keep",
+      col("n_words") >= 50L && col("n_words") <= 100000L &&
+        col("mean_word_len_ppm") >= 3000000L &&
+        col("mean_word_len_ppm") <= 10000000L &&
+        col("alpha_word_ppm") >= 800000L &&
+        col("stop_hits") >= 2L &&
+        col("bullet_line_ppm") <= 900000L &&
+        col("ellipsis_line_ppm") <= 300000L &&
+        col("top2gram_ppm") <= 200000L &&
+        col("top3gram_ppm") <= 180000L &&
+        col("top4gram_ppm") <= 160000L)
+  }
+}

@@ -285,6 +285,7 @@ object CorpusGate {
     "t65_dup_spans" -> (t65DupSpans _),
     "t113_rag_retrieval" -> (t113RagRetrieval _),
     "t115_rag_hybrid" -> (t115RagHybrid _),
+    "t117_gopher_rules" -> (t117GopherRules _),
   )
 
   /** t113: RAG CORPUS CAPSTONE — the retrieval-ingestion pipeline end
@@ -300,6 +301,44 @@ object CorpusGate {
     * silent collision would merge distinct chunks); a query never
     * retrieves chunks of its own document. Every stage re-derived by
     * the DuckDB oracle from the parquet alone. */
+  /** t117: GOPHER QUALITY RULES (Rae et al. 2021 appendix A1) — the
+    * pre-model heuristic gate production corpora run between
+    * boilerplate removal and the perplexity/classifier stages:
+    * word-count bounds, mean word length, alphabetic-word fraction,
+    * stop-word presence, bullet/ellipsis line fractions, and the
+    * repetition signals (fraction of characters in the most frequent
+    * word {2,3,4}-gram). One scan ([[graft.operators.GopherRules]]):
+    * every ratio an exact integer ppm, the verdict the published
+    * thresholds. The fixture plants one violation per rule family
+    * (bullet lists, ellipsis endings, a stuck-repeater, a tiny doc);
+    * the oracle re-derives every metric AND the verdict in DuckDB. */
+  def t117GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(13)) === 1,
+        lit("- alpha beta\n- gamma delta\n- epsilon zeta"))
+        .when(pmod(col("doc_id"), lit(13)) === 2,
+          lit("first part...\nsecond part...\nthird part stands alone"))
+        .when(pmod(col("doc_id"), lit(13)) === 3,
+          lit("data row data row data row data row data row data row"))
+        .when(pmod(col("doc_id"), lit(13)) === 4, lit("tiny document"))
+        .otherwise(col("text")).as("text"))
+    val out = graft.operators.GopherRules
+      .gopherRules(planted, "doc_id", "text")
+    // the planted violations must fail their OWN rule (fixture sanity:
+    // a rule set that passes a bullet list or a stuck repeater is
+    // miswired no matter what it returns)
+    val bad = out.filter(
+      (pmod(col("doc_id"), lit(13)).isin(1, 2, 3, 4)) && col("gopher_keep"))
+      .count()
+    require(bad == 0L,
+      s"t117: $bad planted rule violations passed the gopher gate")
+    out.select(col("doc_id"), col("n_words"), col("mean_word_len_ppm"),
+      col("alpha_word_ppm"), col("stop_hits"), col("bullet_line_ppm"),
+      col("ellipsis_line_ppm"), col("top2gram_ppm"), col("top3gram_ppm"),
+      col("top4gram_ppm"), col("gopher_keep"))
+      .orderBy("doc_id")
+  }
+
   /** The RAG ingest front end t113/t115 share: chunk → length gate →
     * guarded packed key → exact dedup (keep the smallest cid per
     * identical text). */
@@ -395,6 +434,78 @@ object CorpusGate {
     // t113: every stage re-derived — t57's chunk slices, the ≥8-token
     // gate, exact dedup keeping min cid, then the v57 BM25 formula
     // (same pinned float shape) over the surviving chunk corpus
+    // t117: every Gopher metric re-derived — same fixture CASE, same
+    // integer-ppm quantization, same argmax tie-break (count desc,
+    // gram desc), same published thresholds for the verdict
+    "t117_gopher_rules" ->
+      ("""WITH src AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 1
+        |         THEN '- alpha beta' || chr(10) || '- gamma delta' || chr(10) || '- epsilon zeta'
+        |         WHEN doc_id % 13 = 2
+        |         THEN 'first part...' || chr(10) || 'second part...' || chr(10) || 'third part stands alone'
+        |         WHEN doc_id % 13 = 3
+        |         THEN 'data row data row data row data row data row data row'
+        |         WHEN doc_id % 13 = 4 THEN 'tiny document'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |b AS (SELECT doc_id, text t,
+        |    list_filter(string_split(text, ' '), x -> x <> '') w,
+        |    string_split(text, chr(10)) l
+        |  FROM src),
+        |rowl AS (SELECT doc_id, cast(length(t) as bigint) n_chars,
+        |    cast(len(w) as bigint) n_words,
+        |    CASE WHEN len(w) > 0 THEN
+        |      cast(list_sum(list_transform(w, x -> length(x))) as bigint)
+        |        * 1000000 // len(w) ELSE 0 END mean_word_len_ppm,
+        |    CASE WHEN len(w) > 0 THEN
+        |      cast(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) as bigint)
+        |        * 1000000 // len(w) ELSE 0 END alpha_word_ppm,
+        |    cast((CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END) as bigint)
+        |      stop_hits,
+        |    cast(len(list_filter(l, x -> regexp_matches(x, '^\s*[-*\u2022]'))) as bigint)
+        |      * 1000000 // len(l) bullet_line_ppm,
+        |    cast(len(list_filter(l, x -> regexp_matches(x, '(\.\.\.|\u2026)\s*$'))) as bigint)
+        |      * 1000000 // len(l) ellipsis_line_ppm
+        |  FROM b),
+        |""".stripMargin +
+      (2 to 4).map(n =>
+        s"""g$n AS (SELECT doc_id, length(t) __len,
+           |    array_to_string(w[CAST(t.i AS INT):CAST(t.i AS INT) + ${n - 1}], ' ') g
+           |  FROM b, UNNEST(range(1, len(w) - ${n - 2})) t(i)
+           |  WHERE len(w) >= $n),
+           |c$n AS (SELECT doc_id, __len, g, cast(count(*) as bigint) c
+           |       FROM g$n GROUP BY 1, 2, 3),
+           |r$n AS (SELECT doc_id,
+           |    cast(c * length(g) * 1000000 // __len as bigint) top${n}gram_ppm,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY c DESC, g DESC) rn
+           |  FROM c$n),
+           |t$n AS (SELECT doc_id, top${n}gram_ppm FROM r$n WHERE rn = 1),
+           |""".stripMargin).mkString + """m AS (SELECT rowl.*,
+        |    coalesce(t2.top2gram_ppm, 0) top2gram_ppm,
+        |    coalesce(t3.top3gram_ppm, 0) top3gram_ppm,
+        |    coalesce(t4.top4gram_ppm, 0) top4gram_ppm
+        |  FROM rowl
+        |  LEFT JOIN t2 USING (doc_id)
+        |  LEFT JOIN t3 USING (doc_id)
+        |  LEFT JOIN t4 USING (doc_id))
+        |SELECT doc_id, n_words, mean_word_len_ppm, alpha_word_ppm,
+        |  stop_hits, bullet_line_ppm, ellipsis_line_ppm,
+        |  top2gram_ppm, top3gram_ppm, top4gram_ppm,
+        |  (n_words >= 50 AND n_words <= 100000 AND
+        |   mean_word_len_ppm >= 3000000 AND mean_word_len_ppm <= 10000000 AND
+        |   alpha_word_ppm >= 800000 AND stop_hits >= 2 AND
+        |   bullet_line_ppm <= 900000 AND ellipsis_line_ppm <= 300000 AND
+        |   top2gram_ppm <= 200000 AND top3gram_ppm <= 180000 AND
+        |   top4gram_ppm <= 160000) AS gopher_keep
+        |FROM m ORDER BY doc_id""".stripMargin),
     // t115: BOTH towers and the fusion re-derived — t113's chunk CTEs
     // (BM25 over the deduped chunk corpus, top-20), the vector tower
     // as exact integer dots between the query embedding and each

@@ -720,6 +720,97 @@ object ShapeGate {
       .orderBy("doc_id")
   }
 
+  /** t116: THE CCNET PIPELINE END TO END (Wenzek et al. 2020) —
+    * the four stages composed in order as ONE derivation, each the
+    * engine's certified implementation: EXACT DEDUP (planted
+    * fixed-text mirror docs collapse to the smallest id) →
+    * LANGUAGE-ID (t114's hashed-trigram GD classifier over the
+    * two-script fixture; survivors = predicted-Latin docs, with
+    * all-correct required so the oracle can state the survivor set) →
+    * BOILERPLATE LINE REMOVAL (a cookie-banner line planted on every
+    * third doc crosses the 25% document-frequency threshold and
+    * drops; unique body lines stay) → PERPLEXITY TERTILES (bigram LM
+    * trained on the doc_id%4==0 reference slice of the CLEANED
+    * survivors; head+middle kept, tail dropped — the CCNet quality
+    * gate). Every stage re-derived by DuckDB in one query; every
+    * stage's invariant require()d in-gate. */
+  def t116CcnetPipeline(s: SparkSession, dir: String): DataFrame = {
+    val latin = "abcdefghijklmnopqrstuvwxyz"
+    val persian = "ابتثجحخدذرزسشصضطظعغفقكلمنه"
+    val fixedText =
+      "the shared landing page boilerplate body repeated across mirrors"
+    val banner = "accept all cookies"
+    val base = Tables.spread(Tables.documents(s, dir))
+      .filter(length(col("text")) >= 50)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(11)) === 5, lit(fixedText))
+          .otherwise(col("text")).as("tf"))
+    val docs = base.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 1,
+        translate(
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat_ws("\n", lit(banner), col("tf"))).otherwise(col("tf")),
+          latin, persian))
+        .otherwise(
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat_ws("\n", lit(banner), col("tf"))).otherwise(col("tf")))
+        .as("ltext"))
+    // STAGE 1 — exact dedup: identical docs keep the smallest id
+    val dd = docs.groupBy("ltext").agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("ltext"),
+        (pmod(col("doc_id"), lit(2)) === 1).as("is_fa"))
+      .cache()
+    require(dd.count() < docs.count(),
+      "t116: the planted mirror docs must collapse in the dedup stage")
+    // STAGE 2 — language id (t114's machinery); survivors = Latin
+    val buckets = 64
+    val feats = graft.operators.LangId
+      .charNgramFeatures(dd, "doc_id", "ltext", n = 3, buckets = buckets)
+      .join(dd.select("doc_id", "is_fa"), "doc_id")
+      .cache()
+    // 12 iterations, not t114's 8: this gate requires TRAIN-set
+    // correctness too (the survivor set must be the exact parity for
+    // the oracle), and one sf0.1 train doc sat at +0.27 after 8 steps
+    val scored = graft.operators.LangId.trainAndScore(
+      feats.filter(pmod(col("doc_id"), lit(4)) < 2), feats, buckets,
+      "is_fa", iters = 12, rate = 2.0)
+    val wrong = scored
+      .filter((col("decision") > 0) =!= col("is_fa")).count()
+    require(wrong == 0L,
+      s"t116: lang-id misclassified $wrong docs — the two scripts are " +
+        "disjoint, the survivor set must be exactly the Latin parity")
+    val en = scored.filter(col("decision") <= 0).select("doc_id")
+      .join(dd, "doc_id").select(col("doc_id"), col("ltext").as("text"))
+    // STAGE 3 — boilerplate line removal at τ = 25%
+    val cleaned = graft.operators.CorpusText
+      .removeBoilerplateLines(en, tauPpm = 250000L).cache()
+    val badDrop = cleaned.filter(
+      (pmod(col("doc_id"), lit(3)) === 0 && col("n_dropped") =!= 1L) ||
+        (pmod(col("doc_id"), lit(3)) =!= 0 && col("n_dropped") =!= 0L))
+      .count()
+    require(badDrop == 0L,
+      "t116: exactly the planted banner line must drop, nothing else")
+    // STAGE 4 — perplexity tertiles over the CLEANED survivors
+    val split = graft.operators.PerplexityLm.ccnetSplit(
+      graft.operators.PerplexityLm.scoreBigramLm(
+        cleaned.select(col("doc_id"), col("clean_text")),
+        "doc_id", "clean_text", pmod(col("doc_id"), lit(4)) === 0))
+      .cache() // feeds the invariant stats AND the returned frame
+    val stats = split.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("spt").as("lo"), max("spt").as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for (b <- Seq("head", "middle", "tail"))
+      require(stats.contains(b), s"t116: bucket '$b' is empty")
+    require(stats("head")._3 <= stats("middle")._2 &&
+        stats("middle")._3 <= stats("tail")._2,
+      s"t116: buckets must partition the score space, got $stats")
+    split.filter(col("bucket") =!= "tail")
+      .select(col("doc_id"), col("n_scored"), col("nll_e6"),
+        col("spt"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** t112: CCNet perplexity filter (Wenzek et al. 2020) — the
     * statistical-LM quality gate production web corpora run before
     * training: a Laplace-smoothed bigram LM trained on the REFERENCE
@@ -754,6 +845,7 @@ object ShapeGate {
 
   val queries: Map[String, Q] = Map(
     "t114_lang_id" -> (t114LangId _),
+    "t116_ccnet_pipeline" -> (t116CcnetPipeline _),
     "t112_perplexity_filter" -> (t112PerplexityFilter _),
     "t103_quality_classifier" -> (t103QualityClassifier _),
     "t102_dsir_resample" -> (t102DsirResample _),
@@ -833,6 +925,91 @@ object ShapeGate {
         |       WHEN spt <= t2 THEN 'middle'
         |       ELSE 'tail' END bucket
         |FROM ds, th ORDER BY doc_id""".stripMargin,
+    // t116: all four CCNet stages re-derived in one query — fixture
+    // construction (floor, planted mirrors, banner, transliteration),
+    // exact dedup (min id per identical text), the lang-id survivor
+    // set (the all-correct require in-gate makes it the Latin
+    // parity), line-df boilerplate removal at 25%, and t112's integer
+    // micro-nat bigram LM + positional tertiles over the CLEANED text
+    "t116_ccnet_pipeline" ->
+      ("""WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 5
+        |         THEN 'the shared landing page boilerplate body repeated across mirrors'
+        |         ELSE text END AS tf
+        |  FROM documents WHERE length(text) >= 50),
+        |lt AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 1 THEN translate(
+        |      CASE WHEN doc_id % 3 = 0
+        |           THEN 'accept all cookies' || chr(10) || tf ELSE tf END,
+        |      'abcdefghijklmnopqrstuvwxyz', '""" + "\u0627\u0628\u062a\u062b\u062c\u062d\u062e\u062f\u0630\u0631\u0632\u0633\u0634\u0635\u0636\u0637\u0638\u0639\u063a\u0641\u0642\u0643\u0644\u0645\u0646\u0647" + """')
+        |    ELSE CASE WHEN doc_id % 3 = 0
+        |              THEN 'accept all cookies' || chr(10) || tf ELSE tf END
+        |    END AS ltext
+        |  FROM base),
+        |dd AS (SELECT cast(min(doc_id) as bigint) doc_id, ltext
+        |       FROM lt GROUP BY ltext),
+        |en AS (SELECT doc_id, ltext AS t FROM dd WHERE doc_id % 2 = 0),
+        |lx AS (SELECT doc_id, string_split(t, chr(10)) ls FROM en),
+        |ln AS (SELECT doc_id, t.i AS idx, ls[CAST(t.i AS INT)] AS line
+        |       FROM lx, UNNEST(range(1, len(ls) + 1)) t(i)),
+        |ndoc AS (SELECT cast(count(*) as bigint) n FROM en),
+        |ldf AS (SELECT line, cast(count(DISTINCT doc_id) as bigint) df
+        |        FROM ln GROUP BY 1),
+        |keepln AS (SELECT ln.doc_id, ln.idx, ln.line
+        |           FROM ln JOIN ldf USING (line) CROSS JOIN ndoc
+        |           WHERE ldf.df * 1000000 < ndoc.n * 250000),
+        |cl AS (SELECT doc_id,
+        |         array_to_string(list(line ORDER BY idx), chr(10)) AS ct
+        |       FROM keepln GROUP BY doc_id),
+        |d AS (SELECT doc_id, (doc_id % 4 = 0) AS ref,
+        |    list_filter(string_split(ct, ' '), x -> x <> '') w
+        |  FROM cl),
+        |p AS (SELECT doc_id, ref,
+        |    CASE WHEN t.i = 1 THEN NULL
+        |         ELSE w[CAST(t.i AS INT) - 1] END wp,
+        |    w[CAST(t.i AS INT)] wt
+        |  FROM d, UNNEST(range(1, len(w) + 1)) t(i) WHERE len(w) >= 1),
+        |uni AS (SELECT wt u, cast(count(*) as bigint) cu
+        |        FROM p WHERE ref GROUP BY 1),
+        |bi AS (SELECT wp b1, wt b2, cast(count(*) as bigint) cb
+        |       FROM p WHERE ref AND wp IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT cast(sum(cu) as bigint) tt,
+        |               cast(count(*) as bigint) vv FROM uni),
+        |sc AS (SELECT p.doc_id,
+        |    CASE WHEN u1.cu IS NOT NULL THEN
+        |      cast(floor(1000000.0 * ln((u1.cu + tot.vv)::DOUBLE /
+        |        (coalesce(bi.cb, 0) + 1)) + 0.5) as bigint)
+        |    ELSE
+        |      cast(floor(1000000.0 * ln((tot.tt + tot.vv)::DOUBLE /
+        |        (coalesce(u2.cu, 0) + 1)) + 0.5) as bigint)
+        |    END nll
+        |  FROM p
+        |  LEFT JOIN uni u1 ON u1.u = p.wp
+        |  LEFT JOIN bi ON bi.b1 = p.wp AND bi.b2 = p.wt
+        |  LEFT JOIN uni u2 ON u2.u = p.wt
+        |  CROSS JOIN tot),
+        |ds AS (SELECT doc_id, cast(count(*) as bigint) n_scored,
+        |        cast(sum(nll) as bigint) nll_e6,
+        |        cast(sum(nll) // count(*) as bigint) spt
+        |  FROM sc GROUP BY 1),
+        |nn AS (SELECT cast(count(*) as bigint) n FROM ds),
+        |rk AS (SELECT spt, row_number() OVER (ORDER BY spt) rn FROM ds),
+        |th AS (SELECT
+        |    max(CASE WHEN rn = (SELECT (n + 2) // 3 FROM nn)
+        |        THEN spt END) t1,
+        |    max(CASE WHEN rn = (SELECT (2 * n + 2) // 3 FROM nn)
+        |        THEN spt END) t2
+        |  FROM rk)
+        |SELECT doc_id, n_scored, nll_e6, spt,
+        |  CASE WHEN spt <= t1 THEN 'head'
+        |       WHEN spt <= t2 THEN 'middle'
+        |       ELSE 'tail' END bucket
+        |FROM ds, th
+        |WHERE CASE WHEN spt <= t1 THEN 'head'
+        |           WHEN spt <= t2 THEN 'middle'
+        |           ELSE 'tail' END <> 'tail'
+        |ORDER BY doc_id""").stripMargin,
     // t114: the learned lang-id's held-out verdict — the two scripts
     // are disjoint in trigram space, so a working trainer labels every
     // held-out doc with the language its transliteration parity

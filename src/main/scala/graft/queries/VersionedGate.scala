@@ -1031,6 +1031,58 @@ object VersionedGate {
     probe.orderBy("event_id")
   }
 
+  /** q196: STREAMING INTO A TRANSFORM-PARTITIONED TABLE — the
+    * canonical streaming sink shape (append into a `PARTITIONED BY
+    * (days(ts))` table) end to end through the DSv2 streaming write:
+    * the GENERATED day column fills statelessly per row, the epoch's
+    * files roll at day boundaries (per-file min == max pinned from the
+    * stats sidecar, require()d), and a two-day range predicate prunes
+    * the streamed snapshot exactly like a batch-written one. Rows are
+    * transport-invariant: the oracle re-derives the range from the
+    * events parquet alone. */
+  def q196StreamPartitioned(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.ev196")
+    s.sql("CREATE TABLE graft.gate.ev196 " +
+      "(event_id BIGINT, ts_utc TIMESTAMP, value DOUBLE) " +
+      "USING `graft-versioned` PARTITIONED BY (days(ts_utc))")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_q196_ckpt_").toString
+    Tables.eventsStream(s, dir)
+      .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      .select(col("event_id"), col("ts_utc"), col("value"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft.gate.ev196")
+      .awaitTermination()
+    val root = scratchBase.resolve("catalog").resolve("gate")
+      .resolve("ev196")
+    val v = Versioned.latestVersion(root.toString).get
+    val stats = graft.operators.FileStats.read(root.resolve(s"v=$v"))
+    require(stats.nonEmpty, "q196: streamed commit must carry stats")
+    stats.foreach { case (f, st) =>
+      val c = st.cols("ts_utc_days")
+      require(c.lo.isDefined && c.lo == c.hi,
+        s"q196: streamed file $f spans day values [${c.lo}, ${c.hi}]")
+    }
+    val probe = s.sql("SELECT event_id, unix_micros(ts_utc) * 1000 AS " +
+      "ts_ns, value FROM graft.gate.ev196 " +
+      "WHERE ts_utc >= timestamp'2024-01-10 00:00:00' " +
+      "AND ts_utc < timestamp'2024-01-12 00:00:00'")
+    probe.collect()
+    val desc = probe.queryExecution.executedPlan.toString
+    val m = "DataFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+    require(m.isDefined, s"q196: no DataFiles marker in scan:\n$desc")
+    val (kept, total) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    require(total >= 10,
+      s"q196: a 30-day streamed layout must yield day files, got $total")
+    require(kept <= math.max(3, total / 5),
+      s"q196: the two-day range read $kept/$total streamed files — " +
+        "the streaming boundary roll did not pin:\n" + desc)
+    probe.orderBy("event_id")
+  }
+
   /** q192: PARTITION-SPEC EVOLUTION (Iceberg's replace-partition-field)
     * — an identity-partitioned table evolves to `bucket(8, doc_id)`
     * METADATA-ONLY: the derived bucket column is added (pre-evolution
@@ -2387,6 +2439,7 @@ object VersionedGate {
     "q193_row_tracking" -> (q193RowTracking _),
     "q194_price_train_smoke" -> (q194PriceTrainSmoke _),
     "q195_truncate_ddl" -> (q195TruncateDdl _),
+    "q196_stream_partitioned" -> (q196StreamPartitioned _),
     "q179_type_widening" -> (q179TypeWidening _),
     "q180_generated_identity" -> (q180GeneratedIdentity _),
     "q181_default_values" -> (q181DefaultValues _),
@@ -2807,6 +2860,13 @@ object VersionedGate {
         |FROM documents
         |WHERE doc_id % 3 < 2 AND n_chars >= 300
         |ORDER BY doc_id""".stripMargin,
+    // q196: the streamed two-day range re-derived from the events
+    // parquet (pin + prune proofs live in-gate; transport-invariant)
+    "q196_stream_partitioned" ->
+      """SELECT event_id, epoch_ns(ts) AS ts_ns, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |ORDER BY event_id""".stripMargin,
     // q195: the co-truncated join's rows re-derived relationally (the
     // layout-independence convention: prune + SPJ proofs live in-gate)
     "q195_truncate_ddl" ->

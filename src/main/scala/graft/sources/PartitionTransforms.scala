@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, Reducer, ReducibleFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
@@ -432,8 +432,29 @@ object GraftBucketFunction extends UnboundFunction {
   }
 }
 
-private[sources] class GraftBucketBound(keyType: DataType)
-  extends ScalarFunction[Integer] {
+private[sources] class GraftBucketBound(
+    private[sources] val keyType: DataType)
+  extends ScalarFunction[Integer] with ReducibleFunction[Integer, Integer] {
+
+  /** MIXED-GRANULARITY co-partitioning (Spark's ReducibleFunction,
+    * gated by spark.sql.sources.v2.bucketing
+    * .allowCompatibleTransforms.enabled): when this side buckets
+    * FINER and the counts divide — bucket(16) vs bucket(8) —
+    * `pmod(h, 16) % 8 == pmod(h, 8)`, so reducing this side's bucket
+    * ids modulo the coarser count aligns the partitions and the join
+    * still skips both exchanges. Different key types never reduce
+    * (their hashes live in different spaces); null = no reduction
+    * needed (identity), Spark's contract. */
+  override def reducer(thisNumBuckets: Int,
+                       otherFunction: ReducibleFunction[_, _],
+                       otherNumBuckets: Int): Reducer[Integer, Integer] =
+    otherFunction match {
+      case o: GraftBucketBound
+          if o.keyType == keyType && thisNumBuckets > otherNumBuckets &&
+            thisNumBuckets % otherNumBuckets == 0 =>
+        BucketReducer(otherNumBuckets)
+      case _ => null
+    }
   override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
   override def resultType(): DataType = IntegerType
   override def name(): String = "bucket"
@@ -534,8 +555,35 @@ final case class GraftTruncateWidthFunction(width: Int)
   }
 }
 
-private[sources] class GraftTruncateWidthBound(width: Int, keyType: DataType)
-  extends ScalarFunction[Any] {
+private[sources] final case class BucketReducer(otherNumBuckets: Int)
+  extends Reducer[Integer, Integer] {
+  override def reduce(v: Integer): Integer =
+    if (v == null) null else Int.box(v.intValue() % otherNumBuckets)
+}
+
+private[sources] class GraftTruncateWidthBound(
+    private[sources] val width: Int,
+    private[sources] val keyType: DataType)
+  extends ScalarFunction[Any] with ReducibleFunction[Any, Any] {
+
+  /** MIXED-WIDTH co-partitioning: when this side truncates FINER than
+    * the other — integers: the coarser width is a positive multiple of
+    * this one (floor composition: a width-aligned value floors exactly
+    * to the coarser bin); strings: the other prefix is shorter (a
+    * longer prefix always extends a shorter one) — reducing this
+    * side's bin values into the coarser width aligns the partitions.
+    * Same key type required; null = identity (no reduction). */
+  override def reducer(otherFunction: ReducibleFunction[_, _])
+      : Reducer[Any, Any] =
+    otherFunction match {
+      case o: GraftTruncateWidthBound if o.keyType == keyType &&
+          (keyType match {
+            case StringType => o.width < width
+            case _ => o.width > width && o.width % width == 0
+          }) =>
+        TruncateReducer(o.width, keyType)
+      case _ => null
+    }
   override def inputTypes(): Array[DataType] = Array(keyType)
   override def resultType(): DataType = keyType
   override def name(): String = s"truncate_$width"
@@ -553,4 +601,11 @@ private[sources] class GraftTruncateWidthBound(width: Int, keyType: DataType)
       case StringType => input.getUTF8String(0)
       case _ => null
     })
+}
+
+private[sources] final case class TruncateReducer(
+    otherWidth: Int, keyType: DataType) extends Reducer[Any, Any] {
+  override def reduce(v: Any): Any =
+    if (v == null) null
+    else PartitionTransforms.truncValue(keyType, otherWidth, v)
 }

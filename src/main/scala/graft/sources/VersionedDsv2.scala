@@ -3556,8 +3556,23 @@ private[sources] class GraftVersionedWriteBuilder(
           s"v=$v")
       }
       else None
-    alignAgainst.foreach { case (existing, what) =>
+    // transform-derived GENERATED cluster columns (bucket/temporal/
+    // truncate) may be OMITTED by the writer: the fill pass appends
+    // and computes them (the staged-CTAS contract — and streaming
+    // toTable, which never pads analyzer defaults). Alignment ignores
+    // them exactly when the write schema does not carry them.
+    val derivedOmittable: Set[String] =
+      opt("partitionedBy").map(PartitionTransforms.parse)
+        .getOrElse(Seq.empty)
+        .collect { case e if e.clusterCol != e.sourceCol &&
+            !info.schema().fieldNames.contains(e.clusterCol) =>
+          e.clusterCol }.toSet
+    alignAgainst.foreach { case (existing0, what) =>
       {
+        val existing =
+          if (derivedOmittable.isEmpty) existing0
+          else StructType(existing0.fields.filterNot(f =>
+            derivedOmittable.contains(f.name)).toSeq)
         val got = schema.fields.map(f => (f.name, f.dataType)).toSeq
         val want = existing.fields.map(f => (f.name, f.dataType)).toSeq
         if (got != want && mergeOptIn) {
@@ -3815,12 +3830,21 @@ private[sources] class GraftVersionedWrite(
     require(txn.isEmpty,
       "graft-versioned: txnAppId/txnVersion are batch options — streaming " +
         "writes are already idempotent per epoch (the _graft_epoch tag)")
-    require(autoFill.isEmpty,
-      "graft-versioned: streaming writes into a table with " +
-        "GENERATED/IDENTITY columns are unsupported — the identity " +
-        "high-water mark is resolved per batch write; use foreachBatch")
-    new GraftStreamingWrite(root, schema, replace, commitTs, queryId, colMap,
-      feedKeys, message, partEntries.map(_.clusterCol))
+    // GENERATED columns stream fine: the fill pass is a stateless
+    // per-row projection (bucket ids, temporal/truncate bins), so the
+    // canonical streaming sink — append into a time-partitioned table
+    // — works end to end. IDENTITY columns still refuse: their
+    // high-water mark is resolved once per batch WRITE BUILD, and a
+    // long-lived stream would reuse it across epochs.
+    require(!autoFill.exists(_.items.exists(
+        _.isInstanceOf[AutoColumns.IdItem])),
+      "graft-versioned: streaming writes into a table with IDENTITY " +
+        "columns are unsupported — the identity high-water mark is " +
+        "resolved per batch write; use foreachBatch")
+    new GraftStreamingWrite(root,
+      StructType(schema.fields ++ appendFields), replace, commitTs,
+      queryId, colMap, feedKeys, message, partEntries.map(_.clusterCol),
+      autoFill)
   }
 }
 
@@ -3941,7 +3965,8 @@ private[sources] class GraftStreamingWrite(
     colMap: Map[String, String] = Map.empty,
     feedKeys: Seq[String] = Seq.empty,
     message: Option[String] = None,
-    partClusterCols: Seq[String] = Seq.empty) extends StreamingWrite {
+    partClusterCols: Seq[String] = Seq.empty,
+    autoFill: Option[AutoColumns.Fill] = None) extends StreamingWrite {
 
   private val stagedBase = java.nio.file.Paths.get(root, s"_staging_stream_$queryId")
 
@@ -3956,9 +3981,14 @@ private[sources] class GraftStreamingWrite(
     // values and pruning + storage-partitioned joins degrade until the
     // next OPTIMIZE re-pins. Unsorted micro-batch input only costs
     // extra files (one per key run); the invariant holds regardless.
-    GroupParquetWriterFactory(physSchema, stagedBase.toString,
+    val inner = GroupParquetWriterFactory(physSchema, stagedBase.toString,
       partClusterCols.map(c =>
         physSchema.fieldIndex(colMap.getOrElse(c, c))))
+    // GENERATED fill (bucket/temporal/truncate cluster columns):
+    // stateless per-row projection, computed before the inner writer
+    // sees the row so boundary rolls see the derived value
+    autoFill.fold(inner: StreamingDataWriterFactory)(f =>
+      AutoFillStreamingWriterFactory(inner, f))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -3969,7 +3999,7 @@ private[sources] class GraftStreamingWrite(
       return
     }
     java.nio.file.Files.createDirectories(epochDir)
-    VersionedWriteIo.keepOnly(epochDir, messages)
+    VersionedWriteIo.keepOnly(epochDir, AutoFillCommitMessage.unwrap(messages))
     message.foreach(m => java.nio.file.Files.write(
       epochDir.resolve(VersionedWriteIo.MessageMarker),
       m.getBytes(java.nio.charset.StandardCharsets.UTF_8)))

@@ -152,6 +152,43 @@ class BucketPartitionSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("compatible-transform SPJ: bucket(16) joins bucket(8) with zero " +
+      "exchanges when the reducer conf is on") {
+    cat()
+    // j1 is bucket(8) from the co-bucketed test; n16 is bucket(16)
+    spark.sql("DROP TABLE IF EXISTS bkt.t.r16")
+    spark.sql("CREATE TABLE bkt.t.r16 (id BIGINT, v BIGINT) " +
+      "USING `graft-versioned` PARTITIONED BY (bucket(16, id))")
+    spark.sql("INSERT INTO bkt.t.r16 (id, v) SELECT id, id * 7 FROM range(0, 400)")
+    spark.sql("DROP TABLE IF EXISTS bkt.t.r8")
+    spark.sql("CREATE TABLE bkt.t.r8 (id BIGINT, v BIGINT) " +
+      "USING `graft-versioned` PARTITIONED BY (bucket(8, id))")
+    spark.sql("INSERT INTO bkt.t.r8 (id, v) SELECT id, id * 3 FROM range(0, 400)")
+    val q = "SELECT a.id, a.v, b.v AS bv FROM bkt.t.r16 a JOIN bkt.t.r8 b " +
+      "ON a.id = b.id"
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(q)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucket(16) x bucket(8) must co-partition via the reducer:\n$plan")
+      assert(j.count() === 400L)
+      assert(j.filter("v != id * 7 OR bv != id * 3").count() === 0L,
+        "reduced partitions must still join the RIGHT rows")
+    }
+    // conf off: exactly the old behavior (the mismatched-counts test)
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = spark.sql(q).queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 1, plan)
+    }
+  }
+
   test("refusal matrix: derived-name collision refused, " +
       "float key refused, source drop/rename refused") {
     cat()
@@ -174,6 +211,40 @@ class BucketPartitionSpec extends AnyFunSuite with SparkSpec {
       "ALTER TABLE bkt.t.a RENAME COLUMN id TO id2"))
     assert(e5.getMessage.contains("id_bucket") ||
       e5.getMessage.contains("generation"))
+  }
+
+  test("STREAMING append computes bucket ids and pins one bucket per file") {
+    cat()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.sql("DROP TABLE IF EXISTS bkt.t.sb")
+    spark.sql("CREATE TABLE bkt.t.sb (id BIGINT, v BIGINT) " +
+      "USING `graft-versioned` PARTITIONED BY (bucket(4, id))")
+    val mem = MemoryStream[(Long, Long)]
+    mem.addData((0L until 200L).map(i => (i, i * 3)): _*)
+    val q = mem.toDF().toDF("id", "v")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_bstream_").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("bkt.t.sb")
+    q.awaitTermination()
+    // derived bucket ids computed per row, equal to the SQL expression
+    assert(spark.sql("SELECT count(*) FROM bkt.t.sb " +
+      "WHERE id_bucket != pmod(hash(id), 4)").collect()(0).getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) FROM bkt.t.sb").collect()(0)
+      .getLong(0) === 200L)
+    val root = s"$warehouse/t/sb"
+    val v = graft.operators.Versioned.latestVersion(root).get
+    val stats = graft.operators.FileStats.read(
+      java.nio.file.Paths.get(root, s"v=$v"))
+    assert(stats.nonEmpty)
+    stats.foreach { case (f, st) =>
+      val c = st.cols("id_bucket")
+      assert(c.lo.isDefined && c.lo === c.hi,
+        s"streamed file $f spans buckets [${c.lo}, ${c.hi}]")
+    }
   }
 
   test("an equality probe on the bucket key prunes to the key's bucket") {

@@ -113,6 +113,70 @@ class TemporalPartitionSpec extends AnyFunSuite with SparkSpec {
     assert(desc.contains("days(ts)"), desc)
   }
 
+  test("STREAMING append computes the generated day column and pins files") {
+    ensureEv()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.sql("DROP TABLE IF EXISTS tmp.t.sev")
+    spark.sql("CREATE TABLE tmp.t.sev (id BIGINT, ts TIMESTAMP, v BIGINT) " +
+      "USING `graft-versioned` PARTITIONED BY (days(ts))")
+    val mem = MemoryStream[(Long, Long)]
+    mem.addData((0L until 96L).map(i => (i, i)): _*)
+    val q = mem.toDF().toDF("id", "h")
+      .selectExpr("id",
+        "timestamp'2024-06-01 00:00:00' + make_interval(0,0,0,0,0,0,h*3600) AS ts",
+        "id AS v")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_tstream_gen_").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("tmp.t.sev")
+    q.awaitTermination()
+    // the derived column materialized per row, files pin one day each
+    val days = spark.sql("SELECT DISTINCT ts_days FROM tmp.t.sev ORDER BY 1")
+      .collect().map(_.getDate(0).toString)
+    assert(days.toSeq === Seq("2024-06-01", "2024-06-02", "2024-06-03",
+      "2024-06-04"))
+    val root = java.nio.file.Paths.get(warehouse, "t", "sev")
+    val v = graft.operators.Versioned.latestVersion(root.toString).get
+    val stats = graft.operators.FileStats.read(root.resolve(s"v=$v"))
+    assert(stats.nonEmpty, "streamed commit must carry a stats sidecar")
+    stats.foreach { case (f, st) =>
+      val c = st.cols("ts_days")
+      assert(c.lo.isDefined && c.lo === c.hi,
+        s"streamed file $f spans day values [${c.lo}, ${c.hi}]")
+    }
+    // a day-range predicate prunes the streamed snapshot
+    val probe = spark.sql("SELECT id FROM tmp.t.sev WHERE " +
+      "ts >= timestamp'2024-06-02 00:00:00' AND " +
+      "ts < timestamp'2024-06-03 00:00:00'")
+    assert(probe.count() === 24L)
+    val desc = probe.queryExecution.executedPlan.toString
+    val m = "DataFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+      s"streamed files must prune by day: $desc")
+    // IDENTITY columns still refuse the streaming path, loudly
+    spark.sql("DROP TABLE IF EXISTS tmp.t.sid")
+    spark.sql("CREATE TABLE tmp.t.sid " +
+      "(id BIGINT GENERATED ALWAYS AS IDENTITY, v BIGINT) " +
+      "USING `graft-versioned`")
+    val mem2 = MemoryStream[Long]
+    mem2.addData(1L)
+    val e = intercept[Exception] {
+      val q2 = mem2.toDF().toDF("v").selectExpr("CAST(NULL AS BIGINT) AS id", "v")
+        .writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_tstream_id_").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("tmp.t.sid")
+      q2.awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("IDENTITY")), msgs(e).toString)
+  }
+
   test("temporal CTAS appends the derived column writer-side") {
     cat()
     spark.sql("DROP TABLE IF EXISTS tmp.t.cd")

@@ -127,6 +127,27 @@ class TruncateSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("compatible-width SPJ: truncate(50) joins truncate(100) with " +
+      "zero exchanges when the reducer conf is on") {
+    cat()
+    // j3 is truncate(50) from the mismatch test; j1 is truncate(100)
+    val q = "SELECT a.id, a.v, b.v AS bv FROM trc.t.j3 a JOIN trc.t.j1 b " +
+      "ON a.id = b.id"
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(q)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"truncate(50) x truncate(100) must co-partition via the reducer:\n$plan")
+      assert(j.count() === 400L)
+      assert(j.filter("v != bv").count() === 0L)
+    }
+  }
+
   test("string-prefix truncation: per-file pin and range prune") {
     cat()
     spark.sql("DROP TABLE IF EXISTS trc.t.s")
