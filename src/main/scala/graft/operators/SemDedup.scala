@@ -245,4 +245,34 @@ object SemDedup {
     while (i < vb.length) { dot += va(i) * vb(i); i += 1 }
     math.round(dot * 1000000.0 / (na * nb)) >= cosE6
   }
+
+  /** SEMANTIC EVAL-SET DECONTAMINATION — the embedding-space twin of
+    * the exact-substring decontaminator (TextDedup.substrDecontaminate):
+    * before training, every corpus document whose embedding sits
+    * within cosine `tauE6` of ANY benchmark/eval vector is flagged
+    * (paraphrased eval leakage that no string match catches). Scale
+    * shape: the EVAL side is a benchmark set — thousands of rows — so
+    * it BROADCASTS and the corpus side stays one distributed scan
+    * (corpus × eval, never corpus × corpus); per-doc output is the max
+    * eval cosine, exact to the quantization (integer dots + one
+    * double divide + half-up round, v36's pinned shape). Returns
+    * (idCol, max_cos_e6, contaminated). */
+  def evalDecontaminate(corpus: DataFrame, idCol: String, vecCol: String,
+                        eval: DataFrame, evalVecCol: String,
+                        tauE6: Long): DataFrame = {
+    import graft.plans.VectorExpressions.quantize_e6
+    val c = corpus.select(col(idCol), quantize_e6(col(vecCol)).as("__v"))
+      .withColumn("__n2", dot_long(col("__v"), col("__v")))
+    val e = eval.select(quantize_e6(col(evalVecCol)).as("__ev"))
+      .withColumn("__en2", dot_long(col("__ev"), col("__ev")))
+    c.join(broadcast(e))
+      .select(col(idCol),
+        round(dot_long(col("__v"), col("__ev")) * lit(1000000.0) /
+            (sqrt(col("__n2").cast("double")) *
+              sqrt(col("__en2").cast("double"))))
+          .cast("long").as("__cos"))
+      .groupBy(col(idCol))
+      .agg(max(col("__cos")).as("max_cos_e6"))
+      .withColumn("contaminated", col("max_cos_e6") >= tauE6)
+  }
 }

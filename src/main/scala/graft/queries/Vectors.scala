@@ -834,6 +834,36 @@ object Vectors {
     } finally { res.unpersist(); () }
   }
 
+  /** v59: SEMANTIC EVAL-SET DECONTAMINATION
+    * ([[graft.operators.SemDedup.evalDecontaminate]]) — the
+    * embedding-space leg of eval decontamination (t110 is the
+    * exact-substring leg): every corpus document within cosine 0.3 of
+    * ANY benchmark vector flags. The benchmark set is the bounded
+    * vec_id % 97 == 0 slice — it BROADCASTS, the corpus stays one
+    * scan, and the benchmark docs themselves (present in the corpus)
+    * must flag at cosine 1.0 exactly (require()d). Max-cosine and the
+    * verdict re-derived by DuckDB with the pinned v36 arithmetic. */
+  def v59EvalDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val out = graft.operators.SemDedup.evalDecontaminate(
+      emb, "vec_id", "embedding",
+      emb.filter(pmod(col("vec_id"), lit(97)) === 0), "embedding",
+      tauE6 = 300000L).cache()
+    try {
+      val selfBad = out.filter(pmod(col("vec_id"), lit(97)) === 0)
+        .filter(!col("contaminated") || col("max_cos_e6") =!= 1000000L)
+        .count()
+      require(selfBad == 0L,
+        "v59: benchmark rows present in the corpus must flag at cos 1.0")
+      val n = out.count()
+      val flagged = out.filter(col("contaminated")).count()
+      require(flagged > 0L && flagged < n,
+        s"v59: expected a proper contaminated subset, got $flagged of $n")
+      out.select(col("vec_id"), col("max_cos_e6"), col("contaminated"))
+        .orderBy("vec_id")
+    } finally { out.unpersist(); () }
+  }
+
   def v57HybridRrf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val qTerms = docs.filter(pmod(col("doc_id"), lit(97)) === 0 &&
@@ -871,6 +901,7 @@ object Vectors {
   val queries: Map[String, Q] = Map(
     "v57_hybrid_rrf" -> (v57HybridRrf _),
     "v58_tiered_compaction" -> (v58TieredCompaction _),
+    "v59_eval_decontaminate" -> (v59EvalDecontaminate _),
     "v50_hnsw_recall" -> (v50HnswRecall _),
     "v51_hnsw_incremental" -> (v51HnswIncremental _),
     "v55_filtered_hnsw" -> (v55FilteredHnsw _),
@@ -1091,6 +1122,29 @@ object Vectors {
     // v57: both towers and the fusion re-derived from the parquet —
     // BM25 quantized once per (query, term-slot, doc) with the pinned
     // float expression shape, exact-dot vector ranks, integer RRF
+    // v59: max eval cosine + verdict re-derived — same quantization,
+    // same integer dots, same one-double-divide + half-up round
+    "v59_eval_decontaminate" ->
+      (quantCte + """,
+        |n AS (SELECT vec_id, cast(sum(x*x) as bigint) n2
+        |      FROM (SELECT vec_id, unnest(v) x FROM q) GROUP BY vec_id),
+        |pairs AS (SELECT c.vec_id, e.vec_id eid, c.v va, e.v vb
+        |          FROM q c CROSS JOIN
+        |            (SELECT vec_id, v FROM q WHERE vec_id % 97 = 0) e),
+        |dots AS (SELECT vec_id, eid, cast(sum(x*y) as bigint) d
+        |         FROM (SELECT vec_id, eid, unnest(va) x, unnest(vb) y
+        |               FROM pairs)
+        |         GROUP BY 1, 2),
+        |cos AS (SELECT dots.vec_id,
+        |    cast(round(d * 1000000.0 /
+        |      (sqrt(cast(nc.n2 as double)) * sqrt(cast(ne.n2 as double))))
+        |      as bigint) cs
+        |  FROM dots
+        |  JOIN n nc ON nc.vec_id = dots.vec_id
+        |  JOIN n ne ON ne.vec_id = dots.eid)
+        |SELECT vec_id, cast(max(cs) as bigint) max_cos_e6,
+        |  max(cs) >= 300000 AS contaminated
+        |FROM cos GROUP BY vec_id ORDER BY vec_id""".stripMargin),
     // v58: v56's verdict contract shared — the tier-compacted index
     // must clear the same floors against the brute force over
     // survivors; the inode/purge/no-op proofs live in-gate

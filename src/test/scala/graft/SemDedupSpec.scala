@@ -137,4 +137,32 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
       k = 8, cosE6 = 1000001L)
     assert(verdicts.filter(!col("kept")).count() == 0)
   }
+
+  test("evalDecontaminate: self-hits at cos 1.0, orthogonal stays clean") {
+    import spark.implicits._
+    // e0/e1 orthogonal; c2 = e0 scaled (cos 1.0); c3 halfway (cos ~0.707)
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(2f, 0f, 0f, 0f)),
+      (3L, Array(1f, 1f, 0f, 0f)),
+      (4L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val eval = Seq(Tuple1(Array(1f, 0f, 0f, 0f))).toDF("embedding")
+    val out = operators.SemDedup.evalDecontaminate(
+      corpus, "vec_id", "embedding", eval, "embedding", tauE6 = 900000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("max_cos_e6"), r.getAs[Boolean]("contaminated")))
+      .toMap
+    assert(out(0L) === ((1000000L, true)))
+    assert(out(2L) === ((1000000L, true)), "scaling must not change cosine")
+    assert(out(1L)._1 === 0L && !out(1L)._2)
+    assert(out(4L)._1 === 0L && !out(4L)._2)
+    assert(out(3L)._1 === 707107L && !out(3L)._2, "sqrt(2)/2 quantized")
+    // the eval side broadcasts: no shuffle on the corpus lineage
+    val plan = operators.SemDedup.evalDecontaminate(
+      corpus, "vec_id", "embedding", eval, "embedding", 900000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
 }
