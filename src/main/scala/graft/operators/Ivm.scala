@@ -87,6 +87,129 @@ object Ivm {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** CONTINUOUS MIN/MAX MAINTENANCE by DIRTY-GROUP PARTIAL RECOMPUTE —
+    * the IVM strategy for NON-retractable aggregates. A signed fold
+    * (the sum/count machinery above) cannot maintain MIN/MAX under
+    * deletes: retracting the current minimum says nothing about the
+    * runner-up. The textbook answer (and Materialize/DBSP's
+    * reduction): per batch, recompute ONLY the groups the batch
+    * touched, from the source snapshot the batch corresponds to.
+    *
+    * Per batch: (1) the dirty key set = the batch's distinct keys —
+    * O(changes), collected bounds drive file pruning; (2) the source
+    * snapshot AS OF the batch's last commit is scanned WITH the
+    * dirty-key bounds pushed (`k IS NULL OR k BETWEEN lo AND hi` —
+    * the clustered source file-prunes to the touched range) and
+    * semi-joined to the dirty set (broadcast — dirty keys are
+    * change-sized); (3) one MERGE writes the recomputed groups:
+    * vanished groups DELETE, changed groups UPDATE, new groups
+    * INSERT — merge-on-read, so the state write is O(changed groups)
+    * too. Batch cost: O(dirty groups' source rows), never O(source)
+    * or O(state).
+    *
+    * Exactly-once like the fold: (txnAppId=`appId`,
+    * txnVersion=batchId) makes replayed MERGEs no-ops. `stateTable`
+    * holds (key..., minCol, maxCol, nCol), created with
+    * `deletionVectors=true` and clustered on the keys; `srcRoot` is
+    * the versioned SOURCE whose stored change feed drives the
+    * stream. */
+  def continuousMinMaxMaintenance(
+      spark: org.apache.spark.sql.SparkSession,
+      srcRoot: String, stateTable: String, checkpoint: String,
+      keyCols: Seq[String], valCol: String,
+      minCol: String, maxCol: String, nCol: String,
+      toDirty: DataFrame => DataFrame, appId: String,
+      startingVersion: Long = 1L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft-versioned")
+      .option("changeFeed", "true")
+      .option("startingVersion", startingVersion.toString)
+      .load(srcRoot)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val view = s"__mv_dirty_${appId.replaceAll("[^A-Za-z0-9_]", "_")}"
+        // `toDirty` maps a feed batch to its touched KEY rows (the
+        // toDelta convention) — a changed row dirties both its old and
+        // new group, so the caller unions new_/old_ key columns
+        val dirty = toDirty(batch).select(keyCols.map(col): _*)
+          .distinct().cache()
+        try {
+          if (dirty.limit(1).count() > 0L) {
+            // the snapshot this batch's changes land the source AT —
+            // deterministic under replay (commit_version rides the feed)
+            val asOf = batch.agg(max(col("commit_version"))).collect()(0)
+              .getLong(0)
+            val src = s.read.format("graft-versioned")
+              .option("versionAsOf", asOf.toString).load(srcRoot)
+            // dirty-key bounds push into the source scan (file pruning
+            // over the clustered layout); the exact dirty set applies
+            // via the broadcast semi-join
+            val bounded = keyCols.foldLeft(src) { (d, k) =>
+              val r = dirty.agg(min(col(k)), max(col(k))).collect()(0)
+              (boundsLiteral(r.get(0)), boundsLiteral(r.get(1))) match {
+                case (Some(lo), Some(hi)) =>
+                  d.filter(expr(s"$k IS NULL OR ($k >= $lo AND $k <= $hi)"))
+                case _ => d
+              }
+            }
+            val recomputed = bounded
+              .join(broadcast(dirty), keyCols, "left_semi")
+              .groupBy(keyCols.map(col): _*)
+              .agg(min(col(valCol)).as("__mn"), max(col(valCol)).as("__mx"),
+                count(col(valCol)).as("__n"))
+            dirty.join(recomputed, keyCols, "left").createOrReplaceTempView(view)
+            val on = keyCols.map(k => s"t.$k <=> d.$k").mkString(" AND ")
+            val insertCols = (keyCols :+ minCol :+ maxCol :+ nCol)
+              .mkString(", ")
+            val insertVals = (keyCols.map("d." + _) ++
+              Seq("d.__mn", "d.__mx", "d.__n")).mkString(", ")
+            s.conf.set("graft.versioned.txnAppId", appId)
+            s.conf.set("graft.versioned.txnVersion", batchId.toString)
+            try s.sql(
+              s"""MERGE INTO $stateTable t USING $view d ON $on
+                 |WHEN MATCHED AND d.__n IS NULL THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET
+                 |  $minCol = d.__mn, $maxCol = d.__mx, $nCol = d.__n
+                 |WHEN NOT MATCHED AND d.__n IS NOT NULL THEN
+                 |  INSERT ($insertCols) VALUES ($insertVals)""".stripMargin)
+            finally {
+              s.conf.unset("graft.versioned.txnAppId")
+              s.conf.unset("graft.versioned.txnVersion")
+            }
+          }
+        } finally { dirty.unpersist(); () }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** SQL literal for a delta-bounds value, or None for types without
+    * an exact literal form (those keys just skip their conjunct —
+    * correct, only less pruned). Temporal keys are the MOST common
+    * real MV key (daily/hourly aggregates), so DATE/TIMESTAMP render
+    * here; java.sql vs java.time shapes depend on the session's
+    * datetime.java8API flag — cover both. `java.sql.Timestamp`
+    * toString is JVM-local-zone = Spark's default session zone;
+    * `Instant` renders with an explicit Z offset, which Spark's
+    * literal parser honors — both round-trip exactly at micros. */
+  private[graft] def boundsLiteral(v: Any): Option[String] = v match {
+    case null => None
+    case n: Byte => Some(n.toString)
+    case n: Short => Some(n.toString)
+    case n: Int => Some(n.toString)
+    case n: Long => Some(n.toString + "L")
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case d: java.sql.Date => Some(s"DATE'${d.toString}'")
+    case d: java.time.LocalDate => Some(s"DATE'${d.toString}'")
+    case t: java.sql.Timestamp => Some(s"TIMESTAMP'${t.toString}'")
+    case t: java.time.Instant => Some(s"TIMESTAMP'${t.toString}'")
+    case t: java.time.LocalDateTime =>
+      Some(s"TIMESTAMP_NTZ'${t.toString.replace('T', ' ')}'")
+    case _ => None // non-orderable-literal types: no conjunct
+  }
+
   /** CONTINUOUS IVM, O(changed groups) per micro-batch: the fold above
     * re-expressed as a MERGE INTO a merge-on-read state TABLE
     * (`deletionVectors=true`), so a batch touches only the groups its
@@ -114,31 +237,6 @@ object Ivm {
     * its commit is a no-op — the same discipline as the overwrite
     * fold. `stateTable` is a catalog name (e.g. `graft.ns.mv_state`)
     * created with `deletionVectors=true` and clustered on the keys. */
-  /** SQL literal for a delta-bounds value, or None for types without
-    * an exact literal form (those keys just skip their conjunct —
-    * correct, only less pruned). Temporal keys are the MOST common
-    * real MV key (daily/hourly aggregates), so DATE/TIMESTAMP render
-    * here; java.sql vs java.time shapes depend on the session's
-    * datetime.java8API flag — cover both. `java.sql.Timestamp`
-    * toString is JVM-local-zone = Spark's default session zone;
-    * `Instant` renders with an explicit Z offset, which Spark's
-    * literal parser honors — both round-trip exactly at micros. */
-  private[graft] def boundsLiteral(v: Any): Option[String] = v match {
-    case null => None
-    case n: Byte => Some(n.toString)
-    case n: Short => Some(n.toString)
-    case n: Int => Some(n.toString)
-    case n: Long => Some(n.toString + "L")
-    case s: String => Some("'" + s.replace("'", "''") + "'")
-    case d: java.sql.Date => Some(s"DATE'${d.toString}'")
-    case d: java.time.LocalDate => Some(s"DATE'${d.toString}'")
-    case t: java.sql.Timestamp => Some(s"TIMESTAMP'${t.toString}'")
-    case t: java.time.Instant => Some(s"TIMESTAMP'${t.toString}'")
-    case t: java.time.LocalDateTime =>
-      Some(s"TIMESTAMP_NTZ'${t.toString.replace('T', ' ')}'")
-    case _ => None // non-orderable-literal types: no conjunct
-  }
-
   def continuousAggMaintenanceMerge(
       spark: org.apache.spark.sql.SparkSession,
       feedRoot: String, stateTable: String, checkpoint: String,

@@ -1031,6 +1031,79 @@ object VersionedGate {
     probe.orderBy("event_id")
   }
 
+  /** q197: MIN/MAX INCREMENTAL VIEW MAINTENANCE — the NON-retractable
+    * aggregate family, maintained by DIRTY-GROUP PARTIAL RECOMPUTE
+    * ([[graft.operators.Ivm.continuousMinMaxMaintenance]]): a signed
+    * fold cannot lower a max when its supporting row leaves, so each
+    * micro-batch recomputes EXACTLY the groups it touched from the
+    * source snapshot the batch corresponds to (dirty-key bounds
+    * pushed into the clustered source scan, broadcast semi-join, one
+    * merge-on-read MERGE — per-batch cost O(dirty groups' rows)). The
+    * fixture exercises every hard case: values LOWERED under a
+    * standing max, a group's extreme row deleted, an entire group
+    * vanishing, and untouched groups whose state files must hard-link
+    * through (inode require()d). The oracle re-derives the final
+    * min/max/count per group relationally. */
+  def q197MinMaxIvm(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    val srcRoot = scratchBase.resolve("q197_src").toString
+    Versioned.deleteRecursively(java.nio.file.Paths.get(srcRoot))
+    s.sql("DROP TABLE IF EXISTS graft.gate.mm197")
+    s.sql("CREATE TABLE graft.gate.mm197 " +
+      "(k BIGINT, mn BIGINT, mx BIGINT, n BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('deletionVectors'='true', " +
+      "'clusterBy'='k')")
+    val v0 = Tables.documents(s, dir).select(col("doc_id"),
+      pmod(col("doc_id"), lit(9L)).as("k"), col("n_chars").as("v"))
+    Versioned.writeNextWithFeed(v0, srcRoot, Seq("doc_id"), Seq("k", "v"))
+    v0.groupBy("k").agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+        count(lit(1)).as("n")).createOrReplaceTempView("q197_seed")
+    s.sql("INSERT INTO graft.gate.mm197 SELECT k, mn, mx, n FROM q197_seed")
+    // v1: group 3 vanishes, every %11 row leaves (some are extremes),
+    // every %5 row's value DROPS by 200 (the case a fold cannot do)
+    val v1 = v0.filter(col("k") =!= 3L)
+      .filter(pmod(col("doc_id"), lit(11L)) =!= 0L)
+      .withColumn("v", when(pmod(col("doc_id"), lit(5L)) === 0L,
+        col("v") - 200L).otherwise(col("v")))
+    Versioned.writeNextWithFeed(v1, srcRoot, Seq("doc_id"), Seq("k", "v"))
+    val stateRoot = scratchBase.resolve("catalog").resolve("gate")
+      .resolve("mm197").toString
+    def ino(p: java.nio.file.Path): Long = java.nio.file.Files
+      .getAttribute(p, "unix:ino").asInstanceOf[Long]
+    val seedFiles = Versioned.dataFiles(
+      java.nio.file.Paths.get(stateRoot, "v=0"))
+      .map(f => f.getFileName.toString -> ino(f)).toMap
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_q197_ckpt_").toString
+    def toDirty(feed: DataFrame): DataFrame =
+      feed.select(col("new_k").as("k"))
+        .unionByName(feed.select(col("old_k").as("k")))
+        .filter(col("k").isNotNull)
+    graft.operators.Ivm.continuousMinMaxMaintenance(s, srcRoot,
+      "graft.gate.mm197", ckpt, Seq("k"), "v", "mn", "mx", "n",
+      toDirty _, appId = "q197_mm").awaitTermination()
+    s.sql("REFRESH TABLE graft.gate.mm197")
+    // O(changed groups): every seed state file hard-links through
+    val vCur = Versioned.latestVersion(stateRoot).get
+    val cur = Versioned.dataFiles(
+      java.nio.file.Paths.get(stateRoot, s"v=$vCur"))
+      .map(f => f.getFileName.toString -> ino(f)).toMap
+    require(seedFiles.keySet.subsetOf(cur.keySet) &&
+        seedFiles.forall { case (nm, i) => cur(nm) == i },
+      "q197: untouched state files must hard-link through the fold")
+    // maintained ≡ recomputed (the gate-internal ground truth; the
+    // oracle re-derives the same relationally)
+    val recomputed = v1.groupBy("k").agg(min(col("v")).as("mn"),
+      max(col("v")).as("mx"), count(lit(1)).as("n"))
+      .orderBy("k").collect().toSeq
+    val maintained = s.table("graft.gate.mm197").orderBy("k")
+      .collect().toSeq
+    require(maintained == recomputed,
+      s"q197: maintained state diverged from recompute:\n" +
+        s"maintained=$maintained\nrecomputed=$recomputed")
+    s.table("graft.gate.mm197").orderBy("k")
+  }
+
   /** q196: STREAMING INTO A TRANSFORM-PARTITIONED TABLE — the
     * canonical streaming sink shape (append into a `PARTITIONED BY
     * (days(ts))` table) end to end through the DSv2 streaming write:
@@ -2440,6 +2513,7 @@ object VersionedGate {
     "q194_price_train_smoke" -> (q194PriceTrainSmoke _),
     "q195_truncate_ddl" -> (q195TruncateDdl _),
     "q196_stream_partitioned" -> (q196StreamPartitioned _),
+    "q197_minmax_ivm" -> (q197MinMaxIvm _),
     "q179_type_widening" -> (q179TypeWidening _),
     "q180_generated_identity" -> (q180GeneratedIdentity _),
     "q181_default_values" -> (q181DefaultValues _),
@@ -2860,6 +2934,19 @@ object VersionedGate {
         |FROM documents
         |WHERE doc_id % 3 < 2 AND n_chars >= 300
         |ORDER BY doc_id""".stripMargin,
+    // q197: the maintained min/max/count per group re-derived from the
+    // predicates alone (dirty-group recompute semantics; inode and
+    // recompute-equality proofs live in-gate)
+    "q197_minmax_ivm" ->
+      ("""WITH v1 AS (
+        |  SELECT doc_id, doc_id % 9 AS k,
+        |    CASE WHEN doc_id % 5 = 0 THEN n_chars - 200
+        |         ELSE n_chars END AS v
+        |  FROM documents
+        |  WHERE doc_id % 9 <> 3 AND doc_id % 11 <> 0)
+        |SELECT k, cast(min(v) as bigint) mn, cast(max(v) as bigint) mx,
+        |  cast(count(*) as bigint) n
+        |FROM v1 GROUP BY k ORDER BY k""").stripMargin,
     // q196: the streamed two-day range re-derived from the events
     // parquet (pin + prune proofs live in-gate; transport-invariant)
     "q196_stream_partitioned" ->

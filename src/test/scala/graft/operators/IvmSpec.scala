@@ -256,6 +256,67 @@ class IvmSpec extends AnyFunSuite with SparkSpec {
       s"state file $nm must hard-link through the date-keyed fold") }
   }
 
+  test("continuousMinMaxMaintenance: dirty-group recompute, resume, " +
+      "replayed MERGE is a no-op") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivm_mm_").toString
+    val srcRoot = s"$dir/src"
+    val ckpt = s"$dir/ckpt"
+    spark.conf.set("spark.sql.catalog.ivmm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ivmm.warehouse", s"$dir/wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ivmm.t")
+    spark.sql("DROP TABLE IF EXISTS ivmm.t.state")
+    spark.sql("CREATE TABLE ivmm.t.state " +
+      "(k BIGINT, mn BIGINT, mx BIGINT, n BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('deletionVectors'='true', " +
+      "'clusterBy'='k')")
+    val v0 = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 30L),
+      (4L, 2L, 40L), (5L, 2L, 50L)).toDF("id", "k", "v")
+    Versioned.writeNextWithFeed(v0, srcRoot, Seq("id"), Seq("k", "v"))
+    v0.groupBy("k").agg(min("v").as("mn"), max("v").as("mx"),
+      count(lit(1)).as("n")).createOrReplaceTempView("mm_seed")
+    spark.sql("INSERT INTO ivmm.t.state SELECT k, mn, mx, n FROM mm_seed")
+    // v1: k=1 loses its MAX row (id 3) — the fold-impossible case —
+    // and its min LOWERS (id 1: 10 → 5); k=2 vanishes; k=6 appears
+    val v1 = Seq((1L, 1L, 5L), (2L, 1L, 20L), (6L, 6L, 60L))
+      .toDF("id", "k", "v")
+    Versioned.writeNextWithFeed(v1, srcRoot, Seq("id"), Seq("k", "v"))
+    def toDirty(feed: DataFrame): DataFrame =
+      feed.select(col("new_k").as("k"))
+        .unionByName(feed.select(col("old_k").as("k")))
+        .filter(col("k").isNotNull)
+    def drain(): Unit = Ivm.continuousMinMaxMaintenance(spark, srcRoot,
+      "ivmm.t.state", ckpt, Seq("k"), "v", "mn", "mx", "n",
+      toDirty _, appId = "ivm_mm_spec").awaitTermination()
+    drain()
+    def state(): Seq[Row] = spark.table("ivmm.t.state")
+      .orderBy("k").collect().toSeq
+    assert(state() === Seq(Row(1L, 5L, 20L, 2L), Row(6L, 60L, 60L, 1L)))
+    // replayed txnVersion: nothing commits
+    val stateRoot = s"$dir/wh/t/state"
+    val before = Versioned.versions(stateRoot)
+    Seq((1L, 0L, 0L, 0L)).toDF("k", "mn", "mx", "n")
+      .createOrReplaceTempView("mm_replay")
+    spark.conf.set("graft.versioned.txnAppId", "ivm_mm_spec")
+    spark.conf.set("graft.versioned.txnVersion", "0")
+    try spark.sql("""MERGE INTO ivmm.t.state t USING mm_replay d
+      ON t.k = d.k WHEN MATCHED THEN UPDATE SET mn = d.mn""")
+    finally {
+      spark.conf.unset("graft.versioned.txnAppId")
+      spark.conf.unset("graft.versioned.txnVersion")
+    }
+    assert(Versioned.versions(stateRoot) === before,
+      "replayed txnVersion must not commit")
+    assert(state() === Seq(Row(1L, 5L, 20L, 2L), Row(6L, 60L, 60L, 1L)))
+    // resume: a further commit RAISES k=1's max (insert-only case)
+    Versioned.writeNextWithFeed(
+      Seq((1L, 1L, 5L), (2L, 1L, 99L), (6L, 6L, 60L)).toDF("id", "k", "v"),
+      srcRoot, Seq("id"), Seq("k", "v"))
+    drain()
+    assert(state() === Seq(Row(1L, 5L, 99L, 2L), Row(6L, 60L, 60L, 1L)))
+  }
+
   test("empty delta is the identity; empty base passes inserts through") {
     val base = Seq((1L, 1L, 10L)).toDF("k", "n", "s")
     val noDelta = Seq.empty[(Long, Long, Long)].toDF("k", "sign", "v")
