@@ -130,8 +130,12 @@ object Bench {
           .toSeq.sorted.lastOption
         finally stream.close()
       prior.map { name =>
+        // driver artifacts WRAP the bench stdout as a JSON string
+        // (escaped quotes, tail-truncated) — unescape before
+        // extracting; whichever `queries` map survives the truncation
+        // (the full map or the compact top-12) provides the ratios
         val body = java.nio.file.Files.readString(
-          java.nio.file.Paths.get(name))
+          java.nio.file.Paths.get(name)).replace("\\\"", "\"")
         val qStart = body.indexOf("\"queries\":{")
         val qs =
           if (qStart < 0) Map.empty[String, Double]

@@ -1314,6 +1314,80 @@ object Versioned {
     0L
   }
 
+  /** METADATA INTEGRITY CHECK (`CALL sys.fsck`) — walk every version's
+    * commit metadata and report inconsistencies WITHOUT throwing: each
+    * row is (version, check, n_bad, detail). Driver-side and
+    * metadata-only — manifests, sidecar line counts and file existence
+    * probes; never a data byte — so a 100 TB table fscks in O(files)
+    * name operations. Checks: manifest-listed data files and DV
+    * sidecars exist on disk; the stats / row-id sidecars (when
+    * present) cover every data file; parquet files not in the
+    * manifest (crashed-attempt leftovers — harmless, reported);
+    * root-level staging leftovers; the latest hint not pointing past
+    * the real latest. Root-level checks report under version -1. */
+  def fsck(root: String): Seq[(Long, String, Long, String)] = {
+    val out = Seq.newBuilder[(Long, String, Long, String)]
+    versionDirs(root).foreach { case (v, vdir) =>
+      manifestEntries(vdir) match {
+        case Some((dataNames, dvNames)) =>
+          val missingData = dataNames.filterNot(n =>
+            Files.exists(vdir.resolve(n)))
+          out += ((v, "manifest-data-files", missingData.size.toLong,
+            missingData.take(3).mkString(", ")))
+          val missingDv = dvNames.filterNot(n => Files.exists(
+            vdir.resolve(DeletionVectors.DvDirName).resolve(n)))
+          out += ((v, "manifest-dv-files", missingDv.size.toLong,
+            missingDv.take(3).mkString(", ")))
+          val onDisk = listParquet(vdir).map(_.getFileName.toString).toSet
+          val unlisted = onDisk -- dataNames.toSet
+          out += ((v, "unlisted-files", unlisted.size.toLong,
+            unlisted.take(3).mkString(", ")))
+          val stats = FileStats.read(vdir)
+          if (stats.nonEmpty) {
+            val uncovered = dataNames.filterNot(stats.contains)
+            out += ((v, "stats-coverage", uncovered.size.toLong,
+              uncovered.take(3).mkString(", ")))
+          }
+          RowIds.read(vdir).foreach { case (_, entries) =>
+            val uncovered = dataNames.filterNot(entries.contains)
+            out += ((v, "rowid-coverage", uncovered.size.toLong,
+              uncovered.take(3).mkString(", ")))
+          }
+        case None =>
+          out += ((v, "manifest-present", 1L,
+            "pre-manifest version (directory listing serves reads)"))
+      }
+    }
+    // root-level facts
+    val staging = {
+      val p = Paths.get(root)
+      if (!Files.isDirectory(p)) Seq.empty[String]
+      else {
+        val stream = Files.list(p)
+        try {
+          val it = stream.iterator()
+          var acc = List.empty[String]
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getFileName.toString.startsWith("_staging"))
+              acc ::= f.getFileName.toString
+          }
+          acc
+        } finally stream.close()
+      }
+    }
+    out += ((-1L, "staging-leftovers", staging.size.toLong,
+      staging.take(3).mkString(", ")))
+    val hintBad = readLatestHint(root) match {
+      case Some(h) if !Files.isDirectory(Paths.get(root, s"v=$h")) =>
+        Seq(s"hint v=$h has no directory")
+      case _ => Seq.empty
+    }
+    out += ((-1L, "latest-hint", hintBad.size.toLong,
+      hintBad.mkString(", ")))
+    out.result().sortBy(r => (r._1, r._2))
+  }
+
   /** S13 rollback: drop the newest version so the previous one is current
     * again (the old-data→last-data restore path). A stored change feed
     * for the dropped version goes with it — a feed row for a commit

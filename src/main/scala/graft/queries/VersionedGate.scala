@@ -1031,6 +1031,31 @@ object VersionedGate {
     probe.orderBy("event_id")
   }
 
+  /** q198: `CALL sys.fsck` — the metadata integrity check every
+    * lakehouse operation suite needs: manifest-listed files exist,
+    * sidecars (stats / row-id) cover every data file, DV references
+    * resolve, no unlisted leftovers, no stale staging, the latest
+    * hint points at a real version. Metadata-only and driver-side —
+    * O(files) name probes, never a data byte. The gate builds a
+    * 3-commit lifecycle (insert, insert, MoR delete) and
+    * hash-compares the FULL report against the constant all-clean
+    * expectation; the detection side (planted missing file, staging
+    * leftovers) is certified by `GraftCatalogSpec`. */
+  def q198Fsck(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.fsck198")
+    s.sql("CREATE TABLE graft.gate.fsck198 (doc_id BIGINT, n BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('deletionVectors'='true')")
+    Tables.documents(s, dir).createOrReplaceTempView("q198_docs_src")
+    s.sql("INSERT INTO graft.gate.fsck198 " +
+      "SELECT doc_id, n_chars FROM q198_docs_src WHERE doc_id % 2 = 0")
+    s.sql("INSERT INTO graft.gate.fsck198 " +
+      "SELECT doc_id, n_chars FROM q198_docs_src WHERE doc_id % 2 = 1")
+    s.sql("DELETE FROM graft.gate.fsck198 WHERE doc_id % 10 = 3")
+    s.sql("CALL graft.sys.fsck(table => 'gate.fsck198')")
+      .orderBy("version", "check")
+  }
+
   /** q197: MIN/MAX INCREMENTAL VIEW MAINTENANCE — the NON-retractable
     * aggregate family, maintained by DIRTY-GROUP PARTIAL RECOMPUTE
     * ([[graft.operators.Ivm.continuousMinMaxMaintenance]]): a signed
@@ -2514,6 +2539,7 @@ object VersionedGate {
     "q195_truncate_ddl" -> (q195TruncateDdl _),
     "q196_stream_partitioned" -> (q196StreamPartitioned _),
     "q197_minmax_ivm" -> (q197MinMaxIvm _),
+    "q198_fsck" -> (q198Fsck _),
     "q179_type_widening" -> (q179TypeWidening _),
     "q180_generated_identity" -> (q180GeneratedIdentity _),
     "q181_default_values" -> (q181DefaultValues _),
@@ -2934,6 +2960,27 @@ object VersionedGate {
         |FROM documents
         |WHERE doc_id % 3 < 2 AND n_chars >= 300
         |ORDER BY doc_id""".stripMargin,
+    // q198: the all-clean fsck report is a CONSTANT of the 3-commit
+    // lifecycle — every check row hash-compared (detection cases live
+    // in GraftCatalogSpec with planted corruption)
+    "q198_fsck" ->
+      ("""SELECT * FROM (VALUES
+        |  (CAST(-1 AS BIGINT), 'latest-hint', CAST(0 AS BIGINT), ''),
+        |  (-1, 'staging-leftovers', 0, ''),
+        |  (0, 'manifest-data-files', 0, ''),
+        |  (0, 'manifest-dv-files', 0, ''),
+        |  (0, 'stats-coverage', 0, ''),
+        |  (0, 'unlisted-files', 0, ''),
+        |  (1, 'manifest-data-files', 0, ''),
+        |  (1, 'manifest-dv-files', 0, ''),
+        |  (1, 'stats-coverage', 0, ''),
+        |  (1, 'unlisted-files', 0, ''),
+        |  (2, 'manifest-data-files', 0, ''),
+        |  (2, 'manifest-dv-files', 0, ''),
+        |  (2, 'stats-coverage', 0, ''),
+        |  (2, 'unlisted-files', 0, '')
+        |) t(version, "check", n_bad, detail)
+        |ORDER BY version, "check"""").stripMargin,
     // q197: the maintained min/max/count per group re-derived from the
     // predicates alone (dirty-group recompute semantics; inode and
     // recompute-equality proofs live in-gate)

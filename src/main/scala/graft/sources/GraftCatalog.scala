@@ -1190,13 +1190,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * current version; retain: one row per surviving version). */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("sys")))
-      Array("clone", "compact", "convert", "detail", "drop_feature", "files", "history", "manifest", "partitions", "purge", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
+      Array("clone", "compact", "convert", "detail", "drop_feature", "files", "fsck", "history", "manifest", "partitions", "purge", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
         .map(Identifier.of(Array("sys"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     val known =
-      Array("clone", "compact", "convert", "detail", "drop_feature", "files", "history", "manifest", "partitions", "purge", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
+      Array("clone", "compact", "convert", "detail", "drop_feature", "files", "fsck", "history", "manifest", "partitions", "purge", "restore", "rollback", "retain", "tag", "tags", "untag", "vacuum")
     require(ident.namespace.sameElements(Array("sys")) && known.contains(ident.name),
       s"graft catalog: unknown procedure ${ident.namespace.mkString(".")}." +
         s"${ident.name} — available: ${known.map("sys." + _).mkString(", ")}")
@@ -1413,6 +1413,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // snapshot — name, bytes, stats-sidecar row count, DV'd rows —
       // the view an operator sizing only_smaller_than or auditing
       // skipping actually needs; all O(1) sidecar reads, no footers
+      case "fsck" => new GraftProcedure("fsck",
+        Array(ProcedureParameter.in("table", StringType).build()),
+        new StructType()
+          .add("version", LongType, nullable = false)
+          .add("check", StringType, nullable = false)
+          .add("n_bad", LongType, nullable = false)
+          .add("detail", StringType, nullable = false),
+        in => {
+          val r = root(in.getUTF8String(0).toString)
+          Versioned.fsck(r).map { case (v, check, nBad, detail) =>
+            new GenericInternalRow(Array[Any](v,
+              org.apache.spark.unsafe.types.UTF8String.fromString(check),
+              nBad,
+              org.apache.spark.unsafe.types.UTF8String.fromString(detail)))
+          }
+        })
       case "files" => new GraftProcedure("files",
         Array(
           ProcedureParameter.in("table", StringType).build(),

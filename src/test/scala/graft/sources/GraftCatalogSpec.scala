@@ -758,4 +758,37 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
   private def chain(e: Throwable): Seq[String] =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
       .map(t => Option(t.getMessage).getOrElse("")).toSeq
+
+  test("CALL sys.fsck: clean table all-zero; planted corruption reported") {
+    sql("DROP TABLE IF EXISTS gtest.ns.fsck1")
+    sql("CREATE TABLE gtest.ns.fsck1 (id BIGINT, v BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('deletionVectors'='true')")
+    sql("INSERT INTO gtest.ns.fsck1 SELECT id, id FROM range(0, 100)")
+    sql("INSERT INTO gtest.ns.fsck1 SELECT id, id FROM range(100, 200)")
+    sql("DELETE FROM gtest.ns.fsck1 WHERE id = 5") // a DV sidecar exists
+    def report(): Map[(Long, String), (Long, String)] =
+      sql("CALL gtest.sys.fsck(table => 'ns.fsck1')").collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getString(3))).toMap
+    val clean = report()
+    assert(clean.nonEmpty)
+    assert(clean.forall(_._2._1 == 0L), s"clean table must fsck clean: " +
+      clean.filter(_._2._1 != 0L).toString)
+    assert(clean.keys.exists(_._2 == "manifest-data-files"))
+    assert(clean.keys.exists(_._2 == "manifest-dv-files"))
+    assert(clean.keys.exists(_._2 == "stats-coverage"))
+    // plant: delete one manifest-listed data file + leave a staging dir
+    val root = java.nio.file.Paths.get(s"$warehouse/ns/fsck1")
+    val victim = graft.operators.Versioned
+      .dataFiles(root.resolve("v=0")).head
+    java.nio.file.Files.delete(victim)
+    java.nio.file.Files.createDirectories(
+      root.resolve("_staging_crashed_attempt"))
+    val bad = report() // reports, never throws
+    assert(bad((0L, "manifest-data-files"))._1 >= 1L,
+      "the missing data file must be reported")
+    assert(bad((0L, "manifest-data-files"))._2
+      .contains(victim.getFileName.toString))
+    assert(bad((-1L, "staging-leftovers"))._1 === 1L)
+  }
 }
