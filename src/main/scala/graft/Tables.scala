@@ -195,6 +195,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the versioned store's reader decodes INT64-micros timestamps
+      // only (INT96 is refused by sys.convert too); Spark's parquet
+      // writer still DEFAULTS to legacy INT96, so without this pin a
+      // path-based writeNext of a TIMESTAMP column produces files the
+      // store's own reader cannot read back
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

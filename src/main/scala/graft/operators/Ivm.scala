@@ -153,12 +153,31 @@ object Ivm {
                 case _ => d
               }
             }
+            // both joins are NULL-SAFE (`<=>`), matching the MERGE ON
+            // below: NULL is a legal group key (the source bounds
+            // filter deliberately keeps `k IS NULL` rows), and a
+            // null-unsafe semi/left join would never recompute a
+            // NULL-keyed dirty group — __n would stay NULL and the
+            // MERGE would DELETE the NULL-key state group while source
+            // rows for it remain. Key columns are prefix-renamed per
+            // side so the conditions stay unambiguous.
+            val dirtyK = dirty.select(
+              keyCols.map(k => col(k).as(s"__dk_$k")): _*)
             val recomputed = bounded
-              .join(broadcast(dirty), keyCols, "left_semi")
+              .join(broadcast(dirtyK),
+                keyCols.map(k => col(k) <=> col(s"__dk_$k")).reduce(_ && _),
+                "left_semi")
               .groupBy(keyCols.map(col): _*)
               .agg(min(col(valCol)).as("__mn"), max(col(valCol)).as("__mx"),
                 count(col(valCol)).as("__n"))
-            dirty.join(recomputed, keyCols, "left").createOrReplaceTempView(view)
+            val recomputedK = keyCols.foldLeft(recomputed) { (d, k) =>
+              d.withColumnRenamed(k, s"__rk_$k") }
+            dirty.join(recomputedK,
+                keyCols.map(k => col(k) <=> col(s"__rk_$k")).reduce(_ && _),
+                "left")
+              .select((keyCols.map(col) ++
+                Seq(col("__mn"), col("__mx"), col("__n"))): _*)
+              .createOrReplaceTempView(view)
             val on = keyCols.map(k => s"t.$k <=> d.$k").mkString(" AND ")
             val insertCols = (keyCols :+ minCol :+ maxCol :+ nCol)
               .mkString(", ")
@@ -190,10 +209,16 @@ object Ivm {
     * correct, only less pruned). Temporal keys are the MOST common
     * real MV key (daily/hourly aggregates), so DATE/TIMESTAMP render
     * here; java.sql vs java.time shapes depend on the session's
-    * datetime.java8API flag — cover both. `java.sql.Timestamp`
-    * toString is JVM-local-zone = Spark's default session zone;
-    * `Instant` renders with an explicit Z offset, which Spark's
-    * literal parser honors — both round-trip exactly at micros. */
+    * datetime.java8API flag — cover both. Instant-typed values render
+    * with an explicit Z offset, which Spark's literal parser honors
+    * REGARDLESS of `spark.sql.session.timeZone` — and `java.sql
+    * .Timestamp` goes through `.toInstant` for the same reason:
+    * `Timestamp.toString` renders JVM-default-zone wall time, while
+    * the session parses zoneless literals in the (pinned-UTC) session
+    * zone, so on any JVM whose default zone ≠ UTC the bounds would
+    * shift by the zone offset and the MERGE/recompute filters would
+    * silently exclude matching rows. Both forms round-trip exactly at
+    * micros (Spark timestamp precision). */
   private[graft] def boundsLiteral(v: Any): Option[String] = v match {
     case null => None
     case n: Byte => Some(n.toString)
@@ -203,7 +228,7 @@ object Ivm {
     case s: String => Some("'" + s.replace("'", "''") + "'")
     case d: java.sql.Date => Some(s"DATE'${d.toString}'")
     case d: java.time.LocalDate => Some(s"DATE'${d.toString}'")
-    case t: java.sql.Timestamp => Some(s"TIMESTAMP'${t.toString}'")
+    case t: java.sql.Timestamp => Some(s"TIMESTAMP'${t.toInstant.toString}'")
     case t: java.time.Instant => Some(s"TIMESTAMP'${t.toString}'")
     case t: java.time.LocalDateTime =>
       Some(s"TIMESTAMP_NTZ'${t.toString.replace('T', ' ')}'")

@@ -173,8 +173,9 @@ class IvmSpec extends AnyFunSuite with SparkSpec {
       === Some("DATE'2024-03-07'"))
     assert(Ivm.boundsLiteral(java.time.LocalDate.parse("2024-03-07"))
       === Some("DATE'2024-03-07'"))
-    assert(Ivm.boundsLiteral(Timestamp.valueOf("2024-03-07 01:02:03.5"))
-      === Some("TIMESTAMP'2024-03-07 01:02:03.5'"))
+    assert(Ivm.boundsLiteral(
+        Timestamp.from(java.time.Instant.parse("2024-03-07T01:02:03.500Z")))
+      === Some("TIMESTAMP'2024-03-07T01:02:03.500Z'"))
     assert(Ivm.boundsLiteral(java.time.Instant.parse("2024-03-07T01:02:03Z"))
       === Some("TIMESTAMP'2024-03-07T01:02:03Z'"))
     assert(Ivm.boundsLiteral(
@@ -182,6 +183,22 @@ class IvmSpec extends AnyFunSuite with SparkSpec {
       === Some("TIMESTAMP_NTZ'2024-03-07 01:02:03'"))
     assert(Ivm.boundsLiteral(null) === None)
     assert(Ivm.boundsLiteral(BigDecimal(1)) === None)
+  }
+
+  test("boundsLiteral renders java.sql.Timestamp as a UTC instant " +
+      "regardless of the JVM default zone") {
+    val tzPrev = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("Asia/Tehran"))
+      // Timestamp.toString would render '2024-03-07 04:32:03.5' here
+      // (Tehran wall time, +03:30, NO zone marker) — a zoneless literal
+      // the UTC session would re-anchor 3.5 h off. The instant form
+      // carries its own Z.
+      val t = java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-03-07T01:02:03.500Z"))
+      assert(Ivm.boundsLiteral(t) === Some("TIMESTAMP'2024-03-07T01:02:03.500Z'"))
+    } finally java.util.TimeZone.setDefault(tzPrev)
   }
 
   test("continuousAggMaintenanceMerge on a DATE key: fold + file prune") {
@@ -315,6 +332,92 @@ class IvmSpec extends AnyFunSuite with SparkSpec {
       srcRoot, Seq("id"), Seq("k", "v"))
     drain()
     assert(state() === Seq(Row(1L, 5L, 99L, 2L), Row(6L, 60L, 60L, 1L)))
+  }
+
+  test("continuousMinMaxMaintenance on a TIMESTAMP key is exact under a " +
+      "non-UTC JVM default zone (state ≡ recompute)") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val tzPrev = java.util.TimeZone.getDefault
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("Asia/Tehran"))
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("ivm_tz_").toString
+      val srcRoot = s"$dir/src"
+      val ckpt = s"$dir/ckpt"
+      spark.conf.set("spark.sql.catalog.ivmz", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.ivmz.warehouse", s"$dir/wh")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS ivmz.t")
+      spark.sql("DROP TABLE IF EXISTS ivmz.t.state")
+      spark.sql("CREATE TABLE ivmz.t.state " +
+        "(ts TIMESTAMP, mn BIGINT, mx BIGINT, n BIGINT) " +
+        "USING `graft-versioned` TBLPROPERTIES ('deletionVectors'='true', " +
+        "'clusterBy'='ts')")
+      def at(s: String): java.sql.Timestamp =
+        java.sql.Timestamp.from(java.time.Instant.parse(s))
+      val h0 = at("2024-03-07T00:00:00Z")
+      val h1 = at("2024-03-07T01:00:00Z")
+      val v0 = Seq((1L, h0, 10L), (2L, h0, 30L), (3L, h1, 50L))
+        .toDF("id", "ts", "v")
+      Versioned.writeNextWithFeed(v0, srcRoot, Seq("id"), Seq("ts", "v"))
+      v0.groupBy("ts").agg(min("v").as("mn"), max("v").as("mx"),
+        count(lit(1)).as("n")).createOrReplaceTempView("tz_seed")
+      spark.sql("INSERT INTO ivmz.t.state SELECT ts, mn, mx, n FROM tz_seed")
+      // the h0 group loses its max row and gains a lower min — with the
+      // JVM-zone toString literal the recompute filter lands 3.5 h off
+      // the dirty hour and this group would be wrongly DELETEd/skipped
+      val v1 = Seq((1L, h0, 5L), (3L, h1, 50L), (4L, h0, 12L))
+        .toDF("id", "ts", "v")
+      Versioned.writeNextWithFeed(v1, srcRoot, Seq("id"), Seq("ts", "v"))
+      def toDirty(feed: DataFrame): DataFrame =
+        feed.select(col("new_ts").as("ts"))
+          .unionByName(feed.select(col("old_ts").as("ts")))
+          .filter(col("ts").isNotNull)
+      Ivm.continuousMinMaxMaintenance(spark, srcRoot, "ivmz.t.state", ckpt,
+        Seq("ts"), "v", "mn", "mx", "n", toDirty _,
+        appId = "ivm_tz_spec").awaitTermination()
+      val expect = v1.groupBy("ts").agg(min("v").as("mn"), max("v").as("mx"),
+        count(lit(1)).as("n")).orderBy("ts").collect().toSeq
+      assert(spark.table("ivmz.t.state").orderBy("ts").collect().toSeq
+        === expect)
+    } finally java.util.TimeZone.setDefault(tzPrev)
+  }
+
+  test("continuousMinMaxMaintenance recomputes NULL-keyed dirty groups " +
+      "(null-safe semi/left joins)") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivm_nullk_").toString
+    val srcRoot = s"$dir/src"
+    val ckpt = s"$dir/ckpt"
+    spark.conf.set("spark.sql.catalog.ivmn", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ivmn.warehouse", s"$dir/wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ivmn.t")
+    spark.sql("DROP TABLE IF EXISTS ivmn.t.state")
+    spark.sql("CREATE TABLE ivmn.t.state " +
+      "(k BIGINT, mn BIGINT, mx BIGINT, n BIGINT) " +
+      "USING `graft-versioned` TBLPROPERTIES ('deletionVectors'='true', " +
+      "'clusterBy'='k')")
+    val v0 = Seq((1L, Option(1L), 10L), (2L, None, 20L), (3L, None, 30L))
+      .toDF("id", "k", "v")
+    Versioned.writeNextWithFeed(v0, srcRoot, Seq("id"), Seq("k", "v"))
+    v0.groupBy("k").agg(min("v").as("mn"), max("v").as("mx"),
+      count(lit(1)).as("n")).createOrReplaceTempView("nullk_seed")
+    spark.sql("INSERT INTO ivmn.t.state SELECT k, mn, mx, n FROM nullk_seed")
+    // the NULL group changes (id 2: 20 → 25) and grows (id 4, v=7);
+    // null-unsafe dirty joins would leave its recompute NULL and the
+    // MERGE would DELETE the NULL-key state group while rows remain
+    val v1 = Seq((1L, Option(1L), 10L), (2L, None, 25L), (3L, None, 30L),
+      (4L, None, 7L)).toDF("id", "k", "v")
+    Versioned.writeNextWithFeed(v1, srcRoot, Seq("id"), Seq("k", "v"))
+    def toDirty(feed: DataFrame): DataFrame =
+      feed.select(col("new_k").as("k"))
+        .unionByName(feed.select(col("old_k").as("k")))
+    Ivm.continuousMinMaxMaintenance(spark, srcRoot, "ivmn.t.state", ckpt,
+      Seq("k"), "v", "mn", "mx", "n", toDirty _,
+      appId = "ivm_nullk_spec").awaitTermination()
+    assert(spark.table("ivmn.t.state").orderBy(col("k").asc_nulls_first)
+      .collect().toSeq
+      === Seq(Row(null, 7L, 30L, 3L), Row(1L, 10L, 10L, 1L)))
   }
 
   test("empty delta is the identity; empty base passes inserts through") {
