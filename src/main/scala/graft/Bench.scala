@@ -22,12 +22,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Two timed passes, min per query (single-run numbers swing ±25%
+  /** ADAPTIVE passes, min per query (single-run numbers swing ±25%
     * with background load on shared hardware; the min is the stable
-    * steady-state estimate), plus a NOISE GUARD: when the two passes
-    * disagree by more than 2× (and by >0.2 s absolute — tiny queries
-    * flip ratios on scheduler jitter alone) a third pass runs and the
-    * min of all three is reported. Min-of-two does not protect against background
+    * steady-state estimate). The first execution doubles as the
+    * warmup: when it comes back sub-second (the planning-bound
+    * majority — JIT/codegen cost barely moves a number whose floor is
+    * scheduling overhead) it COUNTS as a timed pass and only one more
+    * runs; when it is ≥ 1 s the first pass is discarded as warmup and
+    * two timed passes follow, exactly the old warmup+2 discipline.
+    * This replaced the separate full untimed warmup sweep: BENCH_r16
+    * died rc=124 because total bench wall (warmup pass + 2-3 timed
+    * passes + load-gate sleeps) outgrew the driver's window — the
+    * adaptive form cuts ~one full execution per fast query without
+    * changing what the slow queries measure.
+    *
+    * NOISE GUARD: when the two counted passes disagree by more than 2×
+    * (and by >0.2 s absolute — tiny queries flip ratios on scheduler
+    * jitter alone) a third pass runs and the min of all three is
+    * reported. Min-of-two does not protect against background
     * load spanning both passes of adjacent queries — round 11's
     * official bench showed t29 at 4.05 s (unchanged code; 0.37 s on an
     * idle box) because one noisy window covered both passes. A third
@@ -45,7 +57,8 @@ object Bench {
     * executes the query's own optimized plan and counts its rows, so
     * the number measures the operator the gate exists to measure. */
   private[graft] def measure(spark: SparkSession, sfDir: String,
-                             queries: Seq[(String, Q)])
+                             queries: Seq[(String, Q)],
+                             warm: Boolean = false)
       : (Seq[(String, Double)], Map[String, String]) = {
     // drop per-query leftovers (localCheckpoint RDDs, cached frames)
     // after each measurement: 180+ queries otherwise accumulate storage
@@ -72,7 +85,13 @@ object Bench {
     }
     val results = queries.map { case (name, fn) =>
       name -> (for {
-        a <- timeOnce(fn)
+        first <- timeOnce(fn)
+        // sub-second first pass: it IS the first timed pass (warmup
+        // would only re-measure scheduling overhead); ≥ 1 s: discard
+        // as warmup and take two fresh timed passes. `warm` callers
+        // (the tail top-12 re-measure — those queries just ran in the
+        // main sweep) always count the first pass.
+        a <- if (warm || first < 1.0) Right(first) else timeOnce(fn)
         b <- timeOnce(fn)
         // ratio alone would re-run every sub-50 ms query (tiny times
         // flip 2x on scheduler jitter) — demand a real absolute gap too
@@ -124,10 +143,13 @@ object Bench {
   private def priorQueries(): Option[(String, Map[String, Double])] =
     try {
       val stream = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+      // sort by the NUMERIC round — lexicographic order breaks once
+      // rounds outgrow the zero-padding (BENCH_r99 > BENCH_r100)
+      val roundRe = "BENCH_r0*([0-9]+)\\.json".r
       val prior =
         try stream.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.startsWith("BENCH_r") && n.endsWith(".json"))
-          .toSeq.sorted.lastOption
+          .collect { case n @ roundRe(r) => (r.toInt, n) }
+          .toSeq.sortBy(_._1).lastOption.map(_._2)
         finally stream.close()
       prior.map { name =>
         // driver artifacts WRAP the bench stdout as a JSON string
@@ -177,13 +199,10 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .toSeq.sortBy(_._1)
 
-    // warmup: execute everything once, untimed (failures re-surface —
-    // loudly — in the timed passes); same toRdd form as the timed runs
-    queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).queryExecution.toRdd.count()
-      catch { case _: Throwable => () }
-    }
-
+    // no separate warmup sweep: measure() treats each query's first
+    // execution as its warmup when slow and as a timed pass when fast
+    // (see the scaladoc) — one full pass of bench wall saved, which is
+    // what kept BENCH_r16 from printing before the driver's timeout
     val (jifTotal0, jifSelf0) = cpuJiffies()
     val sweepT0 = System.nanoTime()
     val (swept, errors) = measure(spark, sfDir, queries)
@@ -202,6 +221,69 @@ object Bench {
     // settled under the launch gate, or co-tenants burned >1.5 cores
     // on average while we measured
     val shadowed = loadAtStart > 2.0 || bgCores > 1.5
+
+    def fmt(v: Double): String = f"$v%.3f"
+    // the prior artifact pre-dates this run by construction (this run's
+    // own file isn't written yet) — read it once, use it for both emits
+    val prior = priorQueries()
+    /** Writes bench_full.json and prints the full line followed by a
+      * compact summary guaranteed to fit the harness's ~2000-char
+      * stdout tail window (the full per-query line outgrew that window
+      * — BENCH_r03 `parsed: null`). Called TWICE: once with
+      * `partial=true` right after the main sweep — so a driver kill at
+      * ANY later point (tail-gate sleep, top-12 re-measure: exactly
+      * where BENCH_r16 died rc=124, leaving nothing parseable) still
+      * leaves a complete parseable artifact — and once with the final
+      * tail-merged numbers, overwriting file and stdout tail alike. */
+    def emit(results: Seq[(String, Double)], partial: Boolean,
+             loadAtTail: Double, tailWaitedSec: Int): Unit = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val errJson = Verify.toJson(errors)
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      // loadavg evidence: background state before we started (settled,
+      // part-1 gate), and at end of run (includes our own load)
+      val loadEvidence = s""""partial":$partial,"loadavg":${fmt(load1)},"loadavg_start":${fmt(loadAtStart)},"loadavg_launch":${fmt(loadAtLaunch)},"load_waited_sec":$waitedSec,"loadavg_tail":${fmt(loadAtTail)},"tail_waited_sec":$tailWaitedSec,"bg_cpu_cores":${fmt(bgCores)},"shadowed":$shadowed"""
+      // per-query ratios vs the previous artifact (this/prev, shared
+      // queries): the median is the headline comparability figure — an
+      // honest run trends ~1.0 even when a few queries catch noise
+      val (ratioEvidence, ratioTable) = prior match {
+        case Some((priorName, prev)) if prev.nonEmpty =>
+          val shared = results.collect {
+            case (n, v) if prev.get(n).exists(_ > 0) => n -> v / prev(n) }
+          if (shared.isEmpty) ("\"ratio_vs_prior\":null", "{}")
+          else {
+            val sortedR = shared.map(_._2).sorted
+            val median = sortedR(sortedR.size / 2)
+            val table = shared.sortBy(_._1)
+              .map { case (n, r) => "\"" + n + "\":" + fmt(r) }
+              .mkString("{", ",", "}")
+            (s""""ratio_vs_prior":{"artifact":"$priorName","n_shared":${shared.size},"median":${fmt(median)}}""",
+              table)
+          }
+        case _ => ("\"ratio_vs_prior\":null", "{}")
+      }
+      val fullJson =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$loadEvidence,$ratioEvidence,"query_ratios":$ratioTable,"queries":$qs,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_full.json"), fullJson + "\n")
+      println(fullJson)
+      // the final compact line must be the LAST stdout of the process —
+      // spark.stop() runs before it so shutdown noise can't trail it
+      if (!partial) spark.stop()
+      val top = results.sortBy(-_._2).take(12)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val errNames = errors.keys.toSeq.sorted.take(12)
+        .map(Verify.q).mkString("[", ",", "]")
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$loadEvidence,$ratioEvidence,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"error_names":$errNames,"queries":$top,"queries_truncated":true,"queries_full":"bench_full.json"}""")
+      System.out.flush()
+    }
+
+    // PARTIAL ARTIFACT: everything after this point is refinement of
+    // numbers that already exist — publish them first
+    emit(swept, partial = true, loadAtTail = load1, tailWaitedSec = 0)
+
     // LOADAVG GATE, part 2: the headline numbers are the SLOWEST ones —
     // a noise window inflating any of them distorts the round-over-round
     // read the most. Re-measure the top-12 once more at the very end
@@ -214,65 +296,23 @@ object Bench {
     // and covered the unguarded tail re-run too): sleep — bounded — until
     // the 1-min loadavg decays below threshold before re-measuring. Our
     // own just-finished sweep inflates loadavg at first; idling here
-    // lets it decay toward the true background level.
+    // lets it decay toward the true background level. SKIPPED when the
+    // sweep's own jiffies measurement already proved the box idle
+    // (bg < 0.5 cores): loadavg right after our sweep is OUR load
+    // decaying, and sleeping on it burned up to 240 s of the driver
+    // window for nothing.
     var tailWaitedSec = 0
-    while (load1 > 2.0 && tailWaitedSec < 240) {
+    while (bgCores >= 0.5 && load1 > 2.0 && tailWaitedSec < 240) {
       Thread.sleep(10000); tailWaitedSec += 10
     }
     val loadAtTail = load1
     val top12 = swept.sortBy(-_._2).take(12).map(_._1).toSet
     val (retried, _) =
-      measure(spark, sfDir, queries.filter(q => top12(q._1)))
+      measure(spark, sfDir, queries.filter(q => top12(q._1)), warm = true)
     val retriedMap = retried.toMap
     val results = swept.map { case (n, v) =>
       n -> math.min(v, retriedMap.getOrElse(n, v)) }
-    def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val errJson = Verify.toJson(errors)
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // loadavg evidence: background state before we started (settled,
-    // part-1 gate), and at end of run (includes our own load)
-    val loadavg = fmt(load1)
-    val loadEvidence = s""""loadavg":$loadavg,"loadavg_start":${fmt(loadAtStart)},"loadavg_launch":${fmt(loadAtLaunch)},"load_waited_sec":$waitedSec,"loadavg_tail":${fmt(loadAtTail)},"tail_waited_sec":$tailWaitedSec,"bg_cpu_cores":${fmt(bgCores)},"shadowed":$shadowed"""
-    // per-query ratios vs the previous artifact (this/prev, shared
-    // queries): the median is the headline comparability figure — an
-    // honest run trends ~1.0 even when a few queries catch noise
-    val (ratioEvidence, ratioTable) = priorQueries() match {
-      case Some((priorName, prev)) if prev.nonEmpty =>
-        val shared = results.collect {
-          case (n, v) if prev.get(n).exists(_ > 0) => n -> v / prev(n) }
-        if (shared.isEmpty) ("\"ratio_vs_prior\":null", "{}")
-        else {
-          val sortedR = shared.map(_._2).sorted
-          val median = sortedR(sortedR.size / 2)
-          val table = shared.sortBy(_._1)
-            .map { case (n, r) => "\"" + n + "\":" + fmt(r) }
-            .mkString("{", ",", "}")
-          (s""""ratio_vs_prior":{"artifact":"$priorName","n_shared":${shared.size},"median":${fmt(median)}}""",
-            table)
-        }
-      case _ => ("\"ratio_vs_prior\":null", "{}")
-    }
-    val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$loadEvidence,$ratioEvidence,"query_ratios":$ratioTable,"queries":$qs,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
-
-    // The harness keeps only the last ~2000 chars of stdout; the full
-    // per-query line outgrew that window (BENCH_r03 `parsed: null`). So:
-    // full detail goes to a file AND an early stdout line, and the FINAL
-    // stdout line is a compact summary guaranteed to fit the tail window
-    // — top slowest queries inline, pointer to the full file. Nothing
-    // may print after it (spark.stop() runs first).
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"), fullJson + "\n")
-    println(fullJson)
-    spark.stop()
-    val top = results.sortBy(-_._2).take(12)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val errNames = errors.keys.toSeq.sorted.take(12)
-      .map(Verify.q).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$loadEvidence,$ratioEvidence,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"error_names":$errNames,"queries":$top,"queries_truncated":true,"queries_full":"bench_full.json"}""")
-    System.out.flush()
+    emit(results, partial = false, loadAtTail = loadAtTail,
+      tailWaitedSec = tailWaitedSec)
   }
 }

@@ -455,7 +455,9 @@ object CorpusText {
   *  - word count in [50, 100000]
   *  - mean word length in [3, 10] characters
   *  - fraction of words with an alphabetic character ≥ 0.80
-  *  - ≥ 2 distinct stop words present (the/be/to/of/and/that/have/with)
+  *  - ≥ 2 distinct stop words present (the/be/to/of/and/that/have/with;
+  *    case-insensitive with edge punctuation stripped — 'The' and
+  *    'the,' count. Words split on whitespace RUNS, not ' ' alone)
   *  - fraction of lines starting with a bullet ≤ 0.90
   *  - fraction of lines ending in an ellipsis ≤ 0.30
   *  - fraction of characters in the most frequent word {2,3,4}-gram
@@ -474,10 +476,17 @@ object GopherRules {
     * expressions; every ratio an exact integer ppm. */
   def gopherRules(docs: DataFrame, idCol: String,
                   textCol: String): DataFrame = {
+    // words split on RUNS OF WHITESPACE (space/tab/newline — splitting
+    // on ' ' alone fused words across line breaks into junk tokens);
+    // `__wn` is the stop-word view of each word: lowercased with
+    // edge punctuation stripped, so 'The' and 'the,' count as Gopher's
+    // published rule intends
     val base = docs.select(col(idCol).as("doc_id"),
       col(textCol).as("__t"),
-      expr(s"filter(split($textCol, ' '), x -> x <> '')").as("__w"),
+      expr(s"filter(split($textCol, '\\\\s+'), x -> x <> '')").as("__w"),
       split(col(textCol), "\n").as("__l"))
+      .withColumn("__wn", expr("transform(__w, x -> " +
+        "regexp_replace(lower(x), '^[^a-z0-9]+|[^a-z0-9]+$', ''))"))
     val rowLocal = base.select(col("doc_id"),
       length(col("__t")).as("n_chars"),
       size(col("__w")).cast("long").as("n_words"),
@@ -491,7 +500,7 @@ object GopherRules {
             "div size(__w)"))
         .otherwise(lit(0L)).as("alpha_word_ppm"),
       StopWords.map(w =>
-        when(array_contains(col("__w"), w), 1L).otherwise(0L))
+        when(array_contains(col("__wn"), w), 1L).otherwise(0L))
         .reduce(_ + _).as("stop_hits"),
       expr("size(filter(__l, x -> x rlike '^\\\\s*[-*\u2022]')) " +
         "* 1000000L div size(__l)").as("bullet_line_ppm"),

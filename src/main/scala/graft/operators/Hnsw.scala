@@ -606,9 +606,19 @@ object Hnsw {
       if (!java.nio.file.Files.isDirectory(tombDir)) None
       else Some(spark.read.parquet(tombDir.toString)
         .select(col("id").cast("long").as("id")).dropDuplicates("id"))
-    val deadPerSeg: Map[Int, Long] = tomb.fold(Map.empty[Int, Long])(t =>
-      stored.join(broadcast(t), Seq("id"), "left_semi")
-        .groupBy("seg").count().as[(Int, Long)].collect().toMap)
+    // JOIN-AS-FLAG, the search path's discipline (see searchIndex): the
+    // tombstone set joins onto the stored rows as a boolean — never a
+    // forced broadcast — so no code path assumes the GLOBAL dead set
+    // fits one process; at 100 TB with heavy churn the optimizer still
+    // broadcasts a small set, but a terabyte one shuffles like any join
+    val flagged = tomb.fold(stored.withColumn("__dead", lit(false))) { t =>
+      stored.join(t.withColumn("__dead", lit(true)), Seq("id"), "left")
+        .withColumn("__dead", coalesce(col("__dead"), lit(false)))
+    }
+    val deadPerSeg: Map[Int, Long] =
+      if (tomb.isEmpty) Map.empty
+      else flagged.filter(col("__dead")).groupBy("seg").count()
+        .as[(Int, Long)].collect().toMap
     val tier =
       if (tierRows > 0L) tierRows
       else math.max(1L, segRows.values.sum / math.max(1, segRows.size) / 2)
@@ -645,11 +655,11 @@ object Hnsw {
           staged.resolve(src.getFileName.toString), src)
       }
     }
-    // the merged tier: LIVE rows only, one fresh segment
-    val mergedRows = stored.filter(col("seg").isin(candidates.toSeq: _*))
+    // the merged tier: LIVE rows only (the same dead flag, no forced
+    // broadcast), one fresh segment
+    val live = flagged.filter(col("seg").isin(candidates.toSeq: _*))
+      .filter(!col("__dead"))
       .select(col("id"), col("vec"))
-    val live = tomb.fold(mergedRows)(t =>
-      mergedRows.join(broadcast(t), Seq("id"), "left_anti"))
     writeSegments(live, "id", "vec", staged.toString, segments = 1,
       firstSeg = segRows.keySet.max + 1, m, efConstruction,
       overwrite = false)

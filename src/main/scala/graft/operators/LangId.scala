@@ -26,7 +26,11 @@ object LangId {
     * columns `f0..f{buckets-1}`, each the fraction of the document's
     * n-grams whose md5 lands in that bucket (fractions, not counts, so
     * long documents don't dominate the GD gradient). Documents shorter
-    * than `n` chars produce zero n-grams and all-zero features. */
+    * than `n` chars produce zero n-grams and ALL-ZERO features — they
+    * stay in the output (a NULL-gram sentinel row keeps the doc_id
+    * through the aggregate, so no join back to the input is needed;
+    * the `when(__b === b)` arms are null for the sentinel and count 0,
+    * while its `count(lit(1))` = 1 makes every fraction exactly 0). */
   def charNgramFeatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, buckets: Int = 32): DataFrame = {
     require(n >= 1 && buckets >= 2 && buckets <= 256,
@@ -35,16 +39,18 @@ object LangId {
       when(c.between("0", "9"), ascii(c) - 48).otherwise(ascii(c) - 87)
     // the CASE guard matters: sequence(1, 0) DESCENDS ([1, 0]) rather
     // than yielding empty, so an unguarded short document would emit
-    // junk partial grams instead of none
+    // junk partial grams instead of none — it emits the NULL sentinel
     val grams = df.select(col(idCol), explode(expr(
       s"CASE WHEN length($textCol) >= $n THEN " +
         s"transform(sequence(1, length($textCol) - ${n - 1})," +
         s" i -> substring($textCol, i, $n)) " +
-        "ELSE array() END")).as("__g"))
+        "ELSE array(CAST(NULL AS STRING)) END")).as("__g"))
       .withColumn("__h", md5(col("__g")))
       .select(col(idCol), pmod(
         hexVal(substring(col("__h"), 1, 1)) * 16 +
           hexVal(substring(col("__h"), 2, 1)), lit(buckets)).as("__b"))
+    // unchanged aggregate: the sentinel's `__b` is NULL, so every
+    // `when(__b === b)` condition is null-false → 0, over count 1 → 0.0
     val aggs = (0 until buckets).map(b =>
       (sum(when(col("__b") === b, 1L).otherwise(0L)) /
         count(lit(1))).as(s"f$b"))
@@ -64,5 +70,46 @@ object LangId {
     val model = QualityScorer.train(labeled, featureCols(buckets),
       labelCol, iters, rate)
     all.withColumn("decision", model.decision)
+  }
+
+  /** MULTICLASS lang-id — fastText/CCNet's real shape (one label per
+    * language, ~100 of them), as ONE-VS-REST over the single shared
+    * featurization: the distinct labels collect to the driver (the
+    * language inventory — bounded, never corpus-sized), each gets a
+    * binary GD fit via [[QualityScorer.trainMulti]] (stats +
+    * standardized cache computed ONCE, k sample-scale loops share it),
+    * and scoring is a single literal-weight scan per document that
+    * takes the ARGMAX of the k decision values.
+    *
+    * Tie-break is deterministic: highest decision wins; equal
+    * decisions go to the label EARLIEST in lexicographic label order
+    * (the argmax is an `array_max` over (decision, −labelRank, label)
+    * structs — struct ordering compares fields left to right, so
+    * −labelRank turns "max" into "first label" on ties; an oracle
+    * re-derives it with ORDER BY decision DESC, label ASC LIMIT 1).
+    * Returns `all` plus `language` (the argmax label) and `decision`
+    * (its decision value). */
+  def trainAndScoreMulticlass(labeled: DataFrame, all: DataFrame,
+                              buckets: Int, labelCol: String,
+                              iters: Int = 30, rate: Double = 2.0)
+      : DataFrame = {
+    val langs = labeled.select(col(labelCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    require(langs.size >= 2,
+      s"trainAndScoreMulticlass: need >= 2 labels, got $langs")
+    val oneVsRest = langs.zipWithIndex.foldLeft(labeled) {
+      case (d, (lang, j)) => d.withColumn(s"__y$j",
+        when(col(labelCol) === lang, 1.0).otherwise(0.0))
+    }
+    val models = QualityScorer.trainMulti(oneVsRest, featureCols(buckets),
+      langs.indices.map(j => s"__y$j"), iters, rate)
+    val candidates = langs.zipWithIndex.map { case (lang, j) =>
+      struct(models(j).decision.as("d"), lit(-j).as("nr"),
+        lit(lang).as("lang"))
+    }
+    all.withColumn("__best", array_max(array(candidates: _*)))
+      .withColumn("language", col("__best.lang"))
+      .withColumn("decision", col("__best.d"))
+      .drop("__best")
   }
 }

@@ -93,8 +93,22 @@ object QualityScorer {
   /** Fit by `iters` full-batch GD steps at rate `rate` on standardized
     * features (zero-init weights — no RNG, fully reproducible). */
   def train(labeled: DataFrame, features: Seq[String], labelCol: String,
-            iters: Int = 50, rate: Double = 1.0): Model = {
-    require(features.nonEmpty && iters > 0)
+            iters: Int = 50, rate: Double = 1.0): Model =
+    trainMulti(labeled, features, Seq(labelCol), iters, rate).head
+
+  /** Fit one model PER LABEL COLUMN over a single shared featurization:
+    * the one-vs-rest multiclass shape (k binary fits against the same
+    * features). Standardization stats compute ONCE (they depend only on
+    * the features) and the standardized frame caches ONCE — k GD loops
+    * then share it, so multiclass training costs one feature pass plus
+    * k sample-scale loops instead of k full `train` calls re-deriving
+    * identical stats. Arithmetic per label is bit-identical to a solo
+    * [[train]] call (same expressions over the same standardized
+    * columns). */
+  def trainMulti(labeled: DataFrame, features: Seq[String],
+                 labelCols: Seq[String], iters: Int = 50,
+                 rate: Double = 1.0): Seq[Model] = {
+    require(features.nonEmpty && labelCols.nonEmpty && iters > 0)
     val statsRow = labeled.agg(
       count(lit(1)).cast("double").as("n"),
       features.flatMap(f => Seq(avg(col(f)).as(s"m_$f"),
@@ -107,11 +121,11 @@ object QualityScorer {
       math.max(statsRow.getAs[Double](s"s_$f"), 1e-12))
     val std = labeled.select(
       (features.zipWithIndex.map { case (f, i) =>
-        ((col(f) - means(i)) / stds(i)).as(s"x$i") } :+
-        col(labelCol).cast("double").as("y")): _*).cache()
+        ((col(f) - means(i)) / stds(i)).as(s"x$i") } ++
+        labelCols.zipWithIndex.map { case (c, j) =>
+          col(c).cast("double").as(s"y$j") }): _*).cache()
     std.count()
     try {
-      var w = Array.fill(features.length + 1)(0.0)
       // the GD loop runs INTERPRETED: every step's literals change, so
       // whole-stage codegen recompiles the gradient aggregate per step
       // (~0.5 s each) while interpreted evaluation over a SAMPLE-sized
@@ -124,33 +138,38 @@ object QualityScorer {
       sess.conf.set("spark.sql.codegen.wholeStage", "false")
       sess.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
       try {
-      var it = 0
-      while (it < iters) {
-        // σ(w·x) − y, with the CURRENT weights as literals — each GD
-        // step is one codegen'd aggregate over the cached frame. The
-        // error PROJECTS once per row before the aggregate: inlining
-        // the k-term z into every one of the k gradient sums builds a
-        // k²-node plan whose per-step ANALYSIS dominated wall time at
-        // k = 64 (measured ~1.8 s/step; this shape is ~4× faster and
-        // bit-identical — same expression, evaluated once)
-        val z = features.indices.map(i => lit(w(i)) * col(s"x$i"))
-          .reduce(_ + _) + lit(w.last)
-        val err = (lit(1.0) / (lit(1.0) + exp(-z)) - col("y")).as("__e")
-        val grads = std
-          .select(err +: features.indices.map(i => col(s"x$i")): _*)
-          .agg(
-            sum(col("__e") * col("x0")).as("g0"),
-            (features.indices.drop(1).map(i =>
-              sum(col("__e") * col(s"x$i")).as(s"g$i")) :+
-              sum(col("__e")).as(s"g${features.length}")): _*).collect()(0)
-        w = w.indices.map(i => w(i) - rate * grads.getDouble(i) / n).toArray
-        it += 1
-      }
+        labelCols.indices.map { j =>
+          var w = Array.fill(features.length + 1)(0.0)
+          var it = 0
+          while (it < iters) {
+            // σ(w·x) − y, with the CURRENT weights as literals — each GD
+            // step is one aggregate over the cached frame. The
+            // error PROJECTS once per row before the aggregate: inlining
+            // the k-term z into every one of the k gradient sums builds a
+            // k²-node plan whose per-step ANALYSIS dominated wall time at
+            // k = 64 (measured ~1.8 s/step; this shape is ~4× faster and
+            // bit-identical — same expression, evaluated once)
+            val z = features.indices.map(i => lit(w(i)) * col(s"x$i"))
+              .reduce(_ + _) + lit(w.last)
+            val err = (lit(1.0) / (lit(1.0) + exp(-z)) - col(s"y$j"))
+              .as("__e")
+            val grads = std
+              .select(err +: features.indices.map(i => col(s"x$i")): _*)
+              .agg(
+                sum(col("__e") * col("x0")).as("g0"),
+                (features.indices.drop(1).map(i =>
+                  sum(col("__e") * col(s"x$i")).as(s"g$i")) :+
+                  sum(col("__e")).as(s"g${features.length}")): _*).collect()(0)
+            w = w.indices.map(i => w(i) - rate * grads.getDouble(i) / n)
+              .toArray
+            it += 1
+          }
+          Model(features, means, stds, w.toSeq)
+        }
       } finally {
         sess.conf.set("spark.sql.codegen.wholeStage", oldWS)
         sess.conf.set("spark.sql.codegen.factoryMode", oldFM)
       }
-      Model(features, means, stds, w.toSeq)
     } finally { std.unpersist(); () }
   }
 }

@@ -449,7 +449,10 @@ object CorpusGate {
         |         ELSE text END AS text
         |  FROM documents),
         |b AS (SELECT doc_id, text t,
-        |    list_filter(string_split(text, ' '), x -> x <> '') w,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') w,
+        |    list_transform(
+        |      list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+        |      x -> regexp_replace(lower(x), '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')) wn,
         |    string_split(text, chr(10)) l
         |  FROM src),
         |rowl AS (SELECT doc_id, cast(length(t) as bigint) n_chars,
@@ -460,14 +463,14 @@ object CorpusGate {
         |    CASE WHEN len(w) > 0 THEN
         |      cast(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) as bigint)
         |        * 1000000 // len(w) ELSE 0 END alpha_word_ppm,
-        |    cast((CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END +
-        |     CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END +
-        |     CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END +
-        |     CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END +
-        |     CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END +
-        |     CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END +
-        |     CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END +
-        |     CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END) as bigint)
+        |    cast((CASE WHEN list_contains(wn, 'the') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(wn, 'be') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(wn, 'to') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(wn, 'of') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(wn, 'and') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(wn, 'that') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(wn, 'have') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(wn, 'with') THEN 1 ELSE 0 END) as bigint)
         |      stop_hits,
         |    cast(len(list_filter(l, x -> regexp_matches(x, '^\s*[-*\u2022]'))) as bigint)
         |      * 1000000 // len(l) bullet_line_ppm,

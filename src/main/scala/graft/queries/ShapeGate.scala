@@ -724,9 +724,11 @@ object ShapeGate {
     * the four stages composed in order as ONE derivation, each the
     * engine's certified implementation: EXACT DEDUP (planted
     * fixed-text mirror docs collapse to the smallest id) →
-    * LANGUAGE-ID (t114's hashed-trigram GD classifier over the
-    * two-script fixture; survivors = predicted-Latin docs, with
-    * all-correct required so the oracle can state the survivor set) →
+    * LANGUAGE-ID (t114's hashed-trigram GD classifier, trained on a
+    * fixed-size portable-hash-rank sample — never a corpus fraction —
+    * over the two-script fixture; survivors = predicted-Latin docs,
+    * with all-correct required on EVERY doc so the oracle can state
+    * the survivor set independent of the train slice) →
     * BOILERPLATE LINE REMOVAL (a cookie-banner line planted on every
     * third doc crosses the 25% document-frequency threshold and
     * drops; unique body lines stay) → PERPLEXITY TERTILES (bigram LM
@@ -760,20 +762,41 @@ object ShapeGate {
       .select(col("doc_id"), col("ltext"),
         (pmod(col("doc_id"), lit(2)) === 1).as("is_fa"))
       .cache()
-    require(dd.count() < docs.count(),
+    val nDd = dd.count()
+    require(nDd < docs.count(),
       "t116: the planted mirror docs must collapse in the dedup stage")
-    // STAGE 2 — language id (t114's machinery); survivors = Latin
+    // STAGE 2 — language id (t114's machinery); survivors = Latin.
+    // CHAR BIGRAMS, not t114's trigrams: with a fixed-size train
+    // sample the model must generalize to docs it never saw, and
+    // short docs' trigram profiles are too spiky for that (one sf0.1
+    // 66-char doc sat misclassified at +2.0 under trigrams at every
+    // sample size tried); the far denser bigram vocabulary separates
+    // the two disjoint scripts with margin from a 1024-doc sample
     val buckets = 64
     val feats = graft.operators.LangId
-      .charNgramFeatures(dd, "doc_id", "ltext", n = 3, buckets = buckets)
+      .charNgramFeatures(dd, "doc_id", "ltext", n = 2, buckets = buckets)
       .join(dd.select("doc_id", "is_fa"), "doc_id")
       .cache()
-    // 12 iterations, not t114's 8: this gate requires TRAIN-set
-    // correctness too (the survivor set must be the exact parity for
-    // the oracle), and one sf0.1 train doc sat at +0.27 after 8 steps
+    // TRAIN SLICE: a FIXED-SIZE deterministic sample by the portable
+    // hash rank (Sampling's (key·2654435761) mod 1000003 — class-
+    // agnostic, so the parity split keeps both scripts represented),
+    // never a corpus fraction: 12 GD steps over `pmod(doc_id,4) < 2`
+    // was 12 half-corpus scans — at 100 TB that violates the engine's
+    // own contract (classifiers train on ~10⁵ docs, SCORE petabytes),
+    // and it made this gate the single most expensive bench entry.
+    // Small corpora (sf0.001) fall back to training on everything.
+    val trainTarget = 1024L
+    val hkThr = if (nDd <= trainTarget) 1000003L
+                else 1000003L * trainTarget / nDd + 1L
+    val hk = pmod(col("doc_id") * lit(2654435761L), lit(1000003L))
+    // 24 iterations (t114 uses 8): this gate requires correctness on
+    // EVERY doc — train and unseen alike — for the oracle's parity
+    // survivor set, and docs outside the sample can sit near the
+    // boundary; extra GD steps over the 1024-row cached sample cost
+    // milliseconds each, nothing like the old 12 half-corpus scans
     val scored = graft.operators.LangId.trainAndScore(
-      feats.filter(pmod(col("doc_id"), lit(4)) < 2), feats, buckets,
-      "is_fa", iters = 12, rate = 2.0)
+      feats.filter(hk < hkThr), feats, buckets,
+      "is_fa", iters = 24, rate = 2.0)
     val wrong = scored
       .filter((col("decision") > 0) =!= col("is_fa")).count()
     require(wrong == 0L,

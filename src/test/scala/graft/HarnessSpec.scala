@@ -64,6 +64,36 @@ class HarnessSpec extends AnyFunSuite with SparkSpec {
       s"the rescued minimum must exclude the noisy pass, got ${byName("b_noisy")}")
   }
 
+  test("Bench.measure adaptive warmup: a ≥1 s first pass is discarded " +
+      "as warmup cold, counted when warm") {
+    // cold: the slow first execution must be warmup-only (3 calls, 2
+    // timed) — the old warmup+2-pass discipline for slow queries
+    var coldCalls = 0
+    val slowFirst: (SparkSession, String) => DataFrame = (s, _) => {
+      coldCalls += 1
+      if (coldCalls == 1) Thread.sleep(1100)
+      s.range(1).toDF("id")
+    }
+    val (coldRes, coldErr) = Bench.measure(spark, "/unused",
+      Seq("b_slow_first" -> slowFirst))
+    assert(coldErr.isEmpty)
+    assert(coldCalls === 3, "a ≥1 s cold first pass must be warmup + 2 timed")
+    assert(coldRes.head._2 < 1.0,
+      s"the warmup pass must not be a timed number, got ${coldRes.head._2}")
+    // warm (the tail top-12 re-measure): the first pass counts, so a
+    // stable query pays exactly 2 executions even when slow
+    var warmCalls = 0
+    val warmSlow: (SparkSession, String) => DataFrame = (s, _) => {
+      warmCalls += 1
+      Thread.sleep(1050)
+      s.range(1).toDF("id")
+    }
+    val (warmRes, _) = Bench.measure(spark, "/unused",
+      Seq("b_warm" -> warmSlow), warm = true)
+    assert(warmCalls === 2, "warm callers count the first pass")
+    assert(warmRes.head._2 >= 1.0)
+  }
+
   test("Bench.measure excludes throwing queries from results, reports them as errors") {
     val (results, errors) = Bench.measure(spark, "/unused",
       Seq("b_ok" -> ok, "b_broken" -> broken))
