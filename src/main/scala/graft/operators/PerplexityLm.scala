@@ -106,6 +106,113 @@ object PerplexityLm {
       .withColumn("spt", expr("nll_e6 div n_scored"))
   }
 
+  /** Per-document LM score under an INTERPOLATED KNESER-NEY TRIGRAM
+    * model (Kneser & Ney 1995; Chen & Goodman 1999's interpolated
+    * form) trained on the `isReference` slice — the model class CCNet
+    * actually ships (KenLM is modified Kneser-Ney): where the Laplace
+    * bigram over-keeps repetitive junk, KN discounts observed n-gram
+    * mass by a fixed D and backs off through CONTINUATION counts
+    * ("how many distinct contexts precede this word"), so stuck
+    * repeaters stop looking probable. Fixed discount D = 0.75 at both
+    * levels (the textbook value; a literal, so the float shape stays
+    * pinned).
+    *
+    *   P(w|u,v) = (max(c3(uvw)−D, 0) + D·N1+(uv·)·P(w|v)) / c2(uv)
+    *   P(w|v)   = (max(cc2(vw)−D, 0) + D·N1+(v·)·Pc(w)) / cc1(v)
+    *   Pc(w)    = (N1+(·w) + 1) / (N1+(··) + V + 1)
+    *
+    * where c3/c2 are reference trigram/context counts, cc2/cc1/N1+
+    * continuation type counts derived from the trigram TYPE table, V
+    * the reference vocabulary, and the +1s an add-one floor so
+    * out-of-vocabulary tokens score finitely (pure KN assigns them
+    * zero). A position scores with the HIGHEST order whose context the
+    * reference saw: full trigram context → first form; known `v` only
+    * (or i = 1) → second; otherwise the continuation unigram.
+    *
+    * Determinism: every count is an exact integer; each position's
+    * probability is ONE pinned float expression over those integers
+    * (left-associated exactly as the oracle mirrors it textually) and
+    * quantizes ONCE to integer micro-nats — documents then sum
+    * integers, the [[scoreBigramLm]] discipline. 100 TB shape
+    * unchanged: one tokenize-explode projection, count tables are
+    * n-gram-type-sized aggregates (map-side combinable), scoring is
+    * five token-keyed hash/broadcast joins — linear, no windows.
+    * Output shape = [[scoreBigramLm]] (doc_id, n_scored, nll_e6, spt),
+    * so [[ccnetSplit]] composes unchanged. */
+  def scoreKnTrigramLm(docs: DataFrame, idCol: String, textCol: String,
+                       isReference: Column): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"), isReference.as("__ref"),
+        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("__w"))
+      .filter(size(col("__w")) >= 1)
+    // position stream with its two left-context tokens (null when the
+    // position has none — the arm chooser reads the nulls)
+    val pos = base.select(col("doc_id"), col("__ref"),
+        explode(expr("transform(sequence(0, size(__w) - 1), i -> struct(" +
+          "CASE WHEN i >= 2 THEN __w[i - 2] ELSE NULL END AS u, " +
+          "CASE WHEN i >= 1 THEN __w[i - 1] ELSE NULL END AS v, " +
+          "__w[i] AS wt))")).as("t"))
+      .select(col("doc_id"), col("__ref"), col("t.u"), col("t.v"),
+        col("t.wt"))
+    val refPos = pos.filter(col("__ref"))
+    // trigram TOKEN counts; everything below derives from this one
+    // TYPE table (classic KN trains lower orders on type counts)
+    val tri = refPos.filter(col("u").isNotNull)
+      .groupBy(col("u").as("t1"), col("v").as("t2"), col("wt").as("t3"))
+      .agg(count(lit(1)).cast("long").as("c3"))
+    val ctx2 = tri.groupBy(col("t1").as("x1"), col("t2").as("x2"))
+      .agg(sum(col("c3")).cast("long").as("c2"),
+        count(lit(1)).cast("long").as("n1puv"))
+    // continuation bigram: distinct u preceding (v, w) = tri row count
+    val cc2 = tri.groupBy(col("t2").as("m1"), col("t3").as("m2"))
+      .agg(count(lit(1)).cast("long").as("cc2"))
+    val ctx1 = cc2.groupBy(col("m1").as("k1"))
+      .agg(sum(col("cc2")).cast("long").as("cc1"),
+        count(lit(1)).cast("long").as("n1pv"))
+    val pcT = cc2.groupBy(col("m2").as("p1"))
+      .agg(count(lit(1)).cast("long").as("pc"))
+    val tot = refPos.agg(countDistinct(col("wt")).cast("long").as("vv"))
+      .crossJoin(cc2.agg(count(lit(1)).cast("long").as("tb")))
+    val j = pos
+      .join(tri, pos("u") === tri("t1") && pos("v") === tri("t2") &&
+        pos("wt") === tri("t3"), "left")
+      .join(ctx2, pos("u") === ctx2("x1") && pos("v") === ctx2("x2"), "left")
+      .join(cc2, pos("v") === cc2("m1") && pos("wt") === cc2("m2"), "left")
+      .join(ctx1, pos("v") === ctx1("k1"), "left")
+      .join(pcT, pos("wt") === pcT("p1"), "left")
+      .crossJoin(broadcast(tot))
+    // the three pinned probability shapes — mirrored TEXTUALLY by the
+    // oracle (same association, same casts) so the doubles and their
+    // micro-nat quantizations match bit-for-bit
+    val pcD = (coalesce(col("pc"), lit(0L)) + lit(1L)).cast("double") /
+      (col("tb") + col("vv") + lit(1L)).cast("double")
+    val pbD = (greatest(coalesce(col("cc2"), lit(0L)).cast("double") -
+        lit(0.75), lit(0.0)) +
+      lit(0.75) * col("n1pv").cast("double") * pcD) /
+      col("cc1").cast("double")
+    val ptD = (greatest(coalesce(col("c3"), lit(0L)).cast("double") -
+        lit(0.75), lit(0.0)) +
+      lit(0.75) * col("n1puv").cast("double") * pbD) /
+      col("c2").cast("double")
+    // inside the trigram arm, c2 > 0 implies some (u,v,·) trigram
+    // exists, hence cc1(v) > 0 — pbD never divides by null there
+    val scored = j.select(col("doc_id"),
+      when(coalesce(col("vv"), lit(0L)) === 0,
+        raise_error(lit("PerplexityLm: the reference slice is empty " +
+          "— a KN LM trained on zero tokens cannot score; widen " +
+          "isReference")).cast("long"))
+      .when(col("u").isNotNull && col("c2").isNotNull,
+        floor(lit(-1e6) * log(ptD) + lit(0.5)))
+      .when(col("v").isNotNull && col("cc1").isNotNull,
+        floor(lit(-1e6) * log(pbD) + lit(0.5)))
+      .otherwise(floor(lit(-1e6) * log(pcD) + lit(0.5)))
+      .cast("long").as("nll"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_scored"),
+        sum(col("nll")).cast("long").as("nll_e6"))
+      .withColumn("spt", expr("nll_e6 div n_scored"))
+  }
+
   /** CCNet's corpus split: head / middle / tail by per-token LM score
     * tertiles. Thresholds are the exact positional values at 1-based
     * ranks ceil(n/3) and ceil(2n/3) of the sorted `spt` column

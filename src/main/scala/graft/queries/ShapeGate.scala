@@ -720,6 +720,58 @@ object ShapeGate {
       .orderBy("doc_id")
   }
 
+  /** t119: MULTICLASS LANGUAGE IDENTIFICATION — fastText's real shape
+    * (Joulin et al. 2017: one label per language, ~100 of them; CCNet
+    * routes documents by the argmax), as ONE-VS-REST over t114's
+    * hashed char-trigram featurization
+    * ([[graft.operators.LangId.trainAndScoreMulticlass]]): the k
+    * binary GD fits share ONE standardized cached sample (stats
+    * computed once), and scoring is a single literal-weight scan
+    * taking the argmax of k decisions with a deterministic tie-break.
+    * Three-script fixture from the deterministic corpus (the q148/t114
+    * precedent): doc_id%3 = 0 stays Latin, 1 transliterates to the
+    * 26-letter Persian alphabet, 2 to a digit alphabet — pairwise
+    * disjoint ALPHABETS, so the features are hashed char UNIGRAMS
+    * (n=1): script routing is character-distribution classification,
+    * and unigram profiles stay dense for near-floor 51-char docs where
+    * bigram/trigram hash profiles collapse into collision noise (one
+    * measured sf0.1 Latin doc argmaxed 'dg' at +3.98 under bigrams).
+    * Train on doc_id%4 < 2, hold out the rest; EVERY held-out verdict
+    * is require()d correct (t103's pattern), so the oracle states the
+    * class mapping independently. */
+  def t119MulticlassLangId(s: SparkSession, dir: String): DataFrame = {
+    val latin = "abcdefghijklmnopqrstuvwxyz"
+    val persian = "ابتثجحخدذرزسشصضطظعغفقكلمنه"
+    val digits = "0123456789876543210123456"
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .filter(length(col("text")) >= 50) // the t114 lang-id floor
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 1,
+          translate(col("text"), latin, persian))
+          .when(pmod(col("doc_id"), lit(3)) === 2,
+            translate(col("text"), latin, digits))
+          .otherwise(col("text")).as("ltext"),
+        when(pmod(col("doc_id"), lit(3)) === 1, "fa")
+          .when(pmod(col("doc_id"), lit(3)) === 2, "dg")
+          .otherwise("en").as("lang"))
+    val buckets = 64
+    val feats = graft.operators.LangId
+      .charNgramFeatures(docs, "doc_id", "ltext", n = 1, buckets = buckets)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .cache()
+    val scored = graft.operators.LangId.trainAndScoreMulticlass(
+      feats.filter(pmod(col("doc_id"), lit(4)) < 2), feats, buckets,
+      "lang", iters = 12, rate = 2.0)
+    val held = scored.filter(pmod(col("doc_id"), lit(4)) >= 2)
+      .select(col("doc_id"), col("lang"), col("language"))
+    val wrong = held.filter(col("lang") =!= col("language")).count()
+    require(wrong == 0L,
+      s"t119: $wrong held-out docs misclassified — the three scripts " +
+        "are pairwise disjoint in trigram space, a working one-vs-rest " +
+        "argmax separates them completely")
+    held.select(col("doc_id"), col("language")).orderBy("doc_id")
+  }
+
   /** t116: THE CCNET PIPELINE END TO END (Wenzek et al. 2020) —
     * the four stages composed in order as ONE derivation, each the
     * engine's certified implementation: EXACT DEDUP (planted
@@ -866,8 +918,41 @@ object ShapeGate {
     split.orderBy("doc_id")
   }
 
+  /** t118: KNESER-NEY TRIGRAM perplexity filter — the t112 gate with
+    * the LM CCNet actually ships (KenLM is modified KN; the Laplace
+    * bigram over-keeps repetitive junk that discounted continuation
+    * probabilities catch): an interpolated KN trigram with fixed
+    * D = 0.75 trained on the even-doc_id reference slice
+    * ([[graft.operators.PerplexityLm.scoreKnTrigramLm]] — exact
+    * integer counts, one pinned float expression per position,
+    * micro-nat quantization ONCE), then the same positional tertile
+    * split with the same in-gate partition invariants. The oracle
+    * re-derives the discounted probabilities from the parquet:
+    * trigram type table → continuation counts → the three backoff
+    * arms, textually mirroring the float shape. */
+  def t118KnPerplexityFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val split = graft.operators.PerplexityLm.ccnetSplit(
+      graft.operators.PerplexityLm.scoreKnTrigramLm(
+        docs, "doc_id", "text", pmod(col("doc_id"), lit(2)) === 0))
+      .select(col("doc_id"), col("n_scored"), col("nll_e6"),
+        col("spt"), col("bucket"))
+    val stats = split.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("spt").as("lo"), max("spt").as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for (b <- Seq("head", "middle", "tail"))
+      require(stats.contains(b), s"t118: bucket '$b' is empty")
+    require(stats("head")._3 <= stats("middle")._2 &&
+        stats("middle")._3 <= stats("tail")._2,
+      s"t118: buckets must partition the score space, got $stats")
+    split.orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t114_lang_id" -> (t114LangId _),
+    "t118_kn_perplexity_filter" -> (t118KnPerplexityFilter _),
+    "t119_multiclass_lang_id" -> (t119MulticlassLangId _),
     "t116_ccnet_pipeline" -> (t116CcnetPipeline _),
     "t112_perplexity_filter" -> (t112PerplexityFilter _),
     "t103_quality_classifier" -> (t103QualityClassifier _),
@@ -897,7 +982,81 @@ object ShapeGate {
     "t61_mixture_sample" -> (t61MixtureSample _),
   )
 
+  // t118's three pinned KN probability shapes — built once so the
+  // trigram arm nests the bigram arm TEXTUALLY identically to how the
+  // engine nests the Column expressions (same association, same casts;
+  // any drift breaks the micro-nat hash)
+  private val knPcE =
+    "cast(coalesce(pcx.pc, 0) + 1 as double) / " +
+      "cast(tot.tb + tot.vv + 1 as double)"
+  private val knPbE =
+    "(greatest(cast(coalesce(cc2.cc2, 0) as double) - 0.75, 0.0) + " +
+      s"0.75 * cast(ctx1.n1pv as double) * ($knPcE)) / " +
+      "cast(ctx1.cc1 as double)"
+  private val knPtE =
+    "(greatest(cast(coalesce(tri.c3, 0) as double) - 0.75, 0.0) + " +
+      s"0.75 * cast(ctx2.n1puv as double) * ($knPbE)) / " +
+      "cast(ctx2.c2 as double)"
+
   val oracles: Map[String, String] = Map(
+    // t118: the full interpolated-KN derivation re-run from the
+    // parquet — trigram TYPE table, continuation counts (cc2/cc1/
+    // N1+), the add-one-floored continuation unigram, the three
+    // backoff arms chosen by context availability, micro-nat
+    // quantization once per position, then t112's positional tertiles
+    "t118_kn_perplexity_filter" ->
+      (s"""WITH d AS (SELECT doc_id, (doc_id % 2 = 0) AS ref,
+        |    list_filter(string_split(text, ' '), x -> x <> '') w
+        |  FROM documents),
+        |p AS (SELECT doc_id, ref,
+        |    CASE WHEN t.i >= 3 THEN w[CAST(t.i AS INT) - 2] END u,
+        |    CASE WHEN t.i >= 2 THEN w[CAST(t.i AS INT) - 1] END v,
+        |    w[CAST(t.i AS INT)] wt
+        |  FROM d, UNNEST(range(1, len(w) + 1)) t(i) WHERE len(w) >= 1),
+        |tri AS (SELECT u t1, v t2, wt t3, cast(count(*) as bigint) c3
+        |        FROM p WHERE ref AND u IS NOT NULL GROUP BY 1, 2, 3),
+        |ctx2 AS (SELECT t1 x1, t2 x2, cast(sum(c3) as bigint) c2,
+        |          cast(count(*) as bigint) n1puv FROM tri GROUP BY 1, 2),
+        |cc2 AS (SELECT t2 m1, t3 m2, cast(count(*) as bigint) cc2
+        |        FROM tri GROUP BY 1, 2),
+        |ctx1 AS (SELECT m1 k1, cast(sum(cc2) as bigint) cc1,
+        |          cast(count(*) as bigint) n1pv FROM cc2 GROUP BY 1),
+        |pcx AS (SELECT m2 p1, cast(count(*) as bigint) pc
+        |        FROM cc2 GROUP BY 1),
+        |tot AS (SELECT
+        |    (SELECT cast(count(DISTINCT wt) as bigint) FROM p WHERE ref) vv,
+        |    (SELECT cast(count(*) as bigint) FROM cc2) tb),
+        |sc AS (SELECT p.doc_id,
+        |    CASE WHEN p.u IS NOT NULL AND ctx2.c2 IS NOT NULL THEN
+        |           cast(floor(-1000000.0 * ln($knPtE) + 0.5) as bigint)
+        |         WHEN p.v IS NOT NULL AND ctx1.cc1 IS NOT NULL THEN
+        |           cast(floor(-1000000.0 * ln($knPbE) + 0.5) as bigint)
+        |         ELSE cast(floor(-1000000.0 * ln($knPcE) + 0.5) as bigint)
+        |    END nll
+        |  FROM p
+        |  LEFT JOIN tri ON tri.t1 = p.u AND tri.t2 = p.v AND tri.t3 = p.wt
+        |  LEFT JOIN ctx2 ON ctx2.x1 = p.u AND ctx2.x2 = p.v
+        |  LEFT JOIN cc2 ON cc2.m1 = p.v AND cc2.m2 = p.wt
+        |  LEFT JOIN ctx1 ON ctx1.k1 = p.v
+        |  LEFT JOIN pcx ON pcx.p1 = p.wt
+        |  CROSS JOIN tot),
+        |ds AS (SELECT doc_id, cast(count(*) as bigint) n_scored,
+        |        cast(sum(nll) as bigint) nll_e6,
+        |        cast(sum(nll) // count(*) as bigint) spt
+        |  FROM sc GROUP BY 1),
+        |nn AS (SELECT cast(count(*) as bigint) n FROM ds),
+        |rk AS (SELECT spt, row_number() OVER (ORDER BY spt) rn FROM ds),
+        |th AS (SELECT
+        |    max(CASE WHEN rn = (SELECT (n + 2) // 3 FROM nn)
+        |        THEN spt END) t1,
+        |    max(CASE WHEN rn = (SELECT (2 * n + 2) // 3 FROM nn)
+        |        THEN spt END) t2
+        |  FROM rk)
+        |SELECT doc_id, n_scored, nll_e6, spt,
+        |  CASE WHEN spt <= t1 THEN 'head'
+        |       WHEN spt <= t2 THEN 'middle'
+        |       ELSE 'tail' END bucket
+        |FROM ds, th ORDER BY doc_id""".stripMargin),
     // t112: the full CCNet derivation re-run from the parquet — the
     // reference bigram LM's integer counts, micro-nat quantization
     // (floor(1e6·ln + 0.5), applied ONCE so document scores are exact
@@ -1040,6 +1199,16 @@ object ShapeGate {
     "t114_lang_id" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 1 THEN 'fa' ELSE 'en' END AS pred_lang
+        |FROM documents WHERE doc_id % 4 >= 2 AND length(text) >= 50
+        |ORDER BY doc_id""".stripMargin,
+    // t119: all held-out argmax verdicts are require()d correct
+    // in-gate, so the oracle states the fixture's class mapping — the
+    // argmax the gate must reproduce — independently of the trainer
+    "t119_multiclass_lang_id" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 1 THEN 'fa'
+        |       WHEN doc_id % 3 = 2 THEN 'dg'
+        |       ELSE 'en' END AS language
         |FROM documents WHERE doc_id % 4 >= 2 AND length(text) >= 50
         |ORDER BY doc_id""".stripMargin,
     // t103: the learned scorer's held-out verdict — the trait is

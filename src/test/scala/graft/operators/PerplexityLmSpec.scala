@@ -36,6 +36,58 @@ class PerplexityLmSpec extends AnyFunSuite with SparkSpec {
         (3L, 2L, d3)))
   }
 
+  test("scoreKnTrigramLm: exact micro-nats on hand-computed KN counts") {
+    // reference = docs 0, 2: "a b a b c" and "a b a" →
+    // trigram types: (a,b,a)×2, (b,a,b)×1, (a,b,c)×1
+    // ctx2: (a,b) c2=3 n1puv=2; (b,a) c2=1 n1puv=1
+    // continuation cc2: (b,a)=1, (a,b)=1, (b,c)=1
+    // ctx1: b cc1=2 n1pv=2; a cc1=1 n1pv=1
+    // pc: a=1, b=1, c=1; V=3, TB=3
+    val docs = Seq(
+      (0L, "a b a b c"), (1L, "a b c"), (2L, "a b a"), (3L, "z")
+    ).toDF("doc_id", "text")
+    val out = PerplexityLm.scoreKnTrigramLm(docs, "doc_id", "text",
+        pmod(col("doc_id"), lit(2)) === 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the operator's pinned float shape, replayed on the hand counts
+    def knQ(p: Double): Long = math.floor(-1e6 * math.log(p) + 0.5).toLong
+    def pcD(pc: Long): Double = (pc + 1L).toDouble / (3L + 3L + 1L).toDouble
+    def pbD(cc2: Long, n1pv: Long, cc1: Long, pc: Long): Double =
+      (math.max(cc2.toDouble - 0.75, 0.0) +
+        0.75 * n1pv.toDouble * pcD(pc)) / cc1.toDouble
+    def ptD(c3: Long, n1puv: Long, c2: Long, pb: Double): Double =
+      (math.max(c3.toDouble - 0.75, 0.0) +
+        0.75 * n1puv.toDouble * pb) / c2.toDouble
+    // doc 1 "a b c": 'a' → continuation unigram; 'b' after 'a' →
+    // KN bigram (cc2(a,b)=1, v=a: n1pv=1, cc1=1); 'c' with ctx (a,b)
+    // → full trigram arm (c3(a,b,c)=1, n1puv(a,b)=2, c2=3, nesting
+    // pb(c|b): cc2(b,c)=1, n1pv(b)=2, cc1(b)=2, pc(c)=1)
+    val d1 = knQ(pcD(1)) + knQ(pbD(1, 1, 1, 1)) +
+      knQ(ptD(1, 2, 3, pbD(1, 2, 2, 1)))
+    assert(out(1L) === ((3L, d1)))
+    // doc 3 "z": OOV single token → floored continuation unigram
+    assert(out(3L) === ((1L, knQ(pcD(0)))))
+    // doc 2 "a b a": arms C, B, T with seen counts
+    val d2 = knQ(pcD(1)) + knQ(pbD(1, 1, 1, 1)) +
+      knQ(ptD(2, 2, 3, pbD(1, 2, 2, 1)))
+    assert(out(2L) === ((3L, d2)))
+    // KN orders the evidence: the twice-seen trigram (a,b,a) must be
+    // cheaper than the once-seen (a,b,c) in the same context
+    assert(knQ(ptD(2, 2, 3, pbD(1, 2, 2, 1)))
+      < knQ(ptD(1, 2, 3, pbD(1, 2, 2, 1))))
+  }
+
+  test("scoreKnTrigramLm: an empty reference slice fails loudly") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      PerplexityLm.scoreKnTrigramLm(docs, "doc_id", "text", lit(false))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("reference slice is empty")))
+  }
+
   test("in-reference text scores below out-of-vocabulary text") {
     val docs = Seq(
       (0L, "x y x y x y"), (2L, "x y x y"),
