@@ -662,7 +662,103 @@ object StreamGate {
       .orderBy("content_url")
   }
 
+  /** q199: STREAMING Gopher quality rules — t117's rule set applied to
+    * a streaming corpus through `foreachBatch`, the ingest-time
+    * corpus-quality gate a continuously-ingesting training pipeline
+    * runs. Every Gopher metric is PER-DOCUMENT work (row-local
+    * expressions plus per-doc n-gram aggregates that never cross
+    * documents), so AvailableNow micro-batch slicing must be
+    * semantically invisible; each micro-batch runs the SAME production
+    * core ([[graft.operators.GopherRules.gopherRules]]) over the same
+    * planted fixture and appends to a parquet sink. Shares t117's
+    * oracle. */
+  def q199StreamGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val batchDocs = graft.Tables.documents(s, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft_q199_").toString
+    val stream = s.readStream.schema(batchDocs.schema)
+      .parquet(s"$dir/documents.parq*")
+    val query = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val planted = batch.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(13)) === 1,
+            lit("- alpha beta\n- gamma delta\n- epsilon zeta"))
+            .when(pmod(col("doc_id"), lit(13)) === 2,
+              lit("first part...\nsecond part...\nthird part stands alone"))
+            .when(pmod(col("doc_id"), lit(13)) === 3,
+              lit("data row data row data row data row data row data row"))
+            .when(pmod(col("doc_id"), lit(13)) === 4, lit("tiny document"))
+            .otherwise(col("text")).as("text"))
+        graft.operators.GopherRules.gopherRules(planted, "doc_id", "text")
+          .select(col("doc_id"), col("n_words"), col("mean_word_len_ppm"),
+            col("alpha_word_ppm"), col("stop_hits"), col("bullet_line_ppm"),
+            col("ellipsis_line_ppm"), col("top2gram_ppm"),
+            col("top3gram_ppm"), col("top4gram_ppm"), col("gopher_keep"))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
+  /** q200: STREAMING lang-id scoring — t114's classifier applied to a
+    * streaming corpus: the model trains ONCE on the static corpus (the
+    * artifact a production pipeline ships — learned weights as literal
+    * expressions), then every micro-batch featurizes its own documents
+    * (per-doc explode-aggregate, batch-local by construction) and runs
+    * the literal-weight scoring scan, appending verdicts to a parquet
+    * sink. Per-doc work + a static model only, so micro-batch slicing
+    * is semantically invisible; shares t114's oracle (the held-out
+    * verdict set). */
+  def q200StreamLangIdScore(s: SparkSession, dir: String): DataFrame = {
+    val latin = "abcdefghijklmnopqrstuvwxyz"
+    val persian = "ابتثجحخدذرزسشصضطظعغفقكلمنه"
+    val buckets = 64
+    def fixture(df: DataFrame): DataFrame = df
+      .filter(length(col("text")) >= 50) // the t114 lang-id floor
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 1,
+          translate(col("text"), latin, persian))
+          .otherwise(col("text")).as("ltext"),
+        (pmod(col("doc_id"), lit(2)) === 1).as("is_fa"))
+    // static side: train once, outside the stream (t114's recipe)
+    val batchDocs = graft.Tables.documents(s, dir)
+    val trainDocs = fixture(batchDocs)
+      .filter(pmod(col("doc_id"), lit(4)) < 2)
+    val trainFeats = graft.operators.LangId
+      .charNgramFeatures(trainDocs, "doc_id", "ltext", n = 3,
+        buckets = buckets)
+      .join(trainDocs.select("doc_id", "is_fa"), "doc_id")
+    val model = graft.operators.QualityScorer.train(trainFeats,
+      graft.operators.LangId.featureCols(buckets), "is_fa",
+      iters = 8, rate = 2.0)
+    val out = java.nio.file.Files.createTempDirectory("graft_q200_").toString
+    val stream = s.readStream.schema(batchDocs.schema)
+      .parquet(s"$dir/documents.parq*")
+    val query = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val docs = fixture(batch)
+        graft.operators.LangId
+          .charNgramFeatures(docs, "doc_id", "ltext", n = 3,
+            buckets = buckets)
+          .withColumn("decision", model.decision)
+          .filter(pmod(col("doc_id"), lit(4)) >= 2)
+          .select(col("doc_id"),
+            when(col("decision") > 0, "fa").otherwise("en")
+              .as("pred_lang"))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q199_stream_gopher_rules" -> (q199StreamGopherRules _),
+    "q200_stream_langid_score" -> (q200StreamLangIdScore _),
     "q142_stream_fetcher_pipeline" -> (q142StreamFetcherPipeline _),
     "q109_stream_changelog_compact" -> (q109StreamChangelogCompact _),
     "q111_stream_static_join" -> (q111StreamStaticJoin _),
@@ -749,6 +845,9 @@ object StreamGate {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // identical answer contract as batch t42 — same oracle derivation
     "t47_stream_decontaminate" -> TextDedup.oracles("t42_decontaminate"),
+    // q199/q200: per-doc streaming twins — batch oracles verbatim
+    "q199_stream_gopher_rules" -> CorpusGate.oracles("t117_gopher_rules"),
+    "q200_stream_langid_score" -> ShapeGate.oracles("t114_lang_id"),
     // micro-batch slicing must be invisible: same oracle as batch t72
     "t74_stream_bpe_tokenize" -> ShapeGate.oracles("t72_bpe_tokenize"),
     // identical answer contract as batch t44 — same pixel-law oracle
