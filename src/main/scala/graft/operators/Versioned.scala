@@ -51,14 +51,11 @@ object Versioned {
   private val LatestHint = "_graft_latest"
 
   private[graft] def writeLatestHint(root: String, version: Long): Unit =
-    try {
-      val tmp = Files.createTempFile(Paths.get(root), "_graft_latest_", ".tmp")
-      Files.write(tmp,
-        version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      Files.move(tmp, Paths.get(root, LatestHint),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } catch { case _: java.io.IOException => () } // best-effort: it's a hint
+    // routed through the CommitStore seam (atomic metadata replace)
+    try graft.sources.CommitStore.active.publishFile(
+      Paths.get(root, LatestHint),
+      version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () } // best-effort: it's a hint
 
   private def readLatestHint(root: String): Option[Long] = {
     val f = Paths.get(root, LatestHint)
@@ -68,6 +65,11 @@ object Versioned {
   }
 
   def latestVersion(root: String): Option[Long] =
+    graft.sources.CommitStore.active.latestVersion(Paths.get(root))
+
+  /** The POSIX resolution behind [[graft.sources.PosixCommitStore]]:
+    * verified hint + forward probe, full listing fallback. */
+  private[graft] def latestVersionPosix(root: String): Option[Long] =
     readLatestHint(root) match {
       case Some(h) if Files.isDirectory(Paths.get(root, s"v=$h")) =>
         // verified hint: probe forward to the first missing version
@@ -78,8 +80,16 @@ object Versioned {
     }
 
   /** All version numbers under the root, ascending — for the DSv2
-    * writer's commit bookkeeping (streaming epoch replay detection). */
-  private[graft] def versions(root: String): Seq[Long] = versionDirs(root).map(_._1)
+    * writer's commit bookkeeping (streaming epoch replay detection).
+    * Resolution routes through the [[graft.sources.CommitStore]] seam:
+    * on a store whose data movement is not atomic, the LOG — not a raw
+    * directory listing — decides what is committed. */
+  private[graft] def versions(root: String): Seq[Long] =
+    graft.sources.CommitStore.active.listVersions(Paths.get(root))
+
+  /** The raw POSIX listing behind [[graft.sources.PosixCommitStore]]. */
+  private[graft] def listVersionsPosix(root: String): Seq[Long] =
+    versionDirs(root).map(_._1)
 
   /** Stamp an already-committed version (the DSv2 writer commits the
     * data by atomic rename FIRST, then stamps — the same torn-write

@@ -4326,8 +4326,7 @@ private[graft] object VersionedWriteIo {
         Versioned.listParquet(staged).map(_.getFileName.toString), dvNames,
         statsFrom = Some(baseDir))
       val next = base + 1
-      try {
-        Files.move(staged, Paths.get(root, s"v=$next"), StandardCopyOption.ATOMIC_MOVE)
+      if (CommitStore.active.publishVersion(Paths.get(root), staged, next)) {
         Versioned.writeLatestHint(root, next)
         Versioned.writeStamp(root, next, stamp)
         // bloom sidecar (no-op unless configured): carried files reuse
@@ -4335,12 +4334,8 @@ private[graft] object VersionedWriteIo {
         graft.operators.BloomSidecar.ensure(root, next)
         graft.operators.NdvSidecar.ensure(root, next)
         return next
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.DirectoryNotEmptyException |
-             _: java.nio.file.FileSystemException =>
-          attempt += 1 // v=next claimed concurrently — re-check and rebase
       }
+      attempt += 1 // v=next claimed concurrently — re-check and rebase
     }
     conflict("20 rebase attempts exhausted")
   }
@@ -4497,8 +4492,7 @@ private[graft] object VersionedWriteIo {
         Versioned.listParquet(staged).map(_.getFileName.toString), dvNames,
         statsFrom = Some(baseDir))
       val next = base + 1
-      try {
-        Files.move(staged, Paths.get(root, s"v=$next"), StandardCopyOption.ATOMIC_MOVE)
+      if (CommitStore.active.publishVersion(Paths.get(root), staged, next)) {
         Versioned.writeLatestHint(root, next)
         Versioned.writeStamp(root, next, stamp)
         // bloom sidecar (no-op unless configured): carried files reuse
@@ -4506,12 +4500,8 @@ private[graft] object VersionedWriteIo {
         graft.operators.BloomSidecar.ensure(root, next)
         graft.operators.NdvSidecar.ensure(root, next)
         return next
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.DirectoryNotEmptyException |
-             _: java.nio.file.FileSystemException =>
-          attempt += 1 // v=next claimed concurrently — re-check and rebase
       }
+      attempt += 1 // v=next claimed concurrently — re-check and rebase
     }
     conflict("20 rebase attempts exhausted")
   }
@@ -4566,8 +4556,7 @@ private[graft] object VersionedWriteIo {
       Versioned.writeFilesManifest(staged,
         Versioned.listParquet(staged).map(_.getFileName.toString), dvNames,
         statsFrom = prev.map(p => Paths.get(root, s"v=$p")))
-      try {
-        Files.move(staged, Paths.get(root, s"v=$next"), StandardCopyOption.ATOMIC_MOVE)
+      if (CommitStore.active.publishVersion(Paths.get(root), staged, next)) {
         Versioned.writeLatestHint(root, next)
         Versioned.writeStamp(root, next, stamp)
         // bloom sidecar (no-op unless configured): carried files reuse
@@ -4575,12 +4564,8 @@ private[graft] object VersionedWriteIo {
         graft.operators.BloomSidecar.ensure(root, next)
         graft.operators.NdvSidecar.ensure(root, next)
         return next
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.DirectoryNotEmptyException |
-             _: java.nio.file.FileSystemException =>
-          attempt += 1 // v=next was claimed concurrently — recompute
       }
+      attempt += 1 // v=next was claimed concurrently — recompute
     }
     throw new IllegalStateException(
       s"graft-versioned: could not commit under $root after 20 attempts — " +
