@@ -1843,6 +1843,44 @@ object VersionedGate {
     * the same predicate union straight off the documents parquet, so a
     * hash match certifies the whole catalog → DSv2 write → commit →
     * DSv2 read loop. */
+  /** q201: VARIANT INGEST — Spark 4's semi-structured type as a
+    * version-store column (the heterogeneous-document lakehouse shape:
+    * store the raw JSON ONCE as variant, extract typed fields at
+    * query time). The store encodes a variant as one un-annotated
+    * BINARY ([4-byte BE metadata length][metadata][value] — see
+    * `GroupParquetIo.writeMessageType`), which makes the type-contract
+    * refusals structural: FileStats collects no min/max on un-annotated
+    * binary, `statOrdered` refuses MIN/MAX agg pushdown, and no source
+    * Filter can reference a variant column — extraction predicates stay
+    * engine-side residuals, require()d in-gate via the scan's empty
+    * PushedFilters. The gate round-trips documents → parse_json →
+    * variant column → `variant_get` extraction + filter; the oracle
+    * states the extracted fields straight off the parquet (extraction
+    * must invert ingestion exactly). */
+  def q201VariantIngest(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft.gate.docs201")
+    s.sql("CREATE TABLE graft.gate.docs201 (doc_id BIGINT, payload VARIANT) " +
+      "USING `graft-versioned`")
+    Tables.documents(s, dir).createOrReplaceTempView("q201_docs_src")
+    s.sql("INSERT INTO graft.gate.docs201 " +
+      "SELECT doc_id, parse_json(to_json(struct(lang, source, n_chars))) " +
+      "FROM q201_docs_src")
+    val out = s.sql(
+      """SELECT doc_id,
+        |  variant_get(payload, '$.lang', 'string') AS lang,
+        |  variant_get(payload, '$.source', 'string') AS source,
+        |  variant_get(payload, '$.n_chars', 'bigint') AS n_chars
+        |FROM graft.gate.docs201
+        |WHERE variant_get(payload, '$.source', 'string') IN ('src3', 'src7')
+        |ORDER BY doc_id""".stripMargin)
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("PushedFilters: []"),
+      s"q201: variant predicates must stay engine-side residuals " +
+        s"(loud refusal, never a wrong prune):\n$plan")
+    out
+  }
+
   def q144CatalogSql(s: SparkSession, dir: String): DataFrame = {
     ensureCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft.gate.docs144")
@@ -2540,6 +2578,7 @@ object VersionedGate {
     "q196_stream_partitioned" -> (q196StreamPartitioned _),
     "q197_minmax_ivm" -> (q197MinMaxIvm _),
     "q198_fsck" -> (q198Fsck _),
+    "q201_variant_ingest" -> (q201VariantIngest _),
     "q179_type_widening" -> (q179TypeWidening _),
     "q180_generated_identity" -> (q180GeneratedIdentity _),
     "q181_default_values" -> (q181DefaultValues _),
@@ -2959,6 +2998,12 @@ object VersionedGate {
         |    AS n_chars
         |FROM documents
         |WHERE doc_id % 3 < 2 AND n_chars >= 300
+        |ORDER BY doc_id""".stripMargin,
+    // q201: extraction must invert ingestion — the oracle reads the
+    // same fields straight off the parquet
+    "q201_variant_ingest" ->
+      """SELECT doc_id, lang, source, cast(n_chars as bigint) n_chars
+        |FROM documents WHERE source IN ('src3', 'src7')
         |ORDER BY doc_id""".stripMargin,
     // q198: the all-clean fsck report is a CONSTANT of the 3-commit
     // lifecycle — every check row hash-compared (detection cases live

@@ -349,13 +349,48 @@ private[sources] object GraftVersionedTable {
       // are physical; a complete mapping also hides DROPPED columns
       // (their physical names map to no logical one)
       val colMap = colMapOf(options)
-      if (colMap.isEmpty) inferred
-      else {
-        val rev = colMap.map(_.swap)
-        StructType(inferred.fields.flatMap(f =>
-          rev.get(f.name).map(l => f.copy(name = l))).toSeq)
-      }
+      val mapped =
+        if (colMap.isEmpty) inferred
+        else {
+          val rev = colMap.map(_.swap)
+          StructType(inferred.fields.flatMap(f =>
+            rev.get(f.name).map(l => f.copy(name = l))).toSeq)
+        }
+      // VARIANT columns are stored as un-annotated BINARY (see
+      // GroupParquetIo.writeMessageType), so footer inference yields
+      // BinaryType — the root-level marker the DSv2 writer records
+      // restores the logical type for path-based loads (catalog loads
+      // carry the persisted StructType and never reach inference)
+      val variantCols = variantColsOf(root)
+      if (variantCols.isEmpty) mapped
+      else StructType(mapped.fields.map(f =>
+        if (variantCols(f.name) && f.dataType == BinaryType)
+          f.copy(dataType = VariantType)
+        else f).toSeq)
     }
+  }
+
+  /** Marker naming the root's VARIANT columns (logical names, one per
+    * line) — written by the commit paths whenever the write schema
+    * carries a variant column. */
+  private[sources] val VariantColsMarker = "_graft_variant_cols"
+
+  private[sources] def variantColsOf(root: String): Set[String] = {
+    val f = java.nio.file.Paths.get(root, VariantColsMarker)
+    if (!java.nio.file.Files.exists(f)) Set.empty
+    else new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSet
+  }
+
+  private[sources] def recordVariantCols(root: String,
+                                         schema: StructType): Unit = {
+    val vs = schema.fields.filter(_.dataType == VariantType).map(_.name)
+    if (vs.nonEmpty)
+      CommitStore.active.publishFile(
+        java.nio.file.Paths.get(root, VariantColsMarker),
+        vs.sorted.mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }
 
@@ -2741,10 +2776,22 @@ private[sources] class GroupParquetPartitionReader(
           row.update(i, UTF8String.fromBytes(g.getBinary(gi, 0).getBytes))
         case TimestampType | TimestampNTZType =>
           row.setLong(i, g.getLong(gi, 0)) // micros, the parquet encoding
+        case VariantType =>
+          // [4-byte BE metadata length][metadata][value] — the writer's
+          // VARIANT encoding (GroupParquetIo.writeMessageType)
+          val bytes = g.getBinary(gi, 0).getBytes
+          val buf = java.nio.ByteBuffer.wrap(bytes)
+          val mLen = buf.getInt
+          val m = new Array[Byte](mLen)
+          buf.get(m)
+          val d = new Array[Byte](bytes.length - 4 - mLen)
+          buf.get(d)
+          row.update(i, new org.apache.spark.unsafe.types.VariantVal(d, m))
         case other => throw new UnsupportedOperationException(
           s"graft-versioned: unsupported column type ${other.simpleString} " +
             s"for '${f.name}' — the reader covers the version-store " +
-            "column set (long/int/double/float/boolean/string/date/timestamp)")
+            "column set (long/int/double/float/boolean/string/date/" +
+            "timestamp/variant)")
       }
       i += 1
       }
@@ -3448,10 +3495,23 @@ private[sources] object GroupParquetIo {
           b.addField(PTypes.primitive(PrimitiveTypeName.INT64, Repetition.OPTIONAL)
             .as(LogicalTypeAnnotation.timestampType(false,
               LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
+        case VariantType =>
+          // VARIANT (Spark 4 semi-structured ingest): ONE un-annotated
+          // BINARY holding [4-byte BE metadata length][metadata][value]
+          // — the store's own encoding (shredded storage later). The
+          // missing annotation is load-bearing: FileStats.toV refuses
+          // min/max on un-annotated BINARY BY CONSTRUCTION (raw byte
+          // order is meaningless for variant; null counts still
+          // collect), statOrdered refuses MIN/MAX agg pushdown, and no
+          // source Filter ever references a variant column so filters
+          // on extracted fields stay engine-side residuals — loudly
+          // visible as an empty PushedFilters on the scan.
+          b.addField(PTypes.primitive(PrimitiveTypeName.BINARY,
+            Repetition.OPTIONAL).named(f.name))
         case other => throw new UnsupportedOperationException(
           s"graft-versioned: unsupported column type ${other.simpleString} " +
             s"for '${f.name}' — the store's column set is " +
-            "long/int/double/float/boolean/string/date/timestamp")
+            "long/int/double/float/boolean/string/date/timestamp/variant")
       }
     }
     b.named("graft_versioned")
@@ -4444,6 +4504,7 @@ private[graft] object VersionedWriteIo {
           s"v=${Versioned.latestVersion(root).getOrElse(-1L)}; $why) — " +
           "retry the statement against current data")
     }
+    GraftVersionedTable.recordVariantCols(root, schema)
     // the staged output (the replacement rows) is fixed; the base we
     // rebase onto may advance while we retry against racing committers
     var attempt = 0
@@ -4520,6 +4581,7 @@ private[graft] object VersionedWriteIo {
     if (Versioned.listParquet(staged).isEmpty)
       GroupParquetWriterFactory(schema, staged.toString)
         .emptyFile(uniqueEmptyName())
+    GraftVersionedTable.recordVariantCols(root, schema)
     epochTag.foreach { t =>
       Files.write(staged.resolve("_graft_epoch"),
         t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -4674,6 +4736,15 @@ private[sources] class GroupParquetDataWriter(
         case BooleanType => g.add(i, row.getBoolean(i))
         case StringType  =>
           g.add(i, Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+        case VariantType =>
+          // [4-byte BE metadata length][metadata][value] — see
+          // GroupParquetIo.writeMessageType's VARIANT contract
+          val v = row.getVariant(i)
+          val m = v.getMetadata
+          val d = v.getValue
+          val buf = java.nio.ByteBuffer.allocate(4 + m.length + d.length)
+          buf.putInt(m.length).put(m).put(d)
+          g.add(i, Binary.fromConstantByteArray(buf.array()))
         case other => throw new UnsupportedOperationException(
           s"graft-versioned: unsupported column type ${other.simpleString}")
       }

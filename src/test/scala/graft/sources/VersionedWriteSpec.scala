@@ -91,6 +91,51 @@ class VersionedWriteSpec extends AnyFunSuite with SparkSpec {
     assert(back.columns.toSeq === Seq("id", "price", "tag"))
   }
 
+  test("VARIANT round-trips through the store; stats refuse; filters " +
+      "stay residual") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val root = freshRoot("variant")
+    val src = spark.range(6).selectExpr("id AS doc_id",
+      "CASE WHEN id = 5 THEN CAST(NULL AS VARIANT) ELSE " +
+        "parse_json(to_json(struct(id * 3 AS n, " +
+        "concat('k', id % 2) AS k, array(id, id + 1) AS xs))) END AS payload")
+    src.write.format("graft-versioned").option("create", "true")
+      .mode("append").save(root)
+    val back = spark.read.format("graft-versioned").load(root)
+    assert(back.schema("payload").dataType ===
+      org.apache.spark.sql.types.VariantType)
+    // extraction inverts ingestion — nested array field included
+    val got = back.selectExpr("doc_id",
+        "variant_get(payload, '$.n', 'bigint') AS n",
+        "variant_get(payload, '$.k', 'string') AS k",
+        "variant_get(payload, '$.xs[1]', 'bigint') AS x1")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(got === Seq("[0,0,k0,1]", "[1,3,k1,2]", "[2,6,k0,3]",
+      "[3,9,k1,4]", "[4,12,k0,5]", "[5,null,null,null]"))
+    // type-contract refusals: no min/max stats for the variant column
+    // (null counts may collect), and extraction predicates stay
+    // engine-side residuals — empty PushedFilters on the scan
+    val stats = graft.operators.FileStats.read(
+      java.nio.file.Paths.get(root, "v=0"))
+    assert(stats.nonEmpty, "stats sidecar must still exist")
+    stats.values.foreach { fs =>
+      fs.cols.get("payload").foreach { cs =>
+        assert(cs.lo.isEmpty && cs.hi.isEmpty,
+          s"variant min/max must be refused, got $cs")
+      }
+      assert(fs.cols.get("doc_id").forall(_.lo.nonEmpty),
+        "sibling long column keeps its stats")
+    }
+    val q = back.filter(
+      expr("variant_get(payload, '$.k', 'string')") === "k1" &&
+        col("doc_id") >= 0L)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [GreaterThanOrEqual(doc_id,0)]")
+      || plan.contains("PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual(doc_id,0)]"),
+      s"sibling predicates still push; variant ones must not:\n$plan")
+  }
+
   test("fail-loud: append schema drift, unsupported type, write to pinned snapshot") {
     val root = freshRoot("loud")
     df((1L, 100L, "a")).write.format("graft-versioned")
