@@ -58,7 +58,9 @@ object Bench {
     * the number measures the operator the gate exists to measure. */
   private[graft] def measure(spark: SparkSession, sfDir: String,
                              queries: Seq[(String, Q)],
-                             warm: Boolean = false)
+                             warm: Boolean = false,
+                             onEach: (Seq[(String, Double)], Map[String, String]) => Unit =
+                               (_, _) => ())
       : (Seq[(String, Double)], Map[String, String]) = {
     // drop per-query leftovers (localCheckpoint RDDs, cached frames)
     // after each measurement: 180+ queries otherwise accumulate storage
@@ -83,8 +85,10 @@ object Bench {
         Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
       }
     }
-    val results = queries.map { case (name, fn) =>
-      name -> (for {
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Either[String, Double])]
+    queries.foreach { case (name, fn) =>
+      val r = for {
         first <- timeOnce(fn)
         // sub-second first pass: it IS the first timed pass (warmup
         // would only re-measure scheduling overhead); ≥ 1 s: discard
@@ -100,10 +104,16 @@ object Bench {
               math.max(a, b) - math.min(a, b) > 0.2)
             timeOnce(fn).map(c => math.min(math.min(a, b), c))
           else Right(math.min(a, b))
-      } yield best)
+      } yield best
+      acc += (name -> r)
+      // progress hook: the caller can publish a running partial
+      // artifact so a kill ANYWHERE inside the sweep still leaves
+      // parseable evidence (BENCH_r16 died with none)
+      onEach(acc.collect { case (n, Right(v)) => (n, v) }.toSeq,
+        acc.collect { case (n, Left(e)) => (n, e) }.toMap)
     }
-    (results.collect { case (n, Right(v)) => n -> v },
-     results.collect { case (n, Left(e)) => n -> e }.toMap)
+    (acc.collect { case (n, Right(v)) => (n, v) }.toSeq,
+     acc.collect { case (n, Left(e)) => (n, e) }.toMap)
   }
 
   /** (busy jiffies of the whole box, busy jiffies of THIS process) —
@@ -205,45 +215,49 @@ object Bench {
     // what kept BENCH_r16 from printing before the driver's timeout
     val (jifTotal0, jifSelf0) = cpuJiffies()
     val sweepT0 = System.nanoTime()
-    val (swept, errors) = measure(spark, sfDir, queries)
-    val sweepSec = (System.nanoTime() - sweepT0) / 1e9
-    val (jifTotal1, jifSelf1) = cpuJiffies()
-    // co-tenant CPU during the sweep, in average cores: total busy
-    // jiffies minus OUR jiffies, over elapsed time (USER_HZ = 100).
-    // This is the direct measurement loadavg can't give once our own
-    // local[N] sweep saturates the box.
-    val bgCores =
-      if (jifTotal1 <= jifTotal0 || sweepSec <= 0) 0.0
+    // co-tenant CPU since the sweep started, in average cores: total
+    // busy jiffies minus OUR jiffies, over elapsed time (USER_HZ =
+    // 100). This is the direct measurement loadavg can't give once our
+    // own local[N] sweep saturates the box — computable at ANY point
+    // of the sweep, so progressive partial artifacts carry it too.
+    def bgCoresNow(): Double = {
+      val (t1, s1) = cpuJiffies()
+      val el = (System.nanoTime() - sweepT0) / 1e9
+      if (t1 <= jifTotal0 || el <= 0) 0.0
       else math.max(0.0,
-        ((jifTotal1 - jifTotal0) - (jifSelf1 - jifSelf0)) / 100.0 / sweepSec)
-    // SHADOWED: the artifact declares its own non-comparability instead
-    // of leaving it to post-hoc adjudication — either the box never
-    // settled under the launch gate, or co-tenants burned >1.5 cores
-    // on average while we measured
-    val shadowed = loadAtStart > 2.0 || bgCores > 1.5
+        ((t1 - jifTotal0) - (s1 - jifSelf0)) / 100.0 / el)
+    }
 
     def fmt(v: Double): String = f"$v%.3f"
     // the prior artifact pre-dates this run by construction (this run's
-    // own file isn't written yet) — read it once, use it for both emits
+    // own file isn't written yet) — read it once, use it for all emits
     val prior = priorQueries()
-    /** Writes bench_full.json and prints the full line followed by a
-      * compact summary guaranteed to fit the harness's ~2000-char
-      * stdout tail window (the full per-query line outgrew that window
-      * — BENCH_r03 `parsed: null`). Called TWICE: once with
-      * `partial=true` right after the main sweep — so a driver kill at
-      * ANY later point (tail-gate sleep, top-12 re-measure: exactly
-      * where BENCH_r16 died rc=124, leaving nothing parseable) still
-      * leaves a complete parseable artifact — and once with the final
-      * tail-merged numbers, overwriting file and stdout tail alike. */
-    def emit(results: Seq[(String, Double)], partial: Boolean,
+    /** Writes bench_full.json and prints a compact summary guaranteed
+      * to fit the harness's ~2000-char stdout tail window (the full
+      * per-query line outgrew that window — BENCH_r03 `parsed: null`);
+      * `printFull` additionally prints the full line. Called
+      * PROGRESSIVELY during the sweep (every ~25 queries, compact
+      * only), once with `partial=true` right after the sweep, and once
+      * with the final tail-merged numbers — so a driver kill ANYWHERE
+      * (mid-sweep, tail-gate sleep, top-12 re-measure: BENCH_r16 died
+      * in the tail with NOTHING parseable) still leaves an artifact
+      * whose last stdout line parses. */
+    def emit(results: Seq[(String, Double)], errors: Map[String, String],
+             partial: Boolean, printFull: Boolean,
              loadAtTail: Double, tailWaitedSec: Int): Unit = {
+      val bgCores = bgCoresNow()
+      // SHADOWED: the artifact declares its own non-comparability
+      // instead of leaving it to post-hoc adjudication — either the box
+      // never settled under the launch gate, or co-tenants burned >1.5
+      // cores on average while we measured
+      val shadowed = loadAtStart > 2.0 || bgCores > 1.5
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val errJson = Verify.toJson(errors)
       val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
       // loadavg evidence: background state before we started (settled,
       // part-1 gate), and at end of run (includes our own load)
-      val loadEvidence = s""""partial":$partial,"loadavg":${fmt(load1)},"loadavg_start":${fmt(loadAtStart)},"loadavg_launch":${fmt(loadAtLaunch)},"load_waited_sec":$waitedSec,"loadavg_tail":${fmt(loadAtTail)},"tail_waited_sec":$tailWaitedSec,"bg_cpu_cores":${fmt(bgCores)},"shadowed":$shadowed"""
+      val loadEvidence = s""""partial":$partial,"n_planned":${queries.size},"loadavg":${fmt(load1)},"loadavg_start":${fmt(loadAtStart)},"loadavg_launch":${fmt(loadAtLaunch)},"load_waited_sec":$waitedSec,"loadavg_tail":${fmt(loadAtTail)},"tail_waited_sec":$tailWaitedSec,"bg_cpu_cores":${fmt(bgCores)},"shadowed":$shadowed"""
       // per-query ratios vs the previous artifact (this/prev, shared
       // queries): the median is the headline comparability figure — an
       // honest run trends ~1.0 even when a few queries catch noise
@@ -267,7 +281,7 @@ object Bench {
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$loadEvidence,$ratioEvidence,"query_ratios":$ratioTable,"queries":$qs,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_full.json"), fullJson + "\n")
-      println(fullJson)
+      if (printFull) println(fullJson)
       // the final compact line must be the LAST stdout of the process —
       // spark.stop() runs before it so shutdown noise can't trail it
       if (!partial) spark.stop()
@@ -280,9 +294,23 @@ object Bench {
       System.out.flush()
     }
 
+    // SWEEP with progressive partial artifacts every ~25 queries: the
+    // compact line printed last before a kill is what the driver parses
+    var lastEmitted = 0
+    val (swept, errors) = measure(spark, sfDir, queries,
+      onEach = (done, errs) => {
+        if (done.size + errs.size >= lastEmitted + 25) {
+          lastEmitted = done.size + errs.size
+          emit(done, errs, partial = true, printFull = false,
+            loadAtTail = load1, tailWaitedSec = 0)
+        }
+      })
+
     // PARTIAL ARTIFACT: everything after this point is refinement of
-    // numbers that already exist — publish them first
-    emit(swept, partial = true, loadAtTail = load1, tailWaitedSec = 0)
+    // numbers that already exist — publish them first (full line too)
+    emit(swept, errors, partial = true, printFull = true,
+      loadAtTail = load1, tailWaitedSec = 0)
+    val bgCores = bgCoresNow()
 
     // LOADAVG GATE, part 2: the headline numbers are the SLOWEST ones —
     // a noise window inflating any of them distorts the round-over-round
@@ -312,7 +340,7 @@ object Bench {
     val retriedMap = retried.toMap
     val results = swept.map { case (n, v) =>
       n -> math.min(v, retriedMap.getOrElse(n, v)) }
-    emit(results, partial = false, loadAtTail = loadAtTail,
-      tailWaitedSec = tailWaitedSec)
+    emit(results, errors, partial = false, printFull = true,
+      loadAtTail = loadAtTail, tailWaitedSec = tailWaitedSec)
   }
 }
