@@ -156,12 +156,16 @@ object Bench {
       // sort by the NUMERIC round — lexicographic order breaks once
       // rounds outgrow the zero-padding (BENCH_r99 > BENCH_r100)
       val roundRe = "BENCH_r0*([0-9]+)\\.json".r
-      val prior =
+      val priors =
         try stream.iterator().asScala.map(_.getFileName.toString)
           .collect { case n @ roundRe(r) => (r.toInt, n) }
-          .toSeq.sortBy(_._1).lastOption.map(_._2)
+          .toSeq.sortBy(-_._1).map(_._2)
         finally stream.close()
-      prior.map { name =>
+      // NEWEST artifact that actually carries per-query numbers: a
+      // timed-out round leaves `parsed:null` with no queries map
+      // (BENCH_r16), and comparing against it would silence the ratio
+      // evidence for the round that FIXED the timeout
+      priors.iterator.map { name =>
         // driver artifacts WRAP the bench stdout as a JSON string
         // (escaped quotes, tail-truncated) — unescape before
         // extracting; whichever `queries` map survives the truncation
@@ -178,7 +182,7 @@ object Bench {
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
           }
         name -> qs
-      }
+      }.find(_._2.nonEmpty)
     } catch { case _: Throwable => None }
 
   def main(args: Array[String]): Unit = {
