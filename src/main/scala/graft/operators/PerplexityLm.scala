@@ -140,21 +140,27 @@ object PerplexityLm {
     * Output shape = [[scoreBigramLm]] (doc_id, n_scored, nll_e6, spt),
     * so [[ccnetSplit]] composes unchanged. */
   def scoreKnTrigramLm(docs: DataFrame, idCol: String, textCol: String,
-                       isReference: Column): DataFrame = {
-    val base = docs
-      .select(col(idCol).as("doc_id"), isReference.as("__ref"),
-        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("__w"))
-      .filter(size(col("__w")) >= 1)
-    // position stream with its two left-context tokens (null when the
-    // position has none — the arm chooser reads the nulls)
-    val pos = base.select(col("doc_id"), col("__ref"),
-        explode(expr("transform(sequence(0, size(__w) - 1), i -> struct(" +
-          "CASE WHEN i >= 2 THEN __w[i - 2] ELSE NULL END AS u, " +
-          "CASE WHEN i >= 1 THEN __w[i - 1] ELSE NULL END AS v, " +
-          "__w[i] AS wt))")).as("t"))
-      .select(col("doc_id"), col("__ref"), col("t.u"), col("t.v"),
-        col("t.wt"))
-    val refPos = pos.filter(col("__ref"))
+                       isReference: Column): DataFrame =
+    scoreWithKnLm(docs, idCol, textCol,
+      trainKnTrigramLm(docs.filter(isReference), textCol))
+
+  /** The trained KN model: five n-gram-TYPE-bounded count tables plus
+    * the one-row totals — the shippable LM artifact (vocab-sized
+    * DataFrames; `localCheckpoint` them when scoring many batches, the
+    * q202 streaming shape). */
+  final case class KnLm(tri: DataFrame, ctx2: DataFrame, cc2: DataFrame,
+                        ctx1: DataFrame, pcT: DataFrame, tot: DataFrame) {
+    /** Pin every table so per-batch scoring joins reuse materialized
+      * results instead of re-deriving the counts. */
+    def checkpointed(): KnLm = KnLm(tri.localCheckpoint(),
+      ctx2.localCheckpoint(), cc2.localCheckpoint(),
+      ctx1.localCheckpoint(), pcT.localCheckpoint(), tot.localCheckpoint())
+  }
+
+  /** Train the interpolated-KN count tables on `refDocs` (see
+    * [[scoreKnTrigramLm]] for the model). */
+  def trainKnTrigramLm(refDocs: DataFrame, textCol: String): KnLm = {
+    val refPos = knPositions(refDocs, textCol, idCol = None)
     // trigram TOKEN counts; everything below derives from this one
     // TYPE table (classic KN trains lower orders on type counts)
     val tri = refPos.filter(col("u").isNotNull)
@@ -173,6 +179,35 @@ object PerplexityLm {
       .agg(count(lit(1)).cast("long").as("pc"))
     val tot = refPos.agg(countDistinct(col("wt")).cast("long").as("vv"))
       .crossJoin(cc2.agg(count(lit(1)).cast("long").as("tb")))
+    KnLm(tri, ctx2, cc2, ctx1, pcT, tot)
+  }
+
+  /** The (u, v, wt) position stream: each token with its two left
+    * context tokens (null when the position has none — the arm chooser
+    * reads the nulls). */
+  private def knPositions(docs: DataFrame, textCol: String,
+                          idCol: Option[String]): DataFrame = {
+    val keep = idCol.map(c => col(c).as("doc_id")).toSeq
+    val base = docs
+      .select(keep :+
+        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("__w"): _*)
+      .filter(size(col("__w")) >= 1)
+    base.select((keep.map(_ => col("doc_id")) :+
+        explode(expr("transform(sequence(0, size(__w) - 1), i -> struct(" +
+          "CASE WHEN i >= 2 THEN __w[i - 2] ELSE NULL END AS u, " +
+          "CASE WHEN i >= 1 THEN __w[i - 1] ELSE NULL END AS v, " +
+          "__w[i] AS wt))")).as("t")): _*)
+      .select((keep.map(_ => col("doc_id")) ++
+        Seq(col("t.u"), col("t.v"), col("t.wt"))): _*)
+  }
+
+  /** Score `docs` against an already-trained [[KnLm]] — the scoring
+    * half of [[scoreKnTrigramLm]], usable per micro-batch against a
+    * static model (q202's streaming shape). */
+  def scoreWithKnLm(docs: DataFrame, idCol: String, textCol: String,
+                    lm: KnLm): DataFrame = {
+    import lm.{tri, ctx2, cc2, ctx1, pcT, tot}
+    val pos = knPositions(docs, textCol, Some(idCol))
     val j = pos
       .join(tri, pos("u") === tri("t1") && pos("v") === tri("t2") &&
         pos("wt") === tri("t3"), "left")

@@ -1002,6 +1002,50 @@ object ShapeGate {
       s"0.75 * cast(ctx2.n1puv as double) * ($knPbE)) / " +
       "cast(ctx2.c2 as double)"
 
+  /** The KN derivation through per-document scores (`ds`) — shared by
+    * t118 (which adds the tertile split on top) and the q202 streaming
+    * scoring twin (which hash-matches `ds` directly). */
+  private[queries] val knScoreCtes: String =
+    s"""WITH d AS (SELECT doc_id, (doc_id % 2 = 0) AS ref,
+      |    list_filter(string_split(text, ' '), x -> x <> '') w
+      |  FROM documents),
+      |p AS (SELECT doc_id, ref,
+      |    CASE WHEN t.i >= 3 THEN w[CAST(t.i AS INT) - 2] END u,
+      |    CASE WHEN t.i >= 2 THEN w[CAST(t.i AS INT) - 1] END v,
+      |    w[CAST(t.i AS INT)] wt
+      |  FROM d, UNNEST(range(1, len(w) + 1)) t(i) WHERE len(w) >= 1),
+      |tri AS (SELECT u t1, v t2, wt t3, cast(count(*) as bigint) c3
+      |        FROM p WHERE ref AND u IS NOT NULL GROUP BY 1, 2, 3),
+      |ctx2 AS (SELECT t1 x1, t2 x2, cast(sum(c3) as bigint) c2,
+      |          cast(count(*) as bigint) n1puv FROM tri GROUP BY 1, 2),
+      |cc2 AS (SELECT t2 m1, t3 m2, cast(count(*) as bigint) cc2
+      |        FROM tri GROUP BY 1, 2),
+      |ctx1 AS (SELECT m1 k1, cast(sum(cc2) as bigint) cc1,
+      |          cast(count(*) as bigint) n1pv FROM cc2 GROUP BY 1),
+      |pcx AS (SELECT m2 p1, cast(count(*) as bigint) pc
+      |        FROM cc2 GROUP BY 1),
+      |tot AS (SELECT
+      |    (SELECT cast(count(DISTINCT wt) as bigint) FROM p WHERE ref) vv,
+      |    (SELECT cast(count(*) as bigint) FROM cc2) tb),
+      |sc AS (SELECT p.doc_id,
+      |    CASE WHEN p.u IS NOT NULL AND ctx2.c2 IS NOT NULL THEN
+      |           cast(floor(-1000000.0 * ln($knPtE) + 0.5) as bigint)
+      |         WHEN p.v IS NOT NULL AND ctx1.cc1 IS NOT NULL THEN
+      |           cast(floor(-1000000.0 * ln($knPbE) + 0.5) as bigint)
+      |         ELSE cast(floor(-1000000.0 * ln($knPcE) + 0.5) as bigint)
+      |    END nll
+      |  FROM p
+      |  LEFT JOIN tri ON tri.t1 = p.u AND tri.t2 = p.v AND tri.t3 = p.wt
+      |  LEFT JOIN ctx2 ON ctx2.x1 = p.u AND ctx2.x2 = p.v
+      |  LEFT JOIN cc2 ON cc2.m1 = p.v AND cc2.m2 = p.wt
+      |  LEFT JOIN ctx1 ON ctx1.k1 = p.v
+      |  LEFT JOIN pcx ON pcx.p1 = p.wt
+      |  CROSS JOIN tot),
+      |ds AS (SELECT doc_id, cast(count(*) as bigint) n_scored,
+      |        cast(sum(nll) as bigint) nll_e6,
+      |        cast(sum(nll) // count(*) as bigint) spt
+      |  FROM sc GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // t118: the full interpolated-KN derivation re-run from the
     // parquet — trigram TYPE table, continuation counts (cc2/cc1/
@@ -1009,45 +1053,7 @@ object ShapeGate {
     // backoff arms chosen by context availability, micro-nat
     // quantization once per position, then t112's positional tertiles
     "t118_kn_perplexity_filter" ->
-      (s"""WITH d AS (SELECT doc_id, (doc_id % 2 = 0) AS ref,
-        |    list_filter(string_split(text, ' '), x -> x <> '') w
-        |  FROM documents),
-        |p AS (SELECT doc_id, ref,
-        |    CASE WHEN t.i >= 3 THEN w[CAST(t.i AS INT) - 2] END u,
-        |    CASE WHEN t.i >= 2 THEN w[CAST(t.i AS INT) - 1] END v,
-        |    w[CAST(t.i AS INT)] wt
-        |  FROM d, UNNEST(range(1, len(w) + 1)) t(i) WHERE len(w) >= 1),
-        |tri AS (SELECT u t1, v t2, wt t3, cast(count(*) as bigint) c3
-        |        FROM p WHERE ref AND u IS NOT NULL GROUP BY 1, 2, 3),
-        |ctx2 AS (SELECT t1 x1, t2 x2, cast(sum(c3) as bigint) c2,
-        |          cast(count(*) as bigint) n1puv FROM tri GROUP BY 1, 2),
-        |cc2 AS (SELECT t2 m1, t3 m2, cast(count(*) as bigint) cc2
-        |        FROM tri GROUP BY 1, 2),
-        |ctx1 AS (SELECT m1 k1, cast(sum(cc2) as bigint) cc1,
-        |          cast(count(*) as bigint) n1pv FROM cc2 GROUP BY 1),
-        |pcx AS (SELECT m2 p1, cast(count(*) as bigint) pc
-        |        FROM cc2 GROUP BY 1),
-        |tot AS (SELECT
-        |    (SELECT cast(count(DISTINCT wt) as bigint) FROM p WHERE ref) vv,
-        |    (SELECT cast(count(*) as bigint) FROM cc2) tb),
-        |sc AS (SELECT p.doc_id,
-        |    CASE WHEN p.u IS NOT NULL AND ctx2.c2 IS NOT NULL THEN
-        |           cast(floor(-1000000.0 * ln($knPtE) + 0.5) as bigint)
-        |         WHEN p.v IS NOT NULL AND ctx1.cc1 IS NOT NULL THEN
-        |           cast(floor(-1000000.0 * ln($knPbE) + 0.5) as bigint)
-        |         ELSE cast(floor(-1000000.0 * ln($knPcE) + 0.5) as bigint)
-        |    END nll
-        |  FROM p
-        |  LEFT JOIN tri ON tri.t1 = p.u AND tri.t2 = p.v AND tri.t3 = p.wt
-        |  LEFT JOIN ctx2 ON ctx2.x1 = p.u AND ctx2.x2 = p.v
-        |  LEFT JOIN cc2 ON cc2.m1 = p.v AND cc2.m2 = p.wt
-        |  LEFT JOIN ctx1 ON ctx1.k1 = p.v
-        |  LEFT JOIN pcx ON pcx.p1 = p.wt
-        |  CROSS JOIN tot),
-        |ds AS (SELECT doc_id, cast(count(*) as bigint) n_scored,
-        |        cast(sum(nll) as bigint) nll_e6,
-        |        cast(sum(nll) // count(*) as bigint) spt
-        |  FROM sc GROUP BY 1),
+      (knScoreCtes + """,
         |nn AS (SELECT cast(count(*) as bigint) n FROM ds),
         |rk AS (SELECT spt, row_number() OVER (ORDER BY spt) rn FROM ds),
         |th AS (SELECT

@@ -756,9 +756,46 @@ object StreamGate {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** q202: STREAMING KN-perplexity scoring — t118's interpolated
+    * Kneser-Ney trigram LM as a continuous quality gate: the model
+    * (five n-gram-TYPE-bounded count tables,
+    * [[graft.operators.PerplexityLm.trainKnTrigramLm]]) trains ONCE on
+    * the static reference slice and `localCheckpoint`s — the shipped
+    * LM artifact — then every micro-batch scores its own documents
+    * against it ([[graft.operators.PerplexityLm.scoreWithKnLm]]:
+    * per-doc position explode + five broadcast joins, batch-local by
+    * construction), appending exact integer micro-nat scores to a
+    * parquet sink. Per-doc work + a static model only, so AvailableNow
+    * micro-batch slicing is semantically invisible; the oracle is
+    * t118's derivation through the per-document scores (the tertile
+    * split is corpus-global and stays batch — t118 owns it). */
+  def q202StreamKnScore(s: SparkSession, dir: String): DataFrame = {
+    val batchDocs = graft.Tables.documents(s, dir)
+    val lm = graft.operators.PerplexityLm
+      .trainKnTrigramLm(batchDocs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "text")
+      .checkpointed()
+    val out = java.nio.file.Files.createTempDirectory("graft_q202_").toString
+    val stream = s.readStream.schema(batchDocs.schema)
+      .parquet(s"$dir/documents.parq*")
+    val query = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.PerplexityLm
+          .scoreWithKnLm(batch, "doc_id", "text", lm)
+          .select(col("doc_id"), col("n_scored"), col("nll_e6"), col("spt"))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q199_stream_gopher_rules" -> (q199StreamGopherRules _),
     "q200_stream_langid_score" -> (q200StreamLangIdScore _),
+    "q202_stream_kn_score" -> (q202StreamKnScore _),
     "q142_stream_fetcher_pipeline" -> (q142StreamFetcherPipeline _),
     "q109_stream_changelog_compact" -> (q109StreamChangelogCompact _),
     "q111_stream_static_join" -> (q111StreamStaticJoin _),
@@ -848,6 +885,10 @@ object StreamGate {
     // q199/q200: per-doc streaming twins — batch oracles verbatim
     "q199_stream_gopher_rules" -> CorpusGate.oracles("t117_gopher_rules"),
     "q200_stream_langid_score" -> ShapeGate.oracles("t114_lang_id"),
+    // q202: t118's KN derivation through the per-document scores (the
+    // corpus-global tertile split is t118's batch concern)
+    "q202_stream_kn_score" -> (ShapeGate.knScoreCtes +
+      "\nSELECT doc_id, n_scored, nll_e6, spt FROM ds ORDER BY doc_id"),
     // micro-batch slicing must be invisible: same oracle as batch t72
     "t74_stream_bpe_tokenize" -> ShapeGate.oracles("t72_bpe_tokenize"),
     // identical answer contract as batch t44 — same pixel-law oracle
