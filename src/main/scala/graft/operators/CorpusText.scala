@@ -508,8 +508,16 @@ object GopherRules {
         "'(\\\\.\\\\.\\\\.|\u2026)\\\\s*$')) " +
         "* 1000000L div size(__l)").as("ellipsis_line_ppm"))
     // fraction of characters in the most frequent word n-gram: one
-    // (doc, gram) count aggregate per n, argmax tie-broken by gram
-    // text, then count·len(gram) over the document's length
+    // (doc, gram) count aggregate per n; the per-document argmax is a
+    // max(struct(count, gram)) hash aggregate — map-side combinable,
+    // replacing the row_number window's shuffle + per-partition sort.
+    // struct ordering compares count first, gram second, so the max is
+    // exactly the old ORDER BY __c DESC, __g DESC row 1. (A fused
+    // single-explode variant tagging grams with n measured 2× SLOWER
+    // — r17: 4.5 s vs 2.2 s — the concat-of-CASE projection
+    // re-evaluated the word split per arm and the wider key shuffled
+    // more; three independent passes also overlap under the
+    // scheduler.)
     def topGramPpm(n: Int): DataFrame = {
       val grams = base.select(col("doc_id"), length(col("__t")).as("__len"),
         explode(expr(
@@ -517,15 +525,12 @@ object GopherRules {
             s"transform(sequence(1, size(__w) - ${n - 1}), " +
             s"i -> array_join(slice(__w, i, $n), ' ')) " +
             "ELSE array() END")).as("__g"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id")
-        .orderBy(col("__c").desc, col("__g").desc)
       grams.groupBy(col("doc_id"), col("__len"), col("__g"))
         .agg(count(lit(1)).as("__c"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+        .groupBy(col("doc_id"), col("__len"))
+        .agg(max(struct(col("__c"), col("__g"))).as("__m"))
         .select(col("doc_id"),
-          expr(s"__c * length(__g) * 1000000L div __len")
+          expr(s"__m.__c * length(__m.__g) * 1000000L div __len")
             .as(s"top${n}gram_ppm"))
     }
     val out = Seq(2, 3, 4).map(topGramPpm)

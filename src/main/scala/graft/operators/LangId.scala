@@ -49,12 +49,22 @@ object LangId {
       .select(col(idCol), pmod(
         hexVal(substring(col("__h"), 1, 1)) * 16 +
           hexVal(substring(col("__h"), 2, 1)), lit(buckets)).as("__b"))
-    // unchanged aggregate: the sentinel's `__b` is NULL, so every
-    // `when(__b === b)` condition is null-false → 0, over count 1 → 0.0
+    // TWO-LEVEL aggregate: first collapse the gram stream to per-(doc,
+    // bucket) counts — one map-side-combinable hash-agg update per gram
+    // row — then compute the `buckets` fraction columns over the ≤
+    // buckets+1 rows per document. The previous single-level shape
+    // evaluated all `buckets` when-arms on EVERY gram row (64 × grams
+    // comparisons); this evaluates them on bucket-count rows only.
+    // Fractions are bit-identical: numerator = the bucket's row count
+    // either way, denominator = total gram rows = sum of the counts.
+    // The sentinel's `__b` is NULL → its own group; every
+    // `when(__b === b)` arm is null-false → 0, over total 1 → 0.0.
+    val counts = grams.groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
     val aggs = (0 until buckets).map(b =>
-      (sum(when(col("__b") === b, 1L).otherwise(0L)) /
-        count(lit(1))).as(s"f$b"))
-    grams.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      (sum(when(col("__b") === b, col("__c")).otherwise(0L)) /
+        sum(col("__c"))).as(s"f$b"))
+    counts.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Feature column names for `buckets`. */

@@ -58,12 +58,25 @@ object PerplexityLm {
           "struct(CASE WHEN i = 0 THEN NULL ELSE __w[i - 1] END AS wp, " +
           "__w[i] AS wt))")).as("t"))
       .select(col("doc_id"), col("__ref"), col("t.wp"), col("t.wt"))
-    val refToks = pairs.filter(col("__ref"))
-    val uni = refToks.groupBy(col("wt"))
-      .agg(count(lit(1)).cast("long").as("cu"))
-    val bi = refToks.filter(col("wp").isNotNull)
-      .groupBy(col("wp").as("b1"), col("wt").as("b2"))
-      .agg(count(lit(1)).cast("long").as("cb"))
+    // ONE pass over the reference token stream: (wp, wt) PAIR-TYPE
+    // counts including the null-context first tokens — every LM table
+    // (unigram, bigram, totals) derives from this type-sized frame, so
+    // the tokenize-explode runs once for training instead of once per
+    // derived table (the r17 before-plan re-scanned the stream 10×:
+    // uni fed c1t, c2t AND tot, bi a fourth scan, scoring a fifth, and
+    // the gate's double consumption of `scored` doubled all of it).
+    // localCheckpoint materializes it eagerly: vocab-type-sized, the
+    // shippable LM artifact — bounded at any corpus scale. Counts are
+    // bit-identical to the per-table aggregates they replace
+    // (uni(w) = Σ_wp pair(wp,w) over a partition of the positions).
+    val pairCounts = pairs.filter(col("__ref"))
+      .groupBy(col("wp"), col("wt"))
+      .agg(count(lit(1)).cast("long").as("cp"))
+      .localCheckpoint()
+    val uni = pairCounts.groupBy(col("wt"))
+      .agg(sum(col("cp")).cast("long").as("cu"))
+    val bi = pairCounts.filter(col("wp").isNotNull)
+      .select(col("wp").as("b1"), col("wt").as("b2"), col("cp").as("cb"))
     val tot = uni.agg(sum(col("cu")).cast("long").as("tt"),
       count(lit(1)).cast("long").as("vv"))
     // Three declarative lookup joins on the token stream (context
@@ -161,23 +174,40 @@ object PerplexityLm {
     * [[scoreKnTrigramLm]] for the model). */
   def trainKnTrigramLm(refDocs: DataFrame, textCol: String): KnLm = {
     val refPos = knPositions(refDocs, textCol, idCol = None)
+    // ONE pass over the reference position stream: (u, v, wt) POSITION-
+    // TYPE counts, null contexts retained — the trigram table, the
+    // vocabulary, and (through tri) every continuation table derive
+    // from this type-sized frame. localCheckpoint materializes it
+    // eagerly so the tokenize-explode runs once for training (the r17
+    // before-plan re-scanned the stream 16×: tri fed ctx2/cc2/ctx1/pcT
+    // each as a fresh derivation, tot a separate distinct scan, and
+    // the gate's double consumption of `scored` doubled all of it).
+    val posCounts = refPos.groupBy(col("u"), col("v"), col("wt"))
+      .agg(count(lit(1)).cast("long").as("cn"))
+      .localCheckpoint()
     // trigram TOKEN counts; everything below derives from this one
     // TYPE table (classic KN trains lower orders on type counts)
-    val tri = refPos.filter(col("u").isNotNull)
-      .groupBy(col("u").as("t1"), col("v").as("t2"), col("wt").as("t3"))
-      .agg(count(lit(1)).cast("long").as("c3"))
+    val tri = posCounts.filter(col("u").isNotNull)
+      .select(col("u").as("t1"), col("v").as("t2"), col("wt").as("t3"),
+        col("cn").as("c3"))
     val ctx2 = tri.groupBy(col("t1").as("x1"), col("t2").as("x2"))
       .agg(sum(col("c3")).cast("long").as("c2"),
         count(lit(1)).cast("long").as("n1puv"))
-    // continuation bigram: distinct u preceding (v, w) = tri row count
+    // continuation bigram: distinct u preceding (v, w) = tri row count.
+    // Checkpointed too — ctx1, pcT, tot AND the scoring join all read
+    // it (4 consumers), and it is n-gram-type-bounded like tri.
     val cc2 = tri.groupBy(col("t2").as("m1"), col("t3").as("m2"))
       .agg(count(lit(1)).cast("long").as("cc2"))
+      .localCheckpoint()
     val ctx1 = cc2.groupBy(col("m1").as("k1"))
       .agg(sum(col("cc2")).cast("long").as("cc1"),
         count(lit(1)).cast("long").as("n1pv"))
     val pcT = cc2.groupBy(col("m2").as("p1"))
       .agg(count(lit(1)).cast("long").as("pc"))
-    val tot = refPos.agg(countDistinct(col("wt")).cast("long").as("vv"))
+    // vocabulary from the position-type table: every position's wt
+    // appears in some (u, v, wt) group, so the distinct set is the same
+    // as over the raw stream — without the second stream scan
+    val tot = posCounts.agg(countDistinct(col("wt")).cast("long").as("vv"))
       .crossJoin(cc2.agg(count(lit(1)).cast("long").as("tb")))
     KnLm(tri, ctx2, cc2, ctx1, pcT, tot)
   }
@@ -257,10 +287,16 @@ object PerplexityLm {
     * arbitrary tie split — decides membership, and any engine
     * re-derives it. */
   def ccnetSplit(scored: DataFrame): DataFrame = {
+    // the per-doc score frame is consumed twice (threshold pick + the
+    // bucketed output) and is the expensive part of every caller's
+    // pipeline (token-stream joins + aggregate) — materialize it once.
+    // O(docs) rows of four integers: the artifact CCNet persists
+    // between its scoring and filtering stages anyway, at any scale.
+    val sc = scored.localCheckpoint()
     val th = CorpusShape.globalQuantiles(
-      scored.select(col("spt")), "spt", Seq(("t1", 1, 3), ("t2", 2, 3)))
+      sc.select(col("spt")), "spt", Seq(("t1", 1, 3), ("t2", 2, 3)))
       .select(col("t1"), col("t2"))
-    scored.crossJoin(broadcast(th))
+    sc.crossJoin(broadcast(th))
       .withColumn("bucket",
         when(col("spt") <= col("t1"), "head")
           .when(col("spt") <= col("t2"), "middle")

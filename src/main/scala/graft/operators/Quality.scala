@@ -99,12 +99,25 @@ object QualityScorer {
   /** Fit one model PER LABEL COLUMN over a single shared featurization:
     * the one-vs-rest multiclass shape (k binary fits against the same
     * features). Standardization stats compute ONCE (they depend only on
-    * the features) and the standardized frame caches ONCE — k GD loops
-    * then share it, so multiclass training costs one feature pass plus
-    * k sample-scale loops instead of k full `train` calls re-deriving
-    * identical stats. Arithmetic per label is bit-identical to a solo
-    * [[train]] call (same expressions over the same standardized
-    * columns). */
+    * the features); the standardized sample collects ONCE and all k GD
+    * loops run on the driver over it.
+    *
+    * Driver-local GD is the deliberate scale shape, not a shortcut:
+    * training is SAMPLE-scale by design (quality/lang-id classifiers
+    * fit on ~10⁵ labeled docs and SCORE petabytes — the scoring scan
+    * stays the distributed codegen'd op), and the previous
+    * one-Spark-aggregate-per-step loop paid plan analysis + job
+    * scheduling per step on a frame of a few thousand rows: measured
+    * r17, a 24-step × 64-feature fit spent ~6 s in pure per-step
+    * overhead while the arithmetic itself is microseconds. The local
+    * loop computes the same iteration — identical standardization
+    * expressions evaluate per row IN Spark before the one collect,
+    * identical z/σ/update associations — so verdict-pinned gates (all
+    * callers: every output depends only on decision SIGNS, required
+    * all-correct in-gate) are unaffected; only the fp summation order
+    * of the gradient differs from the old partition-tree sums.
+    * Bounded loudly: an unsampled-corpus caller fails with
+    * instructions, not a driver OOM. */
   def trainMulti(labeled: DataFrame, features: Seq[String],
                  labelCols: Seq[String], iters: Int = 50,
                  rate: Double = 1.0): Seq[Model] = {
@@ -115,62 +128,50 @@ object QualityScorer {
         coalesce(stddev_pop(col(f)), lit(0.0)).as(s"s_$f"))): _*).collect()(0)
     val n = statsRow.getAs[Double]("n")
     require(n > 0, "quality scorer: empty training frame")
+    val nf = features.length
+    require(n * (nf + labelCols.length) <= 64e6,
+      s"QualityScorer.trainMulti: ${n.toLong} rows × ${nf + labelCols.length} " +
+        "training columns exceeds the sample-scale contract (training " +
+        "fits on ~10⁵ labeled docs; scoring, not training, is the " +
+        "corpus-scale op) — sample the labeled frame first")
     val means = features.map(f => statsRow.getAs[Double](s"m_$f"))
     // a constant feature standardizes to 0 (std 1 avoids div-by-zero)
     val stds = features.map(f =>
       math.max(statsRow.getAs[Double](s"s_$f"), 1e-12))
-    val std = labeled.select(
+    val stdRows = labeled.select(
       (features.zipWithIndex.map { case (f, i) =>
         ((col(f) - means(i)) / stds(i)).as(s"x$i") } ++
         labelCols.zipWithIndex.map { case (c, j) =>
-          col(c).cast("double").as(s"y$j") }): _*).cache()
-    std.count()
-    try {
-      // the GD loop runs INTERPRETED: every step's literals change, so
-      // whole-stage codegen recompiles the gradient aggregate per step
-      // (~0.5 s each) while interpreted evaluation over a SAMPLE-sized
-      // cached frame costs milliseconds — measured 2× faster at k=64,
-      // and training is sample-scale by design (the 100 TB-shaped op
-      // is the literal-weight SCORING scan, which stays codegen'd)
-      val sess = labeled.sparkSession
-      val oldWS = sess.conf.get("spark.sql.codegen.wholeStage", "true")
-      val oldFM = sess.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
-      sess.conf.set("spark.sql.codegen.wholeStage", "false")
-      sess.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-      try {
-        labelCols.indices.map { j =>
-          var w = Array.fill(features.length + 1)(0.0)
-          var it = 0
-          while (it < iters) {
-            // σ(w·x) − y, with the CURRENT weights as literals — each GD
-            // step is one aggregate over the cached frame. The
-            // error PROJECTS once per row before the aggregate: inlining
-            // the k-term z into every one of the k gradient sums builds a
-            // k²-node plan whose per-step ANALYSIS dominated wall time at
-            // k = 64 (measured ~1.8 s/step; this shape is ~4× faster and
-            // bit-identical — same expression, evaluated once)
-            val z = features.indices.map(i => lit(w(i)) * col(s"x$i"))
-              .reduce(_ + _) + lit(w.last)
-            val err = (lit(1.0) / (lit(1.0) + exp(-z)) - col(s"y$j"))
-              .as("__e")
-            val grads = std
-              .select(err +: features.indices.map(i => col(s"x$i")): _*)
-              .agg(
-                sum(col("__e") * col("x0")).as("g0"),
-                (features.indices.drop(1).map(i =>
-                  sum(col("__e") * col(s"x$i")).as(s"g$i")) :+
-                  sum(col("__e")).as(s"g${features.length}")): _*).collect()(0)
-            w = w.indices.map(i => w(i) - rate * grads.getDouble(i) / n)
-              .toArray
-            it += 1
-          }
-          Model(features, means, stds, w.toSeq)
+          col(c).cast("double").as(s"y$j") }): _*).collect()
+    val xs = stdRows.map(r => Array.tabulate(nf)(i => r.getDouble(i)))
+    labelCols.indices.map { j =>
+      val y = stdRows.map(_.getDouble(nf + j))
+      val w = Array.fill(nf + 1)(0.0)
+      var it = 0
+      while (it < iters) {
+        // σ(w·x) − y per row; z associates left-to-right over the
+        // feature indices + intercept, exactly as the old Column
+        // expression did
+        val g = Array.fill(nf + 1)(0.0)
+        var r = 0
+        while (r < xs.length) {
+          val x = xs(r)
+          var z = 0.0
+          var i = 0
+          while (i < nf) { z += w(i) * x(i); i += 1 }
+          z += w(nf)
+          val err = 1.0 / (1.0 + math.exp(-z)) - y(r)
+          i = 0
+          while (i < nf) { g(i) += err * x(i); i += 1 }
+          g(nf) += err
+          r += 1
         }
-      } finally {
-        sess.conf.set("spark.sql.codegen.wholeStage", oldWS)
-        sess.conf.set("spark.sql.codegen.factoryMode", oldFM)
+        var i = 0
+        while (i <= nf) { w(i) -= rate * g(i) / n; i += 1 }
+        it += 1
       }
-    } finally { std.unpersist(); () }
+      Model(features, means, stds, w.toSeq)
+    }
   }
 }
 

@@ -77,10 +77,21 @@ object Sampling {
       .filter(col("w") =!= "")
       .withColumn("__h", md5(col("w")))
       .select(col(idCol), col("__t"), pmod(hv, lit(buckets)).as("b"))
+    // collapse the token stream ONCE to per-(doc, bucket) counts and
+    // materialize: both the bucket distributions and the per-document
+    // score sums derive from this O(docs × buckets) frame, so the
+    // md5-tokenize explode runs a single time instead of once per
+    // consumer (`__t` is constant per document — keeping it in the key
+    // adds no groups). Derived sums are bit-identical: per-token
+    // score sums become count-weighted bucket sums of the same
+    // integers.
+    val docBucket = toks.groupBy(col(idCol), col("__t"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     // ONE pass counts both distributions (target ⊆ raw)
-    val counts = toks.groupBy("b").agg(
-      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr"))
+    val counts = docBucket.groupBy("b").agg(
+      sum(when(col("__t"), col("c")).otherwise(0L)).as("ct"),
+      sum(col("c")).as("cr"))
     val totals = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("rt"))
     // integer micro-nat score per bucket: floor(1e6·ln(p/q) + 0.5) —
     // quantized once, so everything downstream is exact integers
@@ -92,10 +103,10 @@ object Sampling {
              log((col("cr") + 1).cast("double") /
                  (col("rt") + buckets).cast("double"))) + 0.5)
           .cast(LongType).as("s"))
-    toks.join(broadcast(scores), "b")
+    docBucket.join(broadcast(scores), "b")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("s")).as("dsir_score_e6"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("s") * col("c")).as("dsir_score_e6"))
   }
 
   /** TEMPERATURE-SMOOTHED mixture sampling (α = 0.5, the standard

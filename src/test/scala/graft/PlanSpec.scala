@@ -530,7 +530,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("t112 perplexity: LM lookups broadcast, no SMJ, no global window") {
-    val plan = planOf(queries.ShapeGate.t112PerplexityFilter(spark, dir))
+    // the pinned property lives on the SCORING plan: since r17,
+    // ccnetSplit materializes the per-doc scores (the threshold pick
+    // and the bucketed output would otherwise run the scoring joins
+    // twice), so the gate's RETURNED plan only reads the checkpoint —
+    // assert on the scoring operator itself, where the joins execute
+    import org.apache.spark.sql.functions._
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val plan = planOf(operators.PerplexityLm.scoreBigramLm(
+      docs, "doc_id", "text", pmod(col("doc_id"), lit(2)) === 0))
     // vocab-sized LM count tables must reach the token stream as
     // broadcasts at this scale (Catalyst's stats decision — a silent
     // fallback to SortMergeJoin would shuffle the stream three times)
