@@ -42,12 +42,19 @@ object HybridRetrieval {
                  queryTerms: DataFrame): DataFrame = {
     val toks = docs.select(col(idCol).as("__doc"),
       explode(expr(s"filter(split($textCol, ' '), x -> x <> '')")).as("__t"))
-    val dl = toks.groupBy("__doc")
-      .agg(count(lit(1)).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("long").as("nn"),
-      sum(col("dl")).cast("long").as("tl"))
+    // ONE pass over the token stream: per-(doc, term) frequencies,
+    // materialized — document lengths (= Σ tf per doc, bit-identical),
+    // document frequencies and the corpus totals all derive from this
+    // type-sized table. Without it every derived statistic re-ran the
+    // tokenize-explode AND its whole upstream (t113/t115 feed this the
+    // chunk→gate→dedup front end, which was re-executed ~5× per gate).
     val tf = toks.groupBy("__doc", "__t")
       .agg(count(lit(1)).cast("long").as("tf"))
+      .localCheckpoint()
+    val dl = tf.groupBy("__doc")
+      .agg(sum(col("tf")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("long").as("nn"),
+      sum(col("dl")).cast("long").as("tl"))
     val dfT = tf.groupBy("__t").agg(count(lit(1)).cast("long").as("df"))
       .withColumnRenamed("__t", "__t2")
     // one quantization per (query, term-slot, doc) contribution; the

@@ -122,30 +122,46 @@ object QualityScorer {
                  labelCols: Seq[String], iters: Int = 50,
                  rate: Double = 1.0): Seq[Model] = {
     require(features.nonEmpty && labelCols.nonEmpty && iters > 0)
-    val statsRow = labeled.agg(
-      count(lit(1)).cast("double").as("n"),
-      features.flatMap(f => Seq(avg(col(f)).as(s"m_$f"),
-        coalesce(stddev_pop(col(f)), lit(0.0)).as(s"s_$f"))): _*).collect()(0)
-    val n = statsRow.getAs[Double]("n")
-    require(n > 0, "quality scorer: empty training frame")
     val nf = features.length
+    // the loud sample-scale guard runs as a COUNT-ONLY job before any
+    // data crosses to the driver (an unsampled-corpus caller must fail
+    // with instructions, not an OOM); the count is one trivial narrow
+    // aggregate, unlike the 2·k+1-expression stats aggregate this
+    // trainer used to run in Spark — measured r17, that aggregate's
+    // codegen alone cost ~1.5 s per fit while the sample data is
+    // kilobytes
+    val n = labeled.count().toDouble
+    require(n > 0, "quality scorer: empty training frame")
     require(n * (nf + labelCols.length) <= 64e6,
       s"QualityScorer.trainMulti: ${n.toLong} rows × ${nf + labelCols.length} " +
         "training columns exceeds the sample-scale contract (training " +
         "fits on ~10⁵ labeled docs; scoring, not training, is the " +
         "corpus-scale op) — sample the labeled frame first")
-    val means = features.map(f => statsRow.getAs[Double](s"m_$f"))
+    // ONE collect of the raw sample; means, population stddevs,
+    // standardization and the GD loop all run on the driver (same
+    // formulas as the avg/stddev_pop/(x−m)/s expressions they replace
+    // — only fp summation order differs, and every caller's output is
+    // pinned to decision signs)
+    val raw = labeled.select(
+      (features.map(f => col(f).cast("double")) ++
+        labelCols.map(c => col(c).cast("double"))): _*).collect()
+    val means = (0 until nf).map { i =>
+      var s = 0.0; var r = 0
+      while (r < raw.length) { s += raw(r).getDouble(i); r += 1 }
+      s / n
+    }
     // a constant feature standardizes to 0 (std 1 avoids div-by-zero)
-    val stds = features.map(f =>
-      math.max(statsRow.getAs[Double](s"s_$f"), 1e-12))
-    val stdRows = labeled.select(
-      (features.zipWithIndex.map { case (f, i) =>
-        ((col(f) - means(i)) / stds(i)).as(s"x$i") } ++
-        labelCols.zipWithIndex.map { case (c, j) =>
-          col(c).cast("double").as(s"y$j") }): _*).collect()
-    val xs = stdRows.map(r => Array.tabulate(nf)(i => r.getDouble(i)))
+    val stds = (0 until nf).map { i =>
+      var s = 0.0; var r = 0
+      while (r < raw.length) {
+        val d = raw(r).getDouble(i) - means(i); s += d * d; r += 1
+      }
+      math.max(math.sqrt(s / n), 1e-12)
+    }
+    val xs = raw.map(r => Array.tabulate(nf)(i =>
+      (r.getDouble(i) - means(i)) / stds(i)))
     labelCols.indices.map { j =>
-      val y = stdRows.map(_.getDouble(nf + j))
+      val y = raw.map(_.getDouble(nf + j))
       val w = Array.fill(nf + 1)(0.0)
       var it = 0
       while (it < iters) {

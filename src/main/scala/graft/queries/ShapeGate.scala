@@ -813,13 +813,18 @@ object ShapeGate {
           when(pmod(col("doc_id"), lit(3)) === 0,
             concat_ws("\n", lit(banner), col("tf"))).otherwise(col("tf")))
         .as("ltext"))
-    // STAGE 1 — exact dedup: identical docs keep the smallest id
-    val dd = docs.groupBy("ltext").agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"), col("ltext"),
+    // STAGE 1 — exact dedup: identical docs keep the smallest id. The
+    // group sizes ride along so the mirror-collapse sanity check reads
+    // the input count off the cached dedup frame (sum of group sizes)
+    // instead of re-scanning + re-translating the corpus.
+    val dd = docs.groupBy("ltext").agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("__grp"))
+      .select(col("doc_id"), col("ltext"), col("__grp"),
         (pmod(col("doc_id"), lit(2)) === 1).as("is_fa"))
       .cache()
-    val nDd = dd.count()
-    require(nDd < docs.count(),
+    val ddStats = dd.agg(count(lit(1)), sum(col("__grp"))).collect()(0)
+    val nDd = ddStats.getLong(0)
+    require(nDd < ddStats.getLong(1),
       "t116: the planted mirror docs must collapse in the dedup stage")
     // STAGE 2 — language id (t114's machinery); survivors = Latin.
     // CHAR BIGRAMS, not t114's trigrams: with a fixed-size train

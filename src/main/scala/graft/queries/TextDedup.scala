@@ -834,12 +834,22 @@ object TextDedup {
                                          bench: DataFrame): DataFrame = {
     val corpus = Tables.spread(docs)
       .select(col("doc_id"), shingles(toks).as("s"))
-    val ns = corpus.select(col("doc_id"), size(col("s")).as("n_shingles"))
-    val hits = corpus.select(col("doc_id"), explode(col("s")).as("sh"))
-      .join(broadcast(bench), Seq("sh"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
-    ns.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
+    // ONE shingle pass: total and contaminated counts come out of the
+    // same exploded stream (LEFT join flag instead of LEFT SEMI, so
+    // non-hits still count toward the total — previously the sizes and
+    // the hits were two separate passes, each re-running the shingle
+    // UDF over the whole corpus). Shingle-less docs re-enter via the
+    // id-only left join (a scan without the UDF); values and types are
+    // unchanged (n_shingles stays INT = size(s), counts stay BIGINT).
+    val counts = corpus.select(col("doc_id"), explode(col("s")).as("sh"))
+      .join(broadcast(bench.withColumn("__hit", lit(true))), Seq("sh"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).cast("int").as("n_shingles"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_contaminated"))
+    docs.select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0)).as("n_shingles"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
       .withColumn("flagged",
         col("n_shingles") > 0 &&

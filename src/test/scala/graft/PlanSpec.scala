@@ -80,10 +80,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("SinglePartition"), s"single-partition exchange in:\n$plan")
   }
 
-  test("t42 decontamination: benchmark vocabulary broadcast, semi-join") {
+  test("t42 decontamination: benchmark vocabulary broadcast, one shingle pass") {
+    // since r17 the eval vocabulary attaches as a broadcast LEFT join
+    // hit-flag (not LEFT SEMI): total and contaminated counts come out
+    // of ONE exploded shingle stream instead of two corpus-wide
+    // shingle-UDF passes. The pinned property is unchanged — the
+    // benchmark side must reach the stream as a BROADCAST, and the
+    // corpus side must never shuffle for it.
     val plan = planOf(queries.TextDedup.t42Decontaminate(spark, dir))
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      s"benchmark side not a broadcast semi-join in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side not a broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"benchmark attach degenerated to a shuffle join in:\n$plan")
   }
 
   test("v39 PQ-ADC: codebooks and LUT broadcast, no cartesian product") {
