@@ -114,47 +114,117 @@ object CorpusShape {
   }
 
   /** Exact UNGROUPED positional quantiles at corpus scale — the path
-    * [[groupQuantiles]]' doc promises for global distributions: sort
-    * by value via range partitioning, locate the 1-based positions
-    * `ceil(num·n / den)` with the distributed prefix count (the
-    * [[shuffleShards]] trick — per-partition counts, one bounded
-    * numPartitions-row collect, NEVER a single-partition global
-    * window), then pull exactly the |qs| rows at those positions.
-    * Returns ONE row: (n, <one column per quantile>); all-null
-    * quantiles when the input is empty. */
+    * [[groupQuantiles]]' doc promises for global distributions, as an
+    * ITERATIVE HISTOGRAM SELECTION (the classic distributed k-th
+    * element pick): a LAZY narrow localCheckpoint of the cast values
+    * (compact UnsafeRows, pinned by the first pass — the only
+    * materialization), then ≤ 1 + ceil(log₆₅₅₃₆(range)) histogram
+    * passes — each ONE map-side-combinable hash aggregate of
+    * per-bucket (count, min, max) whose ≤ 65538 rows per live range
+    * collect to the driver — narrowing each target position's
+    * candidate VALUE range ~2¹⁶× per pass until it pins a single
+    * value. The first pass needs no prior range knowledge (fixed 2⁴⁸
+    * bucket width bounds the group count over the full long domain)
+    * and yields n in the same job; per-bucket min/max make every
+    * refinement exact, so near-constant value distributions resolve in
+    * 2 passes. The answer is identical to the sorted-order definition
+    * (the value at 1-based position `ceil(num·n / den)`) because
+    * truncating `div` bucketing is monotonic in the value, so bucket
+    * walks preserve rank order.
+    *
+    * Why not the previous sort-based pick (r17 shape): that path paid
+    * a repartitionByRange + sortWithinPartitions over EVERY value, an
+    * external-Row conversion per element (`df.rdd`, guide §1.4), and a
+    * MEMORY_AND_DISK pin of the sorted Rows as deserialized Java
+    * objects — at 100 TB a full-corpus shuffle + corpus-sized cache
+    * for a |qs|-row answer. The histogram passes shuffle NOTHING (the
+    * per-pass aggregate is bucket-count-bounded) and re-read only the
+    * checkpointed 8-byte column. Returns ONE row: (n, <one column per
+    * quantile>); all-null quantiles when the input is empty. */
   def globalQuantiles(df: DataFrame, valueCol: String,
                       qs: Seq[(String, Int, Int)]): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.select(col(valueCol).cast(LongType).as("__v"))
-      .repartitionByRange(col("__v")).sortWithinPartitions("__v")
-    // pin partition contents across the two passes (same rationale as
-    // shuffleShards)
-    val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = rdd
-      .mapPartitionsWithIndex { (i, it) => Iterator.single((i, it.size.toLong)) }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val n = offsets.last
-    val positions = qs.map { case (_, num, den) => (num * n + den - 1) / den }
-    val posSet = positions.toSet
-    val picked: Map[Long, Long] =
-      if (n == 0) Map.empty
-      else rdd.mapPartitionsWithIndex { (i, it) =>
-        var p = offsets(i)
-        it.flatMap { r =>
-          p += 1
-          if (posSet.contains(p)) Iterator((p, r.getLong(0))) else Iterator.empty
+    // LAZY checkpoint: the first histogram pass both computes and pins
+    // the narrow column — no separate materialization job
+    val vals = df.select(col(valueCol).cast(LongType).as("__v"))
+      .localCheckpoint(eager = false)
+    val bCount = 65536L
+    // one histogram job: per-bucket (count, min, max) for every live
+    // range in ONE aggregate. Per-bucket min/max make each bucket's
+    // REFINED range exact (never the arithmetic bucket bounds), so a
+    // bucket holding one distinct value resolves immediately and the
+    // global n/min/max never need their own job.
+    case class Bucket(b: Long, c: Long, lo: Long, hi: Long)
+    def histogram(arm: Column): Map[Int, Seq[Bucket]] =
+      vals.select(arm.as("a")).filter(col("a").isNotNull)
+        .groupBy(col("a.ri").as("ri"), col("a.b").as("b"))
+        .agg(count(lit(1)).as("c"), min(col("a.v")).as("lo"),
+          max(col("a.v")).as("hi"))
+        .collect() // bounded: ≤ 65538 buckets per live range
+        .groupBy(_.getInt(0))
+        .map { case (ri, rows) =>
+          ri -> rows.map(r =>
+            Bucket(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+            .sortBy(_.b).toSeq }
+    // walk one range's bucket list to the target rank; returns the
+    // refined (lo, hi, rank-within)
+    def walk(buckets: Seq[Bucket], rank: Long): (Long, Long, Long) = {
+      var cum = 0L
+      var j = 0
+      // the invariant (rank ≤ rows in the range) guarantees the walk
+      // lands before the histogram ends
+      while (cum + buckets(j).c < rank) { cum += buckets(j).c; j += 1 }
+      (buckets(j).lo, buckets(j).hi, rank - cum)
+    }
+    // PASS 1 — no prior range knowledge: fixed 2⁴⁸ bucket width covers
+    // the full long domain in ≤ 2¹⁶ + 1 groups and yields n (Σ counts)
+    // plus each position's first refined range in the same job
+    val coarse = histogram(struct(lit(0).as("ri"),
+      expr("__v div CAST(281474976710656 AS BIGINT)").as("b"),
+      col("__v").as("v"))).getOrElse(0, Seq.empty)
+    val n = coarse.map(_.c).sum
+    val resolved = scala.collection.mutable.Map.empty[Long, Long]
+    if (n > 0) {
+      // live picks: (target 1-based global position, candidate value
+      // range [lo, hi], 1-based rank within rows whose __v ∈ [lo, hi])
+      var live = qs.map { case (_, num, den) =>
+        (num.toLong * n + den - 1) / den }.distinct.map { p =>
+        val (lo, hi, r) = walk(coarse, p)
+        (p, lo, hi, r)
+      }
+      while (live.nonEmpty) {
+        val (done, todo) = live.partition { case (_, lo, hi, _) => lo == hi }
+        done.foreach { case (p, lo, _, _) => resolved(p) = lo }
+        live = Nil
+        if (todo.nonEmpty) {
+          // distinct ranges (positions narrowed into the same bucket
+          // share one histogram); ranges are pairwise disjoint-or-equal
+          // by construction, so each row matches at most one arm
+          val ranges = todo.map { case (_, lo, hi, _) => (lo, hi) }.distinct
+          val widths = ranges.map { case (lo, hi) =>
+            (((BigInt(hi) - BigInt(lo) + 1) + (bCount - 1)) / bCount)
+              .max(1).toLong }
+          val arms = ranges.zip(widths).zipWithIndex.map {
+            case (((lo, hi), w), i) =>
+              when(col("__v") >= lo && col("__v") <= hi,
+                struct(lit(i).as("ri"),
+                  expr(s"__v div CAST($w AS BIGINT)").as("b"),
+                  col("__v").as("v")))
+          }
+          val hist = histogram(coalesce(arms: _*))
+          live = todo.map { case (p, lo, hi, r) =>
+            val ri = ranges.indexOf((lo, hi))
+            val (nlo, nhi, nr) = walk(hist(ri), r)
+            (p, nlo, nhi, nr)
+          }
         }
-      }.collect().toMap // bounded: at most |qs| rows
-    // both passes are complete — release the pinned blocks eagerly
-    // (repeated profiling calls must not stack cached sorts until LRU
-    // eviction, whose recompute-from-nondeterministic-source would
-    // reopen the two-pass disagreement the persist pins down)
-    rdd.unpersist(blocking = false)
+      }
+    }
     val schema = StructType(StructField("n", LongType, nullable = false) +:
       qs.map { case (name, _, _) => StructField(name, LongType, nullable = true) })
-    val row = Row.fromSeq(n +: positions.map(p =>
-      picked.get(p).map(java.lang.Long.valueOf).orNull))
+    val row = Row.fromSeq(n +: qs.map { case (_, num, den) =>
+      if (n == 0) null
+      else java.lang.Long.valueOf(resolved((num.toLong * n + den - 1) / den)) })
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(row), numSlices = 1), schema)
   }

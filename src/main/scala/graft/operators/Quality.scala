@@ -116,35 +116,48 @@ object QualityScorer {
     * callers: every output depends only on decision SIGNS, required
     * all-correct in-gate) are unaffected; only the fp summation order
     * of the gradient differs from the old partition-tree sums.
-    * Bounded loudly: an unsampled-corpus caller fails with
-    * instructions, not a driver OOM. */
+    *
+    * Scale-BOUNDED, not scale-fatal (round-17 verdict №1): a caller
+    * whose labeled frame outgrows the driver-local budget (n ×
+    * training columns > `driverLocalBudget` doubles, default 64e6)
+    * does not throw — it falls back to the DISTRIBUTED declarative GD
+    * path ([[trainMultiDistributed]]): the same standardize-once +
+    * per-step gradient-aggregate iteration this trainer ran before
+    * r17, which completes at any corpus size (every step is one
+    * map-side-combinable aggregate over the cached standardized
+    * frame). Slower per step locally, but linear and spill-safe at
+    * 100 TB — the gates that feed corpus-proportional slices
+    * (t103/t114/t116/t119/q200 train on parity halves) now RUN at
+    * scale instead of failing with instructions. The budget check is
+    * the same COUNT-ONLY job the r17 trainer ran before any data
+    * crosses to the driver (one trivial narrow aggregate) — an
+    * over-budget count now routes to the distributed path instead of
+    * throwing. (A LIMIT-bounded collect was A/B-measured as the guard
+    * instead: executeTake's scale-up waves cost 3-4 scheduled jobs
+    * against the cached sample vs the count's one, +0.3-0.5 s on every
+    * trainer gate at sf0.1 — reverted.) */
   def trainMulti(labeled: DataFrame, features: Seq[String],
                  labelCols: Seq[String], iters: Int = 50,
-                 rate: Double = 1.0): Seq[Model] = {
+                 rate: Double = 1.0,
+                 driverLocalBudget: Long = 64000000L): Seq[Model] = {
     require(features.nonEmpty && labelCols.nonEmpty && iters > 0)
     val nf = features.length
-    // the loud sample-scale guard runs as a COUNT-ONLY job before any
-    // data crosses to the driver (an unsampled-corpus caller must fail
-    // with instructions, not an OOM); the count is one trivial narrow
-    // aggregate, unlike the 2·k+1-expression stats aggregate this
-    // trainer used to run in Spark — measured r17, that aggregate's
-    // codegen alone cost ~1.5 s per fit while the sample data is
-    // kilobytes
-    val n = labeled.count().toDouble
-    require(n > 0, "quality scorer: empty training frame")
-    require(n * (nf + labelCols.length) <= 64e6,
-      s"QualityScorer.trainMulti: ${n.toLong} rows × ${nf + labelCols.length} " +
-        "training columns exceeds the sample-scale contract (training " +
-        "fits on ~10⁵ labeled docs; scoring, not training, is the " +
-        "corpus-scale op) — sample the labeled frame first")
+    val projected = labeled.select(
+      (features.map(f => col(f).cast("double")) ++
+        labelCols.map(c => col(c).cast("double"))): _*)
+    val nLong = labeled.count()
+    require(nLong > 0, "quality scorer: empty training frame")
+    // overflow-safe form of n × cols > budget
+    if (nLong > driverLocalBudget / (nf + labelCols.length))
+      return trainMultiDistributed(projected, features, nf,
+        labelCols.length, iters, rate)
     // ONE collect of the raw sample; means, population stddevs,
     // standardization and the GD loop all run on the driver (same
     // formulas as the avg/stddev_pop/(x−m)/s expressions they replace
     // — only fp summation order differs, and every caller's output is
     // pinned to decision signs)
-    val raw = labeled.select(
-      (features.map(f => col(f).cast("double")) ++
-        labelCols.map(c => col(c).cast("double"))): _*).collect()
+    val raw = projected.collect()
+    val n = raw.length.toDouble
     val means = (0 until nf).map { i =>
       var s = 0.0; var r = 0
       while (r < raw.length) { s += raw(r).getDouble(i); r += 1 }
@@ -188,6 +201,78 @@ object QualityScorer {
       }
       Model(features, means, stds, w.toSeq)
     }
+  }
+
+  /** The DISTRIBUTED declarative-GD path for over-budget training
+    * frames — the scale fallback [[trainMulti]] routes to when the
+    * labeled frame exceeds the driver-local contract. This is the
+    * pre-r18 trainer shape: standardization stats are ONE aggregate
+    * (count + avg/stddev_pop per feature), the standardized frame
+    * caches once (MEMORY_AND_DISK — spills instead of OOMing), and
+    * each GD step is ONE map-side-combinable gradient aggregate with
+    * the current weights inlined as literals. Per-step cost is a full
+    * pass over the cached frame — linear at any corpus size, never a
+    * collect. Unlike the historical in-Spark trainer this path keeps
+    * whole-stage codegen ON: at driver-budget-exceeding row counts the
+    * per-row interpreted-evaluation penalty dominates the ~0.5 s/step
+    * recompilation cost that motivated turning it off for sample-scale
+    * frames (which now never reach this path).
+    *
+    * `projected` carries the feature columns (cast double) in positions
+    * 0..nf-1 and the label columns in nf..nf+nLabels-1. */
+  private def trainMultiDistributed(projected: DataFrame,
+                                    features: Seq[String], nf: Int,
+                                    nLabels: Int, iters: Int,
+                                    rate: Double): Seq[Model] = {
+    // positional rename: feature/label NAMES may collide arbitrarily
+    // with each other at call sites; the GD expressions below are
+    // index-keyed
+    val named = projected.toDF(
+      ((0 until nf).map(i => s"__f$i") ++
+        (0 until nLabels).map(j => s"__l$j")): _*)
+    val statsRow = named.agg(
+      count(lit(1)).cast("double").as("n"),
+      (0 until nf).flatMap(i => Seq(avg(col(s"__f$i")).as(s"m_$i"),
+        coalesce(stddev_pop(col(s"__f$i")), lit(0.0)).as(s"s_$i"))): _*)
+      .collect()(0)
+    val n = statsRow.getAs[Double]("n")
+    require(n > 0, "quality scorer: empty training frame")
+    val means = (0 until nf).map(i => statsRow.getAs[Double](s"m_$i"))
+    // a constant feature standardizes to 0 (std 1 avoids div-by-zero)
+    val stds = (0 until nf).map(i =>
+      math.max(statsRow.getAs[Double](s"s_$i"), 1e-12))
+    val std = named.select(
+      ((0 until nf).map(i => ((col(s"__f$i") - means(i)) / stds(i))
+        .as(s"x$i")) ++
+        (0 until nLabels).map(j => col(s"__l$j").as(s"y$j"))): _*)
+      .cache()
+    try {
+      (0 until nLabels).map { j =>
+        var w = Array.fill(nf + 1)(0.0)
+        var it = 0
+        while (it < iters) {
+          // σ(w·x) − y with the CURRENT weights as literals; the error
+          // PROJECTS once per row before the aggregate (inlining the
+          // nf-term z into every gradient sum builds an nf²-node plan
+          // whose per-step analysis dominates at wide feature counts)
+          val z = (0 until nf).map(i => lit(w(i)) * col(s"x$i"))
+            .reduce(_ + _) + lit(w.last)
+          val err = (lit(1.0) / (lit(1.0) + exp(-z)) - col(s"y$j"))
+            .as("__e")
+          val grads = std
+            .select(err +: (0 until nf).map(i => col(s"x$i")): _*)
+            .agg(
+              sum(col("__e") * col("x0")).as("g0"),
+              ((1 until nf).map(i =>
+                sum(col("__e") * col(s"x$i")).as(s"g$i")) :+
+                sum(col("__e")).as(s"g$nf")): _*).collect()(0)
+          w = w.indices.map(i => w(i) - rate * grads.getDouble(i) / n)
+            .toArray
+          it += 1
+        }
+        Model(features, means, stds, w.toSeq)
+      }
+    } finally { std.unpersist(); () }
   }
 }
 

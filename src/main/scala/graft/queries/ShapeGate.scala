@@ -630,36 +630,39 @@ object ShapeGate {
     val model = graft.operators.QualityScorer.train(
       docs.filter(pmod(col("doc_id"), lit(2)) === 0), features, "label",
       iters = 20, rate = 2.0)
+    // the held-out half is CORPUS-PROPORTIONAL — everything below runs
+    // distributed (round-17 verdict: the old collect() pulled half the
+    // corpus to the driver); the frame is three narrow columns, cached
+    // for its three consumers (verdict aggregate, rank-sum, output)
     val held = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
       .select(col("doc_id"), col("label"), model.decision.as("score"))
-      .collect() // the eval set — bounded like every verdict gate's
-    require(held.nonEmpty, "t103: empty held-out set")
-    // exact AUC by rank-sum (Mann-Whitney): ties broken by doc_id —
-    // float scores collide with probability ~0
-    val ranked = held.sortBy(r => (r.getAs[Double]("score"),
-      r.getAs[Long]("doc_id"))).zipWithIndex
-    val nPos = held.count(_.getAs[Boolean]("label"))
-    val nNeg = held.length - nPos
+      .cache()
+    val vr = held.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("label"), 1L).otherwise(0L)), lit(0L)).as("np"),
+      coalesce(sum(when((col("score") > 0) === col("label"), 1L)
+        .otherwise(0L)), lit(0L)).as("nc")).collect()(0)
+    val nAll = vr.getLong(0)
+    require(nAll > 0, "t103: empty held-out set")
+    val nPos = vr.getLong(1)
+    val nNeg = nAll - nPos
     require(nPos > 0 && nNeg > 0, "t103: degenerate held-out labels")
-    val rankSum = ranked.collect {
-      case (r, i) if r.getAs[Boolean]("label") => i + 1L }.sum
-    val auc = (rankSum - nPos.toLong * (nPos + 1) / 2).toDouble /
-      (nPos.toLong * nNeg)
+    // exact AUC by rank-sum (Mann-Whitney): ties broken by doc_id —
+    // float scores collide with probability ~0. The 1-based ranks come
+    // from a DISTRIBUTED sort + zipWithIndex (range shuffle of 17-byte
+    // tuples; zipWithIndex's offsets are one bounded per-partition
+    // count), never a global window or a driver sort.
+    val rankSum = held.select(col("score"), col("doc_id"), col("label"))
+      .rdd.map(r => ((r.getDouble(0), r.getLong(1)), r.getBoolean(2)))
+      .sortByKey().zipWithIndex()
+      .map { case ((_, pos), i) => if (pos) i + 1L else 0L }
+      .fold(0L)(_ + _)
+    val auc = (rankSum - nPos * (nPos + 1) / 2).toDouble / (nPos * nNeg)
     require(auc >= 0.95,
       f"t103: held-out AUC $auc%.4f below the 0.95 floor")
-    require(held.forall(r =>
-        (r.getAs[Double]("score") > 0) == r.getAs[Boolean]("label")),
+    require(vr.getLong(2) == nAll,
       "t103: a held-out document was misclassified")
-    s.createDataFrame(s.sparkContext.parallelize(
-      held.map(r => org.apache.spark.sql.Row(
-        r.getAs[Long]("doc_id"),
-        (r.getAs[Double]("score") > 0) == r.getAs[Boolean]("label")))
-        .toIndexedSeq),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("correct",
-          org.apache.spark.sql.types.BooleanType))))
+    held.select(col("doc_id"),
+        ((col("score") > 0) === col("label")).as("correct"))
       .orderBy("doc_id")
   }
 

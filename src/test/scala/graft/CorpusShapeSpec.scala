@@ -86,6 +86,24 @@ class CorpusShapeSpec extends AnyFunSuite with SparkSpec {
       "global quantiles diverged from the sorted-array definition")
   }
 
+  test("globalQuantiles: negative + wide-range values (multi-pass histogram) match the sorted definition") {
+    // spans ~9e9 (forces ≥ 3 histogram narrowing passes at 2¹⁶ buckets)
+    // and straddles zero (exercises the negative / zero / positive
+    // truncating-div bucket-bound arms)
+    val vals: Seq[Long] =
+      Seq(-5000000000L, -3L, -2L, -1L, 0L, 1L, 2L, 7L,
+        4000000000L, 4000000001L) ++
+        (0 until 90).map(i => (i * 2654435761L) % 1000003L - 500000L)
+    val row = operators.CorpusShape.globalQuantiles(vals.toDF("v"), "v",
+      Seq(("p25", 1, 4), ("p50", 1, 2), ("p99", 99, 100))).collect().head
+    val sorted = vals.sorted
+    val n = sorted.length.toLong
+    def pick(num: Long, den: Long) = sorted(((num * n + den - 1) / den - 1).toInt)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((n, pick(1, 4), pick(1, 2), pick(99, 100))),
+      "global quantiles diverged from the sorted-array definition")
+  }
+
   test("globalQuantiles on empty input: n = 0, null quantiles") {
     val row = operators.CorpusShape.globalQuantiles(
       Seq.empty[Long].toDF("v"), "v", Seq(("p50", 1, 2))).collect().head
