@@ -188,13 +188,21 @@ object GraftSession {
   def build(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
             shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt * 2)
       : SparkSession = {
-    val s = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // spark.sql.join.preferSortMergeJoin stays at its default (true):
+      // the global SHJ experiment (round-17 verdict №9) was A/B-measured
+      // in round 18 and REGRESSED every join-heavy gate (q50 1.50→1.90,
+      // q56 1.41→1.65, t113 1.37→1.72, q105 0.49→0.69, q65 0.46→0.58 s
+      // at sf0.1/32 cores, idle box, min-of-passes): per-partition hash
+      // builds cost more than the sorts they replace at local shuffle
+      // sizes, and the bucketed/SPJ layouts pin sort-order-preserving
+      // SMJ plans that are genuinely optimal over pre-sorted buckets.
       // the versioned store's reader decodes INT64-micros timestamps
       // only (INT96 is refused by sys.convert too); Spark's parquet
       // writer still DEFAULTS to legacy INT96, so without this pin a
@@ -203,7 +211,20 @@ object GraftSession {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Scan-split override for the scaling-slope probes (SCALING.md):
+    // the dev fixtures are ONE parquet file, so at Spark's default
+    // 128 MB split size the whole scan — and the explode/partial-agg
+    // map work fused into it — runs as ONE task no matter how many
+    // cores the session has, flattening every core-scaling ratio by
+    // construction. A probe sets e.g. 2m over a multi-row-group scaled
+    // corpus (tools/make_scaled.py) to let the scan stage parallelize
+    // the way a production multi-file input does. UNSET in the
+    // driver's runs → Spark's default 128m (production-right per the
+    // optimization guide §6: big sequential scans want LARGER splits).
+    val withSplit = sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+      .map(v => builder.config("spark.sql.files.maxPartitionBytes", v))
+      .getOrElse(builder)
+    val s = withSplit.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -181,34 +181,48 @@ object CorpusText {
     * corpus — and is dropped from every document; survivors rebuild
     * in original line order.
     *
-    * Scale shape, all linear: one explode to (doc, line) — O(lines);
-    * (doc, line) distinct + per-line count, both map-side-combinable
-    * hash aggregates; the corpus size joins in as a 1-row broadcast;
-    * and the boilerplate set broadcasts back onto the line stream —
-    * by construction it holds AT MOST 1/tau lines (each is carried by
-    * ≥ tau·N documents), so the broadcast is bounded by the threshold,
-    * not the corpus: at 100 TB the df aggregate is the only shuffle.
+    * Scale shape, all linear: ONE explode to (doc, line) — O(lines) —
+    * collapsed immediately to per-(doc, line) groups carrying their
+    * position lists (one map-side-combinable aggregate; within-doc
+    * duplicate lines are rare web-text, so the idx arrays are ~1
+    * element and the grouped frame is ~the distinct pair set the old
+    * shape built anyway). The per-line df aggregate AND the per-doc
+    * rebuild both derive from that one grouped exchange (ReuseExchange
+    * collapses the shared subtree — the [[slidingDupSpans]] pattern),
+    * so the corpus scans/splits/explodes ONCE where the r17 shape ran
+    * the explode twice (df side and rebuild side). The corpus size
+    * joins in as a 1-row broadcast; the boilerplate set broadcasts
+    * back onto the grouped frame — by construction it holds AT MOST
+    * 1/tau lines (each is carried by ≥ tau·N documents), so the
+    * broadcast is bounded by the threshold, not the corpus.
     * Returns (doc_id, n_lines, n_dropped, clean_text). */
   def removeBoilerplateLines(docs: DataFrame, tauPpm: Long): DataFrame = {
     val lines = docs.select(col("doc_id"),
       posexplode(split(col("text"), "\n")).as(Seq("line_idx", "line")))
+    // the one pass over line instances: distinct (doc, line) pairs with
+    // their in-doc positions — everything below derives from this
+    val grouped = lines.groupBy(col("doc_id"), col("line"))
+      .agg(collect_list(col("line_idx")).as("idxs"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
-    val boiler = lines.select("doc_id", "line").distinct()
+    val boiler = grouped
       .groupBy("line").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(total))
       .filter(col("df") * lit(1000000L) >= col("n_docs") * lit(tauPpm))
       .select(col("line"), lit(true).as("is_boiler"))
-    lines
+    grouped
       .join(broadcast(boiler), Seq("line"), "left")
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_lines"),
-        count(col("is_boiler")).as("n_dropped"),
+        // instance counts, bit-identical to the per-row counts of the
+        // exploded stream (Σ |positions| over the doc's distinct lines)
+        sum(size(col("idxs"))).cast("long").as("n_lines"),
+        coalesce(sum(when(col("is_boiler"), size(col("idxs")))), lit(0L))
+          .cast("long").as("n_dropped"),
         concat_ws("\n",
           transform(
-            array_sort(collect_list(
+            array_sort(flatten(collect_list(
               when(col("is_boiler").isNull,
-                struct(col("line_idx"), col("line"))))),
+                expr("transform(idxs, i -> struct(i AS line_idx, line))"))))),
             x => x.getField("line"))).as("clean_text"))
   }
 

@@ -11,6 +11,15 @@ duplicates whose pairwise outputs would grow quadratically by
 construction. TPC-H tables are hard-linked unchanged: the slope is
 measured on the document/vector queries.
 
+Documents/embeddings are written with small (2048-row) parquet row
+groups so the scaled files are SPLITTABLE: the dev fixtures are one
+file with one row group, which caps the scan stage — where the
+explode + partial-aggregate map work of the text/vector gates runs —
+at ONE task regardless of core count, flattening every core-scaling
+slope by construction. With many row groups plus a scan-split
+override (SPARK_GRAFT_MAX_PARTITION_BYTES, see GraftSession) the scan
+parallelizes like a production multi-file input.
+
 Usage: make_scaled.py <src_sf_dir> <dst_dir> <k>
 """
 import sys, os, shutil, glob
@@ -34,7 +43,7 @@ COPY (
               ELSE n_chars + 2 + len(cast(r.k as varchar)) END AS n_chars
   FROM '{src}/documents.parquet', (SELECT unnest(range({k})) k) r
   ORDER BY doc_id
-) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+) TO '{dst}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2048)""")
 
 con.execute(f"""
 COPY (
@@ -45,7 +54,7 @@ COPY (
          label
   FROM '{src}/embeddings.parquet', (SELECT unnest(range({k})) k) r
   ORDER BY vec_id
-) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
+) TO '{dst}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2048)""")
 
 # part: the t83/t94 vocabulary is DISTINCT p_name words, so replicating
 # rows alone would not grow it. Each replica suffixes every word with a
