@@ -204,7 +204,13 @@ object CorpusText {
     val grouped = lines.groupBy(col("doc_id"), col("line"))
       .agg(collect_list(col("line_idx")).as("idxs"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
-    val boiler = grouped
+    // the size(idxs) >= 1 predicate is vacuously true (a group's
+    // collect_list is never empty) but NOT provably so to Catalyst —
+    // it pins `idxs` into this branch's column set, which keeps the
+    // two consumers' aggregate-exchange subtrees IDENTICAL so
+    // ReuseExchange collapses them; without it, column pruning narrows
+    // this branch and the corpus explodes twice again
+    val boiler = grouped.filter(size(col("idxs")) >= 1)
       .groupBy("line").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(total))
       .filter(col("df") * lit(1000000L) >= col("n_docs") * lit(tauPpm))

@@ -861,21 +861,30 @@ object ShapeGate {
     val scored = graft.operators.LangId.trainAndScore(
       feats.filter(hk < hkThr), feats, buckets,
       "is_fa", iters = 24, rate = 2.0)
-    val wrong = scored
-      .filter((col("decision") > 0) =!= col("is_fa")).count()
-    require(wrong == 0L,
-      s"t116: lang-id misclassified $wrong docs — the two scripts are " +
-        "disjoint, the survivor set must be exactly the Latin parity")
     val en = scored.filter(col("decision") <= 0).select("doc_id")
       .join(dd, "doc_id").select(col("doc_id"), col("ltext").as("text"))
     // STAGE 3 — boilerplate line removal at τ = 25%
     val cleaned = graft.operators.CorpusText
       .removeBoilerplateLines(en, tauPpm = 250000L).cache()
-    val badDrop = cleaned.filter(
-      (pmod(col("doc_id"), lit(3)) === 0 && col("n_dropped") =!= 1L) ||
-        (pmod(col("doc_id"), lit(3)) =!= 0 && col("n_dropped") =!= 0L))
-      .count()
-    require(badDrop == 0L,
+    // the stage-2 misclassification count and the stage-3 bad-drop
+    // count ride ONE union-aggregate action (they were two separately
+    // scheduled jobs over already-cached frames — pure driver/plan
+    // overhead); this action is also what materializes the `cleaned`
+    // cache. Require ORDER below preserves the stage-2-first failure
+    // precedence.
+    val checkRow = scored
+      .agg(coalesce(sum(when((col("decision") > 0) =!= col("is_fa"), 1L)
+        .otherwise(0L)), lit(0L)).as("n"))
+      .unionAll(cleaned.agg(coalesce(sum(when(
+        (pmod(col("doc_id"), lit(3)) === 0 && col("n_dropped") =!= 1L) ||
+          (pmod(col("doc_id"), lit(3)) =!= 0 && col("n_dropped") =!= 0L),
+        1L).otherwise(0L)), lit(0L)).as("n")))
+      .collect()
+    val wrong = checkRow(0).getLong(0)
+    require(wrong == 0L,
+      s"t116: lang-id misclassified $wrong docs — the two scripts are " +
+        "disjoint, the survivor set must be exactly the Latin parity")
+    require(checkRow(1).getLong(0) == 0L,
       "t116: exactly the planted banner line must drop, nothing else")
     // STAGE 4 — perplexity tertiles over the CLEANED survivors
     val split = graft.operators.PerplexityLm.ccnetSplit(
