@@ -708,13 +708,15 @@ object ShapeGate {
       feats.filter(pmod(col("doc_id"), lit(4)) < 2),
       feats.filter(pmod(col("doc_id"), lit(4)) >= 2), buckets,
       "is_fa", iters = 8, rate = 2.0)
-    val held = scored
-      .select(col("doc_id"), col("is_fa"), col("decision")).collect()
-    require(held.nonEmpty, "t114: empty held-out set")
-    val wrong = held.filter(r =>
-      (r.getAs[Double]("decision") > 0) != r.getAs[Boolean]("is_fa"))
-    require(wrong.isEmpty,
-      s"t114: ${wrong.length}/${held.length} held-out docs misclassified " +
+    // the held-out half is CORPUS-PROPORTIONAL — the verdict counts
+    // run as ONE distributed aggregate (the t103 pattern; the old
+    // collect() pulled a quarter of the corpus to the driver)
+    val vr = scored.agg(count(lit(1)).as("n"),
+      coalesce(sum(when((col("decision") > 0) =!= col("is_fa"), 1L)
+        .otherwise(0L)), lit(0L)).as("w")).collect()(0)
+    require(vr.getLong(0) > 0, "t114: empty held-out set")
+    require(vr.getLong(1) == 0L,
+      s"t114: ${vr.getLong(1)}/${vr.getLong(0)} held-out docs misclassified " +
         "— the scripts are disjoint in trigram space, a working lang-id " +
         "separates them completely")
     scored
