@@ -475,8 +475,17 @@ object Relational {
     * and unioned into one deterministic result. */
   def q81SetOps(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val a = ev.filter(col("user_id") < 25).select("event_type")
-    val b = ev.filter(col("user_id") >= 25).select("event_type")
+    // distinct() each side BEFORE the set ops — identical results
+    // (INTERSECT/EXCEPT are DISTINCT-semantics, so deduplicating an
+    // input is a no-op), but the partial aggregate collapses each side
+    // to ≤ NDV(event_type) rows on the map side: the set-op joins then
+    // broadcast a handful of rows instead of the raw corpus-
+    // proportional column (at scale the un-deduped build side is an
+    // OOM risk, not just wasted bytes), and the two uses of each
+    // distinct side are identical subtrees that share one exchange
+    // (ReuseExchange) — events is scanned twice, not four times.
+    val a = ev.filter(col("user_id") < 25).select("event_type").distinct()
+    val b = ev.filter(col("user_id") >= 25).select("event_type").distinct()
     a.intersect(b).withColumn("tag", lit("both"))
       .unionByName(a.except(b).withColumn("tag", lit("only_young")))
       .select("tag", "event_type")
